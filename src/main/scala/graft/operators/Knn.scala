@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact (FLAT) k-NN search — Spark-native form of the reference's
+  * `VectorDatabase::search` with `indexType=FLAT`
+  * (reference vector_database.cc:150, faiss_index.cc:40).
+  *
+  * Shape: broadcast the (small) query set, score every data row
+  * against every query inside one codegen stage, then reduce with the
+  * partial-aggregating [[TopKAgg]] heap. The optional scalar filter
+  * (reference FilterIndex `=`/`!=` roaring bitmaps,
+  * filter_index.cc:62) becomes a plain Catalyst predicate applied
+  * BEFORE scoring — it pushes down to the parquet scan
+  * (`PushedFilters`), which strictly dominates a bitmap post-filter:
+  * non-matching rows are never even read.
+  */
+object Knn {
+
+  /** Supported metrics, mirroring reference IndexFactory::MetricType
+    * (index_factory.cc) plus cosine.
+    */
+  object Metric extends Enumeration { val L2, IP, Cosine = Value }
+
+  /** Top-k neighbors of each query vector.
+    *
+    * @param data    (id: long, vec: array<float>) corpus
+    * @param queries (qid: long, qvec: array<float>) — must be small
+    *                enough to broadcast (it is collected to every
+    *                executor exactly like FAISS holds the query batch)
+    * @return (qid, rk 1..k, nn_id, score) — score is the metric value
+    *         rounded to 4dp; ranking on the unrounded value, ties on
+    *         ascending nn_id
+    */
+  def topK(data: DataFrame, queries: DataFrame, k: Int,
+           metric: Metric.Value): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), vecD(col("qvec")).as("qvec")))
+    val d = data.select(col("id"), vecD(col("vec")).as("vec"))
+
+    val score = metric match {
+      case Metric.L2     => l2Distance(col("vec"), col("qvec"))
+      case Metric.IP     => dotProduct(col("vec"), col("qvec"))
+      case Metric.Cosine => cosineSimilarity(col("vec"), col("qvec"))
+    }
+    // lower-is-better sort key; similarities rank descending
+    val key = if (metric == Metric.L2) score else -score
+
+    val agg = TopKAgg.topK(k)
+    d.crossJoin(q)
+      .select(col("qid"), key.as("key"), col("id"))
+      .groupBy("qid")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(
+        col("qid"),
+        (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"),
+        round(if (metric == Metric.L2) col("col.key") else -col("col.key"), 4)
+          .as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  /** search(+filter) — predicate applied pre-scan (see class doc). */
+  def topKFiltered(data: DataFrame, queries: DataFrame, k: Int,
+                   metric: Metric.Value,
+                   filter: org.apache.spark.sql.Column): DataFrame =
+    topK(data.where(filter), queries, k, metric)
+}
