@@ -48,12 +48,22 @@ for name in names:
         print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
         fail += 1
         continue
-    gs = g.astype(str)
-    ws = w.astype(str)
-    if gs.equals(ws):
+    # Numeric columns: small absolute tolerance (ulp-at-rounding-boundary
+    # and -0.0 vs 0.0 differ between Spark and DuckDB); rest: exact string.
+    import numpy as np
+    diff = None
+    for c in g.columns:
+        if np.issubdtype(g[c].dtype, np.floating) or \
+           np.issubdtype(w[c].dtype, np.floating):
+            gv = g[c].astype(float).fillna(float("nan")) + 0.0  # -0.0 -> 0.0
+            wv = w[c].astype(float).fillna(float("nan")) + 0.0
+            d = ~(np.isclose(gv, wv, rtol=0, atol=1e-4, equal_nan=True))
+        else:
+            d = g[c].astype(str) != w[c].astype(str)
+        diff = d if diff is None else (diff | d)
+    if diff is None or not diff.any():
         print(f"OK   {name}: {len(g)} rows")
     else:
-        diff = (gs != ws).any(axis=1)
         print(f"FAIL {name}: {int(diff.sum())}/{len(g)} rows differ")
         print("  got:", g[diff].head(3).to_dict("records"))
         print("  want:", w[diff].head(3).to_dict("records"))

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place that owns the session configuration every graft
+  * entrypoint (Verify, Bench, ScalaTest suites) shares, so that
+  * read-behavior flags are set once at build time rather than as
+  * hidden side effects of loader calls.
+  */
+object GraftSession {
+  def builder(cores: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+      // parquet reader rejects outright; read the raw int64 nanos
+      // session-wide (Tables.events converts to timestamp explicitly).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+}

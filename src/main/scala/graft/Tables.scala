@@ -24,12 +24,18 @@ object Tables {
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects outright; read the raw int64 nanos and floor-divide
     * to microseconds (the driver data has no sub-microsecond residue).
+    *
+    * CONTRACT: requires `spark.sql.legacy.parquet.nanosAsLong=true`,
+    * which [[GraftSession.builder]] sets at session build time — this
+    * is a session-wide read-behavior flag affecting every
+    * nanos-timestamp parquet read, so it is NOT set here as a loader
+    * side effect. Sessions not built via GraftSession must set it
+    * themselves (the loader fails fast with Spark's reader error
+    * otherwise, never silently misreads).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

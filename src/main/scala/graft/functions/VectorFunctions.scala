@@ -35,7 +35,12 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = sqrt(sum(transform(a, x => x * x)))
 
-  /** Cosine similarity (normalized IP — the standard embedding metric). */
+  /** Cosine similarity (normalized IP — the standard embedding metric).
+    * Zero-norm inputs yield NULL (not NaN): NaN ordering differs
+    * between Spark and DuckDB, so a degenerate all-zero vector would
+    * silently diverge from the oracle; NULL drops it from top-k on
+    * both sides identically.
+    */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+    dotProduct(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
 }

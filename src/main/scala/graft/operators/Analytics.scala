@@ -35,7 +35,9 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3 shape: selective dim filter → fact join → top-N revenue.
-    * Customer side broadcasts (it is orders/lineitem that scale).
+    * Customer scales with SF (multi-GB at 100 TB), so no forced
+    * broadcast hint — AQE picks broadcast when the filtered side fits
+    * under autoBroadcastJoinThreshold and shuffle-hash otherwise.
     */
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
@@ -46,7 +48,7 @@ object Analytics {
     val li = Tables.lineitem(s, dir)
       .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
@@ -60,8 +62,11 @@ object Analytics {
   }
 
   /** TPC-H Q5 shape: star join through region→nation with the
-    * customer-nation = supplier-nation co-location constraint; dims
-    * broadcast, facts never shuffle except for the final group-by.
+    * customer-nation = supplier-nation co-location constraint. Only
+    * genuinely bounded dims (nation⋈region: ≤25 rows at any SF) carry
+    * a broadcast hint; customer/supplier scale linearly with SF, so
+    * AQE picks their strategy (broadcast at small SF, shuffle-hash at
+    * cluster scale — a forced hint would OOM the driver at 100 TB).
     */
   def q5LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
     val asiaNations = Tables.nation(s, dir)
@@ -74,8 +79,8 @@ object Analytics {
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))

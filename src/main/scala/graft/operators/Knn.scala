@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorFunctions._
+import graft.functions.VectorDistance
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,13 +36,15 @@ object Knn {
     */
   def topK(data: DataFrame, queries: DataFrame, k: Int,
            metric: Metric.Value): DataFrame = {
-    val q = broadcast(queries.select(col("qid"), vecD(col("qvec")).as("qvec")))
-    val d = data.select(col("id"), vecD(col("vec")).as("vec"))
+    val q = broadcast(queries.select(col("qid"), col("qvec")))
+    val d = data.select(col("id"), col("vec"))
 
+    // native fused kernels (VectorDistance) — same numerics as the
+    // composed zip_with/aggregate form, ~10x less per-pair overhead
     val score = metric match {
-      case Metric.L2     => l2Distance(col("vec"), col("qvec"))
-      case Metric.IP     => dotProduct(col("vec"), col("qvec"))
-      case Metric.Cosine => cosineSimilarity(col("vec"), col("qvec"))
+      case Metric.L2     => VectorDistance.l2(col("vec"), col("qvec"))
+      case Metric.IP     => VectorDistance.dot(col("vec"), col("qvec"))
+      case Metric.Cosine => VectorDistance.cosine(col("vec"), col("qvec"))
     }
     // lower-is-better sort key; similarities rank descending
     val key = if (metric == Metric.L2) score else -score

@@ -30,6 +30,14 @@ object WalReplay {
 
   /** ⊎: merge any number of partial states (count/sum are sums, last
     * value wins by the max (ts, event_id) key).
+    *
+    * PRECONDITION: the input states must come from DISJOINT log
+    * slices that together partition the log (as [[replayComposed]]
+    * guarantees by splitting on event_id ≤/> snapshotMaxId — the
+    * reference has the identical contract: the WAL tail starts
+    * strictly after lastSnapshotID, persistence.cc readNextWALLog).
+    * Overlapping slices would double-count n_events/sum_value and
+    * make the max-by-_lk tie-break arbitrary.
     */
   def mergeStates(states: DataFrame*): DataFrame =
     states.reduce(_ unionByName _)
