@@ -23,6 +23,10 @@ object SparkEntry {
     Tables.embeddings(s, dir).where(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
+  private def simQset(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -70,6 +74,21 @@ object SparkEntry {
         "label", "vec_id")),
     "vdb_snapshot_replay" -> ((s, d) =>
       WalReplay.replayComposed(Tables.events(s, d), 500L)),
+    "ann_ivf" -> (Ann.ivfQuery _),
+    "ann_lsh" -> (Ann.lshQuery _),
+    "mm_decode" -> (Multimodal.decodeQuery _),
+    "dedup_exact" -> ((s, d) => Dedup.exact(Dedup.corpusWithExactDups(s, d))),
+    "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
+    "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_embedding_cos" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
+    "sim_brute_topk" -> ((s, d) =>
+      Knn.topKExcludingSelf(emb(s, d), simQset(s, d), 10, Knn.Metric.Cosine)),
+    "text_langid" -> (TextOps.langId _),
+    "text_quality" -> (TextOps.quality _),
+    "text_tokens" -> (TextOps.tokenCounts _),
+    "text_fingerprint" -> (TextOps.fingerprint _),
     "q1_agg" -> Analytics.q1PricingSummary _,
     "q3_join" -> Analytics.q3ShippingPriority _,
     "q5_join" -> Analytics.q5LocalSupplierVolume _,
@@ -99,7 +118,173 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared oracle CTE: distinct word-3-gram shingle sets (DuckDB
+    * lists are 1-based; mirrors Dedup.withShingles exactly).
+    */
+  private val shingleCte =
+    """w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+      |         THEN list_transform(range(1, len(ws)-1),
+      |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |         ELSE [text] END) AS shingles FROM w)""".stripMargin
+
+  private val bandCte =
+    s"""$shingleCte,
+       |mh AS (SELECT doc_id, list_transform(range(0, 12),
+       |         j -> list_min(list_transform(shingles,
+       |                s -> md5(CAST(j AS VARCHAR) || '|' || s)))) AS mh
+       |       FROM sh),
+       |bands AS (SELECT doc_id, unnest(range(0, 4)) AS band, mh FROM mh),
+       |bk AS (SELECT doc_id, band,
+       |         md5(mh[3*band+1] || '|' || mh[3*band+2] || '|' || mh[3*band+3])
+       |           AS band_key
+       |       FROM bands)""".stripMargin
+
+  /** Exploded-form jaccard for a candidate-pair CTE named `cand`
+    * (id1, id2); yields pairs (id1, id2, jaccard) ≥ 0.5.
+    */
+  private val jaccardVerify =
+    """shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
+      |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n
+      |          FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT c.id1 AS id1, c.id2 AS id2,
+      |       round(n*1.0/(c1.c + c2.c - n), 4) AS jaccard
+      |FROM cand c JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
+      |JOIN card c1 ON c.id1 = c1.doc_id JOIN card c2 ON c.id2 = c2.doc_id
+      |WHERE n*1.0/(c1.c + c2.c - n) >= 0.5 ORDER BY c.id1, c.id2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // ann_ivf / ann_lsh: approximate by design — no SQL oracle; the
+    // driver records rows-only and AnnSpec asserts recall vs exact.
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+        |  CAST(64 + ascii(substr(text, 1, 1)) % 97 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_copies,
+        |       min(doc_id) AS canonical_id
+        |FROM corpus GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY canonical_id""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""WITH $bandCte
+         |SELECT doc_id, band, band_key FROM bk ORDER BY doc_id, band"""
+        .stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH $bandCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bk a JOIN bk b ON a.band = b.band
+         |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |$jaccardVerify""".stripMargin,
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |             len(string_split(text, ' ')) AS nt FROM documents),
+        |u AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) AS h
+        |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+        |v AS (SELECT doc_id, bit,
+        |        sum(CASE WHEN (h // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |      FROM u CROSS JOIN (SELECT unnest(range(16)) AS bit) GROUP BY 1, 2)
+        |SELECT v.doc_id AS doc_id, CAST(nt AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END) AS BIGINT)
+        |         AS simhash16
+        |FROM v JOIN t ON v.doc_id = t.doc_id GROUP BY v.doc_id, nt
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |blk AS (SELECT doc_id, shingles,
+         |          md5(list_min(list_transform(shingles, s -> md5('b0|' || s)))
+         |            || '|' ||
+         |            list_min(list_transform(shingles, s -> md5('b1|' || s))))
+         |            AS block
+         |        FROM sh),
+         |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM blk a JOIN blk b ON a.block = b.block
+         |           AND a.doc_id < b.doc_id),
+         |$jaccardVerify""".stripMargin,
+    "dedup_embedding_cos" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       CAST(a.label AS BIGINT) AS label,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                    b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |                             b.embedding::DOUBLE[]) >= 0.35
+        |ORDER BY id1, id2""".stripMargin,
+    "sim_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s DESC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is')))
+        |    *1.0/len(toks) AS en_score,
+        |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein')))
+        |    *1.0/len(toks) AS de_score,
+        |  len(list_filter(toks, t -> t IN ('le','la','les','et','est','un')))
+        |    *1.0/len(toks) AS fr_score
+        |  FROM t)
+        |SELECT doc_id, round(en_score, 4) AS en_score,
+        |       round(de_score, 4) AS de_score, round(fr_score, 4) AS fr_score,
+        |       list_sort([{'ns': -en_score, 'l': 'en'},
+        |                  {'ns': -de_score, 'l': 'de'},
+        |                  {'ns': -fr_score, 'l': 'fr'}])[1].l AS predicted
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+        |        len(list_distinct(toks)) AS n_distinct,
+        |        len(list_filter(toks,
+        |          t -> t IN ('the','a','and','of','to','in','is')))
+        |          *1.0/len(toks) AS sw,
+        |        1.0 - len(list_distinct(toks))*1.0/len(toks) AS rep
+        |      FROM t)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct,
+        |       round((n_chars - (n_tokens - 1))*1.0/n_tokens, 4)
+        |         AS avg_token_len,
+        |       round(sw, 4) AS stopword_ratio,
+        |       round(rep, 4) AS repetition_ratio,
+        |       round((least(n_tokens/50.0, 1.0)
+        |         + CASE WHEN sw BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END
+        |         + (1.0 - least(rep/0.9, 1.0))) / 3.0, 4) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS BIGINT) AS bpe_tokens,
+        |  round(length(text)*1.0
+        |    / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4)
+        |    AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH n AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+        |  FROM documents)
+        |SELECT doc_id, fp_md5,
+        |       CAST('0x' || substr(fp_md5, 1, 15) AS BIGINT) AS fp60
+        |FROM n ORDER BY doc_id""".stripMargin,
     "vdb_knn_flat_l2" -> knnOracle("l2"),
     "vdb_knn_flat_ip" -> knnOracle("ip"),
     "vdb_knn_cosine" -> knnOracle("cos"),

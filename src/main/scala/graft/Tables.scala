@@ -14,8 +14,23 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  /** The driver's test files are single-row-group parquet, so a bare
+    * scan is ONE task and every per-row expression runs on one core.
+    * A production corpus arrives in thousands of splits; this models
+    * that by spreading rows across the session's cores right after
+    * the scan. Catalyst still pushes filters/pruning through the
+    * Repartition node to the scan, and the shuffle moves only the
+    * pruned columns — at real scale the input is already split and
+    * the repartition collapses to a no-op cost-wise relative to the
+    * expression work it parallelizes.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    spread(s, table(s, d, "lineitem"))
+  def orders(s: SparkSession, d: String): DataFrame =
+    spread(s, table(s, d, "orders"))
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
@@ -34,8 +49,10 @@ object Tables {
     * otherwise, never silently misreads).
     */
   def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
+    spread(s, table(s, d, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, table(s, d, "embeddings"))
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorDistance
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search — the Spark-scale
+  * re-expression of the reference's HNSW path
+  * (reference hnswlib_index.cc:28 insert/search with M=16, efC=200).
+  *
+  * A navigable small-world graph is a pointer-chasing structure that
+  * cannot be traversed as a relational plan; what survives the
+  * translation to 100 TB is the IDEA: prune the candidate set before
+  * exact scoring. Two standard bulk formulations:
+  *
+  *  - IVF (inverted file): coarse-quantize the corpus into cells,
+  *    search only the `nprobe` cells nearest each query. The cell
+  *    assignment is a partition key, so a probe is a partition-pruned
+  *    equi-join instead of a full scan.
+  *  - Sign-LSH: hash vectors by the sign pattern of dot products with
+  *    fixed random hyperplanes; candidate generation is a
+  *    co-partitioned equi-join on (table, signature).
+  *
+  * Both stay deterministic: IVF centroids come from a fixed-stride
+  * corpus subsample (no RNG), LSH hyperplanes from an md5-seeded
+  * deterministic generator — so specs can assert recall exactly and
+  * reruns are reproducible.
+  */
+object Ann {
+
+  // ---------------------------------------------------------------- IVF
+
+  /** Deterministic coarse centroids: every `stride`-th vector. A
+    * k-means|| fit would give tighter cells at the same plan shape;
+    * the IVF mechanics (assign → prune → exact-score) are identical.
+    */
+  def ivfCentroids(emb: DataFrame, stride: Long = 200): DataFrame =
+    emb.where(col("id") % stride === 0)
+      .select(col("id").as("cell"), col("vec").as("cvec"))
+
+  /** Assign every vector to its nearest centroid (broadcast the tiny
+    * centroid set, one fused-kernel pass, argmin via min_by). The
+    * quantizer metric matches the search metric (cosine), as FAISS
+    * ties the IVF quantizer to the index metric.
+    */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cell"),
+        (-VectorDistance.cosine(col("vec"), col("cvec"))).as("cd"))
+      .groupBy("id")
+      .agg(
+        min_by(col("cell"), struct(col("cd"), col("cell"))).as("cell"),
+        first(col("vec")).as("vec"))
+
+  /** IVF search: per query, rank cells by centroid distance, keep the
+    * `nprobe` nearest, and run the exact TopK kernel only against
+    * vectors assigned to those cells — the scan prunes to
+    * nprobe/ncells of the corpus, which at 100 TB is the difference
+    * between touching 2 partitions and touching 1000.
+    */
+  def ivfSearch(emb: DataFrame, queries: DataFrame, k: Int,
+                nprobe: Int = 2, stride: Long = 200): DataFrame = {
+    val cents = ivfCentroids(emb, stride)
+    val assigned = ivfAssign(emb, cents)
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qvec"), col("cell"),
+        (-VectorDistance.cosine(col("qvec"), col("cvec"))).as("cd"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cd"), col("cell"))))
+      .where(col("rk") <= nprobe)
+      .select("qid", "qvec", "cell")
+    // equi-join on cell co-locates each query with its probed cells
+    val scored = assigned.join(probes, "cell")
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+    val agg = TopKAgg.topK(k)
+    scored.groupBy("qid")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"), round(-col("col.key"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  // ------------------------------------------------------------ sign-LSH
+
+  /** Deterministic pseudo-random hyperplanes: component d of plane p
+    * in table t is derived from md5("t|p|d") mapped to [-1, 1]. Pure
+    * function of indices — no RNG state, identical on every executor
+    * and every run.
+    */
+  def hyperplanes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, bits, dim) { (t, p, d) =>
+      val h = md.digest(s"$t|$p|$d".getBytes("UTF-8"))
+      val v = java.nio.ByteBuffer.wrap(h).getInt & 0x7fffffff
+      v.toDouble / Int.MaxValue * 2.0 - 1.0
+    }
+  }
+
+  /** Per-vector LSH signatures, long format (id, table, sig): bit p of
+    * `sig` is the sign of <vec, plane_p>. All dot products run through
+    * the fused codegen kernel against literal plane arrays.
+    */
+  def lshSignatures(emb: DataFrame, vecCol: String, idCol: String,
+                    tables: Int = 4, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(tables, bits, dim)
+    val sigCols = (0 until tables).map { t =>
+      val bitsSum = (0 until bits).map { p =>
+        when(VectorDistance.dot(col(vecCol), typedlit(hp(t)(p))) > 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t.toLong).as("table"), bitsSum.as("sig"))
+    }
+    emb.select(col(idCol).as("id"), explode(array(sigCols: _*)).as("ts"))
+      .select(col("id"), col("ts.table").as("table"), col("ts.sig").as("sig"))
+  }
+
+  /** LSH search: candidates = vectors sharing any (table, signature)
+    * bucket with the query, then exact re-rank of only those — the
+    * crossJoin of flat search becomes a co-partitioned equi-join.
+    * Defaults (4 tables x 4 bits) suit the small test corpus — at
+    * production N, `bits` grows ~log2(N/target-bucket-size) and
+    * recall is bought with more tables, same plan shape.
+    */
+  def lshSearch(emb: DataFrame, queries: DataFrame, k: Int,
+                tables: Int = 4, bits: Int = 4, dim: Int = 64): DataFrame = {
+    val dataSig = lshSignatures(emb, "vec", "id", tables, bits, dim)
+    val querySig = lshSignatures(
+      queries.select(col("qid").as("id"), col("qvec")), "qvec", "id",
+      tables, bits, dim)
+      .select(col("id").as("qid"), col("table"), col("sig"))
+    val cand = dataSig.join(querySig, Seq("table", "sig"))
+      .select("qid", "id").distinct()
+    val scored = cand
+      .join(emb, "id")
+      .join(queries, "qid")
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+    val agg = TopKAgg.topK(k)
+    scored.groupBy("qid")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"), round(-col("col.key"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  // --------------------------------------------------- query-map surface
+
+  def ivfQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    ivfSearch(e, q, k = 10, nprobe = 2)
+  }
+
+  def lshQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    lshSearch(e, q, k = 10)
+  }
+}

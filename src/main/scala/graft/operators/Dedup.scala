@@ -1,0 +1,277 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorDistance
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM training-data pipelines.
+  *
+  * Not part of the reference's own surface (it is a vector DB —
+  * reference vector_database.cc), but the canonical bulk workload the
+  * same engine must carry at 100 TB: exact dedup, MinHash/LSH and
+  * SimHash near-dup candidate generation, blocked pairwise verify.
+  *
+  * Scale invariants baked into every operator here:
+  *  - candidate generation is ALWAYS an equi-join on a derived key
+  *    (band key, min-shingle block) — never an unblocked O(n²)
+  *    crossJoin;
+  *  - all hashes are md5-of-string (bit-identical in Spark and
+  *    DuckDB, so every step is oracle-verifiable);
+  *  - shingling/minhashing stay inside codegen'd higher-order array
+  *    functions — one narrow projection per doc, no explode of the
+  *    corpus until after blocking.
+  */
+object Dedup {
+
+  /** Corpus with planted exact duplicates (doc_id%10==0 re-inserted
+    * under a shifted id) — the observable exact-dedup workload; the
+    * raw table has no exact dups (driver plants only NEAR dups).
+    */
+  def corpusWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+  }
+
+  /** Exact dedup: md5-hash groupBy canonicalization. Map-side partial
+    * aggregation; only one (hash → canonical) row per group shuffles.
+    */
+  def exact(corpus: DataFrame): DataFrame =
+    corpus
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("canonical_id"))
+      .where(col("n_copies") > 1)
+      .orderBy("canonical_id")
+
+  /** Distinct word-3-gram shingle set as an array column (0-based
+    * subscripts; docs with <3 words shingle to the whole text).
+    * Convenient for per-doc array ops, but the lambda pipeline is
+    * interpreted — hot paths use [[shingleRows]] instead.
+    */
+  def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(expr(
+        """CASE WHEN size(ws) >= 3
+          |  THEN transform(sequence(0, size(ws)-3),
+          |                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+          |  ELSE array(text) END""".stripMargin)))
+      .drop("ws")
+
+  /** The same distinct shingle sets in EXPLODED form — (doc_id, s)
+    * rows — built from posexplode + window `lead`, which stays
+    * entirely inside whole-stage codegen (a `transform` lambda is
+    * evaluated interpreted, ~10x slower per shingle and re-evaluated
+    * wherever CollapseProject inlines it). One shuffle keyed by
+    * doc_id; everything downstream (minhash aggregation,
+    * intersection joins) is already exploded, so this is the natural
+    * 100 TB representation.
+    */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withN = docs.select(col("doc_id"), col("text"),
+      size(split(col("text"), " ")).as("n"))
+    val short = withN.where(col("n") < 3)
+      .select(col("doc_id"), col("text").as("s"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = withN.where(col("n") >= 3)
+      .select(col("doc_id"), col("n"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("n"), col("pos"),
+        concat_ws(" ", col("word"),
+          lead("word", 1).over(w), lead("word", 2).over(w)).as("s"))
+      .where(col("pos") <= col("n") - 3)
+      .select("doc_id", "s")
+    grams.unionByName(short).distinct()
+  }
+
+  val NumHashes = 12
+  val NumBands = 4 // 4 bands x 3 rows
+
+  /** Per-doc LSH band keys, long format (doc_id, band, band_key).
+    *
+    * minhash_j = min over the shingle set of md5(j || '|' || shingle)
+    * — 12 independent permutation surrogates; band key b =
+    * md5(minhash_3b .. minhash_3b+2). Docs agreeing on any band key
+    * are near-dup candidates (r=3 rows: P[match] = j³ per band).
+    *
+    * Computed as 12 min() AGGREGATES of a codegen'd scalar md5 over
+    * the exploded (doc_id, shingle) table — md5 inside a
+    * higher-order-function lambda is evaluated interpreted, which
+    * costs ~10x per hash and gets re-evaluated by CollapseProject /
+    * pushed-down isnotnull join filters; the aggregate form is also
+    * map-side partial, so the shuffle carries one signature per doc.
+    */
+  def minhashBands(docs: DataFrame): DataFrame =
+    minhashBandsFromRows(shingleRows(docs))
+
+  /** Banding from an (already exploded, distinct) shingle table. */
+  def minhashBandsFromRows(ex: DataFrame): DataFrame = {
+    val mhs = (0 until NumHashes).map(j =>
+      min(md5(concat(lit(s"$j|"), col("s")))).as(s"mh$j"))
+    val sig = ex.groupBy("doc_id").agg(mhs.head, mhs.tail: _*)
+    val bandCols = (0 until NumBands).map(b =>
+      struct(lit(b.toLong).as("band"),
+        md5(concat_ws("|", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
+          col(s"mh${3 * b + 2}"))).as("band_key")))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.band_key").as("band_key"))
+  }
+
+  /** Signature query surface: the band table, deterministic order. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashBands(Tables.documents(s, dir).select("doc_id", "text"))
+      .orderBy("doc_id", "band")
+
+  /** Exact jaccard over the distinct shingle sets of both sides.
+    * Expects columns shingles_a / shingles_b (already distinct).
+    */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** LSH candidate pairs → exact-jaccard verify ≥ minJaccard.
+    *
+    * The band-key equi-join is the 100 TB-critical step: candidates
+    * co-locate by (band, band_key) so the shuffle carries only bucket
+    * members, and the pairwise verify runs inside buckets (planted
+    * near-dups have j≥0.9 → P[caught] > 99.9% with 4 bands of 3).
+    * Verify uses exploded intersection counts restricted to the
+    * candidate pairs (see [[verifyJaccard]]).
+    */
+  def minhashPairs(s: SparkSession, dir: String,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    // the shingle table feeds banding AND verify; recomputing it per
+    // reference beats .persist() here — columnar cache construction
+    // plus racing materialization from concurrent broadcast jobs cost
+    // far more than the narrow window+explode recompute
+    val ex = shingleRows(docs)
+    val cand = bucketPairs(minhashBandsFromRows(ex), "band", "band_key")
+    verifyJaccard(cand, ex, minJaccard)
+  }
+
+  /** Candidate pairs from LSH buckets via groupBy + in-bucket pair
+    * expansion — ONE pass over the signature table, where a self-join
+    * would evaluate the whole upstream pipeline twice. Buckets are
+    * tiny by construction (that is the point of LSH), so the
+    * quadratic expansion is per-bucket-bounded; (least, greatest)
+    * normalization makes the pair set independent of collect_list's
+    * nondeterministic order.
+    */
+  private def bucketPairs(bands: DataFrame, keys: String*): DataFrame =
+    bands.groupBy(keys.map(col): _*)
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids)-2), i ->
+          |  transform(sequence(i+1, size(ids)-1), j ->
+          |    struct(least(ids[i], ids[j]) AS id1,
+          |           greatest(ids[i], ids[j]) AS id2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+
+  /** Exact jaccard for candidate pairs from exploded shingle rows:
+    * per-doc cardinalities + intersection counts via equi-join on
+    * (doc, shingle), |A∪B| = |A|+|B|-|A∩B|. The candidate table is
+    * the small side (broadcasts); the exploded table shuffles once.
+    */
+  private def verifyJaccard(cand: DataFrame, ex: DataFrame,
+                            minJaccard: Double): DataFrame = {
+    val card = ex.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val withCards = cand
+      .join(card.select(col("doc_id").as("id1"), col("c").as("c1")), "id1")
+      .join(card.select(col("doc_id").as("id2"), col("c").as("c2")), "id2")
+    withCards
+      .join(ex.as("x"), col("id1") === col("x.doc_id"))
+      .join(ex.as("y"),
+        col("id2") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy("id1", "id2", "c1", "c2")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("j",
+        col("n").cast("double") / (col("c1") + col("c2") - col("n")))
+      .where(col("j") >= minJaccard)
+      .select(col("id1"), col("id2"), round(col("j"), 4).as("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
+  /** 16-bit SimHash over token md5s (token-frequency weighted: each
+    * occurrence votes ±1 per bit; bit set iff the vote sum is
+    * positive). Stays a narrow per-doc projection — the token md5
+    * array is computed once, then folded over 16 bits.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("hs", expr(
+        "transform(toks, t -> cast(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT))"))
+      .withColumn("simhash16", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, b) ->
+          |  acc + CASE WHEN
+          |    aggregate(hs, 0L,
+          |      (v, h) -> v + CASE WHEN (h div shiftleft(1L, b)) % 2 = 1
+          |                         THEN 1L ELSE -1L END) > 0
+          |    THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("simhash16"))
+      .orderBy("doc_id")
+
+  /** Blocked pairwise n-gram jaccard, in the EXPLODED formulation —
+    * the 100 TB path when shingle sets are too large to carry as
+    * array columns: explode to (doc, shingle) rows, equi-join on
+    * (block, shingle) to count intersections, join cardinalities,
+    * filter on jaccard.
+    *
+    * Block key = a 2-minhash band (seeds disjoint from
+    * [[minhashBands]]): random pairs collide with P≈j², planted
+    * near-dups (j≥0.9) with P≥0.81 — unlike a lexicographic
+    * min-shingle block, the md5 ordering cannot concentrate mass on
+    * a few buckets, so bucket sizes stay bounded under a skewed
+    * vocabulary. (Metadata blocks like source/lang would miss the
+    * planted dups: 24/25 of them cross sources.)
+    */
+  def ngramJaccardPairs(s: SparkSession, dir: String,
+                        minJaccard: Double = 0.5): DataFrame = {
+    // the min-hashes are ordinary min() AGGREGATES of a codegen'd
+    // scalar md5 over the exploded shingle table — not
+    // md5-inside-a-lambda, which Spark evaluates interpreted (and
+    // CollapseProject + the join-key isnotnull pushdown would
+    // re-evaluate per row on both self-join sides)
+    val ex = shingleRows(Tables.documents(s, dir).select("doc_id", "text"))
+    val blk = ex.groupBy("doc_id").agg(
+      min(md5(concat(lit("b0|"), col("s")))).as("m0"),
+      min(md5(concat(lit("b1|"), col("s")))).as("m1"))
+      .select(col("doc_id"),
+        md5(concat(col("m0"), lit("|"), col("m1"))).as("block"))
+    val cand = bucketPairs(blk, "block")
+    verifyJaccard(cand, ex, minJaccard)
+  }
+
+  /** Embedding-cosine near-dup pairs, label-blocked: the pairwise
+    * scoring runs only inside label cells (an equi-join, shuffle keyed
+    * by label), with the fused codegen cosine kernel.
+    */
+  def embeddingCosinePairs(s: SparkSession, dir: String,
+                           minCos: Double = 0.35): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        col("a.label").as("label"),
+        VectorDistance.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .where(col("c") >= minCos)
+      .select(col("id1"), col("id2"), col("label").cast("long").as("label"),
+        round(col("c"), 4).as("cosine"))
+      .orderBy("id1", "id2")
+  }
+}

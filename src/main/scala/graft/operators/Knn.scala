@@ -35,7 +35,19 @@ object Knn {
     *         ascending nn_id
     */
   def topK(data: DataFrame, queries: DataFrame, k: Int,
-           metric: Metric.Value): DataFrame = {
+           metric: Metric.Value): DataFrame =
+    topKImpl(data, queries, k, metric, excludeSelf = false)
+
+  /** Doc-centric similarity search: queries come from the corpus
+    * itself, so the trivial self-match (id == qid) is dropped before
+    * the heap — the usual "nearest neighbors of each document" form.
+    */
+  def topKExcludingSelf(data: DataFrame, queries: DataFrame, k: Int,
+                        metric: Metric.Value): DataFrame =
+    topKImpl(data, queries, k, metric, excludeSelf = true)
+
+  private def topKImpl(data: DataFrame, queries: DataFrame, k: Int,
+                       metric: Metric.Value, excludeSelf: Boolean): DataFrame = {
     val q = broadcast(queries.select(col("qid"), col("qvec")))
     val d = data.select(col("id"), col("vec"))
 
@@ -50,7 +62,8 @@ object Knn {
     val key = if (metric == Metric.L2) score else -score
 
     val agg = TopKAgg.topK(k)
-    d.crossJoin(q)
+    val pairs = d.crossJoin(q)
+    (if (excludeSelf) pairs.where(col("id") =!= col("qid")) else pairs)
       .select(col("qid"), key.as("key"), col("id"))
       .groupBy("qid")
       .agg(agg(col("key"), col("id")).as("top"))

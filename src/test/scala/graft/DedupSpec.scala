@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+
+  private def docs = Tables.documents(spark, sf).select("doc_id", "text")
+
+  test("shingleRows equals the array-form shingle sets") {
+    val fromArrays = Dedup.withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fromRows = Dedup.shingleRows(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fromRows == fromArrays)
+  }
+
+  test("exact dedup finds exactly the planted duplicate groups") {
+    val out = Dedup.exact(Dedup.corpusWithExactDups(spark, sf)).collect()
+    val planted = docs.where(col("doc_id") % 10 === 0).count()
+    assert(out.length == planted)
+    assert(out.forall(_.getLong(1) == 2)) // each group: original + copy
+  }
+
+  test("minhash bands: 4 bands per doc, deterministic keys") {
+    val b = Dedup.minhashSignatures(spark, sf)
+    assert(b.count() == docs.count() * Dedup.NumBands)
+    val b2 = Dedup.minhashSignatures(spark, sf)
+    assert(b.collect().toSeq == b2.collect().toSeq)
+  }
+
+  test("minhash pairs verify against brute-force jaccard >= 0.5") {
+    // brute force over ALL pairs via array intersection
+    val sh = Dedup.withShingles(docs).select("doc_id", "shingles")
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        (size(array_intersect(col("a.shingles"), col("b.shingles")))
+          .cast("double") /
+          (size(col("a.shingles")) + size(col("b.shingles")) -
+            size(array_intersect(col("a.shingles"), col("b.shingles")))))
+          .as("j"))
+      .where(col("j") >= 0.5)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(spark, sf)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH may miss borderline pairs but must not invent any,
+    // and must catch the high-jaccard planted dups
+    assert(lsh.subsetOf(brute))
+    val high = brute // planted dups are j>=0.9 at every SF
+    assert(lsh.intersect(high).size >= (high.size * 0.9).toInt,
+      s"recall too low: ${lsh.size}/${high.size}")
+  }
+}

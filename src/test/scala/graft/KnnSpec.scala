@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Knn
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSuite {
+
+  private def emb = Tables.embeddings(spark, sf)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+  private def qs = Tables.embeddings(spark, sf).where(col("vec_id") < 3)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("heap top-k equals window-rank formulation") {
+    val viaHeap = Knn.topK(emb, qs, 5, Knn.Metric.L2)
+      .select("qid", "rk", "nn_id").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val scored = emb.crossJoin(qs)
+      .select(col("qid"), col("id"),
+        graft.functions.VectorDistance.l2(col("vec"), col("qvec")).as("d"))
+    val w = Window.partitionBy("qid").orderBy(col("d"), col("id"))
+    val viaWindow = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select("qid", "rk", "id").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaHeap == viaWindow)
+  }
+
+  test("every query returns exactly k ranked rows") {
+    val out = Knn.topK(emb, qs, 7, Knn.Metric.Cosine)
+    val per = out.groupBy("qid").count().collect()
+    assert(per.length == 3 && per.forall(_.getLong(1) == 7))
+  }
+
+  test("scalar filter pushes down to the parquet scan") {
+    val plan = Knn.topKFiltered(emb, qs, 5, Knn.Metric.L2,
+      col("label") === 5).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,5)"),
+      s"label filter not pushed:\n$plan")
+  }
+
+  test("excluding self drops only the self match") {
+    val withSelf = Knn.topK(emb, qs, 3, Knn.Metric.Cosine)
+    val noSelf = Knn.topKExcludingSelf(emb, qs, 3, Knn.Metric.Cosine)
+    // rank 1 with self is the query itself (cosine=1); without, it is not
+    assert(withSelf.where(col("rk") === 1)
+      .collect().forall(r => r.getLong(2) == r.getLong(0)))
+    assert(noSelf.collect().forall(r => r.getLong(2) != r.getLong(0)))
+  }
+}

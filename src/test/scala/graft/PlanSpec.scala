@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the properties that matter at 100 TB, held
+  * in CI rather than in comments.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter reaches the parquet scan") {
+    val p = planOf(Analytics.q1PricingSummary(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n${p.take(2000)}")
+  }
+
+  test("q1: scan reads only the referenced columns") {
+    val p = planOf(Analytics.q1PricingSummary(spark, sf))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_partkey"),
+      s"column pruning lost: $read")
+  }
+
+  test("point lookup: IN-list pushes to the scan") {
+    val p = planOf(graft.operators.ScalarOps.pointLookup(
+      Tables.embeddings(spark, sf), "vec_id", Seq(3L, 17L)))
+    assert(p.contains("In(vec_id"), s"IN not pushed:\n${p.take(2000)}")
+  }
+
+  test("q5: no forced broadcast of SF-scaled tables (customer/supplier)") {
+    val lp = Analytics.q5LocalSupplierVolume(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // the only hint surviving should be on the bounded nation x region dim
+    val hints = lp.linesIterator.filter(_.contains("ResolvedHint")).size
+    assert(hints <= 1, s"unexpected broadcast hints:\n$lp")
+  }
+
+  test("vector kNN: the fused native kernel is in the scoring plan") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val p = planOf(graft.operators.Knn.topK(emb, q, 5,
+      graft.operators.Knn.Metric.L2))
+    assert(p.contains("vec_l2"), s"native kernel missing:\n${p.take(2000)}")
+  }
+
+  test("vector kernel compiles into whole-stage codegen") {
+    // AQE reports codegen subtrees only after execution; disable it
+    // for this static plan inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Tables.embeddings(spark, sf).select(
+        graft.functions.VectorDistance.l2(
+          col("embedding"), col("embedding")).as("d"))
+      val cg = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(cg.contains("WholeStageCodegen"), s"no WSCG:\n${cg.take(1500)}")
+      // the fused primitive loop is inlined into the generated java
+      assert(cg.contains("getFloat("), s"loop not inlined:\n${cg.take(1500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

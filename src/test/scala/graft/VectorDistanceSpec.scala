@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.{VectorDistance, VectorFunctions}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class VectorDistanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val a = Array(1.0f, 2.0f, 3.0f)
+  private val b = Array(4.0f, -5.0f, 6.0f)
+
+  private def one(colFn: => org.apache.spark.sql.Column): Any =
+    Seq((a, b)).toDF("x", "y").select(colFn.as("r")).head().get(0)
+
+  test("dot product matches scalar math") {
+    assert(one(VectorDistance.dot($"x", $"y")) ==
+      (1.0 * 4 + 2.0 * -5 + 3.0 * 6))
+  }
+
+  test("l2 matches scalar math") {
+    val exp = math.sqrt(math.pow(1.0 - 4, 2) + math.pow(2.0 + 5, 2)
+      + math.pow(3.0 - 6, 2))
+    assert(one(VectorDistance.l2($"x", $"y")) == exp)
+  }
+
+  test("cosine matches composed form bit-for-bit") {
+    val df = Seq((a, b)).toDF("x", "y")
+    val native = df.select(VectorDistance.cosine($"x", $"y")).head().getDouble(0)
+    val composed = df.select(VectorFunctions.cosineSimilarity(
+      VectorFunctions.vecD($"x"), VectorFunctions.vecD($"y"))).head().getDouble(0)
+    assert(native == composed)
+  }
+
+  test("zero-norm cosine is NULL, not NaN") {
+    val z = Array(0.0f, 0.0f, 0.0f)
+    val r = Seq((z, b)).toDF("x", "y")
+      .select(VectorDistance.cosine($"x", $"y").as("c")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("mixed float/double input types work (LSH literal planes)") {
+    val plane = Array(0.5, -0.5, 1.0)
+    val r = Seq(Tuple1(a)).toDF("x")
+      .select(VectorDistance.dot($"x", typedlit(plane))).head().getDouble(0)
+    assert(r == 1.0 * 0.5 + 2.0 * -0.5 + 3.0 * 1.0)
+  }
+
+  test("interpreted eval agrees with codegen") {
+    // force the interpreted path through nullSafeEval
+    val e = graft.functions.VecL2(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        a.map(_.toDouble), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        b.map(_.toDouble), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    val interpreted = e.eval(null).asInstanceOf[Double]
+    val codegen = Seq((a, b)).toDF("x", "y")
+      .select(VectorDistance.l2($"x", $"y")).head().getDouble(0)
+    assert(interpreted == codegen)
+  }
+}
