@@ -74,6 +74,7 @@ object SparkEntry {
         "label", "vec_id")),
     "vdb_snapshot_replay" -> ((s, d) =>
       WalReplay.replayComposed(Tables.events(s, d), 500L)),
+    "wal_json_replay" -> (graft.sources.WalSource.replayQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
     "ann_lsh" -> (Ann.lshQuery _),
     "mm_decode" -> (Multimodal.decodeQuery _),
@@ -158,6 +159,39 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // ann_ivf / ann_lsh: approximate by design — no SQL oracle; the
     // driver records rows-only and AnnSpec asserts recall vs exact.
+    "wal_json_replay" ->
+      """WITH logs AS (
+        |  SELECT vec_id AS log_id, 1 AS version, 'upsert' AS op,
+        |         to_json(struct_pack(id := vec_id, vectors := embedding,
+        |           int_field := CAST(label AS BIGINT),
+        |           indexType := 'FLAT')) AS j
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, 2, 'upsert',
+        |         to_json(struct_pack(id := vec_id, vectors := embedding,
+        |           int_field := CAST(label + 100 AS BIGINT),
+        |           indexType := 'FLAT'))
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |lines AS (SELECT CAST(log_id AS VARCHAR) || '|' ||
+        |                 CAST(version AS VARCHAR) || '|' || op || '|' || j
+        |                   AS line FROM logs),
+        |parsed AS (SELECT
+        |  CAST(string_split(line, '|')[1] AS BIGINT) AS log_id,
+        |  CAST(string_split(line, '|')[2] AS BIGINT) AS version,
+        |  string_split(line, '|')[3] AS op,
+        |  CAST(json_extract(string_split(line, '|')[4], '$.id') AS BIGINT)
+        |    AS id,
+        |  CAST(json_extract(string_split(line, '|')[4], '$.int_field')
+        |    AS BIGINT) AS int_field
+        |  FROM lines),
+        |r AS (SELECT id, int_field, version, log_id,
+        |        row_number() OVER (PARTITION BY id
+        |                           ORDER BY version DESC, log_id DESC) AS rk,
+        |        count(*) OVER (PARTITION BY id) AS n_log_entries
+        |      FROM parsed WHERE op = 'upsert')
+        |SELECT id, int_field, version, CAST(n_log_entries AS BIGINT)
+        |  AS n_log_entries
+        |FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's on-disk WAL as a Spark SOURCE.
+  *
+  * Line format (reference persistence.cc:59 writeWALLog):
+  * {{{ log_id|version|operation_type|json }}}
+  * with the json payload carrying the upsert request shape
+  * `{id, vectors:[...], int_field, indexType}`
+  * (reference test/filter_upsert/upsert.json, http_server.cc).
+  *
+  * `parse` is the bulk twin of readNextWALLog
+  * (persistence.cc:84: three '|'-delimited heads, JSON tail):
+  * a columnar split + `get_json_object`, all codegen'd — a 100 TB WAL
+  * ingests as an ordinary distributed text scan, and replay is the
+  * same LWW aggregation the upsert operator uses (no driver loop).
+  */
+object WalSource {
+
+  /** Deterministic synthetic WAL over the embeddings table: every
+    * vector upserted at version 1, every 7th re-upserted at version 2
+    * with a shifted int_field — same plant pattern the vdb_upsert
+    * query uses, now routed through the textual WAL format.
+    */
+  def syntheticWal(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    def line(logId: org.apache.spark.sql.Column,
+             version: org.apache.spark.sql.Column,
+             intField: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat_ws("|",
+        logId.cast("string"), version.cast("string"), lit("upsert"),
+        to_json(struct(
+          col("vec_id").as("id"),
+          col("embedding").as("vectors"),
+          intField.as("int_field"),
+          lit("FLAT").as("indexType"))))
+    val base = e.select(
+      line(col("vec_id"), lit(1L), col("label").cast("long")).as("line"))
+    val upd = e.where(col("vec_id") % 7 === 0).select(
+      line(col("vec_id") + 100000L, lit(2L),
+        (col("label") + 100).cast("long")).as("line"))
+    base.unionByName(upd)
+  }
+
+  /** Parse WAL lines into columns. The split is bounded at 4 so a
+    * JSON payload containing '|' stays intact — same contract as the
+    * reference's three getline('|') calls with the rest as JSON.
+    */
+  def parse(lines: DataFrame): DataFrame =
+    lines
+      .withColumn("p", split(col("line"), "\\|", 4))
+      .select(
+        element_at(col("p"), 1).cast("long").as("log_id"),
+        element_at(col("p"), 2).cast("long").as("version"),
+        element_at(col("p"), 3).as("op"),
+        get_json_object(element_at(col("p"), 4), "$.id")
+          .cast("long").as("id"),
+        get_json_object(element_at(col("p"), 4), "$.int_field")
+          .cast("long").as("int_field"))
+
+  /** Replay: last-writer-wins by (version, log_id) per id — the bulk
+    * form of reloadDatabase's sequential apply loop
+    * (reference vector_database.cc:21).
+    */
+  def replay(parsed: DataFrame): DataFrame =
+    parsed
+      .where(col("op") === "upsert")
+      .groupBy("id")
+      .agg(
+        max_by(struct(col("int_field"), col("version")),
+          struct(col("version"), col("log_id"))).as("w"),
+        count(lit(1)).as("n_log_entries"))
+      .select(col("id"), col("w.int_field").as("int_field"),
+        col("w.version").as("version"), col("n_log_entries"))
+      .orderBy("id")
+
+  def replayQuery(s: SparkSession, dir: String): DataFrame =
+    replay(parse(syntheticWal(s, dir)))
+}

@@ -47,4 +47,38 @@ class StreamingWalSpec extends SparkSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("tumbling-window aggregation runs identically as a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batchEvents = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "value")
+    val rows = batchEvents.as[WalEvent].collect()
+
+    val stream = MemoryStream[WalEvent]
+    val agg = stream.toDF()
+      .withColumn("event_type", col("user_id") % 3) // cheap stand-in key
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("tumble")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows.toSeq); q.processAllAvailable()
+      val got = spark.table("tumble")
+        .select(col("window.start").as("day"), col("event_type"),
+          col("n"), round(col("sum_value"), 4).as("sv"))
+        .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val want = batchEvents
+        .withColumn("event_type", col("user_id") % 3)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+        .select(col("window.start").as("day"), col("event_type"),
+          col("n"), col("sv"))
+        .collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
 }
