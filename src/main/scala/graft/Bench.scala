@@ -21,17 +21,19 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
-    // best-of-2: a single-shot measurement conflates the query with
-    // whatever the host happened to be doing; the min of two
-    // consecutive runs is the standard steady-state estimate
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // Best-of-2 with the two samples taken a full suite apart: host
+    // interference (VM CPU steal) arrives in multi-minute stretches,
+    // so back-to-back repeats land in the same slow window — two
+    // interleaved passes give each query decorrelated samples, and
+    // the per-query min is the steady-state estimate.
+    def pass(): Map[String, Double] = SparkEntry.queries.map {
+      case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+        name -> (System.nanoTime() - t0) / 1e9
     }
+    val (p1, p2) = (pass(), pass())
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -129,16 +129,22 @@ object SparkEntry {
       |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
       |         ELSE [text] END) AS shingles FROM w)""".stripMargin
 
+  // NOTE: these shared CTE fragments are interpolated into outer
+  // strings that call .stripMargin AGAIN — no continuation line here
+  // may start with '|' (e.g. a leading '||'), or the second strip
+  // eats one pipe and turns concatenation into bitwise OR.
   private val bandCte =
     s"""$shingleCte,
        |mh AS (SELECT doc_id, list_transform(range(0, 12),
        |         j -> list_min(list_transform(shingles,
-       |                s -> md5(CAST(j AS VARCHAR) || '|' || s)))) AS mh
+       |                s -> CAST('0x' || substr(md5(CAST(j AS VARCHAR) ||
+       |                       '|' || s), 1, 15) AS BIGINT)))) AS mh
        |       FROM sh),
        |bands AS (SELECT doc_id, unnest(range(0, 4)) AS band, mh FROM mh),
        |bk AS (SELECT doc_id, band,
-       |         md5(mh[3*band+1] || '|' || mh[3*band+2] || '|' || mh[3*band+3])
-       |           AS band_key
+       |         md5(CAST(mh[3*band+1] AS VARCHAR) || '|' ||
+       |             CAST(mh[3*band+2] AS VARCHAR) || '|' ||
+       |             CAST(mh[3*band+3] AS VARCHAR)) AS band_key
        |       FROM bands)""".stripMargin
 
   /** Exploded-form jaccard for a candidate-pair CTE named `cand`
@@ -235,10 +241,13 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |blk AS (SELECT doc_id, shingles,
-         |          md5(list_min(list_transform(shingles, s -> md5('b0|' || s)))
+         |          md5(CAST(list_min(list_transform(shingles,
+         |                s -> CAST('0x' || substr(md5('b0|' || s), 1, 15)
+         |                       AS BIGINT))) AS VARCHAR)
          |            || '|' ||
-         |            list_min(list_transform(shingles, s -> md5('b1|' || s))))
-         |            AS block
+         |            CAST(list_min(list_transform(shingles,
+         |                s -> CAST('0x' || substr(md5('b1|' || s), 1, 15)
+         |                       AS BIGINT))) AS VARCHAR)) AS block
          |        FROM sh),
          |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
          |         FROM blk a JOIN blk b ON a.block = b.block

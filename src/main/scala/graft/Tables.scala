@@ -23,14 +23,21 @@ object Tables {
     * pruned columns — at real scale the input is already split and
     * the repartition collapses to a no-op cost-wise relative to the
     * expression work it parallelizes.
+    *
+    * Spreading HASHES ON THE TABLE'S NATURAL KEY rather than
+    * round-robin: downstream windows/aggregations keyed the same way
+    * (sessionize by user_id, shingling by doc_id) then satisfy their
+    * distribution requirement from this exchange instead of adding a
+    * second one — the same reason production tables are bucketed by
+    * their join key.
     */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+  private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism, col(key))
 
   def lineitem(s: SparkSession, d: String): DataFrame =
-    spread(s, table(s, d, "lineitem"))
+    spread(s, table(s, d, "lineitem"), "l_orderkey")
   def orders(s: SparkSession, d: String): DataFrame =
-    spread(s, table(s, d, "orders"))
+    spread(s, table(s, d, "orders"), "o_orderkey")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
@@ -49,10 +56,10 @@ object Tables {
     * otherwise, never silently misreads).
     */
   def events(s: SparkSession, d: String): DataFrame =
-    spread(s, table(s, d, "events"))
+    spread(s, table(s, d, "events"), "user_id")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame =
-    spread(s, table(s, d, "documents"))
+    spread(s, table(s, d, "documents"), "doc_id")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(s, table(s, d, "embeddings"))
+    spread(s, table(s, d, "embeddings"), "vec_id")
 }

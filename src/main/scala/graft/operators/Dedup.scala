@@ -109,23 +109,43 @@ object Dedup {
   def minhashBands(docs: DataFrame): DataFrame =
     minhashBandsFromRows(shingleRows(docs))
 
-  /** Banding from an (already exploded, distinct) shingle table. */
+  /** A 60-bit integer minhash term: the leading 15 hex digits of
+    * md5(seed|shingle) as a BIGINT. Numeric min ≡ lexicographic min
+    * of the hex prefix, but a LONG lives in a mutable HashAggregate
+    * buffer where a string min forces SortAggregate (sort per
+    * partition per pass) — and the signature shuffle carries 8 bytes
+    * per hash instead of a 32-char string.
+    */
+  private def mh60(seed: String): Column =
+    conv(substring(md5(concat(lit(seed), col("s"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Banding from an (already exploded, distinct) shingle table.
+    * Carries the shingle cardinality `c` alongside each band row —
+    * it falls out of the same groupBy, and downstream jaccard
+    * verification then needs no separate cardinality pass over the
+    * shingle pipeline.
+    */
   def minhashBandsFromRows(ex: DataFrame): DataFrame = {
-    val mhs = (0 until NumHashes).map(j =>
-      min(md5(concat(lit(s"$j|"), col("s")))).as(s"mh$j"))
-    val sig = ex.groupBy("doc_id").agg(mhs.head, mhs.tail: _*)
+    val mhs = (0 until NumHashes).map(j => min(mh60(s"$j|")).as(s"mh$j"))
+    val sig = ex.groupBy("doc_id")
+      .agg(count(lit(1)).as("c"), mhs: _*)
     val bandCols = (0 until NumBands).map(b =>
       struct(lit(b.toLong).as("band"),
-        md5(concat_ws("|", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
-          col(s"mh${3 * b + 2}"))).as("band_key")))
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"),
+        md5(concat_ws("|",
+          col(s"mh${3 * b}").cast("string"),
+          col(s"mh${3 * b + 1}").cast("string"),
+          col(s"mh${3 * b + 2}").cast("string"))).as("band_key")))
+    sig.select(col("doc_id"), col("c"),
+      explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("c"), col("bd.band").as("band"),
         col("bd.band_key").as("band_key"))
   }
 
   /** Signature query surface: the band table, deterministic order. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
     minhashBands(Tables.documents(s, dir).select("doc_id", "text"))
+      .select("doc_id", "band", "band_key")
       .orderBy("doc_id", "band")
 
   /** Exact jaccard over the distinct shingle sets of both sides.
@@ -161,35 +181,37 @@ object Dedup {
     * expansion — ONE pass over the signature table, where a self-join
     * would evaluate the whole upstream pipeline twice. Buckets are
     * tiny by construction (that is the point of LSH), so the
-    * quadratic expansion is per-bucket-bounded; (least, greatest)
+    * quadratic expansion is per-bucket-bounded; doc_id-ordering
     * normalization makes the pair set independent of collect_list's
-    * nondeterministic order.
+    * nondeterministic order. Shingle cardinalities ride along so the
+    * verify stage needs no extra pass.
     */
   private def bucketPairs(bands: DataFrame, keys: String*): DataFrame =
     bands.groupBy(keys.map(col): _*)
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(collect_list(struct(col("doc_id"), col("c"))).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ids)-2), i ->
           |  transform(sequence(i+1, size(ids)-1), j ->
-          |    struct(least(ids[i], ids[j]) AS id1,
-          |           greatest(ids[i], ids[j]) AS id2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+          |    CASE WHEN ids[i].doc_id < ids[j].doc_id
+          |      THEN struct(ids[i].doc_id AS id1, ids[j].doc_id AS id2,
+          |                  ids[i].c AS c1, ids[j].c AS c2)
+          |      ELSE struct(ids[j].doc_id AS id1, ids[i].doc_id AS id2,
+          |                  ids[j].c AS c1, ids[i].c AS c2) END)))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.c1").as("c1"), col("p.c2").as("c2"))
       .distinct()
 
-  /** Exact jaccard for candidate pairs from exploded shingle rows:
-    * per-doc cardinalities + intersection counts via equi-join on
+  /** Exact jaccard for candidate pairs (id1, id2, c1, c2) from
+    * exploded shingle rows: intersection counts via equi-join on
     * (doc, shingle), |A∪B| = |A|+|B|-|A∩B|. The candidate table is
-    * the small side (broadcasts); the exploded table shuffles once.
+    * the small side (broadcasts); cardinalities arrive precomputed on
+    * the pair rows.
     */
   private def verifyJaccard(cand: DataFrame, ex: DataFrame,
                             minJaccard: Double): DataFrame = {
-    val card = ex.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val withCards = cand
-      .join(card.select(col("doc_id").as("id1"), col("c").as("c1")), "id1")
-      .join(card.select(col("doc_id").as("id2"), col("c").as("c2")), "id2")
-    withCards
+    cand
       .join(ex.as("x"), col("id1") === col("x.doc_id"))
       .join(ex.as("y"),
         col("id2") === col("y.doc_id") && col("x.s") === col("y.s"))
@@ -246,10 +268,12 @@ object Dedup {
     // re-evaluate per row on both self-join sides)
     val ex = shingleRows(Tables.documents(s, dir).select("doc_id", "text"))
     val blk = ex.groupBy("doc_id").agg(
-      min(md5(concat(lit("b0|"), col("s")))).as("m0"),
-      min(md5(concat(lit("b1|"), col("s")))).as("m1"))
-      .select(col("doc_id"),
-        md5(concat(col("m0"), lit("|"), col("m1"))).as("block"))
+      count(lit(1)).as("c"),
+      min(mh60("b0|")).as("m0"),
+      min(mh60("b1|")).as("m1"))
+      .select(col("doc_id"), col("c"),
+        md5(concat(col("m0").cast("string"), lit("|"),
+          col("m1").cast("string"))).as("block"))
     val cand = bucketPairs(blk, "block")
     verifyJaccard(cand, ex, minJaccard)
   }
