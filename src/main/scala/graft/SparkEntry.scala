@@ -90,7 +90,28 @@ object SparkEntry {
     "text_quality" -> (TextOps.quality _),
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_fingerprint" -> (TextOps.fingerprint _),
+    "vdb_knn_filtered_in" -> ((s, d) =>
+      Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
+        col("label").isin(2, 4, 6))),
+    "vdb_knn_filtered_range" -> ((s, d) =>
+      Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
+        col("label").between(3, 6))),
+    "doc_semantic_search" -> ((s, d) => {
+      val nn = Knn.topKExcludingSelf(
+        emb(s, d),
+        Tables.embeddings(s, d).where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        5, Knn.Metric.Cosine)
+      nn.join(Tables.documents(s, d)
+          .select(col("doc_id").as("nn_id"), col("lang"), col("source")),
+          "nn_id")
+        .select(col("qid"), col("rk"), col("nn_id"), col("score"),
+          col("lang"), col("source"))
+        .orderBy("qid", "rk")
+    }),
     "q1_agg" -> Analytics.q1PricingSummary _,
+    "q4_semi" -> (Analytics.q4OrderPriority _),
+    "q6_filter_agg" -> (Analytics.q6ForecastRevenue _),
     "q3_join" -> Analytics.q3ShippingPriority _,
     "q5_join" -> Analytics.q5LocalSupplierVolume _,
     "q_window_topn" -> ((s, d) => Analytics.windowTopOrders(s, d)),
@@ -399,6 +420,61 @@ object SparkEntry {
         |SELECT agg.user_id, agg.n_events, agg.sum_value,
         |       round(l.value, 4) AS last_value
         |FROM agg JOIN l USING (user_id) ORDER BY user_id""".stripMargin,
+    "vdb_knn_filtered_in" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q WHERE e.label IN (2, 4, 6)),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "vdb_knn_filtered_range" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q
+        |      WHERE e.label BETWEEN 3 AND 6),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "doc_semantic_search" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s DESC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT r.qid, r.rk, r.nn_id, round(r.s, 4) AS score,
+        |       doc.lang AS lang, doc.source AS source
+        |FROM r JOIN documents doc ON r.nn_id = doc.doc_id
+        |WHERE r.rk <= 5 ORDER BY r.qid, r.rk""".stripMargin,
+    "q4_semi" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -90,6 +90,37 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q4 shape: date-filtered orders EXISTS-semi-joined to a
+    * lineitem predicate, counted by priority. left_semi keeps the
+    * build side to matching keys only — the EXISTS never duplicates
+    * or widens order rows, so the aggregate input stays order-sized.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val returned = Tables.lineitem(s, dir)
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    ord.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6 shape: pure filter + global aggregate; every predicate
+    * reaches the parquet scan, no shuffle except the final 1-row
+    * partial-merge.
+    */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
   /** Top-3 orders per customer — the canonical ranking window. */
   def windowTopOrders(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val w = Window.partitionBy("o_custkey")
