@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Every query execution generates fresh codegen classes; the JDK
+  // default 240MB code cache fills over a long suite, after which
+  // HotSpot degrades to interpreted execution (observed 30-50x CPU
+  // swings on repeated runs of the same query, identical plans).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -18,5 +18,10 @@ object GraftSession {
       // session-wide (Tables.events converts to timestamp explicitly).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf: the default 100-entry codegen class cache evicts
+      // across a 36-query suite, discarding JIT-warm generated classes
+      // and forcing recompile + re-interpretation (10-40x first-run
+      // penalties reappear mid-suite)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 }

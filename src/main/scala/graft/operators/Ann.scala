@@ -39,6 +39,31 @@ object Ann {
     emb.where(col("id") % stride === 0)
       .select(col("id").as("cell"), col("vec").as("cvec"))
 
+  /** Lloyd-refined centroids: stride-sample init, `iters` rounds of
+    * assign → per-cell per-dimension mean. Means are computed by
+    * posexplode + groupBy(cell, dim) — fully distributed, no vector
+    * ever on the driver — and ROUNDED to 6dp so the result is
+    * independent of floating-sum order (the usual reason distributed
+    * k-means is nondeterministic; determinism is what lets AnnSpec
+    * assert equality across runs).
+    */
+  def kmeansCentroids(emb: DataFrame, stride: Long = 200,
+                      iters: Int = 2): DataFrame = {
+    var cents = ivfCentroids(emb, stride)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(emb, cents)
+      cents = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"),
+          expr("transform(dm, p -> cast(p.m AS float))").as("cvec"))
+    }
+    cents
+  }
+
   /** Assign every vector to its nearest centroid (broadcast the tiny
     * centroid set, one fused-kernel pass, argmin via min_by). The
     * quantizer metric matches the search metric (cosine), as FAISS
@@ -61,7 +86,7 @@ object Ann {
     */
   def ivfSearch(emb: DataFrame, queries: DataFrame, k: Int,
                 nprobe: Int = 2, stride: Long = 200): DataFrame = {
-    val cents = ivfCentroids(emb, stride)
+    val cents = kmeansCentroids(emb, stride)
     val assigned = ivfAssign(emb, cents)
     val probes = queries.crossJoin(broadcast(cents))
       .select(col("qid"), col("qvec"), col("cell"),

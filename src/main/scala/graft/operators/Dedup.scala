@@ -114,11 +114,12 @@ object Dedup {
     * of the hex prefix, but a LONG lives in a mutable HashAggregate
     * buffer where a string min forces SortAggregate (sort per
     * partition per pass) — and the signature shuffle carries 8 bytes
-    * per hash instead of a 32-char string.
+    * per hash instead of a 32-char string. Computed by the native
+    * [[graft.functions.Md5Prefix60]] kernel (no hex/substring/decimal
+    * string garbage per hash).
     */
   private def mh60(seed: String): Column =
-    conv(substring(md5(concat(lit(seed), col("s"))), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.Md5Prefix60(concat(lit(seed), col("s")))
 
   /** Banding from an (already exploded, distinct) shingle table.
     * Carries the shingle cardinality `c` alongside each band row —

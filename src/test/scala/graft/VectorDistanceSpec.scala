@@ -46,6 +46,18 @@ class VectorDistanceSpec extends SparkSuite {
     assert(r == 1.0 * 0.5 + 2.0 * -0.5 + 3.0 * 1.0)
   }
 
+  test("Md5Prefix60 equals conv(substring(md5)) on varied inputs") {
+    val rnd = new scala.util.Random(13)
+    val samples = (1 to 200).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(40) + 1).mkString) :+ "" :+ "a|b c"
+    val df = samples.toDF("t")
+    val bad = df.select(
+      graft.functions.Md5Prefix60(col("t")).as("fast"),
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
   test("interpreted eval agrees with codegen") {
     // force the interpreted path through nullSafeEval
     val e = graft.functions.VecL2(
