@@ -67,6 +67,15 @@ object SparkEntry {
       Upsert.lastWriterWins(base.unionByName(upd), "id", "version")
         .orderBy("id")
     }),
+    "vdb_remove" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val removed = e.where(col("vec_id") % 10 === 0).select("vec_id")
+      ScalarOps.removeByIds(e, "vec_id", removed, "vec_id")
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"),
+          max("vec_id").as("max_id"))
+        .orderBy("label")
+    }),
     "vdb_filter_index_build" -> ((s, d) =>
       ScalarOps.filterIndexBuild(
         Tables.embeddings(s, d)
@@ -402,6 +411,14 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rk
         |      FROM log)
         |SELECT id, label, version FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
+    "vdb_remove" ->
+      """SELECT CAST(label AS BIGINT) AS label,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       min(vec_id) AS min_id, max(vec_id) AS max_id
+        |FROM embeddings e
+        |WHERE NOT EXISTS (SELECT 1 FROM embeddings r
+        |                  WHERE r.vec_id % 10 = 0 AND r.vec_id = e.vec_id)
+        |GROUP BY 1 ORDER BY label""".stripMargin,
     "vdb_filter_index_build" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS card,
         |       min(vec_id) AS min_id, max(vec_id) AS max_id

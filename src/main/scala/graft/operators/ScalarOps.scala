@@ -37,4 +37,17 @@ object ScalarOps {
   /** EQUAL / NOT_EQUAL bitmap as a predicate (FilterIndex::Operation). */
   def filterPredicate(field: String, equal: Boolean, value: Long): Column =
     if (equal) col(field) === value else col(field) =!= value
+
+  /** Bulk remove-by-id — the reference's `FaissIndex::remove_vectors`
+    * (faiss_index.cc, invoked by upsert's remove-old step) as a
+    * left_anti join: the surviving table without the removed ids.
+    * An anti join against a small id set broadcasts; against a
+    * removal LOG it is a shuffle join on the id — either way no row
+    * of the corpus is rewritten, which is the columnar advantage
+    * over an in-place index mutation.
+    */
+  def removeByIds(df: DataFrame, idCol: String, removed: DataFrame,
+                  removedIdCol: String): DataFrame =
+    df.join(removed.select(col(removedIdCol).as("__rm_id")),
+      col(idCol) === col("__rm_id"), "left_anti")
 }
