@@ -18,8 +18,16 @@ object Bench {
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(cand))) cand
       else sfDir
     }
+    // Soft wall-clock budget: if the host hands us a pathological
+    // stretch, degrade gracefully (shorter warmup, single timed pass)
+    // instead of risking the caller's timeout.
+    val budgetNs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420")
+      .toLong * 1000000000L
+    val start = System.nanoTime()
+    def elapsed: Long = System.nanoTime() - start
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => }
+      if (elapsed < budgetNs / 2)
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
     // Best-of-2 with the two samples taken a full suite apart: host
     // interference (VM CPU steal) arrives in multi-minute stretches,
@@ -32,7 +40,8 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
     }
-    val (p1, p2) = (pass(), pass())
+    val p1 = pass()
+    val p2 = if (elapsed < (budgetNs * 3) / 4) pass() else p1
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
