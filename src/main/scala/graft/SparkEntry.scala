@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_embedding_cos" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
     "sim_brute_topk" -> ((s, d) =>
@@ -268,6 +269,31 @@ object SparkEntry {
         |         AS simhash16
         |FROM v JOIN t ON v.doc_id = t.doc_id GROUP BY v.doc_id, nt
         |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) AS h
+        |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+        |v AS (SELECT doc_id, bit,
+        |        sum(CASE WHEN (h // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |      FROM u CROSS JOIN (SELECT unnest(range(16)) AS bit) GROUP BY 1, 2),
+        |sg AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END)
+        |           AS BIGINT) AS sh
+        |       FROM v GROUP BY doc_id),
+        |bands AS (SELECT doc_id, sh, 0 AS band, sh % 256 AS key FROM sg
+        |          UNION ALL
+        |          SELECT doc_id, sh, 1, sh // 256 FROM sg),
+        |cand AS (SELECT DISTINCT
+        |           least(a.doc_id, b.doc_id) AS id1,
+        |           greatest(a.doc_id, b.doc_id) AS id2,
+        |           CASE WHEN a.doc_id < b.doc_id THEN a.sh ELSE b.sh END AS h1,
+        |           CASE WHEN a.doc_id < b.doc_id THEN b.sh ELSE a.sh END AS h2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.key = b.key
+        |             AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(h1, h2)) <= 1
+        |ORDER BY id1, id2""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |blk AS (SELECT doc_id, shingles,

@@ -246,6 +246,51 @@ object Dedup {
         col("simhash16"))
       .orderBy("doc_id")
 
+  /** SimHash near-dup pairs: block on two 8-bit bands of the 16-bit
+    * signature (pigeonhole: any pair within hamming distance 1 shares
+    * a band exactly; distance 2-3 is caught with high probability),
+    * then verify exact hamming ≤ maxHamming via xor+bit_count on the
+    * full signature. This is CANDIDATE GENERATION — like the
+    * reference's approximate index it trades precision for a cheap
+    * scan, and a downstream exact verify (the minhash pipeline's
+    * jaccard stage) supplies precision. A 16-bit signature is coarse:
+    * default maxHamming=1 keeps the candidate set near the planted
+    * near-dups; at production scale the same shape runs with a 64-bit
+    * simhash and 8-byte bands, where banding keeps buckets
+    * O(corpus/2^bits).
+    */
+  def simhashPairs(s: SparkSession, dir: String,
+                   maxHamming: Int = 1): DataFrame = {
+    val sig = simhash(s, dir).select("doc_id", "simhash16")
+    val banded = sig.select(col("doc_id"), col("simhash16"),
+      explode(expr(
+        """array(struct(0L AS band, simhash16 % 256 AS key),
+          |      struct(1L AS band, simhash16 div 256 AS key))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("simhash16"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    val cand = banded.groupBy("band", "key")
+      .agg(collect_list(struct(col("doc_id"), col("simhash16"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids)-2), i ->
+          |  transform(sequence(i+1, size(ids)-1), j ->
+          |    CASE WHEN ids[i].doc_id < ids[j].doc_id
+          |      THEN struct(ids[i].doc_id AS id1, ids[j].doc_id AS id2,
+          |                  ids[i].simhash16 AS h1, ids[j].simhash16 AS h2)
+          |      ELSE struct(ids[j].doc_id AS id1, ids[i].doc_id AS id2,
+          |                  ids[j].simhash16 AS h1, ids[i].simhash16 AS h2)
+          |    END)))""".stripMargin)).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.h1").as("h1"), col("p.h2").as("h2"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+  }
+
   /** Blocked pairwise n-gram jaccard, in the EXPLODED formulation —
     * the 100 TB path when shingle sets are too large to carry as
     * array columns: explode to (doc, shingle) rows, equi-join on
