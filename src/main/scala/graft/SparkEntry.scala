@@ -127,6 +127,7 @@ object SparkEntry {
     "q_window_topn" -> ((s, d) => Analytics.windowTopOrders(s, d)),
     "events_tumbling" -> Analytics.eventsTumbling _,
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
+    "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
   )
 
   private val knnOracle: String => String = metric => {
@@ -384,6 +385,39 @@ object SparkEntry {
         |SELECT doc_id, fp_md5,
         |       CAST('0x' || substr(fp_md5, 1, 15) AS BIGINT) AS fp60
         |FROM n ORDER BY doc_id""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""WITH $bandCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bk a JOIN bk b ON a.band = b.band
+         |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
+         |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n
+         |          FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |victims AS (SELECT DISTINCT c.id2 AS doc_id
+         |            FROM cand c JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
+         |            JOIN card c1 ON c.id1 = c1.doc_id
+         |            JOIN card c2 ON c.id2 = c2.doc_id
+         |            WHERE n*1.0/(c1.c + c2.c - n) >= 0.5),
+         |tt AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+         |       FROM documents),
+         |m AS (SELECT doc_id, len(toks) AS n_tokens,
+         |        len(list_filter(toks,
+         |          t -> t IN ('the','a','and','of','to','in','is')))
+         |          *1.0/len(toks) AS sw,
+         |        1.0 - len(list_distinct(toks))*1.0/len(toks) AS rep
+         |      FROM tt),
+         |qs AS (SELECT doc_id, round((least(n_tokens/50.0, 1.0)
+         |         + CASE WHEN sw BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END
+         |         + (1.0 - least(rep/0.9, 1.0))) / 3.0, 4) AS quality_score
+         |       FROM m)
+         |SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       round(avg(q.quality_score), 4) AS avg_quality
+         |FROM documents d JOIN qs q ON d.doc_id = q.doc_id
+         |WHERE q.quality_score >= 0.5
+         |  AND NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = d.doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "vdb_knn_flat_l2" -> knnOracle("l2"),
     "vdb_knn_flat_ip" -> knnOracle("ip"),
     "vdb_knn_cosine" -> knnOracle("cos"),
