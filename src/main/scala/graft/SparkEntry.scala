@@ -87,6 +87,8 @@ object SparkEntry {
     "ann_ivf" -> (Ann.ivfQuery _),
     "ann_lsh" -> (Ann.lshQuery _),
     "mm_decode" -> (Multimodal.decodeQuery _),
+    "mm_features" -> (Multimodal.featuresQuery _),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
     "dedup_exact" -> ((s, d) => Dedup.exact(Dedup.corpusWithExactDups(s, d))),
     "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
@@ -238,6 +240,23 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS channels,
         |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(len(list_distinct(string_split(text, ''))) AS BIGINT)
+        |    AS n_distinct_chars,
+        |  round(list_aggregate(list_transform(string_split(text, ''),
+        |          c -> ascii(c)), 'sum') * 1.0 / length(text), 4)
+        |    AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id,
+        |  list_transform(range(0, (length(text)-1)//16 + 1),
+        |    i -> substr(text, CAST(i*16+1 AS INT), 1)) AS frames
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(frames) AS BIGINT) AS n_frames,
+        |       md5(array_to_string(frames, '')) AS sample_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -65,4 +65,40 @@ object Multimodal {
     decode(s, withPayload(Tables.documents(s, dir)))
       .toDF()
       .orderBy("doc_id")
+
+  /** Feature extraction over the opaque payload: byte-level stats
+    * (count, distinct alphabet, mean byte value) — the deterministic
+    * stand-in for an embedding/feature model, with the same
+    * plumbing: narrow projection over the binary column, all
+    * codegen'd, no driver round-trip.
+    */
+  def featuresQuery(s: SparkSession, dir: String): DataFrame =
+    withPayload(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        expr("size(array_distinct(split(decode(payload, 'UTF-8'), '')))")
+          .cast("long").as("n_distinct_chars"),
+        round(expr(
+          """aggregate(transform(split(decode(payload, 'UTF-8'), ''),
+            |          c -> ascii(c)), 0L, (a, x) -> a + x)""".stripMargin)
+          .cast("double") / length(col("payload")), 4).as("mean_byte"))
+      .orderBy("doc_id")
+
+  /** Frame sampling: take every `stride`-th byte of the payload (the
+    * shape of every-k-th-video-frame extraction), emit the sample
+    * count and an md5 over the sampled "frames".
+    */
+  def frameSampleQuery(s: SparkSession, dir: String,
+                       stride: Int = 16): DataFrame =
+    withPayload(Tables.documents(s, dir))
+      .withColumn("txt", expr("decode(payload, 'UTF-8')"))
+      .select(col("doc_id"),
+        expr(s"""transform(
+          |  sequence(0, (length(txt) - 1) div $stride),
+          |  i -> substring(txt, i * $stride + 1, 1))""".stripMargin)
+          .as("frames"))
+      .select(col("doc_id"),
+        size(col("frames")).cast("long").as("n_frames"),
+        md5(concat_ws("", col("frames"))).as("sample_md5"))
+      .orderBy("doc_id")
 }
