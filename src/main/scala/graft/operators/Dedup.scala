@@ -227,24 +227,30 @@ object Dedup {
 
   /** 16-bit SimHash over token md5s (token-frequency weighted: each
     * occurrence votes ±1 per bit; bit set iff the vote sum is
-    * positive). Stays a narrow per-doc projection — the token md5
-    * array is computed once, then folded over 16 bits.
+    * positive).
+    *
+    * Exploded-token formulation: per-bit votes are 16 codegen'd
+    * sum() aggregates over (doc, token-hash) rows — the nested
+    * aggregate-lambda form this replaced ran interpreted (same
+    * pitfall as minhash, see [[minhashBandsFromRows]]). The 16-bit
+    * token hash is the top 16 bits of [[graft.functions.Md5Prefix60]]
+    * (≡ the first 4 md5 hex digits).
     */
-  def simhash(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("hs", expr(
-        "transform(toks, t -> cast(conv(substring(md5(t), 1, 4), 16, 10) AS BIGINT))"))
-      .withColumn("simhash16", expr(
-        """aggregate(sequence(0, 15), 0L, (acc, b) ->
-          |  acc + CASE WHEN
-          |    aggregate(hs, 0L,
-          |      (v, h) -> v + CASE WHEN (h div shiftleft(1L, b)) % 2 = 1
-          |                         THEN 1L ELSE -1L END) > 0
-          |    THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        col("simhash16"))
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        shiftright(graft.functions.Md5Prefix60(col("tok")), 44).as("h"))
+    val votes = (0 until 16).map(b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2 = 1"), 1L).otherwise(-1L))
+        .as(s"v$b"))
+    val sim = (0 until 16).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), votes: _*)
+      .select(col("doc_id"), col("n_tokens"), sim.as("simhash16"))
       .orderBy("doc_id")
+  }
 
   /** SimHash near-dup pairs: block on two 8-bit bands of the 16-bit
     * signature (pigeonhole: any pair within hamming distance 1 shares
