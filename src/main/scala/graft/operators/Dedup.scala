@@ -149,14 +149,6 @@ object Dedup {
       .select("doc_id", "band", "band_key")
       .orderBy("doc_id", "band")
 
-  /** Exact jaccard over the distinct shingle sets of both sides.
-    * Expects columns shingles_a / shingles_b (already distinct).
-    */
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
-  }
-
   /** LSH candidate pairs → exact-jaccard verify ≥ minJaccard.
     *
     * The band-key equi-join is the 100 TB-critical step: candidates
