@@ -26,6 +26,28 @@ import org.apache.spark.sql.types._
 sealed abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  /** All kernels yield NULL on a dimension mismatch (and cosine also
+    * on zero norm): the DuckDB oracle's `list_distance` RAISES on
+    * unequal lengths, so silently truncating to the shorter vector
+    * would produce a plausible-but-wrong score that diverges from the
+    * oracle. NULL keys are dropped before top-k on both engines
+    * identically (callers filter `isNotNull`).
+    */
+  override def nullable: Boolean = true
+
+  /** Codegen wrapper: NULL out on length mismatch, else run `body`
+    * (the equal-length fast path is unchanged — one fused loop).
+    */
+  protected def dimGuard(ev: ExprCode, a: String, b: String,
+                         body: String): String =
+    s"""
+       |if ($a.numElements() != $b.numElements()) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  $body
+       |}
+     """.stripMargin
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -79,22 +101,26 @@ case class VecDot(left: Expression, right: Expression)
 
   override def nullSafeEval(av: Any, bv: Any): Any = {
     val (a, b) = (av.asInstanceOf[ArrayData], bv.asInstanceOf[ArrayData])
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) { acc += elem(left, a, i) * elem(right, b, i); i += 1 }
-    acc
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += elem(left, a, i) * elem(right, b, i); i += 1 }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val acc = ctx.freshName("acc")
       val (loop, _) = pairLoop(ctx, a, b, (x, y) => s"$acc += $x * $y;")
-      s"""
-         |double $acc = 0.0;
-         |$loop
-         |${ev.value} = $acc;
-       """.stripMargin
+      dimGuard(ev, a, b,
+        s"""
+           |double $acc = 0.0;
+           |$loop
+           |${ev.value} = $acc;
+         """.stripMargin)
     })
 
   override protected def withNewChildrenInternal(
@@ -112,13 +138,16 @@ case class VecL2(left: Expression, right: Expression)
 
   override def nullSafeEval(av: Any, bv: Any): Any = {
     val (a, b) = (av.asInstanceOf[ArrayData], bv.asInstanceOf[ArrayData])
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val d = elem(left, a, i) - elem(right, b, i); acc += d * d; i += 1
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = elem(left, a, i) - elem(right, b, i); acc += d * d; i += 1
+      }
+      math.sqrt(acc)
     }
-    math.sqrt(acc)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -127,11 +156,12 @@ case class VecL2(left: Expression, right: Expression)
       val d = ctx.freshName("d")
       val (loop, _) = pairLoop(ctx, a, b,
         (x, y) => s"final double $d = $x - $y; $acc += $d * $d;")
-      s"""
-         |double $acc = 0.0;
-         |$loop
-         |${ev.value} = java.lang.Math.sqrt($acc);
-       """.stripMargin
+      dimGuard(ev, a, b,
+        s"""
+           |double $acc = 0.0;
+           |$loop
+           |${ev.value} = java.lang.Math.sqrt($acc);
+         """.stripMargin)
     })
 
   override protected def withNewChildrenInternal(
@@ -146,19 +176,21 @@ case class VecL2(left: Expression, right: Expression)
 case class VecCosine(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "vec_cosine"
-  override def nullable: Boolean = true
 
   override def nullSafeEval(av: Any, bv: Any): Any = {
     val (a, b) = (av.asInstanceOf[ArrayData], bv.asInstanceOf[ArrayData])
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = elem(left, a, i); val y = elem(right, b, i)
-      dot += x * y; na += x * x; nb += y * y; i += 1
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = elem(left, a, i); val y = elem(right, b, i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) null else dot / denom
     }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -169,14 +201,15 @@ case class VecCosine(left: Expression, right: Expression)
       val denom = ctx.freshName("denom")
       val (loop, _) = pairLoop(ctx, a, b,
         (x, y) => s"$dot += $x * $y; $na += $x * $x; $nb += $y * $y;")
-      s"""
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |$loop
-         |final double $denom =
-         |  java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |if ($denom == 0.0) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $dot / $denom; }
-       """.stripMargin
+      dimGuard(ev, a, b,
+        s"""
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |$loop
+           |final double $denom =
+           |  java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |if ($denom == 0.0) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $dot / $denom; }
+         """.stripMargin)
     })
 
   override protected def withNewChildrenInternal(

@@ -64,19 +64,49 @@ object Ann {
     cents
   }
 
-  /** Assign every vector to its nearest centroid (broadcast the tiny
-    * centroid set, one fused-kernel pass, argmin via min_by). The
-    * quantizer metric matches the search metric (cosine), as FAISS
-    * ties the IVF quantizer to the index metric.
+  /** Centroids as driver-side literals — the k-row object FAISS and
+    * MLlib's k-means hold between Lloyd iterations. Sorted by cell so
+    * the generated expression (and thus the plan) is deterministic.
     */
-  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .select(col("id"), col("vec"), col("cell"),
-        (-VectorDistance.cosine(col("vec"), col("cvec"))).as("cd"))
-      .groupBy("id")
-      .agg(
-        min_by(col("cell"), struct(col("cd"), col("cell"))).as("cell"),
-        first(col("vec")).as("vec"))
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] =
+    centroids.select(col("cell"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Per-row (negated-cosine distance, cell) struct array against the
+    * literal centroid set, for argmin/ranking projections. NULL
+    * distances (zero-norm / dim-mismatch) coalesce to 2.0 — strictly
+    * worse than any real negated cosine in [-1, 1] — so degenerate
+    * vectors deterministically land in the last cell rather than
+    * poisoning the struct ordering with nulls.
+    */
+  private def centroidDists(vec: org.apache.spark.sql.Column,
+                            cents: Array[(Long, Array[Float])]) =
+    array(cents.map { case (cell, cvec) =>
+      struct(
+        coalesce(-VectorDistance.cosine(vec, typedlit(cvec)), lit(2.0))
+          .as("cd"),
+        lit(cell).as("cell"))
+    }: _*)
+
+  /** Assign every vector to its nearest centroid — ONE projection,
+    * zero exchanges: `array_min` over the k-element literal struct
+    * array picks lexicographic min (cd, cell), the same argmin +
+    * tiebreak the round-2 `crossJoin ⋈ groupBy(id) min_by` form
+    * computed by shuffling the entire corpus (its grouping key was
+    * unique, so map-side combine reduced nothing and the exchange
+    * carried every vector — 3× per ivf query across Lloyd iterations).
+    * The quantizer metric matches the search metric (cosine), as FAISS
+    * ties the IVF quantizer to the index metric. Collecting k rows to
+    * the driver is the broadcast; at k beyond a few thousand the same
+    * projection would move to a broadcast-variable-backed codegen
+    * expression, not back to a shuffle.
+    */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = collectCentroids(centroids)
+    emb.select(col("id"), col("vec"),
+      array_min(centroidDists(col("vec"), cents)).getField("cell").as("cell"))
+  }
 
   /** IVF search: per query, rank cells by centroid distance, keep the
     * `nprobe` nearest, and run the exact TopK kernel only against
@@ -86,21 +116,24 @@ object Ann {
     */
   def ivfSearch(emb: DataFrame, queries: DataFrame, k: Int,
                 nprobe: Int = 2, stride: Long = 200): DataFrame = {
-    val cents = kmeansCentroids(emb, stride)
-    val assigned = ivfAssign(emb, cents)
-    val probes = queries.crossJoin(broadcast(cents))
-      .select(col("qid"), col("qvec"), col("cell"),
-        (-VectorDistance.cosine(col("qvec"), col("cvec"))).as("cd"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("qid")
-          .orderBy(col("cd"), col("cell"))))
-      .where(col("rk") <= nprobe)
-      .select("qid", "qvec", "cell")
-    // equi-join on cell co-locates each query with its probed cells
+    val cents = collectCentroids(kmeansCentroids(emb, stride))
+    val assigned = emb.select(col("id"), col("vec"),
+      array_min(centroidDists(col("vec"), cents)).getField("cell").as("cell"))
+    // probe cells per query by the same literal-centroid projection:
+    // sort the k (cd, cell) structs, slice the nprobe best — no
+    // crossJoin, no window shuffle
+    val probes = queries.select(col("qid"), col("qvec"),
+      explode(slice(array_sort(centroidDists(col("qvec"), cents)),
+        1, nprobe)).as("p"))
+      .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
+    // equi-join on cell co-locates each query with its probed cells;
+    // NULL scores (zero-norm / dim-mismatch) drop before the heap —
+    // ScoredId.key is a primitive Double
     val scored = assigned.join(probes, "cell")
       .select(col("qid"),
         (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
         col("id"))
+      .where(col("key").isNotNull)
     val agg = TopKAgg.topK(k)
     scored.groupBy("qid")
       .agg(agg(col("key"), col("id")).as("top"))
@@ -166,6 +199,7 @@ object Ann {
       .select(col("qid"),
         (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
         col("id"))
+      .where(col("key").isNotNull)
     val agg = TopKAgg.topK(k)
     scored.groupBy("qid")
       .agg(agg(col("key"), col("id")).as("top"))

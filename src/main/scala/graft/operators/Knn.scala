@@ -65,6 +65,11 @@ object Knn {
     val pairs = d.crossJoin(q)
     (if (excludeSelf) pairs.where(col("id") =!= col("qid")) else pairs)
       .select(col("qid"), key.as("key"), col("id"))
+      // a NULL score (zero-norm vector under cosine, or a malformed
+      // embedding's dimension mismatch) is undefined order — drop it
+      // from top-k BEFORE the heap: TopKAgg's ScoredId.key is a
+      // primitive Double, so a null reaching the encoder would throw
+      .where(col("key").isNotNull)
       .groupBy("qid")
       .agg(agg(col("key"), col("id")).as("top"))
       .select(col("qid"), posexplode(col("top.items")))

@@ -52,14 +52,24 @@ object WalSource {
   def parse(lines: DataFrame): DataFrame =
     lines
       .withColumn("p", split(col("line"), "\\|", 4))
+      // try_* forms: under ANSI (Spark 4 default) a garbled line would
+      // otherwise ABORT the whole replay job on one bad cast /
+      // short split; try_cast maps it to null instead
       .select(
-        element_at(col("p"), 1).cast("long").as("log_id"),
-        element_at(col("p"), 2).cast("long").as("version"),
-        element_at(col("p"), 3).as("op"),
-        get_json_object(element_at(col("p"), 4), "$.id")
-          .cast("long").as("id"),
-        get_json_object(element_at(col("p"), 4), "$.int_field")
-          .cast("long").as("int_field"))
+        try_element_at(col("p"), lit(1)).try_cast("long").as("log_id"),
+        try_element_at(col("p"), lit(2)).try_cast("long").as("version"),
+        try_element_at(col("p"), lit(3)).as("op"),
+        get_json_object(try_element_at(col("p"), lit(4)), "$.id")
+          .try_cast("long").as("id"),
+        get_json_object(try_element_at(col("p"), lit(4)), "$.int_field")
+          .try_cast("long").as("int_field"))
+      // ... and the null heads are then rejected as corrupt — the
+      // reference reader validates per record (persistence.cc:90
+      // readNextWALLog bails on a short/garbled frame); a null-id
+      // group reaching replay would silently fabricate a bogus state
+      // row
+      .where(col("log_id").isNotNull && col("version").isNotNull &&
+        col("op").isNotNull && col("id").isNotNull)
 
   /** Replay: last-writer-wins by (version, log_id) per id — the bulk
     * form of reloadDatabase's sequential apply loop

@@ -22,8 +22,10 @@ class AnnSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.nonEmpty)
     val r = recallVsExact(out)
-    // nprobe=2 of ~3 cells at sf0.001 — deterministic, observed >=0.5
-    assert(r >= 0.3, s"IVF recall collapsed: $r")
+    // nprobe=2 of ~3 cells at sf0.001 — deterministic, observed >=0.5;
+    // floor at the observed steady state so a degraded index FAILS
+    // (0.3 let a badly broken assignment pass)
+    assert(r >= 0.5, s"IVF recall collapsed: $r")
   }
 
   test("LSH candidates prune the corpus and keep useful recall") {
@@ -31,7 +33,8 @@ class AnnSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.nonEmpty)
     val r = recallVsExact(out)
-    assert(r >= 0.2, s"LSH recall collapsed: $r")
+    // observed >=0.5 deterministic; floored just under steady state
+    assert(r >= 0.4, s"LSH recall collapsed: $r")
     // pruning: candidate set must be well under Q x N
     val cands = Ann.lshSignatures(emb, "vec", "id")
       .join(Ann.lshSignatures(

@@ -39,6 +39,18 @@ class KnnSpec extends SparkSuite {
       s"label filter not pushed:\n$plan")
   }
 
+  test("zero-norm vector in the corpus drops from cosine top-k, no crash") {
+    import spark.implicits._
+    // round-2 bug: NULL cosine keys reached TopKAgg whose ScoredId.key
+    // is a primitive Double — the encoder threw on any all-zero vector
+    val dim = emb.select(size(col("vec"))).head().getInt(0)
+    val zeroRow = Seq((99999L, Array.fill(dim)(0.0f), 0))
+      .toDF("id", "vec", "label")
+    val corpus = emb.unionByName(zeroRow)
+    val out = Knn.topK(corpus, qs, 5, Knn.Metric.Cosine).collect()
+    assert(out.nonEmpty && out.forall(_.getLong(2) != 99999L))
+  }
+
   test("excluding self drops only the self match") {
     val withSelf = Knn.topK(emb, qs, 3, Knn.Metric.Cosine)
     val noSelf = Knn.topKExcludingSelf(emb, qs, 3, Knn.Metric.Cosine)

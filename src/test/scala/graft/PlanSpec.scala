@@ -48,6 +48,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("vec_l2"), s"native kernel missing:\n${p.take(2000)}")
   }
 
+  test("ivf assignment is a pure projection — no Exchange, no Aggregate") {
+    // round-2 form shuffled the whole corpus through a groupBy(id)
+    // whose key was unique; the argmin over literal centroids must
+    // stay inside the scan's codegen stage
+    // raw scan (no Tables.spread) so any Exchange in the plan is the
+    // assignment's own
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = graft.operators.Ann.ivfCentroids(emb, stride = 200)
+    val p = planOf(graft.operators.Ann.ivfAssign(emb, cents))
+    assert(!p.contains("Exchange") && !p.contains("Aggregate"),
+      s"assignment stage shuffles:\n${p.take(2000)}")
+  }
+
   test("vector kernel compiles into whole-stage codegen") {
     // AQE reports codegen subtrees only after execution; disable it
     // for this static plan inspection

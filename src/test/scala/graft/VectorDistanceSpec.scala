@@ -39,6 +39,27 @@ class VectorDistanceSpec extends SparkSuite {
     assert(r.isNullAt(0))
   }
 
+  test("dimension mismatch is NULL for all kernels, not a truncated score") {
+    // the DuckDB oracle's list_* functions RAISE on unequal lengths;
+    // silently scoring the common prefix would diverge from it
+    val short = Array(1.0f, 2.0f)
+    val df = Seq((short, b)).toDF("x", "y")
+    for (fn <- Seq(VectorDistance.dot _, VectorDistance.l2 _,
+                   VectorDistance.cosine _)) {
+      val r = df.select(fn($"x", $"y").as("r")).head()
+      assert(r.isNullAt(0), "mismatched dims must yield NULL")
+    }
+    // interpreted path agrees
+    val e = graft.functions.VecDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0, 3.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == null)
+  }
+
   test("mixed float/double input types work (LSH literal planes)") {
     val plane = Array(0.5, -0.5, 1.0)
     val r = Seq(Tuple1(a)).toDF("x")

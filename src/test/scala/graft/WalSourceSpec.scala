@@ -18,6 +18,17 @@ class WalSourceSpec extends SparkSuite {
     assert(p(1).getLong(3) == 10L && p(1).getLong(4) == 4L)
   }
 
+  test("corrupt lines are rejected, not parsed into a null-id group") {
+    val lines = Seq(
+      """42|7|upsert|{"id":9,"int_field":3}""",
+      "garbage with no delimiters",
+      """not_a_number|7|upsert|{"id":9,"int_field":3}""",
+      """43|8|upsert|{"broken json""").toDF("line")
+    val p = WalSource.parse(lines).collect()
+    assert(p.length == 1 && p(0).getLong(0) == 42L,
+      s"expected only the well-formed line, got ${p.length}")
+  }
+
   test("replay applies LWW over the planted re-upserts") {
     val out = WalSource.replayQuery(spark, sf).collect()
     val total = Tables.embeddings(spark, sf).count()
