@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_simhash60_pairs" -> ((s, d) => Dedup.simhashPairsWide(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_embedding_cos" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
     "sim_brute_topk" -> ((s, d) =>
@@ -314,6 +315,32 @@ object SparkEntry {
         |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(h1, h2)) <= 1
         |ORDER BY id1, id2""".stripMargin,
+    "dedup_simhash60_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+        |v AS (SELECT doc_id, bit,
+        |        sum(CASE WHEN (h // (1::BIGINT << bit)) % 2 = 1
+        |              THEN 1 ELSE -1 END) AS vote
+        |      FROM u CROSS JOIN (SELECT unnest(range(60)) AS bit) GROUP BY 1, 2),
+        |sg AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+        |           AS BIGINT) AS sh
+        |       FROM v GROUP BY doc_id),
+        |bands AS (SELECT doc_id, sh, band,
+        |            (sh // (1::BIGINT << (band * 10))) % 1024 AS key
+        |          FROM sg CROSS JOIN (SELECT unnest(range(6)) AS band) b(band)),
+        |cand AS (SELECT DISTINCT
+        |           least(a.doc_id, b.doc_id) AS id1,
+        |           greatest(a.doc_id, b.doc_id) AS id2,
+        |           CASE WHEN a.doc_id < b.doc_id THEN a.sh ELSE b.sh END AS h1,
+        |           CASE WHEN a.doc_id < b.doc_id THEN b.sh ELSE a.sh END AS h2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.key = b.key
+        |             AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(h1, h2)) <= 5
+        |ORDER BY id1, id2""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |blk AS (SELECT doc_id, shingles,
@@ -329,15 +356,35 @@ object SparkEntry {
          |         FROM blk a JOIN blk b ON a.block = b.block
          |           AND a.doc_id < b.doc_id),
          |$jaccardVerify""".stripMargin,
+    // mirrors Ann.hyperplanes exactly: component (t,p,d) =
+    // (first-4-md5-bytes-as-int & 0x7fffffff)/Int.MaxValue*2-1, and
+    // list_inner_product's strict left-to-right summation matches
+    // VecDot (same reason the knn oracles hash-match)
     "dedup_embedding_cos" ->
-      """SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |       CAST(a.label AS BIGINT) AS label,
-        |       round(list_cosine_similarity(a.embedding::DOUBLE[],
-        |                                    b.embedding::DOUBLE[]), 4) AS cosine
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-        |                             b.embedding::DOUBLE[]) >= 0.35
+      """WITH hpw AS (
+        |  SELECT t, p, d,
+        |    ((CAST('0x' || substr(md5(CAST(t AS VARCHAR) || '|' ||
+        |        CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 8)
+        |        AS BIGINT) & 2147483647) / 2147483647.0 * 2.0 - 1.0) AS w
+        |  FROM range(4) r1(t) CROSS JOIN range(4) r2(p)
+        |       CROSS JOIN range(64) r3(d)),
+        |hp AS (SELECT t, p, list(w ORDER BY d) AS wv FROM hpw GROUP BY t, p),
+        |dots AS (SELECT e.vec_id, hp.t, hp.p,
+        |           list_inner_product(e.embedding::DOUBLE[], hp.wv) AS dp
+        |         FROM embeddings e CROSS JOIN hp),
+        |sg AS (SELECT vec_id, t,
+        |         sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS sig
+        |       FROM dots GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |         FROM sg a JOIN sg b
+        |           ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id)
+        |SELECT c.id1 AS id1, c.id2 AS id2,
+        |       round(list_cosine_similarity(x.embedding::DOUBLE[],
+        |                                    y.embedding::DOUBLE[]), 4) AS cosine
+        |FROM cand c JOIN embeddings x ON c.id1 = x.vec_id
+        |JOIN embeddings y ON c.id2 = y.vec_id
+        |WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+        |                             y.embedding::DOUBLE[]) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
     "sim_brute_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

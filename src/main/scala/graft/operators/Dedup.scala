@@ -217,67 +217,81 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
-  /** 16-bit SimHash over token md5s (token-frequency weighted: each
-    * occurrence votes ±1 per bit; bit set iff the vote sum is
-    * positive).
+  /** Width-parameterized SimHash over token md5s (token-frequency
+    * weighted: each occurrence votes ±1 per bit; bit set iff the vote
+    * sum is positive). The `bits`-bit token hash is the top `bits`
+    * bits of [[graft.functions.Md5Prefix60]] (≡ a leading md5 hex
+    * prefix, so DuckDB mirrors it with `substr(md5(tok), 1, n)`).
     *
-    * Exploded-token formulation: per-bit votes are 16 codegen'd
+    * Exploded-token formulation: per-bit votes are `bits` codegen'd
     * sum() aggregates over (doc, token-hash) rows — the nested
     * aggregate-lambda form this replaced ran interpreted (same
-    * pitfall as minhash, see [[minhashBandsFromRows]]). The 16-bit
-    * token hash is the top 16 bits of [[graft.functions.Md5Prefix60]]
-    * (≡ the first 4 md5 hex digits).
+    * pitfall as minhash, see [[minhashBandsFromRows]]). Max width 60
+    * (not 64): a 15-hex-digit prefix stays positive in a signed
+    * BIGINT on BOTH engines; 16 digits would need unsigned wrap
+    * gymnastics DuckDB's CAST refuses.
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  def simhashBits(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"simhash width $bits not in [1,60]")
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
-        shiftright(graft.functions.Md5Prefix60(col("tok")), 44).as("h"))
-    val votes = (0 until 16).map(b =>
+        shiftright(graft.functions.Md5Prefix60(col("tok")), 60 - bits).as("h"))
+    val votes = (0 until bits).map(b =>
       sum(when(expr(s"(h div ${1L << b}) % 2 = 1"), 1L).otherwise(-1L))
         .as(s"v$b"))
-    val sim = (0 until 16).map(b =>
+    val sim = (0 until bits).map(b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
     toks.groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), votes: _*)
-      .select(col("doc_id"), col("n_tokens"), sim.as("simhash16"))
+      .select(col("doc_id"), col("n_tokens"), sim.as(s"simhash$bits"))
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs: block on two 8-bit bands of the 16-bit
-    * signature (pigeonhole: any pair within hamming distance 1 shares
-    * a band exactly; distance 2-3 is caught with high probability),
-    * then verify exact hamming ≤ maxHamming via xor+bit_count on the
-    * full signature. This is CANDIDATE GENERATION — like the
-    * reference's approximate index it trades precision for a cheap
-    * scan, and a downstream exact verify (the minhash pipeline's
-    * jaccard stage) supplies precision. A 16-bit signature is coarse:
-    * default maxHamming=1 keeps the candidate set near the planted
-    * near-dups; at production scale the same shape runs with a 64-bit
-    * simhash and 8-byte bands, where banding keeps buckets
-    * O(corpus/2^bits).
+  /** The 16-bit signature query surface (oracle-pinned column name). */
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashBits(s, dir, 16)
+
+  /** SimHash near-dup pairs: block on `bands` equal-width bands of
+    * the `bits`-bit signature, then verify exact hamming ≤ maxHamming
+    * via xor+bit_count on the full signature. Pigeonhole: any pair
+    * within hamming distance `bands-1` shares some band exactly, so
+    * with maxHamming ≤ bands-1 the result is EXACTLY all pairs within
+    * that distance; beyond it the banding is probabilistic candidate
+    * generation (like the reference's approximate index — precision
+    * restored by the verify, recall bought with more/narrower bands).
+    *
+    * Bucket count per band is 2^(bits/bands), so bucket size — and
+    * with it the quadratic in-bucket expansion — is O(corpus /
+    * 2^(bits/bands)): the production default [[simhashPairsWide]]
+    * (60-bit, 6×10-bit bands) keeps buckets ~1000× smaller per unit
+    * corpus than the 16-bit/8-bit-band layout, whose 256 buckets per
+    * band cap out and go quadratic as the corpus grows.
     */
-  def simhashPairs(s: SparkSession, dir: String,
-                   maxHamming: Int = 1): DataFrame = {
-    val sig = simhash(s, dir).select("doc_id", "simhash16")
-    val banded = sig.select(col("doc_id"), col("simhash16"),
-      explode(expr(
-        """array(struct(0L AS band, simhash16 % 256 AS key),
-          |      struct(1L AS band, simhash16 div 256 AS key))"""
-          .stripMargin)).as("b"))
-      .select(col("doc_id"), col("simhash16"),
+  def simhashPairsBits(s: SparkSession, dir: String, bits: Int,
+                       bands: Int, maxHamming: Int): DataFrame = {
+    require(bits % bands == 0, s"bits $bits not divisible by bands $bands")
+    val w = bits / bands
+    val sig = simhashBits(s, dir, bits)
+      .select(col("doc_id"), col(s"simhash$bits").as("sh"))
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b.toLong).as("band"),
+        expr(s"(sh div ${1L << (b * w)}) % ${1L << w}").as("key")))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("sh"),
         col("b.band").as("band"), col("b.key").as("key"))
     val cand = banded.groupBy("band", "key")
-      .agg(collect_list(struct(col("doc_id"), col("simhash16"))).as("ids"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ids)-2), i ->
           |  transform(sequence(i+1, size(ids)-1), j ->
           |    CASE WHEN ids[i].doc_id < ids[j].doc_id
           |      THEN struct(ids[i].doc_id AS id1, ids[j].doc_id AS id2,
-          |                  ids[i].simhash16 AS h1, ids[j].simhash16 AS h2)
+          |                  ids[i].sh AS h1, ids[j].sh AS h2)
           |      ELSE struct(ids[j].doc_id AS id1, ids[i].doc_id AS id2,
-          |                  ids[j].simhash16 AS h1, ids[i].simhash16 AS h2)
+          |                  ids[j].sh AS h1, ids[i].sh AS h2)
           |    END)))""".stripMargin)).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
         col("p.h1").as("h1"), col("p.h2").as("h2"))
@@ -288,6 +302,17 @@ object Dedup {
       .select("id1", "id2", "hamming")
       .orderBy("id1", "id2")
   }
+
+  /** 16-bit layout — kept as the coarse oracle query. */
+  def simhashPairs(s: SparkSession, dir: String,
+                   maxHamming: Int = 1): DataFrame =
+    simhashPairsBits(s, dir, bits = 16, bands = 2, maxHamming = maxHamming)
+
+  /** Production-width layout: 60-bit signature, 6 bands × 10 bits,
+    * exact within hamming ≤ 5 by pigeonhole.
+    */
+  def simhashPairsWide(s: SparkSession, dir: String): DataFrame =
+    simhashPairsBits(s, dir, bits = 60, bands = 6, maxHamming = 5)
 
   /** Blocked pairwise n-gram jaccard, in the EXPLODED formulation —
     * the 100 TB path when shingle sets are too large to carry as
@@ -322,24 +347,52 @@ object Dedup {
     verifyJaccard(cand, ex, minJaccard)
   }
 
-  /** Embedding-cosine near-dup pairs, label-blocked: the pairwise
-    * scoring runs only inside label cells (an equi-join, shuffle keyed
-    * by label), with the fused codegen cosine kernel.
+  /** Embedding-cosine near-dup pairs, blocked on sign-LSH buckets
+    * ([[Ann.lshSignatures]]): candidates are pairs sharing any
+    * (table, signature) bucket, verified by the exact fused cosine
+    * kernel in-bucket.
+    *
+    * The round-2 form blocked on `label` — a key with ~10 distinct
+    * values, so each block was ~N/10 and the pairwise join did
+    * O(N²/10) cosine evaluations: the ONE blocking key in the repo
+    * that did not grow with the corpus. LSH bucket count grows with
+    * `bits` (~log₂ N at production scale), keeping buckets bounded —
+    * like every other pair operator here, candidate generation is an
+    * equi-join on a derived key whose cardinality scales.
+    *
+    * Like the minhash/simhash pipelines this trades recall at the
+    * candidate stage (a pair must agree on all `bits` signs in some
+    * table) for a corpus-linear plan; precision stays exact via the
+    * in-bucket cosine verify. Recall is bought with more tables at
+    * the same plan shape.
     */
   def embeddingCosinePairs(s: SparkSession, dir: String,
-                           minCos: Double = 0.35): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), col("label"))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        col("a.label").as("label"),
-        VectorDistance.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+                           minCos: Double = 0.35,
+                           tables: Int = 4, bits: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val sig = Ann.lshSignatures(e, "embedding", "vec_id", tables, bits,
+      dim = 64)
+    // in-bucket pair expansion, one pass over the signature table
+    // (a self-join would run the 16-dot-product signature projection
+    // twice); buckets are small by construction
+    val cand = sig.groupBy("table", "sig")
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids)-2), i ->
+          |  transform(sequence(i+1, size(ids)-1), j ->
+          |    struct(least(ids[i], ids[j]) AS id1,
+          |           greatest(ids[i], ids[j]) AS id2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+    cand
+      .join(e.as("x"), col("id1") === col("x.vec_id"))
+      .join(e.as("y"), col("id2") === col("y.vec_id"))
+      .select(col("id1"), col("id2"),
+        VectorDistance.cosine(col("x.embedding"), col("y.embedding")).as("c"))
       .where(col("c") >= minCos)
-      .select(col("id1"), col("id2"), col("label").cast("long").as("label"),
-        round(col("c"), 4).as("cosine"))
+      .select(col("id1"), col("id2"), round(col("c"), 4).as("cosine"))
       .orderBy("id1", "id2")
   }
 }

@@ -62,6 +62,22 @@ class PlanSpec extends SparkSuite {
       s"assignment stage shuffles:\n${p.take(2000)}")
   }
 
+  test("embedding near-dup blocks on a key that scales (LSH sig, not label)") {
+    // label has ~10 distinct values — blocking on it is O(N²/10)
+    // pairwise at any corpus size; the candidate join must key on the
+    // LSH signature, whose bucket count grows with `bits`
+    val lp = graft.operators.Dedup.embeddingCosinePairs(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // inspect only operator lines — the leaf Relation prints the full
+    // table schema (which legitimately includes label)
+    val ops = lp.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Aggregate")).toSeq
+    assert(!ops.exists(_.contains("label")),
+      s"blocked on O(1)-cardinality label:\n${ops.mkString("\n")}")
+    assert(ops.exists(_.contains("sig")),
+      s"expected LSH signature blocking:\n${ops.mkString("\n")}")
+  }
+
   test("vector kernel compiles into whole-stage codegen") {
     // AQE reports codegen subtrees only after execution; disable it
     // for this static plan inspection
