@@ -70,7 +70,11 @@ object Multimodal {
     * (count, distinct alphabet, mean byte value) — the deterministic
     * stand-in for an embedding/feature model, with the same
     * plumbing: narrow projection over the binary column, all
-    * codegen'd, no driver round-trip.
+    * codegen'd, no driver round-trip. The mean runs through the
+    * native [[graft.functions.ByteSum]] kernel (the previous
+    * aggregate/transform lambdas evaluated interpreted per BYTE —
+    * the hot path at multimodal scale); the alphabet count keeps
+    * `array_distinct`, which is a native function, not a lambda.
     */
   def featuresQuery(s: SparkSession, dir: String): DataFrame =
     withPayload(Tables.documents(s, dir))
@@ -78,10 +82,8 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes"),
         expr("size(array_distinct(split(decode(payload, 'UTF-8'), '')))")
           .cast("long").as("n_distinct_chars"),
-        round(expr(
-          """aggregate(transform(split(decode(payload, 'UTF-8'), ''),
-            |          c -> ascii(c)), 0L, (a, x) -> a + x)""".stripMargin)
-          .cast("double") / length(col("payload")), 4).as("mean_byte"))
+        round(graft.functions.ByteSum(col("payload")).cast("double")
+          / length(col("payload")), 4).as("mean_byte"))
       .orderBy("doc_id")
 
   /** Frame sampling: take every `stride`-th byte of the payload (the

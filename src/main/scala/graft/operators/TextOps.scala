@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for LLM training-data pipelines: language ID,
@@ -23,27 +23,43 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un"))
 
-  private def inList(ws: Seq[String]): String =
-    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+  private def stopHits(lang: String): Column =
+    sum(when(col("tok").isin(stop(lang): _*), 1L).otherwise(0L))
 
-  private def stopScore(lang: String) =
-    expr(s"size(filter(toks, t -> t IN ${inList(stop(lang))}))").cast("double") /
-      size(col("toks"))
+  /** Per-doc token count + stopword hit counts for ALL languages in
+    * one pass over exploded tokens. The round-2 form ran a HOF
+    * `filter` lambda per language — interpreted evaluation, 3× per
+    * doc in langId (the repo's documented interpreted-lambda
+    * pitfall); here each language is a codegen'd conditional sum()
+    * aggregate, and groupBy(doc_id) satisfies its distribution from
+    * the loader's doc_id-keyed exchange — no extra shuffle.
+    */
+  private def stopCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        stopHits("en").as("en_hits"),
+        stopHits("de").as("de_hits"),
+        stopHits("fr").as("fr_hits"))
 
   /** N-gram-heuristic language ID: per-language stopword hit ratio,
     * argmax with a deterministic (score DESC, language ASC) tiebreak.
     */
   def langId(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("en_score", stopScore("en"))
-      .withColumn("de_score", stopScore("de"))
-      .withColumn("fr_score", stopScore("fr"))
-      .withColumn("predicted", expr(
-        """array_sort(array(struct(-en_score AS ns, 'en' AS l),
-          |                 struct(-de_score AS ns, 'de' AS l),
-          |                 struct(-fr_score AS ns, 'fr' AS l)))[0].l"""
-          .stripMargin))
+    stopCounts(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        (col("en_hits").cast("double") / col("n_toks")).as("en_score"),
+        (col("de_hits").cast("double") / col("n_toks")).as("de_score"),
+        (col("fr_hits").cast("double") / col("n_toks")).as("fr_score"))
+      // argmax with (score DESC, language ASC) tiebreak as a when
+      // chain — testing languages in lexicographic order ('de' <
+      // 'en' < 'fr') with ≥ implements the tie preference the old
+      // array_sort form had, without its comparator lambda
+      .withColumn("predicted",
+        when(col("de_score") >= col("en_score") &&
+          col("de_score") >= col("fr_score"), "de")
+          .when(col("en_score") >= col("fr_score"), "en")
+          .otherwise("fr"))
       .select(col("doc_id"),
         round(col("en_score"), 4).as("en_score"),
         round(col("de_score"), 4).as("de_score"),
@@ -54,8 +70,14 @@ object TextOps {
   /** Quality metrics: length, token stats, stopword/repetition
     * ratios, and a deterministic composite score in [0,1].
     */
-  def quality(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // stopword ratio from the exploded one-pass aggregate (see
+    // stopCounts); both join sides hash by doc_id off the same spread
+    // exchange, so the join adds sorts but no shuffle
+    val ratios = stopCounts(docs).select(col("doc_id"),
+      (col("en_hits").cast("double") / col("n_toks")).as("stopword_ratio"))
+    docs
       .select(col("doc_id"), col("text"),
         split(col("text"), " ").as("toks"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -63,7 +85,7 @@ object TextOps {
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
       .withColumn("avg_token_len",
         (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
-      .withColumn("stopword_ratio", stopScore("en"))
+      .join(ratios, "doc_id")
       .withColumn("repetition_ratio",
         lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
       .withColumn("quality_score",
@@ -79,6 +101,7 @@ object TextOps {
         round(col("repetition_ratio"), 4).as("repetition_ratio"),
         col("quality_score"))
       .orderBy("doc_id")
+  }
 
   /** Token counting: whitespace tokens and a BPE-ish segmentation
     * (letter runs / digit runs / single other chars), plus the

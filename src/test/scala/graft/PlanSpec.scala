@@ -78,6 +78,20 @@ class PlanSpec extends SparkSuite {
       s"expected LSH signature blocking:\n${ops.mkString("\n")}")
   }
 
+  test("per-row metric plans carry no interpreted lambda functions") {
+    // HOF lambdas (filter/transform/aggregate) evaluate interpreted
+    // and get re-evaluated wherever CollapseProject inlines them —
+    // the hot-path operators must stay pure codegen
+    for ((n, df) <- Seq(
+      "text_langid" -> graft.operators.TextOps.langId(spark, sf),
+      "text_quality" -> graft.operators.TextOps.quality(spark, sf),
+      "mm_features" -> graft.operators.Multimodal.featuresQuery(spark, sf))) {
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("lambdafunction"),
+        s"$n still runs a HOF lambda:\n${p.take(2000)}")
+    }
+  }
+
   test("vector kernel compiles into whole-stage codegen") {
     // AQE reports codegen subtrees only after execution; disable it
     // for this static plan inspection
