@@ -84,6 +84,10 @@ object SparkEntry {
     "vdb_snapshot_replay" -> ((s, d) =>
       WalReplay.replayComposed(Tables.events(s, d), 500L)),
     "wal_json_replay" -> (graft.sources.WalSource.replayQuery _),
+    "wal_binary_replay" -> (graft.sources.WalBinary.binaryReplayQuery _),
+    "wal_file_replay" -> (graft.sources.WalSource.fileReplayQuery _),
+    "stream_wal_state" -> (graft.streaming.BatchTwins.walStateQuery _),
+    "stream_window_daily" -> (graft.streaming.BatchTwins.windowDailyQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
     "ann_lsh" -> (Ann.lshQuery _),
     "mm_decode" -> (Multimodal.decodeQuery _),
@@ -109,6 +113,27 @@ object SparkEntry {
     "vdb_knn_filtered_range" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label").between(3, 6))),
+    // two-field predicate: FilterIndex keys bitmaps per fieldname
+    // (reference filter_index.cc:9) — Spark predicates compose for
+    // free; this query pins the multi-field claim
+    "vdb_knn_filtered_2field" -> ((s, d) =>
+      Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
+        col("label").between(2, 6) && col("id") % 2 === 0)),
+    "vdb_insert" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val base = e.select(col("vec_id").as("id"),
+        col("label").cast("long").as("label"))
+      val ins = e.where(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("id"),
+          (col("label") + 100).cast("long").as("label"))
+      // append semantics: re-inserted ids keep BOTH rows (contrast
+      // vdb_upsert's LWW) — surfaced per id for a stable oracle
+      Upsert.append(base, ins)
+        .groupBy("id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("label").as("min_label"), max("label").as("max_label"))
+        .orderBy("id")
+    }),
     "doc_semantic_search" -> ((s, d) => {
       val nn = Knn.topKExcludingSelf(
         emb(s, d),
@@ -197,11 +222,11 @@ object SparkEntry {
       |JOIN card c1 ON c.id1 = c1.doc_id JOIN card c2 ON c.id2 = c2.doc_id
       |WHERE n*1.0/(c1.c + c2.c - n) >= 0.5 ORDER BY c.id1, c.id2""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
-    // ann_ivf / ann_lsh: approximate by design — no SQL oracle; the
-    // driver records rows-only and AnnSpec asserts recall vs exact.
-    "wal_json_replay" ->
-      """WITH logs AS (
+  /** LWW state after replaying the synthetic WAL — shared by the text
+    * and binary-framed readers (same log, different physical format).
+    */
+  private val walReplayOracle =
+    """WITH logs AS (
         |  SELECT vec_id AS log_id, 1 AS version, 'upsert' AS op,
         |         to_json(struct_pack(id := vec_id, vectors := embedding,
         |           int_field := CAST(label AS BIGINT),
@@ -232,7 +257,56 @@ object SparkEntry {
         |      FROM parsed WHERE op = 'upsert')
         |SELECT id, int_field, version, CAST(n_log_entries AS BIGINT)
         |  AS n_log_entries
-        |FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
+        |FROM r WHERE rk = 1 ORDER BY id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    // ann_ivf / ann_lsh: approximate by design — no SQL oracle; the
+    // driver records rows-only and AnnSpec asserts recall vs exact.
+    "wal_json_replay" -> walReplayOracle,
+    "wal_binary_replay" -> walReplayOracle,
+    "wal_file_replay" -> walReplayOracle,
+    "stream_wal_state" ->
+      """WITH agg AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         round(sum(value), 4) AS sum_value
+        |  FROM events GROUP BY user_id),
+        |l AS (
+        |  SELECT user_id, value, ts, event_id FROM (
+        |    SELECT user_id, value, ts, event_id,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY ts DESC, event_id DESC) AS rk
+        |    FROM events) WHERE rk = 1)
+        |SELECT agg.user_id, agg.n_events, agg.sum_value,
+        |       round(l.value, 4) AS last_value,
+        |       CAST(epoch_ns(l.ts) // 1000000 AS BIGINT) AS last_ts,
+        |       l.event_id AS last_event_id
+        |FROM agg JOIN l USING (user_id) ORDER BY user_id""".stripMargin,
+    "stream_window_daily" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sv
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "vdb_insert" ->
+      """WITH log AS (
+        |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 100 AS BIGINT)
+        |  FROM embeddings WHERE vec_id % 7 = 0)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(label) AS min_label, max(label) AS max_label
+        |FROM log GROUP BY id ORDER BY id""".stripMargin,
+    "vdb_knn_filtered_2field" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q
+        |      WHERE e.label BETWEEN 2 AND 6 AND e.vec_id % 2 = 0),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -28,4 +28,14 @@ object Upsert {
       .agg(max_by(payload, col(version)).as("_p"))
       .select(col(key) +: payloadCols.map(c => col(s"_p.$c").as(c)): _*)
   }
+
+  /** Plain insert — the reference's `/insert` endpoint
+    * (http_server.cc:19, insertHandler at :150) appends WITHOUT the
+    * remove-old step, so a re-inserted id yields two live rows. In
+    * bulk form that is a bare union: no dedup, no shuffle, nothing
+    * but file appends at scale — which is exactly the semantic
+    * difference from [[lastWriterWins]].
+    */
+  def append(base: DataFrame, inserts: DataFrame): DataFrame =
+    base.unionByName(inserts)
 }

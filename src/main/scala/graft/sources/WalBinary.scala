@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's BINARY on-disk WAL framing as a Spark source.
+  *
+  * The reference WAL is not plain text: `Persistence::writeWALLog`
+  * writes a raw native-endian (x86 → little-endian) uint64 byte
+  * length before every record, and the record itself is
+  * `log_id|version|operation_type|json` plus a trailing '\n'
+  * (reference persistence.cc:60-66; read back length-first at
+  * :90-100). [[WalSource.parse]] handles the record text; this file
+  * supplies the missing physical layer so a reference-produced WAL
+  * file ingests byte-for-byte.
+  *
+  * Distribution model: frames forbid arbitrary mid-file splits, so a
+  * SEGMENT FILE is the unit of parallelism — `binaryFile` yields one
+  * row per segment and the frame decode runs where the bytes land
+  * (the reference rotates `wal_log_<id>`; a production WAL directory
+  * holds thousands of segments, which is plenty of splits).
+  */
+object WalBinary {
+
+  /** Encode record lines into reference framing (fixture synthesis
+    * and the write side of a round-trip): per record, little-endian
+    * uint64 length of `line + "\n"`, then those bytes.
+    */
+  def frame(lines: Seq[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val len = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    lines.foreach { l =>
+      val rec = (l + "\n").getBytes(UTF_8)
+      len.clear(); len.putLong(rec.length.toLong)
+      bos.write(len.array(), 0, 8)
+      bos.write(rec)
+    }
+    bos.toByteArray
+  }
+
+  /** Decode one segment's bytes into record lines. A frame whose
+    * length field runs past the buffer (torn tail write, garbage
+    * length) ends the scan — the reference reader likewise bails on a
+    * short read rather than resynchronizing (persistence.cc:90).
+    */
+  def decodeFrames(bytes: Array[Byte]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var ok = true
+    while (ok && bb.remaining >= 8) {
+      val n = bb.getLong
+      if (n < 0 || n > bb.remaining) ok = false
+      else {
+        val rec = new Array[Byte](n.toInt)
+        bb.get(rec)
+        val s = new String(rec, UTF_8)
+        out += (if (s.endsWith("\n")) s.dropRight(1) else s)
+      }
+    }
+    out.toSeq
+  }
+
+  /** Reference-format WAL segment files → DataFrame of record lines,
+    * ready for [[WalSource.parse]].
+    */
+  def readFramed(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile").load(path)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(decodeFrames _)
+      .toDF("line")
+  }
+
+  /** Synthesize a reference-format segment from the deterministic
+    * synthetic WAL, once per sf dir (atomic publish, keyed path).
+    * Driver-side by necessity: a WAL segment is one sequential byte
+    * stream — this is FIXTURE WRITING, not the read path under test.
+    */
+  private def materializedWal(s: SparkSession, dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val path = Paths.get("target", "tmp", s"walbin-$key", "wal_log_1")
+      .toAbsolutePath
+    if (!Files.exists(path)) {
+      Files.createDirectories(path.getParent)
+      val lines = WalSource.syntheticWal(s, dir).collect()
+        .map(_.getString(0))
+        .sortBy(_.split("\\|", 2)(0).toLong)
+      val tmp = path.resolveSibling(s"wal_log_1.tmp${System.nanoTime()}")
+      Files.write(tmp, frame(lines.toIndexedSeq))
+      Files.move(tmp, path, StandardCopyOption.REPLACE_EXISTING)
+    }
+    path.toString
+  }
+
+  /** Replay a binary-framed WAL segment to LWW state — same logical
+    * result as [[WalSource.replayQuery]], through the physical
+    * reference format.
+    */
+  def binaryReplayQuery(s: SparkSession, dir: String): DataFrame =
+    WalSource.replay(WalSource.parse(readFramed(s, materializedWal(s, dir))))
+}

@@ -89,4 +89,37 @@ object WalSource {
 
   def replayQuery(s: SparkSession, dir: String): DataFrame =
     replay(parse(syntheticWal(s, dir)))
+
+  /** Rotated text WAL segments on disk, read back in BATCH via
+    * `spark.read.text` — the storage-backed twin of
+    * FileStreamWalSpec's `readStream.text` pipeline, under the same
+    * oracle as [[replayQuery]] (same log, physical file route).
+    */
+  def fileReplayQuery(s: SparkSession, dir: String): DataFrame = {
+    val seg = materializedTextWal(s, dir)
+    replay(parse(s.read.text(seg).select(col("value").as("line"))))
+  }
+
+  /** Fixture synthesis: two text segment files (a rotated log), once
+    * per sf dir. The `_done` marker is skipped by Spark's file index
+    * (leading underscore), so readers only ever see whole segments.
+    */
+  private def materializedTextWal(s: SparkSession, dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val root = java.nio.file.Paths.get("target", "tmp", s"waltxt-$key")
+      .toAbsolutePath
+    val done = root.resolve("_done")
+    if (!java.nio.file.Files.exists(done)) {
+      java.nio.file.Files.createDirectories(root)
+      val lines = syntheticWal(s, dir).collect().map(_.getString(0))
+        .sortBy(_.split("\\|", 2)(0).toLong)
+      val (a, b) = lines.splitAt(lines.length / 2)
+      java.nio.file.Files.write(root.resolve("wal-000.log"),
+        a.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(root.resolve("wal-001.log"),
+        b.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(done, Array.emptyByteArray)
+    }
+    root.toString
+  }
 }

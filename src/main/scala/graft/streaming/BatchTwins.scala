@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the streaming components, as oracle-checkable
+  * queries. The streaming pipelines themselves are spec-verified
+  * (StreamingWalSpec / WatermarkSpec / FileStreamWalSpec prove
+  * stream ≡ batch on the same input); these queries put the exact
+  * aggregation each stream maintains under the DuckDB oracle gate
+  * too, so every SURVEY §2 row has a CORRECTNESS entry.
+  */
+object BatchTwins {
+
+  /** The six-field [[WalState]] that [[WalStream.recover]]'s
+    * mapGroupsWithState maintains per key, computed as one
+    * partial-aggregating groupBy over the whole log (newest row by
+    * (ts, event_id), same tiebreak as `updateState`). `last_ts` is
+    * epoch millis, as in the streaming state.
+    */
+  def walStateQuery(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"),
+        round(max_by(col("value"), struct(col("ts"), col("event_id"))), 4)
+          .as("last_value"),
+        expr("unix_micros(max(ts)) div 1000").as("last_ts"),
+        max_by(col("event_id"), struct(col("ts"), col("event_id")))
+          .as("last_event_id"))
+      .orderBy("user_id")
+
+  /** The append-mode watermarked aggregation of WatermarkSpec —
+    * `window(ts, '1 day')` counts and sums — run as a batch query.
+    * The spec proves each emitted window equals this result; the
+    * oracle pins the values themselves.
+    */
+  def windowDailyQuery(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("n"), col("sv"))
+      .orderBy("day")
+}
