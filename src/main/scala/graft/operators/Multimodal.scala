@@ -88,19 +88,18 @@ object Multimodal {
 
   /** Frame sampling: take every `stride`-th byte of the payload (the
     * shape of every-k-th-video-frame extraction), emit the sample
-    * count and an md5 over the sampled "frames".
+    * count and an md5 over the sampled "frames". Runs through the
+    * native [[graft.functions.ByteSample]] kernel — the
+    * transform-over-sequence lambda it replaces built one
+    * single-char string per frame, interpreted.
     */
   def frameSampleQuery(s: SparkSession, dir: String,
                        stride: Int = 16): DataFrame =
     withPayload(Tables.documents(s, dir))
-      .withColumn("txt", expr("decode(payload, 'UTF-8')"))
       .select(col("doc_id"),
-        expr(s"""transform(
-          |  sequence(0, (length(txt) - 1) div $stride),
-          |  i -> substring(txt, i * $stride + 1, 1))""".stripMargin)
-          .as("frames"))
+        graft.functions.ByteSample(col("payload"), stride).as("sample"))
       .select(col("doc_id"),
-        size(col("frames")).cast("long").as("n_frames"),
-        md5(concat_ws("", col("frames"))).as("sample_md5"))
+        length(col("sample")).cast("long").as("n_frames"),
+        md5(col("sample")).as("sample_md5"))
       .orderBy("doc_id")
 }

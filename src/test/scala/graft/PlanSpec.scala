@@ -85,7 +85,8 @@ class PlanSpec extends SparkSuite {
     for ((n, df) <- Seq(
       "text_langid" -> graft.operators.TextOps.langId(spark, sf),
       "text_quality" -> graft.operators.TextOps.quality(spark, sf),
-      "mm_features" -> graft.operators.Multimodal.featuresQuery(spark, sf))) {
+      "mm_features" -> graft.operators.Multimodal.featuresQuery(spark, sf),
+      "mm_frame_sample" -> graft.operators.Multimodal.frameSampleQuery(spark, sf))) {
       val p = df.queryExecution.optimizedPlan.toString
       assert(!p.contains("lambdafunction"),
         s"$n still runs a HOF lambda:\n${p.take(2000)}")
