@@ -11,6 +11,8 @@ object GraftSession {
   def builder(cores: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
+      // native kernels reachable from spark.sql(...) too
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized

@@ -89,6 +89,7 @@ object SparkEntry {
     "stream_wal_state" -> (graft.streaming.BatchTwins.walStateQuery _),
     "stream_window_daily" -> (graft.streaming.BatchTwins.windowDailyQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
+    "ann_ivf_indexed" -> (Ann.ivfIndexedQuery _),
     "ann_lsh" -> (Ann.lshQuery _),
     "mm_decode" -> (Multimodal.decodeQuery _),
     "mm_features" -> (Multimodal.featuresQuery _),

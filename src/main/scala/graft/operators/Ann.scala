@@ -108,6 +108,19 @@ object Ann {
       array_min(centroidDists(col("vec"), cents)).getField("cell").as("cell"))
   }
 
+  /** Shared exact-rerank tail: per-query bounded top-k over scored
+    * candidates via the partial-aggregating heap.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val agg = TopKAgg.topK(k)
+    scored.groupBy("qid")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"), round(-col("col.key"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
   /** IVF search: per query, rank cells by centroid distance, keep the
     * `nprobe` nearest, and run the exact TopK kernel only against
     * vectors assigned to those cells — the scan prunes to
@@ -134,13 +147,60 @@ object Ann {
         (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
         col("id"))
       .where(col("key").isNotNull)
-    val agg = TopKAgg.topK(k)
-    scored.groupBy("qid")
-      .agg(agg(col("key"), col("id")).as("top"))
-      .select(col("qid"), posexplode(col("top.items")))
-      .select(col("qid"), (col("pos") + 1).as("rk"),
-        col("col.id").as("nn_id"), round(-col("col.key"), 4).as("score"))
-      .orderBy("qid", "rk")
+    topKPerQuery(scored, k)
+  }
+
+  // ------------------------------------------------- persisted IVF index
+
+  private def centroidsPath(indexPath: String): String =
+    indexPath + "_centroids"
+
+  /** Persist the IVF index: the assigned corpus written as parquet
+    * PARTITIONED BY CELL, centroids alongside. This is the physical
+    * layout the on-the-fly [[ivfSearch]] only simulates: with cell as
+    * a partition directory, a probe becomes PARTITION PRUNING — the
+    * scan for a 2-cell probe never lists, opens, or reads the other
+    * 998 cells' files. The reference builds its index in memory at
+    * startup (vector_database.cc reload); at 100 TB the index IS the
+    * table layout.
+    */
+  def ivfBuildIndex(s: SparkSession, emb: DataFrame, path: String,
+                    stride: Long = 200): Unit = {
+    import s.implicits._
+    val cents = collectCentroids(kmeansCentroids(emb, stride))
+    emb.select(col("id"), col("vec"),
+        array_min(centroidDists(col("vec"), cents)).getField("cell").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    cents.toSeq.toDF("cell", "cvec")
+      .write.mode("overwrite").parquet(centroidsPath(path))
+  }
+
+  /** Search a persisted index: probe cells come from the stored
+    * centroids, and their union becomes a LITERAL partition filter on
+    * the index scan (visible as `PartitionFilters` in the plan) —
+    * followed by the same co-located probe join and exact rerank as
+    * the in-memory path. Same centroids → identical results to
+    * [[ivfSearch]] at the same stride/nprobe.
+    */
+  def ivfSearchIndexed(s: SparkSession, path: String, queries: DataFrame,
+                       k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = collectCentroids(
+      s.read.parquet(centroidsPath(path)).select(col("cell"), col("cvec")))
+    val probes = queries.select(col("qid"), col("qvec"),
+      explode(slice(array_sort(centroidDists(col("qvec"), cents)),
+        1, nprobe)).as("p"))
+      .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
+    // the probed cell set — a tiny job over the QUERY set only —
+    // becomes the pruning predicate on the corpus scan
+    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val idx = s.read.parquet(path)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+    val scored = idx.join(probes, "cell")
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    topKPerQuery(scored, k)
   }
 
   // ------------------------------------------------------------ sign-LSH
@@ -200,13 +260,7 @@ object Ann {
         (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
         col("id"))
       .where(col("key").isNotNull)
-    val agg = TopKAgg.topK(k)
-    scored.groupBy("qid")
-      .agg(agg(col("key"), col("id")).as("top"))
-      .select(col("qid"), posexplode(col("top.items")))
-      .select(col("qid"), (col("pos") + 1).as("rk"),
-        col("col.id").as("nn_id"), round(-col("col.key"), 4).as("score"))
-      .orderBy("qid", "rk")
+    topKPerQuery(scored, k)
   }
 
   // --------------------------------------------------- query-map surface
@@ -225,5 +279,24 @@ object Ann {
     val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     lshSearch(e, q, k = 10)
+  }
+
+  /** Persisted-index twin of [[ivfQuery]] (same stride/k/nprobe, so
+    * AnnSpec can assert result equality); index built once per sf dir
+    * under target/tmp.
+    */
+  def ivfIndexedQuery(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val path = java.nio.file.Paths.get("target", "tmp", s"ivfidx-$key")
+      .toAbsolutePath.toString
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      ivfBuildIndex(s, e, path)
+    }
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    ivfSearchIndexed(s, path, q, k = 10, nprobe = 2)
   }
 }

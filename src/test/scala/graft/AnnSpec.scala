@@ -46,6 +46,20 @@ class AnnSpec extends SparkSuite {
     assert(cands < full / 2, s"LSH does not prune: $cands of $full")
   }
 
+  test("persisted index search: partition-pruned probes equal in-memory IVF") {
+    val indexed = Ann.ivfIndexedQuery(spark, sf).collect().toSeq
+    val inMem = Ann.ivfQuery(spark, sf).collect().toSeq
+    assert(indexed == inMem && indexed.nonEmpty)
+    // the probe is physical: the index scan carries a non-empty
+    // partition filter on cell, so unprobed cells are never read
+    val plan = Ann.ivfIndexedQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("cell") && !pf.contains("PartitionFilters: []"),
+      s"no partition pruning on the index scan: $pf")
+  }
+
   test("deterministic across runs") {
     val a = Ann.ivfQuery(spark, sf).collect().toSeq
     val b = Ann.ivfQuery(spark, sf).collect().toSeq
