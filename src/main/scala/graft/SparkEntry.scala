@@ -91,6 +91,7 @@ object SparkEntry {
     "ann_ivf" -> (Ann.ivfQuery _),
     "ann_ivf_indexed" -> (Ann.ivfIndexedQuery _),
     "ann_lsh" -> (Ann.lshQuery _),
+    "vdb_knn_sq8" -> (Quant.sq8Query _),
     "mm_decode" -> (Multimodal.decodeQuery _),
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),

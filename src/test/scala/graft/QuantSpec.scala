@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Knn, Quant}
+import org.apache.spark.sql.functions._
+
+class QuantSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, sf)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private def qs = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("codes span [0,255] and training bounds round-trip") {
+    val (mins, maxs) = Quant.trainMinMax(emb)
+    assert(mins.length == 64 && maxs.length == 64)
+    assert(mins.indices.forall(i => mins(i) <= maxs(i)))
+    // a vector AT the bounds encodes to the grid extremes
+    val lo = mins.map(_.toFloat)
+    val hi = maxs.map(_.toFloat)
+    val codes = Seq(Tuple1(lo), Tuple1(hi)).toDF("vec")
+      .select(graft.functions.Quantize.encode(col("vec"), mins, maxs).as("c"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    assert(codes(0).forall(_ == 0))
+    // max encodes to 255 wherever the dimension has width
+    assert(codes(1).indices.forall(i =>
+      (codes(1)(i) & 0xff) == (if (maxs(i) > mins(i)) 255 else 0)))
+  }
+
+  test("quantized code distance approximates float L2") {
+    val (mins, maxs) = Quant.trainMinMax(emb)
+    val a = emb.limit(50)
+    val pairs = a.as("x").crossJoin(a.as("y"))
+      .where(col("x.id") < col("y.id"))
+      .select(
+        graft.functions.VectorDistance.l2(col("x.vec"), col("y.vec")).as("exact"),
+        graft.functions.Quantize.l2(
+          graft.functions.Quantize.encode(col("x.vec"), mins, maxs),
+          graft.functions.Quantize.encode(col("y.vec"), mins, maxs),
+          mins, maxs).as("approx"))
+      .collect()
+    // 8-bit grid error per dim ≤ scale/2; aggregate relative error small
+    pairs.foreach { r =>
+      val (e, q) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(e - q) <= 0.02 * e + 0.05, s"exact $e vs sq8 $q")
+    }
+  }
+
+  test("sq8 shortlist + exact rerank recovers the exact top-k") {
+    val viaSq8 = Quant.sq8Search(emb, qs, 10).select("qid", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Knn.topK(emb, qs, 10, Knn.Metric.L2).select("qid", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = viaSq8.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"sq8 recall collapsed: $recall")
+  }
+
+  test("deterministic across runs") {
+    val a = Quant.sq8Query(spark, sf).collect().toSeq
+    val b = Quant.sq8Query(spark, sf).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}
