@@ -154,6 +154,9 @@ object SparkEntry {
     "q6_filter_agg" -> (Analytics.q6ForecastRevenue _),
     "q3_join" -> Analytics.q3ShippingPriority _,
     "q5_join" -> Analytics.q5LocalSupplierVolume _,
+    "q14_promo" -> (Analytics.q14PromoEffect _),
+    "q10_returned" -> (Analytics.q10ReturnedItems _),
+    "q19_disc_rev" -> (Analytics.q19DiscountedRevenue _),
     "q_window_topn" -> ((s, d) => Analytics.windowTopOrders(s, d)),
     "events_tumbling" -> Analytics.eventsTumbling _,
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
@@ -732,6 +735,31 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q14_promo" ->
+      """SELECT round(
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
+        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       round(any_value(c_acctbal), 2) AS c_acctbal
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q19_disc_rev" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 30)
+        |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
     "q_window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,

@@ -121,6 +121,63 @@ object Analytics {
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
         .as("revenue"))
 
+  /** TPC-H Q14 shape: promo revenue share — fact⋈part join feeding a
+    * conditional aggregate ratio. Part scales with SF; no forced
+    * broadcast (AQE decides), and only (p_partkey, p_type) survive
+    * column pruning into the join.
+    */
+  def q14PromoEffect(s: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .join(Tables.part(s, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(0.0)) * 100.0
+          / sum(disc), 4).as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q10 shape: per-customer revenue from returned items —
+    * 3-table join aggregated at customer grain, top 20. The aggregate
+    * is keyed by the customer attributes (avoids a second join to
+    * re-attach them post-agg).
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        round(first(col("c_acctbal")), 2).as("c_acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    * The per-side conjuncts (p_size, l_quantity ranges) stay in the
+    * OR — Catalyst cannot split them to the scans — but the join
+    * itself remains a plain partkey equi-join, so the filter runs
+    * post-join on pruned columns.
+    */
+  def q19DiscountedRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(Tables.part(s, dir).select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 30)) ||
+        (col("p_brand") === "Brand#7" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 40)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+
   /** Top-3 orders per customer — the canonical ranking window. */
   def windowTopOrders(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val w = Window.partitionBy("o_custkey")
