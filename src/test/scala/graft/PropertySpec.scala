@@ -52,4 +52,52 @@ class PropertySpec extends AnyFunSuite {
       assert(buf.items.length <= math.max(4 * 4, 64))
     }
   }
+
+  test("QuantUtils.encode: range, monotonicity, endpoint exactness") {
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 200) {
+      val min = rnd.nextDouble() * 10 - 5
+      val max = min + rnd.nextDouble() * 10
+      val xs = Seq.fill(50)(min + rnd.nextDouble() * (max - min)).sorted
+      val codes = xs.map(x =>
+        graft.functions.QuantUtils.encode(x, min, max) & 0xff)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      // affine map preserves order
+      assert(codes == codes.sorted)
+      if (max > min) {
+        assert((graft.functions.QuantUtils.encode(min, min, max) & 0xff) == 0)
+        assert((graft.functions.QuantUtils.encode(max, min, max) & 0xff) == 255)
+      }
+      // out-of-range inputs clamp, never wrap
+      assert((graft.functions.QuantUtils.encode(min - 100, min, max) & 0xff) == 0)
+      assert((graft.functions.QuantUtils.encode(max + 100, min, max) & 0xff)
+        == (if (max > min) 255 else 0))
+    }
+  }
+
+  test("WAL framing: frame/decode round-trips arbitrary record content") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 100) {
+      // records may contain '|', newlines, unicode — framing is
+      // length-based, so none of it needs escaping
+      val recs = Seq.fill(rnd.nextInt(8))(
+        Seq.fill(rnd.nextInt(40))(
+          "ab|\n{}\"é€"(rnd.nextInt(9))).mkString)
+      assert(graft.sources.WalBinary.decodeFrames(
+        graft.sources.WalBinary.frame(recs)) == recs)
+    }
+  }
+
+  test("ByteUtils: sample indices and sum against naive forms") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 100) {
+      val bytes = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      val stride = rnd.nextInt(19) + 1
+      val naiveSample = bytes.indices.filter(_ % stride == 0).map(bytes)
+      assert(graft.functions.ByteUtils.byteSample(bytes, stride).toSeq
+        == naiveSample)
+      assert(graft.functions.ByteUtils.byteSum(bytes)
+        == bytes.map(_ & 0xffL).sum)
+    }
+  }
 }
