@@ -160,6 +160,7 @@ object SparkEntry {
     "q_window_topn" -> ((s, d) => Analytics.windowTopOrders(s, d)),
     "events_tumbling" -> Analytics.eventsTumbling _,
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
+    "events_salted_enrich" -> ((s, d) => Skew.saltedEnrichQuery(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
   )
 
@@ -767,6 +768,16 @@ object SparkEntry {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    // oracle is the PLAIN join — hash equality proves the salted
+    // plan is salt-invariant
+    "events_salted_enrich" ->
+      """WITH ua AS (SELECT user_id, avg(value) AS user_avg
+        |            FROM events GROUP BY user_id)
+        |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN e.value > ua.user_avg THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_above
+        |FROM events e JOIN ua USING (user_id)
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
     "events_tumbling" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
