@@ -85,6 +85,7 @@ object SparkEntry {
       WalReplay.replayComposed(Tables.events(s, d), 500L)),
     "wal_json_replay" -> (graft.sources.WalSource.replayQuery _),
     "wal_binary_replay" -> (graft.sources.WalBinary.binaryReplayQuery _),
+    "wal_dsv2_replay" -> (graft.sources.WalBinary.dsv2ReplayQuery _),
     "wal_file_replay" -> (graft.sources.WalSource.fileReplayQuery _),
     "stream_wal_state" -> (graft.streaming.BatchTwins.walStateQuery _),
     "stream_window_daily" -> (graft.streaming.BatchTwins.windowDailyQuery _),
@@ -270,6 +271,7 @@ object SparkEntry {
     // driver records rows-only and AnnSpec asserts recall vs exact.
     "wal_json_replay" -> walReplayOracle,
     "wal_binary_replay" -> walReplayOracle,
+    "wal_dsv2_replay" -> walReplayOracle,
     "wal_file_replay" -> walReplayOracle,
     "stream_wal_state" ->
       """WITH agg AS (

@@ -81,7 +81,7 @@ object WalBinary {
     * Driver-side by necessity: a WAL segment is one sequential byte
     * stream — this is FIXTURE WRITING, not the read path under test.
     */
-  private def materializedWal(s: SparkSession, dir: String): String = {
+  private[sources] def materializedWal(s: SparkSession, dir: String): String = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
     val path = Paths.get("target", "tmp", s"walbin-$key", "wal_log_1")
       .toAbsolutePath
@@ -103,4 +103,12 @@ object WalBinary {
     */
   def binaryReplayQuery(s: SparkSession, dir: String): DataFrame =
     WalSource.replay(WalSource.parse(readFramed(s, materializedWal(s, dir))))
+
+  /** Same replay through the DSv2 connector ([[WalDataSource]]) —
+    * the format-registry route a Spark user would actually take:
+    * `spark.read.format("graft-wal")`.
+    */
+  def dsv2ReplayQuery(s: SparkSession, dir: String): DataFrame =
+    WalSource.replay(WalSource.parse(
+      s.read.format("graft-wal").load(materializedWal(s, dir))))
 }

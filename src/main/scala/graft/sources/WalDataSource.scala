@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for reference-format WAL segments:
+  * `spark.read.format("graft-wal").load(dir)` yields the record
+  * lines, ready for [[WalSource.parse]].
+  *
+  * Versus the binaryFile + flatMap route ([[WalBinary.readFramed]]):
+  * the reader STREAMS frames off the (HDFS/S3/local) input — a
+  * segment never materializes in memory, so there is no 2 GB
+  * per-file cap — and the source composes with the ordinary reader
+  * API surface (format registry via DataSourceRegister, one
+  * InputPartition per segment, `_`/`.`-prefixed files skipped like
+  * every Spark file source).
+  *
+  * Physical format per record (reference persistence.cc:60-66):
+  * little-endian uint64 byte length, then `log_id|version|optype|
+  * json\n`. A torn or garbled tail frame ends that segment's scan,
+  * matching the reference reader's bail-on-short-read.
+  */
+class WalDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-wal"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WalDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "graft-wal requires a path")
+    new WalSegmentTable(path)
+  }
+}
+
+object WalDataSource {
+  val Schema: StructType =
+    StructType(Seq(StructField("line", StringType, nullable = false)))
+}
+
+private[sources] class WalSegmentTable(path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-wal(`$path`)"
+  override def schema(): StructType = WalDataSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = WalDataSource.Schema
+      override def toBatch: Batch = this
+
+      /** One partition per segment file — frames forbid mid-file
+        * splits, so the segment is the unit of parallelism.
+        */
+      override def planInputPartitions(): Array[InputPartition] = {
+        val p = new HPath(path)
+        val fs = p.getFileSystem(new Configuration())
+        val root = fs.getFileStatus(p)
+        val files =
+          if (root.isDirectory) fs.listStatus(p).filter(_.isFile).toSeq
+          else Seq(root)
+        files
+          .filterNot { s =>
+            val n = s.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+          .sortBy(_.getPath.toString)
+          .map(s => WalSegmentPartition(s.getPath.toString): InputPartition)
+          .toArray
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(
+              partition: InputPartition): PartitionReader[InternalRow] =
+            new WalFrameReader(
+              partition.asInstanceOf[WalSegmentPartition].file)
+        }
+    }
+}
+
+private[sources] case class WalSegmentPartition(file: String)
+    extends InputPartition
+
+/** Streams one segment frame by frame; holds at most one record in
+  * memory.
+  */
+private[sources] class WalFrameReader(file: String)
+    extends PartitionReader[InternalRow] {
+
+  private val path = new HPath(file)
+  private val in = path.getFileSystem(new Configuration()).open(path)
+  private var current: UTF8String = _
+  private var done = false
+
+  /** Read exactly `n` bytes; None on clean EOF at offset 0 of the
+    * read, or on a short (torn) read.
+    */
+  private def readFully(n: Int): Option[Array[Byte]] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) return None
+      off += r
+    }
+    Some(buf)
+  }
+
+  override def next(): Boolean = {
+    if (done) return false
+    readFully(8) match {
+      case None => done = true; false
+      case Some(lenBytes) =>
+        val n = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN)
+          .getLong
+        // garbage length (negative / absurd) or torn record: bail on
+        // this segment, like the reference's short-read handling
+        if (n < 0 || n > Int.MaxValue) { done = true; false }
+        else readFully(n.toInt) match {
+          case None => done = true; false
+          case Some(rec) =>
+            val s = new String(rec, UTF_8)
+            current = UTF8String.fromString(
+              if (s.endsWith("\n")) s.dropRight(1) else s)
+            true
+        }
+    }
+  }
+
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](current))
+
+  override def close(): Unit = in.close()
+}
