@@ -48,15 +48,35 @@ object Knn {
 
   private def topKImpl(data: DataFrame, queries: DataFrame, k: Int,
                        metric: Metric.Value, excludeSelf: Boolean): DataFrame = {
-    val q = broadcast(queries.select(col("qid"), col("qvec")))
-    val d = data.select(col("id"), col("vec"))
+    // Cosine pre-norms: ||v|| is computed ONCE per corpus row and
+    // once per query instead of inside every pair (the fused VecCosine
+    // kernel re-accumulated both norms per pair — Q× redundant work on
+    // the corpus side). score = dot/(n_a·n_b) runs the IDENTICAL float
+    // operations in the identical order as the fused kernel (the norm
+    // is the same left-to-right self-dot), so results are bit-equal —
+    // including the NULL-on-zero-norm/dim-mismatch contract, restored
+    // here via the zero-denominator guard and dot's null propagation.
+    val prenorm = metric == Metric.Cosine
+    val q = broadcast(
+      if (prenorm)
+        queries.select(col("qid"), col("qvec"),
+          sqrt(VectorDistance.dot(col("qvec"), col("qvec"))).as("_qn"))
+      else queries.select(col("qid"), col("qvec")))
+    val d =
+      if (prenorm)
+        data.select(col("id"), col("vec"),
+          sqrt(VectorDistance.dot(col("vec"), col("vec"))).as("_n"))
+      else data.select(col("id"), col("vec"))
 
     // native fused kernels (VectorDistance) — same numerics as the
     // composed zip_with/aggregate form, ~10x less per-pair overhead
     val score = metric match {
-      case Metric.L2     => VectorDistance.l2(col("vec"), col("qvec"))
-      case Metric.IP     => VectorDistance.dot(col("vec"), col("qvec"))
-      case Metric.Cosine => VectorDistance.cosine(col("vec"), col("qvec"))
+      case Metric.L2 => VectorDistance.l2(col("vec"), col("qvec"))
+      case Metric.IP => VectorDistance.dot(col("vec"), col("qvec"))
+      case Metric.Cosine =>
+        val denom = col("_n") * col("_qn")
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(VectorDistance.dot(col("vec"), col("qvec")) / denom)
     }
     // lower-is-better sort key; similarities rank descending
     val key = if (metric == Metric.L2) score else -score
