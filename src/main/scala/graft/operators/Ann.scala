@@ -79,15 +79,26 @@ object Ann {
     * worse than any real negated cosine in [-1, 1] — so degenerate
     * vectors deterministically land in the last cell rather than
     * poisoning the struct ordering with nulls.
+    *
+    * Norm factoring: the row norm appears once (codegen CSE folds the
+    * k occurrences of the same self-dot into one evaluation) and each
+    * centroid's norm is a DRIVER-computed double literal — the fused
+    * VecCosine form re-accumulated both norms inside all k entries.
+    * Same float ops in the same order as the fused kernel, so the
+    * distances (and the argmin) are bit-identical.
     */
   private def centroidDists(vec: org.apache.spark.sql.Column,
-                            cents: Array[(Long, Array[Float])]) =
+                            cents: Array[(Long, Array[Float])]) = {
+    val rowNorm = sqrt(VectorDistance.dot(vec, vec))
     array(cents.map { case (cell, cvec) =>
-      struct(
-        coalesce(-VectorDistance.cosine(vec, typedlit(cvec)), lit(2.0))
-          .as("cd"),
-        lit(cell).as("cell"))
+      val centNorm = math.sqrt(
+        cvec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val denom = rowNorm * lit(centNorm)
+      val negCos = when(denom === 0.0, lit(null).cast("double"))
+        .otherwise(-(VectorDistance.dot(vec, typedlit(cvec)) / denom))
+      struct(coalesce(negCos, lit(2.0)).as("cd"), lit(cell).as("cell"))
     }: _*)
+  }
 
   /** Assign every vector to its nearest centroid — ONE projection,
     * zero exchanges: `array_min` over the k-element literal struct

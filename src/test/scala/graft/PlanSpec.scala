@@ -93,6 +93,25 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q14: date filter reaches the scan, part prunes to join columns") {
+    val p = planOf(Analytics.q14PromoEffect(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate filter not pushed:\n${p.take(2000)}")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!reads.contains("p_retailprice") && !reads.contains("p_name"),
+      s"part not pruned: $reads")
+  }
+
+  test("sq8 search scores codes through the quantized kernels") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val p = planOf(graft.operators.Quant.sq8Search(emb, q, 5))
+    assert(p.contains("vec_quantize") && p.contains("vec_l2_q8"),
+      s"quantized kernels missing from plan:\n${p.take(2000)}")
+  }
+
   test("vector kernel compiles into whole-stage codegen") {
     // AQE reports codegen subtrees only after execution; disable it
     // for this static plan inspection
