@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,7 +57,36 @@ private[sources] class WalSegmentTable(path: String)
   override def name(): String = s"graft-wal(`$path`)"
   override def schema(): StructType = WalDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  /** Visible segment files, sorted by name. Segment names must be
+    * lexicographically increasing across rotations (the standard
+    * log-rotation convention; the reference's `wal_log_<id>` with a
+    * monotonic id) — streaming uses the name as its watermark.
+    */
+  private def listSegments(): Seq[String] = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(new Configuration())
+    val root = fs.getFileStatus(p)
+    val files =
+      if (root.isDirectory) fs.listStatus(p).filter(_.isFile).toSeq
+      else Seq(root)
+    files
+      .map(_.getPath.toString)
+      .filterNot { f =>
+        val n = new HPath(f).getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .sorted
+  }
+
+  private val readerFactory: PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] =
+        new WalFrameReader(partition.asInstanceOf[WalSegmentPartition].file)
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -67,31 +97,58 @@ private[sources] class WalSegmentTable(path: String)
       /** One partition per segment file — frames forbid mid-file
         * splits, so the segment is the unit of parallelism.
         */
-      override def planInputPartitions(): Array[InputPartition] = {
-        val p = new HPath(path)
-        val fs = p.getFileSystem(new Configuration())
-        val root = fs.getFileStatus(p)
-        val files =
-          if (root.isDirectory) fs.listStatus(p).filter(_.isFile).toSeq
-          else Seq(root)
-        files
-          .filterNot { s =>
-            val n = s.getPath.getName
-            n.startsWith("_") || n.startsWith(".")
-          }
-          .sortBy(_.getPath.toString)
-          .map(s => WalSegmentPartition(s.getPath.toString): InputPartition)
-          .toArray
-      }
+      override def planInputPartitions(): Array[InputPartition] =
+        listSegments()
+          .map(f => WalSegmentPartition(f): InputPartition).toArray
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new PartitionReaderFactory {
-          override def createReader(
-              partition: InputPartition): PartitionReader[InternalRow] =
-            new WalFrameReader(
-              partition.asInstanceOf[WalSegmentPartition].file)
+        readerFactory
+
+      /** Micro-batch mode: the offset is the lexicographic NAME
+        * watermark of the last fully-processed segment; each batch is
+        * the set of newly-appeared segments above it. Segments must be
+        * sealed before they appear (write-to-temp + rename, as the
+        * fixture writers here do) — the frame decoder's torn-tail
+        * handling makes a violated contract lose a tail record, not
+        * corrupt one.
+        */
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new MicroBatchStream {
+          override def initialOffset(): Offset = WalNameOffset("")
+
+          override def latestOffset(): Offset = {
+            val segs = listSegments()
+            if (segs.isEmpty) WalNameOffset("")
+            else WalNameOffset(new HPath(segs.last).getName)
+          }
+
+          override def planInputPartitions(start: Offset,
+                                           end: Offset): Array[InputPartition] = {
+            val lo = start.asInstanceOf[WalNameOffset].watermark
+            val hi = end.asInstanceOf[WalNameOffset].watermark
+            listSegments()
+              .filter { f =>
+                val n = new HPath(f).getName
+                n > lo && n <= hi
+              }
+              .map(f => WalSegmentPartition(f): InputPartition).toArray
+          }
+
+          override def createReaderFactory(): PartitionReaderFactory =
+            readerFactory
+
+          override def deserializeOffset(json: String): Offset =
+            WalNameOffset(json.stripPrefix("\"").stripSuffix("\""))
+
+          override def commit(end: Offset): Unit = ()
+          override def stop(): Unit = ()
         }
     }
+}
+
+/** Streaming offset: lexicographic segment-name watermark. */
+private[sources] case class WalNameOffset(watermark: String) extends Offset {
+  override def json(): String = "\"" + watermark + "\""
 }
 
 private[sources] case class WalSegmentPartition(file: String)

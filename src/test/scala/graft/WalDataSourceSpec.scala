@@ -43,6 +43,36 @@ class WalDataSourceSpec extends SparkSuite {
     }
   }
 
+  test("micro-batch stream picks up new segments exactly once") {
+    val dir = Files.createTempDirectory("waldsv2stream")
+    try {
+      Files.write(dir.resolve("wal_log_001"), WalBinary.frame(segA))
+      val q = spark.readStream.format("graft-wal").load(dir.toString)
+        .writeStream.format("memory").queryName("walseg")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("walseg").count() == segA.length)
+        // a new sealed segment arrives; only IT is read in batch 2
+        Files.write(dir.resolve("wal_log_002"), WalBinary.frame(segB))
+        q.processAllAvailable()
+        val lines = spark.table("walseg").collect()
+          .map(_.getString(0)).toSeq
+        assert(lines.size == (segA ++ segB).size, "segment re-read or lost")
+        assert(lines.toSet == (segA ++ segB).toSet)
+        // streamed parse+replay equals the batch replay of the dir
+        val streamed = WalSource.replay(
+          WalSource.parse(spark.table("walseg"))).collect().toSeq
+        val batch = WalSource.replay(WalSource.parse(
+          spark.read.format("graft-wal").load(dir.toString)))
+          .collect().toSeq
+        assert(streamed == batch)
+      } finally q.stop()
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
+  }
+
   test("dsv2 route replays identically to the binaryFile route") {
     val viaDsv2 = WalBinary.dsv2ReplayQuery(spark, sf).collect().toSeq
     val viaBinaryFile = WalBinary.binaryReplayQuery(spark, sf).collect().toSeq
