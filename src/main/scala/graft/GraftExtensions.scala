@@ -3,7 +3,7 @@ package graft
 import graft.functions._
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
 
 /** Registers the native kernels in the SQL function registry, so the
@@ -56,10 +56,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "byte_sample(b, stride) - every stride-th byte of a binary column"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "byte_sample expects 2 arguments")
+        // the builder runs BEFORE constant folding, so accept any
+        // foldable int expression (2+2, CAST(4 AS INT)), not only a
+        // pre-folded Literal
         args(1) match {
-          case Literal(s: Int, IntegerType) => ByteSample(args(0), s)
+          case e if e.foldable && e.dataType == IntegerType =>
+            ByteSample(args(0), e.eval().asInstanceOf[Int])
           case other => throw new IllegalArgumentException(
-            s"byte_sample stride must be an integer literal, got $other")
+            s"byte_sample stride must be a constant integer, got $other")
         }
       }))
   }

@@ -323,6 +323,11 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS channels,
         |  md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm_features / mm_frame_sample oracles are CHAR-based mirrors of
+    // the byte kernels — equivalent on the driver's ASCII fixture
+    // (verified: n_chars == n_bytes throughout). A real media payload
+    // is opaque bytes with no char reading at all; the byte semantics
+    // are the contract, the char SQL is just DuckDB's closest mirror.
     "mm_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -113,11 +113,17 @@ object Ann {
     * projection would move to a broadcast-variable-backed codegen
     * expression, not back to a shuffle.
     */
-  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = collectCentroids(centroids)
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    assignTo(emb, collectCentroids(centroids))
+
+  /** The one assignment projection, shared by assign/search/build so
+    * the three paths cannot drift (AnnSpec's indexed ≡ in-memory
+    * equality depends on byte-identical assignment).
+    */
+  private def assignTo(emb: DataFrame,
+                       cents: Array[(Long, Array[Float])]): DataFrame =
     emb.select(col("id"), col("vec"),
       array_min(centroidDists(col("vec"), cents)).getField("cell").as("cell"))
-  }
 
   /** Shared exact-rerank tail: per-query bounded top-k over scored
     * candidates via the partial-aggregating heap.
@@ -141,8 +147,7 @@ object Ann {
   def ivfSearch(emb: DataFrame, queries: DataFrame, k: Int,
                 nprobe: Int = 2, stride: Long = 200): DataFrame = {
     val cents = collectCentroids(kmeansCentroids(emb, stride))
-    val assigned = emb.select(col("id"), col("vec"),
-      array_min(centroidDists(col("vec"), cents)).getField("cell").as("cell"))
+    val assigned = assignTo(emb, cents)
     // probe cells per query by the same literal-centroid projection:
     // sort the k (cd, cell) structs, slice the nprobe best — no
     // crossJoin, no window shuffle
@@ -179,11 +184,13 @@ object Ann {
                     stride: Long = 200): Unit = {
     import s.implicits._
     val cents = collectCentroids(kmeansCentroids(emb, stride))
-    emb.select(col("id"), col("vec"),
-        array_min(centroidDists(col("vec"), cents)).getField("cell").as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // centroids FIRST, index second: existence checks key on the
+    // index's _SUCCESS (written last), so a crash between the two
+    // writes can never publish an index whose centroids are missing
     cents.toSeq.toDF("cell", "cvec")
       .write.mode("overwrite").parquet(centroidsPath(path))
+    assignTo(emb, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
   /** Search a persisted index: probe cells come from the stored

@@ -170,31 +170,38 @@ object Dedup {
     verifyJaccard(cand, ex, minJaccard)
   }
 
-  /** Candidate pairs from LSH buckets via groupBy + in-bucket pair
-    * expansion — ONE pass over the signature table, where a self-join
+  /** THE in-bucket pair expansion — the one implementation behind
+    * every blocked pairwise operator here (minhash, ngram, simhash,
+    * embedding-LSH): groupBy bucket keys + per-bucket quadratic
+    * expansion in ONE pass over the bucket table, where a self-join
     * would evaluate the whole upstream pipeline twice. Buckets are
-    * tiny by construction (that is the point of LSH), so the
-    * quadratic expansion is per-bucket-bounded; doc_id-ordering
-    * normalization makes the pair set independent of collect_list's
-    * nondeterministic order. Shingle cardinalities ride along so the
-    * verify stage needs no extra pass.
+    * small by construction (that is the point of blocking), so the
+    * expansion is per-bucket-bounded; doc_id-ordering normalization
+    * (`a.doc_id < b.doc_id`) makes the pair set independent of
+    * collect_list's nondeterministic order. `payload` must be a
+    * struct carrying `doc_id`; whatever rides along (cardinalities,
+    * signatures) reaches the verify stage without an extra pass.
     */
-  private def bucketPairs(bands: DataFrame, keys: String*): DataFrame =
-    bands.groupBy(keys.map(col): _*)
-      .agg(collect_list(struct(col("doc_id"), col("c"))).as("ids"))
+  private def inBucketPairs(buckets: DataFrame, keys: Seq[String],
+                            payload: Column): DataFrame =
+    buckets.groupBy(keys.map(col): _*)
+      .agg(collect_list(payload).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ids)-2), i ->
           |  transform(sequence(i+1, size(ids)-1), j ->
           |    CASE WHEN ids[i].doc_id < ids[j].doc_id
-          |      THEN struct(ids[i].doc_id AS id1, ids[j].doc_id AS id2,
-          |                  ids[i].c AS c1, ids[j].c AS c2)
-          |      ELSE struct(ids[j].doc_id AS id1, ids[i].doc_id AS id2,
-          |                  ids[j].c AS c1, ids[i].c AS c2) END)))"""
+          |      THEN struct(ids[i] AS a, ids[j] AS b)
+          |      ELSE struct(ids[j] AS a, ids[i] AS b) END)))"""
           .stripMargin)).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        col("p.c1").as("c1"), col("p.c2").as("c2"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+
+  /** Minhash-band candidates: (id1, id2) with shingle cardinalities. */
+  private def bucketPairs(bands: DataFrame, keys: String*): DataFrame =
+    inBucketPairs(bands, keys, struct(col("doc_id"), col("c")))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.c").as("c1"), col("b.c").as("c2"))
 
   /** Exact jaccard for candidate pairs (id1, id2, c1, c2) from
     * exploded shingle rows: intersection counts via equi-join on
@@ -281,21 +288,10 @@ object Dedup {
       explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("sh"),
         col("b.band").as("band"), col("b.key").as("key"))
-    val cand = banded.groupBy("band", "key")
-      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids)-2), i ->
-          |  transform(sequence(i+1, size(ids)-1), j ->
-          |    CASE WHEN ids[i].doc_id < ids[j].doc_id
-          |      THEN struct(ids[i].doc_id AS id1, ids[j].doc_id AS id2,
-          |                  ids[i].sh AS h1, ids[j].sh AS h2)
-          |      ELSE struct(ids[j].doc_id AS id1, ids[i].doc_id AS id2,
-          |                  ids[j].sh AS h1, ids[i].sh AS h2)
-          |    END)))""".stripMargin)).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        col("p.h1").as("h1"), col("p.h2").as("h2"))
-      .distinct()
+    val cand = inBucketPairs(banded, Seq("band", "key"),
+        struct(col("doc_id"), col("sh")))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sh").as("h1"), col("b.sh").as("h2"))
     cand
       .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
       .where(col("hamming") <= maxHamming)
@@ -374,18 +370,11 @@ object Dedup {
       dim = 64)
     // in-bucket pair expansion, one pass over the signature table
     // (a self-join would run the 16-dot-product signature projection
-    // twice); buckets are small by construction
-    val cand = sig.groupBy("table", "sig")
-      .agg(collect_list(col("id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids)-2), i ->
-          |  transform(sequence(i+1, size(ids)-1), j ->
-          |    struct(least(ids[i], ids[j]) AS id1,
-          |           greatest(ids[i], ids[j]) AS id2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
-      .distinct()
+    // twice)
+    val cand = inBucketPairs(
+        sig.select(col("id").as("doc_id"), col("table"), col("sig")),
+        Seq("table", "sig"), struct(col("doc_id")))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
     cand
       .join(e.as("x"), col("id1") === col("x.vec_id"))
       .join(e.as("y"), col("id2") === col("y.vec_id"))

@@ -35,9 +35,13 @@ object TextOps {
     * the loader's doc_id-keyed exchange — no extra shuffle.
     */
   private def stopCounts(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // explode_outer + null-aware count: a NULL-text document keeps its
+    // row (n_toks = 0) instead of vanishing from the aggregate — a
+    // plain explode emits nothing for it, which silently DROPPED the
+    // doc from langId/quality output while the oracle kept it
+    docs.select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_toks"),
+      .agg(sum(when(col("tok").isNotNull, 1L).otherwise(0L)).as("n_toks"),
         stopHits("en").as("en_hits"),
         stopHits("de").as("de_hits"),
         stopHits("fr").as("fr_hits"))
@@ -45,19 +49,25 @@ object TextOps {
   /** N-gram-heuristic language ID: per-language stopword hit ratio,
     * argmax with a deterministic (score DESC, language ASC) tiebreak.
     */
-  def langId(s: SparkSession, dir: String): DataFrame =
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    // NULL scores (not 0/0 = NaN) for a token-less document, so the
+    // degenerate row is visibly unclassified rather than silently 'fr'
+    def score(hits: String) =
+      when(col("n_toks") === 0, lit(null).cast("double"))
+        .otherwise(col(hits).cast("double") / col("n_toks"))
     stopCounts(Tables.documents(s, dir))
       .select(col("doc_id"),
-        (col("en_hits").cast("double") / col("n_toks")).as("en_score"),
-        (col("de_hits").cast("double") / col("n_toks")).as("de_score"),
-        (col("fr_hits").cast("double") / col("n_toks")).as("fr_score"))
+        score("en_hits").as("en_score"),
+        score("de_hits").as("de_score"),
+        score("fr_hits").as("fr_score"))
       // argmax with (score DESC, language ASC) tiebreak as a when
       // chain — testing languages in lexicographic order ('de' <
       // 'en' < 'fr') with ≥ implements the tie preference the old
       // array_sort form had, without its comparator lambda
       .withColumn("predicted",
-        when(col("de_score") >= col("en_score") &&
-          col("de_score") >= col("fr_score"), "de")
+        when(col("en_score").isNull, lit(null).cast("string"))
+          .when(col("de_score") >= col("en_score") &&
+            col("de_score") >= col("fr_score"), "de")
           .when(col("en_score") >= col("fr_score"), "en")
           .otherwise("fr"))
       .select(col("doc_id"),
@@ -66,6 +76,7 @@ object TextOps {
         round(col("fr_score"), 4).as("fr_score"),
         col("predicted"))
       .orderBy("doc_id")
+  }
 
   /** Quality metrics: length, token stats, stopword/repetition
     * ratios, and a deterministic composite score in [0,1].
@@ -76,7 +87,9 @@ object TextOps {
     // stopCounts); both join sides hash by doc_id off the same spread
     // exchange, so the join adds sorts but no shuffle
     val ratios = stopCounts(docs).select(col("doc_id"),
-      (col("en_hits").cast("double") / col("n_toks")).as("stopword_ratio"))
+      when(col("n_toks") === 0, lit(null).cast("double"))
+        .otherwise(col("en_hits").cast("double") / col("n_toks"))
+        .as("stopword_ratio"))
     docs
       .select(col("doc_id"), col("text"),
         split(col("text"), " ").as("toks"))
@@ -85,7 +98,9 @@ object TextOps {
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
       .withColumn("avg_token_len",
         (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
-      .join(ratios, "doc_id")
+      // left join: a doc with NULL text keeps its (null-metric) row —
+      // an inner join would silently drop it from the quality report
+      .join(ratios, Seq("doc_id"), "left")
       .withColumn("repetition_ratio",
         lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
       .withColumn("quality_score",

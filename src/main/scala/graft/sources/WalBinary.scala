@@ -42,27 +42,61 @@ object WalBinary {
     bos.toByteArray
   }
 
-  /** Decode one segment's bytes into record lines. A frame whose
-    * length field runs past the buffer (torn tail write, garbage
-    * length) ends the scan — the reference reader likewise bails on a
-    * short read rather than resynchronizing (persistence.cc:90).
+  /** THE frame decoder — the single implementation of the physical
+    * format, shared by the in-memory decoder ([[decodeFrames]]) and
+    * the DSv2 streaming reader ([[WalFrameReader]]). A frame whose
+    * length field is garbage, or whose bytes end short (torn tail
+    * write), ends the scan — the reference reader likewise bails on
+    * a short read rather than resynchronizing (persistence.cc:90).
+    * Holds at most one record in memory.
     */
-  def decodeFrames(bytes: Array[Byte]): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    var ok = true
-    while (ok && bb.remaining >= 8) {
-      val n = bb.getLong
-      if (n < 0 || n > bb.remaining) ok = false
-      else {
-        val rec = new Array[Byte](n.toInt)
-        bb.get(rec)
-        val s = new String(rec, UTF_8)
-        out += (if (s.endsWith("\n")) s.dropRight(1) else s)
+  private[sources] def frameIterator(in: java.io.InputStream): Iterator[String] =
+    new Iterator[String] {
+      private var nextRec: String = _
+      private var done = false
+
+      private def readFully(n: Int): Option[Array[Byte]] = {
+        val buf = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = in.read(buf, off, n - off)
+          if (r < 0) return None
+          off += r
+        }
+        Some(buf)
+      }
+
+      private def advance(): Unit = {
+        nextRec = null
+        if (!done) {
+          readFully(8) match {
+            case None => done = true
+            case Some(lenBytes) =>
+              val n = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN)
+                .getLong
+              if (n < 0 || n > Int.MaxValue) done = true
+              else readFully(n.toInt) match {
+                case None => done = true
+                case Some(rec) =>
+                  val s = new String(rec, UTF_8)
+                  nextRec = if (s.endsWith("\n")) s.dropRight(1) else s
+              }
+          }
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): String = {
+        val r = nextRec; advance(); r
       }
     }
-    out.toSeq
-  }
+
+  /** Decode one segment's bytes into record lines (in-memory form of
+    * [[frameIterator]]).
+    */
+  def decodeFrames(bytes: Array[Byte]): Seq[String] =
+    frameIterator(new java.io.ByteArrayInputStream(bytes)).toSeq
 
   /** Reference-format WAL segment files → DataFrame of record lines,
     * ready for [[WalSource.parse]].

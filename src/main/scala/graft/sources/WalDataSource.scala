@@ -1,10 +1,7 @@
 package graft.sources
 
-import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.charset.StandardCharsets.UTF_8
-
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -15,6 +12,7 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 connector for reference-format WAL segments:
   * `spark.read.format("graft-wal").load(dir)` yields the record
@@ -26,12 +24,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-file cap — and the source composes with the ordinary reader
   * API surface (format registry via DataSourceRegister, one
   * InputPartition per segment, `_`/`.`-prefixed files skipped like
-  * every Spark file source).
+  * every Spark file source). The session's Hadoop configuration is
+  * broadcast to the readers, so `spark.hadoop.*` settings (S3
+  * credentials, endpoints) apply exactly as in built-in sources.
   *
   * Physical format per record (reference persistence.cc:60-66):
   * little-endian uint64 byte length, then `log_id|version|optype|
   * json\n`. A torn or garbled tail frame ends that segment's scan,
-  * matching the reference reader's bail-on-short-read.
+  * matching the reference reader's bail-on-short-read. The frame
+  * decode itself is [[WalBinary.frameIterator]] — one implementation
+  * shared with the in-memory decoder.
   */
 class WalDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-wal"
@@ -50,24 +52,55 @@ class WalDataSource extends TableProvider with DataSourceRegister {
 object WalDataSource {
   val Schema: StructType =
     StructType(Seq(StructField("line", StringType, nullable = false)))
+
+  /** Natural (numeric-aware) name ordering: alternating text/digit
+    * runs, digit runs compared as integers — so `wal_log_10` sorts
+    * AFTER `wal_log_9`. The reference rotates `wal_log_<id>` with a
+    * monotonically increasing, NON-zero-padded id: plain lexicographic
+    * ordering would place wal_log_10 below the wal_log_9 watermark
+    * and silently lose every segment from 10 up.
+    */
+  def naturalCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      if (a(i).isDigit && b(j).isDigit) {
+        val si = i; val sj = j
+        while (i < a.length && a(i).isDigit) i += 1
+        while (j < b.length && b(j).isDigit) j += 1
+        val na = BigInt(a.substring(si, i))
+        val nb = BigInt(b.substring(sj, j))
+        val c = na.compare(nb)
+        if (c != 0) return c
+      } else {
+        val c = a(i).compareTo(b(j))
+        if (c != 0) return c
+        i += 1; j += 1
+      }
+    }
+    (a.length - i).compareTo(b.length - j)
+  }
+
+  private[sources] val NaturalOrdering: Ordering[String] =
+    (a: String, b: String) => naturalCompare(a, b)
 }
 
 private[sources] class WalSegmentTable(path: String)
     extends Table with SupportsRead {
+  import WalDataSource.{NaturalOrdering, naturalCompare}
+
   override def name(): String = s"graft-wal(`$path`)"
   override def schema(): StructType = WalDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
 
-  /** Visible segment files, sorted by name. Segment names must be
-    * lexicographically increasing across rotations (the standard
-    * log-rotation convention; the reference's `wal_log_<id>` with a
-    * monotonic id) — streaming uses the name as its watermark.
+  /** Visible segment files in natural name order (see
+    * [[WalDataSource.naturalCompare]]) — streaming uses the name as
+    * its watermark, so the listing order IS the stream order.
     */
-  private def listSegments(): Seq[String] = {
+  private def listSegments(hconf: SerializableConfiguration): Seq[String] = {
     val p = new HPath(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hconf.value)
     val root = fs.getFileStatus(p)
     val files =
       if (root.isDirectory) fs.listStatus(p).filter(_.isFile).toSeq
@@ -78,17 +111,21 @@ private[sources] class WalSegmentTable(path: String)
         val n = new HPath(f).getName
         n.startsWith("_") || n.startsWith(".")
       }
-      .sorted
+      .sortBy(f => new HPath(f).getName)(NaturalOrdering)
   }
 
-  private val readerFactory: PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(
-          partition: InputPartition): PartitionReader[InternalRow] =
-        new WalFrameReader(partition.asInstanceOf[WalSegmentPartition].file)
-    }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // session Hadoop conf captured on the driver, shipped to readers
+    val hconf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    val readerFactory: PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(
+            partition: InputPartition): PartitionReader[InternalRow] =
+          new WalFrameReader(
+            partition.asInstanceOf[WalSegmentPartition].file, hconf)
+      }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
       override def build(): Scan = this
       override def readSchema(): StructType = WalDataSource.Schema
@@ -98,13 +135,13 @@ private[sources] class WalSegmentTable(path: String)
         * splits, so the segment is the unit of parallelism.
         */
       override def planInputPartitions(): Array[InputPartition] =
-        listSegments()
+        listSegments(hconf)
           .map(f => WalSegmentPartition(f): InputPartition).toArray
 
       override def createReaderFactory(): PartitionReaderFactory =
         readerFactory
 
-      /** Micro-batch mode: the offset is the lexicographic NAME
+      /** Micro-batch mode: the offset is the natural-order NAME
         * watermark of the last fully-processed segment; each batch is
         * the set of newly-appeared segments above it. Segments must be
         * sealed before they appear (write-to-temp + rename, as the
@@ -117,7 +154,7 @@ private[sources] class WalSegmentTable(path: String)
           override def initialOffset(): Offset = WalNameOffset("")
 
           override def latestOffset(): Offset = {
-            val segs = listSegments()
+            val segs = listSegments(hconf)
             if (segs.isEmpty) WalNameOffset("")
             else WalNameOffset(new HPath(segs.last).getName)
           }
@@ -126,10 +163,10 @@ private[sources] class WalSegmentTable(path: String)
                                            end: Offset): Array[InputPartition] = {
             val lo = start.asInstanceOf[WalNameOffset].watermark
             val hi = end.asInstanceOf[WalNameOffset].watermark
-            listSegments()
+            listSegments(hconf)
               .filter { f =>
                 val n = new HPath(f).getName
-                n > lo && n <= hi
+                naturalCompare(n, lo) > 0 && naturalCompare(n, hi) <= 0
               }
               .map(f => WalSegmentPartition(f): InputPartition).toArray
           }
@@ -144,61 +181,33 @@ private[sources] class WalSegmentTable(path: String)
           override def stop(): Unit = ()
         }
     }
-}
-
-/** Streaming offset: lexicographic segment-name watermark. */
-private[sources] case class WalNameOffset(watermark: String) extends Offset {
-  override def json(): String = "\"" + watermark + "\""
+  }
 }
 
 private[sources] case class WalSegmentPartition(file: String)
     extends InputPartition
 
-/** Streams one segment frame by frame; holds at most one record in
-  * memory.
+/** Streaming offset: natural-order segment-name watermark. */
+private[sources] case class WalNameOffset(watermark: String) extends Offset {
+  override def json(): String = "\"" + watermark + "\""
+}
+
+/** Streams one segment frame by frame via the shared
+  * [[WalBinary.frameIterator]]; holds at most one record in memory.
   */
-private[sources] class WalFrameReader(file: String)
+private[sources] class WalFrameReader(file: String,
+                                      hconf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   private val path = new HPath(file)
-  private val in = path.getFileSystem(new Configuration()).open(path)
+  private val in = path.getFileSystem(hconf.value).open(path)
+  private val frames = WalBinary.frameIterator(in)
   private var current: UTF8String = _
-  private var done = false
 
-  /** Read exactly `n` bytes; None on clean EOF at offset 0 of the
-    * read, or on a short (torn) read.
-    */
-  private def readFully(n: Int): Option[Array[Byte]] = {
-    val buf = new Array[Byte](n)
-    var off = 0
-    while (off < n) {
-      val r = in.read(buf, off, n - off)
-      if (r < 0) return None
-      off += r
-    }
-    Some(buf)
-  }
-
-  override def next(): Boolean = {
-    if (done) return false
-    readFully(8) match {
-      case None => done = true; false
-      case Some(lenBytes) =>
-        val n = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN)
-          .getLong
-        // garbage length (negative / absurd) or torn record: bail on
-        // this segment, like the reference's short-read handling
-        if (n < 0 || n > Int.MaxValue) { done = true; false }
-        else readFully(n.toInt) match {
-          case None => done = true; false
-          case Some(rec) =>
-            val s = new String(rec, UTF_8)
-            current = UTF8String.fromString(
-              if (s.endsWith("\n")) s.dropRight(1) else s)
-            true
-        }
-    }
-  }
+  override def next(): Boolean =
+    if (frames.hasNext) {
+      current = UTF8String.fromString(frames.next()); true
+    } else false
 
   override def get(): InternalRow = new GenericInternalRow(Array[Any](current))
 

@@ -68,8 +68,12 @@ object WalSource {
       // readNextWALLog bails on a short/garbled frame); a null-id
       // group reaching replay would silently fabricate a bogus state
       // row
+      // id is required only for ops that carry a payload id — a valid
+      // admin record with no $.id (e.g. a flush/snapshot marker) is
+      // not corruption
       .where(col("log_id").isNotNull && col("version").isNotNull &&
-        col("op").isNotNull && col("id").isNotNull)
+        col("op").isNotNull &&
+        !(col("op") === "upsert" && col("id").isNull))
 
   /** Replay: last-writer-wins by (version, log_id) per id — the bulk
     * form of reloadDatabase's sequential apply loop

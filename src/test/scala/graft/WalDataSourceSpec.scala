@@ -46,7 +46,11 @@ class WalDataSourceSpec extends SparkSuite {
   test("micro-batch stream picks up new segments exactly once") {
     val dir = Files.createTempDirectory("waldsv2stream")
     try {
-      Files.write(dir.resolve("wal_log_001"), WalBinary.frame(segA))
+      // names cross the digit-count boundary DELIBERATELY: the
+      // reference's rotation ids are not zero-padded, and
+      // "wal_log_10" < "wal_log_9" lexicographically — a plain string
+      // watermark would lose every segment from 10 up, forever
+      Files.write(dir.resolve("wal_log_9"), WalBinary.frame(segA))
       val q = spark.readStream.format("graft-wal").load(dir.toString)
         .writeStream.format("memory").queryName("walseg")
         .outputMode("append").start()
@@ -54,7 +58,7 @@ class WalDataSourceSpec extends SparkSuite {
         q.processAllAvailable()
         assert(spark.table("walseg").count() == segA.length)
         // a new sealed segment arrives; only IT is read in batch 2
-        Files.write(dir.resolve("wal_log_002"), WalBinary.frame(segB))
+        Files.write(dir.resolve("wal_log_10"), WalBinary.frame(segB))
         q.processAllAvailable()
         val lines = spark.table("walseg").collect()
           .map(_.getString(0)).toSeq
@@ -71,6 +75,16 @@ class WalDataSourceSpec extends SparkSuite {
     } finally {
       dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
     }
+  }
+
+  test("segment ordering is numeric-aware (wal_log_10 after wal_log_9)") {
+    import graft.sources.WalDataSource.naturalCompare
+    assert(naturalCompare("wal_log_10", "wal_log_9") > 0)
+    assert(naturalCompare("wal_log_9", "wal_log_10") < 0)
+    assert(naturalCompare("wal_log_2", "wal_log_2") == 0)
+    assert(naturalCompare("wal_log_001", "wal_log_2") < 0)
+    assert(naturalCompare("a9", "a10b") < 0)
+    assert(naturalCompare("seg", "seg1") < 0)
   }
 
   test("dsv2 route replays identically to the binaryFile route") {
