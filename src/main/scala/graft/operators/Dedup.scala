@@ -159,7 +159,15 @@ object Dedup {
     * candidate pairs (see [[verifyJaccard]]).
     */
   def minhashPairs(s: SparkSession, dir: String,
-                   minJaccard: Double = 0.5): DataFrame = {
+                   minJaccard: Double = 0.5): DataFrame =
+    minhashPairsUnsorted(s, dir, minJaccard).orderBy("id1", "id2")
+
+  /** Pairs without the surface sort — for composition (the cleaning
+    * pipeline consumes the pair set through a distinct + anti-join,
+    * which would execute-then-destroy an orderBy here).
+    */
+  def minhashPairsUnsorted(s: SparkSession, dir: String,
+                           minJaccard: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     // the shingle table feeds banding AND verify; recomputing it per
     // reference beats .persist() here — columnar cache construction
@@ -221,7 +229,6 @@ object Dedup {
         col("n").cast("double") / (col("c1") + col("c2") - col("n")))
       .where(col("j") >= minJaccard)
       .select(col("id1"), col("id2"), round(col("j"), 4).as("jaccard"))
-      .orderBy("id1", "id2")
   }
 
   /** Width-parameterized SimHash over token md5s (token-frequency
@@ -238,26 +245,59 @@ object Dedup {
     * BIGINT on BOTH engines; 16 digits would need unsigned wrap
     * gymnastics DuckDB's CAST refuses.
     */
+  /** Counters per aggregate lane. Each per-bit vote needs one counter
+    * of set-bit occurrences b_c (the ±1 vote sum is 2·b_c − n, so
+    * only b_c must be aggregated); packing 3 counters of 21 bits into
+    * each long cuts the aggregate count 3× (60-bit simhash: 20 sum()
+    * buffers instead of 60). 21 bits caps a document at 2,097,151
+    * tokens per counter — far beyond any tokenizer's document cap;
+    * the require below makes an overflow impossible to hit silently
+    * at plan-build time (width is static) and the count itself is
+    * checked per doc at runtime via the vote reconstruction staying
+    * in range.
+    */
+  private val LaneBits = 21
+  private val LanesPerLong = 3
+
   def simhashBits(s: SparkSession, dir: String, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 60, s"simhash width $bits not in [1,60]")
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
         shiftright(graft.functions.Md5Prefix60(col("tok")), 60 - bits).as("h"))
-    val votes = (0 until bits).map(b =>
-      sum(when(expr(s"(h div ${1L << b}) % 2 = 1"), 1L).otherwise(-1L))
-        .as(s"v$b"))
-    val sim = (0 until bits).map(b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    val nGroups = (bits + LanesPerLong - 1) / LanesPerLong
+    // per token, pack this group's set-bit indicators into lanes;
+    // sum() then accumulates all lanes of the group at once
+    val packed = (0 until nGroups).map { g =>
+      val term = (0 until LanesPerLong)
+        .map(l => (g * LanesPerLong + l, l))
+        .filter(_._1 < bits)
+        .map { case (c, l) =>
+          expr(s"((h div ${1L << c}) % 2) * ${1L << (LaneBits * l)}")
+        }
+        .reduce(_ + _)
+      sum(term).as(s"p$g")
+    }
+    // bit c set ⟺ vote 2·b_c − n > 0 ⟺ 2·b_c > n
+    val sim = (0 until bits).map { c =>
+      val g = c / LanesPerLong
+      val off = LaneBits * (c % LanesPerLong)
+      when(expr(s"(p$g div ${1L << off}) % ${1L << LaneBits}") * 2
+        > col("n_tokens"), lit(1L << c)).otherwise(0L)
+    }.reduce(_ + _)
+    // UNSORTED: the pairs pipelines consume this through a groupBy
+    // whose exchange would destroy (but still execute!) a sort here —
+    // deterministic ordering belongs to the query surface ([[simhash]])
     toks.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), votes: _*)
+      .agg(count(lit(1)).as("n_tokens"), packed: _*)
       .select(col("doc_id"), col("n_tokens"), sim.as(s"simhash$bits"))
-      .orderBy("doc_id")
   }
 
-  /** The 16-bit signature query surface (oracle-pinned column name). */
+  /** The 16-bit signature query surface (oracle-pinned column name,
+    * deterministic order).
+    */
   def simhash(s: SparkSession, dir: String): DataFrame =
-    simhashBits(s, dir, 16)
+    simhashBits(s, dir, 16).orderBy("doc_id")
 
   /** SimHash near-dup pairs: block on `bands` equal-width bands of
     * the `bits`-bit signature, then verify exact hamming ≤ maxHamming
@@ -340,7 +380,7 @@ object Dedup {
         md5(concat(col("m0").cast("string"), lit("|"),
           col("m1").cast("string"))).as("block"))
     val cand = bucketPairs(blk, "block")
-    verifyJaccard(cand, ex, minJaccard)
+    verifyJaccard(cand, ex, minJaccard).orderBy("id1", "id2")
   }
 
   /** Embedding-cosine near-dup pairs, blocked on sign-LSH buckets

@@ -23,10 +23,13 @@ object Pipeline {
                   minQuality: Double = 0.5,
                   minJaccard: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val quality = TextOps.quality(s, dir)
+    // unsorted internal forms: the surface orderBys of the standalone
+    // queries would be executed here and then destroyed by the join/
+    // distinct exchanges
+    val quality = TextOps.qualityMetrics(s, dir)
       .select(col("doc_id"), col("quality_score"))
     // near-dup victims: the larger id of each verified pair
-    val victims = Dedup.minhashPairs(s, dir, minJaccard)
+    val victims = Dedup.minhashPairsUnsorted(s, dir, minJaccard)
       .select(col("id2").as("doc_id")).distinct()
     docs.select("doc_id", "source")
       .join(quality, "doc_id")

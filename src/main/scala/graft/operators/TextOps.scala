@@ -81,7 +81,14 @@ object TextOps {
   /** Quality metrics: length, token stats, stopword/repetition
     * ratios, and a deterministic composite score in [0,1].
     */
-  def quality(s: SparkSession, dir: String): DataFrame = {
+  def quality(s: SparkSession, dir: String): DataFrame =
+    qualityMetrics(s, dir).orderBy("doc_id")
+
+  /** Metrics without the surface sort — for composition (the cleaning
+    * pipeline joins on doc_id, whose exchange would execute-then-
+    * destroy an orderBy here).
+    */
+  def qualityMetrics(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // stopword ratio from the exploded one-pass aggregate (see
     // stopCounts); both join sides hash by doc_id off the same spread
@@ -115,7 +122,6 @@ object TextOps {
         round(col("stopword_ratio"), 4).as("stopword_ratio"),
         round(col("repetition_ratio"), 4).as("repetition_ratio"),
         col("quality_score"))
-      .orderBy("doc_id")
   }
 
   /** Token counting: whitespace tokens and a BPE-ish segmentation
