@@ -61,7 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // pre-folded Literal
         args(1) match {
           case e if e.foldable && e.dataType == IntegerType =>
-            ByteSample(args(0), e.eval().asInstanceOf[Int])
+            // match, don't unbox: a foldable NULL would unbox to 0 and
+            // surface as a misleading "stride must be positive, got 0"
+            e.eval() match {
+              case i: java.lang.Integer => ByteSample(args(0), i.intValue())
+              case _ => throw new IllegalArgumentException(
+                "byte_sample stride must be a non-NULL constant integer")
+            }
           case other => throw new IllegalArgumentException(
             s"byte_sample stride must be a constant integer, got $other")
         }

@@ -250,14 +250,15 @@ object Dedup {
     * only b_c must be aggregated); packing 3 counters of 21 bits into
     * each long cuts the aggregate count 3× (60-bit simhash: 20 sum()
     * buffers instead of 60). 21 bits caps a document at 2,097,151
-    * tokens per counter — far beyond any tokenizer's document cap;
-    * the require below makes an overflow impossible to hit silently
-    * at plan-build time (width is static) and the count itself is
-    * checked per doc at runtime via the vote reconstruction staying
-    * in range.
+    * tokens per counter; a doc over the cap would overflow a lane
+    * into its neighbor and SILENTLY corrupt the signature, so the
+    * signature projection raises on it (one codegen comparison per
+    * doc — see the raise_error guard in [[simhashBits]]). Chunk
+    * over-cap documents upstream, or lower LanesPerLong.
     */
   private val LaneBits = 21
   private val LanesPerLong = 3
+  private val LaneCap = (1L << LaneBits) - 1
 
   def simhashBits(s: SparkSession, dir: String, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 60, s"simhash width $bits not in [1,60]")
@@ -290,7 +291,14 @@ object Dedup {
     // deterministic ordering belongs to the query surface ([[simhash]])
     toks.groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), packed: _*)
-      .select(col("doc_id"), col("n_tokens"), sim.as(s"simhash$bits"))
+      .select(col("doc_id"), col("n_tokens"),
+        // fail loudly on a lane-cap overflow instead of emitting a
+        // silently corrupt signature
+        when(col("n_tokens") > LaneCap,
+          expr(s"raise_error(concat('simhash lane overflow: doc ', " +
+            s"doc_id, ' has ', n_tokens, ' tokens (cap $LaneCap)'))")
+            .cast("long"))
+          .otherwise(sim).as(s"simhash$bits"))
   }
 
   /** The 16-bit signature query surface (oracle-pinned column name,

@@ -37,8 +37,12 @@ object TextOps {
   private def stopCounts(docs: DataFrame): DataFrame =
     // explode_outer + null-aware count: a NULL-text document keeps its
     // row (n_toks = 0) instead of vanishing from the aggregate — a
-    // plain explode emits nothing for it, which silently DROPPED the
-    // doc from langId/quality output while the oracle kept it
+    // plain explode emits nothing for it, silently DROPPING the doc
+    // from langId/quality output. Its metrics come out NULL and
+    // langId's predicted is intentionally NULL (unclassified). The
+    // driver fixture contains no NULL text, so the oracles don't
+    // exercise this path; the contract here is "degenerate rows stay
+    // visible", not an oracle-pinned value.
     docs.select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id")
       .agg(sum(when(col("tok").isNotNull, 1L).otherwise(0L)).as("n_toks"),

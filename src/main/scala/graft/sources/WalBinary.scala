@@ -55,15 +55,23 @@ object WalBinary {
       private var nextRec: String = _
       private var done = false
 
+      /** Read exactly `n` bytes, accumulating in bounded chunks: a
+        * garbled length field must not allocate its CLAIMED size up
+        * front (a few corrupt bytes could otherwise demand a ~2 GB
+        * buffer and OOM the executor before EOF reveals the tear) —
+        * memory grows only with bytes actually read.
+        */
       private def readFully(n: Int): Option[Array[Byte]] = {
-        val buf = new Array[Byte](n)
-        var off = 0
-        while (off < n) {
-          val r = in.read(buf, off, n - off)
+        val out = new java.io.ByteArrayOutputStream(math.min(n, 1 << 16))
+        val chunk = new Array[Byte](math.min(n, 1 << 16))
+        var remaining = n
+        while (remaining > 0) {
+          val r = in.read(chunk, 0, math.min(chunk.length, remaining))
           if (r < 0) return None
-          off += r
+          out.write(chunk, 0, r)
+          remaining -= r
         }
-        Some(buf)
+        Some(out.toByteArray)
       }
 
       private def advance(): Unit = {

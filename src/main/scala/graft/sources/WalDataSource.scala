@@ -151,19 +151,30 @@ private[sources] class WalSegmentTable(path: String)
         */
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new MicroBatchStream {
+          // one LIST per trigger: latestOffset's directory listing is
+          // reused by the planInputPartitions call that follows it
+          // (object-store LIST calls are the hot cost of a short
+          // trigger interval over thousands of segments)
+          @volatile private var lastListing: (String, Seq[String]) = ("", Nil)
+
           override def initialOffset(): Offset = WalNameOffset("")
 
           override def latestOffset(): Offset = {
             val segs = listSegments(hconf)
-            if (segs.isEmpty) WalNameOffset("")
-            else WalNameOffset(new HPath(segs.last).getName)
+            val mark =
+              if (segs.isEmpty) "" else new HPath(segs.last).getName
+            lastListing = (mark, segs)
+            WalNameOffset(mark)
           }
 
           override def planInputPartitions(start: Offset,
                                            end: Offset): Array[InputPartition] = {
             val lo = start.asInstanceOf[WalNameOffset].watermark
             val hi = end.asInstanceOf[WalNameOffset].watermark
-            listSegments(hconf)
+            val segs =
+              if (lastListing._1 == hi) lastListing._2
+              else listSegments(hconf)
+            segs
               .filter { f =>
                 val n = new HPath(f).getName
                 naturalCompare(n, lo) > 0 && naturalCompare(n, hi) <= 0
