@@ -91,6 +91,7 @@ object SparkEntry {
     "stream_window_daily" -> (graft.streaming.BatchTwins.windowDailyQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
     "ann_ivf_indexed" -> (Ann.ivfIndexedQuery _),
+    "ann_ivf_sq8" -> (Ann.ivfSq8Query _),
     "ann_lsh" -> (Ann.lshQuery _),
     "vdb_knn_sq8" -> (Quant.sq8Query _),
     "mm_decode" -> (Multimodal.decodeQuery _),

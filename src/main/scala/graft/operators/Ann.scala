@@ -299,6 +299,101 @@ object Ann {
     lshSearch(e, q, k = 10)
   }
 
+  // ------------------------------------------------------ IVF + SQ8
+
+  private def quantPath(indexPath: String): String = indexPath + "_quant"
+
+  /** IVF index with SQ8 codes alongside the float vectors — the
+    * FAISS IVF+ScalarQuantizer layout as a TABLE: partitioned by
+    * cell for probe pruning, with a 1-byte-per-dim `code` column so
+    * the probe scan reads ~4× fewer bytes and the float `vec` column
+    * is only decoded for the shortlist (column pruning keeps it out
+    * of the first scan entirely — visible in ReadSchema).
+    */
+  def ivfSq8BuildIndex(s: SparkSession, emb: DataFrame, path: String,
+                       stride: Long = 200): Unit = {
+    import s.implicits._
+    val (mins, maxs) = Quant.trainMinMax(emb)
+    val cents = collectCentroids(kmeansCentroids(emb, stride))
+    // sidecars first; the index's _SUCCESS (written last) is the
+    // publish marker
+    mins.indices.map(i => (i, mins(i), maxs(i))).toDF("dim", "mn", "mx")
+      .write.mode("overwrite").parquet(quantPath(path))
+    cents.toSeq.toDF("cell", "cvec")
+      .write.mode("overwrite").parquet(centroidsPath(path))
+    assignTo(emb, cents)
+      .withColumn("code",
+        graft.functions.Quantize.encode(col("vec"), mins, maxs))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe-pruned quantized search: partition-filtered scan of
+    * (id, code) only → code-space L2 shortlist of rerank·k per query
+    * → exact float rerank reading `vec` just for the probed cells'
+    * shortlist join. Compounds the three scale primitives: partition
+    * pruning (IO: skip unprobed cells), SQ8 (bandwidth: 4× smaller
+    * probe scan), bounded-heap top-k (shuffle: O(Q·k·partitions)).
+    */
+  def ivfSq8Search(s: SparkSession, path: String, queries: DataFrame,
+                   k: Int, nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+    val qp = s.read.parquet(quantPath(path))
+      .orderBy("dim").collect()
+    val mins = qp.map(_.getDouble(1))
+    val maxs = qp.map(_.getDouble(2))
+    val cents = collectCentroids(
+      s.read.parquet(centroidsPath(path)).select(col("cell"), col("cvec")))
+    val probes = queries.select(col("qid"), col("qvec"),
+      explode(slice(array_sort(centroidDists(col("qvec"), cents)),
+        1, nprobe)).as("p"))
+      .select(col("qid"), col("qvec"),
+        graft.functions.Quantize.encode(col("qvec"), mins, maxs).as("qcode"),
+        col("p.cell").as("cell"))
+    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    // scan 1: codes only (vec pruned away), partition-filtered
+    val codes = s.read.parquet(path)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .select("id", "code", "cell")
+    val scored = codes.join(probes.select("qid", "qcode", "cell"), "cell")
+      .select(col("qid"),
+        graft.functions.Quantize.l2(col("code"), col("qcode"), mins, maxs)
+          .as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    val short = TopKAgg.topK(k * rerank)
+    val shortlist = scored.groupBy("qid")
+      .agg(short(col("key"), col("id")).as("top"))
+      .select(col("qid"), explode(col("top.items")).as("c"))
+      .select(col("qid"), col("c.id").as("id"))
+    // scan 2: float vectors, still partition-filtered, joined to the
+    // shortlist only
+    val vecs = s.read.parquet(path)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .select("id", "vec")
+    val rescored = shortlist
+      .join(vecs, "id")
+      .join(broadcast(queries.select("qid", "qvec")), "qid")
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    topKPerQuery(rescored, k)
+  }
+
+  def ivfSq8Query(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val path = java.nio.file.Paths.get("target", "tmp", s"ivfsq8-$key")
+      .toAbsolutePath.toString
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      ivfSq8BuildIndex(s, e, path)
+    }
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    ivfSq8Search(s, path, q, k = 10, nprobe = 2)
+  }
+
   /** Persisted-index twin of [[ivfQuery]] (same stride/k/nprobe, so
     * AnnSpec can assert result equality); index built once per sf dir
     * under target/tmp.

@@ -60,4 +60,32 @@ class QuantSpec extends SparkSuite {
     val b = Quant.sq8Query(spark, sf).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("ivf+sq8: pruned code-only probe scan, useful recall, deterministic") {
+    import graft.operators.Ann
+    val out = Ann.ivfSq8Query(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // recall vs exact cosine top-k (the rerank metric): quantized
+    // probing of 2 cells must keep useful recall
+    val exact = Knn.topK(emb, qs, 10, Knn.Metric.Cosine)
+      .select("qid", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf+sq8 recall collapsed: $recall")
+    // the probe scan reads codes, never the float vectors: some scan's
+    // ReadSchema must contain code without vec, with partition pruning
+    val plan = Ann.ivfSq8Query(spark, sf)
+      .queryExecution.executedPlan.toString
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(l => l.contains("code") && !l.contains("vec")),
+      s"probe scan decodes float vectors:\n${reads.mkString("\n")}")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell") &&
+        !l.contains("PartitionFilters: []")),
+      "index scan not partition-pruned")
+    // deterministic
+    assert(Ann.ivfSq8Query(spark, sf).collect().toSeq == rows.toSeq)
+  }
 }
