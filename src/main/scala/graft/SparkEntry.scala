@@ -156,6 +156,7 @@ object SparkEntry {
     "q6_filter_agg" -> (Analytics.q6ForecastRevenue _),
     "q3_join" -> Analytics.q3ShippingPriority _,
     "q5_join" -> Analytics.q5LocalSupplierVolume _,
+    "q7_volume" -> ((s, d) => Analytics.q7VolumeShipping(s, d)),
     "q14_promo" -> (Analytics.q14PromoEffect _),
     "q10_returned" -> (Analytics.q10ReturnedItems _),
     "q19_disc_rev" -> (Analytics.q19DiscountedRevenue _),
@@ -744,6 +745,22 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q14_promo" ->
       """SELECT round(
         |  sum(CASE WHEN p_type = 'PROMO'

@@ -178,6 +178,38 @@ object Analytics {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
 
+  /** TPC-H Q7 shape: bilateral trade volume between two nations by
+    * ship year — the same bounded dimension joined in TWO ROLES
+    * (supplier's nation and customer's nation), with the
+    * either-direction pair predicate evaluated after both joins. Both
+    * roles broadcast (nation is ≤25 rows at any SF).
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String,
+                       n1: String = "NATION_1",
+                       n2: String = "NATION_2"): DataFrame = {
+    val nations = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = Tables.customer(s, dir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .where((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Top-3 orders per customer — the canonical ranking window. */
   def windowTopOrders(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val w = Window.partitionBy("o_custkey")
