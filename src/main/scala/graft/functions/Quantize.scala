@@ -154,6 +154,87 @@ case class VecL2Q8(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Cosine similarity between two SQ8 codes, decoded on the fly
+  * (x_d = min_d + code_d·scale_d): one fused byte loop accumulating
+  * dot and both norms. NULL on code-length mismatch or zero norm —
+  * the same contract as the float [[VecCosine]] — so a code-space
+  * shortlist under a cosine search ranks by (an 8-bit approximation
+  * of) the SAME metric the exact rerank uses; shortlisting by L2
+  * instead would cut small-norm but direction-aligned vectors that
+  * cosine ranks near.
+  */
+case class VecCosineQ8(left: Expression, right: Expression,
+                       mins: Array[Double], maxs: Array[Double])
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine_q8"
+  override def nullable: Boolean = true
+
+  private lazy val scales: Array[Double] =
+    mins.indices.map(i => (maxs(i) - mins(i)) / 255.0).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary inputs, got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[Array[Byte]]
+    val b = bv.asInstanceOf[Array[Byte]]
+    if (a.length != b.length) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, scales.length)
+      while (i < n) {
+        val x = mins(i) + (a(i) & 0xff) * scales(i)
+        val y = mins(i) + (b(i) & 0xff) * scales(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) null else dot / denom
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("mins", mins, "double[]")
+    val scalesRef = ctx.addReferenceObj("scales", scales, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val denom = ctx.freshName("denom")
+      s"""
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  final int $n = java.lang.Math.min($a.length, $scalesRef.length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = $minsRef[$i] + ($a[$i] & 0xff) * $scalesRef[$i];
+         |    final double $y = $minsRef[$i] + ($b[$i] & 0xff) * $scalesRef[$i];
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  final double $denom =
+         |    java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object Quantize {
   def encode(c: Column, mins: Array[Double], maxs: Array[Double]): Column =
     GraftColumnBridge.column(
@@ -161,6 +242,12 @@ object Quantize {
 
   def l2(a: Column, b: Column, mins: Array[Double], maxs: Array[Double]): Column =
     GraftColumnBridge.column(VecL2Q8(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
+      mins, maxs))
+
+  def cosine(a: Column, b: Column, mins: Array[Double],
+             maxs: Array[Double]): Column =
+    GraftColumnBridge.column(VecCosineQ8(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b),
       mins, maxs))
 }

@@ -342,28 +342,26 @@ object Ann {
     val maxs = qp.map(_.getDouble(2))
     val cents = collectCentroids(
       s.read.parquet(centroidsPath(path)).select(col("cell"), col("cvec")))
-    val probes = queries.select(col("qid"), col("qvec"),
+    val probes = queries.select(col("qid"),
       explode(slice(array_sort(centroidDists(col("qvec"), cents)),
-        1, nprobe)).as("p"))
-      .select(col("qid"), col("qvec"),
-        graft.functions.Quantize.encode(col("qvec"), mins, maxs).as("qcode"),
-        col("p.cell").as("cell"))
+        1, nprobe)).as("p"),
+      graft.functions.Quantize.encode(col("qvec"), mins, maxs).as("qcode"))
+      .select(col("qid"), col("qcode"), col("p.cell").as("cell"))
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
-    // scan 1: codes only (vec pruned away), partition-filtered
+    // scan 1: codes only (vec pruned away), partition-filtered;
+    // shortlist ranks by code-space COSINE — the same metric the
+    // exact rerank uses (an L2 shortlist would cut small-norm but
+    // direction-aligned vectors that cosine ranks near)
     val codes = s.read.parquet(path)
       .where(col("cell").isin(cells.toIndexedSeq: _*))
       .select("id", "code", "cell")
-    val scored = codes.join(probes.select("qid", "qcode", "cell"), "cell")
+    val scored = codes.join(probes, "cell")
       .select(col("qid"),
-        graft.functions.Quantize.l2(col("code"), col("qcode"), mins, maxs)
-          .as("key"),
+        (-graft.functions.Quantize.cosine(col("code"), col("qcode"),
+          mins, maxs)).as("key"),
         col("id"))
       .where(col("key").isNotNull)
-    val short = TopKAgg.topK(k * rerank)
-    val shortlist = scored.groupBy("qid")
-      .agg(short(col("key"), col("id")).as("top"))
-      .select(col("qid"), explode(col("top.items")).as("c"))
-      .select(col("qid"), col("c.id").as("id"))
+    val shortlist = TopKAgg.shortlist(scored, k * rerank)
     // scan 2: float vectors, still partition-filtered, joined to the
     // shortlist only
     val vecs = s.read.parquet(path)

@@ -49,11 +49,7 @@ object Quant {
         Quantize.l2(col("code"), col("qcode"), mins, maxs).as("key"),
         col("id"))
       .where(col("key").isNotNull)
-    val short = TopKAgg.topK(k * rerank)
-    val shortlist = scored.groupBy("qid")
-      .agg(short(col("key"), col("id")).as("top"))
-      .select(col("qid"), explode(col("top.items")).as("c"))
-      .select(col("qid"), col("c.id").as("id"))
+    val shortlist = TopKAgg.shortlist(scored, k * rerank)
     // exact rerank touches only the shortlist's float vectors
     val rescored = shortlist
       .join(emb, "id")

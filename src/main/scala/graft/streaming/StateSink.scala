@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import graft.operators.WalReplay
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -10,38 +10,60 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * periodic takeSnapshot) in Structured Streaming form: each
   * micro-batch's per-key partial state ([[WalReplay.partialState]])
   * merges (⊎, [[WalReplay.mergeStates]]) into a versioned parquet
-  * snapshot that any batch reader can load at any time.
+  * snapshot that any batch reader can load.
   *
-  * The ⊎ precondition (disjoint log slices) is exactly what
-  * micro-batches give: each event belongs to one batch. Versioned
-  * directories make the sink crash-safe without coordination — a
-  * batch writes `v=<batchId>` next to the previous version and
-  * readers take the highest _SUCCESS-marked version, so a torn write
-  * leaves the prior state intact (the same publish discipline as the
+  * Publish protocol: a version is written to a dot-prefixed staging
+  * directory and atomically renamed into place as
+  * `v=<batchId>_<attempt>` — a published directory is NEVER mutated,
+  * so retries of the same batchId (foreachBatch's failure contract)
+  * publish a new attempt beside the old one and readers always see
+  * whole versions. The merge folds in only versions with a STRICTLY
+  * lower batchId, so a retry overwrites its own previous attempt
+  * logically without double-counting (same discipline as the
   * reference's snapshot-then-update-lastSnapshotID ordering,
-  * persistence.cc takeSnapshot).
+  * persistence.cc takeSnapshot). Retention keeps the latest two
+  * batchIds; readers are expected to consume a loaded state within
+  * that window (production would widen it with a TTL).
   */
 object StateSink {
 
-  private def versionDirs(root: String): Seq[(Long, String)] = {
+  /** (batchId, attempt, dir) for committed versions, oldest first. */
+  private def versionDirs(root: String): Seq[(Long, Long, String)] = {
     val p = Paths.get(root)
     if (!Files.isDirectory(p)) Seq.empty
     else {
-      val it = Files.list(p).iterator()
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-      while (it.hasNext) {
-        val d = it.next()
-        val n = d.getFileName.toString
-        if (n.startsWith("v=") && Files.exists(d.resolve("_SUCCESS")))
-          out += ((n.stripPrefix("v=").toLong, d.toString))
-      }
-      out.toSeq.sortBy(_._1)
+      val stream = Files.list(p)
+      try {
+        val it = stream.iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+        while (it.hasNext) {
+          val d = it.next()
+          val n = d.getFileName.toString
+          if (n.startsWith("v=") && Files.exists(d.resolve("_SUCCESS"))) {
+            n.stripPrefix("v=").split("_", 2) match {
+              case Array(b, a) => out += ((b.toLong, a.toLong, d.toString))
+              case _ => ()
+            }
+          }
+        }
+        out.toSeq.sortBy(v => (v._1, v._2))
+      } finally stream.close()
     }
+  }
+
+  private def deleteTree(dir: String): Unit = {
+    val stream = Files.walk(Paths.get(dir))
+    try {
+      stream.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    } finally stream.close()
   }
 
   /** Latest committed state, or None before the first batch. */
   def readState(s: SparkSession, root: String): Option[DataFrame] =
-    versionDirs(root).lastOption.map { case (_, dir) => s.read.parquet(dir) }
+    versionDirs(root).lastOption.map { case (_, _, dir) =>
+      s.read.parquet(dir)
+    }
 
   /** The foreachBatch function: fold this batch into the state.
     * Usage:
@@ -52,25 +74,27 @@ object StateSink {
   def update(s: SparkSession, root: String)(batch: DataFrame,
                                             batchId: Long): Unit = {
     val partial = WalReplay.partialState(batch)
-    // idempotent under foreachBatch's retry contract (same batchId
-    // re-delivered after a failure): merge only versions STRICTLY
-    // below this batchId, so a retry overwrites its own previous —
-    // possibly committed — attempt instead of folding it in twice
-    val prev = versionDirs(root).filter(_._1 < batchId).lastOption
+    val versions = versionDirs(root)
+    // merge only versions STRICTLY below this batchId: a re-delivered
+    // batch must not fold its own previous attempt back in
+    val prev = versions.filter(_._1 < batchId).lastOption
     val merged = prev match {
-      case Some((_, dir)) =>
+      case Some((_, _, dir)) =>
         WalReplay.mergeStates(s.read.parquet(dir), partial)
       case None => partial
     }
-    merged.write.mode("overwrite").parquet(s"$root/v=$batchId")
-    // retain the newest version below this batch (the retry/crash
-    // fallback) plus the one just written; older versions are
-    // re-derivable from the log
-    versionDirs(root).filter(_._1 < batchId).dropRight(1).foreach {
-      case (_, dir) =>
-        val d = Paths.get(dir)
-        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-    }
+    // stage (invisible to readers), then atomic rename into place —
+    // a published version directory is never written into again
+    val attempt = versions.filter(_._1 == batchId)
+      .map(_._2).maxOption.getOrElse(-1L) + 1L
+    val staging = Paths.get(root, s".staging-$batchId-$attempt")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    Files.move(staging, Paths.get(root, s"v=${batchId}_$attempt"),
+      StandardCopyOption.ATOMIC_MOVE)
+    // retain all attempts of the two newest batchIds; older versions
+    // are re-derivable from the log
+    val keep = versionDirs(root).map(_._1).distinct.sorted.takeRight(2).toSet
+    versionDirs(root).filterNot(v => keep(v._1))
+      .foreach { case (_, _, dir) => deleteTree(dir) }
   }
 }

@@ -73,7 +73,10 @@ class QuantSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = got.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.4, s"ivf+sq8 recall collapsed: $recall")
+    // same floor as plain IVF: the code-space COSINE shortlist (same
+    // metric as the rerank) loses nothing beyond cell-probing + 8-bit
+    // rounding
+    assert(recall >= 0.5, s"ivf+sq8 recall collapsed: $recall")
     // the probe scan reads codes, never the float vectors: some scan's
     // ReadSchema must contain code without vec, with partition pruning
     val plan = Ann.ivfSq8Query(spark, sf)
