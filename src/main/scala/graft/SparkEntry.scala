@@ -104,6 +104,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash60_pairs" -> ((s, d) => Dedup.simhashPairsWide(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_embedding_cos" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
     "sim_brute_topk" -> ((s, d) =>
       Knn.topKExcludingSelf(emb(s, d), simQset(s, d), 10, Knn.Metric.Cosine)),
@@ -404,6 +405,33 @@ object SparkEntry {
         |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(h1, h2)) <= 1
         |ORDER BY id1, id2""".stripMargin,
+    // cluster_id = min doc_id reachable in the undirected verified-
+    // pair graph; the linear-recursive CTE extends paths one edge per
+    // step and the UNION dedups, so it reaches the same fixpoint as
+    // the Spark side's min-label propagation
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $bandCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bk a JOIN bk b ON a.band = b.band
+         |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
+         |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n
+         |          FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT c.id1 AS id1, c.id2 AS id2
+         |          FROM cand c JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
+         |          JOIN card c1 ON c.id1 = c1.doc_id
+         |          JOIN card c2 ON c.id2 = c2.doc_id
+         |          WHERE n*1.0/(c1.c + c2.c - n) >= 0.5),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON rc.r = e.src)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_simhash60_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |u AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h

@@ -391,6 +391,59 @@ object Dedup {
     verifyJaccard(cand, ex, minJaccard).orderBy("id1", "id2")
   }
 
+  /** Connected components over an undirected pair graph:
+    * (doc_id, cluster_id = min doc_id of the component). Iterative
+    * min-label propagation — each round, every node takes the
+    * smallest label among itself and its neighbors — converging in
+    * ≤ diameter rounds. Per round: one equi-join + one
+    * partial-aggregating groupBy (no Pregel runtime needed for the
+    * dedup-cluster shape, whose components are small and shallow).
+    * `localCheckpoint` truncates the per-iteration lineage — the one
+    * place the repo's recompute-over-persist rule inverts, because an
+    * ITERATIVE plan would otherwise double per round and the
+    * convergence check re-execute the whole history.
+    *
+    * Throws after `maxIter` non-converged rounds instead of returning
+    * a silently partial clustering.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var i = 0
+    var changed = 1L
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min("label").as("nl"))
+      val updated = labels
+        .join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .where(col("u.label") =!= col("l.label")).count()
+      labels = updated
+      i += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters from the verified minhash pair graph — the
+    * step after pair generation in a real dedup pipeline (keep one
+    * doc per cluster, drop the rest).
+    */
+  def nearDupClusters(s: SparkSession, dir: String,
+                      minJaccard: Double = 0.5): DataFrame =
+    connectedComponents(
+      minhashPairsUnsorted(s, dir, minJaccard).select("id1", "id2"))
+      .orderBy("doc_id")
+
   /** Embedding-cosine near-dup pairs, blocked on sign-LSH buckets
     * ([[Ann.lshSignatures]]): candidates are pairs sharing any
     * (table, signature) bucket, verified by the exact fused cosine

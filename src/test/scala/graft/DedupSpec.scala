@@ -54,4 +54,26 @@ class DedupSpec extends SparkSuite {
     assert(lsh.intersect(high).size >= (high.size * 0.9).toInt,
       s"recall too low: ${lsh.size}/${high.size}")
   }
+
+  test("connected components label every node with its component min") {
+    import spark.implicits._
+    // two chains and a triangle: {1-2-3-4}, {10-11}, {20-21-22 cycle}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("near-dup clusters cover exactly the docs in verified pairs") {
+    val pairs = Dedup.minhashPairs(spark, sf).select("id1", "id2").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val clusters = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.map(_._1).toSet == pairs)
+    // every cluster id is a member of its own cluster
+    val byCluster = clusters.groupBy(_._2)
+    assert(byCluster.forall { case (cid, ms) => ms.exists(_._1 == cid) })
+  }
 }
