@@ -569,7 +569,7 @@ object SparkEntry {
         |       CAST('0x' || substr(fp_md5, 1, 15) AS BIGINT) AS fp60
         |FROM n ORDER BY doc_id""".stripMargin,
     "pipeline_clean_corpus" ->
-      s"""WITH $bandCte,
+      s"""WITH RECURSIVE $bandCte,
          |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |         FROM bk a JOIN bk b ON a.band = b.band
          |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
@@ -578,11 +578,19 @@ object SparkEntry {
          |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n
          |          FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
          |          GROUP BY 1, 2),
-         |victims AS (SELECT DISTINCT c.id2 AS doc_id
-         |            FROM cand c JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
-         |            JOIN card c1 ON c.id1 = c1.doc_id
-         |            JOIN card c2 ON c.id2 = c2.doc_id
-         |            WHERE n*1.0/(c1.c + c2.c - n) >= 0.5),
+         |pairs AS (SELECT c.id1 AS id1, c.id2 AS id2
+         |          FROM cand c JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
+         |          JOIN card c1 ON c.id1 = c1.doc_id
+         |          JOIN card c2 ON c.id2 = c2.doc_id
+         |          WHERE n*1.0/(c1.c + c2.c - n) >= 0.5),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM edges
+         |  UNION
+         |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON rc.r = e.src),
+         |victims AS (SELECT id AS doc_id FROM reach
+         |            GROUP BY id HAVING id <> min(r)),
          |tt AS (SELECT doc_id, text, string_split(text, ' ') AS toks
          |       FROM documents),
          |m AS (SELECT doc_id, len(toks) AS n_tokens,

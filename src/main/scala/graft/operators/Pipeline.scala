@@ -28,9 +28,14 @@ object Pipeline {
     // distinct exchanges
     val quality = TextOps.qualityMetrics(s, dir)
       .select(col("doc_id"), col("quality_score"))
-    // near-dup victims: the larger id of each verified pair
-    val victims = Dedup.minhashPairsUnsorted(s, dir, minJaccard)
-      .select(col("id2").as("doc_id")).distinct()
+    // near-dup victims: everything but each CLUSTER's minimum doc —
+    // dropping only the larger doc of each direct pair (round 2's
+    // form) keeps transitive duplicates: for pairs (1,3),(2,3), docs
+    // 1 and 2 never meet in a pair yet duplicate each other via 3
+    val victims = Dedup.connectedComponents(
+        Dedup.minhashPairsUnsorted(s, dir, minJaccard).select("id1", "id2"))
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
     docs.select("doc_id", "source")
       .join(quality, "doc_id")
       .where(col("quality_score") >= minQuality)
