@@ -217,6 +217,38 @@ object SparkEntry {
        |             CAST(mh[3*band+3] AS VARCHAR)) AS band_key
        |       FROM bands)""".stripMargin
 
+  /** Verified near-dup pairs (jaccard ≥ 0.5) from the banded
+    * candidates, as a CTE chain ending in `pairs` — shared by the
+    * clusters and pipeline oracles. No continuation line here may
+    * start with '|' (double-stripMargin hazard).
+    */
+  private val verifiedPairsCte =
+    """cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |         FROM bk a JOIN bk b ON a.band = b.band
+      |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
+      |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n
+      |          FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT c.id1 AS id1, c.id2 AS id2
+      |          FROM cand c JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
+      |          JOIN card c1 ON c.id1 = c1.doc_id
+      |          JOIN card c2 ON c.id2 = c2.doc_id
+      |          WHERE n*1.0/(c1.c + c2.c - n) >= 0.5)""".stripMargin
+
+  /** Undirected transitive closure over `pairs` (linear recursion —
+    * paths extend one edge per step, UNION dedups to the fixpoint).
+    */
+  private val closureCte =
+    """edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+      |          UNION SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT src AS id, dst AS r FROM edges
+      |  UNION
+      |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON rc.r = e.src)"""
+      .stripMargin
+
   /** Exploded-form jaccard for a candidate-pair CTE named `cand`
     * (id1, id2); yields pairs (id1, id2, jaccard) ≥ 0.5.
     */
@@ -411,25 +443,8 @@ object SparkEntry {
     // the Spark side's min-label propagation
     "dedup_clusters" ->
       s"""WITH RECURSIVE $bandCte,
-         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |         FROM bk a JOIN bk b ON a.band = b.band
-         |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
-         |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n
-         |          FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
-         |          GROUP BY 1, 2),
-         |pairs AS (SELECT c.id1 AS id1, c.id2 AS id2
-         |          FROM cand c JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
-         |          JOIN card c1 ON c.id1 = c1.doc_id
-         |          JOIN card c2 ON c.id2 = c2.doc_id
-         |          WHERE n*1.0/(c1.c + c2.c - n) >= 0.5),
-         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-         |          UNION SELECT id2, id1 FROM pairs),
-         |reach AS (
-         |  SELECT src AS id, dst AS r FROM edges
-         |  UNION
-         |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON rc.r = e.src)
+         |$verifiedPairsCte,
+         |$closureCte
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_simhash60_pairs" ->
@@ -570,25 +585,8 @@ object SparkEntry {
         |FROM n ORDER BY doc_id""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH RECURSIVE $bandCte,
-         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |         FROM bk a JOIN bk b ON a.band = b.band
-         |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
-         |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n
-         |          FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
-         |          GROUP BY 1, 2),
-         |pairs AS (SELECT c.id1 AS id1, c.id2 AS id2
-         |          FROM cand c JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
-         |          JOIN card c1 ON c.id1 = c1.doc_id
-         |          JOIN card c2 ON c.id2 = c2.doc_id
-         |          WHERE n*1.0/(c1.c + c2.c - n) >= 0.5),
-         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
-         |          UNION SELECT id2, id1 FROM pairs),
-         |reach AS (
-         |  SELECT src AS id, dst AS r FROM edges
-         |  UNION
-         |  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON rc.r = e.src),
+         |$verifiedPairsCte,
+         |$closureCte,
          |victims AS (SELECT id AS doc_id FROM reach
          |            GROUP BY id HAVING id <> min(r)),
          |tt AS (SELECT doc_id, text, string_split(text, ' ') AS toks

@@ -407,30 +407,43 @@ object Dedup {
     * a silently partial clustering.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    // one-pass symmetrization: a union of two selects over `pairs`
+    // would evaluate the (expensive, verified) pair lineage twice in
+    // the checkpoint job
+    val edges = pairs.select(explode(array(
+        struct(col("id1").as("src"), col("id2").as("dst")),
+        struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var i = 0
     var changed = 1L
-    while (changed > 0 && i < maxIter) {
+    // `maxIter` bounds the component DIAMETER: i ≤ maxIter admits
+    // maxIter productive rounds plus the confirming zero-change round
+    // (a diameter-d graph finishes changing in round d and proves the
+    // fixpoint in round d+1)
+    while (changed > 0 && i <= maxIter) {
       val neighborMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("label").as("nl"))
+      // carry the previous label through the checkpoint so the
+      // convergence count reads the checkpointed data instead of
+      // re-running a join against the prior round
       val updated = labels
         .join(neighborMin, col("id") === col("src"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          col("label").as("old"))
         .localCheckpoint(true)
-      changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .where(col("u.label") =!= col("l.label")).count()
-      labels = updated
+      changed = updated.where(col("label") =!= col("old")).count()
+      // superseded checkpoint blocks are reclaimed by the
+      // ContextCleaner once the old frame is unreferenced
+      labels = updated.select("id", "label")
       i += 1
     }
     if (changed > 0) throw new IllegalStateException(
-      s"connected components did not converge in $maxIter rounds")
+      s"connected components did not converge: diameter exceeds $maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -440,9 +453,13 @@ object Dedup {
     */
   def nearDupClusters(s: SparkSession, dir: String,
                       minJaccard: Double = 0.5): DataFrame =
+    nearDupClustersUnsorted(s, dir, minJaccard).orderBy("doc_id")
+
+  /** Unsorted composable form (see [[minhashPairsUnsorted]]). */
+  def nearDupClustersUnsorted(s: SparkSession, dir: String,
+                              minJaccard: Double = 0.5): DataFrame =
     connectedComponents(
       minhashPairsUnsorted(s, dir, minJaccard).select("id1", "id2"))
-      .orderBy("doc_id")
 
   /** Embedding-cosine near-dup pairs, blocked on sign-LSH buckets
     * ([[Ann.lshSignatures]]): candidates are pairs sharing any

@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 
 /** The capstone composition: a training-data cleaning pipeline built
   * ONLY from the engine's own operators — quality scoring
-  * ([[TextOps.quality]]), near-dup removal (the [[Dedup.minhashPairs]]
-  * LSH pipeline; the higher doc_id of each verified pair is dropped),
-  * and per-source reporting. One declarative plan end to end: Catalyst
-  * sees through the composition, so the quality projection, the dedup
-  * candidate join, and the anti join all share scans and pushdowns
-  * exactly as if hand-fused — the property that makes an operator
-  * LIBRARY (not a script collection) the right shape at 100 TB.
+  * ([[TextOps.qualityMetrics]]), near-dup removal (minhash-LSH pairs
+  * → connected components; every doc that is not its CLUSTER's
+  * minimum is dropped, so transitive duplicates go too), and
+  * per-source reporting. The quality branch, the anti join, and the
+  * report remain one declarative plan; the clustering stage is the
+  * single iterative island (label propagation runs its rounds
+  * eagerly, like the centroid collect in IVF), feeding the plan a
+  * checkpointed victims table.
   */
 object Pipeline {
 
@@ -32,8 +33,7 @@ object Pipeline {
     // dropping only the larger doc of each direct pair (round 2's
     // form) keeps transitive duplicates: for pairs (1,3),(2,3), docs
     // 1 and 2 never meet in a pair yet duplicate each other via 3
-    val victims = Dedup.connectedComponents(
-        Dedup.minhashPairsUnsorted(s, dir, minJaccard).select("id1", "id2"))
+    val victims = Dedup.nearDupClustersUnsorted(s, dir, minJaccard)
       .where(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     docs.select("doc_id", "source")

@@ -66,14 +66,21 @@ class DedupSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
-  test("near-dup clusters cover exactly the docs in verified pairs") {
+  test("near-dup clusters honor the pair graph on real data") {
     val pairs = Dedup.minhashPairs(spark, sf).select("id1", "id2").collect()
-      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
-    val clusters = Dedup.nearDupClusters(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    assert(clusters.map(_._1).toSet == pairs)
-    // every cluster id is a member of its own cluster
-    val byCluster = clusters.groupBy(_._2)
-    assert(byCluster.forall { case (cid, ms) => ms.exists(_._1 == cid) })
+    val clusters = Dedup.nearDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // transitivity: both ends of every verified pair share a cluster
+    // (this is the assertion a broken propagation actually fails)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // every cluster is labeled by its own minimum member
+    val byCluster = clusters.toSeq.groupBy(_._2)
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid, s"cluster $cid not labeled by its min")
+    }
   }
 }
