@@ -392,6 +392,61 @@ object Ann {
     ivfSq8Search(s, path, q, k = 10, nprobe = 2)
   }
 
+  /** LWW-upsert into a persisted IVF index WITHOUT a full rebuild —
+    * the reference's `upsert` (remove-old + insert-new,
+    * vector_database.cc:53) against the table-shaped index: only
+    * cells that currently hold an updated id or receive a new
+    * assignment are rewritten, through dynamic partition overwrite.
+    * At 1000 cells and a 0.1% daily churn, that is rewriting a
+    * handful of partitions instead of re-clustering 100 TB. Uses the
+    * STORED centroids (an upsert must not silently re-train the
+    * quantizer); periodic re-clustering is a separate full rebuild.
+    */
+  def ivfIndexUpsert(s: SparkSession, path: String,
+                     updates: DataFrame): Unit = {
+    val cents = collectCentroids(
+      s.read.parquet(centroidsPath(path)).select(col("cell"), col("cvec")))
+    val assigned = assignTo(updates, cents)
+    val idx = s.read.parquet(path)
+    val updatedIds = broadcast(assigned.select("id"))
+    // cells holding an old version of an updated id — a column-pruned
+    // (id, cell) scan, no vectors read
+    val touched = idx.join(updatedIds, "id")
+      .select(col("cell").cast("long")).distinct()
+      .unionByName(assigned.select(col("cell")).distinct())
+      .distinct().collect().map(_.getLong(0))
+    val survivors = idx
+      .where(col("cell").isin(touched.toIndexedSeq: _*))
+      .join(updatedIds, Seq("id"), "left_anti")
+      .select(col("id"), col("vec"), col("cell").cast("long").as("cell"))
+    // materialize BEFORE the write: the replacement reads the same
+    // files dynamic overwrite will delete, so writing the lazy plan
+    // would re-scan vanished inputs mid-write (self-overwrite). The
+    // checkpoint is bounded by the touched cells' contents — the
+    // churn locality, not the index size.
+    val replacement = survivors.unionByName(assigned).localCheckpoint(true)
+    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      replacement.write.mode("overwrite").partitionBy("cell").parquet(path)
+    } finally prevMode match {
+      case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // dynamic overwrite only replaces partitions PRESENT in the
+    // written data: a touched cell left with zero rows (every row
+    // moved away) must be deleted explicitly or its stale files
+    // survive
+    val written = replacement.select("cell").distinct().collect()
+      .map(_.getLong(0)).toSet
+    touched.filterNot(written).foreach { cell =>
+      val dir = new org.apache.hadoop.fs.Path(path, s"cell=$cell")
+      val fs = dir.getFileSystem(
+        s.sessionState.newHadoopConf())
+      fs.delete(dir, true)
+    }
+  }
+
   /** Persisted-index twin of [[ivfQuery]] (same stride/k/nprobe, so
     * AnnSpec can assert result equality); index built once per sf dir
     * under target/tmp.

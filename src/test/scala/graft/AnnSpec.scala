@@ -60,6 +60,50 @@ class AnnSpec extends SparkSuite {
       s"no partition pruning on the index scan: $pf")
   }
 
+  test("index upsert rewrites only touched cells yet equals a rebuild") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivfup")
+    val path = root.resolve("idx").toString
+    try {
+      Ann.ivfBuildIndex(spark, emb, path)
+      val before = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+      // updates: move two existing ids onto other docs' vectors (cell
+      // changes likely) and add two brand-new ids
+      val donors = emb.where(col("id").isin(200L, 201L))
+        .collect().map(_.getSeq[Float](1).toArray)
+      val updates = Seq((0L, donors(0)), (1L, donors(1)),
+        (90001L, donors(0)), (90002L, donors(1))).toDF("id", "vec")
+      Ann.ivfIndexUpsert(spark, path, updates)
+
+      // post-upsert index ≡ assigning the LWW-merged corpus with the
+      // SAME stored centroids
+      val got = spark.read.parquet(path)
+        .select(col("id"), col("cell").cast("long").as("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mergedCorpus = emb.join(updates.select("id"), Seq("id"), "left_anti")
+        .unionByName(updates)
+      val cents = spark.read.parquet(path + "_centroids")
+      val want = Ann.ivfAssign(mergedCorpus, cents)
+        .select("id", "cell")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+      // cells exist before and after; only a subset was rewritten
+      val after = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+      assert(after.nonEmpty && before.nonEmpty)
+      // untouched cells keep their original files (same names)
+      val touchedCells = got.filter(t =>
+        Set(0L, 1L, 90001L, 90002L).contains(t._1)).map(t => s"cell=${t._2}")
+      assert((before -- touchedCells).subsetOf(after),
+        "an untouched cell directory disappeared")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("deterministic across runs") {
     val a = Ann.ivfQuery(spark, sf).collect().toSeq
     val b = Ann.ivfQuery(spark, sf).collect().toSeq
