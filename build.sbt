@@ -30,7 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default sized for the 125 GiB bench host: 32 concurrent local[32]
+  // tasks share the one driver heap, and execution memory per task is
+  // heap*0.6/32 — at 8g that is ~150 MB/task, which forces sort/agg
+  // spills precisely in the widest aggregates
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // Every query execution generates fresh codegen classes; the JDK
   // default 240MB code cache fills over a long suite, after which
   // HotSpot degrades to interpreted execution (observed 30-50x CPU

@@ -77,8 +77,10 @@ object Ann {
     * literal centroid set, for argmin/ranking projections. NULL
     * distances (zero-norm / dim-mismatch) coalesce to 2.0 — strictly
     * worse than any real negated cosine in [-1, 1] — so degenerate
-    * vectors deterministically land in the last cell rather than
-    * poisoning the struct ordering with nulls.
+    * vectors deterministically land in the lowest-numbered cell (the
+    * argmin's (cd, cell) tiebreak picks the smallest cell id among
+    * the all-equal 2.0 distances) rather than poisoning the struct
+    * ordering with nulls.
     *
     * Norm factoring: the row norm appears once (codegen CSE folds the
     * k occurrences of the same self-dot into one evaluation) and each
@@ -406,7 +408,17 @@ object Ann {
                      updates: DataFrame): Unit = {
     val cents = collectCentroids(
       s.read.parquet(centroidsPath(path)).select(col("cell"), col("cvec")))
-    val assigned = assignTo(updates, cents)
+    // LWW WITHIN the batch too: duplicate ids in one updates frame
+    // collapse before assignment — by greatest `version` when the
+    // batch carries one (the WAL's tiebreak), else to a single
+    // arbitrary row (no version ⇒ no defined winner; the contract is
+    // only that exactly one survives).
+    val onePerId =
+      if (updates.columns.contains("version"))
+        updates.groupBy("id")
+          .agg(max_by(col("vec"), col("version")).as("vec"))
+      else updates.dropDuplicates("id")
+    val assigned = assignTo(onePerId.select("id", "vec"), cents)
     val idx = s.read.parquet(path)
     val updatedIds = broadcast(assigned.select("id"))
     // cells holding an old version of an updated id — a column-pruned
@@ -419,12 +431,34 @@ object Ann {
       .where(col("cell").isin(touched.toIndexedSeq: _*))
       .join(updatedIds, Seq("id"), "left_anti")
       .select(col("id"), col("vec"), col("cell").cast("long").as("cell"))
+    val replacement = survivors.unionByName(assigned)
+    publishTouchedCells(s, path, touched, replacement)
+  }
+
+  /** Publish tail shared by [[ivfIndexUpsert]] and [[ivfIndexRepair]]:
+    * dynamic-partition-overwrite the replacement rows, then delete
+    * touched cells the replacement emptied (dynamic overwrite only
+    * replaces partitions PRESENT in the written data, so an emptied
+    * cell's stale files would otherwise survive).
+    *
+    * CRASH WINDOW (documented contract): the overwrite and the
+    * empty-cell deletion are separate filesystem steps. A crash
+    * between them leaves a moved-away id present in both its old
+    * (stale, emptied-but-undeleted) cell and its new cell. Readers
+    * then see duplicate ids until [[ivfIndexRepair]] runs; repair is
+    * idempotent, so "run repair after any interrupted maintenance op"
+    * is the recovery story (the reference replays its WAL from the
+    * last snapshot on the same reasoning — persistence.cc recovery).
+    */
+  private def publishTouchedCells(s: SparkSession, path: String,
+                                  touched: Array[Long],
+                                  replacementRows: DataFrame): Unit = {
     // materialize BEFORE the write: the replacement reads the same
     // files dynamic overwrite will delete, so writing the lazy plan
     // would re-scan vanished inputs mid-write (self-overwrite). The
     // checkpoint is bounded by the touched cells' contents — the
     // churn locality, not the index size.
-    val replacement = survivors.unionByName(assigned).localCheckpoint(true)
+    val replacement = replacementRows.localCheckpoint(true)
     val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -433,10 +467,6 @@ object Ann {
       case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
       case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    // dynamic overwrite only replaces partitions PRESENT in the
-    // written data: a touched cell left with zero rows (every row
-    // moved away) must be deleted explicitly or its stale files
-    // survive
     val written = replacement.select("cell").distinct().collect()
       .map(_.getLong(0)).toSet
     touched.filterNot(written).foreach { cell =>
@@ -444,6 +474,38 @@ object Ann {
       val fs = dir.getFileSystem(
         s.sessionState.newHadoopConf())
       fs.delete(dir, true)
+    }
+  }
+
+  /** Repair an index left inconsistent by a crash inside
+    * [[publishTouchedCells]]'s window: any id present in more than
+    * one cell keeps only its most recently WRITTEN copy (the
+    * overwrite's files postdate the stale cell's — discriminated by
+    * `_metadata.file_modification_time`, no content comparison), and
+    * cells emptied by discarding stale copies are deleted. Idempotent:
+    * a repaired index has no duplicate ids, so a second run touches
+    * nothing; a crash inside repair itself is recovered by re-running
+    * repair.
+    */
+  def ivfIndexRepair(s: SparkSession, path: String): Unit = {
+    val idx = s.read.parquet(path)
+      .select(col("id"), col("vec"), col("cell").cast("long").as("cell"),
+        col("_metadata.file_modification_time").as("mt"))
+    // duplicate ids via a column-pruned (id, cell) pass
+    val dupIds = idx.groupBy("id")
+      .agg(count(lit(1)).as("n")).where(col("n") > 1).select("id")
+    val touched = idx.join(broadcast(dupIds), "id")
+      .select("cell").distinct().collect().map(_.getLong(0))
+    if (touched.nonEmpty) {
+      val inTouched = idx.where(col("cell").isin(touched.toIndexedSeq: _*))
+      // per dup id keep max-mtime copy; ids unique in the index pass
+      // through the same aggregate unchanged (their single row is its
+      // own max) — one groupBy over only the touched cells' rows
+      val replacement = inTouched
+        .groupBy("id")
+        .agg(max_by(struct(col("vec"), col("cell")), col("mt")).as("r"))
+        .select(col("id"), col("r.vec").as("vec"), col("r.cell").as("cell"))
+      publishTouchedCells(s, path, touched, replacement)
     }
   }
 

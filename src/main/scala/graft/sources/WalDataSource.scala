@@ -67,10 +67,18 @@ object WalDataSource {
         val si = i; val sj = j
         while (i < a.length && a(i).isDigit) i += 1
         while (j < b.length && b(j).isDigit) j += 1
-        val na = BigInt(a.substring(si, i))
-        val nb = BigInt(b.substring(sj, j))
-        val c = na.compare(nb)
+        val ra = a.substring(si, i)
+        val rb = b.substring(sj, j)
+        val c = BigInt(ra).compare(BigInt(rb))
         if (c != 0) return c
+        // numerically-equal runs with different zero padding
+        // (wal_log_01 vs wal_log_1) must NOT compare equal: the
+        // streaming watermark's strict '>' filter would permanently
+        // skip a later-arriving segment whose name ties it. Break the
+        // tie on the raw digit substrings so distinct names form a
+        // total order.
+        val cl = ra.compareTo(rb)
+        if (cl != 0) return cl
       } else {
         val c = a(i).compareTo(b(j))
         if (c != 0) return c

@@ -59,10 +59,19 @@ object StateSink {
     } finally stream.close()
   }
 
-  /** Latest committed state, or None before the first batch. */
+  /** Latest committed state, or None before the first batch.
+    *
+    * EAGERLY materialized (`localCheckpoint`): retention deletes
+    * version directories as newer batches commit, and a lazy frame
+    * over a deleted directory would throw FileNotFound whenever the
+    * caller executes it after the window moved — the returned frame
+    * must stay valid however long the caller holds it. The copy is
+    * one state's worth of rows (per-key aggregates, not the log), so
+    * the materialization is bounded by key cardinality.
+    */
   def readState(s: SparkSession, root: String): Option[DataFrame] =
     versionDirs(root).lastOption.map { case (_, _, dir) =>
-      s.read.parquet(dir)
+      s.read.parquet(dir).localCheckpoint(true)
     }
 
   /** The foreachBatch function: fold this batch into the state.

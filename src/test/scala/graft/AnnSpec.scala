@@ -104,6 +104,82 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("upsert collapses duplicate ids within one batch (LWW by version)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivfdup")
+    val path = root.resolve("idx").toString
+    try {
+      Ann.ivfBuildIndex(spark, emb, path)
+      val donors = emb.where(col("id").isin(200L, 201L))
+        .collect().map(_.getSeq[Float](1).toArray)
+      // the same id twice in one batch, distinguished by version —
+      // only the v2 vector may survive
+      val updates = Seq((0L, donors(0), 1L), (0L, donors(1), 2L))
+        .toDF("id", "vec", "version")
+      Ann.ivfIndexUpsert(spark, path, updates)
+      val rows = spark.read.parquet(path).where(col("id") === 0L)
+        .select("vec").collect()
+      assert(rows.length == 1, s"id 0 appears ${rows.length} times")
+      assert(rows.head.getSeq[Float](0).toArray.sameElements(donors(1)),
+        "batch-internal LWW kept the lower version")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("repair removes stale duplicate copies left by a crashed upsert") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivfrep")
+    val path = root.resolve("idx").toString
+    try {
+      Ann.ivfBuildIndex(spark, emb, path)
+      val consistent = spark.read.parquet(path)
+        .select(col("id"), col("cell").cast("long").as("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // simulate the crash window: id 0's row duplicated into another
+      // cell with an OLDER file mtime (the stale, should-have-been-
+      // deleted copy predates the overwrite's files)
+      val cells = consistent.map(_._2)
+      val homeCell = consistent.find(_._1 == 0L).get._2
+      val staleCell = (cells - homeCell).head
+      val staleDir = java.nio.file.Paths.get(path, s"cell=$staleCell")
+      val staleRow = spark.read.parquet(path)
+        .where(col("cell") === homeCell && col("id") === 0L)
+        .select("id", "vec")
+      val tmp = root.resolve("stale").toString
+      staleRow.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val target = staleDir.resolve("zz-stale.parquet")
+      java.nio.file.Files.move(part.toPath, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600 * 1000))
+      val dupCount = spark.read.parquet(path)
+        .where(col("id") === 0L).count()
+      assert(dupCount == 2, "fixture did not create a duplicate")
+
+      Ann.ivfIndexRepair(spark, path)
+      val repaired = spark.read.parquet(path)
+        .select(col("id"), col("cell").cast("long").as("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(repaired == consistent,
+        "repair did not restore the pre-crash assignment")
+      // idempotent: a second run changes nothing
+      Ann.ivfIndexRepair(spark, path)
+      val again = spark.read.parquet(path)
+        .select(col("id"), col("cell").cast("long").as("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(again == repaired)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("deterministic across runs") {
     val a = Ann.ivfQuery(spark, sf).collect().toSeq
     val b = Ann.ivfQuery(spark, sf).collect().toSeq

@@ -85,6 +85,12 @@ class WalDataSourceSpec extends SparkSuite {
     assert(naturalCompare("wal_log_001", "wal_log_2") < 0)
     assert(naturalCompare("a9", "a10b") < 0)
     assert(naturalCompare("seg", "seg1") < 0)
+    // numerically-equal runs with different padding are DISTINCT (a
+    // tie would let the strict '>' watermark permanently skip a
+    // later-arriving same-valued name) and consistently ordered
+    assert(naturalCompare("wal_log_01", "wal_log_1") != 0)
+    assert(naturalCompare("wal_log_01", "wal_log_1") ==
+      -naturalCompare("wal_log_1", "wal_log_01"))
   }
 
   test("dsv2 route replays identically to the binaryFile route") {
