@@ -112,6 +112,8 @@ object SparkEntry {
     "text_quality" -> (TextOps.quality _),
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_fingerprint" -> (TextOps.fingerprint _),
+    "corpus_stats" -> (TextOps.corpusStats _),
+    "corpus_sample_split" -> (Sampling.sampleSplitQuery _),
     "vdb_knn_filtered_in" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label").isin(2, 4, 6))),
@@ -165,6 +167,7 @@ object SparkEntry {
     "events_tumbling" -> Analytics.eventsTumbling _,
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
     "events_salted_enrich" -> ((s, d) => Skew.saltedEnrichQuery(s, d)),
+    "events_asof_join" -> (AsOf.eventsAsofQuery _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
   )
 
@@ -576,6 +579,34 @@ object SparkEntry {
         |    / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4)
         |    AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // quantile_cont ≡ Spark's exact `percentile` (both linear
+    // interpolation at index p·(n−1))
+    "corpus_stats" ->
+      """WITH d AS (SELECT lang, len(string_split(text, ' ')) AS n_toks,
+        |                  n_chars
+        |           FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |       round(avg(n_toks), 4) AS avg_tokens,
+        |       round(quantile_cont(n_toks, 0.5), 4) AS p50_tokens,
+        |       round(quantile_cont(n_toks, 0.95), 4) AS p95_tokens,
+        |       round(avg(n_chars), 4) AS avg_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    // thresholds are hexThreshold(rate) literals: 0.25→'4000',
+    // 0.75→'c000', 0.8→'cccd', 0.9→'e666'; fixed-width lowercase hex
+    // compares lexicographically ≡ numerically on both engines
+    "corpus_sample_split" ->
+      """WITH b AS (SELECT doc_id, lang, source,
+        |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+        |           FROM documents),
+        |s AS (SELECT * FROM b
+        |      WHERE bucket < CASE WHEN lang = 'en' THEN '4000'
+        |                          ELSE 'c000' END)
+        |SELECT doc_id, lang, source,
+        |       CASE WHEN bucket < 'cccd' THEN 'train'
+        |            WHEN bucket < 'e666' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH n AS (SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
@@ -861,5 +892,24 @@ object SparkEntry {
         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM y GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // DuckDB has a native ASOF JOIN with exactly the >= pick-latest
+    // semantics AsOf.asofJoin implements via the union-tag window.
+    // Timestamps compare at µs on both engines: Spark truncates the
+    // parquet ns to timestamp_micros, the cast to DuckDB TIMESTAMP
+    // (µs) truncates identically.
+    "events_asof_join" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts,
+        |                  max(value) AS click_value
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |       strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS ets,
+        |       round(p.value, 4) AS pvalue,
+        |       strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |       round(c.click_value, 4) AS click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.pts >= c.cts
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling for training-data pipelines:
+  * downsampling dominant strata (languages, sources) and carving
+  * train/val/test splits.
+  *
+  * The sampling decision is a PURE FUNCTION of the row's id — the
+  * first 16 bits of md5(id) as a uniform bucket in [0, 65536) — not
+  * an RNG: re-running the pipeline, adding executors, or reordering
+  * partitions cannot change which rows are kept (Spark's
+  * `sample()`/`sampleBy()` are seeded per-partition, so a repartition
+  * RESAMPLES — unacceptable when the sample defines a training set
+  * that must be reproducible and auditable). A row's fate is also
+  * stable under corpus growth: new rows get new hashes, old rows keep
+  * their decision — the property that makes incremental re-runs emit
+  * consistent splits.
+  *
+  * Plan shape: one projection + filter over the scan, no shuffle, no
+  * UDF (md5/substring are codegen built-ins) — embarrassingly
+  * parallel at any scale. The bucket compares against the threshold
+  * as a 4-hex-digit STRING (fixed-width lowercase hex compares
+  * lexicographically ≡ numerically), which any engine with md5()
+  * reproduces bit-for-bit — the DuckDB oracles mirror it verbatim.
+  */
+object Sampling {
+
+  /** Uniform [0, 65536) bucket as 4 lowercase hex digits. */
+  def hashBucket(id: Column): Column =
+    substring(md5(id.cast("string").cast("binary")), 1, 4)
+
+  private def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    val n = math.round(rate * 65536)
+    // rate 1.0 must keep every bucket, but 0x10000 as the string
+    // "10000" sorts BELOW "2000" lexicographically (first-char
+    // compare) — use "g", which sorts above every hex digit, as the
+    // above-all fencepost instead
+    if (n >= 65536L) "g" else f"$n%04x"
+  }
+
+  /** Keep each row with probability `rates(stratum)` (default rate
+    * for strata not in the map), deterministically by id hash.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val thresholds = rates.map { case (k, r) => k -> hexThreshold(r) }
+    val thr = coalesce(
+      element_at(typedlit(thresholds), col(stratumCol)),
+      lit(hexThreshold(defaultRate)))
+    df.where(hashBucket(col(idCol)) < thr)
+  }
+
+  /** Assign every row to train/val/test by id-hash range —
+    * non-overlapping, exhaustive, reproducible. Fractions are
+    * cumulative hex fenceposts: [0, train) train, [train, train+val)
+    * val, rest test.
+    */
+  def split(df: DataFrame, idCol: String,
+            trainFrac: Double, valFrac: Double): DataFrame = {
+    require(trainFrac + valFrac <= 1.0, "train+val exceed 1.0")
+    val b = hashBucket(col(idCol))
+    df.withColumn("split",
+      when(b < lit(hexThreshold(trainFrac)), "train")
+        .when(b < lit(hexThreshold(trainFrac + valFrac)), "val")
+        .otherwise("test"))
+  }
+
+  /** Surface query: downsample English (the dominant stratum) to 25%
+    * and the rest to 75%, then stamp the survivors with a 80/10/10
+    * train/val/test split — the two ops compose into ONE scan +
+    * filter + projection.
+    */
+  def sampleSplitQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "lang", "source")
+    val sampled = stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.25), defaultRate = 0.75)
+    split(sampled, "doc_id", trainFrac = 0.8, valFrac = 0.1)
+      .select(col("doc_id"), col("lang"), col("source"), col("split"))
+      .orderBy("doc_id")
+  }
+}

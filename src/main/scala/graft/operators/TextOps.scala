@@ -145,6 +145,36 @@ object TextOps {
       .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_token")
       .orderBy("doc_id")
 
+  /** Per-language corpus profile: doc/token/char volumes plus exact
+    * token-count percentiles — the report a data curator reads before
+    * setting sampling rates and length filters.
+    *
+    * One narrow projection (lang, n_toks, n_chars) feeding a
+    * 5-group aggregate: partial aggregation collapses each partition
+    * to one row per language before the exchange, so the shuffle
+    * carries O(langs × partitions) rows regardless of corpus size.
+    * The percentiles use Spark's EXACT `percentile` (linear
+    * interpolation, same definition as DuckDB's quantile_cont, so the
+    * oracle matches to 4dp) — exact percentile buffers each group's
+    * values, which is fine at any realistic language count × doc
+    * count per partition; the 100 TB escape hatch is
+    * `approx_percentile` with the same call shape (t-digest sketch,
+    * mergeable, no buffering), traded against oracle-exactness.
+    */
+  def corpusStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        col("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        round(avg(col("n_toks")), 4).as("avg_tokens"),
+        round(expr("percentile(n_toks, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(n_toks, 0.95)"), 4).as("p95_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy("lang")
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase
     * text, plus its leading 60 bits as a BIGINT (join/partition key
     * form — 60 so it stays positive in signed int64 on both engines).
