@@ -509,6 +509,55 @@ object Ann {
     }
   }
 
+  /** Compact fragmented cells: every [[ivfIndexUpsert]] appends new
+    * files to the cells it touches (dynamic overwrite writes one file
+    * per task per cell), so a churn-heavy index accumulates small
+    * files and probe scans pay per-file open/footer costs. Cells
+    * holding more than `maxFilesPerCell` data files are rewritten —
+    * content-identical, repartitioned by cell so each compacted cell
+    * lands in exactly one task = one file. Untouched cells keep their
+    * files; same crash window + repair story as
+    * [[publishTouchedCells]].
+    */
+  def ivfCompact(s: SparkSession, path: String,
+                 maxFilesPerCell: Int = 1): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val fragmented = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .filter { st =>
+        fs.listStatus(st.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerCell
+      }
+      .map(_.getPath.getName.stripPrefix("cell=").toLong)
+      .toArray
+    if (fragmented.nonEmpty) {
+      val rows = s.read.parquet(path)
+        .where(col("cell").isin(fragmented.toIndexedSeq: _*))
+        .select(col("id"), col("vec"), col("cell").cast("long").as("cell"))
+        .repartition(col("cell"))
+      publishTouchedCells(s, path, fragmented, rows)
+    }
+  }
+
+  /** Periodic re-clustering: retrain centroids on the CURRENT corpus
+    * and build a fresh index at `newPath`, reading the rows out of
+    * the old index. Upserts never retrain (the quantizer must stay
+    * fixed between rebuilds — drifted data degrades recall, it never
+    * corrupts results), so this is the maintenance op that restores
+    * cell balance after sustained churn. Builds BESIDE the old index
+    * — the old path stays fully queryable until the caller swaps a
+    * pointer/view to `newPath` — because an in-place rebuild of 100 TB
+    * would either double-buffer the whole corpus in memory or read
+    * files mid-overwrite.
+    */
+  def ivfRecluster(s: SparkSession, path: String, newPath: String,
+                   stride: Long = 200): Unit = {
+    require(newPath != path, "recluster builds beside the old index")
+    ivfBuildIndex(s, s.read.parquet(path).select("id", "vec"),
+      newPath, stride)
+  }
+
   /** Persisted-index twin of [[ivfQuery]] (same stride/k/nprobe, so
     * AnnSpec can assert result equality); index built once per sf dir
     * under target/tmp.

@@ -129,9 +129,10 @@ private[sources] class WalSegmentTable(path: String)
     val readerFactory: PartitionReaderFactory =
       new PartitionReaderFactory {
         override def createReader(
-            partition: InputPartition): PartitionReader[InternalRow] =
-          new WalFrameReader(
-            partition.asInstanceOf[WalSegmentPartition].file, hconf)
+            partition: InputPartition): PartitionReader[InternalRow] = {
+          val p = partition.asInstanceOf[WalSegmentPartition]
+          new WalFrameReader(p.file, p.startByte, p.endByte, hconf)
+        }
       }
 
     new ScanBuilder with Scan with Batch {
@@ -144,18 +145,25 @@ private[sources] class WalSegmentTable(path: String)
         */
       override def planInputPartitions(): Array[InputPartition] =
         listSegments(hconf)
-          .map(f => WalSegmentPartition(f): InputPartition).toArray
+          .map(f =>
+            WalSegmentPartition(f, 0L, Long.MaxValue): InputPartition)
+          .toArray
 
       override def createReaderFactory(): PartitionReaderFactory =
         readerFactory
 
-      /** Micro-batch mode: the offset is the natural-order NAME
-        * watermark of the last fully-processed segment; each batch is
-        * the set of newly-appeared segments above it. Segments must be
-        * sealed before they appear (write-to-temp + rename, as the
-        * fixture writers here do) — the frame decoder's torn-tail
-        * handling makes a violated contract lose a tail record, not
-        * corrupt one.
+      /** Micro-batch mode: the offset is (segment NAME in natural
+        * order, frame-aligned BYTE position within it) — the position
+        * lets the newest segment GROW IN PLACE between triggers, the
+        * reference's actual write pattern (persistence.cc appends to
+        * wal_log_<id> until rotation; a name-only watermark could
+        * only ship whole sealed segments). Contract: only the
+        * natural-order-LAST segment may be appended to; earlier
+        * segments are sealed by rotation. The end position is always
+        * advanced to a FRAME boundary (header-skip scan over only the
+        * newly appended bytes, memoized across triggers), so a batch
+        * never splits a frame and a torn in-progress tail write is
+        * simply left for the next trigger.
         */
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new MicroBatchStream {
@@ -164,37 +172,89 @@ private[sources] class WalSegmentTable(path: String)
           // (object-store LIST calls are the hot cost of a short
           // trigger interval over thousands of segments)
           @volatile private var lastListing: (String, Seq[String]) = ("", Nil)
+          // incremental frame-alignment memo: (segment name, greatest
+          // known frame boundary). The header scan for a grown
+          // segment resumes here instead of at byte 0 — O(new bytes)
+          // per trigger, not O(file)
+          @volatile private var alignMemo: (String, Long) = ("", 0L)
 
-          override def initialOffset(): Offset = WalNameOffset("")
+          override def initialOffset(): Offset = WalSegmentOffset("", 0L)
+
+          /** Greatest frame boundary in [from, len) of `p`. */
+          private def alignedEnd(p: HPath, from: Long): Long = {
+            val fs = p.getFileSystem(hconf.value)
+            val len = fs.getFileStatus(p).getLen
+            if (from + 8 > len) return from
+            val in = fs.open(p)
+            try {
+              var pos = from
+              val hdr = new Array[Byte](8)
+              var done = false
+              while (!done && pos + 8 <= len) {
+                in.seek(pos)
+                var off = 0
+                while (!done && off < 8) {
+                  val r = in.read(hdr, off, 8 - off)
+                  if (r < 0) done = true else off += r
+                }
+                if (!done) {
+                  val n = java.nio.ByteBuffer.wrap(hdr)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+                  // same garbled-length bail as the frame decoder
+                  if (n < 0 || n > Int.MaxValue || pos + 8 + n > len)
+                    done = true
+                  else pos += 8 + n
+                }
+              }
+              pos
+            } finally in.close()
+          }
 
           override def latestOffset(): Offset = {
             val segs = listSegments(hconf)
-            val mark =
-              if (segs.isEmpty) "" else new HPath(segs.last).getName
-            lastListing = (mark, segs)
-            WalNameOffset(mark)
+            val off =
+              if (segs.isEmpty) WalSegmentOffset("", 0L)
+              else {
+                val lastPath = new HPath(segs.last)
+                val name = lastPath.getName
+                val from = if (alignMemo._1 == name) alignMemo._2 else 0L
+                val pos = alignedEnd(lastPath, from)
+                alignMemo = (name, pos)
+                WalSegmentOffset(name, pos)
+              }
+            lastListing = (off.json(), segs)
+            off
           }
 
           override def planInputPartitions(start: Offset,
                                            end: Offset): Array[InputPartition] = {
-            val lo = start.asInstanceOf[WalNameOffset].watermark
-            val hi = end.asInstanceOf[WalNameOffset].watermark
+            val lo = start.asInstanceOf[WalSegmentOffset]
+            val hi = end.asInstanceOf[WalSegmentOffset]
             val segs =
-              if (lastListing._1 == hi) lastListing._2
+              if (lastListing._1 == hi.json()) lastListing._2
               else listSegments(hconf)
-            segs
-              .filter { f =>
-                val n = new HPath(f).getName
-                naturalCompare(n, lo) > 0 && naturalCompare(n, hi) <= 0
+            segs.flatMap { f =>
+              val n = new HPath(f).getName
+              val cmpLo = naturalCompare(n, lo.name)
+              val cmpHi = naturalCompare(n, hi.name)
+              if (cmpLo < 0 || cmpHi > 0) None
+              else {
+                // a sealed middle segment reads to EOF; the batch's
+                // end segment stops at the frame-aligned end position;
+                // the start segment resumes past its consumed bytes
+                val from = if (cmpLo == 0) lo.pos else 0L
+                val until = if (cmpHi == 0) hi.pos else Long.MaxValue
+                if (from >= until) None
+                else Some(WalSegmentPartition(f, from, until): InputPartition)
               }
-              .map(f => WalSegmentPartition(f): InputPartition).toArray
+            }.toArray
           }
 
           override def createReaderFactory(): PartitionReaderFactory =
             readerFactory
 
           override def deserializeOffset(json: String): Offset =
-            WalNameOffset(json.stripPrefix("\"").stripSuffix("\""))
+            WalSegmentOffset.fromJson(json)
 
           override def commit(end: Offset): Unit = ()
           override def stop(): Unit = ()
@@ -203,24 +263,52 @@ private[sources] class WalSegmentTable(path: String)
   }
 }
 
-private[sources] case class WalSegmentPartition(file: String)
+private[sources] case class WalSegmentPartition(file: String,
+                                                startByte: Long,
+                                                endByte: Long)
     extends InputPartition
 
-/** Streaming offset: natural-order segment-name watermark. */
-private[sources] case class WalNameOffset(watermark: String) extends Offset {
-  override def json(): String = "\"" + watermark + "\""
+/** Streaming offset: (natural-order segment name, frame-aligned byte
+  * position consumed within it).
+  */
+private[sources] case class WalSegmentOffset(name: String, pos: Long)
+    extends Offset {
+  override def json(): String = s"""{"name":"$name","pos":$pos}"""
 }
 
-/** Streams one segment frame by frame via the shared
-  * [[WalBinary.frameIterator]]; holds at most one record in memory.
+private[sources] object WalSegmentOffset {
+  private val Pat = """\{"name":"(.*)","pos":(\d+)\}""".r
+  def fromJson(json: String): WalSegmentOffset = json match {
+    case Pat(n, p) => WalSegmentOffset(n, p.toLong)
+    // pre-(name,pos) checkpoints stored the bare name — resume at its
+    // end-of-known-frames by treating the whole segment as consumed
+    // is NOT safe; a plain name means "segment fully processed", so
+    // restart from its successor: pos = MaxValue reproduces that
+    case _ =>
+      WalSegmentOffset(json.stripPrefix("\"").stripSuffix("\""),
+        Long.MaxValue)
+  }
+}
+
+/** Streams one segment's byte range [startByte, endByte) frame by
+  * frame via the shared [[WalBinary.frameIterator]]; holds at most
+  * one record in memory. Both bounds are frame-aligned by the
+  * planner; the limit stream turns `endByte` into an EOF the decoder
+  * already handles, so an in-progress append past the batch's end
+  * position is invisible to this batch.
   */
 private[sources] class WalFrameReader(file: String,
+                                      startByte: Long,
+                                      endByte: Long,
                                       hconf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   private val path = new HPath(file)
   private val in = path.getFileSystem(hconf.value).open(path)
-  private val frames = WalBinary.frameIterator(in)
+  if (startByte > 0) in.seek(startByte)
+  private val frames = WalBinary.frameIterator(
+    if (endByte == Long.MaxValue) in
+    else new BoundedStream(in, endByte - startByte))
   private var current: UTF8String = _
 
   override def next(): Boolean =
@@ -231,4 +319,26 @@ private[sources] class WalFrameReader(file: String,
   override def get(): InternalRow = new GenericInternalRow(Array[Any](current))
 
   override def close(): Unit = in.close()
+}
+
+/** Presents EOF after `remaining` bytes of the underlying stream —
+  * how a reader honors a frame-aligned batch end position.
+  */
+private[sources] class BoundedStream(in: java.io.InputStream,
+                                     private var remaining: Long)
+    extends java.io.InputStream {
+  override def read(): Int =
+    if (remaining <= 0) -1
+    else {
+      val r = in.read()
+      if (r >= 0) remaining -= 1
+      r
+    }
+  override def read(b: Array[Byte], off: Int, len: Int): Int =
+    if (remaining <= 0) -1
+    else {
+      val r = in.read(b, off, math.min(len.toLong, remaining).toInt)
+      if (r > 0) remaining -= r
+      r
+    }
 }

@@ -180,6 +180,67 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("compaction collapses fragmented cells without changing results") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivfcmp")
+    val path = root.resolve("idx").toString
+    try {
+      Ann.ivfBuildIndex(spark, emb, path)
+      // fragment: an upsert appends at least one new file per touched
+      // cell on top of the build's task-parallel files
+      val donors = emb.where(col("id").isin(200L, 201L))
+        .collect().map(_.getSeq[Float](1).toArray)
+      Ann.ivfIndexUpsert(spark, path,
+        Seq((0L, donors(0)), (1L, donors(1))).toDF("id", "vec"))
+      def filesPerCell: Map[String, Int] =
+        new java.io.File(path).listFiles()
+          .filter(_.getName.startsWith("cell=")).map(d =>
+            d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+          .toMap
+      assert(filesPerCell.values.exists(_ > 1),
+        "fixture produced no fragmentation to compact")
+      val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val before = Ann.ivfSearchIndexed(spark, path, q, 10).collect().toSeq
+
+      Ann.ivfCompact(spark, path)
+      assert(filesPerCell.values.forall(_ <= 1),
+        s"cells still fragmented: $filesPerCell")
+      val after = Ann.ivfSearchIndexed(spark, path, q, 10).collect().toSeq
+      assert(after == before && after.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("recluster builds an equivalent fresh index beside the old one") {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivfrc")
+    val a = root.resolve("a").toString
+    val b = root.resolve("b").toString
+    val c = root.resolve("c").toString
+    try {
+      Ann.ivfBuildIndex(spark, emb, a)
+      Ann.ivfRecluster(spark, a, b)
+      // deterministic pipeline: retraining on the index's rows must
+      // equal building fresh from the same corpus
+      Ann.ivfBuildIndex(spark, emb, c)
+      val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val viaB = Ann.ivfSearchIndexed(spark, b, q, 10).collect().toSeq
+      val viaC = Ann.ivfSearchIndexed(spark, c, q, 10).collect().toSeq
+      assert(viaB == viaC && viaB.nonEmpty)
+      // the old index is untouched and still queryable
+      val viaA = Ann.ivfSearchIndexed(spark, a, q, 10).collect().toSeq
+      assert(viaA == viaC)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("deterministic across runs") {
     val a = Ann.ivfQuery(spark, sf).collect().toSeq
     val b = Ann.ivfQuery(spark, sf).collect().toSeq

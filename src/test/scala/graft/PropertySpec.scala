@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ScoredId, TopKAgg, TopKBuf}
+import graft.operators.{ScoredId, TopKAgg, TopKHeap}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Algebraic properties of the aggregation kernels, checked WITHOUT
@@ -38,18 +38,20 @@ class PropertySpec extends AnyFunSuite {
     val agg = new TopKAgg(3)
     val cs = cases(seed = 7, n = 90)
     for (Seq(a, b, c) <- cs.grouped(3)) {
-      def buf(l: List[ScoredId]): TopKBuf = l.foldLeft(agg.zero)(agg.reduce)
+      def buf(l: List[ScoredId]): TopKHeap = l.foldLeft(agg.zero)(agg.reduce)
       val left = agg.merge(agg.merge(buf(a), buf(b)), buf(c))
       val right = agg.merge(buf(a), agg.merge(buf(b), buf(c)))
       assert(agg.finish(left) == agg.finish(right))
     }
   }
 
-  test("TopKAgg: compaction bound holds (buffer never exceeds cap)") {
+  test("TopKAgg: buffer is bounded at k, never more") {
     val agg = new TopKAgg(4)
     for (xs <- cases(seed = 99, n = 30)) {
       val buf = xs.foldLeft(agg.zero)(agg.reduce)
-      assert(buf.items.length <= math.max(4 * 4, 64))
+      assert(buf.size <= 4)
+      // and it retains exactly the best min(k, n) of what it saw
+      assert(buf.sorted == xs.sortBy(s => (s.key, s.id)).take(4))
     }
   }
 

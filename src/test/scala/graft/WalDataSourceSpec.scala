@@ -93,6 +93,74 @@ class WalDataSourceSpec extends SparkSuite {
       -naturalCompare("wal_log_1", "wal_log_01"))
   }
 
+  test("micro-batch stream reads in-place appends to the newest segment") {
+    val dir = Files.createTempDirectory("waldsv2grow")
+    try {
+      // the reference APPENDS to wal_log_<id> until rotation — the
+      // stream must ship the new frames of a growing segment, not
+      // just whole new files
+      Files.write(dir.resolve("wal_log_1"), WalBinary.frame(segA))
+      val q = spark.readStream.format("graft-wal").load(dir.toString)
+        .writeStream.format("memory").queryName("walgrow")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("walgrow").count() == segA.length)
+        // grow the SAME segment: two new frames, plus a torn half
+        // frame an in-progress writer would leave
+        val extra = WalBinary.frame(segB)
+        val torn = WalBinary.frame(Seq("""4|3|remove|{"id":8}""" * 3))
+          .take(11)
+        Files.write(dir.resolve("wal_log_1"),
+          extra ++ torn, java.nio.file.StandardOpenOption.APPEND)
+        q.processAllAvailable()
+        val lines = spark.table("walgrow").collect()
+          .map(_.getString(0)).toSeq
+        // the sealed frames arrived exactly once; the torn tail is
+        // NOT consumed (it completes in a later append)
+        assert(lines.size == segA.length + segB.length,
+          s"grown frames duplicated or lost: $lines")
+        assert(lines.toSet == (segA ++ segB).toSet)
+        // completing the torn frame delivers it on the next trigger
+        val whole = WalBinary.frame(Seq("""4|3|remove|{"id":8}""" * 3))
+        Files.write(dir.resolve("wal_log_1"), whole.drop(11),
+          java.nio.file.StandardOpenOption.APPEND)
+        q.processAllAvailable()
+        assert(spark.table("walgrow").count() ==
+          segA.length + segB.length + 1)
+      } finally q.stop()
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
+  }
+
+  test("rotation after growth: old tail and new segment in one batch") {
+    val dir = Files.createTempDirectory("waldsv2rot")
+    try {
+      Files.write(dir.resolve("wal_log_9"), WalBinary.frame(segA))
+      val q = spark.readStream.format("graft-wal").load(dir.toString)
+        .writeStream.format("memory").queryName("walrot")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // between triggers: the old segment grows AND rotation opens
+        // a new one (digit-count boundary again: 10 after 9)
+        val tail = Seq("""9|1|upsert|{"id":9,"int_field":1}""")
+        Files.write(dir.resolve("wal_log_9"), WalBinary.frame(tail),
+          java.nio.file.StandardOpenOption.APPEND)
+        Files.write(dir.resolve("wal_log_10"), WalBinary.frame(segB))
+        q.processAllAvailable()
+        val lines = spark.table("walrot").collect()
+          .map(_.getString(0)).toSeq
+        assert(lines.size == (segA ++ tail ++ segB).size,
+          s"rotation batch wrong: $lines")
+        assert(lines.toSet == (segA ++ tail ++ segB).toSet)
+      } finally q.stop()
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
+  }
+
   test("dsv2 route replays identically to the binaryFile route") {
     val viaDsv2 = WalBinary.dsv2ReplayQuery(spark, sf).collect().toSeq
     val viaBinaryFile = WalBinary.binaryReplayQuery(spark, sf).collect().toSeq
