@@ -168,6 +168,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
     "events_salted_enrich" -> ((s, d) => Skew.saltedEnrichQuery(s, d)),
     "events_asof_join" -> (AsOf.eventsAsofQuery _),
+    "events_session_attr" -> (RangeJoin.sessionAttributionQuery _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
   )
 
@@ -307,6 +308,56 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     // ann_ivf / ann_lsh: approximate by design — no SQL oracle; the
     // driver records rows-only and AnnSpec asserts recall vs exact.
+    // vdb_knn_sq8 IS oracled despite being "approximate": the
+    // quantization grid, the shortlist rule (top-40 by code-space L2,
+    // ties by id), and the exact rerank are all deterministic pure
+    // functions DuckDB replicates bit-for-bit — integer-literal
+    // arithmetic only (DuckDB decimal literals would silently switch
+    // the math to DECIMAL), same operation order, same sequential
+    // list_sum fold as the codegen loop's accumulator.
+    "vdb_knn_sq8" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        |         FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+        |mm AS (SELECT list(mn ORDER BY i) AS mns,
+        |              list(mx ORDER BY i) AS mxs FROM dims),
+        |codes AS (SELECT id, list_transform(range(1, 65), i ->
+        |            CASE WHEN mm.mxs[i] - mm.mns[i] <= 0 THEN 0
+        |                 ELSE least(255, greatest(0,
+        |                   round((v[i] - mm.mns[i])
+        |                     / (mm.mxs[i] - mm.mns[i]) * 255))) END) AS c
+        |          FROM e, mm),
+        |qcodes AS (SELECT qid, list_transform(range(1, 65), i ->
+        |            CASE WHEN mm.mxs[i] - mm.mns[i] <= 0 THEN 0
+        |                 ELSE least(255, greatest(0,
+        |                   round((qv[i] - mm.mns[i])
+        |                     / (mm.mxs[i] - mm.mns[i]) * 255))) END) AS qc
+        |           FROM q, mm),
+        |q8 AS (SELECT qc.qid, c.id,
+        |         sqrt(list_sum(list_transform(
+        |           list_transform(range(1, 65), i ->
+        |             (qc.qc[i] - c.c[i])
+        |               * ((mm.mxs[i] - mm.mns[i]) / 255)),
+        |           d -> d * d))) AS qd
+        |       FROM codes c, qcodes qc, mm),
+        |sl AS (SELECT qid, id FROM (
+        |         SELECT qid, id,
+        |                row_number() OVER (PARTITION BY qid
+        |                                   ORDER BY qd, id) AS r
+        |         FROM q8) WHERE r <= 40),
+        |rr AS (SELECT sl.qid, sl.id AS nn_id,
+        |              list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |       FROM sl JOIN embeddings e ON sl.id = e.vec_id
+        |               JOIN q ON sl.qid = q.qid),
+        |rk AS (SELECT qid, nn_id, s,
+        |              row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY s, nn_id) AS rk
+        |       FROM rr)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "wal_json_replay" -> walReplayOracle,
     "wal_binary_replay" -> walReplayOracle,
     "wal_dsv2_replay" -> walReplayOracle,
@@ -892,6 +943,38 @@ object SparkEntry {
         |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM y GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // the banded range join must equal the naive inequality join —
+    // DuckDB plans it as IEJoin; the session CTEs mirror
+    // events_sessionize's
+    "events_session_attr" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR CAST(floor(epoch(ts)) AS BIGINT)
+        |                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM x),
+        |sess AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |         min(ts) AS s_start, max(ts) AS s_end
+        |  FROM y GROUP BY user_id, session_id),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ets,
+        |       s.session_id,
+        |       strftime(s.s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(s.s_end, '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM p JOIN sess s
+        |  ON p.user_id = s.user_id
+        | AND p.ts >= s.s_start AND p.ts <= s.s_end
+        |ORDER BY event_id""".stripMargin,
     // DuckDB has a native ASOF JOIN with exactly the >= pick-latest
     // semantics AsOf.asofJoin implements via the union-tag window.
     // Timestamps compare at µs on both engines: Spark truncates the
