@@ -169,6 +169,8 @@ object SparkEntry {
     "events_salted_enrich" -> ((s, d) => Skew.saltedEnrichQuery(s, d)),
     "events_asof_join" -> (AsOf.eventsAsofQuery _),
     "events_session_attr" -> (RangeJoin.sessionAttributionQuery _),
+    "text_bm25_topk" -> (Search.bm25Query _),
+    "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
   )
 
@@ -305,7 +307,93 @@ object SparkEntry {
         |  AS n_log_entries
         |FROM r WHERE rk = 1 ORDER BY id""".stripMargin
 
+  /** Shared BM25 CTE chain (through ranked results `r`) mirroring
+    * Search.bm25TopK exactly: same whitespace tokenization, same
+    * integer-derived tf/df/dl/N doubles, same Lucene idf, ranks on
+    * the 4dp-ROUNDED score with doc_id tiebreak (raw-double ranking
+    * would be sensitive to ln() ulp and summation-order differences
+    * between engines). Constants are cast to DOUBLE: bare DuckDB
+    * decimal literals would switch the arithmetic to DECIMAL.
+    */
+  private val bm25Ctes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      |      FROM documents),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+      |       FROM d),
+      |q AS (SELECT CAST(qid AS BIGINT) AS qid, qtext FROM (VALUES
+      |        (0, 'spark join hash'), (1, 'stream window batch'),
+      |        (2, 'dup vector scan'), (3, 'customer order value'),
+      |        (4, 'filter sort merge')) v(qid, qtext)),
+      |qt AS (SELECT DISTINCT qid, term FROM
+      |        (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q)),
+      |terms AS (SELECT DISTINCT term FROM qt),
+      |ex AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      |p AS (SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+      |      FROM ex JOIN terms USING (term) GROUP BY 1, 2, 3),
+      |idf AS (SELECT term,
+      |               ln((st.n_docs - dfreq + CAST(0.5 AS DOUBLE))
+      |                  / (dfreq + CAST(0.5 AS DOUBLE))
+      |                  + CAST(1.0 AS DOUBLE)) AS idf,
+      |               st.avgdl
+      |        FROM (SELECT term, CAST(count(*) AS DOUBLE) AS dfreq
+      |              FROM p GROUP BY 1), st),
+      |c AS (SELECT qt.qid, p.doc_id,
+      |             idf.idf * p.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+      |             / (p.tf + CAST(1.2 AS DOUBLE)
+      |                * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+      |                   + CAST(0.75 AS DOUBLE) * p.dl / idf.avgdl)) AS contrib
+      |      FROM p JOIN idf USING (term) JOIN qt USING (term)),
+      |sc AS (SELECT qid, doc_id, round(sum(contrib), 4) AS score
+      |       FROM c GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, score,
+      |             row_number() OVER (PARTITION BY qid
+      |                                ORDER BY score DESC, doc_id) AS rk
+      |      FROM sc)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "text_bm25_topk" ->
+      s"""WITH $bm25Ctes
+         |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
+         |ORDER BY qid, rk""".stripMargin,
+    // RRF fusion of the BM25 top-20 with the cosine top-20 (self
+    // match included — Knn.topK does not exclude it). rrf arithmetic
+    // is integer-derived → bit-identical across engines; ranked on
+    // the rounded rrf with doc_id tiebreak anyway for safety.
+    "hybrid_search_rrf" ->
+      s"""WITH $bm25Ctes,
+         |b AS (SELECT qid, doc_id, rk FROM r WHERE rk <= 20),
+         |qe AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < 5),
+         |cd AS (SELECT qe.qid, e.vec_id AS doc_id,
+         |              list_cosine_similarity(e.embedding::DOUBLE[], qe.qv)
+         |                AS s
+         |       FROM embeddings e CROSS JOIN qe),
+         |cr AS (SELECT qid, doc_id,
+         |              row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY s DESC, doc_id) AS rk
+         |       FROM cd),
+         |c20 AS (SELECT qid, doc_id, rk FROM cr WHERE rk <= 20),
+         |f AS (SELECT coalesce(b.qid, c20.qid) AS qid,
+         |             coalesce(b.doc_id, c20.doc_id) AS doc_id,
+         |             b.rk AS brk, c20.rk AS crk
+         |      FROM b FULL OUTER JOIN c20
+         |        ON b.qid = c20.qid AND b.doc_id = c20.doc_id),
+         |g AS (SELECT qid, doc_id,
+         |             round(coalesce(CAST(1.0 AS DOUBLE)
+         |                              / (CAST(60.0 AS DOUBLE) + brk),
+         |                            CAST(0.0 AS DOUBLE))
+         |                 + coalesce(CAST(1.0 AS DOUBLE)
+         |                              / (CAST(60.0 AS DOUBLE) + crk),
+         |                            CAST(0.0 AS DOUBLE)), 6) AS rrf_score,
+         |             coalesce(brk, 0) AS bm25_rk,
+         |             coalesce(crk, 0) AS cos_rk
+         |      FROM f),
+         |h AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |                                   ORDER BY rrf_score DESC, doc_id)
+         |                  AS rk FROM g)
+         |SELECT qid, rk, doc_id, rrf_score, bm25_rk, cos_rk FROM h
+         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // ann_ivf / ann_lsh: approximate by design — no SQL oracle; the
     // driver records rows-only and AnnSpec asserts recall vs exact.
     // vdb_knn_sq8 IS oracled despite being "approximate": the

@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (BM25) retrieval and hybrid lexical⊕vector fusion — the
+  * other half of a search engine next to the kNN operators. The
+  * reference serves pure vector search (/search,
+  * http_server.cc:19); production vector stores pair it with a
+  * keyword leg and fuse ranks, so the engine carries both.
+  *
+  * BM25 as a relational plan (no inverted-index service):
+  *
+  *   1. postings: explode docs to (term, doc_id, tf) — but FIRST
+  *      semi-join the exploded tokens against the (broadcast, tiny)
+  *      query-term set, so the pipeline generates-and-filters in one
+  *      codegen stage and only rows for queried terms ever reach a
+  *      shuffle. The full-vocabulary postings table is never built:
+  *      at 100 TB, scoring touches O(matching docs × query terms)
+  *      rows, not O(total tokens).
+  *   2. df/idf: per-term doc counts over those postings — partial
+  *      aggregation collapses the exchange to O(terms × partitions)
+  *      rows; the result is query-term-sized and broadcast back.
+  *   3. score: contributions summed per (qid, doc_id) — the one
+  *      unavoidable corpus-scale shuffle (a doc's terms meet here) —
+  *      then the TopKAgg heap reduces each query to k rows
+  *      (partial-aggregating, so the final exchange carries
+  *      O(Q·k·partitions)).
+  *
+  * Cross-engine determinism (the DuckDB oracle replays the exact
+  * computation): every input to the formula is integer-derived
+  * (tf, df, N, dl — exactly representable doubles) so divisions are
+  * IEEE-identical; only ln() may differ by an ulp, and contribution
+  * sums are order-dependent — both absorbed by ranking on the
+  * 4dp-ROUNDED score with doc_id tiebreak, not the raw double.
+  */
+object Search {
+
+  /** Okapi BM25 with the Lucene +1 idf floor (idf > 0 always). */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Top-k docs per query string by BM25. `queries`: (qid, qtext);
+    * whitespace tokenization, duplicate query terms collapse (qtf=1).
+    * Output: (qid, rk, doc_id, score), score 4dp, rank deterministic.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+
+    // one row: corpus size + mean doc length (integer sums → exact)
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+
+    val qterms = queries.select(col("qid"),
+        explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val terms = qterms.select("term").distinct()
+
+    // generate-and-filter in one stage: only queried terms survive
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    val idf = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("dfreq"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5)
+          + 1.0).as("idf"),
+        col("avgdl"))
+
+    val contrib = postings
+      .join(broadcast(idf), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("qid"), col("doc_id"),
+        // (1.0 - B) is folded in Scala — same exact double as the
+        // oracle's left-to-right 1.0 - 0.75
+        (col("idf") * col("tf") * lit(K1 + 1.0) /
+          (col("tf") + lit(K1) *
+            (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl"))))
+          .as("c"))
+
+    val scored = contrib.groupBy("qid", "doc_id")
+      .agg(round(sum("c"), 4).as("score"))
+
+    val agg = TopKAgg.topK(k)
+    scored
+      // heap key = rounded score (see determinism note above)
+      .select(col("qid"), (-col("score")).as("key"), col("doc_id").as("id"))
+      .groupBy("qid")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("doc_id"), (-col("col.key")).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Fixed query workload (all terms exist at every SF; `dup` is the
+    * rare high-idf term). qid LONG to match the embedding ids the
+    * hybrid query pairs these with.
+    */
+  def fixedQueries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((0L, "spark join hash"),
+        (1L, "stream window batch"),
+        (2L, "dup vector scan"),
+        (3L, "customer order value"),
+        (4L, "filter sort merge")).toDF("qid", "qtext")
+  }
+
+  /** Surface query: BM25 top-10 over the documents table. */
+  def bm25Query(s: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables.documents(s, dir), fixedQueries(s), 10)
+
+  /** Hybrid search: reciprocal-rank fusion (RRF, rrf_c = 60) of the
+    * BM25 top-20 and the cosine-kNN top-20 for the same five queries
+    * (text leg = fixedQueries, vector leg = embeddings 0..4 —
+    * embeddings and documents share the id space). A doc missing from
+    * one leg contributes 0 from it; absent legs surface as rank 0 in
+    * the output. rrf = Σ 1/(60+rank) is integer-derived → the fusion
+    * is bit-deterministic given each leg's (already deterministic)
+    * ranks; the window top-10 runs over ≤40 fused rows per query, so
+    * the sort after both heaps is bounded, not corpus-scale.
+    */
+  def hybridRrfQuery(s: SparkSession, dir: String): DataFrame = {
+    val bm = bm25TopK(Tables.documents(s, dir), fixedQueries(s), 20)
+      .select(col("qid"), col("doc_id"), col("rk").as("brk"))
+    val qv = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cos = Knn.topK(corpus, qv, 20, Knn.Metric.Cosine)
+      .select(col("qid"), col("nn_id").as("doc_id"), col("rk").as("crk"))
+
+    val fused = bm.join(cos, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60.0) + col("brk")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("crk")), lit(0.0)), 6))
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("doc_id"), col("rrf").as("rrf_score"),
+        coalesce(col("brk"), lit(0)).as("bm25_rk"),
+        coalesce(col("crk"), lit(0)).as("cos_rk"))
+      .orderBy("qid", "rk")
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Search
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSuite {
+
+  private def docsDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "dup scan"),             // rare term + common term
+      (2L, "scan scan scan vector"),
+      (3L, "vector vector table"),
+      (4L, "table join join"),
+      (5L, "join hash")
+    ).toDF("doc_id", "text")
+  }
+
+  test("only docs containing a query term appear; ranks contiguous") {
+    import spark.implicits._
+    val q = Seq((0L, "dup"), (1L, "join hash")).toDF("qid", "qtext")
+    val out = Search.bm25TopK(docsDf, q, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val q0 = out.filter(_._1 == 0L)
+    assert(q0.map(_._3).toSet == Set(1L)) // only doc 1 has 'dup'
+    val q1 = out.filter(_._1 == 1L)
+    assert(q1.map(_._3).toSet == Set(4L, 5L)) // docs with join/hash
+    assert(q1.map(_._2).sorted.sameElements(Array(1, 2)))
+  }
+
+  test("rarer terms weigh more: the idf ordering drives rank") {
+    import spark.implicits._
+    // 'dup' in 1 doc, 'scan' in 2 — for query "dup scan", doc 1
+    // (both terms) must beat doc 2 (only the common one)
+    val q = Seq((0L, "dup scan")).toDF("qid", "qtext")
+    val out = Search.bm25TopK(docsDf, q, 10)
+      .orderBy("rk").collect()
+    assert(out.head.getLong(2) == 1L)
+    // scores strictly ranked, never increasing with rank
+    val scores = out.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0.0))
+  }
+
+  test("bm25 matches a hand-computed score on a 3-doc corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    val q = Seq((0L, "a")).toDF("qid", "qtext")
+    // N=3, avgdl=(3+2+3)/3, df(a)=2, idf=ln((3-2+0.5)/(2+0.5)+1)
+    val idf = math.log((3.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0)
+    def s(tf: Double, dl: Double): Double = {
+      val raw = idf * tf * 2.2 /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (8.0 / 3.0)))
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Search.bm25TopK(docs, q, 10).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(math.abs(got(1L) - s(2.0, 3.0)) < 1e-9)
+    assert(math.abs(got(2L) - s(1.0, 2.0)) < 1e-9)
+  }
+
+  test("hybrid rrf: fused docs outrank single-leg docs at equal ranks") {
+    val out = Search.hybridRrfQuery(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      // rrf non-increasing with rank
+      val rrf = sorted.map(_.getDouble(3))
+      assert(rrf.zip(rrf.tail).forall { case (a, b) => a >= b })
+      // every row came from at least one leg
+      assert(sorted.forall(r => r.getInt(4) > 0 || r.getInt(5) > 0))
+    }
+  }
+
+  test("plan: corpus joins are broadcast equi-joins, no cartesian") {
+    // the only nested-loop allowed is the 1-row corpus-stats cross
+    // join; the postings/idf/qid joins must all be BroadcastHashJoin
+    val p = Search.bm25Query(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"bm25 plan has a cartesian product:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term semi filter should be a broadcast hash join")
+  }
+}
