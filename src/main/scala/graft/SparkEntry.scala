@@ -351,7 +351,161 @@ object SparkEntry {
       |                                ORDER BY score DESC, doc_id) AS rk
       |      FROM sc)""".stripMargin
 
+  // ---------------------------------------------------------------- ANN
+  // DuckDB mirrors of the deterministic ANN pipelines (Ann.scala).
+  // Every stage is a pure function: stride-sampled init, Lloyd means
+  // ROUNDED to 6dp then cast through FLOAT (independent of summation
+  // order on both engines), argmin with (cd, cell) tiebreak, probe
+  // slice, exact cosine rerank on (score, id). list_inner_product's
+  // strict left-to-right summation matches VecDot (the same reason
+  // dedup_embedding_cos's sign-of-dot bucket decisions hash-match).
+  // Fragments are single-line to dodge the double-stripMargin hazard.
+
+  /** Negated-cosine centroid distance with NULL→2.0 coalesce —
+    * mirrors Ann.centroidDists: rowNorm * centNorm product order,
+    * zero denom → 2.0 (worse than any real negated cosine).
+    */
+  private def ivfCd(v: String, cv: String): String =
+    s"coalesce(CASE WHEN sqrt(list_inner_product($v, $v)) * " +
+      s"sqrt(list_inner_product($cv, $cv)) = 0 THEN NULL " +
+      s"ELSE -(list_inner_product($v, $cv) / (sqrt(list_inner_product($v, $v)) * " +
+      s"sqrt(list_inner_product($cv, $cv)))) END, CAST(2.0 AS DOUBLE))"
+
+  /** One argmin assignment round (Ann.assignTo): nearest centroid by
+    * (cd, cell) over the current centroid set `cents`.
+    */
+  private def ivfAssignCte(a: String, cents: String): String =
+    s"$a AS (SELECT id, v, cell FROM (SELECT e.id, e.v, c.cell, " +
+      s"row_number() OVER (PARTITION BY e.id ORDER BY ${ivfCd("e.v", "c.cv")}, c.cell) AS rn " +
+      s"FROM e CROSS JOIN $cents c) WHERE rn = 1)"
+
+  /** One Lloyd mean round (Ann.kmeansCentroids): per-(cell, dim) mean
+    * rounded to 6dp and cast through FLOAT — the float round-trip is
+    * what the Spark side stores, so the next round's doubles agree.
+    */
+  private def ivfMeanCte(c: String, a: String): String =
+    s"$c AS (SELECT cell, list(m ORDER BY dim) AS cv FROM (" +
+      s"SELECT cell, dim, CAST(CAST(round(avg(x), 6) AS FLOAT) AS DOUBLE) AS m " +
+      s"FROM (SELECT t.cell, i.i AS dim, t.v[i.i] AS x FROM $a t CROSS JOIN " +
+      s"(SELECT unnest(range(1, 65)) AS i) i) GROUP BY cell, dim) GROUP BY cell)"
+
+  /** Shared IVF chain (stride=200, 2 Lloyd iters, nprobe=2): final
+    * assignment `af`, probe set `pr` (2 nearest cells per query).
+    */
+  private val ivfCtes: String = Seq(
+    "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+    "q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5)",
+    "c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 200 = 0)",
+    ivfAssignCte("a1", "c0"),
+    ivfMeanCte("c1", "a1"),
+    ivfAssignCte("a2", "c1"),
+    ivfMeanCte("c2", "a2"),
+    ivfAssignCte("af", "c2"),
+    s"pr AS (SELECT qid, cell FROM (SELECT q.qid, c.cell, " +
+      s"row_number() OVER (PARTITION BY q.qid ORDER BY ${ivfCd("q.qv", "c.cv")}, c.cell) AS rn " +
+      s"FROM q CROSS JOIN c2 c) WHERE rn <= 2)"
+  ).mkString(",\n")
+
+  /** IVF search result: probed cells' members, exact cosine, top-10
+    * per query on (score DESC, id) — Ann.ivfSearch / ivfSearchIndexed
+    * produce identical results by construction (same centroids), so
+    * both share this oracle.
+    */
+  private val ivfOracle: String =
+    s"""WITH $ivfCtes,
+       |sc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv) AS s
+       |       FROM af a JOIN pr ON a.cell = pr.cell JOIN q ON pr.qid = q.qid),
+       |r AS (SELECT qid, id, s,
+       |             row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rk
+       |      FROM sc WHERE s IS NOT NULL)
+       |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+       |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "ann_ivf" -> ivfOracle,
+    "ann_ivf_indexed" -> ivfOracle,
+    // IVF+SQ8 (Ann.ivfSq8Search, k=10 nprobe=2 rerank=4): the same
+    // probe set, a code-space COSINE shortlist of 40 per query over
+    // probed cells (codes decoded x = mn + c·(mx-mn)/255, the
+    // VecCosineQ8 arithmetic), then the exact float rerank. The
+    // encode grid mirrors vdb_knn_sq8's (round clamp 0..255).
+    "ann_ivf_sq8" ->
+      s"""WITH $ivfCtes,
+         |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+         |         FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+         |mm AS (SELECT list(mn ORDER BY i) AS mns,
+         |              list(mx ORDER BY i) AS mxs FROM dims),
+         |codes AS (SELECT id, cell, list_transform(range(1, 65), i ->
+         |            CASE WHEN mm.mxs[i] - mm.mns[i] <= 0 THEN 0
+         |                 ELSE least(255, greatest(0,
+         |                   round((t.v[i] - mm.mns[i])
+         |                     / (mm.mxs[i] - mm.mns[i]) * 255))) END) AS c
+         |          FROM af t, mm),
+         |qcodes AS (SELECT qid, list_transform(range(1, 65), i ->
+         |            CASE WHEN mm.mxs[i] - mm.mns[i] <= 0 THEN 0
+         |                 ELSE least(255, greatest(0,
+         |                   round((qv[i] - mm.mns[i])
+         |                     / (mm.mxs[i] - mm.mns[i]) * 255))) END) AS qc
+         |           FROM q, mm),
+         |dq AS (SELECT pr.qid, co.id,
+         |         list_transform(range(1, 65), i ->
+         |           mm.mns[i] + co.c[i] * ((mm.mxs[i] - mm.mns[i]) / 255)) AS xs,
+         |         list_transform(range(1, 65), i ->
+         |           mm.mns[i] + qc.qc[i] * ((mm.mxs[i] - mm.mns[i]) / 255)) AS ys
+         |       FROM codes co JOIN pr ON co.cell = pr.cell
+         |            JOIN qcodes qc ON pr.qid = qc.qid, mm),
+         |q8 AS (SELECT qid, id,
+         |         list_inner_product(xs, ys)
+         |           / (sqrt(list_inner_product(xs, xs))
+         |              * sqrt(list_inner_product(ys, ys))) AS qcos
+         |       FROM dq),
+         |sl AS (SELECT qid, id FROM (
+         |         SELECT qid, id,
+         |                row_number() OVER (PARTITION BY qid
+         |                                   ORDER BY qcos DESC, id) AS r
+         |         FROM q8 WHERE qcos IS NOT NULL) WHERE r <= 40),
+         |rr AS (SELECT sl.qid, sl.id, list_cosine_similarity(e.v, q.qv) AS s
+         |       FROM sl JOIN e ON sl.id = e.id JOIN q ON sl.qid = q.qid),
+         |rk AS (SELECT qid, id, s,
+         |              row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY s DESC, id) AS rk
+         |       FROM rr WHERE s IS NOT NULL)
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // sign-LSH (Ann.lshSearch, 4 tables × 4 bits): hyperplane
+    // components from md5("t|p|d") exactly as dedup_embedding_cos's
+    // oracle; candidates share any (table, sig) bucket with the
+    // query; exact cosine rerank top-10.
+    "ann_lsh" ->
+      """WITH hpw AS (
+        |  SELECT t, p, d,
+        |    ((CAST('0x' || substr(md5(CAST(t AS VARCHAR) || '|' ||
+        |        CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 8)
+        |        AS BIGINT) & 2147483647) / 2147483647.0 * 2.0 - 1.0) AS w
+        |  FROM range(4) r1(t) CROSS JOIN range(4) r2(p)
+        |       CROSS JOIN range(64) r3(d)),
+        |hp AS (SELECT t, p, list(w ORDER BY d) AS wv FROM hpw GROUP BY t, p),
+        |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |ds AS (SELECT e.id, hp.t,
+        |         sum(CASE WHEN list_inner_product(e.v, hp.wv) > 0
+        |               THEN 1 << p ELSE 0 END) AS sig
+        |       FROM e CROSS JOIN hp GROUP BY e.id, hp.t),
+        |qs AS (SELECT q.qid, hp.t,
+        |         sum(CASE WHEN list_inner_product(q.qv, hp.wv) > 0
+        |               THEN 1 << p ELSE 0 END) AS sig
+        |       FROM q CROSS JOIN hp GROUP BY q.qid, hp.t),
+        |cand AS (SELECT DISTINCT qs.qid, ds.id
+        |         FROM ds JOIN qs ON ds.t = qs.t AND ds.sig = qs.sig),
+        |sc AS (SELECT c.qid, c.id, list_cosine_similarity(e.v, q.qv) AS s
+        |       FROM cand c JOIN e ON c.id = e.id JOIN q ON c.qid = q.qid),
+        |r AS (SELECT qid, id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s DESC, id)
+        |               AS rk
+        |      FROM sc WHERE s IS NOT NULL)
+        |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "text_bm25_topk" ->
       s"""WITH $bm25Ctes
          |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
@@ -394,9 +548,7 @@ object SparkEntry {
          |                  AS rk FROM g)
          |SELECT qid, rk, doc_id, rrf_score, bm25_rk, cos_rk FROM h
          |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
-    // ann_ivf / ann_lsh: approximate by design — no SQL oracle; the
-    // driver records rows-only and AnnSpec asserts recall vs exact.
-    // vdb_knn_sq8 IS oracled despite being "approximate": the
+    // vdb_knn_sq8 is oracled despite being "approximate": the
     // quantization grid, the shortlist rule (top-40 by code-space L2,
     // ties by id), and the exact rerank are all deterministic pure
     // functions DuckDB replicates bit-for-bit — integer-literal

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *      codegen stage and only rows for queried terms ever reach a
   *      shuffle. The full-vocabulary postings table is never built:
   *      at 100 TB, scoring touches O(matching docs × query terms)
-  *      rows, not O(total tokens).
+  *      rows, not O(total tokens). The postings frame is eagerly
+  *      checkpointed (it is query-sized, not corpus-sized), so the
+  *      idf and score stages read it back instead of re-tokenizing
+  *      the corpus — ONE tokenize+explode scan per evaluation.
   *   2. df/idf: per-term doc counts over those postings — partial
   *      aggregation collapses the exchange to O(terms × partitions)
   *      rows; the result is query-term-sized and broadcast back.
@@ -51,7 +54,9 @@ object Search {
       split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
 
-    // one row: corpus size + mean doc length (integer sums → exact)
+    // one row: corpus size + mean doc length (integer sums → exact).
+    // This is the one OTHER corpus pass, and it is narrow: tokenize
+    // for the length only, no explode, no shuffle beyond a 1-row agg.
     val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
       avg("dl").as("avgdl"))
 
@@ -60,12 +65,19 @@ object Search {
       .distinct()
     val terms = qterms.select("term").distinct()
 
-    // generate-and-filter in one stage: only queried terms survive
+    // generate-and-filter in one stage: only queried terms survive.
+    // CHECKPOINTED: `idf` and `contrib` below both consume postings;
+    // left lazy, each would force its own tokenize+explode of every
+    // document (the round-4 triple-scan). The checkpoint is bounded
+    // at O(matching docs × query terms) — the connectedComponents
+    // precedent (Dedup.nearDupClusters) — so the corpus is tokenized
+    // and exploded exactly ONCE per bm25 evaluation.
     val postings = toks
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .join(broadcast(terms), Seq("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true)
 
     val idf = postings.groupBy("term")
       .agg(count(lit(1)).cast("double").as("dfreq"))

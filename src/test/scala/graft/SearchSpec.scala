@@ -75,6 +75,21 @@ class SearchSpec extends SparkSuite {
     }
   }
 
+  test("plan: one live corpus scan — postings checkpointed, not re-derived") {
+    // round-4 verdict: stats + idf + contrib each forced their own
+    // tokenize+explode of every document. With postings eagerly
+    // checkpointed, the final plan's only documents scan is the
+    // narrow stats pass; idf/contrib read the checkpoint RDD.
+    val plan = Search.bm25Query(spark, sf)
+      .queryExecution.executedPlan.toString
+    val docScans = plan.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(docScans == 1,
+      s"expected exactly the single stats scan of documents, got $docScans")
+    assert(plan.contains("ExistingRDD"),
+      "idf/contrib should read the checkpointed postings")
+  }
+
   test("plan: corpus joins are broadcast equi-joins, no cartesian") {
     // the only nested-loop allowed is the 1-row corpus-stats cross
     // join; the postings/idf/qid joins must all be BroadcastHashJoin
