@@ -241,6 +241,41 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("manifest: old index serves until the one-rename swap; crash before swap leaves it live") {
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "ivfman")
+      .toString
+    try {
+      val v1 = Ann.ivfBuildPublished(spark, emb, root)
+      assert(Ann.ivfCurrent(spark, root).contains("v1"))
+      val before = Ann.ivfSearchCurrent(spark, root, qs, 10).collect().toSeq
+      assert(before.nonEmpty)
+      // crash-before-swap: a new version fully built but never
+      // published — exactly the state a crash inside
+      // ivfReclusterPublish leaves. Readers must still resolve v1.
+      Ann.ivfRecluster(spark, v1,
+        new org.apache.hadoop.fs.Path(root, "orphan").toString)
+      assert(Ann.ivfCurrent(spark, root).contains("v1"))
+      assert(Ann.ivfSearchCurrent(spark, root, qs, 10).collect().toSeq
+        == before)
+      // the real recluster+publish: pointer flips to v2, the old
+      // version directory is untouched (still a valid index), and the
+      // deterministic retrain on the same corpus reproduces results
+      val v2 = Ann.ivfReclusterPublish(spark, root)
+      assert(Ann.ivfCurrent(spark, root).contains("v2"))
+      assert(v2.endsWith("v2"))
+      assert(Ann.ivfSearchCurrent(spark, root, qs, 10).collect().toSeq
+        == before)
+      assert(new java.io.File(v1, "_SUCCESS").exists,
+        "superseded version must stay intact (swap is one rename)")
+      val viaOld = Ann.ivfSearchIndexed(spark, v1, qs, 10).collect().toSeq
+      assert(viaOld == before, "old version still queryable after swap")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   test("deterministic across runs") {
     val a = Ann.ivfQuery(spark, sf).collect().toSeq
     val b = Ann.ivfQuery(spark, sf).collect().toSeq

@@ -161,6 +161,44 @@ class WalDataSourceSpec extends SparkSuite {
     }
   }
 
+  test("maxBytesPerTrigger drains a backlog over multiple bounded batches") {
+    val dir = Files.createTempDirectory("waldsv2admit")
+    try {
+      // a multi-segment backlog present BEFORE the stream starts: the
+      // after-downtime shape. Without admission control the first
+      // trigger replays it all as ONE batch; with a byte budget it
+      // must drain over several, each individually checkpointed,
+      // every frame exactly once.
+      val segC = Seq("""5|1|upsert|{"id":9,"int_field":5}""")
+      Files.write(dir.resolve("wal_log_1"), WalBinary.frame(segA))
+      Files.write(dir.resolve("wal_log_2"), WalBinary.frame(segB))
+      Files.write(dir.resolve("wal_log_3"), WalBinary.frame(segC))
+      val q = spark.readStream.format("graft-wal")
+        .option("maxBytesPerTrigger", "40") // < one frame: ≥1/trigger
+        .load(dir.toString)
+        .writeStream.format("memory").queryName("waladmit")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val lines = spark.table("waladmit").collect()
+          .map(_.getString(0)).toSeq
+        val all = segA ++ segB ++ segC
+        assert(lines.size == all.size, s"not exactly-once: $lines")
+        assert(lines.toSet == all.toSet)
+        val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+        assert(dataBatches.length > 1,
+          s"backlog must drain over >1 micro-batch, got " +
+            s"${dataBatches.map(_.numInputRows).mkString(",")}")
+        // no batch exceeded the budget by more than one frame's
+        // admit-first allowance (frames here are ~40-50 bytes ≈ 1 row)
+        assert(dataBatches.forall(_.numInputRows <= 2),
+          "a batch admitted far more than the byte budget")
+      } finally q.stop()
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete()); Files.delete(dir)
+    }
+  }
+
   test("dsv2 route replays identically to the binaryFile route") {
     val viaDsv2 = WalBinary.dsv2ReplayQuery(spark, sf).collect().toSeq
     val viaBinaryFile = WalBinary.binaryReplayQuery(spark, sf).collect().toSeq
