@@ -88,6 +88,7 @@ object SparkEntry {
     "wal_dsv2_replay" -> (graft.sources.WalBinary.dsv2ReplayQuery _),
     "wal_file_replay" -> (graft.sources.WalSource.fileReplayQuery _),
     "stream_wal_state" -> (graft.streaming.BatchTwins.walStateQuery _),
+    "stream_dedup_state" -> (graft.streaming.DedupStream.dedupStateQuery _),
     "stream_window_daily" -> (graft.streaming.BatchTwins.windowDailyQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
     "ann_ivf_indexed" -> (Ann.ivfIndexedQuery _),
@@ -113,6 +114,7 @@ object SparkEntry {
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     "corpus_stats" -> (TextOps.corpusStats _),
+    "text_chunk" -> (TextOps.chunkQuery _),
     "corpus_sample_split" -> (Sampling.sampleSplitQuery _),
     "vdb_knn_filtered_in" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
@@ -602,6 +604,18 @@ object SparkEntry {
     "wal_binary_replay" -> walReplayOracle,
     "wal_dsv2_replay" -> walReplayOracle,
     "wal_file_replay" -> walReplayOracle,
+    // the state the streaming exact-dedup converges to (first copy
+    // per fingerprint wins; n_copies = suppressed + 1) on the
+    // planted-duplicate corpus — DedupStreamSpec proves the stream
+    // reaches exactly this state
+    "stream_dedup_state" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS fp, min(doc_id) AS first_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin,
     "stream_wal_state" ->
       """WITH agg AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
@@ -898,6 +912,24 @@ object SparkEntry {
         |            WHEN bucket < 'e666' THEN 'val'
         |            ELSE 'test' END AS split
         |FROM s ORDER BY doc_id""".stripMargin,
+    // chunk_id ≡ start_tok / stride (posexplode numbers the sequence
+    // 0, stride, 2·stride… in order), so the oracle derives it
+    // arithmetically; DuckDB list slicing clamps at the list end the
+    // same way Spark's slice(length=32) does for the short final
+    // window
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |x AS (SELECT doc_id, toks, n,
+        |             unnest(range(0, greatest(n, 1), 24)) AS st
+        |      FROM t)
+        |SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        |       CAST(st AS BIGINT) AS start_tok,
+        |       CAST(least(32, n - st) AS BIGINT) AS n_chunk_toks,
+        |       md5(array_to_string(toks[st + 1 : least(st + 32, n)], ' '))
+        |         AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
     "text_fingerprint" ->
       """WITH n AS (SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5

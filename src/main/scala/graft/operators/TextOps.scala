@@ -189,4 +189,38 @@ object TextOps {
         conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
       .select("doc_id", "fp_md5", "fp60")
       .orderBy("doc_id")
+
+  /** Fixed-size token-window chunking with overlap — the
+    * context-packing step of a training/RAG pipeline: document →
+    * windows of `size` tokens starting every `size - overlap` tokens
+    * (the final window may be shorter; a doc shorter than one window
+    * yields exactly one chunk). One corpus scan: sequence() generates
+    * the window starts, posexplode numbers them, slice/concat_ws
+    * rebuild each window — all codegen built-ins, no lambda HOFs (the
+    * repo's interpreted-lambda pitfall), and the per-doc fan-out is
+    * ~n_tokens/stride rows, linear in corpus size.
+    */
+  def chunk(docs: DataFrame, size: Int = 32, overlap: Int = 8): DataFrame = {
+    require(size > overlap && overlap >= 0, "need 0 <= overlap < size")
+    val stride = size - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_toks", org.apache.spark.sql.functions.size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n_toks"),
+        posexplode(sequence(lit(0),
+          greatest(col("n_toks") - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(size), col("n_toks") - col("start_tok")).cast("long")
+          .as("n_chunk_toks"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("start_tok") + 1, lit(size))))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Surface query: 32-token windows, 8-token overlap. */
+  def chunkQuery(s: SparkSession, dir: String): DataFrame =
+    chunk(Tables.documents(s, dir))
 }

@@ -42,4 +42,21 @@ class TextOpsSpec extends SparkSuite {
     val again = TextOps.fingerprint(spark, sf).collect()
     assert(out.toSeq == again.toSeq)
   }
+
+  test("chunking: window starts, lengths and short-doc edge are exact") {
+    import spark.implicits._
+    // 50 tokens, size 32, overlap 8 → stride 24 → starts 0,24,48 with
+    // lengths 32,26,2; a 3-token doc yields exactly one short chunk
+    val long = (0 until 50).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.chunk(docs, size = 32, overlap = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0L, 0L, 32L), (1L, 1L, 24L, 26L), (1L, 2L, 48L, 2L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 3L)))
+    // every token position is covered by at least one window
+    val covered = out.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 50L).toSet)
+  }
 }
