@@ -95,6 +95,8 @@ object SparkEntry {
     "ann_ivf_sq8" -> (Ann.ivfSq8Query _),
     "ann_lsh" -> (Ann.lshQuery _),
     "vdb_knn_sq8" -> (Quant.sq8Query _),
+    "vdb_knn_pq" -> (Pq.pqQuery _),
+    "ann_ivf_pq" -> (Pq.ivfPqQuery _),
     "mm_decode" -> (Multimodal.decodeQuery _),
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
@@ -423,7 +425,110 @@ object SparkEntry {
        |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- PQ
+  // DuckDB mirrors of the deterministic product-quantization pipeline
+  // (Pq.scala): per-subspace codebooks from lowest-16 stride-sampled
+  // init + 2 Lloyd rounds (6dp float-round-tripped means), argmin
+  // encode with (dist, cid) tiebreak, ADC distance against the
+  // flattened reconstruction, exact rerank. Squared distances are
+  // list_inner_product(d, d) over the diff list — the same strict
+  // left-to-right fold the codegen accumulator runs.
+
+  private def pqSqDist(a: String, b: String, n: Int): String =
+    s"list_inner_product(list_transform(range(1, $n), j -> $a[j] - $b[j]), " +
+      s"list_transform(range(1, $n), j -> $a[j] - $b[j]))"
+
+  private val pqBase: Seq[String] = Seq(
+    "psub AS (SELECT unnest(range(8)) AS sub)",
+    "psamp AS (SELECT v, cid FROM (SELECT v, row_number() OVER (ORDER BY id) - 1 AS cid " +
+      "FROM e WHERE id % 25 = 0) WHERE cid <= 15)",
+    "pcb0 AS (SELECT sub, cid, list_transform(range(1, 9), j -> v[sub*8 + j]) AS cw " +
+      "FROM psamp CROSS JOIN psub)",
+    "pev AS (SELECT id, sub, list_transform(range(1, 9), j -> v[sub*8 + j]) AS sv " +
+      "FROM e CROSS JOIN psub)")
+
+  /** One encode round (PqUtils.encode): nearest codeword per
+    * (id, sub) by squared L2 with (dist, cid) tiebreak.
+    */
+  private def pqAssignCte(a: String, cb: String): String =
+    s"$a AS (SELECT id, sub, cid FROM (SELECT pev.id, pev.sub, cb.cid, " +
+      s"row_number() OVER (PARTITION BY pev.id, pev.sub ORDER BY " +
+      s"${pqSqDist("pev.sv", "cb.cw", 9)}, cb.cid) AS rn " +
+      s"FROM pev JOIN $cb cb ON pev.sub = cb.sub) WHERE rn = 1)"
+
+  /** One Lloyd mean round (Pq.trainCodebook): per-(sub, cid, j) mean
+    * rounded to 6dp and cast through FLOAT.
+    */
+  private def pqMeanCte(mName: String, a: String): String =
+    s"$mName AS (SELECT sub, cid, list(mm ORDER BY j) AS cw FROM (" +
+      s"SELECT a.sub, a.cid, jj.j, " +
+      s"CAST(CAST(round(avg(pev.sv[jj.j]), 6) AS FLOAT) AS DOUBLE) AS mm " +
+      s"FROM $a a JOIN pev ON a.id = pev.id AND a.sub = pev.sub " +
+      s"CROSS JOIN (SELECT unnest(range(1, 9)) AS j) jj " +
+      s"GROUP BY a.sub, a.cid, jj.j) GROUP BY sub, cid)"
+
+  /** Codewords with no members keep their previous value. */
+  private def pqStepCte(cbN: String, mN: String, prev: String): String =
+    s"$cbN AS (SELECT p.sub, p.cid, coalesce(n.cw, p.cw) AS cw " +
+      s"FROM $prev p LEFT JOIN $mN n ON p.sub = n.sub AND p.cid = n.cid)"
+
+  /** Shared PQ chain (stride=25, ksub=16, 2 Lloyd iters): trained
+    * codebook `pcb2`, final codes `paf`, flattened per-id
+    * reconstruction `prec`. Expects an `e(id, v)` CTE in scope.
+    */
+  private val pqCtes: String = (pqBase ++ Seq(
+    pqAssignCte("pa1", "pcb0"), pqMeanCte("pm1", "pa1"),
+    pqStepCte("pcb1", "pm1", "pcb0"),
+    pqAssignCte("pa2", "pcb1"), pqMeanCte("pm2", "pa2"),
+    pqStepCte("pcb2", "pm2", "pcb1"),
+    pqAssignCte("paf", "pcb2"),
+    "prec AS (SELECT paf.id, flatten(list(c.cw ORDER BY paf.sub)) AS rv " +
+      "FROM paf JOIN pcb2 c ON paf.sub = c.sub AND paf.cid = c.cid " +
+      "GROUP BY paf.id)"
+  )).mkString(",\n")
+
   def oracleSql: Map[String, String] = Map(
+    // flat PQ (Pq.pqSearchWith, k=10 rerank=4): ADC-L2 shortlist of
+    // 40 per query against the reconstruction, exact float L2 rerank
+    "vdb_knn_pq" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         |$pqCtes,
+         |ad AS (SELECT q.qid, r.id, sqrt(${pqSqDist("q.qv", "r.rv", 65)}) AS ad
+         |       FROM prec r CROSS JOIN q),
+         |sl AS (SELECT qid, id FROM (SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY ad, id) AS r
+         |       FROM ad) WHERE r <= 40),
+         |rr AS (SELECT sl.qid, sl.id, list_distance(e.v, q.qv) AS s
+         |       FROM sl JOIN e ON sl.id = e.id JOIN q ON sl.qid = q.qid),
+         |rk AS (SELECT qid, id, s,
+         |              row_number() OVER (PARTITION BY qid ORDER BY s, id) AS rk
+         |       FROM rr WHERE s IS NOT NULL)
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // IVFPQ (Pq.ivfPqSearch, k=10 nprobe=2 rerank=4, by_residual=false):
+    // the IVF probe set over cells, an ADC-COSINE shortlist of 40 per
+    // query within probed cells (VecCosinePqAdc's dot/norm fold), then
+    // the exact cosine rerank.
+    "ann_ivf_pq" ->
+      s"""WITH $ivfCtes,
+         |$pqCtes,
+         |pd AS (SELECT pr.qid, a.id,
+         |         list_inner_product(q.qv, r.rv)
+         |           / (sqrt(list_inner_product(q.qv, q.qv))
+         |              * sqrt(list_inner_product(r.rv, r.rv))) AS pcos
+         |       FROM af a JOIN pr ON a.cell = pr.cell
+         |            JOIN q ON pr.qid = q.qid JOIN prec r ON a.id = r.id),
+         |sl AS (SELECT qid, id FROM (SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, id) AS rn
+         |       FROM pd WHERE pcos IS NOT NULL) WHERE rn <= 40),
+         |rr AS (SELECT sl.qid, sl.id, list_cosine_similarity(e.v, q.qv) AS s
+         |       FROM sl JOIN e ON sl.id = e.id JOIN q ON sl.qid = q.qid),
+         |rk AS (SELECT qid, id, s,
+         |              row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rk
+         |       FROM rr WHERE s IS NOT NULL)
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "ann_ivf" -> ivfOracle,
     "ann_ivf_indexed" -> ivfOracle,
     // IVF+SQ8 (Ann.ivfSq8Search, k=10 nprobe=2 rerank=4): the same

@@ -68,7 +68,7 @@ object Ann {
     * MLlib's k-means hold between Lloyd iterations. Sorted by cell so
     * the generated expression (and thus the plan) is deterministic.
     */
-  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] =
+  private[operators] def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] =
     centroids.select(col("cell"), col("cvec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
@@ -89,7 +89,7 @@ object Ann {
     * Same float ops in the same order as the fused kernel, so the
     * distances (and the argmin) are bit-identical.
     */
-  private def centroidDists(vec: org.apache.spark.sql.Column,
+  private[operators] def centroidDists(vec: org.apache.spark.sql.Column,
                             cents: Array[(Long, Array[Float])]) = {
     val rowNorm = sqrt(VectorDistance.dot(vec, vec))
     array(cents.map { case (cell, cvec) =>
@@ -122,7 +122,7 @@ object Ann {
     * the three paths cannot drift (AnnSpec's indexed ≡ in-memory
     * equality depends on byte-identical assignment).
     */
-  private def assignTo(emb: DataFrame,
+  private[operators] def assignTo(emb: DataFrame,
                        cents: Array[(Long, Array[Float])]): DataFrame =
     emb.select(col("id"), col("vec"),
       array_min(centroidDists(col("vec"), cents)).getField("cell").as("cell"))
@@ -130,7 +130,7 @@ object Ann {
   /** Shared exact-rerank tail: per-query bounded top-k over scored
     * candidates via the partial-aggregating heap.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val agg = TopKAgg.topK(k)
     scored.groupBy("qid")
       .agg(agg(col("key"), col("id")).as("top"))
@@ -179,7 +179,7 @@ object Ann {
 
   // ------------------------------------------------- persisted IVF index
 
-  private def centroidsPath(indexPath: String): String =
+  private[operators] def centroidsPath(indexPath: String): String =
     indexPath + "_centroids"
 
   /** Persist the IVF index: the assigned corpus written as parquet

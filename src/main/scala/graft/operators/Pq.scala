@@ -1,0 +1,216 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{PqCodec, VectorDistance}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-quantized search — the third member of the FAISS
+  * quantization family next to FLAT (Knn) and SQ8 (Quant): vectors
+  * compress to m codes of log2(ksub) bits (here 8×4 bits = 4 bytes
+  * for a 64-dim float vector, 64×), the shortlist scan reads ONLY
+  * codes, and an exact float rerank restores precision. The reference
+  * serves its approximate path with HNSW (hnswlib_index.cc:28); at
+  * 100 TB the PQ-coded column is what makes a shortlist scan of the
+  * full corpus affordable — it is ~1.5% of the float scan's bytes.
+  *
+  * Training is deterministic (lowest-ksub stride-sampled init, 2
+  * Lloyd rounds, 6dp-float-round-tripped means — the IVF recipe from
+  * Ann.kmeansCentroids applied per subspace), so a DuckDB mirror
+  * reproduces codebooks, codes, ADC distances, and the final ranking
+  * bit-for-bit, and specs can assert equality across runs.
+  */
+object Pq {
+
+  /** Default geometry for the 64-dim test embeddings: 8 subspaces ×
+    * 8 dims, 16 codewords each (4-bit codes). At production dims the
+    * same plan holds with m ~ dim/8 and ksub = 256.
+    */
+  val M = 8
+  val DSUB = 8
+  val KSUB = 16
+
+  /** Per-subspace k-means codebook, flat layout
+    * `(s·ksub + c)·dsub + j`. Init = the ksub lowest-id vectors among
+    * every `stride`-th row (pure function of ids — no RNG); `iters`
+    * Lloyd rounds of encode → per-(sub, code, dim) mean, means
+    * ROUNDED to 6dp and round-tripped through float so the result is
+    * independent of distributed summation order (the Ann.scala:50
+    * determinism recipe). A codeword that attracts no vectors keeps
+    * its previous value. The collect is m·ksub·dsub rows — the
+    * driver-held training constant, like IVF centroids.
+    */
+  def trainCodebook(emb: DataFrame, m: Int = M, dsub: Int = DSUB,
+                    ksub: Int = KSUB, stride: Long = 25,
+                    iters: Int = 2): Array[Double] = {
+    val dim = m * dsub
+    val samples = emb.where(col("id") % stride === 0)
+      .orderBy("id").limit(ksub)
+      .select("vec").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(samples.length == ksub,
+      s"need $ksub init samples, got ${samples.length}")
+    require(samples.forall(_.length >= dim), s"vectors shorter than $dim")
+    val cb = new Array[Double](m * ksub * dsub)
+    for (c <- 0 until ksub; s <- 0 until m; j <- 0 until dsub)
+      cb((s * ksub + c) * dsub + j) = samples(c)(s * dsub + j).toDouble
+    var cur = cb
+    for (_ <- 1 to iters) {
+      val means = emb
+        .select(col("vec"),
+          PqCodec.encode(col("vec"), cur, m, dsub, ksub).as("code"))
+        .where(col("code").isNotNull)
+        .select(col("code"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .select((col("dim") / dsub).cast("int").as("sub"), col("dim"),
+          col("x").cast("double").as("x"), col("code"))
+        .withColumn("cid", element_at(col("code"), col("sub") + 1))
+        .groupBy("sub", "cid", "dim")
+        .agg(round(avg("x"), 6).as("mn"))
+        .collect()
+      val next = cur.clone() // empty codewords keep their previous value
+      means.foreach { r =>
+        val s = r.getInt(0); val c = r.getInt(1); val d = r.getInt(2)
+        next((s * ksub + c) * dsub + (d - s * dsub)) =
+          r.getDouble(3).toFloat.toDouble
+      }
+      cur = next
+    }
+    cur
+  }
+
+  /** Flat PQ search (L2, matching vdb_knn_sq8's metric): encode the
+    * corpus, ADC shortlist of rerank·k per query over codes only,
+    * exact float rerank to k. Output shape matches Knn.topK.
+    */
+  def pqSearchWith(emb: DataFrame, queries: DataFrame, k: Int,
+                   rerank: Int, cb: Array[Double], m: Int = M,
+                   dsub: Int = DSUB, ksub: Int = KSUB): DataFrame = {
+    val codes = emb.select(col("id"),
+      PqCodec.encode(col("vec"), cb, m, dsub, ksub).as("code"))
+    val qb = broadcast(queries.select(col("qid"), col("qvec")))
+    val scored = codes.crossJoin(qb)
+      .select(col("qid"),
+        PqCodec.l2Adc(col("code"), col("qvec"), cb, m, dsub, ksub).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    val shortlist = TopKAgg.shortlist(scored, k * rerank)
+    // exact rerank touches only the shortlist's float vectors
+    val rescored = shortlist
+      .join(emb, "id")
+      .join(qb, "qid")
+      .select(col("qid"),
+        VectorDistance.l2(col("vec"), col("qvec")).as("key"), col("id"))
+      .where(col("key").isNotNull)
+    val fin = TopKAgg.topK(k)
+    rescored.groupBy("qid")
+      .agg(fin(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"), round(col("col.key"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  def pqSearch(emb: DataFrame, queries: DataFrame, k: Int,
+               rerank: Int = 4): DataFrame =
+    pqSearchWith(emb, queries, k, rerank, trainCodebook(emb))
+
+  /** Trained-codebook cache per (dir, stride) — training is the index
+    * build step, amortized exactly like Ann.centCache (r4 verdict #8).
+    */
+  private val cbCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Array[Double]]()
+
+  def pqQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cb = cbCache.computeIfAbsent((dir, 25L), _ => trainCodebook(e))
+    pqSearchWith(e, q, k = 10, rerank = 4, cb)
+  }
+
+  // ------------------------------------------------------- IVF + PQ
+
+  private def pqPath(indexPath: String): String = indexPath + "_pq"
+
+  /** The FAISS IVFPQ layout as a table (by_residual=false variant —
+    * PQ trained on raw vectors, not cell residuals: one global
+    * codebook, which is what keeps the DuckDB mirror and the
+    * cell-independent code column possible): cell-partitioned index
+    * carrying 4-bit-per-subspace codes next to the float vectors, so
+    * a probe is a partition-pruned CODE-ONLY scan (column pruning
+    * keeps `vec` out of the shortlist pass entirely) followed by an
+    * exact rerank that decodes floats only for probed cells'
+    * shortlist.
+    */
+  def ivfPqBuildIndex(s: SparkSession, emb: DataFrame, path: String,
+                      stride: Long = 200, pqStride: Long = 25): Unit = {
+    import s.implicits._
+    val cb = trainCodebook(emb, stride = pqStride)
+    val cents = Ann.collectCentroids(Ann.kmeansCentroids(emb, stride))
+    // sidecars first; the index's _SUCCESS (written last) publishes
+    cb.zipWithIndex.map { case (w, i) => (i, w) }.toSeq.toDF("idx", "w")
+      .write.mode("overwrite").parquet(pqPath(path))
+    cents.toSeq.toDF("cell", "cvec")
+      .write.mode("overwrite").parquet(Ann.centroidsPath(path))
+    Ann.assignTo(emb, cents)
+      .withColumn("code", PqCodec.encode(col("vec"), cb, M, DSUB, KSUB))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe-pruned PQ search: partition-filtered scan of (id, code)
+    * only → ADC cosine shortlist (same metric as the exact rerank,
+    * mirroring ivfSq8Search's metric reasoning) → exact float rerank
+    * reading `vec` just for the shortlist join. Compounds partition
+    * pruning (skip unprobed cells), PQ (64× smaller shortlist scan),
+    * and the bounded-heap top-k.
+    */
+  def ivfPqSearch(s: SparkSession, path: String, queries: DataFrame,
+                  k: Int, nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+    val cb = s.read.parquet(pqPath(path))
+      .orderBy("idx").collect().map(_.getDouble(1))
+    val cents = Ann.collectCentroids(
+      s.read.parquet(Ann.centroidsPath(path)).select(col("cell"), col("cvec")))
+    val probes = queries.select(col("qid"), col("qvec"),
+      explode(slice(array_sort(Ann.centroidDists(col("qvec"), cents)),
+        1, nprobe)).as("p"))
+      .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
+    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val codes = s.read.parquet(path)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .select("id", "code", "cell")
+    val scored = codes.join(probes, "cell")
+      .select(col("qid"),
+        (-PqCodec.cosineAdc(col("code"), col("qvec"), cb, M, DSUB, KSUB))
+          .as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    val shortlist = TopKAgg.shortlist(scored, k * rerank)
+    val vecs = s.read.parquet(path)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .select("id", "vec")
+    val rescored = shortlist
+      .join(vecs, "id")
+      .join(broadcast(queries.select("qid", "qvec")), "qid")
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    Ann.topKPerQuery(rescored, k)
+  }
+
+  def ivfPqQuery(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val path = java.nio.file.Paths.get("target", "tmp", s"ivfpq-$key")
+      .toAbsolutePath.toString
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      ivfPqBuildIndex(s, e, path)
+    }
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    ivfPqSearch(s, path, q, k = 10, nprobe = 2)
+  }
+}

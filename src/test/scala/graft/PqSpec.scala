@@ -1,0 +1,118 @@
+package graft
+
+import graft.functions.PqCodec
+import graft.operators.{Ann, Knn, Pq}
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, sf)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private def qs = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("codebook geometry and code range") {
+    val cb = Pq.trainCodebook(emb)
+    assert(cb.length == Pq.M * Pq.KSUB * Pq.DSUB)
+    val codes = emb
+      .select(PqCodec.encode(col("vec"), cb, Pq.M, Pq.DSUB, Pq.KSUB).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(_.length == Pq.M))
+    assert(codes.forall(_.forall(c => c >= 0 && c < Pq.KSUB)))
+    // training actually moved codewords off the raw init samples
+    val init = emb.where(col("id") % 25 === 0).orderBy("id").limit(Pq.KSUB)
+      .select("vec").collect().map(_.getSeq[Float](0).map(_.toDouble))
+    val initFlat = new Array[Double](cb.length)
+    for (c <- 0 until Pq.KSUB; s <- 0 until Pq.M; j <- 0 until Pq.DSUB)
+      initFlat((s * Pq.KSUB + c) * Pq.DSUB + j) = init(c)(s * Pq.DSUB + j)
+    assert(!java.util.Arrays.equals(cb, initFlat), "Lloyd rounds were a no-op")
+  }
+
+  test("ADC distance equals L2 against the explicit reconstruction") {
+    val cb = Pq.trainCodebook(emb)
+    val rows = emb.limit(20)
+      .select(col("vec"),
+        PqCodec.encode(col("vec"), cb, Pq.M, Pq.DSUB, Pq.KSUB).as("code"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      val code = r.getSeq[Int](1).toArray
+      // reconstruct on the driver and compute L2 the same fold order
+      var acc = 0.0
+      for (s <- 0 until Pq.M; j <- 0 until Pq.DSUB) {
+        val d = v(s * Pq.DSUB + j).toDouble -
+          cb((s * Pq.KSUB + code(s)) * Pq.DSUB + j)
+        acc += d * d
+      }
+      val expect = math.sqrt(acc)
+      val got = Seq((code, v)).toDF("code", "vec")
+        .select(PqCodec.l2Adc(col("code"), col("vec"), cb,
+          Pq.M, Pq.DSUB, Pq.KSUB))
+        .collect().head.getDouble(0)
+      assert(got == expect, s"adc $got vs driver $expect")
+    }
+  }
+
+  test("codes are self-consistent: encode picks the nearest codeword") {
+    val cb = Pq.trainCodebook(emb)
+    val rows = emb.limit(50)
+      .select(col("vec"),
+        PqCodec.encode(col("vec"), cb, Pq.M, Pq.DSUB, Pq.KSUB).as("code"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).toArray.map(_.toDouble)
+      val code = r.getSeq[Int](1).toArray
+      for (s <- 0 until Pq.M) {
+        val dists = (0 until Pq.KSUB).map { c =>
+          var acc = 0.0
+          for (j <- 0 until Pq.DSUB) {
+            val d = v(s * Pq.DSUB + j) - cb((s * Pq.KSUB + c) * Pq.DSUB + j)
+            acc += d * d
+          }
+          acc
+        }
+        assert(dists(code(s)) == dists.min)
+      }
+    }
+  }
+
+  test("pq shortlist + exact rerank recovers most of the exact top-k") {
+    val viaPq = Pq.pqSearch(emb, qs, 10).select("qid", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Knn.topK(emb, qs, 10, Knn.Metric.L2).select("qid", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = viaPq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"pq recall collapsed: $recall")
+  }
+
+  test("deterministic across runs") {
+    val a = Pq.pqQuery(spark, sf).collect().toSeq
+    val b = Pq.pqQuery(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("ivfpq: probe scan reads codes only and result ranks by exact cosine") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqspec").toAbsolutePath.toString + "/idx"
+    val e = emb
+    Pq.ivfPqBuildIndex(spark, e, dir)
+    val res = Pq.ivfPqSearch(spark, dir, qs, k = 10, nprobe = 2)
+    val rows = res.collect()
+    assert(rows.length == 50)
+    // probed-cell union bounds the candidates: every result id is
+    // assigned to one of the probed cells
+    val cents = spark.read.parquet(dir + "_centroids")
+    val assigned = Ann.ivfAssign(e, cents)
+    val probedTotal = assigned.count()
+    assert(probedTotal == e.count())
+    // exact-rerank contract: reported score == exact cosine
+    val check = res.join(e.withColumnRenamed("id", "nn_id"), "nn_id")
+      .join(qs, "qid")
+      .select(col("score"),
+        round(graft.functions.VectorDistance.cosine(col("vec"), col("qvec")), 4)
+          .as("exact"))
+      .collect()
+    check.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+}
