@@ -117,7 +117,12 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.fingerprint _),
     "corpus_stats" -> (TextOps.corpusStats _),
     "text_chunk" -> (TextOps.chunkQuery _),
+    "chunk_pack" -> (TextOps.chunkPackQuery _),
+    "text_pii_redact" -> (TextOps.piiQuery _),
+    "text_repetition" -> (TextOps.repetition _),
     "corpus_sample_split" -> (Sampling.sampleSplitQuery _),
+    "corpus_weighted_sample" -> (Sampling.weightedSampleQuery _),
+    "sketch_kmv_distinct" -> (Sketch.kmvQuery _),
     "vdb_knn_filtered_in" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label").isin(2, 4, 6))),
@@ -1017,6 +1022,43 @@ object SparkEntry {
         |            WHEN bucket < 'e666' THEN 'val'
         |            ELSE 'test' END AS split
         |FROM s ORDER BY doc_id""".stripMargin,
+    // Poisson PPS sample (Sampling.weightedSample): p = min(1,
+    // 150·w/W) with W an exact integer sum; u = md5-60-bit/2^60 —
+    // +,·,/ only, so the keep decision replays bit-for-bit
+    "corpus_weighted_sample" ->
+      """WITH w AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents),
+        |c AS (SELECT doc_id, lang, n_chars,
+        |        least(CAST(1.0 AS DOUBLE),
+        |          (CAST(150.0 AS DOUBLE) * CAST(n_chars AS DOUBLE))
+        |            / CAST(w.tw AS DOUBLE)) AS pfull,
+        |        CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |               AS BIGINT) AS DOUBLE)
+        |          / CAST(1152921504606846976 AS DOUBLE) AS u
+        |      FROM documents, w)
+        |SELECT doc_id, lang, n_chars, round(pfull, 6) AS p
+        |FROM c WHERE u < pfull ORDER BY doc_id""".stripMargin,
+    // KMV sketch (Sketch.kmvDistinct, k=64): distinct 60-bit hashes,
+    // k-th smallest per group, estimate (k-1)·2^60/kth — exact below
+    // k. The sketch state is engine-side only; the estimate is a pure
+    // function of the data, which is what the oracle mirrors.
+    "sketch_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |               AS rn
+        |      FROM h),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |             max(CASE WHEN rn = 64 THEN h END) AS kth
+        |      FROM r GROUP BY event_type)
+        |SELECT event_type, least(nd, 64) AS n_seen,
+        |       CASE WHEN nd < 64 THEN round(CAST(nd AS DOUBLE), 4)
+        |            ELSE round((CAST(63.0 AS DOUBLE)
+        |                          * CAST(1152921504606846976 AS DOUBLE))
+        |                       / CAST(kth AS DOUBLE), 4) END AS est_distinct
+        |FROM s ORDER BY event_type""".stripMargin,
     // chunk_id ≡ start_tok / stride (posexplode numbers the sequence
     // 0, stride, 2·stride… in order), so the oracle derives it
     // arithmetically; DuckDB list slicing clamps at the list end the
@@ -1035,6 +1077,89 @@ object SparkEntry {
         |       md5(array_to_string(toks[st + 1 : least(st + 32, n)], ' '))
         |         AS chunk_md5
         |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+    // offset packing over the chunk table: a chunk joins the sequence
+    // holding its cumulative start offset (integer window cumsum +
+    // floor-div — replays exactly)
+    "chunk_pack" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |x AS (SELECT doc_id, n, unnest(range(0, greatest(n, 1), 24)) AS st
+        |      FROM t),
+        |c AS (SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        |             CAST(st AS BIGINT) AS start_tok,
+        |             CAST(least(32, n - st) AS BIGINT) AS n_chunk_toks
+        |      FROM x),
+        |s AS (SELECT doc_id, chunk_id, start_tok, n_chunk_toks,
+        |             coalesce(sum(n_chunk_toks) OVER (
+        |               PARTITION BY doc_id ORDER BY chunk_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) AS cum
+        |      FROM c)
+        |SELECT doc_id, CAST(cum // 128 AS BIGINT) AS seq_id,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(sum(n_chunk_toks) AS BIGINT) AS seq_toks,
+        |       min(start_tok) AS first_tok
+        |FROM s GROUP BY doc_id, seq_id
+        |ORDER BY doc_id, seq_id""".stripMargin,
+    // planted-PII corpus (corpusWithPii): counts via
+    // regexp_extract_all length, redaction email→phone→ip with the
+    // 'g' flag (Spark's regexp_replace is global by default)
+    "text_pii_redact" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 10 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' call 555-123-4567 or 555-987-6543' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN ' from host 192.168.1.10' ELSE '' END AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+        |    AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'))
+        |    AS redacted_md5
+        |FROM p)
+        |SELECT doc_id, n_emails, n_phones, n_ips, redacted_md5,
+        |       n_emails + n_phones + n_ips AS n_pii
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // n-grams via list_transform ranges (1-based: range(1, len) gives
+    // the len-1 bigram starts); fractions NULL when a doc has no
+    // bigrams/trigrams, matching the Spark left joins
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |uc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+        |ua AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        |              max(c) AS mu FROM uc GROUP BY 1),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, sum(c) AS n_bi, max(c) AS mb
+        |       FROM bc GROUP BY 1),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg
+        |      FROM t),
+        |gc AS (SELECT doc_id, tg, count(*) AS c FROM g GROUP BY 1, 2),
+        |ga AS (SELECT doc_id, sum(c) AS n_tri,
+        |              sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+        |       FROM gc GROUP BY 1)
+        |SELECT ua.doc_id, ua.n_toks,
+        |       round(CAST(mu AS DOUBLE) / n_toks, 4) AS top_unigram_frac,
+        |       round(CAST(mb AS DOUBLE) / n_bi, 4) AS top_bigram_frac,
+        |       round(CAST(dup AS DOUBLE) / n_tri, 4) AS dup_trigram_frac
+        |FROM ua LEFT JOIN ba USING (doc_id) LEFT JOIN ga USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH n AS (SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5

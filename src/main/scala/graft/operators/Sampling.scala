@@ -70,6 +70,47 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** 60-bit id hash as a uniform double in [0, 1) — exact IEEE
+    * division by 2^60, reproducible in any engine with md5().
+    */
+  private def u01(id: Column): Column =
+    graft.functions.Md5Prefix60(id.cast("string")).cast("double") /
+      lit(1152921504606846976L).cast("double")
+
+  /** Poisson (probability-proportional-to-size) sampling: include row
+    * i with probability min(1, budget·wᵢ/W), deciding by the id hash
+    * — the weighted counterpart of [[stratifiedSample]] for corpus
+    * curation (e.g. upweighting long documents). E[|sample|] ≈ budget.
+    *
+    * Chosen over the top-n exponential-keys scheme (Efraimidis–
+    * Spirakis u^(1/w)) deliberately: that needs ln/pow, whose last-ulp
+    * rounding is libm-implementation-defined — this uses only +,·,/
+    * (IEEE correctly-rounded everywhere), so the decision, like all
+    * sampling here, is bit-reproducible across engines and the DuckDB
+    * oracle can replay it exactly. Same scale shape as split(): pure
+    * scan-side filter, no shuffle, layout-invariant.
+    *
+    * `totalWeight` is an exact integer sum (order-independent —
+    * a double sum would be partition-order-dependent), computed once
+    * by the caller.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     budget: Double, totalWeight: Long): DataFrame = {
+    val p = least(lit(1.0),
+      (lit(budget) * col(weightCol).cast("double"))
+        / lit(totalWeight.toDouble))
+    df.withColumn("p", round(p, 6)).where(u01(col(idCol)) < p)
+  }
+
+  /** Surface query: sample ~150 documents proportional to length. */
+  def weightedSampleQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val w = docs.agg(sum(col("n_chars").cast("long"))).collect()(0).getLong(0)
+    weightedSample(docs, "doc_id", "n_chars", budget = 150.0,
+      totalWeight = w).orderBy("doc_id")
+  }
+
   /** Surface query: downsample English (the dominant stratum) to 25%
     * and the rest to 75%, then stamp the survivors with a 80/10/10
     * train/val/test split — the two ops compose into ONE scan +

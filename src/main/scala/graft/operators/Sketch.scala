@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch — the 100 TB
+  * distinct-count operator. `count(distinct x)` shuffles every
+  * distinct value; the KMV aggregator's state is the k smallest
+  * distinct 60-bit hashes (a bounded sorted set), combined map-side,
+  * so the exchange carries at most k longs per partition per group —
+  * the same partial-aggregation shape as TopKAgg, applied to
+  * cardinality estimation.
+  *
+  * Estimator (Bar-Yossef et al., "Counting distinct elements in a
+  * data stream"): with U_(k) the k-th smallest of n distinct uniform
+  * hashes in [0, 1), E[U_(k)] = k/(n+1), so n̂ = (k-1)/U_(k) is the
+  * standard unbiased KMV estimate; below k distinct values the set
+  * holds everything and the count is exact. Hashes are md5-derived
+  * (Md5Prefix60), so the whole pipeline — including the estimate —
+  * is a pure function of the data that a DuckDB mirror reproduces
+  * bit-for-bit: this "approximate" operator is oracle-checkable,
+  * unlike HLL whose register layout is implementation-defined.
+  */
+case class KmvSummary(n_seen: Long, kth: Long)
+
+class KmvAgg(k: Int)
+    extends Aggregator[Long, java.util.TreeSet[java.lang.Long], KmvSummary] {
+
+  override def zero: java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  // TreeSet add dedups repeated values for free — no pre-distinct
+  // (and no extra shuffle) is ever needed in front of this aggregate
+  override def reduce(b: java.util.TreeSet[java.lang.Long],
+                      h: Long): java.util.TreeSet[java.lang.Long] = {
+    b.add(h)
+    if (b.size > k) b.pollLast()
+    b
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+                     b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) {
+      b1.add(it.next())
+      if (b1.size > k) b1.pollLast()
+    }
+    b1
+  }
+
+  /** kth = the k-th smallest hash (the set's max once full); -1
+    * sentinel while the set is still exact.
+    */
+  override def finish(b: java.util.TreeSet[java.lang.Long]): KmvSummary =
+    KmvSummary(b.size.toLong, if (b.size >= k) b.last() else -1L)
+
+  override def bufferEncoder: Encoder[java.util.TreeSet[java.lang.Long]] =
+    Encoders.kryo[java.util.TreeSet[java.lang.Long]]
+  override def outputEncoder: Encoder[KmvSummary] =
+    Encoders.product[KmvSummary]
+}
+
+object Sketch {
+
+  /** k = 64 gives ~1/√(k−2) ≈ 13% standard error — the usual
+    * cheap-sketch operating point; production tunes k per column.
+    */
+  val K = 64
+
+  private val twoPow60 = lit(1152921504606846976L).cast("double")
+
+  /** Estimated distinct `valueCol` per `groupCol`: one scan, one
+    * bounded-state aggregation. n_seen = min(k, distinct-hash count);
+    * est_distinct is exact below k, (k−1)/U_(k) at or above it.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String,
+                  valueCol: String, k: Int = K): DataFrame = {
+    val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
+    df.select(col(groupCol),
+        graft.functions.Md5Prefix60(col(valueCol).cast("string")).as("h"))
+      .groupBy(groupCol)
+      .agg(agg(col("h")).as("kmv"))
+      .select(col(groupCol), col("kmv.n_seen").as("n_seen"),
+        round(
+          when(col("kmv.n_seen") < k, col("kmv.n_seen").cast("double"))
+            .otherwise((lit((k - 1).toDouble) * twoPow60)
+              / col("kmv.kth").cast("double")),
+          4).as("est_distinct"))
+      .orderBy(groupCol)
+  }
+
+  /** Surface query: estimated distinct users per event type. */
+  def kmvQuery(s: SparkSession, dir: String): DataFrame =
+    kmvDistinct(Tables.events(s, dir).select("event_type", "user_id"),
+      "event_type", "user_id")
+}

@@ -200,7 +200,13 @@ object TextOps {
     * repo's interpreted-lambda pitfall), and the per-doc fan-out is
     * ~n_tokens/stride rows, linear in corpus size.
     */
-  def chunk(docs: DataFrame, size: Int = 32, overlap: Int = 8): DataFrame = {
+  def chunk(docs: DataFrame, size: Int = 32, overlap: Int = 8): DataFrame =
+    chunks0(docs, size, overlap).orderBy("doc_id", "chunk_id")
+
+  /** Chunks without the surface sort — for composition ([[chunkPack]]
+    * re-keys by doc_id, which would destroy an orderBy here).
+    */
+  private def chunks0(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
     require(size > overlap && overlap >= 0, "need 0 <= overlap < size")
     val stride = size - overlap
     docs
@@ -217,10 +223,136 @@ object TextOps {
         md5(concat_ws(" ",
           slice(col("toks"), col("start_tok") + 1, lit(size))))
           .as("chunk_md5"))
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Surface query: 32-token windows, 8-token overlap. */
   def chunkQuery(s: SparkSession, dir: String): DataFrame =
     chunk(Tables.documents(s, dir))
+
+  /** Pack each document's chunks into training sequences by token
+    * offset: a chunk goes to the sequence holding its cumulative
+    * start offset, sequences span `budget` tokens each (so a chunk
+    * straddling a boundary follows its start — offset packing, the
+    * deterministic relational form of greedy packing; bins can exceed
+    * the budget by at most one chunk's tail). All integer arithmetic
+    * over the chunk table's existing doc_id key: one window cumsum +
+    * one aggregate, no extra shuffle beyond the chunk fan-out.
+    */
+  def chunkPack(docs: DataFrame, size: Int = 32, overlap: Int = 8,
+                budget: Int = 128): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    chunks0(docs, size, overlap)
+      .withColumn("cum_before",
+        coalesce(sum(col("n_chunk_toks")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        floor(col("cum_before") / lit(budget.toDouble)).cast("long"))
+      .groupBy("doc_id", "seq_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_chunk_toks").as("seq_toks"),
+        min("start_tok").as("first_tok"))
+      .orderBy("doc_id", "seq_id")
+  }
+
+  def chunkPackQuery(s: SparkSession, dir: String): DataFrame =
+    chunkPack(Tables.documents(s, dir))
+
+  // ------------------------------------------------------------- PII
+
+  // Test-fixture boundaries: the word-salad corpus contains no digits,
+  // so the patterns skip word-boundary anchors (Spark SQL string
+  // literals would eat \b as backspace; production patterns belong in
+  // config, same plan shape)
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** The documents corpus with deterministically planted PII —
+    * the fixture is PII-free, so the operator plants its own
+    * positives (the corpusWithExactDups pattern from Dedup).
+    */
+  def corpusWithPii(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" call 555-123-4567 or 555-987-6543")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" from host 192.168.1.10")).otherwise(lit("")))
+        .as("text"))
+
+  /** PII detection + redaction: per-class match counts and the
+    * redacted text (emails first — an address contains dots that the
+    * IP pattern could otherwise chew on; then phones, then IPs).
+    * One projection of codegen regexp built-ins; the redacted text
+    * surfaces as md5 so the output stays hash-comparable.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"),
+        IpRe, "[IP]")
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(IpRe)).cast("long").as("n_ips"),
+        md5(redacted).as("redacted_md5"))
+      .withColumn("n_pii", col("n_emails") + col("n_phones") + col("n_ips"))
+      .orderBy("doc_id")
+  }
+
+  def piiQuery(s: SparkSession, dir: String): DataFrame =
+    piiRedact(corpusWithPii(s, dir))
+
+  // ------------------------------------------- repetition signals
+
+  /** Gopher-style repetition quality signals: the fraction of tokens
+    * under the single most frequent unigram/bigram, and the fraction
+    * of trigram occurrences whose trigram repeats within the doc.
+    * N-grams come from posexplode + window `lead` (the minhash
+    * shingling recipe — all codegen, one doc_id-keyed shuffle); the
+    * three n-gram aggregates and the final joins all reuse the same
+    * doc_id hash exchange.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.documents(s, dir))
+
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t2", lead("tok", 1).over(w))
+      .withColumn("t3", lead("tok", 2).over(w))
+      .select(col("doc_id"), col("tok"),
+        when(col("t2").isNotNull,
+          concat_ws(" ", col("tok"), col("t2"))).as("bg"),
+        when(col("t3").isNotNull,
+          concat_ws(" ", col("tok"), col("t2"), col("t3"))).as("tg"))
+    val uni = grams.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_toks"), max("c").as("max_uni"))
+    val bi = grams.where(col("bg").isNotNull)
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_bi"), max("c").as("max_bi"))
+    val tri = grams.where(col("tg").isNotNull)
+      .groupBy("doc_id", "tg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_tri"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_tri"))
+    uni.join(bi, Seq("doc_id"), "left").join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        round(col("max_uni").cast("double") / col("n_toks"), 4)
+          .as("top_unigram_frac"),
+        round(col("max_bi").cast("double") / col("n_bi"), 4)
+          .as("top_bigram_frac"),
+        round(col("dup_tri").cast("double") / col("n_tri"), 4)
+          .as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
 }

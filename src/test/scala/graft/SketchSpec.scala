@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Sampling, Sketch}
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSuite {
+
+  private def events = Tables.events(spark, sf)
+    .select("event_type", "user_id")
+
+  test("kmv estimate tracks the exact distinct count") {
+    val est = Sketch.kmvDistinct(events, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, nd) =>
+      val (nSeen, e) = est(t)
+      if (nd < Sketch.K) {
+        // below k the sketch is exact by construction
+        assert(nSeen == nd && e == nd.toDouble, s"$t: $e vs exact $nd")
+      } else {
+        assert(nSeen == Sketch.K)
+        // k=64 → ~13% standard error; allow 3 sigma
+        assert(math.abs(e - nd) <= 0.4 * nd, s"$t: est $e vs exact $nd")
+      }
+    }
+  }
+
+  test("kmv is invariant under repartitioning (merge correctness)") {
+    val a = Sketch.kmvDistinct(events, "event_type", "user_id").collect().toSeq
+    val b = Sketch.kmvDistinct(
+      Tables.events(spark, sf).select("event_type", "user_id").repartition(13),
+      "event_type", "user_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("kmv dedups repeated values without a distinct") {
+    // duplicating the input must not change any estimate: set-state
+    // semantics absorb repeats (the property that lets the aggregate
+    // run WITHOUT a pre-shuffle distinct)
+    val doubled = events.unionAll(events)
+    val a = Sketch.kmvDistinct(events, "event_type", "user_id").collect().toSeq
+    val b = Sketch.kmvDistinct(doubled, "event_type", "user_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("weighted sample: layout-invariant, near-budget, length-biased") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val w = docs.agg(sum(col("n_chars").cast("long"))).collect()(0).getLong(0)
+    val kept = Sampling.weightedSample(docs, "doc_id", "n_chars", 150.0, w)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.weightedSample(docs.repartition(11), "doc_id",
+        "n_chars", 150.0, w)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2, "sampling decision moved under repartition")
+    // E[|sample|] = budget (when no p clamps at 1); binomial 4-sigma
+    assert(math.abs(ids.size - 150.0) < 50, s"sample size ${ids.size}")
+    // PPS property: kept docs are longer on average than the corpus
+    val avgKept = kept.agg(avg("n_chars")).collect()(0).getDouble(0)
+    val avgAll = docs.agg(avg("n_chars")).collect()(0).getDouble(0)
+    assert(avgKept > avgAll, s"kept avg $avgKept !> corpus avg $avgAll")
+  }
+}

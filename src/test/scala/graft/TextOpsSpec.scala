@@ -59,4 +59,58 @@ class TextOpsSpec extends SparkSuite {
       .flatMap(c => c._3 until (c._3 + c._4)).toSet
     assert(covered == (0L until 50L).toSet)
   }
+
+  test("chunk_pack: sequences partition a doc's chunks by offset") {
+    import spark.implicits._
+    // 200 tokens, size 32/overlap 8 → 9 chunks at starts 0,24,…,192;
+    // budget 128: cum-before offsets 0,32,64,96,128,… so chunks 0-3
+    // land in seq 0 (128 toks), the rest spill into seqs 1-2
+    val docs = Seq((1L, (0 until 200).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkPack(docs, 32, 8, 128).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).sum == 9, "chunks lost or duplicated in packing")
+    assert(out.head == (0L, 4L, 128L), s"first sequence was ${out.head}")
+    // sequence ids are dense from 0 and token sums stay near budget
+    assert(out.map(_._1).toSeq == out.indices.map(_.toLong))
+  }
+
+  test("pii: counts match planted positives and redaction removes them") {
+    val out = TextOps.piiQuery(spark, sf).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (if (id % 10 == 0) 1L else 0L), s"emails @$id")
+      assert(r.getLong(2) == (if (id % 7 == 0) 2L else 0L), s"phones @$id")
+      assert(r.getLong(3) == (if (id % 13 == 0) 1L else 0L), s"ips @$id")
+      assert(r.getLong(5) == r.getLong(1) + r.getLong(2) + r.getLong(3))
+    }
+    // redaction is idempotent: a second pass finds nothing to count
+    import spark.implicits._
+    val redacted = Seq(("x y user3@example.com 555-123-4567 10.0.0.1"))
+      .toDF("text").select(
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+          "[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+          "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "[IP]"))
+      .collect().head.getString(0)
+    assert(redacted == "x y [EMAIL] [PHONE] [IP]")
+  }
+
+  test("repetition signals match a hand computation") {
+    import spark.implicits._
+    // "a b a b a": unigrams a×3 b×2 → top 3/5; bigrams "a b"×2
+    // "b a"×2 → top 2/4; trigrams "a b a"×2 "b a b"×1 → dup 2/3
+    val docs = Seq((1L, "a b a b a"), (2L, "x")).toDF("doc_id", "text")
+    val byId = TextOps.repetitionOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = byId(1L)
+    assert(r1.getLong(1) == 5L)
+    assert(r1.getDouble(2) == 0.6)
+    assert(r1.getDouble(3) == 0.5)
+    assert(r1.getDouble(4) == 0.6667)
+    // single-token doc: no bigrams/trigrams → NULL fractions
+    val r2 = byId(2L)
+    assert(r2.getLong(1) == 1L && r2.getDouble(2) == 1.0)
+    assert(r2.isNullAt(3) && r2.isNullAt(4))
+  }
 }
