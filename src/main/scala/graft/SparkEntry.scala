@@ -172,6 +172,8 @@ object SparkEntry {
     "q14_promo" -> (Analytics.q14PromoEffect _),
     "q10_returned" -> (Analytics.q10ReturnedItems _),
     "q19_disc_rev" -> (Analytics.q19DiscountedRevenue _),
+    "q21_sole_blame" -> (Analytics.q21SoleBlame _),
+    "q22_global_sales" -> (Analytics.q22GlobalSales _),
     "q_window_topn" -> ((s, d) => Analytics.windowTopOrders(s, d)),
     "events_tumbling" -> Analytics.eventsTumbling _,
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
@@ -1404,6 +1406,31 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 1 AND 30)
         |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
         |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
+    "q21_sole_blame" ->
+      """WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |            FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    "q22_global_sales" ->
+      """WITH a AS (SELECT round(avg(c_acctbal), 4) AS avg_bal
+        |           FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer, a
+        |WHERE c_acctbal > a.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = customer.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
         |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,

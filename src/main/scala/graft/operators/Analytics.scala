@@ -210,6 +210,65 @@ object Analytics {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q21 shape (the driver schema carries no commit/receipt
+    * dates, so "kept the order waiting" becomes "was the sole
+    * supplier with a returned line"): fact-table self-SEMI-join
+    * (other suppliers exist on the order) composed with a
+    * self-ANTI-join (no other supplier's line was returned) — the
+    * exists/not-exists pair that makes Q21 the hardest TPC-H plan
+    * shape. Both sides are orderkey equi-joins with a residual
+    * suppkey inequality, so they hash-partition on orderkey — no
+    * nested-loop; the anti side's build input is pre-filtered to
+    * returned lines only.
+    */
+  def q21SoleBlame(s: SparkSession, dir: String): DataFrame = {
+    val l1 = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    val l2 = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    l1.join(l2, col("l_orderkey") === col("o2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  /** TPC-H Q22 shape: above-average-balance customers with no RECENT
+    * order (every fixture customer has SOME order, so the lapse
+    * cutoff is what the anti-join bites on — closer to Q22's
+    * "likely-lapsed customer" intent anyway) — a scalar aggregate
+    * feeding a filter plus an ANTI-join against date-filtered orders,
+    * aggregated per segment. The scalar is a 1-row broadcast
+    * crossJoin (not a driver-collected literal, so the whole thing
+    * stays ONE lazy plan); the threshold is rounded to 4dp on both
+    * engines so the comparison is ulp-stable under distributed
+    * summation order. The date predicate on the anti side reaches its
+    * scan (PushedFilters), shrinking the anti build input.
+    */
+  def q22GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    val avgBal = Tables.customer(s, dir).where(col("c_acctbal") > 0)
+      .agg(round(avg("c_acctbal"), 4).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select("o_custkey")
+    Tables.customer(s, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Top-3 orders per customer — the canonical ranking window. */
   def windowTopOrders(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val w = Window.partitionBy("o_custkey")

@@ -112,6 +112,24 @@ class PlanSpec extends SparkSuite {
       s"quantized kernels missing from plan:\n${p.take(2000)}")
   }
 
+  test("q21: semi/anti self-joins hash on orderkey, no nested loop") {
+    // the suppkey inequality must ride as a residual condition on an
+    // orderkey-keyed hash/merge join; a BroadcastNestedLoopJoin here
+    // means the planner saw no equi-key and the query is O(n²)
+    val p = planOf(Analytics.q21SoleBlame(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in q21:\n${p.take(2000)}")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"semi/anti pair missing:\n${p.take(2000)}")
+  }
+
+  test("q22: anti-join side scan carries the pushed date filter") {
+    val p = planOf(Analytics.q22GlobalSales(spark, sf))
+    assert(p.contains("LeftAnti"), s"anti join missing:\n${p.take(2000)}")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date filter not pushed on anti side:\n${p.take(2000)}")
+  }
+
   test("vector kernel compiles into whole-stage codegen") {
     // AQE reports codegen subtrees only after execution; disable it
     // for this static plan inspection
