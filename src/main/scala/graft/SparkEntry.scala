@@ -92,6 +92,9 @@ object SparkEntry {
     "stream_window_daily" -> (graft.streaming.BatchTwins.windowDailyQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
     "ann_ivf_indexed" -> (Ann.ivfIndexedQuery _),
+    "ann_ivf_filtered" -> (Ann.ivfIndexedFilteredQuery _),
+    "vdb_range_search" -> ((s, d) =>
+      Knn.radius(emb(s, d), qset(s, d), Knn.Metric.Cosine, 0.25)),
     "ann_ivf_sq8" -> (Ann.ivfSq8Query _),
     "ann_lsh" -> (Ann.lshQuery _),
     "vdb_knn_sq8" -> (Quant.sq8Query _),
@@ -538,6 +541,34 @@ object SparkEntry {
          |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "ann_ivf" -> ivfOracle,
     "ann_ivf_indexed" -> ivfOracle,
+    // filtered indexed search: the same probe set, members restricted
+    // by the metadata predicate BEFORE scoring (reference
+    // filter_index.cc bitmaps under the approximate path)
+    "ann_ivf_filtered" ->
+      s"""WITH $ivfCtes,
+         |fl AS (SELECT a.id, a.v, a.cell FROM af a
+         |       JOIN embeddings em ON a.id = em.vec_id
+         |       WHERE em.label BETWEEN 2 AND 6),
+         |sc AS (SELECT pr.qid, f.id, list_cosine_similarity(f.v, q.qv) AS s
+         |       FROM fl f JOIN pr ON f.cell = pr.cell
+         |            JOIN q ON pr.qid = q.qid),
+         |r AS (SELECT qid, id, s,
+         |             row_number() OVER (PARTITION BY qid ORDER BY s DESC, id)
+         |               AS rk
+         |      FROM sc WHERE s IS NOT NULL)
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // radius search (Knn.radius, cosine >= 0.25): plain filter over
+    // the scored pairs, no top-k
+    "vdb_range_search" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q)
+        |SELECT qid, nn_id, round(s, 4) AS score
+        |FROM d WHERE s IS NOT NULL AND s >= 0.25
+        |ORDER BY qid, nn_id""".stripMargin,
     // IVF+SQ8 (Ann.ivfSq8Search, k=10 nprobe=2 rerank=4): the same
     // probe set, a code-space COSINE shortlist of 40 per query over
     // probed cells (codes decoded x = mn + c·(mx-mn)/255, the

@@ -124,7 +124,10 @@ object Ann {
     */
   private[operators] def assignTo(emb: DataFrame,
                        cents: Array[(Long, Array[Float])]): DataFrame =
-    emb.select(col("id"), col("vec"),
+    // col("*") keeps metadata columns (label, …) riding along into a
+    // persisted index, where they serve filtered search — downstream
+    // plans select by name, so unused extras prune away at the scan
+    emb.select(col("*"),
       array_min(centroidDists(col("vec"), cents)).getField("cell").as("cell"))
 
   /** Shared exact-rerank tail: per-query bounded top-k over scored
@@ -212,7 +215,8 @@ object Ann {
     * [[ivfSearch]] at the same stride/nprobe.
     */
   def ivfSearchIndexed(s: SparkSession, path: String, queries: DataFrame,
-                       k: Int, nprobe: Int = 2): DataFrame = {
+                       k: Int, nprobe: Int = 2,
+                       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val cents = collectCentroids(
       s.read.parquet(centroidsPath(path)).select(col("cell"), col("cvec")))
     val probes = queries.select(col("qid"), col("qvec"),
@@ -222,8 +226,16 @@ object Ann {
     // the probed cell set — a tiny job over the QUERY set only —
     // becomes the pruning predicate on the corpus scan
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
-    val idx = s.read.parquet(path)
+    // the reference pre-filters its approximate search with roaring
+    // bitmaps (filter_index.cc:62 under hnswlib_index.cc search);
+    // here a metadata predicate COMPOSES with partition pruning — the
+    // scan skips unprobed cells by directory and non-matching rows by
+    // PushedFilters, strictly less IO than a post-filter. Recall
+    // caveat is the reference's too: k is filled from PROBED cells
+    // only, so a highly selective filter may return < k rows.
+    val pruned = s.read.parquet(path)
       .where(col("cell").isin(cells.toIndexedSeq: _*))
+    val idx = filter.map(pruned.where).getOrElse(pruned)
     val scored = idx.join(probes, "cell")
       .select(col("qid"),
         (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
@@ -685,18 +697,37 @@ object Ann {
     * AnnSpec can assert result equality); index built once per sf dir
     * under target/tmp.
     */
-  def ivfIndexedQuery(s: SparkSession, dir: String): DataFrame = {
+  private def indexedPath(s: SparkSession, dir: String): String = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
     val path = java.nio.file.Paths.get("target", "tmp", s"ivfidx-$key")
       .toAbsolutePath.toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      // label rides into the index (assignTo passes it through) so
+      // the filtered variant can predicate on it; unfiltered readers
+      // prune it at the scan
       val e = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
       ivfBuildIndex(s, e, path)
     }
+    path
+  }
+
+  def ivfIndexedQuery(s: SparkSession, dir: String): DataFrame = {
     val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    ivfSearchIndexed(s, path, q, k = 10, nprobe = 2)
+    ivfSearchIndexed(s, indexedPath(s, dir), q, k = 10, nprobe = 2)
+  }
+
+  /** Filtered search on the indexed approximate path — the
+    * reference's filtered HNSW search as partition pruning composed
+    * with a scan-pushed predicate.
+    */
+  def ivfIndexedFilteredQuery(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    ivfSearchIndexed(s, indexedPath(s, dir), q, k = 10, nprobe = 2,
+      filter = Some(col("label").between(2, 6)))
   }
 }

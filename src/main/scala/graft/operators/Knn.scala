@@ -107,4 +107,32 @@ object Knn {
                    metric: Metric.Value,
                    filter: org.apache.spark.sql.Column): DataFrame =
     topK(data.where(filter), queries, k, metric)
+
+  /** Radius (range) search — FAISS `range_search` analog: every
+    * neighbor within a threshold (L2: distance ≤ t; IP/cosine:
+    * similarity ≥ t). Same broadcast + fused-kernel scan as [[topK]],
+    * but the reducer is a plain filter — no heap, no per-query state,
+    * output size data-dependent. The filter runs inside the scan's
+    * codegen stage, so the only exchange is the deterministic output
+    * sort; at 100 TB this is a full map-only pass, embarrassingly
+    * parallel.
+    */
+  def radius(data: DataFrame, queries: DataFrame, metric: Metric.Value,
+             threshold: Double, excludeSelf: Boolean = false): DataFrame = {
+    val score = metric match {
+      case Metric.L2 => VectorDistance.l2(col("vec"), col("qvec"))
+      case Metric.IP => VectorDistance.dot(col("vec"), col("qvec"))
+      case Metric.Cosine => VectorDistance.cosine(col("vec"), col("qvec"))
+    }
+    val keep =
+      if (metric == Metric.L2) col("s") <= threshold
+      else col("s") >= threshold
+    val pairs = data.select(col("id"), col("vec"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
+    (if (excludeSelf) pairs.where(col("id") =!= col("qid")) else pairs)
+      .select(col("qid"), col("id").as("nn_id"), score.as("s"))
+      .where(col("s").isNotNull && keep)
+      .select(col("qid"), col("nn_id"), round(col("s"), 4).as("score"))
+      .orderBy("qid", "nn_id")
+  }
 }

@@ -276,6 +276,33 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("filtered indexed search: predicate holds, scores are exact cosine") {
+    val res = Ann.ivfIndexedFilteredQuery(spark, sf).collect()
+    assert(res.nonEmpty)
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.foreach { r =>
+      val id = r.getLong(2)
+      assert(labels(id) >= 2 && labels(id) <= 6, s"filter violated by $id")
+    }
+    // the filtered result is the unfiltered result with non-matching
+    // ids removed and ranks re-packed, per query — same probe set,
+    // same scores (predicate composes with, not perturbs, the search)
+    val unf = Ann.ivfIndexedQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .filter { case (_, id, _) => labels(id) >= 2 && labels(id) <= 6 }
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    res.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val got = rows.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3)))
+      val expectPrefix = unf.getOrElse(qid, Seq.empty)
+      // unfiltered top-10 may hold fewer matching rows than filtered
+      // top-10 (the filter frees slots) — but where they overlap, the
+      // order and scores must agree
+      got.zip(expectPrefix).foreach { case (g, e) => assert(g == e) }
+    }
+  }
+
   test("deterministic across runs") {
     val a = Ann.ivfQuery(spark, sf).collect().toSeq
     val b = Ann.ivfQuery(spark, sf).collect().toSeq

@@ -51,6 +51,24 @@ class KnnSpec extends SparkSuite {
     assert(out.nonEmpty && out.forall(_.getLong(2) != 99999L))
   }
 
+  test("radius search returns exactly the pairs within the threshold") {
+    val got = Knn.radius(emb, qs, Knn.Metric.Cosine, 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // reference: score every pair with the same kernel, filter locally
+    val all = emb.crossJoin(broadcast(qs))
+      .select(col("qid"), col("id"),
+        graft.functions.VectorDistance.cosine(col("vec"), col("qvec")).as("s"))
+      .collect()
+      .filter(r => !r.isNullAt(2) && r.getDouble(2) >= 0.25)
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+    assert(got.toSet == all, s"got ${got.length} vs expect ${all.size}")
+    // self matches (cos = 1.0) are present — radius has no exclusion
+    assert(got.exists(t => t._1 == t._2))
+  }
+
   test("excluding self drops only the self match") {
     val withSelf = Knn.topK(emb, qs, 3, Knn.Metric.Cosine)
     val noSelf = Knn.topKExcludingSelf(emb, qs, 3, Knn.Metric.Cosine)
