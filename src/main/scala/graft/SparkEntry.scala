@@ -90,6 +90,7 @@ object SparkEntry {
     "stream_wal_state" -> (graft.streaming.BatchTwins.walStateQuery _),
     "stream_dedup_state" -> (graft.streaming.DedupStream.dedupStateQuery _),
     "stream_window_daily" -> (graft.streaming.BatchTwins.windowDailyQuery _),
+    "stream_session_window" -> (graft.streaming.BatchTwins.sessionWindowQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
     "ann_ivf_indexed" -> (Ann.ivfIndexedQuery _),
     "ann_ivf_filtered" -> (Ann.ivfIndexedFilteredQuery _),
@@ -779,6 +780,30 @@ object SparkEntry {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sv
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // session_window semantics: merge while gap < 30 min (so a new
+    // session starts at gap >= 1800 — note events_sessionize's lag
+    // formulation uses gap > 1800; window END = last event + gap
+    "stream_session_window" ->
+      """WITH o AS (SELECT user_id, ts, value, event_id,
+        |             lag(ts) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS pts
+        |           FROM events),
+        |f AS (SELECT user_id, ts, value, event_id,
+        |        CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) >= 1800
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM o),
+        |g AS (SELECT user_id, ts, value,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM f)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |         AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 4) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "vdb_insert" ->
       """WITH log AS (
         |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label FROM embeddings

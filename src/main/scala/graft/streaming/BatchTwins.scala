@@ -44,4 +44,24 @@ object BatchTwins {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
         col("n"), col("sv"))
       .orderBy("day")
+
+  /** Native `session_window` sessionization (30-minute gap) — the
+    * SAME windowing Structured Streaming runs with a watermark
+    * (SessionWindowSpec proves stream ≡ this), complementing
+    * events_sessionize's lag+cumsum formulation: sessions merge while
+    * the gap to the previous event is < 30 min, the window END is
+    * last-event + gap (so start/end here are the session's
+    * half-open validity range, not min/max event times).
+    */
+  def sessionWindowQuery(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
 }
