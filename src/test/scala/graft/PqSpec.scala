@@ -92,6 +92,28 @@ class PqSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("ivfpq query: code-only pruned probe scan, useful recall") {
+    val rows = Pq.ivfPqQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val exact = Knn.topK(emb, qs, 10, Knn.Metric.Cosine)
+      .select("qid", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf+pq recall collapsed: $recall")
+    // the shortlist scan reads codes, never the float vectors, and
+    // the index scan is partition-pruned to the probed cells
+    val plan = Pq.ivfPqQuery(spark, sf).queryExecution.executedPlan.toString
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(l => l.contains("code") && !l.contains("vec")),
+      s"probe scan decodes float vectors:\n${reads.mkString("\n")}")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell") &&
+        !l.contains("PartitionFilters: []")),
+      "index scan not partition-pruned")
+    assert(Pq.ivfPqQuery(spark, sf).collect().toSeq == rows.toSeq)
+  }
+
   test("ivfpq: probe scan reads codes only and result ranks by exact cosine") {
     val dir = java.nio.file.Files
       .createTempDirectory("pqspec").toAbsolutePath.toString + "/idx"
