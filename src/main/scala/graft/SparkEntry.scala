@@ -91,6 +91,7 @@ object SparkEntry {
     "stream_dedup_state" -> (graft.streaming.DedupStream.dedupStateQuery _),
     "stream_window_daily" -> (graft.streaming.BatchTwins.windowDailyQuery _),
     "stream_session_window" -> (graft.streaming.BatchTwins.sessionWindowQuery _),
+    "stream_interval_join" -> (graft.streaming.BatchTwins.intervalJoinQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
     "ann_ivf_indexed" -> (Ann.ivfIndexedQuery _),
     "ann_ivf_filtered" -> (Ann.ivfIndexedFilteredQuery _),
@@ -780,6 +781,16 @@ object SparkEntry {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sv
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "stream_interval_join" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_id, ts AS c_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p_id, c_id,
+        |       epoch_us(p_ts) - epoch_us(c_ts) AS micros_before
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |WHERE c_ts >= p_ts - INTERVAL 6 HOUR AND c_ts <= p_ts
+        |ORDER BY p_id, c_id""".stripMargin,
     // session_window semantics: merge while gap < 30 min (so a new
     // session starts at gap >= 1800 — note events_sessionize's lag
     // formulation uses gap > 1800; window END = last event + gap

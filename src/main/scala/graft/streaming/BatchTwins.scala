@@ -45,6 +45,34 @@ object BatchTwins {
         col("n"), col("sv"))
       .orderBy("day")
 
+  /** Purchase←click attribution as an INTERVAL JOIN — the batch twin
+    * of Structured Streaming's stream-stream join with watermarks
+    * (IntervalJoinSpec runs the identical join condition over two
+    * watermarked streams and converges to exactly this result): each
+    * purchase pairs with the same user's clicks in the preceding
+    * 6 hours. The batch plan is a user_id equi-join carrying the
+    * time range as a residual; at corpus scale the banded
+    * [[graft.operators.RangeJoin]] is the same semantics with a
+    * bucketed equi-key. `micros_before` is an exact integer
+    * difference — no float rounding concerns.
+    */
+  def intervalJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"))
+    p.join(c, Seq("user_id"))
+      .where(col("c_ts") >= col("p_ts") - expr("interval 6 hours") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("p_id"), col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .as("micros_before"))
+      .orderBy("p_id", "c_id")
+  }
+
   /** Native `session_window` sessionization (30-minute gap) — the
     * SAME windowing Structured Streaming runs with a watermark
     * (SessionWindowSpec proves stream ≡ this), complementing
