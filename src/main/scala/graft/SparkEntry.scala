@@ -181,6 +181,8 @@ object SparkEntry {
     "q22_global_sales" -> (Analytics.q22GlobalSales _),
     "q_window_topn" -> ((s, d) => Analytics.windowTopOrders(s, d)),
     "events_tumbling" -> Analytics.eventsTumbling _,
+    "events_hopping" -> (Analytics.eventsHopping _),
+    "text_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
     "events_salted_enrich" -> ((s, d) => Skew.saltedEnrichQuery(s, d)),
     "events_asof_join" -> (AsOf.eventsAsofQuery _),
@@ -1515,6 +1517,31 @@ object SparkEntry {
         |         AS BIGINT) AS n_above
         |FROM events e JOIN ua USING (user_id)
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    // hopping windows: every event lands in the two 12h-aligned
+    // 1-day windows covering it (epoch-aligned, like Spark's window())
+    "events_hopping" ->
+      """WITH w AS (SELECT event_type, value,
+        |    unnest([to_timestamp((epoch_us(ts) // 43200000000) * 43200),
+        |            to_timestamp((epoch_us(ts) // 43200000000) * 43200
+        |                         - 43200)]) AS ws
+        |  FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4)
+        |         AS sum_value
+        |FROM w GROUP BY ws, event_type ORDER BY w_start, event_type""".stripMargin,
+    "text_top_terms" ->
+      """WITH u AS (SELECT DISTINCT lang, doc_id, tok FROM
+        |             (SELECT lang, doc_id,
+        |                     unnest(string_split(text, ' ')) AS tok
+        |              FROM documents)),
+        |df AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS df
+        |       FROM u GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, df,
+        |             row_number() OVER (PARTITION BY lang
+        |                                ORDER BY df DESC, tok) AS rk
+        |      FROM df)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, tok, df
+        |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     "events_tumbling" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value

@@ -293,6 +293,20 @@ object Analytics {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("day", "event_type")
 
+  /** 1-day HOPPING (sliding) windows with a 12-hour hop: every event
+    * lands in exactly two windows, so the fan-out is bounded by
+    * window/hop — the overlapping-window aggregation Structured
+    * Streaming runs with the same `window(ts, size, hop)` call.
+    */
+  def eventsHopping(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
   /** 30-minute-gap sessionization: lag → new-session flag → running
     * sum (the standard two-window formulation).
     */

@@ -258,6 +258,29 @@ object TextOps {
   def chunkPackQuery(s: SparkSession, dir: String): DataFrame =
     chunkPack(Tables.documents(s, dir))
 
+  /** Per-language top-5 terms by document frequency — the term-stats
+    * report of a corpus profile. Two-level aggregation: distinct
+    * (lang, tok, doc) → df counts (partial-agg on a key whose
+    * cardinality grows with the corpus) → per-lang rank window over
+    * the VOCABULARY (tokens × langs, corpus-size-independent), so the
+    * heavy stage combines map-side and only term statistics shuffle.
+    */
+  def topTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("df").desc, col("tok"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("tok"),
+        col("df"))
+      .orderBy("lang", "rk")
+  }
+
   // ------------------------------------------------------------- PII
 
   // Test-fixture boundaries: the word-salad corpus contains no digits,
