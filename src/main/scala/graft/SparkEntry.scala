@@ -502,14 +502,24 @@ object SparkEntry {
   )).mkString(",\n")
 
   def oracleSql: Map[String, String] = Map(
-    // flat PQ (Pq.pqSearchWith, k=10 rerank=4): ADC-L2 shortlist of
-    // 40 per query against the reconstruction, exact float L2 rerank
+    // flat PQ (Pq.pqSearchWith, k=10 rerank=4): LUT-ADC shortlist of
+    // 40 per query (per-(sub, codeword) squared partials, summed
+    // across subspaces in sub order — the VecL2PqLut fold), exact
+    // float L2 rerank
     "vdb_knn_pq" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
          |$pqCtes,
-         |ad AS (SELECT q.qid, r.id, sqrt(${pqSqDist("q.qv", "r.rv", 65)}) AS ad
-         |       FROM prec r CROSS JOIN q),
+         |plut AS (SELECT q.qid, cb.sub, cb.cid,
+         |           list_inner_product(
+         |             list_transform(range(1, 9), j -> q.qv[cb.sub*8 + j] - cb.cw[j]),
+         |             list_transform(range(1, 9), j -> q.qv[cb.sub*8 + j] - cb.cw[j]))
+         |             AS lv
+         |         FROM pcb2 cb CROSS JOIN q),
+         |ad AS (SELECT p.qid, a.id,
+         |              sqrt(list_sum(list(p.lv ORDER BY p.sub))) AS ad
+         |       FROM paf a JOIN plut p ON a.sub = p.sub AND a.cid = p.cid
+         |       GROUP BY p.qid, a.id),
          |sl AS (SELECT qid, id FROM (SELECT qid, id,
          |         row_number() OVER (PARTITION BY qid ORDER BY ad, id) AS r
          |       FROM ad) WHERE r <= 40),

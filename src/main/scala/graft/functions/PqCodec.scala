@@ -210,6 +210,80 @@ case class VecL2PqAdc(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** LUT-form ADC L2: the query's per-(subspace, codeword) squared
+  * partial distances are PRECOMPUTED into a flat m·ksub lookup table
+  * (the standard FAISS ADC optimization), so the per-row work drops
+  * from m·dsub fused multiply-adds to m table lookups + adds — ~8×
+  * less scan-side arithmetic at dsub=8, which is what the
+  * bandwidth-bound 100 TB shortlist pass feels. The LUT rides as a
+  * broadcast-side column (built once per query), not a captured
+  * literal, so one generated class serves every query.
+  *
+  * NOTE the fold order differs from [[VecL2PqAdc]] (per-subspace
+  * partial sums, then summed across subspaces) — last-ulp results
+  * may differ from the flat fold; the DuckDB oracle mirrors THIS
+  * order (list_sum over per-subspace list_inner_products).
+  */
+case class VecL2PqLut(left: Expression, right: Expression,
+                      m: Int, ksub: Int) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2_pq_lut"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<double>), " +
+          s"got ${l.sql} and ${r.sql}")
+    }
+
+  override def nullSafeEval(cv: Any, lv: Any): Any = {
+    val code = cv.asInstanceOf[ArrayData]
+    val lut = lv.asInstanceOf[ArrayData]
+    if (code.numElements() != m || lut.numElements() != m * ksub) null
+    else {
+      var acc = 0.0
+      var s = 0
+      while (s < m) {
+        val c = code.getInt(s)
+        if (c < 0 || c >= ksub) return null
+        acc += lut.getDouble(s * ksub + c)
+        s += 1
+      }
+      math.sqrt(acc)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (code, lut) => {
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |if ($code.numElements() != $m || $lut.numElements() != ${m * ksub}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    final int $c = $code.getInt($s);
+         |    if ($c < 0 || $c >= $ksub) { $bad = true; break; }
+         |    $acc += $lut.getDouble($s * $ksub + $c);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = java.lang.Math.sqrt($acc); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** ADC cosine similarity: cosine between the float/double query
   * (right) and the reconstruction of the coded row (left), one fused
   * loop accumulating dot and both norms — the same contract as
@@ -328,4 +402,37 @@ object PqCodec {
     GraftColumnBridge.column(VecCosinePqAdc(
       GraftColumnBridge.expression(code), GraftColumnBridge.expression(q),
       cb, m, dsub, ksub))
+
+  def l2Lut(code: Column, lut: Column, m: Int, ksub: Int): Column =
+    GraftColumnBridge.column(VecL2PqLut(
+      GraftColumnBridge.expression(code), GraftColumnBridge.expression(lut),
+      m, ksub))
+
+  /** Driver-side ADC lookup table for one query: lut[s·ksub + c] =
+    * Σ_j (q[s·dsub+j] − cb[s,c,j])², the same j-order fold the encode
+    * kernel runs. m·ksub doubles — query-sized, built once per query
+    * and amortized over every scanned row.
+    */
+  def l2LutFor(q: Array[Float], cb: Array[Double], m: Int, dsub: Int,
+               ksub: Int): Array[Double] = {
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = (s * ksub + c) * dsub
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) {
+          val d = q(s * dsub + j).toDouble - cb(base + j)
+          acc += d * d
+          j += 1
+        }
+        lut(s * ksub + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    lut
+  }
 }

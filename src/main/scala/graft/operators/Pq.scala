@@ -79,18 +79,29 @@ object Pq {
   }
 
   /** Flat PQ search (L2, matching vdb_knn_sq8's metric): encode the
-    * corpus, ADC shortlist of rerank·k per query over codes only,
-    * exact float rerank to k. Output shape matches Knn.topK.
+    * corpus, LUT-ADC shortlist of rerank·k per query over codes only
+    * (per-query lookup tables built driver-side — m lookups + adds
+    * per scanned row instead of m·dsub multiply-adds), exact float
+    * rerank to k. Queries are collected to build the LUTs — the same
+    * driver-sized contract as the broadcast itself (FAISS builds the
+    * per-query tables the same way before its scan). Output shape
+    * matches Knn.topK.
     */
   def pqSearchWith(emb: DataFrame, queries: DataFrame, k: Int,
                    rerank: Int, cb: Array[Double], m: Int = M,
                    dsub: Int = DSUB, ksub: Int = KSUB): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val codes = emb.select(col("id"),
       PqCodec.encode(col("vec"), cb, m, dsub, ksub).as("code"))
-    val qb = broadcast(queries.select(col("qid"), col("qvec")))
-    val scored = codes.crossJoin(qb)
+    val qlut = queries.select(col("qid"), col("qvec")).collect().map { r =>
+      val qv = r.getSeq[Float](1).toArray
+      (r.getLong(0), qv, PqCodec.l2LutFor(qv, cb, m, dsub, ksub))
+    }.toSeq
+    val qb = broadcast(qlut.toDF("qid", "qvec", "lut"))
+    val scored = codes.crossJoin(qb.select("qid", "lut"))
       .select(col("qid"),
-        PqCodec.l2Adc(col("code"), col("qvec"), cb, m, dsub, ksub).as("key"),
+        PqCodec.l2Lut(col("code"), col("lut"), m, ksub).as("key"),
         col("id"))
       .where(col("key").isNotNull)
     val shortlist = TopKAgg.shortlist(scored, k * rerank)

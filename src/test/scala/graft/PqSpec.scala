@@ -54,6 +54,38 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("LUT-ADC equals the flat ADC fold to float precision") {
+    val cb = Pq.trainCodebook(emb)
+    val q = qs.limit(2).collect()
+    q.foreach { qr =>
+      val qv = qr.getSeq[Float](1).toArray
+      val lut = PqCodec.l2LutFor(qv, cb, Pq.M, Pq.DSUB, Pq.KSUB)
+      // every LUT cell is the j-order partial the kernel would compute
+      for (s <- 0 until Pq.M; c <- 0 until Pq.KSUB) {
+        var acc = 0.0
+        for (j <- 0 until Pq.DSUB) {
+          val d = qv(s * Pq.DSUB + j).toDouble -
+            cb((s * Pq.KSUB + c) * Pq.DSUB + j)
+          acc += d * d
+        }
+        assert(lut(s * Pq.KSUB + c) == acc)
+      }
+      // the two fold orders agree to well under the 4dp surface
+      val rows = emb.limit(30)
+        .select(PqCodec.encode(col("vec"), cb, Pq.M, Pq.DSUB, Pq.KSUB)
+          .as("code"))
+        .select(
+          PqCodec.l2Lut(col("code"), typedlit(lut), Pq.M, Pq.KSUB).as("a"),
+          PqCodec.l2Adc(col("code"), typedlit(qv), cb, Pq.M, Pq.DSUB,
+            Pq.KSUB).as("b"))
+        .collect()
+      rows.foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+          s"folds diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      }
+    }
+  }
+
   test("codes are self-consistent: encode picks the nearest codeword") {
     val cb = Pq.trainCodebook(emb)
     val rows = emb.limit(50)
