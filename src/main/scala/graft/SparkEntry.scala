@@ -108,6 +108,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Dedup.corpusWithExactDups(s, d))),
     "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.incrementalPairs(s, d)),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash60_pairs" -> ((s, d) => Dedup.simhashPairsWide(s, d)),
@@ -216,19 +217,21 @@ object SparkEntry {
   /** Shared oracle CTE: distinct word-3-gram shingle sets (DuckDB
     * lists are 1-based; mirrors Dedup.withShingles exactly).
     */
-  private val shingleCte =
-    """w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
-      |         THEN list_transform(range(1, len(ws)-1),
-      |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-      |         ELSE [text] END) AS shingles FROM w)""".stripMargin
+  private def shingleCteFrom(src: String): String =
+    s"""w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $src),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+       |         THEN list_transform(range(1, len(ws)-1),
+       |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+       |         ELSE [text] END) AS shingles FROM w)""".stripMargin
+
+  private val shingleCte = shingleCteFrom("documents")
 
   // NOTE: these shared CTE fragments are interpolated into outer
   // strings that call .stripMargin AGAIN — no continuation line here
   // may start with '|' (e.g. a leading '||'), or the second strip
   // eats one pipe and turns concatenation into bitwise OR.
-  private val bandCte =
-    s"""$shingleCte,
+  private def bandCteFrom(src: String): String =
+    s"""${shingleCteFrom(src)},
        |mh AS (SELECT doc_id, list_transform(range(0, 12),
        |         j -> list_min(list_transform(shingles,
        |                s -> CAST('0x' || substr(md5(CAST(j AS VARCHAR) ||
@@ -240,6 +243,8 @@ object SparkEntry {
        |             CAST(mh[3*band+2] AS VARCHAR) || '|' ||
        |             CAST(mh[3*band+3] AS VARCHAR)) AS band_key
        |       FROM bands)""".stripMargin
+
+  private val bandCte = bandCteFrom("documents")
 
   /** Verified near-dup pairs (jaccard ≥ 0.5) from the banded
     * candidates, as a CTE chain ending in `pairs` — shared by the
@@ -1485,6 +1490,30 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 1 AND 30)
         |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
         |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
+    // incremental near-dedup: batch (planted +200000 near-dups) bands
+    // joined against corpus bands — candidates are CROSS pairs only
+    "dedup_incremental" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' zzyzx'
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |${bandCteFrom("docs")},
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bk a JOIN bk b ON a.band = b.band
+         |           AND a.band_key = b.band_key
+         |         WHERE a.doc_id >= 200000 AND b.doc_id < 200000),
+         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
+         |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n
+         |          FROM shx x JOIN shx y ON x.s = y.s
+         |          WHERE x.doc_id >= 200000 AND y.doc_id < 200000
+         |          GROUP BY 1, 2)
+         |SELECT c.id1 AS id1, c.id2 AS id2,
+         |       round(n*1.0/(c1.c + c2.c - n), 4) AS jaccard
+         |FROM cand c JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
+         |JOIN card c1 ON c.id1 = c1.doc_id JOIN card c2 ON c.id2 = c2.doc_id
+         |WHERE n*1.0/(c1.c + c2.c - n) >= 0.5 ORDER BY c.id1, c.id2""".stripMargin,
     "q21_sole_blame" ->
       """WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey
         |            FROM lineitem WHERE l_returnflag = 'R')

@@ -178,6 +178,48 @@ object Dedup {
     verifyJaccard(cand, ex, minJaccard)
   }
 
+  /** The INCREMENTAL batch: every doc_id%9==0 corpus doc re-enters
+    * with one appended token (a high-jaccard near-dup) under
+    * id+200000 — the arriving-data half of the incremental curation
+    * workload (the raw fixture carries no batch table).
+    */
+  def incrementalBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" zzyzx")).as("text"))
+
+  /** Incremental near-dedup: match a NEW batch against the EXISTING
+    * corpus without ever re-pairing the corpus with itself — the
+    * steady-state form of corpus curation, where re-running
+    * [[minhashPairs]] over corpus+batch would redo O(corpus) banding
+    * and in-bucket pairing per arrival. Batch band rows equi-join the
+    * corpus band table (in production the corpus side is the
+    * PERSISTED signature table [[minhashSignatures]] materializes —
+    * computed once, appended per accepted batch), so per-arrival work
+    * is O(batch + collisions): candidates are only cross
+    * (batch, corpus) bucket mates, and the exact-jaccard verify runs
+    * over the union shingle table restricted to those pairs.
+    */
+  def incrementalPairs(s: SparkSession, dir: String,
+                       minJaccard: Double = 0.5): DataFrame = {
+    val corpus = Tables.documents(s, dir).select("doc_id", "text")
+    val batch = incrementalBatch(s, dir)
+    val exC = shingleRows(corpus)
+    val exB = shingleRows(batch)
+    val cand = minhashBandsFromRows(exB).as("nb")
+      .join(minhashBandsFromRows(exC).as("ob"),
+        col("nb.band") === col("ob.band") &&
+          col("nb.band_key") === col("ob.band_key"))
+      .select(col("nb.doc_id").as("id1"), col("ob.doc_id").as("id2"),
+        col("nb.c").as("c1"), col("ob.c").as("c2"))
+      .distinct()
+    // batch and corpus ids are disjoint, so the union shingle table
+    // serves both verify sides
+    verifyJaccard(cand, exB.unionByName(exC), minJaccard)
+      .orderBy("id1", "id2")
+  }
+
   /** THE in-bucket pair expansion — the one implementation behind
     * every blocked pairwise operator here (minhash, ngram, simhash,
     * embedding-LSH): groupBy bucket keys + per-bucket quadratic

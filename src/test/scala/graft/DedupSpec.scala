@@ -83,4 +83,25 @@ class DedupSpec extends SparkSuite {
       assert(ms.map(_._1).min == cid, s"cluster $cid not labeled by its min")
     }
   }
+
+  test("incremental pairs catch every planted batch near-dup, cross-only") {
+    val pairs = Dedup.incrementalPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every pair is (batch id, corpus id) — never corpus×corpus
+    pairs.foreach { case (id1, id2, j) =>
+      assert(id1 >= 200000L && id2 < 200000L, s"non-cross pair ($id1,$id2)")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+    // each planted batch doc (original + one appended token) must
+    // rediscover its own original with near-1 jaccard
+    val byBatch = pairs.groupBy(_._1)
+    val planted = Tables.documents(spark, sf)
+      .where(org.apache.spark.sql.functions.col("doc_id") % 9 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    planted.foreach { orig =>
+      val matches = byBatch.getOrElse(orig + 200000L, Array.empty)
+      assert(matches.exists(_._2 == orig),
+        s"batch ${orig + 200000L} missed its original $orig")
+    }
+  }
 }
