@@ -99,6 +99,7 @@ object SparkEntry {
       Knn.radius(emb(s, d), qset(s, d), Knn.Metric.Cosine, 0.25)),
     "ann_ivf_sq8" -> (Ann.ivfSq8Query _),
     "ann_lsh" -> (Ann.lshQuery _),
+    "ann_lsh_multiprobe" -> (Ann.lshMultiprobeQuery _),
     "vdb_knn_sq8" -> (Quant.sq8Query _),
     "vdb_knn_pq" -> (Pq.pqQuery _),
     "ann_ivf_pq" -> (Pq.ivfPqQuery _),
@@ -506,6 +507,48 @@ object SparkEntry {
       "GROUP BY paf.id)"
   )).mkString(",\n")
 
+  /** Sign-LSH search mirror; `multiprobe` adds the Hamming-1 probe
+    * expansion on the query side (xor one bit per probe).
+    */
+  private def lshOracle(multiprobe: Boolean): String = {
+    val probeSrc = if (multiprobe) "qp" else "qs"
+    val qpCte = if (multiprobe)
+      """qp AS (SELECT qid, t,
+        |  unnest([xor(sig, 1), xor(sig, 2), xor(sig, 4), xor(sig, 8),
+        |          sig]) AS sig FROM qs),
+        |""".stripMargin
+    else ""
+    s"""WITH hpw AS (
+       |  SELECT t, p, d,
+       |    ((CAST('0x' || substr(md5(CAST(t AS VARCHAR) || '|' ||
+       |        CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 8)
+       |        AS BIGINT) & 2147483647) / 2147483647.0 * 2.0 - 1.0) AS w
+       |  FROM range(4) r1(t) CROSS JOIN range(4) r2(p)
+       |       CROSS JOIN range(64) r3(d)),
+       |hp AS (SELECT t, p, list(w ORDER BY d) AS wv FROM hpw GROUP BY t, p),
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       |      FROM embeddings WHERE vec_id < 5),
+       |ds AS (SELECT e.id, hp.t,
+       |         sum(CASE WHEN list_inner_product(e.v, hp.wv) > 0
+       |               THEN 1 << p ELSE 0 END) AS sig
+       |       FROM e CROSS JOIN hp GROUP BY e.id, hp.t),
+       |qs AS (SELECT q.qid, hp.t,
+       |         sum(CASE WHEN list_inner_product(q.qv, hp.wv) > 0
+       |               THEN 1 << p ELSE 0 END) AS sig
+       |       FROM q CROSS JOIN hp GROUP BY q.qid, hp.t),
+       |${qpCte}cand AS (SELECT DISTINCT pr.qid, ds.id
+       |         FROM ds JOIN $probeSrc pr ON ds.t = pr.t AND ds.sig = pr.sig),
+       |sc AS (SELECT c.qid, c.id, list_cosine_similarity(e.v, q.qv) AS s
+       |       FROM cand c JOIN e ON c.id = e.id JOIN q ON c.qid = q.qid),
+       |r AS (SELECT qid, id, s,
+       |             row_number() OVER (PARTITION BY qid ORDER BY s DESC, id)
+       |               AS rk
+       |      FROM sc WHERE s IS NOT NULL)
+       |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+       |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // flat PQ (Pq.pqSearchWith, k=10 rerank=4): LUT-ADC shortlist of
     // 40 per query (per-(sub, codeword) squared partials, summed
@@ -640,36 +683,10 @@ object SparkEntry {
     // components from md5("t|p|d") exactly as dedup_embedding_cos's
     // oracle; candidates share any (table, sig) bucket with the
     // query; exact cosine rerank top-10.
-    "ann_lsh" ->
-      """WITH hpw AS (
-        |  SELECT t, p, d,
-        |    ((CAST('0x' || substr(md5(CAST(t AS VARCHAR) || '|' ||
-        |        CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 8)
-        |        AS BIGINT) & 2147483647) / 2147483647.0 * 2.0 - 1.0) AS w
-        |  FROM range(4) r1(t) CROSS JOIN range(4) r2(p)
-        |       CROSS JOIN range(64) r3(d)),
-        |hp AS (SELECT t, p, list(w ORDER BY d) AS wv FROM hpw GROUP BY t, p),
-        |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-        |      FROM embeddings WHERE vec_id < 5),
-        |ds AS (SELECT e.id, hp.t,
-        |         sum(CASE WHEN list_inner_product(e.v, hp.wv) > 0
-        |               THEN 1 << p ELSE 0 END) AS sig
-        |       FROM e CROSS JOIN hp GROUP BY e.id, hp.t),
-        |qs AS (SELECT q.qid, hp.t,
-        |         sum(CASE WHEN list_inner_product(q.qv, hp.wv) > 0
-        |               THEN 1 << p ELSE 0 END) AS sig
-        |       FROM q CROSS JOIN hp GROUP BY q.qid, hp.t),
-        |cand AS (SELECT DISTINCT qs.qid, ds.id
-        |         FROM ds JOIN qs ON ds.t = qs.t AND ds.sig = qs.sig),
-        |sc AS (SELECT c.qid, c.id, list_cosine_similarity(e.v, q.qv) AS s
-        |       FROM cand c JOIN e ON c.id = e.id JOIN q ON c.qid = q.qid),
-        |r AS (SELECT qid, id, s,
-        |             row_number() OVER (PARTITION BY qid ORDER BY s DESC, id)
-        |               AS rk
-        |      FROM sc WHERE s IS NOT NULL)
-        |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
-        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "ann_lsh" -> lshOracle(multiprobe = false),
+    // multi-probe: the query's own bucket PLUS the 4 buckets one
+    // sign-flip away in each table (Ann.lshSearchMultiprobe)
+    "ann_lsh_multiprobe" -> lshOracle(multiprobe = true),
     "text_bm25_topk" ->
       s"""WITH $bm25Ctes
          |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10

@@ -304,6 +304,38 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** Multi-probe LSH (Lv et al., VLDB'07): besides the query's own
+    * bucket in each table, probe the `bits` neighboring buckets at
+    * Hamming distance 1 (one sign flipped) — near-misses where the
+    * query sits close to one hyperplane land exactly there. Buys
+    * recall WITHOUT more tables (probes × tables bucket lookups vs
+    * tables× more signature storage + scan); same co-partitioned
+    * equi-join plan, the probe expansion is query-side only
+    * (bits+1 rows per query per table — request-sized).
+    */
+  def lshSearchMultiprobe(emb: DataFrame, queries: DataFrame, k: Int,
+                          tables: Int = 4, bits: Int = 4,
+                          dim: Int = 64): DataFrame = {
+    val dataSig = lshSignatures(emb, "vec", "id", tables, bits, dim)
+    val probeSigs = (0 until bits).map(p =>
+      col("sig").bitwiseXOR(lit(1L << p))) :+ col("sig")
+    val querySig = lshSignatures(
+      queries.select(col("qid").as("id"), col("qvec")), "qvec", "id",
+      tables, bits, dim)
+      .select(col("id").as("qid"), col("table"),
+        explode(array(probeSigs: _*)).as("sig"))
+    val cand = dataSig.join(querySig, Seq("table", "sig"))
+      .select("qid", "id").distinct()
+    val scored = cand
+      .join(emb, "id")
+      .join(queries, "qid")
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    topKPerQuery(scored, k)
+  }
+
   // --------------------------------------------------- query-map surface
 
   /** Trained-centroid cache for the in-memory surface query. K-means
@@ -334,6 +366,14 @@ object Ann {
     val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     lshSearch(e, q, k = 10)
+  }
+
+  def lshMultiprobeQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    lshSearchMultiprobe(e, q, k = 10)
   }
 
   // ------------------------------------------------------ IVF + SQ8
@@ -684,6 +724,39 @@ object Ann {
     ivfRecluster(s, cur, nextPath, stride)
     ivfPublish(s, root, next)
     nextPath
+  }
+
+  /** Retention for superseded versions under a manifest root: keep
+    * the live version (always) plus the `keep` highest-numbered
+    * versions; delete the rest with their sidecar directories
+    * (`v<N>_centroids` / `_quant` / `_pq`). The pointer is read
+    * FIRST, so the live index is never deleted even if a publish
+    * races this; a crash mid-GC leaves some garbage directories that
+    * the next run removes — idempotent, like ivfIndexRepair. Returns
+    * the deleted directory names.
+    */
+  def ivfGcVersions(s: SparkSession, root: String,
+                    keep: Int = 1): Seq[String] = {
+    val conf = s.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    ivfCurrent(s, root) match {
+      case None => Seq.empty // nothing published — nothing is garbage yet
+      case Some(live) =>
+        val dirs = fs.listStatus(rootPath).toSeq
+          .filter(_.isDirectory).map(_.getPath.getName)
+        val versions = dirs.filter(_.matches("v\\d+"))
+          .sortBy(-_.stripPrefix("v").toLong)
+        val retain = (versions.take(keep) :+ live).toSet
+        val doomed = versions.filterNot(retain)
+        doomed.flatMap { v =>
+          val victims = dirs.filter(d => d == v || d.startsWith(v + "_"))
+          victims.foreach { d =>
+            fs.delete(new org.apache.hadoop.fs.Path(rootPath, d), true)
+          }
+          victims
+        }
+    }
   }
 
   /** Search the live version under a versioned root — the reader-side

@@ -276,6 +276,42 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("multiprobe widens LSH candidates and never loses recall") {
+    val plain = Ann.lshQuery(spark, sf).select("qid", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Ann.lshMultiprobeQuery(spark, sf).select("qid", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rPlain = recallVsExact(plain)
+    val rMulti = recallVsExact(multi)
+    assert(rMulti >= rPlain,
+      s"multiprobe recall $rMulti below plain $rPlain")
+    // the probe expansion genuinely reaches new buckets on this
+    // corpus (bits+1 probes per table) — it must not degenerate to
+    // the plain search
+    assert(rMulti > rPlain || multi != plain,
+      "multiprobe changed nothing — probe expansion inert")
+  }
+
+  test("gc keeps the live + recent versions, deletes the rest, idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("annspec-gc").toAbsolutePath.toString + "/idx"
+    Ann.ivfBuildPublished(spark, emb, root)             // v1
+    Ann.ivfReclusterPublish(spark, root)                // v2 (live)
+    Ann.ivfReclusterPublish(spark, root)                // v3 (live)
+    val deleted = Ann.ivfGcVersions(spark, root, keep = 1)
+    // v3 live and retained; v1, v2 (+ sidecars) deleted
+    assert(Ann.ivfCurrent(spark, root).contains("v3"))
+    assert(deleted.contains("v1") && deleted.contains("v2"), s"$deleted")
+    assert(deleted.exists(_.startsWith("v1_")), "sidecars survived gc")
+    val qs5 = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // the live version still serves
+    assert(Ann.ivfSearchCurrent(spark, root, qs5, 10).count() == 50)
+    // second run finds nothing to delete
+    assert(Ann.ivfGcVersions(spark, root, keep = 1).isEmpty)
+  }
+
   test("filtered indexed search: predicate holds, scores are exact cosine") {
     val res = Ann.ivfIndexedFilteredQuery(spark, sf).collect()
     assert(res.nonEmpty)
