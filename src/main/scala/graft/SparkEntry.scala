@@ -180,6 +180,7 @@ object SparkEntry {
     "q10_returned" -> (Analytics.q10ReturnedItems _),
     "q19_disc_rev" -> (Analytics.q19DiscountedRevenue _),
     "q21_sole_blame" -> (Analytics.q21SoleBlame _),
+    "bucketed_join_agg" -> (Layout.bucketedJoinQuery _),
     "q22_global_sales" -> (Analytics.q22GlobalSales _),
     "q_window_topn" -> ((s, d) => Analytics.windowTopOrders(s, d)),
     "events_tumbling" -> Analytics.eventsTumbling _,
@@ -1531,6 +1532,15 @@ object SparkEntry {
          |FROM cand c JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
          |JOIN card c1 ON c.id1 = c1.doc_id JOIN card c2 ON c.id2 = c2.doc_id
          |WHERE n*1.0/(c1.c + c2.c - n) >= 0.5 ORDER BY c.id1, c.id2""".stripMargin,
+    // bucketing must never change results: the oracle is the PLAIN
+    // join — hash equality proves layout-invariance (the plan
+    // property itself is pinned in LayoutSpec)
+    "bucketed_join_agg" ->
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q21_sole_blame" ->
       """WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey
         |            FROM lineitem WHERE l_returnflag = 'R')
