@@ -224,7 +224,9 @@ object Ann {
         1, nprobe)).as("p"))
       .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
     // the probed cell set — a tiny job over the QUERY set only —
-    // becomes the pruning predicate on the corpus scan
+    // becomes the pruning predicate on the corpus scan. Driver-side
+    // bound: ≤ queries × nprobe cell ids (requests are broadcast-
+    // sized by contract), independent of corpus size
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
     // the reference pre-filters its approximate search with roaring
     // bitmaps (filter_index.cc:62 under hnswlib_index.cc search);
@@ -596,6 +598,10 @@ object Ann {
     */
   def ivfCompact(s: SparkSession, path: String,
                  maxFilesPerCell: Int = 1): Unit = {
+    // driver-side listing is O(cells + files): fine at the thousands
+    // of coarse cells an IVF index holds (ncells ~ √corpus is the
+    // usual sizing); a billions-of-files layout would move this to a
+    // distributed listing job, same rewrite logic
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
     val fragmented = fs.listStatus(root).toSeq

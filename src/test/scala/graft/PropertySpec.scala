@@ -77,6 +77,63 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PqUtils.encode: argmin optimality + LUT consistency on random data") {
+    val rnd = new scala.util.Random(7)
+    val m = 4; val dsub = 4; val ksub = 8
+    val cb = Array.fill(m * ksub * dsub)(rnd.nextDouble() * 2 - 1)
+    for (_ <- 1 to 200) {
+      val v = Array.fill(m * dsub)(rnd.nextDouble() * 2 - 1)
+      val code = graft.functions.PqUtils.encode(v(_), cb, m, dsub, ksub)
+      assert(code.length == m)
+      for (s <- 0 until m) {
+        assert(code(s) >= 0 && code(s) < ksub)
+        // chosen codeword is a true argmin of the subspace distance
+        val dists = (0 until ksub).map { c =>
+          (0 until dsub).map { j =>
+            val d = v(s * dsub + j) - cb((s * ksub + c) * dsub + j)
+            d * d
+          }.sum
+        }
+        assert(dists(code(s)) == dists.min)
+        // ties (if any) resolve to the LOWEST code
+        assert(!dists.take(code(s)).exists(_ == dists(code(s))))
+      }
+      // LUT partials reproduce the per-subspace distances the encode
+      // saw (same fold), so LUT-ADC of a row's own code is its true
+      // quantization error
+      val lut = graft.functions.PqCodec.l2LutFor(
+        v.map(_.toFloat), cb, m, dsub, ksub)
+      for (s <- 0 until m; c <- 0 until ksub) {
+        var acc = 0.0
+        for (j <- 0 until dsub) {
+          val d = v(s * dsub + j).toFloat.toDouble -
+            cb((s * ksub + c) * dsub + j)
+          acc += d * d
+        }
+        assert(lut(s * ksub + c) == acc)
+      }
+    }
+  }
+
+  test("KmvAgg: any chunking + merge order equals the global k-min set") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 60) {
+      val xs = List.fill(rnd.nextInt(500))(rnd.nextInt(150).toLong)
+      val agg = new graft.operators.KmvAgg(16)
+      // chunk arbitrarily, reduce each chunk, merge in shuffled order
+      val chunks = xs.grouped(rnd.nextInt(50) + 1).toList
+      val bufs = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(bufs)
+        .foldLeft(agg.zero)((a, b) => agg.merge(a, b))
+      val got = agg.finish(merged)
+      val distinct = xs.distinct.sorted
+      val expectSeen = math.min(16, distinct.length).toLong
+      assert(got.n_seen == expectSeen, s"n_seen ${got.n_seen}")
+      if (distinct.length >= 16) assert(got.kth == distinct(15))
+      else assert(got.kth == -1L)
+    }
+  }
+
   test("WAL framing: frame/decode round-trips arbitrary record content") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 100) {
