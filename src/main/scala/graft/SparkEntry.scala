@@ -109,7 +109,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Dedup.corpusWithExactDups(s, d))),
     "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
-    "dedup_incremental" -> ((s, d) => Dedup.incrementalPairs(s, d)),
+    "dedup_incremental" -> (Dedup.incrementalQuery _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_simhash60_pairs" -> ((s, d) => Dedup.simhashPairsWide(s, d)),

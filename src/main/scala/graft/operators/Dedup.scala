@@ -194,12 +194,47 @@ object Dedup {
     * steady-state form of corpus curation, where re-running
     * [[minhashPairs]] over corpus+batch would redo O(corpus) banding
     * and in-bucket pairing per arrival. Batch band rows equi-join the
-    * corpus band table (in production the corpus side is the
-    * PERSISTED signature table [[minhashSignatures]] materializes —
-    * computed once, appended per accepted batch), so per-arrival work
-    * is O(batch + collisions): candidates are only cross
-    * (batch, corpus) bucket mates, and the exact-jaccard verify runs
-    * over the union shingle table restricted to those pairs.
+    * PERSISTED corpus signature table (built once by
+    * [[buildSignatureIndex]], appended per accepted batch), so
+    * per-arrival work is O(batch + collisions): candidates are only
+    * cross (batch, corpus) bucket mates, and the exact-jaccard verify
+    * re-shingles ONLY the corpus docs that actually collided (a
+    * doc_id semi-join ahead of the shingle explode) plus the batch.
+    */
+  def incrementalPairsIndexed(s: SparkSession, corpus: DataFrame,
+                              sigIndexPath: String, batch: DataFrame,
+                              minJaccard: Double = 0.5): DataFrame = {
+    val exB = shingleRows(batch)
+    val corpusBands = s.read.parquet(sigIndexPath)
+    val cand = minhashBandsFromRows(exB).as("nb")
+      .join(corpusBands.as("ob"),
+        col("nb.band") === col("ob.band") &&
+          col("nb.band_key") === col("ob.band_key"))
+      .select(col("nb.doc_id").as("id1"), col("ob.doc_id").as("id2"),
+        col("nb.c").as("c1"), col("ob.c").as("c2"))
+      .distinct()
+    // verify touches only collision docs: the semi-join prunes the
+    // corpus BEFORE the shingle explode, so verify cost follows the
+    // collision count, not the corpus size
+    val touched = corpus.join(
+      cand.select(col("id2").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    // batch and corpus ids are disjoint, so the union shingle table
+    // serves both verify sides
+    verifyJaccard(cand, exB.unionByName(shingleRows(touched)), minJaccard)
+      .orderBy("id1", "id2")
+  }
+
+  /** The corpus signature table at rest: (doc_id, c, band, band_key)
+    * parquet — tiny next to the corpus (4 band rows per doc), cheap
+    * to append. _SUCCESS is the publish marker, as for the IVF index.
+    */
+  def buildSignatureIndex(corpus: DataFrame, path: String): Unit =
+    minhashBandsFromRows(shingleRows(corpus))
+      .write.mode("overwrite").parquet(path)
+
+  /** In-memory definitional twin (bands recomputed both sides) —
+    * kept as the spec anchor for the indexed path.
     */
   def incrementalPairs(s: SparkSession, dir: String,
                        minJaccard: Double = 0.5): DataFrame = {
@@ -214,10 +249,24 @@ object Dedup {
       .select(col("nb.doc_id").as("id1"), col("ob.doc_id").as("id2"),
         col("nb.c").as("c1"), col("ob.c").as("c2"))
       .distinct()
-    // batch and corpus ids are disjoint, so the union shingle table
-    // serves both verify sides
     verifyJaccard(cand, exB.unionByName(exC), minJaccard)
       .orderBy("id1", "id2")
+  }
+
+  /** Surface query: the indexed path over a build-once signature
+    * table under target/tmp (the bench prebuilds it untimed, like
+    * the persisted ANN indexes).
+    */
+  def incrementalQuery(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val path = java.nio.file.Paths.get("target", "tmp", s"sigidx-$key")
+      .toAbsolutePath.toString
+    val corpus = Tables.documents(s, dir).select("doc_id", "text")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      buildSignatureIndex(corpus, path)
+    }
+    incrementalPairsIndexed(s, corpus, path, incrementalBatch(s, dir))
   }
 
   /** THE in-bucket pair expansion — the one implementation behind

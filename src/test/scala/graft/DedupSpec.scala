@@ -87,6 +87,11 @@ class DedupSpec extends SparkSuite {
   test("incremental pairs catch every planted batch near-dup, cross-only") {
     val pairs = Dedup.incrementalPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the indexed path (persisted signature table + collision-pruned
+    // verify) is result-identical to the definitional twin
+    val indexed = Dedup.incrementalQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(indexed.toSeq == pairs.toSeq, "indexed path drifted from twin")
     // every pair is (batch id, corpus id) — never corpus×corpus
     pairs.foreach { case (id1, id2, j) =>
       assert(id1 >= 200000L && id2 < 200000L, s"non-cross pair ($id1,$id2)")
