@@ -174,7 +174,12 @@ object Pq {
     * mirroring ivfSq8Search's metric reasoning) → exact float rerank
     * reading `vec` just for the shortlist join. Compounds partition
     * pruning (skip unprobed cells), PQ (64× smaller shortlist scan),
-    * and the bounded-heap top-k.
+    * and the bounded-heap top-k. The shortlist keeps the flat ADC
+    * fold: the scan is already cell-pruned to nprobe/ncells of the
+    * corpus, so the LUT transformation that pays off on the FULL-scan
+    * flat path (VecL2PqLut — per-query dot+norm partial tables, the
+    * same mechanical rewrite with two tables for cosine) buys little
+    * here and would complicate the oracle for no plan change.
     */
   def ivfPqSearch(s: SparkSession, path: String, queries: DataFrame,
                   k: Int, nprobe: Int = 2, rerank: Int = 4): DataFrame = {
