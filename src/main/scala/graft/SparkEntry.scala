@@ -130,6 +130,7 @@ object SparkEntry {
     "corpus_sample_split" -> (Sampling.sampleSplitQuery _),
     "corpus_weighted_sample" -> (Sampling.weightedSampleQuery _),
     "sketch_kmv_distinct" -> (Sketch.kmvQuery _),
+    "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
     "vdb_knn_filtered_in" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label").isin(2, 4, 6))),
@@ -1163,6 +1164,45 @@ object SparkEntry {
         |                          * CAST(1152921504606846976 AS DOUBLE))
         |                       / CAST(kth AS DOUBLE), 4) END AS est_distinct
         |FROM s ORDER BY event_type""".stripMargin,
+    // KMV rollup: per-group rows as in sketch_kmv_distinct, plus a
+    // '__all__' row whose estimate comes from the k smallest of the
+    // UNION of per-group k-min sets — which equals the k smallest
+    // global distinct hashes (the mergeability property), so the
+    // mirror computes it directly from the global distinct set
+    "sketch_kmv_rollup" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |               AS rn
+        |      FROM h),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |             max(CASE WHEN rn = 64 THEN h END) AS kth
+        |      FROM r GROUP BY event_type),
+        |per AS (SELECT event_type AS grp, least(nd, 64) AS n_seen,
+        |          CASE WHEN nd < 64 THEN round(CAST(nd AS DOUBLE), 4)
+        |               ELSE round((CAST(63.0 AS DOUBLE)
+        |                             * CAST(1152921504606846976 AS DOUBLE))
+        |                          / CAST(kth AS DOUBLE), 4) END
+        |            AS est_distinct
+        |        FROM s),
+        |gh AS (SELECT DISTINCT h FROM h),
+        |gr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gh),
+        |gs AS (SELECT CAST(count(*) AS BIGINT) AS n_seen,
+        |              max(CASE WHEN rn = 64 THEN h END) AS kth
+        |       FROM gr WHERE rn <= 64),
+        |gl AS (SELECT '__all__' AS grp, n_seen,
+        |         CASE WHEN n_seen < 64 THEN round(CAST(n_seen AS DOUBLE), 4)
+        |              ELSE round((CAST(63.0 AS DOUBLE)
+        |                            * CAST(1152921504606846976 AS DOUBLE))
+        |                         / CAST(kth AS DOUBLE), 4) END
+        |           AS est_distinct
+        |       FROM gs)
+        |SELECT grp, n_seen, est_distinct FROM per
+        |UNION ALL SELECT grp, n_seen, est_distinct FROM gl
+        |ORDER BY grp""".stripMargin,
     // chunk_id ≡ start_tok / stride (posexplode numbers the sequence
     // 0, stride, 2·stride… in order), so the oracle derives it
     // arithmetically; DuckDB list slicing clamps at the list end the

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * bit-for-bit: this "approximate" operator is oracle-checkable,
   * unlike HLL whose register layout is implementation-defined.
   */
-case class KmvSummary(n_seen: Long, kth: Long)
+case class KmvSummary(n_seen: Long, kth: Long, mins: Seq[Long])
 
 class KmvAgg(k: Int)
     extends Aggregator[Long, java.util.TreeSet[java.lang.Long], KmvSummary] {
@@ -51,10 +51,17 @@ class KmvAgg(k: Int)
   }
 
   /** kth = the k-th smallest hash (the set's max once full); -1
-    * sentinel while the set is still exact.
+    * sentinel while the set is still exact. `mins` is the retained
+    * set itself (≤ k longs) — what makes the summary MERGEABLE
+    * downstream: the global k smallest distinct hashes are contained
+    * in the union of per-group k-min sets, so a rollup never needs
+    * the raw data again (see Sketch.kmvRollup).
     */
-  override def finish(b: java.util.TreeSet[java.lang.Long]): KmvSummary =
-    KmvSummary(b.size.toLong, if (b.size >= k) b.last() else -1L)
+  override def finish(b: java.util.TreeSet[java.lang.Long]): KmvSummary = {
+    import scala.jdk.CollectionConverters._
+    KmvSummary(b.size.toLong, if (b.size >= k) b.last() else -1L,
+      b.iterator().asScala.map(_.longValue()).toSeq)
+  }
 
   override def bufferEncoder: Encoder[java.util.TreeSet[java.lang.Long]] =
     Encoders.kryo[java.util.TreeSet[java.lang.Long]]
@@ -83,16 +90,52 @@ object Sketch {
       .groupBy(groupCol)
       .agg(agg(col("h")).as("kmv"))
       .select(col(groupCol), col("kmv.n_seen").as("n_seen"),
-        round(
-          when(col("kmv.n_seen") < k, col("kmv.n_seen").cast("double"))
-            .otherwise((lit((k - 1).toDouble) * twoPow60)
-              / col("kmv.kth").cast("double")),
-          4).as("est_distinct"))
+        estOf(col("kmv.n_seen"), col("kmv.kth"), k).as("est_distinct"))
       .orderBy(groupCol)
   }
 
   /** Surface query: estimated distinct users per event type. */
   def kmvQuery(s: SparkSession, dir: String): DataFrame =
     kmvDistinct(Tables.events(s, dir).select("event_type", "user_id"),
+      "event_type", "user_id")
+
+  private def estOf(nSeen: org.apache.spark.sql.Column,
+                    kth: org.apache.spark.sql.Column, k: Int) =
+    round(
+      when(nSeen < k, nSeen.cast("double"))
+        .otherwise((lit((k - 1).toDouble) * twoPow60) / kth.cast("double")),
+      4)
+
+  /** Sketch ROLLUP — the mergeability property productized: the
+    * per-group sketches AND a global estimate derived from them
+    * alone, never rescanning the data. Correct because the global k
+    * smallest distinct hashes are contained in the union of per-group
+    * k-min sets (any group with < k distinct retained everything);
+    * the union is ≤ groups·k longs — sketch-sized, the shape that
+    * makes distinct-count cubes feasible at 100 TB where
+    * count(distinct) cannot even rollup (it is not an algebraic
+    * aggregate).
+    */
+  def kmvRollup(df: DataFrame, groupCol: String, valueCol: String,
+                k: Int = K): DataFrame = {
+    val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
+    val grouped = df.select(col(groupCol),
+        graft.functions.Md5Prefix60(col(valueCol).cast("string")).as("h"))
+      .groupBy(groupCol)
+      .agg(agg(col("h")).as("kmv"))
+    val per = grouped.select(col(groupCol).as("grp"),
+      col("kmv.n_seen").as("n_seen"),
+      estOf(col("kmv.n_seen"), col("kmv.kth"), k).as("est_distinct"))
+    val global = grouped
+      .select(explode(col("kmv.mins")).as("h")).distinct()
+      .orderBy("h").limit(k)
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("kth"))
+      .select(lit("__all__").as("grp"), col("n_seen"),
+        estOf(col("n_seen"), col("kth"), k).as("est_distinct"))
+    per.unionByName(global).orderBy("grp")
+  }
+
+  def kmvRollupQuery(s: SparkSession, dir: String): DataFrame =
+    kmvRollup(Tables.events(s, dir).select("event_type", "user_id"),
       "event_type", "user_id")
 }

@@ -47,6 +47,24 @@ class SketchSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("kmv rollup: global row equals a direct global sketch") {
+    val rollup = Sketch.kmvRollup(events, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // merging per-group sketches must land on exactly what sketching
+    // the ungrouped stream would produce — the mergeability property
+    val direct = Sketch.kmvDistinct(
+      events.select(lit("x").as("g"), col("user_id")), "g", "user_id")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    assert(rollup("__all__") == direct,
+      s"rollup ${rollup("__all__")} vs direct $direct")
+    // per-group rows unchanged by the rollup packaging
+    val per = Sketch.kmvDistinct(events, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    per.foreach { case (g, v) => assert(rollup(g) == v) }
+  }
+
   test("weighted sample: layout-invariant, near-budget, length-biased") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("n_chars"))
