@@ -101,6 +101,7 @@ object SparkEntry {
     "ann_lsh" -> (Ann.lshQuery _),
     "ann_lsh_multiprobe" -> (Ann.lshMultiprobeQuery _),
     "vdb_knn_sq8" -> (Quant.sq8Query _),
+    "vdb_knn_bq" -> (BinQuant.bqQuery _),
     "vdb_knn_pq" -> (Pq.pqQuery _),
     "ann_ivf_pq" -> (Pq.ivfPqQuery _),
     "mm_decode" -> (Multimodal.decodeQuery _),
@@ -173,6 +174,7 @@ object SparkEntry {
     }),
     "q1_agg" -> Analytics.q1PricingSummary _,
     "q4_semi" -> (Analytics.q4OrderPriority _),
+    "bloom_prefilter_join" -> (BloomJoin.bloomQuery _),
     "q6_filter_agg" -> (Analytics.q6ForecastRevenue _),
     "q3_join" -> Analytics.q3ShippingPriority _,
     "q5_join" -> Analytics.q5LocalSupplierVolume _,
@@ -778,6 +780,54 @@ object SparkEntry {
         |rk AS (SELECT qid, nn_id, s,
         |              row_number() OVER (PARTITION BY qid
         |                                 ORDER BY s, nn_id) AS rk
+        |       FROM rr)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // vdb_knn_bq mirrors the same shortlist-then-rerank recipe with
+    // integer code space: the pack is a sum of 1::BIGINT << j terms
+    // over 32-bit words (bit 63 would overflow signed 64-bit — the
+    // Spark side packs 32 bits/word for exactly this mirror), the
+    // 6dp-rounded per-dim means match the Spark training, and the
+    // Hamming shortlist compares exact integers, so the only float
+    // arithmetic the hash sees is the exact cosine rerank.
+    "vdb_knn_bq" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |dims AS (SELECT i, round(avg(v[i]), 6) AS mu
+        |         FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+        |mus AS (SELECT list(mu ORDER BY i) AS m FROM dims),
+        |codes AS (SELECT id, list_transform(range(0, 2), w ->
+        |            CAST(list_sum(list_transform(range(1, 33), j ->
+        |              CASE WHEN v[CAST(w * 32 + j AS INT)]
+        |                        > mus.m[CAST(w * 32 + j AS INT)]
+        |                   THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT)
+        |                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS c
+        |          FROM e, mus),
+        |qcodes AS (SELECT qid, list_transform(range(0, 2), w ->
+        |            CAST(list_sum(list_transform(range(1, 33), j ->
+        |              CASE WHEN qv[CAST(w * 32 + j AS INT)]
+        |                        > mus.m[CAST(w * 32 + j AS INT)]
+        |                   THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT)
+        |                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS qc
+        |           FROM q, mus),
+        |h AS (SELECT qc.qid, c.id,
+        |        CAST(bit_count(xor(c.c[1], qc.qc[1])) AS BIGINT)
+        |      + CAST(bit_count(xor(c.c[2], qc.qc[2])) AS BIGINT) AS hd
+        |      FROM codes c, qcodes qc),
+        |sl AS (SELECT qid, id FROM (
+        |         SELECT qid, id,
+        |                row_number() OVER (PARTITION BY qid
+        |                                   ORDER BY hd, id) AS r
+        |         FROM h) WHERE r <= 40),
+        |rr AS (SELECT sl.qid, sl.id AS nn_id,
+        |              list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        |       FROM sl JOIN embeddings e ON sl.id = e.vec_id
+        |               JOIN q ON sl.qid = q.qid),
+        |rk AS (SELECT qid, nn_id, s,
+        |              row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY s DESC, nn_id) AS rk
         |       FROM rr)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
@@ -1495,6 +1545,17 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    // the Bloom prefilter has no false negatives and the join removes
+    // its false positives, so the oracle is the PLAIN join — result
+    // equality proves the prefilter is a pure pruning step
+    "bloom_prefilter_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q5_join" ->
       """SELECT n_name,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
