@@ -132,6 +132,7 @@ object SparkEntry {
     "corpus_weighted_sample" -> (Sampling.weightedSampleQuery _),
     "sketch_kmv_distinct" -> (Sketch.kmvQuery _),
     "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
+    "sketch_hist_quantile" -> (Sketch.histQuantileQuery _),
     "vdb_knn_filtered_in" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label").isin(2, 4, 6))),
@@ -1214,6 +1215,33 @@ object SparkEntry {
         |                          * CAST(1152921504606846976 AS DOUBLE))
         |                       / CAST(kth AS DOUBLE), 4) END AS est_distinct
         |FROM s ORDER BY event_type""".stripMargin,
+    // histogram quantile sketch: integer bins and ranks, one float
+    // division at the end — DuckDB reproduces the estimate exactly.
+    // Window sums cast back to BIGINT (DuckDB widens to HUGEINT).
+    "sketch_hist_quantile" ->
+      """WITH b AS (SELECT lang,
+        |             CAST(floor(n_chars / 64.0) AS BIGINT) AS bin,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |           FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, bin, cnt,
+        |             CAST(sum(cnt) OVER (PARTITION BY lang
+        |                                 ORDER BY bin) AS BIGINT) AS cum,
+        |             CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |      FROM b),
+        |t AS (SELECT lang, bin, cnt, cum, n,
+        |             CAST(floor((1 * n + 1) / 2.0) AS BIGINT) AS t50,
+        |             CAST(floor((19 * n + 19) / 20.0) AS BIGINT) AS t95
+        |      FROM c)
+        |SELECT lang, max(n) AS n,
+        |       arg_min(CASE WHEN cum >= t50 THEN
+        |                 round(64.0 * bin
+        |                   + 64.0 * (t50 - (cum - cnt)) / cnt, 4) END,
+        |               CASE WHEN cum >= t50 THEN bin END) AS p50_est,
+        |       arg_min(CASE WHEN cum >= t95 THEN
+        |                 round(64.0 * bin
+        |                   + 64.0 * (t95 - (cum - cnt)) / cnt, 4) END,
+        |               CASE WHEN cum >= t95 THEN bin END) AS p95_est
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     // KMV rollup: per-group rows as in sketch_kmv_distinct, plus a
     // '__all__' row whose estimate comes from the k smallest of the
     // UNION of per-group k-min sets — which equals the k smallest

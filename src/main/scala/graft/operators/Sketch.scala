@@ -138,4 +138,60 @@ object Sketch {
   def kmvRollupQuery(s: SparkSession, dir: String): DataFrame =
     kmvRollup(Tables.events(s, dir).select("event_type", "user_id"),
       "event_type", "user_id")
+
+  /** Mergeable fixed-bin histogram quantile sketch — the distributed
+    * percentile pattern beside KMV's distinct counts: bin the value
+    * (integer floor-div), count per (group, bin), estimate percentile
+    * p by linear interpolation inside the first bin whose cumulative
+    * count reaches rank ceil(p·n). State is ≤ groups × bins longs —
+    * the shuffle never carries values, and histograms MERGE by adding
+    * bin counts, so per-source summaries roll up to the global
+    * estimate without rescanning (exact percentiles need a full sort
+    * or the two-pass exact path corpus_stats takes; at 100 TB the
+    * single bounded-state pass is the operating point).
+    *
+    * Determinism: ranks are pure integer arithmetic
+    * (ceil(num·n/den) = floor((num·n + den − 1)/den)) and the only
+    * float op is the final interpolation division of two integers —
+    * bit-identical on any IEEE engine, so even the estimates are
+    * DuckDB-oracled (quantile_approx/t-digest internals are not).
+    *
+    * @param pcts (label, num, den) percentiles as exact rationals
+    */
+  def histQuantile(df: DataFrame, groupCol: String, valueCol: String,
+                   binWidth: Int = 64,
+                   pcts: Seq[(String, Int, Int)] =
+                     Seq(("p50_est", 1, 2), ("p95_est", 19, 20))): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = binWidth
+    val binned = df
+      .select(col(groupCol),
+        floor(col(valueCol).cast("double") / w).cast("long").as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumWin = Window.partitionBy(groupCol).orderBy("bin")
+    val totWin = Window.partitionBy(groupCol)
+    val cum = binned
+      .withColumn("cum", sum("cnt").over(cumWin))
+      .withColumn("n", sum("cnt").over(totWin))
+    val ests = pcts.map { case (label, num, den) =>
+      // rank t = ceil(num·n/den), then interpolate inside the
+      // covering bin: bin·w + w·(t − cum_before)/cnt
+      val t = floor((lit(num) * col("n") + lit(den - 1)) / lit(den))
+        .cast("long")
+      val hit = col("cum") >= t
+      val est = lit(w.toDouble) * col("bin") +
+        lit(w.toDouble) * (t - (col("cum") - col("cnt"))) / col("cnt")
+      min_by(when(hit, round(est, 4)), when(hit, col("bin"))).as(label)
+    }
+    val aggs = max(col("n")).as("n") +: ests
+    cum.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(groupCol)
+  }
+
+  /** Surface query: per-language doc-length percentiles. */
+  def histQuantileQuery(s: SparkSession, dir: String): DataFrame =
+    histQuantile(Tables.documents(s, dir).select("lang", "n_chars"),
+      "lang", "n_chars")
 }

@@ -82,4 +82,37 @@ class SketchSpec extends SparkSuite {
     val avgAll = docs.agg(avg("n_chars")).collect()(0).getDouble(0)
     assert(avgKept > avgAll, s"kept avg $avgKept !> corpus avg $avgAll")
   }
+
+  test("hist quantile: estimate within a bin of exact, merge ≡ direct") {
+    val docs = Tables.documents(spark, sf).select("lang", "n_chars")
+    val est = Sketch.histQuantile(docs, "lang", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // exact percentiles (ceil-rank definition matching the sketch's t)
+    val exact = docs.groupBy("lang").agg(
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (g, (n, p50, p95)) =>
+      val (e50, e95, en) = exact(g)
+      assert(n == en)
+      // interpolated histogram estimate lands within one 64-wide bin
+      // of the exact order statistic
+      assert(math.abs(p50 - e50) <= 64.0, s"$g p50 $p50 vs exact $e50")
+      assert(math.abs(p95 - e95) <= 64.0, s"$g p95 $p95 vs exact $e95")
+    }
+    // MERGE: histograms from disjoint corpus halves summed = direct —
+    // re-aggregating the union must reproduce the single-pass result
+    // regardless of how the data was split (the rollup property)
+    val half1 = docs.where(col("n_chars") % 2 === 0)
+    val half2 = docs.where(col("n_chars") % 2 =!= 0)
+    val merged = Sketch.histQuantile(half1.unionByName(half2),
+      "lang", "n_chars").collect().toSeq
+    val direct = Sketch.histQuantile(docs, "lang", "n_chars")
+      .collect().toSeq
+    assert(merged == direct)
+  }
 }
