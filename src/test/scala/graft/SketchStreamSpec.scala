@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Sketch
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The KMV sketch STREAMING: mergeability is exactly what makes a
+  * sketch streamable — each micro-batch folds into the bounded
+  * aggregation buffer in the state store (≤ k longs per group, same
+  * KmvAgg the batch query uses), so the stream's state is
+  * sketch-sized forever while count(distinct) state would grow with
+  * every distinct value seen. The batch twin `sketch_kmv_distinct`
+  * sits under the DuckDB oracle; this spec proves the stream
+  * converges to exactly that result, in waves and regardless of
+  * arrival order.
+  */
+case class KmvEv(event_type: String, user_id: Long)
+
+class SketchStreamSpec extends SparkSuite {
+
+  test("streaming KMV converges to the batch sketch across waves") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch = Tables.events(spark, sf).select("event_type", "user_id")
+    val rows = batch.as[KmvEv].collect()
+
+    val stream = MemoryStream[KmvEv]
+    // the SAME operator body as the oracled batch query — complete
+    // mode republishes the full per-group state each trigger
+    val out = Sketch.kmvDistinct(stream.toDF(), "event_type", "user_id")
+    val q = out.writeStream.format("memory").queryName("kmvstate")
+      .outputMode("complete").start()
+    try {
+      // three chronology-scrambled waves: KMV state is a set of
+      // min-hashes, so arrival order must not matter
+      val waves = rows.sortBy(e => (e.user_id * 2654435761L) % 1000)
+        .grouped(math.max(rows.length / 3, 1)).toSeq
+      waves.foreach { w => stream.addData(w.toSeq); q.processAllAvailable() }
+
+      val got = spark.table("kmvstate")
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      val want = Sketch.kmvQuery(spark, sf)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(got == want, s"stream $got vs batch $want")
+      // bounded state: no group retains more than k hashes
+      assert(got.values.forall(_._1 <= Sketch.K))
+    } finally q.stop()
+  }
+}
