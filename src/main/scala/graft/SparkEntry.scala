@@ -133,6 +133,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> (Sketch.kmvQuery _),
     "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
     "sketch_hist_quantile" -> (Sketch.histQuantileQuery _),
+    "train_triplets" -> (Triplets.tripletsQuery _),
     "vdb_knn_filtered_in" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label").isin(2, 4, 6))),
@@ -973,6 +974,35 @@ object SparkEntry {
          |         FROM bk a JOIN bk b ON a.band = b.band
          |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |$jaccardVerify""".stripMargin,
+    // triplets: positives = the verified near-dup pairs (both
+    // orientations); negative = arg-min md5(anchor|cand) over the
+    // anchor's md5-batch mates, minus itself and its direct pairs —
+    // every choice a pure function of ids, like the Spark side
+    "train_triplets" ->
+      s"""WITH $bandCte,
+         |$verifiedPairsCte,
+         |ancs AS (SELECT id1 AS anchor_id, id2 AS pos_id FROM pairs
+         |         UNION ALL SELECT id2, id1 FROM pairs),
+         |dbb AS (SELECT doc_id,
+         |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |            AS BIGINT) % 8 AS b
+         |        FROM documents),
+         |negc AS (SELECT a.anchor_id, a.pos_id, d2.doc_id AS cand_id,
+         |           CAST('0x' || substr(md5(CAST(a.anchor_id AS VARCHAR)
+         |             || '|' || CAST(d2.doc_id AS VARCHAR)), 1, 15)
+         |             AS BIGINT) AS r
+         |         FROM ancs a
+         |         JOIN dbb d1 ON a.anchor_id = d1.doc_id
+         |         JOIN dbb d2 ON d1.b = d2.b AND d2.doc_id <> a.anchor_id
+         |         WHERE NOT EXISTS (SELECT 1 FROM ancs x
+         |           WHERE x.anchor_id = a.anchor_id
+         |             AND x.pos_id = d2.doc_id)),
+         |sel AS (SELECT anchor_id, pos_id, cand_id,
+         |          row_number() OVER (PARTITION BY anchor_id, pos_id
+         |                             ORDER BY r, cand_id) AS rn
+         |        FROM negc)
+         |SELECT anchor_id, pos_id, cand_id AS neg_id
+         |FROM sel WHERE rn = 1 ORDER BY anchor_id, pos_id""".stripMargin,
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |             len(string_split(text, ' ')) AS nt FROM documents),

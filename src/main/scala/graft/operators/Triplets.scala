@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Md5Prefix60
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Contrastive training triplets — the training-data product of the
+  * dedup surface: every verified near-dup pair is a natural
+  * (anchor, positive) for embedding-model training, and negatives
+  * come IN-BATCH (the DPR/SimCLR pattern): documents are dealt into
+  * deterministic md5 batches, and each anchor's negative is drawn
+  * from its own batch, excluding itself and its verified near-dups.
+  *
+  * The scale shape is the point: negative mining is an equi-join on
+  * the batch key — per-anchor work is one batch (fixed size), never
+  * a corpus scan, and the batch count grows with the corpus, so the
+  * plan is linear where naive "pick a random non-duplicate" sampling
+  * is anchors × corpus. Every choice is a pure md5 function of ids
+  * (batch assignment AND the in-batch pick), so triplets are
+  * layout-invariant and replayable — the same audit-stability
+  * argument as corpus_sample_split.
+  *
+  * Negatives exclude the anchor's DIRECT verified pairs; transitive
+  * cluster mates can still appear (they are "hard negatives" in
+  * training terms — near the anchor but below the dup threshold
+  * through this edge set). A stricter pipeline would anti-join
+  * dedup_clusters instead; same plan shape.
+  */
+object Triplets {
+
+  /** (anchor_id, pos_id, neg_id): positives = verified near-dup
+    * pairs (both orientations), negative = the in-batch candidate
+    * minimizing md5(anchor|cand) — per-anchor deterministic, ties
+    * (impossible in practice) broken by id.
+    */
+  def triplets(s: SparkSession, dir: String, batches: Int = 8,
+               minJaccard: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashPairsUnsorted(s, dir, minJaccard)
+      .select("id1", "id2")
+    val anchors = pairs
+      .select(col("id1").as("anchor_id"), col("id2").as("pos_id"))
+      .unionByName(
+        pairs.select(col("id2").as("anchor_id"), col("id1").as("pos_id")))
+    val batched = Tables.documents(s, dir).select(col("doc_id"),
+      pmod(Md5Prefix60(col("doc_id").cast("string")), lit(batches.toLong))
+        .as("b"))
+    val cands = anchors
+      .join(batched.withColumnRenamed("doc_id", "anchor_id"), "anchor_id")
+      .join(batched.withColumnRenamed("doc_id", "cand_id"), "b")
+      .where(col("cand_id") =!= col("anchor_id"))
+      // a candidate that is itself a verified near-dup of the anchor
+      // must not serve as its negative
+      .join(anchors.select(col("anchor_id"), col("pos_id").as("cand_id")),
+        Seq("anchor_id", "cand_id"), "left_anti")
+      .select(col("anchor_id"), col("pos_id"), col("cand_id"),
+        Md5Prefix60(concat(col("anchor_id").cast("string"), lit("|"),
+          col("cand_id").cast("string"))).as("r"))
+    cands.groupBy("anchor_id", "pos_id")
+      .agg(min_by(col("cand_id"), struct(col("r"), col("cand_id")))
+        .as("neg_id"))
+      .orderBy("anchor_id", "pos_id")
+  }
+
+  def tripletsQuery(s: SparkSession, dir: String): DataFrame =
+    triplets(s, dir)
+}
