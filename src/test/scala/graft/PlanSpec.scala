@@ -112,6 +112,40 @@ class PlanSpec extends SparkSuite {
       s"quantized kernels missing from plan:\n${p.take(2000)}")
   }
 
+  test("bq search packs and compares through the binary kernels") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val p = planOf(graft.operators.BinQuant.bqSearch(emb, q, 5))
+    assert(p.contains("vec_bin_pack") && p.contains("bin_hamming"),
+      s"binary kernels missing from plan:\n${p.take(2000)}")
+  }
+
+  test("bloom prefilter drops fact rows BELOW the join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    // AdaptiveSparkPlanExec exposes no children pre-execution;
+    // disable AQE for the static structural walk
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val plan = graft.operators.BloomJoin.bloomQuery(spark, sf)
+      .queryExecution.executedPlan
+    // find the might_contain Filter; its subtree must be join-free
+    // (i.e. the filter runs on the scan side, before the exchange
+    // feeding the join — not on the join output)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+    val filters = nodes(plan).filter(n =>
+      n.nodeName.contains("Filter") &&
+        n.expressions.exists(_.toString.contains("might_contain")))
+    assert(filters.nonEmpty, s"no might_contain filter:\n${plan.toString.take(2000)}")
+    filters.foreach { f =>
+      val below = nodes(f).map(_.nodeName).mkString(",")
+      assert(!below.contains("Join"),
+        s"bloom filter sits above a join — prunes nothing: $below")
+    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q21: semi/anti self-joins hash on orderkey, no nested loop") {
     // the suppkey inequality must ride as a residual condition on an
     // orderkey-keyed hash/merge join; a BroadcastNestedLoopJoin here
