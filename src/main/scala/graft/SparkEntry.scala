@@ -134,6 +134,7 @@ object SparkEntry {
     "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
     "sketch_hist_quantile" -> (Sketch.histQuantileQuery _),
     "train_triplets" -> (Triplets.tripletsQuery _),
+    "decontam_overlap" -> (Decontam.contaminationQuery _),
     "vdb_knn_filtered_in" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label").isin(2, 4, 6))),
@@ -974,6 +975,32 @@ object SparkEntry {
          |         FROM bk a JOIN bk b ON a.band = b.band
          |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |$jaccardVerify""".stripMargin,
+    // decontamination: split by the same md5 bucket rule as
+    // corpus_sample_split (train < 'cccd' = 0.8), shared-shingle
+    // counts against the EVAL side's shingle cardinality; n/c is
+    // BIGINT/BIGINT → DOUBLE in both engines, identical IEEE result
+    "decontam_overlap" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+         |${shingleCteFrom("corpus")},
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+         |                   < 'cccd'
+         |              THEN 'train' ELSE 'eval' END AS split
+         |       FROM corpus),
+         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |ts AS (SELECT shx.doc_id AS train_id, s
+         |       FROM shx JOIN sp USING (doc_id) WHERE split = 'train'),
+         |es AS (SELECT shx.doc_id AS eval_id, s
+         |       FROM shx JOIN sp USING (doc_id) WHERE split = 'eval'),
+         |ec AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS c
+         |       FROM es GROUP BY 1),
+         |inter AS (SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n
+         |          FROM ts JOIN es USING (s) GROUP BY 1, 2)
+         |SELECT eval_id, train_id, n AS n_shared, round(n / c, 4) AS overlap
+         |FROM inter JOIN ec USING (eval_id)
+         |WHERE n / c >= 0.2 ORDER BY eval_id, train_id""".stripMargin,
     // triplets: positives = the verified near-dup pairs (both
     // orientations); negative = arg-min md5(anchor|cand) over the
     // anchor's md5-batch mates, minus itself and its direct pairs —

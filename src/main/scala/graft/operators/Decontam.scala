@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Train/eval DECONTAMINATION — the curation step that keeps
+  * benchmark answers out of training data: find every (train doc,
+  * eval doc) pair whose shared-shingle fraction crosses a threshold,
+  * so contaminated training docs can be quarantined before a model
+  * ever sees them. The published pipelines run exactly this shape
+  * (n-gram overlap of each training document against the eval sets).
+  *
+  * Plan: one shingle pass per side (reusing [[Dedup.shingleRows]]'s
+  * codegen posexplode+lead formulation), then a shingle-value
+  * equi-join — blocked by content, so bucket cardinality GROWS with
+  * the corpus (the §4 rule) — and a per-pair count against the eval
+  * doc's shingle cardinality. Work is proportional to SHARED content,
+  * not |train| × |eval|: disjoint docs never meet.
+  *
+  * At web scale the same plan runs with longer shingles (13-grams in
+  * the published decontamination setups — rarer, so buckets shrink)
+  * and a document-frequency cap dropping stop-grams before the join
+  * (the classic hot-key guard; AQE skew-split handles the residue).
+  * Overlap here is measured against the EVAL side's cardinality —
+  * asymmetric by design: a tiny eval doc fully contained in a large
+  * training doc is 100% contaminated, whatever the training doc's
+  * size.
+  */
+object Decontam {
+
+  /** (eval_id, train_id, n_shared, overlap ≥ minOverlap) — split
+    * assigned by the deterministic md5 bucket ([[Sampling.split]]),
+    * "eval" = everything outside the train fraction.
+    */
+  def contamination(corpus: DataFrame, trainFrac: Double = 0.8,
+                    minOverlap: Double = 0.2): DataFrame = {
+    val withSplit = Sampling.split(corpus, "doc_id", trainFrac, 0.0)
+    val train = withSplit.where(col("split") === "train")
+      .select("doc_id", "text")
+    val eval_ = withSplit.where(col("split") =!= "train")
+      .select("doc_id", "text")
+    val ts = Dedup.shingleRows(train)
+      .select(col("doc_id").as("train_id"), col("s"))
+    val es = Dedup.shingleRows(eval_)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val ecard = es.groupBy("eval_id").agg(count(lit(1)).as("ec"))
+    val inter = ts.join(es, "s")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n"))
+    inter.join(ecard, "eval_id")
+      .where(col("n") / col("ec") >= minOverlap)
+      .select(col("eval_id"), col("train_id"), col("n").as("n_shared"),
+        round(col("n") / col("ec"), 4).as("overlap"))
+      .orderBy("eval_id", "train_id")
+  }
+
+  /** Surface query on the planted-duplicate corpus: the +100000
+    * duplicates whose hash lands them across the split boundary are
+    * guaranteed contamination; word-salad 3-gram sharing supplies
+    * background near-misses the threshold must reject.
+    */
+  def contaminationQuery(s: SparkSession, dir: String): DataFrame =
+    contamination(Dedup.corpusWithExactDups(s, dir))
+}
