@@ -182,6 +182,7 @@ object SparkEntry {
     "q3_join" -> Analytics.q3ShippingPriority _,
     "q5_join" -> Analytics.q5LocalSupplierVolume _,
     "q7_volume" -> ((s, d) => Analytics.q7VolumeShipping(s, d)),
+    "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
     "q14_promo" -> (Analytics.q14PromoEffect _),
     "q10_returned" -> (Analytics.q10ReturnedItems _),
     "q19_disc_rev" -> (Analytics.q19DiscountedRevenue _),
@@ -1669,6 +1670,24 @@ object SparkEntry {
         |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """WITH mkt AS (SELECT c_custkey FROM customer
+        |             JOIN nation ON c_nationkey = n_nationkey
+        |             JOIN region ON n_regionkey = r_regionkey
+        |             WHERE r_name = 'ASIA')
+        |SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       round(sum(CASE WHEN n_name = 'NATION_3'
+        |                      THEN l_extendedprice * (1 - l_discount)
+        |                      ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 4)
+        |         AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_custkey IN (SELECT c_custkey FROM mkt)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q14_promo" ->
       """SELECT round(
         |  sum(CASE WHEN p_type = 'PROMO'

@@ -210,6 +210,55 @@ object Analytics {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q8 shape: national market share — the widest star in the
+    * suite (lineitem⋈part⋈orders⋈customer⋈supplier⋈nation⋈region)
+    * with nation in TWO ROLES: the customer's nation→region gates
+    * the market (a pure existence test, so it runs as a left_semi —
+    * the join never widens fact rows), while the supplier's nation
+    * feeds the share numerator and must be carried. The share is a
+    * conditional-aggregate ratio per order year (the Q14 ratio
+    * pattern under a Q5-class join). Bounded dims (nation, region)
+    * broadcast; part/customer/supplier scale with SF, so AQE picks
+    * their side.
+    */
+  def q8MarketShare(s: SparkSession, dir: String,
+                    partType: String = "ECONOMY",
+                    marketRegion: String = "ASIA",
+                    shareNation: String = "NATION_3"): DataFrame = {
+    val nations = Tables.nation(s, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val marketNations = nations
+      .join(broadcast(Tables.region(s, dir)
+        .where(col("r_name") === marketRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val marketCust = Tables.customer(s, dir)
+      .join(broadcast(marketNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(nations.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val typedParts = Tables.part(s, dir)
+      .where(col("p_type") === partType).select("p_partkey")
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(typedParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(marketCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === shareNation, vol)
+          .otherwise(lit(0.0))) / sum(vol), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** TPC-H Q21 shape (the driver schema carries no commit/receipt
     * dates, so "kept the order waiting" becomes "was the sole
     * supplier with a returned line"): fact-table self-SEMI-join
