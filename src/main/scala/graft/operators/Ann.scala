@@ -621,6 +621,24 @@ object Ann {
     }
   }
 
+  /** Per-cell index statistics as a relational plan — the
+    * observability surface that drives maintenance: `n_rows` shows
+    * cell balance (skewed cells → recluster), `n_files` shows
+    * fragmentation (the [[ivfCompact]] trigger). One column-pruned
+    * scan (the cell partition value plus file-path metadata — the
+    * vector bytes are never read) with partial aggregation, so the
+    * report stays metadata-weight at any index size; the driver-side
+    * listing inside ivfCompact is its O(cells) trigger twin.
+    */
+  def ivfIndexStats(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .select(col("cell").cast("long").as("cell"),
+        col("_metadata.file_path").as("f"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("f")).as("n_files"))
+      .orderBy("cell")
+
   /** Periodic re-clustering: retrain centroids on the CURRENT corpus
     * and build a fresh index at `newPath`, reading the rows out of
     * the old index. Upserts never retrain (the quantizer must stay

@@ -200,6 +200,17 @@ class AnnSpec extends SparkSuite {
           .toMap
       assert(filesPerCell.values.exists(_ > 1),
         "fixture produced no fragmentation to compact")
+      // the relational stats report agrees with the filesystem view
+      // and accounts for every row
+      def stats: Map[Long, (Long, Long)] = Ann.ivfIndexStats(spark, path)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val fragStats = stats
+      assert(fragStats.values.map(_._1).sum == emb.count())
+      fragStats.foreach { case (cell, (_, nFiles)) =>
+        assert(nFiles == filesPerCell(s"cell=$cell"),
+          s"stats disagree with fs for cell $cell")
+      }
       val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val before = Ann.ivfSearchIndexed(spark, path, q, 10).collect().toSeq
@@ -207,6 +218,10 @@ class AnnSpec extends SparkSuite {
       Ann.ivfCompact(spark, path)
       assert(filesPerCell.values.forall(_ <= 1),
         s"cells still fragmented: $filesPerCell")
+      val compactStats = stats
+      assert(compactStats.values.forall(_._2 == 1L),
+        s"stats still report fragmentation: $compactStats")
+      assert(compactStats.values.map(_._1).sum == emb.count())
       val after = Ann.ivfSearchIndexed(spark, path, q, 10).collect().toSeq
       assert(after == before && after.nonEmpty)
     } finally {
