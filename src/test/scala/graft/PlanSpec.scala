@@ -146,6 +146,14 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q8: market gates run as semi-joins, no nested loop") {
+    val p = planOf(Analytics.q8MarketShare(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in q8:\n${p.take(2000)}")
+    // part-type and region-market gates must not widen fact rows
+    assert(p.contains("LeftSemi"), s"semi gates missing:\n${p.take(2000)}")
+  }
+
   test("q21: semi/anti self-joins hash on orderkey, no nested loop") {
     // the suppkey inequality must ride as a residual condition on an
     // orderkey-keyed hash/merge join; a BroadcastNestedLoopJoin here
