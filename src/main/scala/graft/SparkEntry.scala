@@ -134,7 +134,9 @@ object SparkEntry {
     "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
     "sketch_hist_quantile" -> (Sketch.histQuantileQuery _),
     "train_triplets" -> (Triplets.tripletsQuery _),
+    "train_triplets_hard" -> (Triplets.tripletsHardQuery _),
     "decontam_overlap" -> (Decontam.contaminationQuery _),
+    "events_funnel" -> (Analytics.eventsFunnel _),
     "vdb_knn_filtered_in" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label").isin(2, 4, 6))),
@@ -1002,6 +1004,79 @@ object SparkEntry {
          |SELECT eval_id, train_id, n AS n_shared, round(n / c, 4) AS overlap
          |FROM inter JOIN ec USING (eval_id)
          |WHERE n / c >= 0.2 ORDER BY eval_id, train_id""".stripMargin,
+    // hard-negative triplets: the near-miss pool = 16-bit simhash
+    // band collisions with hamming > 1 (the dedup_simhash_pairs
+    // pipeline with the bar inverted), minus the anchor's verified
+    // minhash pairs; pick = same arg-min md5(anchor|cand)
+    "train_triplets_hard" ->
+      s"""WITH $bandCte,
+         |$verifiedPairsCte,
+         |ancs AS (SELECT id1 AS anchor_id, id2 AS pos_id FROM pairs
+         |         UNION ALL SELECT id2, id1 FROM pairs),
+         |st AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |       FROM documents),
+         |su AS (SELECT doc_id,
+         |         CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) AS h
+         |       FROM (SELECT doc_id, unnest(toks) AS tok FROM st)),
+         |sv AS (SELECT doc_id, bit,
+         |         sum(CASE WHEN (h // (1 << bit)) % 2 = 1
+         |               THEN 1 ELSE -1 END) AS vote
+         |       FROM su CROSS JOIN (SELECT unnest(range(16)) AS bit)
+         |       GROUP BY 1, 2),
+         |ssg AS (SELECT doc_id,
+         |          CAST(sum(CASE WHEN vote > 0 THEN 1 << bit ELSE 0 END)
+         |            AS BIGINT) AS sh2
+         |        FROM sv GROUP BY doc_id),
+         |sbands AS (SELECT doc_id, sh2, 0 AS band, sh2 % 256 AS key
+         |           FROM ssg
+         |           UNION ALL
+         |           SELECT doc_id, sh2, 1, sh2 // 256 FROM ssg),
+         |scand AS (SELECT DISTINCT
+         |            least(a.doc_id, b.doc_id) AS id1,
+         |            greatest(a.doc_id, b.doc_id) AS id2,
+         |            CASE WHEN a.doc_id < b.doc_id THEN a.sh2
+         |                 ELSE b.sh2 END AS h1,
+         |            CASE WHEN a.doc_id < b.doc_id THEN b.sh2
+         |                 ELSE a.sh2 END AS h2
+         |          FROM sbands a JOIN sbands b
+         |            ON a.band = b.band AND a.key = b.key
+         |              AND a.doc_id < b.doc_id),
+         |miss AS (SELECT id1, id2 FROM scand
+         |         WHERE bit_count(xor(h1, h2)) > 1),
+         |cboth AS (SELECT id1 AS anchor_id, id2 AS cand_id FROM miss
+         |          UNION ALL SELECT id2, id1 FROM miss),
+         |hard AS (SELECT c.anchor_id, c.cand_id,
+         |           CAST('0x' || substr(md5(CAST(c.anchor_id AS VARCHAR)
+         |             || '|' || CAST(c.cand_id AS VARCHAR)), 1, 15)
+         |             AS BIGINT) AS r
+         |         FROM cboth c
+         |         WHERE NOT EXISTS (SELECT 1 FROM ancs v
+         |           WHERE v.anchor_id = c.anchor_id
+         |             AND v.pos_id = c.cand_id)),
+         |hsel AS (SELECT a.anchor_id, a.pos_id, h.cand_id,
+         |           row_number() OVER (PARTITION BY a.anchor_id, a.pos_id
+         |                              ORDER BY h.r, h.cand_id) AS rn
+         |         FROM ancs a JOIN hard h ON a.anchor_id = h.anchor_id)
+         |SELECT anchor_id, pos_id, cand_id AS neg_id
+         |FROM hsel WHERE rn = 1 ORDER BY anchor_id, pos_id""".stripMargin,
+    // funnel: stage k = first qualifying event at/after stage k-1's
+    // time, per user; counts integer-exact, monotone by construction
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |      GROUP BY 1),
+        |u AS (SELECT 1 AS stage, 'view' AS name, user_id FROM v
+        |      UNION ALL SELECT 2, 'view_click', user_id FROM c
+        |      UNION ALL SELECT 3, 'view_click_purchase', user_id FROM p)
+        |SELECT CAST(stage AS BIGINT) AS stage, name,
+        |       CAST(count(*) AS BIGINT) AS users
+        |FROM u GROUP BY 1, 2 ORDER BY stage""".stripMargin,
     // triplets: positives = the verified near-dup pairs (both
     // orientations); negative = arg-min md5(anchor|cand) over the
     // anchor's md5-batch mates, minus itself and its direct pairs —

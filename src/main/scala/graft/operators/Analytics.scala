@@ -210,6 +210,35 @@ object Analytics {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** Event FUNNEL: view → click → purchase, strictly ordered per
+    * user — the staged temporal pattern behind product analytics.
+    * Each stage is a user_id-keyed aggregate (first qualifying event
+    * at or after the previous stage's time) feeding the next via an
+    * equi-join, so all three passes reuse the loader's user_id
+    * exchange; counts are integer-exact. Stage semantics: a user
+    * counts at stage k iff stages 1..k occurred in order — the
+    * counts are monotone non-increasing by construction.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    v.select(lit(1L).as("stage"), lit("view").as("name"), col("user_id"))
+      .unionByName(c.select(lit(2L).as("stage"),
+        lit("view_click").as("name"), col("user_id")))
+      .unionByName(p.select(lit(3L).as("stage"),
+        lit("view_click_purchase").as("name"), col("user_id")))
+      .groupBy("stage", "name")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("stage")
+  }
+
   /** TPC-H Q8 shape: national market share — the widest star in the
     * suite (lineitem⋈part⋈orders⋈customer⋈supplier⋈nation⋈region)
     * with nation in TWO ROLES: the customer's nation→region gates

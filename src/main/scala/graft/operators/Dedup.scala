@@ -415,7 +415,32 @@ object Dedup {
     * band cap out and go quadratic as the corpus grows.
     */
   def simhashPairsBits(s: SparkSession, dir: String, bits: Int,
-                       bands: Int, maxHamming: Int): DataFrame = {
+                       bands: Int, maxHamming: Int): DataFrame =
+    simhashCandidates(s, dir, bits, bands)
+      .where(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+
+  /** Simhash band collisions ABOVE the near-dup bar — the NEAR-MISS
+    * pool: pairs close enough in signature space to share a band
+    * bucket, provably too far to be duplicates. This is the
+    * byproduct the hard-negative miner consumes
+    * ([[Triplets.tripletsHard]]): the banding work is already paid
+    * by the dedup pass, and bucket cardinality grows with the
+    * corpus like every other blocking key here.
+    */
+  def simhashNearMisses(s: SparkSession, dir: String, bits: Int = 16,
+                        bands: Int = 2, aboveHamming: Int = 1): DataFrame =
+    simhashCandidates(s, dir, bits, bands)
+      .where(col("hamming") > aboveHamming)
+      .select("id1", "id2")
+
+  /** Band-colliding (id1 < id2, distinct) pairs with their exact
+    * signature hamming — shared by the ≤-bar pair query and the
+    * >-bar near-miss pool so the two cannot drift.
+    */
+  private def simhashCandidates(s: SparkSession, dir: String, bits: Int,
+                                bands: Int): DataFrame = {
     require(bits % bands == 0, s"bits $bits not divisible by bands $bands")
     val w = bits / bands
     val sig = simhashBits(s, dir, bits)
@@ -427,15 +452,11 @@ object Dedup {
       explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("sh"),
         col("b.band").as("band"), col("b.key").as("key"))
-    val cand = inBucketPairs(banded, Seq("band", "key"),
+    inBucketPairs(banded, Seq("band", "key"),
         struct(col("doc_id"), col("sh")))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         col("a.sh").as("h1"), col("b.sh").as("h2"))
-    cand
       .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
-      .where(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
-      .orderBy("id1", "id2")
   }
 
   /** 16-bit layout — kept as the coarse oracle query. */

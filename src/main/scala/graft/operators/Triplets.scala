@@ -64,4 +64,48 @@ object Triplets {
 
   def tripletsQuery(s: SparkSession, dir: String): DataFrame =
     triplets(s, dir)
+
+  /** HARD-negative variant — the other standard mining regime: the
+    * negative comes from the anchor's signature-space NEAR-MISS pool
+    * ([[Dedup.simhashNearMisses]]: pairs that collided in a simhash
+    * band bucket but sit above the near-dup hamming bar) instead of
+    * a uniform batch mate. These are the gradient-rich negatives
+    * contrastive training wants: lexically close to the anchor,
+    * provably below the duplicate threshold. Anchors with no
+    * near-miss bucket mate have no hard negative and drop (inner
+    * join) — the easy-negative [[triplets]] covers them.
+    *
+    * Scale shape: the near-miss pool is a byproduct of the banding
+    * the dedup pipeline already runs (bucket-blocked, cardinality
+    * grows with corpus), and the pick is the same deterministic
+    * arg-min md5(anchor|cand) — no new join pattern, no new scan.
+    */
+  def tripletsHard(s: SparkSession, dir: String,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val verified = Dedup.minhashPairsUnsorted(s, dir, minJaccard)
+      .select("id1", "id2")
+    val anchors = verified
+      .select(col("id1").as("anchor_id"), col("id2").as("pos_id"))
+      .unionByName(
+        verified.select(col("id2").as("anchor_id"), col("id1").as("pos_id")))
+    val misses = Dedup.simhashNearMisses(s, dir)
+    val candBoth = misses
+      .select(col("id1").as("anchor_id"), col("id2").as("cand_id"))
+      .unionByName(misses
+        .select(col("id2").as("anchor_id"), col("id1").as("cand_id")))
+    val hard = candBoth
+      .join(anchors.select(col("anchor_id"), col("pos_id").as("cand_id")),
+        Seq("anchor_id", "cand_id"), "left_anti")
+      .select(col("anchor_id"), col("cand_id"),
+        Md5Prefix60(concat(col("anchor_id").cast("string"), lit("|"),
+          col("cand_id").cast("string"))).as("r"))
+    anchors.join(hard, "anchor_id")
+      .groupBy("anchor_id", "pos_id")
+      .agg(min_by(col("cand_id"), struct(col("r"), col("cand_id")))
+        .as("neg_id"))
+      .orderBy("anchor_id", "pos_id")
+  }
+
+  def tripletsHardQuery(s: SparkSession, dir: String): DataFrame =
+    tripletsHard(s, dir)
 }

@@ -41,4 +41,28 @@ class TripletsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(trips.toSeq == again.toSeq)
   }
+
+  test("hard triplets: negatives are near-miss bucket mates, never dups") {
+    val hard = Triplets.tripletsHard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hard.nonEmpty, "near-miss pool produced no hard triplets")
+
+    val missSet = Dedup.simhashNearMisses(spark, sf).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    val pairSet = Dedup.minhashPairsUnsorted(spark, sf, 0.5)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    hard.foreach { case (a, p, n) =>
+      assert(n != a && n != p, s"degenerate hard triplet ($a,$p,$n)")
+      assert(missSet((a, n)),
+        s"negative $n is not a near-miss bucket mate of anchor $a")
+      assert(!pairSet((math.min(a, n), math.max(a, n))),
+        s"hard negative $n is a verified near-dup of anchor $a")
+    }
+
+    val again = Triplets.tripletsHard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hard.toSeq == again.toSeq)
+  }
 }
