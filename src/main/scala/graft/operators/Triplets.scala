@@ -36,8 +36,13 @@ object Triplets {
     */
   def triplets(s: SparkSession, dir: String, batches: Int = 8,
                minJaccard: Double = 0.5): DataFrame = {
+    // the verified pair set is referenced through both union
+    // orientations AND the anti-join, and each reference would
+    // re-run the whole minhash verify pipeline (the costliest plan
+    // in the dedup family) — checkpoint the pair-count-bounded
+    // result instead, the connectedComponents precedent
     val pairs = Dedup.minhashPairsUnsorted(s, dir, minJaccard)
-      .select("id1", "id2")
+      .select("id1", "id2").localCheckpoint(true)
     val anchors = pairs
       .select(col("id1").as("anchor_id"), col("id2").as("pos_id"))
       .unionByName(
@@ -82,13 +87,16 @@ object Triplets {
     */
   def tripletsHard(s: SparkSession, dir: String,
                    minJaccard: Double = 0.5): DataFrame = {
+    // both pair sets fan out into multiple plan references (unions,
+    // anti-join, final join) — checkpoint the bounded results so the
+    // minhash-verify and simhash pipelines each run exactly once
     val verified = Dedup.minhashPairsUnsorted(s, dir, minJaccard)
-      .select("id1", "id2")
+      .select("id1", "id2").localCheckpoint(true)
     val anchors = verified
       .select(col("id1").as("anchor_id"), col("id2").as("pos_id"))
       .unionByName(
         verified.select(col("id2").as("anchor_id"), col("id1").as("pos_id")))
-    val misses = Dedup.simhashNearMisses(s, dir)
+    val misses = Dedup.simhashNearMisses(s, dir).localCheckpoint(true)
     val candBoth = misses
       .select(col("id1").as("anchor_id"), col("id2").as("cand_id"))
       .unionByName(misses

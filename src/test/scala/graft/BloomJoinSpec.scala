@@ -37,6 +37,20 @@ class BloomJoinSpec extends SparkSuite {
       s"false-positive rate collapsed: $pass vs $matching matches")
   }
 
+  test("empty dim side: prefilter still equals the (empty) plain join") {
+    val none = dim.where(lit(false))
+    val bloom = BloomJoin.bloomBytes(none, "o_orderkey", 1L)
+    val kept = Tables.lineitem(spark, sf)
+      .where(BloomJoin.mightContain(bloom, col("l_orderkey"))).count()
+    val plain = Tables.lineitem(spark, sf)
+      .join(none, col("l_orderkey") === col("o_orderkey")).count()
+    assert(plain == 0)
+    // an all-pass prefilter here would still be CORRECT (the join
+    // removes everything) but would prune nothing; the aggregate's
+    // empty-state bloom must reject, not admit
+    assert(kept == 0, s"empty-dim bloom admitted $kept fact rows")
+  }
+
   test("prefiltered join ≡ plain join, and the plan carries the filter") {
     val viaBloom = BloomJoin.bloomQuery(spark, sf)
     val plain = Tables.lineitem(spark, sf)
