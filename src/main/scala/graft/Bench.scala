@@ -69,7 +69,7 @@ object Bench {
     // ann_ivf / vdb_knn_pq carry no on-disk index but memoize their
     // deterministic training per sf dir — populating the cache here
     // keeps the timed passes to search cost, same reasoning
-    Seq("ann_ivf_indexed", "ann_ivf_sq8", "ann_ivf_pq",
+    Seq("ann_ivf_indexed", "ann_ivf_sq8", "ann_ivf_pq", "ann_ivf_bq",
         "ann_ivf", "vdb_knn_pq", "bucketed_join_agg",
         "dedup_incremental").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>

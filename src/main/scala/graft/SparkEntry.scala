@@ -98,6 +98,7 @@ object SparkEntry {
     "vdb_range_search" -> ((s, d) =>
       Knn.radius(emb(s, d), qset(s, d), Knn.Metric.Cosine, 0.25)),
     "ann_ivf_sq8" -> (Ann.ivfSq8Query _),
+    "ann_ivf_bq" -> (Ann.ivfBqQuery _),
     "ann_lsh" -> (Ann.lshQuery _),
     "ann_lsh_multiprobe" -> (Ann.lshMultiprobeQuery _),
     "vdb_knn_sq8" -> (Quant.sq8Query _),
@@ -681,6 +682,46 @@ object SparkEntry {
          |                row_number() OVER (PARTITION BY qid
          |                                   ORDER BY qcos DESC, id) AS r
          |         FROM q8 WHERE qcos IS NOT NULL) WHERE r <= 40),
+         |rr AS (SELECT sl.qid, sl.id, list_cosine_similarity(e.v, q.qv) AS s
+         |       FROM sl JOIN e ON sl.id = e.id JOIN q ON sl.qid = q.qid),
+         |rk AS (SELECT qid, id, s,
+         |              row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY s DESC, id) AS rk
+         |       FROM rr WHERE s IS NOT NULL)
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // binary codes under IVF: the vdb_knn_bq pack/Hamming mirror
+    // composed with the IVF train+assign+probe mirror; means trained
+    // on the whole corpus, codes carried per assigned row
+    "ann_ivf_bq" ->
+      s"""WITH $ivfCtes,
+         |dims AS (SELECT i, round(avg(v[i]), 6) AS mu
+         |         FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+         |mus AS (SELECT list(mu ORDER BY i) AS m FROM dims),
+         |codes AS (SELECT id, cell, list_transform(range(0, 2), w ->
+         |            CAST(list_sum(list_transform(range(1, 33), j ->
+         |              CASE WHEN t.v[CAST(w * 32 + j AS INT)]
+         |                        > mus.m[CAST(w * 32 + j AS INT)]
+         |                   THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT)
+         |                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS c
+         |          FROM af t, mus),
+         |qcodes AS (SELECT qid, list_transform(range(0, 2), w ->
+         |            CAST(list_sum(list_transform(range(1, 33), j ->
+         |              CASE WHEN qv[CAST(w * 32 + j AS INT)]
+         |                        > mus.m[CAST(w * 32 + j AS INT)]
+         |                   THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT)
+         |                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS qc
+         |           FROM q, mus),
+         |h AS (SELECT pr.qid, co.id,
+         |        CAST(bit_count(xor(co.c[1], qc.qc[1])) AS BIGINT)
+         |      + CAST(bit_count(xor(co.c[2], qc.qc[2])) AS BIGINT) AS hd
+         |      FROM codes co JOIN pr ON co.cell = pr.cell
+         |           JOIN qcodes qc ON pr.qid = qc.qid),
+         |sl AS (SELECT qid, id FROM (
+         |         SELECT qid, id,
+         |                row_number() OVER (PARTITION BY qid
+         |                                   ORDER BY hd, id) AS r
+         |         FROM h) WHERE r <= 40),
          |rr AS (SELECT sl.qid, sl.id, list_cosine_similarity(e.v, q.qv) AS s
          |       FROM sl JOIN e ON sl.id = e.id JOIN q ON sl.qid = q.qid),
          |rk AS (SELECT qid, id, s,

@@ -471,6 +471,91 @@ object Ann {
     ivfSq8Search(s, path, q, k = 10, nprobe = 2)
   }
 
+  // ------------------------------------------------------- IVF + BQ
+
+  private def bqMeansPath(indexPath: String): String = indexPath + "_bqmeans"
+
+  /** IVF index with 1-bit sign codes beside the float vectors — the
+    * FAISS binary-IVF layout as a table, the smallest probe scan of
+    * the family: 2 longs per row (vs 64 bytes SQ8, 256 bytes float),
+    * compared with two xor+popcount ops. Same composition as
+    * [[ivfSq8BuildIndex]]: cell partitioning for probe pruning,
+    * code column for the cheap shortlist, float column only decoded
+    * for the shortlist rerank.
+    */
+  def ivfBqBuildIndex(s: SparkSession, emb: DataFrame, path: String,
+                      stride: Long = 200): Unit = {
+    import s.implicits._
+    val mus = BinQuant.trainMeans(emb)
+    val cents = collectCentroids(kmeansCentroids(emb, stride))
+    // sidecars first; the index's _SUCCESS (written last) publishes
+    mus.indices.map(i => (i, mus(i))).toDF("dim", "mu")
+      .write.mode("overwrite").parquet(bqMeansPath(path))
+    cents.toSeq.toDF("cell", "cvec")
+      .write.mode("overwrite").parquet(centroidsPath(path))
+    assignTo(emb, cents)
+      .withColumn("code",
+        graft.functions.BinaryQuant.pack(col("vec"), mus))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe-pruned binary search: partition-filtered (id, code) scan
+    * → Hamming shortlist of rerank·k per query → exact float cosine
+    * rerank reading `vec` only for the probed cells' shortlist.
+    * Hamming of mean-centered sign codes approximates angular order
+    * (see [[graft.operators.BinQuant]]) — the right proxy for the
+    * cosine rerank.
+    */
+  def ivfBqSearch(s: SparkSession, path: String, queries: DataFrame,
+                  k: Int, nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+    val mus = s.read.parquet(bqMeansPath(path))
+      .orderBy("dim").collect().map(_.getDouble(1))
+    val cents = collectCentroids(
+      s.read.parquet(centroidsPath(path)).select(col("cell"), col("cvec")))
+    val probes = queries.select(col("qid"),
+      explode(slice(array_sort(centroidDists(col("qvec"), cents)),
+        1, nprobe)).as("p"),
+      graft.functions.BinaryQuant.pack(col("qvec"), mus).as("qcode"))
+      .select(col("qid"), col("qcode"), col("p.cell").as("cell"))
+    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val codes = s.read.parquet(path)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .select("id", "code", "cell")
+    val scored = codes.join(probes, "cell")
+      .select(col("qid"),
+        graft.functions.BinaryQuant.hamming(col("code"), col("qcode"))
+          .cast("double").as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    val shortlist = TopKAgg.shortlist(scored, k * rerank)
+    val vecs = s.read.parquet(path)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .select("id", "vec")
+    val rescored = shortlist
+      .join(vecs, "id")
+      .join(broadcast(queries.select("qid", "qvec")), "qid")
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    topKPerQuery(rescored, k)
+  }
+
+  def ivfBqQuery(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val path = java.nio.file.Paths.get("target", "tmp", s"ivfbq-$key")
+      .toAbsolutePath.toString
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      ivfBqBuildIndex(s, e, path)
+    }
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    ivfBqSearch(s, path, q, k = 10, nprobe = 2)
+  }
+
   /** LWW-upsert into a persisted IVF index WITHOUT a full rebuild —
     * the reference's `upsert` (remove-old + insert-new,
     * vector_database.cc:53) against the table-shaped index: only

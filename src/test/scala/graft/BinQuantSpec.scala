@@ -63,4 +63,33 @@ class BinQuantSpec extends SparkSuite {
     val b = BinQuant.bqQuery(spark, sf).collect().toSeq
     assert(a == b)
   }
+
+  test("ivf+bq: partition-pruned code-only probe scan, useful recall") {
+    import graft.operators.{Ann, Knn}
+    val indexed = Ann.ivfBqQuery(spark, sf)
+    val rows = indexed.collect()
+    assert(rows.length == 50)
+    // the probe scan must prune both ways: unprobed cell DIRECTORIES
+    // skipped (PartitionFilters) and the float vec column absent from
+    // the shortlist scan's ReadSchema (code-only bandwidth)
+    val plan = Ann.ivfBqQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("cell") && !pf.contains("PartitionFilters: []"),
+      s"no partition pruning on the bq index scan: $pf")
+    val codeScan = plan.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("code"))
+      .getOrElse("")
+    assert(codeScan.nonEmpty && !codeScan.contains("vec"),
+      s"shortlist scan reads floats: $codeScan")
+    // nprobe=2 of 3 cells + 1-bit codes: still most of the exact
+    // top-10 after the rerank
+    val exact = Knn.topK(emb, qs, 10, Knn.Metric.Cosine)
+      .select("qid", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf+bq recall collapsed: $recall")
+  }
 }
