@@ -186,6 +186,8 @@ object SparkEntry {
     "q5_join" -> Analytics.q5LocalSupplierVolume _,
     "q7_volume" -> ((s, d) => Analytics.q7VolumeShipping(s, d)),
     "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
+    "q13_order_dist" -> (Analytics.q13OrderDistribution _),
+    "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q14_promo" -> (Analytics.q14PromoEffect _),
     "q10_returned" -> (Analytics.q10ReturnedItems _),
     "q19_disc_rev" -> (Analytics.q19DiscountedRevenue _),
@@ -1804,6 +1806,27 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE o_custkey IN (SELECT c_custkey FROM mkt)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_order_dist" ->
+      """WITH pc AS (SELECT c_custkey,
+        |              CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |            FROM customer
+        |            LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |            GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |             FROM lineitem GROUP BY 1
+        |             HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       round(total_qty, 2) AS total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     "q14_promo" ->
       """SELECT round(
         |  sum(CASE WHEN p_type = 'PROMO'

@@ -239,6 +239,52 @@ object Analytics {
       .orderBy("stage")
   }
 
+  /** TPC-H Q13 shape: count-of-counts distribution — customers LEFT
+    * OUTER joined to orders so zero-order customers survive with
+    * count 0 (count(o_orderkey) skips the null from the outer join),
+    * then a second aggregate histograms the per-customer counts.
+    * Two chained aggregations on different keys; the second one's
+    * input is already customer-sized, so the heavy exchange happens
+    * exactly once.
+    */
+  def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(s, dir).select("c_custkey")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q18 shape: large-volume orders — a HAVING-filtered
+    * aggregate (per-order quantity sum above a threshold) feeding a
+    * join back to orders and customers. The aggregate runs FIRST and
+    * its survivors are few, so the enrichment joins carry only the
+    * qualifying keys (the classic aggregate-then-join ordering a
+    * naive join-then-filter plan gets wrong at scale). l_quantity is
+    * integer-valued, so the double sum and the > compare are exact.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String,
+                     minQty: Double = 300.0): DataFrame = {
+    val big = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .where(col("total_qty") > minQty)
+    big.join(Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(col("total_qty"), 2).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q8 shape: national market share — the widest star in the
     * suite (lineitem⋈part⋈orders⋈customer⋈supplier⋈nation⋈region)
     * with nation in TWO ROLES: the customer's nation→region gates
