@@ -47,6 +47,7 @@ object SparkEntry {
     "vdb_knn_filtered_ne" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label") =!= 5)),
+    "vdb_search_requests" -> (SearchApi.searchRequestsQuery _),
     "vdb_batch_knn" -> ((s, d) =>
       Knn.topK(emb(s, d), batchQset(s, d), 5, Knn.Metric.Cosine)),
     "vdb_query_by_id" -> ((s, d) =>
@@ -1589,6 +1590,32 @@ object SparkEntry {
          |WHERE q.quality_score >= 0.5
          |  AND NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = d.doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // request-batch dispatch: metric and filter are per-request DATA
+    // (the reference's /search payload); ordering key is the
+    // request's own metric, filter evaluated as a predicate
+    "vdb_search_requests" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+        |             CASE WHEN vec_id % 2 = 0 THEN 'L2'
+        |                  ELSE 'IP' END AS metric,
+        |             CASE WHEN vec_id % 3 = 0 THEN '='
+        |                  WHEN vec_id % 3 = 1 THEN '!=' END AS fop,
+        |             5 AS fval
+        |      FROM embeddings WHERE vec_id < 6),
+        |d AS (SELECT q.qid, q.metric, e.id AS nn_id,
+        |             CASE WHEN q.metric = 'L2' THEN list_distance(e.v, q.qv)
+        |                  ELSE list_inner_product(e.v, q.qv) END AS s
+        |      FROM e CROSS JOIN q
+        |      WHERE q.fop IS NULL OR (q.fop = '=' AND e.label = q.fval)
+        |         OR (q.fop = '!=' AND e.label <> q.fval)),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY
+        |               CASE WHEN metric = 'L2' THEN s ELSE -s END, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "vdb_knn_flat_l2" -> knnOracle("l2"),
     "vdb_knn_flat_ip" -> knnOracle("ip"),
     "vdb_knn_cosine" -> knnOracle("cos"),

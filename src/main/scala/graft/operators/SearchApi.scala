@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorDistance
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's `/search` REQUEST BATCH as one relational plan —
+  * the missing piece of the API mapping: a reference client posts
+  * requests carrying `{vectors, k, indexType, filter: {fieldName,
+  * fieldValue, op: "="|"!="}}` (http_server.cc searchHandler,
+  * test/filter_upsert/search_*.json), i.e. the metric AND the scalar
+  * filter are DATA, different per request. The per-query operators
+  * (Knn.topKFiltered &c.) cover the one-request case where the
+  * filter compiles into the scan; here a heterogeneous batch runs as
+  * a single plan with the filter evaluated as a join predicate
+  * inside the scoring stage's codegen — the relational analog of the
+  * reference evaluating its roaring bitmap per request.
+  *
+  * Scale: requests broadcast (request-sized), the corpus streams
+  * through ONE scan whatever the batch mixes, and the per-request
+  * heap keeps the shuffle at O(Q·k·partitions). A per-request filter
+  * cannot push into the scan (it is not known at plan time) — the
+  * cost of request heterogeneity is exactly one corpus pass, which
+  * is the same bound the reference pays per request, amortized over
+  * the whole batch.
+  */
+object SearchApi {
+
+  /** Execute a request batch.
+    *
+    * @param data (id, vec, label) corpus
+    * @param reqs (qid, qvec, metric 'L2'|'IP', fop '='|'!='|NULL,
+    *             fval) — fop NULL means unfiltered
+    * @return (qid, rk 1..k, nn_id, score) — score is the request's
+    *         own metric (L2 ascending, IP descending), 4dp
+    */
+  def searchRequests(data: DataFrame, reqs: DataFrame, k: Int): DataFrame = {
+    val pass = col("fop").isNull ||
+      (col("fop") === "=" && col("label") === col("fval")) ||
+      (col("fop") === "!=" && col("label") =!= col("fval"))
+    // lower-is-better key for the shared heap: L2 as-is, IP negated
+    val key = when(col("metric") === "L2",
+        VectorDistance.l2(col("vec"), col("qvec")))
+      .otherwise(-VectorDistance.dot(col("vec"), col("qvec")))
+    val scored = data.crossJoin(broadcast(reqs))
+      .where(pass)
+      .select(col("qid"), col("metric"), key.as("key"), col("id"))
+      .where(col("key").isNotNull)
+    val agg = TopKAgg.topK(k)
+    scored.groupBy("qid", "metric")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), col("metric"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"),
+        round(when(col("metric") === "L2", col("col.key"))
+          .otherwise(-col("col.key")), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Surface query: a deterministic mixed batch — metric alternates
+    * by qid parity, filter op cycles =/!=/none — mirroring the
+    * reference's filter_upsert test requests.
+    */
+  def searchRequestsQuery(s: SparkSession, dir: String): DataFrame = {
+    val data = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label"))
+    val reqs = Tables.embeddings(s, dir).where(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        when(col("vec_id") % 2 === 0, "L2").otherwise("IP").as("metric"),
+        when(col("vec_id") % 3 === 0, "=")
+          .when(col("vec_id") % 3 === 1, "!=")
+          .otherwise(lit(null).cast("string")).as("fop"),
+        lit(5L).as("fval"))
+    searchRequests(data, reqs, k = 10)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Knn, SearchApi}
+import org.apache.spark.sql.functions._
+
+class SearchApiSpec extends SparkSuite {
+
+  private def data = Tables.embeddings(spark, sf)
+    .select(col("vec_id").as("id"), col("embedding").as("vec"),
+      col("label"))
+  private def qs = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("homogeneous batches collapse to the per-query operators") {
+    // all-L2 with '=5' filter ≡ Knn.topKFiltered(label === 5)
+    val eqReqs = qs.select(col("qid"), col("qvec"),
+      lit("L2").as("metric"), lit("=").as("fop"), lit(5L).as("fval"))
+    val viaApi = SearchApi.searchRequests(data, eqReqs, 10)
+      .collect().toSeq
+    val direct = Knn.topKFiltered(data, qs, 10, Knn.Metric.L2,
+      col("label") === 5).collect().toSeq
+    assert(viaApi == direct && viaApi.nonEmpty)
+
+    // all-IP unfiltered ≡ Knn.topK(IP)
+    val ipReqs = qs.select(col("qid"), col("qvec"),
+      lit("IP").as("metric"),
+      lit(null).cast("string").as("fop"), lit(0L).as("fval"))
+    val viaApiIp = SearchApi.searchRequests(data, ipReqs, 10)
+      .collect().toSeq
+    val directIp = Knn.topK(data, qs, 10, Knn.Metric.IP)
+      .collect().toSeq
+    assert(viaApiIp == directIp && viaApiIp.nonEmpty)
+  }
+
+  test("mixed batch honors each request's own filter") {
+    val labelOf = data.select("id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val rows = SearchApi.searchRequestsQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, nn) =>
+      if (qid % 3 == 0)
+        assert(labelOf(nn) == 5L, s"request $qid (=5) got label ${labelOf(nn)}")
+      if (qid % 3 == 1)
+        assert(labelOf(nn) != 5L, s"request $qid (!=5) got label 5")
+    }
+  }
+}
