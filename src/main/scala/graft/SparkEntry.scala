@@ -188,6 +188,7 @@ object SparkEntry {
     "q7_volume" -> ((s, d) => Analytics.q7VolumeShipping(s, d)),
     "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
     "q13_order_dist" -> (Analytics.q13OrderDistribution _),
+    "events_rollup_cube" -> (Analytics.eventsRollup _),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q14_promo" -> (Analytics.q14PromoEffect _),
     "q10_returned" -> (Analytics.q10ReturnedItems _),
@@ -1833,6 +1834,16 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE o_custkey IN (SELECT c_custkey FROM mkt)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_rollup_cube" ->
+      """WITH e AS (SELECT event_type,
+        |             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |             value
+        |           FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(day, 'ALL') AS day,
+        |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sv
+        |FROM e GROUP BY ROLLUP(event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
     "q13_order_dist" ->
       """WITH pc AS (SELECT c_custkey,
         |              CAST(count(o_orderkey) AS BIGINT) AS c_count

@@ -239,6 +239,24 @@ object Analytics {
       .orderBy("stage")
   }
 
+  /** Multi-granularity aggregate via ROLLUP (grouping sets): per
+    * (event_type, day), per event_type, and grand total in ONE pass —
+    * Spark plans the Expand + a single keyed exchange with map-side
+    * partial aggregation, so the three granularities cost one
+    * shuffle, not three queries. NULL grouping slots are labeled
+    * 'ALL' (neither source column is nullable, so the label is
+    * unambiguous).
+    */
+  def eventsRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("n"), col("sv"))
+      .orderBy("event_type", "day")
+
   /** TPC-H Q13 shape: count-of-counts distribution — customers LEFT
     * OUTER joined to orders so zero-order customers survive with
     * count 0 (count(o_orderkey) skips the null from the outer join),
