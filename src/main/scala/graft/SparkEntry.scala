@@ -1598,25 +1598,26 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
         |           FROM embeddings),
         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+        |             CASE WHEN vec_id % 2 = 0 THEN 10 ELSE 5 END AS k,
         |             CASE WHEN vec_id % 2 = 0 THEN 'L2'
         |                  ELSE 'IP' END AS metric,
         |             CASE WHEN vec_id % 3 = 0 THEN '='
         |                  WHEN vec_id % 3 = 1 THEN '!=' END AS fop,
         |             5 AS fval
         |      FROM embeddings WHERE vec_id < 6),
-        |d AS (SELECT q.qid, q.metric, e.id AS nn_id,
+        |d AS (SELECT q.qid, q.metric, q.k, e.id AS nn_id,
         |             CASE WHEN q.metric = 'L2' THEN list_distance(e.v, q.qv)
         |                  ELSE list_inner_product(e.v, q.qv) END AS s
         |      FROM e CROSS JOIN q
         |      WHERE q.fop IS NULL OR (q.fop = '=' AND e.label = q.fval)
         |         OR (q.fop = '!=' AND e.label <> q.fval)),
-        |r AS (SELECT qid, nn_id, s,
+        |r AS (SELECT qid, nn_id, s, k,
         |             row_number() OVER (PARTITION BY qid ORDER BY
         |               CASE WHEN metric = 'L2' THEN s ELSE -s END, nn_id)
         |               AS rk
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
-        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+        |FROM r WHERE rk <= k ORDER BY qid, rk""".stripMargin,
     "vdb_knn_flat_l2" -> knnOracle("l2"),
     "vdb_knn_flat_ip" -> knnOracle("ip"),
     "vdb_knn_cosine" -> knnOracle("cos"),

@@ -27,15 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object SearchApi {
 
-  /** Execute a request batch.
+  /** Execute a request batch. `k` is per-request data too (the
+    * reference payload carries it): the shared heap runs at the
+    * batch's max k and each request keeps its own prefix — heap
+    * state stays bounded by max-k while every request gets exactly
+    * what it asked for.
     *
     * @param data (id, vec, label) corpus
-    * @param reqs (qid, qvec, metric 'L2'|'IP', fop '='|'!='|NULL,
+    * @param reqs (qid, qvec, k, metric 'L2'|'IP', fop '='|'!='|NULL,
     *             fval) — fop NULL means unfiltered
-    * @return (qid, rk 1..k, nn_id, score) — score is the request's
-    *         own metric (L2 ascending, IP descending), 4dp
+    * @param maxK heap bound; must be ≥ every request's k
+    * @return (qid, rk 1..k_req, nn_id, score) — score is the
+    *         request's own metric (L2 ascending, IP descending), 4dp
     */
-  def searchRequests(data: DataFrame, reqs: DataFrame, k: Int): DataFrame = {
+  def searchRequests(data: DataFrame, reqs: DataFrame,
+                     maxK: Int): DataFrame = {
     val pass = col("fop").isNull ||
       (col("fop") === "=" && col("label") === col("fval")) ||
       (col("fop") === "!=" && col("label") =!= col("fval"))
@@ -45,22 +51,24 @@ object SearchApi {
       .otherwise(-VectorDistance.dot(col("vec"), col("qvec")))
     val scored = data.crossJoin(broadcast(reqs))
       .where(pass)
-      .select(col("qid"), col("metric"), key.as("key"), col("id"))
+      .select(col("qid"), col("metric"), col("k"), key.as("key"), col("id"))
       .where(col("key").isNotNull)
-    val agg = TopKAgg.topK(k)
-    scored.groupBy("qid", "metric")
+    val agg = TopKAgg.topK(maxK)
+    scored.groupBy("qid", "metric", "k")
       .agg(agg(col("key"), col("id")).as("top"))
-      .select(col("qid"), col("metric"), posexplode(col("top.items")))
+      .select(col("qid"), col("metric"), col("k"),
+        posexplode(col("top.items")))
       .select(col("qid"), (col("pos") + 1).as("rk"),
         col("col.id").as("nn_id"),
         round(when(col("metric") === "L2", col("col.key"))
           .otherwise(-col("col.key")), 4).as("score"))
+      .where(col("rk") <= col("k"))
       .orderBy("qid", "rk")
   }
 
   /** Surface query: a deterministic mixed batch — metric alternates
-    * by qid parity, filter op cycles =/!=/none — mirroring the
-    * reference's filter_upsert test requests.
+    * by qid parity, filter op cycles =/!=/none, k alternates 5/10 —
+    * mirroring the reference's filter_upsert test requests.
     */
   def searchRequestsQuery(s: SparkSession, dir: String): DataFrame = {
     val data = Tables.embeddings(s, dir)
@@ -68,11 +76,12 @@ object SearchApi {
         col("label"))
     val reqs = Tables.embeddings(s, dir).where(col("vec_id") < 6)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        when(col("vec_id") % 2 === 0, 10L).otherwise(5L).as("k"),
         when(col("vec_id") % 2 === 0, "L2").otherwise("IP").as("metric"),
         when(col("vec_id") % 3 === 0, "=")
           .when(col("vec_id") % 3 === 1, "!=")
           .otherwise(lit(null).cast("string")).as("fop"),
         lit(5L).as("fval"))
-    searchRequests(data, reqs, k = 10)
+    searchRequests(data, reqs, maxK = 10)
   }
 }

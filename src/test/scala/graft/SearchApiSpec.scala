@@ -13,7 +13,7 @@ class SearchApiSpec extends SparkSuite {
 
   test("homogeneous batches collapse to the per-query operators") {
     // all-L2 with '=5' filter ≡ Knn.topKFiltered(label === 5)
-    val eqReqs = qs.select(col("qid"), col("qvec"),
+    val eqReqs = qs.select(col("qid"), col("qvec"), lit(10L).as("k"),
       lit("L2").as("metric"), lit("=").as("fop"), lit(5L).as("fval"))
     val viaApi = SearchApi.searchRequests(data, eqReqs, 10)
       .collect().toSeq
@@ -22,7 +22,7 @@ class SearchApiSpec extends SparkSuite {
     assert(viaApi == direct && viaApi.nonEmpty)
 
     // all-IP unfiltered ≡ Knn.topK(IP)
-    val ipReqs = qs.select(col("qid"), col("qvec"),
+    val ipReqs = qs.select(col("qid"), col("qvec"), lit(10L).as("k"),
       lit("IP").as("metric"),
       lit(null).cast("string").as("fop"), lit(0L).as("fval"))
     val viaApiIp = SearchApi.searchRequests(data, ipReqs, 10)
@@ -43,6 +43,11 @@ class SearchApiSpec extends SparkSuite {
         assert(labelOf(nn) == 5L, s"request $qid (=5) got label ${labelOf(nn)}")
       if (qid % 3 == 1)
         assert(labelOf(nn) != 5L, s"request $qid (!=5) got label 5")
+    }
+    // per-request k honored: even qids asked for 10, odd for 5
+    val sizes = rows.groupBy(_._1).map { case (q, rs) => q -> rs.length }
+    sizes.foreach { case (q, n) =>
+      assert(n == (if (q % 2 == 0) 10 else 5), s"request $q returned $n rows")
     }
   }
 }
