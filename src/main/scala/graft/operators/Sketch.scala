@@ -161,14 +161,33 @@ object Sketch {
   def histQuantile(df: DataFrame, groupCol: String, valueCol: String,
                    binWidth: Int = 64,
                    pcts: Seq[(String, Int, Int)] =
-                     Seq(("p50_est", 1, 2), ("p95_est", 19, 20))): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = binWidth
-    val binned = df
-      .select(col(groupCol),
-        floor(col(valueCol).cast("double") / w).cast("long").as("bin"))
+                     Seq(("p50_est", 1, 2), ("p95_est", 19, 20))): DataFrame =
+    histFinish(histBinCounts(df, groupCol, valueCol, binWidth),
+      groupCol, binWidth, pcts)
+
+  /** The sketch STATE: per-(group, bin) counts — a plain streaming-
+    * compatible aggregation (this is what a stream maintains in its
+    * state store; bins merge by addition, so waves fold exactly like
+    * partitions do). The estimate derivation lives in [[histFinish]]
+    * because window functions don't run on an unfinished stream —
+    * the same state/finalize split the KMV aggregator has built in.
+    */
+  def histBinCounts(df: DataFrame, groupCol: String, valueCol: String,
+                    binWidth: Int = 64): DataFrame =
+    df.select(col(groupCol),
+        floor(col(valueCol).cast("double") / binWidth).cast("long")
+          .as("bin"))
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Finish: cumulative ranks + in-bin interpolation over the
+    * bin-count state (groups × bins rows — summary-sized).
+    */
+  def histFinish(binned: DataFrame, groupCol: String, binWidth: Int,
+                 pcts: Seq[(String, Int, Int)] =
+                   Seq(("p50_est", 1, 2), ("p95_est", 19, 20))): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = binWidth
     val cumWin = Window.partitionBy(groupCol).orderBy("bin")
     val totWin = Window.partitionBy(groupCol)
     val cum = binned

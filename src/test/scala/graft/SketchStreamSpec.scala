@@ -51,4 +51,32 @@ class SketchStreamSpec extends SparkSuite {
       assert(got.values.forall(_._1 <= Sketch.K))
     } finally q.stop()
   }
+
+  test("streaming histogram state finalizes to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batchDocs = Tables.documents(spark, sf).select("lang", "n_chars")
+    val rows = batchDocs.as[(String, Long)].collect()
+
+    val stream = MemoryStream[(String, Long)]
+    // the STATE is the streamable half (plain binned-count
+    // aggregation); the window-function finish runs over the final
+    // summary-sized state — the same state/finalize split KmvAgg has
+    val out = Sketch.histBinCounts(
+      stream.toDF().toDF("lang", "n_chars"), "lang", "n_chars")
+    val q = out.writeStream.format("memory").queryName("histstate")
+      .outputMode("complete").start()
+    try {
+      val waves = rows.sortBy(r => (r._2 * 2654435761L) % 1000)
+        .grouped(math.max(rows.length / 3, 1)).toSeq
+      waves.foreach { w => stream.addData(w.toSeq); q.processAllAvailable() }
+
+      val got = Sketch.histFinish(spark.table("histstate"), "lang", 64)
+        .collect().toSeq
+      val want = Sketch.histQuantile(batchDocs, "lang", "n_chars")
+        .collect().toSeq
+      assert(got == want, s"stream-finalized $got vs batch $want")
+    } finally q.stop()
+  }
 }
