@@ -135,6 +135,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> (Sketch.kmvQuery _),
     "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
     "sketch_hist_quantile" -> (Sketch.histQuantileQuery _),
+    "corpus_health" -> (Sketch.corpusHealth _),
     "train_triplets" -> (Triplets.tripletsQuery _),
     "train_triplets_hard" -> (Triplets.tripletsHardQuery _),
     "decontam_overlap" -> (Decontam.contaminationQuery _),
@@ -1393,6 +1394,62 @@ object SparkEntry {
         |                          * CAST(1152921504606846976 AS DOUBLE))
         |                       / CAST(kth AS DOUBLE), 4) END AS est_distinct
         |FROM s ORDER BY event_type""".stripMargin,
+    // corpus health dashboard: exact volumes + the KMV estimate
+    // (md5-60 k-min over text) + histogram token percentiles, all
+    // joined per language; dup_share clamps at 0 (estimate noise)
+    "corpus_health" ->
+      """WITH d AS (SELECT lang, text,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |base AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |                CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |         FROM d GROUP BY 1),
+        |hh AS (SELECT DISTINCT lang,
+        |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+        |       FROM d),
+        |rr AS (SELECT lang, h,
+        |         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |       FROM hh),
+        |sk AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd,
+        |              max(CASE WHEN rn = 64 THEN h END) AS kth
+        |       FROM rr GROUP BY 1),
+        |est AS (SELECT lang,
+        |          CASE WHEN nd < 64 THEN round(CAST(nd AS DOUBLE), 4)
+        |               ELSE round((CAST(63.0 AS DOUBLE)
+        |                             * CAST(1152921504606846976 AS DOUBLE))
+        |                          / CAST(kth AS DOUBLE), 4) END
+        |            AS est_distinct
+        |        FROM sk),
+        |hb AS (SELECT lang, CAST(floor(n_tok / 16.0) AS BIGINT) AS bin,
+        |              CAST(count(*) AS BIGINT) AS cnt
+        |       FROM d GROUP BY 1, 2),
+        |hc AS (SELECT lang, bin, cnt,
+        |              CAST(sum(cnt) OVER (PARTITION BY lang
+        |                                  ORDER BY bin) AS BIGINT) AS cum,
+        |              CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |       FROM hb),
+        |ht AS (SELECT lang, bin, cnt, cum, n,
+        |              CAST(floor((1 * n + 1) / 2.0) AS BIGINT) AS t50,
+        |              CAST(floor((19 * n + 19) / 20.0) AS BIGINT) AS t95
+        |       FROM hc),
+        |hq AS (SELECT lang,
+        |         arg_min(CASE WHEN cum >= t50 THEN
+        |                   round(16.0 * bin
+        |                     + 16.0 * (t50 - (cum - cnt)) / cnt, 4) END,
+        |                 CASE WHEN cum >= t50 THEN bin END) AS p50_tok,
+        |         arg_min(CASE WHEN cum >= t95 THEN
+        |                   round(16.0 * bin
+        |                     + 16.0 * (t95 - (cum - cnt)) / cnt, 4) END,
+        |                 CASE WHEN cum >= t95 THEN bin END) AS p95_tok
+        |       FROM ht GROUP BY lang)
+        |SELECT b.lang, b.n_docs, b.n_tokens, e.est_distinct,
+        |       round(greatest(CAST(0.0 AS DOUBLE),
+        |                      1 - e.est_distinct / b.n_docs), 4)
+        |         AS dup_share,
+        |       hq.p50_tok, hq.p95_tok
+        |FROM base b JOIN est e ON b.lang = e.lang
+        |JOIN hq ON b.lang = hq.lang
+        |ORDER BY b.lang""".stripMargin,
     // histogram quantile sketch: integer bins and ranks, one float
     // division at the end — DuckDB reproduces the estimate exactly.
     // Window sums cast back to BIGINT (DuckDB widens to HUGEINT).

@@ -213,4 +213,38 @@ object Sketch {
   def histQuantileQuery(s: SparkSession, dir: String): DataFrame =
     histQuantile(Tables.documents(s, dir).select("lang", "n_chars"),
       "lang", "n_chars")
+
+  /** CORPUS HEALTH — the curation dashboard as one query, composing
+    * the sketch family per language: volumes (docs, tokens), the KMV
+    * distinct-content estimate with its implied duplicate share, and
+    * token-count percentiles from the histogram sketch. This is the
+    * report a 100 TB pipeline runs after every ingest wave to decide
+    * what to dedup, downsample, or investigate — and every column is
+    * either exact integers or an oracle-checkable deterministic
+    * estimate, so the whole dashboard sits under the DuckDB gate.
+    * (dup_share clamps at 0: the KMV estimate's ±13% noise can land
+    * above the true distinct count on a clean corpus.)
+    */
+  def corpusHealth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val base = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val distinctEst = kmvDistinct(docs.select("lang", "text"),
+        "lang", "text")
+      .select(col("lang"), col("est_distinct"))
+    val pctl = histQuantile(docs.select("lang", "n_tok"),
+        "lang", "n_tok", binWidth = 16)
+      .select(col("lang"), col("p50_est").as("p50_tok"),
+        col("p95_est").as("p95_tok"))
+    base.join(distinctEst, "lang").join(pctl, "lang")
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("est_distinct"),
+        round(greatest(lit(0.0),
+          lit(1.0) - col("est_distinct") / col("n_docs")), 4)
+          .as("dup_share"),
+        col("p50_tok"), col("p95_tok"))
+      .orderBy("lang")
+  }
 }
