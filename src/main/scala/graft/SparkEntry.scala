@@ -136,6 +136,7 @@ object SparkEntry {
     "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
     "sketch_hist_quantile" -> (Sketch.histQuantileQuery _),
     "corpus_health" -> (Sketch.corpusHealth _),
+    "corpus_mixture" -> (Sketch.corpusMixture _),
     "train_triplets" -> (Triplets.tripletsQuery _),
     "train_triplets_hard" -> (Triplets.tripletsHardQuery _),
     "decontam_overlap" -> (Decontam.contaminationQuery _),
@@ -1394,6 +1395,19 @@ object SparkEntry {
         |                          * CAST(1152921504606846976 AS DOUBLE))
         |                       / CAST(kth AS DOUBLE), 4) END AS est_distinct
         |FROM s ORDER BY event_type""".stripMargin,
+    // mixture table: integer-exact volumes; tok_share is one exact
+    // BIGINT/BIGINT division → identical IEEE double in both engines
+    "corpus_mixture" ->
+      """WITH d AS (SELECT source, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |      FROM d GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_tokens,
+        |       round(n_tokens / CAST(sum(n_tokens) OVER () AS BIGINT), 6)
+        |         AS tok_share
+        |FROM g ORDER BY source, lang""".stripMargin,
     // corpus health dashboard: exact volumes + the KMV estimate
     // (md5-60 k-min over text) + histogram token percentiles, all
     // joined per language; dup_share clamps at 0 (estimate noise)

@@ -225,6 +225,28 @@ object Sketch {
     * (dup_share clamps at 0: the KMV estimate's ±13% noise can land
     * above the true distinct count on a clean corpus.)
     */
+  /** Corpus MIXTURE table — the input to domain reweighting: per
+    * (source, lang) document and token volumes plus each cell's
+    * token share of the whole corpus. share = cell/total is one
+    * integer-exact division (both sums are exact BIGINTs), so the
+    * report is bit-deterministic; target mixture ÷ this share is
+    * precisely the rate vector [[Sampling.stratifiedSample]] and
+    * [[Sampling.weightedSample]] consume. One scan, one grouped
+    * aggregate, a broadcast-sized window for the total.
+    */
+  def corpusMixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("tok_share",
+        round(col("n_tokens") /
+          sum("n_tokens").over(Window.partitionBy()), 6))
+      .orderBy("source", "lang")
+  }
+
   def corpusHealth(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("lang"), col("text"),
