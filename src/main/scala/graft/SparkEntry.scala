@@ -1443,8 +1443,8 @@ object SparkEntry {
         |              CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
         |       FROM hb),
         |ht AS (SELECT lang, bin, cnt, cum, n,
-        |              CAST(floor((1 * n + 1) / 2.0) AS BIGINT) AS t50,
-        |              CAST(floor((19 * n + 19) / 20.0) AS BIGINT) AS t95
+        |              CAST((1 * n + 1) // 2 AS BIGINT) AS t50,
+        |              CAST((19 * n + 19) // 20 AS BIGINT) AS t95
         |       FROM hc),
         |hq AS (SELECT lang,
         |         arg_min(CASE WHEN cum >= t50 THEN
@@ -1478,8 +1478,8 @@ object SparkEntry {
         |             CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
         |      FROM b),
         |t AS (SELECT lang, bin, cnt, cum, n,
-        |             CAST(floor((1 * n + 1) / 2.0) AS BIGINT) AS t50,
-        |             CAST(floor((19 * n + 19) / 20.0) AS BIGINT) AS t95
+        |             CAST((1 * n + 1) // 2 AS BIGINT) AS t50,
+        |             CAST((19 * n + 19) // 20 AS BIGINT) AS t95
         |      FROM c)
         |SELECT lang, max(n) AS n,
         |       arg_min(CASE WHEN cum >= t50 THEN

@@ -58,10 +58,16 @@ object BloomJoin {
     * plain join (oracled).
     */
   def bloomQuery(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the filtered dim feeds THREE consumers (the
+    // count that sizes the filter, the Bloom-building aggregate, and
+    // the join build side) — without it each consumer re-runs the
+    // orders scan. Materialized it is filtered-dim-sized, the same
+    // bound the join's build side already pays.
     val dim = Tables.orders(s, dir)
       .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       .select(col("o_orderkey"), col("o_orderpriority"))
+      .localCheckpoint()
     val bloom = bloomBytes(dim, "o_orderkey", math.max(dim.count(), 1L))
     val fact = Tables.lineitem(s, dir)
       .where(mightContain(bloom, col("l_orderkey")))

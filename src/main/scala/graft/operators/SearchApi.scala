@@ -42,6 +42,13 @@ object SearchApi {
     */
   def searchRequests(data: DataFrame, reqs: DataFrame,
                      maxK: Int): DataFrame = {
+    // A request with k > maxK would silently get a truncated result
+    // (the heap never holds more than maxK) — misuse must fail loudly
+    // instead. The validation action runs on the request-sized frame
+    // (the side we broadcast anyway), never the corpus.
+    val kMax = reqs.agg(max(col("k"))).collect().head.getLong(0)
+    require(maxK >= kMax,
+      s"maxK=$maxK is smaller than the batch's largest request k=$kMax")
     val pass = col("fop").isNull ||
       (col("fop") === "=" && col("label") === col("fval")) ||
       (col("fop") === "!=" && col("label") =!= col("fval"))

@@ -150,11 +150,13 @@ object Sketch {
     * or the two-pass exact path corpus_stats takes; at 100 TB the
     * single bounded-state pass is the operating point).
     *
-    * Determinism: ranks are pure integer arithmetic
-    * (ceil(num·n/den) = floor((num·n + den − 1)/den)) and the only
-    * float op is the final interpolation division of two integers —
-    * bit-identical on any IEEE engine, so even the estimates are
-    * DuckDB-oracled (quantile_approx/t-digest internals are not).
+    * Determinism: ranks are pure integer arithmetic — ceil(num·n/den)
+    * computed as (num·n + den − 1) `div` den, Catalyst's
+    * IntegralDivide (the oracle mirrors it with DuckDB's `//`), exact
+    * at ANY n — and the only float op is the final interpolation
+    * division of two integers, bit-identical on any IEEE engine, so
+    * even the estimates are DuckDB-oracled (quantile_approx/t-digest
+    * internals are not).
     *
     * @param pcts (label, num, den) percentiles as exact rationals
     */
@@ -194,10 +196,11 @@ object Sketch {
       .withColumn("cum", sum("cnt").over(cumWin))
       .withColumn("n", sum("cnt").over(totWin))
     val ests = pcts.map { case (label, num, den) =>
-      // rank t = ceil(num·n/den), then interpolate inside the
-      // covering bin: bin·w + w·(t − cum_before)/cnt
-      val t = floor((lit(num) * col("n") + lit(den - 1)) / lit(den))
-        .cast("long")
+      // rank t = ceil(num·n/den) via integer division (`div` =
+      // IntegralDivide — no double rounding at any n), then
+      // interpolate inside the covering bin:
+      // bin·w + w·(t − cum_before)/cnt
+      val t = expr(s"(${num}L * n + ${den - 1}) div ${den}L")
       val hit = col("cum") >= t
       val est = lit(w.toDouble) * col("bin") +
         lit(w.toDouble) * (t - (col("cum") - col("cnt"))) / col("cnt")
