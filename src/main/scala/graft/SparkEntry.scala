@@ -135,6 +135,9 @@ object SparkEntry {
     "sketch_kmv_distinct" -> (Sketch.kmvQuery _),
     "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
     "sketch_hist_quantile" -> (Sketch.histQuantileQuery _),
+    "sketch_cms_topk" -> (Sketch.cmsTopTermsQuery _),
+    "knn_classify" -> ((s, d) => Classify.knnClassify(s, d)),
+    "centroid_confusion" -> (Classify.nearestCentroid _),
     "corpus_health" -> (Sketch.corpusHealth _),
     "corpus_mixture" -> (Sketch.corpusMixture _),
     "train_triplets" -> (Triplets.tripletsQuery _),
@@ -190,6 +193,9 @@ object SparkEntry {
     "q7_volume" -> ((s, d) => Analytics.q7VolumeShipping(s, d)),
     "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
     "q13_order_dist" -> (Analytics.q13OrderDistribution _),
+    "q15_top_supplier" -> (Analytics.q15TopSupplier _),
+    "q17_small_qty" -> (Analytics.q17SmallQty _),
+    "events_retention" -> (Analytics.eventsRetention _),
     "events_rollup_cube" -> (Analytics.eventsRollup _),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q14_promo" -> (Analytics.q14PromoEffect _),
@@ -1491,6 +1497,70 @@ object SparkEntry {
         |                   + 64.0 * (t95 - (cum - cnt)) / cnt, 4) END,
         |               CASE WHEN cum >= t95 THEN bin END) AS p95_est
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // count-min sketch top-k: the md5-derived (row, bucket) hashing
+    // and the integer bucket counts replay exactly, so even the
+    // collision-inflated estimates hash-match
+    "sketch_cms_topk" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |dd AS (SELECT unnest(range(4)) AS d),
+        |st AS (SELECT dd.d,
+        |              CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR)
+        |                  || '|' || toks.tok), 1, 15) AS BIGINT) % 1024
+        |                AS bucket,
+        |              CAST(count(*) AS BIGINT) AS cnt
+        |       FROM toks, dd GROUP BY 1, 2),
+        |v AS (SELECT DISTINCT tok FROM toks),
+        |pr AS (SELECT v.tok, dd.d,
+        |              CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR)
+        |                  || '|' || v.tok), 1, 15) AS BIGINT) % 1024
+        |                AS bucket
+        |       FROM v, dd),
+        |est AS (SELECT pr.tok, min(st.cnt) AS est
+        |        FROM pr JOIN st ON pr.d = st.d AND pr.bucket = st.bucket
+        |        GROUP BY 1)
+        |SELECT tok, est FROM est
+        |ORDER BY est DESC, tok LIMIT 15""".stripMargin,
+    // kNN majority-vote classifier: top-5 cosine neighbors (rank ties
+    // by id, the repo-wide discipline), votes counted per label,
+    // winner = max votes with smaller-label tiebreak
+    "knn_classify" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(label AS BIGINT)
+        |             AS true_label, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+        |             embedding::DOUBLE[] AS v
+        |      FROM embeddings WHERE vec_id >= 10),
+        |d AS (SELECT q.qid, c.id, c.label,
+        |             list_cosine_similarity(c.v, q.qv) AS s
+        |      FROM c CROSS JOIN q),
+        |r AS (SELECT qid, id, label, s,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY s DESC, id) AS rk
+        |      FROM d WHERE s IS NOT NULL),
+        |v AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS votes
+        |      FROM r WHERE rk <= 5 GROUP BY 1, 2),
+        |p AS (SELECT qid, label AS pred_label, votes,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY votes DESC, label) AS pr
+        |      FROM v)
+        |SELECT q.qid, q.true_label, p.pred_label, p.votes
+        |FROM p JOIN q ON p.qid = q.qid WHERE p.pr = 1
+        |ORDER BY q.qid""".stripMargin,
+    // nearest-centroid confusion matrix: per-label means with the
+    // kmeansCentroids 6dp/float round-trip, assignment via the shared
+    // IVF argmin mirror
+    "centroid_confusion" ->
+      s"""WITH el AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         |              label FROM embeddings),
+         |e AS (SELECT id, v FROM el),
+         |al AS (SELECT id, v, CAST(label AS BIGINT) AS cell FROM el),
+         |${ivfMeanCte("lc", "al")},
+         |${ivfAssignCte("asg", "lc")}
+         |SELECT CAST(el.label AS BIGINT) AS label, asg.cell AS pred_label,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM asg JOIN el ON asg.id = el.id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // KMV rollup: per-group rows as in sketch_kmv_distinct, plus a
     // '__all__' row whose estimate comes from the k smallest of the
     // UNION of per-group k-min sets — which equals the k smallest
@@ -1925,6 +1995,53 @@ object SparkEntry {
         |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM pc GROUP BY 1
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q15 shape: revenue view + argmax row(s); revenue rounded to 2dp
+    // BEFORE the max/equality on both sides so argmax ties are decided
+    // on printed cents, not last-ulp sum noise
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |               round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |                 AS total_revenue
+        |             FROM lineitem
+        |             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |               AND l_shipdate < TIMESTAMP '1996-04-01'
+        |             GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    // Q17 shape: correlated scalar subquery (DuckDB decorrelates it
+    // the same way the Spark side does by hand)
+    "q17_small_qty" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#3' AND p.p_size <= 25
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    // weekly cohort retention: Monday-truncated weeks on both engines,
+    // weeks_since is exact integer day arithmetic
+    "events_retention" ->
+      """WITH f AS (SELECT user_id,
+        |             CAST(date_trunc('week', min(ts)) AS DATE)
+        |               AS cohort_week
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id,
+        |             CAST(date_trunc('week', ts) AS DATE) AS week
+        |      FROM events),
+        |cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_n
+        |       FROM f GROUP BY 1),
+        |g AS (SELECT f.cohort_week,
+        |             CAST(date_diff('day', f.cohort_week, a.week) // 7
+        |               AS BIGINT) AS weeks_since,
+        |             CAST(count(*) AS BIGINT) AS n_users
+        |      FROM f JOIN a ON f.user_id = a.user_id
+        |      GROUP BY 1, 2)
+        |SELECT g.cohort_week, g.weeks_since, g.n_users,
+        |       round(CAST(g.n_users AS DOUBLE) / cs.cohort_n, 4)
+        |         AS retention
+        |FROM g JOIN cs ON g.cohort_week = cs.cohort_week
+        |ORDER BY g.cohort_week, g.weeks_since""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
         |             FROM lineitem GROUP BY 1

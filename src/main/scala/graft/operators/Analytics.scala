@@ -468,4 +468,88 @@ object Analytics {
         date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"))
       .orderBy("user_id", "session_id")
   }
+
+  /** TPC-H Q15 shape: aggregate a supplier revenue "view", then keep
+    * the argmax row(s). The view is supplier-sized, so it feeds its
+    * two consumers (the scalar max and the winner filter) through a
+    * localCheckpoint instead of two lineitem scans; the 1-row max
+    * broadcasts (the Q22 scalar-aggregate pattern — never a
+    * single-partition window sort over the whole aggregate, which is
+    * the naive formulation's scale trap). Revenue is rounded to 2dp
+    * BEFORE the comparison so argmax ties are decided on the exact
+    * cents both engines print, not on last-ulp sum noise.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+      .localCheckpoint()
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 shape: the correlated scalar subquery ("lineitems
+    * below 20% of their part's average quantity") DECORRELATED into
+    * aggregate-then-rejoin — the rewrite engines apply because a
+    * per-row subquery re-scan is quadratic. The part predicate
+    * broadcasts, both passes over lineitem are 3-column pruned scans
+    * gated by that broadcast join (recompute-over-persist per SURVEY
+    * §4 — the pipeline is narrow codegen, nothing exploded), and the
+    * per-part thresholds are part-sized so AQE broadcasts the rejoin.
+    * avg(l_quantity) is an exact-integer sum over an exact count —
+    * one division, bit-identical on both engines.
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .where(col("p_brand") === "Brand#3" && col("p_size") <= 25)
+      .select(col("p_partkey"))
+    def qualifying = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val bars = qualifying.groupBy("l_partkey")
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_bar"))
+    qualifying.join(bars, "l_partkey")
+      .where(col("l_quantity") < col("qty_bar"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** Weekly cohort retention — the classic growth-analytics matrix:
+    * users grouped by the week of their FIRST event, and for each
+    * (cohort, weeks-since) cell, how many of them were active. Both
+    * per-user aggregates (first-seen and active-weeks) key on
+    * user_id, so they satisfy their distribution from the loader's
+    * user_id spread without a second exchange (HashPartitioning on
+    * user_id satisfies the (user_id, week) clustering too); the
+    * cohort-size table is cohort-count-sized and broadcasts into the
+    * rate join. weeks_since is integer day arithmetic over
+    * Monday-truncated dates — exact on both engines.
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val firsts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date")
+        .as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date")
+        .as("week"))
+      .distinct()
+    val cohortSizes = firsts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_n"))
+    firsts.join(active, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(week, cohort_week) div 7").as("weeks_since"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(cohortSizes), "cohort_week")
+      .select(col("cohort_week"), col("weeks_since"), col("n_users"),
+        round(col("n_users").cast("double") / col("cohort_n"), 4)
+          .as("retention"))
+      .orderBy("cohort_week", "weeks_since")
+  }
 }

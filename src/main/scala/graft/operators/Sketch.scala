@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Md5Prefix60
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -272,4 +273,78 @@ object Sketch {
         col("p50_tok"), col("p95_tok"))
       .orderBy("lang")
   }
+
+  // ----------------------------------------------------------- count-min
+
+  /** Count-min sketch (Cormode & Muthukrishnan '05) — the mergeable
+    * FREQUENCY summary completing the sketch family (KMV: distinct
+    * counts, histogram: quantiles, CMS: per-item counts). `depth`
+    * independent md5-derived hash rows × `width` buckets; an item's
+    * estimate is the MIN of its `depth` bucket counts — never an
+    * undercount, over by at most the collisions in its emptiest row.
+    *
+    * The STATE is a plain (d, bucket) count aggregate: bounded at
+    * depth × width longs however large the corpus, map-side partial-
+    * aggregated, and MERGEABLE by addition — per-source sketches fold
+    * into the global one without rescanning, and the same aggregation
+    * streams (bin counts are additive, so micro-batch waves fold like
+    * partitions — the histogram's state/finalize split applies
+    * verbatim). A full `groupBy(term) count` shuffles the whole
+    * vocabulary; the sketch exchange carries ≤ depth·width rows.
+    *
+    * Determinism: hashes are md5-derived and counts are integers, so
+    * estimates — collisions included — replay bit-for-bit on any
+    * engine and the DuckDB oracle checks them exactly.
+    */
+  def cmsState(toks: DataFrame, tokCol: String,
+               depth: Int = 4, width: Int = 1024): DataFrame =
+    toks.select(explode(cmsHashes(col(tokCol), depth, width)).as("h"))
+      .select(col("h.d").as("d"), col("h.bucket").as("bucket"))
+      .groupBy("d", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The `depth` (row, bucket) coordinates of one item — shared by
+    * state build and probe so the two cannot drift.
+    */
+  private def cmsHashes(tok: org.apache.spark.sql.Column,
+                        depth: Int, width: Int) =
+    array((0 until depth).map(j =>
+      struct(lit(j.toLong).as("d"),
+        pmod(Md5Prefix60(concat(lit(s"$j|"), tok)), lit(width.toLong))
+          .as("bucket"))): _*)
+
+  /** Probe the sketch for a CANDIDATE item set and keep the top-k by
+    * estimated count (ties by term). Here the candidates are the
+    * corpus vocabulary (sublinear in corpus size, and the state side
+    * of the join is depth·width rows — broadcast); at 100 TB the same
+    * probe serves whatever candidate list the caller brings (a
+    * per-partition local-top-k union is the standard generator) —
+    * the sketch itself never needs the vocabulary.
+    */
+  def cmsTopK(toks: DataFrame, tokCol: String, k: Int,
+              depth: Int = 4, width: Int = 1024): DataFrame =
+    cmsProbeTopK(cmsState(toks, tokCol, depth, width),
+      toks.select(col(tokCol)).distinct(), tokCol, k, depth, width)
+
+  /** The finish half, split from the state so a STREAM can maintain
+    * the state and finalize on demand (the histogram's state/finalize
+    * pattern): probe a prebuilt sketch state with a candidate frame.
+    */
+  def cmsProbeTopK(state: DataFrame, candidates: DataFrame, tokCol: String,
+                   k: Int, depth: Int = 4, width: Int = 1024): DataFrame = {
+    val probes = candidates
+      .select(col(tokCol), explode(cmsHashes(col(tokCol), depth, width))
+        .as("h"))
+      .select(col(tokCol), col("h.d").as("d"), col("h.bucket").as("bucket"))
+    probes.join(broadcast(state), Seq("d", "bucket"))
+      .groupBy(tokCol)
+      .agg(min(col("cnt")).as("est"))
+      .orderBy(desc("est"), col(tokCol))
+      .limit(k)
+  }
+
+  def cmsTopTermsQuery(s: SparkSession, dir: String): DataFrame =
+    cmsTopK(Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok")),
+      "tok", k = 15)
 }

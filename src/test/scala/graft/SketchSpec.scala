@@ -115,4 +115,26 @@ class SketchSpec extends SparkSuite {
       .collect().toSeq
     assert(merged == direct)
   }
+
+  test("count-min never undercounts and is exact for clear winners") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val est = Sketch.cmsTopK(toks, "tok", 15)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (t, e) =>
+      // one-sided error: min over rows can only ADD collisions
+      assert(e >= exact(t), s"$t: est $e under exact ${exact(t)}")
+      // 4 independent rows × width 1024 on a vocab ≪ width·depth:
+      // collisions in ALL four rows for the same term are rare enough
+      // that the top terms' estimates stay within the collision bound
+      // of the emptiest row (loose sanity bound, not a proof)
+      assert(e <= exact(t) + exact.values.sum / 1024 * 4,
+        s"$t: est $e far above exact ${exact(t)}")
+    }
+    // the sketch's top-k must contain the true heaviest term
+    val topTrue = exact.maxBy { case (t, n) => (n, t) }._1
+    assert(est.contains(topTrue))
+  }
 }

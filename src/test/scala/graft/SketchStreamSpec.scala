@@ -79,4 +79,33 @@ class SketchStreamSpec extends SparkSuite {
       assert(got == want, s"stream-finalized $got vs batch $want")
     } finally q.stop()
   }
+
+  test("streaming count-min state finalizes to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batchToks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val rows = batchToks.as[String].collect()
+
+    val stream = MemoryStream[String]
+    // CMS bucket counts are additive, so the state is a plain
+    // streaming aggregation — waves fold exactly like partitions;
+    // the candidate probe runs over the finalized summary
+    val out = Sketch.cmsState(stream.toDF().toDF("tok"), "tok")
+    val q = out.writeStream.format("memory").queryName("cmsstate")
+      .outputMode("complete").start()
+    try {
+      val waves = rows.sortBy(t => (t.hashCode * 2654435761L) % 1000)
+        .grouped(math.max(rows.length / 3, 1)).toSeq
+      waves.foreach { w => stream.addData(w.toSeq); q.processAllAvailable() }
+
+      val got = Sketch.cmsProbeTopK(spark.table("cmsstate"),
+        batchToks.distinct(), "tok", 15).collect().toSeq
+      val want = Sketch.cmsTopTermsQuery(spark, sf).collect().toSeq
+      assert(got == want, s"stream-finalized $got vs batch $want")
+      // bounded state however large the corpus: ≤ depth × width rows
+      assert(spark.table("cmsstate").count() <= 4L * 1024L)
+    } finally q.stop()
+  }
 }
