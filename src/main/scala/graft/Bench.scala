@@ -71,7 +71,8 @@ object Bench {
     // keeps the timed passes to search cost, same reasoning
     Seq("ann_ivf_indexed", "ann_ivf_sq8", "ann_ivf_pq", "ann_ivf_bq",
         "ann_ivf", "vdb_knn_pq", "bucketed_join_agg",
-        "dedup_incremental", "train_triplets", "train_triplets_hard")
+        "dedup_incremental", "train_triplets", "train_triplets_hard",
+        "text_bm25_indexed")
       .foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         if (elapsed < budgetNs / 2)

@@ -213,6 +213,7 @@ object SparkEntry {
     "events_asof_join" -> (AsOf.eventsAsofQuery _),
     "events_session_attr" -> (RangeJoin.sessionAttributionQuery _),
     "text_bm25_topk" -> (Search.bm25Query _),
+    "text_bm25_indexed" -> (Search.bm25IndexedQuery _),
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
   )
@@ -751,6 +752,13 @@ object SparkEntry {
     // sign-flip away in each table (Ann.lshSearchMultiprobe)
     "ann_lsh_multiprobe" -> lshOracle(multiprobe = true),
     "text_bm25_topk" ->
+      s"""WITH $bm25Ctes
+         |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
+         |ORDER BY qid, rk""".stripMargin,
+    // persisted-postings twin: same integers (tf, df, N, dl) into the
+    // same formula → equal to the on-the-fly path by construction
+    // (SearchSpec pins it), so it shares the oracle
+    "text_bm25_indexed" ->
       s"""WITH $bm25Ctes
          |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
          |ORDER BY qid, rk""".stripMargin,

@@ -100,4 +100,29 @@ class SearchSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"),
       "query-term semi filter should be a broadcast hash join")
   }
+
+  test("persisted postings index: pruned scan equals on-the-fly bm25") {
+    val indexed = Search.bm25IndexedQuery(spark, sf).collect().toSeq
+    val onTheFly = Search.bm25Query(spark, sf).collect().toSeq
+    assert(indexed == onTheFly && indexed.nonEmpty)
+    val plan = Search.bm25IndexedQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    // physical pruning: both bucketed index scans (postings and term
+    // dictionary — the 1-row stats sidecar is unpartitioned) carry a
+    // non-empty bucket partition filter (unqueried buckets never
+    // listed) AND the term list pushed into the parquet scan
+    val pfs = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("bucket"))
+      .toSeq
+    assert(pfs.size == 2 && pfs.forall(l =>
+        !l.contains("PartitionFilters: []")),
+      s"index scans not bucket-pruned: $pfs")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("term")),
+      "query terms not pushed into the postings scan")
+    // no tokenization at query time: the indexed plan never scans the
+    // documents table
+    assert(!plan.contains("documents.parquet"),
+      "indexed search must not touch the raw corpus")
+  }
 }
