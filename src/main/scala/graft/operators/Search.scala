@@ -156,7 +156,10 @@ object Search {
     * key existence on the stats _SUCCESS, so a crash mid-build can
     * never publish a partial index.
     */
-  def bm25BuildIndex(s: SparkSession, docs: DataFrame, path: String): Unit = {
+  /** (term, doc_id, dl, tf, bucket) postings of a document frame —
+    * shared by build and insert so the two produce identical rows.
+    */
+  private def postingsOf(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
@@ -164,15 +167,105 @@ object Search {
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("bucket", bucketOf(col("term")))
+  }
+
+  def bm25BuildIndex(s: SparkSession, docs: DataFrame, path: String): Unit = {
+    postingsOf(docs)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    s.read.parquet(path)
-      .groupBy("term", "bucket")
+    deriveSidecars(s, path)
+  }
+
+  /** Dictionary and stats derived FROM the written postings — never a
+    * second tokenize, and the derivation is the idempotent REPAIR for
+    * any interrupted maintenance op: postings are the ground truth
+    * (every doc has ≥ 1 posting — even an empty text tokenizes to one
+    * "" term), so re-running this after a crash between the postings
+    * publish and the sidecar writes restores consistency. `sum_dl` is
+    * stored beside avgdl because inserts must merge the EXACT integer
+    * sum (reconstructing it as avgdl·n reintroduces rounding and
+    * breaks insert ≡ rebuild).
+    */
+  def deriveSidecars(s: SparkSession, path: String): Unit = {
+    val post = s.read.parquet(path)
+    post.groupBy("term", "bucket")
       .agg(count(lit(1)).cast("double").as("dfreq"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(termsPath(path))
-    toks.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg("dl").as("avgdl"))
+    post.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum("dl").as("sum_dl"), avg("dl").as("avgdl"))
       .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** Corpus-growth insert — new documents folded into the live index
+    * without a rebuild, the lexical twin of [[Ann.ivfIndexUpsert]]'s
+    * touched-cells discipline: only buckets receiving a new posting
+    * are rewritten (dynamic partition overwrite of old rows ∪ batch
+    * rows — idempotent, a re-run overwrites its own attempt), the
+    * dictionary merges df counts the same way, and the stats row
+    * merges exact integer sums, so the result is row-identical to
+    * rebuilding over corpus ∪ batch (SearchSpec pins it).
+    *
+    * Semantics are the reference's /insert (http_server.cc:150):
+    * APPEND — a doc_id already present keeps both posting sets, as
+    * vdb_insert keeps both rows. Document REPLACEMENT needs the old
+    * version's postings removed from buckets this batch may not
+    * touch — that is a segment/tombstone design, deliberately out of
+    * scope for the in-place layout.
+    *
+    * CRASH WINDOW (same contract as the IVF publish): postings,
+    * dictionary, and stats are three writes; a crash between them
+    * leaves sidecars stale. [[deriveSidecars]] is the idempotent
+    * repair — postings are ground truth.
+    */
+  def bm25IndexInsert(s: SparkSession, path: String,
+                      newDocs: DataFrame): Unit = {
+    // batch-sized checkpoint: feeds the bucket set, the postings
+    // merge, and the dictionary merge
+    val newPost = postingsOf(newDocs).localCheckpoint(true)
+    val buckets = newPost.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    val bs = buckets.toIndexedSeq
+    publishTouchedBuckets(s, path,
+      s.read.parquet(path).where(col("bucket").isin(bs: _*))
+        .unionByName(newPost.select("term", "doc_id", "dl", "tf", "bucket")))
+    publishTouchedBuckets(s, termsPath(path),
+      s.read.parquet(termsPath(path)).where(col("bucket").isin(bs: _*))
+        .unionByName(newPost.groupBy("term", "bucket")
+          .agg(count(lit(1)).cast("double").as("dfreq")))
+        .groupBy("term", "bucket")
+        .agg(sum("dfreq").as("dfreq")))
+    val old = s.read.parquet(statsPath(path))
+      .select("n_docs", "sum_dl").collect().head
+    val batch = newPost.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).cast("double"), sum("dl")).collect().head
+    val n = old.getDouble(0) + batch.getDouble(0)
+    val sumDl = old.getDouble(1) + batch.getDouble(1)
+    import s.implicits._
+    Seq((n, sumDl, sumDl / n)).toDF("n_docs", "sum_dl", "avgdl")
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** Dynamic-partition-overwrite of the touched buckets, replacement
+    * checkpointed first because it reads the files the overwrite
+    * deletes (the [[Ann]] publishTouchedCells discipline; bounded by
+    * the touched buckets' contents). Inserts never empty a bucket, so
+    * no emptied-partition deletion step is needed here.
+    */
+  private def publishTouchedBuckets(s: SparkSession, path: String,
+                                    replacementRows: DataFrame): Unit = {
+    val replacement = replacementRows.localCheckpoint(true)
+    val prevMode =
+      s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try replacement.write.mode("overwrite").partitionBy("bucket")
+      .parquet(path)
+    finally prevMode match {
+      case Some(m) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /** Query the persisted index. The query's terms are request-sized,
@@ -214,7 +307,8 @@ object Search {
     */
   def bm25IndexedQuery(s: SparkSession, dir: String): DataFrame = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get("target", "tmp", s"bm25idx-$key")
+    // v2: stats schema gained sum_dl (insert-merge exactness)
+    val path = java.nio.file.Paths.get("target", "tmp", s"bm25idx2-$key")
       .toAbsolutePath.toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(statsPath(path), "_SUCCESS")))

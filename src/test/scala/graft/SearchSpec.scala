@@ -125,4 +125,33 @@ class SearchSpec extends SparkSuite {
     assert(!plan.contains("documents.parquet"),
       "indexed search must not touch the raw corpus")
   }
+
+  test("postings insert: touched-bucket merge equals a full rebuild") {
+    val docs = Tables.documents(spark, sf)
+    val half1 = docs.where(col("doc_id") % 2 === 0)
+    val half2 = docs.where(col("doc_id") % 2 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "bm25ins")
+    val inc = root.resolve("inc").toString
+    val full = root.resolve("full").toString
+    try {
+      Search.bm25BuildIndex(spark, half1, inc)
+      Search.bm25IndexInsert(spark, inc, half2)
+      Search.bm25BuildIndex(spark, docs, full)
+      val q = Search.fixedQueries(spark)
+      val a = Search.bm25SearchIndexed(spark, inc, q, 10).collect().toSeq
+      val b = Search.bm25SearchIndexed(spark, full, q, 10).collect().toSeq
+      assert(a == b && a.nonEmpty,
+        "insert-grown index must equal the rebuilt index")
+      // repair is a no-op on a healthy index (idempotence), and
+      // restores a dictionary lost to a crash after the postings
+      // publish — postings are ground truth
+      Search.deriveSidecars(spark, inc)
+      assert(Search.bm25SearchIndexed(spark, inc, q, 10)
+        .collect().toSeq == a)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
 }
