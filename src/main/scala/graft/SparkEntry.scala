@@ -215,6 +215,7 @@ object SparkEntry {
     "text_bm25_topk" -> (Search.bm25Query _),
     "text_bm25_indexed" -> (Search.bm25IndexedQuery _),
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
+    "search_mmr_rerank" -> (Search.mmrQuery _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
   )
 
@@ -459,6 +460,54 @@ object SparkEntry {
     * produce identical results by construction (same centroids), so
     * both share this oracle.
     */
+  /** MMR rerank mirror (Search.mmrRerank, λ=1/2 ⇒ argmax(rel − pen),
+    * k=5 over the cosine top-20): recursive CTE terms cannot
+    * aggregate, so the k greedy steps unroll as chained CTEs — step n
+    * anti-joins the selected set, takes each survivor's max 4dp sim
+    * to it as the penalty, and picks argmax (rel − pen, id asc).
+    */
+  private val mmrOracle: String = {
+    val base =
+      """q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |      FROM embeddings),
+        |d AS (SELECT q.qid, e.id, list_cosine_similarity(e.v, q.qv) AS s
+        |      FROM e CROSS JOIN q),
+        |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+        |        ORDER BY s DESC, id) AS rk
+        |      FROM d WHERE s IS NOT NULL),
+        |c AS (SELECT qid, id, round(s, 4) AS rel FROM r WHERE rk <= 20),
+        |p AS (SELECT a.qid, a.id AS id1, b.id AS id2,
+        |             round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+        |      FROM c a JOIN c b ON a.qid = b.qid AND a.id <> b.id
+        |      JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id),
+        |s1 AS (SELECT qid, id, rel AS mmr FROM (
+        |         SELECT qid, id, rel, row_number() OVER (
+        |           PARTITION BY qid ORDER BY rel DESC, id) AS rn
+        |         FROM c) WHERE rn = 1)""".stripMargin
+    val steps = (2 to 5).map { n =>
+      val prevSel = (1 until n)
+        .map(i => s"SELECT qid, id FROM s$i").mkString(" UNION ALL ")
+      s"""sel$n AS ($prevSel),
+         |s$n AS (SELECT qid, id, mmr FROM (
+         |  SELECT g.qid, g.id, g.mmr, row_number() OVER (
+         |    PARTITION BY g.qid ORDER BY g.mmr DESC, g.id) AS rn
+         |  FROM (SELECT cc.qid, cc.id, cc.rel - max(pp.sim) AS mmr
+         |        FROM c cc
+         |        JOIN p pp ON pp.qid = cc.qid AND pp.id1 = cc.id
+         |        JOIN sel$n sl ON sl.qid = pp.qid AND sl.id = pp.id2
+         |        WHERE NOT EXISTS (SELECT 1 FROM sel$n x
+         |                          WHERE x.qid = cc.qid AND x.id = cc.id)
+         |        GROUP BY cc.qid, cc.id, cc.rel) g) WHERE rn = 1)"""
+        .stripMargin
+    }
+    val finals = (1 to 5).map(i =>
+      s"SELECT qid, CAST($i AS BIGINT) AS rk, id AS doc_id, " +
+        s"round(mmr, 4) AS mmr_score FROM s$i").mkString("\nUNION ALL\n")
+    s"WITH $base,\n${steps.mkString(",\n")}\n$finals\nORDER BY qid, rk"
+  }
+
   private val ivfOracle: String =
     s"""WITH $ivfCtes,
        |sc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv) AS s
@@ -762,6 +811,7 @@ object SparkEntry {
       s"""WITH $bm25Ctes
          |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
          |ORDER BY qid, rk""".stripMargin,
+    "search_mmr_rerank" -> mmrOracle,
     // RRF fusion of the BM25 top-20 with the cosine top-20 (self
     // match included — Knn.topK does not exclude it). rrf arithmetic
     // is integer-derived → bit-identical across engines; ranked on

@@ -333,6 +333,84 @@ object Search {
   def bm25Query(s: SparkSession, dir: String): DataFrame =
     bm25TopK(Tables.documents(s, dir), fixedQueries(s), 10)
 
+  // -------------------------------------------------------- MMR rerank
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein '98) —
+    * diversified top-k: from a relevance shortlist, greedily pick the
+    * candidate maximizing λ·rel − (1−λ)·max-similarity-to-selected.
+    * The standard answer to near-duplicate-saturated search results
+    * (a corpus with dup clusters returns k copies of one document);
+    * production vector stores ship exactly this as their "diversity"
+    * option.
+    *
+    * Scale shape: the greedy loop runs over the SHORTLIST, never the
+    * corpus — candidates are Q×topn rows (request-sized), pairwise
+    * sims Q×topn² (checkpointed once), and each of the k selection
+    * rounds is a qid-keyed aggregate over ≤ topn rows per query. The
+    * corpus is touched exactly once, by the kNN heap that builds the
+    * shortlist.
+    *
+    * Determinism: rel and sim are 4dp-rounded; λ = 1/2 means argmax
+    * of λ·rel − (1−λ)·pen equals argmax of (rel − pen), so no scaled
+    * rounding is introduced — both engines subtract identical doubles
+    * and tie-break on id. The DuckDB oracle unrolls the same k greedy
+    * steps as chained CTEs (recursive terms cannot aggregate).
+    */
+  def mmrRerank(s: SparkSession, dir: String, k: Int = 5,
+                topn: Int = 20): DataFrame = {
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = Knn.topK(corpus, queries, topn, Knn.Metric.Cosine)
+      .select(col("qid"), col("nn_id").as("id"), col("score").as("rel"))
+      .localCheckpoint(true)
+    // pairwise sims among each query's candidates: Q×topn² rows,
+    // checkpointed so the k rounds read it instead of re-scoring
+    val p = c.as("a").join(c.as("b"),
+        col("a.qid") === col("b.qid") && col("a.id") =!= col("b.id"))
+      .select(col("a.qid").as("qid"), col("a.id").as("id1"),
+        col("b.id").as("id2"))
+      .join(corpus.select(col("id").as("id1"), col("vec").as("v1")), "id1")
+      .join(corpus.select(col("id").as("id2"), col("vec").as("v2")), "id2")
+      .select(col("qid"), col("id1"), col("id2"),
+        round(graft.functions.VectorDistance.cosine(col("v1"), col("v2")), 4)
+          .as("sim"))
+      .localCheckpoint(true)
+    // step 1: pure relevance argmax (no penalty yet)
+    var all = c.groupBy("qid")
+      .agg(min_by(struct(col("id"), col("rel")),
+        struct(-col("rel"), col("id"))).as("p"))
+      .select(col("qid"), col("p.id").as("id"), lit(1L).as("rk"),
+        col("p.rel").as("mmr"))
+      .localCheckpoint(true)
+    for (n <- 2 to k) {
+      val selIds = all.select(col("qid"), col("id"))
+      val pens = p.join(selIds.withColumnRenamed("id", "id2"),
+          Seq("qid", "id2"))
+        .groupBy("qid", "id1")
+        .agg(max("sim").as("pen"))
+        .withColumnRenamed("id1", "id")
+      val pick = c.join(selIds, Seq("qid", "id"), "left_anti")
+        .join(pens, Seq("qid", "id"))
+        .select(col("qid"), col("id"), (col("rel") - col("pen")).as("mmr"))
+        .groupBy("qid")
+        .agg(min_by(struct(col("id"), col("mmr")),
+          struct(-col("mmr"), col("id"))).as("p"))
+        .select(col("qid"), col("p.id").as("id"), lit(n.toLong).as("rk"),
+          col("p.mmr").as("mmr"))
+      // per-round checkpoint keeps the growing selected set a flat
+      // (Q×n)-row input instead of an n-deep nested plan
+      all = all.unionByName(pick).localCheckpoint(true)
+    }
+    all.select(col("qid"), col("rk"), col("id").as("doc_id"),
+        round(col("mmr"), 4).as("mmr_score"))
+      .orderBy("qid", "rk")
+  }
+
+  def mmrQuery(s: SparkSession, dir: String): DataFrame =
+    mmrRerank(s, dir)
+
   /** Hybrid search: reciprocal-rank fusion (RRF, rrf_c = 60) of the
     * BM25 top-20 and the cosine-kNN top-20 for the same five queries
     * (text leg = fixedQueries, vector leg = embeddings 0..4 —

@@ -154,4 +154,33 @@ class SearchSpec extends SparkSuite {
       new Directory(root.toFile).deleteRecursively()
     }
   }
+
+  test("mmr: greedy objective non-increasing, rank-1 = relevance argmax") {
+    import graft.operators.Knn
+    val out = Search.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val knn = Knn.topK(corpus, queries, 5, Knn.Metric.Cosine).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val byRk = rows.sortBy(_._2)
+      assert(byRk.map(_._2).sameElements(1L to 5L))
+      // each later pick faces a shrunken candidate set and a grown
+      // penalty, so the greedy maximum cannot increase
+      assert(byRk.map(_._4).sliding(2).forall(w => w(0) >= w(1)),
+        s"qid $qid: mmr scores increase: ${byRk.map(_._4).toSeq}")
+      // the first pick ignores diversity — it must be the cosine top-1
+      assert(byRk.head._3 == knn.find(k => k._1 == qid && k._2 == 1).get._3)
+    }
+    // the penalty must BIND somewhere: the testdata embeddings carry
+    // near-dup clusters (dedup_embedding_cos finds them), so at least
+    // one query's diversified top-5 differs from its relevance top-5
+    val mmrSets = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val knnSets = knn.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    assert(mmrSets.keys.exists(q => mmrSets(q) != knnSets(q)),
+      "MMR never diverged from pure relevance — penalty is dead code")
+  }
 }
