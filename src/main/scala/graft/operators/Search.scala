@@ -200,18 +200,17 @@ object Search {
   /** Corpus-growth insert — new documents folded into the live index
     * without a rebuild, the lexical twin of [[Ann.ivfIndexUpsert]]'s
     * touched-cells discipline: only buckets receiving a new posting
-    * are rewritten (dynamic partition overwrite of old rows ∪ batch
-    * rows — idempotent, a re-run overwrites its own attempt), the
-    * dictionary merges df counts the same way, and the stats row
-    * merges exact integer sums, so the result is row-identical to
-    * rebuilding over corpus ∪ batch (SearchSpec pins it).
-    *
-    * Semantics are the reference's /insert (http_server.cc:150):
-    * APPEND — a doc_id already present keeps both posting sets, as
-    * vdb_insert keeps both rows. Document REPLACEMENT needs the old
-    * version's postings removed from buckets this batch may not
-    * touch — that is a segment/tombstone design, deliberately out of
-    * scope for the in-place layout.
+    * are rewritten (dynamic partition overwrite of surviving old rows
+    * ∪ batch rows), the dictionary recounts those buckets from the
+    * merged postings, and the stats row adjusts by exact integer
+    * sums — so the result is row-identical to rebuilding over
+    * corpus ∪ batch (SearchSpec pins it), and re-inserting the SAME
+    * batch is a no-op (the streaming maintenance loop's redelivery
+    * safety; SearchSpec pins that too). A doc whose text CHANGED
+    * between inserts may leave stale postings in buckets its new
+    * terms don't touch — replacement of changed documents is a
+    * segment/tombstone design, deliberately out of scope for the
+    * in-place layout.
     *
     * CRASH WINDOW (same contract as the IVF publish): postings,
     * dictionary, and stats are three writes; a crash between them
@@ -221,26 +220,45 @@ object Search {
   def bm25IndexInsert(s: SparkSession, path: String,
                       newDocs: DataFrame): Unit = {
     // batch-sized checkpoint: feeds the bucket set, the postings
-    // merge, and the dictionary merge
+    // merge, and the stats delta
     val newPost = postingsOf(newDocs).localCheckpoint(true)
     val buckets = newPost.select("bucket").distinct()
       .collect().map(_.getInt(0))
     val bs = buckets.toIndexedSeq
-    publishTouchedBuckets(s, path,
-      s.read.parquet(path).where(col("bucket").isin(bs: _*))
-        .unionByName(newPost.select("term", "doc_id", "dl", "tf", "bucket")))
+    val batchIds = newPost.select("doc_id").distinct()
+    val oldTouched = s.read.parquet(path)
+      .where(col("bucket").isin(bs: _*))
+    // RETRY IDEMPOTENCE (what lets a streaming foreachBatch re-deliver
+    // this batch safely): old rows belonging to a batch doc_id are
+    // replaced, not duplicated — an identical re-inserted doc's terms
+    // hash into exactly the buckets this batch touches, so the
+    // anti-join removes every prior copy. A doc whose TEXT changed may
+    // leave stale postings in buckets its new terms don't touch;
+    // replacement of changed documents is the segment/tombstone design
+    // (out of scope, documented above).
+    val survivors = oldTouched.join(batchIds, Seq("doc_id"), "left_anti")
+    // the replaced rows' corpus contribution, measured BEFORE the
+    // overwrite deletes their files (eager collect)
+    val droppedRow = oldTouched.join(batchIds, Seq("doc_id"), "left_semi")
+      .select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0)))
+      .collect().head
+    val cols = Seq("term", "doc_id", "dl", "tf", "bucket").map(col)
+    val merged = publishTouchedBuckets(s, path,
+      survivors.select(cols: _*).unionByName(newPost.select(cols: _*)))
+    // dictionary: touched buckets recounted from the merged postings
+    // (a term lives in exactly one bucket, so the recount is complete
+    // for every touched term); merged is already checkpointed
     publishTouchedBuckets(s, termsPath(path),
-      s.read.parquet(termsPath(path)).where(col("bucket").isin(bs: _*))
-        .unionByName(newPost.groupBy("term", "bucket")
-          .agg(count(lit(1)).cast("double").as("dfreq")))
-        .groupBy("term", "bucket")
-        .agg(sum("dfreq").as("dfreq")))
+      merged.groupBy("term", "bucket")
+        .agg(count(lit(1)).cast("double").as("dfreq")))
     val old = s.read.parquet(statsPath(path))
       .select("n_docs", "sum_dl").collect().head
     val batch = newPost.select("doc_id", "dl").distinct()
       .agg(count(lit(1)).cast("double"), sum("dl")).collect().head
-    val n = old.getDouble(0) + batch.getDouble(0)
-    val sumDl = old.getDouble(1) + batch.getDouble(1)
+    val n = old.getDouble(0) - droppedRow.getDouble(0) + batch.getDouble(0)
+    val sumDl =
+      old.getDouble(1) - droppedRow.getDouble(1) + batch.getDouble(1)
     import s.implicits._
     Seq((n, sumDl, sumDl / n)).toDF("n_docs", "sum_dl", "avgdl")
       .write.mode("overwrite").parquet(statsPath(path))
@@ -253,7 +271,7 @@ object Search {
     * no emptied-partition deletion step is needed here.
     */
   private def publishTouchedBuckets(s: SparkSession, path: String,
-                                    replacementRows: DataFrame): Unit = {
+                                    replacementRows: DataFrame): DataFrame = {
     val replacement = replacementRows.localCheckpoint(true)
     val prevMode =
       s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -266,6 +284,7 @@ object Search {
       case None =>
         s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    replacement
   }
 
   /** Query the persisted index. The query's terms are request-sized,

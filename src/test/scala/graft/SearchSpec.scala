@@ -149,6 +149,16 @@ class SearchSpec extends SparkSuite {
       Search.deriveSidecars(spark, inc)
       assert(Search.bm25SearchIndexed(spark, inc, q, 10)
         .collect().toSeq == a)
+      // redelivery safety: re-inserting the SAME batch replaces its
+      // own rows (doc_id anti-join), so the index — postings,
+      // dictionary, and stats — is unchanged
+      Search.bm25IndexInsert(spark, inc, half2)
+      assert(Search.bm25SearchIndexed(spark, inc, q, 10)
+        .collect().toSeq == a, "re-delivered batch changed the index")
+      val nDocs = spark.read.parquet(inc + "_stats")
+        .collect().head.getDouble(0)
+      assert(nDocs == docs.count().toDouble,
+        s"stats double-counted after redelivery: $nDocs")
     } finally {
       import scala.reflect.io.Directory
       new Directory(root.toFile).deleteRecursively()
