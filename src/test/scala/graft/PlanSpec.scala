@@ -172,6 +172,37 @@ class PlanSpec extends SparkSuite {
       s"date filter not pushed on anti side:\n${p.take(2000)}")
   }
 
+  test("q15: argmax over the checkpointed view — no lineitem re-scan, no cartesian") {
+    val p = planOf(Analytics.q15TopSupplier(spark, sf))
+    // the revenue view materialized once: the final plan joins the
+    // checkpoint RDD, it never re-aggregates lineitem
+    assert(!p.contains("lineitem.parquet"),
+      s"q15 re-scans lineitem instead of the checkpointed view:\n${p.take(2000)}")
+    assert(p.contains("ExistingRDD"), "checkpointed view missing")
+    // the scalar-max comparison is an equality → hash join, never a
+    // nested loop over the aggregate
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"argmax turned into a nested loop:\n${p.take(2000)}")
+  }
+
+  test("q17: both fact passes are pruned scans behind a broadcast part filter") {
+    val p = planOf(Analytics.q17SmallQty(spark, sf))
+    val scans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("lineitem")).toSeq
+    // decorrelated aggregate-then-rejoin = exactly two passes
+    // (recompute-over-persist, SURVEY §4), each 3-column pruned
+    assert(scans.size == 2, s"expected 2 lineitem scans, got ${scans.size}")
+    // pruned to the referenced columns (+ l_orderkey, which the
+    // loader's keyed spread keeps alive — its documented tradeoff)
+    assert(scans.forall(l => !l.contains("l_shipdate") &&
+      !l.contains("l_discount") && !l.contains("l_tax")),
+      s"fact scans not column-pruned: $scans")
+    assert(p.contains("BroadcastHashJoin"),
+      "part predicate should broadcast into the fact scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("vector kernel compiles into whole-stage codegen") {
     // AQE reports codegen subtrees only after execution; disable it
     // for this static plan inspection
