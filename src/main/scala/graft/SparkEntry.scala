@@ -2087,14 +2087,14 @@ object SparkEntry {
         |a AS (SELECT DISTINCT user_id,
         |             CAST(date_trunc('week', ts) AS DATE) AS week
         |      FROM events),
-        |cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_n
-        |       FROM f GROUP BY 1),
         |g AS (SELECT f.cohort_week,
         |             CAST(date_diff('day', f.cohort_week, a.week) // 7
         |               AS BIGINT) AS weeks_since,
         |             CAST(count(*) AS BIGINT) AS n_users
         |      FROM f JOIN a ON f.user_id = a.user_id
-        |      GROUP BY 1, 2)
+        |      GROUP BY 1, 2),
+        |cs AS (SELECT cohort_week, n_users AS cohort_n
+        |       FROM g WHERE weeks_since = 0)
         |SELECT g.cohort_week, g.weeks_since, g.n_users,
         |       round(CAST(g.n_users AS DOUBLE) / cs.cohort_n, 4)
         |         AS retention

@@ -539,14 +539,22 @@ object Analytics {
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date")
         .as("week"))
       .distinct()
-    val cohortSizes = firsts.groupBy("cohort_week")
-      .agg(count(lit(1)).as("cohort_n"))
-    firsts.join(active, "user_id")
+    // weeks²-sized; checkpointed because both the rate join and the
+    // cohort-size derivation read it — left lazy, each would re-run
+    // the two events aggregations
+    val matrix = firsts.join(active, "user_id")
       .select(col("cohort_week"),
         expr("datediff(week, cohort_week) div 7").as("weeks_since"))
       .groupBy("cohort_week", "weeks_since")
       .agg(count(lit(1)).as("n_users"))
-      .join(broadcast(cohortSizes), "cohort_week")
+      .localCheckpoint(true)
+    // cohort size = the weeks_since=0 cell: every user is active in
+    // the week of their own first event, so the matrix already holds
+    // it — deriving it from the (weeks²-sized) matrix instead of a
+    // second firsts aggregation saves a full events scan + agg
+    val cohortSizes = matrix.where(col("weeks_since") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_n"))
+    matrix.join(broadcast(cohortSizes), "cohort_week")
       .select(col("cohort_week"), col("weeks_since"), col("n_users"),
         round(col("n_users").cast("double") / col("cohort_n"), 4)
           .as("retention"))
