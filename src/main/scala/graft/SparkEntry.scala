@@ -94,6 +94,8 @@ object SparkEntry {
     "stream_session_window" -> (graft.streaming.BatchTwins.sessionWindowQuery _),
     "stream_interval_join" -> (graft.streaming.BatchTwins.intervalJoinQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
+    "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
+    "events_json_props" -> (Analytics.eventsJsonProps _),
     "ann_ivf_indexed" -> (Ann.ivfIndexedQuery _),
     "ann_ivf_filtered" -> (Ann.ivfIndexedFilteredQuery _),
     "vdb_range_search" -> ((s, d) =>
@@ -676,6 +678,39 @@ object SparkEntry {
          |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "ann_ivf" -> ivfOracle,
     "ann_ivf_indexed" -> ivfOracle,
+    // recall@10 of the IVF path against brute force: both legs are
+    // the existing deterministic mirrors, composed
+    "ann_recall_report" ->
+      s"""WITH $ivfCtes,
+         |sc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv)
+         |         AS s
+         |       FROM af a JOIN pr ON a.cell = pr.cell
+         |       JOIN q ON pr.qid = q.qid),
+         |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+         |        ORDER BY s DESC, id) AS rk
+         |      FROM sc WHERE s IS NOT NULL),
+         |iv AS (SELECT qid, id FROM r WHERE rk <= 10),
+         |bd AS (SELECT q.qid, e2.id, list_cosine_similarity(e2.v, q.qv)
+         |         AS s
+         |       FROM e e2 CROSS JOIN q),
+         |br AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+         |         ORDER BY s DESC, id) AS rk
+         |       FROM bd WHERE s IS NOT NULL),
+         |bf AS (SELECT qid, id FROM br WHERE rk <= 10),
+         |h AS (SELECT iv.qid, CAST(count(*) AS BIGINT) AS hits
+         |      FROM iv JOIN bf ON iv.qid = bf.qid AND iv.id = bf.id
+         |      GROUP BY 1)
+         |SELECT qid, hits, round(hits / 10.0, 4) AS recall
+         |FROM h ORDER BY qid""".stripMargin,
+    // schema-on-read: props JSON parsed inside the scan projection
+    "events_json_props" ->
+      """SELECT event_type,
+        |       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |         // 25 AS BIGINT) AS k_band,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, k_band""".stripMargin,
     // filtered indexed search: the same probe set, members restricted
     // by the metadata predicate BEFORE scoring (reference
     // filter_index.cc bitmaps under the approximate path)

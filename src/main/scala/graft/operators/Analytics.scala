@@ -560,4 +560,22 @@ object Analytics {
           .as("retention"))
       .orderBy("cohort_week", "weeks_since")
   }
+
+  /** Semi-structured ETL: the events `props` JSON column parsed at
+    * scan time (`get_json_object` is codegen — schema-on-read without
+    * a UDF or a pre-materialized parse), banded and aggregated. The
+    * JSON path evaluation rides inside the scan's projection, so at
+    * 100 TB the parse costs one pass and the aggregate's exchange
+    * carries only (type, band) groups.
+    */
+  def eventsJsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .select(col("event_type"), expr("k div 25").as("k_band"),
+        col("value"))
+      .groupBy("event_type", "k_band")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type", "k_band")
 }

@@ -902,6 +902,33 @@ object Ann {
     ivfSearchIndexed(s, indexedPath(s, dir), q, k = 10, nprobe = 2)
   }
 
+  /** Recall@k of the approximate IVF path against the exact kNN —
+    * the evaluation harness AS a query: the go/no-go report an
+    * operator reads before trading exactness for probe pruning
+    * (every ANN system publishes this curve; here it is one oracled
+    * plan). Both legs are deterministic, so even the recall numbers
+    * hash-match the DuckDB mirror; the semi-join and count run over
+    * Q×k rows — evaluation cost is query-sized, the corpus is
+    * touched only by the two searches themselves.
+    */
+  def ivfRecallReport(s: SparkSession, dir: String,
+                      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val approx = ivfQuery(s, dir).select(col("qid"), col("nn_id"))
+    val exact = Knn.topK(e, q, k, Knn.Metric.Cosine)
+      .select(col("qid"), col("nn_id"))
+    approx.join(exact, Seq("qid", "nn_id"), "left_semi")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("hits"))
+      .select(col("qid"), col("hits"),
+        round(col("hits").cast("double") / lit(k.toDouble), 4)
+          .as("recall"))
+      .orderBy("qid")
+  }
+
   /** Filtered search on the indexed approximate path — the
     * reference's filtered HNSW search as partition pruning composed
     * with a scan-pushed predicate.
