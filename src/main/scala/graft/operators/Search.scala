@@ -324,7 +324,11 @@ object Search {
     * spec asserts equality and both share the oracle); index built
     * once per sf dir under target/tmp.
     */
-  def bm25IndexedQuery(s: SparkSession, dir: String): DataFrame = {
+  /** Resolve (building on first use) the per-sf-dir index under
+    * target/tmp — shared by the indexed surface query and the hybrid
+    * query's lexical leg.
+    */
+  private def indexFor(s: SparkSession, dir: String): String = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
     // v2: stats schema gained sum_dl (insert-merge exactness)
     val path = java.nio.file.Paths.get("target", "tmp", s"bm25idx2-$key")
@@ -332,8 +336,11 @@ object Search {
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(statsPath(path), "_SUCCESS")))
       bm25BuildIndex(s, Tables.documents(s, dir), path)
-    bm25SearchIndexed(s, path, fixedQueries(s), 10)
+    path
   }
+
+  def bm25IndexedQuery(s: SparkSession, dir: String): DataFrame =
+    bm25SearchIndexed(s, indexFor(s, dir), fixedQueries(s), 10)
 
   /** Fixed query workload (all terms exist at every SF; `dup` is the
     * rare high-idf term). qid LONG to match the embedding ids the
@@ -441,7 +448,11 @@ object Search {
     * the sort after both heaps is bounded, not corpus-scale.
     */
   def hybridRrfQuery(s: SparkSession, dir: String): DataFrame = {
-    val bm = bm25TopK(Tables.documents(s, dir), fixedQueries(s), 20)
+    // lexical leg from the PERSISTED index (≡ the on-the-fly bm25 by
+    // construction, so the oracle is unchanged): a production hybrid
+    // search queries the index it maintains, not a per-query
+    // re-tokenize of the corpus
+    val bm = bm25SearchIndexed(s, indexFor(s, dir), fixedQueries(s), 20)
       .select(col("qid"), col("doc_id"), col("rk").as("brk"))
     val qv = Tables.embeddings(s, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

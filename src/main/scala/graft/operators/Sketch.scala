@@ -239,15 +239,22 @@ object Sketch {
     * aggregate, a broadcast-sized window for the total.
     */
   def corpusMixture(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
       .select(col("source"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-    docs.groupBy("source", "lang")
+    // (sources × langs)-sized; checkpointed because the grand total
+    // and the share projection both read it — the unpartitioned
+    // window this replaces pulled the (bounded) frame into one
+    // partition and tripped WindowExec's degradation warning on
+    // every run; the 1-row total broadcasts instead (the Q22/Q15
+    // scalar pattern)
+    val grouped = docs.groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-      .withColumn("tok_share",
-        round(col("n_tokens") /
-          sum("n_tokens").over(Window.partitionBy()), 6))
+      .localCheckpoint()
+    val total = grouped.agg(sum("n_tokens").as("tot"))
+    grouped.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot"), 6).as("tok_share"))
       .orderBy("source", "lang")
   }
 
