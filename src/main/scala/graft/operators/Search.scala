@@ -224,6 +224,10 @@ object Search {
     val newPost = postingsOf(newDocs).localCheckpoint(true)
     val buckets = newPost.select("bucket").distinct()
       .collect().map(_.getInt(0))
+    // empty batch = no-op (guards the direct API; the streaming loop
+    // also skips empty micro-batches) — proceeding would NPE on the
+    // null sum(dl) and rewrite zero buckets for nothing
+    if (buckets.isEmpty) return
     val bs = buckets.toIndexedSeq
     val batchIds = newPost.select("doc_id").distinct()
     val oldTouched = s.read.parquet(path)

@@ -155,6 +155,22 @@ class SearchSpec extends SparkSuite {
       Search.bm25IndexInsert(spark, inc, half2)
       assert(Search.bm25SearchIndexed(spark, inc, q, 10)
         .collect().toSeq == a, "re-delivered batch changed the index")
+      // empty batch is a no-op, not an NPE
+      Search.bm25IndexInsert(spark, inc, docs.where(lit(false)))
+      assert(Search.bm25SearchIndexed(spark, inc, q, 10)
+        .collect().toSeq == a)
+      // a query mixing unknown terms with known ones returns exactly
+      // the known terms' results (the unknown bucket probe finds no
+      // rows; nothing throws, nothing leaks)
+      import spark.implicits._
+      val mixed = Seq((7L, "zzzunknownzzz join hash"))
+        .toDF("qid", "qtext")
+      val mm = Search.bm25SearchIndexed(spark, inc, mixed, 10)
+        .collect().map(r => r.getLong(2)).toSet
+      val known = Search.bm25SearchIndexed(spark, inc,
+        Seq((7L, "join hash")).toDF("qid", "qtext"), 10)
+        .collect().map(r => r.getLong(2)).toSet
+      assert(mm == known && mm.nonEmpty)
       val nDocs = spark.read.parquet(inc + "_stats")
         .collect().head.getDouble(0)
       assert(nDocs == docs.count().toDouble,
