@@ -268,6 +268,36 @@ object Search {
       .write.mode("overwrite").parquet(statsPath(path))
   }
 
+  /** Compact fragmented postings buckets — each streamed micro-batch
+    * insert adds a file per touched bucket, so a long-running
+    * maintenance loop accretes small files; buckets holding more than
+    * `maxFilesPerBucket` parquet files are rewritten
+    * content-identically into one file each (the [[Ann.ivfCompact]]
+    * discipline: driver-side listing is O(buckets + files), bounded
+    * at 64 buckets here). Covers both the postings and the term
+    * dictionary; the 1-row stats sidecar never fragments.
+    */
+  def bm25IndexCompact(s: SparkSession, path: String,
+                       maxFilesPerBucket: Int = 1): Unit =
+    Seq(path, termsPath(path)).foreach { p =>
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      val fragmented = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("bucket="))
+        .filter { st =>
+          fs.listStatus(st.getPath)
+            .count(f => f.getPath.getName.endsWith(".parquet")) >
+            maxFilesPerBucket
+        }
+        .map(_.getPath.getName.stripPrefix("bucket=").toInt)
+      if (fragmented.nonEmpty)
+        publishTouchedBuckets(s, p,
+          s.read.parquet(p)
+            .where(col("bucket").isin(fragmented.toIndexedSeq: _*))
+            .repartition(col("bucket")))
+    }
+
   /** Dynamic-partition-overwrite of the touched buckets, replacement
     * checkpointed first because it reads the files the overwrite
     * deletes (the [[Ann]] publishTouchedCells discipline; bounded by

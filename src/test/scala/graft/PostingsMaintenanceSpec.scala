@@ -44,6 +44,22 @@ class PostingsMaintenanceSpec extends SparkSuite {
         .collect().toSeq
       assert(got == want && got.nonEmpty,
         "stream-maintained index drifted from the rebuilt index")
+
+      // the waves accreted a file per insert per touched bucket;
+      // compaction rewrites fragmented buckets content-identically
+      // into one file each, and the search result is unchanged
+      Search.bm25IndexCompact(spark, idx)
+      val rootPath = new org.apache.hadoop.fs.Path(idx)
+      val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val filesPerBucket = fs.listStatus(rootPath).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("bucket="))
+        .map(st => fs.listStatus(st.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet")))
+      assert(filesPerBucket.nonEmpty && filesPerBucket.forall(_ <= 1),
+        s"buckets still fragmented after compact: $filesPerBucket")
+      assert(Search.bm25SearchIndexed(spark, idx, queries, 10)
+        .collect().toSeq == want, "compaction changed search results")
     } finally {
       import scala.reflect.io.Directory
       new Directory(root.toFile).deleteRecursively()
