@@ -108,4 +108,41 @@ class SketchStreamSpec extends SparkSuite {
       assert(spark.table("cmsstate").count() <= 4L * 1024L)
     } finally q.stop()
   }
+
+  test("streaming top-k heap converges to the batch heap across waves") {
+    import graft.operators.TopKAgg
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the partial-aggregating heap is mergeable state exactly like
+    // the sketches: ≤ k (key, id) pairs per group per partition —
+    // proving it streams extends stream ≡ batch to the search kernel
+    val batch = Tables.events(spark, sf)
+      .select(col("event_type"), (-col("value")).as("key"),
+        col("event_id").as("id"))
+    val rows = batch.as[(String, Double, Long)].collect()
+
+    val agg = TopKAgg.topK(3)
+    def finish(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type")
+        .agg(agg(col("key"), col("id")).as("top"))
+        .select(col("event_type"), posexplode(col("top.items")))
+        .select(col("event_type"), col("pos"), col("col.id"),
+          col("col.key"))
+        .orderBy("event_type", "pos")
+
+    val stream = MemoryStream[(String, Double, Long)]
+    val out = finish(stream.toDF().toDF("event_type", "key", "id"))
+    val q = out.writeStream.format("memory").queryName("topkstate")
+      .outputMode("complete").start()
+    try {
+      val waves = rows.sortBy(r => (r._3 * 2654435761L) % 1000)
+        .grouped(math.max(rows.length / 3, 1)).toSeq
+      waves.foreach { w => stream.addData(w.toSeq); q.processAllAvailable() }
+      val got = spark.table("topkstate")
+        .orderBy("event_type", "pos").collect().toSeq
+      val want = finish(batch).collect().toSeq
+      assert(got == want, s"stream heap $got vs batch $want")
+    } finally q.stop()
+  }
 }
