@@ -95,6 +95,7 @@ object SparkEntry {
     "stream_interval_join" -> (graft.streaming.BatchTwins.intervalJoinQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
+    "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
     "events_json_props" -> (Analytics.eventsJsonProps _),
     "ann_ivf_indexed" -> (Ann.ivfIndexedQuery _),
     "ann_ivf_filtered" -> (Ann.ivfIndexedFilteredQuery _),
@@ -585,7 +586,15 @@ object SparkEntry {
   /** Sign-LSH search mirror; `multiprobe` adds the Hamming-1 probe
     * expansion on the query side (xor one bit per probe).
     */
-  private def lshOracle(multiprobe: Boolean): String = {
+  private def lshOracle(multiprobe: Boolean): String =
+    s"""WITH ${lshCtes(multiprobe)}
+       |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+       |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
+  /** The LSH chain up to the ranked candidates `r` — shared by the
+    * search oracle and the recall report.
+    */
+  private def lshCtes(multiprobe: Boolean): String = {
     val probeSrc = if (multiprobe) "qp" else "qs"
     val qpCte = if (multiprobe)
       """qp AS (SELECT qid, t,
@@ -593,7 +602,7 @@ object SparkEntry {
         |          sig]) AS sig FROM qs),
         |""".stripMargin
     else ""
-    s"""WITH hpw AS (
+    s"""hpw AS (
        |  SELECT t, p, d,
        |    ((CAST('0x' || substr(md5(CAST(t AS VARCHAR) || '|' ||
        |        CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 8)
@@ -619,9 +628,7 @@ object SparkEntry {
        |r AS (SELECT qid, id, s,
        |             row_number() OVER (PARTITION BY qid ORDER BY s DESC, id)
        |               AS rk
-       |      FROM sc WHERE s IS NOT NULL)
-       |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
-       |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+       |      FROM sc WHERE s IS NOT NULL)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -689,6 +696,23 @@ object SparkEntry {
          |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
          |        ORDER BY s DESC, id) AS rk
          |      FROM sc WHERE s IS NOT NULL),
+         |iv AS (SELECT qid, id FROM r WHERE rk <= 10),
+         |bd AS (SELECT q.qid, e2.id, list_cosine_similarity(e2.v, q.qv)
+         |         AS s
+         |       FROM e e2 CROSS JOIN q),
+         |br AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+         |         ORDER BY s DESC, id) AS rk
+         |       FROM bd WHERE s IS NOT NULL),
+         |bf AS (SELECT qid, id FROM br WHERE rk <= 10),
+         |h AS (SELECT iv.qid, CAST(count(*) AS BIGINT) AS hits
+         |      FROM iv JOIN bf ON iv.qid = bf.qid AND iv.id = bf.id
+         |      GROUP BY 1)
+         |SELECT qid, hits, round(hits / 10.0, 4) AS recall
+         |FROM h ORDER BY qid""".stripMargin,
+    // recall@10 of plain sign-LSH vs brute force — the bucket-overlap
+    // eval beside the IVF probe eval; same composed-mirror pattern
+    "lsh_recall_report" ->
+      s"""WITH ${lshCtes(multiprobe = false)},
          |iv AS (SELECT qid, id FROM r WHERE rk <= 10),
          |bd AS (SELECT q.qid, e2.id, list_cosine_similarity(e2.v, q.qv)
          |         AS s

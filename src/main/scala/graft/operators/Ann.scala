@@ -912,15 +912,27 @@ object Ann {
     * touched only by the two searches themselves.
     */
   def ivfRecallReport(s: SparkSession, dir: String,
-                      k: Int = 10): DataFrame = {
+                      k: Int = 10): DataFrame =
+    recallReport(s, dir, ivfQuery(s, dir), k)
+
+  /** Same report for the sign-LSH path — probe-set pruning (IVF) and
+    * bucket-overlap pruning (LSH) trade recall differently; the pair
+    * of reports is the apples-to-apples comparison.
+    */
+  def lshRecallReport(s: SparkSession, dir: String,
+                      k: Int = 10): DataFrame =
+    recallReport(s, dir, lshQuery(s, dir), k)
+
+  private def recallReport(s: SparkSession, dir: String,
+                           approxResult: DataFrame, k: Int): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val approx = ivfQuery(s, dir).select(col("qid"), col("nn_id"))
     val exact = Knn.topK(e, q, k, Knn.Metric.Cosine)
       .select(col("qid"), col("nn_id"))
-    approx.join(exact, Seq("qid", "nn_id"), "left_semi")
+    approxResult.select(col("qid"), col("nn_id"))
+      .join(exact, Seq("qid", "nn_id"), "left_semi")
       .groupBy("qid")
       .agg(count(lit(1)).as("hits"))
       .select(col("qid"), col("hits"),
