@@ -97,6 +97,7 @@ object SparkEntry {
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
     "events_json_props" -> (Analytics.eventsJsonProps _),
+    "events_transitions" -> (Analytics.eventsTransitions _),
     "ann_ivf_indexed" -> (Ann.ivfIndexedQuery _),
     "ann_ivf_filtered" -> (Ann.ivfIndexedFilteredQuery _),
     "vdb_range_search" -> ((s, d) =>
@@ -726,6 +727,21 @@ object SparkEntry {
          |      GROUP BY 1)
          |SELECT qid, hits, round(hits / 10.0, 4) AS recall
          |FROM h ORDER BY qid""".stripMargin,
+    // event-transition matrix: per-user lag pairs, row-normalized
+    "events_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS from_type
+        |           FROM events),
+        |g AS (SELECT from_type, event_type AS to_type,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+        |      FROM g GROUP BY 1)
+        |SELECT g.from_type, g.to_type, g.n,
+        |       round(CAST(g.n AS DOUBLE) / t.row_n, 4) AS p
+        |FROM g JOIN t ON g.from_type = t.from_type
+        |ORDER BY g.from_type, g.to_type""".stripMargin,
     // schema-on-read: props JSON parsed inside the scan projection
     "events_json_props" ->
       """SELECT event_type,

@@ -561,6 +561,35 @@ object Analytics {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  /** Event-sequence transition matrix (the Markov-chain view of user
+    * behavior): per user, consecutive event pairs by time → counts
+    * and row-normalized probabilities per source state. The lag
+    * window keys on user_id, so it reuses the loader's user_id
+    * spread; the aggregate's exchange carries only (from, to) pairs
+    * (state-space-sized). Probability = BIGINT count / BIGINT row
+    * total — one division, bit-identical on both engines. Ties in
+    * time break on event_id, the sessionize discipline.
+    */
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(byUser))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      // (states²)-sized; checkpointed because the row totals and the
+      // probability projection both read it
+      .localCheckpoint(true)
+    val totals = pairs.groupBy("from_type")
+      .agg(sum("n").as("row_n"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("row_n"), 4).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Semi-structured ETL: the events `props` JSON column parsed at
     * scan time (`get_json_object` is codegen — schema-on-read without
     * a UDF or a pre-materialized parse), banded and aggregated. The
