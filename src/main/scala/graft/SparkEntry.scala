@@ -96,6 +96,7 @@ object SparkEntry {
     "ann_ivf" -> (Ann.ivfQuery _),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
+    "vdb_knn_mrl" -> ((s, d) => Knn.mrlSearch(emb(s, d), qset(s, d), 10)),
     "events_json_props" -> (Analytics.eventsJsonProps _),
     "events_transitions" -> (Analytics.eventsTransitions _),
     "ann_ivf_indexed" -> (Ann.ivfIndexedQuery _),
@@ -710,6 +711,29 @@ object SparkEntry {
          |      GROUP BY 1)
          |SELECT qid, hits, round(hits / 10.0, 4) AS recall
          |FROM h ORDER BY qid""".stripMargin,
+    // MRL prefix-dim search: cosine over the first 16 dims shortlists
+    // 40, exact full-dim cosine reranks to 10 (DuckDB list slice
+    // v[1:16] = Spark slice(vec, 1, 16))
+    "vdb_knn_mrl" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |ps AS (SELECT q.qid, e.id,
+        |              list_cosine_similarity(e.v[1:16], q.qv[1:16]) AS s
+        |       FROM e CROSS JOIN q),
+        |sr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+        |         ORDER BY s DESC, id) AS rk
+        |       FROM ps WHERE s IS NOT NULL),
+        |sl AS (SELECT qid, id FROM sr WHERE rk <= 40),
+        |re AS (SELECT sl.qid, sl.id,
+        |              list_cosine_similarity(e.v, q.qv) AS s
+        |       FROM sl JOIN e ON sl.id = e.id JOIN q ON sl.qid = q.qid),
+        |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+        |        ORDER BY s DESC, id) AS rk
+        |      FROM re WHERE s IS NOT NULL)
+        |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // recall@10 of plain sign-LSH vs brute force — the bucket-overlap
     // eval beside the IVF probe eval; same composed-mirror pattern
     "lsh_recall_report" ->

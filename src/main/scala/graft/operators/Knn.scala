@@ -135,4 +135,43 @@ object Knn {
       .select(col("qid"), col("nn_id"), round(col("s"), 4).as("score"))
       .orderBy("qid", "nn_id")
   }
+
+  /** Matryoshka (MRL) prefix-dimension search — the dimension-
+    * truncation rung of the quantization ladder (SQ8 shrinks bytes
+    * per dim, PQ/BQ shrink to codes; MRL drops dims entirely, the
+    * property Matryoshka-trained embeddings are built for): shortlist
+    * by cosine over the first `prefixDims` dimensions (4× less
+    * arithmetic and — with the prefix stored as its own column —
+    * 4× less scan bandwidth at 64→16 dims), exact full-dimension
+    * rerank over the shortlist only. Same scale anatomy as
+    * [[Quant.sq8Search]]: broadcast queries, bounded heap,
+    * rerank touches O(Q·k·rerank) vectors.
+    */
+  def mrlSearch(data: DataFrame, queries: DataFrame, k: Int,
+                prefixDims: Int = 16, rerank: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), col("qvec"),
+      slice(col("qvec"), 1, prefixDims).as("qpre")))
+    val scored = data
+      .select(col("id"), slice(col("vec"), 1, prefixDims).as("pre"))
+      .crossJoin(q)
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("pre"), col("qpre"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    val shortlist = TopKAgg.shortlist(scored, k * rerank)
+    val rescored = shortlist
+      .join(data, "id")
+      .join(broadcast(queries.select("qid", "qvec")), "qid")
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    val fin = TopKAgg.topK(k)
+    rescored.groupBy("qid")
+      .agg(fin(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"), round(-col("col.key"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
 }
