@@ -97,6 +97,7 @@ object SparkEntry {
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
     "vdb_knn_mrl" -> ((s, d) => Knn.mrlSearch(emb(s, d), qset(s, d), 10)),
+    "ann_ivf_mrl" -> (Ann.ivfMrlQuery _),
     "events_json_props" -> (Analytics.eventsJsonProps _),
     "events_transitions" -> (Analytics.eventsTransitions _),
     "ann_ivf_indexed" -> (Ann.ivfIndexedQuery _),
@@ -734,6 +735,27 @@ object SparkEntry {
         |      FROM re WHERE s IS NOT NULL)
         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // IVF+MRL: prefix-cosine shortlist of 40 over probed cells, exact
+    // full-dim rerank (the vdb_knn_mrl mirror under the IVF probe set)
+    "ann_ivf_mrl" ->
+      s"""WITH $ivfCtes,
+         |ps AS (SELECT pr.qid, a.id,
+         |         list_cosine_similarity(a.v[1:16], q.qv[1:16]) AS s
+         |       FROM af a JOIN pr ON a.cell = pr.cell
+         |       JOIN q ON pr.qid = q.qid),
+         |sr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |         ORDER BY s DESC, id) AS rk
+         |       FROM ps WHERE s IS NOT NULL),
+         |sl AS (SELECT qid, id FROM sr WHERE rk <= 40),
+         |re AS (SELECT sl.qid, sl.id,
+         |         list_cosine_similarity(e2.v, q.qv) AS s
+         |       FROM sl JOIN e e2 ON sl.id = e2.id
+         |       JOIN q ON sl.qid = q.qid),
+         |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+         |        ORDER BY s DESC, id) AS rk
+         |      FROM re WHERE s IS NOT NULL)
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // recall@10 of plain sign-LSH vs brute force — the bucket-overlap
     // eval beside the IVF probe eval; same composed-mirror pattern
     "lsh_recall_report" ->

@@ -91,4 +91,32 @@ class QuantSpec extends SparkSuite {
     // deterministic
     assert(Ann.ivfSq8Query(spark, sf).collect().toSeq == rows.toSeq)
   }
+
+  test("ivf+mrl: pruned prefix-only probe scan, useful recall") {
+    import graft.operators.Ann
+    val rows = Ann.ivfMrlQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recall vs exact cosine top-k: a 16-of-64-dim shortlist over 2
+    // probed cells must keep useful recall (same floor as the
+    // quantized rungs)
+    val exact = Knn.topK(emb, qs, 10, Knn.Metric.Cosine)
+      .select("qid", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf+mrl recall collapsed: $recall")
+    // the probe scan reads the prefix column, never the full
+    // vectors, and is partition-pruned
+    val plan = Ann.ivfMrlQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(l => l.contains("pre") && !l.contains("vec")),
+      s"probe scan reads full vectors:\n${reads.mkString("\n")}")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell") &&
+        !l.contains("PartitionFilters: []")),
+      "mrl index scan not partition-pruned")
+    // deterministic
+    assert(Ann.ivfMrlQuery(spark, sf).collect().toSeq == rows.toSeq)
+  }
 }
