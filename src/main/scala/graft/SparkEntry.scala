@@ -219,6 +219,7 @@ object SparkEntry {
     "events_asof_join" -> (AsOf.eventsAsofQuery _),
     "events_session_attr" -> (RangeJoin.sessionAttributionQuery _),
     "text_bm25_topk" -> (Search.bm25Query _),
+    "text_bm25_filtered" -> (Search.bm25FilteredQuery _),
     "text_bm25_indexed" -> (Search.bm25IndexedQuery _),
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
     "search_mmr_rerank" -> (Search.mmrQuery _),
@@ -370,8 +371,15 @@ object SparkEntry {
     * between engines). Constants are cast to DOUBLE: bare DuckDB
     * decimal literals would switch the arithmetic to DECIMAL.
     */
-  private val bm25Ctes: String =
-    """d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+  private val bm25Ctes: String = bm25CtesWhere("")
+
+  /** BM25 CTE chain with an optional candidate restriction appended
+    * to the scoring CTE — global statistics (st/idf from all
+    * documents) with filtered candidates, the Lucene filter-query
+    * semantics Search.bm25TopKFiltered implements.
+    */
+  private def bm25CtesWhere(candWhere: String): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks,
       |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
       |      FROM documents),
       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
@@ -398,7 +406,7 @@ object SparkEntry {
       |             / (p.tf + CAST(1.2 AS DOUBLE)
       |                * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
       |                   + CAST(0.75 AS DOUBLE) * p.dl / idf.avgdl)) AS contrib
-      |      FROM p JOIN idf USING (term) JOIN qt USING (term)),
+      |      FROM p JOIN idf USING (term) JOIN qt USING (term)$candWhere),
       |sc AS (SELECT qid, doc_id, round(sum(contrib), 4) AS score
       |       FROM c GROUP BY 1, 2),
       |r AS (SELECT qid, doc_id, score,
@@ -923,6 +931,12 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> lshOracle(multiprobe = true),
     "text_bm25_topk" ->
       s"""WITH $bm25Ctes
+         |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
+         |ORDER BY qid, rk""".stripMargin,
+    // filter-query semantics: global idf/avgdl, candidates restricted
+    "text_bm25_filtered" ->
+      s"""WITH ${bm25CtesWhere(" WHERE p.doc_id IN (SELECT doc_id " +
+           "FROM documents WHERE lang IN ('en', 'de'))")}
          |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
          |ORDER BY qid, rk""".stripMargin,
     // persisted-postings twin: same integers (tf, df, N, dl) into the

@@ -50,7 +50,24 @@ object Search {
     * whitespace tokenization, duplicate query terms collapse (qtf=1).
     * Output: (qid, rk, doc_id, score), score 4dp, rank deterministic.
     */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bm25Impl(docs, queries, k, keep = None)
+
+  /** Metadata-FILTERED lexical search — the reference's filtered
+    * search (filter_index.cc bitmaps) on the BM25 leg, with Lucene
+    * filter-query semantics: corpus statistics stay GLOBAL (idf and
+    * avgdl come from the whole index — a filter narrows the
+    * candidates, it does not re-weight the vocabulary) and the
+    * predicate drops candidate documents before scoring. The allowed
+    * set is a doc_id semi-join — the key the scoring shuffle already
+    * uses, so the filter adds no new exchange shape.
+    */
+  def bm25TopKFiltered(docs: DataFrame, queries: DataFrame, k: Int,
+                       keep: Column): DataFrame =
+    bm25Impl(docs, queries, k, Some(keep))
+
+  private def bm25Impl(docs: DataFrame, queries: DataFrame, k: Int,
+                       keep: Option[Column]): DataFrame = {
     val toks = docs.select(col("doc_id"),
       split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
@@ -88,7 +105,14 @@ object Search {
           + 1.0).as("idf"),
         col("avgdl"))
 
-    scoreAndRank(postings, idf, qterms, k)
+    // the filter narrows CANDIDATES only — idf above is already
+    // derived from the unfiltered postings (global statistics)
+    val candidates = keep match {
+      case Some(pred) => postings.join(
+        docs.where(pred).select("doc_id"), Seq("doc_id"), "left_semi")
+      case None => postings
+    }
+    scoreAndRank(candidates, idf, qterms, k)
   }
 
   /** Shared scoring tail (contribution formula → per-(qid, doc) sum →
@@ -392,6 +416,10 @@ object Search {
   /** Surface query: BM25 top-10 over the documents table. */
   def bm25Query(s: SparkSession, dir: String): DataFrame =
     bm25TopK(Tables.documents(s, dir), fixedQueries(s), 10)
+
+  def bm25FilteredQuery(s: SparkSession, dir: String): DataFrame =
+    bm25TopKFiltered(Tables.documents(s, dir), fixedQueries(s), 10,
+      col("lang").isin("en", "de"))
 
   // -------------------------------------------------------- MMR rerank
 
