@@ -147,7 +147,12 @@ object Bench {
     // need, `value`/`nq` still cover the whole suite, and the
     // complete map lives in target/bench.json.
     val budget = 1870
-    val bySlow = results.toSeq.sortBy(-_._2)
+    // failures (-1.0 sentinels) sort FIRST, then slowest→fastest: a
+    // plain descending sort treats the sentinel as the fastest entry
+    // and the trim loop would cut it from the line — a failure must
+    // never be silently folded into omitted_fastest
+    val bySlow = results.toSeq
+      .sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
       .map { case (k, v) => f"""\"$k\":$v%.3f""" }
     var kept = bySlow.length
     while (kept > 0 && render(bySlow.take(kept), bySlow.length - kept).length > budget)

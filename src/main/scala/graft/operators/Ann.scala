@@ -986,17 +986,19 @@ object Ann {
     * Q×k rows — evaluation cost is query-sized, the corpus is
     * touched only by the two searches themselves.
     */
-  def ivfRecallReport(s: SparkSession, dir: String,
-                      k: Int = 10): DataFrame =
-    recallReport(s, dir, ivfQuery(s, dir), k)
+  def ivfRecallReport(s: SparkSession, dir: String): DataFrame =
+    recallReport(s, dir, ivfQuery(s, dir), k = 10)
 
   /** Same report for the sign-LSH path — probe-set pruning (IVF) and
     * bucket-overlap pruning (LSH) trade recall differently; the pair
     * of reports is the apples-to-apples comparison.
+    *
+    * Both reports take no k: it is pinned to the 10 the surface
+    * queries (ivfQuery/lshQuery) return — a caller-supplied k would
+    * silently disagree with the approximate leg's depth.
     */
-  def lshRecallReport(s: SparkSession, dir: String,
-                      k: Int = 10): DataFrame =
-    recallReport(s, dir, lshQuery(s, dir), k)
+  def lshRecallReport(s: SparkSession, dir: String): DataFrame =
+    recallReport(s, dir, lshQuery(s, dir), k = 10)
 
   private def recallReport(s: SparkSession, dir: String,
                            approxResult: DataFrame, k: Int): DataFrame = {

@@ -166,12 +166,8 @@ object Knn {
         (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
         col("id"))
       .where(col("key").isNotNull)
-    val fin = TopKAgg.topK(k)
-    rescored.groupBy("qid")
-      .agg(fin(col("key"), col("id")).as("top"))
-      .select(col("qid"), posexplode(col("top.items")))
-      .select(col("qid"), (col("pos") + 1).as("rk"),
-        col("col.id").as("nn_id"), round(-col("col.key"), 4).as("score"))
-      .orderBy("qid", "rk")
+    // shared finishing tail — the IVF twin (Ann.ivfMrlSearch) uses
+    // the same one, so tie-break/rounding discipline cannot drift
+    Ann.topKPerQuery(rescored, k)
   }
 }

@@ -164,6 +164,19 @@ object Search {
   private def termsPath(path: String): String = path + "_terms"
   private def statsPath(path: String): String = path + "_stats"
 
+  /** (term, doc_id, dl, tf, bucket) postings of a document frame —
+    * shared by build and insert so the two produce identical rows.
+    */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("bucket", bucketOf(col("term")))
+  }
+
   /** Persist the inverted index: the FULL-vocabulary postings written
     * once as parquet PARTITIONED BY a term-hash bucket, with the term
     * dictionary (per-term df) and the 1-row corpus stats alongside —
@@ -180,19 +193,6 @@ object Search {
     * key existence on the stats _SUCCESS, so a crash mid-build can
     * never publish a partial index.
     */
-  /** (term, doc_id, dl, tf, bucket) postings of a document frame —
-    * shared by build and insert so the two produce identical rows.
-    */
-  private def postingsOf(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      split(col("text"), " ").as("toks"))
-      .withColumn("dl", size(col("toks")).cast("double"))
-    toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("bucket", bucketOf(col("term")))
-  }
-
   def bm25BuildIndex(s: SparkSession, docs: DataFrame, path: String): Unit = {
     postingsOf(docs)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
@@ -238,8 +238,11 @@ object Search {
     *
     * CRASH WINDOW (same contract as the IVF publish): postings,
     * dictionary, and stats are three writes; a crash between them
-    * leaves sidecars stale. [[deriveSidecars]] is the idempotent
-    * repair — postings are ground truth.
+    * leaves sidecars stale — and note that RE-RUNNING the insert
+    * cannot heal them (the redelivered rows are already present, so
+    * the stats delta is zero by design). [[deriveSidecars]] is the
+    * idempotent repair — postings are ground truth — and the
+    * streaming maintenance loop runs it on every (re)start.
     */
   def bm25IndexInsert(s: SparkSession, path: String,
                       newDocs: DataFrame): Unit = {
@@ -378,10 +381,6 @@ object Search {
       idf, qterms, k)
   }
 
-  /** Persisted-index twin of [[bm25Query]] (same queries/k so the
-    * spec asserts equality and both share the oracle); index built
-    * once per sf dir under target/tmp.
-    */
   /** Resolve (building on first use) the per-sf-dir index under
     * target/tmp — shared by the indexed surface query and the hybrid
     * query's lexical leg.
@@ -397,6 +396,10 @@ object Search {
     path
   }
 
+  /** Persisted-index twin of [[bm25Query]] (same queries/k so the
+    * spec asserts equality and both share the oracle); index built
+    * once per sf dir under target/tmp.
+    */
   def bm25IndexedQuery(s: SparkSession, dir: String): DataFrame =
     bm25SearchIndexed(s, indexFor(s, dir), fixedQueries(s), 10)
 

@@ -45,10 +45,15 @@ object SearchApi {
     // A request with k > maxK would silently get a truncated result
     // (the heap never holds more than maxK) — misuse must fail loudly
     // instead. The validation action runs on the request-sized frame
-    // (the side we broadcast anyway), never the corpus.
-    val kMax = reqs.agg(max(col("k"))).collect().head.getLong(0)
-    require(maxK >= kMax,
-      s"maxK=$maxK is smaller than the batch's largest request k=$kMax")
+    // (the side we broadcast anyway), never the corpus. Cast before
+    // reading (callers may pass int k) and skip on an empty batch
+    // (max is null and there is nothing to truncate).
+    val kMaxRow = reqs.agg(max(col("k").cast("long"))).collect().head
+    if (!kMaxRow.isNullAt(0)) {
+      val kMax = kMaxRow.getLong(0)
+      require(maxK >= kMax,
+        s"maxK=$maxK is smaller than the batch's largest request k=$kMax")
+    }
     val pass = col("fop").isNull ||
       (col("fop") === "=" && col("label") === col("fval")) ||
       (col("fop") === "!=" && col("label") =!= col("fval"))

@@ -159,6 +159,20 @@ class SearchSpec extends SparkSuite {
       Search.bm25IndexInsert(spark, inc, docs.where(lit(false)))
       assert(Search.bm25SearchIndexed(spark, inc, q, 10)
         .collect().toSeq == a)
+      // crash window: postings published, stats write lost (simulated
+      // by clobbering the stats row). Redelivering the batch CANNOT
+      // heal it — the rows are already present, so the stats delta is
+      // zero by design — only the repair restores consistency, which
+      // is why the streaming loop runs it on every (re)start.
+      import spark.implicits._
+      Seq((1.0, 1.0, 1.0)).toDF("n_docs", "sum_dl", "avgdl")
+        .write.mode("overwrite").parquet(inc + "_stats")
+      Search.bm25IndexInsert(spark, inc, half2)
+      assert(Search.bm25SearchIndexed(spark, inc, q, 10)
+        .collect().toSeq != a, "clobbered stats should be visible")
+      Search.deriveSidecars(spark, inc)
+      assert(Search.bm25SearchIndexed(spark, inc, q, 10)
+        .collect().toSeq == a, "repair did not restore the sidecars")
       // a query mixing unknown terms with known ones returns exactly
       // the known terms' results (the unknown bucket probe finds no
       // rows; nothing throws, nothing leaks)
