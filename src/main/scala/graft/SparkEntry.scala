@@ -142,6 +142,7 @@ object SparkEntry {
     "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
     "sketch_hist_quantile" -> (Sketch.histQuantileQuery _),
     "sketch_cms_topk" -> (Sketch.cmsTopTermsQuery _),
+    "sketch_cms_grouped" -> (Sketch.cmsByLangQuery _),
     "knn_classify" -> ((s, d) => Classify.knnClassify(s, d)),
     "centroid_confusion" -> (Classify.nearestCentroid _),
     "corpus_health" -> (Sketch.corpusHealth _),
@@ -1714,6 +1715,32 @@ object SparkEntry {
         |        GROUP BY 1)
         |SELECT tok, est FROM est
         |ORDER BY est DESC, tok LIMIT 15""".stripMargin,
+    // grouped CMS: one sketch per language, same md5 hashing
+    "sketch_cms_grouped" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |dd AS (SELECT unnest(range(4)) AS d),
+        |st AS (SELECT toks.lang, dd.d,
+        |              CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR)
+        |                  || '|' || toks.tok), 1, 15) AS BIGINT) % 1024
+        |                AS bucket,
+        |              CAST(count(*) AS BIGINT) AS cnt
+        |       FROM toks, dd GROUP BY 1, 2, 3),
+        |v AS (SELECT DISTINCT lang, tok FROM toks),
+        |pr AS (SELECT v.lang, v.tok, dd.d,
+        |              CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR)
+        |                  || '|' || v.tok), 1, 15) AS BIGINT) % 1024
+        |                AS bucket
+        |       FROM v, dd),
+        |est AS (SELECT pr.lang, pr.tok, min(st.cnt) AS est
+        |        FROM pr JOIN st ON pr.lang = st.lang AND pr.d = st.d
+        |          AND pr.bucket = st.bucket
+        |        GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, est, row_number() OVER (
+        |        PARTITION BY lang ORDER BY est DESC, tok) AS rk
+        |      FROM est)
+        |SELECT lang, rk, tok, est FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
     // kNN majority-vote classifier: top-5 cosine neighbors (rank ties
     // by id, the repo-wide discipline), votes counted per label,
     // winner = max votes with smaller-label tiebreak

@@ -255,6 +255,12 @@ object Ann {
     * codebook to train (the property Matryoshka-trained embeddings
     * are built for). Same compounding as the SQ8/PQ/BQ index rungs,
     * by column layout instead of codes.
+    *
+    * MAINTENANCE SCOPE: the generic [[ivfIndexUpsert]]/[[ivfCompact]]
+    * rewrite touched cells as (id, vec, cell) — they would drop this
+    * layout's derived `pre` column. Refreshing an MRL index is a
+    * rebuild (cheap: `pre` is a slice, no training), or an upsert
+    * variant that recomputes the slice for rewritten cells.
     */
   def ivfMrlBuildIndex(s: SparkSession, emb: DataFrame, path: String,
                        stride: Long = 200, prefixDims: Int = 16): Unit = {

@@ -354,4 +354,48 @@ object Sketch {
     cmsTopK(Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("tok")),
       "tok", k = 15)
+
+  /** Grouped CMS — one sketch per group, the grouped form KMV and the
+    * histogram already have: state ≤ groups × depth × width counts
+    * (still corpus-size-independent per group), merging by addition
+    * within AND across groups, so per-source sketches roll up exactly
+    * like the other families'.
+    */
+  def cmsStateBy(toks: DataFrame, groupCol: String, tokCol: String,
+                 depth: Int = 4, width: Int = 1024): DataFrame =
+    toks.select(col(groupCol),
+        explode(cmsHashes(col(tokCol), depth, width)).as("h"))
+      .select(col(groupCol), col("h.d").as("d"), col("h.bucket").as("bucket"))
+      .groupBy(groupCol, "d", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-group top-k by estimated count (ties by term) — the probe
+    * joins a broadcast (groups × depth × width)-row summary; the only
+    * corpus-cardinality stage is the candidate distinct, which the
+    * caller replaces with its own candidate list at scale (see
+    * [[cmsProbeTopK]]).
+    */
+  def cmsTopKBy(toks: DataFrame, groupCol: String, tokCol: String,
+                k: Int, depth: Int = 4, width: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val state = cmsStateBy(toks, groupCol, tokCol, depth, width)
+    val probes = toks.select(col(groupCol), col(tokCol)).distinct()
+      .select(col(groupCol), col(tokCol),
+        explode(cmsHashes(col(tokCol), depth, width)).as("h"))
+      .select(col(groupCol), col(tokCol),
+        col("h.d").as("d"), col("h.bucket").as("bucket"))
+    probes.join(broadcast(state), Seq(groupCol, "d", "bucket"))
+      .groupBy(groupCol, tokCol)
+      .agg(min(col("cnt")).as("est"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(groupCol).orderBy(desc("est"), col(tokCol))))
+      .where(col("rk") <= k)
+      .select(col(groupCol), col("rk"), col(tokCol), col("est"))
+      .orderBy(groupCol, "rk")
+  }
+
+  def cmsByLangQuery(s: SparkSession, dir: String): DataFrame =
+    cmsTopKBy(Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok")),
+      "lang", "tok", k = 5)
 }
