@@ -834,57 +834,21 @@ object Ann {
     * Layout: `root/v<N>/` version directories + `root/_current`
     * holding the live version's name.
     */
-  private def currentPtr(root: String) =
-    new org.apache.hadoop.fs.Path(root, "_current")
+  // Pointer mechanics now live in [[Manifest]] (shared with the BM25
+  // postings index — the contract is index-type-agnostic); these
+  // remain the IVF-named surface AnnSpec and operators pin.
+  def ivfPublish(s: SparkSession, root: String, version: String): Unit =
+    Manifest.publish(s, root, version)
 
-  /** Atomically publish `version` (a directory name under `root`) as
-    * the live index: write the pointer to a sibling temp file, then
-    * rename OVER `_current` (FileContext rename with OVERWRITE — the
-    * single atomic primitive on both HDFS and POSIX). A concurrent
-    * reader sees the old pointer or the new one, never a torn write;
-    * a crash before the rename leaves the old index live.
-    */
-  def ivfPublish(s: SparkSession, root: String, version: String): Unit = {
-    val conf = s.sessionState.newHadoopConf()
-    val ptr = currentPtr(root)
-    val fs = ptr.getFileSystem(conf)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
-    val tmp = new org.apache.hadoop.fs.Path(root, "_current.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(version.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, conf)
-    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
-
-  /** The live version name under `root`; None before the first
-    * publish (or after a crash that never reached one — readers then
-    * have nothing to serve, which is the correct failure).
-    */
-  def ivfCurrent(s: SparkSession, root: String): Option[String] = {
-    val conf = s.sessionState.newHadoopConf()
-    val ptr = currentPtr(root)
-    val fs = ptr.getFileSystem(conf)
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        Some(new String(buf.toByteArray, "UTF-8").trim)
-      } finally in.close()
-    }
-  }
+  def ivfCurrent(s: SparkSession, root: String): Option[String] =
+    Manifest.current(s, root)
 
   /** Absolute path of the live index under `root`. */
   def ivfResolve(s: SparkSession, root: String): String =
-    ivfCurrent(s, root)
-      .map(v => new org.apache.hadoop.fs.Path(root, v).toString)
-      .getOrElse(throw new IllegalStateException(
-        s"no published index under $root"))
+    Manifest.resolve(s, root)
 
   private def nextVersion(s: SparkSession, root: String): String =
-    "v" + (ivfCurrent(s, root).map(_.stripPrefix("v").toLong)
-      .getOrElse(0L) + 1)
+    Manifest.nextVersion(s, root)
 
   /** First build under a versioned root: build v1 beside nothing,
     * publish the pointer last. Returns the live version's path.
@@ -926,28 +890,8 @@ object Ann {
     * the deleted directory names.
     */
   def ivfGcVersions(s: SparkSession, root: String,
-                    keep: Int = 1): Seq[String] = {
-    val conf = s.sessionState.newHadoopConf()
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(conf)
-    ivfCurrent(s, root) match {
-      case None => Seq.empty // nothing published — nothing is garbage yet
-      case Some(live) =>
-        val dirs = fs.listStatus(rootPath).toSeq
-          .filter(_.isDirectory).map(_.getPath.getName)
-        val versions = dirs.filter(_.matches("v\\d+"))
-          .sortBy(-_.stripPrefix("v").toLong)
-        val retain = (versions.take(keep) :+ live).toSet
-        val doomed = versions.filterNot(retain)
-        doomed.flatMap { v =>
-          val victims = dirs.filter(d => d == v || d.startsWith(v + "_"))
-          victims.foreach { d =>
-            fs.delete(new org.apache.hadoop.fs.Path(rootPath, d), true)
-          }
-          victims
-        }
-    }
-  }
+                    keep: Int = 1): Seq[String] =
+    Manifest.gcVersions(s, root, keep)
 
   /** Search the live version under a versioned root — the reader-side
     * half of the manifest contract.

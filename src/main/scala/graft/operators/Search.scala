@@ -295,6 +295,37 @@ object Search {
       .write.mode("overwrite").parquet(statsPath(path))
   }
 
+  // ------------------------------------------------ versioned manifest
+
+  /** Build-and-publish under a versioned root — the [[Manifest]]
+    * discipline (shared with the IVF index; the reference's
+    * lastSnapshotID pointer) applied to the lexical index: the new
+    * version (postings + `_terms`/`_stats` sidecars) is built beside
+    * the live one and the `_current` pointer flips last, so a full
+    * REBUILD (bucket resize, tokenization policy change) is atomic —
+    * readers see the old index or the new one, never a mix, and a
+    * crash before the flip leaves the old index live. In-place
+    * maintenance (insert/compact/repair) targets the live version
+    * through [[Manifest.resolve]]; superseded versions retire via
+    * [[Manifest.gcVersions]] (the `v<N>_*` sidecar pattern covers
+    * the dictionary and stats directories).
+    */
+  def bm25BuildPublished(s: SparkSession, docs: DataFrame,
+                         root: String): String = {
+    val next = Manifest.nextVersion(s, root)
+    val path = new org.apache.hadoop.fs.Path(root, next).toString
+    bm25BuildIndex(s, docs, path)
+    Manifest.publish(s, root, next)
+    path
+  }
+
+  /** Search the live version under a versioned root — the reader-side
+    * half of the manifest contract.
+    */
+  def bm25SearchCurrent(s: SparkSession, root: String,
+                        queries: DataFrame, k: Int): DataFrame =
+    bm25SearchIndexed(s, Manifest.resolve(s, root), queries, k)
+
   /** Compact fragmented postings buckets — each streamed micro-batch
     * insert adds a file per touched bucket, so a long-running
     * maintenance loop accretes small files; buckets holding more than

@@ -195,6 +195,45 @@ class SearchSpec extends SparkSuite {
     }
   }
 
+  test("versioned postings root: atomic rebuild publish, GC keeps live") {
+    import graft.operators.Manifest
+    val docs = Tables.documents(spark, sf)
+    val half = docs.where(col("doc_id") % 2 === 0)
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "bm25root").toString
+    try {
+      val q = Search.fixedQueries(spark)
+      // v1: half the corpus, published
+      Search.bm25BuildPublished(spark, half, root)
+      assert(Manifest.current(spark, root).contains("v1"))
+      val v1Res = Search.bm25SearchCurrent(spark, root, q, 10)
+        .collect().toSeq
+      assert(v1Res.nonEmpty)
+      // rebuild over the full corpus publishes v2 atomically; readers
+      // resolving through the pointer flip from one complete index to
+      // the other
+      Search.bm25BuildPublished(spark, docs, root)
+      assert(Manifest.current(spark, root).contains("v2"))
+      val v2Res = Search.bm25SearchCurrent(spark, root, q, 10)
+        .collect().toSeq
+      val direct = Search.bm25IndexedQuery(spark, sf).collect().toSeq
+      assert(v2Res == direct, "published rebuild drifted from a direct build")
+      // superseded v1 (and its _terms/_stats sidecars) retire under
+      // GC; the live version always survives
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root, "v1_stats")))
+      val deleted = Manifest.gcVersions(spark, root, keep = 0)
+      assert(deleted.contains("v1") && deleted.contains("v1_stats"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v1")))
+      assert(Search.bm25SearchCurrent(spark, root, q, 10)
+        .collect().toSeq == v2Res, "GC touched the live version")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(root)).deleteRecursively()
+    }
+  }
+
   test("mmr: greedy objective non-increasing, rank-1 = relevance argmax") {
     import graft.operators.Knn
     val out = Search.mmrRerank(spark, sf).collect()
