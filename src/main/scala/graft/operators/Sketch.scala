@@ -369,17 +369,32 @@ object Sketch {
       .groupBy(groupCol, "d", "bucket")
       .agg(count(lit(1)).as("cnt"))
 
-  /** Per-group top-k by estimated count (ties by term) — the probe
-    * joins a broadcast (groups × depth × width)-row summary; the only
-    * corpus-cardinality stage is the candidate distinct, which the
-    * caller replaces with its own candidate list at scale (see
-    * [[cmsProbeTopK]]).
+  /** Per-group top-k by estimated count (ties by term). The input is
+    * read twice — once aggregated into the state, once distinct-ed
+    * into candidates: both passes are one narrow codegen pipeline
+    * over the tokens, and checkpointing the exploded token stream to
+    * save the second would materialize a corpus-token-sized frame
+    * (recompute-over-persist, SURVEY §4 — unlike BM25's postings
+    * checkpoint, nothing here is query-filtered to a bounded size).
     */
   def cmsTopKBy(toks: DataFrame, groupCol: String, tokCol: String,
-                k: Int, depth: Int = 4, width: Int = 1024): DataFrame = {
+                k: Int, depth: Int = 4, width: Int = 1024): DataFrame =
+    cmsProbeTopKBy(cmsStateBy(toks, groupCol, tokCol, depth, width),
+      toks.select(col(groupCol), col(tokCol)).distinct(),
+      groupCol, tokCol, k, depth, width)
+
+  /** The grouped finish half, split from the state like
+    * [[cmsProbeTopK]] — a stream maintaining [[cmsStateBy]] state (or
+    * a caller with its own candidate list) finalizes through this,
+    * so the oracle-pinned tie-break (est DESC, term) lives in exactly
+    * one place. The probe joins a broadcast
+    * (groups × depth × width)-row summary.
+    */
+  def cmsProbeTopKBy(state: DataFrame, candidates: DataFrame,
+                     groupCol: String, tokCol: String, k: Int,
+                     depth: Int = 4, width: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val state = cmsStateBy(toks, groupCol, tokCol, depth, width)
-    val probes = toks.select(col(groupCol), col(tokCol)).distinct()
+    val probes = candidates
       .select(col(groupCol), col(tokCol),
         explode(cmsHashes(col(tokCol), depth, width)).as("h"))
       .select(col(groupCol), col(tokCol),
