@@ -109,6 +109,32 @@ class SketchStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming grouped count-min finalizes to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batchToks = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val rows = batchToks.as[(String, String)].collect()
+
+    val stream = MemoryStream[(String, String)]
+    val out = Sketch.cmsStateBy(stream.toDF().toDF("lang", "tok"),
+      "lang", "tok")
+    val q = out.writeStream.format("memory").queryName("cmsgstate")
+      .outputMode("complete").start()
+    try {
+      val waves = rows.sortBy(t => (t._2.hashCode * 2654435761L) % 1000)
+        .grouped(math.max(rows.length / 3, 1)).toSeq
+      waves.foreach { w => stream.addData(w.toSeq); q.processAllAvailable() }
+      val got = Sketch.cmsProbeTopKBy(spark.table("cmsgstate"),
+        batchToks.distinct(), "lang", "tok", 5).collect().toSeq
+      val want = Sketch.cmsByLangQuery(spark, sf).collect().toSeq
+      assert(got == want, s"stream-finalized $got vs batch $want")
+      // ≤ groups × depth × width rows of state
+      assert(spark.table("cmsgstate").count() <= 5L * 4L * 1024L)
+    } finally q.stop()
+  }
+
   test("streaming top-k heap converges to the batch heap across waves") {
     import graft.operators.TopKAgg
     import spark.implicits._
