@@ -225,6 +225,7 @@ object SparkEntry {
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
     "search_mmr_rerank" -> (Search.mmrQuery _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
+    "pipeline_train_eval" -> ((s, d) => Pipeline.trainEvalSplit(s, d)),
   )
 
   private val knnOracle: String => String = metric => {
@@ -251,12 +252,17 @@ object SparkEntry {
   /** Shared oracle CTE: distinct word-3-gram shingle sets (DuckDB
     * lists are 1-based; mirrors Dedup.withShingles exactly).
     */
-  private def shingleCteFrom(src: String): String =
-    s"""w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $src),
-       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+  /** `sfx` de-collides the CTE names when a query needs shingles of
+    * TWO different doc sets (the capstone train/eval oracle shingles
+    * the cleaned corpus while its victims chain already shingled the
+    * raw one).
+    */
+  private def shingleCteFrom(src: String, sfx: String = ""): String =
+    s"""w$sfx AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $src),
+       |sh$sfx AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
        |         THEN list_transform(range(1, len(ws)-1),
        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-       |         ELSE [text] END) AS shingles FROM w)""".stripMargin
+       |         ELSE [text] END) AS shingles FROM w$sfx)""".stripMargin
 
   private val shingleCte = shingleCteFrom("documents")
 
@@ -1928,6 +1934,63 @@ object SparkEntry {
         |SELECT doc_id, fp_md5,
         |       CAST('0x' || substr(fp_md5, 1, 15) AS BIGINT) AS fp60
         |FROM n ORDER BY doc_id""".stripMargin,
+    // second capstone: cleaned corpus → md5 split → per-split volumes
+    // + residual cross-split contamination (the decontam formulation
+    // over the CLEANED corpus); CTE names suffixed A to avoid the
+    // shared victims chain's names
+    "pipeline_train_eval" ->
+      s"""WITH RECURSIVE $bandCte,
+         |$verifiedPairsCte,
+         |$closureCte,
+         |victims AS (SELECT id AS doc_id FROM reach
+         |            GROUP BY id HAVING id <> min(r)),
+         |tt AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+         |       FROM documents),
+         |m AS (SELECT doc_id, len(toks) AS n_tokens,
+         |        len(list_filter(toks,
+         |          t -> t IN ('the','a','and','of','to','in','is')))
+         |          *1.0/len(toks) AS sw,
+         |        1.0 - len(list_distinct(toks))*1.0/len(toks) AS rep
+         |      FROM tt),
+         |qs AS (SELECT doc_id, round((least(n_tokens/50.0, 1.0)
+         |         + CASE WHEN sw BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END
+         |         + (1.0 - least(rep/0.9, 1.0))) / 3.0, 4) AS quality_score
+         |       FROM m),
+         |clA AS (SELECT d.doc_id, d.text FROM documents d
+         |        JOIN qs q ON d.doc_id = q.doc_id
+         |        WHERE q.quality_score >= 0.5
+         |          AND NOT EXISTS (SELECT 1 FROM victims v
+         |                          WHERE v.doc_id = d.doc_id)),
+         |splA AS (SELECT doc_id, text,
+         |           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+         |                     < 'cccd' THEN 'train'
+         |                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+         |                     < 'e666' THEN 'val'
+         |                ELSE 'test' END AS split
+         |         FROM clA),
+         |${shingleCteFrom("splA", "A")},
+         |sxA AS (SELECT doc_id, unnest(shingles) AS s FROM shA),
+         |tsA AS (SELECT sxA.doc_id AS train_id, s
+         |        FROM sxA JOIN splA USING (doc_id) WHERE split = 'train'),
+         |esA AS (SELECT sxA.doc_id AS eval_id, s
+         |        FROM sxA JOIN splA USING (doc_id) WHERE split <> 'train'),
+         |ecA AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS c
+         |        FROM esA GROUP BY 1),
+         |inA AS (SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n
+         |        FROM tsA JOIN esA USING (s) GROUP BY 1, 2),
+         |coA AS (SELECT DISTINCT eval_id AS doc_id
+         |        FROM inA JOIN ecA USING (eval_id) WHERE n / c >= 0.2),
+         |cbA AS (SELECT splA.split, CAST(count(*) AS BIGINT)
+         |          AS n_contaminated
+         |        FROM coA JOIN splA USING (doc_id) GROUP BY 1),
+         |rpA AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |                 AS n_tokens
+         |        FROM splA GROUP BY 1)
+         |SELECT r.split, r.n_docs, r.n_tokens,
+         |       coalesce(cbA.n_contaminated, 0) AS n_contaminated
+         |FROM rpA r LEFT JOIN cbA ON r.split = cbA.split
+         |ORDER BY r.split""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH RECURSIVE $bandCte,
          |$verifiedPairsCte,
