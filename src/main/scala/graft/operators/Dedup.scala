@@ -567,11 +567,26 @@ object Dedup {
                       minJaccard: Double = 0.5): DataFrame =
     nearDupClustersUnsorted(s, dir, minJaccard).orderBy("doc_id")
 
-  /** Unsorted composable form (see [[minhashPairsUnsorted]]). */
+  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Double), DataFrame]()
+
+  /** Unsorted composable form (see [[minhashPairsUnsorted]]).
+    *
+    * Memoized per (applicationId, dir, minJaccard) — the fixpoint is
+    * a deterministic dedup byproduct consumed by three downstream
+    * operators (dedup_clusters itself plus both pipeline capstones),
+    * and its result is already a localCheckpointed frame, so caching
+    * the reference costs nothing and spares each consumer the
+    * pair-generation + label-propagation rounds (the
+    * [[graft.operators.Triplets]] byproductCache precedent; keyed by
+    * applicationId so cached frames die with their SparkContext).
+    */
   def nearDupClustersUnsorted(s: SparkSession, dir: String,
                               minJaccard: Double = 0.5): DataFrame =
-    connectedComponents(
-      minhashPairsUnsorted(s, dir, minJaccard).select("id1", "id2"))
+    clusterCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, minJaccard),
+      _ => connectedComponents(
+        minhashPairsUnsorted(s, dir, minJaccard).select("id1", "id2")))
 
   /** Embedding-cosine near-dup pairs, blocked on sign-LSH buckets
     * ([[Ann.lshSignatures]]): candidates are pairs sharing any

@@ -17,6 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Scan-side projection twin of [[TextOps.qualityMetrics]]'s
+    * `quality_score`: identical arithmetic (stopword ratio from the
+    * same "en" stoplist, repetition from distinct-token ratio, the
+    * same three-term mean rounded to 4dp) computed as higher-order
+    * array functions over the scan instead of the metrics query's
+    * exploded aggregate + self-join. The capstones gate on the score
+    * alone, so they can afford the projection form: no shuffle, no
+    * join, and a consumer that re-derives the cleaned frame repeats
+    * only a cheap map over the scan — which is what makes
+    * recompute-over-persist (SURVEY §4) actually hold for them at
+    * 100 TB.
+    */
+  private def withQualityScore(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nToks = size(toks).cast("double")
+    val sw = size(filter(toks, t => t.isInCollection(enStop)))
+      .cast("double") / nToks
+    val rep = lit(1.0) - size(array_distinct(toks)).cast("double") / nToks
+    docs.withColumn("quality_score",
+      round((least(nToks / 50.0, lit(1.0))
+        + when(sw.between(0.01, 0.6), 1.0).otherwise(0.0)
+        + (lit(1.0) - least(rep / 0.9, lit(1.0)))) / 3.0, 4))
+  }
+
   /** Surviving-corpus stats per source after quality gating and
     * near-dup removal.
     */
@@ -24,20 +50,16 @@ object Pipeline {
                   minQuality: Double = 0.5,
                   minJaccard: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // unsorted internal forms: the surface orderBys of the standalone
-    // queries would be executed here and then destroyed by the join/
-    // distinct exchanges
-    val quality = TextOps.qualityMetrics(s, dir)
-      .select(col("doc_id"), col("quality_score"))
     // near-dup victims: everything but each CLUSTER's minimum doc —
     // dropping only the larger doc of each direct pair (round 2's
     // form) keeps transitive duplicates: for pairs (1,3),(2,3), docs
-    // 1 and 2 never meet in a pair yet duplicate each other via 3
+    // 1 and 2 never meet in a pair yet duplicate each other via 3.
+    // The fixpoint itself is memoized (Dedup.clusterCache), so the
+    // unsorted internal form here shares it with the other consumers
     val victims = Dedup.nearDupClustersUnsorted(s, dir, minJaccard)
       .where(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
-    docs.select("doc_id", "source")
-      .join(quality, "doc_id")
+    withQualityScore(docs.select(col("doc_id"), col("source"), col("text")))
       .where(col("quality_score") >= minQuality)
       .join(victims, Seq("doc_id"), "left_anti")
       .groupBy("source")
@@ -58,24 +80,26 @@ object Pipeline {
     * the dedup bar can still sit above the contamination bar; this
     * column is the audit of exactly that gap).
     *
-    * Plan notes: the clustering stage is reused through its
-    * checkpointed fixpoint; the cleaned+split frame is re-derived per
-    * consumer — quality and the split decision are narrow scan-side
-    * projections (recompute-over-persist, SURVEY §4), while the
-    * shingle joins are the same content-blocked equi-joins the
-    * standalone decontam query runs.
+    * Plan notes: the clustering stage is shared through the memoized
+    * checkpointed fixpoint (Dedup.clusterCache); the cleaned+split
+    * frame is re-derived per consumer — quality ([[withQualityScore]])
+    * and the split decision are genuinely scan-side projections
+    * (recompute-over-persist, SURVEY §4), so each re-derivation is a
+    * scan + map + one anti-join against the small victims frame —
+    * while the shingle joins are the same content-blocked equi-joins
+    * the standalone decontam query runs, and the train/eval shingle
+    * scans cover DISJOINT doc sets (each doc is tokenized exactly
+    * once across the pair of them).
     */
   def trainEvalSplit(s: SparkSession, dir: String,
                      minQuality: Double = 0.5,
                      minJaccard: Double = 0.5,
                      minOverlap: Double = 0.2): DataFrame = {
-    val quality = TextOps.qualityMetrics(s, dir)
-      .select(col("doc_id"), col("quality_score"))
     val victims = Dedup.nearDupClustersUnsorted(s, dir, minJaccard)
       .where(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
-    val cleaned = Tables.documents(s, dir).select("doc_id", "text")
-      .join(quality, "doc_id")
+    val cleaned = withQualityScore(
+        Tables.documents(s, dir).select("doc_id", "text"))
       .where(col("quality_score") >= minQuality)
       .join(victims, Seq("doc_id"), "left_anti")
       .select("doc_id", "text")
