@@ -169,13 +169,31 @@ object Dedup {
   def minhashPairsUnsorted(s: SparkSession, dir: String,
                            minJaccard: Double = 0.5): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
-    // the shingle table feeds banding AND verify; recomputing it per
-    // reference beats .persist() here — columnar cache construction
-    // plus racing materialization from concurrent broadcast jobs cost
-    // far more than the narrow window+explode recompute
-    val ex = shingleRows(docs)
-    val cand = bucketPairs(minhashBandsFromRows(ex), "band", "band_key")
-    verifyJaccard(cand, ex, minJaccard)
+    val cand = bucketPairs(minhashBands(docs), "band", "band_key")
+    verifyOnCandidates(docs, cand, minJaccard)
+  }
+
+  /** Exact-jaccard verification that tokenizes the corpus ONCE. The
+    * naive composition references the exploded shingle table three
+    * times (banding + both self-join sides of [[verifyJaccard]]), and
+    * each reference re-runs the full posexplode+window pipeline — the
+    * shingle table itself is data-sized, so persisting it is not the
+    * answer at 100 TB (the BM25 lesson, [[Search]]: checkpoint the
+    * SMALL frame, not the corpus-sized one). Here the small frame is
+    * the candidate-pair set — O(colliding pairs) by construction —
+    * so: checkpoint it, then re-shingle ONLY candidate docs (a
+    * semi-join prunes the scan; AQE broadcasts the id side while it
+    * fits, shuffles when a dup-heavy corpus makes it large) for the
+    * two verify sides. Full-corpus tokenizations per evaluation: one,
+    * inside the candidate job; the verify sides pay O(candidate docs).
+    */
+  private def verifyOnCandidates(docs: DataFrame, cand: DataFrame,
+                                 minJaccard: Double): DataFrame = {
+    val c = cand.localCheckpoint(true)
+    val ids = c.select(explode(array(col("id1"), col("id2"))).as("doc_id"))
+      .distinct()
+    val exC = shingleRows(docs.join(ids, Seq("doc_id"), "left_semi"))
+    verifyJaccard(c, exC, minJaccard)
   }
 
   /** The INCREMENTAL batch: every doc_id%9==0 corpus doc re-enters
@@ -491,8 +509,8 @@ object Dedup {
     // md5-inside-a-lambda, which Spark evaluates interpreted (and
     // CollapseProject + the join-key isnotnull pushdown would
     // re-evaluate per row on both self-join sides)
-    val ex = shingleRows(Tables.documents(s, dir).select("doc_id", "text"))
-    val blk = ex.groupBy("doc_id").agg(
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val blk = shingleRows(docs).groupBy("doc_id").agg(
       count(lit(1)).as("c"),
       min(mh60("b0|")).as("m0"),
       min(mh60("b1|")).as("m1"))
@@ -500,7 +518,7 @@ object Dedup {
         md5(concat(col("m0").cast("string"), lit("|"),
           col("m1").cast("string"))).as("block"))
     val cand = bucketPairs(blk, "block")
-    verifyJaccard(cand, ex, minJaccard).orderBy("id1", "id2")
+    verifyOnCandidates(docs, cand, minJaccard).orderBy("id1", "id2")
   }
 
   /** Connected components over an undirected pair graph:
