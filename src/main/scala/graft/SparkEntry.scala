@@ -214,7 +214,9 @@ object SparkEntry {
     "q_window_topn" -> ((s, d) => Analytics.windowTopOrders(s, d)),
     "events_tumbling" -> Analytics.eventsTumbling _,
     "events_hopping" -> (Analytics.eventsHopping _),
+    "events_anomaly" -> ((s, d) => Analytics.eventsAnomaly(s, d)),
     "text_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
+    "text_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
     "events_salted_enrich" -> ((s, d) => Skew.saltedEnrichQuery(s, d)),
     "events_asof_join" -> (AsOf.eventsAsofQuery _),
@@ -2449,6 +2451,39 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4)
         |         AS sum_value
         |FROM w GROUP BY ws, event_type ORDER BY w_start, event_type""".stripMargin,
+    "events_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, day, n,
+        |         sum(n) OVER (PARTITION BY event_type) AS s1,
+        |         sum(n*n) OVER (PARTITION BY event_type) AS s2,
+        |         count(*) OVER (PARTITION BY event_type) AS nd
+        |       FROM daily),
+        |zs AS (SELECT event_type, day, n,
+        |         round((n - s1 * 1.0 / nd)
+        |           / sqrt(s2 * 1.0 / nd
+        |                  - (s1 * 1.0 / nd) * (s1 * 1.0 / nd)), 4) AS zscore
+        |       FROM st)
+        |SELECT event_type, day, n, zscore FROM zs
+        |WHERE abs(zscore) >= 2.0 ORDER BY event_type, day""".stripMargin,
+    "text_tfidf_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tok,
+        |         round(tf * ln(n_docs * 1.0 / df), 4) AS score
+        |       FROM tf JOIN df USING (tok) CROSS JOIN nn),
+        |r AS (SELECT doc_id, tok, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, tok) AS rk
+        |      FROM sc)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "text_top_terms" ->
       """WITH u AS (SELECT DISTINCT lang, doc_id, tok FROM
         |             (SELECT lang, doc_id,

@@ -449,6 +449,37 @@ object Analytics {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("w_start", "event_type")
 
+  /** Daily-count anomaly detection: flag (event_type, day) cells
+    * whose count sits ≥ `z` population standard deviations from that
+    * type's daily mean. The heavy stage is the one map-side-partial
+    * daily reduction of events; mean/variance then come from a window
+    * over the DAYS×TYPES frame (metadata-sized at any corpus scale —
+    * no second events scan, and the window's event_type exchange
+    * moves only that tiny frame). Mean and variance are derived from
+    * exact integer aggregates (Σn, Σn², N — associative, so
+    * partition order cannot perturb them), which makes the doubles
+    * bit-deterministic across engines; the z-score is rounded to 4dp
+    * before the threshold so the flag predicate compares identical
+    * values on both sides.
+    */
+  def eventsAnomaly(s: SparkSession, dir: String, z: Double = 2.0): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val mean = col("s1").cast("double") / col("nd")
+    daily
+      .withColumn("s1", sum("n").over(byType))
+      .withColumn("s2", sum(col("n") * col("n")).over(byType))
+      .withColumn("nd", count(lit(1)).over(byType))
+      .withColumn("zscore", round((col("n") - mean)
+        / sqrt(col("s2").cast("double") / col("nd") - mean * mean), 4))
+      .where(abs(col("zscore")) >= z)
+      .select(col("event_type"), col("day"), col("n"), col("zscore"))
+      .orderBy("event_type", "day")
+  }
+
   /** 30-minute-gap sessionization: lag → new-session flag → running
     * sum (the standard two-window formulation).
     */

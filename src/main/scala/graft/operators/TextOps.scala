@@ -281,6 +281,41 @@ object TextOps {
       .orderBy("lang", "rk")
   }
 
+  /** Per-document keyword extraction: top-k terms by tf-idf (raw term
+    * frequency × ln(N/df)). The corpus is tokenized twice — once into
+    * the (doc, tok, tf) frame, once more for the df reduction over
+    * it — both narrow explode+partial-agg pipelines (the sanctioned
+    * recompute, SURVEY §4); df is vocabulary-sized so AQE broadcasts
+    * it into the scoring join, and the rank window partitions by
+    * doc_id — the same key the tf aggregate just shuffled on, so the
+    * window adds a sort but no exchange. Scores are rounded to 4dp
+    * BEFORE the rank (the q15 rule: never let an engine-specific
+    * last-ulp decide an ordering the oracle re-derives).
+    */
+  def tfidfKeywords(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // count over the UNSPREAD scan: the loader's doc_id repartition is
+    // a barrier the optimizer cannot lift, and paying a full-corpus
+    // shuffle to count rows is absurd — the bare scan partial-counts
+    // per split and exchanges one long per partition
+    val n = Tables.table(s, dir, "documents")
+      .select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf")
+        * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"),
+        col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
   // ------------------------------------------------------------- PII
 
   // Test-fixture boundaries: the word-salad corpus contains no digits,

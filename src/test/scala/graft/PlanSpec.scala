@@ -218,4 +218,23 @@ class PlanSpec extends SparkSuite {
       assert(cg.contains("getFloat("), s"loop not inlined:\n${cg.take(1500)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("events_anomaly: one events scan; stats come from the daily window") {
+    val p = planOf(Analytics.eventsAnomaly(spark, sf))
+    val scans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("events")).toSeq
+    assert(scans.size == 1,
+      s"expected 1 events scan (mean/σ from the window), got ${scans.size}")
+  }
+
+  test("tfidf: window satisfied by the spread, top-k group-limit pruned") {
+    val p = planOf(graft.operators.TextOps.tfidfKeywords(spark, sf))
+    // tf pass + df pass + bare metadata count = exactly three scans
+    val scans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents")).toSeq
+    assert(scans.size == 3, s"expected 3 documents scans, got ${scans.size}")
+    // rank pruning before the full sort materializes per-doc term lists
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k window not group-limit pruned:\n${p.take(2000)}")
+  }
 }
