@@ -1,0 +1,29 @@
+package graft
+
+/** One-off audit: per-table FileScan counts in each registered
+  * query's physical plan; flags repeated scans of the same table.
+  */
+object ScanAudit {
+  def main(args: Array[String]): Unit = {
+    val s = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .getOrCreate()
+    val dir = "/root/testdata/sf0.01"
+    val tables = Seq("lineitem", "orders", "customer", "supplier", "part",
+      "nation", "region", "events", "documents", "embeddings")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      try {
+        val p = q(s, dir).queryExecution.executedPlan.toString
+        val counts = tables.map { t =>
+          t -> p.linesIterator.count(l =>
+            l.contains("FileScan") && l.contains(s"$t.parquet"))
+        }.filter(_._2 >= 2)
+        if (counts.nonEmpty)
+          println(s"[scan] $name: " + counts.map { case (t, c) => s"$t=$c" }
+            .mkString(", "))
+      } catch { case e: Throwable =>
+        println(s"[scan] $name ERROR ${e.getClass.getSimpleName}")
+      }
+    }
+    s.stop()
+  }
+}

@@ -220,22 +220,48 @@ object Analytics {
     * counts are monotone non-increasing by construction.
     */
   def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
-    val v = ev.where(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("v_ts"))
-    val c = ev.where(col("event_type") === "click").join(v, "user_id")
-      .where(col("ts") >= col("v_ts"))
-      .groupBy("user_id").agg(min("ts").as("c_ts"))
-    val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
-      .where(col("ts") >= col("c_ts"))
-      .groupBy("user_id").agg(min("ts").as("p_ts"))
-    v.select(lit(1L).as("stage"), lit("view").as("name"), col("user_id"))
-      .unionByName(c.select(lit(2L).as("stage"),
-        lit("view_click").as("name"), col("user_id")))
-      .unionByName(p.select(lit(3L).as("stage"),
-        lit("view_click_purchase").as("name"), col("user_id")))
-      .groupBy("stage", "name")
-      .agg(count(lit(1)).as("users"))
+    // ONE events scan. The stage-join formulation (min view ts →
+    // clicks ≥ it → purchases ≥ that) re-evaluated the events lineage
+    // per stage AND per union branch — six scans. Running RANGE
+    // windows express the same semantics scan-free: a click qualifies
+    // iff a view exists at-or-before it (v_run, the running first
+    // view ts, is non-null ⟺ v_ts ≤ click ts, since the frame only
+    // holds rows ≤ current ts — RANGE includes same-ts ties, matching
+    // the join's >=), and a purchase qualifies iff a QUALIFYING click
+    // precedes it. Both windows and the per-user aggregate satisfy
+    // their distribution from the loader's user_id spread; ties need
+    // no secondary sort key because RANGE frames are order-blind
+    // within equal ts.
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val isView = col("event_type") === "view"
+    val isClick = col("event_type") === "click"
+    val isPurchase = col("event_type") === "purchase"
+    val perUser = Tables.events(s, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select("user_id", "event_type", "ts")
+      .withColumn("v_run", min(when(isView, col("ts"))).over(w))
+      .withColumn("c_run",
+        min(when(isClick && col("v_run").isNotNull, col("ts"))).over(w))
+      .groupBy("user_id").agg(
+        min(when(isView, col("ts"))).as("v_ts"),
+        min(when(isClick && col("v_run").isNotNull, col("ts"))).as("c_ts"),
+        min(when(isPurchase && col("c_run").isNotNull, col("ts"))).as("p_ts"))
+    perUser.agg(
+        count("v_ts").as("n_view"), count("c_ts").as("n_click"),
+        count("p_ts").as("n_purchase"))
+      .select(explode(array(
+        struct(lit(1L).as("stage"), lit("view").as("name"),
+          col("n_view").as("users")),
+        struct(lit(2L).as("stage"), lit("view_click").as("name"),
+          col("n_click").as("users")),
+        struct(lit(3L).as("stage"), lit("view_click_purchase").as("name"),
+          col("n_purchase").as("users")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.name").as("name"),
+        col("r.users").as("users"))
+      // the stage-join form emits no row for an empty stage (its
+      // groupBy sees no input); keep that contract
+      .where(col("users") > 0)
       .orderBy("stage")
   }
 

@@ -41,12 +41,19 @@ object Decontam {
       .select("doc_id", "text")
     val ts = Dedup.shingleRows(train)
       .select(col("doc_id").as("train_id"), col("s"))
+    // per-eval-doc cardinality rides the shingle rows via a window
+    // instead of a separate groupBy branch — a second reference to
+    // the eval-shingle frame would re-run its whole scan+distinct
+    // lineage; the window costs one eval_id exchange of the SMALL
+    // (eval) side only. `max(ec)` in the pair aggregate just carries
+    // the per-eval constant through.
     val es = Dedup.shingleRows(eval_)
       .select(col("doc_id").as("eval_id"), col("s"))
-    val ecard = es.groupBy("eval_id").agg(count(lit(1)).as("ec"))
-    val inter = ts.join(es, "s")
-      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n"))
-    inter.join(ecard, "eval_id")
+      .withColumn("ec", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("eval_id")))
+    ts.join(es, "s")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n"), max("ec").as("ec"))
       .where(col("n") / col("ec") >= minOverlap)
       .select(col("eval_id"), col("train_id"), col("n").as("n_shared"),
         round(col("n") / col("ec"), 4).as("overlap"))

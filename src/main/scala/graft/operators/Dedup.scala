@@ -73,20 +73,29 @@ object Dedup {
     */
   def shingleRows(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withN = docs.select(col("doc_id"), col("text"),
-      size(split(col("text"), " ")).as("n"))
-    val short = withN.where(col("n") < 3)
-      .select(col("doc_id"), col("text").as("s"))
+    // ONE branch, one scan: a union of a grams branch (n ≥ 3) and a
+    // short-doc branch (s = whole text) would evaluate the input
+    // lineage twice — and this helper sits under every shingle
+    // consumer in the repo, so that doubling multiplied through
+    // minhash, ngram, decontam and the capstones. Instead the
+    // short-doc row rides the same posexplode: at pos 0 of an n < 3
+    // doc the shingle is the full text, every other short-doc pos is
+    // filtered. concat_ws skips the null leads at partition tails, so
+    // the gram expression is total; the window is the only exchange
+    // and it hashes doc_id — the loaders' spread key.
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = withN.where(col("n") >= 3)
-      .select(col("doc_id"), col("n"),
+    docs.select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).as("n"))
+      .select(col("doc_id"), col("text"), col("n"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .select(col("doc_id"), col("n"), col("pos"),
-        concat_ws(" ", col("word"),
-          lead("word", 1).over(w), lead("word", 2).over(w)).as("s"))
-      .where(col("pos") <= col("n") - 3)
+        when(col("n") < 3, col("text"))
+          .otherwise(concat_ws(" ", col("word"),
+            lead("word", 1).over(w), lead("word", 2).over(w))).as("s"))
+      .where(col("pos") <= col("n") - 3 ||
+        (col("n") < 3 && col("pos") === 0))
       .select("doc_id", "s")
-    grams.unionByName(short).distinct()
+      .distinct()
   }
 
   val NumHashes = 12
@@ -224,6 +233,10 @@ object Dedup {
                               minJaccard: Double = 0.5): DataFrame = {
     val exB = shingleRows(batch)
     val corpusBands = s.read.parquet(sigIndexPath)
+    // checkpointed: the collision-pair frame is O(bucket collisions)
+    // and every later stage references it (touched-doc semi-join +
+    // both verify sides) — un-checkpointed, each reference re-ran the
+    // batch banding AND the signature-index bucket join
     val cand = minhashBandsFromRows(exB).as("nb")
       .join(corpusBands.as("ob"),
         col("nb.band") === col("ob.band") &&
@@ -231,6 +244,7 @@ object Dedup {
       .select(col("nb.doc_id").as("id1"), col("ob.doc_id").as("id2"),
         col("nb.c").as("c1"), col("ob.c").as("c2"))
       .distinct()
+      .localCheckpoint(true)
     // verify touches only collision docs: the semi-join prunes the
     // corpus BEFORE the shingle explode, so verify cost follows the
     // collision count, not the corpus size

@@ -108,14 +108,18 @@ object Pipeline {
         withSplit.where(col("split") === "train")
           .select("doc_id", "text"))
       .select(col("doc_id").as("train_id"), col("s"))
+    // eval-shingle cardinality via a window on the small side — one
+    // evaluation of the eval lineage instead of two (see
+    // Decontam.contamination for the rationale)
     val evalS = Dedup.shingleRows(
         withSplit.where(col("split") =!= "train")
           .select("doc_id", "text"))
       .select(col("doc_id").as("eval_id"), col("s"))
-    val ecard = evalS.groupBy("eval_id").agg(count(lit(1)).as("ec"))
+      .withColumn("ec", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("eval_id")))
     val contaminated = trainS.join(evalS, "s")
-      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n"))
-      .join(ecard, "eval_id")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n"), max("ec").as("ec"))
       .where(col("n") / col("ec") >= minOverlap)
       .select(col("eval_id").as("doc_id")).distinct()
     val contamBySplit = withSplit.join(contaminated, "doc_id")
