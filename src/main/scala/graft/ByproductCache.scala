@@ -1,0 +1,41 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped memo for deterministic DataFrame byproducts (the
+  * dedup cluster fixpoint, the verified-pair set, near-miss pools):
+  * operators that CONSUME one of these reuse the frame another query
+  * already built instead of re-running its pipeline — the frames are
+  * localCheckpointed or checkpoint-backed, so caching the reference
+  * costs nothing.
+  *
+  * Two hazards of the bare `ConcurrentHashMap.computeIfAbsent` form
+  * this replaces:
+  *   - computeIfAbsent runs the loader inside the map's bin lock, so
+  *     a first call that launches minutes of Spark jobs blocks every
+  *     other first call hashing to the same bin. Here the compute
+  *     runs OUTSIDE any lock; a racing pair may build twice, and
+  *     since the byproducts are deterministic, `putIfAbsent` keeps
+  *     whichever landed first — harmless.
+  *   - entries keyed by a finished SparkContext pinned their dead
+  *     session's plans forever. Spark allows one active context per
+  *     JVM, so on every access entries under any OTHER applicationId
+  *     are unreachable garbage — purged here.
+  */
+object ByproductCache {
+  private val cache = new ConcurrentHashMap[(String, String), DataFrame]()
+
+  def getOrCompute(appId: String, key: String)(f: => DataFrame): DataFrame = {
+    val it = cache.keySet.iterator
+    while (it.hasNext) if (it.next()._1 != appId) it.remove()
+    val k = (appId, key)
+    val cached = cache.get(k)
+    if (cached != null) cached
+    else {
+      val v = f
+      val prev = cache.putIfAbsent(k, v)
+      if (prev != null) prev else v
+    }
+  }
+}

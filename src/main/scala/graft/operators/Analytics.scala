@@ -481,10 +481,16 @@ object Analytics {
     * daily reduction of events; mean/variance then come from a window
     * over the DAYS×TYPES frame (metadata-sized at any corpus scale —
     * no second events scan, and the window's event_type exchange
-    * moves only that tiny frame). Mean and variance are derived from
-    * exact integer aggregates (Σn, Σn², N — associative, so
-    * partition order cannot perturb them), which makes the doubles
-    * bit-deterministic across engines; the z-score is rounded to 4dp
+    * moves only that tiny frame). Mean and variance derive from
+    * exact integer aggregates (Σn, Σn², N — associative, so partition
+    * order cannot perturb them), making the z-doubles
+    * bit-deterministic across engines. Σn² squares and sums as
+    * DECIMAL(38,0): a long·long square would silently wrap past
+    * n ≈ 3e9 events/day, and a double sum over the unordered window
+    * frame would go order-sensitive past 2^53 — the decimal is exact
+    * to 1e38 (mirroring the HUGEINT DuckDB's sum(BIGINT) promotes
+    * to), and only the final single cast to double rounds, correctly
+    * and identically on both engines. The z-score is rounded to 4dp
     * before the threshold so the flag predicate compares identical
     * values on both sides.
     */
@@ -495,9 +501,10 @@ object Analytics {
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n"))
     val mean = col("s1").cast("double") / col("nd")
+    val nDec = col("n").cast("decimal(19,0)")
     daily
       .withColumn("s1", sum("n").over(byType))
-      .withColumn("s2", sum(col("n") * col("n")).over(byType))
+      .withColumn("s2", sum(nDec * nDec).over(byType))
       .withColumn("nd", count(lit(1)).over(byType))
       .withColumn("zscore", round((col("n") - mean)
         / sqrt(col("s2").cast("double") / col("nd") - mean * mean), 4))

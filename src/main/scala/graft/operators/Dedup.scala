@@ -599,26 +599,22 @@ object Dedup {
                       minJaccard: Double = 0.5): DataFrame =
     nearDupClustersUnsorted(s, dir, minJaccard).orderBy("doc_id")
 
-  private val clusterCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Double), DataFrame]()
-
   /** Unsorted composable form (see [[minhashPairsUnsorted]]).
     *
     * Memoized per (applicationId, dir, minJaccard) — the fixpoint is
     * a deterministic dedup byproduct consumed by three downstream
     * operators (dedup_clusters itself plus both pipeline capstones),
-    * and its result is already a localCheckpointed frame, so caching
+    * and its result is already a checkpoint-backed frame, so caching
     * the reference costs nothing and spares each consumer the
-    * pair-generation + label-propagation rounds (the
-    * [[graft.operators.Triplets]] byproductCache precedent; keyed by
-    * applicationId so cached frames die with their SparkContext).
+    * pair-generation + label-propagation rounds.
     */
   def nearDupClustersUnsorted(s: SparkSession, dir: String,
                               minJaccard: Double = 0.5): DataFrame =
-    clusterCache.computeIfAbsent(
-      (s.sparkContext.applicationId, dir, minJaccard),
-      _ => connectedComponents(
-        minhashPairsUnsorted(s, dir, minJaccard).select("id1", "id2")))
+    graft.ByproductCache.getOrCompute(s.sparkContext.applicationId,
+      s"clusters|$dir|$minJaccard") {
+      connectedComponents(
+        minhashPairsUnsorted(s, dir, minJaccard).select("id1", "id2"))
+    }
 
   /** Embedding-cosine near-dup pairs, blocked on sign-LSH buckets
     * ([[Ann.lshSignatures]]): candidates are pairs sharing any

@@ -17,30 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
-
   /** Scan-side projection twin of [[TextOps.qualityMetrics]]'s
-    * `quality_score`: identical arithmetic (stopword ratio from the
-    * same "en" stoplist, repetition from distinct-token ratio, the
-    * same three-term mean rounded to 4dp) computed as higher-order
-    * array functions over the scan instead of the metrics query's
-    * exploded aggregate + self-join. The capstones gate on the score
-    * alone, so they can afford the projection form: no shuffle, no
-    * join, and a consumer that re-derives the cleaned frame repeats
-    * only a cheap map over the scan — which is what makes
-    * recompute-over-persist (SURVEY §4) actually hold for them at
-    * 100 TB.
+    * `quality_score`: the stoplist and the score formula are the ONE
+    * shared definition ([[TextOps.stopWords]] /
+    * [[TextOps.qualityScore]]), so the gate cannot drift from the
+    * metrics query. Stopword occurrences count via
+    * Σ_w (|toks| − |array_remove(toks, w)|) — codegen'd collection
+    * ops, not the interpreted HOF `filter` lambda the repo's
+    * documented pitfall warns about (the sum of exact small-int terms
+    * equals the single filter count bit-for-bit). The capstones gate
+    * on the score alone, so they can afford the projection form: no
+    * shuffle, no join, and a consumer that re-derives the cleaned
+    * frame repeats only a cheap map over the scan — which is what
+    * makes recompute-over-persist (SURVEY §4) actually hold for them
+    * at 100 TB.
     */
   private def withQualityScore(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val nToks = size(toks).cast("double")
-    val sw = size(filter(toks, t => t.isInCollection(enStop)))
-      .cast("double") / nToks
+    val hits = TextOps.stopWords("en")
+      .map(w => (size(toks) - size(array_remove(toks, w))).cast("double"))
+      .reduce(_ + _)
     val rep = lit(1.0) - size(array_distinct(toks)).cast("double") / nToks
     docs.withColumn("quality_score",
-      round((least(nToks / 50.0, lit(1.0))
-        + when(sw.between(0.01, 0.6), 1.0).otherwise(0.0)
-        + (lit(1.0) - least(rep / 0.9, lit(1.0)))) / 3.0, 4))
+      TextOps.qualityScore(size(toks), hits / nToks, rep))
   }
 
   /** Surviving-corpus stats per source after quality gating and

@@ -23,6 +23,24 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un"))
 
+  /** The stoplist consumed outside this file (the capstones' gate
+    * projection) — ONE definition, so the gate and the metrics query
+    * cannot drift.
+    */
+  def stopWords(lang: String): Seq[String] = stop(lang)
+
+  /** The composite quality score — the single definition both the
+    * metrics query ([[qualityMetrics]]) and the capstones' scan-side
+    * gate projection ([[graft.operators.Pipeline]]) evaluate: length
+    * in a healthy band + some-but-not-all stopwords + low repetition,
+    * each term in [0,1], equal weights, 4dp.
+    */
+  def qualityScore(nTokens: Column, stopRatio: Column,
+                   repRatio: Column): Column =
+    round((least(nTokens.cast("double") / 50.0, lit(1.0))
+      + when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.0)
+      + (lit(1.0) - least(repRatio / 0.9, lit(1.0)))) / 3.0, 4)
+
   private def stopHits(lang: String): Column =
     sum(when(col("tok").isin(stop(lang): _*), 1L).otherwise(0L))
 
@@ -114,13 +132,8 @@ object TextOps {
       .join(ratios, Seq("doc_id"), "left")
       .withColumn("repetition_ratio",
         lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
-      .withColumn("quality_score",
-        // length in a healthy band + some-but-not-all stopwords +
-        // low repetition; each term in [0,1], equal weights
-        round((least(col("n_tokens").cast("double") / 50.0, lit(1.0))
-          + when(col("stopword_ratio").between(0.01, 0.6), 1.0).otherwise(0.0)
-          + (lit(1.0) - least(col("repetition_ratio") / 0.9, lit(1.0)))) / 3.0,
-          4))
+      .withColumn("quality_score", qualityScore(col("n_tokens"),
+        col("stopword_ratio"), col("repetition_ratio")))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
         round(col("avg_token_len"), 4).as("avg_token_len"),
         round(col("stopword_ratio"), 4).as("stopword_ratio"),

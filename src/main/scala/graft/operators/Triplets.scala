@@ -38,24 +38,22 @@ object Triplets {
     * invocation (r5 bench: train_triplets_hard 4.4 s, ~85% upstream
     * recompute). One localCheckpoint per (app, dir, params) — the
     * same one-build amortization Ann.centCache gives k-means, and
-    * results are unchanged because both pipelines are deterministic.
-    * Keyed by applicationId so a cached frame never outlives its
-    * SparkContext (checkpoint blocks die with the context).
+    * results are unchanged because both pipelines are deterministic
+    * ([[graft.ByproductCache]] for the lock/lifetime discipline).
     */
-  private val byproductCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String), DataFrame]()
-
   private def verifiedPairs(s: SparkSession, dir: String,
                             minJaccard: Double): DataFrame =
-    byproductCache.computeIfAbsent(
-      (s.sparkContext.applicationId, dir, s"pairs_$minJaccard"),
-      _ => Dedup.minhashPairsUnsorted(s, dir, minJaccard)
-        .select("id1", "id2").localCheckpoint(true))
+    graft.ByproductCache.getOrCompute(s.sparkContext.applicationId,
+      s"triplet_pairs|$dir|$minJaccard") {
+      Dedup.minhashPairsUnsorted(s, dir, minJaccard)
+        .select("id1", "id2").localCheckpoint(true)
+    }
 
   private def nearMissPool(s: SparkSession, dir: String): DataFrame =
-    byproductCache.computeIfAbsent(
-      (s.sparkContext.applicationId, dir, "near_misses"),
-      _ => Dedup.simhashNearMisses(s, dir).localCheckpoint(true))
+    graft.ByproductCache.getOrCompute(s.sparkContext.applicationId,
+      s"near_misses|$dir") {
+      Dedup.simhashNearMisses(s, dir).localCheckpoint(true)
+    }
 
   /** (anchor_id, pos_id, neg_id): positives = verified near-dup
     * pairs (both orientations), negative = the in-batch candidate

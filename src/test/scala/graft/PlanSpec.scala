@@ -86,7 +86,11 @@ class PlanSpec extends SparkSuite {
       "text_langid" -> graft.operators.TextOps.langId(spark, sf),
       "text_quality" -> graft.operators.TextOps.quality(spark, sf),
       "mm_features" -> graft.operators.Multimodal.featuresQuery(spark, sf),
-      "mm_frame_sample" -> graft.operators.Multimodal.frameSampleQuery(spark, sf))) {
+      "mm_frame_sample" -> graft.operators.Multimodal.frameSampleQuery(spark, sf),
+      // the capstones' scan-side quality gate re-derives per consumer,
+      // so an interpreted lambda there would run over the corpus 4×
+      "pipeline_clean_corpus" ->
+        graft.operators.Pipeline.cleanCorpus(spark, sf))) {
       val p = df.queryExecution.optimizedPlan.toString
       assert(!p.contains("lambdafunction"),
         s"$n still runs a HOF lambda:\n${p.take(2000)}")
