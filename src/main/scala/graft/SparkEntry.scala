@@ -215,6 +215,7 @@ object SparkEntry {
     "events_tumbling" -> Analytics.eventsTumbling _,
     "events_hopping" -> (Analytics.eventsHopping _),
     "events_anomaly" -> ((s, d) => Analytics.eventsAnomaly(s, d)),
+    "events_anomaly_online" -> ((s, d) => Analytics.eventsAnomalyOnline(s, d)),
     "text_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
     "text_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
@@ -2466,6 +2467,24 @@ object SparkEntry {
         |           / sqrt(s2 * 1.0 / nd
         |                  - (s1 * 1.0 / nd) * (s1 * 1.0 / nd)), 4) AS zscore
         |       FROM st)
+        |SELECT event_type, day, n, zscore FROM zs
+        |WHERE abs(zscore) >= 2.0 ORDER BY event_type, day""".stripMargin,
+    "events_anomaly_online" ->
+      """WITH daily AS (SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, day, n,
+        |         sum(n) OVER w AS s1, sum(n*n) OVER w AS s2,
+        |         count(*) OVER w AS nd
+        |       FROM daily
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |zs AS (SELECT event_type, day, n,
+        |         round((n - s1 * 1.0 / nd)
+        |           / sqrt(s2 * 1.0 / nd
+        |                  - (s1 * 1.0 / nd) * (s1 * 1.0 / nd)), 4) AS zscore
+        |       FROM st WHERE nd >= 7 AND nd * s2 > s1 * s1)
         |SELECT event_type, day, n, zscore FROM zs
         |WHERE abs(zscore) >= 2.0 ORDER BY event_type, day""".stripMargin,
     "text_tfidf_keywords" ->

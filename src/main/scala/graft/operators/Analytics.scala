@@ -513,6 +513,44 @@ object Analytics {
       .orderBy("event_type", "day")
   }
 
+  /** ONLINE anomaly detection — each day scored against the stats of
+    * its PRECEDING days only (ROWS … 1 PRECEDING cumulative windows),
+    * which is the semantics a streaming detector can actually
+    * compute: no day's score ever revises, so the batch output is the
+    * exact replay of what [[graft.streaming.AnomalyStream]] emits as
+    * days close. Same plan skeleton as [[eventsAnomaly]] (one daily
+    * reduction, windows over the metadata-sized frame) and the same
+    * exact-integer determinism discipline; additionally the
+    * variance-positivity gate compares nd·Σn² > (Σn)² in EXACT
+    * decimal arithmetic — deciding "is there any variance yet" on the
+    * rounded double would let a last-ulp wobble near zero flip a
+    * division-by-zero — and a `warmupDays` floor keeps the noisy
+    * first prefix from flagging everything.
+    */
+  def eventsAnomalyOnline(s: SparkSession, dir: String, z: Double = 2.0,
+                          warmupDays: Int = 7): DataFrame = {
+    val prior = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val mean = col("s1").cast("double") / col("nd")
+    val nDec = col("n").cast("decimal(19,0)")
+    daily
+      .withColumn("s1", sum("n").over(prior))
+      .withColumn("s2", sum(nDec * nDec).over(prior))
+      .withColumn("nd", count(lit(1)).over(prior))
+      .where(col("nd") >= warmupDays &&
+        col("nd").cast("decimal(19,0)") * col("s2") >
+          col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)"))
+      .withColumn("zscore", round((col("n") - mean)
+        / sqrt(col("s2").cast("double") / col("nd") - mean * mean), 4))
+      .where(abs(col("zscore")) >= z)
+      .select(col("event_type"), col("day"), col("n"), col("zscore"))
+      .orderBy("event_type", "day")
+  }
+
   /** 30-minute-gap sessionization: lag → new-session flag → running
     * sum (the standard two-window formulation).
     */
