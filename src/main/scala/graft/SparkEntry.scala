@@ -124,6 +124,7 @@ object SparkEntry {
     "dedup_simhash60_pairs" -> ((s, d) => Dedup.simhashPairsWide(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "dedup_substring" -> (Dedup.duplicatedSpansQuery _),
     "dedup_embedding_cos" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
     "sim_brute_topk" -> ((s, d) =>
       Knn.topKExcludingSelf(emb(s, d), simQset(s, d), 10, Knn.Metric.Cosine)),
@@ -1410,6 +1411,29 @@ object SparkEntry {
          |$closureCte
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // passage-level substring dedup: positional 3-grams, cross-doc
+    // duplicated iff min(doc)≠max(doc) per gram, consecutive
+    // positions island-merged (pos − row_number) into maximal spans
+    "dedup_substring" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+        |st AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |g AS (SELECT doc_id, pos,
+        |        toks[pos+1] || ' ' || toks[pos+2] || ' ' || toks[pos+3] AS s
+        |      FROM st CROSS JOIN (SELECT unnest(range(128)) AS pos)
+        |      WHERE pos <= len(toks) - 3),
+        |d AS (SELECT s FROM g GROUP BY s HAVING min(doc_id) <> max(doc_id)),
+        |p AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |      FROM g WHERE s IN (SELECT s FROM d)),
+        |isl AS (SELECT doc_id, pos - rn AS grp, min(pos) AS a, max(pos) AS b
+        |        FROM p GROUP BY 1, 2)
+        |SELECT doc_id, CAST(a AS BIGINT) AS span_start,
+        |       CAST(b + 2 AS BIGINT) AS span_end,
+        |       CAST(b - a + 3 AS BIGINT) AS span_tokens
+        |FROM isl WHERE b - a + 3 >= 8
+        |ORDER BY doc_id, span_start""".stripMargin,
     "dedup_simhash60_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |u AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h

@@ -657,4 +657,73 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("c"), 4).as("cosine"))
       .orderBy("id1", "id2")
   }
+
+  /** PASSAGE-level exact-substring dedup — the modality the published
+    * training-data pipelines run beside document-level near-dedup:
+    * find the maximal token spans a document shares verbatim with ANY
+    * other document, so boilerplate/quoted passages can be clipped
+    * without dropping the whole doc (doc-level jaccard misses a long
+    * shared passage inside two otherwise-different docs).
+    *
+    * Plan, one corpus scan and three key exchanges, all content-keyed:
+    *   1. positional 3-grams — posexplode + lead window (doc_id
+    *      exchange), positions KEPT (unlike [[shingleRows]], which
+    *      distincts them away: spans need coordinates);
+    *   2. cross-doc duplicated grams via min/max doc_id over a
+    *      gram-partitioned window — one `s` exchange, NO second
+    *      evaluation of the tokenize lineage (a groupBy-then-semi-join
+    *      formulation would re-run the scan) and no countDistinct:
+    *      a gram is shared iff min(doc_id) ≠ max(doc_id). Gram-key
+    *      cardinality grows with the corpus (§4 blocking rule), and a
+    *      stop-gram (present in half the corpus) costs O(its rows),
+    *      never a pair expansion — this stage is per-ROW, which is
+    *      why substring dedup scales where pairwise formulations die;
+    *   3. island merge — consecutive duplicated positions chain into
+    *      maximal spans via the classic pos − row_number group key
+    *      (doc_id exchange), then min/max per island.
+    *
+    * A 3-gram at position p covers tokens [p, p+2], so an island of
+    * positions [a, b] is the span [a, b+2], b−a+3 tokens long.
+    * `minTokens` rejects the short runs word-salad 3-gram sharing
+    * produces by chance; a planted full-doc duplicate surfaces as one
+    * doc-length span on BOTH sides of the pair. At web scale the same
+    * plan runs with 50-token grams (rarer, so stage 2's buckets
+    * shrink) — the knobs move, the shape doesn't.
+    */
+  def duplicatedSpans(corpus: DataFrame, minTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = corpus
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("n"), col("pos"),
+        concat_ws(" ", col("word"),
+          lead("word", 1).over(wDoc), lead("word", 2).over(wDoc)).as("s"))
+      .where(col("pos") <= col("n") - 3)
+    val wGram = Window.partitionBy("s")
+    val dupPos = grams
+      .withColumn("dmin", min("doc_id").over(wGram))
+      .withColumn("dmax", max("doc_id").over(wGram))
+      .where(col("dmin") =!= col("dmax"))
+      .select("doc_id", "pos")
+    dupPos
+      .withColumn("grp",
+        col("pos") - row_number().over(wDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("a"), max("pos").as("b"))
+      .where(col("b") - col("a") + 3 >= minTokens)
+      .select(col("doc_id"),
+        col("a").cast("long").as("span_start"),
+        (col("b") + 2).cast("long").as("span_end"),
+        (col("b") - col("a") + 3).cast("long").as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Surface query on the planted-duplicate corpus: each +100000 copy
+    * and its source surface as full-document spans; background
+    * word-salad gram sharing must stay under `minTokens`.
+    */
+  def duplicatedSpansQuery(s: SparkSession, dir: String): DataFrame =
+    duplicatedSpans(corpusWithExactDups(s, dir))
 }

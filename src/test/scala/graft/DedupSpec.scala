@@ -109,4 +109,39 @@ class DedupSpec extends SparkSuite {
         s"batch ${orig + 200000L} missed its original $orig")
     }
   }
+
+  test("duplicated spans: exact coordinates on a known shared passage") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j STOP x y z"),
+      (2L, "PRE1 PRE2 a b c d e f g h i j END1 END2"),
+      (3L, "totally unrelated words only here once more again")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, minTokens = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the 10-token passage sits at tokens 0..9 of doc 1, 2..11 of doc 2;
+    // boundary grams ("i j STOP" vs "i j END1") differ, so the island
+    // stops exactly at the passage edge on both sides
+    assert(spans.toSet == Set((1L, 0L, 9L, 10L), (2L, 2L, 11L, 10L)))
+    // raising the bar past the passage length erases it
+    assert(Dedup.duplicatedSpans(corpus, minTokens = 11).count() == 0L)
+  }
+
+  test("duplicated spans: each planted full-doc duplicate is one full span") {
+    val spans = Dedup.duplicatedSpansQuery(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    val planted = docs.where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    planted.foreach { case (id, n) =>
+      // the whole doc is duplicated verbatim, so every gram position is
+      // shared and the island merge yields the single doc-length span —
+      // on the copy AND on its source
+      assert(spans(id + 100000L).contains((0L, (n - 1).toLong)),
+        s"copy ${id + 100000L} lacks the full span")
+      assert(spans(id).contains((0L, (n - 1).toLong)),
+        s"source $id lacks the full span")
+    }
+  }
 }
