@@ -68,6 +68,7 @@ object SparkEntry {
       Upsert.lastWriterWins(base.unionByName(upd), "id", "version")
         .orderBy("id")
     }),
+    "scd2_intervals" -> (Upsert.scd2Query _),
     "vdb_remove" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val removed = e.where(col("vec_id") % 10 === 0).select("vec_id")
@@ -94,6 +95,7 @@ object SparkEntry {
     "stream_session_window" -> (graft.streaming.BatchTwins.sessionWindowQuery _),
     "stream_interval_join" -> (graft.streaming.BatchTwins.intervalJoinQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
+    "embed_cluster_stats" -> (Ann.clusterStats _),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
     "vdb_knn_mrl" -> ((s, d) => Knn.mrlSearch(emb(s, d), qset(s, d), 10)),
@@ -219,6 +221,7 @@ object SparkEntry {
     "events_anomaly_online" -> ((s, d) => Analytics.eventsAnomalyOnline(s, d)),
     "text_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
     "text_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
+    "text_surprisal" -> (TextOps.surprisal _),
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
     "events_salted_enrich" -> ((s, d) => Skew.saltedEnrichQuery(s, d)),
     "events_asof_join" -> (AsOf.eventsAsofQuery _),
@@ -707,6 +710,31 @@ object SparkEntry {
          |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "ann_ivf" -> ivfOracle,
     "ann_ivf_indexed" -> ivfOracle,
+    // cluster dashboard over the SAME trained centroids: per-row
+    // cosine 4dp-quantized to integer micro-units before the sums,
+    // dominant label by (count DESC, label) argmax
+    "embed_cluster_stats" ->
+      s"""WITH $ivfCtes,
+         |lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+         |        FROM embeddings),
+         |b AS (SELECT af.cell, l.label,
+         |        CAST(round(list_cosine_similarity(af.v, c.cv) * 10000)
+         |          AS BIGINT) AS micro
+         |      FROM af JOIN c2 c USING (cell) JOIN lab l ON l.id = af.id),
+         |gl AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(micro) AS BIGINT) AS sm
+         |       FROM b GROUP BY 1, 2),
+         |dom AS (SELECT cell, label AS dom_label, n AS n_dom FROM
+         |        (SELECT cell, label, n, row_number() OVER (
+         |           PARTITION BY cell ORDER BY n DESC, label) AS rn
+         |         FROM gl) WHERE rn = 1),
+         |tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS size,
+         |          CAST(sum(sm) AS BIGINT) AS smm
+         |        FROM gl GROUP BY 1)
+         |SELECT t.cell, t.size, d.dom_label,
+         |       round(d.n_dom * 1.0 / t.size, 4) AS purity,
+         |       round(t.smm * 1.0 / t.size / 10000.0, 4) AS mean_cos
+         |FROM tot t JOIN dom d USING (cell) ORDER BY cell""".stripMargin,
     // recall@10 of the IVF path against brute force: both legs are
     // the existing deterministic mirrors, composed
     "ann_recall_report" ->
@@ -2122,6 +2150,32 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rk
         |      FROM log)
         |SELECT id, label, version FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
+    // SCD2 history of the 4-epoch upsert log: change-collapse via
+    // lag (v3 re-asserts v2 and must vanish), intervals via lead
+    "scd2_intervals" ->
+      """WITH log AS (
+        |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+        |         CAST(1 AS BIGINT) AS version FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 100 AS BIGINT), CAST(2 AS BIGINT)
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 100 AS BIGINT), CAST(3 AS BIGINT)
+        |  FROM embeddings WHERE vec_id % 14 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 300 AS BIGINT), CAST(4 AS BIGINT)
+        |  FROM embeddings WHERE vec_id % 21 = 0),
+        |chg AS (SELECT id, label, version,
+        |          lag(label) OVER (PARTITION BY id ORDER BY version) AS prev
+        |        FROM log),
+        |scd AS (SELECT id, label, version AS valid_from,
+        |          lead(version) OVER (PARTITION BY id ORDER BY version)
+        |            AS valid_to
+        |        FROM chg WHERE prev IS NULL OR prev <> label)
+        |SELECT id, label, valid_from, valid_to,
+        |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_current
+        |FROM scd ORDER BY id, valid_from""".stripMargin,
     "vdb_remove" ->
       """SELECT CAST(label AS BIGINT) AS label,
         |       CAST(count(*) AS BIGINT) AS n,
@@ -2527,6 +2581,23 @@ object SparkEntry {
         |      FROM sc)
         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, score
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // unigram surprisal: integer floor-log2 via length(bin(t // ctf))
+    // − 1 on both engines; only the final bits/token divide is float
+    "text_surprisal" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS ctf
+        |        FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS t FROM cnt),
+        |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         CAST(sum(tf * (length(bin(t // ctf)) - 1)) AS BIGINT)
+        |           AS total_bits
+        |       FROM tf JOIN cnt USING (tok) CROSS JOIN tot GROUP BY 1)
+        |SELECT doc_id, n_tokens, total_bits,
+        |       round(total_bits * 1.0 / n_tokens, 4) AS bits_per_token
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "text_top_terms" ->
       """WITH u AS (SELECT DISTINCT lang, doc_id, tok FROM
         |             (SELECT lang, doc_id,

@@ -459,6 +459,55 @@ object Ann {
     lshSearchMultiprobe(e, q, k = 10)
   }
 
+  /** SEMANTIC CLUSTERING surfaced as a first-class operator — the
+    * IVF quantizer's k-means doing corpus analysis instead of index
+    * routing: per cluster, its population, the dominant metadata
+    * label with its purity, and the mean cosine to the centroid (the
+    * per-cluster cohesion the recluster policy watches). This is the
+    * topic-composition dashboard a curation pipeline reads before
+    * reweighting domains, and it shares the EXACT trained centroids
+    * with the search path ([[centCache]]) so analysis and routing
+    * cannot disagree.
+    *
+    * Plan: the zero-exchange assignment projection, a broadcast join
+    * to the k-row centroid table for the cohesion cosine, then two
+    * chained aggregates (cell,label → cell) — the q13 count-of-counts
+    * shape, map-side combined on the first (heavy) key. Float policy:
+    * each row's cosine is 4dp-quantized to INTEGER micro-units before
+    * summing (sums stay exact/associative — the exact-aggregate
+    * rule), so only the final mean divisions of two exact longs are
+    * float, bit-identical on any IEEE engine.
+    *
+    * Dominant label via max_by over (count, −label): deterministic
+    * argmax, ties to the smallest label.
+    */
+  def clusterStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("label").cast("long").as("label"),
+        col("embedding").as("vec"))
+    val cents = centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(
+        e.select(col("id"), col("vec")), 200)))
+    val centsDf = cents.toSeq.toDF("cell", "cvec")
+    val base = assignTo(e, cents)
+      .join(broadcast(centsDf), "cell")
+      .select(col("cell"), col("label"),
+        VectorDistance.cosine(col("vec"), col("cvec")).as("cos"))
+      .withColumn("micro", expr("cast(round(cos * 10000) as bigint)"))
+    val gl = base.groupBy("cell", "label")
+      .agg(count(lit(1)).as("n"), sum("micro").as("sm"))
+    gl.groupBy("cell")
+      .agg(sum("n").as("size"), sum("sm").as("smm"),
+        max_by(col("label"), struct(col("n"), -col("label")))
+          .as("dom_label"),
+        max(struct(col("n"), -col("label"))).getField("n").as("n_dom"))
+      .select(col("cell"), col("size"), col("dom_label"),
+        round(col("n_dom") * 1.0 / col("size"), 4).as("purity"),
+        round(col("smm") * 1.0 / col("size") / 10000.0, 4).as("mean_cos"))
+      .orderBy("cell")
+  }
+
   // ------------------------------------------------------ IVF + SQ8
 
   private def quantPath(indexPath: String): String = indexPath + "_quant"

@@ -329,6 +329,48 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** Per-document SURPRISAL under the corpus's own unigram model —
+    * the language-model-free stand-in for perplexity filtering: a doc
+    * of common tokens scores low bits/token, a doc of rare tokens
+    * high, and the extremes of either tail are the cut candidates
+    * (boilerplate at the bottom, gibberish at the top) exactly as the
+    * published perplexity-filtered pipelines use the score.
+    *
+    * Determinism is the design: per-token surprisal is the INTEGER
+    * floor(log2(T / count)) = length(bin(T div count)) − 1 — string
+    * length of the binary rendering, a pure integer path both engines
+    * share bit-for-bit, where a float log2 could disagree in the last
+    * ulp at power-of-two boundaries. Sums stay integer (the
+    * exact-aggregate rule); the ONLY float op is the final
+    * bits/token division of two exact longs, identical on any IEEE
+    * engine (the sketch_hist_quantile precedent).
+    *
+    * Plan = the [[tfidfKeywords]] shape: (doc, tok, tf) partial-agg,
+    * vocabulary-sized occurrence counts broadcast back, corpus total
+    * off the unspread scan (one long per split). The tf lineage is
+    * the sanctioned narrow recompute (SURVEY §4).
+    */
+  def surprisal(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy("tok").agg(sum("tf").as("ctf"))
+    val tot = Tables.table(s, dir, "documents")
+      .select(sum(size(split(col("text"), " "))).cast("long").as("t"))
+    // ctf is vocabulary-sized: AQE broadcasts it while it fits and
+    // falls back to a shuffle join when a web-scale vocab outgrows
+    // the threshold (the tfidfKeywords policy — no forced hint)
+    tf.join(ctf, "tok").crossJoin(broadcast(tot))
+      .withColumn("bits", length(bin(expr("t div ctf"))) - 1)
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("tf") * col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("total_bits"),
+        round(col("total_bits").cast("double") / col("n_tokens"), 4)
+          .as("bits_per_token"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- PII
 
   // Test-fixture boundaries: the word-salad corpus contains no digits,

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Last-writer-wins upsert — bulk form of the reference's
@@ -38,4 +40,72 @@ object Upsert {
     */
   def append(base: DataFrame, inserts: DataFrame): DataFrame =
     base.unionByName(inserts)
+
+  /** SCD TYPE-2 history build — the temporal view of the same upsert
+    * log [[lastWriterWins]] flattens: instead of keeping only each
+    * key's newest row, keep every CHANGED row with its validity
+    * interval [valid_from, valid_to), so any historical version is a
+    * point lookup (`valid_from <= v < valid_to`) and the current
+    * slice is `valid_to IS NULL`. This is how a warehouse tracks the
+    * reference's upsert endpoint over time rather than at an instant.
+    *
+    * Two steps, ONE key exchange (both windows and the filter share
+    * the (key, version) sort):
+    *   1. change-collapse — drop rows whose attributes null-safe-equal
+    *      the key's previous version (`lag` + `<=>`): an upsert that
+    *      re-asserts the current value must NOT open a new interval,
+    *      or idle writers inflate history without bound;
+    *   2. intervals — `valid_to` = the NEXT surviving version
+    *      (`lead`), null while current.
+    *
+    * A window (not an aggregate) is the honest cost here: unlike LWW,
+    * SCD2's output is per-VERSION, so every version must be sorted
+    * within its key anyway; there is nothing for a map-side partial
+    * aggregate to collapse. At 100 TB the log shuffles once on the
+    * key — same bound as the LWW replay.
+    *
+    * `attrs` are the tracked attribute columns; `version` must be
+    * unique per key (WAL log ids are monotonic, reference
+    * persistence.cc's MaxLogID contract).
+    */
+  def scd2Intervals(log: DataFrame, key: String, version: String,
+                    attrs: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(version)
+    val payload = struct(attrs.map(col): _*)
+    val changed = log
+      .withColumn("_prev", lag(payload, 1).over(w))
+      .where(!(col("_prev") <=> payload))
+      .drop("_prev")
+    changed
+      .withColumn("valid_from", col(version))
+      .withColumn("valid_to", lead(version, 1).over(w))
+      .withColumn("is_current",
+        col("valid_to").isNull.cast("long"))
+      .drop(version)
+  }
+
+  /** Four-epoch versioned label log over embeddings: v1 baseline,
+    * v2 changes ids %7, v3 RE-ASSERTS v2's value for ids %14 (the
+    * planted no-change rows the collapse must drop), v4 changes ids
+    * %21 again.
+    */
+  def versionedLog(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("label").cast("long").as("label"))
+    e.select(col("id"), col("label"), lit(1L).as("version"))
+      .unionByName(e.where(col("id") % 7 === 0)
+        .select(col("id"), (col("label") + 100L).as("label"),
+          lit(2L).as("version")))
+      .unionByName(e.where(col("id") % 14 === 0)
+        .select(col("id"), (col("label") + 100L).as("label"),
+          lit(3L).as("version")))
+      .unionByName(e.where(col("id") % 21 === 0)
+        .select(col("id"), (col("label") + 300L).as("label"),
+          lit(4L).as("version")))
+  }
+
+  /** Surface query: SCD2 history of the 4-epoch log, ordered. */
+  def scd2Query(s: SparkSession, dir: String): DataFrame =
+    scd2Intervals(versionedLog(s, dir), "id", "version", Seq("label"))
+      .orderBy("id", "valid_from")
 }

@@ -362,4 +362,24 @@ class AnnSpec extends SparkSuite {
     val d = Ann.lshQuery(spark, sf).collect().toSeq
     assert(c == d)
   }
+
+  test("cluster stats partition the corpus and agree with the quantizer") {
+    val stats = Ann.clusterStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // every vector lands in exactly one cluster
+    assert(stats.map(_._2).sum == emb.count())
+    // the same centroids route search: cell population from the
+    // shared assignment path must match the dashboard
+    val cents = Ann.kmeansCentroids(emb, 200)
+    val byAssign = Ann.ivfAssign(emb, cents)
+      .groupBy("cell").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    stats.foreach { case (cell, size, dom, purity, cohesion) =>
+      assert(byAssign(cell) == size, s"cell $cell drifted from quantizer")
+      assert(dom >= 0L && dom <= 9L)
+      assert(purity > 0.0 && purity <= 1.0)
+      assert(cohesion >= -1.0 && cohesion <= 1.0)
+    }
+  }
 }

@@ -113,4 +113,41 @@ class TextOpsSpec extends SparkSuite {
     assert(r2.getLong(1) == 1L && r2.getDouble(2) == 1.0)
     assert(r2.isNullAt(3) && r2.isNullAt(4))
   }
+
+  test("surprisal: bin-length identity is exact floor(log2)") {
+    import spark.implicits._
+    // the integer path length(bin(x))−1 must agree with floor(log2 x)
+    // everywhere, INCLUDING the power-of-two boundaries where a float
+    // log2 can land a last-ulp below the integer
+    val got = (1L to 4096L).toDF("x")
+      .select(col("x"), (length(bin(col("x"))) - 1).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (1L to 4096L).foreach { x =>
+      val exact = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      assert(got(x) == exact, s"x=$x: ${got(x)} != $exact")
+    }
+  }
+
+  test("surprisal: corpus scores reconcile with the unigram model") {
+    val out = TextOps.surprisal(spark, sf).collect()
+    // hand-build the model once on the driver (sf0.001 corpus is
+    // ~500 short docs) and reconcile every doc's integer sums
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val cnt = docs.flatMap(_._2).groupBy(identity).map { case (t, o) =>
+      (t, o.length.toLong) }
+    val total = cnt.values.sum
+    val expect = docs.map { case (id, toks) =>
+      val bits = toks.map(t =>
+        (63 - java.lang.Long.numberOfLeadingZeros(total / cnt(t))).toLong).sum
+      id -> ((toks.length.toLong, bits))
+    }.toMap
+    assert(out.length == docs.length)
+    out.foreach { r =>
+      val (n, b) = expect(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == b,
+        s"doc ${r.getLong(0)}: (${r.getLong(1)},${r.getLong(2)}) != ($n,$b)")
+      assert(math.abs(r.getDouble(3) - b.toDouble / n) < 5e-5)
+    }
+  }
 }

@@ -25,4 +25,33 @@ class UpsertWalSpec extends SparkSuite {
       assert(composed == full, s"split at $split diverges")
     }
   }
+
+  test("scd2: no-change upserts collapse, intervals tile, current = LWW") {
+    val hist = Upsert.scd2Query(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+    // v3 only re-asserts v2's label for ids %14, so NO interval may
+    // open at version 3
+    assert(!hist.exists(_._3 == 3L), "a no-change upsert opened an interval")
+    // intervals tile per id: first opens at v1, each valid_to equals
+    // the next valid_from, exactly one open (current) interval
+    hist.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 == 1L, s"id $id history misses the v1 epoch")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"id $id gap: $a then $b")
+        case _ =>
+      }
+      assert(sorted.init.forall(_._5 == 0L) && sorted.last._5 == 1L &&
+        sorted.last._4.isEmpty, s"id $id current-flag/open-interval drift")
+    }
+    // the current slice IS the last-writer-wins view of the same log
+    val lww = Upsert.lastWriterWins(
+        Upsert.versionedLog(spark, sf), "id", "version")
+      .select("id", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val current = hist.filter(_._5 == 1L).map(t => (t._1, t._2)).toSet
+    assert(current == lww, "SCD2 current slice drifted from LWW")
+  }
 }
