@@ -231,6 +231,8 @@ object SparkEntry {
     "text_bm25_indexed" -> (Search.bm25IndexedQuery _),
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
     "search_mmr_rerank" -> (Search.mmrQuery _),
+    "search_maxsim" -> (MaxSim.maxsimQuery _),
+    "vdb_time_travel" -> (Upsert.timeTravelQuery _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "pipeline_train_eval" -> ((s, d) => Pipeline.trainEvalSplit(s, d)),
   )
@@ -1024,6 +1026,57 @@ object SparkEntry {
          |                  AS rk FROM g)
          |SELECT qid, rk, doc_id, rrf_score, bm25_rk, cos_rk FROM h
          |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // MaxSim late interaction: per-(qtok, doc) max cosine quantized
+    // to integer micro-units BEFORE the sum (round is monotone, so
+    // quantize-then-max ≡ max-then-quantize; the fused score is then
+    // exact BIGINT arithmetic on both engines)
+    "search_maxsim" ->
+      """WITH dt AS (SELECT CAST(vec_id AS BIGINT) // 8 AS doc_id,
+        |                   embedding::DOUBLE[] AS v FROM embeddings),
+        |qt AS (SELECT CAST(vec_id AS BIGINT) // 4 AS qid, vec_id AS qtok,
+        |              embedding::DOUBLE[] AS qv
+        |       FROM embeddings WHERE vec_id < 12),
+        |m AS (SELECT qt.qid, qt.qtok, dt.doc_id,
+        |             max(CAST(round(list_cosine_similarity(dt.v, qt.qv)
+        |                            * 10000) AS BIGINT)) AS mu
+        |      FROM dt CROSS JOIN qt GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid, doc_id, CAST(sum(mu) AS BIGINT) AS su
+        |       FROM m GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, su,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY su DESC, doc_id) AS rk
+        |      FROM sc)
+        |SELECT qid, rk, doc_id, su / 10000.0 AS score
+        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // time travel through the SCD2 intervals: a past state is a
+    // filter on the history, not a replay — both slices from one
+    // interval build
+    "vdb_time_travel" ->
+      """WITH log AS (
+        |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+        |         CAST(1 AS BIGINT) AS version FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 100 AS BIGINT), CAST(2 AS BIGINT)
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 100 AS BIGINT), CAST(3 AS BIGINT)
+        |  FROM embeddings WHERE vec_id % 14 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 300 AS BIGINT), CAST(4 AS BIGINT)
+        |  FROM embeddings WHERE vec_id % 21 = 0),
+        |chg AS (SELECT id, label, version,
+        |          lag(label) OVER (PARTITION BY id ORDER BY version) AS prev
+        |        FROM log),
+        |scd AS (SELECT id, label, version AS valid_from,
+        |          lead(version) OVER (PARTITION BY id ORDER BY version)
+        |            AS valid_to
+        |        FROM chg WHERE prev IS NULL OR prev <> label)
+        |SELECT CAST(2 AS BIGINT) AS asof_v, id, label FROM scd
+        |WHERE valid_from <= 2 AND (valid_to IS NULL OR valid_to > 2)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT) AS asof_v, id, label FROM scd
+        |WHERE valid_from <= 3 AND (valid_to IS NULL OR valid_to > 3)
+        |ORDER BY asof_v, id""".stripMargin,
     // vdb_knn_sq8 is oracled despite being "approximate": the
     // quantization grid, the shortlist rule (top-40 by code-space L2,
     // ties by id), and the exact rerank are all deterministic pure

@@ -108,4 +108,35 @@ object Upsert {
   def scd2Query(s: SparkSession, dir: String): DataFrame =
     scd2Intervals(versionedLog(s, dir), "id", "version", Seq("label"))
       .orderBy("id", "valid_from")
+
+  /** TIME-TRAVEL read: the table's state AS OF version `v`, answered
+    * from the SCD2 interval table — the point of building history is
+    * that any past state is a FILTER (`valid_from <= v < valid_to`),
+    * not a replay: the reference reconstructs a past state only by
+    * reloading a snapshot and replaying the WAL tail up to a log id
+    * (persistence.cc readNextWALEntry / vector_database.cc:21); a
+    * warehouse answers the same question with one predicate against
+    * the history it already maintains. At 100 TB the interval table
+    * is change-sized (idle keys carry one row), the filter pushes to
+    * the scan, and NO aggregation or window runs at read time —
+    * replay cost was paid once at history-build, amortized over every
+    * as-of query. ≡ LWW over `version <= v` (UpsertWalSpec pins it).
+    */
+  def asOfVersion(intervals: DataFrame, v: Long): DataFrame =
+    intervals.where(col("valid_from") <= v &&
+      (col("valid_to").isNull || col("valid_to") > v))
+
+  /** Surface query: the 4-epoch log read as of v2 and v3 through ONE
+    * interval build — the v3 slice differs from v2 only where the
+    * collapse kept v3's rows (the %14 re-asserts planted in the log
+    * must NOT surface as v3 changes).
+    */
+  def timeTravelQuery(s: SparkSession, dir: String): DataFrame = {
+    val hist = scd2Intervals(versionedLog(s, dir), "id", "version",
+      Seq("label")).localCheckpoint()
+    asOfVersion(hist, 2L).select(lit(2L).as("asof_v"), col("id"), col("label"))
+      .unionByName(asOfVersion(hist, 3L)
+        .select(lit(3L).as("asof_v"), col("id"), col("label")))
+      .orderBy("asof_v", "id")
+  }
 }
