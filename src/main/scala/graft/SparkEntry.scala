@@ -213,6 +213,7 @@ object SparkEntry {
     "q19_disc_rev" -> (Analytics.q19DiscountedRevenue _),
     "q21_sole_blame" -> (Analytics.q21SoleBlame _),
     "bucketed_join_agg" -> (Layout.bucketedJoinQuery _),
+    "events_zorder_skip" -> (ZOrder.zorderSkipQuery _),
     "q22_global_sales" -> (Analytics.q22GlobalSales _),
     "q_window_topn" -> ((s, d) => Analytics.windowTopOrders(s, d)),
     "events_tumbling" -> Analytics.eventsTumbling _,
@@ -2529,6 +2530,17 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // z-order skip-scan: file selection is conservative (min/max box
+    // intersection) and the exact predicate re-applies, so the result
+    // is the plain filter — layout invariance is the contract
+    // (ZOrderSpec pins the actual pruning)
+    "events_zorder_skip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 40 AND 79
+        |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-09' AND DATE '2024-01-16'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q21_sole_blame" ->
       """WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey
         |            FROM lineitem WHERE l_returnflag = 'R')
