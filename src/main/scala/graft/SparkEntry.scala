@@ -143,6 +143,7 @@ object SparkEntry {
     "corpus_weighted_sample" -> (Sampling.weightedSampleQuery _),
     "sketch_kmv_distinct" -> (Sketch.kmvQuery _),
     "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
+    "sketch_kmv_setops" -> (Sketch.kmvSetOpsQuery _),
     "sketch_hist_quantile" -> (Sketch.histQuantileQuery _),
     "sketch_cms_topk" -> (Sketch.cmsTopTermsQuery _),
     "sketch_cms_grouped" -> (Sketch.cmsByLangQuery _),
@@ -1901,6 +1902,53 @@ object SparkEntry {
     // UNION of per-group k-min sets — which equals the k smallest
     // global distinct hashes (the mergeability property), so the
     // mirror computes it directly from the global distinct set
+    // KMV set operations: per-group k-min sets → pairwise union /
+    // Jaccard / intersection estimates, all pure md5+integer-derived
+    // (the union's k-min IS the true k-min of A∪B; Broder resemblance
+    // on it; intersection = J·U) — mirrored list-for-list
+    "sketch_kmv_setops" ->
+      """WITH h AS (SELECT DISTINCT event_type AS grp,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events WHERE value > 200),
+        |r AS (SELECT grp, h,
+        |             row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |      FROM h),
+        |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS nd,
+        |             max(CASE WHEN rn = 64 THEN h END) AS kth,
+        |             list_sort(list(h) FILTER (WHERE rn <= 64)) AS mins
+        |      FROM r GROUP BY grp),
+        |p AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+        |             a.nd AS nd_a, a.kth AS kth_a, a.mins AS ma,
+        |             b.nd AS nd_b, b.kth AS kth_b, b.mins AS mb
+        |      FROM s a JOIN s b ON a.grp < b.grp),
+        |c AS (SELECT *,
+        |        list_sort(list_distinct(list_concat(ma, mb))) AS uni,
+        |        list_intersect(ma, mb) AS inter
+        |      FROM p),
+        |d AS (SELECT *, least(64, len(uni)) AS m,
+        |        len(list_intersect(uni[1:64], inter)) AS jnum
+        |      FROM c),
+        |e AS (SELECT *,
+        |        CASE WHEN len(uni) < 64 THEN CAST(len(uni) AS DOUBLE)
+        |             ELSE (CAST(63.0 AS DOUBLE)
+        |                     * CAST(1152921504606846976 AS DOUBLE))
+        |                  / CAST(list_extract(uni, m) AS DOUBLE) END AS u_est,
+        |        CAST(jnum AS DOUBLE) / CAST(m AS DOUBLE) AS j_est
+        |      FROM d)
+        |SELECT grp_a, grp_b,
+        |       CASE WHEN nd_a < 64 THEN round(CAST(nd_a AS DOUBLE), 4)
+        |            ELSE round((CAST(63.0 AS DOUBLE)
+        |                          * CAST(1152921504606846976 AS DOUBLE))
+        |                       / CAST(kth_a AS DOUBLE), 4) END AS est_a,
+        |       CASE WHEN nd_b < 64 THEN round(CAST(nd_b AS DOUBLE), 4)
+        |            ELSE round((CAST(63.0 AS DOUBLE)
+        |                          * CAST(1152921504606846976 AS DOUBLE))
+        |                       / CAST(kth_b AS DOUBLE), 4) END AS est_b,
+        |       round(u_est, 4) AS est_union,
+        |       round(j_est, 4) AS jaccard_est,
+        |       round(j_est * u_est, 4) AS est_inter
+        |FROM e ORDER BY grp_a, grp_b""".stripMargin,
     "sketch_kmv_rollup" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)

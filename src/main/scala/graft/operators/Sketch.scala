@@ -136,6 +136,70 @@ object Sketch {
     per.unionByName(global).orderBy("grp")
   }
 
+  /** KMV SET OPERATIONS — the theta-sketch capability on the same
+    * summaries: estimated union, intersection, and Jaccard for every
+    * PAIR of groups, derived from the per-group k-min sets alone.
+    * This answers the audience-overlap question ("how many users do
+    * event types A and B share?") that exact computation prices at a
+    * distinct-pairs shuffle per pair — here the data is scanned ONCE
+    * for the sketches and all pair math runs on ≤ groups²·k longs.
+    *
+    * Estimators, all pure functions of the retained hash sets:
+    *  - union: the k smallest of Sa ∪ Sb ARE the true k smallest of
+    *    A ∪ B (each is retained by its own side), so n̂∪ = (k−1)/U(k)
+    *    — same estimator as a direct union sketch; exact while
+    *    |Sa ∪ Sb| < k (both sides were exact);
+    *  - Jaccard: Broder's resemblance estimator
+    *    Ĵ = |MinK(Sa ∪ Sb) ∩ Sa ∩ Sb| / min(k, |Sa ∪ Sb|) — the
+    *    fraction of the union's k-min that both sets contain;
+    *  - intersection: n̂∩ = Ĵ · n̂∪ (inclusion–exclusion on the same
+    *    two estimates, the standard KMV composition).
+    * md5 hashing keeps every estimate a deterministic function of
+    * the data — the DuckDB mirror reproduces even the approximate
+    * values bit-for-bit (the sketch-family rule).
+    */
+  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
+                k: Int = K): DataFrame = {
+    val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
+    val g = df.select(col(groupCol).as("grp"),
+        graft.functions.Md5Prefix60(col(valueCol).cast("string")).as("h"))
+      .groupBy("grp").agg(agg(col("h")).as("kmv"))
+      .select(col("grp"), col("kmv.n_seen").as("ns"),
+        col("kmv.kth").as("kth"), col("kmv.mins").as("mins"))
+    val pairs = g.select(col("grp").as("grp_a"), col("ns").as("ns_a"),
+        col("kth").as("kth_a"), col("mins").as("mins_a"))
+      .crossJoin(g.select(col("grp").as("grp_b"), col("ns").as("ns_b"),
+        col("kth").as("kth_b"), col("mins").as("mins_b")))
+      .where(col("grp_a") < col("grp_b"))
+    val uEst = when(size(col("uni")) < k, size(col("uni")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * twoPow60 /
+        element_at(col("uni"), col("m")).cast("double"))
+    val jEst = col("jnum").cast("double") / col("m").cast("double")
+    pairs
+      .withColumn("uni", array_sort(array_union(col("mins_a"), col("mins_b"))))
+      .withColumn("m", least(lit(k), size(col("uni"))))
+      .withColumn("jnum", size(array_intersect(
+        slice(col("uni"), 1, k),
+        array_intersect(col("mins_a"), col("mins_b")))))
+      .select(col("grp_a"), col("grp_b"),
+        estOf(col("ns_a"), col("kth_a"), k).as("est_a"),
+        estOf(col("ns_b"), col("kth_b"), k).as("est_b"),
+        round(uEst, 4).as("est_union"),
+        round(jEst, 4).as("jaccard_est"),
+        round(jEst * uEst, 4).as("est_inter"))
+      .orderBy("grp_a", "grp_b")
+  }
+
+  /** Surface query: overlap of the high-value (value > 200) user
+    * audiences between every pair of event types — the qualifying
+    * sets genuinely differ per type (the full user sets are all
+    * ~identical), and the threshold keeps sf0.01 on the exact path
+    * while sf0.1 exercises the estimators.
+    */
+  def kmvSetOpsQuery(s: SparkSession, dir: String): DataFrame =
+    kmvSetOps(Tables.events(s, dir).where(col("value") > 200)
+      .select("event_type", "user_id"), "event_type", "user_id")
+
   def kmvRollupQuery(s: SparkSession, dir: String): DataFrame =
     kmvRollup(Tables.events(s, dir).select("event_type", "user_id"),
       "event_type", "user_id")
