@@ -104,6 +104,7 @@ object SparkEntry {
     "events_transitions" -> (Analytics.eventsTransitions _),
     "ann_ivf_indexed" -> (Ann.ivfIndexedQuery _),
     "ann_ivf_filtered" -> (Ann.ivfIndexedFilteredQuery _),
+    "ann_adaptive_filter" -> (Ann.adaptiveFilterQuery _),
     "vdb_range_search" -> ((s, d) =>
       Knn.radius(emb(s, d), qset(s, d), Knn.Metric.Cosine, 0.25)),
     "ann_ivf_sq8" -> (Ann.ivfSq8Query _),
@@ -226,6 +227,7 @@ object SparkEntry {
     "text_surprisal" -> (TextOps.surprisal _),
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
     "events_salted_enrich" -> ((s, d) => Skew.saltedEnrichQuery(s, d)),
+    "key_skew_report" -> (Skew.keySkewQuery _),
     "events_asof_join" -> (AsOf.eventsAsofQuery _),
     "events_session_attr" -> (RangeJoin.sessionAttributionQuery _),
     "text_bm25_topk" -> (Search.bm25Query _),
@@ -851,6 +853,66 @@ object SparkEntry {
     // filtered indexed search: the same probe set, members restricted
     // by the metadata predicate BEFORE scoring (reference
     // filter_index.cc bitmaps under the approximate path)
+    // adaptive filtered search: the PLANNER is mirrored too — the
+    // oracle computes the same match counts and gates the same two
+    // branch CTEs on count·10 < total, so a branch-choice divergence
+    // is a hash mismatch, not a silent plan difference
+    "ann_adaptive_filter" ->
+      s"""WITH $ivfCtes,
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings
+         |       WHERE label = 5 AND vec_id % 4 = 0),
+         |bc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings
+         |       WHERE label BETWEEN 2 AND 6),
+         |nbd AS (SELECT q.qid, e2.vec_id AS nn_id,
+         |          list_cosine_similarity(e2.embedding::DOUBLE[], q.qv) AS s
+         |        FROM embeddings e2 CROSS JOIN q
+         |        WHERE e2.label = 5 AND e2.vec_id % 4 = 0),
+         |nbr AS (SELECT qid, nn_id, s, row_number() OVER (
+         |          PARTITION BY qid ORDER BY s DESC, nn_id) AS rk
+         |        FROM nbd WHERE s IS NOT NULL),
+         |nfl AS (SELECT a.id, a.v, a.cell FROM af a
+         |        JOIN embeddings em ON a.id = em.vec_id
+         |        WHERE em.label = 5 AND em.vec_id % 4 = 0),
+         |nsc AS (SELECT pr.qid, f.id, list_cosine_similarity(f.v, q.qv) AS s
+         |        FROM nfl f JOIN pr ON f.cell = pr.cell
+         |        JOIN q ON pr.qid = q.qid),
+         |nir AS (SELECT qid, id, s, row_number() OVER (
+         |          PARTITION BY qid ORDER BY s DESC, id) AS rk
+         |        FROM nsc WHERE s IS NOT NULL),
+         |bbd AS (SELECT q.qid, e2.vec_id AS nn_id,
+         |          list_cosine_similarity(e2.embedding::DOUBLE[], q.qv) AS s
+         |        FROM embeddings e2 CROSS JOIN q
+         |        WHERE e2.label BETWEEN 2 AND 6),
+         |bbr AS (SELECT qid, nn_id, s, row_number() OVER (
+         |          PARTITION BY qid ORDER BY s DESC, nn_id) AS rk
+         |        FROM bbd WHERE s IS NOT NULL),
+         |bfl AS (SELECT a.id, a.v, a.cell FROM af a
+         |        JOIN embeddings em ON a.id = em.vec_id
+         |        WHERE em.label BETWEEN 2 AND 6),
+         |bsc AS (SELECT pr.qid, f.id, list_cosine_similarity(f.v, q.qv) AS s
+         |        FROM bfl f JOIN pr ON f.cell = pr.cell
+         |        JOIN q ON pr.qid = q.qid),
+         |bir AS (SELECT qid, id, s, row_number() OVER (
+         |          PARTITION BY qid ORDER BY s DESC, id) AS rk
+         |        FROM bsc WHERE s IS NOT NULL)
+         |SELECT 'narrow' AS pred, 'prefilter_exact' AS strategy,
+         |       qid, rk, nn_id, round(s, 4) AS score
+         |FROM nbr CROSS JOIN nc CROSS JOIN tt
+         |WHERE rk <= 10 AND c * 10 < t
+         |UNION ALL
+         |SELECT 'narrow', 'ivf_filtered', qid, rk, id, round(s, 4)
+         |FROM nir CROSS JOIN nc CROSS JOIN tt
+         |WHERE rk <= 10 AND c * 10 >= t
+         |UNION ALL
+         |SELECT 'broad', 'prefilter_exact', qid, rk, nn_id, round(s, 4)
+         |FROM bbr CROSS JOIN bc CROSS JOIN tt
+         |WHERE rk <= 10 AND c * 10 < t
+         |UNION ALL
+         |SELECT 'broad', 'ivf_filtered', qid, rk, id, round(s, 4)
+         |FROM bir CROSS JOIN bc CROSS JOIN tt
+         |WHERE rk <= 10 AND c * 10 >= t
+         |ORDER BY pred, qid, rk""".stripMargin,
     "ann_ivf_filtered" ->
       s"""WITH $ivfCtes,
          |fl AS (SELECT a.id, a.v, a.cell FROM af a
@@ -2623,6 +2685,22 @@ object SparkEntry {
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
     // oracle is the PLAIN join — hash equality proves the salted
     // plan is salt-invariant
+    // skew report: exact top-10 key loads; shares are single
+    // BIGINT/BIGINT divisions (bit-deterministic doubles)
+    "key_skew_report" ->
+      """WITH c AS (SELECT CAST(user_id AS BIGINT) AS key,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS n_keys FROM c),
+        |r AS (SELECT key, n,
+        |             row_number() OVER (ORDER BY n DESC, key) AS rank
+        |      FROM c)
+        |SELECT rank, key, n, n_keys,
+        |       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 4) AS share,
+        |       round(CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE)
+        |             / CAST(total AS DOUBLE), 4) AS cum_share
+        |FROM r CROSS JOIN t WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "events_salted_enrich" ->
       """WITH ua AS (SELECT user_id, avg(value) AS user_avg
         |            FROM events GROUP BY user_id)

@@ -1027,4 +1027,67 @@ object Ann {
     ivfSearchIndexed(s, indexedPath(s, dir), q, k = 10, nprobe = 2,
       filter = Some(col("label").between(2, 6)))
   }
+
+  // ------------------------------------------- adaptive filtered search
+
+  /** ADAPTIVE filtered search — the pre/post-filter PLANNING decision
+    * every production vector store makes (Qdrant/Weaviate/Milvus all
+    * ship a selectivity-based switch; the reference always
+    * bitmap-prefilters, filter_index.cc:62, which is only the right
+    * call when the filter is selective):
+    *
+    *  - SELECTIVE predicate → exact brute force over the matching
+    *    rows only ("prefilter_exact"): the match set is small, so
+    *    scanning it exactly is cheaper than probing — and recall is
+    *    perfect, where filtered-ANN might fill < k from probed cells;
+    *  - BROAD predicate → the filtered-IVF path ("ivf_filtered"):
+    *    partition-pruned probes with the predicate pushed into the
+    *    probe scan — brute force over a near-full corpus is exactly
+    *    what the index exists to avoid.
+    *
+    * The decision input is the predicate's match count against the
+    * index (a column-pruned pushed-filter count — at 100 TB this
+    * comes from table statistics / the filter index's cardinalities,
+    * i.e. [[graft.operators.ScalarOps.filterIndexBuild]]'s output;
+    * counting here keeps the demo self-contained at the cost of one
+    * metadata-weight scan). Threshold: selective iff
+    * `count · selFactor < total`. Both branches and the decision are
+    * deterministic, so the WHOLE PLANNER is DuckDB-mirrorable — the
+    * oracle computes the same counts and gates the same two branch
+    * CTEs.
+    */
+  def adaptiveFilteredSearch(s: SparkSession, path: String,
+                             queries: DataFrame, k: Int,
+                             pred: org.apache.spark.sql.Column,
+                             nprobe: Int = 2,
+                             selFactor: Long = 10): (String, DataFrame) = {
+    val cnt = s.read.parquet(path).where(pred).count()
+    val total = s.read.parquet(path).count()
+    if (cnt * selFactor < total) {
+      val data = s.read.parquet(path).where(pred).select("id", "vec")
+      ("prefilter_exact", Knn.topK(data, queries, k, Knn.Metric.Cosine))
+    } else
+      ("ivf_filtered",
+        ivfSearchIndexed(s, path, queries, k, nprobe, Some(pred)))
+  }
+
+  /** Surface query: one narrow predicate (label=5 ∧ id≡0 mod 4,
+    * ~2.5% — takes the exact prefilter branch) and one broad
+    * (label∈[2,6], ~50% — takes the filtered-IVF branch), tagged
+    * with the strategy the planner chose.
+    */
+  def adaptiveFilterQuery(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val path = indexedPath(s, dir)
+    val (st1, r1) = adaptiveFilteredSearch(s, path, q, 10,
+      col("label") === 5 && col("id") % 4 === 0)
+    val (st2, r2) = adaptiveFilteredSearch(s, path, q, 10,
+      col("label").between(2, 6))
+    r1.select(lit("narrow").as("pred"), lit(st1).as("strategy"),
+        col("qid"), col("rk"), col("nn_id"), col("score"))
+      .unionByName(r2.select(lit("broad").as("pred"), lit(st2).as("strategy"),
+        col("qid"), col("rk"), col("nn_id"), col("score")))
+      .orderBy("pred", "qid", "rk")
+  }
 }

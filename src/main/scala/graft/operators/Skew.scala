@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation by key salting — the portable fix when one hot key
@@ -53,4 +54,45 @@ object Skew {
           .as("n_above"))
       .orderBy("user_id")
   }
+
+  /** KEY-SKEW DIAGNOSTIC — the report that DECIDES when the salted
+    * join (above), AQE skew splitting, or a blocking-key redesign is
+    * needed: per-key load shares for the heaviest keys of a join/agg
+    * key column. At 100 TB nobody eyeballs a groupBy output; the
+    * operational question is "what fraction of rows does the top key
+    * carry, and how many keys until the curve flattens" — exactly
+    * rank, share, cumulative share for the top keys.
+    *
+    * Shape: one key-partitioned count (map-side partial agg), then
+    * the [[TopKAgg]] heap picks the top `n` GLOBALLY without sorting
+    * the key space (a window rank would shuffle every key's count to
+    * one partition — the skew report must not itself be skewed), and
+    * the total arrives as a 1-row broadcast (Q22 scalar pattern).
+    * Shares are BIGINT/BIGINT single divisions — bit-deterministic.
+    */
+  def keySkewReport(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key).cast("long").as("k"))
+      .agg(count(lit(1)).as("n"))
+    val agg = TopKAgg.topK(topN)
+    // heap key: count descending (negated), key ascending on ties —
+    // deterministic total order like every other heap consumer
+    val top = counts
+      .agg(agg((-col("n")).cast("double"), col("k")).as("top"),
+        sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+      .select(posexplode(col("top.items")), col("total"), col("n_keys"))
+      .select((col("pos") + 1).as("rank"), col("col.id").as("key"),
+        (-col("col.key")).cast("long").as("n"), col("total"),
+        col("n_keys"))
+    val w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    top.select(col("rank"), col("key"), col("n"), col("n_keys"),
+        round(col("n").cast("double") / col("total").cast("double"), 4)
+          .as("share"),
+        round(sum(col("n")).over(w).cast("double")
+          / col("total").cast("double"), 4).as("cum_share"))
+      .orderBy("rank")
+  }
+
+  /** Surface query: the event log's user_id load profile. */
+  def keySkewQuery(s: SparkSession, dir: String): DataFrame =
+    keySkewReport(Tables.events(s, dir).select("user_id"), "user_id")
 }

@@ -382,4 +382,24 @@ class AnnSpec extends SparkSuite {
       assert(cohesion >= -1.0 && cohesion <= 1.0)
     }
   }
+
+  test("adaptive filtered search picks the branch by selectivity") {
+    import org.apache.spark.sql.functions._
+    val rows = Ann.adaptiveFilterQuery(spark, sf)
+      .select("pred", "strategy").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("narrow", "prefilter_exact"),
+      ("broad", "ivf_filtered")), s"unexpected branch choices: $rows")
+    // the decision is the threshold, not the predicate: with a huge
+    // selFactor (selective iff count·factor < total, so nothing
+    // qualifies) the same narrow predicate routes to the IVF branch
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val path = java.nio.file.Paths.get("target", "tmp",
+      s"ivfidx-${java.lang.Integer.toHexString(sf.hashCode)}")
+      .toAbsolutePath.toString
+    val (st, res) = Ann.adaptiveFilteredSearch(spark, path, q, 10,
+      col("label") === 5 && col("id") % 4 === 0, selFactor = 1000000L)
+    assert(st == "ivf_filtered" && res.count() >= 0)
+  }
 }
