@@ -120,10 +120,14 @@ object Sketch {
   def kmvRollup(df: DataFrame, groupCol: String, valueCol: String,
                 k: Int = K): DataFrame = {
     val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
+    // two consumers (per-group slice + global rollup) — materialize
+    // the groups×k-sized sketch table once instead of re-running the
+    // scan+agg per consumer (the kmvSetOps rule)
     val grouped = df.select(col(groupCol),
         graft.functions.Md5Prefix60(col(valueCol).cast("string")).as("h"))
       .groupBy(groupCol)
       .agg(agg(col("h")).as("kmv"))
+      .localCheckpoint(true)
     val per = grouped.select(col(groupCol).as("grp"),
       col("kmv.n_seen").as("n_seen"),
       estOf(col("kmv.n_seen"), col("kmv.kth"), k).as("est_distinct"))
@@ -161,11 +165,16 @@ object Sketch {
   def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
                 k: Int = K): DataFrame = {
     val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
+    // the grouped sketch table feeds BOTH sides of the pair self-join
+    // — without materialization each side re-runs the full scan+agg
+    // (ScanAudit caught events=2). It is groups×k longs: exactly the
+    // "checkpoint the SMALL frame" rule (SURVEY §4)
     val g = df.select(col(groupCol).as("grp"),
         graft.functions.Md5Prefix60(col(valueCol).cast("string")).as("h"))
       .groupBy("grp").agg(agg(col("h")).as("kmv"))
       .select(col("grp"), col("kmv.n_seen").as("ns"),
         col("kmv.kth").as("kth"), col("kmv.mins").as("mins"))
+      .localCheckpoint(true)
     val pairs = g.select(col("grp").as("grp_a"), col("ns").as("ns_a"),
         col("kth").as("kth_a"), col("mins").as("mins_a"))
       .crossJoin(g.select(col("grp").as("grp_b"), col("ns").as("ns_b"),
