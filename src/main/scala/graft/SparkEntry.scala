@@ -141,6 +141,7 @@ object SparkEntry {
     "text_pii_redact" -> (TextOps.piiQuery _),
     "text_repetition" -> (TextOps.repetition _),
     "corpus_sample_split" -> (Sampling.sampleSplitQuery _),
+    "export_shards" -> (Sampling.exportShardsQuery _),
     "corpus_weighted_sample" -> (Sampling.weightedSampleQuery _),
     "sketch_kmv_distinct" -> (Sketch.kmvQuery _),
     "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
@@ -236,6 +237,7 @@ object SparkEntry {
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
     "search_mmr_rerank" -> (Search.mmrQuery _),
     "search_maxsim" -> (MaxSim.maxsimQuery _),
+    "embed_mean_pool" -> (MaxSim.meanPoolQuery _),
     "vdb_time_travel" -> (Upsert.timeTravelQuery _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "pipeline_train_eval" -> ((s, d) => Pipeline.trainEvalSplit(s, d)),
@@ -1112,6 +1114,23 @@ object SparkEntry {
         |      FROM sc)
         |SELECT qid, rk, doc_id, su / 10000.0 AS score
         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // mean pooling: per-element 6dp micro-units before the sum (exact
+    // BIGINT totals), mean = one division of two exact integers
+    "embed_mean_pool" ->
+      """WITH dt AS (SELECT CAST(vec_id AS BIGINT) // 8 AS doc_id,
+        |                   embedding::DOUBLE[] AS v FROM embeddings
+        |            WHERE CAST(vec_id AS BIGINT) // 8 < 16),
+        |x AS (SELECT doc_id, g.pos,
+        |             CAST(round(v[g.pos] * 1000000) AS BIGINT) AS micro
+        |      FROM dt CROSS JOIN generate_series(1, 64) AS g(pos)
+        |      WHERE g.pos <= len(v)),
+        |a AS (SELECT doc_id, pos, CAST(count(*) AS BIGINT) AS n_vecs,
+        |             CAST(sum(micro) AS BIGINT) AS sm
+        |      FROM x GROUP BY 1, 2)
+        |SELECT doc_id, pos, n_vecs,
+        |       round(CAST(sm AS DOUBLE)
+        |             / CAST(n_vecs * 1000000 AS DOUBLE), 4) AS pooled
+        |FROM a ORDER BY doc_id, pos""".stripMargin,
     // time travel through the SCD2 intervals: a past state is a
     // filter on the history, not a replay — both slices from one
     // interval build
@@ -1724,6 +1743,23 @@ object SparkEntry {
     // thresholds are hexThreshold(rate) literals: 0.25→'4000',
     // 0.75→'c000', 0.8→'cccd', 0.9→'e666'; fixed-width lowercase hex
     // compares lexicographically ≡ numerically on both engines
+    // export sharding: the two-level distributed prefix sum collapses
+    // to ONE global window in the mirror because the global order is
+    // bucket-major — (bk, h, doc_id) — by construction; all-integer
+    // arithmetic, so offsets and shard ids match bit-for-bit
+    "export_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |               AS BIGINT) AS h
+        |           FROM documents),
+        |b AS (SELECT *, h % 64 AS bk FROM t),
+        |c AS (SELECT doc_id, n_tok,
+        |             sum(n_tok) OVER (ORDER BY bk, h, doc_id) AS cum
+        |      FROM b)
+        |SELECT doc_id, n_tok, cum - n_tok AS start_tok,
+        |       (cum - n_tok) // 2000 AS shard
+        |FROM c ORDER BY start_tok, doc_id""".stripMargin,
     "corpus_sample_split" ->
       """WITH b AS (SELECT doc_id, lang, source,
         |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket

@@ -66,6 +66,43 @@ object MaxSim {
       .orderBy("qid", "rk")
   }
 
+  /** MEAN-POOLING the other direction — collapse a doc's token
+    * vectors into ONE doc vector (the sentence-embedding default;
+    * what a RAG pipeline runs on chunk embeddings to index whole
+    * docs): pooled[pos] = mean over the doc's token vectors at that
+    * dimension. posexplode + (doc, pos)-keyed aggregate — map-side
+    * partial agg does the per-partition sums, the exchange carries
+    * docs×dims rows. Per-element values are 6dp-quantized to integer
+    * micro-units before the sum (exact BIGINT totals), and the mean
+    * is ONE division of two exact integers — bit-deterministic on
+    * any engine, so the pooled vectors themselves are oracle-checked.
+    *
+    * @return (doc_id, pos 1-based, n_vecs, pooled 4dp)
+    */
+  def meanPool(dtokens: DataFrame): DataFrame =
+    dtokens
+      .select(col("doc_id"), posexplode(col("vec")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        expr("cast(round(cast(col as double) * 1000000) as bigint)")
+          .as("micro"))
+      .groupBy("doc_id", "pos")
+      .agg(count(lit(1)).as("n_vecs"), sum("micro").as("sm"))
+      .select(col("doc_id"), col("pos"), col("n_vecs"),
+        round(col("sm").cast("double") /
+          (col("n_vecs") * 1000000L).cast("double"), 4).as("pooled"))
+      .orderBy("doc_id", "pos")
+
+  /** Surface query: pooled doc vectors for the first 16 MaxSim docs
+    * (vec_id div 8 < 16) — long form (doc_id, pos, pooled), the
+    * shape a downstream indexer pivots or collects.
+    */
+  def meanPoolQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    meanPool(e.select(expr("cast(vec_id as bigint) div 8").as("doc_id"),
+        col("embedding").as("vec"))
+      .where(col("doc_id") < 16))
+  }
+
   /** Surface query: token vectors synthesized from the embeddings
     * table by id arithmetic — docs of 8 consecutive vectors
     * (vec_id div 8), queries = the first 3 groups of 4 (vec_id div 4

@@ -124,4 +124,60 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("source"), col("split"))
       .orderBy("doc_id")
   }
+
+  /** EXPORT SHARDING — the last step of a training-data pipeline:
+    * assign every document a shard id so each output shard carries
+    * ~`budget` tokens, in a deterministic md5-dealt order (training
+    * wants shuffled, replayable shards; file-arrival order is
+    * neither). The assignment needs each doc's GLOBAL token offset —
+    * a prefix sum, which at 100 TB cannot be one window over a total
+    * order (that is a single-partition sort of the corpus).
+    *
+    * Distributed prefix-sum decomposition (the classic two-level
+    * scan): deal docs into `buckets` md5 buckets; the within-bucket
+    * running sum is a bucket-partitioned window (parallel, corpus/B
+    * rows per partition); per-bucket totals — B longs — collect to
+    * the driver, prefix-sum there, and broadcast back as each
+    * bucket's base offset. Global offset = bucket base + within-sum.
+    * `buckets` scales with the cluster (B=64 here; thousands at
+    * 100 TB) — the bucket count bounds per-partition sort size, not
+    * correctness. All-integer arithmetic end to end: offsets and
+    * shard ids replay bit-for-bit on any engine, layout or cluster.
+    *
+    * @return (doc_id, n_tok, start_tok, shard) — shard = the doc's
+    *         start-token floor-div budget, so a doc straddling a
+    *         boundary belongs to the shard its first token lands in
+    */
+  def exportShards(docs: DataFrame, idCol: String, nTokCol: String,
+                   budget: Long, buckets: Int = 64): DataFrame = {
+    val t = docs.select(col(idCol), col(nTokCol).cast("long").as("n_tok"),
+      graft.functions.Md5Prefix60(col(idCol).cast("string")).as("h"))
+      .withColumn("bk", pmod(col("h"), lit(buckets.toLong)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bk").orderBy(col("h"), col(idCol))
+    val within = t.withColumn("cum_in", sum(col("n_tok")).over(w))
+    // B totals → driver prefix-sum → broadcast base-offset table
+    val totals = within.groupBy("bk").agg(sum("n_tok").as("btot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val bases = totals.toSeq.map { case (bk, tot) =>
+      val base = (bk, acc); acc += tot; base
+    }
+    val s = docs.sparkSession
+    import s.implicits._
+    val baseDf = broadcast(bases.toDF("bk", "base"))
+    within.join(baseDf, "bk")
+      .select(col(idCol), col("n_tok"),
+        (col("base") + col("cum_in") - col("n_tok")).as("start_tok"))
+      .withColumn("shard", expr(s"start_tok div ${budget}L"))
+      .orderBy("start_tok", idCol)
+  }
+
+  /** Surface query: 2000-token export shards over the corpus. */
+  def exportShardsQuery(s: SparkSession, dir: String): DataFrame =
+    exportShards(Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(org.apache.spark.sql.functions.split(col("text"), " "))
+          .as("n_tok")),
+      "doc_id", "n_tok", budget = 2000L)
 }

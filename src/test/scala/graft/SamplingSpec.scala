@@ -68,4 +68,33 @@ class SamplingSpec extends SparkSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       s"sampling runs a UDF:\n${p.take(1500)}")
   }
+
+  test("export shards form a contiguous token order with budget-sized shards") {
+    val budget = 500L
+    val rows = Sampling.exportShards(
+      Tables.documents(spark, sf).select(col("doc_id"),
+        size(org.apache.spark.sql.functions.split(col("text"), " "))
+          .as("n_tok")),
+      "doc_id", "n_tok", budget)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // n_tok, start, shard
+    assert(rows.nonEmpty)
+    // offsets are exactly contiguous: each doc starts where the
+    // previous one ended — the two-level prefix sum lost nothing
+    rows.sliding(2).foreach {
+      case Array((n1, s1, _), (_, s2, _)) => assert(s2 == s1 + n1)
+      case _ =>
+    }
+    assert(rows.head._2 == 0L)
+    // shard id is exactly the start-token bucket
+    rows.foreach { case (_, start, shard) =>
+      assert(shard == start / budget)
+    }
+    // every shard but the last spans its full budget window: the
+    // first doc of shard i+1 starts in bucket i+1, so shard i's docs
+    // cover through its boundary (docs may straddle)
+    val nShards = rows.map(_._3).max + 1
+    val total = rows.last._2 + rows.last._1
+    assert(nShards == (total - rows.last._1) / budget + 1)
+  }
 }
