@@ -153,4 +153,47 @@ object WalBinary {
   def dsv2ReplayQuery(s: SparkSession, dir: String): DataFrame =
     WalSource.replay(WalSource.parse(
       s.read.format("graft-wal").load(materializedWal(s, dir))))
+
+  /** WAL RETENTION — delete segments a snapshot has made dead for
+    * replay. The reference recovers as snapshot ⊎ WAL-tail-after-
+    * `lastSnapshotID` (persistence.cc:140,156-158 snapshots_MaxLogID;
+    * vector_database.cc:21 reloadDatabase) but never reclaims the
+    * log; unbounded WAL growth is the first thing an operator hits.
+    * A segment is dead iff its MAX log id ≤ the snapshot's covered
+    * id — every frame in it is already folded into the snapshot.
+    *
+    * The per-segment max is computed DISTRIBUTED (binaryFile rows
+    * decode where they land, one partial-agg per segment); only the
+    * dead segment PATHS — segment-count-sized — collect to the
+    * driver for deletion.
+    *
+    * Crash-safety / idempotence: deletion is the only mutation, and
+    * replay stays correct at every intermediate state — a surviving
+    * dead segment only re-applies entries the snapshot already
+    * holds, and (version, log_id)-LWW makes re-application a no-op
+    * (WalBinarySpec pins snapshot ⊎ post-vacuum tail ≡ full replay).
+    * Re-running vacuum after a crash finishes the job.
+    *
+    * @return deleted segment paths
+    */
+  def vacuumSegments(s: SparkSession, walGlob: String,
+                     upToLogId: Long): Seq[String] = {
+    import s.implicits._
+    val dead = s.read.format("binaryFile").load(walGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        decodeFrames(bytes).map { l =>
+          (p, WalSource.headLogId(l).getOrElse(Long.MaxValue))
+        }
+      }
+      .toDF("path", "log_id")
+      .groupBy("path").agg(max("log_id").as("max_id"))
+      .where(col("max_id") <= upToLogId)
+      .select("path").as[String].collect().toIndexedSeq
+    dead.foreach { p =>
+      Files.deleteIfExists(Paths.get(new java.net.URI(p)))
+    }
+    dead
+  }
 }

@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object WalSource {
 
+  /** Leading `log_id` of a record line, None when garbled — the
+    * driver-side twin of `parse`'s try_cast head (used by vacuum,
+    * where a corrupt line must make its segment IMMORTAL, never
+    * silently deletable).
+    */
+  def headLogId(line: String): Option[Long] = {
+    val i = line.indexOf('|')
+    if (i <= 0) None
+    else
+      try Some(line.substring(0, i).toLong)
+      catch { case _: NumberFormatException => None }
+  }
+
   /** Deterministic synthetic WAL over the embeddings table: every
     * vector upserted at version 1, every 7th re-upserted at version 2
     * with a shifted int_field — same plant pattern the vdb_upsert

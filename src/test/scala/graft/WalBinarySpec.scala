@@ -65,4 +65,50 @@ class WalBinarySpec extends SparkSuite {
     val viaText = WalSource.replayQuery(spark, sf).collect().toSeq
     assert(viaBinary == viaText && viaBinary.nonEmpty)
   }
+
+  test("vacuum deletes only snapshot-covered segments; replay composition survives") {
+    import org.apache.spark.sql.functions._
+    def seg(version: Long, logBase: Long): Seq[String] =
+      (0 until 10).map { id =>
+        s"""${logBase + id}|$version|upsert|{"id":$id,"int_field":${version * 10 + id},"indexType":"FLAT"}"""
+      }
+    val dir = Files.createTempDirectory("walvac")
+    try {
+      Files.write(dir.resolve("wal_log_1"), refFrame(seg(1, 1)))
+      Files.write(dir.resolve("wal_log_2"), refFrame(seg(2, 11)))
+      Files.write(dir.resolve("wal_log_3"), refFrame(seg(3, 21)))
+      val glob = dir.toString + "/wal_log_*"
+      def replayOf(where: org.apache.spark.sql.Column) =
+        WalSource.replay(WalSource.parse(
+          WalBinary.readFramed(spark, glob)).where(where))
+      val full = replayOf(lit(true)).collect().toSeq
+      // snapshot covers log ids <= 20 (segments 1 and 2)
+      val snapshot = replayOf(col("log_id") <= 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val deleted = WalBinary.vacuumSegments(spark, glob, upToLogId = 20L)
+      assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet ==
+        Set("wal_log_1", "wal_log_2"))
+      assert(Files.exists(dir.resolve("wal_log_3")))
+      // snapshot ⊎ post-vacuum tail ≡ the pre-vacuum full replay:
+      // LWW on (version) per id, log-entry counts sum
+      val tail = replayOf(lit(true))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val composed = (snapshot ++ tail).groupBy(_._1).map { case (id, rows) =>
+        val w = rows.maxBy(_._3)
+        (id, w._2, w._3, rows.map(_._4).sum)
+      }.toSeq.sortBy(_._1)
+      assert(composed == full.map(r => {
+        val row = r.asInstanceOf[org.apache.spark.sql.Row]
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      }))
+      // idempotent: nothing more to delete at the same horizon
+      assert(WalBinary.vacuumSegments(spark, glob, 20L).isEmpty)
+    } finally {
+      Seq("wal_log_1", "wal_log_2", "wal_log_3")
+        .foreach(n => Files.deleteIfExists(dir.resolve(n)))
+      Files.deleteIfExists(dir)
+    }
+  }
 }
