@@ -72,7 +72,8 @@ object Bench {
     Seq("ann_ivf_indexed", "ann_ivf_sq8", "ann_ivf_pq", "ann_ivf_bq",
         "ann_ivf", "vdb_knn_pq", "bucketed_join_agg",
         "dedup_incremental", "train_triplets", "train_triplets_hard",
-        "text_bm25_indexed", "ann_ivf_mrl")
+        "text_bm25_indexed", "ann_ivf_mrl", "events_zorder_skip",
+        "ann_adaptive_filter")
       .foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         if (elapsed < budgetNs / 2)

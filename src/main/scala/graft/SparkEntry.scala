@@ -210,6 +210,7 @@ object SparkEntry {
     "q17_small_qty" -> (Analytics.q17SmallQty _),
     "events_retention" -> (Analytics.eventsRetention _),
     "events_rollup_cube" -> (Analytics.eventsRollup _),
+    "events_gap_fill" -> (Analytics.eventsGapFill(_, _)),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q14_promo" -> (Analytics.q14PromoEffect _),
     "q10_returned" -> (Analytics.q10ReturnedItems _),
@@ -2540,6 +2541,34 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE o_custkey IN (SELECT c_custkey FROM mkt)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gap fill: dense type×calendar grid (fixed generate_series range
+    // clamped to the data bounds — DuckDB table functions reject
+    // lateral column args), zero-filled counts, 7-day trailing mean
+    // over the FILLED series (≤7-int sum/count — exact both engines)
+    "events_gap_fill" ->
+      """WITH ev AS (SELECT event_type,
+        |              CAST(ts AS DATE) - DATE '1970-01-01' AS d, value
+        |            FROM events),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+        |cal AS (SELECT g AS d
+        |        FROM generate_series(15000, 25000) AS t(g), b
+        |        WHERE g BETWEEN lo AND hi),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+        |          FROM ev WHERE value > 300 GROUP BY 1, 2),
+        |dense AS (SELECT ty.event_type, cal.d,
+        |            coalesce(daily.n, 0) AS n
+        |          FROM ty CROSS JOIN cal
+        |          LEFT JOIN daily ON daily.event_type = ty.event_type
+        |                         AND daily.d = cal.d)
+        |SELECT event_type,
+        |       CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS VARCHAR)
+        |         AS day,
+        |       n,
+        |       round(avg(n) OVER (PARTITION BY event_type ORDER BY d
+        |                          ROWS BETWEEN 6 PRECEDING
+        |                          AND CURRENT ROW), 4) AS ma7
+        |FROM dense ORDER BY event_type, day""".stripMargin,
     "events_rollup_cube" ->
       """WITH e AS (SELECT event_type,
         |             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -709,4 +709,46 @@ object Analytics {
       .groupBy("event_type", "k_band")
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("event_type", "k_band")
+
+  /** CALENDAR DENSIFICATION + moving aggregate — the gap-fill every
+    * time-series report needs before a window makes sense: a sparse
+    * daily series (here: high-value events, value > 300 — most
+    * (type, day) cells are EMPTY) left-joined onto the dense
+    * type × calendar grid with zero fill, then a 7-day trailing mean
+    * over the FILLED series. Without densification the moving window
+    * silently skips empty days and the "7-day average" averages the
+    * nearest 7 NON-EMPTY days — wrong on any sparse series.
+    *
+    * Scale shape: the calendar comes from `sequence(lo, hi)` off a
+    * 1-row bounds aggregate (two longs to the driver), the grid is
+    * types × days (metadata-sized — grouping keys, not events), and
+    * events contribute through one keyed partial-agg count. Integer
+    * day arithmetic; the moving mean is a ≤7-int sum / count — exact
+    * on both engines.
+    */
+  def eventsGapFill(s: SparkSession, dir: String,
+                    minValue: Double = 300.0): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"), col("value"))
+    val daily = ev.where(col("value") > minValue)
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    // report range = the FULL event calendar (bounds of the unfiltered
+    // stream), not the sparse series' own — leading/trailing empty
+    // days are part of the answer
+    val cal = ev.agg(min("d").as("lo"), max("d").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val grid = ev.select("event_type").distinct().crossJoin(cal)
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(-6, 0)
+    grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("ma7", round(avg("n").over(w), 4))
+      .select(col("event_type"),
+        date_add(lit("1970-01-01").cast("date"), col("d").cast("int"))
+          .cast("string").as("day"),
+        col("n"), col("ma7"))
+      .orderBy("event_type", "day")
+  }
 }

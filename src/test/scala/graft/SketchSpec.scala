@@ -116,6 +116,31 @@ class SketchSpec extends SparkSuite {
     assert(merged == direct)
   }
 
+  test("kmv set ops are exact below k") {
+    import org.apache.spark.sql.functions._
+    // sf0.001 high-value audiences are far below k=64, so every
+    // estimator must return the true set sizes
+    val df = Tables.events(spark, sf).where(col("value") > 200)
+      .select("event_type", "user_id")
+    val est = operators.Sketch.kmvSetOps(df, "event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))
+    assert(est.nonEmpty)
+    val sets = df.collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    est.foreach { case (a, b, estA, estB, estU, j, estI) =>
+      val (sa, sb) = (sets(a), sets(b))
+      assert(estA == sa.size.toDouble && estB == sb.size.toDouble)
+      assert(estU == (sa ++ sb).size.toDouble)
+      val inter = (sa & sb).size.toDouble
+      val trueJ = inter / (sa ++ sb).size
+      assert(math.abs(j - trueJ) < 1.001e-4, s"($a,$b) j=$j true=$trueJ")
+      assert(math.abs(estI - inter) < 0.501, s"($a,$b) i=$estI true=$inter")
+    }
+  }
+
   test("count-min never undercounts and is exact for clear winners") {
     val toks = Tables.documents(spark, sf)
       .select(explode(split(col("text"), " ")).as("tok"))
