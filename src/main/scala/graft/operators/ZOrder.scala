@@ -50,14 +50,84 @@ object ZOrder {
     * both dimensions contribute equal bit weight regardless of their
     * native ranges (raw interleave would let the wider column's high
     * bits dominate the curve and starve the other's clustering).
+    * Values OUTSIDE [lo, hi] clamp to the edge cells: appended
+    * batches may exceed the bounds the base layout was built with —
+    * clamping only worsens their clustering, never correctness (file
+    * stats record true min/max, not cells).
     */
   def gridCell(c: Column, lo: Long, hi: Long): Column =
-    floor((c.cast("long") - lit(lo)) * lit(255L) /
-      lit(math.max(hi - lo, 1L))).cast("long")
+    least(lit(255L), greatest(lit(0L),
+      floor((c.cast("long") - lit(lo)) * lit(255L) /
+        lit(math.max(hi - lo, 1L))).cast("long")))
 
   val Files = 16
 
   private def statsPath(p: String) = p + "_stats"
+
+  /** day-index column the layout clusters and filters on */
+  private def withDay(ev: DataFrame): DataFrame =
+    ev.withColumn("d",
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long"))
+
+  private def fileStats(df: DataFrame): DataFrame =
+    df.groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col("user_id").cast("long")).as("u_min"),
+        max(col("user_id").cast("long")).as("u_max"),
+        min("d").as("d_min"), max("d").as("d_max"))
+
+  private def zsorted(ev: DataFrame, files: Int,
+                      uLo: Long, uHi: Long, dLo: Long, dHi: Long): DataFrame =
+    ev.withColumn("zk", interleave(gridCell(col("user_id"), uLo, uHi),
+        gridCell(col("d"), dLo, dHi), 8))
+      .repartitionByRange(files, col("zk")).sortWithinPartitions("zk")
+      .drop("zk")
+
+  /** Full build: z-ordered data files + the stats sidecar. */
+  def buildZorder(s: SparkSession, events: DataFrame, path: String): Unit = {
+    val ev = withDay(events)
+    // column bounds: one partial-aggregated pass, 4 longs to the
+    // driver — the same state class as IVF centroids
+    val b = ev.agg(min(col("user_id").cast("long")),
+        max(col("user_id").cast("long")), min("d"), max("d"))
+      .collect().head
+    zsorted(ev, Files, b.getLong(0), b.getLong(1), b.getLong(2),
+        b.getLong(3))
+      .write.mode("overwrite").parquet(path)
+    // the skipping index: per-file min/max of both filter columns,
+    // derived from the file metadata column — file-count-sized
+    fileStats(s.read.parquet(path))
+      .coalesce(1).write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  /** INCREMENTAL append — the maintenance op that keeps the layout
+    * usable under corpus growth without re-sorting the world (the
+    * 11c/20k discipline on this index): the batch is z-sorted into
+    * its OWN files with the BASE build's grid (bounds re-derived from
+    * the sidecar — no data pass; out-of-range values clamp to edge
+    * cells, see [[gridCell]]), and their true-min/max stats rows
+    * append to the sidecar. Readers see old or old+new, never a
+    * half-published batch: [[skipScan]] resolves files THROUGH the
+    * sidecar, so data files land first and become visible only when
+    * their stats commit (the Delta model — the log is the table).
+    * Fresh batches overlap old files' boxes, so pruning degrades as
+    * batches accrete; a full [[buildZorder]] rewrite is the OPTIMIZE
+    * that restores it.
+    */
+  def zorderAppend(s: SparkSession, path: String, batch: DataFrame): Unit = {
+    val st = s.read.parquet(statsPath(path))
+    val b = st.agg(min("u_min"), max("u_max"), min("d_min"), max("d_max"))
+      .collect().head
+    val known = st.select("file").collect().map(_.getString(0)).toSet
+    zsorted(withDay(batch), math.max(Files / 4, 2), b.getLong(0),
+        b.getLong(1), b.getLong(2), b.getLong(3))
+      .write.mode("append").parquet(path)
+    // stats for the just-landed files only: everything the sidecar
+    // does not list yet (file-count-sized driver state)
+    fileStats(s.read.parquet(path)
+        .where(!col("_metadata.file_path").isin(known.toSeq: _*)))
+      .coalesce(1).write.mode("append").parquet(statsPath(path))
+  }
 
   /** Write `events` z-ordered by (user_id, day) into `Files` files
     * plus the per-file min/max stats sidecar. Built once per dir
@@ -69,29 +139,7 @@ object ZOrder {
       .toAbsolutePath.toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(statsPath(path), "_SUCCESS"))) {
-      val ev = Tables.events(s, dir).withColumn("d",
-        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
-          .cast("long"))
-      // column bounds: one partial-aggregated pass, 4 longs to the
-      // driver — the same state class as IVF centroids
-      val b = ev.agg(min(col("user_id").cast("long")),
-          max(col("user_id").cast("long")), min("d"), max("d"))
-        .collect().head
-      val (uLo, uHi, dLo, dHi) =
-        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-      ev.withColumn("zk", interleave(gridCell(col("user_id"), uLo, uHi),
-          gridCell(col("d"), dLo, dHi), 8))
-        .repartitionByRange(Files, col("zk")).sortWithinPartitions("zk")
-        .drop("zk")
-        .write.mode("overwrite").parquet(path)
-      // the skipping index: per-file min/max of both filter columns,
-      // derived from the file metadata column — file-count-sized
-      s.read.parquet(path)
-        .groupBy(col("_metadata.file_path").as("file"))
-        .agg(min(col("user_id").cast("long")).as("u_min"),
-          max(col("user_id").cast("long")).as("u_max"),
-          min("d").as("d_min"), max("d").as("d_max"))
-        .coalesce(1).write.mode("overwrite").parquet(statsPath(path))
+      buildZorder(s, Tables.events(s, dir), path)
     }
     path
   }

@@ -49,4 +49,36 @@ class ZOrderSpec extends SparkSuite {
     val selBox = ZOrder.selectFiles(spark, path, 3L, 7L, 19731L, 19738L).size
     assert(selBox < total)
   }
+
+  test("append publishes through the sidecar and stays filter-equivalent") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "zapp")
+    val path = dir.resolve("zx").toString
+    try {
+      val ev = Tables.events(spark, sf)
+      val base = ev.where(col("user_id") < 8)
+      // batch users 28..34 — OUTSIDE the base build's bounds, so grid
+      // cells clamp while the stats record true min/max
+      val batch = ev.where(col("user_id") >= 8)
+        .withColumn("user_id", col("user_id") + 20)
+      ZOrder.buildZorder(spark, base, path)
+      val statsBefore = spark.read.parquet(path + "_stats").count()
+      ZOrder.zorderAppend(spark, path, batch)
+      val statsAfter = spark.read.parquet(path + "_stats").count()
+      assert(statsAfter > statsBefore)
+      // equality over the union population
+      val got = ZOrder.skipScan(spark, path, 0L, 999L, 0L, 99999L).count()
+      assert(got == base.count() + batch.count())
+      // the appended population is found through the sidecar...
+      val gotNew = ZOrder.skipScan(spark, path, 28L, 999L, 0L, 99999L)
+        .count()
+      assert(gotNew == batch.count())
+      // ...and its band prunes to the appended files only (the base
+      // files' u_max is 7, far below the band)
+      val selNew = ZOrder.selectFiles(spark, path, 28L, 999L, 0L, 99999L)
+      assert(selNew.nonEmpty && selNew.size < statsAfter)
+    } finally {
+      new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+    }
+  }
 }
