@@ -238,6 +238,7 @@ object SparkEntry {
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
     "search_mmr_rerank" -> (Search.mmrQuery _),
     "search_maxsim" -> (MaxSim.maxsimQuery _),
+    "text_phrase_search" -> (Search.phraseSearchQuery _),
     "embed_mean_pool" -> (MaxSim.meanPoolQuery _),
     "vdb_time_travel" -> (Upsert.timeTravelQuery _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
@@ -1093,6 +1094,34 @@ object SparkEntry {
          |                  AS rk FROM g)
          |SELECT qid, rk, doc_id, rrf_score, bm25_rk, cos_rk FROM h
          |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // phrase search: anchor = pos − i collapses the m-way positional
+    // self-join into one join + one (doc, anchor) aggregate
+    "text_phrase_search" ->
+      """WITH p(phrase, i, tok) AS (VALUES
+        |    ('table hash', 0, 'table'), ('table hash', 1, 'hash'),
+        |    ('customer join', 0, 'customer'), ('customer join', 1, 'join'),
+        |    ('table hash value', 0, 'table'),
+        |    ('table hash value', 1, 'hash'),
+        |    ('table hash value', 2, 'value')),
+        |m AS (SELECT phrase, CAST(count(*) AS BIGINT) AS m
+        |      FROM p GROUP BY 1),
+        |dt AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |       FROM documents),
+        |t AS (SELECT doc_id, g.i - 1 AS pos, ts[g.i] AS tok
+        |      FROM dt CROSS JOIN generate_series(1, 128) AS g(i)
+        |      WHERE g.i <= len(ts)),
+        |occ AS (SELECT p.phrase, t.doc_id, t.pos - p.i AS anchor,
+        |               count(DISTINCT p.i) AS hits
+        |        FROM t JOIN p ON t.tok = p.tok
+        |        GROUP BY 1, 2, 3),
+        |fo AS (SELECT o.phrase, o.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        |       FROM occ o JOIN m USING (phrase)
+        |       WHERE o.hits = m.m GROUP BY 1, 2),
+        |r AS (SELECT phrase, doc_id, n_occ, row_number() OVER (
+        |        PARTITION BY phrase ORDER BY n_occ DESC, doc_id) AS rk
+        |      FROM fo)
+        |SELECT phrase, rk, doc_id, n_occ
+        |FROM r WHERE rk <= 10 ORDER BY phrase, rk""".stripMargin,
     // MaxSim late interaction: per-(qtok, doc) max cosine quantized
     // to integer micro-units BEFORE the sum (round is monotone, so
     // quantize-then-max ≡ max-then-quantize; the fused score is then

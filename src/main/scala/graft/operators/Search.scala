@@ -569,4 +569,55 @@ object Search {
         coalesce(col("crk"), lit(0)).as("cos_rk"))
       .orderBy("qid", "rk")
   }
+
+  // ------------------------------------------------------ phrase search
+
+  /** EXACT PHRASE search — the positional query BM25's bag-of-words
+    * scoring cannot answer ("table hash" as consecutive tokens, not
+    * two terms anywhere). Classic positional-postings evaluation
+    * re-expressed relationally in ONE corpus scan and ONE shuffle,
+    * for ANY phrase length: each phrase token (i, tᵢ) joins the
+    * positional token table on the token, every match projects its
+    * ANCHOR = pos − i (where the phrase would have to start), and a
+    * (doc, anchor) holding ALL m distinct offsets is an occurrence —
+    * the m-way self-join of the naive formulation collapses into one
+    * join + one aggregate keyed by (doc, anchor). Phrase tables are
+    * request-sized (broadcast); ranking is the TopKAgg heap.
+    */
+  def phraseSearch(docs: DataFrame, phrases: Seq[String],
+                   topN: Int = 10): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ptoks = phrases.flatMap { p =>
+      val ts = p.split(" ")
+      ts.zipWithIndex.map { case (t, i) =>
+        (p, t, i.toLong, ts.length.toLong)
+      }
+    }.toDF("phrase", "tok", "i", "m")
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+    val occ = toks.join(broadcast(ptoks), "tok")
+      .groupBy(col("phrase"), col("m"), col("doc_id"),
+        (col("pos") - col("i")).as("anchor"))
+      .agg(countDistinct(col("i")).as("hits"))
+      .where(col("hits") === col("m"))
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+    val agg = TopKAgg.topK(topN)
+    occ.groupBy("phrase")
+      .agg(agg((-col("n_occ")).cast("double"), col("doc_id")).as("top"))
+      .select(col("phrase"), posexplode(col("top.items")))
+      .select(col("phrase"), (col("pos") + 1).as("rk"),
+        col("col.id").as("doc_id"), (-col("col.key")).cast("long")
+          .as("n_occ"))
+      .orderBy("phrase", "rk")
+  }
+
+  /** Surface query: two bigram phrases and one trigram over the
+    * corpus (chosen to occur at every SF). */
+  def phraseSearchQuery(s: SparkSession, dir: String): DataFrame =
+    phraseSearch(graft.Tables.documents(s, dir).select("doc_id", "text"),
+      Seq("table hash", "customer join", "table hash value"))
 }
