@@ -211,6 +211,7 @@ object SparkEntry {
     "events_retention" -> (Analytics.eventsRetention _),
     "events_rollup_cube" -> (Analytics.eventsRollup _),
     "events_gap_fill" -> (Analytics.eventsGapFill(_, _)),
+    "events_top_paths" -> (Analytics.eventsTopPaths(_, _)),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q14_promo" -> (Analytics.q14PromoEffect _),
     "q10_returned" -> (Analytics.q10ReturnedItems _),
@@ -831,6 +832,22 @@ object SparkEntry {
          |SELECT qid, hits, round(hits / 10.0, 4) AS recall
          |FROM h ORDER BY qid""".stripMargin,
     // event-transition matrix: per-user lag pairs, row-normalized
+    // top paths: trigram sequences per user, counted then ranked over
+    // the states³-sized path table
+    "events_top_paths" ->
+      """WITH p AS (SELECT user_id, event_type AS t1,
+        |             lead(event_type, 1) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS t2,
+        |             lead(event_type, 2) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS t3
+        |           FROM events),
+        |g AS (SELECT t1 || ' > ' || t2 || ' > ' || t3 AS path,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE t3 IS NOT NULL GROUP BY 1),
+        |r AS (SELECT path, n, row_number() OVER (ORDER BY n DESC, path)
+        |        AS rank FROM g)
+        |SELECT rank, path, n FROM r WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
     "events_transitions" ->
       """WITH p AS (SELECT user_id, event_type,
         |             lag(event_type) OVER (PARTITION BY user_id

@@ -710,6 +710,38 @@ object Analytics {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("event_type", "k_band")
 
+  /** TOP PATHS — the most frequent length-3 event sequences, the
+    * n-gram generalization of [[eventsTransitions]]'s Markov pairs
+    * (what funnels are mined FROM when the stages aren't known in
+    * advance): two `lead`s over the same per-user (ts, event_id)
+    * window the transitions/sessionize family already uses — the
+    * loader's user_id spread satisfies it, no extra exchange — then
+    * one (t1,t2,t3)-keyed partial-agg count (≤ states³ groups) and a
+    * global TopKAgg over the path table (states³-sized, not
+    * event-sized). Paths cross session boundaries deliberately; a
+    * session-scoped variant composes with sessionize's session_id.
+    */
+  def eventsTopPaths(s: SparkSession, dir: String,
+                     topN: Int = 10): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val paths = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead("t1", 1).over(byUser))
+      .withColumn("t3", lead("t1", 2).over(byUser))
+      .where(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("n"))
+      // deterministic dense ranking without a second shuffle: the
+      // path table is states³-sized, one partition sorts it
+      .withColumn("path", concat_ws(" > ", col("t1"), col("t2"), col("t3")))
+    val w = Window.orderBy(col("n").desc, col("path"))
+    paths.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topN)
+      .select(col("rank"), col("path"), col("n"))
+      .orderBy("rank")
+  }
+
   /** CALENDAR DENSIFICATION + moving aggregate — the gap-fill every
     * time-series report needs before a window makes sense: a sparse
     * daily series (here: high-value events, value > 300 — most

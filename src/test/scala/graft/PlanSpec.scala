@@ -241,4 +241,41 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"),
       s"top-k window not group-limit pruned:\n${p.take(2000)}")
   }
+
+  test("maxsim: query side broadcasts, both aggregates partial-combine") {
+    val p = planOf(graft.operators.MaxSim.maxsimQuery(spark, sf))
+    assert(p.contains("BroadcastExchange"),
+      s"query tokens not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-side shuffle join appeared:\n${p.take(2500)}")
+    // max and sum both run as HashAggregate (map-side combine), never
+    // SortAggregate over the scored stream
+    assert(!p.contains("SortAggregate"),
+      s"scored stream sort-aggregates:\n${p.take(2500)}")
+  }
+
+  test("phrase search: phrase table broadcasts; no per-token self-join chain") {
+    val p = planOf(graft.operators.Search.phraseSearchQuery(spark, sf))
+    assert(p.contains("BroadcastExchange"),
+      s"phrase table not broadcast:\n${p.take(2000)}")
+    val scans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents")).toSeq
+    assert(scans.size == 1,
+      s"anchor trick lost — ${scans.size} corpus scans (m-way join?)")
+  }
+
+  test("zorder skip-scan reads fewer files than the layout holds") {
+    val path = graft.operators.ZOrder.ensureZordered(spark, sf)
+    val total = spark.read.parquet(path + "_stats").count()
+    val p = planOf(graft.operators.ZOrder.skipScan(
+      spark, path, 3L, 7L, 19731L, 19738L))
+    // the exact predicate still rides the (pruned) scan
+    assert(p.contains("PushedFilters") &&
+      p.linesIterator.exists(l => l.contains("user_id") &&
+        l.contains("PushedFilters")),
+      s"residual predicate not pushed:\n${p.take(2000)}")
+    val sel = graft.operators.ZOrder.selectFiles(
+      spark, path, 3L, 7L, 19731L, 19738L).size
+    assert(sel < total, s"no file skipping: $sel/$total")
+  }
 }
