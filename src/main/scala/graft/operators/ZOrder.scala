@@ -83,7 +83,30 @@ object ZOrder {
       .repartitionByRange(files, col("zk")).sortWithinPartitions("zk")
       .drop("zk")
 
-  /** Full build: z-ordered data files + the stats sidecar. */
+  /** Run `write` under dynamic partition overwrite (replace only the
+    * partitions the frame carries), restoring the session conf.
+    */
+  private def dynamicOverwrite(s: SparkSession)(write: => Unit): Unit = {
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try write
+    finally prev match {
+      case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Stats rows for one generation's data files, tagged with the
+    * generation (so sidecar writes replace per-generation too).
+    */
+  private def statsForGen(s: SparkSession, path: String, gen: Long): DataFrame =
+    fileStats(s.read.parquet(s"$path/gen=$gen"))
+      .withColumn("gen", lit(gen))
+
+  /** Full build: z-ordered data files + the stats sidecar, both as
+    * generation 0. The layout is PARTITIONED BY GENERATION so every
+    * later append owns a directory it can idempotently replace.
+    */
   def buildZorder(s: SparkSession, events: DataFrame, path: String): Unit = {
     val ev = withDay(events)
     // column bounds: one partial-aggregated pass, 4 longs to the
@@ -93,40 +116,51 @@ object ZOrder {
       .collect().head
     zsorted(ev, Files, b.getLong(0), b.getLong(1), b.getLong(2),
         b.getLong(3))
-      .write.mode("overwrite").parquet(path)
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen").parquet(path)
     // the skipping index: per-file min/max of both filter columns,
     // derived from the file metadata column — file-count-sized
-    fileStats(s.read.parquet(path))
-      .coalesce(1).write.mode("overwrite").parquet(statsPath(path))
+    statsForGen(s, path, 0L)
+      .coalesce(1).write.mode("overwrite").partitionBy("gen")
+      .parquet(statsPath(path))
   }
 
   /** INCREMENTAL append — the maintenance op that keeps the layout
     * usable under corpus growth without re-sorting the world (the
     * 11c/20k discipline on this index): the batch is z-sorted into
-    * its OWN files with the BASE build's grid (bounds re-derived from
-    * the sidecar — no data pass; out-of-range values clamp to edge
-    * cells, see [[gridCell]]), and their true-min/max stats rows
-    * append to the sidecar. Readers see old or old+new, never a
-    * half-published batch: [[skipScan]] resolves files THROUGH the
-    * sidecar, so data files land first and become visible only when
-    * their stats commit (the Delta model — the log is the table).
-    * Fresh batches overlap old files' boxes, so pruning degrades as
-    * batches accrete; a full [[buildZorder]] rewrite is the OPTIMIZE
-    * that restores it.
+    * its OWN GENERATION with the base build's grid (bounds re-derived
+    * from the sidecar — no data pass; out-of-range values clamp to
+    * edge cells, see [[gridCell]]), and its true-min/max stats rows
+    * replace that generation's sidecar partition.
+    *
+    * Publish order and idempotence: data lands first but becomes
+    * visible only when its stats commit — [[skipScan]] resolves files
+    * THROUGH the sidecar (the Delta model: the log is the table) — and
+    * both writes are dynamic partition overwrites of `gen=<id>`, so a
+    * REDELIVERED generation (streaming retry, crash replay) replaces
+    * its own files instead of duplicating rows. Fresh generations
+    * overlap old files' boxes, so pruning degrades as they accrete; a
+    * full [[buildZorder]] rewrite is the OPTIMIZE that restores it.
     */
-  def zorderAppend(s: SparkSession, path: String, batch: DataFrame): Unit = {
-    val st = s.read.parquet(statsPath(path))
-    val b = st.agg(min("u_min"), max("u_max"), min("d_min"), max("d_max"))
-      .collect().head
-    val known = st.select("file").collect().map(_.getString(0)).toSet
-    zsorted(withDay(batch), math.max(Files / 4, 2), b.getLong(0),
-        b.getLong(1), b.getLong(2), b.getLong(3))
-      .write.mode("append").parquet(path)
-    // stats for the just-landed files only: everything the sidecar
-    // does not list yet (file-count-sized driver state)
-    fileStats(s.read.parquet(path)
-        .where(!col("_metadata.file_path").isin(known.toSeq: _*)))
-      .coalesce(1).write.mode("append").parquet(statsPath(path))
+  def zorderAppend(s: SparkSession, path: String, batch: DataFrame,
+                   gen: Long): Unit = {
+    require(gen > 0, s"generation 0 is the base build, got $gen")
+    if (!batch.isEmpty) {
+      val st = s.read.parquet(statsPath(path))
+      val b = st.agg(min("u_min"), max("u_max"), min("d_min"), max("d_max"))
+        .collect().head
+      dynamicOverwrite(s) {
+        zsorted(withDay(batch), math.max(Files / 4, 2), b.getLong(0),
+            b.getLong(1), b.getLong(2), b.getLong(3))
+          .withColumn("gen", lit(gen))
+          .write.mode("overwrite").partitionBy("gen").parquet(path)
+      }
+      dynamicOverwrite(s) {
+        statsForGen(s, path, gen)
+          .coalesce(1).write.mode("overwrite").partitionBy("gen")
+          .parquet(statsPath(path))
+      }
+    }
   }
 
   /** Write `events` z-ordered by (user_id, day) into `Files` files
@@ -135,7 +169,7 @@ object ZOrder {
     */
   def ensureZordered(s: SparkSession, dir: String): String = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get("target", "tmp", s"zorder-$key")
+    val path = java.nio.file.Paths.get("target", "tmp", s"zorderg-$key")
       .toAbsolutePath.toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(statsPath(path), "_SUCCESS"))) {
@@ -165,7 +199,7 @@ object ZOrder {
                uLo: Long, uHi: Long, dLo: Long, dHi: Long): DataFrame = {
     val sel = selectFiles(s, path, uLo, uHi, dLo, dHi)
     val base =
-      if (sel.isEmpty) s.read.parquet(path).where(lit(false))
+      if (sel.isEmpty) s.read.parquet(path).drop("gen").where(lit(false))
       else s.read.parquet(sel: _*)
     base.where(col("user_id").between(uLo, uHi) &&
       col("d").between(dLo, dHi))

@@ -63,12 +63,16 @@ class ZOrderSpec extends SparkSuite {
         .withColumn("user_id", col("user_id") + 20)
       ZOrder.buildZorder(spark, base, path)
       val statsBefore = spark.read.parquet(path + "_stats").count()
-      ZOrder.zorderAppend(spark, path, batch)
+      ZOrder.zorderAppend(spark, path, batch, gen = 1L)
       val statsAfter = spark.read.parquet(path + "_stats").count()
       assert(statsAfter > statsBefore)
       // equality over the union population
       val got = ZOrder.skipScan(spark, path, 0L, 999L, 0L, 99999L).count()
       assert(got == base.count() + batch.count())
+      // REDELIVERY of the same generation replaces, never duplicates
+      ZOrder.zorderAppend(spark, path, batch, gen = 1L)
+      assert(ZOrder.skipScan(spark, path, 0L, 999L, 0L, 99999L).count()
+        == got)
       // the appended population is found through the sidecar...
       val gotNew = ZOrder.skipScan(spark, path, 28L, 999L, 0L, 99999L)
         .count()
@@ -77,6 +81,43 @@ class ZOrderSpec extends SparkSuite {
       // files' u_max is 7, far below the band)
       val selNew = ZOrder.selectFiles(spark, path, 28L, 999L, 0L, 99999L)
       assert(selNew.nonEmpty && selNew.size < statsAfter)
+    } finally {
+      new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
+  test("streamed generations land exactly-once and stay queryable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "zstream")
+    val path = dir.resolve("zx").toString
+    val ckpt = dir.resolve("ckpt").toString
+    try {
+      val base = Tables.events(spark, sf)
+        .select(col("ts"), col("user_id"), col("event_type"))
+      graft.operators.ZOrder.buildZorder(spark, base, path)
+      val ms = MemoryStream[Int]
+      val stream = ms.toDF().select(
+        to_timestamp(lit("2024-01-05 12:00:00")).as("ts"),
+        (col("value") + 40).as("user_id"),
+        lit("streamed").as("event_type"))
+      val q = graft.streaming.LayoutMaintenance.attach(stream, path, ckpt)
+      try {
+        ms.addData(1 to 5: _*); q.processAllAvailable()
+        ms.addData(6 to 9: _*); q.processAllAvailable()
+      } finally q.stop()
+      // every wave is present exactly once, through the sidecar
+      val total = graft.operators.ZOrder
+        .skipScan(spark, path, 0L, 999L, 0L, 99999L).count()
+      assert(total == base.count() + 9)
+      // the streamed band prunes to streamed generations' files only
+      val stats = spark.read.parquet(path + "_stats")
+      assert(stats.select("gen").distinct().count() >= 2)
+      val sel = graft.operators.ZOrder
+        .selectFiles(spark, path, 41L, 999L, 0L, 99999L)
+      assert(sel.nonEmpty && sel.size < stats.count())
     } finally {
       new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
     }
