@@ -767,10 +767,15 @@ object Analytics {
       .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
     // report range = the FULL event calendar (bounds of the unfiltered
     // stream), not the sparse series' own — leading/trailing empty
-    // days are part of the answer
-    val cal = ev.agg(min("d").as("lo"), max("d").as("hi"))
-      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
-    val grid = ev.select("event_type").distinct().crossJoin(cal)
+    // days are part of the answer. Bounds AND the type dictionary come
+    // from ONE metadata aggregate (2 longs + the type set, 1 row,
+    // checkpointed for its two explode consumers) — deriving them
+    // separately cost a third full events scan (ScanAudit)
+    val meta = ev.agg(min("d").as("lo"), max("d").as("hi"),
+      collect_set("event_type").as("tys")).localCheckpoint(true)
+    val cal = meta.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val grid = meta.select(explode(col("tys")).as("event_type"))
+      .crossJoin(cal)
     val w = Window.partitionBy("event_type").orderBy("d")
       .rowsBetween(-6, 0)
     grid.join(daily, Seq("event_type", "d"), "left")
