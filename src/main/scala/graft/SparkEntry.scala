@@ -217,6 +217,9 @@ object SparkEntry {
     "q10_returned" -> (Analytics.q10ReturnedItems _),
     "q19_disc_rev" -> (Analytics.q19DiscountedRevenue _),
     "q21_sole_blame" -> (Analytics.q21SoleBlame _),
+    "q16_supplier_cnt" -> (Analytics.q16SupplierCount _),
+    "q20_excess_supply" -> (Analytics.q20ExcessSupply _),
+    "events_stickiness" -> (Analytics.eventsStickiness _),
     "bucketed_join_agg" -> (Layout.bucketedJoinQuery _),
     "events_zorder_skip" -> (ZOrder.zorderSkipQuery _),
     "q22_global_sales" -> (Analytics.q22GlobalSales _),
@@ -2693,6 +2696,62 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    // Q16 shape: lineitem as the part↔supplier relation, acctbal<0 as
+    // the complaint filter; distinct-count + NOT IN anti-join
+    "q16_supplier_cnt" ->
+      """SELECT p.p_type,
+        |       CAST(p.p_size - (p.p_size % 10) AS BIGINT) AS size_band,
+        |       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_type <> 'PROMO' AND p.p_size <= 30
+        |  AND l.l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_type, size_band""".stripMargin,
+    // Q20 shape: part filter → per-(part,supp) agg → per-part mean
+    // threshold → distinct qualifying suppliers → dim join
+    "q20_excess_supply" ->
+      """WITH sh AS (SELECT l_partkey, l_suppkey,
+        |              sum(l_quantity) AS qty
+        |            FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |              AND l_shipdate < TIMESTAMP '1997-01-01'
+        |              AND l_partkey IN
+        |                  (SELECT p_partkey FROM part
+        |                   WHERE p_type = 'SMALL')
+        |            GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, sum(qty) / count(*) AS avg_qty
+        |       FROM sh GROUP BY 1),
+        |q AS (SELECT DISTINCT sh.l_suppkey
+        |      FROM sh JOIN pp ON sh.l_partkey = pp.l_partkey
+        |      WHERE sh.qty > pp.avg_qty * 2.0)
+        |SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (SELECT l_suppkey FROM q)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    // DAU/WAU stickiness: Monday-truncated weeks (the retention
+    // discipline), exact BIGINT counts, divisions only at the end
+    "events_stickiness" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |              CAST(date_trunc('week', ts) AS DATE) AS week
+        |            FROM events),
+        |dau AS (SELECT week, day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM (SELECT DISTINCT user_id, day, week FROM ev)
+        |        GROUP BY 1, 2),
+        |wk AS (SELECT week, CAST(count(*) AS BIGINT) AS wau
+        |       FROM (SELECT DISTINCT user_id, week FROM ev)
+        |       GROUP BY 1),
+        |d AS (SELECT week, CAST(sum(dau) AS BIGINT) AS sum_dau,
+        |             CAST(count(*) AS BIGINT) AS n_days
+        |      FROM dau GROUP BY 1)
+        |SELECT CAST(d.week AS VARCHAR) AS week, d.n_days, wk.wau,
+        |       round(CAST(d.sum_dau AS DOUBLE) / d.n_days, 4) AS avg_dau,
+        |       round(CAST(d.sum_dau AS DOUBLE) / (d.n_days * wk.wau), 4)
+        |         AS stickiness
+        |FROM d JOIN wk ON d.week = wk.week
+        |ORDER BY week""".stripMargin,
     "q14_promo" ->
       """SELECT round(
         |  sum(CASE WHEN p_type = 'PROMO'

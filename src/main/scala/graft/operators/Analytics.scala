@@ -788,4 +788,93 @@ object Analytics {
         col("n"), col("ma7"))
       .orderBy("event_type", "day")
   }
+
+  /** TPC-H Q16 shape (recast — no partsupp table in the testdata, so
+    * lineitem plays the part↔supplier relation): DISTINCT-COUNT over a
+    * join with a NOT-IN exclusion. Per (p_type, size band): how many
+    * distinct suppliers ship such parts, excluding "complained"
+    * suppliers (negative account balance — the comment-LIKE filter's
+    * analog). The exclusion is a left_anti against a supplier-sized
+    * set (never widens fact rows), and count(distinct) keys the
+    * aggregate by the group — the expand+two-phase distinct plan — so
+    * no per-group set materializes on any single node at scale.
+    */
+  def q16SupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val complained = Tables.supplier(s, dir)
+      .where(col("s_acctbal") < 0).select("s_suppkey")
+    val parts = Tables.part(s, dir)
+      .where(col("p_type") =!= "PROMO" && col("p_size") <= 30)
+      .select(col("p_partkey"), col("p_type"),
+        (col("p_size") - (col("p_size") % 10)).cast("long").as("size_band"))
+    Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(complained, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type", "size_band")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_type"), col("size_band"))
+  }
+
+  /** TPC-H Q20 shape (recast onto lineitem as the supply relation):
+    * the NESTED SEMI CHAIN — a filter on parts gates an aggregate on
+    * the fact table, whose threshold test gates a semi-join on
+    * suppliers, which joins a bounded dim for display. Suppliers who
+    * shipped MORE than twice the per-part average 1996 volume of any
+    * SMALL-type part: per-(part, supp) sums and the per-part mean both
+    * reuse one l_partkey-keyed exchange; qualification collapses to a
+    * distinct supplier set (supplier-sized) before touching the
+    * supplier table, and nation broadcasts.
+    */
+  def q20ExcessSupply(s: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(s, dir)
+      .where(col("p_type") === "SMALL").select("p_partkey")
+    val shipped = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("qty"))
+    // per-part mean over its suppliers, derived FROM the (part, supp)
+    // aggregate (partition-local second agg — the q13 two-level shape)
+    val perPart = shipped.groupBy("l_partkey")
+      .agg((sum("qty") / count(lit(1))).as("avg_qty"))
+    val qualifying = shipped.join(perPart, "l_partkey")
+      .where(col("qty") > col("avg_qty") * 2.0)
+      .select("l_suppkey").distinct()
+    Tables.supplier(s, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** DAU/WAU STICKINESS — the engagement ratio every product
+    * dashboard carries: per ISO (Monday-truncated) week, the weekly
+    * distinct actives, the mean of the seven daily distinct-active
+    * counts, and their ratio. Both distinct aggregates key by
+    * (period, user) first — the two-phase distinct plan, never a
+    * per-group set — and the day→week rollup joins week-sized frames.
+    * The ratio is derived from exact BIGINT counts; the mean's single
+    * division and the ratio division are the only float ops (the
+    * events_retention discipline).
+    */
+  def eventsStickiness(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      col("ts").cast("date").as("day"),
+      date_trunc("week", col("ts")).cast("date").as("week"))
+    val dau = ev.select("user_id", "day", "week").distinct()
+      .groupBy("week", "day").agg(count(lit(1)).as("dau"))
+    val wau = ev.select("user_id", "week").distinct()
+      .groupBy("week").agg(count(lit(1)).as("wau"))
+    dau.groupBy("week")
+      .agg(sum("dau").as("sum_dau"), count(lit(1)).as("n_days"))
+      .join(wau, "week")
+      .select(col("week").cast("string").as("week"), col("n_days"),
+        col("wau"),
+        round(col("sum_dau").cast("double") / col("n_days"), 4)
+          .as("avg_dau"),
+        round(col("sum_dau").cast("double") / (col("n_days") * col("wau")),
+          4).as("stickiness"))
+      .orderBy("week")
+  }
 }
