@@ -231,6 +231,8 @@ object SparkEntry {
     "text_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
     "text_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
     "text_surprisal" -> (TextOps.surprisal _),
+    "text_bigram_surprisal" -> (TextOps.bigramSurprisal _),
+    "quality_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
     "events_salted_enrich" -> ((s, d) => Skew.saltedEnrichQuery(s, d)),
     "key_skew_report" -> (Skew.keySkewQuery _),
@@ -2959,6 +2961,55 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, total_bits,
         |       round(total_bits * 1.0 / n_tokens, 4) AS bits_per_token
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // bigram surprisal: the same integer floor-log2 path conditioned
+    // on the previous token; DuckDB builds bigrams off the 1-based
+    // token list (range end-exclusive, so i+1 stays in bounds)
+    "text_bigram_surprisal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |bg AS (SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+        |       FROM w, unnest(range(1, len(ws))) AS t(i)),
+        |tf AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bg GROUP BY 1, 2, 3),
+        |cab AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS cab
+        |        FROM tf GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca
+        |       FROM cab GROUP BY 1),
+        |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(tf * (length(bin(ca // cab)) - 1)) AS BIGINT)
+        |           AS total_bits
+        |       FROM tf JOIN cab USING (a, b) JOIN ca USING (a)
+        |       GROUP BY 1)
+        |SELECT doc_id, n_bigrams, total_bits,
+        |       round(total_bits * 1.0 / n_bigrams, 4) AS bits_per_bigram
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // model-based quality gate: fixed-point features via `//` (the
+    // IntegralDivide mirror), integer score, integer threshold
+    "quality_classifier" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |f AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        CAST(max(tf) AS BIGINT) AS max_tf,
+        |        CAST(sum(CASE WHEN tok IN
+        |            ('the','a','and','of','to','in','is')
+        |          THEN tf ELSE 0 END) AS BIGINT) AS stop_hits
+        |      FROM tf GROUP BY 1),
+        |x AS (SELECT doc_id, n_toks,
+        |        CAST(least((n_toks * 10000) // 100, 10000) AS BIGINT)
+        |          AS len_fp,
+        |        CAST((n_distinct * 10000) // n_toks AS BIGINT) AS ttr_fp,
+        |        CAST((stop_hits * 10000) // n_toks AS BIGINT) AS stop_fp,
+        |        CAST((max_tf * 10000) // n_toks AS BIGINT) AS toptok_fp
+        |      FROM f)
+        |SELECT doc_id, n_toks, len_fp, ttr_fp, stop_fp, toptok_fp,
+        |       CAST(3 * len_fp + 3 * ttr_fp + 2 * stop_fp - 4 * toptok_fp
+        |         AS BIGINT) AS score,
+        |       (3 * len_fp + 3 * ttr_fp + 2 * stop_fp - 4 * toptok_fp)
+        |         >= 28000 AS keep
+        |FROM x ORDER BY doc_id""".stripMargin,
     "text_top_terms" ->
       """WITH u AS (SELECT DISTINCT lang, doc_id, tok FROM
         |             (SELECT lang, doc_id,

@@ -371,6 +371,93 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** MODEL-BASED QUALITY GATE — the "fastText/logreg quality
+    * classifier" stage of a published pretraining pipeline, as a
+    * deterministic linear model: fixed integer weights over
+    * FIXED-POINT features (each ratio scaled to basis points via
+    * `(a · 10⁴) div b` — Catalyst's IntegralDivide, mirrored by
+    * DuckDB's `//`), score and decision entirely in BIGINT
+    * arithmetic. No sigmoid: thresholding w·x is the same decision
+    * boundary as thresholding σ(w·x), and dropping the transcendental
+    * keeps the classifier bit-deterministic on any engine (the
+    * text_surprisal integer-path rule). A trained model swaps in by
+    * replacing the weight literals — plan shape identical.
+    *
+    * Features (all exact integers off ONE exploded-token pass, the
+    * (doc, tok) tf aggregate feeding a doc-level rollup that reuses
+    * the loader's doc_id exchange): saturating length, type-token
+    * ratio (vocabulary diversity), stopword ratio (natural-language
+    * prior), top-token concentration (boilerplate/spam signal,
+    * negative weight).
+    */
+  def qualityClassifier(s: SparkSession, dir: String,
+                        threshold: Long = 28000L): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val feats = tf.groupBy("doc_id").agg(
+      sum("tf").as("n_toks"),
+      count(lit(1)).as("n_distinct"),
+      max("tf").as("max_tf"),
+      sum(when(col("tok").isin(stop("en"): _*), col("tf"))
+        .otherwise(0L)).as("stop_hits"))
+    feats.select(col("doc_id"), col("n_toks"),
+        least(expr("(n_toks * 10000) div 100"), lit(10000L)).as("len_fp"),
+        expr("(n_distinct * 10000) div n_toks").as("ttr_fp"),
+        expr("(stop_hits * 10000) div n_toks").as("stop_fp"),
+        expr("(max_tf * 10000) div n_toks").as("toptok_fp"))
+      .withColumn("score",
+        lit(3L) * col("len_fp") + lit(3L) * col("ttr_fp")
+          + lit(2L) * col("stop_fp") - lit(4L) * col("toptok_fp"))
+      .withColumn("keep", (col("score") >= threshold).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
+  /** BIGRAM surprisal — the conditional-probability upgrade of
+    * [[surprisal]]: bits of each token under P(tok | prev) estimated
+    * from the corpus's own bigram counts. A doc of individually
+    * common tokens in UNUSUAL ORDER now scores high — exactly the
+    * word-salad signal a unigram model is blind to — while boilerplate
+    * (common tokens in common order) scores lower than under the
+    * unigram model; the spread between the two scores is the
+    * incoherence signal.
+    *
+    * Same determinism contract: per-bigram bits =
+    * floor(log₂(C(prev) / C(prev,tok))) as `length(bin(a div b)) − 1`
+    * — pure integer path both engines share — with integer sums and
+    * one final IEEE division.
+    *
+    * Plan: positional tokens → lead(1) bigrams (the shingle
+    * discipline: posexplode + window, all codegen, one doc_id
+    * exchange) → (doc, a, b) tf partial-agg. The corpus model C(a,b)
+    * is vocab²-BOUNDED, so IT gets checkpointed (the "checkpoint the
+    * small frame" rule, SURVEY §4) and C(a) derives from it without
+    * another corpus pass — the tokenize lineage evaluates twice
+    * (model build + scoring join), the sanctioned narrow recompute.
+    */
+  def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val bigrams = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "a")
+      .withColumn("b", lead("a", 1).over(w))
+      .where(col("b").isNotNull)
+    val tf = bigrams.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
+    val cab = tf.groupBy("a", "b").agg(sum("tf").as("cab"))
+      .localCheckpoint(true)
+    val ca = cab.groupBy("a").agg(sum("cab").as("ca"))
+    tf.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .withColumn("bits", length(bin(expr("ca div cab"))) - 1)
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        round(col("total_bits").cast("double") / col("n_bigrams"), 4)
+          .as("bits_per_bigram"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- PII
 
   // Test-fixture boundaries: the word-salad corpus contains no digits,
