@@ -232,6 +232,8 @@ object SparkEntry {
     "text_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
     "text_surprisal" -> (TextOps.surprisal _),
     "text_bigram_surprisal" -> (TextOps.bigramSurprisal _),
+    "bpe_learn" -> ((s, d) => Bpe.bpeLearn(s, d)),
+    "bpe_tokenize" -> ((s, d) => Bpe.bpeTokenize(s, d)),
     "quality_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
     "events_salted_enrich" -> ((s, d) => Skew.saltedEnrichQuery(s, d)),
@@ -2983,6 +2985,10 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, total_bits,
         |       round(total_bits * 1.0 / n_bigrams, 4) AS bits_per_bigram
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // BPE training/tokenization mirrors are program-generated unrolled
+    // CTE chains (one per merge round) — see Bpe.oracleCtes
+    "bpe_learn" -> Bpe.learnOracle(8),
+    "bpe_tokenize" -> Bpe.tokenizeOracle(8),
     // model-based quality gate: fixed-point features via `//` (the
     // IntegralDivide mirror), integer score, integer threshold
     "quality_classifier" ->

@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BPE TOKENIZER TRAINING — the byte-pair-encoding merge-learning
+  * loop (Sennrich et al. 2016; the algorithm under GPT/Llama
+  * tokenizers) as a sequence of vocab-sized Spark plans.
+  *
+  * The scale insight is the one production trainers (HuggingFace
+  * tokenizers, SentencePiece BPE) are built on: BPE statistics are a
+  * function of WORD TYPES × frequency, not of corpus positions. The
+  * corpus is scanned ONCE to build the word-frequency table
+  * (vocab-sized — grows sub-linearly in the corpus); every merge
+  * round (adjacent-pair counting, argmax, greedy rewrite) runs over
+  * that table. At 100 TB the training loop never touches the corpus
+  * again — the same "heavy pass once, iterate on the summary" split
+  * the sketch family and k-means use.
+  *
+  * Representation: words stay EXPLODED as a positional symbol table
+  * (word, cnt, pos, s) across rounds — pair counts are a `lead`
+  * window + partial agg, and a merge round rewrites rows in place
+  * (selected position takes the merged symbol, its successor row is
+  * dropped; surviving `pos` values keep their order, gaps are fine).
+  * No string re-assembly, no ordered-collect aggregates.
+  *
+  * Greedy-left selection is exact, including same-symbol runs
+  * ("a a a a a" merging (a,a) → "aa aa a", never "aa a aa"):
+  * overlapping candidate pairs exist only in runs of consecutive
+  * matches (which force a = b), and greedy keeps every ODD match of
+  * each maximal run. Run parity is closed-form over two cumulative
+  * windows — rnm = running match count, lastnm = rnm at the most
+  * recent non-match row — selected ⇔ (rnm − lastnm) is odd. The
+  * sequential "skip if the previous pair merged" rule becomes pure
+  * window algebra both engines evaluate identically.
+  *
+  * Determinism contract (oracle hash-match): pair counts are exact
+  * BIGINTs; the merge choice is argmax by (count DESC, a ASC, b ASC)
+  * — a total order, no RNG; each round's winning pair is ONE
+  * collected row (centroid-literal discipline). The reference has no
+  * tokenizer; this is part of the mandated LLM-pipeline surface.
+  */
+object Bpe {
+
+  private def byWord = Window.partitionBy("word").orderBy("pos")
+  private def cum = Window.partitionBy("word").orderBy("pos")
+    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Word-type frequency table exploded to initial character symbols:
+    * (word, cnt, pos, s). One corpus scan; vocab×word-length-sized
+    * result, checkpointed because it seeds every merge round.
+    */
+  private def wordTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .where(length(col("word")) > 0)
+      // "(?!^)" splits between every pair of characters; unlike
+      // java.lang.String#split, Spark's split keeps TRAILING empties
+      // (limit -1), so the end-of-string split point yields one ""
+      // symbol per word — drop it
+      .select(col("word"), col("cnt"),
+        posexplode(split(col("word"), "(?!^)")))
+      .withColumnRenamed("col", "s")
+      .where(col("s") =!= "")
+      .localCheckpoint(true)
+
+  /** One round's adjacent-pair counts, weighted by word frequency:
+    * a `lead` over the word partition, then an (a, b)
+    * partial-aggregated sum. Overlapping occurrences each count
+    * (standard BPE statistics); greediness only enters at the
+    * rewrite.
+    */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .withColumn("b", lead("s", 1).over(byWord))
+      .where(col("b").isNotNull)
+      .groupBy(col("s").as("a"), col("b"))
+      .agg(sum("cnt").as("pc"))
+
+  /** Apply one merge (a, b) greedy-left to the positional table —
+    * see the object doc for the parity-window derivation.
+    */
+  def mergeRound(words: DataFrame, a: String, b: String): DataFrame = {
+    val marked = words
+      .withColumn("nxt", lead("s", 1).over(byWord))
+      .withColumn("mt",
+        coalesce(col("s") === lit(a) && col("nxt") === lit(b), lit(false)))
+      .withColumn("rnm", sum(when(col("mt"), 1L).otherwise(0L)).over(cum))
+    val sel = marked
+      .withColumn("lastnm", max(when(!col("mt"), col("rnm"))).over(cum))
+      .withColumn("sel", col("mt") &&
+        (col("rnm") - coalesce(col("lastnm"), lit(0L))) % 2 === 1)
+    sel
+      .withColumn("drp", coalesce(lag("sel", 1).over(byWord), lit(false)))
+      .where(!col("drp"))
+      .select(col("word"), col("cnt"), col("pos"),
+        when(col("sel"), lit(a + b)).otherwise(col("s")).as("s"))
+  }
+
+  /** Run `rounds` merge rounds; returns (merges, finalWords).
+    * Each round's argmax is ONE collected row (constant-sized driver
+    * state); the rewritten symbol table is re-checkpointed per round
+    * (vocab-sized, the dedup_clusters lineage rule).
+    */
+  def learn(s: SparkSession, dir: String,
+            rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var words = wordTable(s, dir)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = pairCounts(words)
+        .orderBy(col("pc").desc, col("a"), col("b")).limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, pc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, pc))
+        words = mergeRound(words, a, b).localCheckpoint(true)
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** Registry query: the learned merge table after `rounds` rounds —
+    * (merge_rank, a, b, merged, cnt). The merge list IS the trained
+    * tokenizer (apply = replay the list in rank order).
+    */
+  def bpeLearn(s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val (merges, _) = learn(s, dir, rounds)
+    import s.implicits._
+    merges.map { case (r, a, b, pc) => (r, a, b, a + b, pc) }
+      .toDF("merge_rank", "a", "b", "merged", "cnt")
+      .orderBy("merge_rank")
+  }
+
+  /** Registry query: TOKENIZE with the learned merges — per-doc BPE
+    * token count and fertility (BPE tokens per whitespace word, the
+    * tokenizer-quality metric). Merges are applied to the WORD TYPE
+    * table (the vocab-sized rewrite training already produced), and
+    * the corpus joins to per-type token counts — the corpus is never
+    * rewritten, each document costs one equi-join probe per word.
+    */
+  def bpeTokenize(s: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    val (_, words) = learn(s, dir, rounds)
+    val sizes = words.groupBy("word").agg(count(lit(1)).as("n_sym"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(sizes, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 4)
+          .as("fertility"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------ oracle SQL
+
+  /** Unrolled DuckDB mirror of the training loop (the MMR precedent:
+    * k greedy steps as chained CTEs, program-generated). Round r
+    * reads w{r-1}, counts pairs, picks m{r} by the same total order,
+    * and rewrites with the same parity-window greedy selection.
+    */
+  def oracleCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH v AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word),
+        |w0 AS (SELECT word, cnt, i AS pos, substring(word, i, 1) AS s
+        |       FROM v, unnest(range(1, length(word) + 1)) AS t(i))""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+        |p$r AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+        |    SELECT s AS a, cnt,
+        |           lead(s) OVER (PARTITION BY word ORDER BY pos) AS b
+        |    FROM w$p) q WHERE b IS NOT NULL GROUP BY a, b),
+        |m$r AS (SELECT $r AS merge_rank, a, b, a || b AS merged, pc AS cnt
+        |  FROM p$r ORDER BY pc DESC, a, b LIMIT 1),
+        |t$r AS (SELECT word, w$p.cnt AS cnt, pos, s, m.a AS ma, m.b AS mb,
+        |    lead(s) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        |  FROM w$p, m$r m),
+        |f$r AS (SELECT word, cnt, pos, s, ma, mb,
+        |    coalesce(s = ma AND nxt = mb, FALSE) AS mt FROM t$r),
+        |g$r AS (SELECT *, sum(CASE WHEN mt THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS rnm FROM f$r),
+        |h$r AS (SELECT *, max(CASE WHEN NOT mt THEN rnm END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS lastnm FROM g$r),
+        |i$r AS (SELECT *, mt AND (rnm - coalesce(lastnm, 0)) % 2 = 1 AS sel
+        |  FROM h$r),
+        |j$r AS (SELECT *, coalesce(lag(sel)
+        |    OVER (PARTITION BY word ORDER BY pos), FALSE) AS drp FROM i$r),
+        |w$r AS (SELECT word, cnt, pos,
+        |    CASE WHEN sel THEN ma || mb ELSE s END AS s
+        |  FROM j$r WHERE NOT drp)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  def learnOracle(rounds: Int): String = {
+    val union = (1 to rounds).map(r => s"SELECT * FROM m$r")
+      .mkString(" UNION ALL ")
+    s"${oracleCtes(rounds)}\nSELECT merge_rank, a, b, merged, cnt" +
+      s" FROM ($union) ORDER BY merge_rank"
+  }
+
+  def tokenizeOracle(rounds: Int): String =
+    s"""${oracleCtes(rounds)},
+       |sizes AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym
+       |  FROM w$rounds GROUP BY word),
+       |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |      FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |       round(sum(n_sym) * 1.0 / count(*), 4) AS fertility
+       |FROM tk JOIN sizes USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}
