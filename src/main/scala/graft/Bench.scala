@@ -46,12 +46,26 @@ object Bench {
     // warmup to a fraction and leaves budget for the second timed
     // pass (r4 spent 95s here at 8-wide and pass 2 only covered
     // 28/64 queries; 16-wide buys that time back).
+    // Fail-fast guard: a query whose run dies with an ANALYSIS error
+    // is deterministically broken for the whole process (same plan,
+    // same schemas every phase), so it is recorded once and skipped in
+    // every later phase — it still reports the -1.0 sentinel. Without
+    // this, r7's 26 loader-broken queries re-paid full analysis cost
+    // in warmup AND both timed passes, burning 191.7s of the 420s
+    // budget and invalidating the entire round's measurement.
+    val broken = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def runGuarded(name: String, df: => DataFrame): Boolean =
+      if (broken.contains(name)) false
+      else try { materialize(df); true } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          broken.add(name); false
+        case _: Throwable => false
+      }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
-    val warmupDone = SparkEntry.queries.toSeq.map { case (_, fn) =>
+    val warmupDone = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
-          if (elapsed < budgetNs / 3)
-            try materialize(fn(spark, warmDir)) catch { case _: Throwable => }
+          if (elapsed < budgetNs / 3) runGuarded(name, fn(spark, warmDir))
       })
     }
     warmupDone.foreach(f => try f.get() catch { case _: Throwable => })
@@ -76,8 +90,7 @@ object Bench {
         "ann_adaptive_filter")
       .foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
-        if (elapsed < budgetNs / 2)
-          try materialize(fn(spark, sfDir)) catch { case _: Throwable => }
+        if (elapsed < budgetNs / 2) runGuarded(n, fn(spark, sfDir))
       }
     }
     val tPrebuild = elapsed - tWarm
@@ -90,13 +103,12 @@ object Bench {
     // A failed query records -1.0, not its (fast) wall time to the
     // throw — a fast failure must stay distinguishable from a fast
     // success in the emitted JSON.
-    def timeOne(fn: (SparkSession, String) => DataFrame): Double = {
+    def timeOne(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try { materialize(fn(spark, sfDir)); true }
-               catch { case _: Throwable => false }
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (runGuarded(name, fn(spark, sfDir))) (System.nanoTime() - t0) / 1e9
+      else -1.0
     }
-    val p1 = SparkEntry.queries.map { case (name, fn) => name -> timeOne(fn) }
+    val p1 = SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }
     val tP1 = elapsed - tWarm - tPrebuild
 
     // Second pass, SLOWEST-FIRST and budget-aware per query: if the
@@ -114,7 +126,7 @@ object Bench {
     val p2 = scala.collection.mutable.Map[String, Double]()
     order.foreach { name =>
       if (elapsed < cutoffNs)
-        p2(name) = timeOne(SparkEntry.queries(name))
+        p2(name) = timeOne(name, SparkEntry.queries(name))
     }
     val tP2 = elapsed - tWarm - tPrebuild - tP1
 

@@ -48,6 +48,7 @@ object SparkEntry {
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label") =!= 5)),
     "vdb_search_requests" -> (SearchApi.searchRequestsQuery _),
+    "vdb_search_routed" -> (SearchApi.searchRoutedQuery _),
     "vdb_batch_knn" -> ((s, d) =>
       Knn.topK(emb(s, d), batchQset(s, d), 5, Knn.Metric.Cosine)),
     "vdb_query_by_id" -> ((s, d) =>
@@ -233,6 +234,7 @@ object SparkEntry {
     "text_surprisal" -> (TextOps.surprisal _),
     "text_bigram_surprisal" -> (TextOps.bigramSurprisal _),
     "bpe_learn" -> ((s, d) => Bpe.bpeLearn(s, d)),
+    "bpe_learn_batched" -> ((s, d) => Bpe.bpeLearnBatched(s, d)),
     "bpe_tokenize" -> ((s, d) => Bpe.bpeTokenize(s, d)),
     "quality_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
@@ -1809,7 +1811,8 @@ object SparkEntry {
         |           FROM documents),
         |b AS (SELECT *, h % 64 AS bk FROM t),
         |c AS (SELECT doc_id, n_tok,
-        |             sum(n_tok) OVER (ORDER BY bk, h, doc_id) AS cum
+        |             CAST(sum(n_tok) OVER (ORDER BY bk, h, doc_id)
+        |               AS BIGINT) AS cum
         |      FROM b)
         |SELECT doc_id, n_tok, cum - n_tok AS start_tok,
         |       (cum - n_tok) // 2000 AS shard
@@ -2351,6 +2354,52 @@ object SparkEntry {
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= k ORDER BY qid, rk""".stripMargin,
+    // per-request index routing (SearchApi.searchRouted): even qids
+    // take the exact FLAT leg (per-request metric/k/filter, the
+    // vdb_search_requests mirror restricted to the FLAT sub-batch),
+    // odd qids the IVF leg (the shared ivfCtes probe chain — its `q`
+    // covers qid<5 so the routed subset just filters pr.qid parity;
+    // per-request k via the same CASE as the Spark batch)
+    "vdb_search_routed" ->
+      s"""WITH $ivfCtes,
+         |el AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+         |       FROM embeddings),
+         |fq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+         |              CASE WHEN vec_id % 3 = 0 THEN 10 ELSE 5 END AS k,
+         |              CASE WHEN vec_id % 4 = 2 THEN 'IP'
+         |                   ELSE 'L2' END AS metric,
+         |              CASE WHEN vec_id = 4 THEN '='
+         |                   WHEN vec_id = 2 THEN '!=' END AS fop,
+         |              5 AS fval
+         |       FROM embeddings WHERE vec_id < 5 AND vec_id % 2 = 0),
+         |fd AS (SELECT fq.qid, fq.metric, fq.k, el.id AS nn_id,
+         |              CASE WHEN fq.metric = 'L2'
+         |                   THEN list_distance(el.v, fq.qv)
+         |                   ELSE list_inner_product(el.v, fq.qv) END AS s
+         |       FROM el CROSS JOIN fq
+         |       WHERE fq.fop IS NULL OR (fq.fop = '=' AND el.label = fq.fval)
+         |          OR (fq.fop = '!=' AND el.label <> fq.fval)),
+         |fr AS (SELECT qid, nn_id, s, k,
+         |              row_number() OVER (PARTITION BY qid ORDER BY
+         |                CASE WHEN metric = 'L2' THEN s ELSE -s END, nn_id)
+         |                AS rk
+         |       FROM fd),
+         |fl AS (SELECT qid, rk, nn_id, round(s, 4) AS score
+         |       FROM fr WHERE rk <= k),
+         |isc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv) AS s
+         |        FROM af a JOIN pr ON a.cell = pr.cell
+         |             JOIN q ON pr.qid = q.qid
+         |        WHERE pr.qid % 2 = 1),
+         |ir AS (SELECT qid, id, s,
+         |              row_number() OVER (PARTITION BY qid
+         |                ORDER BY s DESC, id) AS rk
+         |       FROM isc WHERE s IS NOT NULL),
+         |il AS (SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |       FROM ir
+         |       WHERE rk <= CASE WHEN qid % 3 = 0 THEN 10 ELSE 5 END)
+         |SELECT qid, rk, nn_id, score
+         |FROM (SELECT * FROM fl UNION ALL SELECT * FROM il)
+         |ORDER BY qid, rk""".stripMargin,
     "vdb_knn_flat_l2" -> knnOracle("l2"),
     "vdb_knn_flat_ip" -> knnOracle("ip"),
     "vdb_knn_cosine" -> knnOracle("cos"),
@@ -2988,6 +3037,7 @@ object SparkEntry {
     // BPE training/tokenization mirrors are program-generated unrolled
     // CTE chains (one per merge round) — see Bpe.oracleCtes
     "bpe_learn" -> Bpe.learnOracle(8),
+    "bpe_learn_batched" -> Bpe.batchedOracle(4, 4),
     "bpe_tokenize" -> Bpe.tokenizeOracle(8),
     // model-based quality gate: fixed-point features via `//` (the
     // IntegralDivide mirror), integer score, integer threshold

@@ -43,21 +43,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright; read the raw int64 nanos and floor-divide
-    * to microseconds (the driver data has no sub-microsecond residue).
-    *
-    * CONTRACT: requires `spark.sql.legacy.parquet.nanosAsLong=true`,
-    * which [[GraftSession.builder]] sets at session build time — this
-    * is a session-wide read-behavior flag affecting every
-    * nanos-timestamp parquet read, so it is NOT set here as a loader
-    * side effect. Sessions not built via GraftSession must set it
-    * themselves (the loader fails fast with Spark's reader error
-    * otherwise, never silently misreads).
+  /** events.parquet has shipped with two physical encodings of `ts`:
+    * TIMESTAMP(NANOS) — which Spark's parquet reader surfaces as raw
+    * int64 nanos under `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set by [[GraftSession.builder]]) — and plain TIMESTAMP(MICROS),
+    * which Spark reads natively as TIMESTAMP_NTZ. The loader adapts
+    * on the SCANNED dtype so either vintage of the data loads, and
+    * both normalize to session-zone TimestampType (session tz is
+    * pinned to UTC, so the NTZ→Timestamp cast preserves the instant).
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    spread(s, table(s, d, "events"), "user_id")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val raw = table(s, d, "events")
+    val norm = raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    spread(s, norm, "user_id")
+  }
   def documents(s: SparkSession, d: String): DataFrame =
     spread(s, table(s, d, "documents"), "doc_id")
   def embeddings(s: SparkSession, d: String): DataFrame =

@@ -10,6 +10,13 @@ object Verify {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Preflight: surface testdata schema drift as ONE clear message
+    // instead of N scattered per-query analysis failures (round 7:
+    // regenerated events.parquet broke 26 queries with no single
+    // diagnostic). Non-fatal — tables that still match keep running.
+    SchemaCanary.drift(spark, sfDir).foreach { d =>
+      System.err.println(s"[verify] SCHEMA DRIFT: $d")
+    }
     // optional subset for local iteration: SPARK_GRAFT_ONLY=q1,q2
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)

@@ -443,6 +443,22 @@ object Ann {
     ivfSearchWith(e, q, k = 10, nprobe = 2, cents)
   }
 
+  /** IVF leg for callers that bring their OWN query frame (e.g. the
+    * request-routing batch API, [[SearchApi]]): same cached centroids
+    * and probe plan as [[ivfQuery]], so a routed request returns
+    * exactly what a direct `ann_ivf` call would.
+    *
+    * @param queries (qid, qvec)
+    */
+  def ivfSearchCached(s: SparkSession, dir: String, queries: DataFrame,
+                      k: Int, nprobe: Int = 2): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(e, 200)))
+    ivfSearchWith(e, queries, k, nprobe, cents)
+  }
+
   def lshQuery(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -122,6 +122,117 @@ object Bpe {
     (merges.result(), words)
   }
 
+  // ------------------------------------------------ batched training
+  //
+  // The sequential loop above is exact Sennrich greedy but pays ONE
+  // DRIVER-BLOCKING ROUND TRIP PER VOCAB ENTRY — at a production 32k
+  // vocab that is 32k sequential Spark jobs, days of scheduler
+  // latency on any cluster size. The scale path batches B merges per
+  // round (the standard distributed-BPE trick): pairs that share no
+  // symbol have INDEPENDENT statistics — merging (a,b) only
+  // creates/destroys adjacencies involving a, b, or the new symbol
+  // ab, so a symbol-disjoint batch applied in one rewrite pass
+  // yields exactly the table sequential application of those same
+  // merges would. 32k vocab ⇒ 32k/B rounds (B=64 ⇒ 500 jobs).
+  //
+  // Batch selection is deterministic and RELATIONAL (oracle-
+  // mirrorable, no driver-greedy state): rank pairs by (pc DESC, a,
+  // b); restrict to the top 4·B candidates (a distributed
+  // TakeOrderedAndProject, never a global single-partition window);
+  // a candidate is SELECTED iff no higher-ranked candidate shares a
+  // symbol with it (dominance independent set — any two sharers
+  // can't both survive since one outranks the other); keep the first
+  // B selected. This under-selects vs sequential greedy when a new
+  // ab-pair would have outranked later picks — the documented,
+  // deterministic batched semantics, pinned to reduce to exact
+  // greedy at B=1 (BpeSpec).
+
+  /** One batched round's selection over the current symbol table:
+    * (rnk 1..≤B, a, b, pc). Candidate window and dominance filter
+    * both run on the ≤4B-row collected frame — query-sized driver
+    * state (centroid-literal discipline).
+    */
+  private def selectBatch(words: DataFrame, b: Int): Seq[(Long, String, String, Long)] = {
+    val cands = pairCounts(words)
+      .orderBy(col("pc").desc, col("a"), col("b")).limit(4 * b)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sel = Seq.newBuilder[(Long, String, String, Long)]
+    var rnk = 0L
+    for (i <- cands.indices if rnk < b) {
+      val (a, bb, pc) = cands(i)
+      val dominated = (0 until i).exists { j =>
+        val (qa, qb, _) = cands(j)
+        qa == a || qa == bb || qb == a || qb == bb
+      }
+      if (!dominated) { rnk += 1; sel += ((rnk, a, bb, pc)) }
+    }
+    sel.result()
+  }
+
+  /** Apply a symbol-disjoint merge batch in ONE rewrite pass. The
+    * parity-window greedy selection is unchanged from [[mergeRound]]:
+    * consecutive overlapping matches force equal symbols, so a run of
+    * matches is always a single pair's a==b run — disjoint batch
+    * pairs never interleave inside a run and the global rnm/lastnm
+    * parity stays per-pair exact. Each position matches at most one
+    * batch pair (disjointness), so the broadcast equi-join never
+    * multiplies rows.
+    */
+  def mergeRoundBatch(words: DataFrame, batch: DataFrame): DataFrame = {
+    val m = broadcast(batch.select(col("a").as("ma"), col("b").as("mb"),
+      concat(col("a"), col("b")).as("mg")))
+    val marked = words
+      .withColumn("nxt", lead("s", 1).over(byWord))
+      .join(m, col("s") === col("ma") && col("nxt") === col("mb"), "left")
+      .withColumn("mt", col("mg").isNotNull)
+      .withColumn("rnm", sum(when(col("mt"), 1L).otherwise(0L)).over(cum))
+    val sel = marked
+      .withColumn("lastnm", max(when(!col("mt"), col("rnm"))).over(cum))
+      .withColumn("sel", col("mt") &&
+        (col("rnm") - coalesce(col("lastnm"), lit(0L))) % 2 === 1)
+    sel
+      .withColumn("drp", coalesce(lag("sel", 1).over(byWord), lit(false)))
+      .where(!col("drp"))
+      .select(col("word"), col("cnt"), col("pos"),
+        when(col("sel"), col("mg")).otherwise(col("s")).as("s"))
+  }
+
+  /** Run `rounds` batched rounds of ≤ `batch` merges each; returns
+    * (per-round selections, final symbol table). Driver state per
+    * round is the ≤4B candidate frame; job count is O(rounds), not
+    * O(vocab).
+    */
+  def learnBatched(s: SparkSession, dir: String, rounds: Int,
+                   batch: Int): (Seq[(Long, Long, String, String, Long)], DataFrame) = {
+    import s.implicits._
+    var words = wordTable(s, dir)
+    val merges = Seq.newBuilder[(Long, Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val sel = selectBatch(words, batch)
+      if (sel.nonEmpty) {
+        merges ++= sel.map { case (rnk, a, b, pc) => (r.toLong, rnk, a, b, pc) }
+        val batchDf = sel.map { case (_, a, b, _) => (a, b) }.toDF("a", "b")
+        words = mergeRoundBatch(words, batchDf).localCheckpoint(true)
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** Registry query: the batched-training merge table —
+    * (round, rnk, a, b, merged, cnt). With rounds·batch ≥ the
+    * sequential demo's rounds this is the 100 TB-shape trainer: same
+    * single corpus scan, vocab-sized rewrites, O(rounds) jobs.
+    */
+  def bpeLearnBatched(s: SparkSession, dir: String, rounds: Int = 4,
+                      batch: Int = 4): DataFrame = {
+    val (merges, _) = learnBatched(s, dir, rounds, batch)
+    import s.implicits._
+    merges.map { case (r, k, a, b, pc) => (r, k, a, b, a + b, pc) }
+      .toDF("round", "rnk", "a", "b", "merged", "cnt")
+      .orderBy("round", "rnk")
+  }
+
   /** Registry query: the learned merge table after `rounds` rounds —
     * (merge_rank, a, b, merged, cnt). The merge list IS the trained
     * tokenizer (apply = replay the list in rank order).
@@ -206,6 +317,67 @@ object Bpe {
       .mkString(" UNION ALL ")
     s"${oracleCtes(rounds)}\nSELECT merge_rank, a, b, merged, cnt" +
       s" FROM ($union) ORDER BY merge_rank"
+  }
+
+  /** Unrolled DuckDB mirror of [[learnBatched]]: per round, the same
+    * candidate window (top 4·B by the total order), the dominance
+    * independent-set filter as a NOT EXISTS anti-join, and the
+    * one-pass parity-window rewrite joined against the selected
+    * batch instead of a single literal pair.
+    */
+  def batchedOracle(rounds: Int, b: Int): String = {
+    val w = 4 * b
+    val sb = new StringBuilder
+    sb.append(
+      """WITH v AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word),
+        |w0 AS (SELECT word, cnt, i AS pos, substring(word, i, 1) AS s
+        |       FROM v, unnest(range(1, length(word) + 1)) AS t(i))""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+        |p$r AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+        |    SELECT s AS a, cnt,
+        |           lead(s) OVER (PARTITION BY word ORDER BY pos) AS b
+        |    FROM w$p) q WHERE b IS NOT NULL GROUP BY a, b),
+        |rk$r AS (SELECT * FROM (SELECT a, b, pc,
+        |    row_number() OVER (ORDER BY pc DESC, a, b) AS rn FROM p$r)
+        |  WHERE rn <= $w),
+        |sel$r AS (SELECT * FROM (SELECT rk.a, rk.b, rk.pc, rk.rn,
+        |      row_number() OVER (ORDER BY rk.rn) AS rnk
+        |    FROM rk$r rk WHERE NOT EXISTS (SELECT 1 FROM rk$r q
+        |      WHERE q.rn < rk.rn AND (q.a = rk.a OR q.a = rk.b
+        |        OR q.b = rk.a OR q.b = rk.b)))
+        |  WHERE rnk <= $b),
+        |t$r AS (SELECT w.word, w.cnt, w.pos, w.s, m.a AS ma, m.b AS mb,
+        |    w.nxt
+        |  FROM (SELECT word, cnt, pos, s,
+        |          lead(s) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        |        FROM w$p) w
+        |  LEFT JOIN sel$r m ON w.s = m.a AND w.nxt = m.b),
+        |f$r AS (SELECT word, cnt, pos, s, ma, mb,
+        |    (ma IS NOT NULL) AS mt FROM t$r),
+        |g$r AS (SELECT *, sum(CASE WHEN mt THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS rnm FROM f$r),
+        |h$r AS (SELECT *, max(CASE WHEN NOT mt THEN rnm END)
+        |    OVER (PARTITION BY word ORDER BY pos) AS lastnm FROM g$r),
+        |i$r AS (SELECT *, mt AND (rnm - coalesce(lastnm, 0)) % 2 = 1 AS sel
+        |  FROM h$r),
+        |j$r AS (SELECT *, coalesce(lag(sel)
+        |    OVER (PARTITION BY word ORDER BY pos), FALSE) AS drp FROM i$r),
+        |w$r AS (SELECT word, cnt, pos,
+        |    CASE WHEN sel THEN ma || mb ELSE s END AS s
+        |  FROM j$r WHERE NOT drp)""".stripMargin)
+    }
+    val union = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, rnk, a, b, a || b AS merged," +
+        s" pc AS cnt FROM sel$r").mkString(" UNION ALL ")
+    sb.append(s"\nSELECT round, rnk, a, b, merged, cnt FROM ($union)" +
+      s" ORDER BY round, rnk")
+    sb.toString
   }
 
   def tokenizeOracle(rounds: Int): String =

@@ -78,6 +78,59 @@ object SearchApi {
       .orderBy("qid", "rk")
   }
 
+  /** Per-request INDEX ROUTING — the reference's request payload
+    * carries `indexType` choosing FLAT (exact) vs HNSW (approximate)
+    * per request (http_server.cc:67-77, getIndexTypeFromRequest);
+    * here FLAT requests take the exact scoring leg above and
+    * approximate requests take the IVF probe leg
+    * ([[graft.operators.Ann.ivfSearchCached]] — same cached
+    * centroids as a direct `ann_ivf` call, so routing never changes
+    * a request's answer vs querying the index directly). The two
+    * legs are independent plans unioned at the end: the FLAT leg
+    * pays one corpus pass for its sub-batch, the IVF leg only reads
+    * probed cells — a batch of all-approximate requests never scans
+    * the full corpus.
+    *
+    * @param reqs (qid, qvec, index_type 'FLAT'|'IVF', k, metric,
+    *             fop, fval) — metric/filter apply to the FLAT leg
+    *             (the reference's filter index lives on the exact
+    *             path); IVF requests score cosine, unfiltered
+    */
+  def searchRouted(s: SparkSession, dir: String, data: DataFrame,
+                   reqs: DataFrame, maxK: Int): DataFrame = {
+    val flat = searchRequests(data,
+      reqs.where(col("index_type") === "FLAT"), maxK)
+      .select(col("qid"), col("rk"), col("nn_id"), col("score"))
+    val ivfReqs = reqs.where(col("index_type") =!= "FLAT")
+    val ivf = graft.operators.Ann.ivfSearchCached(s, dir,
+        ivfReqs.select(col("qid"), col("qvec")), maxK)
+      .join(broadcast(ivfReqs.select(col("qid"), col("k"))), "qid")
+      .where(col("rk") <= col("k"))
+      .select(col("qid"), col("rk"), col("nn_id"), col("score"))
+    flat.unionByName(ivf).orderBy("qid", "rk")
+  }
+
+  /** Routed surface query: even qids go FLAT (metric L2/IP, one `=`
+    * and one `!=` filter in the mix), odd qids go IVF; k mixes 10/5
+    * across both legs.
+    */
+  def searchRoutedQuery(s: SparkSession, dir: String): DataFrame = {
+    val data = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label"))
+    val reqs = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        when(col("vec_id") % 2 === 0, "FLAT").otherwise("IVF")
+          .as("index_type"),
+        when(col("vec_id") % 3 === 0, 10L).otherwise(5L).as("k"),
+        when(col("vec_id") % 4 === 2, "IP").otherwise("L2").as("metric"),
+        when(col("vec_id") === 4, "=")
+          .when(col("vec_id") === 2, "!=")
+          .otherwise(lit(null).cast("string")).as("fop"),
+        lit(5L).as("fval"))
+    searchRouted(s, dir, data, reqs, maxK = 10)
+  }
+
   /** Surface query: a deterministic mixed batch — metric alternates
     * by qid parity, filter op cycles =/!=/none, k alternates 5/10 —
     * mirroring the reference's filter_upsert test requests.

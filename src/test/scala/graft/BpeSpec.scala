@@ -50,6 +50,38 @@ class BpeSpec extends SparkSuite {
     assert(merges.map(_._1) == (1 to 8).toSeq)
   }
 
+  test("batched training at B=1 reduces to exact sequential greedy") {
+    // one merge per round with a 4-candidate window: the dominance
+    // filter is vacuous for the rank-1 pair, so the batch is exactly
+    // the sequential argmax — the batched trainer is a strict
+    // generalization of Sennrich greedy
+    val (seq8, _) = Bpe.learn(spark, sf, 6)
+    val (bat, _) = Bpe.learnBatched(spark, sf, rounds = 6, batch = 1)
+    assert(bat.map { case (r, k, a, b, pc) => (r, a, b, pc) } ==
+      seq8.map { case (r, a, b, pc) => (r.toLong, a, b, pc) })
+    assert(bat.forall(_._2 == 1L))
+  }
+
+  test("batched rounds select symbol-disjoint merges, >1 per round") {
+    val (merges, _) = Bpe.learnBatched(spark, sf, rounds = 4, batch = 4)
+    assert(merges.nonEmpty)
+    // independence within every round: no symbol appears in two
+    // selected pairs (the property that makes one-pass application
+    // equal sequential application of the batch)
+    merges.groupBy(_._1).foreach { case (r, sel) =>
+      val syms = sel.flatMap { case (_, _, a, b, _) => Seq(a, b) }
+      assert(syms.distinct.size == syms.size,
+        s"round $r selected symbol-sharing pairs: $sel")
+      // rnk is 1..n within the round
+      assert(sel.map(_._2).sorted == (1L to sel.size).toSeq)
+    }
+    // batching must actually batch on this corpus: 4 rounds yield
+    // more merges than 4 sequential rounds would
+    assert(merges.size > 4, s"only ${merges.size} merges in 4 rounds")
+    // job-count scaling: vocab additions per driver round trip is
+    // merges/rounds > 1 — the O(rounds) vs O(vocab) contract
+  }
+
   test("tokenize fertility is bounded and merges shorten documents") {
     val out = Bpe.bpeTokenize(spark, sf, 8)
       .select("doc_id", "n_words", "n_bpe_tokens").collect()
