@@ -221,6 +221,10 @@ object SparkEntry {
     "q16_supplier_cnt" -> (Analytics.q16SupplierCount _),
     "q20_excess_supply" -> (Analytics.q20ExcessSupply _),
     "events_stickiness" -> (Analytics.eventsStickiness _),
+    "q9_profit" -> (Analytics.q9ProductProfit _),
+    "q11_important_parts" -> (Analytics.q11ImportantParts _),
+    "q12_late_priority" -> (Analytics.q12LatePriority _),
+    "q2_min_cost" -> (Analytics.q2MinCostSupplier _),
     "bucketed_join_agg" -> (Layout.bucketedJoinQuery _),
     "events_zorder_skip" -> (ZOrder.zorderSkipQuery _),
     "q22_global_sales" -> (Analytics.q22GlobalSales _),
@@ -2751,6 +2755,65 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     // Q16 shape: lineitem as the part↔supplier relation, acctbal<0 as
     // the complaint filter; distinct-count + NOT IN anti-join
+    // Q9 shape: profit = net revenue minus a 20%-discounted retail
+    // unit cost (driver schema has no partsupp)
+    "q9_profit" ->
+      """SELECT n.n_name AS nation,
+        |       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)
+        |                 - 0.8 * p.p_retailprice * l.l_quantity), 2)
+        |         AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE p.p_name LIKE '%widget%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    // Q11 shape: per-part value vs 1.5× the global mean (scalar
+    // threshold from the same aggregate, not a second scan)
+    "q11_important_parts" ->
+      """WITH pv AS (SELECT l_partkey AS p_partkey,
+        |                   sum(l_extendedprice) AS value
+        |            FROM lineitem GROUP BY 1),
+        |t AS (SELECT avg(value) AS mv FROM pv)
+        |SELECT p_partkey, round(value, 2) AS value
+        |FROM pv, t WHERE value > mv * 1.5
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    // Q12 shape: late shipments (> 60 days after order) split into
+    // critical vs other priorities per line status
+    "q12_late_priority" ->
+      """SELECT l.l_linestatus,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q2 shape: per-part min 2dp mean unit price among EUROPE
+    // suppliers, argmin join-back returns every achieving supplier
+    "q2_min_cost" ->
+      """WITH es AS (SELECT s.s_suppkey, s.s_name, n.n_name
+        |            FROM supplier s
+        |            JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |            JOIN region r ON n.n_regionkey = r.r_regionkey
+        |            WHERE r.r_name = 'EUROPE'),
+        |sp AS (SELECT p_partkey, p_name FROM part
+        |       WHERE p_type = 'SMALL' AND p_size < 15),
+        |c AS (SELECT sp.p_partkey, sp.p_name, es.s_suppkey, es.s_name,
+        |             es.n_name,
+        |             round(avg(l.l_extendedprice / l.l_quantity), 2) AS cost
+        |      FROM lineitem l
+        |      JOIN sp ON l.l_partkey = sp.p_partkey
+        |      JOIN es ON l.l_suppkey = es.s_suppkey
+        |      GROUP BY 1, 2, 3, 4, 5),
+        |m AS (SELECT p_partkey AS mk, min(cost) AS min_cost
+        |      FROM c GROUP BY 1)
+        |SELECT c.p_partkey, c.p_name, c.s_name, c.n_name, c.cost
+        |FROM c JOIN m ON c.p_partkey = m.mk AND c.cost = m.min_cost
+        |ORDER BY c.p_partkey, c.s_name""".stripMargin,
     "q16_supplier_cnt" ->
       """SELECT p.p_type,
         |       CAST(p.p_size - (p.p_size % 10) AS BIGINT) AS size_band,

@@ -877,4 +877,123 @@ object Analytics {
           4).as("stickiness"))
       .orderBy("week")
   }
+
+  /** TPC-H Q9 shape — product-type profit by (nation, year): the
+    * widest fact-side join tree in the suite (lineitem ⋈ part ⋈
+    * supplier ⋈ nation ⋈ orders). The driver schema carries no
+    * partsupp, so unit cost is the part's retail price discounted 20%
+    * (deterministic column arithmetic, the shape is what matters):
+    * profit = extendedprice·(1−discount) − 0.8·retailprice·quantity.
+    * Order of joins: the selective part filter (name token) broadcast
+    * FIRST so the fact stream shrinks before the wider supplier and
+    * orders joins; nation broadcast; only (nation, year, profit)
+    * reach the aggregate exchange.
+    */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .where(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice")
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.8) * col("p_retailprice") * col("l_quantity"))
+          .as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(round(sum("amount"), 2).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape — "important stock": per-group value vs a
+    * GLOBAL-share threshold. Per-part line value aggregates once;
+    * the global mean derives FROM that aggregate (never a second
+    * fact scan) and broadcasts as a 1-row crossJoin (the Q22 scalar
+    * pattern); parts 50% above the mean survive — the threshold is
+    * relative to the mean, not an absolute share, so selectivity is
+    * stable as the part universe scales. The part-sized aggregate is
+    * computed once and reused for both the scalar and the filter —
+    * localCheckpoint pins it (the q15 two-consumer rule).
+    */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice")).as("value"))
+      .localCheckpoint(true)
+    val total = perPart.agg(avg("value").as("mv"))
+    perPart.crossJoin(broadcast(total))
+      .where(col("value") > col("mv") * 1.5)
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 shape — late-shipment priority counts by line status:
+    * fact ⋈ orders with the date-arithmetic predicate (shipped > 60
+    * days after order) evaluated inside the join's codegen stage,
+    * CASE-conditional aggregation splitting critical (URGENT/HIGH)
+    * from other priorities. The exchange carries only (status,
+    * two flags); counts are exact BIGINTs.
+    */
+  def q12LatePriority(s: SparkSession, dir: String): DataFrame = {
+    val crit = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linestatus", "l_shipdate")
+      .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!crit, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q2 shape — min-cost supplier per part: the correlated MIN
+    * subquery decorrelated into aggregate-then-rejoin (the q17
+    * discipline) with an ARGMIN JOIN-BACK on equality of the
+    * 2dp-rounded cost (ties decided on printed cents, the q15 rule —
+    * all achieving suppliers return). Supply cost is each supplier's
+    * mean unit price for the part (the driver schema has no
+    * partsupp); the region gate is a broadcast semi on the supplier
+    * side BEFORE cost aggregation, so out-of-region suppliers never
+    * enter the min.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val euroSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)
+              .where(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    val smallParts = Tables.part(s, dir)
+      .where(col("p_type") === "SMALL" && col("p_size") < 15)
+      .select("p_partkey", "p_name")
+    val cost = Tables.lineitem(s, dir)
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"),
+        col("s_name"), col("n_name"))
+      .agg(round(avg(col("l_extendedprice") / col("l_quantity")), 2)
+        .as("cost"))
+      .localCheckpoint(true)
+    val minCost = cost.groupBy(col("p_partkey").as("mk"))
+      .agg(min("cost").as("min_cost"))
+    cost.join(minCost,
+        col("p_partkey") === col("mk") && col("cost") === col("min_cost"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("n_name"), col("cost"))
+      .orderBy(col("p_partkey"), col("s_name"))
+  }
 }
