@@ -96,6 +96,8 @@ object SparkEntry {
     "stream_session_window" -> (graft.streaming.BatchTwins.sessionWindowQuery _),
     "stream_interval_join" -> (graft.streaming.BatchTwins.intervalJoinQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
+    "knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
+    "mutual_knn_pairs" -> ((s, d) => Ann.mutualKnnPairs(s, d)),
     "embed_cluster_stats" -> (Ann.clusterStats _),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
@@ -507,6 +509,29 @@ object SparkEntry {
       s"FROM q CROSS JOIN c2 c) WHERE rn <= 2)"
   ).mkString(",\n")
 
+  /** [[ivfCtes]] with EVERY vector as a query (the corpus-wide kNN
+    * graph) and the self-edge excluded at scoring: same training
+    * chain, graph edges provably agree with single-query ivf answers.
+    */
+  private val ivfGraphCtes: String = Seq(
+    "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+    "q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings)",
+    "c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 200 = 0)",
+    ivfAssignCte("a1", "c0"),
+    ivfMeanCte("c1", "a1"),
+    ivfAssignCte("a2", "c1"),
+    ivfMeanCte("c2", "a2"),
+    ivfAssignCte("af", "c2"),
+    s"pr AS (SELECT qid, cell FROM (SELECT q.qid, c.cell, " +
+      s"row_number() OVER (PARTITION BY q.qid ORDER BY ${ivfCd("q.qv", "c.cv")}, c.cell) AS rn " +
+      s"FROM q CROSS JOIN c2 c) WHERE rn <= 2)",
+    """gr AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+      |    ORDER BY s DESC, id) AS rk FROM (
+      |  SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv) AS s
+      |  FROM af a JOIN pr ON a.cell = pr.cell JOIN q ON pr.qid = q.qid
+      |  WHERE a.id <> pr.qid) WHERE s IS NOT NULL)""".stripMargin
+  ).mkString(",\n")
+
   /** IVF search result: probed cells' members, exact cosine, top-10
     * per query on (score DESC, id) — Ann.ivfSearch / ivfSearchIndexed
     * produce identical results by construction (same centroids), so
@@ -733,6 +758,18 @@ object SparkEntry {
          |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "ann_ivf" -> ivfOracle,
+    // corpus-wide kNN graph over the shared IVF chain, self excluded
+    "knn_graph" ->
+      s"""WITH $ivfGraphCtes
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |FROM gr WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // mutual edges of that graph, canonical a < b orientation
+    "mutual_knn_pairs" ->
+      s"""WITH $ivfGraphCtes,
+         |g AS (SELECT qid, id, round(s, 4) AS score FROM gr WHERE rk <= 5)
+         |SELECT g1.qid AS id_a, g1.id AS id_b, g1.score
+         |FROM g g1 JOIN g g2 ON g1.qid = g2.id AND g1.id = g2.qid
+         |WHERE g1.qid < g1.id ORDER BY id_a, id_b""".stripMargin,
     "ann_ivf_indexed" -> ivfOracle,
     // cluster dashboard over the SAME trained centroids: per-row
     // cosine 4dp-quantized to integer micro-units before the sums,

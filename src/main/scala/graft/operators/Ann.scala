@@ -459,6 +459,56 @@ object Ann {
     ivfSearchWith(e, queries, k, nprobe, cents)
   }
 
+  /** CORPUS-WIDE kNN GRAPH — every vector's k nearest neighbors
+    * (self excluded), the structure near-dup mining, hard-negative
+    * selection, and graph-based label propagation all start from.
+    * This is the all-to-all ANN pattern at 100 TB shape: candidates
+    * are BLOCKED BY IVF CELL (each node only scores against its
+    * nprobe probed cells' members — never N²), the per-node heap
+    * keeps the shuffle at N·k, and cell cardinality grows with the
+    * corpus so per-cell work stays bounded. Same cached centroids as
+    * `ann_ivf`, so graph edges agree with individual index queries.
+    */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 5,
+               nprobe: Int = 2): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(e, 200)))
+    val assigned = assignTo(e, cents)
+    val probes = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        explode(slice(array_sort(centroidDists(col("embedding"), cents)),
+          1, nprobe)).as("p"))
+      .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
+    val scored = assigned.join(probes, "cell")
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    topKPerQuery(scored, k)
+  }
+
+  /** MUTUAL-kNN pairs — edges present in BOTH directions of the kNN
+    * graph (a ∈ kNN(b) ∧ b ∈ kNN(a)), the high-precision duplicate /
+    * same-cluster signal asymmetric kNN lists are noisy on. One
+    * self-SEMI-join on the N·k edge table (the graph materializes
+    * once — localCheckpoint, the two-consumer rule); canonical
+    * a < b orientation halves the output.
+    */
+  def mutualKnnPairs(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val g = knnGraph(s, dir, k)
+      .select(col("qid"), col("nn_id"), col("score"))
+      .localCheckpoint(true)
+    val rev = g.select(col("qid").as("rq"), col("nn_id").as("rn"))
+    g.join(rev, col("qid") === col("rn") && col("nn_id") === col("rq"),
+        "left_semi")
+      .where(col("qid") < col("nn_id"))
+      .select(col("qid").as("id_a"), col("nn_id").as("id_b"), col("score"))
+      .orderBy("id_a", "id_b")
+  }
+
   def lshQuery(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -402,4 +402,29 @@ class AnnSpec extends SparkSuite {
       col("label") === 5 && col("id") % 4 === 0, selFactor = 1000000L)
     assert(st == "ivf_filtered" && res.count() >= 0)
   }
+
+  test("knn graph: no self edges, ≤k per node, every node present; " +
+    "mutual pairs are the symmetric subset") {
+    val g = Ann.knnGraph(spark, sf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(g.nonEmpty)
+    assert(g.forall { case (q, n) => q != n }, "self edge in knn graph")
+    val perNode = g.groupBy(_._1).map(_._2.length)
+    assert(perNode.forall(_ <= 5))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(g.map(_._1).distinct.length == n,
+      "a node is missing from its own graph (probes must cover every node)")
+    val edges = g.toSet
+    val mutual = Ann.mutualKnnPairs(spark, sf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(mutual.nonEmpty)
+    mutual.foreach { case (a, b) =>
+      assert(a < b, s"orientation violated: ($a,$b)")
+      assert(edges((a, b)) && edges((b, a)),
+        s"mutual pair ($a,$b) missing a direction in the graph")
+    }
+    // maximality: every symmetric graph edge with a<b appears
+    val expect = edges.filter { case (a, b) => a < b && edges((b, a)) }
+    assert(mutual.toSet == expect)
+  }
 }
