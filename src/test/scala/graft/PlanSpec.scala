@@ -278,4 +278,25 @@ class PlanSpec extends SparkSuite {
       spark, path, 3L, 7L, 19731L, 19738L).size
     assert(sel < total, s"no file skipping: $sel/$total")
   }
+
+  test("q9: fact stream shrinks behind broadcast dims; part name filter " +
+    "prunes before the orders join") {
+    val p = planOf(Analytics.q9ProductProfit(spark, sf))
+    // dims broadcast — the fact side must never shuffle for them
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n${p.take(2000)}")
+    // the only SortMergeJoin/shuffled join allowed is lineitem⋈orders
+    val smj = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj <= 1, s"more than one shuffled join:\n${p.take(3000)}")
+    // part scan carries the name predicate (pushed as contains/startswith
+    // family or residual filter directly over the scan)
+    assert(p.contains("widget"), "part name filter missing from plan")
+  }
+
+  test("knn_graph: candidates join hash-partitions on cell — no " +
+    "cartesian, no broadcast of the corpus") {
+    val p = planOf(graft.operators.Ann.knnGraph(spark, sf, k = 5))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"kNN graph fell back to all-pairs:\n${p.take(3000)}")
+  }
 }
