@@ -98,6 +98,7 @@ object SparkEntry {
     "ann_ivf" -> (Ann.ivfQuery _),
     "knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
     "mutual_knn_pairs" -> ((s, d) => Ann.mutualKnnPairs(s, d)),
+    "embed_knn_clusters" -> ((s, d) => Ann.embedKnnClusters(s, d)),
     "embed_cluster_stats" -> (Ann.clusterStats _),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
@@ -763,6 +764,17 @@ object SparkEntry {
       s"""WITH $ivfGraphCtes
          |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |FROM gr WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // components of the mutual-kNN graph (embedding-space dedup
+    // clusters): the same recursive closure the minhash clusters use
+    "embed_knn_clusters" ->
+      s"""WITH RECURSIVE $ivfGraphCtes,
+         |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
+         |pairs AS (SELECT g1.qid AS id1, g1.id AS id2
+         |          FROM g g1 JOIN g g2 ON g1.qid = g2.id AND g1.id = g2.qid
+         |          WHERE g1.qid < g1.id),
+         |$closureCte
+         |SELECT id AS vec_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     // mutual edges of that graph, canonical a < b orientation
     "mutual_knn_pairs" ->
       s"""WITH $ivfGraphCtes,

@@ -509,6 +509,21 @@ object Ann {
       .orderBy("id_a", "id_b")
   }
 
+  /** EMBEDDING-SPACE DUPLICATE CLUSTERS — connected components over
+    * the mutual-kNN graph: the embedding analog of the minhash
+    * dedup_clusters pipeline (pairs → components → keep one per
+    * cluster). Mutual edges (not raw kNN) keep hub nodes from
+    * chaining unrelated neighborhoods into one giant component —
+    * the standard failure of single-link over asymmetric kNN.
+    * Reuses [[graft.operators.Dedup.connectedComponents]]
+    * (min-label propagation, per-round checkpoints, diameter-bounded).
+    */
+  def embedKnnClusters(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Dedup.connectedComponents(mutualKnnPairs(s, dir, k)
+        .select(col("id_a").as("id1"), col("id_b").as("id2")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+
   def lshQuery(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
