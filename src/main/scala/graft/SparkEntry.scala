@@ -99,6 +99,7 @@ object SparkEntry {
     "knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
     "mutual_knn_pairs" -> ((s, d) => Ann.mutualKnnPairs(s, d)),
     "embed_knn_clusters" -> ((s, d) => Ann.embedKnnClusters(s, d)),
+    "ann_nsw" -> (Ann.nswQuery _),
     "embed_cluster_stats" -> (Ann.clusterStats _),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
@@ -533,6 +534,53 @@ object SparkEntry {
       |  WHERE a.id <> pr.qid) WHERE s IS NOT NULL)""".stripMargin
   ).mkString(",\n")
 
+  /** NSW beam-round CTE chain (beam=16, 3 rounds, graphK=8) over
+    * the knn-graph CTE `gr`, for the query set selected by `qqWhere`
+    * on embeddings — shared by the standalone ann_nsw oracle and the
+    * routed batch API's HNSW leg, so the two cannot drift.
+    */
+  private def nswBeamCtes(qqWhere: String): String = {
+    val beam = 16
+    val rounds = 3
+    val sb = new StringBuilder
+    sb.append(
+      s"""g8 AS (SELECT qid, id FROM gr WHERE rk <= 8),
+         |ed AS (SELECT qid AS src, id AS dst FROM g8
+         |       UNION SELECT id, qid FROM g8),
+         |qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE $qqWhere),
+         |bs0 AS (SELECT qq.qid, e.id, list_cosine_similarity(e.v, qq.qv) AS s
+         |       FROM qq CROSS JOIN e WHERE e.id % 200 = 0),
+         |bf0 AS (SELECT qid, id, s FROM (SELECT *, row_number() OVER (
+         |         PARTITION BY qid ORDER BY s DESC, id) AS rk
+         |       FROM bs0 WHERE s IS NOT NULL) WHERE rk <= $beam)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+        |bc$r AS (SELECT f.qid, ed.dst AS id FROM bf$p f JOIN ed ON f.id = ed.src
+        |       UNION SELECT qid, id FROM bf$p),
+        |bs$r AS (SELECT c.qid, c.id, list_cosine_similarity(e.v, qq.qv) AS s
+        |       FROM bc$r c JOIN e ON c.id = e.id JOIN qq ON c.qid = qq.qid),
+        |bf$r AS (SELECT qid, id, s FROM (SELECT *, row_number() OVER (
+        |         PARTITION BY qid ORDER BY s DESC, id) AS rk
+        |       FROM bs$r WHERE s IS NOT NULL) WHERE rk <= $beam)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** NSW beam-search mirror (Ann.nswSearch k=10 beam=16 rounds=3
+    * graphK=8): the knn-graph CTEs provide `gr`; each beam round is
+    * an unrolled expand-union-rescore-cut CTE block, exactly the
+    * fixed-depth iteration the Spark side runs.
+    */
+  private val nswOracle: String =
+    s"""WITH $ivfGraphCtes,
+       |${nswBeamCtes("vec_id < 5")}
+       |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY s DESC, id) AS rk FROM bf3)
+       |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   /** IVF search result: probed cells' members, exact cosine, top-10
     * per query on (score DESC, id) — Ann.ivfSearch / ivfSearchIndexed
     * produce identical results by construction (same centroids), so
@@ -759,6 +807,7 @@ object SparkEntry {
          |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "ann_ivf" -> ivfOracle,
+    "ann_nsw" -> nswOracle,
     // corpus-wide kNN graph over the shared IVF chain, self excluded
     "knn_graph" ->
       s"""WITH $ivfGraphCtes
@@ -2408,13 +2457,14 @@ object SparkEntry {
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= k ORDER BY qid, rk""".stripMargin,
     // per-request index routing (SearchApi.searchRouted): even qids
-    // take the exact FLAT leg (per-request metric/k/filter, the
-    // vdb_search_requests mirror restricted to the FLAT sub-batch),
-    // odd qids the IVF leg (the shared ivfCtes probe chain — its `q`
-    // covers qid<5 so the routed subset just filters pr.qid parity;
-    // per-request k via the same CASE as the Spark batch)
+    // take the exact FLAT leg (per-request metric/k/filter), qid≡1
+    // (mod 4) the IVF probe leg, qid≡3 (mod 4) the HNSW-analog NSW
+    // beam leg. ALL legs share the graph chain's training CTEs
+    // (ivfGraphCtes computes assignments + probes for every vector;
+    // per-qid ranking makes its probe set a superset of the ivf
+    // chain's, so restricting pr by qid parity is exact)
     "vdb_search_routed" ->
-      s"""WITH $ivfCtes,
+      s"""WITH $ivfGraphCtes,
          |el AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
          |       FROM embeddings),
          |fq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
@@ -2442,16 +2492,22 @@ object SparkEntry {
          |isc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv) AS s
          |        FROM af a JOIN pr ON a.cell = pr.cell
          |             JOIN q ON pr.qid = q.qid
-         |        WHERE pr.qid % 2 = 1),
+         |        WHERE pr.qid < 5 AND pr.qid % 4 = 1),
          |ir AS (SELECT qid, id, s,
          |              row_number() OVER (PARTITION BY qid
          |                ORDER BY s DESC, id) AS rk
          |       FROM isc WHERE s IS NOT NULL),
          |il AS (SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |       FROM ir
+         |       WHERE rk <= CASE WHEN qid % 3 = 0 THEN 10 ELSE 5 END),
+         |${nswBeamCtes("vec_id < 5 AND vec_id % 4 = 3")},
+         |hl AS (SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |               ORDER BY s DESC, id) AS rk FROM bf3)
          |       WHERE rk <= CASE WHEN qid % 3 = 0 THEN 10 ELSE 5 END)
          |SELECT qid, rk, nn_id, score
-         |FROM (SELECT * FROM fl UNION ALL SELECT * FROM il)
+         |FROM (SELECT * FROM fl UNION ALL SELECT * FROM il
+         |      UNION ALL SELECT * FROM hl)
          |ORDER BY qid, rk""".stripMargin,
     "vdb_knn_flat_l2" -> knnOracle("l2"),
     "vdb_knn_flat_ip" -> knnOracle("ip"),

@@ -509,6 +509,63 @@ object Ann {
       .orderBy("id_a", "id_b")
   }
 
+  /** GRAPH-BASED ANN (NSW beam search) — the closest relational
+    * analog of the reference's hnswlib search loop
+    * (hnswlib_index.cc:46 searchKnn): greedy best-first expansion
+    * over a neighbor graph. The pointer-chasing loop becomes a
+    * FIXED-ROUND BEAM ITERATION (a bounded-depth Pregel shape): the
+    * graph is the symmetrized [[knnGraph]] edge table; each round
+    * expands the per-query frontier by one hop (equi-join on src),
+    * unions the frontier, and keeps the `beam` best by exact cosine;
+    * after `rounds` hops the top-k of the final beam is the answer.
+    * State per round is Q×beam rows — query-sized, never
+    * corpus-sized — and each hop is one shuffle on the graph's edge
+    * key, so depth (not corpus size) bounds the job chain. Entry
+    * points are the stride seeds (the same deterministic skeleton
+    * IVF trains from), so search needs no RNG and replays
+    * bit-identically.
+    */
+  def nswSearch(s: SparkSession, dir: String, queries: DataFrame,
+                k: Int = 10, beam: Int = 16, rounds: Int = 3,
+                graphK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = knnGraph(s, dir, graphK)
+      .select(col("qid").as("src"), col("nn_id").as("dst"))
+    val edges = g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val q = queries.select(col("qid"), col("qvec"))
+    def scoreIds(ids: DataFrame): DataFrame =
+      ids.join(e, "id").join(broadcast(q), "qid")
+        .select(col("qid"), col("id"),
+          VectorDistance.cosine(col("vec"), col("qvec")).as("s"))
+        .where(col("s").isNotNull)
+    val byQ = Window.partitionBy("qid").orderBy(col("s").desc, col("id"))
+    def topBeam(scored: DataFrame, n: Int): DataFrame =
+      scored.withColumn("rk", row_number().over(byQ))
+        .where(col("rk") <= n).select("qid", "id", "s")
+    val seeds = e.where(col("id") % 200 === 0).select("id")
+    var frontier = topBeam(
+      scoreIds(q.select("qid").crossJoin(seeds)), beam).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val expand = frontier.join(edges, col("id") === col("src"))
+        .select(col("qid"), col("dst").as("id"))
+        .union(frontier.select("qid", "id"))
+        .distinct()
+      frontier = topBeam(scoreIds(expand), beam).localCheckpoint(true)
+    }
+    frontier.withColumn("rk", row_number().over(byQ))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id").as("nn_id"),
+        round(col("s"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  def nswQuery(s: SparkSession, dir: String): DataFrame =
+    nswSearch(s, dir, Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+
   /** EMBEDDING-SPACE DUPLICATE CLUSTERS — connected components over
     * the mutual-kNN graph: the embedding analog of the minhash
     * dedup_clusters pipeline (pairs → components → keep one per

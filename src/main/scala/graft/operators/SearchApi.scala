@@ -91,28 +91,37 @@ object SearchApi {
     * probed cells — a batch of all-approximate requests never scans
     * the full corpus.
     *
-    * @param reqs (qid, qvec, index_type 'FLAT'|'IVF', k, metric,
-    *             fop, fval) — metric/filter apply to the FLAT leg
-    *             (the reference's filter index lives on the exact
-    *             path); IVF requests score cosine, unfiltered
+    * @param reqs (qid, qvec, index_type 'FLAT'|'HNSW'|'IVF', k,
+    *             metric, fop, fval) — metric/filter apply to the
+    *             FLAT leg (the reference's filter index lives on the
+    *             exact path); HNSW requests take the graph beam-
+    *             search leg ([[graft.operators.Ann.nswSearch]], the
+    *             hnswlib analog), any other approximate tag the IVF
+    *             leg; both score cosine, unfiltered
     */
   def searchRouted(s: SparkSession, dir: String, data: DataFrame,
                    reqs: DataFrame, maxK: Int): DataFrame = {
+    def perK(leg: DataFrame, sub: DataFrame): DataFrame =
+      leg.join(broadcast(sub.select(col("qid"), col("k"))), "qid")
+        .where(col("rk") <= col("k"))
+        .select(col("qid"), col("rk"), col("nn_id"), col("score"))
     val flat = searchRequests(data,
       reqs.where(col("index_type") === "FLAT"), maxK)
       .select(col("qid"), col("rk"), col("nn_id"), col("score"))
-    val ivfReqs = reqs.where(col("index_type") =!= "FLAT")
-    val ivf = graft.operators.Ann.ivfSearchCached(s, dir,
-        ivfReqs.select(col("qid"), col("qvec")), maxK)
-      .join(broadcast(ivfReqs.select(col("qid"), col("k"))), "qid")
-      .where(col("rk") <= col("k"))
-      .select(col("qid"), col("rk"), col("nn_id"), col("score"))
-    flat.unionByName(ivf).orderBy("qid", "rk")
+    val hnswReqs = reqs.where(col("index_type") === "HNSW")
+    val hnsw = perK(graft.operators.Ann.nswSearch(s, dir,
+      hnswReqs.select(col("qid"), col("qvec")), k = maxK), hnswReqs)
+    val ivfReqs = reqs.where(col("index_type") =!= "FLAT" &&
+      col("index_type") =!= "HNSW")
+    val ivf = perK(graft.operators.Ann.ivfSearchCached(s, dir,
+      ivfReqs.select(col("qid"), col("qvec")), maxK), ivfReqs)
+    flat.unionByName(hnsw).unionByName(ivf).orderBy("qid", "rk")
   }
 
   /** Routed surface query: even qids go FLAT (metric L2/IP, one `=`
-    * and one `!=` filter in the mix), odd qids go IVF; k mixes 10/5
-    * across both legs.
+    * and one `!=` filter in the mix); odd qids are approximate —
+    * qid≡1 (mod 4) IVF, qid≡3 (mod 4) HNSW; k mixes 10/5 across the
+    * legs.
     */
   def searchRoutedQuery(s: SparkSession, dir: String): DataFrame = {
     val data = Tables.embeddings(s, dir)
@@ -120,7 +129,8 @@ object SearchApi {
         col("label"))
     val reqs = Tables.embeddings(s, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        when(col("vec_id") % 2 === 0, "FLAT").otherwise("IVF")
+        when(col("vec_id") % 2 === 0, "FLAT")
+          .when(col("vec_id") % 4 === 3, "HNSW").otherwise("IVF")
           .as("index_type"),
         when(col("vec_id") % 3 === 0, 10L).otherwise(5L).as("k"),
         when(col("vec_id") % 4 === 2, "IP").otherwise("L2").as("metric"),

@@ -403,6 +403,24 @@ class AnnSpec extends SparkSuite {
     assert(st == "ivf_filtered" && res.count() >= 0)
   }
 
+  test("nsw beam search: valid ids, k per query, useful recall vs brute") {
+    val nsw = Ann.nswSearch(spark, sf,
+      Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(nsw.groupBy(_._1).forall(_._2.length == 10))
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.operators.Knn.topK(emb, q, 10,
+        graft.operators.Knn.Metric.Cosine)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hit = nsw.count(exact.contains)
+    val recall = hit.toDouble / exact.size
+    assert(recall >= 0.5, f"nsw recall@10 = $recall%.2f below 0.5")
+  }
+
   test("knn graph: no self edges, ≤k per node, every node present; " +
     "mutual pairs are the symmetric subset") {
     val g = Ann.knnGraph(spark, sf, k = 5).collect()

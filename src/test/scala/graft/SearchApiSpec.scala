@@ -51,25 +51,32 @@ class SearchApiSpec extends SparkSuite {
     }
   }
 
-  test("routed batch: FLAT requests match the exact leg, IVF requests " +
-    "match a direct ann_ivf call") {
+  test("routed batch: FLAT requests match the exact leg, IVF and HNSW " +
+    "requests match direct index calls") {
     val rows = SearchApi.searchRoutedQuery(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(rows.nonEmpty)
     val byQ = rows.groupBy(_._1)
-    // the batch covers both legs and honors per-request k
+    // the batch covers all three legs and honors per-request k
     assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
     assert(byQ(0L).length == 10 && byQ(3L).length == 10)
     assert(byQ(1L).length == 5 && byQ(2L).length == 5 && byQ(4L).length == 5)
-    // IVF requests (odd qids) return EXACTLY what a direct index
-    // query returns — routing must not change an answer
-    val direct = graft.operators.Ann.ivfSearchCached(spark, sf,
-        qs.where(col("qid") % 2 === 1), k = 10)
+    // approximate requests return EXACTLY what direct index queries
+    // return — routing must not change an answer
+    val ivfDirect = graft.operators.Ann.ivfSearchCached(spark, sf,
+        qs.where(col("qid") % 4 === 1), k = 10)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
       .filter { case (qid, rk, _, _) => rk <= (if (qid % 3 == 0) 10 else 5) }
       .toSet
-    assert(rows.filter(_._1 % 2 == 1).toSet == direct)
+    assert(rows.filter(_._1 % 4 == 1).toSet == ivfDirect)
+    val nswDirect = graft.operators.Ann.nswSearch(spark, sf,
+        qs.where(col("qid") % 4 === 3), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .filter { case (qid, rk, _, _) => rk <= (if (qid % 3 == 0) 10 else 5) }
+      .toSet
+    assert(rows.filter(_._1 % 4 == 3).toSet == nswDirect)
     // FLAT requests match the unrouted batch API on the same requests
     val flatReqs = Tables.embeddings(spark, sf)
       .where(col("vec_id") < 5 && col("vec_id") % 2 === 0)
