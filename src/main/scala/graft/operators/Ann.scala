@@ -468,9 +468,22 @@ object Ann {
     * keeps the shuffle at N·k, and cell cardinality grows with the
     * corpus so per-cell work stays bounded. Same cached centroids as
     * `ann_ivf`, so graph edges agree with individual index queries.
+    *
+    * Memoized per (applicationId, dir, k, nprobe): the graph is a
+    * deterministic byproduct consumed by five registry operators
+    * (the graph itself, mutual pairs, embed clusters, ann_nsw, the
+    * routed API's HNSW leg) — checkpoint-backed, so caching the
+    * reference spares each consumer the build.
     */
   def knnGraph(s: SparkSession, dir: String, k: Int = 5,
-               nprobe: Int = 2): DataFrame = {
+               nprobe: Int = 2): DataFrame =
+    graft.ByproductCache.getOrCompute(s.sparkContext.applicationId,
+      s"knngraph|$dir|$k|$nprobe") {
+      knnGraphUncached(s, dir, k, nprobe).localCheckpoint(true)
+    }
+
+  private def knnGraphUncached(s: SparkSession, dir: String, k: Int,
+                               nprobe: Int): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val cents = centCache.computeIfAbsent((dir, 200L),
@@ -498,9 +511,10 @@ object Ann {
     * a < b orientation halves the output.
     */
   def mutualKnnPairs(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // knnGraph is already checkpoint-backed (memoized), so the
+    // self-join reads the materialized edge table twice for free
     val g = knnGraph(s, dir, k)
       .select(col("qid"), col("nn_id"), col("score"))
-      .localCheckpoint(true)
     val rev = g.select(col("qid").as("rq"), col("nn_id").as("rn"))
     g.join(rev, col("qid") === col("rn") && col("nn_id") === col("rq"),
         "left_semi")
@@ -533,8 +547,11 @@ object Ann {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val g = knnGraph(s, dir, graphK)
       .select(col("qid").as("src"), col("nn_id").as("dst"))
-    val edges = g.union(g.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+    val edges = graft.ByproductCache.getOrCompute(
+      s.sparkContext.applicationId, s"nswedges|$dir|$graphK") {
+      g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+    }
     val q = queries.select(col("qid"), col("qvec"))
     def scoreIds(ids: DataFrame): DataFrame =
       ids.join(e, "id").join(broadcast(q), "qid")
