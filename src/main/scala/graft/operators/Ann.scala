@@ -523,6 +523,136 @@ object Ann {
       .orderBy("id_a", "id_b")
   }
 
+  // ------------------------------------------ persisted kNN graph
+
+  /** Nodes of a persisted IVF index — the graph's vertex set IS the
+    * index (one source of truth for vectors and cell layout).
+    */
+  private def graphNodes(s: SparkSession, indexPath: String): DataFrame =
+    s.read.parquet(indexPath)
+      .select(col("id"), col("vec"), col("cell").cast("long").as("cell"))
+
+  /** kNN edges for `nodes` against the CURRENT index: probe cells
+    * from the stored centroids (partition-pruned member read), exact
+    * cosine, per-node top-k heap — [[knnGraph]]'s plan over the
+    * persisted layout.
+    */
+  private def graphEdgesFor(s: SparkSession, indexPath: String,
+                            nodes: DataFrame, k: Int,
+                            nprobe: Int): DataFrame = {
+    val cents = collectCentroids(
+      s.read.parquet(centroidsPath(indexPath)).select(col("cell"), col("cvec")))
+    val probes = nodes.select(col("id").as("qid"), col("vec").as("qvec"),
+        explode(slice(array_sort(centroidDists(col("vec"), cents)),
+          1, nprobe)).as("p"))
+      .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
+    val scored = graphNodes(s, indexPath).join(probes, "cell")
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    topKPerQuery(scored, k)
+  }
+
+  /** Persist the kNN graph of an IVF index, PARTITIONED BY EACH
+    * NODE'S OWN CELL — the layout that makes maintenance churn-LOCAL:
+    * a node's edges change only when a cell it probes is touched, and
+    * the nodes probing a cell are (by construction of the probe
+    * ranking) concentrated in that cell and its neighbors, so the
+    * affected rows cluster in few partitions. A qid-hash layout would
+    * scatter any affected set across every partition.
+    */
+  def knnGraphBuild(s: SparkSession, indexPath: String, graphPath: String,
+                    k: Int = 5, nprobe: Int = 2): Unit = {
+    val nodes = graphNodes(s, indexPath)
+    graphEdgesFor(s, indexPath, nodes, k, nprobe)
+      .join(nodes.select(col("id").as("qid"), col("cell")), "qid")
+      .write.mode("overwrite").partitionBy("cell").parquet(graphPath)
+  }
+
+  def knnGraphRead(s: SparkSession, graphPath: String): DataFrame =
+    s.read.parquet(graphPath).select("qid", "rk", "nn_id", "score")
+
+  /** INCREMENTAL GRAPH MAINTENANCE under vector upserts — provably
+    * equal to a full rebuild. A node's candidate set is exactly the
+    * membership of its (centroid-fixed, hence immutable) probe
+    * cells, so an upsert batch can change a node's edge list only if
+    * (a) the node itself was upserted, or (b) one of its probe cells
+    * is TOUCHED — gained or lost a member (the moved id's old and
+    * new cells). The affected set is therefore {upserted ids} ∪
+    * {nodes probing a touched cell}; every other node's candidates —
+    * and so its top-k — are untouched. Recompute edges for the
+    * affected nodes only (partition-pruned member reads), then
+    * dynamic-partition-overwrite only the partitions holding an
+    * affected node's rows (new cell + old cell of moved nodes),
+    * carrying unaffected co-partitioned rows; partitions the
+    * replacement emptied are deleted (the publishTouchedCells
+    * discipline). Work scales with churn locality (touched cells ×
+    * their probers), never with graph size.
+    */
+  def knnGraphUpsert(s: SparkSession, indexPath: String, graphPath: String,
+                     updates: DataFrame, k: Int = 5,
+                     nprobe: Int = 2): Unit = {
+    val ids = broadcast(updates.select("id").distinct())
+    val oldCells = s.read.parquet(indexPath).join(ids, "id")
+      .select(col("cell").cast("long").as("cell")).distinct()
+      .collect().map(_.getLong(0))
+    ivfIndexUpsert(s, indexPath, updates)
+    val newCells = s.read.parquet(indexPath).join(ids, "id")
+      .select(col("cell").cast("long").as("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val touched = (oldCells ++ newCells).distinct
+    val cents = collectCentroids(
+      s.read.parquet(centroidsPath(indexPath)).select(col("cell"), col("cvec")))
+    val nodes = graphNodes(s, indexPath)
+    // probe sets are a cheap per-row projection over literal
+    // centroids — no shuffle; the isin filter keeps only probers of
+    // touched cells
+    val probers = nodes.select(col("id"),
+        explode(slice(array_sort(centroidDists(col("vec"), cents)),
+          1, nprobe)).as("p"))
+      .where(col("p.cell").isin(touched.toIndexedSeq: _*))
+      .select("id").distinct()
+    val affectedIds = probers.unionByName(ids.select("id")).distinct()
+      .localCheckpoint(true)
+    val affected = nodes.join(broadcast(affectedIds), Seq("id"), "left_semi")
+    val recomputed = graphEdgesFor(s, indexPath, affected, k, nprobe)
+      .join(nodes.select(col("id").as("qid"), col("cell")), "qid")
+      .select(col("qid"), col("rk"), col("nn_id"), col("score"),
+        col("cell").cast("long").as("cell"))
+    // partitions to rewrite: cells now holding an affected node +
+    // old cells of moved nodes (whose stale rows must drop)
+    val affCells = (affected.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)) ++ oldCells).distinct
+    val keep = s.read.parquet(graphPath)
+      .where(col("cell").isin(affCells.toIndexedSeq: _*))
+      .join(broadcast(affectedIds.select(col("id").as("qid"))),
+        Seq("qid"), "left_anti")
+      .select(col("qid"), col("rk"), col("nn_id"), col("score"),
+        col("cell").cast("long").as("cell"))
+    // same self-overwrite discipline as publishTouchedCells: the
+    // replacement reads files the dynamic overwrite deletes
+    val replacement = keep.unionByName(recomputed).localCheckpoint(true)
+    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try replacement.write.mode("overwrite")
+      .partitionBy("cell").parquet(graphPath)
+    finally prevMode match {
+      case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // a cell every node moved out of would keep stale rows: dynamic
+    // overwrite only replaces partitions present in the written data
+    val written = replacement.select("cell").distinct().collect()
+      .map(_.getLong(0)).toSet
+    affCells.filterNot(written).foreach { c =>
+      val dir = new org.apache.hadoop.fs.Path(graphPath, s"cell=$c")
+      val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(dir, true)
+    }
+  }
+
   /** GRAPH-BASED ANN (NSW beam search) — the closest relational
     * analog of the reference's hnswlib search loop
     * (hnswlib_index.cc:46 searchKnn): greedy best-first expansion
