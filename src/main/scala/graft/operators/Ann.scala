@@ -723,10 +723,12 @@ object Ann {
     * (min-label propagation, per-round checkpoints, diameter-bounded).
     */
   def embedKnnClusters(s: SparkSession, dir: String, k: Int = 5): DataFrame =
-    Dedup.connectedComponents(mutualKnnPairs(s, dir, k)
-        .select(col("id_a").as("id1"), col("id_b").as("id2")))
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
-      .orderBy("vec_id")
+    graft.ByproductCache.getOrCompute(s.sparkContext.applicationId,
+      s"embclusters|$dir|$k") {
+      Dedup.connectedComponents(mutualKnnPairs(s, dir, k)
+          .select(col("id_a").as("id1"), col("id_b").as("id2")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    }.orderBy("vec_id")
 
   def lshQuery(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
