@@ -216,6 +216,7 @@ object SparkEntry {
     "events_retention" -> (Analytics.eventsRetention _),
     "events_rollup_cube" -> (Analytics.eventsRollup _),
     "events_gap_fill" -> (Analytics.eventsGapFill(_, _)),
+    "events_ewma" -> (Analytics.eventsEwma _),
     "events_top_paths" -> (Analytics.eventsTopPaths(_, _)),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q14_promo" -> (Analytics.q14PromoEffect _),
@@ -2780,6 +2781,37 @@ object SparkEntry {
         |                          ROWS BETWEEN 6 PRECEDING
         |                          AND CURRENT ROW), 4) AS ma7
         |FROM dense ORDER BY event_type, day""".stripMargin,
+    // truncated EWMA (α=1/2, 14-day) as a banded self-join on the
+    // dense grid; power-of-two weights keep num/den exact BIGINTs
+    "events_ewma" ->
+      """WITH ev AS (SELECT event_type,
+        |              CAST(ts AS DATE) - DATE '1970-01-01' AS d
+        |            FROM events),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+        |cal AS (SELECT g AS d
+        |        FROM generate_series(15000, 25000) AS t(g), b
+        |        WHERE g BETWEEN lo AND hi),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+        |          FROM ev GROUP BY 1, 2),
+        |dense AS (SELECT ty.event_type, cal.d,
+        |            coalesce(daily.n, 0) AS n
+        |          FROM ty CROSS JOIN cal
+        |          LEFT JOIN daily ON daily.event_type = ty.event_type
+        |                         AND daily.d = cal.d),
+        |w AS (SELECT a.event_type, a.d,
+        |        CAST(sum(r.n * (1::BIGINT
+        |          << CAST(13 - (a.d - r.d) AS INTEGER))) AS BIGINT) AS num,
+        |        CAST(sum(1::BIGINT
+        |          << CAST(13 - (a.d - r.d) AS INTEGER)) AS BIGINT) AS den
+        |      FROM dense a JOIN dense r ON a.event_type = r.event_type
+        |        AND r.d BETWEEN a.d - 13 AND a.d
+        |      GROUP BY 1, 2)
+        |SELECT event_type,
+        |       CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS VARCHAR)
+        |         AS day,
+        |       round(num * 1.0 / den, 4) AS ewma
+        |FROM w ORDER BY event_type, day""".stripMargin,
     "events_rollup_cube" ->
       """WITH e AS (SELECT event_type,
         |             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -789,6 +789,51 @@ object Analytics {
       .orderBy("event_type", "day")
   }
 
+  /** EXPONENTIALLY-WEIGHTED daily trend per event type (α=1/2,
+    * truncated at 14 days) — the smoothing curve trend dashboards
+    * draw over the gap-filled series. The EWMA recurrence is
+    * sequential; the truncated form is PARALLEL: each day's value is
+    * a weighted sum over its own trailing window, computed as a
+    * BANDED SELF-JOIN on the dense (type × calendar) grid — a
+    * metadata-sized frame, so the quadratic-in-window-width join is
+    * bounded by types·days·14, never by event volume. Weights are
+    * exact powers of two (1<<lag) and counts integers, so numerator
+    * and denominator are exact BIGINT sums — one double division at
+    * the end, 4dp (the gap-fill integer discipline; a plain window
+    * can't express lag-dependent weights).
+    */
+  def eventsEwma(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val daily = ev.groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val meta = ev.agg(min("d").as("lo"), max("d").as("hi"),
+      collect_set("event_type").as("tys")).localCheckpoint(true)
+    val cal = meta.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val grid = meta.select(explode(col("tys")).as("event_type"))
+      .crossJoin(cal)
+    val dense = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint(true)
+    val rhs = dense.select(col("event_type"), col("d").as("j"), col("n"))
+    dense.select("event_type", "d")
+      .join(rhs, Seq("event_type"))
+      .where(col("j").between(col("d") - 13, col("d")))
+      .select(col("event_type"), col("d"),
+        expr("n * shiftleft(CAST(1 AS BIGINT), CAST(13 - (d - j) AS INT))")
+          .as("wn"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(13 - (d - j) AS INT))")
+          .as("w"))
+      .groupBy("event_type", "d")
+      .agg(sum("wn").as("num"), sum("w").as("den"))
+      .select(col("event_type"),
+        date_add(lit("1970-01-01").cast("date"), col("d").cast("int"))
+          .cast("string").as("day"),
+        round(col("num").cast("double") / col("den"), 4).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
   /** TPC-H Q16 shape (recast — no partsupp table in the testdata, so
     * lineitem plays the part↔supplier relation): DISTINCT-COUNT over a
     * join with a NOT-IN exclusion. Per (p_type, size band): how many
