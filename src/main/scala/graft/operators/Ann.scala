@@ -590,6 +590,16 @@ object Ann {
     * replacement emptied are deleted (the publishTouchedCells
     * discipline). Work scales with churn locality (touched cells ×
     * their probers), never with graph size.
+    *
+    * CRASH WINDOW (documented contract, the ivfIndexUpsert
+    * discipline): the index upsert and the graph publish are
+    * separate steps. A crash between them leaves the graph stale
+    * against the updated index — and RE-RUNNING the same batch is
+    * NOT a complete repair (the moved ids' old cells are no longer
+    * observable from the index, so their probers would be missed).
+    * Recovery after an interrupted graph upsert is
+    * [[knnGraphBuild]] — a full rebuild, which maintenance-equality
+    * (GraphMaintenanceSpec) guarantees converges to the same state.
     */
   def knnGraphUpsert(s: SparkSession, indexPath: String, graphPath: String,
                      updates: DataFrame, k: Int = 5,
