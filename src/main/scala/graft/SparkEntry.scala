@@ -217,6 +217,7 @@ object SparkEntry {
     "events_rollup_cube" -> (Analytics.eventsRollup _),
     "events_gap_fill" -> (Analytics.eventsGapFill(_, _)),
     "events_ewma" -> (Analytics.eventsEwma _),
+    "events_pivot" -> (Analytics.eventsPivot _),
     "events_top_paths" -> (Analytics.eventsTopPaths(_, _)),
     "q18_large_orders" -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     "q14_promo" -> (Analytics.q14PromoEffect _),
@@ -2781,6 +2782,15 @@ object SparkEntry {
         |                          ROWS BETWEEN 6 PRECEDING
         |                          AND CURRENT ROW), 4) AS ma7
         |FROM dense ORDER BY event_type, day""".stripMargin,
+    // pivot mirror: explicit-value conditional aggregation
+    "events_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     // truncated EWMA (α=1/2, 14-day) as a banded self-join on the
     // dense grid; power-of-two weights keep num/den exact BIGINTs
     "events_ewma" ->

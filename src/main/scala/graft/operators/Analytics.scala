@@ -789,6 +789,24 @@ object Analytics {
       .orderBy("event_type", "day")
   }
 
+  /** PIVOT — the wide BI-export shape: daily event counts, one
+    * column per event type. Pivot values are EXPLICIT (the bounded,
+    * contract-fixed type set): with explicit values Spark compiles
+    * the pivot to a single conditional aggregate — one exchange, no
+    * extra distinct-values job, and a schema that cannot drift with
+    * the data (an implicit pivot at 100 TB first runs a full
+    * distinct scan and then widens by whatever cardinality it found).
+    */
+  def eventsPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("ts").cast("date").cast("string").as("day"),
+        col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
   /** EXPONENTIALLY-WEIGHTED daily trend per event type (α=1/2,
     * truncated at 14 days) — the smoothing curve trend dashboards
     * draw over the gap-filled series. The EWMA recurrence is
