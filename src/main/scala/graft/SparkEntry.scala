@@ -100,6 +100,7 @@ object SparkEntry {
     "mutual_knn_pairs" -> ((s, d) => Ann.mutualKnnPairs(s, d)),
     "embed_knn_clusters" -> ((s, d) => Ann.embedKnnClusters(s, d)),
     "ann_nsw" -> (Ann.nswQuery _),
+    "ann_nsw_filtered" -> (Ann.nswFilteredQuery _),
     "embed_cluster_stats" -> (Ann.clusterStats _),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
@@ -810,6 +811,25 @@ object SparkEntry {
          |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "ann_ivf" -> ivfOracle,
     "ann_nsw" -> nswOracle,
+    // filtered graph search: rank the filter-passing VISITED set
+    // (bf0 ∪ bc1..3 — every id any beam round scored)
+    "ann_nsw_filtered" ->
+      s"""WITH $ivfGraphCtes,
+         |${nswBeamCtes("vec_id < 5")},
+         |vis AS (SELECT DISTINCT qid, id FROM (
+         |    SELECT qid, id FROM bf0 UNION ALL SELECT qid, id FROM bc1
+         |    UNION ALL SELECT qid, id FROM bc2
+         |    UNION ALL SELECT qid, id FROM bc3)),
+         |alw AS (SELECT vec_id AS id FROM embeddings WHERE label = 5),
+         |fsc AS (SELECT v.qid, v.id,
+         |          list_cosine_similarity(e.v, qq.qv) AS s
+         |        FROM vis v JOIN alw ON v.id = alw.id
+         |             JOIN e ON v.id = e.id JOIN qq ON v.qid = qq.qid)
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY s DESC, id) AS rk
+         |      FROM fsc WHERE s IS NOT NULL)
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     // corpus-wide kNN graph over the shared IVF chain, self excluded
     "knn_graph" ->
       s"""WITH $ivfGraphCtes

@@ -679,9 +679,13 @@ object Ann {
     * IVF trains from), so search needs no RNG and replays
     * bit-identically.
     */
-  def nswSearch(s: SparkSession, dir: String, queries: DataFrame,
-                k: Int = 10, beam: Int = 16, rounds: Int = 3,
-                graphK: Int = 8): DataFrame = {
+  /** Shared beam traversal: returns (final frontier, visited set),
+    * both per-query-scored frames. See [[nswSearch]] for the
+    * iteration contract.
+    */
+  private def nswTraverse(s: SparkSession, dir: String, queries: DataFrame,
+                          beam: Int, rounds: Int,
+                          graphK: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -705,14 +709,57 @@ object Ann {
     val seeds = e.where(col("id") % 200 === 0).select("id")
     var frontier = topBeam(
       scoreIds(q.select("qid").crossJoin(seeds)), beam).localCheckpoint(true)
+    var visited = frontier.select("qid", "id")
     for (_ <- 1 to rounds) {
       val expand = frontier.join(edges, col("id") === col("src"))
         .select(col("qid"), col("dst").as("id"))
         .union(frontier.select("qid", "id"))
         .distinct()
+      visited = visited.union(expand).distinct()
       frontier = topBeam(scoreIds(expand), beam).localCheckpoint(true)
     }
+    (frontier, scoreIds(visited.distinct()))
+  }
+
+  def nswSearch(s: SparkSession, dir: String, queries: DataFrame,
+                k: Int = 10, beam: Int = 16, rounds: Int = 3,
+                graphK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy("qid").orderBy(col("s").desc, col("id"))
+    val (frontier, _) = nswTraverse(s, dir, queries, beam, rounds, graphK)
     frontier.withColumn("rk", row_number().over(byQ))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id").as("nn_id"),
+        round(col("s"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  /** FILTERED graph search — the reference's HNSW path takes the
+    * scalar-filter bitmap as a SELECTOR (hnswlib_index.cc:28-37,
+    * searchKnn with IdSelector): traversal runs on the full graph,
+    * the filter gates only what may be RETURNED. The relational
+    * analog: beam-traverse unfiltered, then rank the
+    * filter-passing members of the VISITED SET (every id any round
+    * scored — Q×(beam·graphK·rounds)-bounded, query-sized). Like
+    * the reference, a highly selective filter can return fewer than
+    * k rows — the documented approximate-filtered contract (the
+    * exact path vdb_knn_filtered_* guarantees k).
+    */
+  def nswSearchFiltered(s: SparkSession, dir: String, queries: DataFrame,
+                        filter: org.apache.spark.sql.Column, k: Int = 5,
+                        beam: Int = 16, rounds: Int = 3,
+                        graphK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy("qid").orderBy(col("s").desc, col("id"))
+    val (_, visitedScored) = nswTraverse(s, dir, queries, beam, rounds, graphK)
+    val allowed = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("label")).where(filter)
+    // semi-join, no forced broadcast: the visited side is
+    // query-sized but `allowed` is corpus-sized (label-filtered) —
+    // AQE picks the build side
+    visitedScored
+      .join(allowed.select("id"), Seq("id"), "left_semi")
+      .withColumn("rk", row_number().over(byQ))
       .where(col("rk") <= k)
       .select(col("qid"), col("rk"), col("id").as("nn_id"),
         round(col("s"), 4).as("score"))
@@ -722,6 +769,12 @@ object Ann {
   def nswQuery(s: SparkSession, dir: String): DataFrame =
     nswSearch(s, dir, Tables.embeddings(s, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+
+  def nswFilteredQuery(s: SparkSession, dir: String): DataFrame =
+    nswSearchFiltered(s, dir,
+      Tables.embeddings(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      col("label") === 5)
 
   /** EMBEDDING-SPACE DUPLICATE CLUSTERS — connected components over
     * the mutual-kNN graph: the embedding analog of the minhash

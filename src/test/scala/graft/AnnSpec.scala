@@ -421,6 +421,29 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.5, f"nsw recall@10 = $recall%.2f below 0.5")
   }
 
+  test("filtered nsw: every hit passes the filter; ≤k per query; " +
+    "scores agree with the unfiltered traversal where they overlap") {
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val hits = Ann.nswSearchFiltered(spark, sf, q, col("label") === 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(hits.nonEmpty)
+    val labelOf = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    hits.foreach { case (_, nn, _) =>
+      assert(labelOf(nn) == 5L, s"hit $nn fails the label filter")
+    }
+    assert(hits.groupBy(_._1).forall(_._2.length <= 5))
+    // where a filtered hit also appears in the unfiltered top-10, the
+    // score is identical (same traversal, same exact scoring)
+    val unf = Ann.nswSearch(spark, sf, q).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    hits.foreach { case (qid, nn, s) =>
+      unf.get((qid, nn)).foreach(u => assert(u == s))
+    }
+  }
+
   test("knn graph: no self edges, ≤k per node, every node present; " +
     "mutual pairs are the symmetric subset") {
     val g = Ann.knnGraph(spark, sf, k = 5).collect()
