@@ -139,6 +139,7 @@ object SparkEntry {
       Knn.topKExcludingSelf(emb(s, d), simQset(s, d), 10, Knn.Metric.Cosine)),
     "text_langid" -> (TextOps.langId _),
     "text_quality" -> (TextOps.quality _),
+    "quality_deciles" -> (TextOps.qualityDeciles _),
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     "corpus_stats" -> (TextOps.corpusStats _),
@@ -1877,6 +1878,33 @@ object SparkEntry {
         |                  {'ns': -de_score, 'l': 'de'},
         |                  {'ns': -fr_score, 'l': 'fr'}])[1].l AS predicted
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // exact global deciles of the quality score; mirror assigns
+    // decile by the same all-integer (rank-1)*10 div N formula over
+    // the identical (score 4dp, doc_id) total order
+    "quality_deciles" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens,
+        |        len(list_filter(toks,
+        |          t -> t IN ('the','a','and','of','to','in','is')))
+        |          *1.0/len(toks) AS sw,
+        |        1.0 - len(list_distinct(toks))*1.0/len(toks) AS rep
+        |      FROM t),
+        |q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        round((least(n_tokens/50.0, 1.0)
+        |          + CASE WHEN sw BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END
+        |          + (1.0 - least(rep/0.9, 1.0))) / 3.0, 4) AS quality_score
+        |      FROM m),
+        |r AS (SELECT doc_id, quality_score, n_tokens,
+        |        row_number() OVER (ORDER BY quality_score, doc_id) AS rnk,
+        |        count(*) OVER () AS n
+        |      FROM q WHERE quality_score IS NOT NULL)
+        |SELECT CAST(((rnk - 1) * 10) // n AS BIGINT) + 1 AS decile,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(quality_score) AS min_score,
+        |       max(quality_score) AS max_score,
+        |       round(avg(n_tokens), 4) AS avg_tokens
+        |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
         |           FROM documents),

@@ -555,4 +555,46 @@ object TextOps {
           .as("dup_trigram_frac"))
       .orderBy("doc_id")
   }
+
+  /** EXACT GLOBAL DECILES of the quality score — the curation view
+    * threshold decisions read ("what does the 3rd decile look
+    * like"). Global order statistics need a total order, which at
+    * 100 TB must not be one window (single-partition corpus sort);
+    * this reuses the export-shards two-level decomposition on a NEW
+    * axis — VALUE bands instead of hash buckets: band =
+    * floor(score·16) is monotone in score, so (band, within-band
+    * rank) IS the global (score, doc_id) order; within-band ranks
+    * are band-partitioned windows, the 16 band counts prefix-sum on
+    * the driver, and global rank = band base + within rank. Decile =
+    * (rank−1)·10 div N — all-integer, bit-deterministic.
+    */
+  def qualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityMetrics(s, dir)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+      .where(col("quality_score").isNotNull)
+    val banded = scored.withColumn("band",
+      least(floor(col("quality_score") * 16), lit(15L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band").orderBy(col("quality_score"), col("doc_id"))
+    val within = banded.withColumn("rin", row_number().over(w))
+      .localCheckpoint(true)
+    val counts = within.groupBy("band").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val bases = counts.toSeq.map { case (b, c) =>
+      val base = (b, acc); acc += c; base
+    }
+    val n = acc
+    import s.implicits._
+    val baseDf = broadcast(bases.toDF("band", "base"))
+    within.join(baseDf, "band")
+      .withColumn("rnk", col("base") + col("rin"))
+      .withColumn("decile", expr(s"((rnk - 1) * 10) div ${n}L + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("quality_score").as("min_score"),
+        max("quality_score").as("max_score"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+      .orderBy("decile")
+  }
 }
