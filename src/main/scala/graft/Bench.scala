@@ -19,6 +19,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same preflight as Verify: testdata drift must surface as ONE
+    // message, not as a bench-invalidating failure cascade (r7)
+    SchemaCanary.drift(spark, sfDir).foreach { d =>
+      System.err.println(s"[bench] SCHEMA DRIFT: $d")
+    }
     val warmDir = {
       val p = java.nio.file.Paths.get(sfDir).getParent
       val cand = if (p == null) sfDir else p.resolve("sf0.001").toString
