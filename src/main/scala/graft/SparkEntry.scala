@@ -133,6 +133,7 @@ object SparkEntry {
     "dedup_simhash60_pairs" -> ((s, d) => Dedup.simhashPairsWide(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
     "dedup_substring" -> (Dedup.duplicatedSpansQuery _),
     "dedup_embedding_cos" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
     "sim_brute_topk" -> ((s, d) =>
@@ -1756,6 +1757,21 @@ object SparkEntry {
          |$closureCte
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // cluster-size histogram — the "how much duplicate mass" number:
+    // components → per-cluster member counts → count-of-counts
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $bandCte,
+         |$verifiedPairsCte,
+         |$closureCte,
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id
+         |        FROM reach GROUP BY id),
+         |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |       FROM lab GROUP BY 1)
+         |SELECT sz AS cluster_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sum(sz) AS BIGINT) AS n_docs,
+         |       CAST(sum(sz - 1) AS BIGINT) AS n_removable
+         |FROM cs GROUP BY 1 ORDER BY cluster_size""".stripMargin,
     // passage-level substring dedup: positional 3-grams, cross-doc
     // duplicated iff min(doc)≠max(doc) per gram, consecutive
     // positions island-merged (pos − row_number) into maximal spans

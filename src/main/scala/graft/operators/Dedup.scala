@@ -616,6 +616,26 @@ object Dedup {
         minhashPairsUnsorted(s, dir, minJaccard).select("id1", "id2"))
     }
 
+  /** Cluster-size HISTOGRAM — the "how much duplicate mass" dashboard
+    * number a dedup run is judged by: per component size, how many
+    * clusters, how many docs they hold, and how many docs a
+    * keep-one-per-cluster policy removes. Count-of-counts over the
+    * memoized fixpoint (the q13 two-level-aggregate shape): the heavy
+    * exchange already ran for the labels; both aggregates here are
+    * component-table-sized.
+    */
+  def clusterSizeHistogram(s: SparkSession, dir: String,
+                           minJaccard: Double = 0.5): DataFrame =
+    nearDupClustersUnsorted(s, dir, minJaccard)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy("sz")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"),
+        sum(col("sz") - 1).as("n_removable"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        col("n_docs"), col("n_removable"))
+      .orderBy("cluster_size")
+
   /** Embedding-cosine near-dup pairs, blocked on sign-LSH buckets
     * ([[Ann.lshSignatures]]): candidates are pairs sharing any
     * (table, signature) bucket, verified by the exact fused cosine
