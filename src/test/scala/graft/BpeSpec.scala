@@ -37,6 +37,32 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("parity-window rewrite equals greedy-left on seeded random " +
+    "sequences, every pair over a 3-symbol alphabet") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "c")
+    for (pa <- alphabet; pb <- alphabet) {
+      // 20 random words per pair, rewritten in ONE job (the word
+      // partition isolates cases), checked against the sequential
+      // reference — covers a==b runs and boundary overlaps far past
+      // the hand-picked cases above
+      val cs = (1 to 20).map { i =>
+        (s"w$i", List.fill(2 + rnd.nextInt(10))(alphabet(rnd.nextInt(3))))
+      }
+      val rows = cs.flatMap { case (w, syms) =>
+        syms.zipWithIndex.map { case (s0, i) => (w, 1L, i, s0) } }
+      val out = Bpe.mergeRound(rows.toDF("word", "cnt", "pos", "s"), pa, pb)
+        .collect().map(r => (r.getString(0), r.getInt(2), r.getString(3)))
+        .groupBy(_._1).map { case (w, xs) =>
+          w -> xs.sortBy(_._2).map(_._3).toList }
+      cs.foreach { case (w, syms) =>
+        assert(out.getOrElse(w, Nil) == greedy(syms, pa, pb),
+          s"$w $syms merging ($pa,$pb)")
+      }
+    }
+  }
+
   test("merge counts are non-increasing over rounds") {
     // any pair alive at round r+1 either existed at r (merging never
     // adds occurrences of an unrelated pair) or involves the new
