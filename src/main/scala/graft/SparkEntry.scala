@@ -134,6 +134,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
+    "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_substring" -> (Dedup.duplicatedSpansQuery _),
     "dedup_embedding_cos" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
     "sim_brute_topk" -> ((s, d) =>
@@ -1757,6 +1758,18 @@ object SparkEntry {
          |$closureCte
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // cross-source near-dup overlap: verified pairs joined to each
+    // side's source, counted per unordered source pair
+    "dedup_source_overlap" ->
+      s"""WITH $bandCte,
+         |$verifiedPairsCte,
+         |ds AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_a,
+         |       greatest(a.source, b.source) AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs p JOIN ds a ON p.id1 = a.doc_id
+         |     JOIN ds b ON p.id2 = b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // cluster-size histogram — the "how much duplicate mass" number:
     // components → per-cluster member counts → count-of-counts
     "dedup_cluster_sizes" ->

@@ -616,6 +616,29 @@ object Dedup {
         minhashPairsUnsorted(s, dir, minJaccard).select("id1", "id2"))
     }
 
+  /** CROSS-SOURCE near-dup overlap — which source pairs duplicate
+    * each other (mirror sites, syndication, scraped re-posts): the
+    * verified pair set joined to each side's source, counted per
+    * unordered source pair. The join sides are the pair table
+    * (collision-sized) against the doc→source projection — the heavy
+    * shingle work is not repeated (memoization + the candidate-
+    * checkpoint discipline inside the pair generator).
+    */
+  def sourceOverlap(s: SparkSession, dir: String,
+                    minJaccard: Double = 0.5): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    minhashPairsUnsorted(s, dir, minJaccard).select("id1", "id2")
+      .join(src.select(col("doc_id").as("id1"), col("source").as("src1")),
+        "id1")
+      .join(src.select(col("doc_id").as("id2"), col("source").as("src2")),
+        "id2")
+      .select(least(col("src1"), col("src2")).as("source_a"),
+        greatest(col("src1"), col("src2")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Cluster-size HISTOGRAM — the "how much duplicate mass" dashboard
     * number a dedup run is judged by: per component size, how many
     * clusters, how many docs they hold, and how many docs a
