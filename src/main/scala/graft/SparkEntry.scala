@@ -555,8 +555,13 @@ object SparkEntry {
          |       UNION SELECT id, qid FROM g8),
          |qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
          |       FROM embeddings WHERE $qqWhere),
-         |bs0 AS (SELECT qq.qid, e.id, list_cosine_similarity(e.v, qq.qv) AS s
-         |       FROM qq CROSS JOIN e WHERE e.id % 200 = 0),
+         |prq AS (SELECT qid, cell FROM (SELECT qq.qid, c.cell,
+         |         row_number() OVER (PARTITION BY qq.qid
+         |           ORDER BY ${ivfCd("qq.qv", "c.cv")}, c.cell) AS rn
+         |       FROM qq CROSS JOIN c2 c) WHERE rn <= 2),
+         |bs0 AS (SELECT prq.qid, a.id, list_cosine_similarity(a.v, qq.qv) AS s
+         |       FROM af a JOIN prq ON a.cell = prq.cell
+         |       JOIN qq ON prq.qid = qq.qid),
          |bf0 AS (SELECT qid, id, s FROM (SELECT *, row_number() OVER (
          |         PARTITION BY qid ORDER BY s DESC, id) AS rk
          |       FROM bs0 WHERE s IS NOT NULL) WHERE rk <= $beam)""".stripMargin)

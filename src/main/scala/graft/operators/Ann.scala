@@ -675,14 +675,38 @@ object Ann {
     * State per round is Q×beam rows — query-sized, never
     * corpus-sized — and each hop is one shuffle on the graph's edge
     * key, so depth (not corpus size) bounds the job chain. Entry
-    * points are the stride seeds (the same deterministic skeleton
-    * IVF trains from), so search needs no RNG and replays
+    * points come from a COARSE-TO-FINE DESCENT through the cached
+    * IVF centroids (hnswlib's upper layers, hnswlib_index.cc:21-24,
+    * serve exactly this role: route to a good neighborhood before
+    * the fine-grained walk), so search needs no RNG and replays
     * bit-identically.
     */
   /** Shared beam traversal: returns (final frontier, visited set),
     * both per-query-scored frames. See [[nswSearch]] for the
     * iteration contract.
     */
+  /** Beam ENTRY SET: per query, the members of its `nprobe` nearest
+    * IVF cells under the cached centroids. Per-query entry work is
+    * ≈ nprobe·stride rows — bounded by CELL SIZE, not corpus size
+    * (cell count grows with the corpus; cell size stays ~stride) —
+    * the scale contract AnnSpec pins.
+    */
+  private[graft] def nswEntry(s: SparkSession, dir: String,
+                              queries: DataFrame,
+                              nprobe: Int = 2): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(e, 200)))
+    val assigned = assignTo(e, cents).select(col("id"), col("cell"))
+    queries.select(col("qid"),
+        explode(slice(array_sort(centroidDists(col("qvec"), cents)),
+          1, nprobe)).as("p"))
+      .select(col("qid"), col("p.cell").as("cell"))
+      .join(assigned, "cell")
+      .select("qid", "id")
+  }
+
   private def nswTraverse(s: SparkSession, dir: String, queries: DataFrame,
                           beam: Int, rounds: Int,
                           graphK: Int): (DataFrame, DataFrame) = {
@@ -706,9 +730,16 @@ object Ann {
     def topBeam(scored: DataFrame, n: Int): DataFrame =
       scored.withColumn("rk", row_number().over(byQ))
         .where(col("rk") <= n).select("qid", "id", "s")
-    val seeds = e.where(col("id") % 200 === 0).select("id")
-    var frontier = topBeam(
-      scoreIds(q.select("qid").crossJoin(seeds)), beam).localCheckpoint(true)
+    // COARSE LAYER: the stride-skeleton crossJoin this replaces
+    // scored Q×(N/200) seeds in round 0 — linear in corpus size. The
+    // descent instead routes each query through the SAME cached
+    // centroids ann_ivf trains (a broadcast codegen projection, the
+    // identical cost the blessed IVF probe pays) and seeds the beam
+    // with the MEMBERS of its 2 nearest cells: per-query entry work
+    // ≈ nprobe·stride rows, independent of corpus size — cell COUNT
+    // grows with the corpus, cell SIZE stays ~stride.
+    val entry = nswEntry(s, dir, q)
+    var frontier = topBeam(scoreIds(entry), beam).localCheckpoint(true)
     var visited = frontier.select("qid", "id")
     for (_ <- 1 to rounds) {
       val expand = frontier.join(edges, col("id") === col("src"))

