@@ -98,6 +98,13 @@ class BpeSpec extends SparkSuite {
       val syms = sel.flatMap { case (_, _, a, b, _) => Seq(a, b) }
       assert(syms.distinct.size == syms.size,
         s"round $r selected symbol-sharing pairs: $sel")
+      // and no pair's symbol equals another pair's CONCATENATION —
+      // (a,b) then (ab,c) share no symbol yet are order-dependent;
+      // the one-pass rewrite would miss the ab symbols the first
+      // merge creates (the dominance filter's concat clause)
+      val made = sel.map { case (_, _, a, b, _) => a + b }.toSet
+      assert(syms.forall(!made.contains(_)),
+        s"round $r selected a pair consuming another's output: $sel")
       // rnk is 1..n within the round
       assert(sel.map(_._2).sorted == (1L to sel.size).toSeq)
     }
@@ -106,6 +113,21 @@ class BpeSpec extends SparkSuite {
     assert(merges.size > 4, s"only ${merges.size} merges in 4 rounds")
     // job-count scaling: vocab additions per driver round trip is
     // merges/rounds > 1 — the O(rounds) vs O(vocab) contract
+  }
+
+  test("exact path refuses production vocab sizes; training is " +
+    "memoized per (dir, rounds)") {
+    // the SURVEY §2 contract made executable: beyond 128 merges the
+    // one-job-per-merge exact loop must hand off to learnBatched
+    val e = intercept[IllegalArgumentException](Bpe.learn(spark, sf, 129))
+    assert(e.getMessage.contains("learnBatched"))
+    // memoization: a second call returns the SAME final symbol frame
+    // (reference equality — no retraining), so bpe_learn,
+    // bpe_tokenize, and the bench share one training run
+    val (m1, w1) = Bpe.learn(spark, sf, 8)
+    val (m2, w2) = Bpe.learn(spark, sf, 8)
+    assert(m1 == m2)
+    assert(w1 eq w2, "second learn() retrained instead of memoizing")
   }
 
   test("tokenize fertility is bounded and merges shorten documents") {
