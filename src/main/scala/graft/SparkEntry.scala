@@ -1016,16 +1016,21 @@ object SparkEntry {
     // by the metadata predicate BEFORE scoring (reference
     // filter_index.cc bitmaps under the approximate path)
     // adaptive filtered search: the PLANNER is mirrored too — the
-    // oracle computes the same match counts and gates the same two
-    // branch CTEs on count·10 < total, so a branch-choice divergence
-    // is a hash mismatch, not a silent plan difference
+    // oracle computes the same STATS-DRIVEN estimate (exact total +
+    // md5-hash-sample match count scaled by 8, floored at 1 — the
+    // planner sidecar's semantics) and gates the same two branch
+    // CTEs on est·10 < total, so a branch-choice divergence is a
+    // hash mismatch, not a silent plan difference
     "ann_adaptive_filter" ->
       s"""WITH $ivfCtes,
          |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings),
-         |nc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings
-         |       WHERE label = 5 AND vec_id % 4 = 0),
-         |bc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings
-         |       WHERE label BETWEEN 2 AND 6),
+         |sm AS (SELECT vec_id, label FROM embeddings
+         |       WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+         |         1, 15) AS BIGINT) % 8 = 0),
+         |nc AS (SELECT greatest(CAST(count(*) * 8 AS BIGINT), 1) AS c
+         |       FROM sm WHERE label = 5 AND vec_id % 4 = 0),
+         |bc AS (SELECT greatest(CAST(count(*) * 8 AS BIGINT), 1) AS c
+         |       FROM sm WHERE label BETWEEN 2 AND 6),
          |nbd AS (SELECT q.qid, e2.vec_id AS nn_id,
          |          list_cosine_similarity(e2.embedding::DOUBLE[], q.qv) AS s
          |        FROM embeddings e2 CROSS JOIN q

@@ -203,8 +203,44 @@ object Ann {
     // writes can never publish an index whose centroids are missing
     cents.toSeq.toDF("cell", "cvec")
       .write.mode("overwrite").parquet(centroidsPath(path))
+    // planner-stats sidecar rides the build (the build is already a
+    // full-corpus job; ANALYZE piggybacks for free)
+    writePlanStats(s, emb, path)
     assignTo(emb, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  // -------------------------------------------- planner statistics
+
+  /** Deterministic 1-in-[[planSampleMod]] hash sample: md5 of the id
+    * keeps the sample uncorrelated with value/modulo predicates (a
+    * stride sample id%S would alias against filters like id%4) and is
+    * bit-identical in DuckDB, so the PLANNER is oracle-mirrorable.
+    */
+  private[operators] val planSampleMod = 8L
+  private def planSampled(idCol: org.apache.spark.sql.Column) =
+    conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast("long") % planSampleMod === 0
+  private[operators] def planStatsPath(indexPath: String): String =
+    indexPath + "_planstats"
+
+  /** Write the planning sidecar beside the index: the hash-sampled
+    * METADATA rows (vectors dropped — the sample is bytes-tiny) plus
+    * the exact build-time total as a constant column. Refreshed at
+    * build/recluster; upserts may leave it stale — a planner runs on
+    * order-of-magnitude stats, the 10× selFactor gate absorbs drift
+    * (re-ANALYZE = rebuild the sidecar).
+    */
+  private def writePlanStats(s: SparkSession, emb: DataFrame,
+                             path: String): Unit = {
+    import s.implicits._
+    val total = emb.count()
+    val sample = emb.drop("vec").where(planSampled(col("id")))
+    // meta row separate from the sample rows: a zero-match sample
+    // must still carry the total
+    Seq((total, planSampleMod)).toDF("total", "sample_mod")
+      .write.mode("overwrite").parquet(path + "_planstats_meta")
+    sample.coalesce(1).write.mode("overwrite").parquet(planStatsPath(path))
   }
 
   /** Search a persisted index: probe cells come from the stored
@@ -1426,25 +1462,47 @@ object Ann {
     *    probe scan — brute force over a near-full corpus is exactly
     *    what the index exists to avoid.
     *
-    * The decision input is the predicate's match count against the
-    * index (a column-pruned pushed-filter count — at 100 TB this
-    * comes from table statistics / the filter index's cardinalities,
-    * i.e. [[graft.operators.ScalarOps.filterIndexBuild]]'s output;
-    * counting here keeps the demo self-contained at the cost of one
-    * metadata-weight scan). Threshold: selective iff
-    * `count · selFactor < total`. Both branches and the decision are
-    * deterministic, so the WHOLE PLANNER is DuckDB-mirrorable — the
-    * oracle computes the same counts and gates the same two branch
-    * CTEs.
+    * The decision inputs come from STATISTICS, never a corpus scan:
+    * the exact total is read from the build-time planner sidecar
+    * ([[writePlanStats]] — 1 meta row), and the predicate's match
+    * count is estimated by evaluating it over the sidecar's
+    * deterministic md5-hash sample (≈ corpus/[[planSampleMod]]
+    * metadata-only rows) and scaling up, floored at 1 (no predicate
+    * estimates to exactly zero — the standard planner convention,
+    * and what keeps a forced-selFactor flip well-defined). At 100 TB
+    * the planning step reads kilobytes; the previous form paid two
+    * full-corpus jobs, which costs more than either branch. The
+    * sample is md5-keyed so it cannot alias against value or modulo
+    * predicates, and it is bit-identical in DuckDB — the WHOLE
+    * PLANNER stays oracle-mirrorable: the oracle computes the same
+    * estimate and gates the same two branch CTEs. Threshold:
+    * selective iff `est · selFactor < total`. A pre-sidecar index
+    * gets ANALYZE-on-demand: one metadata-weight scan builds the
+    * sidecar, then planning is sidecar-only forever.
+    *
+    * `pred` may reference only metadata columns (id, label, …) —
+    * the sample drops vectors.
     */
   def adaptiveFilteredSearch(s: SparkSession, path: String,
                              queries: DataFrame, k: Int,
                              pred: org.apache.spark.sql.Column,
                              nprobe: Int = 2,
                              selFactor: Long = 10): (String, DataFrame) = {
-    val cnt = s.read.parquet(path).where(pred).count()
-    val total = s.read.parquet(path).count()
-    if (cnt * selFactor < total) {
+    val metaPath = path + "_planstats_meta"
+    val fs = new org.apache.hadoop.fs.Path(metaPath)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(metaPath, "_SUCCESS"))) {
+      // ANALYZE on demand for indexes built before the sidecar
+      // existed: one metadata-weight scan of the index, persisted so
+      // every later plan is stats-only
+      writePlanStats(s, s.read.parquet(path), path)
+    }
+    val meta = s.read.parquet(metaPath).collect()(0)
+    val total = meta.getAs[Long]("total")
+    val mod = meta.getAs[Long]("sample_mod")
+    val est = math.max(
+      s.read.parquet(planStatsPath(path)).where(pred).count() * mod, 1L)
+    if (est * selFactor < total) {
       val data = s.read.parquet(path).where(pred).select("id", "vec")
       ("prefilter_exact", Knn.topK(data, queries, k, Knn.Metric.Cosine))
     } else

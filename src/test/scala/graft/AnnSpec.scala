@@ -403,6 +403,36 @@ class AnnSpec extends SparkSuite {
     assert(st == "ivf_filtered" && res.count() >= 0)
   }
 
+  test("adaptive planner reads the stats sidecar, not the corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val path = java.nio.file.Paths.get("target", "tmp",
+      s"ivfidx-${java.lang.Integer.toHexString(sf.hashCode)}")
+      .toAbsolutePath.toString
+    Ann.adaptiveFilterQuery(spark, sf)  // ensure index + sidecar exist
+    val metaPath = path + "_planstats_meta"
+    val saved = spark.read.parquet(metaPath).collect()(0)
+    try {
+      // doctor ONLY the sidecar: with a fabricated huge total, the
+      // broad predicate (which the real corpus routes to the IVF
+      // branch) must flip to prefilter_exact — proving the branch
+      // decision consumes the sidecar and never re-counts the corpus
+      Seq((1000000000L, saved.getAs[Long]("sample_mod")))
+        .toDF("total", "sample_mod")
+        .write.mode("overwrite").parquet(metaPath)
+      val (st, _) = Ann.adaptiveFilteredSearch(spark, path, q, 10,
+        col("label").between(2, 6))
+      assert(st == "prefilter_exact",
+        s"planner ignored the doctored sidecar (chose $st)")
+    } finally {
+      Seq((saved.getAs[Long]("total"), saved.getAs[Long]("sample_mod")))
+        .toDF("total", "sample_mod")
+        .write.mode("overwrite").parquet(metaPath)
+    }
+  }
+
   test("nsw beam search: valid ids, k per query, useful recall vs brute") {
     val nsw = Ann.nswSearch(spark, sf,
       Tables.embeddings(spark, sf).where(col("vec_id") < 5)
