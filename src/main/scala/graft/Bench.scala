@@ -30,6 +30,11 @@ object Bench {
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(cand))) cand
       else sfDir
     }
+    // the warm dataset can drift independently of the timed one —
+    // surface that too, or a warm-only failure reads as a code bug
+    if (warmDir != sfDir) SchemaCanary.drift(spark, warmDir).foreach { d =>
+      System.err.println(s"[bench] SCHEMA DRIFT (warm dir): $d")
+    }
     // Soft wall-clock budget: if the host hands us a pathological
     // stretch, degrade gracefully (shorter warmup, partial second
     // pass) instead of risking the caller's timeout. The clock starts
@@ -52,25 +57,32 @@ object Bench {
     // pass (r4 spent 95s here at 8-wide and pass 2 only covered
     // 28/64 queries; 16-wide buys that time back).
     // Fail-fast guard: a query whose run dies with an ANALYSIS error
-    // is deterministically broken for the whole process (same plan,
-    // same schemas every phase), so it is recorded once and skipped in
-    // every later phase — it still reports the -1.0 sentinel. Without
-    // this, r7's 26 loader-broken queries re-paid full analysis cost
-    // in warmup AND both timed passes, burning 191.7s of the 420s
-    // budget and invalidating the entire round's measurement.
-    val broken = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    def runGuarded(name: String, df: => DataFrame): Boolean =
-      if (broken.contains(name)) false
+    // is deterministically broken FOR THAT DATASET (same plan, same
+    // schemas every phase against one dir), so it is recorded once
+    // and skipped in every later phase against that dir — still
+    // reporting the -1.0 sentinel. Without this, r7's 26
+    // loader-broken queries re-paid full analysis cost in warmup AND
+    // both timed passes, burning 191.7s of the 420s budget and
+    // invalidating the entire round's measurement. Keyed by
+    // (dir, name), NOT name alone: warmup runs against the sibling
+    // warm dataset, and schema drift specific to it (the exact
+    // vintage SchemaCanary exists for) must not falsely blacklist a
+    // query that runs fine at the timed SF (r8 advice).
+    val broken = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, String)]()
+    def runGuardedAt(dir: String, name: String,
+                     df: => DataFrame): Boolean =
+      if (broken.contains((dir, name))) false
       else try { materialize(df); true } catch {
         case _: org.apache.spark.sql.AnalysisException =>
-          broken.add(name); false
+          broken.add((dir, name)); false
         case _: Throwable => false
       }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     val warmupDone = SparkEntry.queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
-          if (elapsed < budgetNs / 3) runGuarded(name, fn(spark, warmDir))
+          if (elapsed < budgetNs / 3) runGuardedAt(warmDir, name, fn(spark, warmDir))
       })
     }
     warmupDone.foreach(f => try f.get() catch { case _: Throwable => })
@@ -99,7 +111,7 @@ object Bench {
         "knn_graph", "ann_nsw", "embed_knn_clusters")
       .foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
-        if (elapsed < budgetNs / 2) runGuarded(n, fn(spark, sfDir))
+        if (elapsed < budgetNs / 2) runGuardedAt(sfDir, n, fn(spark, sfDir))
       }
     }
     val tPrebuild = elapsed - tWarm
@@ -114,7 +126,7 @@ object Bench {
     // success in the emitted JSON.
     def timeOne(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      if (runGuarded(name, fn(spark, sfDir))) (System.nanoTime() - t0) / 1e9
+      if (runGuardedAt(sfDir, name, fn(spark, sfDir))) (System.nanoTime() - t0) / 1e9
       else -1.0
     }
     val p1 = SparkEntry.queries.map { case (name, fn) => name -> timeOne(name, fn) }

@@ -2841,18 +2841,19 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE o_custkey IN (SELECT c_custkey FROM mkt)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // gap fill: dense type×calendar grid (fixed generate_series range
-    // clamped to the data bounds — DuckDB table functions reject
-    // lateral column args), zero-filled counts, 7-day trailing mean
+    // gap fill: dense type×calendar grid built FROM the data bounds
+    // (unnest(range(lo, hi+1)) — an expression, so column args are
+    // fine where generate_series's table function rejects laterals;
+    // a fixed literal window would silently truncate if the driver
+    // regenerated events outside it), zero-filled counts, 7-day
+    // trailing mean
     // over the FILLED series (≤7-int sum/count — exact both engines)
     "events_gap_fill" ->
       """WITH ev AS (SELECT event_type,
         |              CAST(ts AS DATE) - DATE '1970-01-01' AS d, value
         |            FROM events),
         |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
-        |cal AS (SELECT g AS d
-        |        FROM generate_series(15000, 25000) AS t(g), b
-        |        WHERE g BETWEEN lo AND hi),
+        |cal AS (SELECT unnest(range(lo, hi + 1)) AS d FROM b),
         |ty AS (SELECT DISTINCT event_type FROM ev),
         |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
         |          FROM ev WHERE value > 300 GROUP BY 1, 2),
@@ -2885,9 +2886,7 @@ object SparkEntry {
         |              CAST(ts AS DATE) - DATE '1970-01-01' AS d
         |            FROM events),
         |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
-        |cal AS (SELECT g AS d
-        |        FROM generate_series(15000, 25000) AS t(g), b
-        |        WHERE g BETWEEN lo AND hi),
+        |cal AS (SELECT unnest(range(lo, hi + 1)) AS d FROM b),
         |ty AS (SELECT DISTINCT event_type FROM ev),
         |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
         |          FROM ev GROUP BY 1, 2),

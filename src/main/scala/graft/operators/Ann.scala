@@ -627,23 +627,44 @@ object Ann {
     * discipline). Work scales with churn locality (touched cells ×
     * their probers), never with graph size.
     *
-    * CRASH WINDOW (documented contract, the ivfIndexUpsert
-    * discipline): the index upsert and the graph publish are
-    * separate steps. A crash between them leaves the graph stale
-    * against the updated index — and RE-RUNNING the same batch is
-    * NOT a complete repair (the moved ids' old cells are no longer
-    * observable from the index, so their probers would be missed).
-    * Recovery after an interrupted graph upsert is
-    * [[knnGraphBuild]] — a full rebuild, which maintenance-equality
-    * (GraphMaintenanceSpec) guarantees converges to the same state.
+    * CRASH WINDOW, CLOSED BY AN INTENT MARKER: the index upsert and
+    * the graph publish are separate steps, and a crash between them
+    * leaves the graph stale against the updated index — re-running
+    * the same batch would NOT repair it by itself, because the moved
+    * ids' old cells are no longer observable from the index, so
+    * their probers would be missed. The pre-upsert `oldCells` are
+    * therefore recorded DURABLY (graphPath + "_intent") before the
+    * index is touched and deleted only after the graph publish
+    * completes. A surviving marker means a prior attempt died inside
+    * the window: its recorded cells are merged into this run's
+    * touched set, restoring exactly the probe-cell visibility the
+    * index lost — replay becomes a complete repair, and a marker
+    * surviving a COMPLETED publish only adds already-clean cells to
+    * the affected set (idempotent extra work). [[knnGraphBuild]]
+    * remains a valid (if maximal) recovery, no longer the only one.
     */
   def knnGraphUpsert(s: SparkSession, indexPath: String, graphPath: String,
                      updates: DataFrame, k: Int = 5,
                      nprobe: Int = 2): Unit = {
+    import s.implicits._
     val ids = broadcast(updates.select("id").distinct())
-    val oldCells = s.read.parquet(indexPath).join(ids, "id")
+    val intentPath = new org.apache.hadoop.fs.Path(graphPath + "_intent")
+    val fs = intentPath.getFileSystem(s.sessionState.newHadoopConf())
+    // a surviving marker = a prior run crashed after its index upsert
+    // but before its graph publish; its old cells are invisible in
+    // the index now, so carry them into this run's touched set
+    val pendingOld: Array[Long] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(intentPath, "_SUCCESS")))
+        s.read.parquet(intentPath.toString).collect().map(_.getLong(0))
+      else Array.empty
+    val oldCells = (s.read.parquet(indexPath).join(ids, "id")
       .select(col("cell").cast("long").as("cell")).distinct()
-      .collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)) ++ pendingOld).distinct
+    // record intent BEFORE the index changes (torn marker without
+    // _SUCCESS reads as absent — and then the index is still
+    // untouched, so a plain re-run recomputes everything correctly)
+    oldCells.toSeq.toDF("cell")
+      .coalesce(1).write.mode("overwrite").parquet(intentPath.toString)
     ivfIndexUpsert(s, indexPath, updates)
     val newCells = s.read.parquet(indexPath).join(ids, "id")
       .select(col("cell").cast("long").as("cell")).distinct()
@@ -694,9 +715,11 @@ object Ann {
       .map(_.getLong(0)).toSet
     affCells.filterNot(written).foreach { c =>
       val dir = new org.apache.hadoop.fs.Path(graphPath, s"cell=$c")
-      val fs = dir.getFileSystem(s.sessionState.newHadoopConf())
       fs.delete(dir, true)
     }
+    // publish complete — retire the marker (crash before this line
+    // re-runs the repair with the recorded cells, idempotently)
+    fs.delete(intentPath, true)
   }
 
   /** GRAPH-BASED ANN (NSW beam search) — the closest relational

@@ -10,11 +10,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * WAL's upsert stream keeps both the persisted IVF index AND its
   * kNN graph current via [[Ann.knnGraphUpsert]], whose affected-set
   * recomputation is provably equal to a rebuild (see its doc).
-  * Exactly-once from the same two facts as the siblings: batches
-  * arrive in log order, and the bucket-wise dynamic partition
-  * overwrite is idempotent per batch — a replayed batch recomputes
-  * the same affected set against the same index state and rewrites
-  * identical buckets.
+  * Exactly-once needs THREE facts here, not the siblings' two:
+  * batches arrive in log order; the cell-wise dynamic partition
+  * overwrite is idempotent per batch; and — because the index upsert
+  * and the graph publish are separate steps inside one batch —
+  * knnGraphUpsert's durable INTENT MARKER records the pre-upsert
+  * cells before the index changes. Without the marker a foreachBatch
+  * replay that lands after the index upsert but before the graph
+  * publish would recompute oldCells from the already-updated index,
+  * miss the moved ids' former cells, and permanently strand stale
+  * prober edges; with it, the replay merges the recorded cells and
+  * is a complete repair (GraphMaintenanceSpec pins this).
   */
 object GraphMaintenance {
 

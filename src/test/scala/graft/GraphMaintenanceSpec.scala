@@ -66,6 +66,46 @@ class GraphMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("replay after a crash between index upsert and graph publish " +
+    "repairs via the intent marker ≡ rebuild") {
+    import spark.implicits._
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "gcrash")
+    val idx = root.resolve("idx").toString
+    val gp = root.resolve("graph").toString
+    try {
+      Ann.ivfBuildIndex(spark, emb, idx, stride = 10)
+      Ann.knnGraphBuild(spark, idx, gp)
+      val donors = emb.where(col("id") >= 200 && col("id") < 204)
+        .orderBy("id").collect().map(_.getSeq[Float](1).toArray)
+      val updates = Seq((0L, donors(0)), (7L, donors(1)),
+        (90001L, donors(2)), (90002L, donors(3))).toDF("id", "vec")
+      // SIMULATED CRASH inside knnGraphUpsert's window: the intent
+      // marker is written and the index upsert lands, but the graph
+      // publish never runs — exactly the state a died batch leaves
+      val oldCells = spark.read.parquet(idx)
+        .join(updates.select("id"), "id")
+        .select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      oldCells.toSeq.toDF("cell")
+        .coalesce(1).write.mode("overwrite").parquet(gp + "_intent")
+      Ann.ivfIndexUpsert(spark, idx, updates)
+      // the foreachBatch REPLAY: same batch, index already updated —
+      // without the marker, oldCells would now read as the NEW cells
+      // and the moved ids' former partitions would keep stale rows
+      Ann.knnGraphUpsert(spark, idx, gp, updates)
+      val rebuilt = root.resolve("rebuilt").toString
+      Ann.knnGraphBuild(spark, idx, rebuilt)
+      assert(graphSet(gp) == graphSet(rebuilt),
+        "crash-window replay did not converge to the rebuild")
+      // marker retired after the successful publish
+      assert(!new java.io.File(gp + "_intent").exists())
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("streamed WAL tail maintains index AND graph ≡ rebuild of final corpus") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "gstream")
