@@ -1543,13 +1543,25 @@ object SparkEntry {
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // the decode is a REAL ImageIO PNG round-trip; the oracle
+    // rebuilds the expected raster (flat fill, dims and color
+    // derived from doc_id + byte length — Multimodal.fixtureDims)
+    // and predicts its md5, so a checksum match proves the pixels
+    // actually went through the codec and came back exact
     "mm_decode" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
-        |  CAST(64 + ascii(substr(text, 1, 1)) % 97 AS BIGINT) AS height,
+        |  CAST((8 + octet_length(encode(text)) % 13)
+        |     * (8 + octet_length(encode(text)) % 7) * 3 AS BIGINT)
+        |    AS n_bytes,
+        |  CAST(8 + octet_length(encode(text)) % 13 AS BIGINT) AS width,
+        |  CAST(8 + octet_length(encode(text)) % 7 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels,
-        |  md5(text) AS checksum
+        |  md5(repeat(chr(CAST(32 + doc_id % 64 AS INTEGER))
+        |             || chr(CAST(32 + octet_length(encode(text)) % 64
+        |                    AS INTEGER))
+        |             || chr(65),
+        |             (8 + octet_length(encode(text)) % 13)
+        |           * (8 + octet_length(encode(text)) % 7))) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
     // mm_features / mm_frame_sample oracles are CHAR-based mirrors of
     // the byte kernels — equivalent on the driver's ASCII fixture

@@ -15,39 +15,104 @@ case class DecodedMedia(doc_id: Long, n_bytes: Long, width: Long,
   * iterator per partition, so a decoder can amortize native-library
   * init across the batch).
   *
-  * The decode itself is STUBBED with a deterministic fake (no media
-  * libraries in this container): dimensions derive from byte length
-  * and the first payload byte. Everything AROUND the stub — the
-  * binary column, schema, partitioning, batch iteration, typed
-  * output Encoder — is the real production plumbing and is what the
-  * oracle verifies.
+  * The decode is REAL: payloads are genuine PNG files (encoded
+  * per-row by the JDK's `javax.imageio`, no external media libs) and
+  * [[decodePartition]] decodes them back with `ImageIO.read`,
+  * reporting raster dimensions, band count, and an md5 over the
+  * decoded pixel bytes. Because the fixture images are generated
+  * deterministically from each document (dims from byte length,
+  * fill color from doc_id + length), the DuckDB oracle can predict
+  * every decoded field — including the raster checksum — so a
+  * pixel-exact encode→decode round-trip is what the oracle verifies.
   */
 object Multimodal {
 
   /** Binary payload column: utf-8 bytes of the text stand in for an
-    * encoded image (same plumbing, checkable against the oracle).
+    * opaque media blob (byte-level feature/sample plumbing,
+    * checkable against the oracle).
     */
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
 
-  /** The stub decoder: REPLACE the body marked below with a real
-    * codec call (e.g. javax.imageio / ffmpeg binding) — signature,
-    * batching, and schema stay identical.
+  /** Deterministic fixture dims/fill, shared by encoder and oracle:
+    * width 8..20 and height 8..14 from the text's byte length, one
+    * flat RGB fill from (doc_id, byte length) — bytes kept in the
+    * printable range so the oracle can rebuild the raster with
+    * repeat(chr(...)). Small images on purpose: the plumbing under
+    * test is schema/partitioning/batch shape, not codec throughput.
+    */
+  private def fixtureDims(id: Long, nBytes: Int): (Int, Int, Int, Int, Int) =
+    (8 + nBytes % 13, 8 + nBytes % 7,
+      32 + (id % 64).toInt, 32 + nBytes % 64, 65)
+
+  /** Encode a REAL PNG per document (per-partition batch — encoder
+    * state amortizes exactly like a decoder's).
+    */
+  def withImagePayload(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val baos = new java.io.ByteArrayOutputStream()
+        rows.map { case (id, text) =>
+          val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val (w, h, r, g, b) = fixtureDims(id, n)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (r << 16) | (g << 8) | b
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          baos.reset()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** The real decoder: `ImageIO.read` per payload, raster metadata +
+    * md5 over the decoded (r,g,b) pixel bytes in row-major order.
+    * A payload ImageIO cannot parse yields the documented sentinel
+    * (-1 dims, md5 of the raw bytes) instead of poisoning the batch
+    * — per-row codec failure is data, not an operator crash.
     */
   private def decodePartition(rows: Iterator[(Long, Array[Byte])]): Iterator[DecodedMedia] = {
-    // real decoder init would happen ONCE here, before the batch loop
+    // decoder-side state inits ONCE per partition, before the batch loop
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.map { case (id, bytes) =>
-      // --- stub: deterministic fake decode ---------------------------
-      val n = bytes.length.toLong
-      val first = if (bytes.isEmpty) 0L else (bytes(0) & 0xff).toLong
-      val checksum = md.digest(bytes).map("%02x".format(_)).mkString
-      DecodedMedia(id, n,
-        width = 64L + n % 577L,
-        height = 64L + first % 97L,
-        channels = 3L,
-        checksum = checksum)
-      // ---------------------------------------------------------------
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)) catch {
+        case _: java.io.IOException => null
+      }
+      if (img == null) {
+        DecodedMedia(id, bytes.length.toLong, -1L, -1L, -1L,
+          md.digest(bytes).map("%02x".format(_)).mkString)
+      } else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val bands = img.getRaster.getNumBands
+        val raster = new Array[Byte](w * h * 3)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            raster(i) = ((p >> 16) & 0xff).toByte
+            raster(i + 1) = ((p >> 8) & 0xff).toByte
+            raster(i + 2) = (p & 0xff).toByte
+            i += 3
+            x += 1
+          }
+          y += 1
+        }
+        DecodedMedia(id, raster.length.toLong, w.toLong, h.toLong,
+          bands.toLong,
+          md.digest(raster).map("%02x".format(_)).mkString)
+      }
     }
   }
 
@@ -62,7 +127,7 @@ object Multimodal {
   }
 
   def decodeQuery(s: SparkSession, dir: String): DataFrame =
-    decode(s, withPayload(Tables.documents(s, dir)))
+    decode(s, withImagePayload(s, Tables.documents(s, dir)))
       .toDF()
       .orderBy("doc_id")
 
