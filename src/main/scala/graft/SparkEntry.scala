@@ -70,6 +70,9 @@ object SparkEntry {
         .orderBy("id")
     }),
     "scd2_intervals" -> (Upsert.scd2Query _),
+    "vdb_delete" -> (Upsert.deleteQuery _),
+    "scd2_tombstones" -> (Upsert.scd2TombstoneQuery _),
+    "wal_delete_replay" -> (graft.sources.WalSource.deleteReplayQuery _),
     "vdb_remove" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val removed = e.where(col("vec_id") % 10 === 0).select("vec_id")
@@ -410,6 +413,56 @@ object SparkEntry {
         |SELECT id, int_field, version, CAST(n_log_entries AS BIGINT)
         |  AS n_log_entries
         |FROM r WHERE rk = 1 ORDER BY id""".stripMargin
+
+  /** [[walReplayOracle]]'s tombstone twin: the same line-format
+    * round-trip with a v3 delete wave (%5) and a v4 resurrection
+    * wave (%15); ONE LWW pass over both optypes, tombstone winners
+    * erased, n_log_entries counting every record that mentioned the
+    * id (deletes included).
+    */
+  private val walDeleteReplayOracle =
+    """WITH logs AS (
+        |  SELECT vec_id AS log_id, 1 AS version, 'upsert' AS op,
+        |         to_json(struct_pack(id := vec_id, vectors := embedding,
+        |           int_field := CAST(label AS BIGINT),
+        |           indexType := 'FLAT')) AS j
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, 2, 'upsert',
+        |         to_json(struct_pack(id := vec_id, vectors := embedding,
+        |           int_field := CAST(label + 100 AS BIGINT),
+        |           indexType := 'FLAT'))
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000, 3, 'delete',
+        |         to_json(struct_pack(id := vec_id))
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 300000, 4, 'upsert',
+        |         to_json(struct_pack(id := vec_id, vectors := embedding,
+        |           int_field := CAST(label + 500 AS BIGINT),
+        |           indexType := 'FLAT'))
+        |  FROM embeddings WHERE vec_id % 15 = 0),
+        |lines AS (SELECT CAST(log_id AS VARCHAR) || '|' ||
+        |                 CAST(version AS VARCHAR) || '|' || op || '|' || j
+        |                   AS line FROM logs),
+        |parsed AS (SELECT
+        |  CAST(string_split(line, '|')[1] AS BIGINT) AS log_id,
+        |  CAST(string_split(line, '|')[2] AS BIGINT) AS version,
+        |  string_split(line, '|')[3] AS op,
+        |  CAST(json_extract(string_split(line, '|')[4], '$.id') AS BIGINT)
+        |    AS id,
+        |  CAST(json_extract(string_split(line, '|')[4], '$.int_field')
+        |    AS BIGINT) AS int_field
+        |  FROM lines),
+        |r AS (SELECT id, int_field, version, log_id, op,
+        |        row_number() OVER (PARTITION BY id
+        |                           ORDER BY version DESC, log_id DESC) AS rk,
+        |        count(*) OVER (PARTITION BY id) AS n_log_entries
+        |      FROM parsed WHERE op IN ('upsert', 'delete'))
+        |SELECT id, int_field, version, CAST(n_log_entries AS BIGINT)
+        |  AS n_log_entries
+        |FROM r WHERE rk = 1 AND op <> 'delete' ORDER BY id""".stripMargin
 
   /** Shared BM25 CTE chain (through ranked results `r`) mirroring
     * Search.bm25TopK exactly: same whitespace tokenization, same
@@ -1452,6 +1505,7 @@ object SparkEntry {
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "wal_json_replay" -> walReplayOracle,
+    "wal_delete_replay" -> walDeleteReplayOracle,
     "wal_binary_replay" -> walReplayOracle,
     "wal_dsv2_replay" -> walReplayOracle,
     "wal_file_replay" -> walReplayOracle,
@@ -2689,6 +2743,73 @@ object SparkEntry {
         |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
         |         AS is_current
         |FROM scd ORDER BY id, valid_from""".stripMargin,
+    // tombstone LWW: the 6-epoch log (4 upsert epochs + v5 delete
+    // wave %5 + v6 resurrection wave %15); a key whose winner is a
+    // tombstone is absent, a resurrected key carries its v6 value
+    "vdb_delete" ->
+      """WITH log AS (
+        |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+        |         CAST(1 AS BIGINT) AS version, 'upsert' AS op
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 100 AS BIGINT), 2, 'upsert'
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 100 AS BIGINT), 3, 'upsert'
+        |  FROM embeddings WHERE vec_id % 14 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 300 AS BIGINT), 4, 'upsert'
+        |  FROM embeddings WHERE vec_id % 21 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(NULL AS BIGINT), 5, 'delete'
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 500 AS BIGINT), 6, 'upsert'
+        |  FROM embeddings WHERE vec_id % 15 = 0),
+        |r AS (SELECT id, label, version, op,
+        |             row_number() OVER (PARTITION BY id
+        |               ORDER BY version DESC) AS rk
+        |      FROM log)
+        |SELECT id, label, version FROM r
+        |WHERE rk = 1 AND op <> 'delete' ORDER BY id""".stripMargin,
+    // SCD2 with tombstones: deletes seal valid_to without opening a
+    // live interval; the change-collapse compares (label, op) so a
+    // resurrection always opens a fresh interval
+    "scd2_tombstones" ->
+      """WITH log AS (
+        |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+        |         CAST(1 AS BIGINT) AS version, 'upsert' AS op
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 100 AS BIGINT), 2, 'upsert'
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 100 AS BIGINT), 3, 'upsert'
+        |  FROM embeddings WHERE vec_id % 14 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 300 AS BIGINT), 4, 'upsert'
+        |  FROM embeddings WHERE vec_id % 21 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(NULL AS BIGINT), 5, 'delete'
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 500 AS BIGINT), 6, 'upsert'
+        |  FROM embeddings WHERE vec_id % 15 = 0),
+        |chg AS (SELECT id, label, version, op,
+        |          lag(label) OVER w AS pl, lag(op) OVER w AS po
+        |        FROM log
+        |        WINDOW w AS (PARTITION BY id ORDER BY version)),
+        |keep AS (SELECT id, label, version, op FROM chg
+        |         WHERE NOT (label IS NOT DISTINCT FROM pl
+        |                AND op IS NOT DISTINCT FROM po)),
+        |scd AS (SELECT id, label, op, version AS valid_from,
+        |          lead(version) OVER (PARTITION BY id ORDER BY version)
+        |            AS valid_to
+        |        FROM keep)
+        |SELECT id, label, valid_from, valid_to,
+        |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_current
+        |FROM scd WHERE op <> 'delete' ORDER BY id, valid_from""".stripMargin,
     "vdb_remove" ->
       """SELECT CAST(label AS BIGINT) AS label,
         |       CAST(count(*) AS BIGINT) AS n,

@@ -722,6 +722,77 @@ object Ann {
     fs.delete(intentPath, true)
   }
 
+  /** DELETE ids from index AND graph — [[knnGraphUpsert]]'s twin for
+    * tombstones, with the same intent-marker crash protocol: the
+    * deleted ids' cells are recorded durably before
+    * [[ivfIndexDelete]] runs (afterwards they are unobservable from
+    * the index), the cells' remaining probers get their edges
+    * recomputed (a lost neighbor must be replaced from the cell's
+    * survivors), and the deleted nodes' own rows drop. Work scales
+    * with touched cells × their probers — churn locality, never
+    * graph size.
+    */
+  def knnGraphDelete(s: SparkSession, indexPath: String, graphPath: String,
+                     ids: DataFrame, k: Int = 5,
+                     nprobe: Int = 2): Unit = {
+    import s.implicits._
+    val delIds = broadcast(ids.select("id").distinct())
+    val intentPath = new org.apache.hadoop.fs.Path(graphPath + "_intent")
+    val fs = intentPath.getFileSystem(s.sessionState.newHadoopConf())
+    val pendingOld: Array[Long] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(intentPath, "_SUCCESS")))
+        s.read.parquet(intentPath.toString).collect().map(_.getLong(0))
+      else Array.empty
+    val oldCells = (s.read.parquet(indexPath).join(delIds, "id")
+      .select(col("cell").cast("long").as("cell")).distinct()
+      .collect().map(_.getLong(0)) ++ pendingOld).distinct
+    if (oldCells.isEmpty) return
+    oldCells.toSeq.toDF("cell")
+      .coalesce(1).write.mode("overwrite").parquet(intentPath.toString)
+    ivfIndexDelete(s, indexPath, delIds)
+    val cents = collectCentroids(
+      s.read.parquet(centroidsPath(indexPath)).select(col("cell"), col("cvec")))
+    val nodes = graphNodes(s, indexPath)
+    val probers = nodes.select(col("id"),
+        explode(slice(array_sort(centroidDists(col("vec"), cents)),
+          1, nprobe)).as("p"))
+      .where(col("p.cell").isin(oldCells.toIndexedSeq: _*))
+      .select("id").distinct().localCheckpoint(true)
+    val affected = nodes.join(broadcast(probers), Seq("id"), "left_semi")
+    val recomputed = graphEdgesFor(s, indexPath, affected, k, nprobe)
+      .join(nodes.select(col("id").as("qid"), col("cell")), "qid")
+      .select(col("qid"), col("rk"), col("nn_id"), col("score"),
+        col("cell").cast("long").as("cell"))
+    val affCells = (affected.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)) ++ oldCells).distinct
+    // drop BOTH the recomputed probers' stale rows and the deleted
+    // nodes' own rows from the kept remainder
+    val gone = probers.unionByName(delIds.select("id"))
+      .distinct().localCheckpoint(true)
+    val keep = s.read.parquet(graphPath)
+      .where(col("cell").isin(affCells.toIndexedSeq: _*))
+      .join(broadcast(gone.select(col("id").as("qid"))),
+        Seq("qid"), "left_anti")
+      .select(col("qid"), col("rk"), col("nn_id"), col("score"),
+        col("cell").cast("long").as("cell"))
+    val replacement = keep.unionByName(recomputed).localCheckpoint(true)
+    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try replacement.write.mode("overwrite")
+      .partitionBy("cell").parquet(graphPath)
+    finally prevMode match {
+      case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val written = replacement.select("cell").distinct().collect()
+      .map(_.getLong(0)).toSet
+    affCells.filterNot(written).foreach { c =>
+      val dir = new org.apache.hadoop.fs.Path(graphPath, s"cell=$c")
+      fs.delete(dir, true)
+    }
+    fs.delete(intentPath, true)
+  }
+
   /** GRAPH-BASED ANN (NSW beam search) — the closest relational
     * analog of the reference's hnswlib search loop
     * (hnswlib_index.cc:46 searchKnn): greedy best-first expansion
@@ -1165,6 +1236,32 @@ object Ann {
       .select(col("id"), col("vec"), col("cell").cast("long").as("cell"))
     val replacement = survivors.unionByName(assigned)
     publishTouchedCells(s, path, touched, replacement)
+  }
+
+  /** DELETE ids from a persisted IVF index without a rebuild — the
+    * tombstone surface the reference never grew (no delete endpoint
+    * in http_server.cc; FaissIndex::remove_vectors exists only as
+    * upsert's remove-old step). Only the cells that HOLD a deleted id
+    * are rewritten (dynamic partition overwrite); cells the deletion
+    * empties are removed entirely. The touched set comes from a
+    * column-pruned (id, cell) scan — no vectors read — and the
+    * rewrite is bounded by churn locality, never index size.
+    * Centroids are untouched (deletion must not silently re-train
+    * the quantizer any more than upsert may).
+    */
+  def ivfIndexDelete(s: SparkSession, path: String,
+                     ids: DataFrame): Unit = {
+    val delIds = broadcast(ids.select("id").distinct())
+    val idx = s.read.parquet(path)
+    val touched = idx.join(delIds, "id")
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return  // nothing referenced the index
+    val survivors = idx
+      .where(col("cell").isin(touched.toIndexedSeq: _*))
+      .join(delIds, Seq("id"), "left_anti")
+      .select(col("id"), col("vec"), col("cell").cast("long").as("cell"))
+    publishTouchedCells(s, path, touched, survivors)
   }
 
   /** Publish tail shared by [[ivfIndexUpsert]] and [[ivfIndexRepair]]:

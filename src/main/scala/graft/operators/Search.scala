@@ -295,6 +295,58 @@ object Search {
       .write.mode("overwrite").parquet(statsPath(path))
   }
 
+  /** DELETE documents from the persisted inverted index — the
+    * tombstone maintenance op completing insert/compact/repair. The
+    * touched-bucket set comes from a column-pruned (doc_id, bucket)
+    * scan with the delete set as the join key (at petabyte postings a
+    * doc→bucket bloom sidecar would prune the listing further; the
+    * scan reads two metadata-weight columns, never tf payloads).
+    * Only touched buckets rewrite; a term whose last posting dies
+    * drops out of the dictionary recount automatically (its bucket
+    * partition is replaced wholesale); buckets emptied entirely are
+    * removed — the one way a delete differs from an insert's publish.
+    * Stats shrink by the dropped docs' exact contribution, measured
+    * before the overwrite deletes their files.
+    */
+  def bm25IndexDelete(s: SparkSession, path: String,
+                      docIds: DataFrame): Unit = {
+    import s.implicits._
+    val ids = broadcast(docIds.select("doc_id").distinct())
+    val buckets = s.read.parquet(path).join(ids, "doc_id")
+      .select("bucket").distinct().collect().map(_.getInt(0))
+    if (buckets.isEmpty) return  // no posting mentions these docs
+    val bs = buckets.toIndexedSeq
+    val old = s.read.parquet(path).where(col("bucket").isin(bs: _*))
+    val droppedRow = old.join(ids, Seq("doc_id"), "left_semi")
+      .select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).cast("double"), coalesce(sum("dl"), lit(0.0)))
+      .collect().head
+    val cols = Seq("term", "doc_id", "dl", "tf", "bucket").map(col)
+    val merged = publishTouchedBuckets(s, path,
+      old.join(ids, Seq("doc_id"), "left_anti").select(cols: _*))
+    publishTouchedBuckets(s, termsPath(path),
+      merged.groupBy("term", "bucket")
+        .agg(count(lit(1)).cast("double").as("dfreq")))
+    // buckets the deletion emptied: dynamic overwrite wrote nothing
+    // there, so their stale files (postings AND dictionary) must go
+    val written = merged.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val hconf = s.sessionState.newHadoopConf()
+    bs.filterNot(written).foreach { b =>
+      Seq(path, termsPath(path)).foreach { p =>
+        val dir = new org.apache.hadoop.fs.Path(p, s"bucket=$b")
+        dir.getFileSystem(hconf).delete(dir, true)
+      }
+    }
+    val oldStats = s.read.parquet(statsPath(path))
+      .select("n_docs", "sum_dl").collect().head
+    val n = oldStats.getDouble(0) - droppedRow.getDouble(0)
+    val sumDl = oldStats.getDouble(1) - droppedRow.getDouble(1)
+    Seq((n, sumDl, if (n > 0) sumDl / n else 0.0))
+      .toDF("n_docs", "sum_dl", "avgdl")
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
   // ------------------------------------------------ versioned manifest
 
   /** Build-and-publish under a versioned root — the [[Manifest]]

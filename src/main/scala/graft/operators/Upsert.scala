@@ -84,6 +84,86 @@ object Upsert {
       .drop(version)
   }
 
+  /** TOMBSTONE-aware LWW — the DELETE surface the reference never
+    * grew (http_server.cc registers only /search /insert /upsert
+    * /query /snapshot; every production vector store added deletes):
+    * the log carries an `op` column (`upsert` | `delete`), the
+    * per-key winner is still the greatest version, and a key whose
+    * winner is a tombstone is ABSENT from the final state — while a
+    * later upsert resurrects it. Same single max_by exchange as
+    * [[lastWriterWins]]: tombstones cost nothing extra at 100 TB,
+    * they are just rows that lose or win like any other.
+    */
+  def lastWriterWinsTombstone(log: DataFrame, key: String,
+                              version: String, op: String): DataFrame = {
+    val payloadCols = log.columns.filterNot(_ == key)
+    val payload = struct(payloadCols.map(col).toIndexedSeq: _*)
+    log.groupBy(col(key))
+      .agg(max_by(payload, col(version)).as("_p"))
+      .where(col(s"_p.$op") =!= lit("delete"))
+      .select(col(key) +: payloadCols.map(c => col(s"_p.$c").as(c)): _*)
+  }
+
+  /** SCD2 with tombstones: a delete CLOSES the key's open interval
+    * without opening a live one — the key then has no current row
+    * until a later upsert re-opens history. The change-collapse
+    * compares (attrs, op), so a re-upsert of the pre-delete value
+    * still opens a fresh interval (the value genuinely reappeared)
+    * while consecutive deletes collapse. Delete rows participate in
+    * the `lead` (they must seal the prior interval's valid_to) and
+    * are then dropped from the output: history rows describe states
+    * that EXISTED.
+    */
+  def scd2IntervalsTombstone(log: DataFrame, key: String, version: String,
+                             attrs: Seq[String], op: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(version)
+    val payload = struct((attrs :+ op).map(col): _*)
+    val changed = log
+      .withColumn("_prev", lag(payload, 1).over(w))
+      .where(!(col("_prev") <=> payload))
+      .drop("_prev")
+    changed
+      .withColumn("valid_from", col(version))
+      .withColumn("valid_to", lead(version, 1).over(w))
+      .where(col(op) =!= lit("delete"))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+      .drop(version, op)
+  }
+
+  /** Six-epoch tombstone log: the 4-epoch [[versionedLog]] as
+    * upserts, plus a v5 DELETE wave (ids %5) and a v6 resurrection
+    * wave (ids %15 — a subset of the deleted, so the query proves
+    * both permanent deletion and delete-then-reinsert).
+    */
+  def tombstoneLog(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("label").cast("long").as("label"))
+    versionedLog(s, dir).withColumn("op", lit("upsert"))
+      .unionByName(e.where(col("id") % 5 === 0)
+        .select(col("id"), lit(null).cast("long").as("label"),
+          lit(5L).as("version"), lit("delete").as("op")))
+      .unionByName(e.where(col("id") % 15 === 0)
+        .select(col("id"), (col("label") + 500L).as("label"),
+          lit(6L).as("version"), lit("upsert").as("op")))
+  }
+
+  /** Surface query: final LWW state of the tombstone log — deleted
+    * ids absent, resurrected ids carry their v6 value.
+    */
+  def deleteQuery(s: SparkSession, dir: String): DataFrame =
+    lastWriterWinsTombstone(tombstoneLog(s, dir), "id", "version", "op")
+      .select("id", "label", "version")
+      .orderBy("id")
+
+  /** Surface query: SCD2 history of the tombstone log — deletes seal
+    * valid_to, resurrections open new intervals.
+    */
+  def scd2TombstoneQuery(s: SparkSession, dir: String): DataFrame =
+    scd2IntervalsTombstone(tombstoneLog(s, dir), "id", "version",
+      Seq("label"), "op")
+      .select("id", "label", "valid_from", "valid_to", "is_current")
+      .orderBy("id", "valid_from")
+
   /** Four-epoch versioned label log over embeddings: v1 baseline,
     * v2 changes ids %7, v3 RE-ASSERTS v2's value for ids %14 (the
     * planted no-change rows the collapse must drop), v4 changes ids

@@ -86,7 +86,7 @@ object WalSource {
       // not corruption
       .where(col("log_id").isNotNull && col("version").isNotNull &&
         col("op").isNotNull &&
-        !(col("op") === "upsert" && col("id").isNull))
+        !(col("op").isin("upsert", "delete") && col("id").isNull))
 
   /** Replay: last-writer-wins by (version, log_id) per id — the bulk
     * form of reloadDatabase's sequential apply loop
@@ -106,6 +106,53 @@ object WalSource {
 
   def replayQuery(s: SparkSession, dir: String): DataFrame =
     replay(parse(syntheticWal(s, dir)))
+
+  /** [[syntheticWal]] extended with a DELETE optype — the WAL record
+    * the reference's framing could carry but its server never writes
+    * (persistence.cc parses `optype` generically; http_server.cc
+    * offers no delete endpoint): a v3 tombstone wave for ids %5
+    * (`log_id|3|delete|{"id":N}`) and a v4 re-upsert wave for ids
+    * %15 (resurrection — a subset of the deleted).
+    */
+  def syntheticWalWithDeletes(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val dels = e.where(col("vec_id") % 5 === 0).select(
+      concat_ws("|",
+        (col("vec_id") + 200000L).cast("string"), lit("3"), lit("delete"),
+        to_json(struct(col("vec_id").as("id")))).as("line"))
+    val res = e.where(col("vec_id") % 15 === 0).select(
+      concat_ws("|",
+        (col("vec_id") + 300000L).cast("string"), lit("4"), lit("upsert"),
+        to_json(struct(
+          col("vec_id").as("id"),
+          col("embedding").as("vectors"),
+          (col("label") + 500).cast("long").as("int_field"),
+          lit("FLAT").as("indexType")))).as("line"))
+    syntheticWal(s, dir).unionByName(dels).unionByName(res)
+  }
+
+  /** Tombstone-honoring replay: ONE LWW pass over upserts AND
+    * deletes — the per-id winner by (version, log_id) decides both
+    * value and existence; a tombstone winner erases the id, a later
+    * upsert resurrects it. `n_log_entries` counts every record that
+    * mentioned the id, tombstones included (the replay-cost metric).
+    * Same single aggregation exchange as [[replay]].
+    */
+  def replayTombstones(parsed: DataFrame): DataFrame =
+    parsed
+      .where(col("op").isin("upsert", "delete"))
+      .groupBy("id")
+      .agg(
+        max_by(struct(col("int_field"), col("version"), col("op")),
+          struct(col("version"), col("log_id"))).as("w"),
+        count(lit(1)).as("n_log_entries"))
+      .where(col("w.op") =!= "delete")
+      .select(col("id"), col("w.int_field").as("int_field"),
+        col("w.version").as("version"), col("n_log_entries"))
+      .orderBy("id")
+
+  def deleteReplayQuery(s: SparkSession, dir: String): DataFrame =
+    replayTombstones(parse(syntheticWalWithDeletes(s, dir)))
 
   /** Rotated text WAL segments on disk, read back in BATCH via
     * `spark.read.text` — the storage-backed twin of

@@ -29,6 +29,12 @@ object IndexMaintenance {
     * Same bounded 4-way split and try_* corruption tolerance.
     */
   def parseVectors(lines: DataFrame): DataFrame =
+    parseOps(lines).where(col("op") === "upsert")
+
+  /** Like [[parseVectors]] but keeping DELETE records too — a
+    * tombstone carries an id and no vector (`…|delete|{"id":N}`).
+    */
+  def parseOps(lines: DataFrame): DataFrame =
     lines
       .withColumn("p", split(col("line"), "\\|", 4))
       .select(
@@ -40,9 +46,10 @@ object IndexMaintenance {
         from_json(
           get_json_object(try_element_at(col("p"), lit(4)), "$.vectors"),
           ArrayType(FloatType)).as("vec"))
-      .where(col("op") === "upsert" && col("log_id").isNotNull &&
+      .where(col("log_id").isNotNull &&
         col("version").isNotNull && col("id").isNotNull &&
-        col("vec").isNotNull)
+        ((col("op") === "upsert" && col("vec").isNotNull) ||
+          col("op") === "delete"))
 
   /** Attach the maintenance loop to a WAL line stream over an
     * EXISTING index (the bootstrap is a batch ivfBuildIndex of the
@@ -55,14 +62,24 @@ object IndexMaintenance {
     lines.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val upserts = parseVectors(batch)
+        // cross-op LWW per id: one winner by (version, log_id) over
+        // upserts AND tombstones — the winner's op routes the id to
+        // exactly one maintenance call (the sets are disjoint, so
+        // apply order between the two calls is immaterial)
+        val winners = parseOps(batch)
           .groupBy("id")
-          .agg(max_by(struct(col("vec"), col("version")),
+          .agg(max_by(struct(col("vec"), col("version"), col("op")),
             struct(col("version"), col("log_id"))).as("w"))
           .select(col("id"), col("w.vec").as("vec"),
-            col("w.version").as("version"))
+            col("w.version").as("version"), col("w.op").as("op"))
+          .localCheckpoint(true)
+        val upserts = winners.where(col("op") === "upsert")
+          .select("id", "vec", "version")
+        val deletes = winners.where(col("op") === "delete").select("id")
         if (!upserts.isEmpty)
           Ann.ivfIndexUpsert(batch.sparkSession, indexPath, upserts)
+        if (!deletes.isEmpty)
+          Ann.ivfIndexDelete(batch.sparkSession, indexPath, deletes)
       }
       .start()
 }

@@ -383,6 +383,40 @@ class AnnSpec extends SparkSuite {
     }
   }
 
+  test("index delete: ids gone, survivors byte-identical, only " +
+    "touched cells rewritten, idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ivfdelidx")
+    val idx = root.resolve("idx").toString
+    try {
+      Ann.ivfBuildIndex(spark, emb, idx, stride = 10)
+      val before = spark.read.parquet(idx)
+        .select(col("id"), col("cell").cast("long").as("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fileOf = new java.io.File(idx).listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+      val gone = Seq(3L, 17L, 42L).toDF("id")
+      Ann.ivfIndexDelete(spark, idx, gone)
+      val after = spark.read.parquet(idx)
+        .select(col("id"), col("cell").cast("long").as("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == before.filterNot(r => Set(3L, 17L, 42L)(r._1)),
+        "delete changed more than the deleted ids")
+      val filesAfter = new java.io.File(idx).listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+      assert(fileOf.exists { case (c, fs) => filesAfter.get(c).contains(fs) },
+        "every cell was rewritten — touched-cell pruning lost")
+      Ann.ivfIndexDelete(spark, idx, gone)  // idempotent no-op
+      assert(spark.read.parquet(idx).count() == after.size)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("adaptive filtered search picks the branch by selectivity") {
     import org.apache.spark.sql.functions._
     val rows = Ann.adaptiveFilterQuery(spark, sf)

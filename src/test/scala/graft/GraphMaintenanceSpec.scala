@@ -106,6 +106,49 @@ class GraphMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("graph delete: index loses the ids, probers re-resolve their " +
+    "edges, result ≡ rebuild on the remaining corpus") {
+    import spark.implicits._
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "gdel")
+    val idx = root.resolve("idx").toString
+    val gp = root.resolve("graph").toString
+    try {
+      Ann.ivfBuildIndex(spark, emb, idx, stride = 10)
+      Ann.knnGraphBuild(spark, idx, gp)
+      val fileOf = new java.io.File(gp).listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+      val gone = Seq(0L, 7L, 13L, 14L).toDF("id")
+      Ann.knnGraphDelete(spark, idx, gp, gone)
+      // the index no longer holds the ids
+      assert(spark.read.parquet(idx)
+        .join(gone, Seq("id"), "left_semi").count() == 0)
+      // maintained graph ≡ rebuilding from scratch on the pruned index
+      val rebuilt = root.resolve("rebuilt").toString
+      Ann.knnGraphBuild(spark, idx, rebuilt)
+      assert(graphSet(gp) == graphSet(rebuilt),
+        "delete maintenance drifted from a full rebuild")
+      // no deleted id survives as a node or a neighbor
+      val flat = graphSet(gp)
+      val goneSet = Set(0L, 7L, 13L, 14L)
+      assert(flat.forall { case (q, _, n, _) =>
+        !goneSet(q) && !goneSet(n) })
+      // locality: at least one cell partition kept its original files
+      val after = new java.io.File(gp).listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+      assert(fileOf.exists { case (b, fs) => after.get(b).contains(fs) },
+        "every cell partition was rewritten — affected-set pruning lost")
+      // idempotence: deleting the same ids again changes nothing
+      Ann.knnGraphDelete(spark, idx, gp, gone)
+      assert(graphSet(gp) == flat)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("streamed WAL tail maintains index AND graph ≡ rebuild of final corpus") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "gstream")

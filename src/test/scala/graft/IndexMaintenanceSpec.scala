@@ -16,6 +16,62 @@ class IndexMaintenanceSpec extends SparkSuite {
                       vec: Array[Float]): String =
     s"""$logId|$version|upsert|{"id":$id,"vectors":[${vec.mkString(",")}]}"""
 
+  private def delLine(logId: Long, version: Long, id: Long): String =
+    s"""$logId|$version|delete|{"id":$id}"""
+
+  test("streamed tombstones: delete wave removes ids, later upsert " +
+    "resurrects, index ≡ assign of the replayed corpus") {
+    import spark.implicits._
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ivfdel")
+    val idx = root.resolve("idx").toString
+    val wal = root.resolve("wal")
+    val ckpt = root.resolve("ckpt").toString
+    Files.createDirectories(wal)
+    try {
+      Ann.ivfBuildIndex(spark, emb, idx)
+      val donors = emb.where(col("id") >= 100 && col("id") < 104)
+        .orderBy("id").collect().map(_.getSeq[Float](1).toArray)
+      // seg1: delete ids 0,5,10; upsert id 1. seg2: resurrect id 5
+      // (cross-batch: a later upsert must beat an earlier tombstone),
+      // and a same-batch pair where the tombstone wins (id 2 upserted
+      // at v2 then deleted at v3 inside one segment).
+      val seg1 = Seq(
+        delLine(1000L, 2L, 0L), delLine(1001L, 2L, 5L),
+        delLine(1002L, 2L, 10L), walLine(1003L, 2L, 1L, donors(0)))
+      val seg2 = Seq(
+        walLine(2000L, 3L, 5L, donors(1)),
+        walLine(2001L, 2L, 2L, donors(2)), delLine(2002L, 3L, 2L))
+      Files.write(wal.resolve("wal_log_1"), WalBinary.frame(seg1))
+      Files.write(wal.resolve("wal_log_2"), WalBinary.frame(seg2))
+      val lines = spark.readStream.format("graft-wal")
+        .option("maxBytesPerTrigger", "1500")
+        .load(wal.toString)
+      val q = IndexMaintenance.attach(lines, idx, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      // replayed corpus: base minus {0,2,10}, id 1 and 5 updated
+      val updates = Seq((1L, donors(0)), (5L, donors(1))).toDF("id", "vec")
+      val finalCorpus = emb
+        .where(!col("id").isin(0L, 2L, 10L))
+        .join(updates.select("id"), Seq("id"), "left_anti")
+        .unionByName(updates)
+      val cents = spark.read.parquet(idx + "_centroids")
+      val want = Ann.ivfAssign(finalCorpus, cents).select("id", "cell")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = spark.read.parquet(idx)
+        .select(col("id"), col("cell").cast("long").as("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, "tombstone maintenance drifted from replay")
+      // resurrected id carries the later vector
+      val v5 = spark.read.parquet(idx).where(col("id") === 5L)
+        .select("vec").collect().head.getSeq[Float](0).toArray
+      assert(v5.sameElements(donors(1)), "resurrection lost to tombstone")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("streamed WAL tail maintains the index: bounded batches, LWW, ≡ assign of final corpus") {
     import spark.implicits._
     val root = Files.createTempDirectory(
