@@ -68,5 +68,49 @@ for name in names:
         print("  got:", g[diff].head(3).to_dict("records"))
         print("  want:", w[diff].head(3).to_dict("records"))
         fail += 1
+# ---- registry <-> SURVEY §2 parity (r8: the counts drifted in a
+# commit message; the contract is executable from here on) ----------
+import re
+repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+survey_path = os.path.join(repo_root, "SURVEY.md")
+if os.path.exists(survey_path):
+    txt = open(survey_path).read()
+    m = re.search(r"## §2.*?(?=\n## §\d)", txt, re.S)
+    sec = m.group(0) if m else ""
+    # any backticked snake-case token: named rows plus the "batch
+    # twin `x` under the oracle" inline registrations
+    s2names = set(re.findall(r"`([a-z0-9_]+)`", sec))
+    # oracle_sql.json is dumped in full even under SPARK_GRAFT_ONLY
+    # subset runs, so it is the registry's reliable mirror here
+    # (Verify writes one oracle entry per queries entry; a drift
+    # between the two maps surfaces as a missing/extra result dir in
+    # a FULL run and as the driver's per-key correctness rows)
+    okeys = set(oracle.keys())
+    dumped = set(names)
+    problems = []
+    missing = sorted(okeys - s2names)
+    if missing:
+        problems.append(
+            f"{len(missing)} registry queries absent from SURVEY §2: "
+            f"{missing[:8]}")
+    stated = re.search(r"(\d+) registry queries", sec)
+    if stated and int(stated.group(1)) != len(okeys):
+        problems.append(
+            f"§2 claims {stated.group(1)} registry queries, "
+            f"registry has {len(okeys)}")
+    extra = sorted(dumped - okeys)
+    if extra:
+        problems.append(f"results with no oracle entry: {extra[:8]}")
+    if dumped < okeys:
+        print(f"NOTE survey-parity: partial dump "
+              f"({len(dumped)}/{len(okeys)} results present)")
+    if problems:
+        for p in problems:
+            print(f"FAIL survey-parity: {p}")
+        fail += len(problems)
+    else:
+        print(f"OK   survey-parity: {len(okeys)} registry queries, "
+              "all named in SURVEY §2, count matches")
+
 print("RESULT:", "PASS" if fail == 0 else f"{fail} FAILURES")
 sys.exit(1 if fail else 0)

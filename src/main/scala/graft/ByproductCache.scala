@@ -26,6 +26,13 @@ import org.apache.spark.sql.DataFrame
 object ByproductCache {
   private val cache = new ConcurrentHashMap[(String, String), DataFrame]()
 
+  /** Test probe: whether a byproduct is already materialized (used to
+    * pin that lazily-gated consumers — e.g. the routed API's NSW leg
+    * — do NOT trigger a build they don't need).
+    */
+  private[graft] def cached(appId: String, key: String): Boolean =
+    cache.containsKey((appId, key))
+
   def getOrCompute(appId: String, key: String)(f: => DataFrame): DataFrame = {
     val it = cache.keySet.iterator
     while (it.hasNext) if (it.next()._1 != appId) it.remove()

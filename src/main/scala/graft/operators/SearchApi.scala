@@ -105,17 +105,39 @@ object SearchApi {
       leg.join(broadcast(sub.select(col("qid"), col("k"))), "qid")
         .where(col("rk") <= col("k"))
         .select(col("qid"), col("rk"), col("nn_id"), col("score"))
-    val flat = searchRequests(data,
-      reqs.where(col("index_type") === "FLAT"), maxK)
-      .select(col("qid"), col("rk"), col("nn_id"), col("score"))
-    val hnswReqs = reqs.where(col("index_type") === "HNSW")
-    val hnsw = perK(graft.operators.Ann.nswSearch(s, dir,
-      hnswReqs.select(col("qid"), col("qvec")), k = maxK), hnswReqs)
-    val ivfReqs = reqs.where(col("index_type") =!= "FLAT" &&
-      col("index_type") =!= "HNSW")
-    val ivf = perK(graft.operators.Ann.ivfSearchCached(s, dir,
-      ivfReqs.select(col("qid"), col("qvec")), maxK), ivfReqs)
-    flat.unionByName(hnsw).unionByName(ivf).orderBy("qid", "rk")
+    // ROUTE FIRST, BUILD ONLY THE LEGS THE BATCH USES: the present
+    // index types come from one request-sized job, and a leg with no
+    // requests is never constructed — an all-FLAT batch must not pay
+    // the kNN-graph materialization the NSW leg triggers (nor carry
+    // its scans in the plan), and an all-approximate batch contains
+    // no exact-leg corpus pass (SearchApiSpec pins both).
+    val types = reqs.select(
+        when(col("index_type") === "FLAT", "FLAT")
+          .when(col("index_type") === "HNSW", "HNSW")
+          .otherwise("IVF").as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (types.isEmpty) {
+      import s.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("qid", "rk", "nn_id", "score")
+    }
+    val legs = Seq.newBuilder[DataFrame]
+    if (types("FLAT"))
+      legs += searchRequests(data,
+        reqs.where(col("index_type") === "FLAT"), maxK)
+        .select(col("qid"), col("rk"), col("nn_id"), col("score"))
+    if (types("HNSW")) {
+      val hnswReqs = reqs.where(col("index_type") === "HNSW")
+      legs += perK(graft.operators.Ann.nswSearch(s, dir,
+        hnswReqs.select(col("qid"), col("qvec")), k = maxK), hnswReqs)
+    }
+    if (types("IVF")) {
+      val ivfReqs = reqs.where(col("index_type") =!= "FLAT" &&
+        col("index_type") =!= "HNSW")
+      legs += perK(graft.operators.Ann.ivfSearchCached(s, dir,
+        ivfReqs.select(col("qid"), col("qvec")), maxK), ivfReqs)
+    }
+    legs.result().reduce(_ unionByName _).orderBy("qid", "rk")
   }
 
   /** Routed surface query: even qids go FLAT (metric L2/IP, one `=`

@@ -93,4 +93,58 @@ class SearchApiSpec extends SparkSuite {
       .toSet
     assert(rows.filter(_._1 % 2 == 0).toSet == flatDirect)
   }
+
+  test("leg parity: an all-FLAT batch never builds the approximate " +
+    "legs; an all-HNSW batch is exactly the graph leg") {
+    // fresh dir = fresh ByproductCache key space, so graph
+    // materialization is observable
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "routedleg")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "embeddings.parquet"),
+      tmp.resolve("embeddings.parquet"))
+    val dirS = tmp.toString
+    try {
+      val d = Tables.embeddings(spark, dirS)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      val q = Tables.embeddings(spark, dirS).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      def reqs(t: String) = q.select(col("qid"), col("qvec"),
+        lit(t).as("index_type"), lit(5L).as("k"), lit("L2").as("metric"),
+        lit(null).cast("string").as("fop"), lit(5L).as("fval"))
+      val appId = spark.sparkContext.applicationId
+      val flatOut = SearchApi.searchRouted(spark, dirS, d, reqs("FLAT"), 10)
+      assert(flatOut.count() > 0)
+      // the expensive NSW dependency was never touched: no kNN graph
+      // (nor symmetrized edge table) materialized for this dir
+      assert(!ByproductCache.cached(appId, s"knngraph|$dirS|8|2"),
+        "all-FLAT batch materialized the kNN graph")
+      assert(!ByproductCache.cached(appId, s"nswedges|$dirS|8"),
+        "all-FLAT batch built the NSW edge table")
+      // and the plan carries no checkpoint-RDD scan (the graph leg's
+      // signature operator)
+      assert(!flatOut.queryExecution.executedPlan.toString
+        .contains("ExistingRDD"),
+        "all-FLAT plan contains an approximate-leg scan")
+      // vice versa: an all-HNSW batch IS the graph leg — its rows
+      // equal the direct nswSearch call exactly (an exact-leg union
+      // branch would add rows and break equality), and now the graph
+      // byproduct exists
+      val hnswOut = SearchApi.searchRouted(spark, dirS, d, reqs("HNSW"), 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val direct = graft.operators.Ann.nswSearch(spark, dirS, q, k = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .filter(_._2 <= 5).toSet
+      assert(hnswOut == direct && hnswOut.nonEmpty,
+        "all-HNSW batch is not exactly the graph leg")
+      assert(ByproductCache.cached(appId, s"knngraph|$dirS|8|2"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
 }
