@@ -151,6 +151,15 @@ object Bench {
     }
     val tP2 = elapsed - tWarm - tPrebuild - tP1
 
+    // Phase 5 — scaling probe (ScaleStress): the three blocking-key
+    // headliners at 1×/4×/16× the bench corpus. Only runs when the
+    // timed passes left ≥60s of budget, and checks again before each
+    // step — the suite measurement above always takes precedence.
+    val scaleRes =
+      if (elapsed < budgetNs - 60000000000L)
+        ScaleStress.run(spark, sfDir, () => elapsed < budgetNs - 15000000000L)
+      else Map.empty[String, Map[String, Double]]
+
     // min over the passes that succeeded; -1.0 only if all failed
     // (max picks the lone success when the other sample is the -1.0
     // sentinel or the query never got a second sample).
@@ -161,9 +170,12 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val phases = f"""{"warmup":${tWarm / 1e9}%.1f,"prebuild":${tPrebuild / 1e9}%.1f,""" +
       f""""pass1":${tP1 / 1e9}%.1f,"pass2":${tP2 / 1e9}%.1f,"pass2_n":${p2.size}}"""
+    val scaleJson =
+      if (scaleRes.nonEmpty) s""","scale":${ScaleStress.renderJson(scaleRes)}"""
+      else ""
     def render(qEntries: Seq[String], omitted: Int): String = {
       val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${qEntries.mkString("{", ",", "}")},"nq":${results.size}$om,"phases":$phases,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${qEntries.mkString("{", ",", "}")},"nq":${results.size}$om,"phases":$phases$scaleJson,"sf":"$sfDir"}"""
     }
     // Full-precision artifact with EVERY query — truncation-proof.
     val full = render(results.toSeq.map { case (k, v) => f"""\"$k\":$v%.4f""" }, 0)

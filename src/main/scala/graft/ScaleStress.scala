@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical SCALING probe for the three headliner families whose
+  * 100 TB story rests on blocking-key cardinality growing with the
+  * corpus: the IVF-cell-blocked kNN graph, banded MinHash pair
+  * mining, and the persisted BM25 index. The small driver SFs only
+  * verify correctness; this measures how the same plans behave at
+  * 4× and 16× the bench corpus, so a hidden fixed-cardinality
+  * bottleneck (constant cell count, constant band space, a driver
+  * collect that grows with N) shows up as a super-linear wall-clock
+  * slope instead of staying a design claim.
+  *
+  * Replicas are synthesized FROM the driver's own tables (never
+  * regenerated data): replica `r` of a document re-keys `doc_id`
+  * by `r·10⁷` and SUFFIXES a per-replica marker onto every word
+  * (`w → w·zqr`, word count unchanged). The word-3-gram shingle
+  * set of a replica is then a BIJECTION of the base doc's — the
+  * within-replica similarity structure matches the base corpus
+  * exactly (planted near-dups stay near-dups at the same Jaccard)
+  * while cross-replica shingles are disjoint (every gram carries
+  * its replica's suffix), so no cross-replica candidate pairs
+  * arise. Both naive alternatives fail measurably: a plain copy
+  * makes each doc's 16 replicas mutual near-dups (quadratic pair
+  * blowup), and markers INSERTED BETWEEN words degrade trigrams
+  * to shared unigram/bigram shingles, inflating within-replica
+  * similarity ~30× (observed before this scheme). Embedding
+  * replicas shift every coordinate by `r·0.001`, preserving
+  * cluster geometry while keeping vectors distinct.
+  *
+  * Factor 1 also materializes a fresh copy dir: ByproductCache,
+  * persisted indexes, and the OS page cache are all keyed by dir,
+  * so every factor is measured COLD with one timed call — the
+  * build+search total whose slope is the scaling claim. A warm
+  * second call would read the memoized graph in ~10 ms and measure
+  * nothing (also observed).
+  */
+object ScaleStress {
+
+  val factors: Seq[Int] = Seq(1, 4, 16)
+  val queryNames: Seq[String] =
+    Seq("knn_graph", "dedup_minhash_pairs", "text_bm25_indexed")
+
+  /** Replica id-space offset: far above any driver-generated id and
+    * above the +100000/+200000/+300000 bands the synthetic-workload
+    * helpers plant in.
+    */
+  private val Offset = 10000000L
+
+  // v2: suffix-marker synthesis scheme — the version tag keeps a
+  // dir materialized by an older scheme from being reused stale
+  private def replicaRoot(sfDir: String, factor: Int): java.nio.file.Path =
+    java.nio.file.Paths.get("target", "tmp",
+      s"scale-${java.lang.Integer.toHexString(sfDir.hashCode)}-x$factor-v2")
+      .toAbsolutePath
+
+  /** Materialize (once, `_done`-markered) the factor-× replica dir
+    * with the two tables the probed queries read. Returns the dir
+    * usable as a `queries` sf-dir argument.
+    */
+  def materialize(s: SparkSession, sfDir: String, factor: Int): String = {
+    val root = replicaRoot(sfDir, factor)
+    val done = root.resolve("_done")
+    if (!java.nio.file.Files.exists(done)) {
+      java.nio.file.Files.createDirectories(root)
+      val reps = s.range(factor.toLong).select(col("id").as("rep"))
+      val docs = Tables.documents(s, sfDir)
+        .crossJoin(broadcast(reps))
+        .select(
+          (col("doc_id") + col("rep") * Offset).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            // suffix on every word (replacing each space with
+            // 'zqR ') plus one trailing marker word — keeps the
+            // gram count and similarity structure bijective with
+            // the base doc while making even a 1-word doc's
+            // shingles replica-distinct
+            .otherwise(expr(
+              """concat(replace(text, ' ', concat('zq', cast(rep as string), ' ')),
+                | ' zq', cast(rep as string))""".stripMargin.replace("\n", "")))
+            .as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      docs.write.mode("overwrite")
+        .parquet(root.resolve("documents.parquet").toString)
+      val emb = Tables.embeddings(s, sfDir)
+        .crossJoin(broadcast(reps))
+        .select(
+          (col("vec_id") + col("rep") * Offset).as("vec_id"),
+          transform(col("embedding"),
+            x => (x + col("rep").cast("float") * lit(0.001f)).cast("float"))
+            .as("embedding"),
+          col("label"))
+      emb.write.mode("overwrite")
+        .parquet(root.resolve("embeddings.parquet").toString)
+      java.nio.file.Files.write(done, Array.emptyByteArray)
+    }
+    root.toString
+  }
+
+  /** Run the probe: per (query, factor), ONE timed COLD call on that
+    * factor's fresh replica dir — the build+search total, which is
+    * the quantity whose slope vs corpus size the 100 TB claims are
+    * about (JIT is already hot from the main suite, so the cold cost
+    * is the engine's, not HotSpot's). `budgetLeft` is consulted
+    * before every expensive step so a tight bench budget degrades to
+    * a partial matrix instead of overrunning; -1.0 marks a failed
+    * run, absent keys an un-run one.
+    */
+  def run(s: SparkSession, sfDir: String,
+          budgetLeft: () => Boolean): Map[String, Map[String, Double]] = {
+    val out = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, Double]]()
+    factors.foreach { f =>
+      if (budgetLeft()) {
+        val dir =
+          try materialize(s, sfDir, f)
+          catch { case _: Throwable => null }
+        if (dir != null) queryNames.foreach { name =>
+          if (budgetLeft()) SparkEntry.queries.get(name).foreach { fn =>
+            val t =
+              try {
+                val t0 = System.nanoTime()
+                Bench.materialize(fn(s, dir))
+                (System.nanoTime() - t0) / 1e9
+              } catch { case _: Throwable => -1.0 }
+            out.getOrElseUpdate(name, scala.collection.mutable.Map())
+              .update(s"x$f", t)
+          }
+        }
+      }
+    }
+    out.view.mapValues(_.toMap).toMap
+  }
+
+  /** Compact JSON rendering for the bench line: factors ascending,
+    * 3-decimal seconds.
+    */
+  def renderJson(res: Map[String, Map[String, Double]]): String =
+    res.toSeq.sortBy(_._1).map { case (name, m) =>
+      val inner = factors.map(f => s"x$f").filter(m.contains)
+        .map(k => f""""$k":${m(k)}%.3f""").mkString(",")
+      s""""$name":{$inner}"""
+    }.mkString("{", ",", "}")
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup}
+
+class ScaleStressSpec extends SparkSuite {
+
+  private lazy val x4 = ScaleStress.materialize(spark, sf, 4)
+
+  test("factor 1 is a fresh cold dir with byte-identical content") {
+    // a COPY, not the base dir: memo caches and persisted indexes
+    // key on the dir string, so x1 must be cold like x4/x16
+    val x1 = ScaleStress.materialize(spark, sf, 1)
+    assert(x1 != sf)
+    assert(Tables.documents(spark, x1).orderBy("doc_id").collect().toSeq ==
+      Tables.documents(spark, sf).orderBy("doc_id").collect().toSeq)
+    assert(Tables.embeddings(spark, x1).count() ==
+      Tables.embeddings(spark, sf).count())
+    val again = ScaleStress.materialize(spark, sf, 4)
+    assert(again == x4, "idempotent path")
+  }
+
+  test("replica tables are exact ×-multiples with the base schema") {
+    val baseDocs = Tables.documents(spark, sf)
+    val docs = Tables.documents(spark, x4)
+    assert(docs.schema == baseDocs.schema)
+    assert(docs.count() == 4 * baseDocs.count())
+    assert(docs.select("doc_id").distinct().count() == docs.count(),
+      "re-keying keeps doc_ids unique")
+    val baseEmb = Tables.embeddings(spark, sf)
+    val emb = Tables.embeddings(spark, x4)
+    assert(emb.schema == baseEmb.schema)
+    assert(emb.count() == 4 * baseEmb.count())
+    assert(emb.select("vec_id").distinct().count() == emb.count())
+    // replica 0 is byte-identical to the base corpus (the x1 slice
+    // of every replica dir IS the driver's data)
+    val rep0 = docs.where(col("doc_id") < 10000000L)
+      .orderBy("doc_id").collect().toSeq
+    assert(rep0 == baseDocs.orderBy("doc_id").collect().toSeq)
+    // n_chars stays consistent with the perturbed text
+    assert(docs.where(length(col("text")) =!= col("n_chars")).count() == 0)
+  }
+
+  /** The load-bearing synthesis property: replicas of one document
+    * must NOT be near-dup candidates of each other, or the pair
+    * stage measures the quadratic synthesis artifact instead of the
+    * algorithm. Markers inserted between every word put the replica
+    * id inside every word-3-gram, so cross-replica shingle sets are
+    * disjoint and every minhash pair stays within one replica.
+    */
+  test("minhash pairs never cross replicas; per-replica structure matches base") {
+    val pairs = Dedup.minhashPairsUnsorted(spark, x4)
+    val cross = pairs.where(
+      floor(col("id1") / 10000000L) =!= floor(col("id2") / 10000000L))
+    assert(cross.count() == 0, "no cross-replica candidate pairs")
+    // replica 0 reproduces the base corpus's pair set exactly
+    val basePairs = Dedup.minhashPairsUnsorted(spark, sf)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rep0Pairs = pairs
+      .where(col("id1") < 10000000L && col("id2") < 10000000L)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rep0Pairs == basePairs)
+  }
+
+  test("knn graph scales node-linearly on the replica corpus") {
+    val n = Tables.embeddings(spark, x4).count()
+    val g = Ann.knnGraph(spark, x4)
+    // every vector gets exactly k=5 neighbors at this density
+    assert(g.count() == n * 5)
+    assert(g.select("qid").distinct().count() == n)
+  }
+
+  test("renderJson is compact and factor-ordered") {
+    val j = ScaleStress.renderJson(Map(
+      "knn_graph" -> Map("x16" -> 2.5, "x1" -> 0.5, "x4" -> 1.0)))
+    assert(j == """{"knn_graph":{"x1":0.500,"x4":1.000,"x16":2.500}}""")
+  }
+}

@@ -111,4 +111,104 @@ class WalBinarySpec extends SparkSuite {
       Files.deleteIfExists(dir)
     }
   }
+
+  /** Vacuum × tombstones. Once a segment carrying a delete is
+    * vacuumed, the ONLY remaining witness of that deletion is the
+    * snapshot — so the snapshot must retain version-carrying
+    * tombstone rows, not just live rows. The sharpest case is a
+    * stale-version upsert in the tail (version 2 at a log id past
+    * the horizon) against a vacuumed v9 tombstone: (version, log_id)
+    * LWW says the key stays dead, and a live-rows-only snapshot
+    * would silently resurrect it. This spec pins the tombstone-
+    * retaining composition ≡ full tombstone replay, through a
+    * simulated vacuum crash (one dead segment survives) and after
+    * the completed vacuum.
+    */
+  test("tombstones survive vacuum: snapshot with tombstones ⊎ tail ≡ full replay") {
+    import org.apache.spark.sql.functions._
+    val seg1 = (0 to 9).map { id =>
+      s"""${1 + id}|1|upsert|{"id":$id,"int_field":${10 + id},"indexType":"FLAT"}"""
+    }
+    val seg2 = Seq(
+      """11|2|delete|{"id":0}""",
+      """12|3|upsert|{"id":0,"int_field":40,"indexType":"FLAT"}""", // churn inside horizon
+      """13|2|delete|{"id":1}""",  // resurrected later, in the tail
+      """14|2|delete|{"id":2}""",  // stays dead — tail never mentions it
+      """15|2|upsert|{"id":3,"int_field":33,"indexType":"FLAT"}""",
+      """16|9|delete|{"id":6}""")  // high-version tombstone (the trap)
+    val seg3 = Seq(
+      """21|3|upsert|{"id":1,"int_field":51,"indexType":"FLAT"}""", // resurrection
+      """22|3|delete|{"id":3}""",                                    // tail delete of a live key
+      """23|2|upsert|{"id":6,"int_field":62,"indexType":"FLAT"}""", // stale version: must NOT resurrect
+      """24|2|upsert|{"id":5,"int_field":55,"indexType":"FLAT"}""")
+    val dir = Files.createTempDirectory("walvacts")
+    try {
+      Files.write(dir.resolve("wal_log_1"), refFrame(seg1))
+      Files.write(dir.resolve("wal_log_2"), refFrame(seg2))
+      Files.write(dir.resolve("wal_log_3"), refFrame(seg3))
+      val glob = dir.toString + "/wal_log_*"
+      // per-id LWW winner INCLUDING op and ordering key — the
+      // tombstone-retaining snapshot shape (and the composition unit)
+      def winners(where: org.apache.spark.sql.Column): Map[Long, (Long, Long, String, Long, Long)] =
+        WalSource.parse(WalBinary.readFramed(spark, glob)).where(where)
+          .where(col("op").isin("upsert", "delete"))
+          .groupBy("id")
+          .agg(max_by(struct(col("int_field"), col("version"), col("op"),
+              col("log_id")), struct(col("version"), col("log_id"))).as("w"),
+            count(lit(1)).as("n"))
+          .collect().map { r =>
+            val w = r.getStruct(1)
+            r.getLong(0) -> (if (w.isNullAt(0)) -1L else w.getLong(0),
+              w.getLong(1), w.getString(2), w.getLong(3), r.getLong(2))
+          }.toMap
+      def live(ws: Map[Long, (Long, Long, String, Long, Long)]) =
+        ws.collect { case (id, (v, ver, op, _, n)) if op != "delete" =>
+          (id, v, ver, n)
+        }.toSet
+      val full = live(winners(lit(true)))
+      // semantic pins on the full replay itself
+      assert(!full.exists(t => Set(2L, 3L, 6L).contains(t._1)),
+        "deleted keys (incl. the stale-version-upsert one) must be absent")
+      assert(full.contains((1L, 51L, 3L, 3L)) && full.contains((0L, 40L, 3L, 3L)))
+      val horizon = 16L
+      val snapshot = winners(col("log_id") <= horizon) // tombstones retained
+      assert(snapshot.exists { case (_, (_, _, op, _, _)) => op == "delete" })
+      // winner by (version, log_id) decides value/op; the
+      // n_log_entries cost metric SUMS across the composition parts
+      def composed(tail: Map[Long, (Long, Long, String, Long, Long)]) =
+        live((snapshot.keySet ++ tail.keySet).map { id =>
+          val parts = snapshot.get(id).toSeq ++ tail.get(id).toSeq
+          val w = parts.maxBy(t => (t._2, t._4))
+          id -> (w._1, w._2, w._3, w._4, parts.map(_._5).sum)
+        }.toMap)
+      // simulated vacuum crash: one dead segment already deleted, one
+      // survives — the surviving segment only re-applies covered
+      // entries and LWW absorbs them (state exact; only the
+      // n_log_entries cost metric would double-count, so compare
+      // state fields here)
+      Files.delete(dir.resolve("wal_log_1"))
+      assert(composed(winners(lit(true))).map(t => (t._1, t._2, t._3)) ==
+        full.map(t => (t._1, t._2, t._3)))
+      // finish the vacuum: seg2 (max log 16 ≤ horizon) goes, seg3 stays
+      val deleted = WalBinary.vacuumSegments(spark, glob, horizon)
+      assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) ==
+        Seq("wal_log_2"))
+      val tail = winners(lit(true))
+      assert(!tail.contains(2L),
+        "post-vacuum tail carries no witness of the dead key — only the snapshot does")
+      // full composition contract, n_log_entries now exact too
+      val comp = composed(tail)
+      assert(comp == full)
+      // a key alive ONLY via the snapshot (its sole upsert vacuumed)
+      assert(!tail.contains(4L) && comp.contains((4L, 14L, 1L, 1L)))
+      // the trap, stated directly: id 6's survival hinges on the
+      // snapshot's v9 tombstone beating the tail's v2 upsert
+      assert(snapshot(6L)._3 == "delete" && snapshot(6L)._2 == 9L)
+      assert(tail(6L)._3 == "upsert" && !comp.exists(_._1 == 6L))
+    } finally {
+      Seq("wal_log_1", "wal_log_2", "wal_log_3")
+        .foreach(n => Files.deleteIfExists(dir.resolve(n)))
+      Files.deleteIfExists(dir)
+    }
+  }
 }
