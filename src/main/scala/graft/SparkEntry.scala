@@ -71,6 +71,7 @@ object SparkEntry {
     }),
     "scd2_intervals" -> (Upsert.scd2Query _),
     "vdb_delete" -> (Upsert.deleteQuery _),
+    "vdb_snapshot_diff" -> (Upsert.snapshotDiffQuery _),
     "scd2_tombstones" -> (Upsert.scd2TombstoneQuery _),
     "wal_delete_replay" -> (graft.sources.WalSource.deleteReplayQuery _),
     "vdb_remove" -> ((s, d) => {
@@ -101,6 +102,7 @@ object SparkEntry {
     "ann_ivf" -> (Ann.ivfQuery _),
     "knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
     "mutual_knn_pairs" -> ((s, d) => Ann.mutualKnnPairs(s, d)),
+    "graph_centrality" -> ((s, d) => Ann.graphCentrality(s, d)),
     "embed_knn_clusters" -> ((s, d) => Ann.embedKnnClusters(s, d)),
     "ann_nsw" -> (Ann.nswQuery _),
     "ann_nsw_filtered" -> (Ann.nswFilteredQuery _),
@@ -157,6 +159,8 @@ object SparkEntry {
     "corpus_weighted_sample" -> (Sampling.weightedSampleQuery _),
     "sketch_kmv_distinct" -> (Sketch.kmvQuery _),
     "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
+    "sketch_hll_distinct" -> (Sketch.hllQuery _),
+    "sketch_hll_rollup" -> (Sketch.hllRollupQuery _),
     "sketch_kmv_setops" -> (Sketch.kmvSetOpsQuery _),
     "sketch_hist_quantile" -> (Sketch.histQuantileQuery _),
     "sketch_cms_topk" -> (Sketch.cmsTopTermsQuery _),
@@ -896,6 +900,37 @@ object SparkEntry {
       s"""WITH $ivfGraphCtes
          |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |FROM gr WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // PageRank centrality over the kNN graph: 3 unrolled
+    // integer-exact power iterations (S_{t+1} = 180·1200^t +
+    // Σ S_t·(1020//deg)), one float division at the end — the
+    // integer scaling is what makes the iteration oracle-matchable
+    "graph_centrality" ->
+      s"""WITH $ivfGraphCtes,
+         |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
+         |dg AS (SELECT qid, CAST(count(*) AS BIGINT) AS d
+         |       FROM g GROUP BY 1),
+         |ew AS (SELECT g.qid, g.id, CAST(1020 // dg.d AS BIGINT) AS w
+         |       FROM g JOIN dg USING (qid)),
+         |nd AS (SELECT vec_id AS id FROM embeddings),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+         |st0 AS (SELECT id, CAST(1 AS BIGINT) AS s FROM nd),
+         |ct1 AS (SELECT ew.id, CAST(sum(st0.s * ew.w) AS BIGINT) AS c
+         |       FROM ew JOIN st0 ON st0.id = ew.qid GROUP BY 1),
+         |st1 AS (SELECT nd.id, 180 + COALESCE(ct1.c, 0) AS s
+         |       FROM nd LEFT JOIN ct1 USING (id)),
+         |ct2 AS (SELECT ew.id, CAST(sum(st1.s * ew.w) AS BIGINT) AS c
+         |       FROM ew JOIN st1 ON st1.id = ew.qid GROUP BY 1),
+         |st2 AS (SELECT nd.id, 216000 + COALESCE(ct2.c, 0) AS s
+         |       FROM nd LEFT JOIN ct2 USING (id)),
+         |ct3 AS (SELECT ew.id, CAST(sum(st2.s * ew.w) AS BIGINT) AS c
+         |       FROM ew JOIN st2 ON st2.id = ew.qid GROUP BY 1),
+         |st3 AS (SELECT nd.id, 259200000 + COALESCE(ct3.c, 0) AS s
+         |       FROM nd LEFT JOIN ct3 USING (id))
+         |SELECT st3.id AS vec_id,
+         |       round(CAST(st3.s AS DOUBLE)
+         |             / (CAST(nn.n AS DOUBLE) * 1728000000), 6)
+         |         AS centrality
+         |FROM st3, nn ORDER BY vec_id""".stripMargin,
     // components of the mutual-kNN graph (embedding-space dedup
     // clusters): the same recursive closure the minhash clusters use
     "embed_knn_clusters" ->
@@ -2123,6 +2158,69 @@ object SparkEntry {
         |                          * CAST(1152921504606846976 AS DOUBLE))
         |                       / CAST(kth AS DOUBLE), 4) END AS est_distinct
         |FROM s ORDER BY event_type""".stripMargin,
+    // HLL sketch (Sketch.hllDistinct, m=64): registers defined from
+    // the same md5-prefix60 hash (bucket = top 6 bits, ρ = leading
+    // zeros of the remaining 54 + 1 via bin()), indicator sum kept in
+    // scaled integers (Σ 2^(55−r)), so the estimate is bit-exact in
+    // both engines; ln only in the small-range branch, 4dp-rounded
+    "sketch_hll_distinct" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |b AS (SELECT event_type, h >> 54 AS bucket,
+        |             h & 18014398509481983 AS rest FROM h),
+        |r AS (SELECT event_type, bucket,
+        |        CAST(max(CASE WHEN rest = 0 THEN 55
+        |                 ELSE 55 - length(bin(rest)) END) AS BIGINT) AS r
+        |      FROM b GROUP BY 1, 2),
+        |a AS (SELECT event_type,
+        |        CAST(sum(1::BIGINT << CAST(55 - r AS INT)) AS BIGINT) AS sp,
+        |        CAST(count(*) AS BIGINT) AS nb
+        |      FROM r GROUP BY 1),
+        |e AS (SELECT event_type, CAST(64 - nb AS BIGINT) AS v_zero,
+        |        (CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |           * CAST(36028797018963968 AS DOUBLE))
+        |          / CAST(sp + (64 - nb) * 36028797018963968 AS DOUBLE)
+        |          AS raw
+        |      FROM a)
+        |SELECT event_type, v_zero,
+        |       round(CASE WHEN raw <= 160.0 AND v_zero > 0
+        |              THEN 64.0 * ln(64.0 / v_zero) ELSE raw END, 4)
+        |         AS est_distinct
+        |FROM e ORDER BY event_type""".stripMargin,
+    // HLL rollup: per-group registers plus a register-wise max merge
+    // for the '__all__' row — the same estimate expression applied to
+    // both register tables, never rescanning events
+    "sketch_hll_rollup" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |b AS (SELECT event_type, h >> 54 AS bucket,
+        |             h & 18014398509481983 AS rest FROM h),
+        |r AS (SELECT event_type AS grp, bucket,
+        |        CAST(max(CASE WHEN rest = 0 THEN 55
+        |                 ELSE 55 - length(bin(rest)) END) AS BIGINT) AS r
+        |      FROM b GROUP BY 1, 2),
+        |rall AS (SELECT grp, bucket, r FROM r
+        |         UNION ALL
+        |         SELECT '__all__' AS grp, bucket, max(r) FROM r GROUP BY 2),
+        |a AS (SELECT grp,
+        |        CAST(sum(1::BIGINT << CAST(55 - r AS INT)) AS BIGINT) AS sp,
+        |        CAST(count(*) AS BIGINT) AS nb
+        |      FROM rall GROUP BY 1),
+        |e AS (SELECT grp, CAST(64 - nb AS BIGINT) AS v_zero,
+        |        (CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |           * CAST(36028797018963968 AS DOUBLE))
+        |          / CAST(sp + (64 - nb) * 36028797018963968 AS DOUBLE)
+        |          AS raw
+        |      FROM a)
+        |SELECT grp, v_zero,
+        |       round(CASE WHEN raw <= 160.0 AND v_zero > 0
+        |              THEN 64.0 * ln(64.0 / v_zero) ELSE raw END, 4)
+        |         AS est_distinct
+        |FROM e ORDER BY grp""".stripMargin,
     // mixture table: integer-exact volumes; tok_share is one exact
     // BIGINT/BIGINT division → identical IEEE double in both engines
     "corpus_mixture" ->
@@ -2772,6 +2870,51 @@ object SparkEntry {
         |      FROM log)
         |SELECT id, label, version FROM r
         |WHERE rk = 1 AND op <> 'delete' ORDER BY id""".stripMargin,
+    // snapshot diff v≤3 → v≤6 over the tombstone log + a v4
+    // late-arrival wave (%11 re-keyed +400000): two LWW states,
+    // full-outer joined; value semantics (identical attrs = no row)
+    "vdb_snapshot_diff" ->
+      """WITH log AS (
+        |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+        |         CAST(1 AS BIGINT) AS version, 'upsert' AS op
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 100 AS BIGINT), 2, 'upsert'
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 100 AS BIGINT), 3, 'upsert'
+        |  FROM embeddings WHERE vec_id % 14 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 300 AS BIGINT), 4, 'upsert'
+        |  FROM embeddings WHERE vec_id % 21 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(NULL AS BIGINT), 5, 'delete'
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 500 AS BIGINT), 6, 'upsert'
+        |  FROM embeddings WHERE vec_id % 15 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 400000, CAST(label + 700 AS BIGINT), 4, 'upsert'
+        |  FROM embeddings WHERE vec_id % 11 = 0),
+        |ra AS (SELECT id, label, version, op, row_number() OVER (
+        |         PARTITION BY id ORDER BY version DESC) AS rk
+        |       FROM log WHERE version <= 3),
+        |sa AS (SELECT id, label AS old_label, version AS old_version
+        |       FROM ra WHERE rk = 1 AND op <> 'delete'),
+        |rb AS (SELECT id, label, version, op, row_number() OVER (
+        |         PARTITION BY id ORDER BY version DESC) AS rk
+        |       FROM log WHERE version <= 6),
+        |sb AS (SELECT id, label AS new_label, version AS new_version
+        |       FROM rb WHERE rk = 1 AND op <> 'delete'),
+        |d AS (SELECT COALESCE(sa.id, sb.id) AS id,
+        |        CASE WHEN sa.id IS NULL THEN 'added'
+        |             WHEN sb.id IS NULL THEN 'deleted'
+        |             WHEN old_label IS DISTINCT FROM new_label
+        |               THEN 'changed' END AS change,
+        |        old_label, new_label, old_version, new_version
+        |      FROM sa FULL OUTER JOIN sb ON sa.id = sb.id)
+        |SELECT id, change, old_label, new_label, old_version, new_version
+        |FROM d WHERE change IS NOT NULL ORDER BY id""".stripMargin,
     // SCD2 with tombstones: deletes seal valid_to without opening a
     // live interval; the change-collapse compares (label, op) so a
     // resurrection always opens a fresh interval

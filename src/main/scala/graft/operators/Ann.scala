@@ -559,6 +559,69 @@ object Ann {
       .orderBy("id_a", "id_b")
   }
 
+  /** PAGERANK CENTRALITY over the corpus kNN graph — the
+    * graph-importance signal centrality-aware data curation uses
+    * (documents whose embeddings many other documents point at are
+    * hubs of semantic mass; tails are candidates for up-weighting or
+    * inspection). Power iteration with damping 0.85, a FIXED
+    * iteration count (T=3) like every bounded fixpoint in this repo.
+    *
+    * INTEGER-EXACT arithmetic — the float trap here is that
+    * p(v) = Σ in-contributions is a float sum whose value depends on
+    * aggregation order, which no oracle could reproduce. Instead the
+    * scores are scaled integers: S_0 = 1, and with damping 17/20 and
+    * out-degrees ≤ 5 (all dividing 60),
+    * S_{t+1}(v) = 180·1200^t + Σ_{u→v} S_t(u)·(1020 div deg(u))
+    * keeps every term — teleport and edge contribution alike — a
+    * Long (1020 = 0.85·1200 is divisible by every degree 1..5;
+    * 180 = 0.15·1200). Integer sums are order-independent, so the
+    * DuckDB mirror matches bit-for-bit; the ONLY float op is the
+    * final division by N·1200^T (exact doubles at these magnitudes),
+    * rounded to 6dp. Overflow headroom: Σ_v S_t(v) = N·1200^t, so
+    * individual scores stay far below 2^63 for T ≤ 4 at any
+    * realistic N (hence the require).
+    *
+    * Scale shape: per iteration ONE key-partitioned join of the N·k
+    * edge table (memoized + checkpointed by [[knnGraph]]) against
+    * the N-row score table and one groupBy — both shuffles keyed by
+    * node id, no windows, no driver state beyond N and the scale
+    * constant. localCheckpoint per iteration severs the lineage the
+    * same way the dedup cluster fixpoint does.
+    */
+  def graphCentrality(s: SparkSession, dir: String,
+                      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 4,
+      "integer scaling: per-node scores must stay in Long range")
+    val edges0 = knnGraph(s, dir).select(col("qid"), col("nn_id").as("id"))
+    val deg = edges0.groupBy("qid").agg(count(lit(1)).as("d"))
+    val edges = edges0.join(deg, "qid")
+      .select(col("qid"), col("id"), expr("1020 div d").as("w"))
+      .localCheckpoint(true) // consumed once per iteration
+    val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+    // N from the bare table (metadata-only count — the spread
+    // repartition in Tables.embeddings would force a shuffle just to
+    // count); the algorithm needs N only for the teleport scale
+    val n = Tables.table(s, dir, "embeddings").count()
+    var state = nodes.select(col("id"), lit(1L).as("s"))
+    var scaleT = 1L // 1200^t
+    (0 until iters).foreach { _ =>
+      val contrib = edges
+        .join(state.select(col("id").as("qid"), col("s")), "qid")
+        .groupBy("id").agg(sum(col("s") * col("w")).as("c"))
+      state = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(180L * scaleT) + coalesce(col("c"), lit(0L))).as("s"))
+        .localCheckpoint(true)
+      scaleT *= 1200L
+    }
+    // N and 1200^T are both exactly representable; their product is
+    // one deterministic double, like the final per-row division
+    val denom = n.toDouble * scaleT.toDouble
+    state.select(col("id").as("vec_id"),
+        round(col("s").cast("double") / lit(denom), 6).as("centrality"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------ persisted kNN graph
 
   /** Nodes of a persisted IVF index — the graph's vertex set IS the

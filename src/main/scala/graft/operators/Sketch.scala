@@ -486,4 +486,112 @@ object Sketch {
     cmsTopKBy(Tables.documents(s, dir)
         .select(col("lang"), explode(split(col("text"), " ")).as("tok")),
       "lang", "tok", k = 5)
+
+  // ------------------------------------------------------------- HLL
+
+  /** HYPERLOGLOG distinct-count sketch — the OTHER industry-standard
+    * mergeable cardinality summary beside [[kmvDistinct]], with a
+    * fundamentally different state shape: m=2^b FIXED registers
+    * (bucket → max leading-zero run) instead of a k-min value set.
+    * Registers merge by element-wise max — the property that makes
+    * HLL the de-facto cube/rollup sketch — and the whole pipeline is
+    * two ordinary hash aggregations, no UDAF: the inner
+    * (group, bucket) agg is map-side partial, so the exchange
+    * carries at most m rows per group per partition.
+    *
+    * Determinism: the usual objection to oracling HLL is its
+    * implementation-defined register layout. Here the layout is
+    * DEFINED, from the same md5-prefix hash the KMV family uses —
+    * bucket = top b bits of the 60-bit hash, ρ = leading-zero count
+    * of the remaining 54 bits + 1 (computed with integer/`bin()`
+    * arithmetic, no floats) — so a DuckDB mirror reproduces every
+    * register and the estimate bit-for-bit. The estimator keeps the
+    * indicator sum IN INTEGERS (Σ 2^-ρ scaled by 2^55, each term a
+    * power of two) so no float-summation-order hazard exists; the
+    * only float ops are one shared-literal multiply chain, one
+    * division, and the small-range `ln` branch (Flajolet et al.'s
+    * linear counting for raw ≤ 2.5m with empty registers) — all
+    * checked to sit ≥10⁶ ulps from every 4-decimal rounding boundary.
+    */
+  private val HllRestBits = 54 // 60-bit hash − 6 bucket bits
+  val HllM = 64
+
+  /** Per-(group, bucket) register table: r = max ρ. */
+  def hllRegisters(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame =
+    df.select(col(groupCol),
+        graft.functions.Md5Prefix60(col(valueCol).cast("string")).as("h"))
+      .select(col(groupCol),
+        shiftright(col("h"), HllRestBits).as("bucket"),
+        col("h").bitwiseAND(lit((1L << HllRestBits) - 1)).as("rest"))
+      .select(col(groupCol), col("bucket"),
+        when(col("rest") === 0, lit(HllRestBits + 1))
+          .otherwise(lit(HllRestBits + 1) - length(bin(col("rest"))))
+          .cast("long").as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+
+  /** Estimate per group from a register table. The indicator sum is
+    * integer-exact: Σ_buckets 2^(55−r) plus 2^55 per absent bucket,
+    * all longs; α·m²·2^55 is 0.709 times powers of two, so both
+    * engines derive the identical double from the literal 0.709.
+    */
+  private def hllEstimate(regs: DataFrame, groupCol: String): DataFrame = {
+    val sScaled = (col("sp") +
+      (lit(HllM.toLong) - col("nb")) * lit(1L << 55)).cast("double")
+    val raw = (lit(0.709) * lit(4096.0) * lit((1L << 55).toDouble)) / sScaled
+    val vz = lit(HllM.toLong) - col("nb")
+    regs.groupBy(groupCol)
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - r AS INT))"))
+          .as("sp"),
+        count(lit(1)).as("nb"))
+      .select(col(groupCol), vz.as("v_zero"),
+        round(when(raw <= lit(2.5 * HllM) && vz > 0,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / vz.cast("double")))
+          .otherwise(raw), 4).as("est_distinct"))
+  }
+
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, valueCol), groupCol)
+      .orderBy(groupCol)
+
+  /** Finalize a register table (e.g. the streaming state — the
+    * registers are the streamable half: ONE max aggregation, state
+    * bounded at groups×m rows forever) into the estimate. Same
+    * state/finalize split as the histogram and CMS sketches.
+    */
+  def hllFinish(regs: DataFrame, groupCol: String): DataFrame =
+    hllEstimate(regs, groupCol).orderBy(groupCol)
+
+  /** Surface query: estimated distinct users per event type — the
+    * same question [[kmvQuery]] answers, through the register
+    * sketch, so the two estimators are directly comparable in the
+    * registry output.
+    */
+  def hllQuery(s: SparkSession, dir: String): DataFrame =
+    hllDistinct(Tables.events(s, dir).select("event_type", "user_id"),
+      "event_type", "user_id")
+
+  /** HLL rollup — per-group estimates plus a global one derived by
+    * REGISTER-WISE MAX across the per-group register tables, never
+    * rescanning the data: max commutes with max, so the merged
+    * registers equal what a direct global sketch would hold. The
+    * register table is groups×m rows — sketch-sized, checkpointed
+    * once for its two consumers (the kmvRollup rule).
+    */
+  def hllRollup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val regs = hllRegisters(df, groupCol, valueCol).localCheckpoint(true)
+    val per = hllEstimate(regs, groupCol)
+      .select(col(groupCol).cast("string").as("grp"), col("v_zero"),
+        col("est_distinct"))
+    val global = hllEstimate(
+      regs.groupBy("bucket").agg(max("r").as("r"))
+        .select(lit("__all__").as("grp"), col("bucket"), col("r")),
+      "grp")
+    per.unionByName(global).orderBy("grp")
+  }
+
+  def hllRollupQuery(s: SparkSession, dir: String): DataFrame =
+    hllRollup(Tables.events(s, dir).select("event_type", "user_id"),
+      "event_type", "user_id")
 }

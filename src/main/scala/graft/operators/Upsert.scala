@@ -164,6 +164,66 @@ object Upsert {
       .select("id", "label", "valid_from", "valid_to", "is_current")
       .orderBy("id", "valid_from")
 
+  /** SNAPSHOT DIFF — what changed between two LWW states of the same
+    * tombstone log: `added` (absent at vOld, live at vNew), `deleted`
+    * (live → absent), `changed` (live in both with different attrs).
+    * The reference can only produce a full state per snapshot
+    * (persistence.cc snapshots the whole map); the diff is what an
+    * operator actually ships downstream — a CDC batch, an index
+    * delta, a cache invalidation set. VALUE semantics: a re-upsert
+    * of the identical attrs is NOT a change (version churn without a
+    * value change ships nothing), which is the same collapse rule
+    * SCD2's history uses.
+    *
+    * Cost shape: two bounded-state LWW aggregations (each the single
+    * max_by exchange of [[lastWriterWinsTombstone]]) and ONE
+    * key-partitioned full-outer join — no windows over the raw log,
+    * no driver state; at 100 TB the log scans dominate and both are
+    * single passes. The unchanged majority is dropped before the
+    * orderBy, so the output is diff-sized, not corpus-sized.
+    */
+  def snapshotDiff(log: DataFrame, key: String, version: String,
+                   op: String, attrs: Seq[String],
+                   vOld: Long, vNew: Long): DataFrame = {
+    def side(v: Long, tag: String) =
+      lastWriterWinsTombstone(log.where(col(version) <= v), key, version, op)
+        .select(col(key) +:
+          (attrs.map(c => col(c).as(s"${tag}_$c")) :+
+            col(version).as(s"${tag}_version")): _*)
+    val j = side(vOld, "old").join(side(vNew, "new"), Seq(key), "full_outer")
+    val attrsChanged = attrs.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    j.withColumn("change",
+        when(col("old_version").isNull, lit("added"))
+          .when(col("new_version").isNull, lit("deleted"))
+          .when(attrsChanged, lit("changed")))
+      .where(col("change").isNotNull)
+      .orderBy(key)
+  }
+
+  /** [[tombstoneLog]] plus a v4 LATE-ARRIVAL wave of genuinely new
+    * ids (`vec_id%11` re-keyed under +400000) — without it the base
+    * fixture has every key present from v1 and a diff could never
+    * produce an `added` row.
+    */
+  def snapshotDiffLog(s: SparkSession, dir: String): DataFrame =
+    tombstoneLog(s, dir).unionByName(
+      Tables.embeddings(s, dir).where(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 400000L).as("id"),
+          (col("label").cast("long") + 700L).as("label"),
+          lit(4L).as("version"), lit("upsert").as("op")))
+
+  /** Surface query: diff between the v≤3 state and the final v≤6
+    * state — exercises all three classes: late arrivals `added`,
+    * the v5 delete wave (minus resurrections) `deleted`, v4 updates
+    * and v6 resurrections `changed`.
+    */
+  def snapshotDiffQuery(s: SparkSession, dir: String): DataFrame =
+    snapshotDiff(snapshotDiffLog(s, dir), "id", "version", "op",
+      Seq("label"), vOld = 3L, vNew = 6L)
+      .select("id", "change", "old_label", "new_label",
+        "old_version", "new_version")
+
   /** Four-epoch versioned label log over embeddings: v1 baseline,
     * v2 changes ids %7, v3 RE-ASSERTS v2's value for ids %14 (the
     * planted no-change rows the collapse must drop), v4 changes ids

@@ -563,4 +563,34 @@ class AnnSpec extends SparkSuite {
     val expect = edges.filter { case (a, b) => a < b && edges((b, a)) }
     assert(mutual.toSet == expect)
   }
+
+  test("graph centrality: mass conserved exactly, teleport floor, hubs ranked") {
+    val n = Tables.embeddings(spark, sf).count()
+    val c = Ann.graphCentrality(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c.size == n, "one score per node")
+    // integer mass conservation: Σ S_T = N·1200^T exactly, so the
+    // rounded centralities sum to 1 within N·rounding slack
+    assert(math.abs(c.values.sum - 1.0) <= n * 5e-7,
+      s"mass drifted: ${c.values.sum}")
+    // every node keeps at least the 3-iteration teleport floor
+    // 0.15/N·(1 + 0.85·(damped tail)) > 0.15/N
+    assert(c.values.forall(_ >= 0.15 / n - 1e-6), "teleport floor broken")
+    // a node's centrality exceeds the floor iff someone points at it;
+    // the max must exceed the uniform score (the graph is not regular
+    // in IN-degree even though out-degree is fixed)
+    assert(c.values.max > 1.0 / n)
+    // determinism across invocations (integer arithmetic end-to-end)
+    val again = Ann.graphCentrality(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == c)
+    // cross-check the in-degree signal: the top-centrality node must
+    // have above-average in-degree in the kNN graph
+    val indeg = Ann.knnGraph(spark, sf).groupBy("nn_id")
+      .agg(count(lit(1)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top = c.maxBy(_._2)._1
+    assert(indeg.getOrElse(top, 0L) >= 5L,
+      "top-centrality node has sub-average in-degree")
+  }
 }

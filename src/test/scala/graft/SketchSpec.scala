@@ -162,4 +162,58 @@ class SketchSpec extends SparkSuite {
     val topTrue = exact.maxBy { case (t, n) => (n, t) }._1
     assert(est.contains(topTrue))
   }
+
+  test("hll estimate tracks the exact distinct count") {
+    val est = Sketch.hllDistinct(events, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    exact.foreach { case (t, nd) =>
+      // m=64 → ~1.04/√64 = 13% standard error; allow 3 sigma
+      assert(math.abs(est(t) - nd) <= 0.4 * nd,
+        s"$t: est ${est(t)} vs exact $nd")
+    }
+  }
+
+  test("hll linear-counting branch is near-exact at small cardinality") {
+    import spark.implicits._
+    // 20 distinct values in one group: raw ≤ 2.5m with empty
+    // registers → the ln branch, which is near-exact down here
+    val small = (0 until 200).map(i => ("g", s"v${i % 20}"))
+      .toDF("grp", "v")
+    val out = Sketch.hllDistinct(small, "grp", "v").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) > 0, "some registers must be empty")
+    assert(math.abs(out(0).getDouble(2) - 20.0) <= 4.0,
+      s"linear counting est ${out(0).getDouble(2)} vs exact 20")
+  }
+
+  test("hll is invariant under repartitioning (merge correctness)") {
+    val a = Sketch.hllDistinct(events, "event_type", "user_id")
+      .collect().toSeq
+    val b = Sketch.hllDistinct(
+      Tables.events(spark, sf).select("event_type", "user_id")
+        .repartition(13),
+      "event_type", "user_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("hll rollup: global row equals a direct global sketch") {
+    val roll = Sketch.hllRollup(events, "event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val all = roll.filter(_._1 == "__all__")
+    assert(all.length == 1)
+    val direct = Sketch.hllDistinct(
+        events.select(lit("__all__").as("g"), col("user_id")),
+        "g", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(all.toSeq == direct.toSeq,
+      "register-wise max merge must equal the direct sketch")
+    // per-group rows match the standalone per-group sketch
+    val per = Sketch.hllDistinct(events, "event_type", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(roll.filter(_._1 != "__all__").toSeq == per.toSeq)
+  }
 }

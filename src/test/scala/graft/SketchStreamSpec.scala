@@ -171,4 +171,33 @@ class SketchStreamSpec extends SparkSuite {
       assert(got == want, s"stream heap $got vs batch $want")
     } finally q.stop()
   }
+
+  test("streaming HLL registers finalize to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Tables.events(spark, sf).select("event_type", "user_id")
+      .as[KmvEv].collect()
+
+    val stream = MemoryStream[KmvEv]
+    // register-wise max is the streamable half: one plain max
+    // aggregation, state bounded at groups×64 rows forever — the
+    // HLL mergeability property as a state store invariant
+    val out = Sketch.hllRegisters(stream.toDF(), "event_type", "user_id")
+    val q = out.writeStream.format("memory").queryName("hllstate")
+      .outputMode("complete").start()
+    try {
+      val waves = rows.sortBy(e => (e.user_id * 2654435761L) % 1000)
+        .grouped(math.max(rows.length / 3, 1)).toSeq
+      waves.foreach { w => stream.addData(w.toSeq); q.processAllAvailable() }
+
+      val got = Sketch.hllFinish(spark.table("hllstate"), "event_type")
+        .collect().toSeq
+      val want = Sketch.hllQuery(spark, sf).collect().toSeq
+      assert(got == want, s"stream-finalized $got vs batch $want")
+      // bounded state however large the corpus: ≤ groups × m rows
+      val groups = rows.map(_.event_type).distinct.length
+      assert(spark.table("hllstate").count() <= groups.toLong * Sketch.HllM)
+    } finally q.stop()
+  }
 }

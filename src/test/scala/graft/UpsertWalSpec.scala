@@ -54,4 +54,34 @@ class UpsertWalSpec extends SparkSuite {
     val current = hist.filter(_._5 == 1L).map(t => (t._1, t._2)).toSet
     assert(current == lww, "SCD2 current slice drifted from LWW")
   }
+
+  test("snapshot diff classifies added/deleted/changed and drops the unchanged majority") {
+    val log = Upsert.snapshotDiffLog(spark, sf)
+    val diff = Upsert.snapshotDiff(log, "id", "version", "op",
+        Seq("label"), vOld = 3L, vNew = 6L)
+      .collect().map(r => (r.getLong(0), r.getAs[String]("change"))).toMap
+    // every class is populated by the fixture
+    assert(diff.values.toSet == Set("added", "deleted", "changed"))
+    // late arrivals (+400000 re-keys, absent before v4) are added
+    assert(diff.filter(_._2 == "added").keySet.forall(_ >= 400000L))
+    // %5-not-%15 ids are deleted; %15 resurrections are changed
+    assert(diff(5L) == "deleted" && diff(10L) == "deleted")
+    assert(diff(15L) == "changed" && diff(30L) == "changed")
+    // an id no write touched after v3 must not appear at all
+    assert(!diff.contains(1L) && !diff.contains(2L))
+    // value semantics: diffing a state against itself is empty
+    assert(Upsert.snapshotDiff(log, "id", "version", "op",
+      Seq("label"), 6L, 6L).isEmpty)
+    // composition sanity: applying the diff classes to state(3)
+    // yields exactly state(6)'s key set
+    val s3 = Upsert.lastWriterWinsTombstone(
+        log.where(col("version") <= 3), "id", "version", "op")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s6 = Upsert.lastWriterWinsTombstone(
+        log.where(col("version") <= 6), "id", "version", "op")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val added = diff.filter(_._2 == "added").keySet
+    val deleted = diff.filter(_._2 == "deleted").keySet
+    assert((s3 ++ added -- deleted) == s6)
+  }
 }
