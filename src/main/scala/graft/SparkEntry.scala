@@ -141,6 +141,7 @@ object SparkEntry {
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_substring" -> (Dedup.duplicatedSpansQuery _),
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_embedding_cos" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
     "sim_brute_topk" -> ((s, d) =>
       Knn.topKExcludingSelf(emb(s, d), simQset(s, d), 10, Knn.Metric.Cosine)),
@@ -152,9 +153,11 @@ object SparkEntry {
     "corpus_stats" -> (TextOps.corpusStats _),
     "text_chunk" -> (TextOps.chunkQuery _),
     "chunk_pack" -> (TextOps.chunkPackQuery _),
+    "train_length_buckets" -> ((s, d) => TextOps.lengthBuckets(s, d)),
     "text_pii_redact" -> (TextOps.piiQuery _),
     "text_repetition" -> (TextOps.repetition _),
     "corpus_sample_split" -> (Sampling.sampleSplitQuery _),
+    "corpus_reservoir" -> ((s, d) => Sampling.reservoirQuery(s, d)),
     "export_shards" -> (Sampling.exportShardsQuery _),
     "corpus_weighted_sample" -> (Sampling.weightedSampleQuery _),
     "sketch_kmv_distinct" -> (Sketch.kmvQuery _),
@@ -250,6 +253,7 @@ object SparkEntry {
     "events_hopping" -> (Analytics.eventsHopping _),
     "events_anomaly" -> ((s, d) => Analytics.eventsAnomaly(s, d)),
     "events_anomaly_online" -> ((s, d) => Analytics.eventsAnomalyOnline(s, d)),
+    "events_changepoint" -> (Analytics.eventsChangepoint _),
     "text_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
     "text_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
     "text_surprisal" -> (TextOps.surprisal _),
@@ -1693,6 +1697,31 @@ object SparkEntry {
          |         FROM bk a JOIN bk b ON a.band = b.band
          |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |$jaccardVerify""".stripMargin,
+    // containment: candidates block on shared RARE shingles (df in
+    // [2, 20]); n/least and n/(c1+c2-n) are BIGINT-derived doubles,
+    // identical IEEE on both engines; threshold compares unrounded
+    "dedup_containment" ->
+      s"""WITH $shingleCte,
+         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
+         |rare AS (SELECT s FROM shx GROUP BY s
+         |         HAVING count(*) BETWEEN 2 AND 20),
+         |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |         FROM shx x JOIN shx y USING (s) JOIN rare USING (s)
+         |         WHERE x.doc_id < y.doc_id),
+         |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+         |            CAST(count(*) AS BIGINT) AS n
+         |          FROM shx x JOIN shx y
+         |            ON x.s = y.s AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT c.id1 AS id1, c.id2 AS id2, i.n AS n_shared,
+         |       round(i.n * 1.0 / least(c1.c, c2.c), 4) AS containment,
+         |       round(i.n * 1.0 / (c1.c + c2.c - i.n), 4) AS jaccard
+         |FROM cand c JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
+         |JOIN card c1 ON c.id1 = c1.doc_id
+         |JOIN card c2 ON c.id2 = c2.doc_id
+         |WHERE i.n * 1.0 / least(c1.c, c2.c) >= 0.8
+         |ORDER BY c.id1, c.id2""".stripMargin,
     // decontamination: split by the same md5 bucket rule as
     // corpus_sample_split (train < 'cccd' = 0.8), shared-shingle
     // counts against the EVAL side's shingle cardinality; n/c is
@@ -2121,6 +2150,21 @@ object SparkEntry {
         |            WHEN bucket < 'e666' THEN 'val'
         |            ELSE 'test' END AS split
         |FROM s ORDER BY doc_id""".stripMargin,
+    // deterministic reservoir: k smallest md5-hashes per stratum;
+    // the hash is reduced mod 2^50 (exact in the heap's double key)
+    // and ties break on doc_id — the rank window here is the MIRROR
+    // of the bounded TopKAgg heap, not the plan
+    "corpus_reservoir" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 1125899906842624 AS h50
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, h50,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY h50, doc_id) AS rk
+        |      FROM h)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h50
+        |FROM r WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
     // Poisson PPS sample (Sampling.weightedSample): p = min(1,
     // 150·w/W) with W an exact integer sum; u = md5-60-bit/2^60 —
     // +,·,/ only, so the keep decision replays bit-for-bit
@@ -2536,6 +2580,27 @@ object SparkEntry {
         |       min(start_tok) AS first_tok
         |FROM s GROUP BY doc_id, seq_id
         |ORDER BY doc_id, seq_id""".stripMargin,
+    // length-bucketed batching: cap = 2^ceil(log2 n) via INTEGER
+    // bin-length (length(bin(n-1)) — the shared floor-log2
+    // discipline), clamped to [16, 512]; batches of 8; the only
+    // double is the final waste ratio
+    "train_length_buckets" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT n,
+        |        least(512, greatest(16,
+        |          1::BIGINT << length(bin(greatest(n, 2) - 1)))) AS cap
+        |      FROM t),
+        |g AS (SELECT cap AS bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n) AS BIGINT) AS total_tokens
+        |      FROM c GROUP BY 1)
+        |SELECT bucket_cap, n_docs, total_tokens,
+        |       (n_docs + 7) // 8 AS n_batches,
+        |       ((n_docs + 7) // 8) * 8 * bucket_cap AS padded_slots,
+        |       round((((n_docs + 7) // 8) * 8 * bucket_cap - total_tokens)
+        |         * 1.0 / (((n_docs + 7) // 8) * 8 * bucket_cap), 4)
+        |         AS waste_pct
+        |FROM g ORDER BY bucket_cap""".stripMargin,
     // planted-PII corpus (corpusWithPii): counts via
     // regexp_extract_all length, redaction email→phone→ip with the
     // 'g' flag (Spark's regexp_replace is global by default)
@@ -3551,6 +3616,33 @@ object SparkEntry {
         |       FROM st WHERE nd >= 7 AND nd * s2 > s1 * s1)
         |SELECT event_type, day, n, zscore FROM zs
         |WHERE abs(zscore) >= 2.0 ORDER BY event_type, day""".stripMargin,
+    // changepoint: the argmax runs on the EXACT integer split score
+    // |nd·cum − t·tot| (HUGEINT in DuckDB, BIGINT in Spark — cast
+    // down before output); the two means are exact-integer divisions
+    "events_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |          AS t,
+        |        sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS UNBOUNDED PRECEDING) AS cum,
+        |        count(*) OVER (PARTITION BY event_type) AS nd,
+        |        sum(n) OVER (PARTITION BY event_type) AS tot
+        |      FROM daily),
+        |d AS (SELECT *, abs(nd*cum - t*tot) AS score FROM w WHERE t < nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY score DESC, day) AS rk
+        |      FROM d)
+        |SELECT event_type, day AS split_day,
+        |       CAST(t AS BIGINT) AS days_before,
+        |       CAST(nd - t AS BIGINT) AS days_after,
+        |       CAST(score AS BIGINT) AS score,
+        |       round(cum * 1.0 / t, 4) AS mean_before,
+        |       round((tot - cum) * 1.0 / (nd - t), 4) AS mean_after
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "text_tfidf_keywords" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |           FROM documents),

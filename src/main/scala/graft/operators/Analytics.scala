@@ -551,6 +551,54 @@ object Analytics {
       .orderBy("event_type", "day")
   }
 
+  /** CHANGEPOINT detection — the single most likely mean-shift day
+    * per event type, by the CUSUM split statistic (the offline form
+    * of what a drift monitor alerts on; the anomaly family flags
+    * single outlier DAYS, this finds the day the LEVEL moved).
+    *
+    * For daily counts x_1..x_nd with prefix sums cum_t, the split
+    * score at t is |mean_before − mean_after| weighted by the split
+    * sizes — equivalently |nd·cum_t − t·tot| (both engines compute it
+    * in EXACT integer arithmetic: nd ≤ days, cum ≤ total events, so
+    * the product sits far below 2^63). Ranking on the integer score
+    * with an earliest-day tiebreak makes the argmax bit-deterministic
+    * — no float comparison ever decides the winner; the two reported
+    * means are single exact-integer divisions rounded at 4dp.
+    *
+    * Scale shape: the same skeleton as [[eventsAnomaly]] — ONE
+    * map-side-partial daily reduction of the events table, then
+    * windows over the metadata-sized days×types frame. Nothing
+    * corpus-sized is windowed.
+    */
+  def eventsChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val byDay = byType.orderBy("day")
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .withColumn("t", row_number().over(byDay))
+      .withColumn("cum",
+        sum("n").over(byDay.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nd", count(lit(1)).over(byType))
+      .withColumn("tot", sum("n").over(byType))
+      // a split must leave both sides non-empty
+      .where(col("t") < col("nd"))
+      .withColumn("score", abs(col("nd") * col("cum") - col("t") * col("tot")))
+      .withColumn("rk", row_number().over(
+        byType.orderBy(col("score").desc, col("day"))))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("t").cast("long").as("days_before"),
+        (col("nd") - col("t")).cast("long").as("days_after"),
+        col("score"),
+        round(col("cum").cast("double") / col("t"), 4).as("mean_before"),
+        round((col("tot") - col("cum")).cast("double") / (col("nd") - col("t")),
+          4).as("mean_after"))
+      .orderBy("event_type")
+  }
+
   /** 30-minute-gap sessionization: lag → new-session flag → running
     * sum (the standard two-window formulation).
     */

@@ -1344,30 +1344,8 @@ object Ann {
     */
   private def publishTouchedCells(s: SparkSession, path: String,
                                   touched: Array[Long],
-                                  replacementRows: DataFrame): Unit = {
-    // materialize BEFORE the write: the replacement reads the same
-    // files dynamic overwrite will delete, so writing the lazy plan
-    // would re-scan vanished inputs mid-write (self-overwrite). The
-    // checkpoint is bounded by the touched cells' contents — the
-    // churn locality, not the index size.
-    val replacement = replacementRows.localCheckpoint(true)
-    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      replacement.write.mode("overwrite").partitionBy("cell").parquet(path)
-    } finally prevMode match {
-      case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    val written = replacement.select("cell").distinct().collect()
-      .map(_.getLong(0)).toSet
-    touched.filterNot(written).foreach { cell =>
-      val dir = new org.apache.hadoop.fs.Path(path, s"cell=$cell")
-      val fs = dir.getFileSystem(
-        s.sessionState.newHadoopConf())
-      fs.delete(dir, true)
-    }
-  }
+                                  replacementRows: DataFrame): Unit =
+    TablePublish.publishTouched(s, path, "cell", touched, replacementRows)
 
   /** Repair an index left inconsistent by a crash inside
     * [[publishTouchedCells]]'s window: any id present in more than

@@ -205,6 +205,69 @@ object Dedup {
     verifyJaccard(c, exC, minJaccard)
   }
 
+  /** ASYMMETRIC CONTAINMENT pairs — near-SUPERSET detection, the dup
+    * class symmetric jaccard is blind to: a document quoted whole
+    * inside a larger one (boilerplate wrap, syndication with added
+    * chrome, quote-the-post replies) shares nearly all of the SMALL
+    * side's shingles while jaccard |A∩B|/|A∪B| can sit far below any
+    * dedup bar. Containment |A∩B|/min(|A|,|B|) scores the small side's
+    * coverage directly (Broder's containment, the metric passage-level
+    * curation filters on).
+    *
+    * Blocking must also change: minhash bands estimate JACCARD, so a
+    * small-in-large pair rarely collides on any band — candidates here
+    * block on SHARED RARE SHINGLES (document frequency in [2, maxDf]):
+    * a contained doc shares every one of its shingles with its
+    * container, so any globally-rare shingle of the small side finds
+    * the pair; the df cap keeps stop-shingle buckets out (bucket pair
+    * expansion ≤ maxDf²/2) and the blocking-key cardinality — distinct
+    * rare shingles — grows with the corpus (§4 rule). Two corpus
+    * tokenizations (df reduction + candidate join — the sanctioned
+    * tf/df pattern, see [[graft.operators.TextOps]] tfidf); the
+    * containment verify then re-shingles ONLY candidate docs behind a
+    * semi-join, the [[verifyOnCandidates]] discipline.
+    */
+  def containmentPairs(s: SparkSession, dir: String,
+                       minContainment: Double = 0.8,
+                       maxDf: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val ex = shingleRows(docs)
+    val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2L, maxDf.toLong))
+      .select("s")
+    val cand = inBucketPairs(ex.join(rare, Seq("s")), Seq("s"),
+        struct(col("doc_id")))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+      .localCheckpoint(true)
+    val ids = cand.select(explode(array(col("id1"), col("id2"))).as("doc_id"))
+      .distinct()
+    // candidate-doc shingles are collision-sized, not corpus-sized —
+    // checkpoint them ONCE for the three verify consumers (x side, y
+    // side, cardinalities); without this each reference re-runs the
+    // semi-joined corpus tokenization (the BM25/checkpoint-the-small-
+    // frame rule)
+    val exC = shingleRows(docs.join(ids, Seq("doc_id"), "left_semi"))
+      .localCheckpoint(true)
+    val cardC = exC.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    cand
+      .join(exC.as("x"), col("id1") === col("x.doc_id"))
+      .join(exC.as("y"),
+        col("id2") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n"))
+      .join(cardC.select(col("doc_id").as("id1"), col("c").as("c1")), Seq("id1"))
+      .join(cardC.select(col("doc_id").as("id2"), col("c").as("c2")), Seq("id2"))
+      .withColumn("cont",
+        col("n").cast("double") / least(col("c1"), col("c2")))
+      .where(col("cont") >= minContainment)
+      .select(col("id1"), col("id2"), col("n").as("n_shared"),
+        round(col("cont"), 4).as("containment"),
+        round(col("n").cast("double") / (col("c1") + col("c2") - col("n")), 4)
+          .as("jaccard"))
+      .orderBy("id1", "id2")
+  }
+
   /** The INCREMENTAL batch: every doc_id%9==0 corpus doc re-enters
     * with one appended token (a high-jaccard near-dup) under
     * id+200000 — the arriving-data half of the incremental curation
@@ -261,9 +324,70 @@ object Dedup {
     * parquet — tiny next to the corpus (4 band rows per doc), cheap
     * to append. _SUCCESS is the publish marker, as for the IVF index.
     */
+  /** Doc-hash bucket count for the signature index layout — bounds
+    * the partition count; scales with the cluster, not correctness.
+    */
+  val SigIndexBuckets = 16
+
+  private def sigBucket(id: Column): Column =
+    pmod(graft.functions.Md5Prefix60(id.cast("string")),
+      lit(SigIndexBuckets.toLong))
+
   def buildSignatureIndex(corpus: DataFrame, path: String): Unit =
     minhashBandsFromRows(shingleRows(corpus))
-      .write.mode("overwrite").parquet(path)
+      .withColumn("bk", sigBucket(col("doc_id")))
+      .write.mode("overwrite").partitionBy("bk").parquet(path)
+
+  /** MAINTENANCE for the persisted signature index — the dedup
+    * structure joins the four maintained-structure families (11c IVF
+    * cells, 20k postings buckets, 31i z-order generations, 13n graph
+    * cells): the index partitions by a doc-hash bucket, so an
+    * arriving or deleted batch rewrites only the buckets its doc_ids
+    * hash into — never re-banding (or even re-reading) the rest of
+    * the corpus's signatures. Row REPLACEMENT semantics (surviving
+    * rows = bucket minus the batch's ids): re-delivering the same
+    * batch replaces its own rows, so redelivery is a no-op — the
+    * exactly-once-from-idempotence discipline every foreachBatch
+    * loop here leans on. Crash window + repair story =
+    * [[TablePublish.publishTouched]]; re-running the interrupted op
+    * finishes the job (replacement is deterministic).
+    */
+  def signatureIndexUpsert(s: SparkSession, path: String,
+                           batch: DataFrame): Unit = {
+    val rows = minhashBandsFromRows(shingleRows(batch))
+      .withColumn("bk", sigBucket(col("doc_id")))
+      .localCheckpoint(true)
+    val touched = rows.select(col("bk").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val survivors = s.read.parquet(path)
+      .where(col("bk").isin(touched.toIndexedSeq: _*))
+      .join(broadcast(rows.select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "c", "band", "band_key", "bk")
+    TablePublish.publishTouched(s, path, "bk", touched,
+      survivors.unionByName(
+        rows.select("doc_id", "c", "band", "band_key", "bk")))
+  }
+
+  /** Tombstone maintenance: drop the ids' band rows from their
+    * buckets only (the delete analog of [[signatureIndexUpsert]];
+    * emptied buckets are removed by the shared publish).
+    */
+  def signatureIndexDelete(s: SparkSession, path: String,
+                           ids: DataFrame): Unit = {
+    val del = ids.select(col("doc_id")).distinct()
+      .withColumn("bk", sigBucket(col("doc_id")))
+      .localCheckpoint(true)
+    val touched = del.select(col("bk").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val survivors = s.read.parquet(path)
+      .where(col("bk").isin(touched.toIndexedSeq: _*))
+      .join(broadcast(del.select("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id", "c", "band", "band_key", "bk")
+    TablePublish.publishTouched(s, path, "bk", touched, survivors)
+  }
 
   /** In-memory definitional twin (bands recomputed both sides) —
     * kept as the spec anchor for the indexed path.

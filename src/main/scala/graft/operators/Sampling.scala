@@ -125,6 +125,39 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** DETERMINISTIC RESERVOIR — exactly k docs per stratum, uniform
+    * over the stratum, as the k smallest md5 hashes (bottom-k
+    * sketch): the replayable form of reservoir sampling (a true
+    * reservoir's keep-set depends on arrival order; the k-smallest-
+    * hash set is a pure function of the ids, so it survives
+    * repartition, retry, and engine swap — and the SAME k docs come
+    * back when the query reruns, which is what an eval-set carve-out
+    * needs).
+    *
+    * Scale shape: the [[graft.operators.TopKAgg]] heap per stratum —
+    * ≤ k (key, id) pairs per partition per group shuffle (map-side
+    * partial), where the rank-window formulation shuffles and sorts
+    * the whole stratum through one partition. The hash is reduced
+    * mod 2^50 before the heap's double key so the key is EXACT in a
+    * double (2^50 < 2^53; a raw 60-bit hash could collapse two ids
+    * onto one double and let engines disagree on the boundary dock);
+    * ties break on doc_id in both engines.
+    */
+  def reservoirQuery(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val h50 = graft.functions.Md5Prefix60(col("doc_id").cast("string")) %
+      lit(1125899906842624L) // 2^50
+    val agg = TopKAgg.topK(k)
+    Tables.documents(s, dir)
+      .select(col("lang"), h50.cast("double").as("key"),
+        col("doc_id").as("id"))
+      .groupBy("lang")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("lang"), posexplode(col("top.items")).as(Seq("pos", "c")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("c.id").as("doc_id"), col("c.key").cast("long").as("h50"))
+      .orderBy("lang", "rk")
+  }
+
   /** EXPORT SHARDING — the last step of a training-data pipeline:
     * assign every document a shard id so each output shard carries
     * ~`budget` tokens, in a deterministic md5-dealt order (training

@@ -271,6 +271,52 @@ object TextOps {
   def chunkPackQuery(s: SparkSession, dir: String): DataFrame =
     chunkPack(Tables.documents(s, dir))
 
+  /** SEQUENCE-LENGTH BUCKETED BATCHING — the padding-efficiency
+    * report of a training dataloader: docs grouped into power-of-two
+    * length buckets (cap = 2^⌈log2 n_tokens⌉ clamped to [minCap,
+    * maxCap]), batches of `batchSize` sequences each padded to the
+    * bucket cap. The waste column is the fraction of padded slots
+    * holding padding rather than tokens — the number length bucketing
+    * exists to minimize (one global bucket pads everything to max
+    * length; per-length buckets fragment batches).
+    *
+    * The bucket cap is INTEGER log2 via `length(bin(n-1))` — the
+    * repo's floor-log2 discipline (see surprisal): ⌈log2 n⌉ =
+    * digits(bin(n−1)) for n ≥ 2, so no float log whose last ulp
+    * could flip a doc across a bucket boundary on one engine.
+    *
+    * Scale shape: one scan projection + one groupBy over ≤
+    * log2(maxCap) bucket values — all counts/sums map-side partial;
+    * there is deliberately NO per-doc batch assignment (that would be
+    * a window over a handful of giant bucket partitions — the
+    * skew-killer §4 bans); batch counts follow from ⌈n_docs/B⌉
+    * arithmetic on the aggregate.
+    */
+  def lengthBuckets(s: SparkSession, dir: String, batchSize: Int = 8,
+                    minCap: Int = 16, maxCap: Int = 512): DataFrame = {
+    val n = size(split(col("text"), " ")).cast("long")
+    // ⌈log2 n⌉ = length(bin(n−1)) for n ≥ 2; greatest() guards the
+    // n ≤ 1 degenerates away from bin(-1)'s 64-one string (the Scala
+    // shiftleft() overload takes only a literal count, so SQL form)
+    val capRaw = expr("shiftleft(1L, length(bin(greatest(n_tok, 2L) - 1L)))")
+    val cap = least(lit(maxCap.toLong), greatest(lit(minCap.toLong), capRaw))
+    val b = lit(batchSize.toLong)
+    Tables.documents(s, dir)
+      .select(n.as("n_tok"))
+      .select(cap.as("bucket_cap"), col("n_tok"))
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+      .withColumn("n_batches",
+        floor((col("n_docs") + b - lit(1L)) / b).cast("long"))
+      .withColumn("padded_slots", col("n_batches") * b * col("bucket_cap"))
+      .withColumn("waste_pct",
+        round((col("padded_slots") - col("total_tokens")).cast("double")
+          / col("padded_slots"), 4))
+      .select("bucket_cap", "n_docs", "total_tokens", "n_batches",
+        "padded_slots", "waste_pct")
+      .orderBy("bucket_cap")
+  }
+
   /** Per-language top-5 terms by document frequency — the term-stats
     * report of a corpus profile. Two-level aggregation: distinct
     * (lang, tok, doc) → df counts (partial-agg on a key whose

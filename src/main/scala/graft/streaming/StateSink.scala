@@ -27,8 +27,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StateSink {
 
-  /** (batchId, attempt, dir) for committed versions, oldest first. */
-  private def versionDirs(root: String): Seq[(Long, Long, String)] = {
+  /** (batchId, attempt, dir) for committed versions, oldest first.
+    * Package-visible: [[CdcStream]] reuses the same publish protocol.
+    */
+  private[streaming] def versionDirs(root: String): Seq[(Long, Long, String)] = {
     val p = Paths.get(root)
     if (!Files.isDirectory(p)) Seq.empty
     else {
@@ -51,7 +53,7 @@ object StateSink {
     }
   }
 
-  private def deleteTree(dir: String): Unit = {
+  private[streaming] def deleteTree(dir: String): Unit = {
     val stream = Files.walk(Paths.get(dir))
     try {
       stream.sorted(java.util.Comparator.reverseOrder[Path]())

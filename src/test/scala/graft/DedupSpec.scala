@@ -144,4 +144,40 @@ class DedupSpec extends SparkSuite {
         s"source $id lacks the full span")
     }
   }
+
+  test("signature index maintenance: upsert/delete ≡ rebuild, " +
+      "redelivery no-op, emptied buckets vanish") {
+    import java.nio.file._
+    def rows(p: String) = spark.read.parquet(p)
+      .select("doc_id", "c", "band", "band_key")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    val base = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val grown = Files.createTempDirectory(Paths.get("target"), "sigup")
+      .toAbsolutePath.toString
+    Dedup.buildSignatureIndex(base, grown)
+    Dedup.signatureIndexUpsert(spark, grown, batch)
+    val full = Files.createTempDirectory(Paths.get("target"), "sigfull")
+      .toAbsolutePath.toString
+    Dedup.buildSignatureIndex(docs, full)
+    assert(rows(grown) == rows(full), "upsert-grown != rebuilt")
+    // redelivery: the same batch replaces its own rows — a no-op
+    Dedup.signatureIndexUpsert(spark, grown, batch)
+    assert(rows(grown) == rows(full), "redelivery changed the index")
+    // delete the batch back out ≡ rebuild on the remaining corpus
+    Dedup.signatureIndexDelete(spark, grown, batch.select("doc_id"))
+    val rebuiltBase = Files.createTempDirectory(Paths.get("target"), "sigbase")
+      .toAbsolutePath.toString
+    Dedup.buildSignatureIndex(base, rebuiltBase)
+    assert(rows(grown) == rows(rebuiltBase), "post-delete != rebuild")
+    // deleting every remaining doc must delete the bucket DIRECTORIES
+    // (dynamic overwrite alone would leave stale emptied partitions)
+    Dedup.signatureIndexDelete(spark, grown, base.select("doc_id"))
+    val dirs = new java.io.File(grown).listFiles()
+      .filter(_.getName.startsWith("bk="))
+    assert(dirs.isEmpty,
+      s"emptied buckets survived: ${dirs.map(_.getName).toSeq}")
+  }
 }
