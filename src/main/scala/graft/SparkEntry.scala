@@ -272,6 +272,7 @@ object SparkEntry {
     "text_bm25_indexed" -> (Search.bm25IndexedQuery _),
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
     "search_mmr_rerank" -> (Search.mmrQuery _),
+    "search_ltr_rerank" -> ((s, d) => Search.ltrQuery(s, d)),
     "search_maxsim" -> (MaxSim.maxsimQuery _),
     "text_phrase_search" -> (Search.phraseSearchQuery _),
     "embed_mean_pool" -> (MaxSim.meanPoolQuery _),
@@ -1349,6 +1350,54 @@ object SparkEntry {
          |                  AS rk FROM g)
          |SELECT qid, rk, doc_id, rrf_score, bm25_rk, cos_rk FROM h
          |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // LTR fusion: integer-basis-point linear model over leg ranks +
+    // quality prior; score is exact BIGINT so the ordering is
+    // bit-deterministic (quality_bp = 4dp score ×10⁴, integral to
+    // one ulp before the round-then-cast)
+    "search_ltr_rerank" ->
+      s"""WITH $bm25Ctes,
+         |b AS (SELECT qid, doc_id, rk FROM r WHERE rk <= 20),
+         |qe AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < 5),
+         |cd AS (SELECT qe.qid, e.vec_id AS doc_id,
+         |              list_cosine_similarity(e.embedding::DOUBLE[], qe.qv)
+         |                AS s
+         |       FROM embeddings e CROSS JOIN qe),
+         |cr AS (SELECT qid, doc_id,
+         |              row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY s DESC, doc_id) AS rk
+         |       FROM cd),
+         |c20 AS (SELECT qid, doc_id, rk FROM cr WHERE rk <= 20),
+         |qs AS (SELECT doc_id, len(toks) AS n_tokens,
+         |         len(list_filter(toks,
+         |           t -> t IN ('the','a','and','of','to','in','is')))
+         |           *1.0/len(toks) AS sw,
+         |         1.0 - len(list_distinct(toks))*1.0/len(toks) AS rep
+         |       FROM d),
+         |qb AS (SELECT doc_id, CAST(round(round((least(n_tokens/50.0, 1.0)
+         |         + CASE WHEN sw BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END
+         |         + (1.0 - least(rep/0.9, 1.0))) / 3.0, 4) * 10000)
+         |         AS BIGINT) AS q_bp
+         |       FROM qs),
+         |f AS (SELECT coalesce(b.qid, c20.qid) AS qid,
+         |             coalesce(b.doc_id, c20.doc_id) AS doc_id,
+         |             b.rk AS brk, c20.rk AS crk
+         |      FROM b FULL OUTER JOIN c20
+         |        ON b.qid = c20.qid AND b.doc_id = c20.doc_id),
+         |g AS (SELECT f.qid, f.doc_id,
+         |             300*(21 - coalesce(brk, 21))
+         |               + 300*(21 - coalesce(crk, 21))
+         |               + coalesce(q_bp, 0) AS score_bp,
+         |             coalesce(brk, 0) AS bm25_rk,
+         |             coalesce(crk, 0) AS cos_rk,
+         |             coalesce(q_bp, 0) AS quality_bp
+         |      FROM f LEFT JOIN qb ON f.doc_id = qb.doc_id),
+         |h AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |                                   ORDER BY score_bp DESC, doc_id)
+         |                  AS rk FROM g)
+         |SELECT qid, rk, doc_id, CAST(score_bp AS BIGINT) AS score_bp,
+         |       bm25_rk, cos_rk, CAST(quality_bp AS BIGINT) AS quality_bp
+         |FROM h WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // phrase search: anchor = pos − i collapses the m-way positional
     // self-join into one join + one (doc, anchor) aggregate
     "text_phrase_search" ->
@@ -1698,14 +1747,14 @@ object SparkEntry {
          |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |$jaccardVerify""".stripMargin,
     // containment: candidates block on shared RARE shingles (df in
-    // [2, 20]); n/least and n/(c1+c2-n) are BIGINT-derived doubles,
+    // [2, 8]); n/least and n/(c1+c2-n) are BIGINT-derived doubles,
     // identical IEEE on both engines; threshold compares unrounded
     "dedup_containment" ->
       s"""WITH $shingleCte,
          |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
          |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
          |rare AS (SELECT s FROM shx GROUP BY s
-         |         HAVING count(*) BETWEEN 2 AND 20),
+         |         HAVING count(*) BETWEEN 2 AND 8),
          |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
          |         FROM shx x JOIN shx y USING (s) JOIN rare USING (s)
          |         WHERE x.doc_id < y.doc_id),

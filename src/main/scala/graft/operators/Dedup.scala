@@ -229,7 +229,7 @@ object Dedup {
     */
   def containmentPairs(s: SparkSession, dir: String,
                        minContainment: Double = 0.8,
-                       maxDf: Int = 20): DataFrame = {
+                       maxDf: Int = 8): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     val ex = shingleRows(docs)
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))

@@ -622,6 +622,54 @@ object Search {
       .orderBy("qid", "rk")
   }
 
+  /** LEARNING-TO-RANK fusion — the third rerank layer beside RRF
+    * (rank-reciprocal) and MMR (diversity): a LINEAR MODEL over
+    * shortlist features, which is what production rankers actually
+    * deploy between retrieval and any cross-encoder. Features here:
+    * both legs' ranks (as top-inverted points, absent leg = 0) and a
+    * document-quality prior; weights are INTEGER BASIS POINTS (the
+    * quality_classifier discipline — no float weight whose last ulp
+    * could flip adjacent docs), so the fused score is an exact BIGINT
+    * and the final ordering is bit-deterministic on any engine.
+    * Trained weights swap in as literals.
+    *
+    * Cost shape: both legs are the proven bounded searches (indexed
+    * BM25 + heap kNN, ≤20 rows/query each), the quality prior joins
+    * doc-keyed, and the fusion window orders ≤40 rows per query —
+    * corpus touched exactly twice (once per leg), like the RRF form.
+    */
+  def ltrQuery(s: SparkSession, dir: String,
+               wLex: Long = 300L, wVec: Long = 300L): DataFrame = {
+    val bm = bm25SearchIndexed(s, indexFor(s, dir), fixedQueries(s), 20)
+      .select(col("qid"), col("doc_id"), col("rk").as("brk"))
+    val qv = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cos = Knn.topK(corpus, qv, 20, Knn.Metric.Cosine)
+      .select(col("qid"), col("nn_id").as("doc_id"), col("rk").as("crk"))
+    // quality prior in basis points: the 4dp score ×10⁴ is integral
+    // up to one double ulp, so the round-then-cast is exact
+    val qual = graft.operators.TextOps.quality(s, dir)
+      .select(col("doc_id"),
+        round(col("quality_score") * 10000).cast("long").as("q_bp"))
+    val fused = bm.join(cos, Seq("qid", "doc_id"), "full_outer")
+      .join(qual, Seq("doc_id"), "left")
+      .withColumn("score_bp",
+        lit(wLex) * (lit(21L) - coalesce(col("brk").cast("long"), lit(21L))) +
+          lit(wVec) * (lit(21L) - coalesce(col("crk").cast("long"), lit(21L))) +
+          coalesce(col("q_bp"), lit(0L)))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score_bp").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("doc_id"), col("score_bp"),
+        coalesce(col("brk"), lit(0)).as("bm25_rk"),
+        coalesce(col("crk"), lit(0)).as("cos_rk"),
+        coalesce(col("q_bp"), lit(0L)).as("quality_bp"))
+      .orderBy("qid", "rk")
+  }
+
   // ------------------------------------------------------ phrase search
 
   /** EXACT PHRASE search — the positional query BM25's bag-of-words
