@@ -175,6 +175,7 @@ object SparkEntry {
     "train_triplets" -> (Triplets.tripletsQuery _),
     "train_triplets_hard" -> (Triplets.tripletsHardQuery _),
     "decontam_overlap" -> (Decontam.contaminationQuery _),
+    "decontam_semantic" -> ((s, d) => Decontam.semantic(s, d)),
     "events_funnel" -> (Analytics.eventsFunnel _),
     "vdb_knn_filtered_in" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
@@ -2068,6 +2069,47 @@ object SparkEntry {
         |WHERE list_cosine_similarity(x.embedding::DOUBLE[],
         |                             y.embedding::DOUBLE[]) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+    // semantic decontam: cross-split LSH bucket mates -> exact cosine
+    // -> per-eval argmax by (cosine DESC, train_id) — the mirror's
+    // row_number replays the max_by(struct(c, -train_id)) ordering
+    "decontam_semantic" ->
+      """WITH hpw AS (
+        |  SELECT t, p, d,
+        |    ((CAST('0x' || substr(md5(CAST(t AS VARCHAR) || '|' ||
+        |        CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 8)
+        |        AS BIGINT) & 2147483647) / 2147483647.0 * 2.0 - 1.0) AS w
+        |  FROM range(4) r1(t) CROSS JOIN range(4) r2(p)
+        |       CROSS JOIN range(64) r3(d)),
+        |hp AS (SELECT t, p, list(w ORDER BY d) AS wv FROM hpw GROUP BY t, p),
+        |sp AS (SELECT vec_id,
+        |         CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)
+        |                   < 'cccd'
+        |              THEN 'train' ELSE 'eval' END AS split
+        |       FROM embeddings),
+        |dots AS (SELECT e.vec_id, hp.t, hp.p,
+        |           list_inner_product(e.embedding::DOUBLE[], hp.wv) AS dp
+        |         FROM embeddings e CROSS JOIN hp),
+        |sg AS (SELECT vec_id, t,
+        |         sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS sig
+        |       FROM dots GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT q.vec_id AS eval_id, t2.vec_id AS train_id
+        |         FROM sg q JOIN sg t2 ON q.t = t2.t AND q.sig = t2.sig
+        |         JOIN sp sq ON q.vec_id = sq.vec_id
+        |         JOIN sp st ON t2.vec_id = st.vec_id
+        |         WHERE sq.split = 'eval' AND st.split = 'train'),
+        |scored AS (SELECT c.eval_id, c.train_id,
+        |             list_cosine_similarity(x.embedding::DOUBLE[],
+        |                                    y.embedding::DOUBLE[]) AS cs
+        |           FROM cand c JOIN embeddings x ON c.eval_id = x.vec_id
+        |           JOIN embeddings y ON c.train_id = y.vec_id
+        |           WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+        |                                        y.embedding::DOUBLE[])
+        |                   >= 0.35),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY eval_id
+        |        ORDER BY cs DESC, train_id) AS rk
+        |      FROM scored)
+        |SELECT eval_id, train_id, round(cs, 4) AS cosine
+        |FROM r WHERE rk = 1 ORDER BY eval_id""".stripMargin,
     "sim_brute_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id % 50 = 0),

@@ -67,4 +67,48 @@ object Decontam {
     */
   def contaminationQuery(s: SparkSession, dir: String): DataFrame =
     contamination(Dedup.corpusWithExactDups(s, dir))
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * shingle scan: paraphrased or reworded benchmark items share no
+    * 3-grams with their training copy, but their embeddings sit at
+    * high cosine. Flag each eval item's most-similar train item above
+    * a cosine bar (the published pipelines run exactly this pass
+    * beside n-gram overlap).
+    *
+    * Scale shape: the eval side can be a large fraction of the corpus
+    * — NOT broadcastable — so candidates come from cross-split
+    * sign-LSH bucket mates (an equi-join on (table, sig), the
+    * [[Dedup.embeddingCosinePairs]] blocking; bucket count grows with
+    * `bits`, never an eval × train expansion), exact cosine verifies,
+    * and the per-eval argmax is a max_by aggregate over candidate
+    * rows (candidate-sized, no window over either split). The argmax
+    * orders by (cosine, −train_id), so ties break on the lowest
+    * train id deterministically on both engines.
+    */
+  def semantic(s: SparkSession, dir: String, minCos: Double = 0.35,
+               trainFrac: Double = 0.8): DataFrame = {
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val sp = Sampling.split(e, "vec_id", trainFrac, 0.0)
+    def sigs(side: DataFrame) =
+      Ann.lshSignatures(side, "embedding", "vec_id")
+    val ts = sigs(sp.where(col("split") === "train"))
+    val es = sigs(sp.where(col("split") =!= "train"))
+    val cand = es.as("q").join(ts.as("t"), Seq("table", "sig"))
+      .select(col("q.id").as("eval_id"), col("t.id").as("train_id"))
+      .distinct()
+    cand
+      .join(e.as("x"), col("eval_id") === col("x.vec_id"))
+      .join(e.as("y"), col("train_id") === col("y.vec_id"))
+      .select(col("eval_id"), col("train_id"),
+        graft.functions.VectorDistance
+          .cosine(col("x.embedding"), col("y.embedding")).as("c"))
+      .where(col("c") >= minCos)
+      .groupBy("eval_id")
+      .agg(max_by(struct(col("c"), col("train_id")),
+        struct(col("c"), (-col("train_id")).as("nt"))).as("w"))
+      .select(col("eval_id"), col("w.train_id").as("train_id"),
+        round(col("w.c"), 4).as("cosine"))
+      .orderBy("eval_id")
+  }
 }
