@@ -53,6 +53,11 @@ object Multimodal {
     docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
+        // ImageIO defaults to a DISK-backed stream cache — one temp
+        // file created and deleted per image; in-memory streams for
+        // KB-sized fixtures make the codec CPU-bound (per-partition
+        // setting, same JVM-global flag both codec seams set)
+        javax.imageio.ImageIO.setUseCache(false)
         val baos = new java.io.ByteArrayOutputStream()
         rows.map { case (id, text) =>
           val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
@@ -81,6 +86,7 @@ object Multimodal {
     */
   private def decodePartition(rows: Iterator[(Long, Array[Byte])]): Iterator[DecodedMedia] = {
     // decoder-side state inits ONCE per partition, before the batch loop
+    javax.imageio.ImageIO.setUseCache(false) // in-memory streams (see encoder)
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.map { case (id, bytes) =>
       val img = try javax.imageio.ImageIO.read(
