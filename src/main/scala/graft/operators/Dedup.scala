@@ -229,8 +229,12 @@ object Dedup {
     */
   def containmentPairs(s: SparkSession, dir: String,
                        minContainment: Double = 0.8,
-                       maxDf: Int = 8): DataFrame = {
-    val docs = Tables.documents(s, dir).select("doc_id", "text")
+                       maxDf: Int = 8): DataFrame =
+    containmentPairsOn(Tables.documents(s, dir).select("doc_id", "text"),
+      minContainment, maxDf)
+
+  def containmentPairsOn(docs: DataFrame, minContainment: Double,
+                         maxDf: Int): DataFrame = {
     val ex = shingleRows(docs)
     val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df").between(2L, maxDf.toLong))

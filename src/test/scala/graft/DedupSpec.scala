@@ -145,6 +145,29 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("containment catches a true subset that sits below the jaccard bar") {
+    import spark.implicits._
+    // A's 10 tokens appear verbatim inside B's 40: containment = 1.0
+    // while jaccard ≈ 8/38 ≈ 0.21 — the near-superset class minhash
+    // pair mining (bar 0.5) never surfaces
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val wrap = (1 to 15).map(i => s"pre$i").mkString(" ") + " " + passage +
+      " " + (1 to 15).map(i => s"post$i").mkString(" ")
+    val noise = (1 to 3).map(i =>
+      ((100 + i).toLong, (1 to 30).map(j => s"n${i}x$j").mkString(" ")))
+    val corpus = (Seq((1L, passage), (2L, wrap)) ++ noise)
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairsOn(corpus, 0.8, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 1, s"expected exactly the planted pair, got ${got.toSeq}")
+    val (id1, id2, cont, j) = got.head
+    assert((id1, id2) == (1L, 2L))
+    assert(cont == 1.0, s"containment $cont != 1.0")
+    // below the near-dup verify bar (0.5): the jaccard pipeline would
+    // have filtered this pair even if a band had collided
+    assert(j < 0.5, s"jaccard $j not below the near-dup bar — test corpus bad")
+  }
+
   test("signature index maintenance: upsert/delete ≡ rebuild, " +
       "redelivery no-op, emptied buckets vanish") {
     import java.nio.file._
