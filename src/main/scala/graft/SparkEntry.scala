@@ -109,6 +109,8 @@ object SparkEntry {
     "embed_cluster_stats" -> (Ann.clusterStats _),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
+    "search_ndcg" -> (Ann.ndcgReport _),
+    "embed_rp_knn" -> (Ann.rpKnnQuery _),
     "vdb_knn_mrl" -> ((s, d) => Knn.mrlSearch(emb(s, d), qset(s, d), 10)),
     "ann_ivf_mrl" -> (Ann.ivfMrlQuery _),
     "events_json_props" -> (Analytics.eventsJsonProps _),
@@ -138,6 +140,7 @@ object SparkEntry {
     "dedup_simhash60_pairs" -> ((s, d) => Dedup.simhashPairsWide(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "dedup_canonical" -> ((s, d) => Dedup.canonicalMap(s, d)),
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_substring" -> (Dedup.duplicatedSpansQuery _),
@@ -177,6 +180,9 @@ object SparkEntry {
     "decontam_overlap" -> (Decontam.contaminationQuery _),
     "decontam_semantic" -> ((s, d) => Decontam.semantic(s, d)),
     "events_funnel" -> (Analytics.eventsFunnel _),
+    "events_pattern_match" -> (Sequence.patternMatch _),
+    "events_cooccurrence" -> ((s, d) => Sequence.cooccurrence(s, d)),
+    "part_pareto" -> ((s, d) => Sequence.partPareto(s, d)),
     "vdb_knn_filtered_in" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label").isin(2, 4, 6))),
@@ -1005,6 +1011,67 @@ object SparkEntry {
          |      GROUP BY 1)
          |SELECT qid, hits, round(hits / 10.0, 4) AS recall
          |FROM h ORDER BY qid""".stripMargin,
+    // nDCG@10 of the IVF path: graded relevance 11−rank from the
+    // exact cosine top-10, discounted by log2(rank+1) over the
+    // system's own ordering; idcg from the exact list's own ranks
+    "search_ndcg" ->
+      s"""WITH $ivfCtes,
+         |sc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv)
+         |         AS s
+         |       FROM af a JOIN pr ON a.cell = pr.cell
+         |       JOIN q ON pr.qid = q.qid),
+         |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+         |        ORDER BY s DESC, id) AS rk
+         |      FROM sc WHERE s IS NOT NULL),
+         |sys AS (SELECT qid, id, rk FROM r WHERE rk <= 10),
+         |bd AS (SELECT q.qid, e2.id, list_cosine_similarity(e2.v, q.qv)
+         |         AS s
+         |       FROM e e2 CROSS JOIN q),
+         |br AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+         |         ORDER BY s DESC, id) AS rk
+         |       FROM bd WHERE s IS NOT NULL),
+         |ex AS (SELECT qid, id, rk, 11 - rk AS rel FROM br WHERE rk <= 10),
+         |d AS (SELECT s.qid,
+         |        sum(coalesce(ex.rel, 0) * 1.0 / log2(s.rk + 1)) AS dcg
+         |      FROM sys s LEFT JOIN ex ON s.qid = ex.qid AND s.id = ex.id
+         |      GROUP BY 1),
+         |i AS (SELECT qid, sum(rel * 1.0 / log2(rk + 1)) AS idcg
+         |      FROM ex GROUP BY 1)
+         |SELECT d.qid, round(d.dcg, 4) AS dcg, round(i.idcg, 4) AS idcg,
+         |       round(d.dcg / i.idcg, 4) AS ndcg
+         |FROM d JOIN i ON d.qid = i.qid ORDER BY d.qid""".stripMargin,
+    // random-projection kNN: fixed ±1 matrix from md5("j|i") (the
+    // sign-LSH weight discipline), top-50 by projected L2, exact
+    // cosine rerank to 10
+    "embed_rp_knn" ->
+      """WITH sg AS (SELECT j, i,
+        |       CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) ||
+        |              '|' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+        |              % 2 = 0
+        |            THEN 1.0 ELSE -1.0 END AS w
+        |     FROM range(16) a(j) CROSS JOIN range(64) b(i)),
+        |sm AS (SELECT j, list(w ORDER BY i) AS wv FROM sg GROUP BY j),
+        |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |      FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |ep AS (SELECT id, list(list_inner_product(v, wv) ORDER BY j)
+        |         AS pv
+        |       FROM e CROSS JOIN sm GROUP BY id, v),
+        |qp AS (SELECT qid, list(list_inner_product(qv, wv) ORDER BY j)
+        |         AS pv
+        |       FROM q CROSS JOIN sm GROUP BY qid, qv),
+        |cand AS (SELECT qid, id FROM (
+        |    SELECT qp.qid, ep.id, row_number() OVER (PARTITION BY qp.qid
+        |      ORDER BY list_distance(ep.pv, qp.pv), ep.id) AS rn
+        |    FROM ep CROSS JOIN qp) WHERE rn <= 100),
+        |rr AS (SELECT c.qid, c.id, list_cosine_similarity(e.v, q.qv) AS s
+        |       FROM cand c JOIN e ON c.id = e.id JOIN q ON c.qid = q.qid),
+        |rk AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+        |         ORDER BY s DESC, id) AS rk
+        |       FROM rr WHERE s IS NOT NULL)
+        |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // MRL prefix-dim search: cosine over the first 16 dims shortlists
     // 40, exact full-dim cosine reranks to 10 (DuckDB list slice
     // v[1:16] = Spark slice(vec, 1, 16))
@@ -1871,6 +1938,73 @@ object SparkEntry {
         |SELECT CAST(stage AS BIGINT) AS stage, name,
         |       CAST(count(*) AS BIGINT) AS users
         |FROM u GROUP BY 1, 2 ORDER BY stage""".stripMargin,
+    // ordered-sequence pattern (view → click → purchase, each stage
+    // within 86400s of its predecessor): running RANGE-window maxima
+    // mirror the Spark formulation stage for stage; timestamp
+    // comparisons are exact (interval arithmetic, no epoch
+    // truncation), and RANGE frames keep same-ts ties order-blind
+    "events_pattern_match" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events
+        |            WHERE event_type IN ('view', 'click', 'purchase')),
+        |m AS (SELECT user_id, event_type, ts,
+        |        max(CASE WHEN event_type = 'view' THEN ts END)
+        |          OVER (PARTITION BY user_id ORDER BY ts
+        |                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS v_run
+        |      FROM ev),
+        |c AS (SELECT user_id, event_type, ts,
+        |        max(CASE WHEN event_type = 'click' AND v_run IS NOT NULL
+        |              AND ts <= v_run + INTERVAL 86400 SECOND THEN ts END)
+        |          OVER (PARTITION BY user_id ORDER BY ts
+        |                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS c_run
+        |      FROM m),
+        |h AS (SELECT user_id, ts,
+        |        (event_type = 'purchase' AND c_run IS NOT NULL
+        |         AND ts <= c_run + INTERVAL 86400 SECOND) AS hit
+        |      FROM c)
+        |SELECT user_id,
+        |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_matches,
+        |       min(CASE WHEN hit THEN ts END) AS first_match_ts,
+        |       max(CASE WHEN hit THEN ts END) AS last_match_ts
+        |FROM h GROUP BY 1
+        |HAVING sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0
+        |ORDER BY user_id""".stripMargin,
+    // event-type co-occurrence PMI over user-day incidence: pairs
+    // expand only within a user-day; marginals and the total are
+    // aggregate-sized
+    "events_cooccurrence" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        |              event_type
+        |            FROM events),
+        |tot AS (SELECT count(*) AS n_days FROM
+        |          (SELECT DISTINCT user_id, day FROM ud)),
+        |mg AS (SELECT event_type, count(*) AS n_type FROM ud GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        count(*) AS n_both
+        |      FROM ud a JOIN ud b ON a.user_id = b.user_id
+        |        AND a.day = b.day AND a.event_type < b.event_type
+        |      GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+        |       round(log2(p.n_both * 1.0 * t.n_days
+        |         / (ma.n_type * 1.0 * mb.n_type)), 4) AS pmi
+        |FROM p JOIN mg ma ON p.type_a = ma.event_type
+        |JOIN mg mb ON p.type_b = mb.event_type
+        |CROSS JOIN tot t ORDER BY type_a, type_b""".stripMargin,
+    // 2-D Pareto frontier: the NOT EXISTS dominance definition — the
+    // Spark side's banded order-statistics formulation must agree
+    // with the quadratic ground truth exactly
+    "part_pareto" ->
+      """SELECT p.p_partkey, p.p_retailprice,
+        |       CAST(p.p_size AS BIGINT) AS p_size
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |         OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
     // triplets: positives = the verified near-dup pairs (both
     // orientations); negative = arg-min md5(anchor|cand) over the
     // anchor's md5-batch mates, minus itself and its direct pairs —
@@ -1948,6 +2082,40 @@ object SparkEntry {
          |$closureCte
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // canonical selection: per cluster (singletons are their own
+    // cluster) keep the max-quality member, ties to the lowest
+    // doc_id; NULL-text quality ranks below every real score via the
+    // same coalesce(q, -1) sentinel as the Spark side
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $bandCte,
+         |$verifiedPairsCte,
+         |$closureCte,
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id
+         |        FROM reach GROUP BY id),
+         |mem AS (SELECT d.doc_id,
+         |          coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         |tq AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |       FROM documents),
+         |qm AS (SELECT doc_id, coalesce(round((
+         |          least(len(toks)/50.0, 1.0)
+         |          + CASE WHEN len(list_filter(toks,
+         |              t -> t IN ('the','a','and','of','to','in','is')))
+         |              *1.0/len(toks) BETWEEN 0.01 AND 0.6
+         |            THEN 1.0 ELSE 0.0 END
+         |          + (1.0 - least((1.0 - len(list_distinct(toks))
+         |              *1.0/len(toks))/0.9, 1.0))) / 3.0, 4), -1.0) AS q
+         |       FROM tq),
+         |rep AS (SELECT m.cluster_id, m.doc_id,
+         |          row_number() OVER (PARTITION BY m.cluster_id
+         |            ORDER BY qm.q DESC, m.doc_id) AS rn
+         |        FROM mem m JOIN qm ON m.doc_id = qm.doc_id),
+         |can AS (SELECT cluster_id, doc_id AS canonical_id
+         |        FROM rep WHERE rn = 1)
+         |SELECT m.doc_id, m.cluster_id, c.canonical_id,
+         |       (m.doc_id = c.canonical_id) AS is_kept
+         |FROM mem m JOIN can c ON m.cluster_id = c.cluster_id
+         |ORDER BY m.doc_id""".stripMargin,
     // cross-source near-dup overlap: verified pairs joined to each
     // side's source, counted per unordered source pair
     "dedup_source_overlap" ->

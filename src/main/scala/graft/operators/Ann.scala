@@ -1690,4 +1690,116 @@ object Ann {
         col("qid"), col("rk"), col("nn_id"), col("score")))
       .orderBy("pred", "qid", "rk")
   }
+
+  // ------------------------------------------------- ranking evaluation
+
+  /** nDCG@10 of the IVF probe path against exact cosine ground truth
+    * — the GRADED companion to [[ivfRecallReport]]: recall treats
+    * rank 1 and rank 10 alike, nDCG charges an approximate index for
+    * returning the right neighbors in the wrong order. Relevance of
+    * the exact rank-r neighbor is (11−r); DCG discounts by
+    * log2(rank+1) over the system's own ordering; a system hit
+    * outside the exact top-10 contributes 0.
+    *
+    * Both legs are the already-bounded search outputs (Q×k rows), so
+    * the whole report is joins and aggregates on query-batch-sized
+    * frames — evaluation never rescans the corpus beyond the two
+    * searches themselves.
+    */
+  def ndcgReport(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Knn.topK(e, q, 10, Knn.Metric.Cosine)
+      .select(col("qid"), col("rk"), col("nn_id"),
+        (lit(11L) - col("rk")).as("rel"))
+    val idcg = exact.groupBy("qid")
+      .agg(sum(col("rel").cast("double") / log2(col("rk") + 1))
+        .as("idcg"))
+    val dcg = ivfQuery(s, dir).select(col("qid"), col("rk"), col("nn_id"))
+      .join(exact.select("qid", "nn_id", "rel"), Seq("qid", "nn_id"),
+        "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("rel"), lit(0L)).cast("double")
+        / log2(col("rk") + 1)).as("dcg"))
+    dcg.join(idcg, "qid")
+      .select(col("qid"), round(col("dcg"), 4).as("dcg"),
+        round(col("idcg"), 4).as("idcg"),
+        round(col("dcg") / col("idcg"), 4).as("ndcg"))
+      .orderBy("qid")
+  }
+
+  // --------------------------------------------- random projection kNN
+
+  /** Projected dimensionality for [[rpKnnQuery]]. */
+  val RpDims = 16
+
+  /** RP candidate depth before the exact rerank. 100 (not 50): the
+    * driver's embeddings are near-isotropic, the hardest case for a
+    * 16-dim JL sketch — candidate depth, not projected dimensionality,
+    * buys recall there (measured 0.46 @ 50 cand vs 0.72 @ 100 on the
+    * sf0.001 slice; 32 dims at the same depth bought only +0.02).
+    */
+  val RpCand = 100
+
+  /** Deterministic ±1 projection matrix: sign(j,i) from the md5
+    * prefix of "j|i" — the same hash-derived-weights discipline as
+    * the sign-LSH tables, so the DuckDB mirror regenerates the
+    * identical matrix from the identical strings.
+    */
+  private[graft] def rpSigns: Array[Array[Double]] =
+    Array.tabulate(RpDims, 64)((j, i) =>
+      if (graft.functions.HashUtils
+        .md5Prefix60(s"$j|$i".getBytes("UTF-8")) % 2 == 0) 1.0 else -1.0)
+
+  /** RANDOM-PROJECTION kNN: Johnson–Lindenstrauss-style dimension
+    * reduction as the candidate generator — project corpus and
+    * queries to [[RpDims]] dims through the fixed ±1 matrix, take the
+    * top-[[RpCand]] by L2 in the projected space, rerank those
+    * exactly by cosine on the original vectors.
+    *
+    * vs sign-LSH (bucket collision): RP keeps a RANKED candidate
+    * space, so recall degrades gracefully instead of cliff-dropping
+    * when a neighbor misses every bucket. The projection is a
+    * per-row map over codegen'd dot kernels against broadcast
+    * literal rows (no shuffle, no UDF); the candidate stage is the
+    * standard bounded heap (Q×[[RpCand]] rows), and the rerank is a
+    * candidate-sized join — corpus work is one projected scan,
+    * exactly the IVF probe cost model with a 4× narrower vector.
+    */
+  def rpKnnQuery(s: SparkSession, dir: String): DataFrame = {
+    val signs = rpSigns
+    def proj(v: org.apache.spark.sql.Column) =
+      array((0 until RpDims).map(j =>
+        VectorDistance.dot(v, typedLit(signs(j).toSeq))): _*)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cand = Knn.topK(
+        e.select(col("id"), proj(col("vec")).as("vec")),
+        q.select(col("qid"), proj(col("qvec")).as("qvec")),
+        RpCand, Knn.Metric.L2)
+      .select("qid", "nn_id")
+    // exact cosine rerank over the Q×RpCand candidate set — the
+    // window partitions are candidate-sized, never corpus-sized
+    val rer = cand
+      .join(e.select(col("id").as("nn_id"), col("vec")), "nn_id")
+      .join(broadcast(q), "qid")
+      .withColumn("s", {
+        val denom = sqrt(VectorDistance.dot(col("vec"), col("vec"))) *
+          sqrt(VectorDistance.dot(col("qvec"), col("qvec")))
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(VectorDistance.dot(col("vec"), col("qvec")) / denom)
+      })
+      .where(col("s").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("s").desc, col("nn_id"))
+    rer.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("nn_id"),
+        round(col("s"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
 }

@@ -897,4 +897,37 @@ object Dedup {
     */
   def duplicatedSpansQuery(s: SparkSession, dir: String): DataFrame =
     duplicatedSpans(corpusWithExactDups(s, dir))
+
+  /** CANONICAL SELECTION — the keep/drop decision a dedup pipeline
+    * actually ships: per near-dup cluster, keep the highest-quality
+    * member (ties → lowest doc_id) and map every other member to it.
+    * Singletons (docs in no cluster) are their own canonical.
+    *
+    * The representative is an argmax aggregate over the memoized
+    * cluster fixpoint joined to the quality scores — `max(struct(q,
+    * -doc_id))` per cluster, so no per-cluster sort window; the
+    * aggregate and the join back to members both key on cluster_id
+    * (cluster-count-sized, corpus-bounded). A NULL quality (NULL
+    * text) ranks below every real score via coalesce(q, -1) — the
+    * oracle mirrors the same sentinel.
+    */
+  def canonicalMap(s: SparkSession, dir: String,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val members = Tables.documents(s, dir).select("doc_id")
+      .join(nearDupClustersUnsorted(s, dir, minJaccard), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val scored = members.join(
+      TextOps.qualityMetrics(s, dir).select(col("doc_id"),
+        coalesce(col("quality_score"), lit(-1.0)).as("q")),
+      "doc_id")
+    val reps = scored.groupBy("cluster_id")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("cluster_id"), (-col("m.neg_id")).as("canonical_id"))
+    members.join(reps, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_kept"))
+      .orderBy("doc_id")
+  }
 }

@@ -203,4 +203,31 @@ class DedupSpec extends SparkSuite {
     assert(dirs.isEmpty,
       s"emptied buckets survived: ${dirs.map(_.getName).toSeq}")
   }
+
+  test("canonical: one keeper per cluster, keeper is the best member") {
+    val out = Dedup.canonicalMap(spark, sf).collect()
+    assert(out.length > 0)
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      val members = rows.map(_.getLong(0)).toSet
+      val canon = rows.map(_.getLong(2)).toSet
+      assert(canon.size === 1, s"cluster $cid has ${canon.size} canonicals")
+      assert(members.contains(canon.head),
+        s"cluster $cid canonical ${canon.head} is not a member")
+      val kept = rows.filter(_.getBoolean(3)).map(_.getLong(0))
+      assert(kept.toSeq === Seq(canon.head))
+    }
+    // keeper maximizes (quality, -doc_id) among its cluster
+    val q = operators.TextOps.qualityMetrics(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.col("quality_score"),
+          org.apache.spark.sql.functions.lit(-1.0)).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    byCluster.foreach { case (cid, rows) =>
+      val best = rows.map(_.getLong(0)).minBy(d => (-q(d), d))
+      assert(rows.head.getLong(2) === best,
+        s"cluster $cid keeper ${rows.head.getLong(2)} != best $best")
+    }
+  }
 }
