@@ -131,6 +131,8 @@ object SparkEntry {
     "mm_decode" -> (Multimodal.decodeQuery _),
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
+    "mm_phash" -> (Multimodal.phashQuery _),
+    "mm_phash_dup" -> (Multimodal.phashDupQuery _),
     "dedup_exact" -> ((s, d) => Dedup.exact(Dedup.corpusWithExactDups(s, d))),
     "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
@@ -1795,6 +1797,48 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(frames) AS BIGINT) AS n_frames,
         |       md5(array_to_string(frames, '')) AS sample_md5
         |FROM f ORDER BY doc_id""".stripMargin,
+    // perceptual hash over the REAL PNG encode→decode round trip: the
+    // mirror predicts every bit from the pattern formula
+    // v(x,y) = ((doc_id%50)·7 + 13x + 31y) mod 256 without touching a
+    // codec; bit = blockSum·64 > totalSum is exact integer arithmetic
+    "mm_phash" ->
+      """WITH px AS (SELECT d.doc_id, a.x, b.y,
+        |    CAST(((d.doc_id % 50) * 7 + a.x * 13 + b.y * 31) % 256
+        |      AS BIGINT) AS v
+        |  FROM documents d CROSS JOIN range(16) a(x)
+        |  CROSS JOIN range(16) b(y)),
+        |bs AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS idx,
+        |         sum(v) AS s
+        |       FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(v) AS t FROM px GROUP BY 1),
+        |ph AS (SELECT b.doc_id,
+        |         string_agg(CASE WHEN b.s * 64 > t.t THEN '1' ELSE '0'
+        |           END, '' ORDER BY b.idx) AS phash
+        |       FROM bs b JOIN tot t ON b.doc_id = t.doc_id GROUP BY 1)
+        |SELECT doc_id, phash,
+        |       CAST(length(replace(phash, '0', '')) AS BIGINT)
+        |         AS n_set_bits
+        |FROM ph ORDER BY doc_id""".stripMargin,
+    // image dedup on the hash: identical-content groups across
+    // independent PNG encodes (docs sharing a pattern seed)
+    "mm_phash_dup" ->
+      """WITH px AS (SELECT d.doc_id, a.x, b.y,
+        |    CAST(((d.doc_id % 50) * 7 + a.x * 13 + b.y * 31) % 256
+        |      AS BIGINT) AS v
+        |  FROM documents d CROSS JOIN range(16) a(x)
+        |  CROSS JOIN range(16) b(y)),
+        |bs AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS idx,
+        |         sum(v) AS s
+        |       FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(v) AS t FROM px GROUP BY 1),
+        |ph AS (SELECT b.doc_id,
+        |         string_agg(CASE WHEN b.s * 64 > t.t THEN '1' ELSE '0'
+        |           END, '' ORDER BY b.idx) AS phash
+        |       FROM bs b JOIN tot t ON b.doc_id = t.doc_id GROUP BY 1)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS canonical_id
+        |FROM ph GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY canonical_id""".stripMargin,
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -157,6 +157,128 @@ object Multimodal {
           / length(col("payload")), 4).as("mean_byte"))
       .orderBy("doc_id")
 
+  // ------------------------------------------------- perceptual hash
+
+  /** Patterned 16×16 grayscale fixture for the perceptual-hash ops:
+    * pixel v(x,y) = (seed·7 + x·13 + y·31) mod 256 with
+    * seed = doc_id mod 50 — a real gradient (a flat fill hashes to
+    * all-zero bits), fully predictable by the oracle from doc_id
+    * alone, and COLLIDING on purpose: docs sharing a seed are
+    * pixel-identical images arriving as independent PNG encodes,
+    * which is exactly the duplicate class image dedup exists for.
+    */
+  private[graft] val PhashSide = 16
+
+  private[graft] def patternPixel(id: Long, x: Int, y: Int): Int =
+    (((id % 50) * 7 + x * 13 + y * 31) % 256).toInt
+
+  /** Encode the patterned fixture as a REAL PNG per document. */
+  def withPatternImagePayload(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams
+      val baos = new java.io.ByteArrayOutputStream()
+      rows.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          PhashSide, PhashSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < PhashSide) {
+          var x = 0
+          while (x < PhashSide) {
+            val v = patternPixel(id, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        baos.reset()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        (id, baos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Decode → 64-bit average-pool perceptual hash: 2×2 block sums
+    * over the decoded 16×16 raster, bit b set iff its block mean
+    * exceeds the image mean — compared as blockSum·64 > totalSum so
+    * every decision is exact integer arithmetic (no division to
+    * disagree on). Emitted as a 64-char '0'/'1' string in row-major
+    * block order (idx = by·8+bx): both engines build it trivially
+    * and it groups/joins like any key. Undecodable payload → the
+    * documented all-'x' sentinel row, not a crash.
+    */
+  private def phashPartition(rows: Iterator[(Long, Array[Byte])])
+      : Iterator[(Long, String)] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { case (id, bytes) =>
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)) catch {
+        case _: java.io.IOException => null
+      }
+      if (img == null || img.getWidth != PhashSide ||
+          img.getHeight != PhashSide) {
+        (id, "x" * 64)
+      } else {
+        val block = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < PhashSide) {
+          var x = 0
+          while (x < PhashSide) {
+            val v = (img.getRGB(x, y) >> 16) & 0xff // gray: r==g==b
+            block((y / 2) * 8 + (x / 2)) += v
+            total += v
+            x += 1
+          }
+          y += 1
+        }
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < 64) {
+          sb.append(if (block(i) * 64 > total) '1' else '0')
+          i += 1
+        }
+        (id, sb.toString)
+      }
+    }
+  }
+
+  /** Per-doc perceptual hash over the REAL encode→decode round trip
+    * — the oracle predicts every bit from the pattern formula without
+    * touching a codec, so a hash match proves the decode reproduced
+    * the formula's pixels exactly.
+    */
+  def phashQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPatternImagePayload(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(phashPartition)
+      .toDF("doc_id", "phash")
+      .select(col("doc_id"), col("phash"),
+        length(regexp_replace(col("phash"), "0", "")).cast("long")
+          .as("n_set_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** IMAGE DEDUP over the hash: identical-content groups regardless
+    * of the independent per-row PNG encodes — group on the 64-bit
+    * key (one shuffle on a corpus-cardinality key, the exact-dedup
+    * shape), keep groups >1 with the lowest doc_id as canonical.
+    */
+  def phashDupQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPatternImagePayload(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(phashPartition)
+      .toDF("doc_id", "phash")
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_id"))
+      .where(col("n_docs") > 1)
+      .orderBy("canonical_id")
+  }
+
   /** Frame sampling: take every `stride`-th byte of the payload (the
     * shape of every-k-th-video-frame extraction), emit the sample
     * count and an md5 over the sampled "frames". Runs through the

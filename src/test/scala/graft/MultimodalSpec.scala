@@ -55,4 +55,30 @@ class MultimodalSpec extends SparkSuite {
     assert(r(0).width == -1L && r(0).height == -1L && r(0).channels == -1L)
     assert(r(0).n_bytes == 19L && r(0).checksum.length == 32)
   }
+
+  test("phash: same pattern seed collides, different seeds diverge") {
+    val rows = Multimodal.phashQuery(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    // docs 0 and 50 share seed 0 → pixel-identical images → equal
+    // hashes despite independent PNG encodes; doc 1 differs
+    if (rows.contains(0L) && rows.contains(50L))
+      assert(rows(0L) === rows(50L))
+    if (rows.contains(0L) && rows.contains(1L))
+      assert(rows(0L) !== rows(1L))
+    rows.values.foreach { h =>
+      assert(h.length === 64 && h.forall(c => c == '0' || c == '1'))
+    }
+  }
+
+  test("phash dup groups cover every doc sharing a seed") {
+    val dups = Multimodal.phashDupQuery(spark, sf).collect()
+    // sf docs: doc_id mod 50 collides whenever the corpus has >50 docs
+    val nDocs = Tables.documents(spark, sf).count()
+    if (nDocs > 50) {
+      assert(dups.nonEmpty)
+      dups.foreach(r => assert(r.getLong(1) > 1L))
+      assert(dups.map(_.getLong(1)).sum <= nDocs)
+    }
+  }
 }
