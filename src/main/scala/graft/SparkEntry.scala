@@ -107,6 +107,7 @@ object SparkEntry {
     "ann_nsw" -> (Ann.nswQuery _),
     "ann_nsw_filtered" -> (Ann.nswFilteredQuery _),
     "embed_cluster_stats" -> (Ann.clusterStats _),
+    "embed_outliers" -> ((s, d) => Ann.embedOutliers(s, d)),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
     "search_ndcg" -> (Ann.ndcgReport _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonicalMap(s, d)),
+    "dedup_jaccard_hist" -> ((s, d) => Dedup.jaccardHistogram(s, d)),
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_substring" -> (Dedup.duplicatedSpansQuery _),
@@ -177,6 +179,7 @@ object SparkEntry {
     "centroid_confusion" -> (Classify.nearestCentroid _),
     "corpus_health" -> (Sketch.corpusHealth _),
     "corpus_mixture" -> (Sketch.corpusMixture _),
+    "corpus_temperature_mix" -> (Sketch.temperatureMix _),
     "train_triplets" -> (Triplets.tripletsQuery _),
     "train_triplets_hard" -> (Triplets.tripletsHardQuery _),
     "decontam_overlap" -> (Decontam.contaminationQuery _),
@@ -989,6 +992,27 @@ object SparkEntry {
          |       round(d.n_dom * 1.0 / t.size, 4) AS purity,
          |       round(t.smm * 1.0 / t.size / 10000.0, 4) AS mean_cos
          |FROM tot t JOIN dom d USING (cell) ORDER BY cell""".stripMargin,
+    // embedding outliers: integer micro-cosines, exact per-cell
+    // (n, Σx, Σx²), z = (x·n−S)/sqrt(n·Q−S²) on those integers —
+    // identical doubles both engines, so the global top-20 is stable
+    "embed_outliers" ->
+      s"""WITH $ivfCtes,
+         |b AS (SELECT af.id, af.cell,
+         |        CAST(round(list_cosine_similarity(af.v, c.cv) * 10000)
+         |          AS BIGINT) AS micro
+         |      FROM af JOIN c2 c USING (cell)),
+         |st AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(micro) AS BIGINT) AS s,
+         |         CAST(sum(micro * micro) AS BIGINT) AS q
+         |       FROM b GROUP BY 1),
+         |z AS (SELECT b.id, b.cell, b.micro,
+         |        (b.micro * st.n - st.s)
+         |          / sqrt(CAST(st.n * st.q - st.s * st.s AS DOUBLE)) AS z
+         |      FROM b JOIN st USING (cell)
+         |      WHERE st.n > 1 AND st.n * st.q - st.s * st.s > 0)
+         |SELECT id, cell, round(micro / 10000.0, 4) AS cos,
+         |       round(z, 4) AS z
+         |FROM z ORDER BY z, id LIMIT 20""".stripMargin,
     // recall@10 of the IVF path against brute force: both legs are
     // the existing deterministic mirrors, composed
     "ann_recall_report" ->
@@ -2160,6 +2184,31 @@ object SparkEntry {
          |       (m.doc_id = c.canonical_id) AS is_kept
          |FROM mem m JOIN can c ON m.cluster_id = c.cluster_id
          |ORDER BY m.doc_id""".stripMargin,
+    // jaccard-decile histogram over the verified pair set: banding on
+    // the identically-rounded 4dp jaccard (floor(j·10) runs on the
+    // same double both engines), min/max per band exact
+    "dedup_jaccard_hist" ->
+      s"""WITH $bandCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bk a JOIN bk b ON a.band = b.band
+         |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
+         |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n
+         |          FROM shx x JOIN shx y ON x.s = y.s
+         |            AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |jp AS (SELECT c.id1, c.id2,
+         |         round(n*1.0/(c1.c + c2.c - n), 4) AS j
+         |       FROM cand c JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
+         |       JOIN card c1 ON c.id1 = c1.doc_id
+         |       JOIN card c2 ON c.id2 = c2.doc_id
+         |       WHERE n*1.0/(c1.c + c2.c - n) >= 0.5),
+         |bins AS (SELECT least(CAST(floor(j * 10) AS BIGINT), 9) AS b, j
+         |         FROM jp)
+         |SELECT b / 10.0 AS bin_lo, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       min(j) AS min_j, max(j) AS max_j
+         |FROM bins GROUP BY 1 ORDER BY bin_lo""".stripMargin,
     // cross-source near-dup overlap: verified pairs joined to each
     // side's source, counted per unordered source pair
     "dedup_source_overlap" ->
@@ -2581,6 +2630,22 @@ object SparkEntry {
         |       round(n_tokens / CAST(sum(n_tokens) OVER () AS BIGINT), 6)
         |         AS tok_share
         |FROM g ORDER BY source, lang""".stripMargin,
+    // temperature-scaled mixture (α=0.5 evaluated as sqrt — pow(x,.5)
+    // is not guaranteed bit-equal to sqrt across libms)
+    "corpus_temperature_mix" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |               AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+        |        sum(sqrt(n_tokens)) AS tot_p
+        |      FROM g)
+        |SELECT g.source, g.n_docs, g.n_tokens,
+        |       round(g.n_tokens / t.tot, 6) AS raw_share,
+        |       round(sqrt(g.n_tokens) / t.tot_p, 6) AS temp_share,
+        |       round((sqrt(g.n_tokens) / t.tot_p)
+        |         / (g.n_tokens / t.tot), 4) AS boost
+        |FROM g CROSS JOIN t ORDER BY source""".stripMargin,
     // corpus health dashboard: exact volumes + the KMV estimate
     // (md5-60 k-min over text) + histogram token percentiles, all
     // joined per language; dup_share clamps at 0 (estimate noise)

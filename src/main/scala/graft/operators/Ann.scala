@@ -1691,6 +1691,49 @@ object Ann {
       .orderBy("pred", "qid", "rk")
   }
 
+  /** EMBEDDING OUTLIERS — the mislabeled/noise-vector report a
+    * curation pass runs before training: per IVF cell, each member's
+    * cosine-to-centroid z-score, worst [[Knn]] 20 corpus-wide.
+    *
+    * Bit-deterministic by construction: the cosine is quantized to
+    * integer micro-units (the [[clusterStats]] discipline), per-cell
+    * (n, Σx, Σx²) are exact BIGINTs, and
+    * z = (x·n − S) / sqrt(n·Q − S²) evaluates on those integers —
+    * identical doubles on both engines, so even the global top-20
+    * cut is tie-stable. Cells of one member (no variance) are
+    * excluded on the exact integer guard. Plan shape: one corpus
+    * scan → cell-keyed aggregate → broadcast-back join → global
+    * TakeOrdered(20) — no full sort materializes.
+    */
+  def embedOutliers(s: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(e, 200)))
+    val centsDf = cents.toSeq.toDF("cell", "cvec")
+    val base = assignTo(e, cents)
+      .join(broadcast(centsDf), "cell")
+      .select(col("id"), col("cell"),
+        VectorDistance.cosine(col("vec"), col("cvec")).as("cos"))
+      .withColumn("micro", expr("cast(round(cos * 10000) as bigint)"))
+    val stats = base.groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("micro").as("sm"),
+        sum(col("micro") * col("micro")).as("q"))
+    base.join(stats, "cell")
+      .where(col("n") > 1 &&
+        col("n") * col("q") - col("sm") * col("sm") > 0)
+      .withColumn("z",
+        (col("micro") * col("n") - col("sm")).cast("double")
+          / sqrt((col("n") * col("q") - col("sm") * col("sm"))
+            .cast("double")))
+      .select(col("id"), col("cell"),
+        round(col("micro") / 10000.0, 4).as("cos"),
+        round(col("z"), 4).as("z"))
+      .orderBy(col("z"), col("id"))
+      .limit(topN)
+  }
+
   // ------------------------------------------------- ranking evaluation
 
   /** nDCG@10 of the IVF probe path against exact cosine ground truth

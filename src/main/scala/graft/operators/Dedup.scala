@@ -898,6 +898,27 @@ object Dedup {
   def duplicatedSpansQuery(s: SparkSession, dir: String): DataFrame =
     duplicatedSpans(corpusWithExactDups(s, dir))
 
+  /** SIMILARITY HISTOGRAM over the verified near-dup pairs — how
+    * duplicate is the duplicate mass: pair counts per jaccard decile
+    * band with exact band min/max (no float averaging; min/max of
+    * identically-rounded values are bit-stable). Reads the same
+    * verified pair set the clusters consume (the heavy shingle work
+    * is not repeated), aggregates to ≤5 bands — a dashboard row that
+    * tells a dedup operator whether raising the bar to 0.7 would
+    * halve the removal set or barely touch it.
+    */
+  def jaccardHistogram(s: SparkSession, dir: String,
+                       minJaccard: Double = 0.5): DataFrame =
+    minhashPairsUnsorted(s, dir, minJaccard)
+      .select(least(floor(col("jaccard") * 10).cast("long"), lit(9L))
+        .as("b"), col("jaccard"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("jaccard").as("min_j"), max("jaccard").as("max_j"))
+      .select((col("b") / 10.0).as("bin_lo"), col("n_pairs"),
+        col("min_j"), col("max_j"))
+      .orderBy("bin_lo")
+
   /** CANONICAL SELECTION — the keep/drop decision a dedup pipeline
     * actually ships: per near-dup cluster, keep the highest-quality
     * member (ties → lowest doc_id) and map every other member to it.

@@ -331,6 +331,34 @@ object Sketch {
       .orderBy("source", "lang")
   }
 
+  /** TEMPERATURE-SCALED sampling mixture (α = 0.5): the standard
+    * multi-source rebalancing rule q_s ∝ p_s^α — big sources give up
+    * share, small sources gain, without any source going to zero.
+    * Per source: raw token share, the α-scaled share, and the
+    * up/down-sampling boost q/p a sampler applies. Same skeleton as
+    * [[corpusMixture]]: one scan into a source-count-sized aggregate,
+    * 1-row totals broadcast (no unpartitioned window). α is fixed at
+    * 0.5 so both engines evaluate it as sqrt — `pow(x, 0.5)` is not
+    * guaranteed bit-equal to `sqrt(x)` across libms.
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .localCheckpoint()
+    val t = g.agg(sum("n_tokens").as("tot"),
+      sum(sqrt(col("n_tokens"))).as("tot_p"))
+    g.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot"), 6).as("raw_share"),
+        round(sqrt(col("n_tokens")) / col("tot_p"), 6).as("temp_share"),
+        round((sqrt(col("n_tokens")) / col("tot_p"))
+          / (col("n_tokens") / col("tot")), 4).as("boost"))
+      .orderBy("source")
+  }
+
   def corpusHealth(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("lang"), col("text"),

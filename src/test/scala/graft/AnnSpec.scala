@@ -593,4 +593,19 @@ class AnnSpec extends SparkSuite {
     assert(indeg.getOrElse(top, 0L) >= 5L,
       "top-centrality node has sub-average in-degree")
   }
+
+  test("embed outliers: ascending z, bounded count, variance guard holds") {
+    val rows = Ann.embedOutliers(spark, sf, topN = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length <= 20 && rows.nonEmpty)
+    // worst-first: z non-decreasing with id tiebreak, no NaN leaks
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 < b._4 || (a._4 == b._4 && a._1 < b._1))
+      case _ => ()
+    }
+    assert(rows.forall(r => !r._4.isNaN))
+    // an outlier sits below its cell's mean cosine by construction
+    assert(rows.forall(_._4 < 0.0))
+  }
 }

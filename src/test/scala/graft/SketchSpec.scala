@@ -216,4 +216,18 @@ class SketchSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(roll.filter(_._1 != "__all__").toSeq == per.toSeq)
   }
+
+  test("temperature mix: shares sum to 1, boost anti-monotone in size") {
+    val rows = Sketch.temperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3)
+    // α<1 flattens: the smallest source is boosted at least as much
+    // as the largest, and every boost is positive
+    val bySize = rows.sortBy(_._2)
+    assert(bySize.head._5 >= bySize.last._5)
+    assert(rows.forall(_._5 > 0.0))
+  }
 }
