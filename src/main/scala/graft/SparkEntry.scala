@@ -186,6 +186,8 @@ object SparkEntry {
     "decontam_semantic" -> ((s, d) => Decontam.semantic(s, d)),
     "events_funnel" -> (Analytics.eventsFunnel _),
     "events_pattern_match" -> (Sequence.patternMatch _),
+    "events_ab_test" -> (Analytics.eventsAbTest _),
+    "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
     "events_cooccurrence" -> ((s, d) => Sequence.cooccurrence(s, d)),
     "part_pareto" -> ((s, d) => Sequence.partPareto(s, d)),
     "vdb_knn_filtered_in" -> ((s, d) =>
@@ -2039,6 +2041,57 @@ object SparkEntry {
         |FROM h GROUP BY 1
         |HAVING sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0
         |ORDER BY user_id""".stripMargin,
+    // Welch z on 2dp values via exact integer micro sums: mean,
+    // variance, and z evaluate identical doubles from identical
+    // BIGINTs on both engines (z is scale-invariant — micro units
+    // throughout, no /100 to disagree on)
+    "events_ab_test" ->
+      """WITH m AS (SELECT event_type, user_id % 2 AS variant,
+        |             CAST(round(value * 100) AS BIGINT) AS micro
+        |           FROM events),
+        |g AS (SELECT event_type, variant, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(micro) AS BIGINT) AS sx,
+        |        CAST(sum(micro * micro) AS BIGINT) AS qx
+        |      FROM m GROUP BY 1, 2),
+        |a AS (SELECT event_type, n AS n_a, sx AS s_a, qx AS q_a
+        |      FROM g WHERE variant = 0),
+        |b AS (SELECT event_type, n AS n_b, sx AS s_b, qx AS q_b
+        |      FROM g WHERE variant = 1)
+        |SELECT a.event_type, n_a, n_b,
+        |       round(s_a * 1.0 / n_a / 100.0, 4) AS mean_a,
+        |       round(s_b * 1.0 / n_b / 100.0, 4) AS mean_b,
+        |       round((s_a * 1.0 / n_a - s_b * 1.0 / n_b)
+        |         / sqrt(((n_a * q_a - s_a * s_a) * 1.0
+        |                  / (n_a * (n_a - 1))) / n_a
+        |              + ((n_b * q_b - s_b * s_b) * 1.0
+        |                  / (n_b * (n_b - 1))) / n_b), 4) AS z
+        |FROM a JOIN b USING (event_type)
+        |WHERE n_a > 1 AND n_b > 1
+        |ORDER BY event_type""".stripMargin,
+    // adjacent-token PMI: exact integer counts, corpus-total bigram
+    // space (the support filter prunes candidates only)
+    "text_collocations" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |uni AS (SELECT u.t, CAST(count(*) AS BIGINT) AS n
+        |        FROM (SELECT unnest(toks) AS t FROM t) u GROUP BY 1),
+        |ut AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM uni),
+        |bg0 AS (SELECT toks[i.i + 1] AS t1, toks[i.i + 2] AS t2
+        |        FROM t CROSS JOIN (SELECT unnest(range(256)) AS i) i
+        |        WHERE i.i <= len(toks) - 2),
+        |bgc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_ab
+        |        FROM bg0 GROUP BY 1, 2),
+        |bt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS bt FROM bgc),
+        |sc AS (SELECT b.t1, b.t2, b.n_ab,
+        |         round(log2((b.n_ab * 1.0 / bt.bt)
+        |           / ((u1.n * 1.0 / ut.tt) * (u2.n * 1.0 / ut.tt))), 4)
+        |           AS pmi
+        |       FROM bgc b JOIN uni u1 ON b.t1 = u1.t
+        |       JOIN uni u2 ON b.t2 = u2.t
+        |       CROSS JOIN ut CROSS JOIN bt
+        |       WHERE b.n_ab >= 5)
+        |SELECT t1, t2, n_ab, pmi FROM sc
+        |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin,
     // event-type co-occurrence PMI over user-day incidence: pairs
     // expand only within a user-day; marginals and the total are
     // aggregate-sized

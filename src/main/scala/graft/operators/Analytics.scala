@@ -1107,4 +1107,48 @@ object Analytics {
         col("n_name"), col("cost"))
       .orderBy(col("p_partkey"), col("s_name"))
   }
+
+  /** A/B TEST REPORT — Welch's z on event values between two user
+    * cohorts (variant = user_id mod 2, the deterministic hash-split
+    * an experimentation system would assign): per event type, cohort
+    * sizes, means, and the z statistic for the mean difference.
+    *
+    * Bit-deterministic under the exact-aggregate rule: values are
+    * 2dp, so micro = round(value*100) is an exact BIGINT; per-cohort
+    * (n, S=Σx, Q=Σx²) are exact integer sums, and mean/variance/z
+    * evaluate identical doubles on both engines from those integers
+    * (z is scale-invariant, so it runs in micro units throughout —
+    * no /100 to disagree on). Plan: one scan, one (type, variant)
+    * aggregate, a type-keyed self-pivot of the 2-row cohort pairs —
+    * aggregate-sized joins only. At petabyte row counts the Σx²
+    * BIGINT would need decimal(38,0); the shape is unchanged.
+    */
+  def eventsAbTest(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("event_type"), (col("user_id") % 2).as("variant"),
+        expr("cast(round(value * 100) as bigint)").as("micro"))
+      .groupBy("event_type", "variant")
+      .agg(count(lit(1)).as("n"), sum("micro").as("sx"),
+        sum(col("micro") * col("micro")).as("qx"))
+    def side(v: Int, suf: String) = g.where(col("variant") === v)
+      .select(col("event_type"), col("n").as(s"n_$suf"),
+        col("sx").as(s"s_$suf"), col("qx").as(s"q_$suf"))
+    def mean(sc: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      sc.cast("double") / n
+    def variance(n: org.apache.spark.sql.Column,
+                 sc: org.apache.spark.sql.Column,
+                 q: org.apache.spark.sql.Column) =
+      (n * q - sc * sc).cast("double") / (n * (n - 1)).cast("double")
+    side(0, "a").join(side(1, "b"), "event_type")
+      .where(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("z",
+        (mean(col("s_a"), col("n_a")) - mean(col("s_b"), col("n_b")))
+          / sqrt(variance(col("n_a"), col("s_a"), col("q_a")) / col("n_a")
+            + variance(col("n_b"), col("s_b"), col("q_b")) / col("n_b")))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(mean(col("s_a"), col("n_a")) / 100.0, 4).as("mean_a"),
+        round(mean(col("s_b"), col("n_b")) / 100.0, 4).as("mean_b"),
+        round(col("z"), 4).as("z"))
+      .orderBy("event_type")
+  }
 }

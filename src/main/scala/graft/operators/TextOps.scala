@@ -643,4 +643,46 @@ object TextOps {
         round(avg(col("n_tokens")), 4).as("avg_tokens"))
       .orderBy("decile")
   }
+
+  /** COLLOCATIONS — adjacent-token pairs scored by pointwise mutual
+    * information (min support 5), top 20: the classic phrase-mining
+    * signal ("new york" scores high because its parts rarely appear
+    * apart). p(ab) over the corpus bigram total, p(a)/p(b) over the
+    * unigram total; PMI = log2(p(ab)/(p(a)·p(b))) evaluates from
+    * exact integer counts, so both engines rank identical doubles
+    * and the top-20 cut is tie-stable (tiebreak on the pair).
+    *
+    * Bigrams form per-row with a codegen'd `transform` over the token
+    * array (no shuffle, no positional self-join); counts are two
+    * keyed aggregates; the totals broadcast (Q22 scalar pattern).
+    */
+  def collocations(s: SparkSession, dir: String,
+                   minCount: Long = 5L, topN: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val uniTot = uni.agg(sum("n").as("tt"))
+    // totals over ALL bigrams (p(ab) is a corpus probability — the
+    // support filter prunes candidates, it must not shrink the space)
+    val bg0 = toks.select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] as t1, toks[i + 1] as t2))")).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true)
+    val bgTot = bg0.agg(sum("n_ab").as("bt"))
+    val bg = bg0.where(col("n_ab") >= minCount)
+    bg.join(uni.select(col("t").as("t1"), col("n").as("n_1")), "t1")
+      .join(uni.select(col("t").as("t2"), col("n").as("n_2")), "t2")
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(bgTot))
+      .withColumn("pmi",
+        log2((col("n_ab").cast("double") / col("bt"))
+          / ((col("n_1").cast("double") / col("tt"))
+            * (col("n_2").cast("double") / col("tt")))))
+      .select(col("t1"), col("t2"), col("n_ab"),
+        round(col("pmi"), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(topN)
+  }
 }
