@@ -108,6 +108,7 @@ object SparkEntry {
     "ann_nsw_filtered" -> (Ann.nswFilteredQuery _),
     "embed_cluster_stats" -> (Ann.clusterStats _),
     "embed_outliers" -> ((s, d) => Ann.embedOutliers(s, d)),
+    "embed_pca_project" -> (Pca.pcaProject _),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
     "search_ndcg" -> (Ann.ndcgReport _),
@@ -1015,6 +1016,52 @@ object SparkEntry {
          |SELECT id, cell, round(micro / 10000.0, 4) AS cos,
          |       round(z, 4) AS z
          |FROM z ORDER BY z, id LIMIT 20""".stripMargin,
+    // PCA top-component projection: exact-integer micro moments
+    // (S_j, Gram M_jk), covariance + 3 unrolled power iterations in
+    // the same left-to-right fold order as the driver loop
+    // (list_inner_product ≡ the VecDot accumulator), projection per
+    // row against the converged axis
+    "embed_pca_project" ->
+      """WITH em AS (SELECT vec_id AS id,
+        |       list_transform(embedding::DOUBLE[],
+        |         e -> CAST(round(e * 10000) AS BIGINT)) AS m
+        |     FROM embeddings),
+        |ex AS (SELECT id, j.j AS j, m[j.j + 1] AS v
+        |       FROM em CROSS JOIN (SELECT unnest(range(64)) AS j) j),
+        |nn AS (SELECT count(*) AS n FROM em),
+        |sv AS (SELECT j, CAST(sum(v) AS BIGINT) AS s FROM ex GROUP BY 1),
+        |mm AS (SELECT a.j AS j, b.j AS k, CAST(sum(a.v * b.v) AS BIGINT)
+        |         AS m
+        |       FROM ex a JOIN ex b ON a.id = b.id GROUP BY 1, 2),
+        |cv AS (SELECT mm.j, mm.k,
+        |         mm.m * 1.0 - sa.s * 1.0 * sb.s / nn.n AS c
+        |       FROM mm JOIN sv sa ON mm.j = sa.j
+        |       JOIN sv sb ON mm.k = sb.j CROSS JOIN nn),
+        |cr AS (SELECT j, list(c ORDER BY k) AS crow FROM cv GROUP BY 1),
+        |v0 AS (SELECT list_transform(range(64), x -> 0.125) AS v),
+        |w1 AS (SELECT cr.j, list_inner_product(cr.crow, v0.v) AS w
+        |       FROM cr CROSS JOIN v0),
+        |l1 AS (SELECT list(w ORDER BY j) AS wl FROM w1),
+        |n1 AS (SELECT list_transform(wl,
+        |         e -> e / sqrt(list_inner_product(wl, wl))) AS v FROM l1),
+        |w2 AS (SELECT cr.j, list_inner_product(cr.crow, n1.v) AS w
+        |       FROM cr CROSS JOIN n1),
+        |l2 AS (SELECT list(w ORDER BY j) AS wl FROM w2),
+        |n2 AS (SELECT list_transform(wl,
+        |         e -> e / sqrt(list_inner_product(wl, wl))) AS v FROM l2),
+        |w3 AS (SELECT cr.j, list_inner_product(cr.crow, n2.v) AS w
+        |       FROM cr CROSS JOIN n2),
+        |l3 AS (SELECT list(w ORDER BY j) AS wl FROM w3),
+        |n3 AS (SELECT list_transform(wl,
+        |         e -> e / sqrt(list_inner_product(wl, wl))) AS v FROM l3),
+        |mu AS (SELECT list(s * 1.0 / nn.n ORDER BY j) AS mul
+        |       FROM sv CROSS JOIN nn GROUP BY nn.n),
+        |md AS (SELECT list_inner_product(mu.mul, n3.v) AS mudot
+        |       FROM mu CROSS JOIN n3)
+        |SELECT em.id AS vec_id,
+        |       round(list_inner_product(list_transform(em.m,
+        |         e -> CAST(e AS DOUBLE)), n3.v) - md.mudot, 4) AS pc1
+        |FROM em CROSS JOIN n3 CROSS JOIN md ORDER BY vec_id""".stripMargin,
     // recall@10 of the IVF path against brute force: both legs are
     // the existing deterministic mirrors, composed
     "ann_recall_report" ->

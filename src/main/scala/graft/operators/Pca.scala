@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorDistance
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PCA top-component projection — the dimensionality diagnostic a
+  * curation pass runs on an embedding corpus (is the space collapsed
+  * onto a few directions? what does the dominant axis separate?).
+  *
+  * The 100-TB shape: ONE corpus pass builds the exact second-moment
+  * matrix (64×64 — metadata-sized however big the corpus), the
+  * eigensolve runs on the DRIVER over that bounded matrix (3 power
+  * iterations, ~12k flops), and the projection is a per-row map
+  * against the broadcast eigenvector. No iteration ever rescans the
+  * corpus — the classic "sufficient statistics, then solve small"
+  * decomposition.
+  *
+  * Bit-determinism (the exact-aggregate rule): components quantize
+  * to integer micros (round(x·10⁴)), so the data-order-dependent
+  * sums — S_j and the Gram matrix M_jk — are EXACT BIGINTs; every
+  * float that follows (covariance C = M − S·Sᵀ/n, the power
+  * iterations, the projection) evaluates from those integers in a
+  * FIXED fold order (k then j ascending — the driver loop and the
+  * mirror's list_inner_product run the identical left-to-right
+  * fold), so both engines produce identical doubles. The sign of
+  * the dominant eigenvector is fixed by the all-positive start
+  * vector (1/8, exactly representable).
+  */
+object Pca {
+
+  private val Dim = 64
+  private val Iters = 3
+
+  /** (S_j sums, M_jk Gram matrix, n) from one exact-integer pass. */
+  private def moments(s: SparkSession, dir: String)
+      : (Array[Long], Array[Array[Long]], Long) = {
+    val ex = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), posexplode(expr(
+        "transform(embedding, e -> cast(round(cast(e as double) * 10000) as bigint))"))
+        .as(Seq("j", "v")))
+    val n = Tables.embeddings(s, dir).count()
+    val sv = ex.groupBy("j").agg(sum("v").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mm = ex.as("a").join(ex.as("b"), col("a.id") === col("b.id"))
+      .groupBy(col("a.j").as("j"), col("b.j").as("k"))
+      .agg(sum(col("a.v") * col("b.v")).as("m"))
+      .collect()
+    val sArr = Array.tabulate(Dim)(j => sv(j))
+    val mArr = Array.ofDim[Long](Dim, Dim)
+    mm.foreach(r => mArr(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    (sArr, mArr, n)
+  }
+
+  /** Power-iterate the covariance built from the exact moments; the
+    * fold orders here are the contract the mirror replicates.
+    */
+  private[graft] def topComponent(sArr: Array[Long],
+                                  mArr: Array[Array[Long]],
+                                  n: Long): Array[Double] = {
+    val nD = n.toDouble
+    val c = Array.tabulate(Dim, Dim)((j, k) =>
+      mArr(j)(k).toDouble - (sArr(j).toDouble * sArr(k).toDouble) / nD)
+    var v = Array.fill(Dim)(0.125)
+    var t = 0
+    while (t < Iters) {
+      val w = Array.tabulate(Dim) { j =>
+        var acc = 0.0
+        var k = 0
+        while (k < Dim) { acc += c(j)(k) * v(k); k += 1 }
+        acc
+      }
+      var nrm2 = 0.0
+      var j = 0
+      while (j < Dim) { nrm2 += w(j) * w(j); j += 1 }
+      val nrm = math.sqrt(nrm2)
+      v = w.map(_ / nrm)
+      t += 1
+    }
+    v
+  }
+
+  /** Per-vector projection onto the dominant principal axis. */
+  def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    val (sArr, mArr, n) = moments(s, dir)
+    val v = topComponent(sArr, mArr, n)
+    var muDot = 0.0
+    var j = 0
+    while (j < Dim) { muDot += (sArr(j).toDouble / n) * v(j); j += 1 }
+    val vLit = typedLit(v.toSeq)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, e -> cast(round(cast(e as double) * 10000) as double))")
+        .as("m"))
+      .select(col("vec_id"),
+        round(VectorDistance.dot(col("m"), vLit) - lit(muDot), 4)
+          .as("pc1"))
+      .orderBy("vec_id")
+  }
+}
