@@ -109,6 +109,8 @@ object SparkEntry {
     "embed_cluster_stats" -> (Ann.clusterStats _),
     "embed_outliers" -> ((s, d) => Ann.embedOutliers(s, d)),
     "embed_pca_project" -> (Pca.pcaProject _),
+    "embed_pca_var" -> (Pca.pcaVariance _),
+    "events_forecast_naive" -> ((s, d) => Analytics.eventsForecastNaive(s, d)),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
     "search_ndcg" -> (Ann.ndcgReport _),
@@ -1062,6 +1064,82 @@ object SparkEntry {
         |       round(list_inner_product(list_transform(em.m,
         |         e -> CAST(e AS DOUBLE)), n3.v) - md.mudot, 4) AS pc1
         |FROM em CROSS JOIN n3 CROSS JOIN md ORDER BY vec_id""".stripMargin,
+    // explained-variance report: λ₁ = vᵀCv via the same two ordered
+    // folds as the driver (per-j list_inner_product over k, then the
+    // j fold), trace via ordered list_sum; report in original units
+    // ((λ/n)/1e8 — C is the SUM covariance in micro² units)
+    "embed_pca_var" ->
+      """WITH em AS (SELECT vec_id AS id,
+        |       list_transform(embedding::DOUBLE[],
+        |         e -> CAST(round(e * 10000) AS BIGINT)) AS m
+        |     FROM embeddings),
+        |ex AS (SELECT id, j.j AS j, m[j.j + 1] AS v
+        |       FROM em CROSS JOIN (SELECT unnest(range(64)) AS j) j),
+        |nn AS (SELECT count(*) AS n FROM em),
+        |sv AS (SELECT j, CAST(sum(v) AS BIGINT) AS s FROM ex GROUP BY 1),
+        |mm AS (SELECT a.j AS j, b.j AS k, CAST(sum(a.v * b.v) AS BIGINT)
+        |         AS m
+        |       FROM ex a JOIN ex b ON a.id = b.id GROUP BY 1, 2),
+        |cv AS (SELECT mm.j, mm.k,
+        |         mm.m * 1.0 - sa.s * 1.0 * sb.s / nn.n AS c
+        |       FROM mm JOIN sv sa ON mm.j = sa.j
+        |       JOIN sv sb ON mm.k = sb.j CROSS JOIN nn),
+        |cr AS (SELECT j, list(c ORDER BY k) AS crow FROM cv GROUP BY 1),
+        |v0 AS (SELECT list_transform(range(64), x -> 0.125) AS v),
+        |w1 AS (SELECT cr.j, list_inner_product(cr.crow, v0.v) AS w
+        |       FROM cr CROSS JOIN v0),
+        |l1 AS (SELECT list(w ORDER BY j) AS wl FROM w1),
+        |n1 AS (SELECT list_transform(wl,
+        |         e -> e / sqrt(list_inner_product(wl, wl))) AS v FROM l1),
+        |w2 AS (SELECT cr.j, list_inner_product(cr.crow, n1.v) AS w
+        |       FROM cr CROSS JOIN n1),
+        |l2 AS (SELECT list(w ORDER BY j) AS wl FROM w2),
+        |n2 AS (SELECT list_transform(wl,
+        |         e -> e / sqrt(list_inner_product(wl, wl))) AS v FROM l2),
+        |w3 AS (SELECT cr.j, list_inner_product(cr.crow, n2.v) AS w
+        |       FROM cr CROSS JOIN n2),
+        |l3 AS (SELECT list(w ORDER BY j) AS wl FROM w3),
+        |n3 AS (SELECT list_transform(wl,
+        |         e -> e / sqrt(list_inner_product(wl, wl))) AS v FROM l3),
+        |w4 AS (SELECT cr.j, list_inner_product(cr.crow, n3.v) AS w
+        |       FROM cr CROSS JOIN n3),
+        |l4 AS (SELECT list(w ORDER BY j) AS wl FROM w4),
+        |lam AS (SELECT list_inner_product(n3.v, l4.wl) AS lam
+        |        FROM n3 CROSS JOIN l4),
+        |tr AS (SELECT list_sum(list(c ORDER BY j)) AS t
+        |       FROM cv WHERE j = k)
+        |SELECT round(lam.lam / nn.n / 100000000.0, 6) AS lambda1,
+        |       round(tr.t / nn.n / 100000000.0, 6) AS total_var,
+        |       round(lam.lam / tr.t, 6) AS var_ratio
+        |FROM lam CROSS JOIN tr CROSS JOIN nn""".stripMargin,
+    // seasonal-naive backtest: dense zero-filled grid from DATA
+    // bounds, lag-7 prediction, integer-exact absolute errors
+    "events_forecast_naive" ->
+      """WITH ev AS (SELECT event_type,
+        |              date_diff('day', DATE '1970-01-01',
+        |                CAST(ts AS DATE)) AS d
+        |            FROM events),
+        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+        |          FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT ty.event_type, g.d
+        |         FROM ty CROSS JOIN
+        |           (SELECT unnest(generate_series(b.lo, b.hi)) AS d
+        |            FROM b) g),
+        |dense AS (SELECT g.event_type, g.d, coalesce(daily.n, 0) AS n
+        |          FROM grid g LEFT JOIN daily
+        |            ON g.event_type = daily.event_type
+        |            AND g.d = daily.d),
+        |lagd AS (SELECT event_type, d, n,
+        |           lag(n, 7) OVER (PARTITION BY event_type ORDER BY d)
+        |             AS pred
+        |         FROM dense)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(abs(n - pred)) AS BIGINT) AS total_abs_err,
+        |       round(sum(abs(n - pred)) * 1.0 / count(*), 4) AS mae
+        |FROM lagd WHERE pred IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // recall@10 of the IVF path against brute force: both legs are
     // the existing deterministic mirrors, composed
     "ann_recall_report" ->

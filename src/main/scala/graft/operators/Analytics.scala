@@ -1151,4 +1151,43 @@ object Analytics {
         round(col("z"), 4).as("z"))
       .orderBy("event_type")
   }
+
+  /** SEASONAL-NAIVE FORECAST BACKTEST — the baseline every real
+    * forecaster must beat, evaluated in-sample: predict each day's
+    * event count with the count 7 days earlier, report per-type MAE
+    * over the dense daily grid (zero-filled — a missing day is a 0
+    * count, not a skipped evaluation). Integer-exact end to end:
+    * counts and absolute errors are BIGINTs, the MAE is one division
+    * rounded at 4dp. Grid bounds derive from the DATA (1-row
+    * broadcast), never a hard-coded calendar window. Scale: one scan
+    * → (type, day) aggregate; the dense grid is (types × days) —
+    * metadata-sized — and the lag is a window over it, not the raw
+    * events.
+    */
+  def eventsForecastNaive(s: SparkSession, dir: String,
+                          lagDays: Int = 7): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val daily = ev.groupBy("event_type", "d")
+      .agg(count(lit(1)).as("n"))
+    val meta = ev.agg(min("d").as("lo"), max("d").as("hi"),
+      collect_set("event_type").as("tys")).localCheckpoint(true)
+    val grid = meta.select(explode(col("tys")).as("event_type"))
+      .crossJoin(meta.select(explode(sequence(col("lo"), col("hi")))
+        .as("d")))
+    val dense = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    dense.withColumn("pred", lag("n", lagDays).over(w))
+      .where(col("pred").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") - col("pred"))).as("total_abs_err"))
+      .select(col("event_type"), col("n_days"), col("total_abs_err"),
+        round(col("total_abs_err").cast("double") / col("n_days"), 4)
+          .as("mae"))
+      .orderBy("event_type")
+  }
 }

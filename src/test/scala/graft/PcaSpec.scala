@@ -90,4 +90,16 @@ class PcaSpec extends SparkSuite {
     val mean = p1.map(_._2).sum / p1.length
     assert(math.abs(mean) < 0.01)
   }
+
+  test("variance report: dominant component is a valid share of trace") {
+    val r = Pca.pcaVariance(spark, sf).collect()
+    assert(r.length == 1)
+    val (l1, tot, ratio) =
+      (r(0).getDouble(0), r(0).getDouble(1), r(0).getDouble(2))
+    assert(l1 > 0.0 && tot > 0.0)
+    assert(l1 <= tot + 1e-9, s"lambda1 $l1 exceeds trace $tot")
+    assert(ratio > 0.0 && ratio <= 1.0)
+    // the dominant axis explains at least an average axis's share
+    assert(ratio >= 1.0 / 64.0 - 1e-9)
+  }
 }
