@@ -299,4 +299,34 @@ class PlanSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"kNN graph fell back to all-pairs:\n${p.take(3000)}")
   }
+
+  test("pattern match: both windows and the aggregate share ONE " +
+    "user_id exchange") {
+    val p = planOf(graft.operators.Sequence.patternMatch(spark, sf))
+    val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex <= 1, s"per-user state left its partition:\n${p.take(3000)}")
+  }
+
+  test("pareto: banded order statistics — no cartesian anti-join") {
+    val p = planOf(graft.operators.Sequence.partPareto(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline fell back to all-pairs dominance:\n${p.take(3000)}")
+  }
+
+  test("cooccurrence: the pair expansion is an equi-join on " +
+    "(user, day), never unblocked") {
+    val p = planOf(graft.operators.Sequence.cooccurrence(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"pair stage lost its blocking key:\n${p.take(3000)}")
+  }
+
+  test("rp-knn: projection stays in the scan stage — queries " +
+    "broadcast, corpus never nested-loops") {
+    val p = planOf(graft.operators.Ann.rpKnnQuery(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"candidate stage degenerated:\n${p.take(3000)}")
+    assert(p.contains("vec_dot"),
+      s"native projection kernel missing:\n${p.take(2000)}")
+  }
 }
