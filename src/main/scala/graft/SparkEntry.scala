@@ -261,6 +261,8 @@ object SparkEntry {
     "q9_profit" -> (Analytics.q9ProductProfit _),
     "q11_important_parts" -> (Analytics.q11ImportantParts _),
     "q12_late_priority" -> (Analytics.q12LatePriority _),
+    "basket_pairs" -> ((s, d) => Analytics.basketPairs(s, d)),
+    "supplier_wilson" -> ((s, d) => Analytics.supplierWilson(s, d)),
     "q2_min_cost" -> (Analytics.q2MinCostSupplier _),
     "bucketed_join_agg" -> (Layout.bucketedJoinQuery _),
     "events_zorder_skip" -> (ZOrder.zorderSkipQuery _),
@@ -3912,6 +3914,58 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // market-basket pairs over customer baskets: frequent items
+    // first (apriori prune), in-basket equi-join pair expansion,
+    // lift/confidence from exact integer counts
+    "basket_pairs" ->
+      """WITH baskets AS (SELECT DISTINCT o.o_custkey AS cust,
+        |                   l.l_partkey AS part
+        |                 FROM lineitem l
+        |                 JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |nb AS (SELECT CAST(count(DISTINCT cust) AS BIGINT) AS nb
+        |       FROM baskets),
+        |sup AS (SELECT part, CAST(count(*) AS BIGINT) AS n
+        |        FROM baskets GROUP BY 1),
+        |freq AS (SELECT part FROM sup WHERE n >= 20),
+        |fb AS (SELECT b.cust, b.part FROM baskets b JOIN freq USING (part)),
+        |pr AS (SELECT a.part AS part_a, b.part AS part_b,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |       FROM fb a JOIN fb b ON a.cust = b.cust AND a.part < b.part
+        |       GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT pr.part_a, pr.part_b, pr.n_both,
+        |       round(pr.n_both * 1.0 * nb.nb / (sa.n * 1.0 * sb.n), 4)
+        |         AS lift,
+        |       round(pr.n_both * 1.0 / sa.n, 4) AS conf_ab
+        |FROM pr JOIN sup sa ON pr.part_a = sa.part
+        |JOIN sup sb ON pr.part_b = sb.part CROSS JOIN nb
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // Wilson lower bound on per-supplier on-time rate (q12 lateness
+    // convention); z=1.96 forced through DOUBLE (a bare 1.96 literal
+    // is DECIMAL in DuckDB — decimal arithmetic would diverge from
+    // the double expression tree)
+    "supplier_wilson" ->
+      """WITH g AS (SELECT l.l_suppkey AS s_suppkey,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN l.l_shipdate <=
+        |                 o.o_orderdate + INTERVAL 60 DAY
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS ontime
+        |           FROM lineitem l
+        |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |           GROUP BY 1),
+        |w AS (SELECT s_suppkey, n, ontime, ontime * 1.0 / n AS p
+        |      FROM g)
+        |SELECT w.s_suppkey, s.s_name, w.n, w.ontime,
+        |       round(w.p, 4) AS ontime_rate,
+        |       round((w.p
+        |           + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |             / (w.n * 2)
+        |           - CAST(1.96 AS DOUBLE) * sqrt(w.p * (1.0 - w.p) / w.n
+        |             + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |               / (w.n * w.n * 4)))
+        |         / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |             / w.n), 6) AS wilson_lb
+        |FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey
+        |ORDER BY wilson_lb DESC, w.s_suppkey LIMIT 20""".stripMargin,
     // Q2 shape: per-part min 2dp mean unit price among EUROPE
     // suppliers, argmin join-back returns every achieving supplier
     "q2_min_cost" ->

@@ -1190,4 +1190,83 @@ object Analytics {
           .as("mae"))
       .orderBy("event_type")
   }
+
+  /** MARKET-BASKET pair mining over customer baskets (the parts a
+    * customer has ever ordered): frequent co-purchased part pairs
+    * ranked by LIFT — the apriori shape at warehouse scale. The
+    * 100-TB discipline is the two-stage prune: item supports first
+    * (one aggregate), only FREQUENT items (support ≥ minItemSup)
+    * enter the pair stage, and pair expansion is an equi-join on the
+    * basket key — per-basket work is bounded by the frequent-item
+    * count in that basket, never the catalog. Counts are exact
+    * BIGINTs; lift/confidence are single divisions from identical
+    * integers, so the top-20 cut is tie-stable.
+    */
+  def basketPairs(s: SparkSession, dir: String, minItemSup: Long = 20L,
+                  minPairSup: Long = 5L, topN: Int = 20): DataFrame = {
+    val baskets = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+      .localCheckpoint(true)
+    val nBaskets = baskets.select("cust").distinct()
+      .agg(count(lit(1)).as("nb"))
+    val sup = baskets.groupBy("part").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val freq = sup.where(col("n") >= minItemSup)
+    val fb = baskets.join(freq.select(col("part")), "part")
+    val pairs = fb.as("a")
+      .join(fb.as("b"),
+        col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minPairSup)
+    pairs
+      .join(sup.select(col("part").as("part_a"), col("n").as("n_a")),
+        "part_a")
+      .join(sup.select(col("part").as("part_b"), col("n").as("n_b")),
+        "part_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("part_a"), col("part_b"), col("n_both"),
+        round(col("n_both").cast("double") * col("nb")
+          / (col("n_a").cast("double") * col("n_b")), 4).as("lift"),
+        round(col("n_both").cast("double") / col("n_a"), 4).as("conf_ab"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
+  /** SUPPLIER RELIABILITY under uncertainty — Wilson lower bound on
+    * each supplier's on-time rate (shipped within 60 days of order,
+    * the q12 lateness convention): the ranking statistic that does
+    * not let a 2-for-2 supplier outrank a 95-for-100 one. The bound
+    * evaluates from exact integer (ontime, n) pairs with the z=1.96
+    * constant — identical doubles both engines, tie-stable top 20.
+    * One fact⋈orders pass, supplier-keyed aggregate, broadcast name
+    * join.
+    */
+  def supplierWilson(s: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val z2 = 1.96 * 1.96
+    val g = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_shipdate") <=
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+          .otherwise(0L)).as("ontime"))
+    val phat = col("ontime").cast("double") / col("n")
+    val lb = ((phat + lit(z2) / (col("n") * 2)
+      - lit(1.96) * sqrt(phat * (lit(1.0) - phat) / col("n")
+        + lit(z2) / (col("n") * col("n") * 4)))
+      / (lit(1.0) + lit(z2) / col("n")))
+    g.join(broadcast(Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name")), "s_suppkey")
+      .select(col("s_suppkey"), col("s_name"), col("n"), col("ontime"),
+        round(phat, 4).as("ontime_rate"),
+        round(lb, 6).as("wilson_lb"))
+      .orderBy(col("wilson_lb").desc, col("s_suppkey"))
+      .limit(topN)
+  }
 }
