@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Empirical SCALING probe for the three headliner families whose
+/** Empirical SCALING probe for the headliner families whose
   * 100 TB story rests on blocking-key cardinality growing with the
   * corpus: the IVF-cell-blocked kNN graph, banded MinHash pair
   * mining, and the persisted BM25 index. The small driver SFs only
@@ -41,7 +41,8 @@ object ScaleStress {
 
   val factors: Seq[Int] = Seq(1, 4, 16)
   val queryNames: Seq[String] =
-    Seq("knn_graph", "dedup_minhash_pairs", "text_bm25_indexed")
+    Seq("knn_graph", "dedup_minhash_pairs", "text_bm25_indexed",
+      "events_pattern_match")
 
   /** Replica id-space offset: far above any driver-generated id and
     * above the +100000/+200000/+300000 bands the synthetic-workload
@@ -49,11 +50,12 @@ object ScaleStress {
     */
   private val Offset = 10000000L
 
-  // v2: suffix-marker synthesis scheme — the version tag keeps a
-  // dir materialized by an older scheme from being reused stale
+  // v3: suffix-marker synthesis scheme + replicated events — the
+  // version tag keeps a dir materialized by an older scheme from
+  // being reused stale
   private def replicaRoot(sfDir: String, factor: Int): java.nio.file.Path =
     java.nio.file.Paths.get("target", "tmp",
-      s"scale-${java.lang.Integer.toHexString(sfDir.hashCode)}-x$factor-v2")
+      s"scale-${java.lang.Integer.toHexString(sfDir.hashCode)}-x$factor-v3")
       .toAbsolutePath
 
   /** Materialize (once, `_done`-markered) the factor-× replica dir
@@ -94,6 +96,19 @@ object ScaleStress {
           col("label"))
       emb.write.mode("overwrite")
         .parquet(root.resolve("embeddings.parquet").toString)
+      // events replica: user/event ids shift per replica, timestamps
+      // unchanged — each replica's per-user timelines are a bijection
+      // of the base corpus's, so sequence/window semantics scale the
+      // user population without inventing new temporal structure
+      val ev = Tables.events(s, sfDir)
+        .crossJoin(broadcast(reps))
+        .select(
+          (col("event_id") + col("rep") * Offset).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("rep") * Offset).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.write.mode("overwrite")
+        .parquet(root.resolve("events.parquet").toString)
       java.nio.file.Files.write(done, Array.emptyByteArray)
     }
     root.toString

@@ -71,6 +71,27 @@ class ScaleStressSpec extends SparkSuite {
     assert(g.select("qid").distinct().count() == n)
   }
 
+  test("events replica: per-user timelines are a bijection of the base") {
+    val baseEv = Tables.events(spark, sf)
+    val ev = Tables.events(spark, x4)
+    assert(ev.count() == 4 * baseEv.count())
+    assert(ev.select("user_id").distinct().count() ==
+      4 * baseEv.select("user_id").distinct().count())
+    // the pattern-match result on replica 0 IS the base result, and
+    // each replica contributes the identical per-user match multiset
+    val base = graft.operators.Sequence.patternMatch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rep0 = graft.operators.Sequence.patternMatch(spark, x4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 < 10000000L).toSet
+    assert(rep0 == base)
+    val total = graft.operators.Sequence.patternMatch(spark, x4)
+      .agg(sum("n_matches")).collect()(0).getLong(0)
+    val baseTotal = graft.operators.Sequence.patternMatch(spark, sf)
+      .agg(sum("n_matches")).collect()(0).getLong(0)
+    assert(total == 4 * baseTotal)
+  }
+
   test("renderJson is compact and factor-ordered") {
     val j = ScaleStress.renderJson(Map(
       "knn_graph" -> Map("x16" -> 2.5, "x1" -> 0.5, "x4" -> 1.0)))
