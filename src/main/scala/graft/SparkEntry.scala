@@ -148,6 +148,8 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonicalMap(s, d)),
     "dedup_jaccard_hist" -> ((s, d) => Dedup.jaccardHistogram(s, d)),
+    "dedup_band_recall" -> ((s, d) => Dedup.bandRecallReport(s, d)),
+    "corpus_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_substring" -> (Dedup.duplicatedSpansQuery _),
@@ -2389,6 +2391,56 @@ object SparkEntry {
          |SELECT b / 10.0 AS bin_lo, CAST(count(*) AS BIGINT) AS n_pairs,
          |       min(j) AS min_j, max(j) AS max_j
          |FROM bins GROUP BY 1 ORDER BY bin_lo""".stripMargin,
+    // band-recall audit: TRUE pairs from the shingle-intersection
+    // join at the exact jaccard bar, candidates from the band
+    // buckets; one summary row of exact counts
+    "dedup_band_recall" ->
+      s"""WITH $bandCte,
+         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
+         |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+         |            count(*) AS n
+         |          FROM shx x JOIN shx y ON x.s = y.s
+         |            AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |tp AS (SELECT i.id1, i.id2 FROM inter i
+         |       JOIN card c1 ON i.id1 = c1.doc_id
+         |       JOIN card c2 ON i.id2 = c2.doc_id
+         |       WHERE n*1.0/(c1.c + c2.c - n) >= 0.5),
+         |cd AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |       FROM bk a JOIN bk b ON a.band = b.band
+         |         AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |h AS (SELECT tp.id1 FROM tp
+         |      JOIN cd ON tp.id1 = cd.id1 AND tp.id2 = cd.id2)
+         |SELECT CAST((SELECT count(*) FROM tp) AS BIGINT) AS n_true,
+         |       CAST((SELECT count(*) FROM cd) AS BIGINT) AS n_cand,
+         |       CAST((SELECT count(*) FROM h) AS BIGINT) AS n_hit,
+         |       round((SELECT count(*) FROM h) * 1.0
+         |         / (SELECT count(*) FROM tp), 4) AS recall""".stripMargin,
+    // Heaps-law vocabulary growth: docs cut into rank deciles, each
+    // word charged to its FIRST doc's decile, cumulative vocabulary
+    "corpus_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |nr AS (SELECT count(*) AS n FROM d),
+        |rk AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        |       FROM d),
+        |bkt AS (SELECT doc_id, ((rn - 1) * 10) // n + 1 AS bucket
+        |        FROM rk CROSS JOIN nr),
+        |fw AS (SELECT tok, min(doc_id) AS doc_id FROM
+        |         (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |          FROM d)
+        |       GROUP BY 1),
+        |pb AS (SELECT b.bucket, CAST(count(*) AS BIGINT) AS new_words
+        |       FROM fw JOIN bkt b ON fw.doc_id = b.doc_id GROUP BY 1),
+        |db AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM bkt GROUP BY 1)
+        |SELECT db.bucket, db.n_docs,
+        |       coalesce(pb.new_words, 0) AS new_words,
+        |       CAST(sum(db.n_docs) OVER (ORDER BY db.bucket) AS BIGINT)
+        |         AS n_docs_cum,
+        |       CAST(sum(coalesce(pb.new_words, 0))
+        |         OVER (ORDER BY db.bucket) AS BIGINT) AS vocab_cum
+        |FROM db LEFT JOIN pb USING (bucket) ORDER BY bucket""".stripMargin,
     // cross-source near-dup overlap: verified pairs joined to each
     // side's source, counted per unordered source pair
     "dedup_source_overlap" ->

@@ -898,6 +898,50 @@ object Dedup {
   def duplicatedSpansQuery(s: SparkSession, dir: String): DataFrame =
     duplicatedSpans(corpusWithExactDups(s, dir))
 
+  /** BAND-RECALL AUDIT — the number that justifies the LSH
+    * parameters: of all TRUE near-dup pairs (jaccard ≥ bar), what
+    * fraction did the banded candidate stage surface? Ground truth
+    * comes from the shingle-intersection join (blocked by shared
+    * shingle — the same corpus-linear machinery the verify stage
+    * uses, not an unblocked N²); candidates from the band buckets.
+    * One summary row: true pairs, candidate pairs, hits, recall
+    * (exact integer counts, one 4dp division). At production scale
+    * this audit runs on a sampled slice — the plan is identical,
+    * only the input shrinks.
+    */
+  def bandRecallReport(s: SparkSession, dir: String,
+                       minJaccard: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val ex = shingleRows(docs).localCheckpoint(true)
+    // TRUE pair set: every pair sharing ≥1 shingle, exact jaccard bar
+    val card = ex.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = ex.as("x")
+      .join(ex.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n"))
+    val truePairs = inter
+      .join(card.select(col("doc_id").as("id1"), col("c").as("c1")), "id1")
+      .join(card.select(col("doc_id").as("id2"), col("c").as("c2")), "id2")
+      .where(col("n").cast("double") / (col("c1") + col("c2") - col("n"))
+        >= minJaccard)
+      .select("id1", "id2")
+      .localCheckpoint(true)
+    val cand = bucketPairs(minhashBands(docs), "band", "band_key")
+      .select("id1", "id2").distinct()
+      .localCheckpoint(true)
+    val hits = truePairs.join(cand, Seq("id1", "id2"), "left_semi")
+    val nTrue = truePairs.count()
+    val nCand = cand.count()
+    val nHit = hits.count()
+    import s.implicits._
+    Seq((nTrue, nCand, nHit,
+      if (nTrue == 0) 1.0
+      else BigDecimal(nHit.toDouble / nTrue).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_true", "n_cand", "n_hit", "recall")
+  }
+
   /** SIMILARITY HISTOGRAM over the verified near-dup pairs — how
     * duplicate is the duplicate mass: pair counts per jaccard decile
     * band with exact band min/max (no float averaging; min/max of

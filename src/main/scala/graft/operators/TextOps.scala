@@ -685,4 +685,43 @@ object TextOps {
       .orderBy(col("pmi").desc, col("t1"), col("t2"))
       .limit(topN)
   }
+
+  /** VOCABULARY GROWTH CURVE (Heaps' law diagnostic) — how fast new
+    * words keep appearing as the corpus grows, the signal behind "is
+    * more data still buying vocabulary coverage": docs ranked by
+    * doc_id are cut into `buckets` equal slices; each word charges
+    * the slice of its FIRST occurrence (min doc_id — one vocab-sized
+    * aggregate, not a per-slice rescan), and the curve is the
+    * cumulative vocabulary per slice. Exact integer counts end to
+    * end; the cumulative window runs over the `buckets`-row frame
+    * (bounded planning state, the deciles discipline).
+    */
+  def vocabGrowth(s: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val n = docs.count()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    // doc → slice: rank over doc_id (docs are modest-cardinality
+    // metadata here; at 100 TB the same cut comes from the two-level
+    // banded rank used by the deciles/export operators)
+    val ranked = docs.select(col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("bucket",
+        expr(s"((rn - 1) * $buckets) div ${n}L + 1"))
+      .localCheckpoint(true)
+    val firstDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("doc_id"))
+    val perBucket = firstDoc.join(ranked.select("doc_id", "bucket"), "doc_id")
+      .groupBy("bucket").agg(count(lit(1)).as("new_words"))
+    val docsPerBucket = ranked.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docsPerBucket.join(perBucket, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .withColumn("n_docs_cum", sum("n_docs").over(wb))
+      .withColumn("vocab_cum", sum("new_words").over(wb))
+      .orderBy("bucket")
+  }
 }
