@@ -48,16 +48,23 @@ object Pca {
 
   private def momentsUncached(s: SparkSession, dir: String)
       : (Array[Long], Array[Array[Long]], Long) = {
-    val ex = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("id"), posexplode(expr(
-        "transform(embedding, e -> cast(round(cast(e as double) * 10000) as bigint))"))
-        .as(Seq("j", "v")))
+    val micro = Tables.embeddings(s, dir).select(expr(
+      "transform(embedding, e -> cast(round(cast(e as double) * 10000) as bigint))")
+      .as("m"))
     val n = Tables.embeddings(s, dir).count()
-    val sv = ex.groupBy("j").agg(sum("v").as("s"))
+    val sv = micro.select(posexplode(col("m")).as(Seq("j", "v")))
+      .groupBy("j").agg(sum("v").as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val mm = ex.as("a").join(ex.as("b"), col("a.id") === col("b.id"))
-      .groupBy(col("a.j").as("j"), col("b.j").as("k"))
-      .agg(sum(col("a.v") * col("b.v")).as("m"))
+    // the Gram matrix from a PER-ROW pair expansion: each row emits
+    // its 64×64 products directly (no self-join — the earlier form
+    // shuffled the whole exploded corpus by id to pair components),
+    // and the groupBy's map-side partial aggregation collapses each
+    // partition to ≤4096 rows before the only exchange
+    val mm = micro.select(explode(expr(
+        "flatten(transform(m, (x, j) -> transform(m, (y, k) -> " +
+          "struct(j as j, k as k, x * y as p))))")).as("r"))
+      .groupBy(col("r.j").as("j"), col("r.k").as("k"))
+      .agg(sum(col("r.p")).as("m"))
       .collect()
     val sArr = Array.tabulate(Dim)(j => sv(j))
     val mArr = Array.ofDim[Long](Dim, Dim)
