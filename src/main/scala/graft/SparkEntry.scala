@@ -158,6 +158,7 @@ object SparkEntry {
     "sim_brute_topk" -> ((s, d) =>
       Knn.topKExcludingSelf(emb(s, d), simQset(s, d), 10, Knn.Metric.Cosine)),
     "text_langid" -> (TextOps.langId _),
+    "langid_confusion" -> (TextOps.langIdConfusion _),
     "text_quality" -> (TextOps.quality _),
     "quality_deciles" -> (TextOps.qualityDeciles _),
     "text_tokens" -> (TextOps.tokenCounts _),
@@ -2631,6 +2632,34 @@ object SparkEntry {
         |                  {'ns': -de_score, 'l': 'de'},
         |                  {'ns': -fr_score, 'l': 'fr'}])[1].l AS predicted
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // language-ID confusion matrix: the langid mirror's argmax
+    // grouped against the ground-truth lang column
+    "langid_confusion" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(toks, t -> t IN ('the','a','and','of','to','in','is')))
+        |    *1.0/len(toks) AS en_score,
+        |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein')))
+        |    *1.0/len(toks) AS de_score,
+        |  len(list_filter(toks, t -> t IN ('le','la','les','et','est','un')))
+        |    *1.0/len(toks) AS fr_score
+        |  FROM t),
+        |p AS (SELECT doc_id,
+        |        list_sort([{'ns': -en_score, 'l': 'en'},
+        |                   {'ns': -de_score, 'l': 'de'},
+        |                   {'ns': -fr_score, 'l': 'fr'}])[1].l AS predicted
+        |      FROM sc),
+        |cm AS (SELECT d.lang AS actual, p.predicted,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM documents d JOIN p ON d.doc_id = p.doc_id
+        |       GROUP BY 1, 2),
+        |tot AS (SELECT actual, CAST(sum(n) AS BIGINT) AS n_actual
+        |        FROM cm GROUP BY 1)
+        |SELECT cm.actual, cm.predicted, cm.n,
+        |       round(cm.n * 1.0 / tot.n_actual, 4) AS share
+        |FROM cm JOIN tot ON cm.actual = tot.actual
+        |ORDER BY cm.actual, cm.predicted""".stripMargin,
     // exact global deciles of the quality score; mirror assigns
     // decile by the same all-integer (rank-1)*10 div N formula over
     // the identical (score 4dp, doc_id) total order

@@ -724,4 +724,24 @@ object TextOps {
       .withColumn("vocab_cum", sum("new_words").over(wb))
       .orderBy("bucket")
   }
+
+  /** LANGUAGE-ID CONFUSION MATRIX — the eval a heuristic classifier
+    * ships with: predicted ([[langId]]) vs the corpus's ground-truth
+    * lang, as (actual, predicted, n, share-of-actual). Exact integer
+    * counts; the share is one 4dp division. The join keys on doc_id
+    * off the same spread exchange the metrics pipeline uses.
+    */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = langId(s, dir).select(col("doc_id"), col("predicted"))
+    val actual = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val cm = actual.join(pred, "doc_id")
+      .groupBy(col("lang").as("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tot = cm.groupBy("actual").agg(sum("n").as("n_actual"))
+    cm.join(tot, "actual")
+      .select(col("actual"), col("predicted"), col("n"),
+        round(col("n").cast("double") / col("n_actual"), 4).as("share"))
+      .orderBy("actual", "predicted")
+  }
 }
