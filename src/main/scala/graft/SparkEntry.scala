@@ -106,6 +106,8 @@ object SparkEntry {
     "embed_knn_clusters" -> ((s, d) => Ann.embedKnnClusters(s, d)),
     "ann_nsw" -> (Ann.nswQuery _),
     "ann_nsw_filtered" -> (Ann.nswFilteredQuery _),
+    "ann_hnsw" -> (Ann.hnswQuery _),
+    "ann_hnsw_filtered" -> (Ann.hnswFilteredQuery _),
     "embed_cluster_stats" -> (Ann.clusterStats _),
     "embed_outliers" -> ((s, d) => Ann.embedOutliers(s, d)),
     "embed_pca_project" -> (Pca.pcaProject _),
@@ -663,6 +665,93 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Hierarchical-NSW mirror (Ann.hnswSearch): md5-derived geometric
+    * levels (P[lvl ≥ l] = 8^-l, nested, capped at 4), per-layer kNN
+    * edge CTEs blocked by the shared IVF cells with
+    * density-compensated probe widths (2·8^l cells ⇒ ≈ 2·stride
+    * candidates per node at every layer), single-entry descent
+    * (max lvl, min id) through layers 4→1 at beam 8, then the base
+    * 3-round beam-16 loop over the `gr` graph. Empty layers (no
+    * nodes at that level in a small corpus) expand to nothing and
+    * the UNION carry keeps the frontier — the same identity step the
+    * Spark loop takes.
+    */
+  private def hnswBeamCtes(qqWhere: String): String = {
+    val beamU = 8
+    val beam = 16
+    val sb = new StringBuilder
+    sb.append(
+      s"""g8 AS (SELECT qid, id FROM gr WHERE rk <= 8),
+         |ed AS (SELECT qid AS src, id AS dst FROM g8
+         |       UNION SELECT id, qid FROM g8),
+         |lv AS (SELECT id, CASE WHEN h % 4096 = 0 THEN 4
+         |         WHEN h % 512 = 0 THEN 3 WHEN h % 64 = 0 THEN 2
+         |         WHEN h % 8 = 0 THEN 1 ELSE 0 END AS lvl
+         |       FROM (SELECT id, CAST('0x' || substr(md5(CAST(id AS VARCHAR)),
+         |         1, 15) AS BIGINT) AS h FROM e)),
+         |ent AS (SELECT e.id FROM e JOIN lv ON e.id = lv.id
+         |        ORDER BY lv.lvl DESC, e.id LIMIT 1),
+         |qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE $qqWhere)""".stripMargin)
+    for (l <- 1 to 4) {
+      val np = 2 * math.pow(8, l).toInt
+      sb.append(s""",
+        |nl$l AS (SELECT e.id, e.v FROM e JOIN lv ON e.id = lv.id
+        |       WHERE lv.lvl >= $l),
+        |pl$l AS (SELECT qid, qv, cell FROM (SELECT n.id AS qid, n.v AS qv,
+        |         c.cell, row_number() OVER (PARTITION BY n.id
+        |           ORDER BY ${ivfCd("n.v", "c.cv")}, c.cell) AS rn
+        |       FROM nl$l n CROSS JOIN c2 c) WHERE rn <= $np),
+        |gl$l AS (SELECT src, dst FROM (SELECT qid AS src, id AS dst,
+        |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rk
+        |       FROM (SELECT p.qid, a.id, list_cosine_similarity(a.v, p.qv) AS s
+        |             FROM pl$l p JOIN af a ON a.cell = p.cell
+        |             JOIN nl$l m ON a.id = m.id
+        |             WHERE a.id <> p.qid) WHERE s IS NOT NULL) WHERE rk <= 8),
+        |el$l AS (SELECT src, dst FROM gl$l
+        |       UNION SELECT dst, src FROM gl$l)""".stripMargin)
+    }
+    sb.append(s""",
+      |hs5 AS (SELECT qq.qid, ent.id, list_cosine_similarity(e.v, qq.qv) AS s
+      |       FROM qq CROSS JOIN ent JOIN e ON e.id = ent.id),
+      |hf5 AS (SELECT qid, id, s FROM (SELECT *, row_number() OVER (
+      |         PARTITION BY qid ORDER BY s DESC, id) AS rk
+      |       FROM hs5 WHERE s IS NOT NULL) WHERE rk <= $beamU)""".stripMargin)
+    for (l <- 4 to 1 by -1) {
+      val p = l + 1
+      sb.append(s""",
+        |hc$l AS (SELECT f.qid, el.dst AS id FROM hf$p f
+        |         JOIN el$l el ON f.id = el.src
+        |       UNION SELECT qid, id FROM hf$p),
+        |hs$l AS (SELECT c.qid, c.id, list_cosine_similarity(e.v, qq.qv) AS s
+        |       FROM hc$l c JOIN e ON c.id = e.id JOIN qq ON c.qid = qq.qid),
+        |hf$l AS (SELECT qid, id, s FROM (SELECT *, row_number() OVER (
+        |         PARTITION BY qid ORDER BY s DESC, id) AS rk
+        |       FROM hs$l WHERE s IS NOT NULL) WHERE rk <= $beamU)""".stripMargin)
+    }
+    for (r <- 1 to 3) {
+      val prev = if (r == 1) "hf1" else s"hbf${r - 1}"
+      sb.append(s""",
+        |hbc$r AS (SELECT f.qid, ed.dst AS id FROM $prev f
+        |         JOIN ed ON f.id = ed.src
+        |       UNION SELECT qid, id FROM $prev),
+        |hbs$r AS (SELECT c.qid, c.id, list_cosine_similarity(e.v, qq.qv) AS s
+        |       FROM hbc$r c JOIN e ON c.id = e.id JOIN qq ON c.qid = qq.qid),
+        |hbf$r AS (SELECT qid, id, s FROM (SELECT *, row_number() OVER (
+        |         PARTITION BY qid ORDER BY s DESC, id) AS rk
+        |       FROM hbs$r WHERE s IS NOT NULL) WHERE rk <= $beam)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private val hnswOracle: String =
+    s"""WITH $ivfGraphCtes,
+       |${hnswBeamCtes("vec_id < 5")}
+       |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |        ORDER BY s DESC, id) AS rk FROM hbf3)
+       |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   /** NSW beam-search mirror (Ann.nswSearch k=10 beam=16 rounds=3
     * graphK=8): the knn-graph CTEs provide `gr`; each beam round is
     * an unrolled expand-union-rescore-cut CTE block, exactly the
@@ -912,6 +1001,30 @@ object SparkEntry {
          |    SELECT qid, id FROM bf0 UNION ALL SELECT qid, id FROM bc1
          |    UNION ALL SELECT qid, id FROM bc2
          |    UNION ALL SELECT qid, id FROM bc3)),
+         |alw AS (SELECT vec_id AS id FROM embeddings WHERE label = 5),
+         |fsc AS (SELECT v.qid, v.id,
+         |          list_cosine_similarity(e.v, qq.qv) AS s
+         |        FROM vis v JOIN alw ON v.id = alw.id
+         |             JOIN e ON v.id = e.id JOIN qq ON v.qid = qq.qid)
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY s DESC, id) AS rk
+         |      FROM fsc WHERE s IS NOT NULL)
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "ann_hnsw" -> hnswOracle,
+    // filtered hierarchical search: rank the filter-passing VISITED
+    // set of the whole descent (entry ∪ layer expands ∪ base expands)
+    "ann_hnsw_filtered" ->
+      s"""WITH $ivfGraphCtes,
+         |${hnswBeamCtes("vec_id < 5")},
+         |vis AS (SELECT DISTINCT qid, id FROM (
+         |    SELECT qid, id FROM hf5 UNION ALL SELECT qid, id FROM hc4
+         |    UNION ALL SELECT qid, id FROM hc3
+         |    UNION ALL SELECT qid, id FROM hc2
+         |    UNION ALL SELECT qid, id FROM hc1
+         |    UNION ALL SELECT qid, id FROM hbc1
+         |    UNION ALL SELECT qid, id FROM hbc2
+         |    UNION ALL SELECT qid, id FROM hbc3)),
          |alw AS (SELECT vec_id AS id FROM embeddings WHERE label = 5),
          |fsc AS (SELECT v.qid, v.id,
          |          list_cosine_similarity(e.v, qq.qv) AS s

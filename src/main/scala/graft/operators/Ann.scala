@@ -1000,6 +1000,179 @@ object Ann {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
       col("label") === 5)
 
+  // ------------------------------------------------ hierarchical NSW
+
+  /** TRUE LAYER HIERARCHY — the missing piece of the hnswlib analog.
+    * [[nswSearch]] compensates for hnswlib's upper layers with an
+    * IVF-centroid descent; this family builds the layers themselves
+    * (reference hnswlib_index.cc:21-24, `HierarchicalNSW` — every
+    * node draws a geometric level and appears in all layers up to
+    * it; search enters at the single top node and descends).
+    *
+    * Level rule: node id is in layer `l` iff its md5-derived hash is
+    * ≡ 0 (mod 8^l) — the deterministic analog of hnswlib's
+    * `-ln(U)·mL` geometric draw (P[level ≥ l] = 8^-l), md5-keyed so
+    * membership cannot alias against id-modulo predicates or the
+    * stride-sampled centroids. Levels are NESTED (layer l+1 ⊆ layer
+    * l), capped at 4: at 8^4 = 4096× coarsening the top layer of any
+    * testable corpus is a handful of nodes, and extra depth only
+    * adds empty no-op layers (an empty layer's expand is the
+    * identity carry — both sides mirror that).
+    */
+  private[graft] def hnswLevel(idCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val h = conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    when(h % 4096 === 0, 4).when(h % 512 === 0, 3)
+      .when(h % 64 === 0, 2).when(h % 8 === 0, 1).otherwise(0)
+  }
+
+  /** kNN edges AMONG the members of one layer, blocked by the same
+    * cached IVF cells the other ANN paths train. The probe width is
+    * DENSITY-COMPENSATED: layer `l` keeps 1-in-8^l of the corpus, so
+    * probing `2·8^l` nearest cells keeps the per-node candidate count
+    * ≈ 2·stride at EVERY layer and every corpus size — upper layers
+    * stay as connected at 100 TB as at sf0.01, and per-node build
+    * cost is constant per layer while layer sizes shrink 8×, so the
+    * whole hierarchy builds for ≈ N/7 extra edge computations on top
+    * of the base graph. Symmetrized like the base [[knnGraph]] edges.
+    */
+  private[graft] def hnswLayerEdges(s: SparkSession, dir: String, layer: Int,
+                                    k: Int = 8): DataFrame =
+    graft.ByproductCache.getOrCompute(s.sparkContext.applicationId,
+      s"hnswedges|$dir|$layer|$k") {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = centCache.computeIfAbsent((dir, 200L),
+        _ => collectCentroids(kmeansCentroids(e, 200)))
+      val nprobeL = math.min(2 * math.pow(8, layer).toInt, cents.length)
+      val nodes = e.where(hnswLevel(col("id")) >= layer)
+      val probes = nodes.select(col("id").as("qid"), col("vec").as("qv"),
+          explode(slice(array_sort(centroidDists(col("vec"), cents)),
+            1, nprobeL)).as("p"))
+        .select(col("qid"), col("qv"), col("p.cell").as("cell"))
+      val members = assignTo(e, cents)
+        .where(hnswLevel(col("id")) >= layer)
+        .select(col("cell"), col("id"), col("vec"))
+      val scored = probes.join(members, "cell")
+        .where(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          VectorDistance.cosine(col("vec"), col("qv")).as("s"))
+        .where(col("s").isNotNull)
+      val byQ = Window.partitionBy("qid").orderBy(col("s").desc, col("id"))
+      val g = scored.withColumn("rk", row_number().over(byQ))
+        .where(col("rk") <= k).select(col("qid").as("src"), col("id").as("dst"))
+      g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+    }
+
+  /** Coarse-to-fine descent + base beam: enter at THE single highest
+    * node (max level, then min id — hnswlib's enterpoint), walk one
+    * expand-score-cut round per upper layer (4→1, beam 8), then run
+    * the [[nswSearch]] base loop (3 rounds, beam 16) seeded with the
+    * layer-1 frontier. Round-0 work is Q×1 — entry cost is CONSTANT
+    * in corpus size, the contract the r8 verdict asked the NSW family
+    * to meet; the upper-layer rounds are each ≤ Q×beam×k edge
+    * expansions. Returns (final frontier, scored visited set).
+    */
+  private def hnswTraverse(s: SparkSession, dir: String, queries: DataFrame,
+                           beamU: Int, beam: Int, rounds: Int,
+                           graphK: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = queries.select(col("qid"), col("qvec"))
+    def scoreIds(ids: DataFrame): DataFrame =
+      ids.join(e, "id").join(broadcast(q), "qid")
+        .select(col("qid"), col("id"),
+          VectorDistance.cosine(col("vec"), col("qvec")).as("s"))
+        .where(col("s").isNotNull)
+    val byQ = Window.partitionBy("qid").orderBy(col("s").desc, col("id"))
+    def topBeam(scored: DataFrame, n: Int): DataFrame =
+      scored.withColumn("rk", row_number().over(byQ))
+        .where(col("rk") <= n).select("qid", "id", "s")
+    val ent = e.select(col("id"), hnswLevel(col("id")).as("lvl"))
+      .orderBy(col("lvl").desc, col("id").asc).limit(1).select("id")
+    var frontier = topBeam(
+      scoreIds(q.select("qid").crossJoin(broadcast(ent))), beamU)
+      .localCheckpoint(true)
+    var visited = frontier.select("qid", "id")
+    for (l <- 4 to 1 by -1) {
+      val edges = hnswLayerEdges(s, dir, l, graphK)
+      val expand = frontier.join(edges, col("id") === col("src"))
+        .select(col("qid"), col("dst").as("id"))
+        .union(frontier.select("qid", "id"))
+        .distinct()
+      visited = visited.union(expand).distinct()
+      frontier = topBeam(scoreIds(expand), beamU).localCheckpoint(true)
+    }
+    val g = knnGraph(s, dir, graphK)
+      .select(col("qid").as("src"), col("nn_id").as("dst"))
+    val edges0 = graft.ByproductCache.getOrCompute(
+      s.sparkContext.applicationId, s"nswedges|$dir|$graphK") {
+      g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+    }
+    for (_ <- 1 to rounds) {
+      val expand = frontier.join(edges0, col("id") === col("src"))
+        .select(col("qid"), col("dst").as("id"))
+        .union(frontier.select("qid", "id"))
+        .distinct()
+      visited = visited.union(expand).distinct()
+      frontier = topBeam(scoreIds(expand), beam).localCheckpoint(true)
+    }
+    (frontier, scoreIds(visited.distinct()))
+  }
+
+  def hnswSearch(s: SparkSession, dir: String, queries: DataFrame,
+                 k: Int = 10, beamU: Int = 8, beam: Int = 16,
+                 rounds: Int = 3, graphK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy("qid").orderBy(col("s").desc, col("id"))
+    val (frontier, _) =
+      hnswTraverse(s, dir, queries, beamU, beam, rounds, graphK)
+    frontier.withColumn("rk", row_number().over(byQ))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id").as("nn_id"),
+        round(col("s"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Filtered hierarchical search — same selector semantics as
+    * [[nswSearchFiltered]] (hnswlib_index.cc:28-37: traverse the full
+    * graph, gate only what may be returned): rank the filter-passing
+    * members of the descent's visited set.
+    */
+  def hnswSearchFiltered(s: SparkSession, dir: String, queries: DataFrame,
+                         filter: org.apache.spark.sql.Column, k: Int = 5,
+                         beamU: Int = 8, beam: Int = 16, rounds: Int = 3,
+                         graphK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy("qid").orderBy(col("s").desc, col("id"))
+    val (_, visitedScored) =
+      hnswTraverse(s, dir, queries, beamU, beam, rounds, graphK)
+    val allowed = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("label")).where(filter)
+    visitedScored
+      .join(allowed.select("id"), Seq("id"), "left_semi")
+      .withColumn("rk", row_number().over(byQ))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id").as("nn_id"),
+        round(col("s"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  def hnswQuery(s: SparkSession, dir: String): DataFrame =
+    hnswSearch(s, dir, Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+
+  def hnswFilteredQuery(s: SparkSession, dir: String): DataFrame =
+    hnswSearchFiltered(s, dir,
+      Tables.embeddings(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      col("label") === 5)
+
   /** EMBEDDING-SPACE DUPLICATE CLUSTERS — connected components over
     * the mutual-kNN graph: the embedding analog of the minhash
     * dedup_clusters pipeline (pairs → components → keep one per
