@@ -108,6 +108,7 @@ object SparkEntry {
     "ann_nsw_filtered" -> (Ann.nswFilteredQuery _),
     "ann_hnsw" -> (Ann.hnswQuery _),
     "ann_hnsw_filtered" -> (Ann.hnswFilteredQuery _),
+    "ann_hnsw_indexed" -> (Ann.hnswIndexedQuery _),
     "embed_cluster_stats" -> (Ann.clusterStats _),
     "embed_outliers" -> ((s, d) => Ann.embedOutliers(s, d)),
     "embed_pca_project" -> (Pca.pcaProject _),
@@ -1012,6 +1013,10 @@ object SparkEntry {
          |      FROM fsc WHERE s IS NOT NULL)
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "ann_hnsw" -> hnswOracle,
+    // persisted hierarchy: same centroids, same edge rule, searched
+    // partition-pruned — shares the in-memory descent's mirror
+    // (HnswIndexSpec pins the path equality)
+    "ann_hnsw_indexed" -> hnswOracle,
     // filtered hierarchical search: rank the filter-passing VISITED
     // set of the whole descent (entry ∪ layer expands ∪ base expands)
     "ann_hnsw_filtered" ->

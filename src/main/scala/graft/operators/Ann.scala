@@ -1076,12 +1076,15 @@ object Ann {
     * to meet; the upper-layer rounds are each ≤ Q×beam×k edge
     * expansions. Returns (final frontier, scored visited set).
     */
-  private def hnswTraverse(s: SparkSession, dir: String, queries: DataFrame,
-                           beamU: Int, beam: Int, rounds: Int,
-                           graphK: Int): (DataFrame, DataFrame) = {
+  /** Traversal core shared by the in-memory and persisted-index
+    * variants: same descent, edges supplied by the caller.
+    */
+  private def hnswTraverseEdges(e: DataFrame, queries: DataFrame,
+                                layerEdges: Int => DataFrame,
+                                edges0: DataFrame,
+                                beamU: Int, beam: Int,
+                                rounds: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = queries.select(col("qid"), col("qvec"))
     def scoreIds(ids: DataFrame): DataFrame =
       ids.join(e, "id").join(broadcast(q), "qid")
@@ -1099,20 +1102,13 @@ object Ann {
       .localCheckpoint(true)
     var visited = frontier.select("qid", "id")
     for (l <- 4 to 1 by -1) {
-      val edges = hnswLayerEdges(s, dir, l, graphK)
+      val edges = layerEdges(l)
       val expand = frontier.join(edges, col("id") === col("src"))
         .select(col("qid"), col("dst").as("id"))
         .union(frontier.select("qid", "id"))
         .distinct()
       visited = visited.union(expand).distinct()
       frontier = topBeam(scoreIds(expand), beamU).localCheckpoint(true)
-    }
-    val g = knnGraph(s, dir, graphK)
-      .select(col("qid").as("src"), col("nn_id").as("dst"))
-    val edges0 = graft.ByproductCache.getOrCompute(
-      s.sparkContext.applicationId, s"nswedges|$dir|$graphK") {
-      g.union(g.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint(true)
     }
     for (_ <- 1 to rounds) {
       val expand = frontier.join(edges0, col("id") === col("src"))
@@ -1123,6 +1119,22 @@ object Ann {
       frontier = topBeam(scoreIds(expand), beam).localCheckpoint(true)
     }
     (frontier, scoreIds(visited.distinct()))
+  }
+
+  private def hnswTraverse(s: SparkSession, dir: String, queries: DataFrame,
+                           beamU: Int, beam: Int, rounds: Int,
+                           graphK: Int): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = knnGraph(s, dir, graphK)
+      .select(col("qid").as("src"), col("nn_id").as("dst"))
+    val edges0 = graft.ByproductCache.getOrCompute(
+      s.sparkContext.applicationId, s"nswedges|$dir|$graphK") {
+      g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+    }
+    hnswTraverseEdges(e, queries, l => hnswLayerEdges(s, dir, l, graphK),
+      edges0, beamU, beam, rounds)
   }
 
   def hnswSearch(s: SparkSession, dir: String, queries: DataFrame,
@@ -1172,6 +1184,265 @@ object Ann {
       Tables.embeddings(s, dir).where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
       col("label") === 5)
+
+  // ---------------------------------------- persisted hierarchy
+
+  /** Density-compensated probe width for a layer (see
+    * [[hnswLayerEdges]]): 2·8^layer cells keeps per-node candidates
+    * ≈ 2·stride at every layer. Layer 0 is the base graph's
+    * nprobe=2.
+    */
+  private def hnswNprobe(layer: Int, ncells: Int): Int =
+    math.min(2 * math.pow(8, layer).toInt, ncells)
+
+  /** Layer-l kNN edges for `nodes` against the CURRENT persisted
+    * index — [[graphEdgesFor]] generalized with the layer's member
+    * restriction and probe width. Layer 0 degenerates to exactly
+    * [[graphEdgesFor]]'s base edges.
+    */
+  private def graphEdgesLayer(s: SparkSession, indexPath: String,
+                              nodes: DataFrame, layer: Int,
+                              k: Int): DataFrame = {
+    val cents = collectCentroids(
+      s.read.parquet(centroidsPath(indexPath)).select(col("cell"), col("cvec")))
+    val np = hnswNprobe(layer, cents.length)
+    val probes = nodes.select(col("id").as("qid"), col("vec").as("qvec"),
+        explode(slice(array_sort(centroidDists(col("vec"), cents)),
+          1, np)).as("p"))
+      .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
+    val scored = graphNodes(s, indexPath)
+      .where(hnswLevel(col("id")) >= layer)
+      .join(probes, "cell")
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    topKPerQuery(scored, k)
+  }
+
+  /** PERSIST THE WHOLE HIERARCHY — layers 0..4 of an IVF index as
+    * one parquet table PARTITIONED BY (layer, cell). Layer 0 (probe
+    * width 2) IS the base kNN graph, so this table is the complete
+    * search structure: a descent reads each layer partition-pruned,
+    * and maintenance is churn-local exactly as [[knnGraphBuild]]'s
+    * layout argument says — a touched cell's rows cluster in 5
+    * partitions (one per layer), not across the table. Levels are a
+    * pure function of id ([[hnswLevel]]), so an upsert can never
+    * move a node between layers — only its cell and edges change.
+    */
+  def hnswBuild(s: SparkSession, indexPath: String, hnswPath: String,
+                k: Int = 8): Unit = {
+    val nodes = graphNodes(s, indexPath)
+    val cellOf = nodes.select(col("id").as("qid"), col("cell"))
+    val layers = (0 to 4).map { l =>
+      graphEdgesLayer(s, indexPath,
+          nodes.where(hnswLevel(col("id")) >= l), l, k)
+        .join(cellOf, "qid")
+        .select(lit(l).as("layer"), col("qid"), col("rk"), col("nn_id"),
+          col("score"), col("cell").cast("long").as("cell"))
+    }.reduce(_ unionByName _)
+    layers.write.mode("overwrite")
+      .partitionBy("layer", "cell").parquet(hnswPath)
+  }
+
+  def hnswRead(s: SparkSession, hnswPath: String): DataFrame =
+    s.read.parquet(hnswPath)
+      .select(col("layer").cast("int").as("layer"), col("qid"),
+        col("rk"), col("nn_id"), col("score"))
+
+  /** INCREMENTAL HIERARCHY MAINTENANCE — [[knnGraphUpsert]]'s
+    * protocol applied to every layer under ONE intent marker: record
+    * the batch's pre-upsert cells durably, upsert the index once,
+    * then per layer recompute the affected nodes (the layer's
+    * upserted members ∪ the layer nodes probing a touched cell at
+    * that layer's width) and dynamic-overwrite only the (layer,
+    * cell) partitions holding an affected row. Equal to a fresh
+    * [[hnswBuild]] by the same argument as the base graph — a
+    * layer-l node's candidate set is exactly the layer-l membership
+    * of its probe cells, and level membership is immutable — with
+    * the same crash-window repair (a surviving marker's cells merge
+    * into the next run's touched set).
+    */
+  def hnswUpsert(s: SparkSession, indexPath: String, hnswPath: String,
+                 updates: DataFrame, k: Int = 8): Unit = {
+    import s.implicits._
+    val ids = broadcast(updates.select("id").distinct())
+    val intentPath = new org.apache.hadoop.fs.Path(hnswPath + "_intent")
+    val fs = intentPath.getFileSystem(s.sessionState.newHadoopConf())
+    val pendingOld: Array[Long] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(intentPath, "_SUCCESS")))
+        s.read.parquet(intentPath.toString).collect().map(_.getLong(0))
+      else Array.empty
+    val oldCells = (s.read.parquet(indexPath).join(ids, "id")
+      .select(col("cell").cast("long").as("cell")).distinct()
+      .collect().map(_.getLong(0)) ++ pendingOld).distinct
+    oldCells.toSeq.toDF("cell")
+      .coalesce(1).write.mode("overwrite").parquet(intentPath.toString)
+    ivfIndexUpsert(s, indexPath, updates)
+    val newCells = s.read.parquet(indexPath).join(ids, "id")
+      .select(col("cell").cast("long").as("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val touched = (oldCells ++ newCells).distinct
+    val cents = collectCentroids(
+      s.read.parquet(centroidsPath(indexPath)).select(col("cell"), col("cvec")))
+    val nodes = graphNodes(s, indexPath)
+    val perLayer = (0 to 4).map { l =>
+      val lnodes = nodes.where(hnswLevel(col("id")) >= l)
+      val np = hnswNprobe(l, cents.length)
+      val probers = lnodes.select(col("id"),
+          explode(slice(array_sort(centroidDists(col("vec"), cents)),
+            1, np)).as("p"))
+        .where(col("p.cell").isin(touched.toIndexedSeq: _*))
+        .select("id").distinct()
+      val affectedIds = probers
+        .unionByName(lnodes.join(ids, Seq("id"), "left_semi").select("id"))
+        .distinct().localCheckpoint(true)
+      val affected = lnodes.join(broadcast(affectedIds), Seq("id"), "left_semi")
+      val recomputed = graphEdgesLayer(s, indexPath, affected, l, k)
+        .join(nodes.select(col("id").as("qid"), col("cell")), "qid")
+        .select(lit(l).as("layer"), col("qid"), col("rk"), col("nn_id"),
+          col("score"), col("cell").cast("long").as("cell"))
+      val affCells = (affected.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)) ++ oldCells).distinct
+      val keep = s.read.parquet(hnswPath)
+        .where(col("layer") === l &&
+          col("cell").isin(affCells.toIndexedSeq: _*))
+        .join(broadcast(affectedIds.select(col("id").as("qid"))),
+          Seq("qid"), "left_anti")
+        .select(lit(l).as("layer"), col("qid"), col("rk"), col("nn_id"),
+          col("score"), col("cell").cast("long").as("cell"))
+      (keep.unionByName(recomputed), affCells.map(c => (l, c)))
+    }
+    val replacement = perLayer.map(_._1).reduce(_ unionByName _)
+      .localCheckpoint(true)
+    val affPairs = perLayer.flatMap(_._2)
+    publishHnsw(s, hnswPath, replacement, affPairs, fs)
+    fs.delete(intentPath, true)
+  }
+
+  /** Tombstone twin ([[knnGraphDelete]] per layer, one marker). */
+  def hnswDelete(s: SparkSession, indexPath: String, hnswPath: String,
+                 ids: DataFrame, k: Int = 8): Unit = {
+    import s.implicits._
+    val delIds = broadcast(ids.select("id").distinct())
+    val intentPath = new org.apache.hadoop.fs.Path(hnswPath + "_intent")
+    val fs = intentPath.getFileSystem(s.sessionState.newHadoopConf())
+    val pendingOld: Array[Long] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(intentPath, "_SUCCESS")))
+        s.read.parquet(intentPath.toString).collect().map(_.getLong(0))
+      else Array.empty
+    val oldCells = (s.read.parquet(indexPath).join(delIds, "id")
+      .select(col("cell").cast("long").as("cell")).distinct()
+      .collect().map(_.getLong(0)) ++ pendingOld).distinct
+    if (oldCells.isEmpty) return
+    oldCells.toSeq.toDF("cell")
+      .coalesce(1).write.mode("overwrite").parquet(intentPath.toString)
+    ivfIndexDelete(s, indexPath, delIds)
+    val cents = collectCentroids(
+      s.read.parquet(centroidsPath(indexPath)).select(col("cell"), col("cvec")))
+    val nodes = graphNodes(s, indexPath)
+    val perLayer = (0 to 4).map { l =>
+      val lnodes = nodes.where(hnswLevel(col("id")) >= l)
+      val np = hnswNprobe(l, cents.length)
+      val probers = lnodes.select(col("id"),
+          explode(slice(array_sort(centroidDists(col("vec"), cents)),
+            1, np)).as("p"))
+        .where(col("p.cell").isin(oldCells.toIndexedSeq: _*))
+        .select("id").distinct().localCheckpoint(true)
+      val affected = lnodes.join(broadcast(probers), Seq("id"), "left_semi")
+      val recomputed = graphEdgesLayer(s, indexPath, affected, l, k)
+        .join(nodes.select(col("id").as("qid"), col("cell")), "qid")
+        .select(lit(l).as("layer"), col("qid"), col("rk"), col("nn_id"),
+          col("score"), col("cell").cast("long").as("cell"))
+      val affCells = (affected.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)) ++ oldCells).distinct
+      val gone = probers.unionByName(delIds.select("id"))
+        .distinct().localCheckpoint(true)
+      val keep = s.read.parquet(hnswPath)
+        .where(col("layer") === l &&
+          col("cell").isin(affCells.toIndexedSeq: _*))
+        .join(broadcast(gone.select(col("id").as("qid"))),
+          Seq("qid"), "left_anti")
+        .select(lit(l).as("layer"), col("qid"), col("rk"), col("nn_id"),
+          col("score"), col("cell").cast("long").as("cell"))
+      (keep.unionByName(recomputed), affCells.map(c => (l, c)))
+    }
+    val replacement = perLayer.map(_._1).reduce(_ unionByName _)
+      .localCheckpoint(true)
+    publishHnsw(s, hnswPath, replacement, perLayer.flatMap(_._2), fs)
+    fs.delete(intentPath, true)
+  }
+
+  /** Dynamic-partition-overwrite publish + emptied-partition GC for
+    * the (layer, cell) layout — the [[knnGraphUpsert]] publish
+    * discipline lifted to two partition columns.
+    */
+  private def publishHnsw(s: SparkSession, hnswPath: String,
+                          replacement: DataFrame,
+                          affPairs: Seq[(Int, Long)],
+                          fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try replacement.write.mode("overwrite")
+      .partitionBy("layer", "cell").parquet(hnswPath)
+    finally prevMode match {
+      case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val written = replacement.select("layer", "cell").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    affPairs.distinct.filterNot(written).foreach { case (l, c) =>
+      val dir = new org.apache.hadoop.fs.Path(hnswPath, s"layer=$l/cell=$c")
+      fs.delete(dir, true)
+    }
+  }
+
+  /** Search the PERSISTED hierarchy: same descent as [[hnswSearch]],
+    * edges read partition-pruned from the (layer, cell) layout and
+    * symmetrized on read. Equal to the in-memory path by
+    * construction (same centroids, same layer membership, same edge
+    * rule) — AnnSpec pins the equality, so the persisted structure
+    * shares ann_hnsw's oracle.
+    */
+  def hnswSearchIndexed(s: SparkSession, indexPath: String, hnswPath: String,
+                        queries: DataFrame, k: Int = 10, beamU: Int = 8,
+                        beam: Int = 16, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = graphNodes(s, indexPath).select(col("id"), col("vec"))
+    val all = hnswRead(s, hnswPath)
+    def sym(layer: Int): DataFrame = {
+      val g = all.where(col("layer") === layer)
+        .select(col("qid").as("src"), col("nn_id").as("dst"))
+      g.union(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    }
+    val (frontier, _) = hnswTraverseEdges(e, queries, sym, sym(0),
+      beamU, beam, rounds)
+    val byQ = Window.partitionBy("qid").orderBy(col("s").desc, col("id"))
+    frontier.withColumn("rk", row_number().over(byQ))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id").as("nn_id"),
+        round(col("s"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Persisted-hierarchy twin of [[hnswQuery]]: index + hierarchy
+    * built once per sf dir under target/tmp, then searched
+    * partition-pruned — shares [[hnswQuery]]'s oracle because both
+    * paths train the same centroids and apply the same edge rule.
+    */
+  def hnswIndexedQuery(s: SparkSession, dir: String): DataFrame = {
+    val idx = indexedPath(s, dir)
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val hp = java.nio.file.Paths.get("target", "tmp", s"hnsw-$key")
+      .toAbsolutePath.toString
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(hp, "_SUCCESS")))
+      hnswBuild(s, idx, hp)
+    hnswSearchIndexed(s, idx, hp,
+      Tables.embeddings(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+  }
 
   /** EMBEDDING-SPACE DUPLICATE CLUSTERS — connected components over
     * the mutual-kNN graph: the embedding analog of the minhash
