@@ -269,6 +269,8 @@ object SparkEntry {
     "q12_late_priority" -> (Analytics.q12LatePriority _),
     "basket_pairs" -> ((s, d) => Analytics.basketPairs(s, d)),
     "supplier_wilson" -> ((s, d) => Analytics.supplierWilson(s, d)),
+    "customer_rfm" -> ((s, d) => Analytics.customerRfm(s, d)),
+    "text_boilerplate" -> ((s, d) => TextOps.boilerplate(s, d)),
     "q2_min_cost" -> (Analytics.q2MinCostSupplier _),
     "bucketed_join_agg" -> (Layout.bucketedJoinQuery _),
     "events_zorder_skip" -> (ZOrder.zorderSkipQuery _),
@@ -4165,6 +4167,60 @@ object SparkEntry {
         |             / w.n), 6) AS wilson_lb
         |FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey
         |ORDER BY wilson_lb DESC, w.s_suppkey LIMIT 20""".stripMargin,
+    // RFM: per-dimension exact global quartile by (value, custkey);
+    // the banded two-level rank on the Spark side reproduces exactly
+    // this total order (band is monotone in the value). Money sums
+    // as integer cents — fold-order-proof (see Analytics.customerRfm)
+    "customer_rfm" ->
+      """WITH per AS (SELECT o_custkey AS custkey,
+        |        max(CAST(o_orderdate AS DATE)) AS last_order,
+        |        count(*) AS frequency,
+        |        sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |      FROM orders GROUP BY 1),
+        |mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+        |r AS (SELECT custkey,
+        |        date_diff('day', last_order, mxd) AS recency_days,
+        |        frequency,
+        |        round(cents / 100.0, 2) AS monetary
+        |      FROM per, mx),
+        |k AS (SELECT *,
+        |        row_number() OVER (ORDER BY recency_days, custkey) AS rr,
+        |        row_number() OVER (ORDER BY frequency, custkey) AS fr,
+        |        row_number() OVER (ORDER BY monetary, custkey) AS mr,
+        |        count(*) OVER () AS n
+        |      FROM r)
+        |SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+        |       CAST(frequency AS BIGINT) AS frequency, monetary,
+        |       CAST((rr - 1) * 4 // n + 1 AS BIGINT) AS r_q,
+        |       CAST((fr - 1) * 4 // n + 1 AS BIGINT) AS f_q,
+        |       CAST((mr - 1) * 4 // n + 1 AS BIGINT) AS m_q,
+        |       CAST(((rr - 1) * 4 // n + 1) * 100
+        |         + ((fr - 1) * 4 // n + 1) * 10
+        |         + ((mr - 1) * 4 // n + 1) AS BIGINT) AS rfm_cell
+        |FROM k ORDER BY custkey""".stripMargin,
+    // boilerplate: trigram doc-frequency tail at a 1%-of-corpus bar,
+    // per-doc occurrence rollup (left join keeps sub-trigram docs)
+    "text_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, concat_ws(' ', list_slice(ws, i, i + 2)) AS gram
+        |      FROM d, unnest(range(1, len(ws) - 1)) AS t(i)
+        |      WHERE len(ws) >= 3),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |bo AS (SELECT gram FROM g GROUP BY gram
+        |       HAVING count(DISTINCT doc_id) >=
+        |         (SELECT ceil(nd * 0.01) FROM nd)),
+        |per AS (SELECT doc_id, count(*) AS n_grams,
+        |          count(*) FILTER (WHERE gram IN (SELECT gram FROM bo))
+        |            AS n_boiler
+        |        FROM g GROUP BY doc_id)
+        |SELECT d2.doc_id,
+        |       CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(coalesce(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |       coalesce(round(per.n_boiler * 1.0 / per.n_grams, 4), 0.0)
+        |         AS boiler_ratio
+        |FROM documents d2 LEFT JOIN per ON d2.doc_id = per.doc_id
+        |ORDER BY d2.doc_id""".stripMargin,
     // Q2 shape: per-part min 2dp mean unit price among EUROPE
     // suppliers, argmin join-back returns every achieving supplier
     "q2_min_cost" ->

@@ -1269,4 +1269,71 @@ object Analytics {
       .orderBy(col("wilson_lb").desc, col("s_suppkey"))
       .limit(topN)
   }
+
+  /** RFM SEGMENTATION — the classic marketing cut of a customer
+    * base: per customer Recency (days since last order, vs the
+    * corpus max date), Frequency (order count), Monetary (total
+    * spend), each scored into EXACT GLOBAL QUARTILES, plus the
+    * combined `rfm_cell` (r·100 + f·10 + m). Quartile 1 = most
+    * recent / fewest orders / lowest spend; ties break on custkey,
+    * so the cut is bit-deterministic.
+    *
+    * Global order statistics must not be one window (single-
+    * partition sort at 100 TB); each dimension reuses the
+    * quality_deciles two-level decomposition — a MONOTONE value band
+    * keys a partitioned within-band rank, the ≤16 band counts
+    * prefix-sum on the driver, and global rank = band base + within
+    * rank. Three bounded windows instead of three corpus sorts.
+    */
+  def customerRfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val mx = o.agg(max(col("o_orderdate").cast("date")).as("mxd"))
+    // spend sums in integer CENTS (round-per-row, then a long sum):
+    // a double sum is fold-order-dependent and the quartile rank
+    // would inherit the nondeterminism — the events_ab_test exact-
+    // integer-moments rule applied to money
+    val per = o.groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .withColumn("monetary",
+        round(col("cents").cast("double") / 100, 2))
+      .crossJoin(broadcast(mx))
+      .withColumn("recency_days",
+        datediff(col("mxd"), col("last_order")).cast("long"))
+      .select("custkey", "recency_days", "frequency", "monetary")
+      .localCheckpoint(true)
+    // exact global quartile of `v` (ties on custkey) via banded rank
+    def quartile(v: org.apache.spark.sql.Column,
+                 band: org.apache.spark.sql.Column,
+                 out: String): DataFrame = {
+      val w = Window.partitionBy("band").orderBy(v.asc, col("custkey").asc)
+      val within = per.withColumn("band", band)
+        .withColumn("rin", row_number().over(w))
+        .localCheckpoint(true)
+      val counts = within.groupBy("band").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      val bases = counts.toSeq.map { case (b, c) =>
+        val p = (b, acc); acc += c; p
+      }
+      val n = acc
+      within.join(broadcast(bases.toDF("band", "base")), "band")
+        .withColumn(out,
+          expr(s"((base + rin - 1) * 4) div ${n}L + 1"))
+        .select(col("custkey"), col(out))
+    }
+    val rq = quartile(col("recency_days"),
+      least(floor(col("recency_days") / 128), lit(15L)).cast("long"), "r_q")
+    val fq = quartile(col("frequency"),
+      least(col("frequency"), lit(15L)).cast("long"), "f_q")
+    val mq = quartile(col("monetary"),
+      least(floor(col("monetary") / 50000), lit(15L)).cast("long"), "m_q")
+    per.join(rq, "custkey").join(fq, "custkey").join(mq, "custkey")
+      .select(col("custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm_cell"))
+      .orderBy("custkey")
+  }
 }

@@ -744,4 +744,49 @@ object TextOps {
         round(col("n").cast("double") / col("n_actual"), 4).as("share"))
       .orderBy("actual", "predicted")
   }
+
+  /** BOILERPLATE DETECTION — the CCNet/C4-style curation signal:
+    * phrase n-grams repeated across many documents are template
+    * chrome (nav bars, license footers), not content, and a doc
+    * dominated by them should be dropped or cleaned. A trigram is
+    * boilerplate when its DOCUMENT frequency reaches 1% of the
+    * corpus — a fraction, not an absolute count, so the bar scales
+    * with the corpus; per doc the output is (trigram occurrences,
+    * boilerplate occurrences, ratio).
+    *
+    * Shape at scale: trigrams form per-row with a codegen'd
+    * `transform` (no positional self-join); the doc-frequency
+    * aggregate shuffles on the gram — a key space that GROWS with
+    * the corpus — and the per-doc rollup lands on the doc_id
+    * exchange the scan already provides. The boilerplate set is the
+    * df-distribution's extreme tail, joined back on the same gram
+    * key the df aggregate just hashed on.
+    */
+  def boilerplate(s: SparkSession, dir: String, n: Int = 3,
+                  minFrac: Double = 0.01): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) - $n), " +
+          s"i -> concat_ws(' ', slice(ws, i + 1, $n)))")).as("gram"))
+    val total = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val boiler = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(total))
+      .where(col("df") >= ceil(col("nd") * minFrac))
+      .select(col("gram"), lit(1L).as("isb"))
+    val per = grams.join(boiler, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("isb").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        coalesce(round(col("n_boiler").cast("double") / col("n_grams"), 4),
+          lit(0.0)).as("boiler_ratio"))
+      .orderBy("doc_id")
+  }
 }
