@@ -42,7 +42,7 @@ object ScaleStress {
   val factors: Seq[Int] = Seq(1, 4, 16)
   val queryNames: Seq[String] =
     Seq("knn_graph", "dedup_minhash_pairs", "text_bm25_indexed",
-      "events_pattern_match")
+      "events_pattern_match", "ann_hnsw")
 
   /** Replica id-space offset: far above any driver-generated id and
     * above the +100000/+200000/+300000 bands the synthetic-workload

@@ -300,6 +300,7 @@ object SparkEntry {
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
     "search_mmr_rerank" -> (Search.mmrQuery _),
     "search_ltr_rerank" -> ((s, d) => Search.ltrQuery(s, d)),
+    "search_prf_expand" -> ((s, d) => Search.prfQuery(s, d)),
     "search_maxsim" -> (MaxSim.maxsimQuery _),
     "text_phrase_search" -> (Search.phraseSearchQuery _),
     "embed_mean_pool" -> (MaxSim.meanPoolQuery _),
@@ -1658,6 +1659,67 @@ object SparkEntry {
          |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
          |ORDER BY qid, rk""".stripMargin,
     "search_mmr_rerank" -> mmrOracle,
+    // pseudo-relevance feedback: round-1 bm25 (shared CTEs) → top-5
+    // feedback docs → tf·idf-ranked expansion terms (NOT EXISTS
+    // drops original query terms, sorted-list append keeps the
+    // expanded string deterministic) → round-2 bm25 with y-prefixed
+    // CTE copies over the SAME d/st/ex corpus CTEs
+    "search_prf_expand" ->
+      s"""WITH $bm25Ctes,
+         |t5 AS (SELECT qid, doc_id FROM r WHERE rk <= 5),
+         |fb AS (SELECT t5.qid, ex.term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM t5 JOIN ex ON t5.doc_id = ex.doc_id
+         |       GROUP BY 1, 2),
+         |cand AS (SELECT fb.qid, fb.term, fb.tf FROM fb
+         |         WHERE NOT EXISTS (SELECT 1 FROM qt
+         |           WHERE qt.qid = fb.qid AND qt.term = fb.term)),
+         |cdf AS (SELECT ex.term,
+         |          CAST(count(DISTINCT ex.doc_id) AS DOUBLE) AS dfreq
+         |        FROM ex JOIN (SELECT DISTINCT term FROM cand) ct
+         |          ON ex.term = ct.term
+         |        GROUP BY 1),
+         |ws AS (SELECT cand.qid, cand.term,
+         |         cand.tf * ln((SELECT n_docs FROM st) / cdf.dfreq) AS w
+         |       FROM cand JOIN cdf ON cand.term = cdf.term),
+         |exp3 AS (SELECT qid, term FROM (SELECT qid, term,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY w DESC, term) AS xrk
+         |         FROM ws) WHERE xrk <= 3),
+         |q2 AS (SELECT q.qid, CASE WHEN e.ext IS NOT NULL
+         |           THEN concat(q.qtext, ' ', e.ext) ELSE q.qtext END
+         |           AS qtext
+         |       FROM q LEFT JOIN (SELECT qid,
+         |           array_to_string(list_sort(list(term)), ' ') AS ext
+         |         FROM exp3 GROUP BY qid) e ON q.qid = e.qid),
+         |yqt AS (SELECT DISTINCT qid, term FROM
+         |        (SELECT qid, unnest(string_split(qtext, ' ')) AS term
+         |         FROM q2)),
+         |yterms AS (SELECT DISTINCT term FROM yqt),
+         |yp AS (SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+         |      FROM ex JOIN yterms USING (term) GROUP BY 1, 2, 3),
+         |yidf AS (SELECT term,
+         |               ln((st.n_docs - dfreq + CAST(0.5 AS DOUBLE))
+         |                  / (dfreq + CAST(0.5 AS DOUBLE))
+         |                  + CAST(1.0 AS DOUBLE)) AS idf,
+         |               st.avgdl
+         |        FROM (SELECT term, CAST(count(*) AS DOUBLE) AS dfreq
+         |              FROM yp GROUP BY 1), st),
+         |yc AS (SELECT yqt.qid, yp.doc_id,
+         |             yidf.idf * yp.tf
+         |             * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         |             / (yp.tf + CAST(1.2 AS DOUBLE)
+         |                * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+         |                   + CAST(0.75 AS DOUBLE) * yp.dl / yidf.avgdl))
+         |               AS contrib
+         |      FROM yp JOIN yidf USING (term) JOIN yqt USING (term)),
+         |ysc AS (SELECT qid, doc_id, round(sum(contrib), 4) AS score
+         |       FROM yc GROUP BY 1, 2),
+         |yr AS (SELECT qid, doc_id, score,
+         |             row_number() OVER (PARTITION BY qid
+         |                                ORDER BY score DESC, doc_id) AS rk
+         |      FROM ysc)
+         |SELECT qid, rk, doc_id, score FROM yr WHERE rk <= 10
+         |ORDER BY qid, rk""".stripMargin,
     // RRF fusion of the BM25 top-20 with the cosine top-20 (self
     // match included — Knn.topK does not exclude it). rrf arithmetic
     // is integer-derived → bit-identical across engines; ranked on

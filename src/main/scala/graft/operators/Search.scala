@@ -720,4 +720,53 @@ object Search {
   def phraseSearchQuery(s: SparkSession, dir: String): DataFrame =
     phraseSearch(graft.Tables.documents(s, dir).select("doc_id", "text"),
       Seq("table hash", "customer join", "table hash value"))
+
+  /** PSEUDO-RELEVANCE FEEDBACK (Rocchio-style query expansion, the
+    * classic second-pass IR operator): run BM25, harvest the top-
+    * `fbK` docs per query as assumed-relevant feedback, score every
+    * feedback term NOT already in the query by tf·idf (occurrences
+    * across the feedback docs × ln(N/df), exact-integer inputs so
+    * both engines rank identical doubles, tiebreak term asc), append
+    * the best `expandN` terms (sorted, so the expanded query string
+    * is deterministic), and rerun BM25 with the expanded queries.
+    *
+    * Cost shape: the feedback set is Q×fbK rows, its term harvest is
+    * bounded by feedback-doc length, and the df lookup joins the
+    * corpus token table against a BROADCAST candidate-term set — the
+    * second full-corpus pass is the rerun search itself, nothing
+    * else touches the corpus. Both passes are the one shared
+    * [[bm25TopK]] plan, so expansion can never drift from search.
+    */
+  def prfQuery(s: SparkSession, dir: String, fbK: Int = 5,
+               expandN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val q0 = fixedQueries(s)
+    val top = bm25TopK(docs, q0, fbK).select("qid", "doc_id")
+    val fb = top.join(docs.select("doc_id", "text"), "doc_id")
+      .select(col("qid"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).as("tf"))
+    val qt = q0.select(col("qid"),
+      explode(split(col("qtext"), " ")).as("term")).distinct()
+    val cand = fb.join(qt, Seq("qid", "term"), "left_anti")
+    val nd = docs.agg(count(lit(1)).cast("double").as("nd"))
+    val dfreq = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .join(broadcast(cand.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("dfreq"))
+    val byQ = Window.partitionBy("qid")
+      .orderBy(col("w").desc, col("term").asc)
+    val exp = cand.join(dfreq, "term").crossJoin(broadcast(nd))
+      .withColumn("w", col("tf") * log(col("nd") / col("dfreq")))
+      .withColumn("xrk", row_number().over(byQ))
+      .where(col("xrk") <= expandN)
+    val ext = exp.groupBy("qid")
+      .agg(concat_ws(" ", array_sort(collect_list(col("term")))).as("ext"))
+    val q2 = q0.join(ext, Seq("qid"), "left")
+      .select(col("qid"),
+        when(col("ext").isNotNull,
+          concat_ws(" ", col("qtext"), col("ext")))
+          .otherwise(col("qtext")).as("qtext"))
+    bm25TopK(docs, q2, 10)
+  }
 }

@@ -71,6 +71,25 @@ class ScaleStressSpec extends SparkSuite {
     assert(g.select("qid").distinct().count() == n)
   }
 
+  test("hnsw hierarchy thins geometrically on the replica corpus; " +
+    "search stays k-per-query with a single global entry") {
+    val n = Tables.embeddings(spark, x4).count()
+    val lv = Tables.embeddings(spark, x4)
+      .select(Ann.hnswLevel(col("vec_id")).as("l"))
+      .groupBy("l").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val upper = lv.collect { case (l, c) if l >= 1 => c }.sum
+    // the md5-geometric rate holds on re-keyed replica ids too:
+    // upper layers stay a small minority (expected n/8 + n/64 + …)
+    assert(upper > 0 && upper < n / 4,
+      s"upper-layer population $upper of $n not geometric")
+    val out = Ann.hnswSearch(spark, x4,
+      Tables.embeddings(spark, x4).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.groupBy(_._1).forall(_._2.length == 10))
+  }
+
   test("events replica: per-user timelines are a bijection of the base") {
     val baseEv = Tables.events(spark, sf)
     val ev = Tables.events(spark, x4)
