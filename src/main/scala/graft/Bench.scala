@@ -120,7 +120,10 @@ object Bench {
         // graph family: knn_graph materializes the memoized edge
         // table, ann_nsw its symmetrized form — the timed pass then
         // measures search, not the one-time graph build
-        "knn_graph", "ann_nsw", "embed_knn_clusters")
+        "knn_graph", "ann_nsw", "embed_knn_clusters",
+        // hierarchy: ann_hnsw memoizes the 4 layer-edge tables,
+        // ann_hnsw_indexed persists the (layer, cell) table
+        "ann_hnsw", "ann_hnsw_indexed")
       .foreach { n =>
       benchQueries.get(n).foreach { fn =>
         if (elapsed < budgetNs / 2) runGuardedAt(sfDir, n, fn(spark, sfDir))

@@ -103,6 +103,8 @@ object SparkEntry {
     "knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
     "mutual_knn_pairs" -> ((s, d) => Ann.mutualKnnPairs(s, d)),
     "graph_centrality" -> ((s, d) => Ann.graphCentrality(s, d)),
+    "graph_triangles" -> ((s, d) => Ann.graphTriangles(s, d)),
+    "events_bot_score" -> ((s, d) => Sequence.botScore(s, d)),
     "embed_knn_clusters" -> ((s, d) => Ann.embedKnnClusters(s, d)),
     "ann_nsw" -> (Ann.nswQuery _),
     "ann_nsw_filtered" -> (Ann.nswFilteredQuery _),
@@ -1097,6 +1099,54 @@ object SparkEntry {
          |SELECT g1.qid AS id_a, g1.id AS id_b, g1.score
          |FROM g g1 JOIN g g2 ON g1.qid = g2.id AND g1.id = g2.qid
          |WHERE g1.qid < g1.id ORDER BY id_a, id_b""".stripMargin,
+    // triangles as ordered triples a<b<c over the canonical mutual
+    // edges; coefficient from integer (triangles, degree)
+    "graph_triangles" ->
+      s"""WITH $ivfGraphCtes,
+         |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
+         |mu AS (SELECT g1.qid AS id_a, g1.id AS id_b
+         |       FROM g g1 JOIN g g2 ON g1.qid = g2.id AND g1.id = g2.qid
+         |       WHERE g1.qid < g1.id),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM mu
+         |        UNION ALL SELECT id_b, id_a FROM mu),
+         |tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+         |        FROM mu e1 JOIN mu e2 ON e1.id_b = e2.id_a
+         |        JOIN mu e3 ON e1.id_a = e3.id_a AND e2.id_b = e3.id_b),
+         |tn AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+         |         SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+         |         UNION ALL SELECT c AS id FROM tri) GROUP BY 1),
+         |dg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
+         |       FROM sym GROUP BY 1)
+         |SELECT dg.id AS vec_id, dg.degree,
+         |       CAST(coalesce(tn.triangles, 0) AS BIGINT) AS triangles,
+         |       CASE WHEN dg.degree >= 2
+         |         THEN round(coalesce(tn.triangles, 0) * 2.0
+         |           / (dg.degree * (dg.degree - 1)), 4)
+         |         ELSE 0.0 END AS clustering
+         |FROM dg LEFT JOIN tn ON dg.id = tn.id
+         |ORDER BY vec_id""".stripMargin,
+    // gap regularity from exact integer moments (n, Σg, Σg²); the
+    // (sec, event_id) lead order pins equal-timestamp runs
+    "events_bot_score" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |           FROM events),
+        |g AS (SELECT user_id, lead(sec) OVER (PARTITION BY user_id
+        |        ORDER BY sec, event_id) - sec AS gap FROM e),
+        |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |        sum(gap) AS sg, sum(gap * gap) AS sg2
+        |      FROM g WHERE gap IS NOT NULL
+        |      GROUP BY 1 HAVING count(*) >= 2),
+        |r AS (SELECT user_id, n_gaps, sg * 1.0 / n_gaps AS mean_gap,
+        |        CASE WHEN sg > 0
+        |          THEN round(sqrt((sg2 * 1.0 * n_gaps - sg * 1.0 * sg)
+        |            / (n_gaps * 1.0 * (n_gaps - 1)))
+        |            / (sg * 1.0 / n_gaps), 4)
+        |          ELSE 0.0 END AS cvr
+        |      FROM m)
+        |SELECT user_id, n_gaps, round(mean_gap, 2) AS mean_gap_s,
+        |       cvr AS cv_gap, cvr < 0.5 AS is_regular
+        |FROM r ORDER BY user_id""".stripMargin,
     "ann_ivf_indexed" -> ivfOracle,
     // cluster dashboard over the SAME trained centroids: per-row
     // cosine 4dp-quantized to integer micro-units before the sums,

@@ -559,6 +559,44 @@ object Ann {
       .orderBy("id_a", "id_b")
   }
 
+  /** TRIANGLE COUNT + LOCAL CLUSTERING COEFFICIENT over the
+    * mutual-kNN graph — the community-structure diagnostic (a node
+    * whose neighbors interlink is inside a tight semantic cluster; a
+    * hub with coefficient ~0 chains unrelated neighborhoods — the
+    * node dedup/cluster pipelines should distrust). Triangles
+    * enumerate as ordered triples a<b<c over the canonical mutual
+    * edge list (three equi-joins); because mutual-kNN degree is
+    * bounded by k, the edge-edge join fans out at most k per row —
+    * O(N·k²) total, never the unbounded wedge explosion a power-law
+    * graph would give. Coefficient = 2·triangles / (deg·(deg−1)),
+    * integer inputs → identical doubles on both engines.
+    */
+  def graphTriangles(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val und = mutualKnnPairs(s, dir, k).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val sym = und.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(und.select(col("id_b").as("a"), col("id_a").as("b")))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.id_b") === col("e2.id_a"))
+      .join(und.as("e3"), col("e1.id_a") === col("e3.id_a") &&
+        col("e2.id_b") === col("e3.id_b"))
+      .select(col("e1.id_a").as("a"), col("e1.id_b").as("b"),
+        col("e2.id_b").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val deg = sym.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(coalesce(col("triangles"), lit(0L)).cast("double") * 2
+            / (col("degree") * (col("degree") - 1)), 4))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy("vec_id")
+  }
+
   /** PAGERANK CENTRALITY over the corpus kNN graph — the
     * graph-importance signal centrality-aware data curation uses
     * (documents whose embeddings many other documents point at are

@@ -186,4 +186,45 @@ object Sequence {
         col("p_size").cast("long").as("p_size"))
       .orderBy("p_retailprice", "p_partkey")
   }
+
+  /** BOT / AUTOMATION SCORE — inter-event-gap regularity per user:
+    * humans arrive with bursty, high-variance gaps; schedulers and
+    * scripted clients tick with machine-regular ones, so the
+    * coefficient of variation of a user's gap sequence
+    * (std/mean — scale-free, a 10 s bot and a 1 h cron both score
+    * low) is the standard first-pass automation flag. Gaps are
+    * INTEGER SECONDS between consecutive events ((ts, event_id)
+    * order — the tiebreak makes equal-timestamp runs
+    * deterministic), and the variance evaluates from the exact
+    * integer moments (n, Σg, Σg²) — the events_ab_test rule, so no
+    * float sum ever depends on aggregation order. One user_id
+    * exchange (the scan's own), one window, one aggregate.
+    */
+  def botScore(s: SparkSession, dir: String,
+               cvFlag: Double = 0.5): DataFrame = {
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("gap", lead(col("sec"), 1).over(
+        Window.partitionBy("user_id").orderBy("sec", "event_id"))
+        - col("sec"))
+      .where(col("gap").isNotNull)
+    val m = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sg2"))
+      .where(col("n_gaps") >= 2)
+    val mean = col("sg").cast("double") / col("n_gaps")
+    val variance = (col("sg2").cast("double") * col("n_gaps") -
+      col("sg").cast("double") * col("sg")) /
+      (col("n_gaps").cast("double") * (col("n_gaps") - 1))
+    // an all-zero-gap user (every event on one timestamp) has
+    // mean 0 — define cv as 0 there instead of 0/0
+    val cv = when(col("sg") > 0, sqrt(variance) / mean).otherwise(lit(0.0))
+    m.select(col("user_id"), col("n_gaps"),
+        round(mean, 2).as("mean_gap_s"),
+        round(cv, 4).as("cv_gap"),
+        (round(cv, 4) < cvFlag).as("is_regular"))
+      .orderBy("user_id")
+  }
 }
