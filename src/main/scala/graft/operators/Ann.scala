@@ -1824,7 +1824,7 @@ object Ann {
     * is the recovery story (the reference replays its WAL from the
     * last snapshot on the same reasoning — persistence.cc recovery).
     */
-  private def publishTouchedCells(s: SparkSession, path: String,
+  private[operators] def publishTouchedCells(s: SparkSession, path: String,
                                   touched: Array[Long],
                                   replacementRows: DataFrame): Unit =
     TablePublish.publishTouched(s, path, "cell", touched, replacementRows)

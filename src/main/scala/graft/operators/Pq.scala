@@ -215,6 +215,65 @@ object Pq {
     Ann.topKPerQuery(rescored, k)
   }
 
+  /** INCREMENTAL PQ-INDEX MAINTENANCE — the compressed index joins
+    * the maintained-structure family: encode the batch under the
+    * FROZEN codebook and centroids (maintenance must not silently
+    * retrain the quantizer — FAISS's add-to-trained-index
+    * contract), LWW-collapse within the batch, and rewrite only the
+    * touched cells carrying the co-partitioned (id, vec, code)
+    * survivors. Equivalence contract (PqSpec): the maintained index
+    * equals assign+encode of the LWW-merged corpus under the
+    * ORIGINAL codebook — not a fresh build, which would retrain on
+    * the new corpus and legitimately differ.
+    */
+  def ivfPqUpsert(s: SparkSession, path: String,
+                  updates: DataFrame): Unit = {
+    val cb = s.read.parquet(pqPath(path))
+      .orderBy("idx").collect().map(_.getDouble(1))
+    val cents = Ann.collectCentroids(
+      s.read.parquet(Ann.centroidsPath(path)).select(col("cell"), col("cvec")))
+    val onePerId =
+      if (updates.columns.contains("version"))
+        updates.groupBy("id")
+          .agg(max_by(col("vec"), col("version")).as("vec"))
+      else updates.dropDuplicates("id")
+    val assigned = Ann.assignTo(onePerId.select("id", "vec"), cents)
+      .withColumn("code", PqCodec.encode(col("vec"), cb, M, DSUB, KSUB))
+      .select(col("id"), col("vec"), col("code"),
+        col("cell").cast("long").as("cell"))
+    val idx = s.read.parquet(path)
+    val updatedIds = broadcast(assigned.select("id"))
+    val touched = idx.join(updatedIds, "id")
+      .select(col("cell").cast("long")).distinct()
+      .unionByName(assigned.select(col("cell")).distinct())
+      .distinct().collect().map(_.getLong(0))
+    val survivors = idx
+      .where(col("cell").isin(touched.toIndexedSeq: _*))
+      .join(updatedIds, Seq("id"), "left_anti")
+      .select(col("id"), col("vec"), col("code"),
+        col("cell").cast("long").as("cell"))
+    Ann.publishTouchedCells(s, path, touched,
+      survivors.unionByName(assigned))
+  }
+
+  /** Tombstone twin: drop deleted ids from their cells, codes ride
+    * along untouched; emptied cells are removed.
+    */
+  def ivfPqDelete(s: SparkSession, path: String, ids: DataFrame): Unit = {
+    val delIds = broadcast(ids.select("id").distinct())
+    val idx = s.read.parquet(path)
+    val touched = idx.join(delIds, "id")
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val survivors = idx
+      .where(col("cell").isin(touched.toIndexedSeq: _*))
+      .join(delIds, Seq("id"), "left_anti")
+      .select(col("id"), col("vec"), col("code"),
+        col("cell").cast("long").as("cell"))
+    Ann.publishTouchedCells(s, path, touched, survivors)
+  }
+
   def ivfPqQuery(s: SparkSession, dir: String): DataFrame = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
     val path = java.nio.file.Paths.get("target", "tmp", s"ivfpq-$key")

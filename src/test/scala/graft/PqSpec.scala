@@ -169,4 +169,77 @@ class PqSpec extends SparkSuite {
       .collect()
     check.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
+
+  private def pqIndexSet(path: String): Set[(Long, Seq[Int], Long)] =
+    spark.read.parquet(path)
+      .select(col("id"), col("code"), col("cell").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSet
+
+  test("pq-index upsert ≡ assign+encode of the merged corpus under " +
+    "the FROZEN codebook; only touched cells rewrite") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "pqup")
+    val path = root.resolve("idx").toString
+    try {
+      Pq.ivfPqBuildIndex(spark, emb, path, stride = 10)
+      val before = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+
+      val donors = emb.where(col("id") >= 200 && col("id") < 204)
+        .orderBy("id").collect().map(_.getSeq[Float](1).toArray)
+      val updates = Seq((0L, donors(0)), (7L, donors(1)),
+        (90001L, donors(2)), (90002L, donors(3))).toDF("id", "vec")
+      Pq.ivfPqUpsert(spark, path, updates)
+
+      // expected: the LWW-merged corpus assigned + encoded under the
+      // ORIGINAL codebook and centroids (not a retrained build)
+      val cb = spark.read.parquet(path + "_pq")
+        .orderBy("idx").collect().map(_.getDouble(1))
+      val cents = spark.read.parquet(path + "_centroids")
+      val merged = emb.join(updates.select("id"), Seq("id"), "left_anti")
+        .unionByName(updates)
+      val expected = Ann.ivfAssign(merged, cents
+          .select(col("cell"), col("cvec")))
+        .withColumn("code",
+          PqCodec.encode(col("vec"), cb, Pq.M, Pq.DSUB, Pq.KSUB))
+        .select(col("id"), col("code"), col("cell").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+        .toSet
+      assert(pqIndexSet(path) == expected,
+        "maintained PQ index drifted from frozen-codebook re-encode")
+
+      val after = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+      assert(before.exists { case (b, fs) => after.get(b).contains(fs) },
+        "every cell partition was rewritten — locality lost")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("pq-index delete drops the ids, keeps codes of survivors, " +
+    "removes emptied cells") {
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "pqdel")
+    val path = root.resolve("idx").toString
+    try {
+      Pq.ivfPqBuildIndex(spark, emb, path, stride = 10)
+      val prior = pqIndexSet(path)
+      val dels = Seq(0L, 1L, 2L).toDF("id")
+      Pq.ivfPqDelete(spark, path, dels)
+      val now = pqIndexSet(path)
+      assert(now == prior.filterNot(r => Set(0L, 1L, 2L)(r._1)),
+        "delete changed surviving rows")
+      // idempotent redelivery
+      Pq.ivfPqDelete(spark, path, dels)
+      assert(pqIndexSet(path) == now)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
 }
