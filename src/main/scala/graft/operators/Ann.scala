@@ -1141,12 +1141,21 @@ object Ann {
     var visited = frontier.select("qid", "id")
     for (l <- 4 to 1 by -1) {
       val edges = layerEdges(l)
-      val expand = frontier.join(edges, col("id") === col("src"))
-        .select(col("qid"), col("dst").as("id"))
-        .union(frontier.select("qid", "id"))
-        .distinct()
-      visited = visited.union(expand).distinct()
-      frontier = topBeam(scoreIds(expand), beamU).localCheckpoint(true)
+      // an EMPTY layer's step is the identity: expand = frontier,
+      // and rescoring + re-cutting an already-beamU-cut frontier
+      // reproduces it bit-for-bit (deterministic scores), while
+      // frontier ⊆ visited already holds — so skip the four jobs.
+      // The sparsest top layers of a small corpus hit this on every
+      // query; the SQL mirror's equivalent blocks reduce to the same
+      // carry-through algebraically.
+      if (!edges.isEmpty) {
+        val expand = frontier.join(edges, col("id") === col("src"))
+          .select(col("qid"), col("dst").as("id"))
+          .union(frontier.select("qid", "id"))
+          .distinct()
+        visited = visited.union(expand).distinct()
+        frontier = topBeam(scoreIds(expand), beamU).localCheckpoint(true)
+      }
     }
     for (_ <- 1 to rounds) {
       val expand = frontier.join(edges0, col("id") === col("src"))
