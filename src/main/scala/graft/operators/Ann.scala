@@ -2068,6 +2068,37 @@ object Ann {
   def lshRecallReport(s: SparkSession, dir: String): DataFrame =
     recallReport(s, dir, lshQuery(s, dir), k = 10)
 
+  /** RECALL-vs-NPROBE CURVE — the tuning table every ANN deployment
+    * publishes before picking its operating point: one row per probe
+    * width, overall recall@k against the exact scan. All legs share
+    * the cached trained centroids, so the curve isolates the probe
+    * width (the one knob) from training noise; evaluation joins are
+    * Q×k-sized — the corpus is touched only by the searches.
+    */
+  def ivfRecallCurve(s: SparkSession, dir: String,
+                     nprobes: Seq[Int] = Seq(1, 2, 3, 4),
+                     k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(e, 200)))
+    val exact = Knn.topK(e, q, k, Knn.Metric.Cosine)
+      .select(col("qid"), col("nn_id"))
+    val legs = nprobes.map { np =>
+      ivfSearchWith(e, q, k, np, cents)
+        .select(col("qid"), col("nn_id"))
+        .withColumn("nprobe", lit(np.toLong))
+    }.reduce(_ unionByName _)
+    val denom = (k * q.count()).toDouble
+    legs.join(exact, Seq("qid", "nn_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      .select(col("nprobe"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(denom), 4).as("recall"))
+      .orderBy("nprobe")
+  }
+
   private def recallReport(s: SparkSession, dir: String,
                            approxResult: DataFrame, k: Int): DataFrame = {
     val e = Tables.embeddings(s, dir)
