@@ -1285,15 +1285,18 @@ object Analytics {
     * prefix-sum on the driver, and global rank = band base + within
     * rank. Three bounded windows instead of three corpus sorts.
     */
-  def customerRfm(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Pre-checkpoint per-customer metrics — split out so PlanSpec can
+    * pin the scan shape (the checkpoint in [[customerRfm]] severs
+    * the plan above it).
+    */
+  private[graft] def rfmBase(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val mx = o.agg(max(col("o_orderdate").cast("date")).as("mxd"))
     // spend sums in integer CENTS (round-per-row, then a long sum):
     // a double sum is fold-order-dependent and the quartile rank
     // would inherit the nondeterminism — the events_ab_test exact-
     // integer-moments rule applied to money
-    val per = o.groupBy(col("o_custkey").as("custkey"))
+    o.groupBy(col("o_custkey").as("custkey"))
       .agg(max(col("o_orderdate").cast("date")).as("last_order"),
         count(lit(1)).as("frequency"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
@@ -1303,7 +1306,11 @@ object Analytics {
       .withColumn("recency_days",
         datediff(col("mxd"), col("last_order")).cast("long"))
       .select("custkey", "recency_days", "frequency", "monetary")
-      .localCheckpoint(true)
+  }
+
+  def customerRfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = rfmBase(s, dir).localCheckpoint(true)
     // exact global quartile of `v` (ties on custkey) via banded rank
     def quartile(v: org.apache.spark.sql.Column,
                  band: org.apache.spark.sql.Column,

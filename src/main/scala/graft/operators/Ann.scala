@@ -1478,7 +1478,7 @@ object Ann {
     * partition-pruned — shares [[hnswQuery]]'s oracle because both
     * paths train the same centroids and apply the same edge rule.
     */
-  def hnswIndexedQuery(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def hnswIndexedPath(s: SparkSession, dir: String): String = {
     val idx = indexedPath(s, dir)
     val key = java.lang.Integer.toHexString(dir.hashCode)
     val hp = java.nio.file.Paths.get("target", "tmp", s"hnsw-$key")
@@ -1486,6 +1486,12 @@ object Ann {
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(hp, "_SUCCESS")))
       hnswBuild(s, idx, hp)
+    hp
+  }
+
+  def hnswIndexedQuery(s: SparkSession, dir: String): DataFrame = {
+    val idx = indexedPath(s, dir)
+    val hp = hnswIndexedPath(s, dir)
     hnswSearchIndexed(s, idx, hp,
       Tables.embeddings(s, dir).where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec")))

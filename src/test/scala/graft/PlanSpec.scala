@@ -329,4 +329,37 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("vec_dot"),
       s"native projection kernel missing:\n${p.take(2000)}")
   }
+
+  test("hnsw hierarchy read prunes to the requested layer partitions") {
+    val hp = graft.operators.Ann.hnswIndexedPath(spark, sf)
+    val p = planOf(graft.operators.Ann.hnswRead(spark, hp)
+      .where(col("layer") === 1))
+    val scan = p.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(scan.contains("layer"),
+      s"layer filter not a partition filter:\n${p.take(2000)}")
+  }
+
+  test("boilerplate: documents scan prunes to (doc_id, text)") {
+    val p = planOf(graft.operators.TextOps.boilerplate(spark, sf))
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty)
+    assert(reads.forall(r => !r.contains("source") && !r.contains("lang")),
+      s"boilerplate reads unused columns:\n${reads.mkString("\n")}")
+  }
+
+  test("rfm: orders scan prunes to the three metric columns") {
+    val p = planOf(Analytics.rfmBase(spark, sf))
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty)
+    assert(reads.forall(r => !r.contains("o_orderpriority") &&
+      !r.contains("o_orderstatus")),
+      s"rfm reads unused columns:\n${reads.mkString("\n")}")
+  }
+
+  test("prf expansion: no cartesian anywhere in the two-pass plan") {
+    val p = planOf(graft.operators.Search.prfQuery(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"prf degenerated to a cartesian:\n${p.take(3000)}")
+  }
 }
