@@ -274,6 +274,8 @@ object SparkEntry {
     "supplier_wilson" -> ((s, d) => Analytics.supplierWilson(s, d)),
     "customer_rfm" -> ((s, d) => Analytics.customerRfm(s, d)),
     "text_boilerplate" -> ((s, d) => TextOps.boilerplate(s, d)),
+    "events_heatmap" -> ((s, d) => Analytics.eventsHeatmap(s, d)),
+    "embed_quant_error" -> ((s, d) => Quant.quantErrorReport(s, d)),
     "q2_min_cost" -> (Analytics.q2MinCostSupplier _),
     "bucketed_join_agg" -> (Layout.bucketedJoinQuery _),
     "events_zorder_skip" -> (ZOrder.zorderSkipQuery _),
@@ -4315,6 +4317,57 @@ object SparkEntry {
         |             / w.n), 6) AS wilson_lb
         |FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey
         |ORDER BY wilson_lb DESC, w.s_suppkey LIMIT 20""".stripMargin,
+    // hour-of-week heatmap: ISO dow both engines (Spark weekday+1)
+    "events_heatmap" ->
+      """WITH ev AS (SELECT isodow(ts) AS dow,
+        |             CAST(hour(ts) AS BIGINT) AS hour FROM events),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM ev)
+        |SELECT CAST(dow AS BIGINT) AS dow, hour,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(count(*) / t.nt, 6) AS share
+        |FROM ev, t GROUP BY 1, 2, t.nt
+        |ORDER BY dow, hour""".stripMargin,
+    // quantization-ladder fidelity: per-row cosine(v, recon) in 4dp
+    // integer micro-units (fold-order-proof), reconstructions from
+    // the same trained constants each codec's search mirror uses
+    "embed_quant_error" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |           FROM embeddings),
+         |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+         |         FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+         |mm AS (SELECT list(mn ORDER BY i) AS mns,
+         |              list(mx ORDER BY i) AS mxs FROM dims),
+         |mud AS (SELECT i, round(avg(v[i]), 6) AS mu
+         |        FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+         |mus AS (SELECT list(mu ORDER BY i) AS m FROM mud),
+         |$pqCtes,
+         |sqm AS (SELECT CAST(round(list_cosine_similarity(e.v,
+         |          list_transform(range(1, 65), i -> mm.mns[i] +
+         |            (CASE WHEN mm.mxs[i] - mm.mns[i] <= 0 THEN 0.0
+         |             ELSE least(255.0, greatest(0.0,
+         |               round((e.v[i] - mm.mns[i])
+         |                 / (mm.mxs[i] - mm.mns[i]) * 255.0))) END)
+         |            * (mm.mxs[i] - mm.mns[i]) / 255.0))
+         |          * 10000) AS BIGINT) AS micro
+         |        FROM e, mm),
+         |bqm AS (SELECT CAST(round(list_cosine_similarity(e.v,
+         |          list_transform(range(1, 65), i ->
+         |            CASE WHEN e.v[i] > mus.m[i]
+         |                 THEN 1.0 ELSE -1.0 END)) * 10000) AS BIGINT)
+         |          AS micro
+         |        FROM e, mus),
+         |pqm AS (SELECT CAST(round(list_cosine_similarity(e.v, prec.rv)
+         |          * 10000) AS BIGINT) AS micro
+         |        FROM e JOIN prec ON e.id = prec.id),
+         |u AS (SELECT 'bq' AS method, CAST(count(*) AS BIGINT) AS n_vecs,
+         |             sum(micro) AS ms FROM bqm
+         |      UNION ALL SELECT 'pq', CAST(count(*) AS BIGINT),
+         |             sum(micro) FROM pqm
+         |      UNION ALL SELECT 'sq8', CAST(count(*) AS BIGINT),
+         |             sum(micro) FROM sqm)
+         |SELECT method, n_vecs,
+         |       round(ms * 1.0 / n_vecs / 10000.0, 6) AS avg_cosine
+         |FROM u ORDER BY method""".stripMargin,
     // RFM: per-dimension exact global quartile by (value, custkey);
     // the banded two-level rank on the Spark side reproduces exactly
     // this total order (band is monotone in the value). Money sums

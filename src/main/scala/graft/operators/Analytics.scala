@@ -1285,6 +1285,24 @@ object Analytics {
     * prefix-sum on the driver, and global rank = band base + within
     * rank. Three bounded windows instead of three corpus sorts.
     */
+  /** HOUR-OF-WEEK ACTIVITY HEATMAP — the 7×24 usage matrix every
+    * product dashboard opens with, in long form with each cell's
+    * share of total traffic. ISO day numbering (1 = Monday) on both
+    * engines; one scan, one (dow, hour) aggregate, the total a
+    * broadcast scalar.
+    */
+  def eventsHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select((weekday(col("ts")) + 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hour"))
+    val tot = ev.agg(count(lit(1)).cast("double").as("nt"))
+    ev.groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n"),
+        round(col("n").cast("double") / col("nt"), 6).as("share"))
+      .orderBy("dow", "hour")
+  }
+
   /** Pre-checkpoint per-customer metrics — split out so PlanSpec can
     * pin the scan shape (the checkpoint in [[customerRfm]] severs
     * the plan above it).

@@ -73,4 +73,94 @@ object Quant {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     sq8Search(e, q, k = 10)
   }
+
+  /** Left-to-right cosine fold over two double-array SQL columns —
+    * textually the same dot/(√·√) the DuckDB mirror's
+    * list_cosine_similarity evaluates, so per-row values are
+    * bit-identical across engines.
+    */
+  private def cosExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, " +
+      s"(acc, x) -> acc + x) / " +
+      s"(sqrt(aggregate(zip_with($a, $a, (x, y) -> x * y), 0D, " +
+      s"(acc, x) -> acc + x)) * " +
+      s"sqrt(aggregate(zip_with($b, $b, (x, y) -> x * y), 0D, " +
+      s"(acc, x) -> acc + x)))"
+
+  /** QUANTIZATION-LADDER FIDELITY REPORT — one row per codec (bq /
+    * pq / sq8): corpus-average cosine between each vector and its
+    * reconstruction, the table that justifies picking a rung of the
+    * ladder (how much geometry does 1 bit / 4 bits / 8 bits per
+    * value keep?). Per-row cosines are 4dp-quantized to integer
+    * MICRO-UNITS before the corpus sum (the embed_cluster_stats
+    * rule) — an average of floats would depend on aggregation order
+    * and no oracle could reproduce it. Reconstructions: SQ8 decodes
+    * through the min/max grid; PQ concatenates trained codewords
+    * (the oracle's `prec` mirror); BQ is the ±1 sign vector around
+    * the per-dim mean. Training constants are driver-held (the IVF-
+    * centroid pattern); all per-row work is one projection.
+    */
+  def quantErrorReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val (mns, mxs) = trainMinMax(e0)
+    val mus = BinQuant.trainMeans(e0)
+    val cb = Pq.trainCodebook(e0)
+    def arr(a: Seq[Double]) = s"array(${a.mkString(", ")})"
+    val e = e0.withColumn("vd", col("vec").cast("array<double>"))
+
+    val mnsA = arr(mns.toIndexedSeq)
+    val mxsA = arr(mxs.toIndexedSeq)
+    val sqRecon =
+      s"transform(sequence(1, 64), i -> element_at($mnsA, i) + " +
+        s"(CASE WHEN element_at($mxsA, i) - element_at($mnsA, i) <= 0 " +
+        s"THEN 0.0 ELSE least(255.0, greatest(0.0, " +
+        s"round((element_at(vd, i) - element_at($mnsA, i)) / " +
+        s"(element_at($mxsA, i) - element_at($mnsA, i)) * 255.0))) END) " +
+        s"* (element_at($mxsA, i) - element_at($mnsA, i)) / 255.0)"
+    val sq8 = e.select(
+      expr(s"CAST(round((${cosExpr("vd", sqRecon)}) * 10000) AS BIGINT)")
+        .as("micro"))
+      .agg(count(lit(1)).as("n_vecs"), sum("micro").as("ms"))
+      .select(lit("sq8").as("method"), col("n_vecs"), col("ms"))
+
+    val musA = arr(mus.toIndexedSeq)
+    val bqRecon =
+      s"transform(sequence(1, 64), i -> CASE WHEN element_at(vd, i) > " +
+        s"element_at($musA, i) THEN 1.0 ELSE -1.0 END)"
+    val bq = e.select(
+      expr(s"CAST(round((${cosExpr("vd", bqRecon)}) * 10000) AS BIGINT)")
+        .as("micro"))
+      .agg(count(lit(1)).as("n_vecs"), sum("micro").as("ms"))
+      .select(lit("bq").as("method"), col("n_vecs"), col("ms"))
+
+    // PQ: codes → codeword concat, relationally (mirrors `prec`)
+    val codes = e.select(col("id"), col("vd"),
+        graft.functions.PqCodec.encode(col("vec"), cb,
+          Pq.M, Pq.DSUB, Pq.KSUB).as("code"))
+      .select(col("id"), col("vd"), posexplode(col("code"))
+        .as(Seq("sub", "cid")))
+    val cbRows = for {
+      sub <- 0 until Pq.M; cid <- 0 until Pq.KSUB
+    } yield (sub, cid,
+      (0 until Pq.DSUB).map(j => cb((sub * Pq.KSUB + cid) * Pq.DSUB + j)))
+    val cbDf = broadcast(cbRows.toDF("sub", "cid", "cw"))
+    val prec = codes.join(cbDf, Seq("sub", "cid"))
+      .groupBy("id")
+      .agg(first("vd").as("vd"),
+        flatten(expr("transform(array_sort(collect_list(" +
+          "struct(sub, cw))), x -> x.cw)")).as("rv"))
+    val pq = prec.select(
+      expr(s"CAST(round((${cosExpr("vd", "rv")}) * 10000) AS BIGINT)")
+        .as("micro"))
+      .agg(count(lit(1)).as("n_vecs"), sum("micro").as("ms"))
+      .select(lit("pq").as("method"), col("n_vecs"), col("ms"))
+
+    bq.unionByName(pq).unionByName(sq8)
+      .select(col("method"), col("n_vecs"),
+        round(col("ms").cast("double") / col("n_vecs") / 10000.0, 6)
+          .as("avg_cosine"))
+      .orderBy("method")
+  }
 }
