@@ -167,6 +167,8 @@ object SparkEntry {
     "langid_confusion" -> (TextOps.langIdConfusion _),
     "text_quality" -> (TextOps.quality _),
     "quality_deciles" -> (TextOps.qualityDeciles _),
+    "corpus_budget_select" -> ((s, d) => TextOps.budgetSelect(s, d)),
+    "embed_norm_audit" -> ((s, d) => Ann.embedNormAudit(s, d)),
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     "corpus_stats" -> (TextOps.corpusStats _),
@@ -2933,6 +2935,45 @@ object SparkEntry {
     // exact global deciles of the quality score; mirror assigns
     // decile by the same all-integer (rank-1)*10 div N formula over
     // the identical (score 4dp, doc_id) total order
+    // budget-constrained selection: (quality DESC, doc_id) prefix
+    // while the running token sum fits; the Spark side's banded
+    // two-level rank+cumsum reproduces exactly this total order
+    "corpus_budget_select" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tokens,
+        |        len(list_filter(toks,
+        |          t -> t IN ('the','a','and','of','to','in','is')))
+        |          *1.0/len(toks) AS sw,
+        |        1.0 - len(list_distinct(toks))*1.0/len(toks) AS rep
+        |      FROM t),
+        |q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        round((least(n_tokens/50.0, 1.0)
+        |          + CASE WHEN sw BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END
+        |          + (1.0 - least(rep/0.9, 1.0))) / 3.0, 4) AS quality_score
+        |      FROM m),
+        |r AS (SELECT doc_id, quality_score, n_tokens,
+        |        row_number() OVER (ORDER BY quality_score DESC, doc_id)
+        |          AS rnk,
+        |        sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS cum_tokens
+        |      FROM q WHERE quality_score IS NOT NULL)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, quality_score,
+        |       n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM r WHERE cum_tokens <= 10000 ORDER BY rnk""".stripMargin,
+    // one-row embedding norm audit in integer micro-units
+    "embed_norm_audit" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT CAST(round(sqrt(list_inner_product(v, v)) * 10000)
+        |        AS BIGINT) AS m FROM e)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |       round(min(m) * 1.0 / 10000.0, 4) AS min_norm,
+        |       round(max(m) * 1.0 / 10000.0, 4) AS max_norm,
+        |       round(sum(m) * 1.0 / count(*) / 10000.0, 6) AS avg_norm,
+        |       CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_zero
+        |FROM m""".stripMargin,
     "quality_deciles" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
         |           FROM documents),

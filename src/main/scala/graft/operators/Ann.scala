@@ -2074,6 +2074,30 @@ object Ann {
   def lshRecallReport(s: SparkSession, dir: String): DataFrame =
     recallReport(s, dir, lshQuery(s, dir), k = 10)
 
+  /** EMBEDDING NORM AUDIT — the one-row data-quality gate an
+    * embedding pipeline runs before indexing: count, min/max/mean
+    * L2 norm, and the number of (near-)zero vectors (which break
+    * cosine and collapse to noise under every quantizer). Norms are
+    * 4dp-quantized to integer micro-units before the corpus
+    * aggregate (fold-order-proof); one projection, one 1-row agg.
+    */
+  def embedNormAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("embedding").cast("array<double>").as("vd"))
+    val micro = expr("CAST(round(sqrt(aggregate(zip_with(vd, vd, " +
+      "(x, y) -> x * y), 0D, (acc, x) -> acc + x)) * 10000) AS BIGINT)")
+    e.select(micro.as("m"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min("m").as("mnm"), max("m").as("mxm"), sum("m").as("sm"),
+        sum(when(col("m") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("n_vecs"),
+        round(col("mnm").cast("double") / 10000.0, 4).as("min_norm"),
+        round(col("mxm").cast("double") / 10000.0, 4).as("max_norm"),
+        round(col("sm").cast("double") / col("n_vecs") / 10000.0, 6)
+          .as("avg_norm"),
+        col("n_zero"))
+  }
+
   /** RECALL-vs-NPROBE CURVE — the tuning table every ANN deployment
     * publishes before picking its operating point: one row per probe
     * width, overall recall@k against the exact scan. All legs share

@@ -745,6 +745,52 @@ object TextOps {
       .orderBy("actual", "predicted")
   }
 
+  /** BUDGET-CONSTRAINED CURATION — "give me the best documents up
+    * to a token budget": rank by (quality DESC, doc_id) and keep the
+    * prefix whose cumulative token count fits. The training-mixture
+    * builder's core selection step. The global rank AND the global
+    * running token sum both decompose through the quality_deciles /
+    * export_shards two-level pattern — a monotone-decreasing score
+    * band keys the within-band window (rank + running sum), the ≤16
+    * per-band (count, token) totals prefix-sum on the driver, and
+    * global rank/cumsum = band base + within value. No
+    * single-partition corpus sort, no single-partition running sum.
+    */
+  def budgetSelect(s: SparkSession, dir: String,
+                   budget: Long = 10000L): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityMetrics(s, dir)
+      .select(col("doc_id"), col("quality_score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .where(col("quality_score").isNotNull)
+    val banded = scored.withColumn("band",
+      lit(15L) - least(floor(col("quality_score") * 16), lit(15L)))
+    val ord = Window.partitionBy("band")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val within = banded
+      .withColumn("rin", row_number().over(ord))
+      .withColumn("trun", sum("n_tokens").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true)
+    val counts = within.groupBy("band")
+      .agg(count(lit(1)).as("c"), sum("n_tokens").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accC = 0L
+    var accT = 0L
+    val bases = counts.toSeq.map { case (b, c, t) =>
+      val p = (b, accC, accT); accC += c; accT += t; p
+    }
+    within.join(broadcast(bases.toDF("band", "cbase", "tbase")), "band")
+      .withColumn("rnk", col("cbase") + col("rin"))
+      .withColumn("cum_tokens", col("tbase") + col("trun"))
+      .where(col("cum_tokens") <= budget)
+      .select(col("rnk"), col("doc_id"), col("quality_score"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy("rnk")
+  }
+
   /** BOILERPLATE DETECTION — the CCNet/C4-style curation signal:
     * phrase n-grams repeated across many documents are template
     * chrome (nav bars, license footers), not content, and a doc
