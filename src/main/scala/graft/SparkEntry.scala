@@ -278,6 +278,8 @@ object SparkEntry {
     "text_boilerplate" -> ((s, d) => TextOps.boilerplate(s, d)),
     "events_heatmap" -> ((s, d) => Analytics.eventsHeatmap(s, d)),
     "embed_quant_error" -> ((s, d) => Quant.quantErrorReport(s, d)),
+    "corpus_zipf_fit" -> ((s, d) => TextOps.zipfFit(s, d)),
+    "part_fuzzy_terms" -> ((s, d) => Analytics.fuzzyTerms(s, d)),
     "q2_min_cost" -> (Analytics.q2MinCostSupplier _),
     "bucketed_join_agg" -> (Layout.bucketedJoinQuery _),
     "events_zorder_skip" -> (ZOrder.zorderSkipQuery _),
@@ -4358,6 +4360,46 @@ object SparkEntry {
         |             / w.n), 6) AS wilson_lb
         |FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey
         |ORDER BY wilson_lb DESC, w.s_suppkey LIMIT 20""".stripMargin,
+    // Zipf OLS from micro-unit-quantized logs summed as exact longs
+    "corpus_zipf_fit" ->
+      """WITH c AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS t
+        |                 FROM documents) GROUP BY t),
+        |top AS (SELECT n, row_number() OVER (ORDER BY n DESC, t) AS r
+        |        FROM c ORDER BY n DESC, t LIMIT 100),
+        |u AS (SELECT CAST(round(ln(r) * 1000000) AS BIGINT) AS x,
+        |             CAST(round(ln(n) * 1000000) AS BIGINT) AS y
+        |      FROM top),
+        |sagg AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx,
+        |                sum(y) AS sy, sum(x * y) AS sxy,
+        |                sum(x * x) AS sxx, sum(y * y) AS syy
+        |         FROM u)
+        |SELECT k AS n_terms,
+        |  round((k * sxy - sx * sy) * 1.0 / (k * sxx - sx * sx), 4)
+        |    AS slope,
+        |  round((sy * 1.0 / k - ((k * sxy - sx * sy) * 1.0
+        |    / (k * sxx - sx * sx)) * sx / k) / 1000000.0, 4)
+        |    AS intercept,
+        |  round(((k * sxy - sx * sy) * 1.0 * (k * sxy - sx * sy))
+        |    / ((k * sxx - sx * sx) * 1.0 * (k * syy - sy * sy)), 4)
+        |    AS r2
+        |FROM sagg""".stripMargin,
+    // SymSpell deletion blocking + exact levenshtein verify
+    "part_fuzzy_terms" ->
+      """WITH w AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+        |           FROM (SELECT unnest(string_split(p_name, ' ')) AS t
+        |                 FROM part) GROUP BY t),
+        |k AS (SELECT t, n, unnest(list_distinct(list_append(
+        |        list_transform(range(1, length(t) + 1),
+        |          i -> substr(t, 1, i - 1) || substr(t, i + 1)),
+        |        t))) AS k
+        |      FROM w),
+        |p AS (SELECT DISTINCT x.t AS term_a, y.t AS term_b,
+        |             x.n AS n_a, y.n AS n_b
+        |      FROM k x JOIN k y ON x.k = y.k AND x.t < y.t)
+        |SELECT term_a, term_b, n_a, n_b FROM p
+        |WHERE levenshtein(term_a, term_b) = 1
+        |ORDER BY term_a, term_b""".stripMargin,
     // hour-of-week heatmap: ISO dow both engines (Spark weekday+1)
     "events_heatmap" ->
       """WITH ev AS (SELECT isodow(ts) AS dow,

@@ -1285,6 +1285,38 @@ object Analytics {
     * prefix-sum on the driver, and global rank = band base + within
     * rank. Three bounded windows instead of three corpus sorts.
     */
+  /** FUZZY TERM PAIRS over the part catalog — entity-resolution's
+    * typo detector (near-identical product words that should merge):
+    * candidate pairs come from SYMSPELL DELETION BLOCKING — every
+    * term keys by itself plus each single-character deletion, and
+    * any two terms at edit distance 1 provably share a key
+    * (deletion/insertion pairs share the shorter string; a
+    * substitution pair shares the deletion at the differing
+    * position) — so the quadratic all-pairs scan becomes an
+    * equi-join whose key space GROWS with the vocabulary, and a
+    * final exact `levenshtein = 1` filter discards the few
+    * same-key impostors (e.g. transpositions at distance 2). The
+    * 100 TB shape: per-term key fan-out = term length (bounded),
+    * never vocabulary size.
+    */
+  def fuzzyTerms(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.part(s, dir)
+      .select(explode(split(col("p_name"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val keyed = words.select(col("t"), col("n"), explode(expr(
+      "array_union(array(t), transform(sequence(1, length(t)), " +
+        "i -> concat(substring(t, 1, i - 1), " +
+        "substring(t, i + 1, length(t)))))")).as("k"))
+    keyed.as("x")
+      .join(keyed.as("y"),
+        col("x.k") === col("y.k") && col("x.t") < col("y.t"))
+      .select(col("x.t").as("term_a"), col("y.t").as("term_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .distinct()
+      .where(levenshtein(col("term_a"), col("term_b")) === 1)
+      .orderBy("term_a", "term_b")
+  }
+
   /** HOUR-OF-WEEK ACTIVITY HEATMAP — the 7×24 usage matrix every
     * product dashboard opens with, in long form with each cell's
     * share of total traffic. ISO day numbering (1 = Monday) on both

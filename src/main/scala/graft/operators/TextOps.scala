@@ -745,6 +745,40 @@ object TextOps {
       .orderBy("actual", "predicted")
   }
 
+  /** ZIPF-LAW FIT — the corpus-statistics sanity check (natural
+    * language follows rank-frequency slope ≈ −1; synthetic or
+    * template-heavy corpora deviate): OLS of ln(count) on ln(rank)
+    * over the top-`topN` terms, plus r². The top-N cut is a bounded
+    * TakeOrdered (never a corpus sort), and the regression inputs
+    * are micro-unit-quantized logs summed as EXACT INTEGERS — the
+    * slope is a ratio of two exact longs, so both engines emit the
+    * identical double. The window ranks only the N retained rows.
+    */
+  def zipfFit(s: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("t").asc).limit(topN)
+    val ranked = top.withColumn("r",
+      row_number().over(Window.orderBy(col("n").desc, col("t").asc)))
+    val sums = ranked.select(
+        expr("CAST(round(ln(r) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(n) * 1000000) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+    sums.select(col("k").as("n_terms"),
+      expr("round((k * sxy - sx * sy) * 1.0 / (k * sxx - sx * sx), 4)")
+        .as("slope"),
+      expr("round((sy * 1.0 / k - ((k * sxy - sx * sy) * 1.0 " +
+        "/ (k * sxx - sx * sx)) * sx / k) / 1000000.0, 4)")
+        .as("intercept"),
+      expr("round(((k * sxy - sx * sy) * 1.0 * (k * sxy - sx * sy)) " +
+        "/ ((k * sxx - sx * sx) * 1.0 * (k * syy - sy * sy)), 4)")
+        .as("r2"))
+  }
+
   /** BUDGET-CONSTRAINED CURATION — "give me the best documents up
     * to a token budget": rank by (quality DESC, doc_id) and keep the
     * prefix whose cumulative token count fits. The training-mixture
