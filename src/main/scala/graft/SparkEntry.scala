@@ -119,6 +119,7 @@ object SparkEntry {
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "ann_recall_curve" -> ((s, d) => Ann.ivfRecallCurve(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
+    "hnsw_recall_report" -> ((s, d) => Ann.hnswRecallReport(s, d)),
     "search_ndcg" -> (Ann.ndcgReport _),
     "embed_rp_knn" -> (Ann.rpKnnQuery _),
     "vdb_knn_mrl" -> ((s, d) => Knn.mrlSearch(emb(s, d), qset(s, d), 10)),
@@ -1025,6 +1026,25 @@ object SparkEntry {
          |      FROM fsc WHERE s IS NOT NULL)
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "ann_hnsw" -> hnswOracle,
+    // recall trio completion: hierarchical path vs the brute scan
+    "hnsw_recall_report" ->
+      s"""WITH $ivfGraphCtes,
+         |${hnswBeamCtes("vec_id < 5")},
+         |hv AS (SELECT qid, id FROM (SELECT *, row_number() OVER (
+         |         PARTITION BY qid ORDER BY s DESC, id) AS rk
+         |       FROM hbf3) WHERE rk <= 10),
+         |bd AS (SELECT qq.qid, e2.id,
+         |         list_cosine_similarity(e2.v, qq.qv) AS s
+         |       FROM e e2 CROSS JOIN qq),
+         |br AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+         |         ORDER BY s DESC, id) AS rk
+         |       FROM bd WHERE s IS NOT NULL),
+         |bff AS (SELECT qid, id FROM br WHERE rk <= 10),
+         |h AS (SELECT hv.qid, CAST(count(*) AS BIGINT) AS hits
+         |      FROM hv JOIN bff ON hv.qid = bff.qid AND hv.id = bff.id
+         |      GROUP BY 1)
+         |SELECT qid, hits, round(hits / 10.0, 4) AS recall
+         |FROM h ORDER BY qid""".stripMargin,
     // persisted hierarchy: same centroids, same edge rule, searched
     // partition-pruned — shares the in-memory descent's mirror
     // (HnswIndexSpec pins the path equality)

@@ -2074,6 +2074,13 @@ object Ann {
   def lshRecallReport(s: SparkSession, dir: String): DataFrame =
     recallReport(s, dir, lshQuery(s, dir), k = 10)
 
+  /** Same report for the hierarchical graph path — completes the
+    * recall-report trio (IVF probe pruning / LSH bucket pruning /
+    * graph traversal pruning each trade recall differently).
+    */
+  def hnswRecallReport(s: SparkSession, dir: String): DataFrame =
+    recallReport(s, dir, hnswQuery(s, dir), k = 10)
+
   /** EMBEDDING NORM AUDIT — the one-row data-quality gate an
     * embedding pipeline runs before indexing: count, min/max/mean
     * L2 norm, and the number of (near-)zero vectors (which break
