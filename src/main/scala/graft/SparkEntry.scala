@@ -202,6 +202,8 @@ object SparkEntry {
     "events_funnel" -> (Analytics.eventsFunnel _),
     "events_pattern_match" -> (Sequence.patternMatch _),
     "events_ab_test" -> (Analytics.eventsAbTest _),
+    "events_ab_cuped" -> ((s, d) => Analytics.eventsAbCuped(s, d)),
+    "graph_assortativity" -> ((s, d) => Ann.graphAssortativity(s, d)),
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
     "events_cooccurrence" -> ((s, d) => Sequence.cooccurrence(s, d)),
     "part_pareto" -> ((s, d) => Sequence.partPareto(s, d)),
@@ -2492,6 +2494,65 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // CUPED: θ from pooled exact moments; every reported statistic
+    // closes over integer moments (Y_adj is affine in x, y — no
+    // per-user float aggregate anywhere)
+    "events_ab_cuped" -> {
+      val theta = "(n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)"
+      val vary = "(nv * vsyy - vsy * vsy) * 1.0 / (nv * (nv - 1))"
+      val covv = "(nv * vsxy - vsx * vsy) * 1.0 / (nv * (nv - 1))"
+      val varx = "(nv * vsxx - vsx * vsx) * 1.0 / (nv * (nv - 1))"
+      s"""WITH ev AS (SELECT user_id,
+         |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+         |          AS d,
+         |        CAST(round(value * 100) AS BIGINT) AS micro
+         |      FROM events),
+         |bn AS (SELECT (min(d) + max(d)) // 2 AS mid FROM ev),
+         |per AS (SELECT user_id,
+         |        sum(CASE WHEN d < bn.mid THEN micro ELSE 0 END) AS x,
+         |        sum(CASE WHEN d >= bn.mid THEN micro ELSE 0 END) AS y,
+         |        user_id % 2 AS variant
+         |      FROM ev, bn GROUP BY user_id, bn.mid),
+         |p AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+         |        sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+         |      FROM per),
+         |v AS (SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+         |        sum(x) AS vsx, sum(y) AS vsy, sum(x * y) AS vsxy,
+         |        sum(x * x) AS vsxx, sum(y * y) AS vsyy
+         |      FROM per GROUP BY 1)
+         |SELECT CAST(variant AS BIGINT) AS variant, nv AS n_users,
+         |  round($theta, 6) AS theta,
+         |  round(vsy * 1.0 / nv / 100.0, 4) AS mean_y,
+         |  round((vsy * 1.0 / nv - ($theta) *
+         |    (vsx * 1.0 / nv - sx * 1.0 / n)) / 100.0, 4) AS mean_y_adj,
+         |  round((($vary) - 2 * ($theta) * ($covv) +
+         |    ($theta) * ($theta) * ($varx)) / ($vary), 4)
+         |    AS var_reduction
+         |FROM v, p ORDER BY variant""".stripMargin
+    },
+    // degree assortativity: exact integer moments over the symmetric
+    // mutual edge list, degrees bounded by k
+    "graph_assortativity" ->
+      s"""WITH $ivfGraphCtes,
+         |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
+         |mu AS (SELECT g1.qid AS id_a, g1.id AS id_b
+         |       FROM g g1 JOIN g g2 ON g1.qid = g2.id AND g1.id = g2.qid
+         |       WHERE g1.qid < g1.id),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM mu
+         |        UNION ALL SELECT id_b, id_a FROM mu),
+         |dgr AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS dg
+         |       FROM sym GROUP BY 1),
+         |pe AS (SELECT da.dg AS da, db.dg AS db
+         |       FROM sym JOIN dgr da ON sym.a = da.id
+         |       JOIN dgr db ON sym.b = db.id),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS m, sum(da) AS sa,
+         |        sum(db) AS sb, sum(da * db) AS sab,
+         |        sum(da * da) AS saa, sum(db * db) AS sbb FROM pe)
+         |SELECT m AS n_edges,
+         |  round((m * sab - sa * sb) * 1.0 /
+         |    (sqrt((m * saa - sa * sa) * 1.0 * (m * sbb - sb * sb))), 4)
+         |    AS assortativity
+         |FROM ag""".stripMargin,
     // adjacent-token PMI: exact integer counts, corpus-total bigram
     // space (the support filter prunes candidates only)
     "text_collocations" ->

@@ -1152,6 +1152,61 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** CUPED-ADJUSTED A/B REPORT (Deng et al., WSDM'13 — the variance
+    * reduction every modern experimentation platform applies):
+    * per-user pre-period spend X (days before the data midpoint) is
+    * the covariate for post-period spend Y; θ = cov(X,Y)/var(X)
+    * pooled over all users, and the adjusted metric is
+    * Y − θ·(X − X̄). The trap at scale is that Y_adj is a FLOAT per
+    * user, and any per-user float aggregate is fold-order-dependent
+    * — but Y_adj is AFFINE in (x, y), so every reported statistic
+    * closes over the exact integer moments instead:
+    * mean_v(Y_adj) = mean_v(y) − θ·(mean_v(x) − x̄) and
+    * var_v(Y_adj) = var_v(y) − 2θ·cov_v(x,y) + θ²·var_v(x). All
+    * sums are BIGINT micro-units (per-petabyte growth ⇒
+    * decimal(38,0), shape unchanged); θ is a ratio of exact longs,
+    * so both engines emit identical doubles. One scan, one per-user
+    * aggregate, one 2-row variant aggregate.
+    */
+  def eventsAbCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("micro"))
+    val bounds = ev.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    val per = ev.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(sum(when(col("d") < col("mid"), col("micro")).otherwise(0L))
+          .as("x"),
+        sum(when(col("d") >= col("mid"), col("micro")).otherwise(0L))
+          .as("y"))
+      .withColumn("variant", col("user_id") % 2)
+      .localCheckpoint(true)
+    val pooled = per.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(expr("x * y")).as("sxy"),
+      sum(expr("x * x")).as("sxx"))
+    val v = per.groupBy("variant").agg(count(lit(1)).as("nv"),
+      sum("x").as("vsx"), sum("y").as("vsy"),
+      sum(expr("x * y")).as("vsxy"), sum(expr("x * x")).as("vsxx"),
+      sum(expr("y * y")).as("vsyy"))
+    val theta = "(n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)"
+    val vary = "(nv * vsyy - vsy * vsy) * 1.0 / (nv * (nv - 1))"
+    val covv = "(nv * vsxy - vsx * vsy) * 1.0 / (nv * (nv - 1))"
+    val varx = "(nv * vsxx - vsx * vsx) * 1.0 / (nv * (nv - 1))"
+    v.crossJoin(broadcast(pooled))
+      .select(col("variant").cast("long").as("variant"),
+        col("nv").as("n_users"),
+        expr(s"round($theta, 6)").as("theta"),
+        expr("round(vsy * 1.0 / nv / 100.0, 4)").as("mean_y"),
+        expr(s"round((vsy * 1.0 / nv - ($theta) * " +
+          s"(vsx * 1.0 / nv - sx * 1.0 / n)) / 100.0, 4)")
+          .as("mean_y_adj"),
+        expr(s"round((($vary) - 2 * ($theta) * ($covv) + " +
+          s"($theta) * ($theta) * ($varx)) / ($vary), 4)")
+          .as("var_reduction"))
+      .orderBy("variant")
+  }
+
   /** SEASONAL-NAIVE FORECAST BACKTEST — the baseline every real
     * forecaster must beat, evaluated in-sample: predict each day's
     * event count with the count 7 days earlier, report per-type MAE

@@ -597,6 +597,36 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** DEGREE ASSORTATIVITY of the mutual-kNN graph — Pearson
+    * correlation of endpoint degrees over the symmetric edge list
+    * (Newman 2002): positive = hubs link hubs (a core-periphery
+    * embedding space), negative = hubs link leaves (star-like
+    * clusters — single-link dedup will chain them). Every moment is
+    * an exact integer (degrees are bounded by k, the edge list is
+    * 2·E rows), so the coefficient is a ratio of exact longs —
+    * identical doubles on both engines. One self-join on the edge
+    * key, two bounded aggregates.
+    */
+  def graphAssortativity(s: SparkSession, dir: String,
+                         k: Int = 5): DataFrame = {
+    val und = mutualKnnPairs(s, dir, k).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val sym = und.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(und.select(col("id_b").as("a"), col("id_a").as("b")))
+    val deg = sym.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("dg"))
+    val pairs = sym
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+    pairs.agg(count(lit(1)).as("m"), sum("da").as("sa"),
+        sum("db").as("sb"), sum(expr("da * db")).as("sab"),
+        sum(expr("da * da")).as("saa"), sum(expr("db * db")).as("sbb"))
+      .select(col("m").as("n_edges"),
+        expr("round((m * sab - sa * sb) * 1.0 / " +
+          "(sqrt((m * saa - sa * sa) * 1.0 * (m * sbb - sb * sb))), 4)")
+          .as("assortativity"))
+  }
+
   /** PAGERANK CENTRALITY over the corpus kNN graph — the
     * graph-importance signal centrality-aware data curation uses
     * (documents whose embeddings many other documents point at are
