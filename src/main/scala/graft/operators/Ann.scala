@@ -1488,12 +1488,29 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     val e = graphNodes(s, indexPath).select(col("id"), col("vec"))
     val all = hnswRead(s, hnswPath)
-    def sym(layer: Int): DataFrame = {
-      val g = all.where(col("layer") === layer)
-        .select(col("qid").as("src"), col("nn_id").as("dst"))
-      g.union(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    }
-    val (frontier, _) = hnswTraverseEdges(e, queries, sym, sym(0),
+    val root = new org.apache.hadoop.fs.Path(hnswPath)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    def sym(layer: Int): DataFrame =
+      // an absent layer directory means the layer has no edges — an
+      // empty LocalRelation lets the traversal skip the step with no
+      // job at all (not even an isEmpty probe)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"layer=$layer")))
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("src",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("dst",
+              org.apache.spark.sql.types.LongType))))
+      else {
+        val g = all.where(col("layer") === layer)
+          .select(col("qid").as("src"), col("nn_id").as("dst"))
+        g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+      }
+    // the base edges feed every beam round — materialize once
+    // instead of re-scanning the layer-0 partitions per round
+    val edges0 = sym(0).localCheckpoint(true)
+    val (frontier, _) = hnswTraverseEdges(e, queries, sym, edges0,
       beamU, beam, rounds)
     val byQ = Window.partitionBy("qid").orderBy(col("s").desc, col("id"))
     frontier.withColumn("rk", row_number().over(byQ))
