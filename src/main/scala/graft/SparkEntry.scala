@@ -692,22 +692,31 @@ object SparkEntry {
     * the UNION carry keeps the frontier — the same identity step the
     * Spark loop takes.
     */
-  private def hnswBeamCtes(qqWhere: String): String = {
+  /** @param emitBase emit the shared g8/ed base-edge CTEs (false
+    *                  when composing after [[nswBeamCtes]], which
+    *                  already defined them identically)
+    *  @param qq name for the query CTE (rename when the default
+    *            clashes in a composed oracle)
+    */
+  private def hnswBeamCtes(qqWhere: String, emitBase: Boolean = true,
+                           qq: String = "qq"): String = {
     val beamU = 8
     val beam = 16
     val sb = new StringBuilder
-    sb.append(
+    if (emitBase) sb.append(
       s"""g8 AS (SELECT qid, id FROM gr WHERE rk <= 8),
          |ed AS (SELECT qid AS src, id AS dst FROM g8
          |       UNION SELECT id, qid FROM g8),
-         |lv AS (SELECT id, CASE WHEN h % 4096 = 0 THEN 4
+         |""".stripMargin)
+    sb.append(
+      s"""lv AS (SELECT id, CASE WHEN h % 4096 = 0 THEN 4
          |         WHEN h % 512 = 0 THEN 3 WHEN h % 64 = 0 THEN 2
          |         WHEN h % 8 = 0 THEN 1 ELSE 0 END AS lvl
          |       FROM (SELECT id, CAST('0x' || substr(md5(CAST(id AS VARCHAR)),
          |         1, 15) AS BIGINT) AS h FROM e)),
          |ent AS (SELECT e.id FROM e JOIN lv ON e.id = lv.id
          |        ORDER BY lv.lvl DESC, e.id LIMIT 1),
-         |qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |$qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
          |       FROM embeddings WHERE $qqWhere)""".stripMargin)
     for (l <- 1 to 4) {
       val np = 2 * math.pow(8, l).toInt
@@ -728,8 +737,9 @@ object SparkEntry {
         |       UNION SELECT dst, src FROM gl$l)""".stripMargin)
     }
     sb.append(s""",
-      |hs5 AS (SELECT qq.qid, ent.id, list_cosine_similarity(e.v, qq.qv) AS s
-      |       FROM qq CROSS JOIN ent JOIN e ON e.id = ent.id),
+      |hs5 AS (SELECT $qq.qid, ent.id, list_cosine_similarity(e.v, $qq.qv)
+      |         AS s
+      |       FROM $qq CROSS JOIN ent JOIN e ON e.id = ent.id),
       |hf5 AS (SELECT qid, id, s FROM (SELECT *, row_number() OVER (
       |         PARTITION BY qid ORDER BY s DESC, id) AS rk
       |       FROM hs5 WHERE s IS NOT NULL) WHERE rk <= $beamU)""".stripMargin)
@@ -739,8 +749,10 @@ object SparkEntry {
         |hc$l AS (SELECT f.qid, el.dst AS id FROM hf$p f
         |         JOIN el$l el ON f.id = el.src
         |       UNION SELECT qid, id FROM hf$p),
-        |hs$l AS (SELECT c.qid, c.id, list_cosine_similarity(e.v, qq.qv) AS s
-        |       FROM hc$l c JOIN e ON c.id = e.id JOIN qq ON c.qid = qq.qid),
+        |hs$l AS (SELECT c.qid, c.id, list_cosine_similarity(e.v, $qq.qv)
+        |         AS s
+        |       FROM hc$l c JOIN e ON c.id = e.id
+        |       JOIN $qq ON c.qid = $qq.qid),
         |hf$l AS (SELECT qid, id, s FROM (SELECT *, row_number() OVER (
         |         PARTITION BY qid ORDER BY s DESC, id) AS rk
         |       FROM hs$l WHERE s IS NOT NULL) WHERE rk <= $beamU)""".stripMargin)
@@ -751,8 +763,10 @@ object SparkEntry {
         |hbc$r AS (SELECT f.qid, ed.dst AS id FROM $prev f
         |         JOIN ed ON f.id = ed.src
         |       UNION SELECT qid, id FROM $prev),
-        |hbs$r AS (SELECT c.qid, c.id, list_cosine_similarity(e.v, qq.qv) AS s
-        |       FROM hbc$r c JOIN e ON c.id = e.id JOIN qq ON c.qid = qq.qid),
+        |hbs$r AS (SELECT c.qid, c.id, list_cosine_similarity(e.v, $qq.qv)
+        |         AS s
+        |       FROM hbc$r c JOIN e ON c.id = e.id
+        |       JOIN $qq ON c.qid = $qq.qid),
         |hbf$r AS (SELECT qid, id, s FROM (SELECT *, row_number() OVER (
         |         PARTITION BY qid ORDER BY s DESC, id) AS rk
         |       FROM hbs$r WHERE s IS NOT NULL) WHERE rk <= $beam)""".stripMargin)
@@ -3815,7 +3829,7 @@ object SparkEntry {
          |              CASE WHEN vec_id = 4 THEN '='
          |                   WHEN vec_id = 2 THEN '!=' END AS fop,
          |              5 AS fval
-         |       FROM embeddings WHERE vec_id < 5 AND vec_id % 2 = 0),
+         |       FROM embeddings WHERE vec_id < 8 AND vec_id % 2 = 0),
          |fd AS (SELECT fq.qid, fq.metric, fq.k, el.id AS nn_id,
          |              CASE WHEN fq.metric = 'L2'
          |                   THEN list_distance(el.v, fq.qv)
@@ -3833,7 +3847,7 @@ object SparkEntry {
          |isc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv) AS s
          |        FROM af a JOIN pr ON a.cell = pr.cell
          |             JOIN q ON pr.qid = q.qid
-         |        WHERE pr.qid < 5 AND pr.qid % 4 = 1),
+         |        WHERE pr.qid < 8 AND pr.qid % 4 = 1),
          |ir AS (SELECT qid, id, s,
          |              row_number() OVER (PARTITION BY qid
          |                ORDER BY s DESC, id) AS rk
@@ -3841,14 +3855,19 @@ object SparkEntry {
          |il AS (SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |       FROM ir
          |       WHERE rk <= CASE WHEN qid % 3 = 0 THEN 10 ELSE 5 END),
-         |${nswBeamCtes("vec_id < 5 AND vec_id % 4 = 3")},
+         |${nswBeamCtes("vec_id = 3")},
          |hl AS (SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |       FROM (SELECT *, row_number() OVER (PARTITION BY qid
          |               ORDER BY s DESC, id) AS rk FROM bf3)
+         |       WHERE rk <= CASE WHEN qid % 3 = 0 THEN 10 ELSE 5 END),
+         |${hnswBeamCtes("vec_id = 7", emitBase = false, qq = "hq")},
+         |hil AS (SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |               ORDER BY s DESC, id) AS rk FROM hbf3)
          |       WHERE rk <= CASE WHEN qid % 3 = 0 THEN 10 ELSE 5 END)
          |SELECT qid, rk, nn_id, score
          |FROM (SELECT * FROM fl UNION ALL SELECT * FROM il
-         |      UNION ALL SELECT * FROM hl)
+         |      UNION ALL SELECT * FROM hl UNION ALL SELECT * FROM hil)
          |ORDER BY qid, rk""".stripMargin,
     "vdb_knn_flat_l2" -> knnOracle("l2"),
     "vdb_knn_flat_ip" -> knnOracle("ip"),

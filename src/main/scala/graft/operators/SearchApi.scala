@@ -91,13 +91,16 @@ object SearchApi {
     * probed cells — a batch of all-approximate requests never scans
     * the full corpus.
     *
-    * @param reqs (qid, qvec, index_type 'FLAT'|'HNSW'|'IVF', k,
-    *             metric, fop, fval) — metric/filter apply to the
-    *             FLAT leg (the reference's filter index lives on the
-    *             exact path); HNSW requests take the graph beam-
-    *             search leg ([[graft.operators.Ann.nswSearch]], the
-    *             hnswlib analog), any other approximate tag the IVF
-    *             leg; both score cosine, unfiltered
+    * @param reqs (qid, qvec, index_type
+    *             'FLAT'|'HNSW'|'HNSW_HIER'|'IVF', k, metric, fop,
+    *             fval) — metric/filter apply to the FLAT leg (the
+    *             reference's filter index lives on the exact path);
+    *             HNSW requests take the graph beam-search leg
+    *             ([[graft.operators.Ann.nswSearch]], the hnswlib
+    *             analog), HNSW_HIER the true layered descent
+    *             ([[graft.operators.Ann.hnswSearch]]), any other
+    *             approximate tag the IVF leg; all approximate legs
+    *             score cosine, unfiltered
     */
   def searchRouted(s: SparkSession, dir: String, data: DataFrame,
                    reqs: DataFrame, maxK: Int): DataFrame = {
@@ -114,6 +117,7 @@ object SearchApi {
     val types = reqs.select(
         when(col("index_type") === "FLAT", "FLAT")
           .when(col("index_type") === "HNSW", "HNSW")
+          .when(col("index_type") === "HNSW_HIER", "HIER")
           .otherwise("IVF").as("t"))
       .distinct().collect().map(_.getString(0)).toSet
     if (types.isEmpty) {
@@ -131,9 +135,14 @@ object SearchApi {
       legs += perK(graft.operators.Ann.nswSearch(s, dir,
         hnswReqs.select(col("qid"), col("qvec")), k = maxK), hnswReqs)
     }
+    if (types("HIER")) {
+      val hierReqs = reqs.where(col("index_type") === "HNSW_HIER")
+      legs += perK(graft.operators.Ann.hnswSearch(s, dir,
+        hierReqs.select(col("qid"), col("qvec")), k = maxK), hierReqs)
+    }
     if (types("IVF")) {
       val ivfReqs = reqs.where(col("index_type") =!= "FLAT" &&
-        col("index_type") =!= "HNSW")
+        col("index_type") =!= "HNSW" && col("index_type") =!= "HNSW_HIER")
       legs += perK(graft.operators.Ann.ivfSearchCached(s, dir,
         ivfReqs.select(col("qid"), col("qvec")), maxK), ivfReqs)
     }
@@ -142,16 +151,17 @@ object SearchApi {
 
   /** Routed surface query: even qids go FLAT (metric L2/IP, one `=`
     * and one `!=` filter in the mix); odd qids are approximate —
-    * qid≡1 (mod 4) IVF, qid≡3 (mod 4) HNSW; k mixes 10/5 across the
-    * legs.
+    * qid≡1 (mod 4) IVF, qid 3 NSW, qid 7 the layered hierarchy; k
+    * mixes 10/5 across the legs.
     */
   def searchRoutedQuery(s: SparkSession, dir: String): DataFrame = {
     val data = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"),
         col("label"))
-    val reqs = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+    val reqs = Tables.embeddings(s, dir).where(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         when(col("vec_id") % 2 === 0, "FLAT")
+          .when(col("vec_id") === 7, "HNSW_HIER")
           .when(col("vec_id") % 4 === 3, "HNSW").otherwise("IVF")
           .as("index_type"),
         when(col("vec_id") % 3 === 0, 10L).otherwise(5L).as("k"),

@@ -51,35 +51,46 @@ class SearchApiSpec extends SparkSuite {
     }
   }
 
-  test("routed batch: FLAT requests match the exact leg, IVF and HNSW " +
-    "requests match direct index calls") {
+  test("routed batch: FLAT requests match the exact leg, IVF, HNSW " +
+    "and HNSW_HIER requests match direct index calls") {
+    val q8 = Tables.embeddings(spark, sf).where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val rows = SearchApi.searchRoutedQuery(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(rows.nonEmpty)
     val byQ = rows.groupBy(_._1)
-    // the batch covers all three legs and honors per-request k
-    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
-    assert(byQ(0L).length == 10 && byQ(3L).length == 10)
-    assert(byQ(1L).length == 5 && byQ(2L).length == 5 && byQ(4L).length == 5)
+    // the batch covers all four legs and honors per-request k
+    assert(byQ.keySet == (0L to 7L).toSet)
+    assert(byQ(0L).length == 10 && byQ(3L).length == 10 &&
+      byQ(6L).length == 10)
+    Seq(1L, 2L, 4L, 5L, 7L).foreach(q => assert(byQ(q).length == 5))
     // approximate requests return EXACTLY what direct index queries
     // return — routing must not change an answer
     val ivfDirect = graft.operators.Ann.ivfSearchCached(spark, sf,
-        qs.where(col("qid") % 4 === 1), k = 10)
+        q8.where(col("qid") % 4 === 1), k = 10)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
       .filter { case (qid, rk, _, _) => rk <= (if (qid % 3 == 0) 10 else 5) }
       .toSet
     assert(rows.filter(_._1 % 4 == 1).toSet == ivfDirect)
     val nswDirect = graft.operators.Ann.nswSearch(spark, sf,
-        qs.where(col("qid") % 4 === 3), k = 10)
+        q8.where(col("qid") === 3), k = 10)
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
       .filter { case (qid, rk, _, _) => rk <= (if (qid % 3 == 0) 10 else 5) }
       .toSet
-    assert(rows.filter(_._1 % 4 == 3).toSet == nswDirect)
+    assert(rows.filter(_._1 == 3).toSet == nswDirect)
+    val hierDirect = graft.operators.Ann.hnswSearch(spark, sf,
+        q8.where(col("qid") === 7), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .filter { case (qid, rk, _, _) => rk <= (if (qid % 3 == 0) 10 else 5) }
+      .toSet
+    assert(rows.filter(_._1 == 7).toSet == hierDirect,
+      "HNSW_HIER routing changed the hierarchy's answer")
     // FLAT requests match the unrouted batch API on the same requests
     val flatReqs = Tables.embeddings(spark, sf)
-      .where(col("vec_id") < 5 && col("vec_id") % 2 === 0)
+      .where(col("vec_id") < 8 && col("vec_id") % 2 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         when(col("vec_id") % 3 === 0, 10L).otherwise(5L).as("k"),
         when(col("vec_id") % 4 === 2, "IP").otherwise("L2").as("metric"),
