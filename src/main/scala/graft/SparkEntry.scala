@@ -278,6 +278,7 @@ object SparkEntry {
     "basket_pairs" -> ((s, d) => Analytics.basketPairs(s, d)),
     "supplier_wilson" -> ((s, d) => Analytics.supplierWilson(s, d)),
     "customer_rfm" -> ((s, d) => Analytics.customerRfm(s, d)),
+    "supplier_lead_time" -> ((s, d) => Analytics.supplierLeadTime(s, d)),
     "text_boilerplate" -> ((s, d) => TextOps.boilerplate(s, d)),
     "events_heatmap" -> ((s, d) => Analytics.eventsHeatmap(s, d)),
     "embed_quant_error" -> ((s, d) => Quant.quantErrorReport(s, d)),
@@ -4551,6 +4552,23 @@ object SparkEntry {
          |SELECT method, n_vecs,
          |       round(ms * 1.0 / n_vecs / 10000.0, 6) AS avg_cosine
          |FROM u ORDER BY method""".stripMargin,
+    // lead-time distribution from exact integer day moments
+    "supplier_lead_time" ->
+      """WITH d AS (SELECT l.l_suppkey AS s_suppkey,
+        |        date_diff('day', CAST(o.o_orderdate AS DATE),
+        |          CAST(l.l_shipdate AS DATE)) AS days
+        |      FROM lineitem l
+        |      JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |g AS (SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |        sum(days) AS sd, sum(days * days) AS sq,
+        |        CAST(max(days) AS BIGINT) AS max_days
+        |      FROM d GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT s_suppkey, n,
+        |       round(sd * 1.0 / n, 2) AS mean_days,
+        |       round(sqrt((sq * 1.0 * n - sd * 1.0 * sd)
+        |         / (n * 1.0 * (n - 1))), 2) AS sd_days,
+        |       max_days
+        |FROM g ORDER BY s_suppkey""".stripMargin,
     // RFM: per-dimension exact global quartile by (value, custkey);
     // the banded two-level rank on the Spark side reproduces exactly
     // this total order (band is monotone in the value). Money sums

@@ -1325,6 +1325,35 @@ object Analytics {
       .limit(topN)
   }
 
+  /** SUPPLIER ORDER-TO-SHIP LEAD TIME — the fulfillment-latency
+    * distribution behind q12's on-time flag and the Wilson ranking:
+    * per supplier n / mean / standard deviation / max of
+    * (shipdate − orderdate) days. Integer day gaps under exact
+    * moments (n, Σd, Σd²) — the events_bot_score rule — so the
+    * statistics are identical doubles on both engines. One
+    * fact⋈orders pass, one supplier aggregate.
+    */
+  def supplierLeadTime(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s_suppkey"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("days"))
+    d.groupBy("s_suppkey").agg(count(lit(1)).as("n"),
+        sum("days").as("sd"), sum(expr("days * days")).as("sq"),
+        max("days").as("max_days"))
+      .where(col("n") >= 2)
+      .select(col("s_suppkey"), col("n"),
+        round(col("sd").cast("double") / col("n"), 2).as("mean_days"),
+        round(sqrt((col("sq").cast("double") * col("n") -
+          col("sd").cast("double") * col("sd")) /
+          (col("n").cast("double") * (col("n") - 1))), 2).as("sd_days"),
+        col("max_days"))
+      .orderBy("s_suppkey")
+  }
+
   /** RFM SEGMENTATION — the classic marketing cut of a customer
     * base: per customer Recency (days since last order, vs the
     * corpus max date), Frequency (order count), Monetary (total
