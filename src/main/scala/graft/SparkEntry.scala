@@ -2542,8 +2542,9 @@ object SparkEntry {
          |    (vsx * 1.0 / nv - sx * 1.0 / n)) / 100.0, 4) AS mean_y_adj,
          |  round((($vary) - 2 * ($theta) * ($covv) +
          |    ($theta) * ($theta) * ($varx)) / ($vary), 4)
-         |    AS var_reduction
-         |FROM v, p ORDER BY variant""".stripMargin
+         |    AS var_ratio
+         |FROM v, p WHERE nv >= 2 AND ($vary) > 0
+         |ORDER BY variant""".stripMargin
     },
     // degree assortativity: exact integer moments over the symmetric
     // mutual edge list, degrees bounded by k

@@ -1193,7 +1193,11 @@ object Analytics {
     val vary = "(nv * vsyy - vsy * vsy) * 1.0 / (nv * (nv - 1))"
     val covv = "(nv * vsxy - vsx * vsy) * 1.0 / (nv * (nv - 1))"
     val varx = "(nv * vsxx - vsx * vsx) * 1.0 / (nv * (nv - 1))"
+    // var_ratio = var(Y_adj)/var(Y) — the REMAINING variance fraction
+    // (1 − reduction); the guard drops degenerate variants (a single
+    // user, or zero post-period variance) where the ratio is 0/0.
     v.crossJoin(broadcast(pooled))
+      .where(expr(s"nv >= 2 AND ($vary) > 0"))
       .select(col("variant").cast("long").as("variant"),
         col("nv").as("n_users"),
         expr(s"round($theta, 6)").as("theta"),
@@ -1203,7 +1207,7 @@ object Analytics {
           .as("mean_y_adj"),
         expr(s"round((($vary) - 2 * ($theta) * ($covv) + " +
           s"($theta) * ($theta) * ($varx)) / ($vary), 4)")
-          .as("var_reduction"))
+          .as("var_ratio"))
       .orderBy("variant")
   }
 

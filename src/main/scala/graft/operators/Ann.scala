@@ -774,28 +774,66 @@ object Ann {
     * the affected set (idempotent extra work). [[knnGraphBuild]]
     * remains a valid (if maximal) recovery, no longer the only one.
     */
+  /** Read a surviving intent marker: (recorded cells, recorded ids).
+    * The ids column is the r9-advice completion of the protocol:
+    * cells alone cannot reconstruct a crashed batch's affected set —
+    * a node the crashed run MOVED, whose new probe set misses its old
+    * cell, would keep edges computed from its pre-upsert vector.
+    * Markers written before the column existed read as cells-only.
+    */
+  private def readIntent(s: SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         intentPath: org.apache.hadoop.fs.Path)
+      : (Array[Long], Array[Long]) =
+    if (fs.exists(new org.apache.hadoop.fs.Path(intentPath, "_SUCCESS"))) {
+      val m = s.read.parquet(intentPath.toString)
+      val cells = m.where(col("cell").isNotNull)
+        .select("cell").collect().map(_.getLong(0))
+      val ids =
+        if (m.columns.contains("id"))
+          m.where(col("id").isNotNull)
+            .select("id").collect().map(_.getLong(0))
+        else Array.empty[Long]
+      (cells, ids)
+    } else (Array.empty, Array.empty)
+
+  /** Durably record a batch's pre-op cells AND member ids (one tiny
+    * two-column file; either column may be empty). Replayed ids are
+    * recomputed if still live and dropped if gone — so a marker from
+    * EITHER a crashed upsert or a crashed delete repairs correctly
+    * under whichever operation runs next.
+    */
+  private def writeIntent(s: SparkSession, intentPath: org.apache.hadoop.fs.Path,
+                          cells: Array[Long], ids: Array[Long]): Unit = {
+    import s.implicits._
+    cells.toSeq.toDF("v")
+      .select(col("v").as("cell"), lit(null).cast("long").as("id"))
+      .unionByName(ids.toSeq.toDF("v")
+        .select(lit(null).cast("long").as("cell"), col("v").as("id")))
+      .coalesce(1).write.mode("overwrite").parquet(intentPath.toString)
+  }
+
   def knnGraphUpsert(s: SparkSession, indexPath: String, graphPath: String,
                      updates: DataFrame, k: Int = 5,
                      nprobe: Int = 2): Unit = {
     import s.implicits._
-    val ids = broadcast(updates.select("id").distinct())
     val intentPath = new org.apache.hadoop.fs.Path(graphPath + "_intent")
     val fs = intentPath.getFileSystem(s.sessionState.newHadoopConf())
     // a surviving marker = a prior run crashed after its index upsert
-    // but before its graph publish; its old cells are invisible in
-    // the index now, so carry them into this run's touched set
-    val pendingOld: Array[Long] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(intentPath, "_SUCCESS")))
-        s.read.parquet(intentPath.toString).collect().map(_.getLong(0))
-      else Array.empty
+    // but before its graph publish; its cells are invisible in the
+    // index now and its ids' edges are suspect — carry BOTH into this
+    // run's repair scope
+    val (pendingCells, pendingIds) = readIntent(s, fs, intentPath)
+    val batchIds = updates.select("id").distinct().as[Long].collect()
+    val allIds = (batchIds ++ pendingIds).distinct
+    val ids = broadcast(allIds.toSeq.toDF("id"))
     val oldCells = (s.read.parquet(indexPath).join(ids, "id")
       .select(col("cell").cast("long").as("cell")).distinct()
-      .collect().map(_.getLong(0)) ++ pendingOld).distinct
+      .collect().map(_.getLong(0)) ++ pendingCells).distinct
     // record intent BEFORE the index changes (torn marker without
     // _SUCCESS reads as absent — and then the index is still
     // untouched, so a plain re-run recomputes everything correctly)
-    oldCells.toSeq.toDF("cell")
-      .coalesce(1).write.mode("overwrite").parquet(intentPath.toString)
+    writeIntent(s, intentPath, oldCells, allIds)
     ivfIndexUpsert(s, indexPath, updates)
     val newCells = s.read.parquet(indexPath).join(ids, "id")
       .select(col("cell").cast("long").as("cell")).distinct()
@@ -870,16 +908,17 @@ object Ann {
     val delIds = broadcast(ids.select("id").distinct())
     val intentPath = new org.apache.hadoop.fs.Path(graphPath + "_intent")
     val fs = intentPath.getFileSystem(s.sessionState.newHadoopConf())
-    val pendingOld: Array[Long] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(intentPath, "_SUCCESS")))
-        s.read.parquet(intentPath.toString).collect().map(_.getLong(0))
-      else Array.empty
-    val oldCells = (s.read.parquet(indexPath).join(delIds, "id")
+    val (pendingCells, pendingIds) = readIntent(s, fs, intentPath)
+    val batchIds = ids.select("id").distinct().as[Long].collect()
+    val allIds = (batchIds ++ pendingIds).distinct
+    val allIdsDf = broadcast(allIds.toSeq.toDF("id"))
+    val oldCells = (s.read.parquet(indexPath).join(allIdsDf, "id")
       .select(col("cell").cast("long").as("cell")).distinct()
-      .collect().map(_.getLong(0)) ++ pendingOld).distinct
+      .collect().map(_.getLong(0)) ++ pendingCells).distinct
     if (oldCells.isEmpty) return
-    oldCells.toSeq.toDF("cell")
-      .coalesce(1).write.mode("overwrite").parquet(intentPath.toString)
+    writeIntent(s, intentPath, oldCells, allIds)
+    // the index delete applies ONLY to this batch's ids — marker ids
+    // from a crashed UPSERT are live nodes to re-resolve, not deletes
     ivfIndexDelete(s, indexPath, delIds)
     val cents = collectCentroids(
       s.read.parquet(centroidsPath(indexPath)).select(col("cell"), col("cvec")))
@@ -888,18 +927,18 @@ object Ann {
         explode(slice(array_sort(centroidDists(col("vec"), cents)),
           1, nprobe)).as("p"))
       .where(col("p.cell").isin(oldCells.toIndexedSeq: _*))
-      .select("id").distinct().localCheckpoint(true)
-    val affected = nodes.join(broadcast(probers), Seq("id"), "left_semi")
+      .select("id").distinct()
+    // suspect set = probers of touched cells ∪ every batch/marker id:
+    // live members recompute, dead members' rows drop (the anti-join)
+    val gone = probers.unionByName(allIdsDf.select("id"))
+      .distinct().localCheckpoint(true)
+    val affected = nodes.join(broadcast(gone), Seq("id"), "left_semi")
     val recomputed = graphEdgesFor(s, indexPath, affected, k, nprobe)
       .join(nodes.select(col("id").as("qid"), col("cell")), "qid")
       .select(col("qid"), col("rk"), col("nn_id"), col("score"),
         col("cell").cast("long").as("cell"))
     val affCells = (affected.select(col("cell")).distinct()
       .collect().map(_.getLong(0)) ++ oldCells).distinct
-    // drop BOTH the recomputed probers' stale rows and the deleted
-    // nodes' own rows from the kept remainder
-    val gone = probers.unionByName(delIds.select("id"))
-      .distinct().localCheckpoint(true)
     val keep = s.read.parquet(graphPath)
       .where(col("cell").isin(affCells.toIndexedSeq: _*))
       .join(broadcast(gone.select(col("id").as("qid"))),
@@ -1338,24 +1377,27 @@ object Ann {
     * [[hnswBuild]] by the same argument as the base graph — a
     * layer-l node's candidate set is exactly the layer-l membership
     * of its probe cells, and level membership is immutable — with
-    * the same crash-window repair (a surviving marker's cells merge
-    * into the next run's touched set).
+    * the same crash-window repair (a surviving marker's cells AND
+    * ids merge into the next run's repair scope, so a crashed
+    * batch's moved nodes re-resolve even when their new probe sets
+    * miss every recorded cell).
     */
   def hnswUpsert(s: SparkSession, indexPath: String, hnswPath: String,
                  updates: DataFrame, k: Int = 8): Unit = {
     import s.implicits._
-    val ids = broadcast(updates.select("id").distinct())
     val intentPath = new org.apache.hadoop.fs.Path(hnswPath + "_intent")
     val fs = intentPath.getFileSystem(s.sessionState.newHadoopConf())
-    val pendingOld: Array[Long] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(intentPath, "_SUCCESS")))
-        s.read.parquet(intentPath.toString).collect().map(_.getLong(0))
-      else Array.empty
+    // marker carries cells AND ids (readIntent scaladoc): a crashed
+    // batch's node whose new probe set misses its old cell is only
+    // reachable through the recorded ids
+    val (pendingCells, pendingIds) = readIntent(s, fs, intentPath)
+    val batchIds = updates.select("id").distinct().as[Long].collect()
+    val allIds = (batchIds ++ pendingIds).distinct
+    val ids = broadcast(allIds.toSeq.toDF("id"))
     val oldCells = (s.read.parquet(indexPath).join(ids, "id")
       .select(col("cell").cast("long").as("cell")).distinct()
-      .collect().map(_.getLong(0)) ++ pendingOld).distinct
-    oldCells.toSeq.toDF("cell")
-      .coalesce(1).write.mode("overwrite").parquet(intentPath.toString)
+      .collect().map(_.getLong(0)) ++ pendingCells).distinct
+    writeIntent(s, intentPath, oldCells, allIds)
     ivfIndexUpsert(s, indexPath, updates)
     val newCells = s.read.parquet(indexPath).join(ids, "id")
       .select(col("cell").cast("long").as("cell")).distinct()
@@ -1372,8 +1414,11 @@ object Ann {
             1, np)).as("p"))
         .where(col("p.cell").isin(touched.toIndexedSeq: _*))
         .select("id").distinct()
+      // every batch/marker id enters directly (NOT via an lnodes
+      // semi-join): a dead marker id has no lnodes row but its stale
+      // graph rows must still drop through the keep anti-join below
       val affectedIds = probers
-        .unionByName(lnodes.join(ids, Seq("id"), "left_semi").select("id"))
+        .unionByName(ids.select("id"))
         .distinct().localCheckpoint(true)
       val affected = lnodes.join(broadcast(affectedIds), Seq("id"), "left_semi")
       val recomputed = graphEdgesLayer(s, indexPath, affected, l, k)
@@ -1405,16 +1450,17 @@ object Ann {
     val delIds = broadcast(ids.select("id").distinct())
     val intentPath = new org.apache.hadoop.fs.Path(hnswPath + "_intent")
     val fs = intentPath.getFileSystem(s.sessionState.newHadoopConf())
-    val pendingOld: Array[Long] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(intentPath, "_SUCCESS")))
-        s.read.parquet(intentPath.toString).collect().map(_.getLong(0))
-      else Array.empty
-    val oldCells = (s.read.parquet(indexPath).join(delIds, "id")
+    val (pendingCells, pendingIds) = readIntent(s, fs, intentPath)
+    val batchIds = ids.select("id").distinct().as[Long].collect()
+    val allIds = (batchIds ++ pendingIds).distinct
+    val allIdsDf = broadcast(allIds.toSeq.toDF("id"))
+    val oldCells = (s.read.parquet(indexPath).join(allIdsDf, "id")
       .select(col("cell").cast("long").as("cell")).distinct()
-      .collect().map(_.getLong(0)) ++ pendingOld).distinct
+      .collect().map(_.getLong(0)) ++ pendingCells).distinct
     if (oldCells.isEmpty) return
-    oldCells.toSeq.toDF("cell")
-      .coalesce(1).write.mode("overwrite").parquet(intentPath.toString)
+    writeIntent(s, intentPath, oldCells, allIds)
+    // index delete applies ONLY to this batch's ids (marker ids from
+    // a crashed upsert are live nodes to re-resolve)
     ivfIndexDelete(s, indexPath, delIds)
     val cents = collectCentroids(
       s.read.parquet(centroidsPath(indexPath)).select(col("cell"), col("cvec")))
@@ -1426,16 +1472,18 @@ object Ann {
           explode(slice(array_sort(centroidDists(col("vec"), cents)),
             1, np)).as("p"))
         .where(col("p.cell").isin(oldCells.toIndexedSeq: _*))
-        .select("id").distinct().localCheckpoint(true)
-      val affected = lnodes.join(broadcast(probers), Seq("id"), "left_semi")
+        .select("id").distinct()
+      // suspect set = probers ∪ every batch/marker id: live members
+      // recompute (lnodes semi), dead members' rows drop (anti below)
+      val gone = probers.unionByName(allIdsDf.select("id"))
+        .distinct().localCheckpoint(true)
+      val affected = lnodes.join(broadcast(gone), Seq("id"), "left_semi")
       val recomputed = graphEdgesLayer(s, indexPath, affected, l, k)
         .join(nodes.select(col("id").as("qid"), col("cell")), "qid")
         .select(lit(l).as("layer"), col("qid"), col("rk"), col("nn_id"),
           col("score"), col("cell").cast("long").as("cell"))
       val affCells = (affected.select(col("cell")).distinct()
         .collect().map(_.getLong(0)) ++ oldCells).distinct
-      val gone = probers.unionByName(delIds.select("id"))
-        .distinct().localCheckpoint(true)
       val keep = s.read.parquet(hnswPath)
         .where(col("layer") === l &&
           col("cell").isin(affCells.toIndexedSeq: _*))
@@ -2176,10 +2224,18 @@ object Ann {
         .withColumn("nprobe", lit(np.toLong))
     }.reduce(_ unionByName _)
     val denom = (k * q.count()).toDouble
-    legs.join(exact, Seq("qid", "nn_id"), "left_semi")
-      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
-      .select(col("nprobe"), col("n_hits"),
-        round(col("n_hits").cast("double") / lit(denom), 4).as("recall"))
+    // One row per requested width even at zero recall: a left join
+    // against the literal nprobe list (the oracle's per-width UNION
+    // ALL always emits a row; a semi-then-group would drop the group).
+    import s.implicits._
+    val widths = nprobes.map(_.toLong).toDF("nprobe")
+    val hits = legs.join(exact, Seq("qid", "nn_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("h"))
+    widths.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / lit(denom), 4)
+          .as("recall"))
       .orderBy("nprobe")
   }
 

@@ -23,8 +23,13 @@ case class BotScoreRow(user_id: Long, n_gaps: Long, mean_gap_s: Double,
   * the batch boundary through the stored cursor. After every batch
   * the user's CURRENT score emits (update-mode semantics); once the
   * same events have flowed, the latest emission per user equals the
-  * batch operator bit-for-bit under ANY micro-batching
-  * (BotScoreStreamSpec pins it).
+  * batch operator bit-for-bit under any EVENT-TIME-ORDERED
+  * micro-batching (BotScoreStreamSpec pins prefix splits). An event
+  * arriving BEHIND the stored cursor — (sec, event_id) below the last
+  * folded event — cannot be folded without rewriting history (the
+  * moments are order-blind but the gap decomposition is not), so it
+  * is DROPPED rather than silently folded as a negative gap; a
+  * deployment needing late data buffers by watermark upstream.
   */
 object BotScoreStream {
 
@@ -47,7 +52,13 @@ object BotScoreStream {
   def update(userId: Long, rows: Iterator[UserEvent],
              state: GroupState[BotState]): Iterator[BotScoreRow] = {
     var st = state.getOption.getOrElse(BotState(Long.MinValue, 0L, 0L, 0L, 0L))
-    rows.toSeq.sortBy(e => (e.sec, e.event_id)).foreach { e =>
+    rows.toSeq.sortBy(e => (e.sec, e.event_id))
+      // late-arrival guard: an event behind the cursor would fold a
+      // negative gap into the moments and diverge forever — drop it
+      .filter(e => st.lastSec == Long.MinValue ||
+        e.sec > st.lastSec ||
+        (e.sec == st.lastSec && e.event_id > st.lastEid))
+      .foreach { e =>
       if (st.lastSec != Long.MinValue) {
         val gap = e.sec - st.lastSec
         st = st.copy(n = st.n + 1,

@@ -106,6 +106,87 @@ class GraphMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("crashed batch + DIFFERENT next batch: marker ids re-resolve " +
+    "moved nodes whose new probe sets miss every recorded cell") {
+    import spark.implicits._
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "gcrash2")
+    val idx = root.resolve("idx").toString
+    val gp = root.resolve("graph").toString
+    try {
+      Ann.ivfBuildIndex(spark, emb, idx, stride = 10)
+      Ann.knnGraphBuild(spark, idx, gp)
+      val donors = emb.where(col("id") >= 200 && col("id") < 204)
+        .orderBy("id").collect().map(_.getSeq[Float](1).toArray)
+      // crashed batch A moves 0 and 7 and adds 90001
+      val batchA = Seq((0L, donors(0)), (7L, donors(1)),
+        (90001L, donors(2))).toDF("id", "vec")
+      // SIMULATED CRASH: the (cells + ids) marker lands and the index
+      // upsert applies, but the graph publish never runs
+      val aCells = spark.read.parquet(idx)
+        .join(batchA.select("id"), "id")
+        .select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      aCells.toSeq.toDF("v")
+        .select(col("v").as("cell"), lit(null).cast("long").as("id"))
+        .unionByName(Seq(0L, 7L, 90001L).toDF("v")
+          .select(lit(null).cast("long").as("cell"), col("v").as("id")))
+        .coalesce(1).write.mode("overwrite").parquet(gp + "_intent")
+      Ann.ivfIndexUpsert(spark, idx, batchA)
+      // the NEXT run carries a disjoint batch B — batch A's ids are
+      // only reachable through the surviving marker
+      val batchB = Seq((25L, donors(3))).toDF("id", "vec")
+      Ann.knnGraphUpsert(spark, idx, gp, batchB)
+      val rebuilt = root.resolve("rebuilt").toString
+      Ann.knnGraphBuild(spark, idx, rebuilt)
+      assert(graphSet(gp) == graphSet(rebuilt),
+        "different-batch recovery did not converge to the rebuild")
+      assert(!new java.io.File(gp + "_intent").exists())
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
+  test("a crashed upsert marker read by a DELETE run repairs without " +
+    "deleting the crashed batch's live nodes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "gcrash3")
+    val idx = root.resolve("idx").toString
+    val gp = root.resolve("graph").toString
+    try {
+      Ann.ivfBuildIndex(spark, emb, idx, stride = 10)
+      Ann.knnGraphBuild(spark, idx, gp)
+      val donors = emb.where(col("id") >= 200 && col("id") < 202)
+        .orderBy("id").collect().map(_.getSeq[Float](1).toArray)
+      val batchA = Seq((0L, donors(0)), (90001L, donors(1)))
+        .toDF("id", "vec")
+      val aCells = spark.read.parquet(idx)
+        .join(batchA.select("id"), "id")
+        .select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      aCells.toSeq.toDF("v")
+        .select(col("v").as("cell"), lit(null).cast("long").as("id"))
+        .unionByName(Seq(0L, 90001L).toDF("v")
+          .select(lit(null).cast("long").as("cell"), col("v").as("id")))
+        .coalesce(1).write.mode("overwrite").parquet(gp + "_intent")
+      Ann.ivfIndexUpsert(spark, idx, batchA)
+      // next operation is a DELETE of an unrelated id
+      Ann.knnGraphDelete(spark, idx, gp, Seq(13L).toDF("id"))
+      // crashed batch's live nodes survive in the index AND the graph
+      assert(spark.read.parquet(idx)
+        .where(col("id").isin(0L, 90001L)).count() == 2)
+      val rebuilt = root.resolve("rebuilt").toString
+      Ann.knnGraphBuild(spark, idx, rebuilt)
+      assert(graphSet(gp) == graphSet(rebuilt),
+        "cross-op recovery (upsert marker → delete run) drifted")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("graph delete: index loses the ids, probers re-resolve their " +
     "edges, result ≡ rebuild on the remaining corpus") {
     import spark.implicits._

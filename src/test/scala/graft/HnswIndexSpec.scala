@@ -81,6 +81,46 @@ class HnswIndexSpec extends SparkSuite {
     }
   }
 
+  test("crashed hierarchy batch + DIFFERENT next batch: marker ids " +
+    "repair every layer ≡ rebuild") {
+    import spark.implicits._
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "hnswcrash")
+    val idx = root.resolve("idx").toString
+    val hp = root.resolve("hier").toString
+    try {
+      Ann.ivfBuildIndex(spark, emb, idx, stride = 10)
+      Ann.hnswBuild(spark, idx, hp)
+      val donors = emb.where(col("id") >= 200 && col("id") < 204)
+        .orderBy("id").collect().map(_.getSeq[Float](1).toArray)
+      // crashed batch A: a move + a new id; marker (cells + ids)
+      // lands, index upsert applies, hierarchy publish never runs
+      val batchA = Seq((0L, donors(0)), (90001L, donors(1)))
+        .toDF("id", "vec")
+      val aCells = spark.read.parquet(idx)
+        .join(batchA.select("id"), "id")
+        .select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      aCells.toSeq.toDF("v")
+        .select(col("v").as("cell"), lit(null).cast("long").as("id"))
+        .unionByName(Seq(0L, 90001L).toDF("v")
+          .select(lit(null).cast("long").as("cell"), col("v").as("id")))
+        .coalesce(1).write.mode("overwrite").parquet(hp + "_intent")
+      Ann.ivfIndexUpsert(spark, idx, batchA)
+      // recovery rides a DISJOINT batch B
+      val batchB = Seq((25L, donors(2))).toDF("id", "vec")
+      Ann.hnswUpsert(spark, idx, hp, batchB)
+      val rebuilt = root.resolve("rebuilt").toString
+      Ann.hnswBuild(spark, idx, rebuilt)
+      assert(hierSet(hp) == hierSet(rebuilt),
+        "hierarchy different-batch recovery drifted from the rebuild")
+      assert(!new java.io.File(hp + "_intent").exists())
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("streamed WAL tail maintains index AND hierarchy ≡ rebuild " +
     "of the final corpus") {
     import graft.sources.WalBinary
