@@ -180,6 +180,7 @@ object SparkEntry {
     "text_repetition" -> (TextOps.repetition _),
     "corpus_sample_split" -> (Sampling.sampleSplitQuery _),
     "corpus_reservoir" -> ((s, d) => Sampling.reservoirQuery(s, d)),
+    "dsir_select" -> ((s, d) => Sampling.dsirSelect(s, d)),
     "export_shards" -> (Sampling.exportShardsQuery _),
     "corpus_weighted_sample" -> (Sampling.weightedSampleQuery _),
     "sketch_kmv_distinct" -> (Sketch.kmvQuery _),
@@ -314,6 +315,7 @@ object SparkEntry {
     "search_mmr_rerank" -> (Search.mmrQuery _),
     "search_ltr_rerank" -> ((s, d) => Search.ltrQuery(s, d)),
     "search_prf_expand" -> ((s, d) => Search.prfQuery(s, d)),
+    "search_spell_correct" -> ((s, d) => Search.spellCorrectQuery(s, d)),
     "search_maxsim" -> (MaxSim.maxsimQuery _),
     "text_phrase_search" -> (Search.phraseSearchQuery _),
     "embed_mean_pool" -> (MaxSim.meanPoolQuery _),
@@ -524,21 +526,36 @@ object SparkEntry {
     */
   private val bm25Ctes: String = bm25CtesWhere("")
 
+  /** The registry's fixed query batch as a q-CTE body (a def:
+    * bm25Ctes initializes before this point in the object, and a val
+    * here would still be null then).
+    */
+  private def bm25QValues: String =
+    """SELECT CAST(qid AS BIGINT) AS qid, qtext FROM (VALUES
+      |        (0, 'spark join hash'), (1, 'stream window batch'),
+      |        (2, 'dup vector scan'), (3, 'customer order value'),
+      |        (4, 'filter sort merge')) v(qid, qtext)""".stripMargin
+
   /** BM25 CTE chain with an optional candidate restriction appended
     * to the scoring CTE — global statistics (st/idf from all
     * documents) with filtered candidates, the Lucene filter-query
     * semantics Search.bm25TopKFiltered implements.
     */
   private def bm25CtesWhere(candWhere: String): String =
-    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+    bm25CtesQ(candWhere, bm25QValues, "")
+
+  /** The same chain with a CUSTOM query source (`qSql` becomes the
+    * q CTE body) and optional PREFIX CTEs (`pre`, emitted first —
+    * e.g. a spell-correction chain q derives from).
+    */
+  private def bm25CtesQ(candWhere: String, qSql: String,
+                        pre: String): String =
+    s"""${pre}d AS (SELECT doc_id, string_split(text, ' ') AS toks,
       |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
       |      FROM documents),
       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
       |       FROM d),
-      |q AS (SELECT CAST(qid AS BIGINT) AS qid, qtext FROM (VALUES
-      |        (0, 'spark join hash'), (1, 'stream window batch'),
-      |        (2, 'dup vector scan'), (3, 'customer order value'),
-      |        (4, 'filter sort merge')) v(qid, qtext)),
+      |q AS ($qSql),
       |qt AS (SELECT DISTINCT qid, term FROM
       |        (SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q)),
       |terms AS (SELECT DISTINCT term FROM qt),
@@ -1788,6 +1805,45 @@ object SparkEntry {
          |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
          |ORDER BY qid, rk""".stripMargin,
     "search_mmr_rerank" -> mmrOracle,
+    // spell correction: OOV query terms replaced by their ED-1 vocab
+    // neighbor (df DESC, term tiebreak; naive levenshtein join here
+    // — the Spark side uses SymSpell deletion blocking), corrected
+    // queries feed the SAME bm25 chain via the custom q source
+    "search_spell_correct" -> {
+      val pre =
+        """tq(qid, pos, term) AS (SELECT * FROM (VALUES
+          |    (0, 0, 'spark'), (0, 1, 'joim'), (0, 2, 'hash'),
+          |    (1, 0, 'strean'), (1, 1, 'window'), (1, 2, 'batch'),
+          |    (2, 0, 'dup'), (2, 1, 'vectar'), (2, 2, 'scan'),
+          |    (3, 0, 'customer'), (3, 1, 'ordr'), (3, 2, 'value'),
+          |    (4, 0, 'filtes'), (4, 1, 'sort'), (4, 2, 'merge'))),
+          |vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS dfreq FROM
+          |    (SELECT DISTINCT doc_id, t FROM (SELECT doc_id,
+          |       unnest(string_split(text, ' ')) AS t FROM documents))
+          |    GROUP BY t),
+          |fcand AS (SELECT q.qid, q.pos, v.t, v.dfreq
+          |          FROM tq q JOIN vocab v
+          |            ON levenshtein(v.t, q.term) = 1),
+          |fbest AS (SELECT qid, pos, t FROM (SELECT qid, pos, t,
+          |            row_number() OVER (PARTITION BY qid, pos
+          |              ORDER BY dfreq DESC, t) AS rn FROM fcand)
+          |          WHERE rn = 1),
+          |corr0 AS (SELECT q.qid, q.pos,
+          |            CASE WHEN v0.t IS NOT NULL THEN q.term
+          |                 ELSE coalesce(b.t, q.term) END AS corr
+          |          FROM tq q
+          |          LEFT JOIN (SELECT DISTINCT t FROM vocab) v0
+          |            ON v0.t = q.term
+          |          LEFT JOIN fbest b
+          |            ON b.qid = q.qid AND b.pos = q.pos),
+          |qc AS (SELECT CAST(qid AS BIGINT) AS qid,
+          |         string_agg(corr, ' ' ORDER BY pos) AS qtext
+          |       FROM corr0 GROUP BY qid),
+          |""".stripMargin
+      s"""WITH ${bm25CtesQ("", "SELECT qid, qtext FROM qc", pre)}
+         |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
+         |ORDER BY qid, rk""".stripMargin
+    },
     // pseudo-relevance feedback: round-1 bm25 (shared CTEs) → top-5
     // feedback docs → tf·idf-ranked expansion terms (NOT EXISTS
     // drops original query terms, sorted-list append keeps the
@@ -3188,6 +3244,39 @@ object SparkEntry {
         |      FROM h)
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, h50
         |FROM r WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
+    // DSIR importance resampling: md5-bucketed token distributions,
+    // add-1 smoothing, per-bucket micro-nat scores as exact BIGINTs,
+    // doc weight = exact integer sum → bit-stable top-K cut
+    "dsir_select" ->
+      """WITH tb AS (SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 64 AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |cp AS (SELECT b, CAST(count(*) AS BIGINT) AS cp FROM tb
+        |       WHERE lang = 'en' GROUP BY b),
+        |cq AS (SELECT b, CAST(count(*) AS BIGINT) AS cq FROM tb
+        |       WHERE lang <> 'en' GROUP BY b),
+        |bb AS (SELECT CAST(range AS BIGINT) AS b FROM range(64)),
+        |m AS (SELECT bb.b, coalesce(cp.cp, 0) AS cp,
+        |        coalesce(cq.cq, 0) AS cq
+        |      FROM bb LEFT JOIN cp ON bb.b = cp.b
+        |        LEFT JOIN cq ON bb.b = cq.b),
+        |t AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
+        |        CAST(sum(cq) AS BIGINT) AS tq FROM m),
+        |sc AS (SELECT m.b,
+        |        CAST(round((ln((m.cp + 1) * (t.tq + 64)) -
+        |          ln((m.cq + 1) * (t.tp + 64))) * 1000000) AS BIGINT)
+        |          AS sb
+        |       FROM m, t),
+        |dw AS (SELECT tb.doc_id, tb.lang,
+        |        CAST(count(*) AS BIGINT) AS n_tokens,
+        |        CAST(sum(sc.sb) AS BIGINT) AS lw
+        |       FROM tb JOIN sc ON tb.b = sc.b WHERE tb.lang <> 'en'
+        |       GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_tokens,
+        |  round(lw / 1000000.0, 4) AS log_weight
+        |FROM dw ORDER BY lw DESC, doc_id LIMIT 50""".stripMargin,
     // Poisson PPS sample (Sampling.weightedSample): p = min(1,
     // 150·w/W) with W an exact integer sum; u = md5-60-bit/2^60 —
     // +,·,/ only, so the keep decision replays bit-for-bit

@@ -41,8 +41,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // DuckDB (1.0) INLINES every CTE reference: the unrolled beam /
+    // descent mirrors reference each round's CTE twice, so the chain
+    // re-evaluates exponentially — ann_hnsw's oracle alone ran 146 s
+    // at sf0.01 and the whole registry ~19 min, which can blow the
+    // driver's compare budget (the round-9 record came back empty).
+    // AS MATERIALIZED evaluates each CTE once: same results (verified
+    // value-identical across the registry), 16 s total. The rewrite
+    // targets `name AS (` — skip queries with a WINDOW clause, whose
+    // `w AS (...)` window bindings the pattern cannot distinguish.
+    def materialize(sql: String): String =
+      if (sql.contains("WINDOW ")) sql
+      else sql.replaceAll("\\b([a-z0-9_]+) AS \\(", "$1 AS MATERIALIZED (")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(materialize(v))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

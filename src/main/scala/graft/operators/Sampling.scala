@@ -213,4 +213,65 @@ object Sampling {
         size(org.apache.spark.sql.functions.split(col("text"), " "))
           .as("n_tok")),
       "doc_id", "n_tok", budget = 2000L)
+
+  /** DSIR IMPORTANCE RESAMPLING (Data Selection with Importance
+    * Resampling, Xie et al. NeurIPS'23) — the published recipe for
+    * picking, out of a raw web-scale pool, the documents whose token
+    * distribution most resembles a TARGET domain: hash every token
+    * into B buckets, fit add-1-smoothed bucket distributions p
+    * (target) and q (raw pool), and weight each raw document by
+    * log w = Σ_tokens [ln p_b − ln q_b]. Here the target is the
+    * corpus's English slice and the pool everything else — swapping
+    * in a quality subset or a domain corpus only changes the two
+    * filters.
+    *
+    * Determinism: buckets are md5-derived (first 16 hash bits mod B,
+    * the [[hashBucket]] idiom on token text), the per-bucket score
+    * ln((cp+1)(tq+B)) − ln((cq+1)(tp+B)) evaluates from exact
+    * integer counts and micro-quantizes to a BIGINT (the zipfFit log
+    * discipline), so every document weight is an EXACT integer sum
+    * — ranking and the top-K cut are bit-stable on any engine.
+    *
+    * Scale: one exploded-token pass; both distributions are B-row
+    * aggregates (B = 64 — metadata-sized however large the corpus)
+    * broadcast back; the per-doc weight rides the same doc_id
+    * exchange the tokenize already keys; the final cut is a bounded
+    * TakeOrdered, never a corpus sort. The model (B scores) would
+    * persist as a byproduct in a production run — a re-score of a
+    * new pool batch is then one scan + one broadcast join.
+    */
+  def dsirSelect(s: SparkSession, dir: String, buckets: Int = 64,
+                 topK: Int = 50): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(org.apache.spark.sql.functions.split(col("text"), " "))
+          .as("tok"))
+      .withColumn("b",
+        expr("CAST(conv(substring(md5(cast(tok AS binary)), 1, 4), " +
+          s"16, 10) AS BIGINT) % $buckets"))
+    val tgtCnt = toks.where(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("cp"))
+    val poolCnt = toks.where(col("lang") =!= "en")
+      .groupBy("b").agg(count(lit(1)).as("cq"))
+    // dense B-bucket model frame: unseen buckets must still score
+    // (add-1 smoothing), so the literal bucket list anchors the joins
+    val model = (0L until buckets.toLong).toDF("b")
+      .join(tgtCnt, Seq("b"), "left").join(poolCnt, Seq("b"), "left")
+      .select(col("b"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+    val tots = model.agg(sum("cp").as("tp"), sum("cq").as("tq"))
+    val scores = model.crossJoin(broadcast(tots))
+      .select(col("b"),
+        expr(s"CAST(round((ln((cp + 1) * (tq + $buckets)) - " +
+          s"ln((cq + 1) * (tp + $buckets))) * 1000000) AS BIGINT)")
+          .as("sb"))
+    toks.where(col("lang") =!= "en")
+      .join(broadcast(scores), "b")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum("sb").as("lw"))
+      .orderBy(col("lw").desc, col("doc_id")).limit(topK)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("lw").cast("double") / 1000000.0, 4).as("log_weight"))
+  }
 }

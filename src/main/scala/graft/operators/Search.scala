@@ -769,4 +769,85 @@ object Search {
           .otherwise(col("qtext")).as("qtext"))
     bm25TopK(docs, q2, 10)
   }
+
+  // ------------------------------------------------- spell correction
+
+  /** The fixed query batch WITH TYPOS — each misspelled term is
+    * edit-distance 1 from a corpus term and absent from the corpus
+    * vocabulary, so correction is observable in the search results.
+    */
+  def typoQueries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((0L, "spark joim hash"),
+        (1L, "strean window batch"),
+        (2L, "dup vectar scan"),
+        (3L, "customer ordr value"),
+        (4L, "filtes sort merge")).toDF("qid", "qtext")
+  }
+
+  /** SymSpell 1-deletion blocking keys for a term column: the term
+    * itself plus every 1-character deletion. Any edit-distance-1
+    * pair provably shares a key (the part_fuzzy_terms argument:
+    * substitution pairs share the deletion at the differing
+    * position, insert/delete pairs share the shorter string's form).
+    */
+  private def delKeys(c: Column): Column = {
+    val t = c.toString()
+    expr(s"array_union(array($t), transform(sequence(1, length($t)), " +
+      s"i -> concat(substring($t, 1, i - 1), " +
+      s"substring($t, i + 1, length($t)))))")
+  }
+
+  /** SPELL-CORRECTED SEARCH — the "did you mean" layer every search
+    * deployment puts in front of lexical retrieval: query terms
+    * absent from the corpus VOCABULARY are replaced by their
+    * edit-distance-1 vocabulary neighbor with the highest document
+    * frequency (ties → lexicographically smallest — fully
+    * deterministic), then the corrected queries run the one shared
+    * [[bm25TopK]] plan, so correction and search can never drift.
+    *
+    * Scale shape: the vocabulary (term, df) table is
+    * vocabulary-sized, built from one exploded pass and checkpointed
+    * for its two consumers (membership test + fuzzy match). Fuzzy
+    * candidates come from the SymSpell DELETION-BLOCK equi-join
+    * (part_fuzzy_terms): per-term fan-out = term length, never vocab
+    * size — the all-pairs levenshtein the naive form needs (and the
+    * DuckDB mirror, query-side-tiny, happily runs) appears nowhere.
+    * Misses with no ED-1 neighbor keep their original term (they
+    * then simply match nothing, like any OOV term).
+    */
+  def spellCorrectQuery(s: SparkSession, dir: String,
+                        k: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val qpos = typoQueries(s)
+      .select(col("qid"), posexplode(split(col("qtext"), " ")))
+      .toDF("qid", "pos", "term")
+    val vocab = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("dfreq"))
+      .localCheckpoint(true)
+    val inVocab = vocab.select(col("t").as("term"))
+    val exact = qpos.join(inVocab, Seq("term"), "left_semi")
+      .select(col("qid"), col("pos"), col("term").as("corr"))
+    val misses = qpos.join(inVocab, Seq("term"), "left_anti")
+    val missKeyed = misses.select(col("qid"), col("pos"), col("term"),
+      explode(delKeys(col("term"))).as("dk"))
+    val vocabKeyed = vocab.select(col("t"), col("dfreq"),
+      explode(delKeys(col("t"))).as("dk"))
+    val best = missKeyed.join(vocabKeyed, "dk")
+      .select(col("qid"), col("pos"), col("term"), col("t"), col("dfreq"))
+      .distinct()
+      .where(levenshtein(col("term"), col("t")) === 1)
+      .groupBy("qid", "pos", "term")
+      .agg(min_by(col("t"), struct(-col("dfreq"), col("t"))).as("corr"))
+    val fixed = misses.join(best, Seq("qid", "pos", "term"), "left")
+      .select(col("qid"), col("pos"),
+        coalesce(col("corr"), col("term")).as("corr"))
+    val corrected = exact.unionByName(fixed)
+      .groupBy("qid")
+      .agg(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(pos, corr))), " +
+          "x -> x.corr)")).as("qtext"))
+    bm25TopK(docs, corrected, k)
+  }
 }

