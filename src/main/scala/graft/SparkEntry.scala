@@ -139,6 +139,7 @@ object SparkEntry {
     "vdb_knn_bq" -> (BinQuant.bqQuery _),
     "vdb_knn_pq" -> (Pq.pqQuery _),
     "ann_ivf_pq" -> (Pq.ivfPqQuery _),
+    "ann_ivf_pq_res" -> (Pq.ivfPqResQuery _),
     "mm_decode" -> (Multimodal.decodeQuery _),
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
@@ -299,6 +300,7 @@ object SparkEntry {
     "text_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
     "text_surprisal" -> (TextOps.surprisal _),
     "text_bigram_surprisal" -> (TextOps.bigramSurprisal _),
+    "text_xent_score" -> (TextOps.xentScore _),
     "bpe_learn" -> ((s, d) => Bpe.bpeLearn(s, d)),
     "bpe_learn_batched" -> ((s, d) => Bpe.bpeLearnBatched(s, d)),
     "bpe_tokenize" -> ((s, d) => Bpe.bpeTokenize(s, d)),
@@ -889,14 +891,17 @@ object SparkEntry {
     s"list_inner_product(list_transform(range(1, $n), j -> $a[j] - $b[j]), " +
       s"list_transform(range(1, $n), j -> $a[j] - $b[j]))"
 
-  private val pqBase: Seq[String] = Seq(
+  /** `src` is the training/encoding vector table — `e` for the raw
+    * family, `er` (cell residuals) for by_residual=true.
+    */
+  private def pqBaseSrc(src: String): Seq[String] = Seq(
     "psub AS (SELECT unnest(range(8)) AS sub)",
     "psamp AS (SELECT v, cid FROM (SELECT v, row_number() OVER (ORDER BY id) - 1 AS cid " +
-      "FROM e WHERE id % 25 = 0) WHERE cid <= 15)",
+      s"FROM $src WHERE id % 25 = 0) WHERE cid <= 15)",
     "pcb0 AS (SELECT sub, cid, list_transform(range(1, 9), j -> v[sub*8 + j]) AS cw " +
       "FROM psamp CROSS JOIN psub)",
     "pev AS (SELECT id, sub, list_transform(range(1, 9), j -> v[sub*8 + j]) AS sv " +
-      "FROM e CROSS JOIN psub)")
+      s"FROM $src CROSS JOIN psub)")
 
   /** One encode round (PqUtils.encode): nearest codeword per
     * (id, sub) by squared L2 with (dist, cid) tiebreak.
@@ -927,7 +932,7 @@ object SparkEntry {
     * codebook `pcb2`, final codes `paf`, flattened per-id
     * reconstruction `prec`. Expects an `e(id, v)` CTE in scope.
     */
-  private val pqCtes: String = (pqBase ++ Seq(
+  private def pqCtesSrc(src: String): String = (pqBaseSrc(src) ++ Seq(
     pqAssignCte("pa1", "pcb0"), pqMeanCte("pm1", "pa1"),
     pqStepCte("pcb1", "pm1", "pcb0"),
     pqAssignCte("pa2", "pcb1"), pqMeanCte("pm2", "pa2"),
@@ -937,6 +942,8 @@ object SparkEntry {
       "FROM paf JOIN pcb2 c ON paf.sub = c.sub AND paf.cid = c.cid " +
       "GROUP BY paf.id)"
   )).mkString(",\n")
+
+  private def pqCtes: String = pqCtesSrc("e")
 
   /** Sign-LSH search mirror; `multiprobe` adds the Hamming-1 probe
     * expansion on the query side (xor one bit per probe).
@@ -1035,6 +1042,35 @@ object SparkEntry {
          |       FROM sl JOIN e ON sl.id = e.id JOIN q ON sl.qid = q.qid),
          |rk AS (SELECT qid, id, s,
          |              row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rk
+         |       FROM rr WHERE s IS NOT NULL)
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // residual IVFPQ (Pq.ivfPqResSearch, by_residual=true — the FAISS
+    // default): PQ trained on float-round-tripped cell residuals,
+    // per-(query, probed cell) query residual into the flat-fold L2
+    // ADC, exact float L2 rerank
+    "ann_ivf_pq_res" ->
+      s"""WITH $ivfCtes,
+         |er AS (SELECT af.id, list_transform(range(1, 65),
+         |         j -> CAST(CAST(af.v[j] - cv.cv[j] AS FLOAT) AS DOUBLE))
+         |         AS v
+         |       FROM af JOIN c2 cv ON af.cell = cv.cell),
+         |${pqCtesSrc("er")},
+         |qr AS (SELECT pr.qid, pr.cell, list_transform(range(1, 65),
+         |         j -> q.qv[j] - cv.cv[j]) AS qres
+         |       FROM pr JOIN q ON pr.qid = q.qid
+         |            JOIN c2 cv ON pr.cell = cv.cell),
+         |ad AS (SELECT qr.qid, a.id,
+         |         sqrt(${pqSqDist("qr.qres", "r.rv", 65)}) AS ad
+         |       FROM af a JOIN qr ON a.cell = qr.cell
+         |            JOIN prec r ON a.id = r.id),
+         |sl AS (SELECT qid, id FROM (SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY ad, id) AS rn
+         |       FROM ad WHERE ad IS NOT NULL) WHERE rn <= 40),
+         |rr AS (SELECT sl.qid, sl.id, list_distance(e.v, q.qv) AS s
+         |       FROM sl JOIN e ON sl.id = e.id JOIN q ON sl.qid = q.qid),
+         |rk AS (SELECT qid, id, s,
+         |              row_number() OVER (PARTITION BY qid ORDER BY s, id) AS rk
          |       FROM rr WHERE s IS NOT NULL)
          |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
@@ -5045,6 +5081,54 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, total_bits,
         |       round(total_bits * 1.0 / n_bigrams, 4) AS bits_per_bigram
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // held-out cross-entropy with stupid backoff: train-split bigram
+    // model, integer floor-log2 bits (seen / backoff / 40-bit OOV
+    // sentinel), exact BIGINT sums, one final division
+    "text_xent_score" ->
+      """WITH pd AS (SELECT doc_id,
+        |        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |               >= 'cccd' AND doc_id % 3 = 0
+        |             THEN text || ' zzqx7 table' ELSE text END AS text
+        |      FROM documents),
+        |w AS (SELECT doc_id,
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+        |          AS is_train,
+        |        string_split(text, ' ') AS ws
+        |      FROM pd),
+        |bg AS (SELECT doc_id, is_train, ws[i] AS a, ws[i + 1] AS b
+        |       FROM w, unnest(range(1, len(ws))) AS t(i)),
+        |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+        |        FROM bg WHERE is_train GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca
+        |       FROM cab GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb
+        |       FROM cab GROUP BY 1),
+        |nt AS (SELECT CAST(sum(cab) AS BIGINT) AS nn FROM cab),
+        |vb AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bg WHERE NOT is_train GROUP BY 1, 2, 3),
+        |sc AS (SELECT vb.doc_id, vb.tf,
+        |         CASE WHEN cab.cab IS NOT NULL
+        |              THEN CAST(length(bin(ca.ca // cab.cab)) - 1
+        |                     AS BIGINT)
+        |              WHEN cb.cb IS NOT NULL
+        |              THEN CAST(length(bin((5 * nt.nn) // (2 * cb.cb)))
+        |                     - 1 AS BIGINT)
+        |              ELSE 40 END AS bits,
+        |         CASE WHEN cab.cab IS NOT NULL THEN 0
+        |              WHEN cb.cb IS NOT NULL THEN 1 ELSE 2 END AS kind
+        |       FROM vb
+        |       LEFT JOIN cab ON vb.a = cab.a AND vb.b = cab.b
+        |       LEFT JOIN ca ON vb.a = ca.a
+        |       LEFT JOIN cb ON vb.b = cb.b
+        |       CROSS JOIN nt)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(tf * bits) AS BIGINT) AS total_bits,
+        |  CAST(sum(CASE WHEN kind = 1 THEN tf ELSE 0 END) AS BIGINT)
+        |    AS n_backoff,
+        |  CAST(sum(CASE WHEN kind = 2 THEN tf ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  round(sum(tf * bits) * 1.0 / sum(tf), 4) AS bits_per_bigram
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // BPE training/tokenization mirrors are program-generated unrolled
     // CTE chains (one per merge round) — see Bpe.oracleCtes
     "bpe_learn" -> Bpe.learnOracle(8),

@@ -274,6 +274,118 @@ object Pq {
     Ann.publishTouchedCells(s, path, touched, survivors)
   }
 
+  // --------------------------------------------- residual IVF + PQ
+
+  private def resPath(indexPath: String): String = indexPath + "_res"
+
+  /** FAISS's DEFAULT IVFPQ geometry (by_residual=true — the form
+    * `ann_ivf_pq` deliberately skipped): PQ trained on CELL RESIDUALS
+    * r = v − centroid(cell) instead of raw vectors. Residuals are
+    * centered near zero with far less variance than the vectors, so
+    * the same codebook budget quantizes them with visibly less error
+    * — the reason FAISS defaults to it. Search scores
+    * ‖q − (c + r̂)‖² = ‖(q − c) − r̂‖²: per probed cell the QUERY
+    * RESIDUAL q − c runs the same ADC kernel against the stored
+    * codes (per-list query preprocessing is Q×nprobe work), then an
+    * exact float L2 rerank.
+    *
+    * Determinism: residuals float-round-trip per element
+    * ((double)v − (double)c → float, both operands float-exact), so
+    * training, codes, ADC distances, and ranks all mirror in DuckDB
+    * bit-for-bit. The residual projection is a build-time zip_with
+    * (interpreted lambda — sanctioned here: evaluated ONCE per row
+    * behind a localCheckpoint, then written to parquet; the hot
+    * search path reads codes and runs codegen ADC only).
+    */
+  def ivfPqResBuildIndex(s: SparkSession, emb: DataFrame, path: String,
+                         stride: Long = 200, pqStride: Long = 25): Unit = {
+    import s.implicits._
+    val cents = Ann.collectCentroids(Ann.kmeansCentroids(emb, stride))
+    val centDf = broadcast(cents.toSeq.toDF("cell", "cvec"))
+    val assigned = Ann.assignTo(emb, cents)
+    val resid = assigned.join(centDf, "cell")
+      .select(col("id"), expr("zip_with(vec, cvec, (x, y) -> " +
+        "CAST(CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS FLOAT))").as("vec"))
+      .localCheckpoint(true)
+    val cb = trainCodebook(resid, stride = pqStride)
+    cb.zipWithIndex.map { case (w, i) => (i, w) }.toSeq.toDF("idx", "w")
+      .write.mode("overwrite").parquet(pqPath(path))
+    cents.toSeq.toDF("cell", "cvec")
+      .write.mode("overwrite").parquet(Ann.centroidsPath(path))
+    assigned.join(resid.select(col("id"), col("vec").as("res")), "id")
+      .withColumn("code", PqCodec.encode(col("res"), cb, M, DSUB, KSUB))
+      .select(col("id"), col("vec"), col("code"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe-pruned residual-PQ search: per (query, probed cell) the
+    * query residual (Q×nprobe rows, checkpointed) joins the cell's
+    * code-only scan through the flat-fold L2 ADC kernel, shortlist
+    * k·rerank, exact float L2 rerank. Same pruning story as
+    * [[ivfPqSearch]]; only the geometry differs.
+    */
+  def ivfPqResSearch(s: SparkSession, path: String, queries: DataFrame,
+                     k: Int, nprobe: Int = 2, rerank: Int = 4): DataFrame = {
+    import s.implicits._
+    val cb = s.read.parquet(pqPath(path))
+      .orderBy("idx").collect().map(_.getDouble(1))
+    val cents = Ann.collectCentroids(
+      s.read.parquet(Ann.centroidsPath(path)).select(col("cell"), col("cvec")))
+    val centDf = broadcast(cents.toSeq.toDF("cell", "cvec"))
+    val probes = queries.select(col("qid"), col("qvec"),
+        explode(slice(array_sort(Ann.centroidDists(col("qvec"), cents)),
+          1, nprobe)).as("p"))
+      .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
+      .join(centDf, "cell")
+      .select(col("qid"), col("cell"),
+        expr("zip_with(qvec, cvec, (x, y) -> " +
+          "CAST(x AS DOUBLE) - CAST(y AS DOUBLE))").as("qres"))
+      .localCheckpoint(true)
+    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val codes = s.read.parquet(path)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .select("id", "code", "cell")
+    val scored = codes.join(broadcast(probes), "cell")
+      .select(col("qid"),
+        PqCodec.l2Adc(col("code"), col("qres"), cb, M, DSUB, KSUB)
+          .as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    val shortlist = TopKAgg.shortlist(scored, k * rerank)
+    val vecs = s.read.parquet(path)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .select("id", "vec")
+    val rescored = shortlist
+      .join(vecs, "id")
+      .join(broadcast(queries.select("qid", "qvec")), "qid")
+      .select(col("qid"),
+        VectorDistance.l2(col("vec"), col("qvec")).as("key"), col("id"))
+      .where(col("key").isNotNull)
+    // L2 keys rank ascending as-is (topKPerQuery negates for cosine)
+    val fin = TopKAgg.topK(k)
+    rescored.groupBy("qid")
+      .agg(fin(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"), round(col("col.key"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  def ivfPqResQuery(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val path = java.nio.file.Paths.get("target", "tmp", s"ivfpqres-$key")
+      .toAbsolutePath.toString
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      ivfPqResBuildIndex(s, e, path)
+    }
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    ivfPqResSearch(s, path, q, k = 10, nprobe = 2)
+  }
+
   def ivfPqQuery(s: SparkSession, dir: String): DataFrame = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
     val path = java.nio.file.Paths.get("target", "tmp", s"ivfpq-$key")

@@ -504,6 +504,87 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** HELD-OUT CROSS-ENTROPY with STUPID BACKOFF (Brants et al.
+    * EMNLP'07, the web-scale LM smoothing) — the honest form of the
+    * perplexity filter: [[bigramSurprisal]] scores every document
+    * under a model fit on the SAME corpus (in-sample, so dup-heavy
+    * documents rate as "predictable"), while a deployed filter
+    * scores candidates under a model fit on a HELD-OUT reference.
+    * Here the reference is the md5 train split (the
+    * corpus_sample_split 0.8 threshold — split and model can never
+    * disagree with the pipeline's own carve-out) and the scored set
+    * is the remaining 20%: seen bigram → bits = ⌊log₂(C(a)/C(a,b))⌋;
+    * unseen bigram, successor in vocab → backoff
+    * P = 0.4·C(b)/N ⇒ bits = ⌊log₂(5N / 2C(b))⌋ (the 0.4 folded
+    * into one integer ratio — no float multiply); out-of-vocabulary
+    * successor → a 40-bit sentinel (data, not a crash). All bits are
+    * the integer floor-log2 path (`length(bin(x div y)) − 1`), sums
+    * exact BIGINTs, one final division — bit-identical on any
+    * engine, per the [[surprisal]] rule.
+    *
+    * Scale: the bigram model is vocab²-bounded and CHECKPOINTED (the
+    * "checkpoint the small frame" rule); C(b) and N derive from it
+    * with no extra corpus pass; the scored side joins the model on
+    * its own keys. The tokenize lineage evaluates once per split —
+    * the sanctioned narrow recompute.
+    */
+  def xentScore(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    // the fixture vocabulary is tiny, so every val bigram is in-model
+    // — PLANT val-only content (the corpusWithPii discipline) so the
+    // backoff and OOV branches are exercised and oracle-pinned:
+    // " zzqx7 table" appends an OOV successor (…, zzqx7) AND a
+    // backed-off pair (zzqx7, table); the guard keeps plants out of
+    // the train split, where they would enter the model instead
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      when(Sampling.hashBucket(col("doc_id")) >= lit("cccd") &&
+          col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" zzqx7 table")))
+        .otherwise(col("text")).as("text"))
+    val toks = docs
+      .withColumn("is_train",
+        Sampling.hashBucket(col("doc_id")) < lit("cccd"))
+      .select(col("doc_id"), col("is_train"),
+        posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "a")
+      .withColumn("b", lead("a", 1).over(w))
+      .where(col("b").isNotNull)
+    val cab = toks.where(col("is_train"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .localCheckpoint(true)
+    val ca = cab.groupBy("a").agg(sum("cab").as("ca"))
+    val cb = cab.groupBy("b").agg(sum("cab").as("cb"))
+    val nTot = cab.agg(sum("cab").as("nn"))
+    val vb = toks.where(!col("is_train"))
+      .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
+    vb.join(cab, Seq("a", "b"), "left")
+      .join(ca, Seq("a"), "left")
+      .join(cb, Seq("b"), "left")
+      .crossJoin(broadcast(nTot))
+      .withColumn("bits",
+        when(col("cab").isNotNull,
+          (length(bin(expr("ca div cab"))) - 1).cast("long"))
+          .when(col("cb").isNotNull,
+            (length(bin(expr("(5 * nn) div (2 * cb)"))) - 1).cast("long"))
+          .otherwise(lit(40L)))
+      .withColumn("kind",
+        when(col("cab").isNotNull, 0).when(col("cb").isNotNull, 1)
+          .otherwise(2))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("bits")).as("total_bits"),
+        sum(when(col("kind") === 1, col("tf")).otherwise(0L))
+          .as("n_backoff"),
+        sum(when(col("kind") === 2, col("tf")).otherwise(0L))
+          .as("n_oov"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        col("n_backoff"), col("n_oov"),
+        round(col("total_bits").cast("double") / col("n_bigrams"), 4)
+          .as("bits_per_bigram"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- PII
 
   // Test-fixture boundaries: the word-salad corpus contains no digits,

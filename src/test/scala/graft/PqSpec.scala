@@ -242,4 +242,60 @@ class PqSpec extends SparkSuite {
       new Directory(root.toFile).deleteRecursively()
     }
   }
+
+  test("residual ivfpq: lower reconstruction error than raw pq, " +
+    "useful recall, deterministic") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "pqres")
+    val rawP = root.resolve("raw").toString
+    val resP = root.resolve("res").toString
+    try {
+      Pq.ivfPqBuildIndex(spark, emb, rawP)
+      Pq.ivfPqResBuildIndex(spark, emb, resP)
+      def decode(cb: Array[Double], code: Seq[Int]): Array[Double] = {
+        val out = new Array[Double](Pq.M * Pq.DSUB)
+        for (s <- 0 until Pq.M; j <- 0 until Pq.DSUB)
+          out(s * Pq.DSUB + j) = cb((s * Pq.KSUB + code(s)) * Pq.DSUB + j)
+        out
+      }
+      def cbOf(p: String) = spark.read.parquet(p + "_pq")
+        .orderBy("idx").collect().map(_.getDouble(1))
+      val cents = spark.read.parquet(resP + "_centroids")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def mse(p: String, residual: Boolean): Double = {
+        val cb = cbOf(p)
+        val rows = spark.read.parquet(p)
+          .select("vec", "code", "cell").collect()
+        val errs = rows.map { r =>
+          val v = r.getSeq[Float](0).map(_.toDouble)
+          val rec0 = decode(cb, r.getSeq[Int](1))
+          val rec = if (residual) {
+            val c = cents(r.getAs[Number](2).longValue)
+            rec0.indices.map(j => c(j).toDouble + rec0(j)).toArray
+          } else rec0
+          v.indices.map(j => { val d = v(j) - rec(j); d * d }).sum
+        }
+        errs.sum / errs.length
+      }
+      val rawErr = mse(rawP, residual = false)
+      val resErr = mse(resP, residual = true)
+      assert(resErr < rawErr,
+        s"residual PQ should reconstruct better: $resErr vs $rawErr")
+      // recall@10 vs exact L2 ground truth
+      val got = Pq.ivfPqResQuery(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val exact = Knn.topK(emb, qs, 10, Knn.Metric.L2)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.5, s"residual ivfpq recall $recall below floor")
+      // deterministic across runs
+      val a = Pq.ivfPqResQuery(spark, sf).collect().toSeq
+      val b = Pq.ivfPqResQuery(spark, sf).collect().toSeq
+      assert(a == b)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
 }
