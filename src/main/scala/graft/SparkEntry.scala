@@ -131,6 +131,7 @@ object SparkEntry {
     "ann_adaptive_filter" -> (Ann.adaptiveFilterQuery _),
     "vdb_range_search" -> ((s, d) =>
       Knn.radius(emb(s, d), qset(s, d), Knn.Metric.Cosine, 0.25)),
+    "ann_ivf_range" -> (Ann.ivfRangeQuery _),
     "ann_ivf_sq8" -> (Ann.ivfSq8Query _),
     "ann_ivf_bq" -> (Ann.ivfBqQuery _),
     "ann_lsh" -> (Ann.lshQuery _),
@@ -202,6 +203,7 @@ object SparkEntry {
     "decontam_overlap" -> (Decontam.contaminationQuery _),
     "decontam_semantic" -> ((s, d) => Decontam.semantic(s, d)),
     "events_funnel" -> (Analytics.eventsFunnel _),
+    "events_funnel_timing" -> (Analytics.eventsFunnelTiming _),
     "events_pattern_match" -> (Sequence.patternMatch _),
     "events_ab_test" -> (Analytics.eventsAbTest _),
     "events_ab_cuped" -> ((s, d) => Analytics.eventsAbCuped(s, d)),
@@ -1075,6 +1077,15 @@ object SparkEntry {
          |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "ann_ivf" -> ivfOracle,
+    // range search through the index: probed cells' members at
+    // cosine >= 0.25 — no rank, no heap; subset-of-flat pinned in spec
+    "ann_ivf_range" ->
+      s"""WITH $ivfCtes,
+         |sc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv) AS s
+         |       FROM af a JOIN pr ON a.cell = pr.cell JOIN q ON pr.qid = q.qid)
+         |SELECT qid, id AS nn_id, round(s, 4) AS score
+         |FROM sc WHERE s IS NOT NULL AND s >= 0.25
+         |ORDER BY qid, nn_id""".stripMargin,
     "ann_nsw" -> nswOracle,
     // filtered graph search: rank the filter-passing VISITED set
     // (bf0 ∪ bc1..3 — every id any beam round scored)
@@ -2541,6 +2552,34 @@ object SparkEntry {
         |SELECT CAST(stage AS BIGINT) AS stage, name,
         |       CAST(count(*) AS BIGINT) AS users
         |FROM u GROUP BY 1, 2 ORDER BY stage""".stripMargin,
+    // time-to-convert per funnel transition: integer-second stage
+    // gaps from the funnel's own per-user timestamps; exact mean
+    // (one division of exact sums), quantile_cont p50/p95, max
+    "events_funnel_timing" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |      GROUP BY 1),
+        |g AS (SELECT 'view_to_click' AS transition,
+        |        CAST(floor(epoch(c.c_ts)) AS BIGINT)
+        |          - CAST(floor(epoch(v.v_ts)) AS BIGINT) AS gap_s
+        |      FROM c JOIN v ON c.user_id = v.user_id
+        |      UNION ALL
+        |      SELECT 'click_to_purchase',
+        |        CAST(floor(epoch(p.p_ts)) AS BIGINT)
+        |          - CAST(floor(epoch(c.c_ts)) AS BIGINT)
+        |      FROM p JOIN c ON p.user_id = c.user_id)
+        |SELECT transition, CAST(count(*) AS BIGINT) AS n_users,
+        |  round(sum(gap_s) * 1.0 / count(*), 4) AS mean_gap_s,
+        |  round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+        |  round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s,
+        |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        |FROM g GROUP BY 1 ORDER BY transition""".stripMargin,
     // ordered-sequence pattern (view → click → purchase, each stage
     // within 86400s of its predecessor): running RANGE-window maxima
     // mirror the Spark formulation stage for stage; timestamp

@@ -232,21 +232,7 @@ object Analytics {
     // their distribution from the loader's user_id spread; ties need
     // no secondary sort key because RANGE frames are order-blind
     // within equal ts.
-    val w = Window.partitionBy("user_id").orderBy("ts")
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val isView = col("event_type") === "view"
-    val isClick = col("event_type") === "click"
-    val isPurchase = col("event_type") === "purchase"
-    val perUser = Tables.events(s, dir)
-      .where(col("event_type").isin("view", "click", "purchase"))
-      .select("user_id", "event_type", "ts")
-      .withColumn("v_run", min(when(isView, col("ts"))).over(w))
-      .withColumn("c_run",
-        min(when(isClick && col("v_run").isNotNull, col("ts"))).over(w))
-      .groupBy("user_id").agg(
-        min(when(isView, col("ts"))).as("v_ts"),
-        min(when(isClick && col("v_run").isNotNull, col("ts"))).as("c_ts"),
-        min(when(isPurchase && col("c_run").isNotNull, col("ts"))).as("p_ts"))
+    val perUser = funnelPerUser(s, dir)
     perUser.agg(
         count("v_ts").as("n_view"), count("c_ts").as("n_click"),
         count("p_ts").as("n_purchase"))
@@ -263,6 +249,60 @@ object Analytics {
       // groupBy sees no input); keep that contract
       .where(col("users") > 0)
       .orderBy("stage")
+  }
+
+  /** The funnel's per-user stage timestamps (v_ts, c_ts, p_ts) —
+    * shared by [[eventsFunnel]] (stage counts) and
+    * [[eventsFunnelTiming]] (time-to-convert), so the two reports
+    * can never disagree about what converted.
+    */
+  private def funnelPerUser(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val isView = col("event_type") === "view"
+    val isClick = col("event_type") === "click"
+    val isPurchase = col("event_type") === "purchase"
+    Tables.events(s, dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select("user_id", "event_type", "ts")
+      .withColumn("v_run", min(when(isView, col("ts"))).over(w))
+      .withColumn("c_run",
+        min(when(isClick && col("v_run").isNotNull, col("ts"))).over(w))
+      .groupBy("user_id").agg(
+        min(when(isView, col("ts"))).as("v_ts"),
+        min(when(isClick && col("v_run").isNotNull, col("ts"))).as("c_ts"),
+        min(when(isPurchase && col("c_run").isNotNull, col("ts"))).as("p_ts"))
+  }
+
+  /** FUNNEL TIMING — time-to-convert per transition (the question a
+    * funnel count can't answer: users convert, but how fast?): for
+    * each user the funnel's own stage timestamps give integer-second
+    * gaps view→click and click→purchase; per transition n, mean
+    * (one division of exact integer sums), exact p50/p95 (Spark's
+    * exact `percentile`, quantile_cont-interpolation — the
+    * corpus_stats idiom), and max. The gap frame is user-sized (one
+    * row per converting user per transition), so the percentile's
+    * per-group sort buffers users, never events; the heavy work is
+    * the funnel's one events scan, reused via [[funnelPerUser]].
+    */
+  def eventsFunnelTiming(s: SparkSession, dir: String): DataFrame = {
+    val pu = funnelPerUser(s, dir)
+    val gaps = pu.where(col("c_ts").isNotNull)
+      .select(lit("view_to_click").as("transition"),
+        (unix_timestamp(col("c_ts")) - unix_timestamp(col("v_ts")))
+          .as("gap_s"))
+      .unionByName(pu.where(col("p_ts").isNotNull)
+        .select(lit("click_to_purchase").as("transition"),
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+            .as("gap_s")))
+    gaps.groupBy("transition")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("gap_s")).cast("double") / count(lit(1)), 4)
+          .as("mean_gap_s"),
+        round(expr("percentile(gap_s, 0.5)"), 4).as("p50_gap_s"),
+        round(expr("percentile(gap_s, 0.95)"), 4).as("p95_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .orderBy("transition")
   }
 
   /** Multi-granularity aggregate via ROLLUP (grouping sets): per

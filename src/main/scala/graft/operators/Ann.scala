@@ -2146,6 +2146,42 @@ object Ann {
     ivfSearchIndexed(s, indexedPath(s, dir), q, k = 10, nprobe = 2)
   }
 
+  /** RANGE SEARCH THROUGH THE INDEX — FAISS's `range_search` on the
+    * IVF layout (the flat `vdb_range_search` touches the whole
+    * corpus; this probes): all neighbors at cosine ≥ threshold among
+    * the probed cells' members. Same partition-pruned scan as
+    * [[ivfSearchIndexed]], but the selection is a map-side threshold
+    * filter inside the scan's codegen stage — no heap, no per-query
+    * state, output ∝ matches. Carries FAISS's recall caveat: a
+    * neighbor in an unprobed cell is missed (nprobe buys recall), so
+    * result ⊆ the flat range search — pinned in AnnSpec.
+    */
+  def ivfRangeSearchIndexed(s: SparkSession, path: String,
+                            queries: DataFrame, threshold: Double,
+                            nprobe: Int = 2): DataFrame = {
+    val cents = collectCentroids(
+      s.read.parquet(centroidsPath(path)).select(col("cell"), col("cvec")))
+    val probes = queries.select(col("qid"), col("qvec"),
+      explode(slice(array_sort(centroidDists(col("qvec"), cents)),
+        1, nprobe)).as("p"))
+      .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
+    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    s.read.parquet(path)
+      .where(col("cell").isin(cells.toIndexedSeq: _*))
+      .join(broadcast(probes), "cell")
+      .select(col("qid"), col("id").as("nn_id"),
+        VectorDistance.cosine(col("vec"), col("qvec")).as("s"))
+      .where(col("s").isNotNull && col("s") >= threshold)
+      .select(col("qid"), col("nn_id"), round(col("s"), 4).as("score"))
+      .orderBy("qid", "nn_id")
+  }
+
+  def ivfRangeQuery(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    ivfRangeSearchIndexed(s, indexedPath(s, dir), q, threshold = 0.25)
+  }
+
   /** Recall@k of the approximate IVF path against the exact kNN —
     * the evaluation harness AS a query: the go/no-go report an
     * operator reads before trading exactness for probe pruning

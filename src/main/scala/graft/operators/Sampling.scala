@@ -240,32 +240,50 @@ object Sampling {
     * persist as a byproduct in a production run — a re-score of a
     * new pool batch is then one scan + one broadcast join.
     */
-  def dsirSelect(s: SparkSession, dir: String, buckets: Int = 64,
-                 topK: Int = 50): DataFrame = {
-    import s.implicits._
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
+  /** Token → bucket rows for the DSIR model (docs: doc_id, lang,
+    * text). Works unchanged on a stream (stateless projection).
+    */
+  def dsirTokenBuckets(docs: DataFrame, buckets: Int = 64): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
         explode(org.apache.spark.sql.functions.split(col("text"), " "))
           .as("tok"))
       .withColumn("b",
         expr("CAST(conv(substring(md5(cast(tok AS binary)), 1, 4), " +
           s"16, 10) AS BIGINT) % $buckets"))
-    val tgtCnt = toks.where(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("cp"))
-    val poolCnt = toks.where(col("lang") =!= "en")
-      .groupBy("b").agg(count(lit(1)).as("cq"))
-    // dense B-bucket model frame: unseen buckets must still score
-    // (add-1 smoothing), so the literal bucket list anchors the joins
+
+  /** The model STATE — per-bucket target/pool counts. Both sums are
+    * ADDITIVE, so this is the streamable half (micro-batches fold by
+    * addition, ≤ B rows of state-store buffer forever — the sketch
+    * family's state/finalize split applied to a trained model).
+    */
+  def dsirBucketCounts(toks: DataFrame): DataFrame =
+    toks.groupBy("b")
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cq"))
+
+  /** Finalize per-bucket importance scores (exact BIGINT micro-nats)
+    * from a (b, cp, cq) state table — B-row work however large the
+    * corpus that fed the counts.
+    */
+  def dsirScores(s: SparkSession, counts: DataFrame,
+                 buckets: Int = 64): DataFrame = {
+    import s.implicits._
     val model = (0L until buckets.toLong).toDF("b")
-      .join(tgtCnt, Seq("b"), "left").join(poolCnt, Seq("b"), "left")
+      .join(counts, Seq("b"), "left")
       .select(col("b"), coalesce(col("cp"), lit(0L)).as("cp"),
         coalesce(col("cq"), lit(0L)).as("cq"))
     val tots = model.agg(sum("cp").as("tp"), sum("cq").as("tq"))
-    val scores = model.crossJoin(broadcast(tots))
+    model.crossJoin(broadcast(tots))
       .select(col("b"),
         expr(s"CAST(round((ln((cp + 1) * (tq + $buckets)) - " +
           s"ln((cq + 1) * (tp + $buckets))) * 1000000) AS BIGINT)")
           .as("sb"))
+  }
+
+  def dsirSelect(s: SparkSession, dir: String, buckets: Int = 64,
+                 topK: Int = 50): DataFrame = {
+    val toks = dsirTokenBuckets(Tables.documents(s, dir), buckets)
+    val scores = dsirScores(s, dsirBucketCounts(toks), buckets)
     toks.where(col("lang") =!= "en")
       .join(broadcast(scores), "b")
       .groupBy("doc_id", "lang")

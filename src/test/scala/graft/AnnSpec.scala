@@ -671,4 +671,24 @@ class AnnSpec extends SparkSuite {
     // an outlier sits below its cell's mean cosine by construction
     assert(rows.forall(_._4 < 0.0))
   }
+
+  test("indexed range search: subset of the flat range search with " +
+    "identical scores, nonempty") {
+    val idx = Ann.ivfRangeQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val flat = Knn.radius(
+      Tables.embeddings(spark, sf)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      Knn.Metric.Cosine, 0.25).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(idx.nonEmpty)
+    // FAISS's range-search-on-IVF contract: probing misses neighbors
+    // in unprobed cells but never invents or rescores one
+    idx.foreach { case (k, s) =>
+      assert(flat.contains(k), s"indexed range invented pair $k")
+      assert(flat(k) == s, s"score drifted for $k")
+    }
+  }
 }

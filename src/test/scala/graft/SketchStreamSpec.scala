@@ -172,6 +172,42 @@ class SketchStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR model: bucket counts fold additively, " +
+    "finalized scores equal the batch model") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batchDocs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text")
+    val rows = batchDocs.as[(Long, String, String)].collect()
+
+    // the model state is per-bucket (cp, cq) counts — additive, so
+    // an arriving corpus folds into ≤ B rows of state-store buffer
+    // (an importance-resampling model maintained LIVE as a stream)
+    val stream = MemoryStream[(Long, String, String)]
+    val out = Sampling.dsirBucketCounts(Sampling.dsirTokenBuckets(
+      stream.toDF().toDF("doc_id", "lang", "text")))
+    val q = out.writeStream.format("memory").queryName("dsirstate")
+      .outputMode("complete").start()
+    try {
+      val waves = rows.sortBy(r => (r._1 * 2654435761L) % 1000)
+        .grouped(math.max(rows.length / 3, 1)).toSeq
+      waves.foreach { w => stream.addData(w.toSeq); q.processAllAvailable() }
+
+      val got = Sampling.dsirScores(spark, spark.table("dsirstate"))
+        .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = Sampling.dsirScores(spark,
+        Sampling.dsirBucketCounts(Sampling.dsirTokenBuckets(batchDocs)))
+        .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.nonEmpty)
+      assert(got.toSeq == want.toSeq,
+        "stream-finalized DSIR scores drifted from the batch model")
+      // bounded state: at most B bucket rows
+      assert(spark.table("dsirstate").count() <= 64L)
+    } finally q.stop()
+  }
+
   test("streaming HLL registers finalize to the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
