@@ -204,6 +204,8 @@ object SparkEntry {
     "decontam_semantic" -> ((s, d) => Decontam.semantic(s, d)),
     "events_funnel" -> (Analytics.eventsFunnel _),
     "events_funnel_timing" -> (Analytics.eventsFunnelTiming _),
+    "events_rolling_p95" -> ((s, d) => Analytics.eventsRollingP95(s, d)),
+    "events_power_analysis" -> (Analytics.eventsPowerAnalysis _),
     "events_pattern_match" -> (Sequence.patternMatch _),
     "events_ab_test" -> (Analytics.eventsAbTest _),
     "events_ab_cuped" -> ((s, d) => Analytics.eventsAbCuped(s, d)),
@@ -2552,6 +2554,64 @@ object SparkEntry {
         |SELECT CAST(stage AS BIGINT) AS stage, name,
         |       CAST(count(*) AS BIGINT) AS users
         |FROM u GROUP BY 1, 2 ORDER BY stage""".stripMargin,
+    // sample-size calculator from exact cents moments; z constants
+    // as DOUBLE on both engines, ceil of bit-identical doubles
+    "events_power_analysis" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(m) AS BIGINT) AS sx,
+        |        CAST(sum(m * m) AS BIGINT) AS qx
+        |      FROM (SELECT event_type,
+        |              CAST(round(value * 100) AS BIGINT) AS m
+        |            FROM events) GROUP BY 1),
+        |d AS (SELECT event_type, n,
+        |        CAST(sx AS DOUBLE) / n / CAST(100.0 AS DOUBLE) AS mean,
+        |        CAST(n * qx - sx * sx AS DOUBLE)
+        |          / CAST(n * (n - 1) AS DOUBLE)
+        |          / CAST(10000.0 AS DOUBLE) AS vr
+        |      FROM g WHERE n > 1)
+        |SELECT event_type, n AS n_obs, round(mean, 4) AS mean_value,
+        |  round(vr, 4) AS variance,
+        |  round(mean * CAST(0.05 AS DOUBLE), 4) AS mde,
+        |  CAST(ceil(CAST(2.0 AS DOUBLE) * vr
+        |    * (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+        |    * (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
+        |    / ((mean * CAST(0.05 AS DOUBLE))
+        |       * (mean * CAST(0.05 AS DOUBLE)))) AS BIGINT) AS n_per_arm
+        |FROM d ORDER BY event_type""".stripMargin,
+    // rolling 7-day p95 via additive histograms: each day's bin
+    // counts explode into the trailing windows they serve, ceil-rank
+    // + in-bin interpolation per (type, day) — integer ranks, one
+    // float division
+    "events_rolling_p95" ->
+      """WITH ev AS (SELECT event_type,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS d,
+        |        CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events),
+        |bx AS (SELECT max(d) AS hi FROM ev),
+        |db AS (SELECT event_type, d, cents // 800 AS bin,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM ev GROUP BY 1, 2, 3),
+        |co AS (SELECT db.event_type, db.bin, db.d + o.o AS td, db.cnt
+        |       FROM db CROSS JOIN (SELECT unnest(range(7)) AS o) o),
+        |wc AS (SELECT event_type, td, bin, CAST(sum(cnt) AS BIGINT)
+        |         AS wcnt
+        |       FROM co, bx WHERE td <= bx.hi GROUP BY 1, 2, 3),
+        |cm AS (SELECT event_type, td, bin, wcnt,
+        |        CAST(sum(wcnt) OVER (PARTITION BY event_type, td
+        |          ORDER BY bin) AS BIGINT) AS cum,
+        |        CAST(sum(wcnt) OVER (PARTITION BY event_type, td)
+        |          AS BIGINT) AS n
+        |      FROM wc),
+        |es AS (SELECT *, (19 * n + 19) // 20 AS t FROM cm),
+        |sel AS (SELECT event_type, td, n, bin, wcnt, cum, t,
+        |         row_number() OVER (PARTITION BY event_type, td
+        |           ORDER BY bin) AS rn
+        |       FROM es WHERE cum >= t)
+        |SELECT event_type, CAST(td AS BIGINT) AS day, n,
+        |  round((800.0 * bin + 800.0 * (t - (cum - wcnt)) / wcnt)
+        |    / 100.0, 4) AS p95_value
+        |FROM sel WHERE rn = 1 ORDER BY event_type, day""".stripMargin,
     // time-to-convert per funnel transition: integer-second stage
     // gaps from the funnel's own per-user timestamps; exact mean
     // (one division of exact sums), quantile_cont p50/p95, max

@@ -1335,6 +1335,86 @@ object Analytics {
       .limit(topN)
   }
 
+  /** A/B POWER ANALYSIS — the sample-size calculator an
+    * experimentation platform runs BEFORE launching (events_ab_test
+    * reads the result after): per event type, n per arm to detect a
+    * 5% lift of the mean at α=0.05 two-sided, power 0.8 —
+    * n = 2σ²(z_{α/2}+z_β)²/δ². Every input derives from exact
+    * integer moments (n, Σx, Σx² in cents — the events_ab_test
+    * rule), the z constants are plain double literals on both
+    * engines (the supplier_wilson DOUBLE-forcing lesson), so the
+    * doubles — and hence the ceil'd sample sizes — are
+    * bit-identical. One scan, one per-type aggregate.
+    */
+  def eventsPowerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("m"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("m").as("sx"),
+        sum(expr("m * m")).as("qx"))
+      .where(col("n") > 1)
+    val mean = col("sx").cast("double") / col("n") / lit(100.0)
+    val vr = (col("n") * col("qx") - col("sx") * col("sx")).cast("double") /
+      (col("n") * (col("n") - 1)).cast("double") / lit(10000.0)
+    val delta = mean * lit(0.05)
+    val zs = lit(1.96) + lit(0.8416)
+    g.select(col("event_type"), col("n").as("n_obs"),
+        round(mean, 4).as("mean_value"),
+        round(vr, 4).as("variance"),
+        round(delta, 4).as("mde"),
+        ceil(lit(2.0) * vr * zs * zs / (delta * delta)).cast("long")
+          .as("n_per_arm"))
+      .orderBy("event_type")
+  }
+
+  /** ROLLING-WINDOW PERCENTILE from ADDITIVE HISTOGRAMS — trailing
+    * 7-day p95 of event value per type, the latency/spend dashboard
+    * line every ops page draws. The naive form re-sorts each
+    * window's events (days × window-events log-sort); here the
+    * histogram sketch's MERGEABILITY does the windowing: bin counts
+    * add, so each day's (bin, cnt) rows are EXPLODED into the ≤ 7
+    * trailing windows they serve (aggregate-sized ×7, never event
+    * rows) and re-summed, and each (type, day) finalizes its p95
+    * from ≤ bins rows — the sketch_hist_quantile ceil-rank +
+    * in-bin interpolation, exact integer ranks, one float division.
+    * One events scan; everything after is metadata-sized.
+    */
+  def eventsRollingP95(s: SparkSession, dir: String,
+                       windowDays: Int = 7,
+                       binWidth: Long = 800L): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val bounds = ev.agg(max("d").as("hi"))
+    val dayBin = ev.select(col("event_type"), col("d"),
+        expr(s"cents div ${binWidth}L").as("bin"))
+      .groupBy("event_type", "d", "bin").agg(count(lit(1)).as("cnt"))
+    val contrib = dayBin.select(col("event_type"), col("bin"), col("cnt"),
+        explode(sequence(col("d"), col("d") + (windowDays - 1))).as("td"))
+      .crossJoin(broadcast(bounds))
+      .where(col("td") <= col("hi"))
+      .groupBy("event_type", "td", "bin").agg(sum("cnt").as("wcnt"))
+    val cumWin = Window.partitionBy("event_type", "td").orderBy("bin")
+    val totWin = Window.partitionBy("event_type", "td")
+    val cum = contrib
+      .withColumn("cum", sum("wcnt").over(cumWin))
+      .withColumn("n", sum("wcnt").over(totWin))
+      .withColumn("t", expr("(19L * n + 19) div 20L"))
+    val hit = col("cum") >= col("t")
+    val est = (lit(binWidth.toDouble) * col("bin") +
+      lit(binWidth.toDouble) * (col("t") - (col("cum") - col("wcnt")))
+        / col("wcnt")) / lit(100.0)
+    cum.groupBy("event_type", "td")
+      .agg(max(col("n")).as("n"),
+        min_by(when(hit, round(est, 4)), when(hit, col("bin")))
+          .as("p95_value"))
+      .select(col("event_type"), col("td").as("day"), col("n"),
+        col("p95_value"))
+      .orderBy("event_type", "day")
+  }
+
   /** SUPPLIER RELIABILITY under uncertainty — Wilson lower bound on
     * each supplier's on-time rate (shipped within 60 days of order,
     * the q12 lateness convention): the ranking statistic that does
