@@ -1373,29 +1373,43 @@ object Analytics {
     * line every ops page draws. The naive form re-sorts each
     * window's events (days × window-events log-sort); here the
     * histogram sketch's MERGEABILITY does the windowing: bin counts
-    * add, so each day's (bin, cnt) rows are EXPLODED into the ≤ 7
-    * trailing windows they serve (aggregate-sized ×7, never event
-    * rows) and re-summed, and each (type, day) finalizes its p95
-    * from ≤ bins rows — the sketch_hist_quantile ceil-rank +
-    * in-bin interpolation, exact integer ranks, one float division.
-    * One events scan; everything after is metadata-sized.
+    * add, so each event row is charged to the ≤ 7 trailing windows
+    * it serves (a map-local explode — the ONE aggregation behind it
+    * map-side-combines to ≤ types×days×bins rows per partition
+    * before the exchange, so the shuffle never carries event rows)
+    * and each (type, day) finalizes its p95 from ≤ bins rows — the
+    * sketch_hist_quantile ceil-rank + in-bin interpolation, exact
+    * integer ranks, one float division. ONE aggregation total is
+    * also what makes the state STREAMABLE (chained stateful
+    * aggregations don't stream; this one folds additively —
+    * RollingP95 twin in SketchStreamSpec).
     */
-  def eventsRollingP95(s: SparkSession, dir: String,
-                       windowDays: Int = 7,
-                       binWidth: Long = 800L): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("event_type"),
-      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
-        .cast("long").as("d"),
-      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val bounds = ev.agg(max("d").as("hi"))
-    val dayBin = ev.select(col("event_type"), col("d"),
+  /** The rolling histogram STATE — per (type, target-day, bin)
+    * windowed counts. The explode is stateless and the sum additive,
+    * so this aggregation IS the streaming state (≤ types × days ×
+    * bins rows, micro-batches fold by addition); the trailing-window
+    * semantics live entirely in the offset explode.
+    */
+  def rollingBinState(ev: DataFrame, windowDays: Int = 7,
+                      binWidth: Long = 800L): DataFrame =
+    ev.select(col("event_type"), col("d"),
         expr(s"cents div ${binWidth}L").as("bin"))
-      .groupBy("event_type", "d", "bin").agg(count(lit(1)).as("cnt"))
-    val contrib = dayBin.select(col("event_type"), col("bin"), col("cnt"),
+      .select(col("event_type"), col("bin"),
         explode(sequence(col("d"), col("d") + (windowDays - 1))).as("td"))
-      .crossJoin(broadcast(bounds))
+      .groupBy("event_type", "td", "bin")
+      .agg(count(lit(1)).as("wcnt"))
+
+  /** Finalize the rolling p95 over the state — summary-sized. The
+    * data's horizon derives FROM the state (max td = last day +
+    * windowDays − 1), so the finish needs no side channel and runs
+    * identically over a batch frame or a streaming state table.
+    */
+  def rollingP95Finish(state: DataFrame, windowDays: Int = 7,
+                       binWidth: Long = 800L): DataFrame = {
+    val bounds = state.agg(
+      (max("td") - (windowDays - 1)).as("hi"))
+    val contrib = state.crossJoin(broadcast(bounds))
       .where(col("td") <= col("hi"))
-      .groupBy("event_type", "td", "bin").agg(sum("cnt").as("wcnt"))
     val cumWin = Window.partitionBy("event_type", "td").orderBy("bin")
     val totWin = Window.partitionBy("event_type", "td")
     val cum = contrib
@@ -1414,6 +1428,22 @@ object Analytics {
         col("p95_value"))
       .orderBy("event_type", "day")
   }
+
+  /** Day/cents projection shared by the batch query and the
+    * streaming twin's feed.
+    */
+  def rollingEventFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+
+  def eventsRollingP95(s: SparkSession, dir: String,
+                       windowDays: Int = 7,
+                       binWidth: Long = 800L): DataFrame =
+    rollingP95Finish(
+      rollingBinState(rollingEventFrame(s, dir), windowDays, binWidth),
+      windowDays, binWidth)
 
   /** SUPPLIER RELIABILITY under uncertainty — Wilson lower bound on
     * each supplier's on-time rate (shipped within 60 days of order,

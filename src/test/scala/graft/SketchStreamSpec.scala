@@ -208,6 +208,37 @@ class SketchStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming rolling-p95 state folds additively and finalizes " +
+    "to the batch dashboard") {
+    import graft.operators.Analytics
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batchEv = Analytics.rollingEventFrame(spark, sf)
+    val rows = batchEv.as[(String, Long, Long)].collect()
+
+    // the windowed histogram is ONE additive aggregation (the offset
+    // explode is stateless), so the whole trailing-window dashboard
+    // maintains live in ≤ types×days×bins rows of state
+    val stream = MemoryStream[(String, Long, Long)]
+    val out = Analytics.rollingBinState(
+      stream.toDF().toDF("event_type", "d", "cents"))
+    val q = out.writeStream.format("memory").queryName("rollstate")
+      .outputMode("complete").start()
+    try {
+      val waves = rows.sortBy(r => (r._2 * 2654435761L + r._3) % 1000)
+        .grouped(math.max(rows.length / 3, 1)).toSeq
+      waves.foreach { w => stream.addData(w.toSeq); q.processAllAvailable() }
+
+      val got = Analytics.rollingP95Finish(spark.table("rollstate"))
+        .collect().toSeq
+      val want = Analytics.eventsRollingP95(spark, sf).collect().toSeq
+      assert(got.nonEmpty)
+      assert(got == want,
+        "stream-finalized rolling p95 drifted from the batch query")
+    } finally q.stop()
+  }
+
   test("streaming HLL registers finalize to the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
