@@ -114,6 +114,7 @@ object SparkEntry {
     "embed_cluster_stats" -> (Ann.clusterStats _),
     "embed_outliers" -> ((s, d) => Ann.embedOutliers(s, d)),
     "embed_pca_project" -> (Pca.pcaProject _),
+    "embed_pca_project2" -> (Pca.pcaProject2 _),
     "embed_pca_var" -> (Pca.pcaVariance _),
     "events_forecast_naive" -> ((s, d) => Analytics.eventsForecastNaive(s, d)),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
@@ -1350,6 +1351,88 @@ object SparkEntry {
         |       round(list_inner_product(list_transform(em.m,
         |         e -> CAST(e AS DOUBLE)), n3.v) - md.mudot, 4) AS pc1
         |FROM em CROSS JOIN n3 CROSS JOIN md ORDER BY vec_id""".stripMargin,
+    // 2-D PCA map: the shared chain to v₁ (n3), λ₁ via the two
+    // ordered folds, then 3 DEFLATED iterations — each matvec is
+    // lip(crow, x) − λ·v₁_j·lip(v₁, x), term-for-term the driver's
+    // fold — and two per-row projections
+    "embed_pca_project2" ->
+      """WITH em AS (SELECT vec_id AS id,
+        |       list_transform(embedding::DOUBLE[],
+        |         e -> CAST(round(e * 10000) AS BIGINT)) AS m
+        |     FROM embeddings),
+        |ex AS (SELECT id, j.j AS j, m[j.j + 1] AS v
+        |       FROM em CROSS JOIN (SELECT unnest(range(64)) AS j) j),
+        |nn AS (SELECT count(*) AS n FROM em),
+        |sv AS (SELECT j, CAST(sum(v) AS BIGINT) AS s FROM ex GROUP BY 1),
+        |mm AS (SELECT a.j AS j, b.j AS k, CAST(sum(a.v * b.v) AS BIGINT)
+        |         AS m
+        |       FROM ex a JOIN ex b ON a.id = b.id GROUP BY 1, 2),
+        |cv AS (SELECT mm.j, mm.k,
+        |         mm.m * 1.0 - sa.s * 1.0 * sb.s / nn.n AS c
+        |       FROM mm JOIN sv sa ON mm.j = sa.j
+        |       JOIN sv sb ON mm.k = sb.j CROSS JOIN nn),
+        |cr AS (SELECT j, list(c ORDER BY k) AS crow FROM cv GROUP BY 1),
+        |v0 AS (SELECT list_transform(range(64), x -> 0.125) AS v),
+        |w1 AS (SELECT cr.j, list_inner_product(cr.crow, v0.v) AS w
+        |       FROM cr CROSS JOIN v0),
+        |l1 AS (SELECT list(w ORDER BY j) AS wl FROM w1),
+        |n1 AS (SELECT list_transform(wl,
+        |         e -> e / sqrt(list_inner_product(wl, wl))) AS v FROM l1),
+        |w2 AS (SELECT cr.j, list_inner_product(cr.crow, n1.v) AS w
+        |       FROM cr CROSS JOIN n1),
+        |l2 AS (SELECT list(w ORDER BY j) AS wl FROM w2),
+        |n2 AS (SELECT list_transform(wl,
+        |         e -> e / sqrt(list_inner_product(wl, wl))) AS v FROM l2),
+        |w3 AS (SELECT cr.j, list_inner_product(cr.crow, n2.v) AS w
+        |       FROM cr CROSS JOIN n2),
+        |l3 AS (SELECT list(w ORDER BY j) AS wl FROM w3),
+        |n3 AS (SELECT list_transform(wl,
+        |         e -> e / sqrt(list_inner_product(wl, wl))) AS v FROM l3),
+        |mv AS (SELECT cr.j, list_inner_product(cr.crow, n3.v) AS w
+        |       FROM cr CROSS JOIN n3),
+        |mvl AS (SELECT list(w ORDER BY j) AS wl FROM mv),
+        |lam AS (SELECT list_inner_product(n3.v, mvl.wl) AS l
+        |        FROM n3 CROSS JOIN mvl),
+        |d1 AS (SELECT list_inner_product(n3.v, v0.v) AS vx
+        |       FROM n3 CROSS JOIN v0),
+        |u1 AS (SELECT cr.j, list_inner_product(cr.crow, v0.v)
+        |         - lam.l * n3.v[cr.j + 1] * d1.vx AS w
+        |       FROM cr CROSS JOIN v0 CROSS JOIN n3
+        |            CROSS JOIN lam CROSS JOIN d1),
+        |ul1 AS (SELECT list(w ORDER BY j) AS wl FROM u1),
+        |q1 AS (SELECT list_transform(wl,
+        |         e -> e / sqrt(list_inner_product(wl, wl))) AS v FROM ul1),
+        |d2 AS (SELECT list_inner_product(n3.v, q1.v) AS vx
+        |       FROM n3 CROSS JOIN q1),
+        |u2 AS (SELECT cr.j, list_inner_product(cr.crow, q1.v)
+        |         - lam.l * n3.v[cr.j + 1] * d2.vx AS w
+        |       FROM cr CROSS JOIN q1 CROSS JOIN n3
+        |            CROSS JOIN lam CROSS JOIN d2),
+        |ul2 AS (SELECT list(w ORDER BY j) AS wl FROM u2),
+        |q2 AS (SELECT list_transform(wl,
+        |         e -> e / sqrt(list_inner_product(wl, wl))) AS v FROM ul2),
+        |d3 AS (SELECT list_inner_product(n3.v, q2.v) AS vx
+        |       FROM n3 CROSS JOIN q2),
+        |u3 AS (SELECT cr.j, list_inner_product(cr.crow, q2.v)
+        |         - lam.l * n3.v[cr.j + 1] * d3.vx AS w
+        |       FROM cr CROSS JOIN q2 CROSS JOIN n3
+        |            CROSS JOIN lam CROSS JOIN d3),
+        |ul3 AS (SELECT list(w ORDER BY j) AS wl FROM u3),
+        |q3 AS (SELECT list_transform(wl,
+        |         e -> e / sqrt(list_inner_product(wl, wl))) AS v FROM ul3),
+        |mu AS (SELECT list(s * 1.0 / nn.n ORDER BY j) AS mul
+        |       FROM sv CROSS JOIN nn GROUP BY nn.n),
+        |md1 AS (SELECT list_inner_product(mu.mul, n3.v) AS mudot
+        |        FROM mu CROSS JOIN n3),
+        |md2 AS (SELECT list_inner_product(mu.mul, q3.v) AS mudot
+        |        FROM mu CROSS JOIN q3)
+        |SELECT em.id AS vec_id,
+        |       round(list_inner_product(list_transform(em.m,
+        |         e -> CAST(e AS DOUBLE)), n3.v) - md1.mudot, 4) AS pc1,
+        |       round(list_inner_product(list_transform(em.m,
+        |         e -> CAST(e AS DOUBLE)), q3.v) - md2.mudot, 4) AS pc2
+        |FROM em CROSS JOIN n3 CROSS JOIN q3 CROSS JOIN md1 CROSS JOIN md2
+        |ORDER BY vec_id""".stripMargin,
     // explained-variance report: λ₁ = vᵀCv via the same two ordered
     // folds as the driver (per-j list_inner_product over k, then the
     // j fold), trace via ordered list_sum; report in original units

@@ -138,6 +138,84 @@ object Pca {
       .toDF("lambda1", "total_var", "var_ratio")
   }
 
+  /** SECOND component via DEFLATION — power-iterate
+    * C₂ = C − λ₁v₁v₁ᵀ without ever materializing C₂: each matvec is
+    * (Cx)_j − λ₁·v₁_j·(v₁ᵀx), so the iteration reuses the SAME
+    * C-matvec fold plus one scalar dot. The fold orders here (k-fold
+    * for Cx, j-fold for the dots, the exact subtraction order) are
+    * the contract the mirror replicates term for term — a
+    * "mathematically equal" C₂ elementwise subtraction would differ
+    * in last-ulp and break the hash match.
+    */
+  private[graft] def secondComponent(sArr: Array[Long],
+                                     mArr: Array[Array[Long]],
+                                     n: Long,
+                                     v1: Array[Double]): Array[Double] = {
+    val nD = n.toDouble
+    val c = Array.tabulate(Dim, Dim)((j, k) =>
+      mArr(j)(k).toDouble - (sArr(j).toDouble * sArr(k).toDouble) / nD)
+    // λ₁ via the two ordered folds (the pcaVariance contract)
+    var lambda = 0.0
+    var j = 0
+    while (j < Dim) {
+      var acc = 0.0
+      var k = 0
+      while (k < Dim) { acc += c(j)(k) * v1(k); k += 1 }
+      lambda += v1(j) * acc
+      j += 1
+    }
+    var x = Array.fill(Dim)(0.125)
+    var t = 0
+    while (t < Iters) {
+      var vx = 0.0
+      j = 0
+      while (j < Dim) { vx += v1(j) * x(j); j += 1 }
+      val w = Array.tabulate(Dim) { jj =>
+        var acc = 0.0
+        var k = 0
+        while (k < Dim) { acc += c(jj)(k) * x(k); k += 1 }
+        acc - lambda * v1(jj) * vx
+      }
+      var nrm2 = 0.0
+      j = 0
+      while (j < Dim) { nrm2 += w(j) * w(j); j += 1 }
+      val nrm = math.sqrt(nrm2)
+      x = w.map(_ / nrm)
+      t += 1
+    }
+    x
+  }
+
+  /** 2-D PCA MAP — both principal components per vector (the
+    * visualization/diagnostic artifact: embedding clouds are eyeballed
+    * in exactly this projection). Same cached one-pass moments; v₂ by
+    * deflation ([[secondComponent]]); projections are per-row maps
+    * against two broadcast axes — the corpus is scanned once here and
+    * never by the eigensolve.
+    */
+  def pcaProject2(s: SparkSession, dir: String): DataFrame = {
+    val (sArr, mArr, n) = moments(s, dir)
+    val v1 = topComponent(sArr, mArr, n)
+    val v2 = secondComponent(sArr, mArr, n, v1)
+    def muDot(v: Array[Double]): Double = {
+      var acc = 0.0
+      var j = 0
+      while (j < Dim) { acc += (sArr(j).toDouble / n) * v(j); j += 1 }
+      acc
+    }
+    val (m1, m2) = (muDot(v1), muDot(v2))
+    val v1Lit = typedLit(v1.toSeq)
+    val v2Lit = typedLit(v2.toSeq)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, e -> cast(round(cast(e as double) * 10000) as double))")
+        .as("m"))
+      .select(col("vec_id"),
+        round(VectorDistance.dot(col("m"), v1Lit) - lit(m1), 4).as("pc1"),
+        round(VectorDistance.dot(col("m"), v2Lit) - lit(m2), 4).as("pc2"))
+      .orderBy("vec_id")
+  }
+
   /** Per-vector projection onto the dominant principal axis. */
   def pcaProject(s: SparkSession, dir: String): DataFrame = {
     val (sArr, mArr, n) = moments(s, dir)

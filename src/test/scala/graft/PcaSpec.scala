@@ -102,4 +102,29 @@ class PcaSpec extends SparkSuite {
     // the dominant axis explains at least an average axis's share
     assert(ratio >= 1.0 / 64.0 - 1e-9)
   }
+
+  test("deflated second component: near-orthogonal to v1, planted " +
+    "secondary axis recovered, Rayleigh below lambda1") {
+    // variance ordered: axis 3 >> axis 7 >> noise
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { _ =>
+      val r = Array.tabulate(Dim)(_ => (rnd.nextInt(21) - 10).toLong)
+      r(3) = (rnd.nextInt(4001) - 2000).toLong
+      r(7) = (rnd.nextInt(1001) - 500).toLong
+      r
+    }
+    val (s, m, n) = momentsOf(rows)
+    val v1 = Pca.topComponent(s, m, n)
+    val v2 = Pca.secondComponent(s, m, n, v1)
+    // unit norm
+    assert(math.abs(v2.map(x => x * x).sum - 1.0) < 1e-9)
+    // near-orthogonality (3 power iterations, not exact eigensolve)
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.05, s"v2 not orthogonal to v1: $dot")
+    // the planted secondary axis dominates v2
+    val big = v2.zipWithIndex.maxBy { case (x, _) => math.abs(x) }._2
+    assert(big == 7, s"expected axis 7 to dominate v2, got $big")
+    // spectral ordering holds
+    assert(rayleigh(s, m, n, v2) <= rayleigh(s, m, n, v1) + 1e-6)
+  }
 }
