@@ -197,6 +197,7 @@ object SparkEntry {
     "knn_classify" -> ((s, d) => Classify.knnClassify(s, d)),
     "centroid_confusion" -> (Classify.nearestCentroid _),
     "corpus_health" -> (Sketch.corpusHealth _),
+    "corpus_drift_psi" -> ((s, d) => Sketch.driftPsi(s, d)),
     "corpus_mixture" -> (Sketch.corpusMixture _),
     "corpus_temperature_mix" -> (Sketch.temperatureMix _),
     "train_triplets" -> (Triplets.tripletsQuery _),
@@ -3627,6 +3628,35 @@ object SparkEntry {
     // corpus health dashboard: exact volumes + the KMV estimate
     // (md5-60 k-min over text) + histogram token percentiles, all
     // joined per language; dup_share clamps at 0 (estimate noise)
+    // PSI drift monitor: md5 half-split waves, add-1-smoothed bin
+    // shares from exact integers, per-bin term micro-quantized to a
+    // BIGINT before the per-language sum
+    "corpus_drift_psi" ->
+      """WITH d AS (SELECT lang,
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+        |          AS ha,
+        |        n_chars // 64 AS bin
+        |      FROM documents),
+        |bins AS (SELECT lang, bin,
+        |        CAST(sum(CASE WHEN ha THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS ca,
+        |        CAST(sum(CASE WHEN NOT ha THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS cb
+        |      FROM d GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(ca) AS BIGINT) AS ta,
+        |        CAST(sum(cb) AS BIGINT) AS tb,
+        |        CAST(count(*) AS BIGINT) AS nb
+        |      FROM bins GROUP BY 1),
+        |tm AS (SELECT bins.lang, tot.ta, tot.tb, tot.nb,
+        |        CAST(round(((ca + 1) * 1.0 / (ta + nb)
+        |          - (cb + 1) * 1.0 / (tb + nb))
+        |          * ln(((ca + 1) * 1.0 / (ta + nb))
+        |          / ((cb + 1) * 1.0 / (tb + nb))) * 1000000) AS BIGINT)
+        |          AS tm
+        |       FROM bins JOIN tot ON bins.lang = tot.lang)
+        |SELECT lang, max(ta) AS n_a, max(tb) AS n_b, max(nb) AS n_bins,
+        |  round(CAST(sum(tm) AS DOUBLE) / 1000000.0, 4) AS psi
+        |FROM tm GROUP BY 1 ORDER BY lang""".stripMargin,
     "corpus_health" ->
       """WITH d AS (SELECT lang, text,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

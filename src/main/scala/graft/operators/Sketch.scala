@@ -600,6 +600,45 @@ object Sketch {
     hllDistinct(Tables.events(s, dir).select("event_type", "user_id"),
       "event_type", "user_id")
 
+  /** DRIFT MONITOR — Population Stability Index between two ingest
+    * waves (the standard "did the data change under me" alarm;
+    * PSI < 0.1 stable, > 0.25 investigate): per language, the
+    * doc-length distribution of the md5 half-split's two waves
+    * compared bin-by-bin, PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with
+    * add-1 smoothing so a bin empty on one side contributes a large
+    * finite term instead of ∞. Determinism: shares are ratios of
+    * exact integers (identical doubles), each bin's term
+    * micro-quantizes to a BIGINT before the per-language sum (the
+    * exact-aggregate rule — a float Σ over bins would be
+    * fold-order-dependent), ln per the zipfFit precedent. One scan,
+    * (lang, bin) aggregate — bins are metadata-sized; in production
+    * wave A is the previous snapshot's persisted bin table and only
+    * wave B rescans.
+    */
+  def driftPsi(s: SparkSession, dir: String, binW: Long = 64L): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("lang"),
+      (graft.operators.Sampling.hashBucket(col("doc_id")) < lit("8000"))
+        .as("ha"),
+      expr(s"n_chars div ${binW}L").as("bin"))
+    val bins = d.groupBy("lang", "bin")
+      .agg(sum(when(col("ha"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("ha"), 1L).otherwise(0L)).as("cb"))
+    val tot = bins.groupBy("lang").agg(sum("ca").as("ta"),
+      sum("cb").as("tb"), count(lit(1)).as("nb"))
+    bins.join(tot, "lang")
+      .select(col("lang"), col("ta"), col("tb"), col("nb"),
+        expr("CAST(round(((ca + 1) * 1.0 / (ta + nb) " +
+          "- (cb + 1) * 1.0 / (tb + nb)) " +
+          "* ln(((ca + 1) * 1.0 / (ta + nb)) " +
+          "/ ((cb + 1) * 1.0 / (tb + nb))) * 1000000) AS BIGINT)")
+          .as("tm"))
+      .groupBy("lang")
+      .agg(max("ta").as("n_a"), max("tb").as("n_b"),
+        max("nb").as("n_bins"),
+        round(sum("tm").cast("double") / 1000000.0, 4).as("psi"))
+      .orderBy("lang")
+  }
+
   /** HLL rollup — per-group estimates plus a global one derived by
     * REGISTER-WISE MAX across the per-group register tables, never
     * rescanning the data: max commutes with max, so the merged
