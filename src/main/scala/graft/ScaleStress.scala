@@ -40,9 +40,14 @@ import org.apache.spark.sql.functions._
 object ScaleStress {
 
   val factors: Seq[Int] = Seq(1, 4, 16)
+  // r10 adds dsir_select (fixed-B bucket model — the aggregate must
+  // stay B-sized while the scan grows) and search_spell_correct
+  // (replica suffixes grow the vocabulary ×factor, probing the
+  // SymSpell deletion-block join's vocab-linear claim)
   val queryNames: Seq[String] =
     Seq("knn_graph", "dedup_minhash_pairs", "text_bm25_indexed",
-      "events_pattern_match", "ann_hnsw")
+      "events_pattern_match", "ann_hnsw", "dsir_select",
+      "search_spell_correct")
 
   /** Replica id-space offset: far above any driver-generated id and
     * above the +100000/+200000/+300000 bands the synthetic-workload
