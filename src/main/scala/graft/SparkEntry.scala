@@ -146,6 +146,7 @@ object SparkEntry {
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
     "mm_phash" -> (Multimodal.phashQuery _),
+    "mm_resize" -> (Multimodal.resizeQuery _),
     "mm_phash_dup" -> (Multimodal.phashDupQuery _),
     "dedup_exact" -> ((s, d) => Dedup.exact(Dedup.corpusWithExactDups(s, d))),
     "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
@@ -2457,6 +2458,21 @@ object SparkEntry {
     // mirror predicts every bit from the pattern formula
     // v(x,y) = ((doc_id%50)·7 + 13x + 31y) mod 256 without touching a
     // codec; bit = blockSum·64 > totalSum is exact integer arithmetic
+    // nearest-neighbor resize over the real decode: dst (x,y) <-
+    // src (2x, 2y); both checksums predicted from the pattern
+    // formula, so a match proves decode AND resize pixel-exact
+    "mm_resize" ->
+      """WITH g AS (SELECT x.x AS x, y.y AS y
+        |           FROM range(8) x(x) CROSS JOIN range(8) y(y)),
+        |px AS (SELECT d.doc_id, g.x, g.y,
+        |        ((d.doc_id % 50) * 7 + (2 * g.x) * 13
+        |          + (2 * g.y) * 31) % 256 AS v
+        |       FROM documents d CROSS JOIN g)
+        |SELECT doc_id, CAST(8 AS BIGINT) AS out_w,
+        |  CAST(8 AS BIGINT) AS out_h,
+        |  CAST(sum(v) AS BIGINT) AS px_sum,
+        |  CAST(sum(v * (y * 8 + x + 1)) AS BIGINT) AS px_wsum
+        |FROM px GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "mm_phash" ->
       """WITH px AS (SELECT d.doc_id, a.x, b.y,
         |    CAST(((d.doc_id % 50) * 7 + a.x * 13 + b.y * 31) % 256

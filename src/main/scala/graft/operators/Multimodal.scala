@@ -279,6 +279,59 @@ object Multimodal {
       .orderBy("canonical_id")
   }
 
+  /** RESIZE through the real codec — the remaining member of the
+    * decode / feature-extract / resize / frame-sample quartet:
+    * decode the 16×16 pattern PNG, NEAREST-NEIGHBOR downsample to
+    * 8×8 (dst (x,y) ← src (2x, 2y) — the exact algorithm, not an
+    * AWT scaler whose filtering is implementation-defined), and
+    * report the resized raster as two exact integer checksums (pixel
+    * sum + position-weighted sum Σ v·(idx+1), which detects any
+    * pixel permutation). The oracle predicts BOTH from the pattern
+    * formula without a codec, so a match proves decode AND resize
+    * are pixel-exact. Undecodable/mis-sized payloads yield the −1
+    * sentinel row (per-row failure is data).
+    */
+  private def resizePartition(rows: Iterator[(Long, Array[Byte])])
+      : Iterator[(Long, Long, Long, Long, Long)] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val side = PhashSide / 2
+    rows.map { case (id, bytes) =>
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)) catch {
+        case _: java.io.IOException => null
+      }
+      if (img == null || img.getWidth != PhashSide ||
+          img.getHeight != PhashSide) {
+        (id, -1L, -1L, -1L, -1L)
+      } else {
+        var sum = 0L
+        var wsum = 0L
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side) {
+            val v = (img.getRGB(2 * x, 2 * y) >> 16) & 0xff
+            sum += v
+            wsum += v.toLong * (y * side + x + 1)
+            x += 1
+          }
+          y += 1
+        }
+        (id, side.toLong, side.toLong, sum, wsum)
+      }
+    }
+  }
+
+  def resizeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPatternImagePayload(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(resizePartition)
+      .toDF("doc_id", "out_w", "out_h", "px_sum", "px_wsum")
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling: take every `stride`-th byte of the payload (the
     * shape of every-k-th-video-frame extraction), emit the sample
     * count and an md5 over the sampled "frames". Runs through the
