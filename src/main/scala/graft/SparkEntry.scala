@@ -209,6 +209,7 @@ object SparkEntry {
     "events_funnel_timing" -> (Analytics.eventsFunnelTiming _),
     "events_rolling_p95" -> ((s, d) => Analytics.eventsRollingP95(s, d)),
     "events_power_analysis" -> (Analytics.eventsPowerAnalysis _),
+    "orders_backlog" -> (Analytics.ordersBacklog _),
     "events_pattern_match" -> (Sequence.patternMatch _),
     "events_ab_test" -> (Analytics.eventsAbTest _),
     "events_ab_cuped" -> ((s, d) => Analytics.eventsAbCuped(s, d)),
@@ -2654,6 +2655,29 @@ object SparkEntry {
         |SELECT CAST(stage AS BIGINT) AS stage, name,
         |       CAST(count(*) AS BIGINT) AS users
         |FROM u GROUP BY 1, 2 ORDER BY stage""".stripMargin,
+    // open-order backlog: dense day grid, two global cumsums in the
+    // mirror (the Spark side decomposes them two-level)
+    "orders_backlog" ->
+      """WITH p AS (SELECT date_diff('day', DATE '1970-01-01',
+        |          CAST(o_orderdate AS DATE)) AS d,
+        |        CAST(count(*) AS BIGINT) AS np
+        |      FROM orders GROUP BY 1),
+        |sh AS (SELECT date_diff('day', DATE '1970-01-01', sd) AS d,
+        |        CAST(count(*) AS BIGINT) AS ns
+        |       FROM (SELECT l_orderkey,
+        |               max(CAST(l_shipdate AS DATE)) AS sd
+        |             FROM lineitem GROUP BY 1) GROUP BY 1),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM
+        |      (SELECT d FROM p UNION ALL SELECT d FROM sh)),
+        |g AS (SELECT unnest(range(b.lo, b.hi + 1)) AS d FROM b),
+        |dd AS (SELECT g.d, coalesce(p.np, 0) AS np,
+        |        coalesce(sh.ns, 0) AS ns
+        |       FROM g LEFT JOIN p ON g.d = p.d
+        |       LEFT JOIN sh ON g.d = sh.d)
+        |SELECT d AS day, np AS n_placed, ns AS n_shipped,
+        |  CAST(sum(np) OVER (ORDER BY d)
+        |    - sum(ns) OVER (ORDER BY d) AS BIGINT) AS backlog
+        |FROM dd ORDER BY day""".stripMargin,
     // sample-size calculator from exact cents moments; z constants
     // as DOUBLE on both engines, ceil of bit-identical doubles
     "events_power_analysis" ->

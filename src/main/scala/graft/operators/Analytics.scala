@@ -1335,6 +1335,64 @@ object Analytics {
       .limit(topN)
   }
 
+  /** OPEN-ORDER BACKLOG time series — the fulfillment-pipeline
+    * depth chart (orders placed but not yet fully shipped, per day):
+    * backlog(d) = Σ placed ≤ d − Σ fully-shipped ≤ d over the dense
+    * day grid, where an order ships when its LAST lineitem does
+    * (max l_shipdate per order). Both running sums use the
+    * export_shards TWO-LEVEL decomposition — within-band window
+    * cumsums + band totals prefix-summed on the driver (bands are
+    * day div 512: a metadata-sized handful) — keeping the repo's
+    * no-single-partition-running-sum rule intact even though a day
+    * grid would tolerate one. Heavy work is two keyed aggregates
+    * (orders by day, lineitem by order then day); the grid math is
+    * days-sized.
+    */
+  def ordersBacklog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val epoch = lit("1970-01-01").cast("date")
+    val placed = Tables.orders(s, dir)
+      .select(datediff(col("o_orderdate").cast("date"), epoch)
+        .cast("long").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("np"))
+    val shipped = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate").cast("date")).as("sd"))
+      .select(datediff(col("sd"), epoch).cast("long").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("ns"))
+    val bounds = placed.select("d").unionByName(shipped.select("d"))
+      .agg(min("d").as("lo"), max("d").as("hi"))
+    val grid = bounds.select(explode(sequence(col("lo"), col("hi")))
+      .as("d"))
+    val daily = grid.join(placed, Seq("d"), "left")
+      .join(shipped, Seq("d"), "left")
+      .select(col("d"), coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("ns"), lit(0L)).as("ns"))
+      .withColumn("bk", expr("d div 512"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("bk").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = daily.withColumn("cp_in", sum("np").over(w))
+      .withColumn("cs_in", sum("ns").over(w))
+    val bandTotals = daily.groupBy("bk")
+      .agg(sum("np").as("tp"), sum("ns").as("ts"))
+      .orderBy("bk").collect()
+    var accP = 0L
+    var accS = 0L
+    val bases = bandTotals.map { r =>
+      val base = (r.getLong(0), accP, accS)
+      accP += r.getLong(1); accS += r.getLong(2)
+      base
+    }
+    val baseDf = broadcast(bases.toSeq.toDF("bk", "bp", "bs"))
+    within.join(baseDf, "bk")
+      .select(col("d").as("day"), col("np").as("n_placed"),
+        col("ns").as("n_shipped"),
+        (col("bp") + col("cp_in") - (col("bs") + col("cs_in")))
+          .as("backlog"))
+      .orderBy("day")
+  }
+
   /** A/B POWER ANALYSIS — the sample-size calculator an
     * experimentation platform runs BEFORE launching (events_ab_test
     * reads the result after): per event type, n per arm to detect a
