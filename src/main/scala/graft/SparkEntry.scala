@@ -119,6 +119,7 @@ object SparkEntry {
     "events_forecast_naive" -> ((s, d) => Analytics.eventsForecastNaive(s, d)),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "ann_recall_curve" -> ((s, d) => Ann.ivfRecallCurve(s, d)),
+    "ann_recall_at_k" -> ((s, d) => Ann.ivfRecallAtK(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
     "hnsw_recall_report" -> ((s, d) => Ann.hnswRecallReport(s, d)),
     "search_ndcg" -> (Ann.ndcgReport _),
@@ -1549,6 +1550,36 @@ object SparkEntry {
          |SELECT nprobe, n_hits, round(n_hits / 50.0, 4) AS recall
          |FROM u ORDER BY nprobe""".stripMargin
     },
+    // recall@k curve: both ranked lists once at k=10, per-k
+    // rank-filtered joins; denominators k·|Q|
+    "ann_recall_at_k" ->
+      s"""WITH $ivfCtes,
+         |sc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv) AS s
+         |       FROM af a JOIN pr ON a.cell = pr.cell JOIN q ON pr.qid = q.qid),
+         |ir AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |         ORDER BY s DESC, id) AS rk
+         |       FROM sc WHERE s IS NOT NULL),
+         |bd AS (SELECT q.qid, e2.id, list_cosine_similarity(e2.v, q.qv)
+         |         AS s
+         |       FROM e e2 CROSS JOIN q),
+         |br AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |         ORDER BY s DESC, id) AS rk
+         |       FROM bd WHERE s IS NOT NULL),
+         |u AS (
+         |  SELECT CAST(1 AS BIGINT) AS k, CAST(count(*) AS BIGINT)
+         |    AS n_hits
+         |  FROM (SELECT qid, id FROM ir WHERE rk <= 1) a1
+         |  JOIN (SELECT qid, id FROM br WHERE rk <= 1) b1 USING (qid, id)
+         |  UNION ALL
+         |  SELECT CAST(5 AS BIGINT), CAST(count(*) AS BIGINT)
+         |  FROM (SELECT qid, id FROM ir WHERE rk <= 5) a5
+         |  JOIN (SELECT qid, id FROM br WHERE rk <= 5) b5 USING (qid, id)
+         |  UNION ALL
+         |  SELECT CAST(10 AS BIGINT), CAST(count(*) AS BIGINT)
+         |  FROM (SELECT qid, id FROM ir WHERE rk <= 10) a10
+         |  JOIN (SELECT qid, id FROM br WHERE rk <= 10) b10 USING (qid, id))
+         |SELECT k, n_hits, round(n_hits / (k * 5.0), 4) AS recall
+         |FROM u ORDER BY k""".stripMargin,
     "ann_recall_report" ->
       s"""WITH $ivfCtes,
          |sc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv)

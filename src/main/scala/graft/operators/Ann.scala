@@ -2275,6 +2275,50 @@ object Ann {
       .orderBy("nprobe")
   }
 
+  /** RECALL@K CURVE — the cutoff-depth companion of
+    * [[ivfRecallCurve]]'s probe-width curve: one row per k in
+    * {1, 5, 10}, overall recall of the IVF path's top-k against the
+    * exact top-k at the SAME k (recall@1 asks "is the single nearest
+    * neighbor found", the metric that gates point-lookup use).
+    * Both ranked lists are computed ONCE at max k and checkpointed
+    * (Q×k rows); each curve point is a rank-filtered semi-join —
+    * evaluation cost is query-sized, the corpus is touched only by
+    * the two searches.
+    */
+  def ivfRecallAtK(s: SparkSession, dir: String,
+                   ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nq = q.count()
+    val cents = centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(e, 200)))
+    val kmax = ks.max
+    val approx = ivfSearchWith(e, q, kmax, 2, cents)
+      .select(col("qid"), col("rk"), col("nn_id"))
+      .localCheckpoint(true)
+    val exact = Knn.topK(e, q, kmax, Knn.Metric.Cosine)
+      .select(col("qid"), col("rk").as("xrk"), col("nn_id"))
+      .localCheckpoint(true)
+    val hits = ks.map { k =>
+      approx.where(col("rk") <= k)
+        .join(exact.where(col("xrk") <= k).select("qid", "nn_id"),
+          Seq("qid", "nn_id"), "left_semi")
+        .agg(count(lit(1)).as("h"))
+        .select(lit(k.toLong).as("k"), col("h"))
+    }.reduce(_ unionByName _)
+    // the literal k list anchors zero-recall rows (the recall-curve
+    // zero-hit rule)
+    ks.map(_.toLong).toDF("k").join(hits, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double")
+          / (col("k") * lit(nq)).cast("double"), 4).as("recall"))
+      .orderBy("k")
+  }
+
   private def recallReport(s: SparkSession, dir: String,
                            approxResult: DataFrame, k: Int): DataFrame = {
     val e = Tables.embeddings(s, dir)
