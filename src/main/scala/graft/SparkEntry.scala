@@ -148,6 +148,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
     "mm_phash" -> (Multimodal.phashQuery _),
     "mm_resize" -> (Multimodal.resizeQuery _),
+    "dedup_phash_hamming" -> ((s, d) => Multimodal.phashHammingQuery(s, d)),
     "mm_phash_dup" -> (Multimodal.phashDupQuery _),
     "dedup_exact" -> ((s, d) => Dedup.exact(Dedup.corpusWithExactDups(s, d))),
     "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
@@ -2490,6 +2491,48 @@ object SparkEntry {
     // mirror predicts every bit from the pattern formula
     // v(x,y) = ((doc_id%50)·7 + 13x + 31y) mod 256 without touching a
     // codec; bit = blockSum·64 > totalSum is exact integer arithmetic
+    // near-dup images: formula-predicted hashes, 16-bit pigeonhole
+    // bands (complete for hamming <= 3), per-position bit compare
+    "dedup_phash_hamming" ->
+      """WITH px AS (SELECT d.doc_id, x.x AS x, y.y AS y,
+        |        ((d.doc_id % 50) * 7 + x.x * 13 + y.y * 31) % 256 AS v
+        |       FROM documents d CROSS JOIN range(16) x(x)
+        |            CROSS JOIN range(16) y(y)),
+        |tt AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS total
+        |       FROM px GROUP BY 1),
+        |bb AS (SELECT doc_id, (y // 2) * 8 + (x // 2) AS idx,
+        |        CAST(sum(v) AS BIGINT) AS bsum
+        |       FROM px GROUP BY 1, 2),
+        |bits AS (SELECT bb.doc_id, bb.idx,
+        |          CASE WHEN bb.bsum * 64 > tt.total THEN 1 ELSE 0 END
+        |            AS bit
+        |         FROM bb JOIN tt USING (doc_id)),
+        |hw AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN idx < 32 THEN
+        |          bit * (CAST(1 AS BIGINT) << (31 - idx))
+        |          ELSE 0 END) AS BIGINT) AS h1,
+        |        CAST(sum(CASE WHEN idx >= 32 THEN
+        |          bit * (CAST(1 AS BIGINT) << (63 - idx))
+        |          ELSE 0 END) AS BIGINT) AS h2
+        |       FROM bits GROUP BY 1),
+        |bv AS (SELECT doc_id, idx // 16 AS band,
+        |        CAST(sum(bit * (CAST(1 AS BIGINT) << (15 - (idx % 16))))
+        |          AS BIGINT) AS bv
+        |       FROM bits GROUP BY 1, 2),
+        |bd AS (SELECT bv.doc_id, bv.band, bv.bv, hw.h1, hw.h2
+        |       FROM bv JOIN hw USING (doc_id)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |          a.h1 AS h1a, a.h2 AS h2a, b.h1 AS h1b, b.h2 AS h2b
+        |         FROM bd a JOIN bd b
+        |           ON a.band = b.band AND a.bv = b.bv
+        |           AND a.doc_id < b.doc_id
+        |           AND (a.h1 <> b.h1 OR a.h2 <> b.h2))
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b))
+        |    AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // nearest-neighbor resize over the real decode: dst (x,y) <-
     // src (2x, 2y); both checksums predicted from the pattern
     // formula, so a match proves decode AND resize pixel-exact

@@ -332,6 +332,59 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** NEAR-DUPLICATE IMAGES — Hamming-≤3 pairs over the perceptual
+    * hash, the image analog of dedup_simhash_pairs: exact-dup groups
+    * ([[phashDupQuery]]) catch pixel-identical re-encodes, this
+    * catches SMALL EDITS (a crop/brightness tweak flips a few
+    * blocks). Blocking is the simhash pigeonhole: 4 disjoint 16-bit
+    * bands of the 64-bit hash — two hashes within Hamming 3 agree
+    * exactly on ≥1 band — so candidates come from band-key buckets
+    * (cardinality grows with the image corpus), never all pairs;
+    * verify counts differing bits over the candidate set only.
+    * The '0'/'1'-string hash makes both steps engine-portable
+    * (substring bands, per-position compare).
+    */
+  def phashHammingQuery(s: SparkSession, dir: String,
+                        maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    // hash words as INTEGERS once per image (two 32-bit halves +
+    // four 16-bit band values parsed from the bit-string): the pair
+    // stage then runs codegen xor+bit_count per candidate — the
+    // simhash kernel — instead of an interpreted 64-char compare,
+    // and exact duplicates (phashDupQuery's class) drop inside the
+    // join condition before the distinct
+    val hashes = withPatternImagePayload(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(phashPartition)
+      .toDF("doc_id", "phash")
+      .where(!col("phash").startsWith("x"))
+      .select(col("doc_id"), col("phash"),
+        expr("CAST(conv(substring(phash, 1, 32), 2, 10) AS BIGINT)")
+          .as("h1"),
+        expr("CAST(conv(substring(phash, 33, 32), 2, 10) AS BIGINT)")
+          .as("h2"))
+      .localCheckpoint(true)
+    val banded = hashes.select(col("doc_id"), col("h1"), col("h2"),
+      posexplode(expr("transform(sequence(0, 3), b -> " +
+        "CAST(conv(substring(phash, b * 16 + 1, 16), 2, 10) AS BIGINT))")))
+      .select(col("doc_id"), col("h1"), col("h2"),
+        col("pos").as("band"), col("col").as("bv"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.h1") =!= col("b.h1") || col("a.h2") =!= col("b.h2")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.h1").as("h1a"), col("a.h2").as("h2a"),
+        col("b.h1").as("h1b"), col("b.h2").as("h2b"))
+      .distinct()
+    cand.withColumn("hamming",
+        expr("CAST(bit_count(h1a ^ h1b) + bit_count(h2a ^ h2b) AS BIGINT)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Frame sampling: take every `stride`-th byte of the payload (the
     * shape of every-k-th-video-frame extraction), emit the sample
     * count and an md5 over the sampled "frames". Runs through the
