@@ -311,6 +311,7 @@ object SparkEntry {
     "text_surprisal" -> (TextOps.surprisal _),
     "text_bigram_surprisal" -> (TextOps.bigramSurprisal _),
     "text_xent_score" -> (TextOps.xentScore _),
+    "langid_ngram" -> ((s, d) => TextOps.langIdNgram(s, d)),
     "bpe_learn" -> ((s, d) => Bpe.bpeLearn(s, d)),
     "bpe_learn_batched" -> ((s, d) => Bpe.bpeLearnBatched(s, d)),
     "bpe_tokenize" -> ((s, d) => Bpe.bpeTokenize(s, d)),
@@ -5407,6 +5408,49 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, total_bits,
         |       round(total_bits * 1.0 / n_bigrams, 4) AS bits_per_bigram
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // Cavnar-Trenkle rank-order language ID: train-split char-trigram
+    // profiles (top-20, (count DESC, gram) tiebreak), out-of-place
+    // distance with max penalty 20, argmin with lang tiebreak
+    "langid_ngram" ->
+      """WITH pd AS (SELECT doc_id, lang, text || repeat(CASE lang
+        |        WHEN 'en' THEN ' the of and to in is that it was for'
+        |        WHEN 'de' THEN ' der die das und ist ein nicht mit sich auf'
+        |        WHEN 'fr' THEN ' le la les et est un une pas que dans'
+        |        WHEN 'es' THEN ' el la los y es un una no que por'
+        |        WHEN 'zh' THEN ' de shi bu le zai you wo ta men zhe'
+        |        ELSE '' END, 3) AS text
+        |      FROM documents),
+        |g AS (SELECT d.doc_id, d.lang, substr(d.text, i.i, 3) AS g
+        |      FROM pd d,
+        |           unnest(range(1, greatest(length(d.text) - 1, 1)))
+        |             AS i(i)),
+        |lp AS (SELECT lang AS plang, g, lr FROM (
+        |    SELECT lang, g, row_number() OVER (PARTITION BY lang
+        |        ORDER BY n DESC, g) AS lr
+        |    FROM (SELECT lang, g, CAST(count(*) AS BIGINT) AS n
+        |          FROM g WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |            < 'cccd'
+        |          GROUP BY 1, 2)) WHERE lr <= 20),
+        |dp AS (SELECT doc_id, g, dr FROM (
+        |    SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY n DESC, g) AS dr
+        |    FROM (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS n
+        |          FROM g GROUP BY 1, 2)) WHERE dr <= 20),
+        |ls AS (SELECT DISTINCT plang FROM lp),
+        |pen AS (SELECT dp.doc_id, ls.plang,
+        |         CAST(CASE WHEN lp.lr IS NOT NULL
+        |           THEN abs(dp.dr - lp.lr) ELSE 20 END AS BIGINT) AS pen
+        |        FROM dp CROSS JOIN ls
+        |        LEFT JOIN lp ON lp.plang = ls.plang AND lp.g = dp.g),
+        |ds AS (SELECT doc_id, plang, CAST(sum(pen) AS BIGINT) AS dist
+        |       FROM pen GROUP BY 1, 2),
+        |bst AS (SELECT doc_id, plang AS predicted, dist AS distance
+        |        FROM (SELECT doc_id, plang, dist, row_number() OVER (
+        |            PARTITION BY doc_id ORDER BY dist, plang) AS rn
+        |          FROM ds) WHERE rn = 1)
+        |SELECT d.doc_id, d.lang AS actual, b.predicted, b.distance
+        |FROM pd d LEFT JOIN bst b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // held-out cross-entropy with stupid backoff: train-split bigram
     // model, integer floor-log2 bits (seen / backoff / 40-bit OOV
     // sentinel), exact BIGINT sums, one final division
