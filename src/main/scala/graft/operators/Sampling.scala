@@ -268,10 +268,14 @@ object Sampling {
   def dsirScores(s: SparkSession, counts: DataFrame,
                  buckets: Int = 64): DataFrame = {
     import s.implicits._
+    // checkpoint the B-row model: `tots` and the score projection
+    // both consume it, and left lazy each would re-run the corpus
+    // aggregate behind it (the ScanAudit ≥3-scan rule)
     val model = (0L until buckets.toLong).toDF("b")
       .join(counts, Seq("b"), "left")
       .select(col("b"), coalesce(col("cp"), lit(0L)).as("cp"),
         coalesce(col("cq"), lit(0L)).as("cq"))
+      .localCheckpoint(true)
     val tots = model.agg(sum("cp").as("tp"), sum("cq").as("tq"))
     model.crossJoin(broadcast(tots))
       .select(col("b"),
