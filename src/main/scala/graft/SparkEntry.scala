@@ -329,6 +329,7 @@ object SparkEntry {
     "search_ltr_rerank" -> ((s, d) => Search.ltrQuery(s, d)),
     "search_prf_expand" -> ((s, d) => Search.prfQuery(s, d)),
     "search_spell_correct" -> ((s, d) => Search.spellCorrectQuery(s, d)),
+    "search_spell_indexed" -> ((s, d) => Search.spellCorrectIndexed(s, d)),
     "search_maxsim" -> (MaxSim.maxsimQuery _),
     "text_phrase_search" -> (Search.phraseSearchQuery _),
     "embed_mean_pool" -> (MaxSim.meanPoolQuery _),
@@ -1002,6 +1003,47 @@ object SparkEntry {
        |             row_number() OVER (PARTITION BY qid ORDER BY s DESC, id)
        |               AS rk
        |      FROM sc WHERE s IS NOT NULL)""".stripMargin
+  }
+
+  /** Spell-correction mirror (naive levenshtein join on the tiny
+    * query side; the Spark paths use SymSpell deletion blocking) —
+    * shared by the on-the-fly and persisted-index forms, which are
+    * equal by construction (SearchSpec pins it).
+    */
+  private def spellOracle: String = {
+    val pre =
+      """tq(qid, pos, term) AS (SELECT * FROM (VALUES
+        |    (0, 0, 'spark'), (0, 1, 'joim'), (0, 2, 'hash'),
+        |    (1, 0, 'strean'), (1, 1, 'window'), (1, 2, 'batch'),
+        |    (2, 0, 'dup'), (2, 1, 'vectar'), (2, 2, 'scan'),
+        |    (3, 0, 'customer'), (3, 1, 'ordr'), (3, 2, 'value'),
+        |    (4, 0, 'filtes'), (4, 1, 'sort'), (4, 2, 'merge'))),
+        |vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS dfreq FROM
+        |    (SELECT DISTINCT doc_id, t FROM (SELECT doc_id,
+        |       unnest(string_split(text, ' ')) AS t FROM documents))
+        |    GROUP BY t),
+        |fcand AS (SELECT q.qid, q.pos, v.t, v.dfreq
+        |          FROM tq q JOIN vocab v
+        |            ON levenshtein(v.t, q.term) = 1),
+        |fbest AS (SELECT qid, pos, t FROM (SELECT qid, pos, t,
+        |            row_number() OVER (PARTITION BY qid, pos
+        |              ORDER BY dfreq DESC, t) AS rn FROM fcand)
+        |          WHERE rn = 1),
+        |corr0 AS (SELECT q.qid, q.pos,
+        |            CASE WHEN v0.t IS NOT NULL THEN q.term
+        |                 ELSE coalesce(b.t, q.term) END AS corr
+        |          FROM tq q
+        |          LEFT JOIN (SELECT DISTINCT t FROM vocab) v0
+        |            ON v0.t = q.term
+        |          LEFT JOIN fbest b
+        |            ON b.qid = q.qid AND b.pos = q.pos),
+        |qc AS (SELECT CAST(qid AS BIGINT) AS qid,
+        |         string_agg(corr, ' ' ORDER BY pos) AS qtext
+        |       FROM corr0 GROUP BY qid),
+        |""".stripMargin
+    s"""WITH ${bm25CtesQ("", "SELECT qid, qtext FROM qc", pre)}
+       |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1977,41 +2019,10 @@ object SparkEntry {
     // neighbor (df DESC, term tiebreak; naive levenshtein join here
     // — the Spark side uses SymSpell deletion blocking), corrected
     // queries feed the SAME bm25 chain via the custom q source
-    "search_spell_correct" -> {
-      val pre =
-        """tq(qid, pos, term) AS (SELECT * FROM (VALUES
-          |    (0, 0, 'spark'), (0, 1, 'joim'), (0, 2, 'hash'),
-          |    (1, 0, 'strean'), (1, 1, 'window'), (1, 2, 'batch'),
-          |    (2, 0, 'dup'), (2, 1, 'vectar'), (2, 2, 'scan'),
-          |    (3, 0, 'customer'), (3, 1, 'ordr'), (3, 2, 'value'),
-          |    (4, 0, 'filtes'), (4, 1, 'sort'), (4, 2, 'merge'))),
-          |vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS dfreq FROM
-          |    (SELECT DISTINCT doc_id, t FROM (SELECT doc_id,
-          |       unnest(string_split(text, ' ')) AS t FROM documents))
-          |    GROUP BY t),
-          |fcand AS (SELECT q.qid, q.pos, v.t, v.dfreq
-          |          FROM tq q JOIN vocab v
-          |            ON levenshtein(v.t, q.term) = 1),
-          |fbest AS (SELECT qid, pos, t FROM (SELECT qid, pos, t,
-          |            row_number() OVER (PARTITION BY qid, pos
-          |              ORDER BY dfreq DESC, t) AS rn FROM fcand)
-          |          WHERE rn = 1),
-          |corr0 AS (SELECT q.qid, q.pos,
-          |            CASE WHEN v0.t IS NOT NULL THEN q.term
-          |                 ELSE coalesce(b.t, q.term) END AS corr
-          |          FROM tq q
-          |          LEFT JOIN (SELECT DISTINCT t FROM vocab) v0
-          |            ON v0.t = q.term
-          |          LEFT JOIN fbest b
-          |            ON b.qid = q.qid AND b.pos = q.pos),
-          |qc AS (SELECT CAST(qid AS BIGINT) AS qid,
-          |         string_agg(corr, ' ' ORDER BY pos) AS qtext
-          |       FROM corr0 GROUP BY qid),
-          |""".stripMargin
-      s"""WITH ${bm25CtesQ("", "SELECT qid, qtext FROM qc", pre)}
-         |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
-         |ORDER BY qid, rk""".stripMargin
-    },
+    "search_spell_correct" -> spellOracle,
+    // persisted-dictionary twin: identical correction semantics
+    // (SearchSpec pins equality + bucket pruning), shares the oracle
+    "search_spell_indexed" -> spellOracle,
     // pseudo-relevance feedback: round-1 bm25 (shared CTEs) → top-5
     // feedback docs → tf·idf-ranked expansion terms (NOT EXISTS
     // drops original query terms, sorted-list append keeps the

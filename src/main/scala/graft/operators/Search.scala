@@ -798,6 +798,116 @@ object Search {
       s"substring($t, i + 1, length($t)))))")
   }
 
+  /** The spell-correction dictionary AT REST — the deletion-key
+    * table persisted parquet-partitioned by md5 key-bucket (the
+    * text_bm25_indexed layout applied to SymSpell): one row per
+    * (bucket, deletion-key, term, df), where a term keys by itself
+    * plus every 1-deletion. A query's terms generate their own keys
+    * driver-side (request-sized), collect to literals, and the probe
+    * is bucket PartitionFilters + key PushedFilters — ZERO
+    * vocabulary work at query time, which is the difference between
+    * correcting against a 10⁸-term web vocabulary per query and
+    * reading a few kilobytes. Membership falls out of the same
+    * probe: the key equal to the term itself with t = term is the
+    * exact hit.
+    */
+  val SpellBuckets = 64
+
+  private def spellBucket(c: Column): Column =
+    expr(s"CAST(conv(substring(md5(cast(${c.toString()} AS binary)), " +
+      s"1, 4), 16, 10) AS BIGINT) % $SpellBuckets")
+
+  def spellIndexBuild(s: SparkSession, dir: String, path: String): Unit = {
+    val vocab = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("dfreq"))
+    vocab.select(col("t"), col("dfreq"),
+        explode(delKeys(col("t"))).as("dk"))
+      .withColumn("bk", spellBucket(col("dk")))
+      .write.mode("overwrite").partitionBy("bk").parquet(path)
+  }
+
+  private def spellIdxPath(s: SparkSession, dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val path = java.nio.file.Paths.get("target", "tmp", s"spellidx-$key")
+      .toAbsolutePath.toString
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS")))
+      spellIndexBuild(s, dir, path)
+    path
+  }
+
+  /** The pruned index probe for a key set — bucket PartitionFilters
+    * + key PushedFilters. Split out (and un-checkpointed) so the
+    * pruning pin in SearchSpec can read ITS plan: the consuming
+    * checkpoints in [[spellCorrectIndexed]] sever it from the final
+    * query's executed plan.
+    */
+  private[graft] def spellProbeFrame(s: SparkSession, dir: String,
+                                     keys: Array[String]): DataFrame = {
+    val buckets = keys.map(dk =>
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          dk.getBytes("UTF-8")).substring(0, 4), 16) % SpellBuckets)
+      .distinct
+    s.read.parquet(spellIdxPath(s, dir))
+      .where(col("bk").isin(buckets.toIndexedSeq: _*) &&
+        col("dk").isin(keys.toIndexedSeq: _*))
+  }
+
+  /** The query batch's deletion keys — driver-side, request-sized. */
+  private[graft] def spellQueryKeys(s: SparkSession): Array[String] = {
+    import s.implicits._
+    typoQueries(s)
+      .select(explode(split(col("qtext"), " ")).as("term"))
+      .select(explode(delKeys(col("term"))).as("dk"))
+      .distinct().as[String].collect()
+  }
+
+  /** Spell-corrected search through the PERSISTED dictionary:
+    * identical semantics to [[spellCorrectQuery]] (equality pinned
+    * in SearchSpec), but the vocabulary is never scanned — the probe
+    * reads only the buckets the query's own deletion keys hash into.
+    */
+  def spellCorrectIndexed(s: SparkSession, dir: String,
+                          k: Int = 10): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val qpos = typoQueries(s)
+      .select(col("qid"), posexplode(split(col("qtext"), " ")))
+      .toDF("qid", "pos", "term")
+    // query-side deletion keys: request-sized, collected to drive
+    // the pruning literals (the ivfSearchIndexed probe-cell pattern)
+    val qKeyed = qpos.select(col("qid"), col("pos"), col("term"),
+        explode(delKeys(col("term"))).as("dk"))
+      .localCheckpoint(true)
+    val keys = qKeyed.select("dk").distinct().as[String].collect()
+    val idx = spellProbeFrame(s, dir, keys)
+    val hits = qKeyed.join(idx, "dk")
+      .select(col("qid"), col("pos"), col("term"), col("t"),
+        col("dfreq")).distinct()
+      .localCheckpoint(true)
+    val exact = hits.where(col("t") === col("term"))
+      .select(col("qid"), col("pos"), col("term").as("corr")).distinct()
+    val fuzz = hits
+      .join(exact.select(col("qid"), col("pos")).distinct(),
+        Seq("qid", "pos"), "left_anti")
+      .where(levenshtein(col("term"), col("t")) === 1)
+      .groupBy("qid", "pos", "term")
+      .agg(min_by(col("t"), struct(-col("dfreq"), col("t"))).as("corr"))
+      .select(col("qid"), col("pos"), col("corr"))
+    val resolved = exact.unionByName(fuzz)
+    val fixed = qpos.join(resolved, Seq("qid", "pos"), "left")
+      .select(col("qid"), col("pos"),
+        coalesce(col("corr"), col("term")).as("corr"))
+    val corrected = fixed.groupBy("qid")
+      .agg(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(pos, corr))), " +
+          "x -> x.corr)")).as("qtext"))
+    bm25TopK(docs, corrected, k)
+  }
+
   /** SPELL-CORRECTED SEARCH — the "did you mean" layer every search
     * deployment puts in front of lexical retrieval: query terms
     * absent from the corpus VOCABULARY are replaced by their

@@ -300,6 +300,31 @@ class SearchSpec extends SparkSuite {
       "MMR never diverged from pure relevance — penalty is dead code")
   }
 
+  test("persisted spell index: probe-pruned correction equals the " +
+    "on-the-fly path, no vocabulary scan at query time") {
+    import graft.operators.Search
+    val indexed = Search.spellCorrectIndexed(spark, sf).collect().toSeq
+    val onTheFly = Search.spellCorrectQuery(spark, sf).collect().toSeq
+    assert(indexed == onTheFly && indexed.nonEmpty)
+    // the correction stage reads only probed key-buckets: its index
+    // scan carries a non-empty bk partition filter and the query's
+    // deletion keys pushed into the parquet scan (the probe frame is
+    // inspected directly — the query's checkpoints sever it from the
+    // final executed plan)
+    val plan = Search.spellProbeFrame(spark, sf,
+        Search.spellQueryKeys(spark))
+      .queryExecution.executedPlan.toString
+    val pfs = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("bk"))
+      .toSeq
+    assert(pfs.nonEmpty && pfs.forall(l =>
+        !l.contains("PartitionFilters: []")),
+      s"spell index scan not bucket-pruned: $pfs")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("dk")),
+      "query deletion keys not pushed into the index scan")
+  }
+
   test("spell correction restores the clean queries: typo'd search " +
     "equals plain bm25 over the intended terms") {
     import graft.operators.Search
