@@ -305,6 +305,7 @@ object SparkEntry {
     "events_hopping" -> (Analytics.eventsHopping _),
     "events_anomaly" -> ((s, d) => Analytics.eventsAnomaly(s, d)),
     "events_anomaly_online" -> ((s, d) => Analytics.eventsAnomalyOnline(s, d)),
+    "events_anomaly_mad" -> ((s, d) => Analytics.eventsAnomalyMad(s, d)),
     "events_changepoint" -> (Analytics.eventsChangepoint _),
     "text_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
     "text_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
@@ -5302,6 +5303,28 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4)
         |         AS sum_value
         |FROM w GROUP BY ws, event_type ORDER BY w_start, event_type""".stripMargin,
+    // robust MAD anomaly twin: exact interpolated medians over the
+    // daily frame, 1.4826 shared double literal, MAD=0 types excluded
+    "events_anomaly_mad" ->
+      """WITH daily AS (SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+        |        FROM daily GROUP BY 1),
+        |wm AS (SELECT d.event_type, d.day, d.n, m.med
+        |       FROM daily d JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(abs(n - med), 0.5)
+        |          AS mad
+        |        FROM wm GROUP BY 1),
+        |rz AS (SELECT wm.event_type, wm.day, wm.n, wm.med, mad.mad,
+        |        round((wm.n - wm.med)
+        |          / (CAST(1.4826 AS DOUBLE) * mad.mad), 4) AS robust_z
+        |       FROM wm JOIN mad USING (event_type) WHERE mad.mad > 0)
+        |SELECT event_type, day, n, round(med, 4) AS med,
+        |  round(mad, 4) AS mad, robust_z
+        |FROM rz WHERE abs(robust_z) >= 2.5
+        |ORDER BY event_type, day""".stripMargin,
     "events_anomaly" ->
       """WITH daily AS (SELECT event_type,
         |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

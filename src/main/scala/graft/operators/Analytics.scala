@@ -553,6 +553,43 @@ object Analytics {
       .orderBy("event_type", "day")
   }
 
+  /** ROBUST (MAD) anomaly detection — the median-based twin of
+    * [[eventsAnomaly]]: z-scores break when the baseline itself is
+    * contaminated (one huge outlier day inflates σ and hides the
+    * rest — masking), while the median and the median absolute
+    * deviation have a 50% breakdown point. robust_z =
+    * (n − median) / (1.4826·MAD), flagged at |rz| ≥ 2.5 (the driver
+    * fixture's daily counts are Poisson-tame — 3.0 finds nothing at
+    * sf0.01, 2.5 flags a stable handful at every SF); both medians
+    * are exact interpolated percentiles over the metadata-sized
+    * daily frame (identical doubles both engines — counts are
+    * integers), the 1.4826 consistency constant a shared double
+    * literal. Same one-daily-reduction skeleton; types with MAD = 0
+    * (constant series) are excluded rather than divided by zero.
+    */
+  def eventsAnomalyMad(s: SparkSession, dir: String,
+                       k: Double = 2.5): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val withMed = daily.join(med, "event_type")
+    val mad = withMed.groupBy("event_type")
+      .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+    withMed.join(mad, "event_type")
+      .where(col("mad") > 0)
+      .withColumn("robust_z",
+        round((col("n") - col("med")) / (lit(1.4826) * col("mad")), 4))
+      .where(abs(col("robust_z")) >= k)
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+        col("robust_z"))
+      .orderBy("event_type", "day")
+  }
+
   /** ONLINE anomaly detection — each day scored against the stats of
     * its PRECEDING days only (ROWS … 1 PRECEDING cumulative windows),
     * which is the semantics a streaming detector can actually
