@@ -312,6 +312,7 @@ object SparkEntry {
     "text_surprisal" -> (TextOps.surprisal _),
     "text_bigram_surprisal" -> (TextOps.bigramSurprisal _),
     "text_xent_score" -> (TextOps.xentScore _),
+    "corpus_ccnet_buckets" -> (TextOps.ccnetBuckets _),
     "langid_ngram" -> ((s, d) => TextOps.langIdNgram(s, d)),
     "bpe_learn" -> ((s, d) => Bpe.bpeLearn(s, d)),
     "bpe_learn_batched" -> ((s, d) => Bpe.bpeLearnBatched(s, d)),
@@ -5485,6 +5486,66 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang AS actual, b.predicted, b.distance
         |FROM pd d LEFT JOIN bst b ON d.doc_id = b.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // CCNet head/middle/tail: every doc scored under the train-split
+    // backoff model, exact p33/p66 cuts per language, volumes + share
+    "corpus_ccnet_buckets" ->
+      """WITH pd AS (SELECT doc_id, lang,
+        |        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |               >= 'cccd' AND doc_id % 3 = 0
+        |             THEN text || ' zzqx7 table' ELSE text END AS text
+        |      FROM documents),
+        |w AS (SELECT doc_id, lang,
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+        |          AS is_train,
+        |        string_split(text, ' ') AS ws
+        |      FROM pd),
+        |bg AS (SELECT doc_id, lang, is_train, ws[i] AS a, ws[i + 1] AS b
+        |       FROM w, unnest(range(1, len(ws))) AS t(i)),
+        |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+        |        FROM bg WHERE is_train GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca
+        |       FROM cab GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb
+        |       FROM cab GROUP BY 1),
+        |nt AS (SELECT CAST(sum(cab) AS BIGINT) AS nn FROM cab),
+        |tf AS (SELECT doc_id, lang, a, b, CAST(count(*) AS BIGINT) AS tf
+        |       FROM bg GROUP BY 1, 2, 3, 4),
+        |sc AS (SELECT tf.doc_id, tf.lang, tf.tf,
+        |         CASE WHEN cab.cab IS NOT NULL
+        |              THEN CAST(length(bin(ca.ca // cab.cab)) - 1
+        |                     AS BIGINT)
+        |              WHEN cb.cb IS NOT NULL
+        |              THEN CAST(length(bin((5 * nt.nn) // (2 * cb.cb)))
+        |                     - 1 AS BIGINT)
+        |              ELSE 40 END AS bits
+        |       FROM tf
+        |       LEFT JOIN cab ON tf.a = cab.a AND tf.b = cab.b
+        |       LEFT JOIN ca ON tf.a = ca.a
+        |       LEFT JOIN cb ON tf.b = cb.b
+        |       CROSS JOIN nt),
+        |per AS (SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS nb,
+        |         CAST(sum(tf * bits) AS BIGINT) AS tb,
+        |         CAST(sum(tf * bits) AS BIGINT) * 1.0
+        |           / CAST(sum(tf) AS BIGINT) AS bpb
+        |        FROM sc GROUP BY 1, 2),
+        |th AS (SELECT lang,
+        |        quantile_cont(bpb, CAST(1 AS DOUBLE) / 3) AS p33,
+        |        quantile_cont(bpb, CAST(2 AS DOUBLE) / 3) AS p66
+        |       FROM per GROUP BY 1),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+        |        FROM per GROUP BY 1),
+        |bk AS (SELECT per.lang,
+        |        CASE WHEN per.bpb <= th.p33 THEN 'head'
+        |             WHEN per.bpb <= th.p66 THEN 'middle'
+        |             ELSE 'tail' END AS bucket,
+        |        per.nb
+        |       FROM per JOIN th USING (lang))
+        |SELECT bk.lang, bk.bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(bk.nb) AS BIGINT) AS n_bigrams,
+        |  round(CAST(count(*) AS BIGINT) * 1.0 / tot.nl, 4) AS doc_share
+        |FROM bk JOIN tot USING (lang)
+        |GROUP BY bk.lang, bk.bucket, tot.nl
+        |ORDER BY lang, bucket""".stripMargin,
     // held-out cross-entropy with stupid backoff: train-split bigram
     // model, integer floor-log2 bits (seen / backoff / 40-bit OOV
     // sentinel), exact BIGINT sums, one final division

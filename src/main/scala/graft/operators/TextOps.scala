@@ -667,6 +667,77 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNET-STYLE PERPLEXITY BUCKETING (Wenzek et al. LREC'20 — the
+    * head/middle/tail split CCNet ships every language shard in):
+    * each document scored in bits/bigram under the train-split
+    * stupid-backoff model (the [[xentScore]] machinery — TRAIN docs
+    * score in-sample, which is the point: the head bucket is "looks
+    * like the reference domain"), then per language the exact p33 /
+    * p66 thresholds cut head (most predictable) / middle / tail.
+    * Per (lang, bucket): doc and bigram volumes + doc share —
+    * exactly the table CCNet's "keep head+middle" policy consumes.
+    * Thresholds are exact interpolated percentiles of
+    * integer-derived doubles; the bucket CASE compares identical
+    * doubles on both engines.
+    */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      col("lang"),
+      when(Sampling.hashBucket(col("doc_id")) >= lit("cccd") &&
+          col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" zzqx7 table")))
+        .otherwise(col("text")).as("text"))
+    val toks = docs
+      .withColumn("is_train",
+        Sampling.hashBucket(col("doc_id")) < lit("cccd"))
+      .select(col("doc_id"), col("lang"), col("is_train"),
+        posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "a")
+      .withColumn("b", lead("a", 1).over(w))
+      .where(col("b").isNotNull)
+    val cab = toks.where(col("is_train"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .localCheckpoint(true)
+    val ca = cab.groupBy("a").agg(sum("cab").as("ca"))
+    val cb = cab.groupBy("b").agg(sum("cab").as("cb"))
+    val nTot = cab.agg(sum("cab").as("nn"))
+    val per = toks
+      .groupBy("doc_id", "lang", "a", "b").agg(count(lit(1)).as("tf"))
+      .join(cab, Seq("a", "b"), "left")
+      .join(ca, Seq("a"), "left")
+      .join(cb, Seq("b"), "left")
+      .crossJoin(broadcast(nTot))
+      .withColumn("bits",
+        when(col("cab").isNotNull,
+          (length(bin(expr("ca div cab"))) - 1).cast("long"))
+          .when(col("cb").isNotNull,
+            (length(bin(expr("(5 * nn) div (2 * cb)"))) - 1).cast("long"))
+          .otherwise(lit(40L)))
+      .groupBy("doc_id", "lang")
+      .agg(sum("tf").as("nb"), sum(col("tf") * col("bits")).as("tb"))
+      .withColumn("bpb", col("tb").cast("double") / col("nb"))
+      .localCheckpoint(true)
+    val th = per.groupBy("lang").agg(
+      expr("percentile(bpb, CAST(1 AS DOUBLE) / 3)").as("p33"),
+      expr("percentile(bpb, CAST(2 AS DOUBLE) / 3)").as("p66"))
+    val tot = per.groupBy("lang").agg(count(lit(1)).as("nl"))
+    per.join(broadcast(th), "lang")
+      .withColumn("bucket",
+        when(col("bpb") <= col("p33"), "head")
+          .when(col("bpb") <= col("p66"), "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("nb").as("n_bigrams"))
+      .join(broadcast(tot), "lang")
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        col("n_bigrams"),
+        round(col("n_docs").cast("double") / col("nl"), 4)
+          .as("doc_share"))
+      .orderBy("lang", "bucket")
+  }
+
   // ------------------------------------------------------------- PII
 
   // Test-fixture boundaries: the word-salad corpus contains no digits,
