@@ -123,7 +123,11 @@ object Bench {
         "knn_graph", "ann_nsw", "embed_knn_clusters",
         // hierarchy: ann_hnsw memoizes the 4 layer-edge tables,
         // ann_hnsw_indexed persists the (layer, cell) table
-        "ann_hnsw", "ann_hnsw_indexed")
+        "ann_hnsw", "ann_hnsw_indexed",
+        // r10 persisted structures: residual IVFPQ index, spell
+        // dictionary, indexed range search (shares ann_ivf_indexed's
+        // index but listed for the cold-dir case)
+        "ann_ivf_pq_res", "search_spell_indexed", "ann_ivf_range")
       .foreach { n =>
       benchQueries.get(n).foreach { fn =>
         if (elapsed < budgetNs / 2) runGuardedAt(sfDir, n, fn(spark, sfDir))
