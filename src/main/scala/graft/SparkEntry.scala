@@ -176,6 +176,7 @@ object SparkEntry {
     "quality_deciles" -> (TextOps.qualityDeciles _),
     "corpus_budget_select" -> ((s, d) => TextOps.budgetSelect(s, d)),
     "embed_norm_audit" -> ((s, d) => Ann.embedNormAudit(s, d)),
+    "embed_dim_variance" -> (Ann.dimVariance _),
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     "corpus_stats" -> (TextOps.corpusStats _),
@@ -3465,6 +3466,29 @@ object SparkEntry {
         |       n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
         |FROM r WHERE cum_tokens <= 10000 ORDER BY rnk""".stripMargin,
     // one-row embedding norm audit in integer micro-units
+    // per-dimension variance from exact micro moments; dead flag
+    // compares identical doubles at 1e-6
+    "embed_dim_variance" ->
+      """WITH ex AS (SELECT j.j AS dim,
+        |        CAST(round(e.embedding[j.j + 1] * 10000) AS BIGINT)
+        |          AS m
+        |      FROM (SELECT embedding::DOUBLE[] AS embedding
+        |            FROM embeddings) e
+        |      CROSS JOIN (SELECT unnest(range(64)) AS j) j),
+        |g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(m) AS BIGINT) AS sx,
+        |        CAST(sum(m * m) AS BIGINT) AS qx
+        |      FROM ex GROUP BY 1)
+        |SELECT CAST(dim AS BIGINT) AS dim,
+        |  round(CAST(sx AS DOUBLE) / n / CAST(10000.0 AS DOUBLE), 4)
+        |    AS mean,
+        |  round(CAST(n * qx - sx * sx AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE)
+        |    / CAST(100000000.0 AS DOUBLE), 6) AS variance,
+        |  CAST(n * qx - sx * sx AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE)
+        |    / CAST(100000000.0 AS DOUBLE) < 1e-6 AS is_dead
+        |FROM g ORDER BY dim""".stripMargin,
     "embed_norm_audit" ->
       """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
         |m AS (SELECT CAST(round(sqrt(list_inner_product(v, v)) * 10000)

@@ -2236,6 +2236,35 @@ object Ann {
         col("n_zero"))
   }
 
+  /** PER-DIMENSION VARIANCE report — the dead-dimension detector
+    * that pairs with [[embedNormAudit]] (norms say the vectors are
+    * alive; this says WHICH axes are): per dim, mean and variance
+    * from exact integer micro moments (n, Σx, Σx² — the
+    * events_ab_test rule applied per dimension), plus a dead flag at
+    * variance < 1e-6 (a collapsed axis wastes quantizer budget and
+    * adds nothing to any distance). One posexplode pass, 64-row
+    * aggregate.
+    */
+  def dimVariance(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(posexplode(expr(
+        "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) " +
+          "* 10000) AS BIGINT))")).as(Seq("dim", "m")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("m").as("sx"),
+        sum(expr("m * m")).as("qx"))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("sx").cast("double") / col("n") / lit(10000.0), 4)
+          .as("mean"),
+        round((col("n") * col("qx") - col("sx") * col("sx"))
+          .cast("double")
+          / (col("n") * (col("n") - 1)).cast("double")
+          / lit(100000000.0), 6).as("variance"),
+        ((col("n") * col("qx") - col("sx") * col("sx")).cast("double")
+          / (col("n") * (col("n") - 1)).cast("double")
+          / lit(100000000.0) < lit(1e-6)).as("is_dead"))
+      .orderBy("dim")
+
   /** RECALL-vs-NPROBE CURVE — the tuning table every ANN deployment
     * publishes before picking its operating point: one row per probe
     * width, overall recall@k against the exact scan. All legs share
