@@ -213,6 +213,7 @@ object SparkEntry {
     "events_rolling_p95" -> ((s, d) => Analytics.eventsRollingP95(s, d)),
     "events_power_analysis" -> (Analytics.eventsPowerAnalysis _),
     "orders_backlog" -> (Analytics.ordersBacklog _),
+    "part_abc_analysis" -> (Analytics.partAbcAnalysis _),
     "events_pattern_match" -> (Sequence.patternMatch _),
     "events_ab_test" -> (Analytics.eventsAbTest _),
     "events_ab_cuped" -> ((s, d) => Analytics.eventsAbCuped(s, d)),
@@ -2744,6 +2745,29 @@ object SparkEntry {
         |SELECT CAST(stage AS BIGINT) AS stage, name,
         |       CAST(count(*) AS BIGINT) AS users
         |FROM u GROUP BY 1, 2 ORDER BY stage""".stripMargin,
+    // ABC classification: exact-cents revenue, one global window in
+    // the mirror (the Spark side decomposes two-level), integer cuts
+    "part_abc_analysis" ->
+      """WITH rev AS (SELECT l_partkey AS partkey,
+        |        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |          * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM lineitem GROUP BY 1 HAVING cents > 0),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+        |c AS (SELECT partkey, cents,
+        |        CAST(sum(cents) OVER (ORDER BY cents DESC, partkey)
+        |          AS BIGINT) AS cum
+        |      FROM rev),
+        |k AS (SELECT c.cents,
+        |        CASE WHEN c.cum * 5 <= t.total * 4 THEN 'A'
+        |             WHEN c.cum * 20 <= t.total * 19 THEN 'B'
+        |             ELSE 'C' END AS abc,
+        |        t.total
+        |       FROM c, t)
+        |SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue,
+        |  round(CAST(sum(cents) AS DOUBLE) / CAST(max(total) AS DOUBLE),
+        |    4) AS rev_share
+        |FROM k GROUP BY 1 ORDER BY abc""".stripMargin,
     // open-order backlog: dense day grid, two global cumsums in the
     // mirror (the Spark side decomposes them two-level)
     "orders_backlog" ->

@@ -1372,6 +1372,57 @@ object Analytics {
       .limit(topN)
   }
 
+  /** ABC ANALYSIS — the classic inventory/revenue classification
+    * (A: parts carrying the first 80% of revenue, B: to 95%, C: the
+    * tail): per-part revenue in EXACT integer cents (round per row,
+    * then a long sum — the customer_rfm money rule), global
+    * revenue-descending rank and running sum via the two-level
+    * decomposition (monotone floor-log2 revenue bands key the
+    * within-band windows; band totals prefix-sum on the driver — no
+    * single-partition corpus sort), and the 80/95 cuts decided in
+    * EXACT integer arithmetic (cum·5 ≤ total·4, cum·20 ≤ total·19 —
+    * no float share ever classifies a part). Output is the 3-row
+    * class summary.
+    */
+  def partAbcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("cents"))
+      .where(col("cents") > 0)
+      // monotone band: higher revenue → lower band id, so band order
+      // IS the global revenue-descending order across bands
+      .withColumn("bk", -(length(bin(col("cents"))) - 1).cast("long"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("bk")
+      .orderBy(col("cents").desc, col("partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = rev.withColumn("cum_in", sum("cents").over(w))
+    val bandTotals = rev.groupBy("bk").agg(sum("cents").as("t"))
+      .orderBy("bk").collect()
+    var acc = 0L
+    val bases = bandTotals.map { r =>
+      val base = (r.getLong(0), acc); acc += r.getLong(1); base
+    }
+    val total = acc
+    val baseDf = broadcast(bases.toSeq.toDF("bk", "base"))
+    within.join(baseDf, "bk")
+      .withColumn("cum", col("base") + col("cum_in"))
+      .withColumn("abc",
+        when(col("cum") * 5 <= lit(total) * 4, "A")
+          .when(col("cum") * 20 <= lit(total) * 19, "B")
+          .otherwise("C"))
+      .groupBy("abc")
+      .agg(count(lit(1)).as("n_parts"), sum("cents").as("sc"))
+      .select(col("abc"), col("n_parts"),
+        round(col("sc").cast("double") / 100.0, 2).as("revenue"),
+        round(col("sc").cast("double") / lit(total.toDouble), 4)
+          .as("rev_share"))
+      .orderBy("abc")
+  }
+
   /** OPEN-ORDER BACKLOG time series — the fulfillment-pipeline
     * depth chart (orders placed but not yet fully shipped, per day):
     * backlog(d) = Σ placed ≤ d − Σ fully-shipped ≤ d over the dense
