@@ -120,6 +120,7 @@ object SparkEntry {
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "ann_recall_curve" -> ((s, d) => Ann.ivfRecallCurve(s, d)),
     "ann_recall_at_k" -> ((s, d) => Ann.ivfRecallAtK(s, d)),
+    "ann_pareto_tuning" -> ((s, d) => Ann.ivfParetoTuning(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
     "hnsw_recall_report" -> ((s, d) => Ann.hnswRecallReport(s, d)),
     "search_ndcg" -> (Ann.ndcgReport _),
@@ -1565,6 +1566,47 @@ object SparkEntry {
     // the existing deterministic mirrors, composed
     // recall-vs-nprobe curve: four probe widths over the SAME
     // trained chain, overall recall@10 against the brute scan
+    // cost/recall frontier: the recall-curve blocks + probed-cell
+    // size sums (the probe's scan cost) per width
+    "ann_pareto_tuning" -> {
+      val blocks = Seq(1, 2, 3, 4).map { np =>
+        s"""pp$np AS (SELECT qid, cell FROM (SELECT q.qid, c.cell,
+           |  row_number() OVER (PARTITION BY q.qid
+           |    ORDER BY ${ivfCd("q.qv", "c.cv")}, c.cell) AS rn
+           |  FROM q CROSS JOIN c2 c) WHERE rn <= $np),
+           |ss$np AS (SELECT pp$np.qid, a.id,
+           |    list_cosine_similarity(a.v, q.qv) AS s
+           |  FROM af a JOIN pp$np ON a.cell = pp$np.cell
+           |  JOIN q ON pp$np.qid = q.qid),
+           |rr$np AS (SELECT qid, id FROM (SELECT qid, id,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY s DESC, id) AS rk
+           |  FROM ss$np WHERE s IS NOT NULL) WHERE rk <= 10)""".stripMargin
+      }.mkString(",\n")
+      val unions = Seq(1, 2, 3, 4).map { np =>
+        s"SELECT CAST($np AS BIGINT) AS nprobe, " +
+          s"CAST((SELECT count(*) FROM rr$np JOIN bf " +
+          s"ON rr$np.qid = bf.qid AND rr$np.id = bf.id) AS BIGINT) " +
+          s"AS n_hits, " +
+          s"CAST((SELECT sum(cs.csz) FROM pp$np " +
+          s"JOIN cs ON pp$np.cell = cs.cell) AS BIGINT) AS nc"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $ivfCtes,
+         |$blocks,
+         |cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS csz
+         |       FROM af GROUP BY 1),
+         |bd AS (SELECT q.qid, e2.id, list_cosine_similarity(e2.v, q.qv)
+         |         AS s
+         |       FROM e e2 CROSS JOIN q),
+         |br AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+         |         ORDER BY s DESC, id) AS rk
+         |       FROM bd WHERE s IS NOT NULL),
+         |bf AS (SELECT qid, id FROM br WHERE rk <= 10),
+         |u AS ($unions)
+         |SELECT nprobe, n_hits, round(n_hits / 50.0, 4) AS recall,
+         |  nc AS n_candidates, round(nc / 5.0, 4) AS cand_per_query
+         |FROM u ORDER BY nprobe""".stripMargin
+    },
     "ann_recall_curve" -> {
       val blocks = Seq(1, 2, 3, 4).map { np =>
         s"""pp$np AS (SELECT qid, cell FROM (SELECT q.qid, c.cell,

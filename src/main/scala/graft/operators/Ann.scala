@@ -2304,6 +2304,61 @@ object Ann {
       .orderBy("nprobe")
   }
 
+  /** COST/RECALL FRONTIER — the operating-point table an ANN
+    * deployment actually tunes with: [[ivfRecallCurve]] says what
+    * each probe width BUYS (recall), this adds what it COSTS
+    * (candidate rows scanned — the probe's IO/arithmetic, summed
+    * from the probed cells' sizes). One row per width: recall@10,
+    * total candidates, candidates/query. The cell-size table comes
+    * from the assignment (cells-sized, broadcast); evaluation joins
+    * stay Q×k-sized; the corpus is touched by the searches only.
+    */
+  def ivfParetoTuning(s: SparkSession, dir: String,
+                      nprobes: Seq[Int] = Seq(1, 2, 3, 4),
+                      k: Int = 10): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nq = q.count()
+    val cents = centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(e, 200)))
+    val csize = broadcast(assignTo(e, cents)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("csz")))
+    // ranked probe cells once at max width; width w's cells = rank ≤ w
+    val ranked = q.select(col("qid"),
+        posexplode(slice(array_sort(centroidDists(col("qvec"), cents)),
+          1, nprobes.max)))
+      .select(col("qid"), (col("pos") + 1).as("rnk"),
+        col("col.cell").as("cell"))
+      .join(csize, "cell")
+      .localCheckpoint(true)
+    val exact = Knn.topK(e, q, k, Knn.Metric.Cosine)
+      .select(col("qid"), col("nn_id"))
+      .localCheckpoint(true)
+    val rows = nprobes.map { np =>
+      val hits = ivfSearchWith(e, q, k, np, cents)
+        .select(col("qid"), col("nn_id"))
+        .join(exact, Seq("qid", "nn_id"), "left_semi")
+        .agg(count(lit(1)).as("h"))
+      val cost = ranked.where(col("rnk") <= np)
+        .agg(sum("csz").as("nc"))
+      hits.crossJoin(cost).select(lit(np.toLong).as("nprobe"),
+        col("h"), col("nc"))
+    }.reduce(_ unionByName _)
+    nprobes.map(_.toLong).toDF("nprobe").join(rows, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double")
+          / (lit(k) * lit(nq)).cast("double"), 4).as("recall"),
+        coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        round(coalesce(col("nc"), lit(0L)).cast("double")
+          / lit(nq).cast("double"), 4).as("cand_per_query"))
+      .orderBy("nprobe")
+  }
+
   /** RECALL@K CURVE — the cutoff-depth companion of
     * [[ivfRecallCurve]]'s probe-width curve: one row per k in
     * {1, 5, 10}, overall recall of the IVF path's top-k against the
