@@ -215,6 +215,7 @@ object SparkEntry {
     "events_power_analysis" -> (Analytics.eventsPowerAnalysis _),
     "orders_backlog" -> (Analytics.ordersBacklog _),
     "part_abc_analysis" -> (Analytics.partAbcAnalysis _),
+    "customer_cohort_ltv" -> (Analytics.customerCohortLtv _),
     "events_pattern_match" -> (Sequence.patternMatch _),
     "events_ab_test" -> (Analytics.eventsAbTest _),
     "events_ab_cuped" -> ((s, d) => Analytics.eventsAbCuped(s, d)),
@@ -2787,6 +2788,34 @@ object SparkEntry {
         |SELECT CAST(stage AS BIGINT) AS stage, name,
         |       CAST(count(*) AS BIGINT) AS users
         |FROM u GROUP BY 1, 2 ORDER BY stage""".stripMargin,
+    // cohort LTV triangle: exact-cents cells, cumulative window over
+    // each cohort's months-span frame
+    "customer_cohort_ltv" ->
+      """WITH fe AS (SELECT user_id,
+        |        CAST(min(date_diff('day', DATE '1970-01-01',
+        |          CAST(ts AS DATE)) // 7) AS BIGINT) AS cohort
+        |      FROM events GROUP BY 1),
+        |sp AS (SELECT e.user_id,
+        |        CAST(date_diff('day', DATE '1970-01-01',
+        |          CAST(e.ts AS DATE)) // 7 AS BIGINT) AS m,
+        |        CAST(round(e.value * 100) AS BIGINT) AS cents
+        |       FROM events e WHERE e.event_type = 'purchase'),
+        |cell AS (SELECT fe.cohort, sp.m - fe.cohort AS k,
+        |        CAST(sum(sp.cents) AS BIGINT) AS sc,
+        |        CAST(count(*) AS BIGINT) AS n_purchases
+        |       FROM sp JOIN fe ON sp.user_id = fe.user_id
+        |       GROUP BY 1, 2),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        |       FROM fe GROUP BY 1),
+        |cm AS (SELECT cell.cohort, cell.k, sz.n_users,
+        |        cell.n_purchases, cell.sc,
+        |        CAST(sum(cell.sc) OVER (PARTITION BY cell.cohort
+        |          ORDER BY cell.k) AS BIGINT) AS cum
+        |       FROM cell JOIN sz USING (cohort))
+        |SELECT cohort, k, n_users, n_purchases,
+        |  round(CAST(sc AS DOUBLE) / n_users / 100.0, 4) AS avg_spend,
+        |  round(CAST(cum AS DOUBLE) / n_users / 100.0, 4) AS cum_ltv
+        |FROM cm ORDER BY cohort, k""".stripMargin,
     // ABC classification: exact-cents revenue, one global window in
     // the mirror (the Spark side decomposes two-level), integer cuts
     "part_abc_analysis" ->

@@ -1372,6 +1372,46 @@ object Analytics {
       .limit(topN)
   }
 
+  /** COHORT LTV TRIANGLE — the lifetime-value table every growth
+    * dashboard draws (cohort = WEEK of a user's first event — the
+    * fixture spans one month, so weekly cohorts give the triangle
+    * real cells; a production run swaps the week index for a month
+    * index, same plan): per (cohort_week, k) the cohort's purchase
+    * value and the running cumulative average per cohort user — the
+    * curve whose plateau IS the LTV estimate. Exact integer cents
+    * per cell (the money rule); cohort sizes broadcast; the
+    * cumulative window runs over each cohort's ≤ weeks-span frame
+    * (metadata-sized). Week index = epoch-day div 7 — pure integer
+    * arithmetic on both engines. One scan for first-events
+    * (user-keyed, loader exchange), one for spend.
+    */
+  def customerCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val weekIdx = (datediff(col("ts").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long") / 7).cast("long")
+    val firstEv = ev.groupBy("user_id")
+      .agg(min(weekIdx).as("cohort"))
+    val spend = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), weekIdx.as("m"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .join(firstEv, "user_id")
+      .groupBy(col("cohort"), (col("m") - col("cohort")).as("k"))
+      .agg(sum("cents").as("sc"), count(lit(1)).as("n_purchases"))
+    val sizes = broadcast(firstEv.groupBy("cohort")
+      .agg(count(lit(1)).as("n_users")))
+    val w = Window.partitionBy("cohort").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spend.join(sizes, "cohort")
+      .withColumn("cum", sum("sc").over(w))
+      .select(col("cohort"), col("k"), col("n_users"),
+        col("n_purchases"),
+        round(col("sc").cast("double") / col("n_users") / lit(100.0), 4)
+          .as("avg_spend"),
+        round(col("cum").cast("double") / col("n_users") / lit(100.0), 4)
+          .as("cum_ltv"))
+      .orderBy("cohort", "k")
+  }
+
   /** ABC ANALYSIS — the classic inventory/revenue classification
     * (A: parts carrying the first 80% of revenue, B: to 95%, C: the
     * tail): per-part revenue in EXACT integer cents (round per row,
