@@ -216,6 +216,7 @@ object SparkEntry {
     "orders_backlog" -> (Analytics.ordersBacklog _),
     "part_abc_analysis" -> (Analytics.partAbcAnalysis _),
     "customer_cohort_ltv" -> (Analytics.customerCohortLtv _),
+    "events_dow_seasonality" -> (Analytics.eventsDowSeasonality _),
     "events_pattern_match" -> (Sequence.patternMatch _),
     "events_ab_test" -> (Analytics.eventsAbTest _),
     "events_ab_cuped" -> ((s, d) => Analytics.eventsAbCuped(s, d)),
@@ -2788,6 +2789,37 @@ object SparkEntry {
         |SELECT CAST(stage AS BIGINT) AS stage, name,
         |       CAST(count(*) AS BIGINT) AS users
         |FROM u GROUP BY 1, 2 ORDER BY stage""".stripMargin,
+    // dow seasonality index over the dense zero-filled grid; ISO
+    // weekday from epoch-day arithmetic ((d + 3) % 7 + 1)
+    "events_dow_seasonality" ->
+      """WITH ev AS (SELECT event_type,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS d
+        |      FROM events),
+        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+        |       FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |g AS (SELECT ty.event_type, gs.d
+        |      FROM ty CROSS JOIN
+        |        (SELECT unnest(range(b.lo, b.hi + 1)) AS d FROM b) gs),
+        |dense AS (SELECT g.event_type, g.d,
+        |        coalesce(daily.n, 0) AS n,
+        |        (g.d + 3) % 7 + 1 AS dow
+        |       FROM g LEFT JOIN daily
+        |         ON g.event_type = daily.event_type AND g.d = daily.d),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS st,
+        |        CAST(count(*) AS BIGINT) AS nd
+        |       FROM dense GROUP BY 1),
+        |dw AS (SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS sd,
+        |        CAST(count(*) AS BIGINT) AS ndw
+        |       FROM dense GROUP BY 1, 2)
+        |SELECT dw.event_type, CAST(dw.dow AS BIGINT) AS dow,
+        |  round(CAST(dw.sd AS DOUBLE) / dw.ndw, 4) AS dow_mean,
+        |  round((CAST(dw.sd AS DOUBLE) / dw.ndw)
+        |    / (CAST(tot.st AS DOUBLE) / tot.nd), 4) AS seasonal_index
+        |FROM dw JOIN tot USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
     // cohort LTV triangle: exact-cents cells, cumulative window over
     // each cohort's months-span frame
     "customer_cohort_ltv" ->

@@ -1372,6 +1372,47 @@ object Analytics {
       .limit(topN)
   }
 
+  /** DAY-OF-WEEK SEASONALITY INDEX — the multiplicative seasonal
+    * factor per (event type, ISO weekday) that the seasonal-naive
+    * forecast (events_forecast_naive) implicitly assumes and a
+    * deseasonalizing pipeline divides out: index = mean(count on
+    * that dow) / mean(count overall), both means single divisions of
+    * exact integer daily counts over the dense zero-filled grid (a
+    * missing day is a 0, not a skipped observation — the
+    * forecast-naive rule), bounds from the data. One scan → (type,
+    * day) aggregate; everything after is metadata-sized.
+    */
+  def eventsDowSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val daily = ev.groupBy("event_type", "d")
+      .agg(count(lit(1)).as("n"))
+    val meta = ev.agg(min("d").as("lo"), max("d").as("hi"),
+      collect_set("event_type").as("tys")).localCheckpoint(true)
+    val grid = meta.select(explode(col("tys")).as("event_type"))
+      .crossJoin(meta.select(explode(sequence(col("lo"), col("hi")))
+        .as("d")))
+    val dense = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      // ISO weekday from the epoch-day index: day 0 (1970-01-01) was
+      // a Thursday = 4; pure integer arithmetic on both engines
+      .withColumn("dow", (col("d") + 3) % 7 + 1)
+      .localCheckpoint(true)
+    val tot = dense.groupBy("event_type")
+      .agg(sum("n").as("st"), count(lit(1)).as("nd"))
+    dense.groupBy("event_type", "dow")
+      .agg(sum("n").as("sd"), count(lit(1)).as("ndw"))
+      .join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"),
+        round(col("sd").cast("double") / col("ndw"), 4).as("dow_mean"),
+        round((col("sd").cast("double") / col("ndw"))
+          / (col("st").cast("double") / col("nd")), 4)
+          .as("seasonal_index"))
+      .orderBy("event_type", "dow")
+  }
+
   /** COHORT LTV TRIANGLE — the lifetime-value table every growth
     * dashboard draws (cohort = WEEK of a user's first event — the
     * fixture spans one month, so weekly cohorts give the triangle

@@ -690,5 +690,14 @@ class AnnSpec extends SparkSuite {
       assert(flat.contains(k), s"indexed range invented pair $k")
       assert(flat(k) == s, s"score drifted for $k")
     }
+    // pruning pin: the index scan lists only probed cell partitions
+    val plan = Ann.ivfRangeQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pfs = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("cell"))
+      .toSeq
+    assert(pfs.nonEmpty && pfs.forall(l =>
+        !l.contains("PartitionFilters: []")),
+      s"range-search index scan not cell-pruned: $pfs")
   }
 }
