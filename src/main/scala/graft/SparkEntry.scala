@@ -163,6 +163,7 @@ object SparkEntry {
     "dedup_canonical" -> ((s, d) => Dedup.canonicalMap(s, d)),
     "dedup_jaccard_hist" -> ((s, d) => Dedup.jaccardHistogram(s, d)),
     "dedup_band_recall" -> ((s, d) => Dedup.bandRecallReport(s, d)),
+    "dedup_lsh_scurve" -> ((s, d) => Dedup.lshScurve(s, d)),
     "corpus_vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
@@ -3294,6 +3295,39 @@ object SparkEntry {
          |SELECT b / 10.0 AS bin_lo, CAST(count(*) AS BIGINT) AS n_pairs,
          |       min(j) AS min_j, max(j) AS max_j
          |FROM bins GROUP BY 1 ORDER BY bin_lo""".stripMargin,
+    // LSH S-curve: measured capture per jaccard decile + the
+    // multiplication-only theoretical 1-(1-s^3)^4 at decile midpoints
+    "dedup_lsh_scurve" ->
+      s"""WITH $bandCte,
+         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
+         |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+         |            count(*) AS n
+         |          FROM shx x JOIN shx y ON x.s = y.s
+         |            AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |jp AS (SELECT i.id1, i.id2,
+         |         least(CAST(floor((n*1.0/(c1.c + c2.c - n)) * 10)
+         |           AS BIGINT), 9) AS b
+         |       FROM inter i
+         |       JOIN card c1 ON i.id1 = c1.doc_id
+         |       JOIN card c2 ON i.id2 = c2.doc_id),
+         |cd AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |       FROM bk a JOIN bk b ON a.band = b.band
+         |         AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |fl AS (SELECT jp.b,
+         |        CASE WHEN cd.id1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |       FROM jp LEFT JOIN cd
+         |         ON jp.id1 = cd.id1 AND jp.id2 = cd.id2),
+         |g AS (SELECT b, CAST(count(*) AS BIGINT) AS n_true,
+         |        CAST(sum(hit) AS BIGINT) AS n_hit
+         |      FROM fl GROUP BY 1),
+         |t0 AS (SELECT *, (b * 2 + 1) / 20.0 AS sm FROM g),
+         |t1 AS (SELECT *, 1.0 - sm * sm * sm AS u FROM t0)
+         |SELECT b AS decile, n_true, n_hit,
+         |  round(n_hit * 1.0 / n_true, 4) AS capture_rate,
+         |  round(1.0 - (u * u) * (u * u), 4) AS theory_rate
+         |FROM t1 ORDER BY decile""".stripMargin,
     // band-recall audit: TRUE pairs from the shingle-intersection
     // join at the exact jaccard bar, candidates from the band
     // buckets; one summary row of exact counts

@@ -942,6 +942,52 @@ object Dedup {
       .toDF("n_true", "n_cand", "n_hit", "recall")
   }
 
+  /** LSH S-CURVE — [[bandRecallReport]] resolved per similarity
+    * band: for every pair sharing ≥1 shingle, its exact-jaccard
+    * decile, whether the banded candidate stage surfaced it, and the
+    * THEORETICAL capture probability 1 − (1 − s^r)^b at the decile
+    * midpoint (r=3 rows, b=4 bands — the deployed geometry). The
+    * measured-vs-theory pair is how an operator validates the
+    * banding parameters against their own corpus before trusting the
+    * textbook curve. Theory evaluates with MULTIPLICATIONS ONLY
+    * (s³ = s·s·s, x⁴ = (x·x)·(x·x)) — pow() is libm-defined and
+    * would not hash-match; the measured side reuses the blocked
+    * shingle-intersection join (work ∝ shared content, never N²).
+    */
+  def lshScurve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val ex = shingleRows(docs).localCheckpoint(true)
+    val card = ex.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = ex.as("x")
+      .join(ex.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n"))
+    val jp = inter
+      .join(card.select(col("doc_id").as("id1"), col("c").as("c1")), "id1")
+      .join(card.select(col("doc_id").as("id2"), col("c").as("c2")), "id2")
+      .select(col("id1"), col("id2"),
+        least(floor((col("n").cast("double")
+          / (col("c1") + col("c2") - col("n"))) * 10).cast("long"),
+          lit(9L)).as("b"))
+    val cand = bucketPairs(minhashBands(docs), "band", "band_key")
+      .select("id1", "id2").distinct()
+      .withColumn("hit", lit(1L))
+    jp.join(cand, Seq("id1", "id2"), "left")
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("sm", (col("b") * 2 + 1).cast("double") / lit(20.0))
+      .withColumn("u",
+        lit(1.0) - col("sm") * col("sm") * col("sm"))
+      .select(col("b").as("decile"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true"), 4)
+          .as("capture_rate"),
+        round(lit(1.0) - (col("u") * col("u")) * (col("u") * col("u")), 4)
+          .as("theory_rate"))
+      .orderBy("decile")
+  }
+
   /** SIMILARITY HISTOGRAM over the verified near-dup pairs — how
     * duplicate is the duplicate mass: pair counts per jaccard decile
     * band with exact band min/max (no float averaging; min/max of
