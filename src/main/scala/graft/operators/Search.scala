@@ -817,20 +817,67 @@ object Search {
     expr(s"CAST(conv(substring(md5(cast(${c.toString()} AS binary)), " +
       s"1, 4), 16, 10) AS BIGINT) % $SpellBuckets")
 
-  def spellIndexBuild(s: SparkSession, dir: String, path: String): Unit = {
-    val vocab = Tables.documents(s, dir)
-      .select(col("doc_id"),
+  /** DOC-GRANULAR rows (bk, dk, t, doc_id): every doc of a term
+    * appears under EACH of the term's keys, so any one key's rows
+    * carry the term's complete document frequency — and maintenance
+    * gets row-replacement idempotence (the postings-index property
+    * an aggregated df column cannot have: re-adding a batch would
+    * double-count it).
+    */
+  private def spellRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("dfreq"))
-    vocab.select(col("t"), col("dfreq"),
+      .select(col("doc_id"), col("t"),
         explode(delKeys(col("t"))).as("dk"))
       .withColumn("bk", spellBucket(col("dk")))
+
+  def spellIndexBuild(s: SparkSession, dir: String, path: String): Unit =
+    spellIndexBuildFrom(Tables.documents(s, dir), path)
+
+  def spellIndexBuildFrom(docs: DataFrame, path: String): Unit =
+    spellRows(docs)
       .write.mode("overwrite").partitionBy("bk").parquet(path)
+
+  /** CORPUS-GROWTH MAINTENANCE — the 7th maintained structure joins
+    * the family (IVF cells, kNN graph, HNSW layers, postings,
+    * signature index, z-order layout): a NEW document batch's
+    * (dk, t, doc_id) rows land in only the buckets its keys hash
+    * into (dynamic partition overwrite of survivors ∪ batch);
+    * re-inserting the same batch replaces its own rows — redelivery
+    * is a no-op — and insert-grown ≡ a rebuild on the union corpus
+    * because the rows ARE per-document facts, not aggregates.
+    */
+  def spellIndexInsert(s: SparkSession, path: String,
+                       newDocs: DataFrame): Unit = {
+    import s.implicits._
+    val batch = spellRows(newDocs).localCheckpoint(true)
+    val touched = batch.select("bk").distinct().as[Long].collect()
+    if (touched.isEmpty) return
+    val survivors = s.read.parquet(path)
+      .where(col("bk").isin(touched.toIndexedSeq: _*))
+      .join(broadcast(batch.select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "t", "dk", "bk")
+    val replacement = survivors
+      .unionByName(batch.select("doc_id", "t", "dk", "bk"))
+      .localCheckpoint(true)
+    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try replacement.write.mode("overwrite")
+      .partitionBy("bk").parquet(path)
+    finally prevMode match {
+      case Some(m) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   private def spellIdxPath(s: SparkSession, dir: String): String = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get("target", "tmp", s"spellidx-$key")
+    // v2: doc-granular layout (the version tag keeps a dir built by
+    // the aggregated-df scheme from being reused stale)
+    val path = java.nio.file.Paths.get("target", "tmp", s"spellidx2-$key")
       .toAbsolutePath.toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS")))
@@ -884,9 +931,12 @@ object Search {
       .localCheckpoint(true)
     val keys = qKeyed.select("dk").distinct().as[String].collect()
     val idx = spellProbeFrame(s, dir, keys)
+    // df recovered from the doc-granular rows: every doc of t sits
+    // under each of t's keys, so the probed rows carry the complete
+    // count per (term, t) — countDistinct dedupes the multi-key hits
     val hits = qKeyed.join(idx, "dk")
-      .select(col("qid"), col("pos"), col("term"), col("t"),
-        col("dfreq")).distinct()
+      .groupBy("qid", "pos", "term", "t")
+      .agg(countDistinct(col("doc_id")).as("dfreq"))
       .localCheckpoint(true)
     val exact = hits.where(col("t") === col("term"))
       .select(col("qid"), col("pos"), col("term").as("corr")).distinct()

@@ -325,6 +325,51 @@ class SearchSpec extends SparkSuite {
       "query deletion keys not pushed into the index scan")
   }
 
+  test("spell index insert: touched-bucket growth equals a rebuild, " +
+    "redelivery is a no-op, untouched buckets keep their files") {
+    import graft.operators.Search
+    import java.nio.file.Files
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "spellins")
+    val base = root.resolve("base").toString
+    val grown = root.resolve("grown").toString
+    try {
+      import spark.implicits._
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      // the batch introduces NEW vocabulary (the fixture's shared
+      // word-salad vocab would touch every bucket and mask locality)
+      val batch = Seq((90001L, "zzmarker quux"),
+        (90002L, "zzmarker spark")).toDF("doc_id", "text")
+      val all = docs.unionByName(batch)
+      Search.spellIndexBuildFrom(docs, grown)
+      val before = new java.io.File(grown).listFiles()
+        .filter(_.getName.startsWith("bk="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+      Search.spellIndexInsert(spark, grown, batch)
+      Search.spellIndexBuildFrom(all, base)
+      def rows(p: String) = spark.read.parquet(p)
+        .select("doc_id", "t", "dk", "bk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getAs[Number](3).longValue)).toSet
+      val grownSet = rows(grown)
+      assert(grownSet == rows(base),
+        "insert-grown spell index drifted from a full rebuild")
+      // redelivery: inserting the same batch again changes nothing
+      Search.spellIndexInsert(spark, grown, batch)
+      assert(rows(grown) == grownSet)
+      // locality: some bucket kept its original files (the batch's
+      // keys cannot hash into every bucket)
+      val after = new java.io.File(grown).listFiles()
+        .filter(_.getName.startsWith("bk="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+      assert(before.exists { case (b, fs) => after.get(b).contains(fs) },
+        "every bucket was rewritten — touched-set pruning lost")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("spell correction restores the clean queries: typo'd search " +
     "equals plain bm25 over the intended terms") {
     import graft.operators.Search
