@@ -370,6 +370,47 @@ class SearchSpec extends SparkSuite {
     }
   }
 
+  test("streamed documents maintain the spell dictionary ≡ rebuild " +
+    "of the final corpus") {
+    import graft.operators.Search
+    import graft.streaming.SpellMaintenance
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "spellstream")
+    val idx = root.resolve("idx").toString
+    val full = root.resolve("full").toString
+    val ckpt = root.resolve("ckpt").toString
+    try {
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      val boot = docs.where(col("doc_id") % 2 === 0)
+      val tail = docs.where(col("doc_id") % 2 =!= 0)
+        .as[(Long, String)].collect()
+      Search.spellIndexBuildFrom(boot, idx)
+      val stream = MemoryStream[(Long, String)]
+      val q = SpellMaintenance.attach(
+        stream.toDF().toDF("doc_id", "text"), idx, ckpt)
+      try {
+        tail.grouped(math.max(tail.length / 3, 1)).foreach { w =>
+          stream.addData(w.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      Search.spellIndexBuildFrom(docs, full)
+      def rows(p: String) = spark.read.parquet(p)
+        .select("doc_id", "t", "dk", "bk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getAs[Number](3).longValue)).toSet
+      assert(rows(idx) == rows(full),
+        "stream-maintained spell dictionary drifted from a rebuild")
+      assert(rows(idx).nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("spell correction restores the clean queries: typo'd search " +
     "equals plain bm25 over the intended terms") {
     import graft.operators.Search
