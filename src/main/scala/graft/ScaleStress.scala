@@ -44,10 +44,15 @@ object ScaleStress {
   // stay B-sized while the scan grows) and search_spell_correct
   // (replica suffixes grow the vocabulary ×factor, probing the
   // SymSpell deletion-block join's vocab-linear claim)
+  // r10 late wave adds graph_adamic_adar (wedge-join fan-out must
+  // follow degree, not corpus — the edge table grows linearly, the
+  // per-edge wedge work is k-bounded) and events_daily_agg (the IVM
+  // structure's cold build+serve: generation write is one aggregate
+  // pass, serving folds partials — both should track the scan)
   val queryNames: Seq[String] =
     Seq("knn_graph", "dedup_minhash_pairs", "text_bm25_indexed",
       "events_pattern_match", "ann_hnsw", "dsir_select",
-      "search_spell_correct")
+      "search_spell_correct", "graph_adamic_adar", "events_daily_agg")
 
   /** Replica id-space offset: far above any driver-generated id and
     * above the +100000/+200000/+300000 bands the synthetic-workload

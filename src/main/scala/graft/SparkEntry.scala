@@ -73,7 +73,9 @@ object SparkEntry {
     "vdb_delete" -> (Upsert.deleteQuery _),
     "vdb_snapshot_diff" -> (Upsert.snapshotDiffQuery _),
     "scd2_tombstones" -> (Upsert.scd2TombstoneQuery _),
+    "scd2_retention" -> (Upsert.scd2RetentionQuery _),
     "wal_delete_replay" -> (graft.sources.WalSource.deleteReplayQuery _),
+    "wal_compact_replay" -> (graft.sources.WalBinary.compactReplayQuery _),
     "vdb_remove" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val removed = e.where(col("vec_id") % 10 === 0).select("vec_id")
@@ -104,6 +106,9 @@ object SparkEntry {
     "mutual_knn_pairs" -> ((s, d) => Ann.mutualKnnPairs(s, d)),
     "graph_centrality" -> ((s, d) => Ann.graphCentrality(s, d)),
     "graph_triangles" -> ((s, d) => Ann.graphTriangles(s, d)),
+    "graph_adamic_adar" -> ((s, d) => Ann.adamicAdar(s, d)),
+    "graph_modularity" -> ((s, d) => Ann.graphModularity(s, d)),
+    "knn_graph_recall" -> ((s, d) => Ann.knnGraphRecall(s, d)),
     "events_bot_score" -> ((s, d) => Sequence.botScore(s, d)),
     "embed_knn_clusters" -> ((s, d) => Ann.embedKnnClusters(s, d)),
     "ann_nsw" -> (Ann.nswQuery _),
@@ -118,12 +123,15 @@ object SparkEntry {
     "embed_pca_var" -> (Pca.pcaVariance _),
     "events_forecast_naive" -> ((s, d) => Analytics.eventsForecastNaive(s, d)),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
+    "mrl_recall_curve" -> ((s, d) => Ann.mrlRecallCurve(s, d)),
+    "embed_drift_psi" -> ((s, d) => Ann.embedDriftPsi(s, d)),
     "ann_recall_curve" -> ((s, d) => Ann.ivfRecallCurve(s, d)),
     "ann_recall_at_k" -> ((s, d) => Ann.ivfRecallAtK(s, d)),
     "ann_pareto_tuning" -> ((s, d) => Ann.ivfParetoTuning(s, d)),
     "lsh_recall_report" -> ((s, d) => Ann.lshRecallReport(s, d)),
     "hnsw_recall_report" -> ((s, d) => Ann.hnswRecallReport(s, d)),
     "search_ndcg" -> (Ann.ndcgReport _),
+    "search_mrr" -> (Ann.mrrReport _),
     "embed_rp_knn" -> (Ann.rpKnnQuery _),
     "vdb_knn_mrl" -> ((s, d) => Knn.mrlSearch(emb(s, d), qset(s, d), 10)),
     "ann_ivf_mrl" -> (Ann.ivfMrlQuery _),
@@ -147,6 +155,7 @@ object SparkEntry {
     "mm_decode" -> (Multimodal.decodeQuery _),
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
+    "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergyQuery(s, d)),
     "mm_phash" -> (Multimodal.phashQuery _),
     "mm_resize" -> (Multimodal.resizeQuery _),
     "dedup_phash_hamming" -> ((s, d) => Multimodal.phashHammingQuery(s, d)),
@@ -201,6 +210,7 @@ object SparkEntry {
     "sketch_cms_topk" -> (Sketch.cmsTopTermsQuery _),
     "sketch_cms_grouped" -> (Sketch.cmsByLangQuery _),
     "knn_classify" -> ((s, d) => Classify.knnClassify(s, d)),
+    "knn_regression" -> ((s, d) => Classify.knnRegression(s, d)),
     "centroid_confusion" -> (Classify.nearestCentroid _),
     "corpus_health" -> (Sketch.corpusHealth _),
     "corpus_drift_psi" -> ((s, d) => Sketch.driftPsi(s, d)),
@@ -211,6 +221,7 @@ object SparkEntry {
     "decontam_overlap" -> (Decontam.contaminationQuery _),
     "decontam_semantic" -> ((s, d) => Decontam.semantic(s, d)),
     "events_funnel" -> (Analytics.eventsFunnel _),
+    "events_attribution" -> (Analytics.eventsAttribution _),
     "events_funnel_timing" -> (Analytics.eventsFunnelTiming _),
     "events_rolling_p95" -> ((s, d) => Analytics.eventsRollingP95(s, d)),
     "events_power_analysis" -> (Analytics.eventsPowerAnalysis _),
@@ -220,6 +231,8 @@ object SparkEntry {
     "events_dow_seasonality" -> (Analytics.eventsDowSeasonality _),
     "events_pattern_match" -> (Sequence.patternMatch _),
     "events_ab_test" -> (Analytics.eventsAbTest _),
+    "events_ab_sequential" -> ((s, d) => Analytics.eventsAbSequential(s, d)),
+    "events_funnel_ab" -> (Analytics.eventsFunnelAb _),
     "events_ab_cuped" -> ((s, d) => Analytics.eventsAbCuped(s, d)),
     "graph_assortativity" -> ((s, d) => Ann.graphAssortativity(s, d)),
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
@@ -268,6 +281,7 @@ object SparkEntry {
     "q1_agg" -> Analytics.q1PricingSummary _,
     "q4_semi" -> (Analytics.q4OrderPriority _),
     "bloom_prefilter_join" -> (BloomJoin.bloomQuery _),
+    "bloom_fpr_report" -> ((s, d) => BloomJoin.bloomFprReport(s, d)),
     "q6_filter_agg" -> (Analytics.q6ForecastRevenue _),
     "q3_join" -> Analytics.q3ShippingPriority _,
     "q5_join" -> Analytics.q5LocalSupplierVolume _,
@@ -279,6 +293,7 @@ object SparkEntry {
     "events_retention" -> (Analytics.eventsRetention _),
     "events_rollup_cube" -> (Analytics.eventsRollup _),
     "events_gap_fill" -> (Analytics.eventsGapFill(_, _)),
+    "events_user_features" -> (Analytics.eventsUserFeatures _),
     "events_ewma" -> (Analytics.eventsEwma _),
     "events_pivot" -> (Analytics.eventsPivot _),
     "events_top_paths" -> (Analytics.eventsTopPaths(_, _)),
@@ -294,6 +309,8 @@ object SparkEntry {
     "q11_important_parts" -> (Analytics.q11ImportantParts _),
     "q12_late_priority" -> (Analytics.q12LatePriority _),
     "basket_pairs" -> ((s, d) => Analytics.basketPairs(s, d)),
+    "part_item_cf" -> ((s, d) => Analytics.partItemCf(s, d)),
+    "part_trend_slope" -> ((s, d) => Analytics.partTrendSlope(s, d)),
     "supplier_wilson" -> ((s, d) => Analytics.supplierWilson(s, d)),
     "customer_rfm" -> ((s, d) => Analytics.customerRfm(s, d)),
     "supplier_lead_time" -> ((s, d) => Analytics.supplierLeadTime(s, d)),
@@ -308,12 +325,14 @@ object SparkEntry {
     "q22_global_sales" -> (Analytics.q22GlobalSales _),
     "q_window_topn" -> ((s, d) => Analytics.windowTopOrders(s, d)),
     "events_tumbling" -> Analytics.eventsTumbling _,
+    "events_daily_agg" -> (AggTable.dailyAggQuery _),
     "events_hopping" -> (Analytics.eventsHopping _),
     "events_anomaly" -> ((s, d) => Analytics.eventsAnomaly(s, d)),
     "events_anomaly_online" -> ((s, d) => Analytics.eventsAnomalyOnline(s, d)),
     "events_anomaly_mad" -> ((s, d) => Analytics.eventsAnomalyMad(s, d)),
     "events_changepoint" -> (Analytics.eventsChangepoint _),
     "text_top_terms" -> ((s, d) => TextOps.topTerms(s, d)),
+    "text_ngram_novelty" -> (TextOps.ngramNovelty _),
     "text_tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(s, d)),
     "text_surprisal" -> (TextOps.surprisal _),
     "text_bigram_surprisal" -> (TextOps.bigramSurprisal _),
@@ -337,6 +356,8 @@ object SparkEntry {
     "search_ltr_rerank" -> ((s, d) => Search.ltrQuery(s, d)),
     "search_prf_expand" -> ((s, d) => Search.prfQuery(s, d)),
     "search_spell_correct" -> ((s, d) => Search.spellCorrectQuery(s, d)),
+    "search_query_suggest" -> ((s, d) => Search.querySuggest(s, d)),
+    "search_facets" -> ((s, d) => Search.searchFacets(s, d)),
     "search_spell_indexed" -> ((s, d) => Search.spellCorrectIndexed(s, d)),
     "search_maxsim" -> (MaxSim.maxsimQuery _),
     "text_phrase_search" -> (Search.phraseSearchQuery _),
@@ -494,8 +515,12 @@ object SparkEntry {
     * erased, n_log_entries counting every record that mentioned the
     * id (deletes included).
     */
-  private val walDeleteReplayOracle =
-    """WITH logs AS (
+  /** Parse + LWW-rank CTE chain over the tombstone-wave synthetic
+    * log (through `r`), shared by the delete-replay and compaction
+    * oracles. Pre-stripped: interpolate with plain concatenation.
+    */
+  private val walDeleteParsedCtes =
+    """logs AS (
         |  SELECT vec_id AS log_id, 1 AS version, 'upsert' AS op,
         |         to_json(struct_pack(id := vec_id, vectors := embedding,
         |           int_field := CAST(label AS BIGINT),
@@ -533,10 +558,61 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY id
         |                           ORDER BY version DESC, log_id DESC) AS rk,
         |        count(*) OVER (PARTITION BY id) AS n_log_entries
-        |      FROM parsed WHERE op IN ('upsert', 'delete'))
+        |      FROM parsed WHERE op IN ('upsert', 'delete'))""".stripMargin
+
+  private val walDeleteReplayOracle =
+    "WITH " + walDeleteParsedCtes +
+      """
         |SELECT id, int_field, version, CAST(n_log_entries AS BIGINT)
         |  AS n_log_entries
         |FROM r WHERE rk = 1 AND op <> 'delete' ORDER BY id""".stripMargin
+
+  /** Live LWW state only — compaction collapses n_log_entries to 1
+    * by construction, so the compacted replay drops the column.
+    */
+  private val walCompactReplayOracle =
+    "WITH " + walDeleteParsedCtes +
+      """
+        |SELECT id, int_field, version
+        |FROM r WHERE rk = 1 AND op <> 'delete' ORDER BY id""".stripMargin
+
+  /** Parse + change-collapse + interval CTE chain of the tombstone
+    * log's SCD2 history (through `scd`), shared by the history and
+    * retention oracles. Pre-stripped: concatenate, do not re-strip.
+    */
+  private val scd2TombCtes =
+    """WITH log AS (
+        |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+        |         CAST(1 AS BIGINT) AS version, 'upsert' AS op
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 100 AS BIGINT), 2, 'upsert'
+        |  FROM embeddings WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 100 AS BIGINT), 3, 'upsert'
+        |  FROM embeddings WHERE vec_id % 14 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 300 AS BIGINT), 4, 'upsert'
+        |  FROM embeddings WHERE vec_id % 21 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(NULL AS BIGINT), 5, 'delete'
+        |  FROM embeddings WHERE vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT vec_id, CAST(label + 500 AS BIGINT), 6, 'upsert'
+        |  FROM embeddings WHERE vec_id % 15 = 0),
+        |chg AS (SELECT id, label, version, op,
+        |          lag(label) OVER w AS pl, lag(op) OVER w AS po
+        |        FROM log
+        |        WINDOW w AS (PARTITION BY id ORDER BY version)),
+        |keep AS (SELECT id, label, version, op FROM chg
+        |         WHERE NOT (label IS NOT DISTINCT FROM pl
+        |                AND op IS NOT DISTINCT FROM po)),
+        |scd AS (SELECT id, label, op, version AS valid_from,
+        |          lead(version) OVER (PARTITION BY id ORDER BY version)
+        |            AS valid_to
+        |        FROM keep)"""
+      .stripMargin
+
 
   /** Shared BM25 CTE chain (through ranked results `r`) mirroring
     * Search.bm25TopK exactly: same whitespace tokenization, same
@@ -1268,6 +1344,82 @@ object SparkEntry {
          |WHERE g1.qid < g1.id ORDER BY id_a, id_b""".stripMargin,
     // triangles as ordered triples a<b<c over the canonical mutual
     // edges; coefficient from integer (triangles, degree)
+    // Adamic-Adar link prediction: wedges over the symmetric mutual
+    // edge list, existing edges anti-joined away, 1/ln(degree)
+    // summed per common neighbor
+    // Newman modularity per dup-cluster community: exact integer
+    // moments (m, internal edges, degree sums) over the mutual graph
+    "graph_modularity" ->
+      s"""WITH RECURSIVE $ivfGraphCtes,
+         |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
+         |pairs AS (SELECT g1.qid AS id1, g1.id AS id2
+         |          FROM g g1 JOIN g g2 ON g1.qid = g2.id AND g1.id = g2.qid
+         |          WHERE g1.qid < g1.id),
+         |$closureCte,
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+         |wc AS (SELECT p.id1, p.id2, c1.cluster_id AS ca,
+         |         c2.cluster_id AS cb
+         |       FROM pairs p JOIN cl c1 ON p.id1 = c1.id
+         |       JOIN cl c2 ON p.id2 = c2.id),
+         |mi AS (SELECT ca AS cluster_id, CAST(count(*) AS BIGINT) AS m_in
+         |       FROM wc WHERE ca = cb GROUP BY 1),
+         |sym AS (SELECT id1 AS a FROM pairs
+         |        UNION ALL SELECT id2 FROM pairs),
+         |dg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d
+         |       FROM sym GROUP BY 1),
+         |dc AS (SELECT cl.cluster_id, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(dg.d) AS BIGINT) AS d_sum
+         |       FROM cl JOIN dg ON cl.id = dg.id GROUP BY 1)
+         |SELECT dc.cluster_id, dc.n_nodes,
+         |       CAST(coalesce(mi.m_in, 0) AS BIGINT) AS m_in, dc.d_sum,
+         |       round(CAST(coalesce(mi.m_in, 0) AS DOUBLE) / m.m
+         |         - (CAST(dc.d_sum AS DOUBLE) / (2 * m.m))
+         |           * (CAST(dc.d_sum AS DOUBLE) / (2 * m.m)), 4) AS q_c
+         |FROM dc LEFT JOIN mi USING (cluster_id) CROSS JOIN m
+         |ORDER BY cluster_id""".stripMargin,
+    // graph quality: measured recall of the IVF-blocked kNN graph
+    // vs the exact kNN on the vec_id < 50 sample
+    "knn_graph_recall" ->
+      s"""WITH $ivfGraphCtes,
+         |ap AS (SELECT qid, id FROM gr WHERE rk <= 5 AND qid < 50),
+         |qs AS (SELECT qid, qv FROM q WHERE qid < 50),
+         |bd AS (SELECT qs.qid, e2.id,
+         |         list_cosine_similarity(e2.v, qs.qv) AS s
+         |       FROM e e2 CROSS JOIN qs WHERE e2.id <> qs.qid),
+         |br AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+         |         ORDER BY s DESC, id) AS rk
+         |       FROM bd WHERE s IS NOT NULL),
+         |ex AS (SELECT qid, id FROM br WHERE rk <= 5),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM ap JOIN ex ON ap.qid = ex.qid AND ap.id = ex.id),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ap),
+         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+         |SELECT CAST(50 AS BIGINT) AS n_queries, ne.n_edges, nx.n_exact,
+         |       h.n_hits,
+         |       round(CAST(h.n_hits AS DOUBLE) / nx.n_exact, 4) AS recall
+         |FROM h CROSS JOIN ne CROSS JOIN nx""".stripMargin,
+    "graph_adamic_adar" ->
+      s"""WITH $ivfGraphCtes,
+         |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
+         |mu AS (SELECT g1.qid AS id_a, g1.id AS id_b
+         |       FROM g g1 JOIN g g2 ON g1.qid = g2.id AND g1.id = g2.qid
+         |       WHERE g1.qid < g1.id),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM mu
+         |        UNION ALL SELECT id_b, id_a FROM mu),
+         |dg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d
+         |       FROM sym GROUP BY 1),
+         |wedge AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |          FROM sym e1 JOIN sym e2 ON e1.b = e2.a
+         |          WHERE e1.a < e2.b),
+         |cand AS (SELECT w.a, w.b, w.c FROM wedge w
+         |         WHERE NOT EXISTS (SELECT 1 FROM mu
+         |           WHERE mu.id_a = w.a AND mu.id_b = w.c))
+         |SELECT cand.a AS id_a, cand.c AS id_b,
+         |       CAST(count(*) AS BIGINT) AS n_common,
+         |       round(sum(CAST(1 AS DOUBLE) / ln(dg.d)), 4) AS aa_score
+         |FROM cand JOIN dg ON dg.id = cand.b
+         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     "graph_triangles" ->
       s"""WITH $ivfGraphCtes,
          |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
@@ -1610,6 +1762,65 @@ object SparkEntry {
          |  nc AS n_candidates, round(nc / 5.0, 4) AS cand_per_query
          |FROM u ORDER BY nprobe""".stripMargin
     },
+    // MRL curve: pure-prefix ranking per width vs the full-dim exact
+    // scan; zero-hit widths kept by the left join
+    "mrl_recall_curve" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |bd AS (SELECT q.qid, e2.id, list_cosine_similarity(e2.v, q.qv)
+        |         AS s
+        |       FROM e e2 CROSS JOIN q),
+        |br AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+        |         ORDER BY s DESC, id) AS rk
+        |       FROM bd WHERE s IS NOT NULL),
+        |ex AS (SELECT qid, id FROM br WHERE rk <= 10),
+        |dims AS (SELECT unnest([4, 8, 16, 32]) AS pd),
+        |pl AS (SELECT dims.pd, q.qid, e2.id,
+        |         list_cosine_similarity(e2.v[1:dims.pd],
+        |           q.qv[1:dims.pd]) AS s
+        |       FROM e e2 CROSS JOIN q CROSS JOIN dims),
+        |pp AS (SELECT pd, qid, id, s,
+        |         row_number() OVER (PARTITION BY pd, qid
+        |                            ORDER BY s DESC, id) AS rk
+        |       FROM pl WHERE s IS NOT NULL),
+        |sys AS (SELECT pd, qid, id FROM pp WHERE rk <= 10),
+        |hits AS (SELECT pd, CAST(count(*) AS BIGINT) AS n_hits
+        |         FROM sys JOIN ex ON sys.qid = ex.qid AND sys.id = ex.id
+        |         GROUP BY 1),
+        |den AS (SELECT CAST(count(*) AS BIGINT) AS denom FROM ex)
+        |SELECT CAST(dims.pd AS BIGINT) AS prefix_dims,
+        |       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+        |       round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE)
+        |         / den.denom, 4) AS recall
+        |FROM dims LEFT JOIN hits ON dims.pd = hits.pd CROSS JOIN den
+        |ORDER BY prefix_dims""".stripMargin,
+    // vector-space PSI between ingest waves over the shared IVF
+    // cells; per-cell terms micro-rounded BIGINTs (order-free sum)
+    "embed_drift_psi" ->
+      s"""WITH $ivfCtes,
+         |wv AS (SELECT cell, id % 2 = 0 AS ha FROM af),
+         |cl AS (SELECT cell,
+         |         CAST(sum(CASE WHEN ha THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS ca,
+         |         CAST(sum(CASE WHEN NOT ha THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS cb
+         |       FROM wv GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+         |          CAST(sum(cb) AS BIGINT) AS tb,
+         |          CAST(count(*) AS BIGINT) AS nc
+         |        FROM cl),
+         |tm AS (SELECT tot.ta, tot.tb, tot.nc,
+         |         CAST(round(((ca + 1) * 1.0 / (ta + nc)
+         |           - (cb + 1) * 1.0 / (tb + nc))
+         |           * ln(((ca + 1) * 1.0 / (ta + nc))
+         |           / ((cb + 1) * 1.0 / (tb + nc))) * 1000000) AS BIGINT)
+         |           AS tm
+         |        FROM cl CROSS JOIN tot)
+         |SELECT max(ta) AS n_a, max(tb) AS n_b, max(nc) AS n_cells,
+         |       round(CAST(sum(tm) AS DOUBLE) / 1000000.0, 4) AS psi
+         |FROM tm""".stripMargin,
     "ann_recall_curve" -> {
       val blocks = Seq(1, 2, 3, 4).map { np =>
         s"""pp$np AS (SELECT qid, cell FROM (SELECT q.qid, c.cell,
@@ -1698,6 +1909,41 @@ object SparkEntry {
     // nDCG@10 of the IVF path: graded relevance 11−rank from the
     // exact cosine top-10, discounted by log2(rank+1) over the
     // system's own ordering; idcg from the exact list's own ranks
+    // MRR legs share the ndcg oracle's system/exact scans; rr_top1
+    // tracks the exact rank-1 item, rr_first_rel any exact-top-10
+    "search_mrr" ->
+      s"""WITH $ivfCtes,
+         |sc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv)
+         |         AS s
+         |       FROM af a JOIN pr ON a.cell = pr.cell
+         |       JOIN q ON pr.qid = q.qid),
+         |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+         |        ORDER BY s DESC, id) AS rk
+         |      FROM sc WHERE s IS NOT NULL),
+         |sys AS (SELECT qid, id, rk FROM r WHERE rk <= 10),
+         |bd AS (SELECT q.qid, e2.id, list_cosine_similarity(e2.v, q.qv)
+         |         AS s
+         |       FROM e e2 CROSS JOIN q),
+         |br AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+         |         ORDER BY s DESC, id) AS rk
+         |       FROM bd WHERE s IS NOT NULL),
+         |ex AS (SELECT qid, id, rk AS erk FROM br WHERE rk <= 10),
+         |h AS (SELECT s.qid, s.rk, ex.erk FROM sys s
+         |      JOIN ex ON s.qid = ex.qid AND s.id = ex.id),
+         |t1 AS (SELECT qid, min(rk) AS r1 FROM h WHERE erk = 1
+         |       GROUP BY 1),
+         |ta AS (SELECT qid, min(rk) AS ra,
+         |         CAST(count(*) AS BIGINT) AS n_rel_found
+         |       FROM h GROUP BY 1)
+         |SELECT q.qid,
+         |       round(coalesce(CAST(1 AS DOUBLE) / t1.r1, 0), 4)
+         |         AS rr_top1,
+         |       round(coalesce(CAST(1 AS DOUBLE) / ta.ra, 0), 4)
+         |         AS rr_first_rel,
+         |       CAST(coalesce(ta.n_rel_found, 0) AS BIGINT)
+         |         AS n_rel_found
+         |FROM q LEFT JOIN t1 ON q.qid = t1.qid
+         |LEFT JOIN ta ON q.qid = ta.qid ORDER BY q.qid""".stripMargin,
     "search_ndcg" ->
       s"""WITH $ivfCtes,
          |sc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv)
@@ -2063,12 +2309,36 @@ object SparkEntry {
       s"""WITH $bm25Ctes
          |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
          |ORDER BY qid, rk""".stripMargin,
+    // facets from the RESULT SET: lang/source distributions of the
+    // bm25 top-10, stacked facet dims
+    "search_facets" ->
+      s"""WITH $bm25Ctes,
+         |h AS (SELECT r.qid, d.lang, d.source
+         |      FROM r JOIN documents d USING (doc_id) WHERE r.rk <= 10),
+         |u AS (SELECT qid, 'lang' AS facet, lang AS value FROM h
+         |      UNION ALL SELECT qid, 'source', source FROM h)
+         |SELECT qid, facet, value, CAST(count(*) AS BIGINT) AS n
+         |FROM u GROUP BY 1, 2, 3 ORDER BY qid, facet, value""".stripMargin,
     "search_mmr_rerank" -> mmrOracle,
     // spell correction: OOV query terms replaced by their ED-1 vocab
     // neighbor (df DESC, term tiebreak; naive levenshtein join here
     // — the Spark side uses SymSpell deletion blocking), corrected
     // queries feed the SAME bm25 chain via the custom q source
     "search_spell_correct" -> spellOracle,
+    // autocomplete: top-3 completions per 2-char vocabulary prefix
+    // by document frequency (same distinct-per-doc tokenization)
+    "search_query_suggest" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, t.term FROM documents,
+        |                unnest(string_split(text, ' ')) AS t(term)
+        |              WHERE len(t.term) >= 3),
+        |v AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |      FROM toks GROUP BY 1 HAVING count(*) >= 5),
+        |p AS (SELECT substr(term, 1, 2) AS prefix, term, df,
+        |        row_number() OVER (PARTITION BY substr(term, 1, 2)
+        |                           ORDER BY df DESC, term) AS rk
+        |      FROM v)
+        |SELECT prefix, rk, term, df FROM p WHERE rk <= 3
+        |ORDER BY prefix, rk""".stripMargin,
     // persisted-dictionary twin: identical correction semantics
     // (SearchSpec pins equality + bucket pruning), shares the oracle
     "search_spell_indexed" -> spellOracle,
@@ -2415,6 +2685,7 @@ object SparkEntry {
         |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "wal_json_replay" -> walReplayOracle,
     "wal_delete_replay" -> walDeleteReplayOracle,
+    "wal_compact_replay" -> walCompactReplayOracle,
     "wal_binary_replay" -> walReplayOracle,
     "wal_dsv2_replay" -> walReplayOracle,
     "wal_file_replay" -> walReplayOracle,
@@ -2540,6 +2811,38 @@ object SparkEntry {
         |          c -> ascii(c)), 'sum') * 1.0 / length(text), 4)
         |    AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // audio leg: payload as 8-bit PCM centered at 96, 64-sample
+    // windows — integer-exact energy until the final sqrt/divisions
+    "mm_audio_energy" ->
+      """WITH sm AS (SELECT doc_id, i - 1 AS pos,
+        |              ord(substr(text, CAST(i AS INTEGER), 1)) - 96 AS x
+        |            FROM documents,
+        |              unnest(range(1, len(text) + 1)) AS t(i)),
+        |zc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |         CAST(sum(CASE WHEN px IS NOT NULL AND x * px < 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+        |       FROM (SELECT doc_id, x,
+        |               lag(x, 1) OVER (PARTITION BY doc_id
+        |                               ORDER BY pos) AS px
+        |             FROM sm)
+        |       GROUP BY 1),
+        |wd AS (SELECT doc_id, pos // 64 AS w,
+        |         CAST(count(*) AS BIGINT) AS wn,
+        |         CAST(sum(x * x) AS BIGINT) AS ss
+        |       FROM sm GROUP BY 1, 2 HAVING count(*) = 64),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |         max(ss) AS peak_ss, CAST(sum(ss) AS BIGINT) AS sum_ss
+        |       FROM wd GROUP BY 1)
+        |SELECT zc.doc_id, zc.n_samples,
+        |       CAST(coalesce(pd.n_windows, 0) AS BIGINT) AS n_windows,
+        |       round(sqrt(CAST(coalesce(pd.peak_ss, 0) AS DOUBLE) / 64), 4)
+        |         AS peak_rms,
+        |       round(CAST(coalesce(pd.sum_ss, 0) AS DOUBLE)
+        |         / (coalesce(pd.n_windows, 1) * 64), 4) AS mean_energy,
+        |       round(CAST(zc.crossings AS DOUBLE)
+        |         / (zc.n_samples - 1), 4) AS zcr
+        |FROM zc LEFT JOIN pd ON zc.doc_id = pd.doc_id
+        |ORDER BY zc.doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id,
         |  list_transform(range(0, (length(text)-1)//16 + 1),
@@ -2774,6 +3077,89 @@ object SparkEntry {
          |FROM hsel WHERE rn = 1 ORDER BY anchor_id, pos_id""".stripMargin,
     // funnel: stage k = first qualifying event at/after stage k-1's
     // time, per user; counts integer-exact, monotone by construction
+    // multi-touch attribution: user-keyed 7-day band join, last
+    // touch by (ts, event_id), linear credit summed per distinct
+    // touch count (integer counts first, bounded float reduction)
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS t_id, user_id, ts AS t_ts,
+        |             event_type AS t_type
+        |      FROM events
+        |      WHERE event_type IN ('view', 'click', 'signup')),
+        |pt AS (SELECT p.p_id, t.t_id, t.t_type, t.t_ts
+        |       FROM p JOIN t ON p.user_id = t.user_id
+        |         AND t.t_ts < p.p_ts
+        |         AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+        |per AS (SELECT p_id, CAST(count(*) AS BIGINT) AS n_touch
+        |        FROM pt GROUP BY 1),
+        |lastt AS (SELECT p_id, t_type FROM (
+        |            SELECT p_id, t_type,
+        |              row_number() OVER (PARTITION BY p_id
+        |                ORDER BY t_ts DESC, t_id DESC) AS rn
+        |            FROM pt) WHERE rn = 1),
+        |ln0 AS (SELECT pt.t_type, per.n_touch,
+        |          CAST(count(*) AS BIGINT) AS c
+        |        FROM pt JOIN per USING (p_id) GROUP BY 1, 2),
+        |lin AS (SELECT t_type AS event_type,
+        |          CAST(sum(c) AS BIGINT) AS touches,
+        |          sum(c * 1.0 / n_touch) AS lc
+        |        FROM ln0 GROUP BY 1),
+        |la AS (SELECT t_type AS event_type,
+        |         CAST(count(*) AS BIGINT) AS last_touch
+        |       FROM lastt GROUP BY 1),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p
+        |      WHERE NOT EXISTS (SELECT 1 FROM per
+        |                        WHERE per.p_id = p.p_id))
+        |SELECT coalesce(lin.event_type, la.event_type) AS event_type,
+        |       CAST(coalesce(lin.touches, 0) AS BIGINT) AS touches,
+        |       CAST(coalesce(la.last_touch, 0) AS BIGINT)
+        |         AS last_touch,
+        |       round(coalesce(lin.lc, 0), 4) AS linear_credit
+        |FROM lin FULL JOIN la ON lin.event_type = la.event_type
+        |UNION ALL
+        |SELECT 'direct', CAST(0 AS BIGINT), n, round(n * 1.0, 4)
+        |FROM d
+        |ORDER BY event_type""".stripMargin,
+    // funnel x experiment: two-proportion z per transition on the
+    // shared staged-funnel definition, pooled p-hat
+    "events_funnel_ab" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |      GROUP BY 1),
+        |g AS (SELECT v.user_id % 2 AS variant,
+        |        CAST(count(*) AS BIGINT) AS nv,
+        |        CAST(count(c.user_id) AS BIGINT) AS nc,
+        |        CAST(count(p.user_id) AS BIGINT) AS np
+        |      FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |      LEFT JOIN p ON v.user_id = p.user_id GROUP BY 1),
+        |tr AS (SELECT variant, 'view_to_click' AS transition,
+        |         nv AS n, nc AS conv FROM g
+        |       UNION ALL
+        |       SELECT variant, 'click_to_purchase', nc, np FROM g),
+        |j AS (SELECT a.transition, a.n AS n_a, a.conv AS conv_a,
+        |        b.n AS n_b, b.conv AS conv_b,
+        |        CAST(a.conv + b.conv AS DOUBLE) / (a.n + b.n) AS ph
+        |      FROM tr a JOIN tr b ON a.transition = b.transition
+        |        AND a.variant = 0 AND b.variant = 1)
+        |SELECT transition, n_a, conv_a, n_b, conv_b,
+        |       round(CAST(conv_a AS DOUBLE) / n_a, 4) AS rate_a,
+        |       round(CAST(conv_b AS DOUBLE) / n_b, 4) AS rate_b,
+        |       CASE WHEN conv_a + conv_b > 0
+        |             AND conv_a + conv_b < n_a + n_b
+        |         THEN round((CAST(conv_a AS DOUBLE) / n_a
+        |             - CAST(conv_b AS DOUBLE) / n_b)
+        |           / sqrt(ph * (1.0 - ph)
+        |             * (CAST(1 AS DOUBLE) / n_a
+        |               + CAST(1 AS DOUBLE) / n_b)), 4)
+        |         ELSE 0.0 END AS z
+        |FROM j ORDER BY transition""".stripMargin,
     "events_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
         |           WHERE event_type = 'view' GROUP BY 1),
@@ -3018,6 +3404,45 @@ object SparkEntry {
     // variance, and z evaluate identical doubles from identical
     // BIGINTs on both engines (z is scale-invariant — micro units
     // throughout, no /100 to disagree on)
+    // sequential peeking curve: cumulative Welch z per day on exact
+    // integer running moments, constant 2.797 boundary
+    "events_ab_sequential" ->
+      """WITH e AS (SELECT user_id % 2 AS variant,
+        |             CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+        |             CAST(round(value * 100) AS BIGINT) AS micro
+        |           FROM events),
+        |g AS (SELECT variant, d, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(micro) AS BIGINT) AS sx,
+        |        CAST(sum(micro * micro) AS BIGINT) AS qx
+        |      FROM e GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT d FROM e),
+        |vs AS (SELECT unnest(range(0, 2)) AS variant),
+        |z AS (SELECT vs.variant, days.d,
+        |        coalesce(g.n, 0) AS n, coalesce(g.sx, 0) AS sx,
+        |        coalesce(g.qx, 0) AS qx
+        |      FROM days CROSS JOIN vs
+        |      LEFT JOIN g ON g.variant = vs.variant AND g.d = days.d),
+        |c AS (SELECT variant, d,
+        |        CAST(sum(n) OVER pw AS BIGINT) AS cn,
+        |        CAST(sum(sx) OVER pw AS BIGINT) AS cs,
+        |        CAST(sum(qx) OVER pw AS BIGINT) AS cq
+        |      FROM z WINDOW pw AS (PARTITION BY variant ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |j AS (SELECT a.d, a.cn AS n_a, b.cn AS n_b,
+        |        (CAST(a.cs AS DOUBLE) / a.cn - CAST(b.cs AS DOUBLE) / b.cn)
+        |          / sqrt(CAST(a.cn * a.cq - a.cs * a.cs AS DOUBLE)
+        |              / CAST(a.cn * (a.cn - 1) AS DOUBLE) / a.cn
+        |            + CAST(b.cn * b.cq - b.cs * b.cs AS DOUBLE)
+        |              / CAST(b.cn * (b.cn - 1) AS DOUBLE) / b.cn) AS z
+        |      FROM c a JOIN c b ON a.d = b.d
+        |        AND a.variant = 0 AND b.variant = 1
+        |      WHERE a.cn > 1 AND b.cn > 1)
+        |SELECT CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS VARCHAR)
+        |         AS day,
+        |       n_a, n_b, round(z, 4) AS z,
+        |       CAST(CASE WHEN abs(z) >= 2.797 THEN 1 ELSE 0 END
+        |         AS BIGINT) AS signif
+        |FROM j ORDER BY day""".stripMargin,
     "events_ab_test" ->
       """WITH m AS (SELECT event_type, user_id % 2 AS variant,
         |             CAST(round(value * 100) AS BIGINT) AS micro
@@ -4103,6 +4528,29 @@ object SparkEntry {
     // kNN majority-vote classifier: top-5 cosine neighbors (rank ties
     // by id, the repo-wide discipline), votes counted per label,
     // winner = max votes with smaller-label tiebreak
+    // kNN regression: mean of 5 neighbor labels (integer-exact) and
+    // the (rounded-score + 1)-weighted mean
+    "knn_regression" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(label AS DOUBLE)
+        |             AS true_value, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+        |             embedding::DOUBLE[] AS v
+        |      FROM embeddings WHERE vec_id >= 10),
+        |d AS (SELECT q.qid, c.id, c.label,
+        |             list_cosine_similarity(c.v, q.qv) AS s
+        |      FROM c CROSS JOIN q),
+        |r AS (SELECT qid, id, label, round(s, 4) AS s,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY s DESC, id) AS rk
+        |      FROM d WHERE s IS NOT NULL),
+        |a AS (SELECT qid, CAST(sum(label) AS DOUBLE) / 5 AS pm,
+        |             sum((s + 1.0) * label) / sum(s + 1.0) AS pw
+        |      FROM r WHERE rk <= 5 GROUP BY 1)
+        |SELECT q.qid, q.true_value, round(a.pm, 4) AS pred_mean,
+        |       round(a.pw, 4) AS pred_wmean,
+        |       round(abs(q.true_value - a.pm), 4) AS abs_err
+        |FROM a JOIN q ON a.qid = q.qid ORDER BY q.qid""".stripMargin,
     "knn_classify" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(label AS BIGINT)
         |             AS true_label, embedding::DOUBLE[] AS qv
@@ -4678,40 +5126,25 @@ object SparkEntry {
     // live interval; the change-collapse compares (label, op) so a
     // resurrection always opens a fresh interval
     "scd2_tombstones" ->
-      """WITH log AS (
-        |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
-        |         CAST(1 AS BIGINT) AS version, 'upsert' AS op
-        |  FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id, CAST(label + 100 AS BIGINT), 2, 'upsert'
-        |  FROM embeddings WHERE vec_id % 7 = 0
-        |  UNION ALL
-        |  SELECT vec_id, CAST(label + 100 AS BIGINT), 3, 'upsert'
-        |  FROM embeddings WHERE vec_id % 14 = 0
-        |  UNION ALL
-        |  SELECT vec_id, CAST(label + 300 AS BIGINT), 4, 'upsert'
-        |  FROM embeddings WHERE vec_id % 21 = 0
-        |  UNION ALL
-        |  SELECT vec_id, CAST(NULL AS BIGINT), 5, 'delete'
-        |  FROM embeddings WHERE vec_id % 5 = 0
-        |  UNION ALL
-        |  SELECT vec_id, CAST(label + 500 AS BIGINT), 6, 'upsert'
-        |  FROM embeddings WHERE vec_id % 15 = 0),
-        |chg AS (SELECT id, label, version, op,
-        |          lag(label) OVER w AS pl, lag(op) OVER w AS po
-        |        FROM log
-        |        WINDOW w AS (PARTITION BY id ORDER BY version)),
-        |keep AS (SELECT id, label, version, op FROM chg
-        |         WHERE NOT (label IS NOT DISTINCT FROM pl
-        |                AND op IS NOT DISTINCT FROM po)),
-        |scd AS (SELECT id, label, op, version AS valid_from,
-        |          lead(version) OVER (PARTITION BY id ORDER BY version)
-        |            AS valid_to
-        |        FROM keep)
-        |SELECT id, label, valid_from, valid_to,
-        |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
-        |         AS is_current
-        |FROM scd WHERE op <> 'delete' ORDER BY id, valid_from""".stripMargin,
+      (scd2TombCtes +
+        """
+          |SELECT id, label, valid_from, valid_to,
+          |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+          |         AS is_current
+          |FROM scd WHERE op <> 'delete' ORDER BY id, valid_from"""
+        .stripMargin),
+    // retention at horizon 4: closed-before-horizon intervals gone,
+    // open and post-horizon intervals identical to the full history
+    "scd2_retention" ->
+      (scd2TombCtes +
+        """
+          |SELECT id, label, valid_from, valid_to,
+          |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+          |         AS is_current
+          |FROM scd WHERE op <> 'delete'
+          |  AND (valid_to IS NULL OR valid_to > 4)
+          |ORDER BY id, valid_from"""
+        .stripMargin),
     "vdb_remove" ->
       """SELECT CAST(label AS BIGINT) AS label,
         |       CAST(count(*) AS BIGINT) AS n,
@@ -4822,6 +5255,44 @@ object SparkEntry {
     // the Bloom prefilter has no false negatives and the join removes
     // its false positives, so the oracle is the PLAIN join — result
     // equality proves the prefilter is a pure pruning step
+    // deterministic textbook bloom (bit_j = md5_60(j|key) mod m),
+    // measured FPR on disjoint probes vs (1-(1-1/m)^kn)^k
+    "bloom_fpr_report" ->
+      """WITH mem AS (SELECT c_custkey AS key FROM customer),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mem),
+        |js AS (SELECT unnest(range(0, 6)) AS j),
+        |ks AS (SELECT unnest(range(1, 7)) AS k),
+        |bits AS (SELECT DISTINCT js.j,
+        |           CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || '|'
+        |             || CAST(mem.key AS VARCHAR)), 1, 15) AS BIGINT)
+        |             % 16384 AS bit
+        |         FROM mem CROSS JOIN js),
+        |bk AS (SELECT DISTINCT ks.k, bits.bit
+        |       FROM ks JOIN bits ON bits.j < ks.k),
+        |sb AS (SELECT k, CAST(count(*) AS BIGINT) AS n_bits_set
+        |       FROM bk GROUP BY 1),
+        |pr0 AS (SELECT key + 10000000 AS key FROM mem),
+        |pb AS (SELECT ks.k, p.key, js.j,
+        |         CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || '|'
+        |           || CAST(p.key AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % 16384 AS bit
+        |       FROM pr0 p CROSS JOIN js JOIN ks ON js.j < ks.k),
+        |hit AS (SELECT pb.k, pb.key FROM pb
+        |        JOIN bk ON bk.k = pb.k AND bk.bit = pb.bit
+        |        GROUP BY pb.k, pb.key HAVING count(*) = pb.k),
+        |fp AS (SELECT k, CAST(count(*) AS BIGINT) AS fp_hits
+        |       FROM hit GROUP BY 1)
+        |SELECT ks.k AS k, nb.n AS n_keys,
+        |       CAST(coalesce(sb.n_bits_set, 0) AS BIGINT) AS n_bits_set,
+        |       CAST(coalesce(fp.fp_hits, 0) AS BIGINT) AS fp_hits,
+        |       round(CAST(coalesce(fp.fp_hits, 0) AS DOUBLE) / nb.n, 4)
+        |         AS measured_fpr,
+        |       round(power(1 - power(CAST(1 AS DOUBLE)
+        |           - CAST(1 AS DOUBLE) / 16384, ks.k * nb.n), ks.k), 4)
+        |         AS theory_fpr
+        |FROM ks LEFT JOIN sb ON ks.k = sb.k
+        |LEFT JOIN fp ON ks.k = fp.k CROSS JOIN nb
+        |ORDER BY k""".stripMargin,
     "bloom_prefilter_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -4883,6 +5354,37 @@ object SparkEntry {
     // regenerated events outside it), zero-filled counts, 7-day
     // trailing mean
     // over the FILLED series (≤7-int sum/count — exact both engines)
+    // per-user feature table on the dense calendar: all-integer
+    // lag/rolling/recency features
+    "events_user_features" ->
+      """WITH e AS (SELECT user_id,
+        |             CAST(ts AS DATE) - DATE '1970-01-01' AS d
+        |           FROM events),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+        |cal AS (SELECT unnest(range(lo, hi + 1)) AS d FROM b),
+        |us AS (SELECT DISTINCT user_id FROM e),
+        |daily AS (SELECT user_id, d, CAST(count(*) AS BIGINT) AS n
+        |          FROM e GROUP BY 1, 2),
+        |g AS (SELECT us.user_id, cal.d, coalesce(daily.n, 0) AS n
+        |      FROM us CROSS JOIN cal
+        |      LEFT JOIN daily ON daily.user_id = us.user_id
+        |                     AND daily.d = cal.d),
+        |f AS (SELECT user_id, d, n,
+        |        coalesce(lag(n, 1) OVER pw, 0) AS lag1,
+        |        sum(n) OVER (PARTITION BY user_id ORDER BY d
+        |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll7,
+        |        max(CASE WHEN n > 0 THEN d END) OVER
+        |          (PARTITION BY user_id ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS la
+        |      FROM g WINDOW pw AS (PARTITION BY user_id ORDER BY d))
+        |SELECT user_id,
+        |       CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS VARCHAR)
+        |         AS day,
+        |       CAST(n AS BIGINT) AS n, CAST(lag1 AS BIGINT) AS lag1,
+        |       CAST(roll7 AS BIGINT) AS roll7,
+        |       CAST(coalesce(d - la, -1) AS BIGINT) AS days_since_active
+        |FROM f ORDER BY user_id, day""".stripMargin,
     "events_gap_fill" ->
       """WITH ev AS (SELECT event_type,
         |              CAST(ts AS DATE) - DATE '1970-01-01' AS d, value
@@ -5063,6 +5565,60 @@ object SparkEntry {
     // market-basket pairs over customer baskets: frequent items
     // first (apriori prune), in-basket equi-join pair expansion,
     // lift/confidence from exact integer counts
+    // item-item CF: basket-cosine n_both/sqrt(na*nb) from exact
+    // counts, top-3 per part ranked on the 4dp-rounded score
+    "part_item_cf" ->
+      """WITH baskets AS (SELECT DISTINCT o.o_custkey AS cust,
+        |                   l.l_partkey AS part
+        |                 FROM lineitem l
+        |                 JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sup AS (SELECT part, CAST(count(*) AS BIGINT) AS n
+        |        FROM baskets GROUP BY 1),
+        |freq AS (SELECT part FROM sup WHERE n >= 20),
+        |fb AS (SELECT b.cust, b.part FROM baskets b JOIN freq USING (part)),
+        |pr AS (SELECT a.part AS part_a, b.part AS part_b,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |       FROM fb a JOIN fb b ON a.cust = b.cust AND a.part < b.part
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sym AS (SELECT part_a AS part, part_b AS nbr, n_both FROM pr
+        |        UNION ALL SELECT part_b, part_a, n_both FROM pr),
+        |sc AS (SELECT sym.part, sym.nbr, sym.n_both,
+        |         round(CAST(sym.n_both AS DOUBLE)
+        |           / sqrt(CAST(sa.n AS DOUBLE) * sb.n), 4) AS score
+        |       FROM sym JOIN sup sa ON sym.part = sa.part
+        |       JOIN sup sb ON sym.nbr = sb.part),
+        |rk AS (SELECT part, nbr, n_both, score,
+        |         row_number() OVER (PARTITION BY part
+        |                            ORDER BY score DESC, nbr) AS rk
+        |       FROM sc)
+        |SELECT part, rk, nbr, n_both, score FROM rk WHERE rk <= 3
+        |ORDER BY part, rk""".stripMargin,
+    // per-part OLS slope from five exact integer moments, top-20
+    // movers ranked on the unrounded slope with part tiebreak
+    "part_trend_slope" ->
+      """WITH li AS (SELECT l_partkey AS part,
+        |              CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+        |                AS BIGINT) AS mx,
+        |              CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |                AS BIGINT) AS cents
+        |            FROM lineitem),
+        |mo AS (SELECT part, mx, CAST(sum(cents) AS BIGINT) AS y
+        |       FROM li GROUP BY 1, 2),
+        |ag AS (SELECT part, CAST(count(*) AS BIGINT) AS nm,
+        |         CAST(sum(mx) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(mx * y) AS BIGINT) AS sxy,
+        |         CAST(sum(mx * mx) AS BIGINT) AS sxx
+        |       FROM mo GROUP BY 1 HAVING count(*) >= 6),
+        |sc AS (SELECT part, nm, sy,
+        |         CAST(nm * sxy - sx * sy AS DOUBLE)
+        |           / CAST(nm * sxx - sx * sx AS DOUBLE) AS sl
+        |       FROM ag),
+        |top AS (SELECT * FROM sc ORDER BY sl DESC, part LIMIT 20)
+        |SELECT part, nm AS n_months,
+        |       round(CAST(sy AS DOUBLE) / nm / 100, 4) AS mean_rev,
+        |       round(sl / 100, 4) AS slope
+        |FROM top ORDER BY slope DESC, part""".stripMargin,
     "basket_pairs" ->
       """WITH baskets AS (SELECT DISTINCT o.o_custkey AS cust,
         |                   l.l_partkey AS part
@@ -5811,6 +6367,21 @@ object SparkEntry {
         |       (3 * len_fp + 3 * ttr_fp + 2 * stop_fp - 4 * toptok_fp)
         |         >= 28000 AS keep
         |FROM x ORDER BY doc_id""".stripMargin,
+    // n-gram novelty: first corpus occurrence (min doc_id) per
+    // distinct word-3-gram, per-doc novel fraction
+    "text_ngram_novelty" ->
+      s"""WITH $shingleCte,
+         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |f AS (SELECT s, min(doc_id) AS first_doc FROM shx GROUP BY 1)
+         |SELECT shx.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(sum(CASE WHEN f.first_doc = shx.doc_id
+         |                     THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS novel_grams,
+         |       round(sum(CASE WHEN f.first_doc = shx.doc_id
+         |                      THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         |         AS novelty
+         |FROM shx JOIN f ON f.s = shx.s
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_top_terms" ->
       """WITH u AS (SELECT DISTINCT lang, doc_id, tok FROM
         |             (SELECT lang, doc_id,
@@ -5824,6 +6395,16 @@ object SparkEntry {
         |      FROM df)
         |SELECT lang, CAST(rk AS BIGINT) AS rk, tok, df
         |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    // maintained daily rollup: the oracle is the one-shot rebuild
+    // (micro-unit longs keep the maintained == rebuilt fold exact)
+    "events_daily_agg" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type,
+        |             CAST(round(value * 1000000, 0) AS BIGINT) AS mv
+        |           FROM events)
+        |SELECT CAST(d AS VARCHAR) AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(mv) AS DOUBLE) / 1000000, 4) AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "events_tumbling" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value

@@ -274,6 +274,107 @@ object Analytics {
         min(when(isPurchase && col("c_run").isNotNull, col("ts"))).as("p_ts"))
   }
 
+  /** FUNNEL × EXPERIMENT — the conversion-rate A/B readout per
+    * funnel transition: did the treatment move view→click or
+    * click→purchase? Stages come from the ONE shared
+    * [[funnelPerUser]] scan (the funnel and its experiment readout
+    * cannot disagree about what converted), cohorts are the
+    * deterministic user_id-mod-2 split the other A/B surfaces use,
+    * and the two-proportion z runs on pooled p̂ — every input an
+    * exact integer, so rates and z are identical doubles on both
+    * engines. Output is transition-sized.
+    */
+  def eventsFunnelAb(s: SparkSession, dir: String): DataFrame = {
+    val pu = funnelPerUser(s, dir)
+      .select((col("user_id") % 2).as("variant"),
+        col("v_ts").isNotNull.as("hv"), col("c_ts").isNotNull.as("hc"),
+        col("p_ts").isNotNull.as("hp"))
+    val g = pu.groupBy("variant").agg(
+      sum(when(col("hv"), 1L).otherwise(0L)).as("v"),
+      sum(when(col("hc"), 1L).otherwise(0L)).as("c"),
+      sum(when(col("hp"), 1L).otherwise(0L)).as("p"))
+    val tr = g.select(col("variant"),
+        lit("view_to_click").as("transition"),
+        col("v").as("n"), col("c").as("conv"))
+      .unionByName(g.select(col("variant"),
+        lit("click_to_purchase").as("transition"),
+        col("c").as("n"), col("p").as("conv")))
+    val a = tr.where(col("variant") === 0).select(col("transition"),
+      col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = tr.where(col("variant") === 1).select(col("transition"),
+      col("n").as("n_b"), col("conv").as("conv_b"))
+    val ph = ((col("conv_a") + col("conv_b")).cast("double")
+      / (col("n_a") + col("n_b")))
+    a.join(b, "transition")
+      .select(col("transition"), col("n_a"), col("conv_a"),
+        col("n_b"), col("conv_b"),
+        round(col("conv_a").cast("double") / col("n_a"), 4).as("rate_a"),
+        round(col("conv_b").cast("double") / col("n_b"), 4).as("rate_b"),
+        // degenerate pooled rate (nobody / everybody converts) has
+        // zero pooled variance — z is undefined; report 0 (both
+        // engines' guard, not an engine-specific inf/nan)
+        when(col("conv_a") + col("conv_b") > 0 &&
+            col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+          round((col("conv_a").cast("double") / col("n_a")
+            - col("conv_b").cast("double") / col("n_b"))
+            / sqrt(ph * (lit(1.0) - ph)
+              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy("transition")
+  }
+
+  /** MULTI-TOUCH ATTRIBUTION — credit each purchase to the touch
+    * events (view/click/signup) of the same user in the 7 days
+    * before it, under the two standard models at once: LAST-TOUCH
+    * (the latest touch takes the whole conversion; ties broken by
+    * event_id like every equal-timestamp run in this repo) and
+    * LINEAR (each of the n touches gets 1/n). Purchases with no
+    * preceding touch report as the 'direct' row. Scale shape: the
+    * purchase↔touch pairing is a user_id-keyed join band-limited to
+    * 7 days (per-user fan-out, never cross-user); the linear credit
+    * sums are grouped by (type, n_touch) FIRST — all-integer
+    * aggregation — so the only float reduction is over the bounded
+    * set of distinct touch counts, not per pair.
+    */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val t = ev.where(col("event_type").isin("view", "click", "signup"))
+      .select(col("event_id").as("t_id"), col("user_id"),
+        col("ts").as("t_ts"), col("event_type").as("t_type"))
+    val pt = p.join(t, Seq("user_id"))
+      .where(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      .select("p_id", "t_id", "t_ts", "t_type")
+    val per = pt.groupBy("p_id")
+      .agg(count(lit(1)).as("n_touch"),
+        max_by(col("t_type"), struct(col("t_ts"), col("t_id")))
+          .as("last_type"))
+    val byN = pt.join(per.select("p_id", "n_touch"), "p_id")
+      .groupBy(col("t_type"), col("n_touch"))
+      .agg(count(lit(1)).as("c"))
+    val linear = byN.groupBy(col("t_type").as("event_type"))
+      .agg(sum("c").as("touches"),
+        sum(col("c").cast("double") / col("n_touch")).as("lc"))
+    val last = per.groupBy(col("last_type").as("event_type"))
+      .agg(count(lit(1)).as("last_touch"))
+    val direct = p.join(per.select("p_id"), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("direct").as("event_type"), lit(0L).as("touches"),
+        col("n").as("last_touch"), col("n").cast("double").as("lc"))
+    linear.join(last, Seq("event_type"), "full")
+      .select(col("event_type"),
+        coalesce(col("touches"), lit(0L)).as("touches"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        coalesce(col("lc"), lit(0.0)).as("lc"))
+      .unionByName(direct)
+      .select(col("event_type"), col("touches"), col("last_touch"),
+        round(col("lc"), 4).as("linear_credit"))
+      .orderBy("event_type")
+  }
+
   /** FUNNEL TIMING — time-to-convert per transition (the question a
     * funnel count can't answer: users convert, but how fast?): for
     * each user the funnel's own stage timestamps give integer-second
@@ -914,6 +1015,104 @@ object Analytics {
       .orderBy("event_type", "day")
   }
 
+  /** PER-USER FEATURE TABLE — the feature-store shape an ML training
+    * join consumes (churn/engagement models): per (user, day) over
+    * the DENSE event calendar — daily event count, lag-1 count,
+    * trailing-7-day sum, and days-since-last-activity. A missing day
+    * is an observed 0 (the gap-fill rule), so lags and rolling sums
+    * mean calendar time, not event time; every feature is an exact
+    * integer. user×calendar is the feature table's natural
+    * cardinality; windows key by user_id (the loader's spread key),
+    * calendar bounds come from one metadata aggregate.
+    */
+  def eventsUserFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val daily = ev.groupBy("user_id", "d").agg(count(lit(1)).as("n"))
+    val meta = ev.agg(min("d").as("lo"), max("d").as("hi"))
+      .localCheckpoint(true)
+    val cal = meta.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val users = ev.select("user_id").distinct()
+    val wOrd = Window.partitionBy("user_id").orderBy("d")
+    val w7 = wOrd.rowsBetween(-6, 0)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    users.crossJoin(broadcast(cal))
+      .join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("lag1", coalesce(lag("n", 1).over(wOrd), lit(0L)))
+      .withColumn("roll7", sum("n").over(w7))
+      .withColumn("last_active",
+        max(when(col("n") > 0, col("d"))).over(wPrev))
+      .select(col("user_id"),
+        date_add(lit("1970-01-01").cast("date"), col("d").cast("int"))
+          .cast("string").as("day"),
+        col("n"), col("lag1"), col("roll7"),
+        coalesce(col("d") - col("last_active"), lit(-1L))
+          .as("days_since_active"))
+      .orderBy("user_id", "day")
+  }
+
+  /** GROUP-SEQUENTIAL A/B MONITORING — the peeking curve a dashboard
+    * actually draws: per day t, the Welch z-statistic on the
+    * CUMULATIVE per-variant moments (counts / sums / sums-of-squares
+    * of the centi-unit metric — two-level running sums over exact
+    * integer day partials, the backlog idiom), plus the crossing
+    * flag against a constant conservative boundary (2.797, the
+    * O'Brien-Fleming final bound at K = 5 — a fixed-z peek at every
+    * day is exactly the inflation this guards). Day grid is the
+    * union calendar × both variants so cumulative windows stay
+    * aligned when one variant is silent for a day. z is a pure
+    * function of exact integers — identical doubles on both engines.
+    */
+  def eventsAbSequential(s: SparkSession, dir: String,
+                         bound: Double = 2.797): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select((col("user_id") % 2).as("variant"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        expr("cast(round(value * 100) as bigint)").as("micro"))
+    val g = ev.groupBy("variant", "d")
+      .agg(count(lit(1)).as("n"), sum("micro").as("sx"),
+        sum(col("micro") * col("micro")).as("qx"))
+    val days = ev.select("d").distinct()
+    val variants = days.sparkSession.range(0, 2)
+      .toDF().select(col("id").as("variant"))
+    val w = Window.partitionBy("variant").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = days.crossJoin(broadcast(variants))
+      .join(g, Seq("variant", "d"), "left")
+      .select(col("variant"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sx"), lit(0L)).as("sx"),
+        coalesce(col("qx"), lit(0L)).as("qx"))
+      .select(col("variant"), col("d"),
+        sum("n").over(w).as("cn"), sum("sx").over(w).as("cs"),
+        sum("qx").over(w).as("cq"))
+    def side(v: Int, suf: String) = c.where(col("variant") === v)
+      .select(col("d"), col("cn").as(s"n_$suf"),
+        col("cs").as(s"s_$suf"), col("cq").as(s"q_$suf"))
+    def mean(sc: org.apache.spark.sql.Column,
+             n: org.apache.spark.sql.Column) = sc.cast("double") / n
+    def variance(n: org.apache.spark.sql.Column,
+                 sc: org.apache.spark.sql.Column,
+                 q: org.apache.spark.sql.Column) =
+      (n * q - sc * sc).cast("double") / (n * (n - 1)).cast("double")
+    side(0, "a").join(side(1, "b"), "d")
+      .where(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("z",
+        (mean(col("s_a"), col("n_a")) - mean(col("s_b"), col("n_b")))
+          / sqrt(variance(col("n_a"), col("s_a"), col("q_a")) / col("n_a")
+            + variance(col("n_b"), col("s_b"), col("q_b")) / col("n_b")))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("d").cast("int"))
+          .cast("string").as("day"),
+        col("n_a"), col("n_b"), round(col("z"), 4).as("z"),
+        when(abs(col("z")) >= bound, lit(1L)).otherwise(lit(0L))
+          .as("signif"))
+      .orderBy("day")
+  }
+
   /** PIVOT — the wide BI-export shape: daily event counts, one
     * column per event type. Pivot values are EXPLICIT (the bounded,
     * contract-fixed type set): with explicit values Spark compiles
@@ -1370,6 +1569,94 @@ object Analytics {
         round(col("n_both").cast("double") / col("n_a"), 4).as("conf_ab"))
       .orderBy(col("lift").desc, col("part_a"), col("part_b"))
       .limit(topN)
+  }
+
+  /** ITEM-ITEM COLLABORATIVE FILTERING — the recommendation artifact
+    * the association table (basket_pairs) feeds: per part, the top-3
+    * most similar parts by co-occurrence COSINE n_both/√(n_a·n_b)
+    * over customer baskets — "customers who bought X also bought Y",
+    * the Amazon item-to-item shape (Linden et al. 2003). Same
+    * support-filtered, cust-keyed blocked pair expansion as
+    * basket_pairs; similarity from exact integer counts (sqrt and
+    * one division are correctly-rounded IEEE ops — identical doubles
+    * on both engines), RANKED ON THE 4dp-ROUNDED score with
+    * neighbor-id tiebreak (the BM25 ranking discipline). The rank
+    * window runs over the support-filtered pair table, never the
+    * corpus; pairs materialize once and serve both directions.
+    */
+  def partItemCf(s: SparkSession, dir: String, minItemSup: Long = 20L,
+                 minPairSup: Long = 5L, k: Int = 3): DataFrame = {
+    val baskets = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+      .localCheckpoint(true)
+    val sup = baskets.groupBy("part").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val freq = sup.where(col("n") >= minItemSup)
+    val fb = baskets.join(freq.select(col("part")), "part")
+    val pairs = fb.as("a")
+      .join(fb.as("b"),
+        col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
+      .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minPairSup)
+      .localCheckpoint(true)
+    val sym = pairs.select(col("part_a").as("part"),
+        col("part_b").as("nbr"), col("n_both"))
+      .unionByName(pairs.select(col("part_b").as("part"),
+        col("part_a").as("nbr"), col("n_both")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy(col("score").desc, col("nbr"))
+    sym
+      .join(sup.select(col("part"), col("n").as("n_part")), "part")
+      .join(sup.select(col("part").as("nbr"), col("n").as("n_nbr")), "nbr")
+      .select(col("part"), col("nbr"), col("n_both"),
+        round(col("n_both").cast("double")
+          / sqrt(col("n_part").cast("double") * col("n_nbr")), 4)
+          .as("score"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("part", "rk", "nbr", "n_both", "score")
+      .orderBy("part", "rk")
+  }
+
+  /** PER-GROUP TREND DETECTION — distributed OLS from exact moments:
+    * monthly revenue per part, slope fitted per part from the five
+    * integer moments (n, Σx, Σy, Σxy, Σx²) with x = months since
+    * epoch and y = revenue cents — the regression-per-group
+    * primitive (price trends, demand drift, KPI monitoring) done the
+    * scalable way: one (part, month) aggregate, one per-part moment
+    * fold, the closed-form slope at the end. Every moment is a Long
+    * (headroom: Σxy ≲ months·mx·cents ≈ 10¹⁵ at warehouse scale),
+    * so slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²) is a pure function of exact
+    * integers — identical doubles both engines, and the top-20
+    * cutoff ranks on it with part tiebreak. No windows, no driver
+    * state; output is top-N-sized.
+    */
+  def partTrendSlope(s: SparkSession, dir: String, minMonths: Long = 6L,
+                     topN: Int = 20): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_partkey").as("part"),
+      (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+        .cast("long").as("mx"),
+      expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+        .as("cents"))
+    val monthly = li.groupBy("part", "mx").agg(sum("cents").as("y"))
+    val ag = monthly.groupBy("part").agg(
+        count(lit(1)).as("nm"), sum("mx").as("sx"), sum("y").as("sy"),
+        sum(col("mx") * col("y")).as("sxy"),
+        sum(col("mx") * col("mx")).as("sxx"))
+      .where(col("nm") >= minMonths)
+    ag.select(col("part"), col("nm"), col("sy"),
+        ((col("nm") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("nm") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("sl"))
+      .orderBy(col("sl").desc, col("part")).limit(topN)
+      .select(col("part"), col("nm").as("n_months"),
+        round(col("sy").cast("double") / col("nm") / 100, 4).as("mean_rev"),
+        round(col("sl") / 100, 4).as("slope"))
+      .orderBy(col("slope").desc, col("part"))
   }
 
   /** DAY-OF-WEEK SEASONALITY INDEX — the multiplicative seasonal

@@ -627,6 +627,115 @@ object Ann {
           .as("assortativity"))
   }
 
+  /** kNN-GRAPH QUALITY REPORT — measured recall of the IVF-blocked
+    * approximate graph against the exact kNN on a deterministic
+    * query sample (vec_id < 50): the graph every downstream family
+    * consumes (NSW search, clusters, centrality, link prediction,
+    * triangles) is APPROXIMATE — probed cells, not all pairs — and
+    * this row says how approximate, the same honesty the recall
+    * reports give the search paths. Sampled evaluation keeps the
+    * exact side Q×N (never the N² full exact graph), so the probe
+    * is cheap at any corpus size while the graph itself is the
+    * memoized structure the real queries use.
+    */
+  def knnGraphRecall(s: SparkSession, dir: String, k: Int = 5,
+                     nq: Long = 50L): DataFrame = {
+    val approx = knnGraph(s, dir, k).where(col("qid") < nq)
+      .select("qid", "nn_id")
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = Tables.embeddings(s, dir).where(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Knn.topKExcludingSelf(e, qs, k, Knn.Metric.Cosine)
+      .select("qid", "nn_id").localCheckpoint(true)
+    val hits = approx.join(exact, Seq("qid", "nn_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val den = exact.agg(count(lit(1)).as("n_exact"))
+    val ne = approx.agg(count(lit(1)).as("n_edges"))
+    hits.crossJoin(den).crossJoin(ne)
+      .select(lit(nq).as("n_queries"), col("n_edges"), col("n_exact"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_exact"), 4)
+          .as("recall"))
+  }
+
+  /** NEWMAN MODULARITY per community of the embedding dup-cluster
+    * partition — the score that grades what the cluster operator
+    * found (Q_c = m_c/m − (d_c/2m)²; a partition totalling near 0
+    * means the "clusters" are no better than a random degree-
+    * preserving rewiring, a dedup/curation red flag). Communities
+    * are [[embedKnnClusters]]' connected components, edges the
+    * mutual-kNN list; every moment (m, per-cluster internal edges,
+    * degree sums) is an exact integer from bounded-degree tables, so
+    * the per-cluster contribution is a pure function of exact longs
+    * — identical doubles on both engines. Cost: two key-partitioned
+    * joins of the N·k edge table against the cluster map, one
+    * aggregate — the clustering fixpoint itself is memoized.
+    */
+  def graphModularity(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val clusters = embedKnnClusters(s, dir, k)
+      .select(col("vec_id").as("id"), col("cluster_id"))
+      .localCheckpoint(true)
+    val und = mutualKnnPairs(s, dir, k).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val m = und.agg(count(lit(1)).as("m"))
+    val withC = und
+      .join(clusters.select(col("id").as("id_a"), col("cluster_id").as("ca")),
+        "id_a")
+      .join(clusters.select(col("id").as("id_b"), col("cluster_id").as("cb")),
+        "id_b")
+    val internal = withC.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cluster_id")).agg(count(lit(1)).as("m_in"))
+    val sym = und.select(col("id_a").as("a"))
+      .unionByName(und.select(col("id_b").as("a")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+    val dc = clusters.join(deg, "id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("d_sum"))
+    val x = col("d_sum").cast("double") / (col("m") * 2)
+    dc.join(internal, Seq("cluster_id"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("cluster_id"), col("n_nodes"),
+        coalesce(col("m_in"), lit(0L)).as("m_in"), col("d_sum"),
+        round(coalesce(col("m_in"), lit(0L)).cast("double") / col("m")
+          - x * x, 4).as("q_c"))
+      .orderBy("cluster_id")
+  }
+
+  /** ADAMIC-ADAR LINK PREDICTION over the mutual-kNN graph — scores
+    * every distance-2 non-adjacent pair (a, c) by Σ_b 1/ln(deg(b))
+    * over their common neighbors b (Adamic & Adar 2003): the classic
+    * "these two documents SHOULD be linked" signal — a high-scoring
+    * non-edge in embedding space is a near-dup the kNN cut missed or
+    * a retrieval-expansion candidate. Wedges enumerate as one
+    * self-join of the symmetric edge list on the middle node; mutual
+    * degree is bounded by k, so fan-out is ≤ k per edge row —
+    * O(N·k²) candidates, never a pair explosion (§4 rule). Existing
+    * edges drop via a left_anti against the canonical edge table.
+    * ln() runs on exact small-int degrees (2..k ≤ 5 wedge middles
+    * always have ≥2 edges), so both engines take correctly-rounded
+    * libm values; each pair sums ≤ k² such terms.
+    */
+  def adamicAdar(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val und = mutualKnnPairs(s, dir, k).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val sym = und.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(und.select(col("id_b").as("a"), col("id_a").as("b")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("dg"))
+    val wedge = sym.select(col("a"), col("b"))
+      .join(sym.select(col("a").as("b"), col("b").as("c")), "b")
+      .where(col("a") < col("c"))
+    val cand = wedge.join(und,
+      wedge("a") === und("id_a") && wedge("c") === und("id_b"),
+      "left_anti")
+    cand.join(deg.select(col("id").as("b"), col("dg")), "b")
+      .groupBy(col("a").as("id_a"), col("c").as("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(lit(1.0) / log(col("dg").cast("double"))), 4)
+          .as("aa_score"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** PAGERANK CENTRALITY over the corpus kNN graph — the
     * graph-importance signal centrality-aware data curation uses
     * (documents whose embeddings many other documents point at are
@@ -2265,6 +2374,79 @@ object Ann {
           / lit(100000000.0) < lit(1e-6)).as("is_dead"))
       .orderBy("dim")
 
+  /** RECALL-vs-PREFIX-DIMS CURVE for matryoshka embeddings — the MRL
+    * tuning table ([[graft.operators.Knn.mrlSearch]]'s knob): per
+    * prefix width 4/8/16/32, recall@10 of the PURE-PREFIX cosine
+    * ranking (no rerank — the curve isolates what the truncated
+    * representation alone retains) against the full-dim exact scan.
+    * The ivfRecallCurve discipline verbatim: legs unioned with a
+    * literal width column, zero-hit widths kept by the left join
+    * (the r9 advice fix), evaluation joins Q×k-sized.
+    */
+  def mrlRecallCurve(s: SparkSession, dir: String, k: Int = 10,
+                     dims: Seq[Int] = Seq(4, 8, 16, 32)): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Knn.topK(e, q, k, Knn.Metric.Cosine)
+      .select(col("qid"), col("nn_id")).localCheckpoint(true)
+    val legs = dims.map { d =>
+      Knn.topK(
+          e.select(col("id"), slice(col("vec"), 1, d).as("vec")),
+          q.select(col("qid"), slice(col("qvec"), 1, d).as("qvec")),
+          k, Knn.Metric.Cosine)
+        .select(lit(d.toLong).as("prefix_dims"), col("qid"), col("nn_id"))
+    }.reduce(_ unionByName _)
+    val hits = legs.join(exact, Seq("qid", "nn_id"), "left_semi")
+      .groupBy("prefix_dims").agg(count(lit(1)).as("n_hits"))
+    val den = exact.agg(count(lit(1)).as("denom"))
+    dims.map(_.toLong).toDF("prefix_dims")
+      .join(hits, Seq("prefix_dims"), "left")
+      .crossJoin(broadcast(den))
+      .select(col("prefix_dims"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("denom"), 4).as("recall"))
+      .orderBy("prefix_dims")
+  }
+
+  /** EMBEDDING-SPACE DRIFT between ingest waves — the vector twin of
+    * the scalar PSI monitor (corpus_drift_psi): both waves assigned
+    * to the SHARED IVF quantizer's cells (the reference model — at
+    * scale, the persisted index's centroids), PSI over the cell
+    * occupancy distributions with +1 smoothing. A high value means
+    * the new wave lands in different regions of embedding space than
+    * the old — re-train the quantizer / re-balance the index before
+    * recall quietly degrades. Per-cell terms are micro-unit-rounded
+    * BIGINTs before the final sum (order-free — the driftPsi
+    * discipline), so the one output row is exact-compare-stable.
+    */
+  def embedDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(e, 200)))
+    val cells = assignTo(e, cents)
+      .select(col("cell"), (col("id") % 2 === 0).as("ha"))
+      .groupBy("cell")
+      .agg(sum(when(col("ha"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("ha"), 1L).otherwise(0L)).as("cb"))
+    val tot = cells.agg(sum("ca").as("ta"), sum("cb").as("tb"),
+      count(lit(1)).as("nc"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("ta"), col("tb"), col("nc"),
+        expr("CAST(round(((ca + 1) * 1.0 / (ta + nc) " +
+          "- (cb + 1) * 1.0 / (tb + nc)) " +
+          "* ln(((ca + 1) * 1.0 / (ta + nc)) " +
+          "/ ((cb + 1) * 1.0 / (tb + nc))) * 1000000) AS BIGINT)")
+          .as("tm"))
+      .agg(max("ta").as("n_a"), max("tb").as("n_b"),
+        max("nc").as("n_cells"),
+        round(sum("tm").cast("double") / 1000000.0, 4).as("psi"))
+  }
+
   /** RECALL-vs-NPROBE CURVE — the tuning table every ANN deployment
     * publishes before picking its operating point: one row per probe
     * width, overall recall@k against the exact scan. All legs share
@@ -2596,6 +2778,41 @@ object Ann {
       .select(col("qid"), round(col("dcg"), 4).as("dcg"),
         round(col("idcg"), 4).as("idcg"),
         round(col("dcg") / col("idcg"), 4).as("ndcg"))
+      .orderBy("qid")
+  }
+
+  /** MEAN-RECIPROCAL-RANK report for the IVF probe against the exact
+    * cosine top-10 — the third leg of the search-eval family
+    * (recall@k measures coverage, nDCG graded ordering, MRR the
+    * "how far down is the first right answer" latency a RAG caller
+    * feels). Per query: `rr_top1` is 1/rank of THE exact nearest
+    * neighbor inside the system list (0 if the probe missed it),
+    * `rr_first_rel` is 1/rank of the first system result that is any
+    * exact-top-10 member, `n_rel_found` the overlap size. Same
+    * judgment-free oracle discipline as [[ndcgReport]]: the exact
+    * scan IS the relevance labeling.
+    */
+  def mrrReport(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Knn.topK(e, q, 10, Knn.Metric.Cosine)
+      .select(col("qid"), col("rk").as("erk"), col("nn_id"))
+    val sys = ivfQuery(s, dir).select(col("qid"), col("rk"), col("nn_id"))
+    val hits = sys.join(exact, Seq("qid", "nn_id"))
+    val top1 = hits.where(col("erk") === 1)
+      .groupBy("qid").agg(min("rk").as("r1"))
+    val any = hits.groupBy("qid")
+      .agg(min("rk").as("ra"), count(lit(1)).as("n_rel_found"))
+    q.select("qid")
+      .join(top1, Seq("qid"), "left")
+      .join(any, Seq("qid"), "left")
+      .select(col("qid"),
+        round(coalesce(lit(1.0) / col("r1"), lit(0.0)), 4).as("rr_top1"),
+        round(coalesce(lit(1.0) / col("ra"), lit(0.0)), 4)
+          .as("rr_first_rel"),
+        coalesce(col("n_rel_found"), lit(0L)).as("n_rel_found"))
       .orderBy("qid")
   }
 

@@ -79,4 +79,68 @@ object BloomJoin {
           .as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** MEASURED-vs-THEORY false-positive rate of a k-hash Bloom filter
+    * — the calibration report an operator sizing runtime filters
+    * actually needs (the LSH S-curve's sibling: trust the formula
+    * because the engine reproduces it). The builtin
+    * BloomFilterAggregate's bit layout is implementation-defined, so
+    * the report builds the TEXTBOOK filter from the repo's
+    * deterministic hash discipline — bit_j(key) =
+    * md5_prefix60(j|key) mod m — which the oracle regenerates from
+    * the identical strings. Members are the customer keys; probes
+    * the same count of guaranteed-disjoint keys (member + 10^7).
+    * One m=16384-bit array, k = 1..6 hash functions: bits-set count,
+    * false-positive hits (a probe whose k bits are ALL set),
+    * measured FPR, analytic (1-(1-1/m)^{kn})^k. 1-1/m is 1-2^-14,
+    * an exact double, so both engines' pow chains agree to well
+    * inside the 4dp rounding. Scale shape: the bit table is ≤ m rows
+    * per k after distinct (m is the structure's bound and grows with
+    * n by design — the §4 rule applied to a bounded structure);
+    * probe checks are an equi-join on (k, bit), never a scan of the
+    * member set.
+    */
+  def bloomFprReport(s: SparkSession, dir: String, m: Long = 16384L,
+                     maxK: Int = 6): DataFrame = {
+    import graft.functions.Md5Prefix60
+    val mem = Tables.customer(s, dir).select(col("c_custkey").as("key"))
+      .localCheckpoint(true)
+    val js = s.range(0L, maxK.toLong).toDF()
+      .select(col("id").as("j"))
+    val ks = s.range(1L, maxK.toLong + 1).toDF()
+      .select(col("id").as("k"))
+    def bitOf(key: org.apache.spark.sql.Column,
+              j: org.apache.spark.sql.Column) =
+      pmod(Md5Prefix60(concat_ws("|", j, key)), lit(m))
+    val bits = mem.crossJoin(broadcast(js))
+      .select(col("j"), bitOf(col("key"), col("j")).as("bit"))
+      .distinct()
+    val bitsK = bits.crossJoin(broadcast(ks))
+      .where(col("j") < col("k"))
+      .select(col("k"), col("bit")).distinct()
+      .localCheckpoint(true)
+    val pb = mem.select((col("key") + 10000000L).as("key"))
+      .crossJoin(broadcast(js))
+      .select(col("key"), col("j"), bitOf(col("key"), col("j")).as("bit"))
+      .crossJoin(broadcast(ks))
+      .where(col("j") < col("k"))
+    val fps = pb.join(bitsK, Seq("k", "bit"), "left_semi")
+      .groupBy("k", "key").agg(count(lit(1)).as("nm"))
+      .where(col("nm") === col("k"))
+      .groupBy("k").agg(count(lit(1)).as("fp_hits"))
+    val setBits = bitsK.groupBy("k").agg(count(lit(1)).as("n_bits_set"))
+    val nb = mem.agg(count(lit(1)).as("n"))
+    ks.join(setBits, Seq("k"), "left")
+      .join(fps, Seq("k"), "left")
+      .crossJoin(broadcast(nb))
+      .select(col("k"), col("n").as("n_keys"),
+        coalesce(col("n_bits_set"), lit(0L)).as("n_bits_set"),
+        coalesce(col("fp_hits"), lit(0L)).as("fp_hits"),
+        round(coalesce(col("fp_hits"), lit(0L)).cast("double")
+          / col("n"), 4).as("measured_fpr"),
+        round(pow(lit(1.0) - pow(lit(1.0 - 1.0 / m),
+            col("k").cast("double") * col("n")),
+          col("k").cast("double")), 4).as("theory_fpr"))
+      .orderBy("k")
+  }
 }

@@ -47,6 +47,42 @@ object Classify {
       .orderBy("qid")
   }
 
+  /** kNN VALUE REGRESSION — the numeric twin of [[knnClassify]]:
+    * predict a held-out query's label as the mean (and the
+    * similarity-weighted mean) of its k=5 cosine neighbors' labels.
+    * Same corpus/query split, same one heap-aggregated kNN pass.
+    * `pred_mean` is integer-exact (Σ label is a Long, one division);
+    * `pred_wmean` weights by the 4dp-ROUNDED similarity shifted to
+    * (0, 2] (w = s + 1 — cosine can be negative; the rounded score
+    * is the engine-portable value both sides agree on, the same
+    * reason BM25 ranks on the rounded score). abs_err uses the
+    * unrounded exact mean.
+    */
+  def knnRegression(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nn = Knn.topK(corpus, queries, k, Knn.Metric.Cosine)
+    val labels = emb.select(col("vec_id").as("nn_id"),
+      col("label").cast("long").as("label"))
+    val truth = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        col("label").cast("double").as("true_value"))
+    nn.join(labels, "nn_id")
+      .groupBy("qid")
+      .agg((sum("label").cast("double") / k).as("pm"),
+        (sum((col("score") + lit(1.0)) * col("label"))
+          / sum(col("score") + lit(1.0))).as("pw"))
+      .join(truth, "qid")
+      .select(col("qid"), col("true_value"),
+        round(col("pm"), 4).as("pred_mean"),
+        round(col("pw"), 4).as("pred_wmean"),
+        round(abs(col("true_value") - col("pm")), 4).as("abs_err"))
+      .orderBy("qid")
+  }
+
   /** Per-label centroids: the label analog of one Lloyd mean round —
     * per-(label, dim) mean via posexplode (fully distributed, no
     * vector on the driver), 6dp-rounded and float-round-tripped so

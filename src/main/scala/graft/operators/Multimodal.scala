@@ -401,4 +401,56 @@ object Multimodal {
         length(col("sample")).cast("long").as("n_frames"),
         md5(col("sample")).as("sample_md5"))
       .orderBy("doc_id")
+
+  /** AUDIO-STYLE WINDOWED ENERGY — the audio leg of the multimodal
+    * quartet's feature extraction: the payload interpreted as 8-bit
+    * PCM centered at 96 (a-z → +1..+26, space → −64 — the fixture's
+    * byte alphabet), framed into 64-sample windows, per document:
+    * sample/full-window counts, PEAK window RMS, mean window energy,
+    * and zero-crossing rate — the three features every audio
+    * triage/VAD pipeline starts from. Deliberately COLUMNAR (ascii +
+    * integer squares + windows — no mapPartitions): the DSP is
+    * integer-exact until the final sqrt/divisions, so the oracle
+    * rebuilds every window from the identical bytes. Scale shape:
+    * one posexplode keyed by doc_id (the loaders' spread key), one
+    * (doc, window) aggregate, one per-doc fold — sample rows never
+    * shuffle twice.
+    */
+  def audioEnergyQuery(s: SparkSession, dir: String,
+                       win: Int = 64): DataFrame = {
+    val sm = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (ascii(col("ch")) - lit(96)).cast("long").as("x"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val zc = sm
+      .withColumn("px", lag("x", 1).over(wOrd))
+      .select(col("doc_id"),
+        when(col("px").isNotNull && col("x") * col("px") < 0, lit(1L))
+          .otherwise(lit(0L)).as("z"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_samples"), sum("z").as("crossings"))
+    val wnd = sm
+      .select(col("doc_id"), (col("pos") / win).cast("long").as("w"),
+        col("x"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("wn"), sum(col("x") * col("x")).as("ss"))
+      .where(col("wn") === win)
+    val perDoc = wnd.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), max("ss").as("peak_ss"),
+        sum("ss").as("sum_ss"))
+    zc.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_samples"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        round(sqrt(coalesce(col("peak_ss"), lit(0L)).cast("double")
+          / win), 4).as("peak_rms"),
+        round(coalesce(col("sum_ss"), lit(0L)).cast("double")
+          / (coalesce(col("n_windows"), lit(1L)) * win), 4)
+          .as("mean_energy"),
+        round(col("crossings").cast("double")
+          / (col("n_samples") - 1), 4).as("zcr"))
+      .orderBy("doc_id")
+  }
 }

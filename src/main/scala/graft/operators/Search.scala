@@ -1010,4 +1010,57 @@ object Search {
           "x -> x.corr)")).as("qtext"))
     bm25TopK(docs, corrected, k)
   }
+
+  /** FACETED SEARCH — the result-page sidebar every search UI draws:
+    * per query, the lang and source distributions of the BM25 top-10
+    * (two stacked facet dimensions). The facet counts come from the
+    * RESULT SET, not the corpus (Q×k rows joined back to the
+    * documents' facet columns on the doc_id key) — at 100 TB the
+    * facet aggregation costs Q×k, the search itself is the work.
+    * Composes the one shared [[bm25TopK]] plan, so facets can never
+    * disagree with the ranking they annotate.
+    */
+  def searchFacets(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val f = bm25TopK(docs, fixedQueries(s), k)
+      .join(docs.select(col("doc_id"), col("lang"), col("source")),
+        "doc_id")
+    val u = f.select(col("qid"), lit("lang").as("facet"),
+        col("lang").as("value"))
+      .unionByName(f.select(col("qid"), lit("source").as("facet"),
+        col("source").as("value")))
+    u.groupBy("qid", "facet", "value")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("qid", "facet", "value")
+  }
+
+  /** QUERY AUTOCOMPLETE — the type-ahead layer beside the spell
+    * layer: for every 2-char prefix in the corpus vocabulary, the
+    * top-3 completions by document frequency (df desc, term asc —
+    * the popularity ordering a suggest box shows). Vocabulary from
+    * the same distinct-per-doc whitespace tokenization as the BM25 /
+    * spell stack (terms ≥ 3 chars — 1-2 char terms ARE their own
+    * prefix); the rank window runs over the vocabulary keyed by
+    * prefix, corpus-size-independent after the one exploded df
+    * aggregation. A production suggest index is this table persisted
+    * bucket-partitioned by prefix — the spell dictionary's layout.
+    */
+  def querySuggest(s: SparkSession, dir: String, minDf: Long = 5L,
+                   k: Int = 3): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .where(length(col("term")) >= 3)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("prefix").orderBy(col("df").desc, col("term"))
+    vocab
+      .select(substring(col("term"), 1, 2).as("prefix"), col("term"),
+        col("df"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("prefix", "rk", "term", "df")
+      .orderBy("prefix", "rk")
+  }
 }

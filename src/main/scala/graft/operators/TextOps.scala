@@ -317,6 +317,35 @@ object TextOps {
       .orderBy("bucket_cap")
   }
 
+  /** N-GRAM NOVELTY — the memorization/repetition lens over the
+    * corpus in doc_id (ingest) order: per document, the fraction of
+    * its distinct word-3-grams whose FIRST corpus occurrence is this
+    * document (min doc_id over the gram's postings). A low-novelty
+    * document is mostly re-treading earlier text — boilerplate or
+    * near-dup residue the training mix should down-weight; the
+    * aggregate curve is the classic "how much new text does the next
+    * shard actually add" acquisition diagnostic. Reuses the exact
+    * shingle definition of the minhash family ([[Dedup.shingleRows]],
+    * codegen'd posexplode+lead), so the metric is consistent with
+    * what the dedup pipeline considers "the same text". Scale shape:
+    * one groupBy on the gram key (cardinality grows with the corpus,
+    * §4 rule), one key-partitioned join back, one per-doc aggregate.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleRows(
+      Tables.documents(s, dir).select("doc_id", "text"))
+    val first = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L))
+          .otherwise(lit(0L))).as("novel_grams"))
+      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+        round(col("novel_grams").cast("double") / col("n_grams"), 4)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language top-5 terms by document frequency — the term-stats
     * report of a corpus profile. Two-level aggregation: distinct
     * (lang, tok, doc) → df counts (partial-agg on a key whose

@@ -164,6 +164,38 @@ object Upsert {
       .select("id", "label", "valid_from", "valid_to", "is_current")
       .orderBy("id", "valid_from")
 
+  /** SCD2 RETENTION — the history-table GDPR/TTL move: drop interval
+    * rows CLOSED at or before a version horizon (valid_to ≤ h),
+    * keeping every open interval and every interval still visible to
+    * an as-of query at t ≥ h. This is the precise guarantee: asOf(t)
+    * over the retained history ≡ asOf(t) over the full history for
+    * all t ≥ h (an interval visible at such t has valid_to > t ≥ h —
+    * never dropped; UpsertWalSpec pins it), while history BELOW the
+    * horizon is genuinely gone — the point of retention. Pure
+    * filter: no shuffle, partition-prunable when the table is laid
+    * out by valid_to.
+    */
+  def scd2Retention(intervals: DataFrame, horizon: Long): DataFrame =
+    intervals.where(col("valid_to").isNull || col("valid_to") > horizon)
+
+  /** Surface query: the tombstone log's SCD2 history retained at
+    * horizon 4 — epochs 1-3's superseded intervals drop, the v5
+    * tombstone closures and v6 resurrections survive.
+    */
+  def scd2RetentionQuery(s: SparkSession, dir: String): DataFrame =
+    scd2Retention(
+        scd2IntervalsTombstone(tombstoneLog(s, dir), "id", "version",
+          Seq("label"), "op"), horizon = 4L)
+      .select("id", "label", "valid_from", "valid_to", "is_current")
+      .orderBy("id", "valid_from")
+
+  /** Point-in-time state from an interval table — the as-of read the
+    * retention contract quantifies over.
+    */
+  def asOfIntervals(intervals: DataFrame, t: Long): DataFrame =
+    intervals.where(col("valid_from") <= t &&
+      (col("valid_to").isNull || col("valid_to") > t))
+
   /** SNAPSHOT DIFF — what changed between two LWW states of the same
     * tombstone log: `added` (absent at vOld, live at vNew), `deleted`
     * (live → absent), `changed` (live in both with different attrs).

@@ -196,4 +196,112 @@ object WalBinary {
     }
     dead
   }
+
+  /** Rotated binary fixture (3 segments) carrying the tombstone wave
+    * of [[WalSource.syntheticWalWithDeletes]] — the compaction input.
+    * Same once-per-sf-dir atomic publish as [[materializedWal]]; the
+    * `_done` marker and the `_tmp_` prefix are both invisible to
+    * Spark's file index AND to the `wal_log_*` glob, so readers only
+    * ever see whole segments.
+    */
+  private[sources] def materializedWalDeletes(s: SparkSession,
+                                              dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val root = Paths.get("target", "tmp", s"walbindel-$key").toAbsolutePath
+    val done = root.resolve("_done")
+    if (!Files.exists(done)) {
+      Files.createDirectories(root)
+      val lines = WalSource.syntheticWalWithDeletes(s, dir).collect()
+        .map(_.getString(0))
+        .sortBy(_.split("\\|", 2)(0).toLong)
+      val per = (lines.length + 2) / 3
+      lines.grouped(per).zipWithIndex.foreach { case (seg, i) =>
+        val tmp = root.resolve(s"_tmp_wal_log_${i + 1}")
+        Files.write(tmp, frame(seg.toIndexedSeq))
+        Files.move(tmp, root.resolve(s"wal_log_${i + 1}"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      Files.write(done, Array.emptyByteArray)
+    }
+    root.resolve("wal_log_*").toString
+  }
+
+  /** WAL COMPACTION — rewrite a segment directory down to its per-id
+    * (version, log_id)-LWW winner records. The reference never
+    * compacts (its answer is a full snapshot, persistence.cc:140);
+    * compaction is the cheaper production move: replay cost drops
+    * from total-writes to live-ids WITHOUT losing the log framing —
+    * a compacted directory is still a valid WAL a plain replayer
+    * (or the reference's own reader, persistence.cc:90) consumes.
+    *
+    * TOMBSTONE winners are KEPT as records, not dropped: a compacted
+    * prefix must keep masking older versions when an uncompacted
+    * tail (or a stale surviving segment — the vacuum crash window)
+    * is concatenated after it; LWW replay then still erases the id.
+    *
+    * Distribution: one hash aggregation keyed by id (exactly the
+    * replay exchange); output partitions are id-hash buckets and
+    * each writes ONE segment executor-side — segment count is the
+    * chosen parallelism, never corpus- or driver-sized. Writes are
+    * tmp + atomic-move per segment; re-running after a crash
+    * overwrites deterministically (same winners, same buckets), so
+    * compaction is idempotent.
+    */
+  def compactSegments(s: SparkSession, walGlob: String, outDir: String,
+                      nSegments: Int = 4): Unit = {
+    import s.implicits._
+    val parsed = readFramed(s, walGlob)
+      .select(col("line"), split(col("line"), "\\|", 4).as("f"))
+      .select(col("line"),
+        col("f").getItem(0).cast("long").as("log_id"),
+        col("f").getItem(1).cast("long").as("version"),
+        col("f").getItem(2).as("op"),
+        get_json_object(col("f").getItem(3), "$.id").cast("long").as("id"))
+      .where(col("op").isin("upsert", "delete") && col("id").isNotNull)
+    val winners = parsed.groupBy("id")
+      .agg(max_by(struct(col("line"), col("log_id")),
+        struct(col("version"), col("log_id"))).as("w"))
+      .select(col("w.line").as("line"), col("w.log_id").as("log_id"),
+        col("id"))
+    val outAbs = Paths.get(outDir).toAbsolutePath
+    Files.createDirectories(outAbs)
+    val outStr = outAbs.toString
+    winners.repartition(nSegments, col("id"))
+      .sortWithinPartitions("log_id")
+      .select("line").as[String]
+      .foreachPartition { (it: Iterator[String]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val bytes = frame(it.toSeq)
+        val base = Paths.get(outStr)
+        val tmp = base.resolve(s"_tmp_compact_$pid")
+        Files.write(tmp, bytes)
+        Files.move(tmp, base.resolve(s"wal_compact_$pid"),
+          StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+  }
+
+  /** Registry surface: compact the rotated tombstone-wave fixture
+    * once per sf dir, then tombstone-honoring replay of the
+    * COMPACTED directory alone — live LWW state (id, int_field,
+    * version), which must equal the same replay of the uncompacted
+    * log (the oracle recomputes it from the raw record stream;
+    * `n_log_entries` is deliberately absent — compaction's whole
+    * point is collapsing it to 1).
+    */
+  def compactReplayQuery(s: SparkSession, dir: String): DataFrame = {
+    val glob = materializedWalDeletes(s, dir)
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val outRoot = Paths.get("target", "tmp", s"walcompact-$key")
+      .toAbsolutePath
+    val done = outRoot.resolve("_done")
+    if (!Files.exists(done)) {
+      compactSegments(s, glob, outRoot.toString)
+      Files.write(done, Array.emptyByteArray)
+    }
+    WalSource.replayTombstones(WalSource.parse(
+        readFramed(s, outRoot.resolve("wal_compact_*").toString)))
+      .select("id", "int_field", "version")
+      .orderBy("id")
+  }
 }

@@ -52,6 +52,42 @@ class SketchStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL registers finalize to the batch estimate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Tables.events(spark, sf).select("event_type", "user_id")
+      .as[KmvEv].collect()
+
+    val stream = MemoryStream[KmvEv]
+    // the register table IS the streamable half of the HLL — one max
+    // aggregation whose state is bounded at groups×m rows forever
+    // (the r=max(ρ) merge is idempotent and order-free), same
+    // state/finalize split as the histogram and CMS twins
+    val out = Sketch.hllRegisters(stream.toDF(), "event_type", "user_id")
+    val q = out.writeStream.format("memory").queryName("hllstate")
+      .outputMode("complete").start()
+    try {
+      // arrival-order-scrambled waves, with the first wave REPLAYED
+      // in the last (redelivery): max-merge must absorb both
+      val waves = rows.sortBy(e => (e.user_id * 2654435761L) % 1000)
+        .grouped(math.max(rows.length / 3, 1)).toSeq
+      waves.foreach { w => stream.addData(w.toSeq); q.processAllAvailable() }
+      stream.addData(waves.head.toSeq); q.processAllAvailable()
+
+      val got = Sketch.hllFinish(spark.table("hllstate"), "event_type")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      val want = Sketch.hllQuery(spark, sf)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(got == want, s"stream $got vs batch $want")
+      // bounded state: at most m registers per group
+      assert(spark.table("hllstate").count() <=
+        want.size.toLong * Sketch.HllM)
+    } finally q.stop()
+  }
+
   test("streaming histogram state finalizes to the batch sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

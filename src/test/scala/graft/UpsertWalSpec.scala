@@ -84,4 +84,27 @@ class UpsertWalSpec extends SparkSuite {
     val deleted = diff.filter(_._2 == "deleted").keySet
     assert((s3 ++ added -- deleted) == s6)
   }
+
+  test("scd2 retention preserves as-of reads at and after the horizon") {
+    val horizon = 4L
+    val full = Upsert.scd2IntervalsTombstone(
+      Upsert.tombstoneLog(spark, sf), "id", "version", Seq("label"), "op")
+      .localCheckpoint(true)
+    val retained = Upsert.scd2Retention(full, horizon)
+    def state(df: org.apache.spark.sql.DataFrame, t: Long) =
+      Upsert.asOfIntervals(df, t).select("id", "label")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // the contract: every as-of at t >= horizon is unchanged
+    (horizon to 6L).foreach { t =>
+      assert(state(retained, t) == state(full, t), s"as-of $t drifted")
+    }
+    // and history below the horizon is genuinely gone (the point):
+    // some pre-horizon interval exists in full but not in retained
+    assert(retained.count() < full.count())
+    assert(state(retained, 1L) != state(full, 1L))
+    // retained rows are a subset — retention never invents intervals
+    val fullSet = full.collect().map(_.toString).toSet
+    assert(retained.collect().map(_.toString).forall(fullSet.contains))
+  }
 }

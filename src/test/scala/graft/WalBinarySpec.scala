@@ -211,4 +211,75 @@ class WalBinarySpec extends SparkSuite {
       Files.deleteIfExists(dir)
     }
   }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(c => rmTree(c))
+    Files.deleteIfExists(p)
+  }
+
+  test("compaction: replay-equivalent, tombstones mask stale and later segments, idempotent") {
+    val seg1 = (0 to 9).map { id =>
+      s"""${1 + id}|1|upsert|{"id":$id,"int_field":${10 + id},"indexType":"FLAT"}"""
+    }
+    val seg2 = Seq(
+      """11|2|delete|{"id":0}""",
+      """12|3|upsert|{"id":0,"int_field":40,"indexType":"FLAT"}""",
+      """13|2|delete|{"id":1}""",
+      """14|9|delete|{"id":6}""", // high-version tombstone: the winner
+      """15|2|upsert|{"id":3,"int_field":33,"indexType":"FLAT"}""")
+    val dir = Files.createTempDirectory("walcomp")
+    val out = Files.createTempDirectory("walcompout")
+    val out2 = Files.createTempDirectory("walcompout2")
+    val mix = Files.createTempDirectory("walcompmix")
+    try {
+      Files.write(dir.resolve("wal_log_1"), refFrame(seg1))
+      Files.write(dir.resolve("wal_log_2"), refFrame(seg2))
+      val glob = dir.toString + "/wal_log_*"
+      def liveOf(path: String): Set[(Long, Long, Long)] =
+        WalSource.replayTombstones(
+            WalSource.parse(WalBinary.readFramed(spark, path)))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val full = liveOf(glob)
+      assert(!full.exists(t => Set(1L, 6L).contains(t._1)) &&
+        full.contains((0L, 40L, 3L)), "fixture sanity")
+
+      WalBinary.compactSegments(spark, glob, out.toString, nSegments = 2)
+      val cglob = out.toString + "/wal_compact_*"
+      // 1. replay equivalence on the live state
+      assert(liveOf(cglob) == full)
+      // 2. exactly one record per id survives, tombstone winners AS
+      //    RECORDS (ids 1 and 6 keep their delete lines)
+      val clines = Files.list(out).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("wal_compact_"))
+        .flatMap(p => WalBinary.decodeFrames(Files.readAllBytes(p)))
+      assert(clines.length == 10, "one winner record per id")
+      assert(clines.count(_.contains("|delete|")) == 2)
+      // 3. a STALE uncompacted segment surviving next to the
+      //    compacted dir (the vacuum crash window) cannot resurrect:
+      //    tombstone records keep masking under LWW
+      Files.copy(out.resolve("wal_compact_0"), mix.resolve("wal_compact_0"))
+      Files.copy(out.resolve("wal_compact_1"), mix.resolve("wal_compact_1"))
+      Files.write(mix.resolve("wal_log_1"), refFrame(seg1)) // stale copy
+      assert(liveOf(mix.toString + "/*") == full)
+      // 4. a LATER tail appended after compaction composes exactly as
+      //    it would over the uncompacted log
+      val tail = Seq(
+        """21|3|upsert|{"id":1,"int_field":51,"indexType":"FLAT"}""", // resurrect
+        """22|4|delete|{"id":3}""")                                    // late delete
+      Files.write(dir.resolve("wal_log_9"), refFrame(tail))
+      Files.write(mix.resolve("wal_log_9"), refFrame(tail))
+      assert(liveOf(mix.toString + "/*") == liveOf(glob))
+      // 5. idempotent: compacting the compacted dir is a fixpoint
+      WalBinary.compactSegments(spark, cglob, out2.toString, nSegments = 2)
+      assert(liveOf(out2.toString + "/wal_compact_*") == full)
+      val clines2 = Files.list(out2).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("wal_compact_"))
+        .flatMap(p => WalBinary.decodeFrames(Files.readAllBytes(p)))
+      assert(clines2.sorted.toSeq == clines.sorted.toSeq)
+    } finally {
+      Seq(dir, out, out2, mix).foreach(rmTree)
+    }
+  }
 }
