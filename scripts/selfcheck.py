@@ -19,10 +19,26 @@ oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 fail = 0
 names = sorted(d for d in os.listdir(out)
                if os.path.isdir(os.path.join(out, d)))
+def canon_type(t):
+    """Hash-equivalence classes for DuckDB logical types: integer widths
+    format identically (the driver hashes formatted values) so they
+    collapse to one class, but DECIMAL stays distinct from DOUBLE —
+    decimal formats with trailing scale zeros and that EXACT drift
+    passed the old dtype-blind compare and failed the r10 driver hash
+    (events_ab_cuped)."""
+    u = str(t).upper()
+    if u in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "INT"
+    return u
+
+
 for name in names:
     res_glob = os.path.join(out, name, "*.parquet")
     try:
-        got = con.sql(f"SELECT * FROM read_parquet('{res_glob}')").df()
+        gr = con.sql(f"SELECT * FROM read_parquet('{res_glob}')")
+        got = gr.df()
+        gtypes = dict(zip(gr.columns, [str(t) for t in gr.types]))
     except Exception as e:
         print(f"FAIL {name}: cannot read result: {e}")
         fail += 1
@@ -31,7 +47,9 @@ for name in names:
         print(f"SKIP {name}: no oracle ({len(got)} rows)")
         continue
     try:
-        want = con.sql(oracle[name]).df()
+        wr = con.sql(oracle[name])
+        want = wr.df()
+        wtypes = dict(zip(wr.columns, [str(t) for t in wr.types]))
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}")
         fail += 1
@@ -42,14 +60,23 @@ for name in names:
         print(f"FAIL {name}: cols {list(g.columns)} vs {list(w.columns)}")
         fail += 1
         continue
+    # Dtype gate FIRST: a decimal/double (or varchar/double, …) drift
+    # is a driver-hash failure even when every value compares equal.
+    tdrift = [(c, gtypes[c], wtypes[c]) for c in g.columns
+              if canon_type(gtypes[c]) != canon_type(wtypes[c])]
+    if tdrift:
+        print(f"FAIL {name}: dtype drift {tdrift}")
+        fail += 1
+        continue
     g = g.sort_values(by=list(g.columns)).reset_index(drop=True)
     w = w.sort_values(by=list(w.columns)).reset_index(drop=True)
     if len(g) != len(w):
         print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
         fail += 1
         continue
-    # Numeric columns: small absolute tolerance (ulp-at-rounding-boundary
-    # and -0.0 vs 0.0 differ between Spark and DuckDB); rest: exact string.
+    # Exact values (atol=0): the driver gate hashes byte-exact
+    # formatted values, so any tolerance here hides a driver failure.
+    # NaN==NaN and -0.0→0.0 only — both format identically.
     import numpy as np
     diff = None
     for c in g.columns:
@@ -57,7 +84,7 @@ for name in names:
            np.issubdtype(w[c].dtype, np.floating):
             gv = g[c].astype(float).fillna(float("nan")) + 0.0  # -0.0 -> 0.0
             wv = w[c].astype(float).fillna(float("nan")) + 0.0
-            d = ~(np.isclose(gv, wv, rtol=0, atol=1e-4, equal_nan=True))
+            d = ~(np.isclose(gv, wv, rtol=0, atol=0, equal_nan=True))
         else:
             d = g[c].astype(str) != w[c].astype(str)
         diff = d if diff is None else (diff | d)
@@ -111,6 +138,33 @@ if os.path.exists(survey_path):
     else:
         print(f"OK   survey-parity: {len(okeys)} registry queries, "
               "all named in SURVEY §2, count matches")
+
+# ---- third leg of the triangle: registry vs the LATEST driver
+# CORRECTNESS record. A record key missing from the registry means a
+# query was silently dropped (regression risk → FAIL); registry keys
+# absent from the record are queries added since the last driver run
+# (expected mid-round → NOTE). -------------------------------------
+recs = sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")))
+if recs:
+    rec_path = recs[-1]
+    try:
+        rec = json.load(open(rec_path))
+        rkeys = set(rec.keys())
+        okeys = set(oracle.keys())
+        dropped = sorted(rkeys - okeys)
+        added = sorted(okeys - rkeys)
+        if dropped:
+            print(f"FAIL record-parity: {len(dropped)} queries in "
+                  f"{os.path.basename(rec_path)} missing from registry: "
+                  f"{dropped[:8]}")
+            fail += 1
+        else:
+            print(f"OK   record-parity: all {len(rkeys)} queries in "
+                  f"{os.path.basename(rec_path)} still registered"
+                  + (f" (+{len(added)} new since: {added[:8]})"
+                     if added else ""))
+    except Exception as e:
+        print(f"NOTE record-parity: cannot read {rec_path}: {e}")
 
 print("RESULT:", "PASS" if fail == 0 else f"{fail} FAILURES")
 sys.exit(1 if fail else 0)

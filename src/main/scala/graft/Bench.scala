@@ -39,11 +39,15 @@ object Bench {
     // stretch, degrade gracefully (shorter warmup, partial second
     // pass) instead of risking the caller's timeout. The clock starts
     // here — sbt compile time is the caller's, not ours.
-    // 480 (was 420): the r9 host ran ~2x slower than r8's window and
-    // pass 1 alone consumed the old budget (pass2_n 2/170) — the min-
-    // over-passes estimate needs the second pass far more than the
-    // caller needs the last minute back
-    val budgetNs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480")
+    // 780 (was 480, was 420): the suite grew to 256 queries and r10's
+    // measured phases (warmup 78s + prebuild 69s + pass1 265s) left
+    // pass 2 only 19 queries — 237 timings shipped without the
+    // min-of-two-passes noise guard that the shared-VM methodology
+    // declares critical, and the 16x ScaleStress probe was skipped
+    // entirely. Two full passes + scale need ~740s; every raise so
+    // far (420->480 in r9) ran clean under the caller, and the guard
+    // still degrades gracefully if the host is pathological.
+    val budgetNs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "780")
       .toLong * 1000000000L
     val start = System.nanoTime()
     def elapsed: Long = System.nanoTime() - start

@@ -49,10 +49,18 @@ object ScaleStress {
   // per-edge wedge work is k-bounded) and events_daily_agg (the IVM
   // structure's cold build+serve: generation write is one aggregate
   // pass, serving folds partials — both should track the scan)
+  // r11 adds the round-10 structures the verdict asked to probe:
+  // dedup_containment (rare-shingle blocking under x-factor vocab
+  // growth — the df in [2,8] bar must keep bucket expansion flat),
+  // events_rolling_p95 (additive-histogram windowing: per-user state
+  // is histogram-sized, never window-row-sized) and
+  // search_spell_indexed (bucket-pruned dictionary probe: serve cost
+  // is query-term-sized; the build is the cold-dir component)
   val queryNames: Seq[String] =
     Seq("knn_graph", "dedup_minhash_pairs", "text_bm25_indexed",
       "events_pattern_match", "ann_hnsw", "dsir_select",
-      "search_spell_correct", "graph_adamic_adar", "events_daily_agg")
+      "search_spell_correct", "graph_adamic_adar", "events_daily_agg",
+      "dedup_containment", "events_rolling_p95", "search_spell_indexed")
 
   /** Replica id-space offset: far above any driver-generated id and
     * above the +100000/+200000/+300000 bands the synthetic-workload

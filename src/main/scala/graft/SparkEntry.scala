@@ -5574,8 +5574,12 @@ object SparkEntry {
         |                 JOIN orders o ON l.l_orderkey = o.o_orderkey),
         |sup AS (SELECT part, CAST(count(*) AS BIGINT) AS n
         |        FROM baskets GROUP BY 1),
-        |freq AS (SELECT part FROM sup WHERE n >= 20),
-        |fb AS (SELECT b.cust, b.part FROM baskets b JOIN freq USING (part)),
+        |freq AS (SELECT part, n FROM sup WHERE n >= 20),
+        |fb0 AS (SELECT b.cust, b.part,
+        |          row_number() OVER (PARTITION BY b.cust
+        |                             ORDER BY f.n DESC, b.part) AS crk
+        |        FROM baskets b JOIN freq f USING (part)),
+        |fb AS (SELECT cust, part FROM fb0 WHERE crk <= 64),
         |pr AS (SELECT a.part AS part_a, b.part AS part_b,
         |         CAST(count(*) AS BIGINT) AS n_both
         |       FROM fb a JOIN fb b ON a.cust = b.cust AND a.part < b.part
@@ -5628,8 +5632,12 @@ object SparkEntry {
         |       FROM baskets),
         |sup AS (SELECT part, CAST(count(*) AS BIGINT) AS n
         |        FROM baskets GROUP BY 1),
-        |freq AS (SELECT part FROM sup WHERE n >= 20),
-        |fb AS (SELECT b.cust, b.part FROM baskets b JOIN freq USING (part)),
+        |freq AS (SELECT part, n FROM sup WHERE n >= 20),
+        |fb0 AS (SELECT b.cust, b.part,
+        |          row_number() OVER (PARTITION BY b.cust
+        |                             ORDER BY f.n DESC, b.part) AS crk
+        |        FROM baskets b JOIN freq f USING (part)),
+        |fb AS (SELECT cust, part FROM fb0 WHERE crk <= 64),
         |pr AS (SELECT a.part AS part_a, b.part AS part_b,
         |         CAST(count(*) AS BIGINT) AS n_both
         |       FROM fb a JOIN fb b ON a.cust = b.cust AND a.part < b.part

@@ -48,11 +48,16 @@ object Verify {
     // driver's compare budget (the round-9 record came back empty).
     // AS MATERIALIZED evaluates each CTE once: same results (verified
     // value-identical across the registry), 16 s total. The rewrite
-    // targets `name AS (` — skip queries with a WINDOW clause, whose
-    // `w AS (...)` window bindings the pattern cannot distinguish.
+    // is anchored to CTE-name POSITIONS — line start (the builder
+    // authors every CTE header at column 0 of its stripMargin line)
+    // or directly after `WITH ` — so `WINDOW w AS (...)` bindings
+    // (always after the uppercase WINDOW keyword) and any ` AS (`
+    // text inside string literals are never touched. The previous
+    // whole-string rewrite with a `contains("WINDOW ")` opt-out
+    // silently disabled materialization for 6 window queries.
     def materialize(sql: String): String =
-      if (sql.contains("WINDOW ")) sql
-      else sql.replaceAll("\\b([a-z0-9_]+) AS \\(", "$1 AS MATERIALIZED (")
+      sql.replaceAll("(?m)(^|\\bWITH (?:RECURSIVE )?)([a-z0-9_]+) AS \\(",
+        "$1$2 AS MATERIALIZED (")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(materialize(v))}" }
       .mkString("{", ",", "}")

@@ -48,14 +48,23 @@ object AggTable {
 
   private def writeGen(s: SparkSession, path: String, partials: DataFrame,
                        gen: Long): Unit = {
-    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try partials.withColumn("gen", lit(gen))
-      .write.mode("overwrite").partitionBy("gen", "day").parquet(path)
-    finally prevMode match {
-      case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // Exact generation replacement: dynamic partition overwrite alone
+    // only replaces the (gen, day) partitions THIS attempt produces —
+    // a redelivered batch whose day set shrank (source mutated across
+    // restart) would leave the earlier attempt's extra day partitions
+    // in place, and serve would double-count those days. Deleting the
+    // generation's directory first makes replacement exact regardless
+    // of day-set drift. The overwrite mode is scoped to this WRITER
+    // (not session conf, which races any concurrent write sharing the
+    // session).
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val genDir = new org.apache.hadoop.fs.Path(root, s"gen=$gen")
+    if (fs.exists(genDir)) fs.delete(genDir, true)
+    partials.withColumn("gen", lit(gen))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen", "day").parquet(path)
   }
 
   /** Bootstrap: the base corpus as generation 0. */

@@ -1097,7 +1097,13 @@ object Analytics {
     def variance(n: org.apache.spark.sql.Column,
                  sc: org.apache.spark.sql.Column,
                  q: org.apache.spark.sql.Column) =
-      (n * q - sc * sc).cast("double") / (n * (n - 1)).cast("double")
+      // numerator in DECIMAL(38,0): n·q reaches n²·micro² and a
+      // BIGINT wraps silently past ~3·10⁵ events/arm where DuckDB's
+      // HUGEINT keeps exact — decimal holds to 10³⁸ and only the
+      // final ratio drops to double (same value, same bits)
+      (n.cast("decimal(38,0)") * q.cast("decimal(38,0)") -
+        sc.cast("decimal(38,0)") * sc.cast("decimal(38,0)"))
+        .cast("double") / (n * (n - 1)).cast("double")
     side(0, "a").join(side(1, "b"), "d")
       .where(col("n_a") > 1 && col("n_b") > 1)
       .withColumn("z",
@@ -1414,7 +1420,13 @@ object Analytics {
     def variance(n: org.apache.spark.sql.Column,
                  sc: org.apache.spark.sql.Column,
                  q: org.apache.spark.sql.Column) =
-      (n * q - sc * sc).cast("double") / (n * (n - 1)).cast("double")
+      // DECIMAL(38,0) numerator — the headroom discipline the doc
+      // above promises ("at petabyte row counts the Σx² BIGINT would
+      // need decimal(38,0)"), now actually applied: n·q wraps a
+      // BIGINT past ~3·10⁵ events/arm
+      (n.cast("decimal(38,0)") * q.cast("decimal(38,0)") -
+        sc.cast("decimal(38,0)") * sc.cast("decimal(38,0)"))
+        .cast("double") / (n * (n - 1)).cast("double")
     side(0, "a").join(side(1, "b"), "event_type")
       .where(col("n_a") > 1 && col("n_b") > 1)
       .withColumn("z",
@@ -1465,10 +1477,14 @@ object Analytics {
       sum("x").as("vsx"), sum("y").as("vsy"),
       sum(expr("x * y")).as("vsxy"), sum(expr("x * x")).as("vsxx"),
       sum(expr("y * y")).as("vsyy"))
-    val theta = "(n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)"
-    val vary = "(nv * vsyy - vsy * vsy) * 1.0 / (nv * (nv - 1))"
-    val covv = "(nv * vsxy - vsx * vsy) * 1.0 / (nv * (nv - 1))"
-    val varx = "(nv * vsxx - vsx * vsx) * 1.0 / (nv * (nv - 1))"
+    // 1.0D not 1.0: a bare 1.0 literal is DECIMAL(2,1) in Spark SQL
+    // and round(decimal, n) STAYS decimal, while the DuckDB oracle's
+    // HUGEINT sums force DOUBLE — the stats must ride DOUBLE on both
+    // engines or the driver's schema hash diverges (r10 red row).
+    val theta = "(n * sxy - sx * sy) * 1.0D / (n * sxx - sx * sx)"
+    val vary = "(nv * vsyy - vsy * vsy) * 1.0D / (nv * (nv - 1))"
+    val covv = "(nv * vsxy - vsx * vsy) * 1.0D / (nv * (nv - 1))"
+    val varx = "(nv * vsxx - vsx * vsx) * 1.0D / (nv * (nv - 1))"
     // var_ratio = var(Y_adj)/var(Y) — the REMAINING variance fraction
     // (1 − reduction); the guard drops degenerate variants (a single
     // user, or zero post-period variance) where the ratio is 0/0.
@@ -1477,9 +1493,9 @@ object Analytics {
       .select(col("variant").cast("long").as("variant"),
         col("nv").as("n_users"),
         expr(s"round($theta, 6)").as("theta"),
-        expr("round(vsy * 1.0 / nv / 100.0, 4)").as("mean_y"),
-        expr(s"round((vsy * 1.0 / nv - ($theta) * " +
-          s"(vsx * 1.0 / nv - sx * 1.0 / n)) / 100.0, 4)")
+        expr("round(vsy * 1.0D / nv / 100.0, 4)").as("mean_y"),
+        expr(s"round((vsy * 1.0D / nv - ($theta) * " +
+          s"(vsx * 1.0D / nv - sx * 1.0D / n)) / 100.0, 4)")
           .as("mean_y_adj"),
         expr(s"round((($vary) - 2 * ($theta) * ($covv) + " +
           s"($theta) * ($theta) * ($varx)) / ($vary), 4)")
@@ -1533,12 +1549,20 @@ object Analytics {
     * (one aggregate), only FREQUENT items (support ≥ minItemSup)
     * enter the pair stage, and pair expansion is an equi-join on the
     * basket key — per-basket work is bounded by the frequent-item
-    * count in that basket, never the catalog. Counts are exact
+    * count in that basket, never the catalog. A whale basket (a
+    * reseller/bot account holding 10⁴+ frequent parts) would still
+    * make one cust key fan out quadratically, so each basket keeps
+    * only its top-`capPerCust` frequent items (highest support,
+    * part-id tiebreak — the items that can reach minPairSup at all
+    * are the high-support ones, so the cap discards the least likely
+    * pair candidates first) before the self-join: per-key fan-out is
+    * ≤ C·(C−1)/2 regardless of basket size. Counts are exact
     * BIGINTs; lift/confidence are single divisions from identical
     * integers, so the top-20 cut is tie-stable.
     */
   def basketPairs(s: SparkSession, dir: String, minItemSup: Long = 20L,
-                  minPairSup: Long = 5L, topN: Int = 20): DataFrame = {
+                  minPairSup: Long = 5L, topN: Int = 20,
+                  capPerCust: Int = 64): DataFrame = {
     val baskets = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
       .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -1550,7 +1574,11 @@ object Analytics {
     val sup = baskets.groupBy("part").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
     val freq = sup.where(col("n") >= minItemSup)
-    val fb = baskets.join(freq.select(col("part")), "part")
+    val wc = Window.partitionBy("cust").orderBy(col("n").desc, col("part"))
+    val fb = baskets.join(freq, "part")
+      .withColumn("crk", row_number().over(wc))
+      .where(col("crk") <= capPerCust)
+      .select("cust", "part")
     val pairs = fb.as("a")
       .join(fb.as("b"),
         col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
@@ -1577,7 +1605,10 @@ object Analytics {
     * over customer baskets — "customers who bought X also bought Y",
     * the Amazon item-to-item shape (Linden et al. 2003). Same
     * support-filtered, cust-keyed blocked pair expansion as
-    * basket_pairs; similarity from exact integer counts (sqrt and
+    * basket_pairs — including its per-customer top-`capPerCust`
+    * frequent-item cap, which bounds any one cust key's fan-out at
+    * C·(C−1)/2 pairs even for whale baskets; similarity from exact
+    * integer counts (sqrt and
     * one division are correctly-rounded IEEE ops — identical doubles
     * on both engines), RANKED ON THE 4dp-ROUNDED score with
     * neighbor-id tiebreak (the BM25 ranking discipline). The rank
@@ -1585,7 +1616,8 @@ object Analytics {
     * corpus; pairs materialize once and serve both directions.
     */
   def partItemCf(s: SparkSession, dir: String, minItemSup: Long = 20L,
-                 minPairSup: Long = 5L, k: Int = 3): DataFrame = {
+                 minPairSup: Long = 5L, k: Int = 3,
+                 capPerCust: Int = 64): DataFrame = {
     val baskets = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
       .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -1595,7 +1627,11 @@ object Analytics {
     val sup = baskets.groupBy("part").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
     val freq = sup.where(col("n") >= minItemSup)
-    val fb = baskets.join(freq.select(col("part")), "part")
+    val wc = Window.partitionBy("cust").orderBy(col("n").desc, col("part"))
+    val fb = baskets.join(freq, "part")
+      .withColumn("crk", row_number().over(wc))
+      .where(col("crk") <= capPerCust)
+      .select("cust", "part")
     val pairs = fb.as("a")
       .join(fb.as("b"),
         col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
@@ -1869,7 +1905,12 @@ object Analytics {
         sum(expr("m * m")).as("qx"))
       .where(col("n") > 1)
     val mean = col("sx").cast("double") / col("n") / lit(100.0)
-    val vr = (col("n") * col("qx") - col("sx") * col("sx")).cast("double") /
+    // DECIMAL(38,0) numerator — same overflow-headroom discipline as
+    // eventsAbSequential/dimVariance (BIGINT n·qx wraps at ~3·10⁵
+    // events per type; decimal stays exact to 10³⁸)
+    val dec = "decimal(38,0)"
+    val vr = (col("n").cast(dec) * col("qx").cast(dec) -
+      col("sx").cast(dec) * col("sx").cast(dec)).cast("double") /
       (col("n") * (col("n") - 1)).cast("double") / lit(10000.0)
     val delta = mean * lit(0.05)
     val zs = lit(1.96) + lit(0.8416)

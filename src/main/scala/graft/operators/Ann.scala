@@ -1116,9 +1116,60 @@ object Ann {
       .select("qid", "id")
   }
 
-  private def nswTraverse(s: SparkSession, dir: String, queries: DataFrame,
+  /** Observability hook for the adaptive base-beam loop: the spec
+    * pins that an easy query set stops before the round cap.
+    */
+  private[graft] final class DescentStats { @volatile var roundsRun: Int = 0 }
+
+  /** BASE-BEAM LOOP with ADAPTIVE TERMINATION — the relational form
+    * of hnswlib's ef-queue stop (hnswlib_index.cc:46 `searchKnn`
+    * iterates while the candidate queue can still improve the result
+    * set). Exact variant: `expand` is a pure function of the frontier
+    * and scores are deterministic, so a round whose cut beam equals
+    * the previous round's is a FIXPOINT — every remaining round would
+    * recompute the identical (frontier, visited) bit-for-bit, and
+    * skipping them changes nothing. That exactness is why the
+    * unrolled SQL oracle needs no round-count column: the adaptive
+    * run and the fixed-`rounds` run agree by construction. The
+    * convergence probe costs two tiny jobs over the Q×beam
+    * checkpointed frontier and only runs while more rounds remain —
+    * a converged query set stops paying beam·graphK expansions it
+    * cannot use (the r10 verdict's "most-likely user hit").
+    */
+  private def baseBeamLoop(frontier0: DataFrame, visited0: DataFrame,
+                           edges: DataFrame,
+                           scoreIds: DataFrame => DataFrame,
+                           topBeam: (DataFrame, Int) => DataFrame,
+                           beam: Int, rounds: Int,
+                           stats: DescentStats): (DataFrame, DataFrame) = {
+    var frontier = frontier0
+    var visited = visited0
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val expand = frontier.join(edges, col("id") === col("src"))
+        .select(col("qid"), col("dst").as("id"))
+        .union(frontier.select("qid", "id"))
+        .distinct()
+      visited = visited.union(expand).distinct()
+      val next = topBeam(scoreIds(expand), beam).localCheckpoint(true)
+      r += 1
+      if (r < rounds)
+        converged = next.select("qid", "id").count() ==
+          frontier.select("qid", "id").count() &&
+          next.select("qid", "id")
+            .exceptAll(frontier.select("qid", "id")).isEmpty
+      frontier = next
+    }
+    if (stats != null) stats.roundsRun = r
+    (frontier, visited)
+  }
+
+  private[graft] def nswTraverse(s: SparkSession, dir: String,
+                          queries: DataFrame,
                           beam: Int, rounds: Int,
-                          graphK: Int): (DataFrame, DataFrame) = {
+                          graphK: Int,
+                          stats: DescentStats = null): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1148,16 +1199,10 @@ object Ann {
     // ≈ nprobe·stride rows, independent of corpus size — cell COUNT
     // grows with the corpus, cell SIZE stays ~stride.
     val entry = nswEntry(s, dir, q)
-    var frontier = topBeam(scoreIds(entry), beam).localCheckpoint(true)
-    var visited = frontier.select("qid", "id")
-    for (_ <- 1 to rounds) {
-      val expand = frontier.join(edges, col("id") === col("src"))
-        .select(col("qid"), col("dst").as("id"))
-        .union(frontier.select("qid", "id"))
-        .distinct()
-      visited = visited.union(expand).distinct()
-      frontier = topBeam(scoreIds(expand), beam).localCheckpoint(true)
-    }
+    val frontier0 = topBeam(scoreIds(entry), beam).localCheckpoint(true)
+    val (frontier, visited) = baseBeamLoop(frontier0,
+      frontier0.select("qid", "id"), edges, scoreIds, topBeam,
+      beam, rounds, stats)
     (frontier, scoreIds(visited.distinct()))
   }
 
@@ -1299,7 +1344,9 @@ object Ann {
                                 layerEdges: Int => DataFrame,
                                 edges0: DataFrame,
                                 beamU: Int, beam: Int,
-                                rounds: Int): (DataFrame, DataFrame) = {
+                                rounds: Int,
+                                stats: DescentStats = null)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("qid"), col("qvec"))
     def scoreIds(ids: DataFrame): DataFrame =
@@ -1335,15 +1382,9 @@ object Ann {
         frontier = topBeam(scoreIds(expand), beamU).localCheckpoint(true)
       }
     }
-    for (_ <- 1 to rounds) {
-      val expand = frontier.join(edges0, col("id") === col("src"))
-        .select(col("qid"), col("dst").as("id"))
-        .union(frontier.select("qid", "id"))
-        .distinct()
-      visited = visited.union(expand).distinct()
-      frontier = topBeam(scoreIds(expand), beam).localCheckpoint(true)
-    }
-    (frontier, scoreIds(visited.distinct()))
+    val (fr, vis) = baseBeamLoop(frontier, visited, edges0, scoreIds,
+      topBeam, beam, rounds, stats)
+    (fr, scoreIds(vis.distinct()))
   }
 
   private def hnswTraverse(s: SparkSession, dir: String, queries: DataFrame,
@@ -2353,8 +2394,20 @@ object Ann {
     * variance < 1e-6 (a collapsed axis wastes quantizer budget and
     * adds nothing to any distance). One posexplode pass, 64-row
     * aggregate.
+    *
+    * Overflow headroom: with |e| ≤ ~1 the micro moment m is ≤ 10⁴,
+    * so qx ≤ n·10⁸ and the numerator n·qx reaches n²·10⁸ — a BIGINT
+    * would wrap silently past n ≈ 3·10⁵ vectors (Spark wraps where
+    * DuckDB's HUGEINT keeps going, diverging exactly where the
+    * micro-moment discipline promises bit-equality). The numerator
+    * therefore rides DecimalType(38,0) (exact to 10³⁸, i.e. n up to
+    * ~10¹⁵) and only the final ratio drops to double — mirroring the
+    * oracle's HUGEINT-then-CAST path.
     */
-  def dimVariance(s: SparkSession, dir: String): DataFrame =
+  def dimVariance(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val num = col("n").cast(dec) * col("qx").cast(dec) -
+      col("sx").cast(dec) * col("sx").cast(dec)
     Tables.embeddings(s, dir)
       .select(posexplode(expr(
         "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) " +
@@ -2365,14 +2418,14 @@ object Ann {
       .select(col("dim").cast("long").as("dim"),
         round(col("sx").cast("double") / col("n") / lit(10000.0), 4)
           .as("mean"),
-        round((col("n") * col("qx") - col("sx") * col("sx"))
-          .cast("double")
+        round(num.cast("double")
           / (col("n") * (col("n") - 1)).cast("double")
           / lit(100000000.0), 6).as("variance"),
-        ((col("n") * col("qx") - col("sx") * col("sx")).cast("double")
+        (num.cast("double")
           / (col("n") * (col("n") - 1)).cast("double")
           / lit(100000000.0) < lit(1e-6)).as("is_dead"))
       .orderBy("dim")
+  }
 
   /** RECALL-vs-PREFIX-DIMS CURVE for matryoshka embeddings — the MRL
     * tuning table ([[graft.operators.Knn.mrlSearch]]'s knob): per

@@ -1031,14 +1031,18 @@ object TextOps {
       .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
         sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
         sum(expr("y * y")).as("syy"))
+    // 1.0D, not 1.0: the bare literal is DECIMAL(2,1) in Spark SQL
+    // and the stats would ship as DECIMAL(37,4) where the oracle
+    // emits DOUBLE (the events_ab_cuped r10 drift — caught here by
+    // the dtype-exact selfcheck)
     sums.select(col("k").as("n_terms"),
-      expr("round((k * sxy - sx * sy) * 1.0 / (k * sxx - sx * sx), 4)")
+      expr("round((k * sxy - sx * sy) * 1.0D / (k * sxx - sx * sx), 4)")
         .as("slope"),
-      expr("round((sy * 1.0 / k - ((k * sxy - sx * sy) * 1.0 " +
+      expr("round((sy * 1.0D / k - ((k * sxy - sx * sy) * 1.0D " +
         "/ (k * sxx - sx * sx)) * sx / k) / 1000000.0, 4)")
         .as("intercept"),
-      expr("round(((k * sxy - sx * sy) * 1.0 * (k * sxy - sx * sy)) " +
-        "/ ((k * sxx - sx * sx) * 1.0 * (k * syy - sy * sy)), 4)")
+      expr("round(((k * sxy - sx * sy) * 1.0D * (k * sxy - sx * sy)) " +
+        "/ ((k * sxx - sx * sx) * 1.0D * (k * syy - sy * sy)), 4)")
         .as("r2"))
   }
 

@@ -48,6 +48,32 @@ class AggTableSpec extends SparkSuite {
     }
   }
 
+  test("redelivery with a SHRUNK day set leaves no stale partitions") {
+    // A retried batch can cover fewer days than the first attempt
+    // (source mutated across restart). Generation replacement must be
+    // exact — the first attempt's extra day partitions must NOT
+    // survive and double-count at serve time.
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "aggtabd")
+    val path = dir.resolve("daily").toString
+    try {
+      val ev = full
+      val base = ev.where(col("event_id") % 4 =!= 3)
+      AggTable.build(spark, path, base)
+      val b1full = ev.where(col("event_id") % 4 === 3)
+      AggTable.insert(spark, path, b1full, gen = 1L)
+      // retry of gen 1 arrives with only half the users → fewer rows,
+      // possibly fewer (day, type) partitions
+      val b1shrunk = b1full.where(col("user_id") % 2 === 0)
+      AggTable.insert(spark, path, b1shrunk, gen = 1L)
+      val want = asSet(AggTable.dailyAgg(base.unionByName(b1shrunk)))
+      assert(asSet(AggTable.serve(spark, path)) == want,
+        "stale partitions from the first gen-1 attempt survived")
+    } finally {
+      new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("day-ranged serve prunes partitions and matches the filtered rebuild") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "aggtabp")

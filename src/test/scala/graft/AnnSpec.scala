@@ -485,6 +485,34 @@ class AnnSpec extends SparkSuite {
     assert(recall >= 0.5, f"nsw recall@10 = $recall%.2f below 0.5")
   }
 
+  test("adaptive descent: converged beam stops early AND matches the " +
+    "full fixed-round traversal exactly") {
+    // Generous round cap on an easy query set (queries are corpus
+    // members, so the beam locks onto the true neighborhood fast):
+    // the fixpoint check must fire before the cap, and because a
+    // repeated frontier is exact convergence, the early-stopped
+    // frontier must equal the capped run's bit-for-bit.
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cap = 8
+    val stats = new Ann.DescentStats
+    val (frontier, _) = Ann.nswTraverse(spark, sf, q, beam = 16,
+      rounds = cap, graphK = 8, stats = stats)
+    assert(stats.roundsRun < cap,
+      s"easy fixture never converged: ran ${stats.roundsRun}/$cap rounds")
+    val full = new Ann.DescentStats
+    // distinct caps that both exceed the convergence point must agree
+    val (frontier2, _) = Ann.nswTraverse(spark, sf, q, beam = 16,
+      rounds = cap + 3, graphK = 8, stats = full)
+    val a = frontier.select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = frontier2.select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, "adaptive stop diverged from the longer run")
+    assert(full.roundsRun == stats.roundsRun,
+      "convergence round must be cap-independent")
+  }
+
   test("nsw entry set is the coarse IVF descent: exactly the probed " +
     "cells' members, per-query work bounded by cell size not corpus") {
     val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
