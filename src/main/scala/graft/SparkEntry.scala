@@ -190,6 +190,7 @@ object SparkEntry {
     "embed_dim_variance" -> (Ann.dimVariance _),
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_fingerprint" -> (TextOps.fingerprint _),
+    "text_normalize" -> (TextOps.normalizeQuery _),
     "corpus_stats" -> (TextOps.corpusStats _),
     "text_chunk" -> (TextOps.chunkQuery _),
     "chunk_pack" -> (TextOps.chunkPackQuery _),
@@ -4803,6 +4804,23 @@ object SparkEntry {
         |SELECT doc_id, fp_md5,
         |       CAST('0x' || substr(fp_md5, 1, 15) AS BIGINT) AS fp60
         |FROM n ORDER BY doc_id""".stripMargin,
+    // Unicode normalization report: NFC + width-fold + casefold. The
+    // translate tables interpolate from the SAME Scala vals the Spark
+    // side uses (escaped for a single-quoted literal), so the two
+    // engines cannot drift by a character; nfc_normalize is DuckDB's
+    // canonical-composition twin of the codegen'd NfcNormalize.
+    "text_normalize" -> {
+      def sqlLit(v: String) = "'" + v.replace("'", "''") + "'"
+      val from = sqlLit(graft.operators.TextOps.widthFoldFrom)
+      val to = sqlLit(graft.operators.TextOps.widthFoldTo)
+      s"""WITH nt AS (SELECT doc_id, text,
+         |        lower(translate(nfc_normalize(text), $from, $to)) AS nx
+         |      FROM documents)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+         |       CAST(length(nx) AS BIGINT) AS len_norm,
+         |       text <> nx AS changed, md5(nx) AS norm_md5
+         |FROM nt ORDER BY doc_id""".stripMargin
+    },
     // second capstone: cleaned corpus → md5 split → per-split volumes
     // + residual cross-split contamination (the decontam formulation
     // over the CLEANED corpus); CTE names suffixed A to avoid the

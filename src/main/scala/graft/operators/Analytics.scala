@@ -1560,6 +1560,23 @@ object Analytics {
     * BIGINTs; lift/confidence are single divisions from identical
     * integers, so the top-20 cut is tie-stable.
     */
+  /** The whale-basket guard shared by [[basketPairs]] and
+    * [[partItemCf]]: per customer, keep only the top-`capPerCust`
+    * frequent items (highest support first, part-id tiebreak) before
+    * any pair self-join — one cust key's fan-out is then ≤ C·(C−1)/2
+    * pairs no matter how many parts the basket holds (SkewSpec pins
+    * a planted 10⁴-part whale). `freq` carries (part, n).
+    */
+  private[graft] def capFrequentPerBasket(baskets: DataFrame,
+                                          freq: DataFrame,
+                                          capPerCust: Int): DataFrame = {
+    val wc = Window.partitionBy("cust").orderBy(col("n").desc, col("part"))
+    baskets.join(freq, "part")
+      .withColumn("crk", row_number().over(wc))
+      .where(col("crk") <= capPerCust)
+      .select("cust", "part")
+  }
+
   def basketPairs(s: SparkSession, dir: String, minItemSup: Long = 20L,
                   minPairSup: Long = 5L, topN: Int = 20,
                   capPerCust: Int = 64): DataFrame = {
@@ -1574,11 +1591,7 @@ object Analytics {
     val sup = baskets.groupBy("part").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
     val freq = sup.where(col("n") >= minItemSup)
-    val wc = Window.partitionBy("cust").orderBy(col("n").desc, col("part"))
-    val fb = baskets.join(freq, "part")
-      .withColumn("crk", row_number().over(wc))
-      .where(col("crk") <= capPerCust)
-      .select("cust", "part")
+    val fb = capFrequentPerBasket(baskets, freq, capPerCust)
     val pairs = fb.as("a")
       .join(fb.as("b"),
         col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
@@ -1627,11 +1640,7 @@ object Analytics {
     val sup = baskets.groupBy("part").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
     val freq = sup.where(col("n") >= minItemSup)
-    val wc = Window.partitionBy("cust").orderBy(col("n").desc, col("part"))
-    val fb = baskets.join(freq, "part")
-      .withColumn("crk", row_number().over(wc))
-      .where(col("crk") <= capPerCust)
-      .select("cust", "part")
+    val fb = capFrequentPerBasket(baskets, freq, capPerCust)
     val pairs = fb.as("a")
       .join(fb.as("b"),
         col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))

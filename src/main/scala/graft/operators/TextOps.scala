@@ -203,6 +203,59 @@ object TextOps {
       .select("doc_id", "fp_md5", "fp60")
       .orderBy("doc_id")
 
+  // ------------------------------------------------- normalization
+
+  /** Width-fold translate tables: full-width ASCII (U+FF01–U+FF5E)
+    * to its half-width form, plus ideographic space (U+3000) to
+    * space. Built programmatically so the Spark `translate` and the
+    * DuckDB oracle literal (interpolated from these same vals in
+    * SparkEntry) can never drift by a character.
+    */
+  val widthFoldFrom: String =
+    (0x21 to 0x7e).map(c => (c + 0xFEE0).toChar).mkString + '　'
+  val widthFoldTo: String = (0x21 to 0x7e).map(_.toChar).mkString + ' '
+
+  /** OPT-IN Unicode normalization stage: NFC canonical composition
+    * (the codegen'd [[graft.functions.NfcNormalize]] — 'café'
+    * decomposed ≡ composed), width folding (full-width ASCII and
+    * ideographic space → half-width), then casefold via `lower`.
+    * Apply BEFORE any byte-keyed stage (fingerprint, minhash
+    * shingles, exact dedup, BM25 terms) when the corpus is
+    * multilingual: every downstream operator then treats canonically
+    * equal strings as equal, with no change to its own plan. Opt-in
+    * because normalization changes hashes — existing oracled
+    * pipelines stay byte-stable unless a corpus asks for it. Mirrors
+    * DuckDB `lower(translate(nfc_normalize(text), from, to))`
+    * exactly.
+    */
+  def normalize(c: Column): Column =
+    lower(translate(graft.functions.NfcNormalize(c),
+      widthFoldFrom, widthFoldTo))
+
+  /** The composition helper for dedup pipelines: same docs frame,
+    * text normalized in place — `Dedup.exact(normalizeDocs(docs))`
+    * collapses NFC/NFD byte-variants of one document.
+    */
+  def normalizeDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text", normalize(col("text")))
+
+  /** Registry surface: per-doc normalization report — codepoint
+    * lengths before/after, a changed flag, and the md5 of the
+    * normalized text (the fingerprint downstream dedup would key
+    * on). One scan, one projection; the NFC fast path makes the
+    * already-normalized corpus a no-allocation pass.
+    */
+  def normalizeQuery(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("nx", normalize(col("text")))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(col("nx")).cast("long").as("len_norm"),
+        (col("text") =!= col("nx")).as("changed"),
+        md5(col("nx")).as("norm_md5"))
+      .orderBy("doc_id")
+
   /** Fixed-size token-window chunking with overlap — the
     * context-packing step of a training/RAG pipeline: document →
     * windows of `size` tokens starting every `size - overlap` tokens

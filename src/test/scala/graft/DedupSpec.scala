@@ -230,4 +230,37 @@ class DedupSpec extends SparkSuite {
         s"cluster $cid keeper ${rows.head.getLong(2)} != best $best")
     }
   }
+
+  test("normalization stage: NFC/NFD byte-variants dedup as ONE doc " +
+    "through exact AND minhash; width-fold + casefold collapse too") {
+    import spark.implicits._
+    val composed = "café au lait bien chaud"   // é = U+00E9
+    val decomposed = "café au lait bien chaud" // e + U+0301
+    val other = "a completely unrelated document about spark plans"
+    val raw = Seq((1L, composed), (2L, decomposed), (3L, other))
+      .toDF("doc_id", "text")
+    // raw bytes differ → byte-keyed exact dedup is blind to the pair
+    assert(operators.Dedup.exact(raw).count() == 0)
+    // the opt-in normalization stage collapses them, untouched plans
+    val nd = operators.TextOps.normalizeDocs(raw)
+    val groups = operators.Dedup.exact(nd).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_copies") == 2L)
+    assert(groups(0).getAs[Long]("canonical_id") == 1L)
+    // minhash signatures become identical as well — near-dup LSH
+    // treats the variants as the same doc in every band
+    val bands = operators.Dedup.minhashBands(nd)
+      .where(col("doc_id") <= 2L)
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = bands.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L), "band keys diverged after normalize")
+    // width folding and casefold: full-width ASCII + ideographic
+    // space + uppercase all land on the plain form
+    val wide = "ＣＡＦＥ　ＭＥＮＵ！"
+    val got = Seq(Tuple1(wide)).toDF("t")
+      .select(operators.TextOps.normalize(col("t"))).head.getString(0)
+    assert(got == "cafe menu!", s"width-fold/casefold broke: '$got'")
+  }
 }

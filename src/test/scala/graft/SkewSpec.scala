@@ -26,6 +26,40 @@ class SkewSpec extends SparkSuite {
     assert(p.contains("explode"), s"build side not replicated:\n$p")
   }
 
+  test("whale basket: a 10^4-frequent-item customer stays <= C^2 pairs") {
+    // the basket_pairs/part_item_cf skew guard: one reseller/bot
+    // account holding 10,000 frequent parts must NOT fan out
+    // quadratically in the cust-keyed self-join — the per-customer
+    // top-C cap bounds it at C·(C−1)/2 pairs, and normal baskets
+    // pass through untouched
+    val cap = 64
+    val whale = (1L to 10000L).map(p => (1L, p))
+    val normal = (2L to 5L).flatMap(c => (1L to 10L).map(p => (c, p)))
+    val baskets = (whale ++ normal).toDF("cust", "part")
+    val freq = baskets.groupBy("part")
+      .agg(count(lit(1)).as("n")) // every part "frequent" for the test
+    val capped = graft.operators.Analytics
+      .capFrequentPerBasket(baskets, freq, cap)
+    val perCust = capped.groupBy("cust").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perCust(1L) == cap.toLong,
+      s"whale not capped: ${perCust(1L)} items survived")
+    (2L to 5L).foreach(c => assert(perCust(c) == 10L,
+      s"normal basket $c was truncated to ${perCust(c)}"))
+    // the pair expansion off the capped table is bounded per cust
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
+      .groupBy(col("a.cust")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs(1L) == cap.toLong * (cap - 1) / 2,
+      s"whale pair fan-out ${pairs(1L)} != C(C-1)/2")
+    // determinism: the kept items are the support-then-id prefix
+    val kept = capped.where(col("cust") === 1L).select("part")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == (1L to cap.toLong),
+      "cap tiebreak not (support desc, part asc)")
+  }
+
   test("hot-key rows spread across salt values") {
     // one key owns 90% of the probe side — the skew scenario
     val probe = ((1L to 900L).map(i => (i, 1L)) ++
