@@ -107,6 +107,7 @@ object SparkEntry {
     "graph_centrality" -> ((s, d) => Ann.graphCentrality(s, d)),
     "graph_triangles" -> ((s, d) => Ann.graphTriangles(s, d)),
     "graph_adamic_adar" -> ((s, d) => Ann.adamicAdar(s, d)),
+    "graph_jaccard_lp" -> ((s, d) => Ann.graphJaccardLp(s, d)),
     "graph_modularity" -> ((s, d) => Ann.graphModularity(s, d)),
     "knn_graph_recall" -> ((s, d) => Ann.knnGraphRecall(s, d)),
     "events_bot_score" -> ((s, d) => Sequence.botScore(s, d)),
@@ -122,6 +123,10 @@ object SparkEntry {
     "embed_pca_project2" -> (Pca.pcaProject2 _),
     "embed_pca_var" -> (Pca.pcaVariance _),
     "events_forecast_naive" -> ((s, d) => Analytics.eventsForecastNaive(s, d)),
+    "events_autocorr7" -> ((s, d) => Analytics.eventsAutocorr(s, d)),
+    "events_benford" -> (Analytics.eventsBenford _),
+    "supplier_hhi" -> (Analytics.supplierHhi _),
+    "text_readability" -> (TextOps.readability _),
     "ann_recall_report" -> ((s, d) => Ann.ivfRecallReport(s, d)),
     "mrl_recall_curve" -> ((s, d) => Ann.mrlRecallCurve(s, d)),
     "embed_drift_psi" -> ((s, d) => Ann.embedDriftPsi(s, d)),
@@ -1421,6 +1426,32 @@ object SparkEntry {
          |       round(sum(CAST(1 AS DOUBLE) / ln(dg.d)), 4) AS aa_score
          |FROM cand JOIN dg ON dg.id = cand.b
          |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // neighbor-Jaccard link prediction: the AA wedge chain with both
+    // endpoints' degrees in the denominator
+    "graph_jaccard_lp" ->
+      s"""WITH $ivfGraphCtes,
+         |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
+         |mu AS (SELECT g1.qid AS id_a, g1.id AS id_b
+         |       FROM g g1 JOIN g g2 ON g1.qid = g2.id AND g1.id = g2.qid
+         |       WHERE g1.qid < g1.id),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM mu
+         |        UNION ALL SELECT id_b, id_a FROM mu),
+         |dg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d
+         |       FROM sym GROUP BY 1),
+         |wedge AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |          FROM sym e1 JOIN sym e2 ON e1.b = e2.a
+         |          WHERE e1.a < e2.b),
+         |cand AS (SELECT w.a, w.b, w.c FROM wedge w
+         |         WHERE NOT EXISTS (SELECT 1 FROM mu
+         |           WHERE mu.id_a = w.a AND mu.id_b = w.c)),
+         |cc AS (SELECT a, c, CAST(count(*) AS BIGINT) AS n_common
+         |       FROM cand GROUP BY 1, 2)
+         |SELECT cc.a AS id_a, cc.c AS id_b, cc.n_common,
+         |       round(CAST(cc.n_common AS DOUBLE)
+         |         / (da.d + db.d - cc.n_common), 4) AS jaccard
+         |FROM cc JOIN dg da ON cc.a = da.id
+         |JOIN dg db ON cc.c = db.id
+         |ORDER BY id_a, id_b""".stripMargin,
     "graph_triangles" ->
       s"""WITH $ivfGraphCtes,
          |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
@@ -1718,6 +1749,101 @@ object SparkEntry {
         |       round(sum(abs(n - pred)) * 1.0 / count(*), 4) AS mae
         |FROM lagd WHERE pred IS NOT NULL
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // lag-7 Pearson autocorrelation over the same dense grid — exact
+    // integer moments, DOUBLE numerators multiplied inside the sqrt
+    "events_autocorr7" ->
+      """WITH ev AS (SELECT event_type,
+        |              date_diff('day', DATE '1970-01-01',
+        |                CAST(ts AS DATE)) AS d
+        |            FROM events),
+        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+        |          FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT ty.event_type, g.d
+        |         FROM ty CROSS JOIN
+        |           (SELECT unnest(generate_series(b.lo, b.hi)) AS d
+        |            FROM b) g),
+        |dense AS (SELECT g.event_type, g.d, coalesce(daily.n, 0) AS y
+        |          FROM grid g LEFT JOIN daily
+        |            ON g.event_type = daily.event_type
+        |            AND g.d = daily.d),
+        |lagd AS (SELECT event_type, y,
+        |           lag(y, 7) OVER (PARTITION BY event_type ORDER BY d)
+        |             AS x
+        |         FROM dense),
+        |mo AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |       FROM lagd WHERE x IS NOT NULL GROUP BY 1)
+        |SELECT event_type, k AS n_days,
+        |       round(CAST(k * sxy - sx * sy AS DOUBLE)
+        |         / sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+        |           * CAST(k * syy - sy * sy AS DOUBLE)), 4) AS r_lag
+        |FROM mo
+        |WHERE k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0
+        |ORDER BY event_type""".stripMargin,
+    // Benford first-digit audit: exact counts, 6dp literal
+    // expectations interpolated from the SAME Scala seq the Spark
+    // when-chain uses
+    "events_benford" -> {
+      val lits = graft.operators.Analytics.benfordP
+        .map { case (d, p) => f"($d, CAST($p%.6f AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH m AS (SELECT CAST(round(value * 100) AS BIGINT) AS mc
+         |           FROM events),
+         |dg AS (SELECT CAST(substr(CAST(mc AS VARCHAR), 1, 1) AS BIGINT)
+         |         AS digit
+         |       FROM m WHERE mc > 0),
+         |cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+         |        FROM dg GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM dg),
+         |bp(digit, p) AS (VALUES $lits)
+         |SELECT cnt.digit AS digit, cnt.n_obs,
+         |       round(CAST(cnt.n_obs AS DOUBLE) / tot.total, 4) AS share,
+         |       bp.p AS benford_p,
+         |       round(CAST(cnt.n_obs AS DOUBLE) / tot.total - bp.p, 4)
+         |         AS excess
+         |FROM cnt JOIN bp ON cnt.digit = bp.digit CROSS JOIN tot
+         |ORDER BY digit""".stripMargin
+    },
+    // supplier-revenue HHI per nation: Σc² and T² through HUGEINT
+    // (the Spark side's DECIMAL(38,0)), one double division
+    "supplier_hhi" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |           * 100) AS BIGINT)) AS BIGINT) AS c
+        |       FROM lineitem GROUP BY 1),
+        |bysup AS (SELECT n.n_name, rev.c
+        |          FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |          JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |       CAST(sum(c) AS BIGINT) AS total_cents,
+        |       round(CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+        |         / CAST(CAST(sum(c) AS HUGEINT) * sum(c) AS DOUBLE), 6)
+        |         AS hhi
+        |FROM bysup GROUP BY 1 ORDER BY n_name""".stripMargin,
+    // Flesch reading ease: RE2-class regex counts, double literals
+    "text_readability" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |        CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+        |        CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT)
+        |          AS n_syllables,
+        |        CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1)
+        |          AS BIGINT) AS n_sentences
+        |      FROM t)
+        |SELECT doc_id, n_words, n_syllables, n_sentences,
+        |       round(CAST(206.835 AS DOUBLE)
+        |         - CAST(1.015 AS DOUBLE)
+        |           * (CAST(n_words AS DOUBLE) / n_sentences)
+        |         - CAST(84.6 AS DOUBLE)
+        |           * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+        |         AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
     // recall@10 of the IVF path against brute force: both legs are
     // the existing deterministic mirrors, composed
     // recall-vs-nprobe curve: four probe widths over the SAME

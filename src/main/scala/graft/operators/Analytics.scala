@@ -1542,6 +1542,130 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** LAG-k AUTOCORRELATION of the daily event-count series per type
+    * — the seasonality detector that pairs with the seasonal-naive
+    * backtest ([[eventsForecastNaive]]): Pearson r between the
+    * zero-filled daily count and its value `lagDays` earlier. r near
+    * 1 at lag 7 says "weekly rhythm — the naive forecaster will
+    * work"; near 0 says don't bother. Same dense-grid discipline as
+    * the backtest (a missing day is a 0 count, never a skipped
+    * pair; grid bounds from the data), and r is a pure function of
+    * the six exact integer moments over the metadata-sized grid —
+    * the numerators ride DECIMAL(38,0) (k·sxy reaches days·counts²,
+    * wrapping a BIGINT at ~3·10⁹ events/day) and only the final
+    * ratio drops to double, multiplying the two variance factors as
+    * doubles inside the sqrt exactly as the oracle does.
+    */
+  def eventsAutocorr(s: SparkSession, dir: String,
+                     lagDays: Int = 7): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val daily = ev.groupBy("event_type", "d")
+      .agg(count(lit(1)).as("n"))
+    val meta = ev.agg(min("d").as("lo"), max("d").as("hi"),
+      collect_set("event_type").as("tys")).localCheckpoint(true)
+    val grid = meta.select(explode(col("tys")).as("event_type"))
+      .crossJoin(meta.select(explode(sequence(col("lo"), col("hi")))
+        .as("d")))
+    val dense = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("y"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val dec = "decimal(38,0)"
+    def nm(q: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column,
+           b: org.apache.spark.sql.Column) =
+      (col("k").cast(dec) * q.cast(dec) -
+        a.cast(dec) * b.cast(dec)).cast("double")
+    dense.withColumn("x", lag("y", lagDays).over(w))
+      .where(col("x").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .where(expr("k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0"))
+      .select(col("event_type"), col("k").as("n_days"),
+        round(nm(col("sxy"), col("sx"), col("sy"))
+          / sqrt(nm(col("sxx"), col("sx"), col("sx"))
+            * nm(col("syy"), col("sy"), col("sy"))), 4)
+          .as("r_lag"))
+      .orderBy("event_type")
+  }
+
+  /** HERFINDAHL-HIRSCHMAN CONCENTRATION INDEX of supplier revenue
+    * per nation — the market-concentration metric (DOJ merger
+    * guidelines: HHI > 0.25 = highly concentrated) applied to the
+    * supply base: a nation whose parts flow through one dominant
+    * supplier is a single point of failure. With shares s_i = c_i/T
+    * over exact revenue cents, HHI = Σs_i² = (Σc_i²)/T² — both
+    * numerator and T² ride DECIMAL(38,0) (a supplier's squared cents
+    * passes 2⁶³ at ~$10⁸ revenue) and one double division ends it.
+    * One lineitem scan, supplier-keyed aggregate, nation-keyed
+    * rollup of supplier-count-sized partials.
+    */
+  def supplierHhi(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rev = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) " +
+          "AS BIGINT)").as("cents"))
+      .groupBy("l_suppkey").agg(sum("cents").as("c"))
+    val bySupp = rev
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(s, dir).select("n_nationkey", "n_name"),
+        col("s_nationkey") === col("n_nationkey"))
+    bySupp.groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("c").as("total_cents"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("sumsq"))
+      .select(col("n_name"), col("n_suppliers"), col("total_cents"),
+        round(col("sumsq").cast("double")
+          / (col("total_cents").cast(dec) * col("total_cents").cast(dec))
+            .cast("double"), 6).as("hhi"))
+      .orderBy("n_name")
+  }
+
+  /** Benford first-digit probabilities log10(1 + 1/d), fixed at 6dp
+    * so the Spark literal and the interpolated oracle literal are
+    * the same number by construction.
+    */
+  val benfordP: Seq[(Long, Double)] =
+    (1 to 9).map(d => d.toLong ->
+      BigDecimal(math.log10(1 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** BENFORD FIRST-DIGIT AUDIT over event values — the classic
+    * fabricated-data detector (Benford 1938; fraud analytics'
+    * first screen): organically-generated magnitudes put digit d
+    * first with probability log10(1+1/d); synthetic or clamped
+    * values don't. Per digit: exact count, observed share, the
+    * Benford expectation (a 6dp literal shared with the oracle),
+    * and the signed excess. The digit is a substring of the exact
+    * integer micro-cents — no float log in the row path, one scan,
+    * a 9-row aggregate.
+    */
+  def eventsBenford(s: SparkSession, dir: String): DataFrame = {
+    val pCol = benfordP.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    val m = Tables.events(s, dir)
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("mc"))
+      .where(col("mc") > 0)
+      .select(substring(col("mc").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+    val tot = m.agg(count(lit(1)).as("total"))
+    m.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", pCol)
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("total"), 4).as("share"),
+        col("p").as("benford_p"),
+        round(col("n_obs").cast("double") / col("total") - col("p"), 4)
+          .as("excess"))
+      .orderBy("digit")
+  }
+
   /** MARKET-BASKET pair mining over customer baskets (the parts a
     * customer has ever ordered): frequent co-purchased part pairs
     * ranked by LIFT — the apriori shape at warehouse scale. The

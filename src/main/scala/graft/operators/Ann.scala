@@ -736,6 +736,44 @@ object Ann {
       .orderBy("id_a", "id_b")
   }
 
+  /** NEIGHBOR-JACCARD LINK PREDICTION over the mutual-kNN graph —
+    * the set-overlap companion to [[adamicAdar]] (Liben-Nowell &
+    * Kleinberg 2003's second classic score): every distance-2
+    * non-adjacent pair (a, c) scored by
+    * |N(a)∩N(b)| / |N(a)∪N(c)| = common/(deg_a + deg_c − common).
+    * Where Adamic-Adar weights rare hubs, Jaccard normalizes by both
+    * endpoints' degrees — high score = two documents whose
+    * NEIGHBORHOODS agree, the strongest "merge these near-dup
+    * clusters" signal. Same §4 shape as the AA query: wedges via one
+    * self-join of the symmetric edge list on the middle node (fan-out
+    * ≤ k per edge row, O(N·k²) candidates), existing edges dropped
+    * with a left_anti, and the score a pure function of exact integer
+    * counts (degrees ≤ k) — one division, identical doubles on both
+    * engines.
+    */
+  def graphJaccardLp(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val und = mutualKnnPairs(s, dir, k).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val sym = und.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(und.select(col("id_b").as("a"), col("id_a").as("b")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("dg"))
+    val wedge = sym.select(col("a"), col("b"))
+      .join(sym.select(col("a").as("b"), col("b").as("c")), "b")
+      .where(col("a") < col("c"))
+    val cand = wedge.join(und,
+      wedge("a") === und("id_a") && wedge("c") === und("id_b"),
+      "left_anti")
+    cand.groupBy(col("a").as("id_a"), col("c").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(deg.select(col("id").as("id_a"), col("dg").as("dg_a")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("dg").as("dg_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("dg_a") + col("dg_b") - col("n_common")), 4)
+          .as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** PAGERANK CENTRALITY over the corpus kNN graph — the
     * graph-importance signal centrality-aware data curation uses
     * (documents whose embeddings many other documents point at are

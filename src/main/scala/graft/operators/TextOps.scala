@@ -256,6 +256,36 @@ object TextOps {
         md5(col("nx")).as("norm_md5"))
       .orderBy("doc_id")
 
+  /** FLESCH READING-EASE per document — the curation-filter
+    * companion to [[qualityMetrics]] (CCNet-style pipelines gate on
+    * readability bands; pathologically easy or hard scores flag
+    * boilerplate and gibberish respectively). The classic formula
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) with
+    * the two counting heuristics every large-scale implementation
+    * uses: syllables ≈ vowel-group runs ([aeiouy]+), sentences ≈
+    * terminal-punctuation runs ([.!?]+, floored at 1 so a fragment
+    * corpus never divides by zero). All three counts are exact
+    * integers from codegen'd regex built-ins (RE2-compatible
+    * character classes — identical matches in DuckDB), the score is
+    * three IEEE ops off double literals, one scan, one projection.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(split(col("t"), " ")).cast("long").as("n_words"),
+        size(expr("regexp_extract_all(t, '[aeiouy]+', 0)")).cast("long")
+          .as("n_syllables"),
+        greatest(size(expr("regexp_extract_all(t, '[.!?]+', 0)")),
+          lit(1)).cast("long").as("n_sentences"))
+      .select(col("doc_id"), col("n_words"), col("n_syllables"),
+        col("n_sentences"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          4).as("flesch"))
+      .orderBy("doc_id")
+
   /** Fixed-size token-window chunking with overlap — the
     * context-packing step of a training/RAG pipeline: document →
     * windows of `size` tokens starting every `size - overlap` tokens
