@@ -118,6 +118,7 @@ object SparkEntry {
     "ann_hnsw_filtered" -> (Ann.hnswFilteredQuery _),
     "ann_hnsw_indexed" -> (Ann.hnswIndexedQuery _),
     "embed_cluster_stats" -> (Ann.clusterStats _),
+    "knn_silhouette" -> (Ann.knnSilhouette _),
     "embed_outliers" -> ((s, d) => Ann.embedOutliers(s, d)),
     "embed_pca_project" -> (Pca.pcaProject _),
     "embed_pca_project2" -> (Pca.pcaProject2 _),
@@ -1524,6 +1525,33 @@ object SparkEntry {
          |       round(d.n_dom * 1.0 / t.size, 4) AS purity,
          |       round(t.smm * 1.0 / t.size / 10000.0, 4) AS mean_cos
          |FROM tot t JOIN dom d USING (cell) ORDER BY cell""".stripMargin,
+    // cell-level simplified silhouette: micro-integer intra sums,
+    // deterministic min over the metadata-sized centroid grid,
+    // silhouette from the UNROUNDED a and b (display rounds only)
+    "knn_silhouette" ->
+      s"""WITH $ivfCtes,
+         |mem AS (SELECT af.cell,
+         |          CAST(round((1 - list_cosine_similarity(af.v, c.cv))
+         |            * 1000000) AS BIGINT) AS micro
+         |        FROM af JOIN c2 c USING (cell)),
+         |ag AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(micro) AS BIGINT) AS sm
+         |       FROM mem GROUP BY 1),
+         |sep AS (SELECT a.cell,
+         |          min(1 - list_cosine_similarity(a.cv, b.cv)) AS b
+         |        FROM c2 a JOIN c2 b ON a.cell <> b.cell GROUP BY 1)
+         |SELECT ag.cell AS cell, ag.n AS n_members,
+         |       round(CAST(ag.sm AS DOUBLE) / ag.n / 1000000.0, 6)
+         |         AS a_intra,
+         |       round(sep.b, 6) AS b_sep,
+         |       round((sep.b - CAST(ag.sm AS DOUBLE) / ag.n / 1000000.0)
+         |         / greatest(sep.b,
+         |             CAST(ag.sm AS DOUBLE) / ag.n / 1000000.0), 4)
+         |         AS silhouette
+         |FROM ag JOIN sep ON ag.cell = sep.cell
+         |WHERE greatest(sep.b,
+         |    CAST(ag.sm AS DOUBLE) / ag.n / 1000000.0) > 0
+         |ORDER BY cell""".stripMargin,
     // embedding outliers: integer micro-cosines, exact per-cell
     // (n, Σx, Σx²), z = (x·n−S)/sqrt(n·Q−S²) on those integers —
     // identical doubles both engines, so the global top-20 is stable

@@ -1862,6 +1862,54 @@ object Ann {
       .orderBy("cell")
   }
 
+  /** CELL-LEVEL SILHOUETTE — the cluster-separation report grading
+    * the IVF partition itself (clusterStats says how COHESIVE each
+    * cell is; this says whether cells are SEPARATED enough for the
+    * probe geometry to work): per cell, a = mean member→own-centroid
+    * cosine distance, b = distance to the NEAREST other centroid,
+    * s = (b−a)/max(a,b) — the simplified (centroid-based) silhouette
+    * of Kaufman & Rousseeuw. s near 0 or negative flags cells the
+    * quantizer should merge (their members sit as close to a
+    * neighbor's centroid as their own — exactly where nprobe recall
+    * leaks). Member distances fold as exact micro-unit integers
+    * (order-free sums, the clusterStats discipline); b is a
+    * deterministic min over the centroid×centroid grid — metadata-
+    * sized (ncells², never corpus rows). One assignment pass, one
+    * cell aggregate.
+    */
+  def knnSilhouette(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(e, 200)))
+    val centsDf = cents.toSeq.toDF("cell", "cvec")
+    val mem = assignTo(e, cents)
+      .join(broadcast(centsDf), "cell")
+      .select(col("cell"),
+        (lit(1.0) - VectorDistance.cosine(col("vec"), col("cvec")))
+          .as("d"))
+      .select(col("cell"),
+        expr("CAST(round(d * 1000000) AS BIGINT)").as("micro"))
+    val ag = mem.groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("micro").as("sm"))
+    val sep = centsDf.as("ca")
+      .join(broadcast(centsDf.select(col("cell").as("cellb"),
+        col("cvec").as("cvb"))), col("cell") =!= col("cellb"))
+      .select(col("cell"),
+        (lit(1.0) - VectorDistance.cosine(col("cvec"), col("cvb")))
+          .as("db"))
+      .groupBy("cell").agg(min("db").as("b"))
+    val a = col("sm").cast("double") / col("n") / lit(1000000.0)
+    ag.join(sep, "cell")
+      .where(greatest(col("b"), a) > 0)
+      .select(col("cell"), col("n").as("n_members"),
+        round(a, 6).as("a_intra"),
+        round(col("b"), 6).as("b_sep"),
+        round((col("b") - a) / greatest(col("b"), a), 4).as("silhouette"))
+      .orderBy("cell")
+  }
+
   // ------------------------------------------------------ IVF + SQ8
 
   private def quantPath(indexPath: String): String = indexPath + "_quant"

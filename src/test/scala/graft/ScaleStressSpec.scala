@@ -111,6 +111,20 @@ class ScaleStressSpec extends SparkSuite {
     assert(total == 4 * baseTotal)
   }
 
+  test("every probe query runs against a replica dir") {
+    // the probe matrix only materializes documents/embeddings/events —
+    // a queryNames entry that reads any other table would fail COLD
+    // inside the bench (recording -1.0 for the whole probe family);
+    // catch it here on the cheap factor-1 copy instead
+    val x1 = ScaleStress.materialize(spark, sf, 1)
+    ScaleStress.queryNames.foreach { n =>
+      val fn = SparkEntry.queries.getOrElse(n,
+        fail(s"probe query $n not in the registry"))
+      val rows = fn(spark, x1).limit(1).collect()
+      assert(rows.nonEmpty, s"probe query $n returned nothing on x1")
+    }
+  }
+
   test("renderJson is compact and factor-ordered") {
     val j = ScaleStress.renderJson(Map(
       "knn_graph" -> Map("x16" -> 2.5, "x1" -> 0.5, "x4" -> 1.0)))
