@@ -1645,15 +1645,21 @@ object Analytics {
     * integer micro-cents — no float log in the row path, one scan,
     * a 9-row aggregate.
     */
+  /** The leading-digit projection — stateless, so it runs unchanged
+    * over a batch frame or a stream (the streaming twin's input leg;
+    * one definition, the two cannot drift). Input needs `value`.
+    */
+  def benfordDigits(events: DataFrame): DataFrame =
+    events.select(expr("CAST(round(value * 100) AS BIGINT)").as("mc"))
+      .where(col("mc") > 0)
+      .select(substring(col("mc").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+
   def eventsBenford(s: SparkSession, dir: String): DataFrame = {
     val pCol = benfordP.foldLeft(lit(null).cast("double")) {
       case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
     }
-    val m = Tables.events(s, dir)
-      .select(expr("CAST(round(value * 100) AS BIGINT)").as("mc"))
-      .where(col("mc") > 0)
-      .select(substring(col("mc").cast("string"), 1, 1).cast("long")
-        .as("digit"))
+    val m = benfordDigits(Tables.events(s, dir))
     val tot = m.agg(count(lit(1)).as("total"))
     m.groupBy("digit").agg(count(lit(1)).as("n_obs"))
       .crossJoin(broadcast(tot))
