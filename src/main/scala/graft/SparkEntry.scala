@@ -184,6 +184,7 @@ object SparkEntry {
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "dedup_substring" -> (Dedup.duplicatedSpansQuery _),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "dedup_embedding_cos" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
     "sim_brute_topk" -> ((s, d) =>
       Knn.topKExcludingSelf(emb(s, d), simQset(s, d), 10, Knn.Metric.Cosine)),
@@ -3124,6 +3125,34 @@ object SparkEntry {
          |         FROM bk a JOIN bk b ON a.band = b.band
          |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |$jaccardVerify""".stripMargin,
+    // winnowing (MOSS): char-5-gram 60-bit hashes, window-of-4 min
+    // selection via the offset explode, pairs on df-in-[2,8]
+    // fingerprints — every stage integer-exact
+    "dedup_winnowing" ->
+      """WITH t0 AS (SELECT doc_id, lower(text) AS t FROM documents
+        |            WHERE length(text) >= 5),
+        |tm AS (SELECT doc_id, t,
+        |         CAST(length(t) - 4 AS BIGINT) AS m FROM t0),
+        |hx AS (SELECT doc_id, t, m,
+        |         unnest(generate_series(1, m)) AS p FROM tm),
+        |h AS (SELECT doc_id, m, p,
+        |        CAST('0x' || substr(md5(substr(t, CAST(p AS INT), 5)),
+        |          1, 15) AS BIGINT) AS h
+        |      FROM hx),
+        |wx AS (SELECT doc_id, h,
+        |         unnest(generate_series(greatest(p - 3, 1),
+        |           least(p, greatest(m - 3, 1)))) AS wi
+        |       FROM h),
+        |fw AS (SELECT doc_id, wi, min(h) AS fp FROM wx GROUP BY 1, 2),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM fw),
+        |dfc AS (SELECT fp FROM fps GROUP BY fp
+        |        HAVING count(*) BETWEEN 2 AND 8),
+        |bl AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp))
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM bl a JOIN bl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id1, id2""".stripMargin,
     // containment: candidates block on shared RARE shingles (df in
     // [2, 8]); n/least and n/(c1+c2-n) are BIGINT-derived doubles,
     // identical IEEE on both engines; threshold compares unrounded

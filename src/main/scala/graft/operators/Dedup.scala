@@ -272,6 +272,69 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** WINNOWING fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    * — the MOSS plagiarism detector): the POSITIONAL dedup family
+    * minhash/simhash don't cover. Every char k-gram hashes; each
+    * sliding window of `w` consecutive hashes selects its MINIMUM as
+    * a fingerprint — the paper's guarantee is that any shared
+    * substring of length ≥ k+w−1 yields at least one shared
+    * fingerprint, with expected density 2/(w+1). Purely relational:
+    * the per-position hash is the codegen'd [[graft.functions
+    * .Md5Prefix60]], window membership is the rolling-p95 offset
+    * explode (each hash row is charged to the ≤ w windows it serves
+    * — no sort, no per-doc sequential pass), and the window min is
+    * one (doc, window) aggregate with map-side combine. A doc
+    * shorter than one full window fingerprints as its single global
+    * min (the paper's degenerate case, mirrored in the SQL).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5,
+                         w: Int = 4): DataFrame = {
+    val t = docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .where(length(col("t")) >= k)
+      .select(col("doc_id"), col("t"),
+        (length(col("t")) - (k - 1)).cast("long").as("m"))
+    val hashes = t
+      .select(col("doc_id"), col("t"), col("m"),
+        explode(sequence(lit(1L), col("m"))).as("p"))
+      .select(col("doc_id"), col("m"), col("p"),
+        graft.functions.Md5Prefix60(
+          expr(s"substring(t, CAST(p AS INT), $k)")).as("h"))
+    // window j covers hashes j..j+w-1 (j = 1..max(m-w+1, 1)); hash at
+    // p serves windows [max(1, p-w+1), min(p, nwin)] — bounds always
+    // ordered, so the sequence never degenerates
+    val nwin = greatest(col("m") - (w - 1), lit(1L))
+    hashes
+      .select(col("doc_id"), col("h"),
+        explode(sequence(greatest(col("p") - (w - 1), lit(1L)),
+          least(col("p"), nwin))).as("wi"))
+      .groupBy("doc_id", "wi").agg(min("h").as("fp"))
+      .select("doc_id", "fp").distinct()
+  }
+
+  /** Winnowing near-dup pairs: docs sharing ≥ `minShared` selected
+    * fingerprints, candidates blocked on fingerprints with document
+    * frequency in [2, maxDf] (the containment discipline — stop-gram
+    * buckets out, bucket pair expansion ≤ maxDf²/2, blocking-key
+    * cardinality grows with the corpus). One fingerprint table feeds
+    * df reduction AND the candidate join.
+    */
+  def winnowingPairs(s: SparkSession, dir: String, minShared: Long = 2L,
+                     maxDf: Long = 8L): DataFrame = {
+    val fps = winnowFingerprints(
+      Tables.documents(s, dir).select("doc_id", "text"))
+      .localCheckpoint(true)
+    val dfc = fps.groupBy("fp").agg(count(lit(1)).as("dfc"))
+    val blocked = fps
+      .join(dfc.where(col("dfc").between(2L, maxDf)), "fp")
+      .select("doc_id", "fp")
+    blocked.as("a").join(blocked.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("id1", "id2")
+  }
+
   /** The INCREMENTAL batch: every doc_id%9==0 corpus doc re-enters
     * with one appended token (a high-jaccard near-dup) under
     * id+200000 — the arriving-data half of the incremental curation

@@ -231,6 +231,30 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("winnowing: a shared substring of length >= k+w-1 guarantees " +
+    "a shared fingerprint; selection stays sparse") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val d1 = s"completely unrelated lead-in text $shared plus a tail"
+    val d2 = s"zq different opening words here $shared ending otherwise"
+    val d3 = "nothing in common with either document whatsoever"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val fps = operators.Dedup.winnowFingerprints(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the paper's guarantee: any shared substring of length >= k+w-1
+    // (= 8 chars here, and `shared` is far longer) yields at least
+    // one common selected fingerprint
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "winnowing missed the planted shared substring")
+    // selection is SPARSE: far fewer fingerprints than positions
+    // (expected density 2/(w+1) ~ 0.4 of windows, dedup on top)
+    val m1 = d1.length - 4
+    assert(byDoc(1L).size < m1 / 2 + 2,
+      s"fingerprint selection not sparse: ${byDoc(1L).size} of $m1")
+    assert(byDoc(3L).nonEmpty, "every long-enough doc fingerprints")
+  }
+
   test("normalization stage: NFC/NFD byte-variants dedup as ONE doc " +
     "through exact AND minhash; width-fold + casefold collapse too") {
     import spark.implicits._
