@@ -198,6 +198,9 @@ object SparkEntry {
     "text_tokens" -> (TextOps.tokenCounts _),
     "text_fingerprint" -> (TextOps.fingerprint _),
     "text_normalize" -> (TextOps.normalizeQuery _),
+    "text_ttr" -> (TextOps.lexicalDiversity _),
+    "corpus_source_diversity" -> (TextOps.sourceDiversity _),
+    "events_anova" -> (Analytics.eventsAnova _),
     "corpus_stats" -> (TextOps.corpusStats _),
     "text_chunk" -> (TextOps.chunkQuery _),
     "chunk_pack" -> (TextOps.chunkPackQuery _),
@@ -5004,6 +5007,53 @@ object SparkEntry {
          |       text <> nx AS changed, md5(nx) AS norm_md5
          |FROM nt ORDER BY doc_id""".stripMargin
     },
+    // type-token ratio: exact integer counts, one 4dp division
+    "text_ttr" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents),
+        |c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |        CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+        |      FROM w)
+        |SELECT doc_id, n_words, n_distinct,
+        |       round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS ttr
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // Simpson diversity of language mix per source: the HHI integer
+    // arithmetic (squares via HUGEINT) pointed at corpus composition
+    "corpus_source_diversity" ->
+      """WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+        |       CAST(sum(n) AS BIGINT) AS n_docs,
+        |       round(1.0 - CAST(sum(CAST(n AS HUGEINT) * n) AS DOUBLE)
+        |         / CAST(CAST(sum(n) AS HUGEINT) * sum(n) AS DOUBLE), 6)
+        |         AS simpson
+        |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
+    // one-way ANOVA F: per-type s²/n micro-quantized to BIGINT
+    // before the cross-type sum (order-free), 1-row scalar fold
+    "events_anova" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(m) AS BIGINT) AS sx,
+        |             CAST(sum(m * m) AS BIGINT) AS q
+        |           FROM (SELECT event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS m
+        |                 FROM events) GROUP BY 1),
+        |p AS (SELECT n, sx, q,
+        |        CAST(round(CAST(CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |          / n * 1000) AS BIGINT) AS rq
+        |      FROM g),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(n) AS BIGINT) AS nn,
+        |        CAST(sum(sx) AS BIGINT) AS ss,
+        |        CAST(sum(q) AS BIGINT) AS qq,
+        |        CAST(sum(rq) AS BIGINT) AS srq
+        |      FROM p)
+        |SELECT k AS n_groups, nn AS n_obs,
+        |       round(((CAST(srq AS DOUBLE) / 1000.0
+        |           - CAST(CAST(ss AS HUGEINT) * ss AS DOUBLE) / nn)
+        |           / (k - 1))
+        |         / ((CAST(qq AS DOUBLE) - CAST(srq AS DOUBLE) / 1000.0)
+        |           / (nn - k)), 4) AS f_stat
+        |FROM a WHERE k > 1 AND nn > k""".stripMargin,
     // second capstone: cleaned corpus → md5 split → per-split volumes
     // + residual cross-split contamination (the decontam formulation
     // over the CLEANED corpus); CTE names suffixed A to avoid the

@@ -1626,6 +1626,47 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** ONE-WAY ANOVA across event types — "do the types differ in mean
+    * value at all?", the omnibus screen run before any pairwise A/B
+    * digging: F = (SSB/(k−1)) / (SSW/(N−k)) with the between/within
+    * sums of squares assembled PURELY from per-type sufficient
+    * statistics (n, Σx, Σx² in exact micro-cents) —
+    * SSB = Σ s_t²/n_t − S²/N and SSW = Σq − Σ s_t²/n_t. The float
+    * trap is Σ s_t²/n_t — a sum of DOUBLES whose value depends on
+    * fold order, which no oracle reproduces — so each per-type term
+    * is micro-quantized to a BIGINT (round(s²/n · 1000)) BEFORE the
+    * sum: integer sums are order-free, and every remaining op runs
+    * on the 1-row fold (deterministic scalar IEEE). Squared
+    * numerators ride DECIMAL(38,0) (s_t² wraps BIGINT at ~$10⁸ per
+    * type). One scan, one k-row aggregate, a 1-row fold.
+    */
+  def eventsAnova(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("m"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("m").as("sx"),
+        sum(expr("m * m")).as("q"))
+    val prepared = g.select(col("n"), col("sx"), col("q"),
+      ((col("sx").cast(dec) * col("sx").cast(dec)).cast("double")
+        / col("n")).as("r"))
+      .select(col("n"), col("sx"), col("q"),
+        expr("CAST(round(r * 1000) AS BIGINT)").as("rq"))
+    prepared
+      .agg(count(lit(1)).as("k"), sum("n").as("nn"),
+        sum("sx").as("ss"), sum("q").as("qq"),
+        sum(col("rq")).as("srq"))
+      .where(col("k") > 1 && col("nn") > col("k"))
+      .select(col("k").as("n_groups"), col("nn").as("n_obs"),
+        round(((col("srq").cast("double") / 1000.0
+          - (col("ss").cast(dec) * col("ss").cast(dec)).cast("double")
+            / col("nn")) / (col("k") - 1))
+          / ((col("qq").cast("double")
+            - col("srq").cast("double") / 1000.0)
+            / (col("nn") - col("k"))), 4).as("f_stat"))
+  }
+
   /** Benford first-digit probabilities log10(1 + 1/d), fixed at 6dp
     * so the Spark literal and the interpolated oracle literal are
     * the same number by construction.
@@ -1659,9 +1700,13 @@ object Analytics {
     val pCol = benfordP.foldLeft(lit(null).cast("double")) {
       case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
     }
-    val m = benfordDigits(Tables.events(s, dir))
-    val tot = m.agg(count(lit(1)).as("total"))
-    m.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    // total folds from the 9-row digit aggregate, not a second
+    // events scan (ScanAudit r11)
+    val cnt = benfordDigits(Tables.events(s, dir))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint(true)
+    val tot = cnt.agg(sum("n_obs").as("total"))
+    cnt
       .crossJoin(broadcast(tot))
       .withColumn("p", pCol)
       .select(col("digit"), col("n_obs"),

@@ -256,6 +256,47 @@ object TextOps {
         md5(col("nx")).as("norm_md5"))
       .orderBy("doc_id")
 
+  /** TYPE-TOKEN RATIO per document — the lexical-diversity signal
+    * (low TTR = templated/repetitive text, the complement of
+    * text_repetition's window view): distinct words / words, both
+    * exact integer counts from one split, one division at 4dp. One
+    * scan, one projection.
+    */
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"))
+      .where(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_words"), 4)
+          .as("ttr"))
+      .orderBy("doc_id")
+
+  /** SIMPSON DIVERSITY of language composition per source — the
+    * corpus-mixture health check (1 − Σp²: 0 = monolingual feed,
+    * →1 = evenly mixed): with counts n_l per language and total T,
+    * 1 − Σn_l²/T² is a pure function of exact integers — the HHI
+    * arithmetic ([[graft.operators.Analytics.supplierHhi]]) pointed
+    * at corpus composition, same DECIMAL(38,0) headroom for the
+    * squared terms. One scan, (source, lang) aggregate, source
+    * rollup of language-count-sized partials.
+    */
+  def sourceDiversity(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    Tables.documents(s, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_langs"), sum("n").as("n_docs"),
+        sum(col("n").cast(dec) * col("n").cast(dec)).as("sumsq"))
+      .select(col("source"), col("n_langs"), col("n_docs"),
+        round(lit(1.0) - col("sumsq").cast("double")
+          / (col("n_docs").cast(dec) * col("n_docs").cast(dec))
+            .cast("double"), 6).as("simpson"))
+      .orderBy("source")
+  }
+
   /** FLESCH READING-EASE per document — the curation-filter
     * companion to [[qualityMetrics]] (CCNet-style pipelines gate on
     * readability bands; pathologically easy or hard scores flag
