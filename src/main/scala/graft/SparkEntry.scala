@@ -201,6 +201,7 @@ object SparkEntry {
     "text_ttr" -> (TextOps.lexicalDiversity _),
     "corpus_source_diversity" -> (TextOps.sourceDiversity _),
     "events_anova" -> (Analytics.eventsAnova _),
+    "customer_gini" -> ((s, d) => Analytics.customerGini(s, d)),
     "corpus_stats" -> (TextOps.corpusStats _),
     "text_chunk" -> (TextOps.chunkQuery _),
     "chunk_pack" -> (TextOps.chunkPackQuery _),
@@ -5028,6 +5029,26 @@ object SparkEntry {
         |         / CAST(CAST(sum(n) AS HUGEINT) * sum(n) AS DOUBLE), 6)
         |         AS simpson
         |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
+    // Gini of customer spend: the two-level banded rank decomposition
+    // is exact, so the mirror collapses to the textbook one-window
+    // form; rank-weighted products through HUGEINT
+    "customer_gini" ->
+      """WITH sp AS (SELECT o_custkey AS cust,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS c
+        |       FROM orders GROUP BY 1),
+        |r AS (SELECT c, cust,
+        |        CAST(row_number() OVER (ORDER BY c, cust) AS BIGINT) AS i
+        |      FROM sp),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(c) AS BIGINT) AS tot,
+        |        sum(CAST(i AS HUGEINT) * c) AS sixx
+        |      FROM r)
+        |SELECT n AS n_customers, tot AS total_cents,
+        |       round(CAST(2 * sixx - (n + 1) * CAST(tot AS HUGEINT)
+        |           AS DOUBLE)
+        |         / CAST(CAST(n AS HUGEINT) * tot AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
     // one-way ANOVA F: per-type s²/n micro-quantized to BIGINT
     // before the cross-type sum (order-free), 1-row scalar fold
     "events_anova" ->

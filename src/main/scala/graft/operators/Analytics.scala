@@ -1667,6 +1667,65 @@ object Analytics {
             / (col("nn") - col("k"))), 4).as("f_stat"))
   }
 
+  /** GINI COEFFICIENT of customer spend — the inequality measure
+    * every revenue-concentration review wants beside the ABC/Pareto
+    * cuts: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending spend
+    * with 1-based global rank i. The scale hazard is the GLOBAL
+    * VALUE-ORDERED RANK — a naive window is a single-partition
+    * corpus sort — so the rank decomposes through the repo's
+    * two-level pattern (corpus_budget_select / export_shards): a
+    * monotone VALUE BAND keys the within-band window, the ≤B per-band
+    * (count, Σx) totals prefix-sum on the driver, and
+    * Σ i·x = Σ_bands [base_count·Σx(band) + Σ i_w·x] reassembles the
+    * global moment exactly — band boundaries are value-monotone so
+    * band-major order IS the global order, and ties (equal x) are
+    * rank-order-invariant in i·x. Rank-weighted products ride
+    * DECIMAL(38,0) (i·x reaches n·maxspend — past 2⁶³ at warehouse
+    * scale); the mirror collapses to the textbook one-window form
+    * because the decomposition is exact. One orders scan, one
+    * cust aggregate, B-sized driver state.
+    */
+  def customerGini(s: SparkSession, dir: String,
+                   bands: Int = 32): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val sp = Tables.orders(s, dir)
+      .select(col("o_custkey").as("cust"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .groupBy("cust").agg(sum("v").as("c"))
+      .localCheckpoint(true)
+    val bounds = sp.agg(min("c").as("lo"), max("c").as("hi"))
+    val banded = sp.crossJoin(broadcast(bounds))
+      .select(col("cust"), col("c"),
+        expr(s"least((c - lo) * $bands div (hi - lo + 1), " +
+          s"${bands - 1})").as("band"))
+    val w = Window.partitionBy("band").orderBy(col("c"), col("cust"))
+    val bandAgg = banded
+      .withColumn("iw", row_number().over(w).cast("long"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"), sum("c").as("sx"),
+        sum(col("iw").cast(dec) * col("c").cast(dec)).as("sixw"))
+      .localCheckpoint(true)
+    // ≤B-row driver prefix of band counts → global rank bases
+    val bandRows = bandAgg.select("band", "cnt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = bandRows.map { case (b, n) =>
+      val r = (b, acc); acc += n; r
+    }.toSeq
+    val baseDf = bases.toDF("band", "base")
+    bandAgg.join(broadcast(baseDf), "band")
+      .select((col("base").cast(dec) * col("sx").cast(dec)
+        + col("sixw")).as("t"), col("cnt"), col("sx"))
+      .agg(sum("t").as("sixx"), sum("cnt").as("n"), sum("sx").as("tot"))
+      .select(col("n").as("n_customers"), col("tot").as("total_cents"),
+        round((lit(2) * col("sixx")
+          - (col("n") + 1).cast(dec) * col("tot").cast(dec))
+          .cast("double")
+          / (col("n").cast(dec) * col("tot").cast(dec)).cast("double"), 6)
+          .as("gini"))
+  }
+
   /** Benford first-digit probabilities log10(1 + 1/d), fixed at 6dp
     * so the Spark literal and the interpolated oracle literal are
     * the same number by construction.
