@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("byte_sum",
       "byte_sum(b) - sum of unsigned byte values of a binary column",
       ByteSum.apply(_: Expression)))
+    ext.injectFunction(unary("nfc_normalize",
+      "nfc_normalize(s) - Unicode NFC canonical composition (DuckDB-" +
+        "compatible; see TextOps.normalize for the full fold stage)",
+      NfcNormalize.apply(_: Expression)))
     ext.injectFunction((FunctionIdentifier("byte_sample"),
       info("byte_sample",
         "byte_sample(b, stride) - every stride-th byte of a binary column"),

@@ -202,6 +202,7 @@ object SparkEntry {
     "corpus_source_diversity" -> (TextOps.sourceDiversity _),
     "events_anova" -> (Analytics.eventsAnova _),
     "customer_gini" -> ((s, d) => Analytics.customerGini(s, d)),
+    "part_price_elasticity" -> ((s, d) => Analytics.priceElasticity(s, d)),
     "corpus_stats" -> (TextOps.corpusStats _),
     "text_chunk" -> (TextOps.chunkQuery _),
     "chunk_pack" -> (TextOps.chunkPackQuery _),
@@ -1813,11 +1814,15 @@ object SparkEntry {
         |         CAST(sum(y * y) AS BIGINT) AS syy
         |       FROM lagd WHERE x IS NOT NULL GROUP BY 1)
         |SELECT event_type, k AS n_days,
-        |       round(CAST(k * sxy - sx * sy AS DOUBLE)
-        |         / sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
-        |           * CAST(k * syy - sy * sy AS DOUBLE)), 4) AS r_lag
+        |       round(CAST(CAST(k AS HUGEINT) * sxy
+        |           - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |         / sqrt(CAST(CAST(k AS HUGEINT) * sxx
+        |             - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |           * CAST(CAST(k AS HUGEINT) * syy
+        |             - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 4) AS r_lag
         |FROM mo
-        |WHERE k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0
+        |WHERE CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+        |  AND CAST(k AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
         |ORDER BY event_type""".stripMargin,
     // Benford first-digit audit: exact counts, 6dp literal
     // expectations interpolated from the SAME Scala seq the Spark
@@ -5029,6 +5034,29 @@ object SparkEntry {
         |         / CAST(CAST(sum(n) AS HUGEINT) * sum(n) AS DOUBLE), 6)
         |         AS simpson
         |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
+    // log-log elasticity: zipf-style micro-quantized ln moments,
+    // DOUBLE numerators from HUGEINT-exact integers
+    "part_price_elasticity" ->
+      """WITH li AS (SELECT l_partkey,
+        |         CAST(round(ln(l_extendedprice / l_quantity) * 1000000)
+        |           AS BIGINT) AS x,
+        |         CAST(round(ln(l_quantity) * 1000000) AS BIGINT) AS y
+        |       FROM lineitem),
+        |g AS (SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM li JOIN part p ON li.l_partkey = p.p_partkey
+        |      GROUP BY 1)
+        |SELECT p_brand, n AS n_obs,
+        |       round(CAST(CAST(n AS HUGEINT) * sxy
+        |           - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |         / CAST(CAST(n AS HUGEINT) * sxx
+        |           - CAST(sx AS HUGEINT) * sx AS DOUBLE), 4) AS elasticity
+        |FROM g WHERE n >= 30
+        |  AND CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0
+        |ORDER BY p_brand""".stripMargin,
     // Gini of customer spend: the two-level banded rank decomposition
     // is exact, so the mirror collapses to the textbook one-window
     // form; rank-weighted products through HUGEINT

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1583,7 +1583,10 @@ object Analytics {
       .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
         sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
         sum(expr("y * y")).as("syy"))
-      .where(expr("k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0"))
+      // guards through the DECIMAL numerators — raw BIGINT k·sxx
+      // wraps (or ANSI-throws) where the oracle's HUGEINT keeps going
+      .where(nm(col("sxx"), col("sx"), col("sx")) > 0 &&
+        nm(col("syy"), col("sy"), col("sy")) > 0)
       .select(col("event_type"), col("k").as("n_days"),
         round(nm(col("sxy"), col("sx"), col("sy"))
           / sqrt(nm(col("sxx"), col("sx"), col("sx"))
@@ -1665,6 +1668,44 @@ object Analytics {
           / ((col("qq").cast("double")
             - col("srq").cast("double") / 1000.0)
             / (col("nn") - col("k"))), 4).as("f_stat"))
+  }
+
+  /** PRICE ELASTICITY per brand — the econometric classic (log-log
+    * OLS: ε = d ln q / d ln p) over order lines, unit price =
+    * extendedprice/quantity: ε ≈ −1 means revenue-neutral pricing,
+    * |ε| > 1 elastic demand. The float discipline is the zipfFit
+    * precedent verbatim: both logs MICRO-QUANTIZE to BIGINTs
+    * (round(ln·10⁶)) before the moment sums, so the per-brand slope
+    * is a ratio of exact integers — the only cross-engine float
+    * surface is ln itself on IDENTICAL double inputs (the division
+    * is one IEEE op on the same parquet doubles). One
+    * lineitem⋈part pass, brand-keyed moment aggregate; thin brands
+    * (n < 30) filtered — a 2-point "elasticity" is noise.
+    */
+  def priceElasticity(s: SparkSession, dir: String,
+                      minN: Long = 30L): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        expr("CAST(round(ln(l_extendedprice / l_quantity) * 1000000) " +
+          "AS BIGINT)").as("x"),
+        expr("CAST(round(ln(l_quantity) * 1000000) AS BIGINT)").as("y"))
+    val dec = "decimal(38,0)"
+    def nm(q: Column, a: Column, b: Column) =
+      (col("n").cast(dec) * q.cast(dec) -
+        a.cast(dec) * b.cast(dec)).cast("double")
+    li.join(Tables.part(s, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      // the guard must ride the DECIMAL numerator too: n·sxx in raw
+      // BIGINT overflows ANSI Spark at ~2400 rows/brand (x ~ 10⁷)
+      .where(col("n") >= minN &&
+        nm(col("sxx"), col("sx"), col("sx")) =!= 0.0)
+      .select(col("p_brand"), col("n").as("n_obs"),
+        round(nm(col("sxy"), col("sx"), col("sy"))
+          / nm(col("sxx"), col("sx"), col("sx")), 4).as("elasticity"))
+      .orderBy("p_brand")
   }
 
   /** GINI COEFFICIENT of customer spend — the inequality measure

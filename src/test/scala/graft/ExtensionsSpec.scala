@@ -24,6 +24,16 @@ class ExtensionsSpec extends SparkSuite {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("nfc_normalize callable from spark.sql; composes + fast-paths") {
+    val r = spark.sql(
+      "SELECT nfc_normalize('café') AS composed, " +
+        "nfc_normalize('plain ascii') AS same, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS n").head()
+    assert(r.getString(0) == "café", "NFD input not composed")
+    assert(r.getString(1) == "plain ascii")
+    assert(r.isNullAt(2))
+  }
+
   test("hash and byte kernels callable from spark.sql") {
     val r = spark.sql(
       """SELECT md5_prefix60('abc') AS h,
