@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "vec_dot(a, b) - inner product of two float/double arrays", VecDot))
     ext.injectFunction(binary("vec_l2",
       "vec_l2(a, b) - euclidean distance of two float/double arrays", VecL2))
+    ext.injectFunction(binary("vec_l1",
+      "vec_l1(a, b) - Manhattan distance of two float/double arrays",
+      VecL1))
     ext.injectFunction(binary("vec_cosine",
       "vec_cosine(a, b) - cosine similarity; NULL on zero norm or dim mismatch",
       VecCosine))

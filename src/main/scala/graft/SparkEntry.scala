@@ -39,6 +39,8 @@ object SparkEntry {
       Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.L2)),
     "vdb_knn_flat_ip" -> ((s, d) =>
       Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.IP)),
+    "vdb_knn_flat_l1" -> ((s, d) =>
+      Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.L1)),
     "vdb_knn_cosine" -> ((s, d) =>
       Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.Cosine)),
     "vdb_knn_filtered_eq" -> ((s, d) =>
@@ -384,6 +386,10 @@ object SparkEntry {
     // metric: expr over (e.embedding::DOUBLE[], q.qv) + sort direction
     val (expr, ord) = metric match {
       case "l2" => ("list_distance(e.embedding::DOUBLE[], q.qv)", "ASC")
+      // DuckDB has no native L1 — fold |a[i]−b[i]| over the index
+      // range in list order, matching VecL1's left-to-right loop
+      case "l1" => ("list_sum(list_transform(range(1, len(q.qv) + 1), " +
+        "i -> abs((e.embedding::DOUBLE[])[i] - q.qv[i])))", "ASC")
       case "ip" => ("list_inner_product(e.embedding::DOUBLE[], q.qv)", "DESC")
       case "cos" => ("list_cosine_similarity(e.embedding::DOUBLE[], q.qv)", "DESC")
     }
@@ -5271,6 +5277,7 @@ object SparkEntry {
          |ORDER BY qid, rk""".stripMargin,
     "vdb_knn_flat_l2" -> knnOracle("l2"),
     "vdb_knn_flat_ip" -> knnOracle("ip"),
+    "vdb_knn_flat_l1" -> knnOracle("l1"),
     "vdb_knn_cosine" -> knnOracle("cos"),
     "vdb_knn_filtered_eq" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

@@ -169,6 +169,47 @@ case class VecL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ|aᵢ−bᵢ| — Manhattan / city-block distance (faiss METRIC_L1, the
+  * robust-to-outlier-coordinates alternative to L2). Same strict
+  * left-to-right summation contract as every kernel here; the DuckDB
+  * mirror folds |a[i]−b[i]| over an index range in the same order.
+  */
+case class VecL1(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "vec_l1"
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val (a, b) = (av.asInstanceOf[ArrayData], bv.asInstanceOf[ArrayData])
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += math.abs(elem(left, a, i) - elem(right, b, i)); i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val (loop, _) = pairLoop(ctx, a, b,
+        (x, y) => s"$acc += java.lang.Math.abs($x - $y);")
+      dimGuard(ev, a, b,
+        s"""
+           |double $acc = 0.0;
+           |$loop
+           |${ev.value} = $acc;
+         """.stripMargin)
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Cosine similarity; NULL (not NaN) on a zero-norm input so ordering
   * matches the oracle on degenerate vectors (see
   * VectorFunctions.cosineSimilarity).
@@ -224,5 +265,6 @@ object VectorDistance {
 
   def dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def l2(a: Column, b: Column): Column = c(VecL2(e(a), e(b)))
+  def l1(a: Column, b: Column): Column = c(VecL1(e(a), e(b)))
   def cosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
 }

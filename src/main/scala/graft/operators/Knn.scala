@@ -22,7 +22,7 @@ object Knn {
   /** Supported metrics, mirroring reference IndexFactory::MetricType
     * (index_factory.cc) plus cosine.
     */
-  object Metric extends Enumeration { val L2, IP, Cosine = Value }
+  object Metric extends Enumeration { val L2, IP, Cosine, L1 = Value }
 
   /** Top-k neighbors of each query vector.
     *
@@ -72,6 +72,7 @@ object Knn {
     // composed zip_with/aggregate form, ~10x less per-pair overhead
     val score = metric match {
       case Metric.L2 => VectorDistance.l2(col("vec"), col("qvec"))
+      case Metric.L1 => VectorDistance.l1(col("vec"), col("qvec"))
       case Metric.IP => VectorDistance.dot(col("vec"), col("qvec"))
       case Metric.Cosine =>
         val denom = col("_n") * col("_qn")
@@ -79,7 +80,8 @@ object Knn {
           .otherwise(VectorDistance.dot(col("vec"), col("qvec")) / denom)
     }
     // lower-is-better sort key; similarities rank descending
-    val key = if (metric == Metric.L2) score else -score
+    val distanceMetric = metric == Metric.L2 || metric == Metric.L1
+    val key = if (distanceMetric) score else -score
 
     val agg = TopKAgg.topK(k)
     val pairs = d.crossJoin(q)
@@ -97,7 +99,7 @@ object Knn {
         col("qid"),
         (col("pos") + 1).as("rk"),
         col("col.id").as("nn_id"),
-        round(if (metric == Metric.L2) col("col.key") else -col("col.key"), 4)
+        round(if (distanceMetric) col("col.key") else -col("col.key"), 4)
           .as("score"))
       .orderBy("qid", "rk")
   }

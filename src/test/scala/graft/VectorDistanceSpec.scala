@@ -24,6 +24,14 @@ class VectorDistanceSpec extends SparkSuite {
     assert(one(VectorDistance.l2($"x", $"y")) == exp)
   }
 
+  test("l1 matches scalar math; callable from SQL") {
+    assert(one(VectorDistance.l1($"x", $"y")) ==
+      (math.abs(1.0 - 4) + math.abs(2.0 + 5) + math.abs(3.0 - 6)))
+    val r = spark.sql(
+      "SELECT vec_l1(array(1.0D, 2.0D), array(4.0D, 0.0D)) AS d").head()
+    assert(r.getDouble(0) == 5.0)
+  }
+
   test("cosine matches composed form bit-for-bit") {
     val df = Seq((a, b)).toDF("x", "y")
     val native = df.select(VectorDistance.cosine($"x", $"y")).head().getDouble(0)
@@ -45,7 +53,7 @@ class VectorDistanceSpec extends SparkSuite {
     val short = Array(1.0f, 2.0f)
     val df = Seq((short, b)).toDF("x", "y")
     for (fn <- Seq(VectorDistance.dot _, VectorDistance.l2 _,
-                   VectorDistance.cosine _)) {
+                   VectorDistance.l1 _, VectorDistance.cosine _)) {
       val r = df.select(fn($"x", $"y").as("r")).head()
       assert(r.isNullAt(0), "mismatched dims must yield NULL")
     }
