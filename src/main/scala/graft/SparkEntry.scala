@@ -376,6 +376,7 @@ object SparkEntry {
     "search_spell_indexed" -> ((s, d) => Search.spellCorrectIndexed(s, d)),
     "search_maxsim" -> (MaxSim.maxsimQuery _),
     "text_phrase_search" -> (Search.phraseSearchQuery _),
+    "text_phrase_near" -> (Search.phraseNearQuery _),
     "embed_mean_pool" -> (MaxSim.meanPoolQuery _),
     "vdb_time_travel" -> (Upsert.timeTravelQuery _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
@@ -2687,6 +2688,36 @@ object SparkEntry {
         |        PARTITION BY phrase ORDER BY n_occ DESC, doc_id) AS rk
         |      FROM fo)
         |SELECT phrase, rk, doc_id, n_occ
+        |FROM r WHERE rk <= 10 ORDER BY phrase, rk""".stripMargin,
+    // proximity phrase: all m distinct tokens inside an (m+slop)-
+    // position window, matches counted by window start — the same
+    // offset explode as the Spark plan
+    "text_phrase_near" ->
+      """WITH p(phrase, tok, m) AS (VALUES
+        |    ('table hash', 'table', 2), ('table hash', 'hash', 2),
+        |    ('customer join', 'customer', 2),
+        |    ('customer join', 'join', 2),
+        |    ('table hash value', 'table', 3),
+        |    ('table hash value', 'hash', 3),
+        |    ('table hash value', 'value', 3)),
+        |dt AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |       FROM documents),
+        |t AS (SELECT doc_id, g.i - 1 AS pos, ts[g.i] AS tok
+        |      FROM dt CROSS JOIN generate_series(1, 128) AS g(i)
+        |      WHERE g.i <= len(ts)),
+        |wx AS (SELECT p.phrase, p.m, t.doc_id, t.tok,
+        |         unnest(generate_series(greatest(t.pos - (p.m + 2) + 1,
+        |           0), t.pos)) AS w
+        |       FROM t JOIN p ON t.tok = p.tok),
+        |mt AS (SELECT phrase, m, doc_id, w,
+        |         count(DISTINCT tok) AS hits
+        |       FROM wx GROUP BY 1, 2, 3, 4),
+        |fo AS (SELECT phrase, doc_id, CAST(count(*) AS BIGINT) AS n_win
+        |       FROM mt WHERE hits = m GROUP BY 1, 2),
+        |r AS (SELECT phrase, doc_id, n_win, row_number() OVER (
+        |        PARTITION BY phrase ORDER BY n_win DESC, doc_id) AS rk
+        |      FROM fo)
+        |SELECT phrase, rk, doc_id, n_win
         |FROM r WHERE rk <= 10 ORDER BY phrase, rk""".stripMargin,
     // MaxSim late interaction: per-(qtok, doc) max cosine quantized
     // to integer micro-units BEFORE the sum (round is monotone, so

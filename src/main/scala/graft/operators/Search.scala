@@ -721,6 +721,55 @@ object Search {
     phraseSearch(graft.Tables.documents(s, dir).select("doc_id", "text"),
       Seq("table hash", "customer join", "table hash value"))
 
+  /** PROXIMITY (near) phrase search — the sloppy-phrase operator
+    * beside [[phraseSearch]]'s exact adjacency: a match is a window
+    * of `m + slop` consecutive positions containing ALL m distinct
+    * phrase tokens, in any order (the unordered-window semantics
+    * proximity operators converge on; slop=0 degrades to unordered
+    * adjacency). Same positional machinery as the exact form, plus
+    * the offset explode: each token occurrence is charged to the
+    * ≤ m+slop windows that could contain it (never a per-doc scan of
+    * all windows), the per-window distinct-token count gates the
+    * match, and matching window-starts count as n_win. Work is
+    * occurrence-bounded: tokens not in any phrase never leave the
+    * broadcast join.
+    */
+  def phraseNearSearch(docs: DataFrame, phrases: Seq[String],
+                       slop: Int = 2, topN: Int = 10): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val ptoks = phrases.flatMap { p =>
+      val ts = p.split(" ").distinct
+      ts.map(t => (p, t, ts.length.toLong))
+    }.toDF("phrase", "tok", "m")
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+    val win = toks.join(broadcast(ptoks), "tok")
+      .select(col("phrase"), col("m"), col("doc_id"), col("tok"),
+        explode(sequence(
+          greatest(col("pos") - (col("m") + slop) + 1, lit(0L)),
+          col("pos"))).as("w"))
+    val matches = win.groupBy("phrase", "m", "doc_id", "w")
+      .agg(countDistinct("tok").as("hits"))
+      .where(col("hits") === col("m"))
+      .groupBy("phrase", "doc_id").agg(count(lit(1)).as("n_win"))
+    val agg = TopKAgg.topK(topN)
+    matches.groupBy("phrase")
+      .agg(agg((-col("n_win")).cast("double"), col("doc_id")).as("top"))
+      .select(col("phrase"), posexplode(col("top.items")))
+      .select(col("phrase"), (col("pos") + 1).as("rk"),
+        col("col.id").as("doc_id"),
+        (-col("col.key")).cast("long").as("n_win"))
+      .orderBy("phrase", "rk")
+  }
+
+  def phraseNearQuery(s: SparkSession, dir: String): DataFrame =
+    phraseNearSearch(graft.Tables.documents(s, dir)
+      .select("doc_id", "text"),
+      Seq("table hash", "customer join", "table hash value"))
+
   /** PSEUDO-RELEVANCE FEEDBACK (Rocchio-style query expansion, the
     * classic second-pass IR operator): run BM25, harvest the top-
     * `fbK` docs per query as assumed-relevant feedback, score every
