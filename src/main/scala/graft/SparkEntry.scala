@@ -377,6 +377,7 @@ object SparkEntry {
     "search_maxsim" -> (MaxSim.maxsimQuery _),
     "text_phrase_search" -> (Search.phraseSearchQuery _),
     "text_phrase_near" -> (Search.phraseNearQuery _),
+    "search_snippets" -> ((s, d) => Search.snippetQuery(s, d)),
     "embed_mean_pool" -> (MaxSim.meanPoolQuery _),
     "vdb_time_travel" -> (Upsert.timeTravelQuery _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
@@ -2689,6 +2690,27 @@ object SparkEntry {
         |      FROM fo)
         |SELECT phrase, rk, doc_id, n_occ
         |FROM r WHERE rk <= 10 ORDER BY phrase, rk""".stripMargin,
+    // KWIC snippets on the shared BM25 chain: hit docs only
+    // re-tokenize with positions, first query-term match anchors a
+    // ±3-token slice
+    "search_snippets" ->
+      s"""WITH $bm25Ctes,
+         |hits AS (SELECT qid, rk, doc_id FROM r WHERE rk <= 5),
+         |tp AS (SELECT d.doc_id, g.i - 1 AS pos, d.toks[g.i] AS tok
+         |       FROM d JOIN (SELECT DISTINCT doc_id FROM hits) hd
+         |         USING (doc_id)
+         |       CROSS JOIN generate_series(1, 128) AS g(i)
+         |       WHERE g.i <= len(d.toks)),
+         |an AS (SELECT h.qid, h.rk, h.doc_id, min(tp.pos) AS p
+         |       FROM hits h JOIN qt ON h.qid = qt.qid
+         |       JOIN tp ON tp.doc_id = h.doc_id AND tp.tok = qt.term
+         |       GROUP BY 1, 2, 3)
+         |SELECT an.qid, an.rk, an.doc_id,
+         |       array_to_string(
+         |         d.toks[greatest(p + 1 - 3, 1):(p + 1 + 3)], ' ')
+         |         AS snippet
+         |FROM an JOIN d USING (doc_id)
+         |ORDER BY qid, rk""".stripMargin,
     // proximity phrase: all m distinct tokens inside an (m+slop)-
     // position window, matches counted by window start — the same
     // offset explode as the Spark plan

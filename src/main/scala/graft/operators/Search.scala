@@ -770,6 +770,42 @@ object Search {
       .select("doc_id", "text"),
       Seq("table hash", "customer join", "table hash value"))
 
+  /** KWIC SNIPPETS — the "why did this hit" context every search
+    * result page renders: for each BM25 top-`k` hit, the ±`ctx`-token
+    * window around the FIRST occurrence of any query term in the doc
+    * (min position — deterministic; first-match is the convention
+    * when no per-term weights order the candidates). Rides the one
+    * shared [[bm25TopK]] plan, then only HIT docs re-tokenize with
+    * positions (semi-join ahead of the posexplode — Q×k docs, never
+    * the corpus), and the snippet is a slice of the split array.
+    */
+  def snippetQuery(s: SparkSession, dir: String, k: Int = 5,
+                   ctx: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val q = fixedQueries(s)
+    val top = bm25TopK(docs, q, k).select("qid", "rk", "doc_id")
+      .localCheckpoint(true)
+    val qt = q.select(col("qid"),
+      explode(split(col("qtext"), " ")).as("tok")).distinct()
+    val toks = docs
+      .join(broadcast(top.select("doc_id").distinct()), Seq("doc_id"),
+        "left_semi")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+    val anchor = top.join(broadcast(qt), "qid")
+      .join(toks, Seq("doc_id", "tok"))
+      .groupBy("qid", "rk", "doc_id").agg(min("pos").as("p"))
+    val start = greatest(col("p") + 1 - ctx, lit(1L))
+    anchor
+      .join(docs.select(col("doc_id"), split(col("text"), " ").as("ws")),
+        "doc_id")
+      .select(col("qid"), col("rk"), col("doc_id"),
+        concat_ws(" ", slice(col("ws"), start.cast("int"),
+          (col("p") + 1 + ctx - start + 1).cast("int"))).as("snippet"))
+      .orderBy("qid", "rk")
+  }
+
   /** PSEUDO-RELEVANCE FEEDBACK (Rocchio-style query expansion, the
     * classic second-pass IR operator): run BM25, harvest the top-
     * `fbK` docs per query as assumed-relevant feedback, score every
