@@ -205,6 +205,7 @@ object SparkEntry {
     "events_anova" -> (Analytics.eventsAnova _),
     "customer_gini" -> ((s, d) => Analytics.customerGini(s, d)),
     "part_price_elasticity" -> ((s, d) => Analytics.priceElasticity(s, d)),
+    "part_xyz_class" -> (Analytics.partXyz _),
     "corpus_stats" -> (TextOps.corpusStats _),
     "text_chunk" -> (TextOps.chunkQuery _),
     "chunk_pack" -> (TextOps.chunkPackQuery _),
@@ -5093,6 +5094,29 @@ object SparkEntry {
         |         / CAST(CAST(sum(n) AS HUGEINT) * sum(n) AS DOUBLE), 6)
         |         AS simpson
         |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
+    // XYZ classification: exact integer monthly-demand moments,
+    // HUGEINT variance numerator, class cuts on the UNROUNDED CV
+    "part_xyz_class" ->
+      """WITH mo AS (SELECT l_partkey AS part,
+        |         CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+        |           AS BIGINT) AS mx,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |       FROM lineitem GROUP BY 1, 2),
+        |g AS (SELECT part, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(q) AS BIGINT) AS sx,
+        |        sum(CAST(q AS HUGEINT) * q) AS qx
+        |      FROM mo GROUP BY 1),
+        |c AS (SELECT part, n, sx,
+        |        sqrt(CAST(n * qx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |          / CAST(n * (n - 1) AS DOUBLE))
+        |          / (CAST(sx AS DOUBLE) / n) AS cv
+        |      FROM g)
+        |SELECT part, n AS n_months,
+        |       round(CAST(sx AS DOUBLE) / n, 4) AS mean_qty,
+        |       CASE WHEN n < 2 THEN NULL ELSE round(cv, 4) END AS cv,
+        |       CASE WHEN n < 2 THEN 'Z' WHEN cv < 0.5 THEN 'X'
+        |            WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+        |FROM c ORDER BY part""".stripMargin,
     // log-log elasticity: zipf-style micro-quantized ln moments,
     // DOUBLE numerators from HUGEINT-exact integers
     "part_price_elasticity" ->

@@ -1670,6 +1670,44 @@ object Analytics {
             / (col("nn") - col("k"))), 4).as("f_stat"))
   }
 
+  /** XYZ DEMAND-VARIABILITY CLASSIFICATION — the inventory-planning
+    * companion to ABC (29y): per part, the coefficient of variation
+    * of monthly demand (CV = σ/μ over observed months, sample sd),
+    * classed X (CV < 0.5, steady — forecast and automate), Y (< 1.0,
+    * fluctuating), Z (≥ 1.0, intermittent — safety stock). Quantity
+    * moments are exact integers (TPC-H quantities are whole), the
+    * variance numerator rides DECIMAL(38,0), and the class cuts
+    * compare the UNROUNDED CV (display rounds at 4dp). Parts with a
+    * single observed month have no sample variance and are classed Z
+    * (nothing to forecast from). One lineitem scan, (part, month) →
+    * part aggregates.
+    */
+  def partXyz(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val monthly = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("part"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("mx"),
+        expr("CAST(l_quantity AS BIGINT)").as("qty"))
+      .groupBy("part", "mx").agg(sum("qty").as("q"))
+    val g = monthly.groupBy("part")
+      .agg(count(lit(1)).as("n"), sum("q").as("sx"),
+        sum(col("q").cast(dec) * col("q").cast(dec)).as("qx"))
+    val varNum = (col("n").cast(dec) * col("qx") -
+      col("sx").cast(dec) * col("sx").cast(dec)).cast("double")
+    val cv = sqrt(varNum / (col("n") * (col("n") - 1)).cast("double"))
+      ./(col("sx").cast("double") / col("n"))
+    g.select(col("part"), col("n").as("n_months"),
+        round(col("sx").cast("double") / col("n"), 4).as("mean_qty"),
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(round(cv, 4)).as("cv"),
+        when(col("n") < 2, lit("Z"))
+          .when(cv < 0.5, lit("X"))
+          .when(cv < 1.0, lit("Y"))
+          .otherwise(lit("Z")).as("xyz"))
+      .orderBy("part")
+  }
+
   /** PRICE ELASTICITY per brand — the econometric classic (log-log
     * OLS: ε = d ln q / d ln p) over order lines, unit price =
     * extendedprice/quantity: ε ≈ −1 means revenue-neutral pricing,
