@@ -5275,21 +5275,26 @@ object SparkEntry {
         |           FROM embeddings),
         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
         |             CASE WHEN vec_id % 2 = 0 THEN 10 ELSE 5 END AS k,
-        |             CASE WHEN vec_id % 2 = 0 THEN 'L2'
-        |                  ELSE 'IP' END AS metric,
+        |             CASE WHEN vec_id % 3 = 0 THEN 'L2'
+        |                  WHEN vec_id % 3 = 1 THEN 'IP'
+        |                  ELSE 'L1' END AS metric,
         |             CASE WHEN vec_id % 3 = 0 THEN '='
         |                  WHEN vec_id % 3 = 1 THEN '!=' END AS fop,
         |             5 AS fval
         |      FROM embeddings WHERE vec_id < 6),
         |d AS (SELECT q.qid, q.metric, q.k, e.id AS nn_id,
         |             CASE WHEN q.metric = 'L2' THEN list_distance(e.v, q.qv)
+        |                  WHEN q.metric = 'L1' THEN
+        |                    list_sum(list_transform(range(1, len(q.qv) + 1),
+        |                      i -> abs(e.v[i] - q.qv[i])))
         |                  ELSE list_inner_product(e.v, q.qv) END AS s
         |      FROM e CROSS JOIN q
         |      WHERE q.fop IS NULL OR (q.fop = '=' AND e.label = q.fval)
         |         OR (q.fop = '!=' AND e.label <> q.fval)),
         |r AS (SELECT qid, nn_id, s, k,
         |             row_number() OVER (PARTITION BY qid ORDER BY
-        |               CASE WHEN metric = 'L2' THEN s ELSE -s END, nn_id)
+        |               CASE WHEN metric IN ('L2', 'L1') THEN s
+        |                    ELSE -s END, nn_id)
         |               AS rk
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score

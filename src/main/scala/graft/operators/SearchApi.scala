@@ -34,11 +34,12 @@ object SearchApi {
     * what it asked for.
     *
     * @param data (id, vec, label) corpus
-    * @param reqs (qid, qvec, k, metric 'L2'|'IP', fop '='|'!='|NULL,
-    *             fval) — fop NULL means unfiltered
+    * @param reqs (qid, qvec, k, metric 'L2'|'L1'|'IP', fop
+    *             '='|'!='|NULL, fval) — fop NULL means unfiltered
     * @param maxK heap bound; must be ≥ every request's k
     * @return (qid, rk 1..k_req, nn_id, score) — score is the
-    *         request's own metric (L2 ascending, IP descending), 4dp
+    *         request's own metric (L2/L1 ascending, IP descending),
+    *         4dp
     */
   def searchRequests(data: DataFrame, reqs: DataFrame,
                      maxK: Int): DataFrame = {
@@ -57,9 +58,11 @@ object SearchApi {
     val pass = col("fop").isNull ||
       (col("fop") === "=" && col("label") === col("fval")) ||
       (col("fop") === "!=" && col("label") =!= col("fval"))
-    // lower-is-better key for the shared heap: L2 as-is, IP negated
+    // lower-is-better key for the shared heap: L2/L1 as-is, IP negated
     val key = when(col("metric") === "L2",
         VectorDistance.l2(col("vec"), col("qvec")))
+      .when(col("metric") === "L1",
+        VectorDistance.l1(col("vec"), col("qvec")))
       .otherwise(-VectorDistance.dot(col("vec"), col("qvec")))
     val scored = data.crossJoin(broadcast(reqs))
       .where(pass)
@@ -72,7 +75,8 @@ object SearchApi {
         posexplode(col("top.items")))
       .select(col("qid"), (col("pos") + 1).as("rk"),
         col("col.id").as("nn_id"),
-        round(when(col("metric") === "L2", col("col.key"))
+        round(when(col("metric") === "L2" || col("metric") === "L1",
+          col("col.key"))
           .otherwise(-col("col.key")), 4).as("score"))
       .where(col("rk") <= col("k"))
       .orderBy("qid", "rk")
@@ -173,9 +177,10 @@ object SearchApi {
     searchRouted(s, dir, data, reqs, maxK = 10)
   }
 
-  /** Surface query: a deterministic mixed batch — metric alternates
-    * by qid parity, filter op cycles =/!=/none, k alternates 5/10 —
-    * mirroring the reference's filter_upsert test requests.
+  /** Surface query: a deterministic mixed batch — metric cycles
+    * L2/IP/L1 by qid mod 3 (every metric the API routes, r11 adds
+    * L1), filter op cycles =/!=/none, k alternates 5/10 — mirroring
+    * the reference's filter_upsert test requests.
     */
   def searchRequestsQuery(s: SparkSession, dir: String): DataFrame = {
     val data = Tables.embeddings(s, dir)
@@ -184,7 +189,9 @@ object SearchApi {
     val reqs = Tables.embeddings(s, dir).where(col("vec_id") < 6)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         when(col("vec_id") % 2 === 0, 10L).otherwise(5L).as("k"),
-        when(col("vec_id") % 2 === 0, "L2").otherwise("IP").as("metric"),
+        when(col("vec_id") % 3 === 0, "L2")
+          .when(col("vec_id") % 3 === 1, "IP")
+          .otherwise(lit("L1")).as("metric"),
         when(col("vec_id") % 3 === 0, "=")
           .when(col("vec_id") % 3 === 1, "!=")
           .otherwise(lit(null).cast("string")).as("fop"),
