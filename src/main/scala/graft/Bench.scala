@@ -136,7 +136,10 @@ object Bench {
         // generation inserts) and the compacted WAL fixture — the
         // timed entries are serve/replay cost, not the one-time
         // build/compaction
-        "events_daily_agg", "wal_compact_replay")
+        "events_daily_agg", "wal_compact_replay",
+        // r11: the persisted winnowing fingerprint index — timed
+        // entry is the batch lookup, not the one-time build
+        "dedup_winnow_incremental")
       .foreach { n =>
       benchQueries.get(n).foreach { fn =>
         if (elapsed < budgetNs / 2) runGuardedAt(sfDir, n, fn(spark, sfDir))

@@ -187,6 +187,7 @@ object SparkEntry {
     "dedup_substring" -> (Dedup.duplicatedSpansQuery _),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
+    "dedup_winnow_incremental" -> ((s, d) => Dedup.winnowIncrementalQuery(s, d)),
     "dedup_embedding_cos" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
     "sim_brute_topk" -> ((s, d) =>
       Knn.topKExcludingSelf(emb(s, d), simQset(s, d), 10, Knn.Metric.Cosine)),
@@ -426,6 +427,30 @@ object SparkEntry {
        |         ELSE [text] END) AS shingles FROM w$sfx)""".stripMargin
 
   private val shingleCte = shingleCteFrom("documents")
+
+  /** Winnowing fingerprint CTE chain (k=5, w=4) ending in `fps$sfx`
+    * — shared by the batch pair oracle and the incremental-index
+    * mirror so the selection geometry cannot drift. Interpolated into
+    * outer stripMargin strings: no continuation line starts with '|'.
+    */
+  private def winnowCtes(src: String, sfx: String): String =
+    s"""t0$sfx AS (SELECT doc_id, lower(text) AS t FROM $src
+       |            WHERE length(text) >= 5),
+       |tm$sfx AS (SELECT doc_id, t,
+       |         CAST(length(t) - 4 AS BIGINT) AS m FROM t0$sfx),
+       |hx$sfx AS (SELECT doc_id, t, m,
+       |         unnest(generate_series(1, m)) AS p FROM tm$sfx),
+       |h$sfx AS (SELECT doc_id, m, p,
+       |        CAST('0x' || substr(md5(substr(t, CAST(p AS INT), 5)),
+       |          1, 15) AS BIGINT) AS h
+       |      FROM hx$sfx),
+       |wx$sfx AS (SELECT doc_id, h,
+       |         unnest(generate_series(greatest(p - 3, 1),
+       |           least(p, greatest(m - 3, 1)))) AS wi
+       |       FROM h$sfx),
+       |fw$sfx AS (SELECT doc_id, wi, min(h) AS fp
+       |       FROM wx$sfx GROUP BY 1, 2),
+       |fps$sfx AS (SELECT DISTINCT doc_id, fp FROM fw$sfx)""".stripMargin
 
   // NOTE: these shared CTE fragments are interpolated into outer
   // strings that call .stripMargin AGAIN — no continuation line here
@@ -3198,28 +3223,30 @@ object SparkEntry {
     // selection via the offset explode, pairs on df-in-[2,8]
     // fingerprints — every stage integer-exact
     "dedup_winnowing" ->
-      """WITH t0 AS (SELECT doc_id, lower(text) AS t FROM documents
-        |            WHERE length(text) >= 5),
-        |tm AS (SELECT doc_id, t,
-        |         CAST(length(t) - 4 AS BIGINT) AS m FROM t0),
-        |hx AS (SELECT doc_id, t, m,
-        |         unnest(generate_series(1, m)) AS p FROM tm),
-        |h AS (SELECT doc_id, m, p,
-        |        CAST('0x' || substr(md5(substr(t, CAST(p AS INT), 5)),
-        |          1, 15) AS BIGINT) AS h
-        |      FROM hx),
-        |wx AS (SELECT doc_id, h,
-        |         unnest(generate_series(greatest(p - 3, 1),
-        |           least(p, greatest(m - 3, 1)))) AS wi
-        |       FROM h),
-        |fw AS (SELECT doc_id, wi, min(h) AS fp FROM wx GROUP BY 1, 2),
-        |fps AS (SELECT DISTINCT doc_id, fp FROM fw),
+      s"""WITH ${winnowCtes("documents", "")},
         |dfc AS (SELECT fp FROM fps GROUP BY fp
         |        HAVING count(*) BETWEEN 2 AND 8),
         |bl AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp))
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
         |       CAST(count(*) AS BIGINT) AS n_shared
         |FROM bl a JOIN bl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id1, id2""".stripMargin,
+    // incremental winnowing vs the persisted fingerprint index: the
+    // definitional mirror recomputes both fingerprint sets; the df
+    // guard counts CORPUS fingerprints among the batch's collisions
+    "dedup_winnow_incremental" ->
+      s"""WITH ${winnowCtes("documents", "")},
+        |${winnowCtes("(SELECT doc_id + 200000 AS doc_id, " +
+           "text || ' zzyzx' AS text FROM documents " +
+           "WHERE doc_id % 9 = 0)", "b")},
+        |mfp AS (SELECT c.fp FROM fps c
+        |        WHERE c.fp IN (SELECT fp FROM fpsb)
+        |        GROUP BY c.fp HAVING count(*) <= 8)
+        |SELECT b.doc_id AS id1, c.doc_id AS id2,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fpsb b JOIN fps c ON b.fp = c.fp
+        |JOIN mfp ON b.fp = mfp.fp
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY id1, id2""".stripMargin,
     // containment: candidates block on shared RARE shingles (df in

@@ -335,6 +335,109 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  // -------------------------------------- persisted winnowing index
+
+  /** The winnowing fingerprint table at rest — the 9th persisted
+    * structure, giving the positional dedup family the same
+    * steady-state story the minhash family has in the signature
+    * index: (doc_id, fp) parquet partitioned by the doc-hash bucket
+    * (maintenance-churn-local — an arriving or deleted batch
+    * rewrites only the buckets its doc_ids hash into), _SUCCESS the
+    * publish marker. Fingerprints are ~2/(w+1) of positions, so the
+    * index is a fraction of the corpus.
+    */
+  val WinIndexBuckets = 16
+
+  private def winBucket(id: Column): Column =
+    pmod(graft.functions.Md5Prefix60(id.cast("string")),
+      lit(WinIndexBuckets.toLong))
+
+  def buildWinnowIndex(corpus: DataFrame, path: String): Unit =
+    winnowFingerprints(corpus)
+      .withColumn("bk", winBucket(col("doc_id")))
+      .write.mode("overwrite").partitionBy("bk").parquet(path)
+
+  /** Row-replacement upsert — the [[signatureIndexUpsert]] semantics
+    * verbatim: redelivery replaces a batch's own rows (no-op), only
+    * touched buckets rewrite, crash repair = re-run.
+    */
+  def winnowIndexUpsert(s: SparkSession, path: String,
+                        batch: DataFrame): Unit = {
+    val rows = winnowFingerprints(batch)
+      .withColumn("bk", winBucket(col("doc_id")))
+      .localCheckpoint(true)
+    val touched = rows.select(col("bk").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val survivors = s.read.parquet(path)
+      .where(col("bk").isin(touched.toIndexedSeq: _*))
+      .join(broadcast(rows.select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "fp", "bk")
+    TablePublish.publishTouched(s, path, "bk", touched,
+      survivors.unionByName(rows.select("doc_id", "fp", "bk")))
+  }
+
+  /** Delete maintenance: drop the ids' fingerprint rows from their
+    * buckets only.
+    */
+  def winnowIndexDelete(s: SparkSession, path: String,
+                        ids: DataFrame): Unit = {
+    val del = ids.select(col("doc_id")).distinct()
+      .withColumn("bk", winBucket(col("doc_id")))
+      .localCheckpoint(true)
+    val touched = del.select(col("bk").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val survivors = s.read.parquet(path)
+      .where(col("bk").isin(touched.toIndexedSeq: _*))
+      .join(broadcast(del.select("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id", "fp", "bk")
+    TablePublish.publishTouched(s, path, "bk", touched, survivors)
+  }
+
+  /** Incremental winnowing lookup: a new batch against the PERSISTED
+    * index without re-fingerprinting the corpus — per-arrival work is
+    * O(batch + collisions). The ubiquity guard computes document
+    * frequency over the COLLIDED fingerprints only (group the
+    * index-side matches, not the index), so even the stop-fingerprint
+    * defense costs collision-sized work.
+    */
+  def winnowIncremental(s: SparkSession, path: String, batch: DataFrame,
+                        minShared: Long = 2L,
+                        maxDf: Long = 8L): DataFrame = {
+    val bf = winnowFingerprints(batch).localCheckpoint(true)
+    val matched = s.read.parquet(path).select("doc_id", "fp")
+      .join(broadcast(bf.select("fp").distinct()), Seq("fp"), "left_semi")
+      .localCheckpoint(true)
+    val okFp = matched.groupBy("fp").agg(count(lit(1)).as("dfc"))
+      .where(col("dfc") <= maxDf).select("fp")
+    bf.join(matched.join(okFp, "fp")
+        .select(col("fp"), col("doc_id").as("id2")), "fp")
+      .groupBy(col("doc_id").as("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("id1", "id2")
+  }
+
+  /** Registry surface: index built once per sf dir behind a done
+    * marker; the timed/oracled entry is the batch lookup.
+    */
+  def winnowIncrementalQuery(s: SparkSession, dir: String): DataFrame = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val root = java.nio.file.Paths.get("target", "tmp", s"winidx-$key")
+      .toAbsolutePath
+    val path = root.resolve("fps").toString
+    val done = root.resolve("_done")
+    if (!java.nio.file.Files.exists(done)) {
+      java.nio.file.Files.createDirectories(root)
+      buildWinnowIndex(
+        graft.Tables.documents(s, dir).select("doc_id", "text"), path)
+      java.nio.file.Files.write(done, Array.emptyByteArray)
+    }
+    winnowIncremental(s, path, incrementalBatch(s, dir))
+  }
+
   /** The INCREMENTAL batch: every doc_id%9==0 corpus doc re-enters
     * with one appended token (a high-jaccard near-dup) under
     * id+200000 — the arriving-data half of the incremental curation

@@ -255,6 +255,66 @@ class DedupSpec extends SparkSuite {
     assert(byDoc(3L).nonEmpty, "every long-enough doc fingerprints")
   }
 
+  test("winnowing index: batch lookup finds re-entered origins; " +
+    "upsert is redelivery-idempotent; delete erases a doc's pairs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "winidx")
+    val path = dir.resolve("fps").toString
+    try {
+      // DISTINCTIVE synthetic corpus (the driver fixture's templated
+      // text makes most fingerprints corpus-ubiquitous — df > maxDf —
+      // which is exactly what the stop-fingerprint guard is FOR; the
+      // machinery pin needs docs whose content is their own):
+      // per-doc DISJOINT letter alphabet → every cross-doc 5-gram
+      // contains the doc's letter, so shared fps exist only between a
+      // doc and its own re-entry (26 docs, tag = 4× the doc letter)
+      val corpus = (0L until 26L).map { i =>
+        val tag = ('a' + i).toChar.toString * 4
+        (i, (0 until 12).map(j => s"$tag$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      operators.Dedup.buildWinnowIndex(corpus, path)
+      val batch = corpus.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" zzyzx")).as("text"))
+      val pairs = operators.Dedup.winnowIncremental(spark, path, batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.nonEmpty)
+      // ids never mix sides: id1 is always a batch doc, id2 corpus
+      assert(pairs.forall { case (a, b) => a >= 200000L && b < 200000L })
+      // each batch doc is its origin + one token — the long shared
+      // substring guarantees shared selected fingerprints for all
+      val batchIds = batch.select("doc_id").collect().map(_.getLong(0))
+      val hit = batchIds.count(b => pairs.contains((b, b - 200000L)))
+      assert(hit == batchIds.length,
+        s"only $hit/${batchIds.length} origins rediscovered")
+      // and nothing ELSE matches: distinct stems → no cross pairs
+      assert(pairs.forall { case (a, b) => a - 200000L == b },
+        "distinct-content docs spuriously paired")
+      // redelivery-idempotent upsert: same batch twice = same index
+      operators.Dedup.winnowIndexUpsert(spark, path, batch)
+      val once = spark.read.parquet(path).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      operators.Dedup.winnowIndexUpsert(spark, path, batch)
+      val twice = spark.read.parquet(path).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(once == twice, "redelivered upsert changed the index")
+      // delete erases exactly that doc's rows and downstream pairs
+      val victim = pairs.head._2
+      operators.Dedup.winnowIndexDelete(spark, path,
+        corpus.where(col("doc_id") === victim).select("doc_id"))
+      val after = spark.read.parquet(path)
+        .where(col("doc_id") === victim).count()
+      assert(after == 0L, "deleted doc still in the index")
+      val pairs2 = operators.Dedup.winnowIncremental(spark, path, batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(!pairs2.exists(_._2 == victim),
+        "deleted doc still matches incrementally")
+    } finally {
+      new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("normalization stage: NFC/NFD byte-variants dedup as ONE doc " +
     "through exact AND minhash; width-fold + casefold collapse too") {
     import spark.implicits._
