@@ -207,6 +207,8 @@ object SparkEntry {
     "customer_gini" -> ((s, d) => Analytics.customerGini(s, d)),
     "part_price_elasticity" -> ((s, d) => Analytics.priceElasticity(s, d)),
     "part_xyz_class" -> (Analytics.partXyz _),
+    "orders_interarrival" -> (Analytics.ordersInterarrival _),
+    "priority_returns_chi2" -> (Analytics.priorityReturnsChi2 _),
     "corpus_stats" -> (TextOps.corpusStats _),
     "text_chunk" -> (TextOps.chunkQuery _),
     "chunk_pack" -> (TextOps.chunkPackQuery _),
@@ -5121,6 +5123,52 @@ object SparkEntry {
         |         / CAST(CAST(sum(n) AS HUGEINT) * sum(n) AS DOUBLE), 6)
         |         AS simpson
         |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
+    // interarrival gaps per segment: lag over per-customer date
+    // order, exact interpolated percentiles
+    "orders_interarrival" ->
+      """WITH o AS (SELECT o_custkey AS cust, o_orderkey,
+        |        date_diff('day', DATE '1970-01-01',
+        |          CAST(o_orderdate AS DATE)) AS d
+        |      FROM orders),
+        |g AS (SELECT cust,
+        |        d - lag(d) OVER (PARTITION BY cust
+        |                         ORDER BY d, o_orderkey) AS gap
+        |      FROM o),
+        |j AS (SELECT c.c_mktsegment, g.gap
+        |      FROM g JOIN customer c ON g.cust = c.c_custkey
+        |      WHERE g.gap IS NOT NULL)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       round(avg(gap), 4) AS mean_days,
+        |       round(quantile_cont(gap, 0.5), 4) AS p50_days,
+        |       round(quantile_cont(gap, 0.95), 4) AS p95_days
+        |FROM j GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    // chi-square independence: per-cell terms micro-quantized to
+    // BIGINT before the cross-cell sum (events_anova discipline)
+    "priority_returns_chi2" ->
+      """WITH cells AS (SELECT o.o_orderpriority, l.l_returnflag,
+        |         CAST(count(*) AS BIGINT) AS o
+        |       FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |       GROUP BY 1, 2),
+        |rt AS (SELECT o_orderpriority, CAST(sum(o) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |tm AS (SELECT cells.o,
+        |         CAST(rt.rt AS DOUBLE) * ct.ct / tt.n AS e,
+        |         cells.o_orderpriority, cells.l_returnflag
+        |       FROM cells JOIN rt USING (o_orderpriority)
+        |       JOIN ct USING (l_returnflag) CROSS JOIN tt),
+        |q AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |        CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nr,
+        |        CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nc,
+        |        CAST(sum(CAST(round((o - e) * (o - e) / e * 1000000)
+        |          AS BIGINT)) AS BIGINT) AS st
+        |      FROM tm)
+        |SELECT n_cells, (nr - 1) * (nc - 1) AS dof,
+        |       round(CAST(st AS DOUBLE) / 1000000.0, 4) AS chi2
+        |FROM q""".stripMargin,
     // XYZ classification: exact integer monthly-demand moments,
     // HUGEINT variance numerator, class cuts on the UNROUNDED CV
     "part_xyz_class" ->

@@ -1670,6 +1670,71 @@ object Analytics {
             / (col("nn") - col("k"))), 4).as("f_stat"))
   }
 
+  /** ORDER INTERARRIVAL DISTRIBUTION per market segment — the
+    * recurrence profile (how often customers come back) behind
+    * retention and inventory cadence decisions: per customer, the
+    * day gaps between consecutive orders (lag over the per-customer
+    * date order; same-day ties leave the gap multiset invariant),
+    * rolled up per segment as exact-integer count/mean and the exact
+    * interpolated median/p95 (`percentile` ≡ quantile_cont, the
+    * corpusStats precedent). One orders scan, customer-keyed window,
+    * segment aggregate.
+    */
+  def ordersInterarrival(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("cust"),
+      col("o_orderkey"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("d"))
+    val w = Window.partitionBy("cust").orderBy("d", "o_orderkey")
+    val gaps = o.withColumn("gap", col("d") - lag("d", 1).over(w))
+      .where(col("gap").isNotNull)
+    gaps
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey").as("cust"), col("c_mktsegment")), "cust")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap")), 4).as("mean_days"),
+        round(expr("percentile(gap, 0.5)"), 4).as("p50_days"),
+        round(expr("percentile(gap, 0.95)"), 4).as("p95_days"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** CHI-SQUARE INDEPENDENCE between order priority and return flag
+    * — "do urgent orders return more?", the categorical-association
+    * screen (the ANOVA of contingency tables). Observed counts are
+    * exact BIGINTs; expected = rowT·colT/N is one double per cell;
+    * and the per-cell (o−e)²/e terms MICRO-QUANTIZE to BIGINT before
+    * the cross-cell sum (the events_anova discipline — a double sum
+    * over cells is fold-order-dependent). Output: cells, dof, χ².
+    */
+  def priorityReturnsChi2(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val rowT = cells.groupBy("o_orderpriority").agg(sum("o").as("rt"))
+    val colT = cells.groupBy("l_returnflag").agg(sum("o").as("ct"))
+    val tot = cells.agg(sum("o").as("n"))
+    val e = col("rt").cast("double") * col("ct") / col("n")
+    val term = expr("CAST(round((o - e) * (o - e) / e * 1000000) " +
+      "AS BIGINT)")
+    cells.join(rowT, "o_orderpriority").join(colT, "l_returnflag")
+      .crossJoin(broadcast(tot))
+      .withColumn("e", e)
+      .withColumn("t", term)
+      .agg(count(lit(1)).as("n_cells"),
+        countDistinct("o_orderpriority").as("nr"),
+        countDistinct("l_returnflag").as("nc"),
+        sum("t").as("st"))
+      .select(col("n_cells"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        round(col("st").cast("double") / 1000000.0, 4).as("chi2"))
+  }
+
   /** XYZ DEMAND-VARIABILITY CLASSIFICATION — the inventory-planning
     * companion to ABC (29y): per part, the coefficient of variation
     * of monthly demand (CV = σ/μ over observed months, sample sd),
