@@ -110,6 +110,7 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) => Ann.graphTriangles(s, d)),
     "graph_adamic_adar" -> ((s, d) => Ann.adamicAdar(s, d)),
     "graph_jaccard_lp" -> ((s, d) => Ann.graphJaccardLp(s, d)),
+    "graph_kcore" -> ((s, d) => Ann.graphKCore(s, d)),
     "graph_modularity" -> ((s, d) => Ann.graphModularity(s, d)),
     "knn_graph_recall" -> ((s, d) => Ann.knnGraphRecall(s, d)),
     "events_bot_score" -> ((s, d) => Sequence.botScore(s, d)),
@@ -1469,6 +1470,32 @@ object SparkEntry {
          |       round(sum(CAST(1 AS DOUBLE) / ln(dg.d)), 4) AS aa_score
          |FROM cand JOIN dg ON dg.id = cand.b
          |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // 2-core by unrolled peeling (8 rounds): the Spark side's exact
+    // convergence stop makes extra mirror rounds the identity
+    "graph_kcore" -> {
+      // peel CTEs prefixed `k` — the shared IVF chain already owns
+      // a1/a2 for its k-means assignment rounds
+      val rounds = (1 to 8).map { i =>
+        val p = s"ka${i - 1}"
+        s"""ke$i AS (SELECT e.a, e.b FROM sym e
+           |       JOIN $p x ON e.a = x.id JOIN $p y ON e.b = y.id),
+           |ka$i AS (SELECT a AS id FROM ke$i GROUP BY a
+           |       HAVING count(*) >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ivfGraphCtes,
+         |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
+         |mu AS (SELECT g1.qid AS id_a, g1.id AS id_b
+         |       FROM g g1 JOIN g g2 ON g1.qid = g2.id AND g1.id = g2.qid
+         |       WHERE g1.qid < g1.id),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM mu
+         |        UNION ALL SELECT id_b, id_a FROM mu),
+         |ka0 AS (SELECT DISTINCT a AS id FROM sym),
+         |$rounds,
+         |fin AS (SELECT e.a FROM sym e
+         |        JOIN ka8 x ON e.a = x.id JOIN ka8 y ON e.b = y.id)
+         |SELECT a AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM fin GROUP BY 1 ORDER BY vec_id""".stripMargin
+    },
     // neighbor-Jaccard link prediction: the AA wedge chain with both
     // endpoints' degrees in the denominator
     "graph_jaccard_lp" ->

@@ -736,6 +736,53 @@ object Ann {
       .orderBy("id_a", "id_b")
   }
 
+  /** K-CORE of the mutual-kNN graph — the density skeleton graph
+    * curation reads (the 2-core prunes pendant chains and isolated
+    * spokes; what survives is the corpus's tightly-connected mass,
+    * the natural seed set for cluster-based dedup review). Classic
+    * iterative peeling — drop nodes with degree < k, recompute,
+    * repeat — expressed as the repo's bounded convergence-checked
+    * fixpoint (the dedup_clusters / adaptive-descent pattern): each
+    * round is one semi-join restriction of the edge table + one
+    * degree aggregate, the alive set only shrinks, so COUNT equality
+    * is set equality and the early stop is exact — which is why the
+    * UNROLLED fixed-round mirror matches bit-for-bit (peeling past
+    * the fixpoint is the identity). Degree ≤ graph-k bounds each
+    * round's work at N·k edge rows; convergence on these graphs
+    * takes a handful of rounds (cap 8, spec-checked).
+    */
+  def graphKCore(s: SparkSession, dir: String, k: Int = 2,
+                 graphK: Int = 5, maxRounds: Int = 8): DataFrame = {
+    val und = mutualKnnPairs(s, dir, graphK).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val sym = und.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(und.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint(true)
+    var alive = sym.select(col("a").as("id")).distinct()
+      .localCheckpoint(true)
+    var n = alive.count()
+    var converged = false
+    var r = 0
+    while (r < maxRounds && !converged) {
+      val e = sym
+        .join(alive.select(col("id").as("a")), "a")
+        .join(alive.select(col("id").as("b")), "b")
+      val next = e.groupBy("a").agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= k).select(col("a").as("id"))
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == n
+      alive = next
+      n = m
+      r += 1
+    }
+    sym.join(alive.select(col("id").as("a")), "a")
+      .join(alive.select(col("id").as("b")), "b")
+      .groupBy(col("a").as("vec_id"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("vec_id")
+  }
+
   /** NEIGHBOR-JACCARD LINK PREDICTION over the mutual-kNN graph —
     * the set-overlap companion to [[adamicAdar]] (Liben-Nowell &
     * Kleinberg 2003's second classic score): every distance-2
