@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(binary("vec_l1",
       "vec_l1(a, b) - Manhattan distance of two float/double arrays",
       VecL1))
+    ext.injectFunction(binary("vec_linf",
+      "vec_linf(a, b) - Chebyshev (max per-dim) distance of two " +
+        "float/double arrays",
+      VecLinf))
     ext.injectFunction(binary("vec_cosine",
       "vec_cosine(a, b) - cosine similarity; NULL on zero norm or dim mismatch",
       VecCosine))

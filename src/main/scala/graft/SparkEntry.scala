@@ -41,6 +41,8 @@ object SparkEntry {
       Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.IP)),
     "vdb_knn_flat_l1" -> ((s, d) =>
       Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.L1)),
+    "vdb_knn_flat_linf" -> ((s, d) =>
+      Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.Linf)),
     "vdb_knn_cosine" -> ((s, d) =>
       Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.Cosine)),
     "vdb_knn_filtered_eq" -> ((s, d) =>
@@ -251,6 +253,10 @@ object SparkEntry {
     "events_dow_seasonality" -> (Analytics.eventsDowSeasonality _),
     "events_pattern_match" -> (Sequence.patternMatch _),
     "events_ab_test" -> (Analytics.eventsAbTest _),
+    "events_mann_whitney" -> (Analytics.eventsMannWhitney _),
+    "events_ks_test" -> (Analytics.eventsKsTest _),
+    "events_moments" -> (Analytics.eventsMoments _),
+    "customer_churn_hazard" -> (Analytics.customerChurnHazard _),
     "events_ab_sequential" -> ((s, d) => Analytics.eventsAbSequential(s, d)),
     "events_funnel_ab" -> (Analytics.eventsFunnelAb _),
     "events_ab_cuped" -> ((s, d) => Analytics.eventsAbCuped(s, d)),
@@ -396,6 +402,10 @@ object SparkEntry {
       // DuckDB has no native L1 — fold |a[i]−b[i]| over the index
       // range in list order, matching VecL1's left-to-right loop
       case "l1" => ("list_sum(list_transform(range(1, len(q.qv) + 1), " +
+        "i -> abs((e.embedding::DOUBLE[])[i] - q.qv[i])))", "ASC")
+      // list_max over the per-dim absolute gaps — max is order-free,
+      // so this mirror is exact with no fold-order contract at all
+      case "linf" => ("list_max(list_transform(range(1, len(q.qv) + 1), " +
         "i -> abs((e.embedding::DOUBLE[])[i] - q.qv[i])))", "ASC")
       case "ip" => ("list_inner_product(e.embedding::DOUBLE[], q.qv)", "DESC")
       case "cos" => ("list_cosine_similarity(e.embedding::DOUBLE[], q.qv)", "DESC")
@@ -3775,6 +3785,130 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // rank-sum from the value HISTOGRAM: tie-averaged doubled rank
+    // 2·cum−ct+1 is an exact integer; HUGEINT ≡ Spark DECIMAL(38,0)
+    // for the doubled rank-sum + tie correction; z all-double tail
+    "events_mann_whitney" ->
+      """WITH m AS (SELECT event_type, user_id % 2 AS variant,
+        |             CAST(round(value * 100) AS BIGINT) AS micro
+        |           FROM events),
+        |g AS (SELECT event_type, micro, CAST(count(*) AS BIGINT) AS ct,
+        |        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS ca
+        |      FROM m GROUP BY 1, 2),
+        |r AS (SELECT event_type, ct, ca,
+        |        sum(ct) OVER (PARTITION BY event_type ORDER BY micro
+        |                      ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM g),
+        |s AS (SELECT event_type,
+        |        sum(CAST(ca AS HUGEINT) * (2 * cum - ct + 1)) AS r1x2,
+        |        CAST(sum(ca) AS BIGINT) AS n1,
+        |        CAST(sum(ct) AS BIGINT) AS n,
+        |        sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS tiesum
+        |      FROM r GROUP BY 1),
+        |f AS (SELECT event_type, n1, n - n1 AS n2,
+        |        CAST(r1x2 AS DOUBLE) / 2.0
+        |          - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)
+        |            / 2.0 AS u1,
+        |        CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
+        |          * (CAST(n AS DOUBLE) + 1.0
+        |             - CAST(tiesum AS DOUBLE)
+        |               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |          AS sigma2,
+        |        CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0 AS mu
+        |      FROM s WHERE n1 > 0 AND n - n1 > 0)
+        |SELECT event_type, n1 AS n_a, n2 AS n_b,
+        |       round(u1, 1) AS u,
+        |       round((u1 - mu) / sqrt(sigma2), 4) AS z
+        |FROM f ORDER BY event_type""".stripMargin,
+    // ECDF gap as exact integer cross-product |cumA·nB − cumB·nA|;
+    // one division on the fold; scaled stat uses √/÷ only (no libm)
+    "events_ks_test" ->
+      """WITH m AS (SELECT event_type, user_id % 2 AS variant,
+        |             CAST(round(value * 100) AS BIGINT) AS micro
+        |           FROM events),
+        |g AS (SELECT event_type, micro,
+        |        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS ca,
+        |        CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS cb
+        |      FROM m GROUP BY 1, 2),
+        |c AS (SELECT event_type,
+        |        sum(ca) OVER (PARTITION BY event_type ORDER BY micro
+        |                      ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |        sum(cb) OVER (PARTITION BY event_type ORDER BY micro
+        |                      ROWS UNBOUNDED PRECEDING) AS cum_b
+        |      FROM g),
+        |t AS (SELECT event_type, cum_a, cum_b,
+        |        max(cum_a) OVER (PARTITION BY event_type) AS na,
+        |        max(cum_b) OVER (PARTITION BY event_type) AS nb
+        |      FROM c),
+        |s AS (SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+        |        CAST(max(nb) AS BIGINT) AS n_b,
+        |        max(abs(CAST(cum_a AS HUGEINT) * nb
+        |                - CAST(cum_b AS HUGEINT) * na)) AS dnum
+        |      FROM t GROUP BY 1),
+        |f AS (SELECT event_type, n_a, n_b,
+        |        CAST(dnum AS DOUBLE)
+        |          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d
+        |      FROM s WHERE n_a > 0 AND n_b > 0)
+        |SELECT event_type, n_a, n_b, round(d, 6) AS ks_d,
+        |       round(d * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 4)
+        |         AS ks_stat
+        |FROM f ORDER BY event_type""".stripMargin,
+    // power sums exact in HUGEINT ≡ DECIMAL(38,0); central-moment
+    // assembly all-double on the k-row fold; m2^1.5 spelled m2·√m2
+    "events_moments" ->
+      """WITH m AS (SELECT event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS micro
+        |           FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(micro) AS BIGINT) AS s1,
+        |        sum(CAST(micro AS HUGEINT) * micro) AS s2,
+        |        sum(CAST(micro AS HUGEINT) * micro * micro) AS s3,
+        |        sum(CAST(micro AS HUGEINT) * micro * micro * micro) AS s4
+        |      FROM m GROUP BY 1),
+        |f AS (SELECT event_type, n,
+        |        CAST(s1 AS DOUBLE) / n AS mean,
+        |        CAST(s2 AS DOUBLE) / n AS e2,
+        |        CAST(s3 AS DOUBLE) / n AS e3,
+        |        CAST(s4 AS DOUBLE) / n AS e4
+        |      FROM g WHERE n > 1),
+        |c AS (SELECT event_type, n, mean,
+        |        e2 - mean * mean AS m2,
+        |        e3 - 3.0 * mean * e2 + 2.0 * mean * mean * mean AS m3,
+        |        e4 - 4.0 * mean * e3 + 6.0 * mean * mean * e2
+        |          - 3.0 * mean * mean * mean * mean AS m4
+        |      FROM f)
+        |SELECT event_type, n, round(mean / 100.0, 4) AS mean_val,
+        |       round(m3 / (m2 * sqrt(m2)), 4) AS skewness,
+        |       round(m4 / (m2 * m2) - 3.0, 4) AS kurtosis
+        |FROM c ORDER BY event_type""".stripMargin,
+    // discrete KM hazard: span div 90 via floor division on both
+    // engines (a double / + CAST would truncate vs round-half-even);
+    // survival products deliberately not emitted (float fold order)
+    "customer_churn_hazard" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+        |        date_diff('day', DATE '1970-01-01',
+        |          CAST(o_orderdate AS DATE)) AS d
+        |      FROM orders),
+        |h AS (SELECT max(d) AS hz FROM o),
+        |per AS (SELECT (max(d) - min(d)) // 90 AS iv,
+        |          CASE WHEN h.hz - max(d) > 90 THEN 1 ELSE 0 END
+        |            AS churned
+        |        FROM o, h GROUP BY cust, h.hz),
+        |b AS (SELECT iv, CAST(count(*) AS BIGINT) AS leaving,
+        |        CAST(sum(churned) AS BIGINT) AS d_churn
+        |      FROM per GROUP BY 1),
+        |r AS (SELECT iv, leaving, d_churn,
+        |        CAST(sum(leaving) OVER (ORDER BY iv DESC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |      FROM b)
+        |SELECT iv, n_risk, d_churn,
+        |       round(CAST(d_churn AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+        |         AS hazard
+        |FROM r ORDER BY iv""".stripMargin,
     // CUPED: θ from pooled exact moments; every reported statistic
     // closes over integer moments (Y_adj is affine in x, y — no
     // per-user float aggregate anywhere)
@@ -5462,6 +5596,7 @@ object SparkEntry {
     "vdb_knn_flat_l2" -> knnOracle("l2"),
     "vdb_knn_flat_ip" -> knnOracle("ip"),
     "vdb_knn_flat_l1" -> knnOracle("l1"),
+    "vdb_knn_flat_linf" -> knnOracle("linf"),
     "vdb_knn_cosine" -> knnOracle("cos"),
     "vdb_knn_filtered_eq" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

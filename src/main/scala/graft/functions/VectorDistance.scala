@@ -210,6 +210,51 @@ case class VecL1(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** max|aᵢ−bᵢ| — Chebyshev / L∞ distance (faiss METRIC_Linf, the
+  * bound-any-coordinate metric used for quantization-error audits).
+  * max() is order-free over doubles, so this kernel is exact on both
+  * engines with no summation-order contract needed at all.
+  */
+case class VecLinf(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "vec_linf"
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val (a, b) = (av.asInstanceOf[ArrayData], bv.asInstanceOf[ArrayData])
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = math.abs(elem(left, a, i) - elem(right, b, i))
+        if (d > acc) acc = d
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val (loop, _) = pairLoop(ctx, a, b,
+        (x, y) => s"final double $d = java.lang.Math.abs($x - $y); " +
+          s"if ($d > $acc) $acc = $d;")
+      dimGuard(ev, a, b,
+        s"""
+           |double $acc = 0.0;
+           |$loop
+           |${ev.value} = $acc;
+         """.stripMargin)
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Cosine similarity; NULL (not NaN) on a zero-norm input so ordering
   * matches the oracle on degenerate vectors (see
   * VectorFunctions.cosineSimilarity).
@@ -266,5 +311,6 @@ object VectorDistance {
   def dot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def l2(a: Column, b: Column): Column = c(VecL2(e(a), e(b)))
   def l1(a: Column, b: Column): Column = c(VecL1(e(a), e(b)))
+  def linf(a: Column, b: Column): Column = c(VecLinf(e(a), e(b)))
   def cosine(a: Column, b: Column): Column = c(VecCosine(e(a), e(b)))
 }

@@ -2585,4 +2585,171 @@ object Analytics {
         (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("rfm_cell"))
       .orderBy("custkey")
   }
+
+  /** MANN–WHITNEY U rank-sum test per event type — the
+    * distribution-free twin of [[eventsAbTest]] (same deterministic
+    * user_id%2 cohorts): does variant A's value distribution
+    * stochastically dominate B's, without assuming normality? The
+    * rank trap at scale is that "rank each value" is a global sort —
+    * instead the test closes over the VALUE HISTOGRAM: group by
+    * (type, micro-value) once (the value space is the bounded 2dp
+    * grid, not the row count), and the tie-averaged rank of a value
+    * is (2·cum − ct + 1)/2 from the running count alone. Doubled
+    * rank-sums (R1×2) and the tie-correction Σ(t³−t) ride
+    * DECIMAL(38,0) (the dimVariance headroom discipline); U and the
+    * tie-corrected z then evaluate on the 1-row-per-type fold as
+    * identical IEEE doubles on both engines. One scan, one
+    * histogram-sized aggregate, one value-ordered window.
+    */
+  def eventsMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = Tables.events(s, dir)
+      .select(col("event_type"), (col("user_id") % 2).as("variant"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("micro"))
+      .groupBy("event_type", "micro")
+      .agg(count(lit(1)).as("ct"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"))
+    val w = Window.partitionBy("event_type").orderBy("micro")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = g.withColumn("cum", sum("ct").over(w))
+    val st = ranked.groupBy("event_type")
+      .agg(sum(col("ca").cast(dec)
+          * (col("cum") * 2 - col("ct") + 1).cast(dec)).as("r1x2"),
+        sum("ca").as("n1"), sum("ct").as("n"),
+        sum(col("ct").cast(dec) * col("ct").cast(dec) * col("ct").cast(dec)
+          - col("ct").cast(dec)).as("tiesum"))
+      .where(col("n1") > 0 && col("n") - col("n1") > 0)
+    // all-double tail: every operand below is an exact integer cast
+    // to double, so +,-,*,/ and sqrt are bit-identical on both engines
+    val n1d = col("n1").cast("double")
+    val n2d = (col("n") - col("n1")).cast("double")
+    val nd = col("n").cast("double")
+    val u1 = col("r1x2").cast("double") / 2.0 - n1d * (n1d + 1.0) / 2.0
+    val sigma2 = n1d * n2d / 12.0 *
+      (nd + 1.0 - col("tiesum").cast("double") / (nd * (nd - 1.0)))
+    st.select(col("event_type"), col("n1").as("n_a"),
+        (col("n") - col("n1")).as("n_b"),
+        round(u1, 1).as("u"),
+        round((u1 - n1d * n2d / 2.0) / sqrt(sigma2), 4).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV test per event type (same
+    * user_id%2 cohorts): D = max|F_a − F_b| over the merged support,
+    * the whole-shape divergence screen that catches variance or tail
+    * shifts a mean test misses. The ECDF gap is kept as an EXACT
+    * INTEGER cross-product — |cum_a·n_b − cum_b·n_a| in
+    * DECIMAL(38,0) — so the max is over integers and the single
+    * division D = max/(n_a·n_b) happens once on the 1-row fold;
+    * the asymptotic p-value exp(−2λ²) reuses the same doubles.
+    * Same histogram-not-sort anatomy as [[eventsMannWhitney]]: the
+    * shuffle key space is the 2dp value grid, never the row count.
+    */
+  def eventsKsTest(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = Tables.events(s, dir)
+      .select(col("event_type"), (col("user_id") % 2).as("variant"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("micro"))
+      .groupBy("event_type", "micro")
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("event_type").orderBy("micro")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select(col("event_type"),
+      sum("ca").over(w).as("cum_a"), sum("cb").over(w).as("cum_b"))
+    val tot = Window.partitionBy("event_type")
+    val st = cum
+      .withColumn("n_a", max("cum_a").over(tot))
+      .withColumn("n_b", max("cum_b").over(tot))
+      .groupBy("event_type")
+      .agg(first("n_a").as("n_a"), first("n_b").as("n_b"),
+        max(abs(col("cum_a").cast(dec) * col("n_b").cast(dec)
+          - col("cum_b").cast(dec) * col("n_a").cast(dec))).as("dnum"))
+      .where(col("n_a") > 0 && col("n_b") > 0)
+    val n1d = col("n_a").cast("double")
+    val n2d = col("n_b").cast("double")
+    val d = col("dnum").cast("double") / (n1d * n2d)
+    // scaled statistic D·√(n₁n₂/(n₁+n₂)) — compared to the critical
+    // constants (1.358 at α=.05) directly; deliberately NOT the
+    // exp-series p-value: exp is a libm call with no cross-engine
+    // rounding contract, √ and ÷ are IEEE-pinned
+    st.select(col("event_type"), col("n_a"), col("n_b"),
+        round(d, 6).as("ks_d"),
+        round(d * sqrt(n1d * n2d / (n1d + n2d)), 4).as("ks_stat"))
+      .orderBy("event_type")
+  }
+
+  /** HIGHER-MOMENT PROFILE per event type — skewness and excess
+    * kurtosis, the tail-shape audit behind outlier budgets and
+    * anomaly thresholds. Raw power sums Σx..Σx⁴ are exact integers
+    * in micro-cents (x³/x⁴ terms ride DECIMAL(38,0): a 10⁵-micro
+    * value to the 4th is 10²⁰ per row — BIGINT wraps at five rows);
+    * the central-moment assembly then runs entirely in doubles ON
+    * THE k-ROW FOLD, with m2^1.5 spelled m2·√m2 (sqrt is
+    * IEEE-exact; pow(x,1.5) is a libm call with no cross-engine
+    * rounding contract). One scan, one k-row aggregate.
+    */
+  def eventsMoments(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = col("micro").cast(dec)
+    val st = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("micro"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("micro").as("s1"),
+        sum(m * m).as("s2"), sum(m * m * m).as("s3"),
+        sum(m * m * m * m).as("s4"))
+      .where(col("n") > 1)
+    val nd = col("n").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val e2 = col("s2").cast("double") / nd
+    val e3 = col("s3").cast("double") / nd
+    val e4 = col("s4").cast("double") / nd
+    val m2 = e2 - mean * mean
+    val m3 = e3 - lit(3.0) * mean * e2 + lit(2.0) * mean * mean * mean
+    val m4 = e4 - lit(4.0) * mean * e3 + lit(6.0) * mean * mean * e2 -
+      lit(3.0) * mean * mean * mean * mean
+    st.select(col("event_type"), col("n"),
+        round(mean / 100.0, 4).as("mean_val"),
+        round(m3 / (m2 * sqrt(m2)), 4).as("skewness"),
+        round(m4 / (m2 * m2) - 3.0, 4).as("kurtosis"))
+      .orderBy("event_type")
+  }
+
+  /** CUSTOMER CHURN HAZARD TABLE (discrete Kaplan–Meier intervals):
+    * per customer, the activity span first→last order; a customer
+    * whose last order predates the corpus horizon by >90 days has
+    * CHURNED in interval ⌊span/90⌋, later actives are CENSORED
+    * there. n_risk(t) = customers still active entering t (a reverse
+    * cumulative over the interval table — interval-count-sized, not
+    * customer-sized) and hazard = d/n is ONE exact-integer division
+    * per interval. Survival products are deliberately NOT emitted:
+    * a cumulative float product has no cross-engine fold contract;
+    * the (d, n, hazard) triple is the loss-free sufficient table.
+    * One orders scan, one per-customer aggregate, a tiny window.
+    */
+  def customerChurnHazard(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("cust"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long").as("d"))
+    val horizon = o.agg(max("d").as("h"))
+    val per = o.groupBy("cust")
+      .agg(min("d").as("first_d"), max("d").as("last_d"))
+      .crossJoin(broadcast(horizon))
+      // `div` (floor integer division) on both engines — a double
+      // `/` then CAST would truncate here but round-half-even in
+      // DuckDB, disagreeing on exact multiples ± noise
+      .select(expr("(last_d - first_d) div 90").as("iv"),
+        when(col("h") - col("last_d") > 90L, 1L).otherwise(0L)
+          .as("churned"))
+    val byIv = per.groupBy("iv")
+      .agg(count(lit(1)).as("leaving"), sum("churned").as("d_churn"))
+    val wrev = Window.orderBy(col("iv").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byIv.withColumn("n_risk", sum("leaving").over(wrev))
+      .select(col("iv"), col("n_risk"), col("d_churn"),
+        round(col("d_churn").cast("double")
+          / col("n_risk").cast("double"), 6).as("hazard"))
+      .orderBy("iv")
+  }
 }

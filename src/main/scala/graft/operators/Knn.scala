@@ -22,7 +22,7 @@ object Knn {
   /** Supported metrics, mirroring reference IndexFactory::MetricType
     * (index_factory.cc) plus cosine.
     */
-  object Metric extends Enumeration { val L2, IP, Cosine, L1 = Value }
+  object Metric extends Enumeration { val L2, IP, Cosine, L1, Linf = Value }
 
   /** Top-k neighbors of each query vector.
     *
@@ -73,6 +73,7 @@ object Knn {
     val score = metric match {
       case Metric.L2 => VectorDistance.l2(col("vec"), col("qvec"))
       case Metric.L1 => VectorDistance.l1(col("vec"), col("qvec"))
+      case Metric.Linf => VectorDistance.linf(col("vec"), col("qvec"))
       case Metric.IP => VectorDistance.dot(col("vec"), col("qvec"))
       case Metric.Cosine =>
         val denom = col("_n") * col("_qn")
@@ -80,7 +81,8 @@ object Knn {
           .otherwise(VectorDistance.dot(col("vec"), col("qvec")) / denom)
     }
     // lower-is-better sort key; similarities rank descending
-    val distanceMetric = metric == Metric.L2 || metric == Metric.L1
+    val distanceMetric =
+      metric == Metric.L2 || metric == Metric.L1 || metric == Metric.Linf
     val key = if (distanceMetric) score else -score
 
     val agg = TopKAgg.topK(k)

@@ -32,6 +32,15 @@ class VectorDistanceSpec extends SparkSuite {
     assert(r.getDouble(0) == 5.0)
   }
 
+  test("linf matches scalar math; callable from SQL") {
+    assert(one(VectorDistance.linf($"x", $"y")) ==
+      math.max(math.abs(1.0 - 4), math.max(math.abs(2.0 + 5),
+        math.abs(3.0 - 6))))
+    val r = spark.sql(
+      "SELECT vec_linf(array(1.0D, 9.0D), array(4.0D, 8.0D)) AS d").head()
+    assert(r.getDouble(0) == 3.0)
+  }
+
   test("cosine matches composed form bit-for-bit") {
     val df = Seq((a, b)).toDF("x", "y")
     val native = df.select(VectorDistance.cosine($"x", $"y")).head().getDouble(0)
@@ -53,7 +62,8 @@ class VectorDistanceSpec extends SparkSuite {
     val short = Array(1.0f, 2.0f)
     val df = Seq((short, b)).toDF("x", "y")
     for (fn <- Seq(VectorDistance.dot _, VectorDistance.l2 _,
-                   VectorDistance.l1 _, VectorDistance.cosine _)) {
+                   VectorDistance.l1 _, VectorDistance.linf _,
+                   VectorDistance.cosine _)) {
       val r = df.select(fn($"x", $"y").as("r")).head()
       assert(r.isNullAt(0), "mismatched dims must yield NULL")
     }
