@@ -39,15 +39,15 @@ object Bench {
     // stretch, degrade gracefully (shorter warmup, partial second
     // pass) instead of risking the caller's timeout. The clock starts
     // here — sbt compile time is the caller's, not ours.
-    // 780 (was 480, was 420): the suite grew to 256 queries and r10's
-    // measured phases (warmup 78s + prebuild 69s + pass1 265s) left
-    // pass 2 only 19 queries — 237 timings shipped without the
-    // min-of-two-passes noise guard that the shared-VM methodology
-    // declares critical, and the 16x ScaleStress probe was skipped
-    // entirely. Two full passes + scale need ~740s; every raise so
-    // far (420->480 in r9) ran clean under the caller, and the guard
-    // still degrades gracefully if the host is pathological.
-    val budgetNs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "780")
+    // 900 (was 780, 480, 420): r10's 480 left pass 2 only 19/256
+    // queries; at 780 a local r11 run (282 queries, contended VM:
+    // warmup 173s + prebuild 107s + pass1 269s) still cut pass 2 at
+    // 224/282 and skipped the 16x ScaleStress probe. Two full passes
+    // + scale at ~285 queries need ~820s on a quiet host; every raise
+    // so far ran clean under the caller, and the guard still degrades
+    // gracefully (partial pass 2, skipped probe) if the host is
+    // pathological.
+    val budgetNs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900")
       .toLong * 1000000000L
     val start = System.nanoTime()
     def elapsed: Long = System.nanoTime() - start

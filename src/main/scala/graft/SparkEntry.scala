@@ -73,6 +73,7 @@ object SparkEntry {
       Upsert.lastWriterWins(base.unionByName(upd), "id", "version")
         .orderBy("id")
     }),
+    "vdb_upsert_cas" -> (Upsert.casQuery _),
     "scd2_intervals" -> (Upsert.scd2Query _),
     "vdb_delete" -> (Upsert.deleteQuery _),
     "vdb_snapshot_diff" -> (Upsert.snapshotDiffQuery _),
@@ -205,6 +206,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextOps.fingerprint _),
     "text_normalize" -> (TextOps.normalizeQuery _),
     "text_ttr" -> (TextOps.lexicalDiversity _),
+    "text_hapax" -> (TextOps.hapaxProfile _),
+    "text_token_entropy" -> (TextOps.tokenEntropy _),
     "corpus_source_diversity" -> (TextOps.sourceDiversity _),
     "events_anova" -> (Analytics.eventsAnova _),
     "customer_gini" -> ((s, d) => Analytics.customerGini(s, d)),
@@ -254,6 +257,7 @@ object SparkEntry {
     "events_pattern_match" -> (Sequence.patternMatch _),
     "events_ab_test" -> (Analytics.eventsAbTest _),
     "events_mann_whitney" -> (Analytics.eventsMannWhitney _),
+    "events_page_hinkley" -> ((s, d) => Analytics.eventsPageHinkley(s, d)),
     "events_ks_test" -> (Analytics.eventsKsTest _),
     "events_moments" -> (Analytics.eventsMoments _),
     "customer_churn_hazard" -> (Analytics.customerChurnHazard _),
@@ -383,6 +387,7 @@ object SparkEntry {
     "search_prf_expand" -> ((s, d) => Search.prfQuery(s, d)),
     "search_spell_correct" -> ((s, d) => Search.spellCorrectQuery(s, d)),
     "search_query_suggest" -> ((s, d) => Search.querySuggest(s, d)),
+    "search_prefix" -> ((s, d) => Search.prefixSearch(s, d)),
     "search_facets" -> ((s, d) => Search.searchFacets(s, d)),
     "search_spell_indexed" -> ((s, d) => Search.spellCorrectIndexed(s, d)),
     "search_maxsim" -> (MaxSim.maxsimQuery _),
@@ -2580,6 +2585,31 @@ object SparkEntry {
     // persisted-dictionary twin: identical correction semantics
     // (SearchSpec pins equality + bucket pruning), shares the oracle
     "search_spell_indexed" -> spellOracle,
+    // wildcard: dictionary probe on the 2-char prefix bucket +
+    // residual starts_with, docs ranked by total matching-term tf
+    "search_prefix" ->
+      """WITH p AS (SELECT * FROM (VALUES (0, 'sc'), (1, 'st'),
+        |             (2, 'co'), (3, 'fas'), (4, 'sor'))
+        |           AS t(qid, prefix)),
+        |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT)
+        |         AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' '))
+        |               AS tok FROM documents)
+        |       GROUP BY 1, 2),
+        |m AS (SELECT p.qid, p.prefix, tf.doc_id, tf.tf
+        |      FROM tf JOIN p
+        |        ON substr(tf.term, 1, 2) = substr(p.prefix, 1, 2)
+        |       AND starts_with(tf.term, p.prefix)),
+        |d AS (SELECT qid, prefix, doc_id,
+        |        CAST(sum(tf) AS BIGINT) AS score,
+        |        CAST(count(*) AS BIGINT) AS n_terms
+        |      FROM m GROUP BY 1, 2, 3),
+        |r AS (SELECT qid, prefix, doc_id, score, n_terms,
+        |        CAST(row_number() OVER (PARTITION BY qid
+        |          ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |      FROM d)
+        |SELECT qid, prefix, rk, doc_id, score, n_terms
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // pseudo-relevance feedback: round-1 bm25 (shared CTEs) → top-5
     // feedback docs → tf·idf-ranked expansion terms (NOT EXISTS
     // drops original query terms, sorted-list append keeps the
@@ -3785,6 +3815,49 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // Page–Hinkley replay: running mean HALF-UP quantized to exact
+    // micro-units via (2·cum·10⁶ + t) // (2·t), so U / prefix-min /
+    // PH / alarms are all integer comparisons on both engines
+    "events_page_hinkley" ->
+      """WITH ev AS (SELECT event_type,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS d
+        |      FROM events),
+        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+        |          FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+        |cal AS (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b),
+        |tys AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT tys.event_type, cal.d FROM tys CROSS JOIN cal),
+        |s AS (SELECT g.event_type, g.d, coalesce(daily.n, 0) AS n
+        |      FROM grid g LEFT JOIN daily
+        |        ON g.event_type = daily.event_type AND g.d = daily.d),
+        |w AS (SELECT event_type, d, n,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY d)
+        |          AS t,
+        |        sum(n) OVER (PARTITION BY event_type ORDER BY d
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM s),
+        |x AS (SELECT event_type, d,
+        |        n * 1000000 - ((2 * cum * 1000000 + t) // (2 * t))
+        |          - 2000000 AS dev
+        |      FROM w),
+        |y AS (SELECT event_type, d,
+        |        sum(dev) OVER (PARTITION BY event_type ORDER BY d
+        |          ROWS UNBOUNDED PRECEDING) AS u
+        |      FROM x),
+        |z AS (SELECT event_type, d, u,
+        |        min(u) OVER (PARTITION BY event_type ORDER BY d
+        |          ROWS UNBOUNDED PRECEDING) AS minu
+        |      FROM y)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |       round(CAST(max(u - minu) AS DOUBLE) / 1000000.0, 4)
+        |         AS max_ph,
+        |       CAST(sum(CASE WHEN u - minu > 50000000 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_alarms,
+        |       CAST(min(CASE WHEN u - minu > 50000000 THEN d END)
+        |         AS BIGINT) AS first_alarm_d
+        |FROM z GROUP BY 1 ORDER BY event_type""".stripMargin,
     // rank-sum from the value HISTOGRAM: tie-averaged doubled rank
     // 2·cum−ct+1 is an exact integer; HUGEINT ≡ Spark DECIMAL(38,0)
     // for the doubled rank-sum + tie correction; z all-double tail
@@ -5273,6 +5346,42 @@ object SparkEntry {
         |SELECT doc_id, n_words, n_distinct,
         |       round(CAST(n_distinct AS DOUBLE) / n_words, 4) AS ttr
         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // hapax legomena per source: exact integer counts off one
+    // (source, token) aggregate; ratios are single exact-long divisions
+    "text_hapax" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |g AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+        |      FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS vocab,
+        |       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS hapax,
+        |       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+        |         AS DOUBLE) / count(*), 6) AS hapax_ratio,
+        |       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+        |         AS DOUBLE) / sum(tf), 6) AS hapax_token_share
+        |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
+    // within-doc token entropy: integer floor-log2 bits (length of
+    // the binary rendering of n div tf), BIGINT Σ tf·bits fold, one
+    // final exact-long division — the text_surprisal discipline
+    "text_token_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |g AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |      FROM t GROUP BY 1, 2),
+        |n AS (SELECT doc_id, tok, tf,
+        |        sum(tf) OVER (PARTITION BY doc_id) AS n
+        |      FROM g),
+        |b AS (SELECT doc_id, tf, n,
+        |        CAST(length(bin(n // tf)) AS BIGINT) - 1 AS bits
+        |      FROM n)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_distinct,
+        |       CAST(sum(tf * bits) AS BIGINT) AS total_bits,
+        |       round(CAST(sum(tf * bits) AS DOUBLE) / max(n), 4)
+        |         AS bits_per_token
+        |FROM b GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // Simpson diversity of language mix per source: the HHI integer
     // arithmetic (squares via HUGEINT) pointed at corpus composition
     "corpus_source_diversity" ->
@@ -5646,6 +5755,26 @@ object SparkEntry {
         |  FROM embeddings WHERE vec_id % 7 = 0),
         |r AS (SELECT id, label, version,
         |             row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rk
+        |      FROM log)
+        |SELECT id, label, version FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
+    // compare-and-set: update applies only where the base still
+    // holds the expected version (id%3==1 → version 2); accepted
+    // rows bump the version, rejected keys keep the base row
+    "vdb_upsert_cas" ->
+      """WITH base AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+        |                CAST(1 + vec_id % 3 AS BIGINT) AS version
+        |              FROM embeddings),
+        |upd AS (SELECT vec_id AS id,
+        |          CAST(label + 500 AS BIGINT) AS label,
+        |          CAST(2 AS BIGINT) AS expected
+        |        FROM embeddings WHERE vec_id % 5 = 0),
+        |acc AS (SELECT upd.id, upd.label, base.version + 1 AS version
+        |        FROM upd JOIN base USING (id)
+        |        WHERE base.version = upd.expected),
+        |log AS (SELECT * FROM base UNION ALL SELECT * FROM acc),
+        |r AS (SELECT id, label, version,
+        |        row_number() OVER (PARTITION BY id
+        |          ORDER BY version DESC) AS rk
         |      FROM log)
         |SELECT id, label, version FROM r WHERE rk = 1 ORDER BY id""".stripMargin,
     // SCD2 history of the 4-epoch upsert log: change-collapse via

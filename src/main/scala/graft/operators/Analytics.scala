@@ -2752,4 +2752,64 @@ object Analytics {
           / col("n_risk").cast("double"), 6).as("hazard"))
       .orderBy("iv")
   }
+
+  /** PAGE–HINKLEY DRIFT DETECTOR over the dense daily count series
+    * per event type (Page 1954; the sequential change-detector the
+    * streaming-ML drift literature standardized on): U_t accumulates
+    * deviations of each day's count from the RUNNING mean minus a
+    * slack δ, PH_t = U_t − min_{i≤t} U_i, alarm when PH exceeds λ.
+    * The classic formulation folds floats (the running mean is
+    * t-dependent); here the mean is HALF-UP quantized to exact
+    * MICRO-units via integer arithmetic — (2·cum·10⁶ + t) div (2·t)
+    * — so U, its prefix min, and PH are all exact BIGINTs and the
+    * alarm decision is integer comparison on both engines. Per-type
+    * series are day-count-sized (the gap-fill grid), so the windows
+    * run over a tiny table; one events scan feeds it. 10⁶-scaled
+    * cums wrap BIGINT near 10¹² events/type — DECIMAL(38,0) is the
+    * documented headroom move, shape unchanged.
+    */
+  /** The per-day PH series (event_type, d, n, ph in micro-units) —
+    * the batch replay the streaming twin (PageHinkleyStream) is
+    * spec-pinned bit-equal to.
+    */
+  def pageHinkleySeries(s: SparkSession, dir: String,
+                        deltaEvents: Long = 2L): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val daily = ev.groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val meta = ev.agg(min("d").as("lo"), max("d").as("hi"),
+      collect_set("event_type").as("tys")).localCheckpoint(true)
+    val cal = meta.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val grid = meta.select(explode(col("tys")).as("event_type"))
+      .crossJoin(cal)
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("cum", sum("n").over(w))
+      // running mean in micro-units, HALF-UP via pure integer ops
+      .withColumn("mq", expr("(2 * cum * 1000000 + t) div (2 * t)"))
+      .withColumn("dev",
+        col("n") * 1000000L - col("mq") - lit(deltaEvents) * 1000000L)
+      .withColumn("u", sum("dev").over(w))
+      .withColumn("minu", min("u").over(w))
+      .withColumn("ph", col("u") - col("minu"))
+      .select("event_type", "d", "n", "ph")
+  }
+
+  def eventsPageHinkley(s: SparkSession, dir: String, deltaEvents: Long = 2L,
+                        lambdaEvents: Long = 50L): DataFrame = {
+    val series = pageHinkleySeries(s, dir, deltaEvents)
+    series.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(max("ph").cast("double") / 1e6, 4).as("max_ph"),
+        sum(when(col("ph") > lambdaEvents * 1000000L, 1L).otherwise(0L))
+          .as("n_alarms"),
+        min(when(col("ph") > lambdaEvents * 1000000L, col("d")))
+          .as("first_alarm_d"))
+      .orderBy("event_type")
+  }
 }

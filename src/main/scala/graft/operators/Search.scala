@@ -1148,4 +1148,44 @@ object Search {
       .select("prefix", "rk", "term", "df")
       .orderBy("prefix", "rk")
   }
+
+  /** WILDCARD / PREFIX SEARCH (`sc*`) — the tolerant-retrieval leg
+    * beside spell correction and suggestion (Manning IR ch. 3: a
+    * prefix query expands against the term dictionary, then the
+    * union of matching postings is ranked): docs scored by the total
+    * tf of every term matching the prefix, top-k per query.
+    *
+    * Scale shape: the dictionary probe is an EQUI-join on the
+    * 2-char prefix bucket (the spell dictionary's persisted layout —
+    * at 100 TB the bucket key prunes the term dictionary scan), with
+    * the residual `startswith` for prefixes longer than the bucket
+    * evaluated only inside the matched bucket. The postings side
+    * shuffles on (doc, term) once — the same aggregate every lexical
+    * query here shares — and the rank window runs per query over the
+    * matched docs only.
+    */
+  def prefixSearch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val prefixes = Seq((0L, "sc"), (1L, "st"), (2L, "co"), (3L, "fas"),
+        (4L, "sor"))
+      .toDF("qid", "prefix")
+      .select(col("qid"), col("prefix"),
+        substring(col("prefix"), 1, 2).as("bucket"))
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val matched = tf
+      .join(broadcast(prefixes),
+        substring(col("term"), 1, 2) === col("bucket") &&
+          expr("startswith(term, prefix)"))
+    val perDoc = matched.groupBy("qid", "prefix", "doc_id")
+      .agg(sum("tf").as("score"), count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("prefix"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("score"), col("n_terms"))
+      .orderBy("qid", "rk")
+  }
 }

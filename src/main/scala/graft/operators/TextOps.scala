@@ -1260,4 +1260,62 @@ object TextOps {
           lit(0.0)).as("boiler_ratio"))
       .orderBy("doc_id")
   }
+
+  /** HAPAX LEGOMENA PROFILE per source — the vocabulary-tail audit
+    * corpus linguists run before trusting frequency statistics: the
+    * share of a source's vocabulary seen exactly once (and the share
+    * of its token mass those singletons carry). A crawl slice whose
+    * hapax ratio spikes is full of boilerplate IDs/typos/OCR noise;
+    * one whose ratio collapses is template-stamped. All counts are
+    * exact integers off ONE (source, token) aggregate — the shuffle
+    * key space is per-source vocabulary, which grows sublinearly in
+    * the corpus (Heaps' law), never the row count; the two ratios
+    * are single divisions of exact longs on the per-source fold.
+    */
+  def hapaxProfile(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    tf.groupBy("source").agg(
+        sum("tf").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        round(col("hapax").cast("double") / col("vocab"), 6)
+          .as("hapax_ratio"),
+        round(col("hapax").cast("double") / col("n_tokens"), 6)
+          .as("hapax_token_share"))
+      .orderBy("source")
+  }
+
+  /** WITHIN-DOCUMENT TOKEN ENTROPY — the self-information twin of
+    * [[surprisal]] (that one scores docs under the CORPUS unigram
+    * model; this one under the doc's OWN distribution): low entropy
+    * = the doc repeats a few tokens (template/spam — the signal
+    * text_repetition sees positionally, here distribution-wide),
+    * high = diverse vocabulary. Same integer floor-log2 discipline:
+    * per-token bits = length(bin(n div tf)) − 1, a pure integer path
+    * both engines share bit-for-bit where a float log2 could differ
+    * in the last ulp; the Σ tf·bits fold stays BIGINT and the only
+    * float op is the final division of two exact longs. One
+    * (doc, token) aggregate; the doc-total join is a doc-keyed
+    * window on the exchange the aggregate already provides.
+    */
+  def tokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    tf.withColumn("n", sum("tf").over(w))
+      .withColumn("bits", length(bin(expr("n div tf"))) - 1)
+      .groupBy("doc_id")
+      .agg(max("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("total_bits"),
+        round(col("total_bits").cast("double") / col("n_tokens"), 4)
+          .as("bits_per_token"))
+      .orderBy("doc_id")
+  }
 }

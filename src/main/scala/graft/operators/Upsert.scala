@@ -311,4 +311,50 @@ object Upsert {
         .select(lit(3L).as("asof_v"), col("id"), col("label")))
       .orderBy("asof_v", "id")
   }
+
+  /** COMPARE-AND-SET (conditional) upsert — optimistic concurrency
+    * on top of [[lastWriterWins]]: each update carries the version
+    * it EXPECTS the key to be at; it applies (bumping the version)
+    * only if the base row still holds that version, else it is
+    * rejected — the `IF version = :expected` write every serious KV
+    * / vector store exposes so two writers cannot silently clobber
+    * each other (the reference's bare upsert, vector_database.cc:53,
+    * has no such guard — this is the safety extension a multi-writer
+    * deployment of it would need first).
+    *
+    * Batch form: one key-equi-join of the update batch against the
+    * base's (key, version) projection decides accept/reject; the
+    * accepted rows then flow through the same max_by LWW collapse.
+    * At 100 TB: join and collapse both shuffle on the key once, and
+    * the decision needs only the 2-column projection of the base —
+    * column pruning keeps the wide payload out of the decision join.
+    */
+  def casUpsert(base: DataFrame, updates: DataFrame, key: String,
+                version: String, expected: String): DataFrame = {
+    val accepted = updates
+      .join(base.select(col(key), col(version).as("_cur")), key)
+      .where(col(expected) === col("_cur"))
+      .drop(expected)
+      .withColumn(version, col("_cur") + 1L)
+      .drop("_cur")
+    lastWriterWins(base.unionByName(accepted), key, version)
+  }
+
+  /** Surface query: base versions vary (1 + id%3), the CAS batch
+    * expects version 2 everywhere — so of the id%5 targets only
+    * those whose base version is ACTUALLY 2 (id%3 == 1) apply; the
+    * output's (version, label) pairs prove both the applied bump
+    * and the rejected keep.
+    */
+  def casQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("label").cast("long").as("label"))
+    val base = e.select(col("id"), col("label"),
+      (lit(1L) + col("id") % 3).as("version"))
+    val upd = e.where(col("id") % 5 === 0)
+      .select(col("id"), (col("label") + 500L).as("label"),
+        lit(2L).as("expected"))
+    casUpsert(base, upd, "id", "version", "expected")
+      .orderBy("id")
+  }
 }
