@@ -258,6 +258,8 @@ object SparkEntry {
     "events_ab_test" -> (Analytics.eventsAbTest _),
     "events_mann_whitney" -> (Analytics.eventsMannWhitney _),
     "events_page_hinkley" -> ((s, d) => Analytics.eventsPageHinkley(s, d)),
+    "events_fano" -> (Analytics.eventsFano _),
+    "embed_twonn_dim" -> (Ann.twoNnDim _),
     "events_ks_test" -> (Analytics.eventsKsTest _),
     "events_moments" -> (Analytics.eventsMoments _),
     "customer_churn_hazard" -> (Analytics.customerChurnHazard _),
@@ -388,6 +390,7 @@ object SparkEntry {
     "search_spell_correct" -> ((s, d) => Search.spellCorrectQuery(s, d)),
     "search_query_suggest" -> ((s, d) => Search.querySuggest(s, d)),
     "search_prefix" -> ((s, d) => Search.prefixSearch(s, d)),
+    "search_boolean" -> ((s, d) => Search.booleanSearch(s, d)),
     "search_facets" -> ((s, d) => Search.searchFacets(s, d)),
     "search_spell_indexed" -> ((s, d) => Search.spellCorrectIndexed(s, d)),
     "search_maxsim" -> (MaxSim.maxsimQuery _),
@@ -1358,6 +1361,23 @@ object SparkEntry {
       s"""WITH $ivfGraphCtes
          |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |FROM gr WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // TwoNN: μ = d₂/d₁ off the graph's 4dp-pinned cosine scores
+    // (d = √(2·(1−s))); exact-dup anchors (s1 = 1) filtered on the
+    // rounded score; quartiles only — no libm ln transform
+    "embed_twonn_dim" ->
+      s"""WITH $ivfGraphCtes,
+         |e2 AS (SELECT qid,
+         |         max(CASE WHEN rk = 1 THEN round(s, 4) END) AS s1,
+         |         max(CASE WHEN rk = 2 THEN round(s, 4) END) AS s2
+         |       FROM gr WHERE rk <= 2 GROUP BY 1),
+         |m AS (SELECT round(sqrt((2.0 * (1.0 - s2))
+         |          / (2.0 * (1.0 - s1))), 4) AS mu
+         |      FROM e2 WHERE s1 < 1.0 AND s2 IS NOT NULL)
+         |SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |       round(quantile_cont(mu, 0.25), 4) AS mu_p25,
+         |       round(quantile_cont(mu, 0.5), 4) AS mu_med,
+         |       round(quantile_cont(mu, 0.75), 4) AS mu_p75
+         |FROM m""".stripMargin,
     // PageRank centrality over the kNN graph: 3 unrolled
     // integer-exact power iterations (S_{t+1} = 180·1200^t +
     // Σ S_t·(1020//deg)), one float division at the end — the
@@ -2585,6 +2605,29 @@ object SparkEntry {
     // persisted-dictionary twin: identical correction semantics
     // (SearchSpec pins equality + bucket pruning), shares the oracle
     "search_spell_indexed" -> spellOracle,
+    // boolean retrieval: conjunction = counting over the distinct
+    // postings, NOT leg as an anti-join (NOT EXISTS)
+    "search_boolean" ->
+      """WITH must AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'join'),
+        |                (1, 'vector'), (1, 'scan'), (2, 'customer'),
+        |                (2, 'order')) AS t(qid, term)),
+        |nm AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_must
+        |       FROM must GROUP BY 1),
+        |nt AS (SELECT * FROM (VALUES (0, 'slow'), (1, 'dup'),
+        |         (2, 'big')) AS t(qid, term)),
+        |toks AS (SELECT DISTINCT doc_id, t.term FROM documents,
+        |           unnest(string_split(text, ' ')) AS t(term)),
+        |conj AS (SELECT m.qid, toks.doc_id,
+        |           CAST(count(*) AS BIGINT) AS n_hit
+        |         FROM toks JOIN must m USING (term) GROUP BY 1, 2),
+        |hits AS (SELECT c.qid, c.doc_id FROM conj c JOIN nm USING (qid)
+        |         WHERE c.n_hit = nm.n_must),
+        |ex AS (SELECT n.qid, toks.doc_id
+        |       FROM toks JOIN nt n USING (term))
+        |SELECT qid, doc_id FROM hits
+        |WHERE NOT EXISTS (SELECT 1 FROM ex
+        |  WHERE ex.qid = hits.qid AND ex.doc_id = hits.doc_id)
+        |ORDER BY qid, doc_id""".stripMargin,
     // wildcard: dictionary probe on the 2-char prefix bucket +
     // residual starts_with, docs ranked by total matching-term tf
     "search_prefix" ->
@@ -3814,6 +3857,35 @@ object SparkEntry {
         |                  / (n_b * (n_b - 1))) / n_b), 4) AS z
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
+        |ORDER BY event_type""".stripMargin,
+    // Fano factor over the same dense grid: exact integer moments
+    // (squares in HUGEINT ≡ DECIMAL(38,0)), all-double k-row tail
+    "events_fano" ->
+      """WITH ev AS (SELECT event_type,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS d
+        |      FROM events),
+        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+        |          FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+        |cal AS (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b),
+        |tys AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT tys.event_type, cal.d FROM tys CROSS JOIN cal),
+        |s AS (SELECT g.event_type, g.d, coalesce(daily.n, 0) AS n
+        |      FROM grid g LEFT JOIN daily
+        |        ON g.event_type = daily.event_type AND g.d = daily.d),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(n) AS BIGINT) AS s1,
+        |        sum(CAST(n AS HUGEINT) * n) AS s2
+        |      FROM s GROUP BY 1)
+        |SELECT event_type, n_days,
+        |       round(CAST(s1 AS DOUBLE) / n_days, 4) AS mean_daily,
+        |       round((CAST(CAST(n_days AS HUGEINT) * s2
+        |           - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |         / (CAST(n_days AS DOUBLE)
+        |           * (CAST(n_days AS DOUBLE) - 1.0)))
+        |         / (CAST(s1 AS DOUBLE) / n_days), 4) AS fano
+        |FROM g WHERE n_days > 1 AND s1 > 0
         |ORDER BY event_type""".stripMargin,
     // Page–Hinkley replay: running mean HALF-UP quantized to exact
     // micro-units via (2·cum·10⁶ + t) // (2·t), so U / prefix-min /

@@ -2800,6 +2800,34 @@ object Analytics {
       .select("event_type", "d", "n", "ph")
   }
 
+  /** FANO FACTOR (index of dispersion) per event type over the dense
+    * daily series — the burstiness screen (F ≈ 1 Poisson arrivals,
+    * F ≫ 1 bursty/bot-like, F ≪ 1 metronomic/synthetic): variance
+    * over mean of the daily counts, both off exact integer moments
+    * (n, Σc, Σc²; the squared term rides DECIMAL(38,0)), the
+    * mean/variance/ratio tail all-double on the k-row fold. Missing
+    * calendar days are observed zeros (the gap-fill rule) — dropping
+    * them would understate dispersion exactly where it matters.
+    * Reuses the Page–Hinkley dense grid; one events scan.
+    */
+  def eventsFano(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val st = pageHinkleySeries(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("n").as("s1"),
+        sum(col("n").cast(dec) * col("n").cast(dec)).as("s2"))
+      .where(col("n_days") > 1 && col("s1") > 0)
+    val nd = col("n_days").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val variance = (col("n_days").cast(dec) * col("s2")
+      - col("s1").cast(dec) * col("s1").cast(dec)).cast("double") /
+      (nd * (nd - 1.0))
+    st.select(col("event_type"), col("n_days"),
+        round(mean, 4).as("mean_daily"),
+        round(variance / mean, 4).as("fano"))
+      .orderBy("event_type")
+  }
+
   def eventsPageHinkley(s: SparkSession, dir: String, deltaEvents: Long = 2L,
                         lambdaEvents: Long = 50L): DataFrame = {
     val series = pageHinkleySeries(s, dir, deltaEvents)

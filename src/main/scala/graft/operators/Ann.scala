@@ -638,6 +638,37 @@ object Ann {
     * is cheap at any corpus size while the graph itself is the
     * memoized structure the real queries use.
     */
+  /** TWO-NN INTRINSIC-DIMENSION STATISTIC (Facco et al. 2017) — the
+    * embedding-space audit behind index tuning: the distribution of
+    * μ = d₂/d₁ (second- over first-neighbor distance) determines the
+    * manifold's intrinsic dimension (Pareto with shape = id); a
+    * median μ near 1 means a high-dimensional / noise-like space
+    * where ANN pruning degrades, far from 1 a low-dimensional
+    * manifold the IVF/HNSW structures exploit. Emits the μ quartiles
+    * — the raw sufficient statistic — NOT the d = ln2/ln(μ_med)
+    * transform (ln is libm; the quartiles carry the same decision).
+    *
+    * μ from the memoized kNN graph's rk ≤ 2 edges: cosine scores are
+    * 4dp-pinned, d = √(2·(1−s)) and the ratio are IEEE-exact off
+    * them, exact-duplicate anchors (d₁ = 0) filtered on the exact
+    * integer-rounded score. Work beyond the shared graph: one
+    * Q×2-row pivot and a 3-quantile fold.
+    */
+  def twoNnDim(s: SparkSession, dir: String): DataFrame = {
+    val g = knnGraph(s, dir).where(col("rk") <= 2)
+    val ratios = g.groupBy("qid")
+      .agg(max(when(col("rk") === 1, col("score"))).as("s1"),
+        max(when(col("rk") === 2, col("score"))).as("s2"))
+      .where(col("s1") < 1.0 && col("s2").isNotNull)
+      .select(round(
+        sqrt((lit(2.0) * (lit(1.0) - col("s2")))
+          / (lit(2.0) * (lit(1.0) - col("s1")))), 4).as("mu"))
+    ratios.agg(count(lit(1)).as("n_points"),
+      round(expr("percentile(mu, 0.25)"), 4).as("mu_p25"),
+      round(expr("percentile(mu, 0.5)"), 4).as("mu_med"),
+      round(expr("percentile(mu, 0.75)"), 4).as("mu_p75"))
+  }
+
   def knnGraphRecall(s: SparkSession, dir: String, k: Int = 5,
                      nq: Long = 50L): DataFrame = {
     val approx = knnGraph(s, dir, k).where(col("qid") < nq)

@@ -1164,6 +1164,38 @@ object Search {
     * query here shares — and the rank window runs per query over the
     * matched docs only.
     */
+  /** BOOLEAN RETRIEVAL — the conjunctive AND + NOT query model that
+    * predates ranking (Manning IR ch. 1) and still backs every
+    * filtered-search API: a doc matches iff it contains EVERY must
+    * term and NO excluded term. Pure postings algebra: one equi-join
+    * of the distinct-per-doc postings against the broadcast must
+    * list, a (qid, doc) count compared to the query's term count
+    * (conjunction = counting), one anti-join for the NOT leg. No
+    * scores, no windows; at 100 TB both legs are term-keyed equi-
+    * joins whose probe side is query-sized.
+    */
+  def booleanSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val must = Seq((0L, "spark"), (0L, "join"), (1L, "vector"),
+        (1L, "scan"), (2L, "customer"), (2L, "order"))
+      .toDF("qid", "term")
+    val not = Seq((0L, "slow"), (1L, "dup"), (2L, "big"))
+      .toDF("qid", "term")
+    val nMust = must.groupBy("qid").agg(count(lit(1)).as("n_must"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+    val conj = toks.join(broadcast(must), "term")
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(nMust), "qid")
+      .where(col("n_hit") === col("n_must"))
+    val excluded = toks.join(broadcast(not), "term")
+      .select("qid", "doc_id")
+    conj.join(excluded, Seq("qid", "doc_id"), "left_anti")
+      .select(col("qid"), col("doc_id"))
+      .orderBy("qid", "doc_id")
+  }
+
   def prefixSearch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import s.implicits._
     val prefixes = Seq((0L, "sc"), (1L, "st"), (2L, "co"), (3L, "fas"),
