@@ -169,6 +169,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
     "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergyQuery(s, d)),
     "mm_phash" -> (Multimodal.phashQuery _),
+    "mm_channel_stats" -> (Multimodal.channelStatsQuery _),
     "mm_resize" -> (Multimodal.resizeQuery _),
     "dedup_phash_hamming" -> ((s, d) => Multimodal.phashHammingQuery(s, d)),
     "mm_phash_dup" -> (Multimodal.phashDupQuery _),
@@ -259,6 +260,8 @@ object SparkEntry {
     "events_mann_whitney" -> (Analytics.eventsMannWhitney _),
     "events_page_hinkley" -> ((s, d) => Analytics.eventsPageHinkley(s, d)),
     "events_fano" -> (Analytics.eventsFano _),
+    "events_peak_concurrency" -> ((s, d) =>
+      Analytics.eventsPeakConcurrency(s, d)),
     "embed_twonn_dim" -> (Ann.twoNnDim _),
     "events_ks_test" -> (Analytics.eventsKsTest _),
     "events_moments" -> (Analytics.eventsMoments _),
@@ -3159,6 +3162,24 @@ object SparkEntry {
         |             (8 + octet_length(encode(text)) % 13)
         |           * (8 + octet_length(encode(text)) % 7))) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // channel stats: the oracle REBUILDS the RGB gradient from the
+    // pattern formula over a generate_series grid — a sum match per
+    // channel proves the pixels round-tripped the codec exactly
+    "mm_channel_stats" ->
+      """WITH px AS (SELECT d.doc_id, ((d.doc_id % 50) * 7 + tx.x * 13
+        |         + ty.y * 31) % 256 AS v
+        |      FROM documents d,
+        |           unnest(generate_series(0, 15)) AS tx(x),
+        |           unnest(generate_series(0, 15)) AS ty(y)),
+        |g AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sum_r,
+        |        CAST(sum((v + 85) % 256) AS BIGINT) AS sum_g,
+        |        CAST(sum((v + 170) % 256) AS BIGINT) AS sum_b
+        |      FROM px GROUP BY 1)
+        |SELECT doc_id, sum_r, sum_g, sum_b,
+        |       round(CAST(sum_r AS DOUBLE) / 256.0, 4) AS mean_r,
+        |       round(CAST(sum_g AS DOUBLE) / 256.0, 4) AS mean_g,
+        |       round(CAST(sum_b AS DOUBLE) / 256.0, 4) AS mean_b
+        |FROM g ORDER BY doc_id""".stripMargin,
     // mm_features / mm_frame_sample oracles are CHAR-based mirrors of
     // the byte kernels — equivalent on the driver's ASCII fixture
     // (verified: n_chars == n_bytes throughout). A real media payload
@@ -3858,6 +3879,43 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // boundary sweep over sessionized intervals (+1 start, -1 end+1);
+    // the oracle affords the single global running sum the Spark
+    // plan decomposes through day bands
+    "events_peak_concurrency" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR CAST(floor(epoch(ts)) AS BIGINT)
+        |                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+        |                  > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |           AS session_id
+        |  FROM x),
+        |sess AS (SELECT user_id, session_id,
+        |           min(CAST(floor(epoch(ts)) AS BIGINT)) AS st,
+        |           max(CAST(floor(epoch(ts)) AS BIGINT)) AS en
+        |         FROM y GROUP BY 1, 2),
+        |bounds AS (SELECT st AS t, 1 AS delta FROM sess
+        |           UNION ALL SELECT en + 1, -1 FROM sess),
+        |byt AS (SELECT t, CAST(sum(delta) AS BIGINT) AS d,
+        |          CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS starts
+        |        FROM bounds GROUP BY 1),
+        |run AS (SELECT t, starts,
+        |          sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+        |            AS c
+        |        FROM byt)
+        |SELECT t // 86400 AS day_n, CAST(sum(starts) AS BIGINT)
+        |         AS n_starts,
+        |       CAST(max(c) AS BIGINT) AS peak_concurrent
+        |FROM run GROUP BY 1 ORDER BY day_n""".stripMargin,
     // Fano factor over the same dense grid: exact integer moments
     // (squares in HUGEINT ≡ DECIMAL(38,0)), all-double k-row tail
     "events_fano" ->

@@ -2800,6 +2800,56 @@ object Analytics {
       .select("event_type", "d", "n", "ph")
   }
 
+  /** PEAK SESSION CONCURRENCY per day — the capacity-planning number
+    * (how many sessions were simultaneously open at the worst
+    * moment): sessionize (the 30-min-gap rule shared with
+    * events_sessionize), sweep each session as +1 at start / −1 at
+    * end+1s (inclusive interval), running-sum the per-instant net
+    * deltas in time order, take the max per day. The global running
+    * sum is decomposed through the TWO-LEVEL BAND pattern (the
+    * customer_gini / export_shards discipline): a day-keyed window
+    * runs within each band, the ≤calendar-sized per-day totals
+    * prefix-sum on the driver, and band base + within-band sum IS
+    * the global sweep exactly — no single-partition window over the
+    * boundary table at any scale. All integers.
+    */
+  def eventsPeakConcurrency(s: SparkSession, dir: String,
+                            gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gap = unix_timestamp(col("ts")) -
+      unix_timestamp(lag("ts", 1).over(byUser))
+    val sess = Tables.events(s, dir)
+      .withColumn("new_session",
+        when(gap.isNull || gap > gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_timestamp(col("ts"))).as("st"),
+        max(unix_timestamp(col("ts"))).as("en"))
+    val bounds = sess.select(col("st").as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select((col("en") + 1L).as("t"),
+        lit(-1L).as("delta")))
+    val byT = bounds.groupBy("t")
+      .agg(sum("delta").as("d"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("starts"))
+      .withColumn("day_n", expr("t div 86400"))
+    val wIn = Window.partitionBy("day_n").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = byT.withColumn("cin", sum("d").over(wIn))
+      .localCheckpoint(true)
+    val dayTotals = within.groupBy("day_n").agg(sum("d").as("dt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val bases = dayTotals.toSeq.map { case (dn, dt) =>
+      val p = (dn, acc); acc += dt; p
+    }
+    import s.implicits._
+    within.join(broadcast(bases.toDF("day_n", "base")), "day_n")
+      .groupBy("day_n")
+      .agg(sum("starts").as("n_starts"),
+        max(col("base") + col("cin")).as("peak_concurrent"))
+      .orderBy("day_n")
+  }
+
   /** FANO FACTOR (index of dispersion) per event type over the dense
     * daily series — the burstiness screen (F ≈ 1 Poisson arrivals,
     * F ≫ 1 bursty/bot-like, F ≪ 1 metronomic/synthetic): variance

@@ -198,6 +198,91 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** RGB twin of the pattern fixture: per-channel offsets off the
+    * same gradient (r = v, g = (v+85) mod 256, b = (v+170) mod 256)
+    * so the three channels carry DIFFERENT distributions — a flat or
+    * grayscale fill would make channel statistics degenerate.
+    */
+  private[graft] def rgbPatternPixel(id: Long, x: Int, y: Int): Int = {
+    val v = patternPixel(id, x, y)
+    (v << 16) | (((v + 85) % 256) << 8) | ((v + 170) % 256)
+  }
+
+  /** Encode the RGB-patterned fixture as a REAL PNG per document. */
+  def withRgbPatternImagePayload(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams
+      val baos = new java.io.ByteArrayOutputStream()
+      rows.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          PhashSide, PhashSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < PhashSide) {
+          var x = 0
+          while (x < PhashSide) {
+            img.setRGB(x, y, rgbPatternPixel(id, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        baos.reset()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        (id, baos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** PER-CHANNEL PIXEL STATISTICS off the real decode — the
+    * channel-mean/brightness audit an image-curation pipeline runs
+    * before training (dead channels, clipped exposures, tint drift):
+    * exact integer channel sums over the decoded raster, one 4dp
+    * division per channel. The oracle REBUILDS the gradient from the
+    * pattern formula over a generate_series grid and aggregates the
+    * same sums — a match proves the pixels round-tripped the codec
+    * exactly, per channel. Same mapPartitions codec seam as decode;
+    * everything downstream is columnar.
+    */
+  private def channelStatsPartition(rows: Iterator[(Long, Array[Byte])])
+      : Iterator[(Long, Long, Long, Long)] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { case (id, bytes) =>
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)) catch {
+        case _: java.io.IOException => null
+      }
+      if (img == null) (id, -1L, -1L, -1L)
+      else {
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        (id, sr, sg, sb)
+      }
+    }
+  }
+
+  def channelStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = (PhashSide * PhashSide).toDouble
+    withRgbPatternImagePayload(s, Tables.documents(s, dir))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(channelStatsPartition)
+      .toDF("doc_id", "sum_r", "sum_g", "sum_b")
+      .select(col("doc_id"), col("sum_r"), col("sum_g"), col("sum_b"),
+        round(col("sum_r").cast("double") / n, 4).as("mean_r"),
+        round(col("sum_g").cast("double") / n, 4).as("mean_g"),
+        round(col("sum_b").cast("double") / n, 4).as("mean_b"))
+      .orderBy("doc_id")
+  }
+
   /** Decode → 64-bit average-pool perceptual hash: 2×2 block sums
     * over the decoded 16×16 raster, bit b set iff its block mean
     * exceeds the image mean — compared as blockSum·64 > totalSum so
