@@ -227,6 +227,8 @@ object SparkEntry {
     "dsir_select" -> ((s, d) => Sampling.dsirSelect(s, d)),
     "export_shards" -> (Sampling.exportShardsQuery _),
     "corpus_weighted_sample" -> (Sampling.weightedSampleQuery _),
+    "export_shard_manifest" -> (Sampling.exportShardManifest _),
+    "dedup_impact_report" -> (Dedup.dedupImpactReport _),
     "sketch_kmv_distinct" -> (Sketch.kmvQuery _),
     "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
     "sketch_hll_distinct" -> (Sketch.hllQuery _),
@@ -4341,6 +4343,53 @@ object SparkEntry {
          |       (m.doc_id = c.canonical_id) AS is_kept
          |FROM mem m JOIN can c ON m.cluster_id = c.cluster_id
          |ORDER BY m.doc_id""".stripMargin,
+    // impact rollup over the same canonical chain: per-source
+    // before/after doc+token accounting, exact integers + two 6dp
+    // keep-rate divisions
+    "dedup_impact_report" ->
+      s"""WITH RECURSIVE $bandCte,
+         |$verifiedPairsCte,
+         |$closureCte,
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id
+         |        FROM reach GROUP BY id),
+         |mem AS (SELECT d.doc_id,
+         |          coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         |tq AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |       FROM documents),
+         |qm AS (SELECT doc_id, coalesce(round((
+         |          least(len(toks)/50.0, 1.0)
+         |          + CASE WHEN len(list_filter(toks,
+         |              t -> t IN ('the','a','and','of','to','in','is')))
+         |              *1.0/len(toks) BETWEEN 0.01 AND 0.6
+         |            THEN 1.0 ELSE 0.0 END
+         |          + (1.0 - least((1.0 - len(list_distinct(toks))
+         |              *1.0/len(toks))/0.9, 1.0))) / 3.0, 4), -1.0) AS q
+         |       FROM tq),
+         |rep AS (SELECT m.cluster_id, m.doc_id,
+         |          row_number() OVER (PARTITION BY m.cluster_id
+         |            ORDER BY qm.q DESC, m.doc_id) AS rn
+         |        FROM mem m JOIN qm ON m.doc_id = qm.doc_id),
+         |can AS (SELECT cluster_id, doc_id AS canonical_id
+         |        FROM rep WHERE rn = 1),
+         |kept AS (SELECT m.doc_id,
+         |           (m.doc_id = c.canonical_id) AS is_kept
+         |         FROM mem m JOIN can c ON m.cluster_id = c.cluster_id),
+         |sz AS (SELECT d.doc_id, d.source,
+         |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+         |         k.is_kept
+         |       FROM documents d JOIN kept k ON d.doc_id = k.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS docs_before,
+         |       CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS docs_kept,
+         |       CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+         |       CAST(sum(CASE WHEN is_kept THEN n_tok ELSE 0 END)
+         |         AS BIGINT) AS tokens_kept,
+         |       round(CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / count(*), 6) AS doc_keep_rate,
+         |       round(CAST(sum(CASE WHEN is_kept THEN n_tok ELSE 0 END)
+         |         AS DOUBLE) / sum(n_tok), 6) AS token_keep_rate
+         |FROM sz GROUP BY source ORDER BY source""".stripMargin,
     // jaccard-decile histogram over the verified pair set: banding on
     // the identically-rounded 4dp jaccard (floor(j·10) runs on the
     // same double both engines), min/max per band exact
@@ -4820,6 +4869,29 @@ object SparkEntry {
         |SELECT doc_id, n_tok, cum - n_tok AS start_tok,
         |       (cum - n_tok) // 2000 AS shard
         |FROM c ORDER BY start_tok, doc_id""".stripMargin,
+    // manifest over the same shard chain: order-sensitive md5 via
+    // string_agg(... ORDER BY start_tok, doc_id) ≡ Spark's sorted
+    // collect_list concat — same string, same hash
+    "export_shard_manifest" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |               AS BIGINT) AS h
+        |           FROM documents),
+        |b AS (SELECT *, h % 64 AS bk FROM t),
+        |c AS (SELECT doc_id, n_tok,
+        |             CAST(sum(n_tok) OVER (ORDER BY bk, h, doc_id)
+        |               AS BIGINT) AS cum
+        |      FROM b),
+        |sh AS (SELECT doc_id, n_tok, cum - n_tok AS start_tok,
+        |         (cum - n_tok) // 2000 AS shard
+        |       FROM c)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |       md5(string_agg(CAST(doc_id AS VARCHAR), '|'
+        |         ORDER BY start_tok, doc_id)) AS fingerprint
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     "corpus_sample_split" ->
       """WITH b AS (SELECT doc_id, lang, source,
         |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket

@@ -1207,4 +1207,34 @@ object Dedup {
         (col("doc_id") === col("canonical_id")).as("is_kept"))
       .orderBy("doc_id")
   }
+
+  /** DEDUP IMPACT REPORT per source — the before/after accounting a
+    * curation run ships with its output (how many docs and tokens
+    * did near-dup collapse actually remove, and from which crawl
+    * slice): the canonical keep/drop decision ([[canonicalMap]] —
+    * cluster fixpoint + quality-argmax representative, memoized via
+    * its own checkpoint) joined back to doc sizes, rolled up per
+    * source with exact integer counts and one 6dp kept-fraction
+    * division per side. Work beyond the shared clustering: one
+    * doc-keyed join + a source-sized aggregate.
+    */
+  def dedupImpactReport(s: SparkSession, dir: String): DataFrame = {
+    val canon = canonicalMap(s, dir).select("doc_id", "is_kept")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    docs.join(canon, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_before"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("docs_kept"),
+        sum("n_tok").as("tokens_before"),
+        sum(when(col("is_kept"), col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
+      .select(col("source"), col("docs_before"), col("docs_kept"),
+        col("tokens_before"), col("tokens_kept"),
+        round(col("docs_kept").cast("double") / col("docs_before"), 6)
+          .as("doc_keep_rate"),
+        round(col("tokens_kept").cast("double") / col("tokens_before"), 6)
+          .as("token_keep_rate"))
+      .orderBy("source")
+  }
 }

@@ -206,6 +206,26 @@ object Sampling {
       .orderBy("start_tok", idCol)
   }
 
+  /** EXPORT SHARD MANIFEST — the integrity sidecar a training-data
+    * export ships beside its shards (what a loader checks before
+    * trusting a resumed download): per shard, doc/token counts, id
+    * bounds, and an order-sensitive fingerprint — md5 over the
+    * shard's doc_ids in EXPORT order ('|'-joined) — so a re-export
+    * that reshuffles or drops a row changes the manifest visibly.
+    * Per-shard member lists are budget-bounded (≤ budget docs at ≥1
+    * token each), so the collect_list is capacity-sized, never
+    * corpus-sized; one aggregate over the shared shard assignment.
+    */
+  def exportShardManifest(s: SparkSession, dir: String): DataFrame =
+    exportShardsQuery(s, dir)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        expr("md5(concat_ws('|', transform(array_sort(" +
+          "collect_list(struct(start_tok, doc_id))), " +
+          "x -> CAST(x.doc_id AS STRING))))").as("fingerprint"))
+      .orderBy("shard")
+
   /** Surface query: 2000-token export shards over the corpus. */
   def exportShardsQuery(s: SparkSession, dir: String): DataFrame =
     exportShards(Tables.documents(s, dir)
