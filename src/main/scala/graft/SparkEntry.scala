@@ -262,6 +262,7 @@ object SparkEntry {
     "events_mann_whitney" -> (Analytics.eventsMannWhitney _),
     "events_page_hinkley" -> ((s, d) => Analytics.eventsPageHinkley(s, d)),
     "events_fano" -> (Analytics.eventsFano _),
+    "events_forecast_holt" -> (Analytics.eventsForecastHolt _),
     "events_peak_concurrency" -> ((s, d) =>
       Analytics.eventsPeakConcurrency(s, d)),
     "embed_twonn_dim" -> (Ann.twoNnDim _),
@@ -3881,6 +3882,46 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // truncated Holt: the per-day window fold unrolls as a recursive
+    // CTE stepping through the ≤14-element window list; micro-unit
+    // integer recursion with truncating // ≡ Spark div ≡ Scala Long./
+    "events_forecast_holt" ->
+      """WITH RECURSIVE ev AS (SELECT event_type,
+        |              CAST(ts AS DATE) - DATE '1970-01-01' AS d
+        |            FROM events),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+        |cal AS (SELECT unnest(range(lo, hi + 1)) AS d FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+        |          FROM ev GROUP BY 1, 2),
+        |dense AS (SELECT ty.event_type, cal.d,
+        |            coalesce(daily.n, 0) AS n
+        |          FROM ty CROSS JOIN cal
+        |          LEFT JOIN daily ON daily.event_type = ty.event_type
+        |                         AND daily.d = cal.d),
+        |w AS (SELECT a.event_type, a.d, list(r.n ORDER BY r.d) AS ws
+        |      FROM dense a JOIN dense r ON a.event_type = r.event_type
+        |        AND r.d BETWEEN a.d - 13 AND a.d
+        |      GROUP BY 1, 2),
+        |rec AS (
+        |  SELECT event_type, d, ws, 2 AS step,
+        |         ws[1] * 1000000 AS l, CAST(0 AS BIGINT) AS b
+        |  FROM w
+        |  UNION ALL
+        |  SELECT event_type, d, ws, step + 1,
+        |         (ws[step] * 1000000 + l + b + 1) // 2,
+        |         (((ws[step] * 1000000 + l + b + 1) // 2) - l
+        |          + 3 * b + 2) // 4
+        |  FROM rec WHERE step <= len(ws)),
+        |f AS (SELECT event_type, d, l, b FROM rec
+        |      WHERE step = len(ws) + 1)
+        |SELECT event_type,
+        |       CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS VARCHAR)
+        |         AS day,
+        |       round(CAST(l AS DOUBLE) / 1000000.0, 4) AS level,
+        |       round(CAST(b AS DOUBLE) / 1000000.0, 4) AS trend,
+        |       round(CAST(l + b AS DOUBLE) / 1000000.0, 4) AS forecast1
+        |FROM f ORDER BY event_type, day""".stripMargin,
     // boundary sweep over sessionized intervals (+1 start, -1 end+1);
     // the oracle affords the single global running sum the Spark
     // plan decomposes through day bands

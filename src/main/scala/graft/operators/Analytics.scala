@@ -2800,6 +2800,67 @@ object Analytics {
       .select("event_type", "d", "n", "ph")
   }
 
+  /** TRUNCATED HOLT (double-exponential) SMOOTHER per event type —
+    * level + trend, the one-step-ahead forecaster that beats the
+    * naive and EWMA baselines when a series is drifting: α=1/2,
+    * β=1/4 (power-of-two so every step is integer), re-folded over
+    * the last-14-day window each day (the truncated-EWMA move: a
+    * bounded window makes per-key streaming state constant-size and
+    * every emission final). The recursion runs in exact micro-units
+    * with truncating integer division — Spark `div`, DuckDB `//`,
+    * and Scala `Long./` all truncate toward zero INCLUDING negatives
+    * (trend can be negative), verified, so batch, oracle, and the
+    * streaming twin (HoltStream) are bit-equal with no rounding
+    * contract beyond the shared op. Batch plan = the events_ewma
+    * banded self-join; the per-day fold runs as a codegen'd
+    * higher-order `aggregate` over the ≤14-element window array.
+    */
+  def eventsForecastHolt(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val daily = ev.groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val meta = ev.agg(min("d").as("lo"), max("d").as("hi"),
+      collect_set("event_type").as("tys")).localCheckpoint(true)
+    val cal = meta.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val grid = meta.select(explode(col("tys")).as("event_type"))
+      .crossJoin(cal)
+    val dense = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint(true)
+    val rhs = dense.select(col("event_type"), col("d").as("j"), col("n"))
+    dense.select("event_type", "d")
+      .join(rhs, Seq("event_type"))
+      .where(col("j").between(col("d") - 13, col("d")))
+      .groupBy("event_type", "d")
+      .agg(expr("transform(sort_array(collect_list(struct(j, n))), " +
+        "x -> x.n)").as("ws"))
+      .withColumn("st", expr(HoltFoldSql))
+      .select(col("event_type"),
+        date_add(lit("1970-01-01").cast("date"), col("d").cast("int"))
+          .cast("string").as("day"),
+        round(col("st.l").cast("double") / 1e6, 4).as("level"),
+        round(col("st.b").cast("double") / 1e6, 4).as("trend"),
+        round((col("st.l") + col("st.b")).cast("double") / 1e6, 4)
+          .as("forecast1"))
+      .orderBy("event_type", "day")
+  }
+
+  /** The Holt fold over a window array `ws` (counts, window order):
+    * init (l = ws[1]·10⁶, b = 0), then per element
+    * l' = (x·10⁶ + l + b + 1) div 2, b' = (l' − l + 3b + 2) div 4.
+    */
+  private val HoltFoldSql: String =
+    """aggregate(
+      |  slice(ws, 2, size(ws) - 1),
+      |  named_struct('l', ws[0] * CAST(1000000 AS BIGINT),
+      |               'b', CAST(0 AS BIGINT)),
+      |  (acc, x) -> named_struct(
+      |    'l', (x * 1000000 + acc.l + acc.b + 1) div 2,
+      |    'b', (((x * 1000000 + acc.l + acc.b + 1) div 2) - acc.l
+      |          + 3 * acc.b + 2) div 4))""".stripMargin
+
   /** PEAK SESSION CONCURRENCY per day — the capacity-planning number
     * (how many sessions were simultaneously open at the worst
     * moment): sessionize (the 30-min-gap rule shared with
