@@ -56,11 +56,19 @@ object ScaleStress {
   // is histogram-sized, never window-row-sized) and
   // search_spell_indexed (bucket-pruned dictionary probe: serve cost
   // is query-term-sized; the build is the cold-dir component)
+  // r11 wave adds text_rake_keywords (phrase segmentation +
+  // vocabulary-keyed word scores: the suffix scheme grows vocab AND
+  // the phrase space ×factor — both aggregates must track the scan,
+  // and the top-k must stay a per-partition heap) and
+  // events_peak_concurrency (the two-level banded boundary sweep:
+  // replicated events multiply per-instant deltas, per-day windows
+  // and the driver prefix must stay calendar-sized)
   val queryNames: Seq[String] =
     Seq("knn_graph", "dedup_minhash_pairs", "text_bm25_indexed",
       "events_pattern_match", "ann_hnsw", "dsir_select",
       "search_spell_correct", "graph_adamic_adar", "events_daily_agg",
-      "dedup_containment", "events_rolling_p95", "search_spell_indexed")
+      "dedup_containment", "events_rolling_p95", "search_spell_indexed",
+      "text_rake_keywords", "events_peak_concurrency")
 
   /** Replica id-space offset: far above any driver-generated id and
     * above the +100000/+200000/+300000 bands the synthetic-workload

@@ -208,6 +208,7 @@ object SparkEntry {
     "text_normalize" -> (TextOps.normalizeQuery _),
     "text_ttr" -> (TextOps.lexicalDiversity _),
     "text_hapax" -> (TextOps.hapaxProfile _),
+    "text_rake_keywords" -> ((s, d) => TextOps.rakeKeywords(s, d)),
     "text_token_entropy" -> (TextOps.tokenEntropy _),
     "corpus_source_diversity" -> (TextOps.sourceDiversity _),
     "events_anova" -> (Analytics.eventsAnova _),
@@ -5605,6 +5606,49 @@ object SparkEntry {
         |       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
         |         AS DOUBLE) / sum(tf), 6) AS hapax_token_share
         |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
+    // RAKE: phrase id = running stopword count; word score =
+    // truncating (deg·10⁴)//freq fixed-point so phrase scores and
+    // the top-k rank are all-integer; phrase string reassembled in
+    // position order on both engines
+    "text_rake_keywords" ->
+      """WITH wlist AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |               FROM documents),
+        |tk AS (SELECT doc_id, i AS pos, ws[i] AS tok
+        |       FROM wlist, unnest(range(1, len(ws) + 1)) AS t(i)),
+        |fl AS (SELECT doc_id, pos, tok,
+        |         CASE WHEN tok IN ('the','a','and','of','to','in','is')
+        |              THEN 1 ELSE 0 END AS is_stop
+        |       FROM tk),
+        |g AS (SELECT doc_id, pos, tok, is_stop,
+        |        sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS UNBOUNDED PRECEDING) AS pid
+        |      FROM fl),
+        |words AS (SELECT doc_id, pid, pos, tok FROM g
+        |          WHERE is_stop = 0 AND tok <> ''),
+        |ph AS (SELECT doc_id, pid,
+        |         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |         CAST(count(*) AS BIGINT) AS plen
+        |       FROM words GROUP BY 1, 2),
+        |occ AS (SELECT w.doc_id, w.pid, w.tok, ph.phrase, ph.plen
+        |        FROM words w JOIN ph ON w.doc_id = ph.doc_id
+        |                            AND w.pid = ph.pid),
+        |ws2 AS (SELECT tok, (CAST(sum(plen) AS BIGINT) * 10000)
+        |          // CAST(count(*) AS BIGINT) AS wscore
+        |        FROM occ GROUP BY 1),
+        |ps AS (SELECT occ.doc_id, occ.pid, occ.phrase, occ.plen,
+        |         CAST(sum(ws2.wscore) AS BIGINT) AS score_scaled
+        |       FROM occ JOIN ws2 USING (tok) GROUP BY 1, 2, 3, 4),
+        |dd AS (SELECT phrase, CAST(max(plen) AS BIGINT) AS n_words,
+        |         CAST(count(*) AS BIGINT) AS n_occur,
+        |         CAST(max(score_scaled) AS BIGINT) AS score_scaled
+        |       FROM ps GROUP BY 1),
+        |r AS (SELECT phrase, n_words, n_occur, score_scaled,
+        |        CAST(row_number() OVER (ORDER BY score_scaled DESC,
+        |          phrase) AS BIGINT) AS rk
+        |      FROM dd)
+        |SELECT rk, phrase, n_words, n_occur,
+        |       round(CAST(score_scaled AS DOUBLE) / 10000.0, 4) AS score
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     // within-doc token entropy: integer floor-log2 bits (length of
     // the binary rendering of n div tf), BIGINT Σ tf·bits fold, one
     // final exact-long division — the text_surprisal discipline

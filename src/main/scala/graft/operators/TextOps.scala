@@ -1288,6 +1288,64 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** RAKE KEYPHRASE EXTRACTION (Rose et al. 2010 — the classic
+    * unsupervised keyword harvester): candidate phrases are maximal
+    * runs of non-stopword tokens (stopwords are the delimiters),
+    * each word scores deg/freq over the whole corpus (deg = Σ length
+    * of phrases containing it — favors words that travel in long
+    * collocations), and a phrase scores the sum of its words. The
+    * float trap is deg/freq per word — here it is the TRUNCATING
+    * fixed-point (deg·10⁴) div freq (the quality_classifier basis-
+    * point idiom), so phrase scores are exact BIGINTs and the top-k
+    * rank has no float in it. Phrase segmentation is pure relational
+    * algebra both engines share: position-exploded tokens, stopword
+    * flags, phrase id = running stopword count, phrase string
+    * reassembled in position order. Shuffle keys: (doc, phrase) —
+    * token-count-sized — and the vocabulary; never pairs.
+    */
+  def rakeKeywords(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col").as("tok"))
+      .withColumn("is_stop",
+        col("tok").isin(stop: _*).cast("long"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val words = toks.withColumn("pid", sum("is_stop").over(w))
+      .where(col("is_stop") === 0 && col("tok") =!= "")
+      .select("doc_id", "pid", "pos", "tok")
+    val phrases = words.groupBy("doc_id", "pid")
+      .agg(expr("concat_ws(' ', transform(sort_array(" +
+        "collect_list(struct(pos, tok))), x -> x.tok))").as("phrase"),
+        count(lit(1)).as("plen"))
+    val occ = words.select("doc_id", "pid", "tok")
+      .join(phrases, Seq("doc_id", "pid"))
+    val wstats = occ.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("tok"), expr("(deg * 10000) div freq").as("wscore"))
+    val pscores = occ.join(wstats, "tok")
+      .groupBy("doc_id", "pid", "phrase", "plen")
+      .agg(sum("wscore").as("score_scaled"))
+    val dedup = pscores.groupBy("phrase")
+      .agg(max("plen").as("n_words"), count(lit(1)).as("n_occur"),
+        max("score_scaled").as("score_scaled"))
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition
+    // heap + driver merge, never a global sort); the rank window
+    // then runs over the k surviving rows only
+    val top = dedup
+      .orderBy(col("score_scaled").desc, col("phrase")).limit(k)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_scaled").desc, col("phrase"))
+    top.withColumn("rk", row_number().over(rankW))
+      .select(col("rk").cast("long").as("rk"), col("phrase"),
+        col("n_words"), col("n_occur"),
+        round(col("score_scaled").cast("double") / 10000.0, 4).as("score"))
+      .orderBy("rk")
+  }
+
   /** WITHIN-DOCUMENT TOKEN ENTROPY — the self-information twin of
     * [[surprisal]] (that one scores docs under the CORPUS unigram
     * model; this one under the doc's OWN distribution): low entropy
