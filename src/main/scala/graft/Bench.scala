@@ -139,7 +139,10 @@ object Bench {
         "events_daily_agg", "wal_compact_replay",
         // r11: the persisted winnowing fingerprint index — timed
         // entry is the batch lookup, not the one-time build
-        "dedup_winnow_incremental")
+        "dedup_winnow_incremental",
+        // r11: the pfx-partitioned prefix dictionary (10th persisted
+        // structure) — timed entry is the pruned two-probe serve
+        "search_prefix_indexed")
       .foreach { n =>
       benchQueries.get(n).foreach { fn =>
         if (elapsed < budgetNs / 2) runGuardedAt(sfDir, n, fn(spark, sfDir))

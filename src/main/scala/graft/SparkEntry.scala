@@ -397,6 +397,7 @@ object SparkEntry {
     "search_spell_correct" -> ((s, d) => Search.spellCorrectQuery(s, d)),
     "search_query_suggest" -> ((s, d) => Search.querySuggest(s, d)),
     "search_prefix" -> ((s, d) => Search.prefixSearch(s, d)),
+    "search_prefix_indexed" -> ((s, d) => Search.prefixSearchIndexed(s, d)),
     "search_boolean" -> ((s, d) => Search.booleanSearch(s, d)),
     "search_facets" -> ((s, d) => Search.searchFacets(s, d)),
     "search_spell_indexed" -> ((s, d) => Search.spellCorrectIndexed(s, d)),
@@ -1169,6 +1170,33 @@ object SparkEntry {
     * shared by the on-the-fly and persisted-index forms, which are
     * equal by construction (SearchSpec pins it).
     */
+  /** Wildcard/prefix retrieval — shared by the on-the-fly and the
+    * persisted-dictionary twins so the two cannot drift.
+    */
+  private val prefixOracle: String =
+    """WITH p AS (SELECT * FROM (VALUES (0, 'sc'), (1, 'st'),
+      |             (2, 'co'), (3, 'fas'), (4, 'sor'))
+      |           AS t(qid, prefix)),
+      |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT)
+      |         AS tf
+      |       FROM (SELECT doc_id, unnest(string_split(text, ' '))
+      |               AS tok FROM documents)
+      |       GROUP BY 1, 2),
+      |m AS (SELECT p.qid, p.prefix, tf.doc_id, tf.tf
+      |      FROM tf JOIN p
+      |        ON substr(tf.term, 1, 2) = substr(p.prefix, 1, 2)
+      |       AND starts_with(tf.term, p.prefix)),
+      |d AS (SELECT qid, prefix, doc_id,
+      |        CAST(sum(tf) AS BIGINT) AS score,
+      |        CAST(count(*) AS BIGINT) AS n_terms
+      |      FROM m GROUP BY 1, 2, 3),
+      |r AS (SELECT qid, prefix, doc_id, score, n_terms,
+      |        CAST(row_number() OVER (PARTITION BY qid
+      |          ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+      |      FROM d)
+      |SELECT qid, prefix, rk, doc_id, score, n_terms
+      |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   private def spellOracle: String = {
     val pre =
       """tq(qid, pos, term) AS (SELECT * FROM (VALUES
@@ -2637,29 +2665,11 @@ object SparkEntry {
         |ORDER BY qid, doc_id""".stripMargin,
     // wildcard: dictionary probe on the 2-char prefix bucket +
     // residual starts_with, docs ranked by total matching-term tf
-    "search_prefix" ->
-      """WITH p AS (SELECT * FROM (VALUES (0, 'sc'), (1, 'st'),
-        |             (2, 'co'), (3, 'fas'), (4, 'sor'))
-        |           AS t(qid, prefix)),
-        |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT)
-        |         AS tf
-        |       FROM (SELECT doc_id, unnest(string_split(text, ' '))
-        |               AS tok FROM documents)
-        |       GROUP BY 1, 2),
-        |m AS (SELECT p.qid, p.prefix, tf.doc_id, tf.tf
-        |      FROM tf JOIN p
-        |        ON substr(tf.term, 1, 2) = substr(p.prefix, 1, 2)
-        |       AND starts_with(tf.term, p.prefix)),
-        |d AS (SELECT qid, prefix, doc_id,
-        |        CAST(sum(tf) AS BIGINT) AS score,
-        |        CAST(count(*) AS BIGINT) AS n_terms
-        |      FROM m GROUP BY 1, 2, 3),
-        |r AS (SELECT qid, prefix, doc_id, score, n_terms,
-        |        CAST(row_number() OVER (PARTITION BY qid
-        |          ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-        |      FROM d)
-        |SELECT qid, prefix, rk, doc_id, score, n_terms
-        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "search_prefix" -> prefixOracle,
+    // persisted-dictionary twin: identical semantics off the
+    // pfx-partitioned dictionary + pruned postings (SearchSpec pins
+    // equality + both prunings), shares the oracle
+    "search_prefix_indexed" -> prefixOracle,
     // pseudo-relevance feedback: round-1 bm25 (shared CTEs) → top-5
     // feedback docs → tf·idf-ranked expansion terms (NOT EXISTS
     // drops original query terms, sorted-list append keeps the

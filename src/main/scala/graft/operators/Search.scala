@@ -468,7 +468,7 @@ object Search {
     * target/tmp — shared by the indexed surface query and the hybrid
     * query's lexical leg.
     */
-  private def indexFor(s: SparkSession, dir: String): String = {
+  private[graft] def indexFor(s: SparkSession, dir: String): String = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
     // v2: stats schema gained sum_dl (insert-merge exactness)
     val path = java.nio.file.Paths.get("target", "tmp", s"bm25idx2-$key")
@@ -1164,6 +1164,92 @@ object Search {
     * query here shares — and the rank window runs per query over the
     * matched docs only.
     */
+  /** The shared prefix-query fixture: (qid, prefix, bucket = its
+    * 2-char dictionary partition key).
+    */
+  private def prefixQueries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((0L, "sc"), (1L, "st"), (2L, "co"), (3L, "fas"), (4L, "sor"))
+      .toDF("qid", "prefix")
+      .select(col("qid"), col("prefix"),
+        substring(col("prefix"), 1, 2).as("bucket"))
+  }
+
+  /** Persist the PREFIX-partitioned term dictionary — the 10th
+    * at-rest structure: (term, df) parquet PARTITIONED BY the 2-char
+    * prefix itself (not a hash — a prefix query must PRUNE BY VALUE,
+    * which hash buckets cannot), the on-disk form of the tolerant-
+    * retrieval dictionary every wildcard/suggest query probes.
+    */
+  def prefixDictBuild(s: SparkSession, docs: DataFrame, path: String): Unit =
+    docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("pfx", substring(col("term"), 1, 2))
+      .write.mode("overwrite").partitionBy("pfx").parquet(path)
+
+  private[graft] def prefixDictFor(s: SparkSession, dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val path = java.nio.file.Paths.get("target", "tmp", s"pfxdict-$key")
+      .toAbsolutePath.toString
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS")))
+      prefixDictBuild(s, Tables.documents(s, dir), path)
+    path
+  }
+
+  /** Persisted-index twin of [[prefixSearch]] (same queries/k, same
+    * oracle; SearchSpec pins equality + both prunings): the prefix
+    * expands against the PREFIX-PARTITIONED dictionary — the pfx
+    * partition filter prunes the dictionary scan to the queries'
+    * 2-char directories — and the matched terms (query-scoped
+    * vocabulary, the spell path's driver-bound discipline) prune the
+    * shared BM25 postings index by hash bucket + term pushdown. At
+    * 100 TB both probes read only query-proportional bytes; the
+    * corpus is never re-tokenized.
+    */
+  /** The dictionary probe BEFORE its checkpoint — exposed so the
+    * spec can pin the pfx partition pruning on its plan (the
+    * checkpoint in [[prefixSearchIndexed]] severs it from the final
+    * plan; the spellProbeFrame precedent).
+    */
+  private[graft] def prefixDictProbe(s: SparkSession,
+                                     dir: String): DataFrame = {
+    val q = prefixQueries(s)
+    val pfxList = q.select("bucket").collect().map(_.getString(0))
+      .distinct.sorted
+    s.read.parquet(prefixDictFor(s, dir))
+      .where(col("pfx").isin(pfxList.toIndexedSeq: _*))
+      .join(broadcast(q),
+        col("pfx") === col("bucket") && expr("startswith(term, prefix)"))
+      .select("qid", "prefix", "term")
+  }
+
+  def prefixSearchIndexed(s: SparkSession, dir: String,
+                          k: Int = 10): DataFrame = {
+    val matched = prefixDictProbe(s, dir).localCheckpoint(true)
+    val termList = matched.select("term").distinct()
+      .collect().map(_.getString(0)).sorted
+    val bucketList = termList
+      .map(t => math.floorMod(graft.functions.HashUtils
+        .md5Prefix60(t.getBytes("UTF-8")), Buckets).toInt)
+      .distinct.sorted
+    val post = s.read.parquet(indexFor(s, dir))
+      .where(col("bucket").isin(bucketList.toIndexedSeq: _*) &&
+        col("term").isin(termList.toIndexedSeq: _*))
+      .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"))
+    val perDoc = post.join(broadcast(matched), "term")
+      .groupBy("qid", "prefix", "doc_id")
+      .agg(sum("tf").as("score"), count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("prefix"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("score"), col("n_terms"))
+      .orderBy("qid", "rk")
+  }
+
   /** BOOLEAN RETRIEVAL — the conjunctive AND + NOT query model that
     * predates ranking (Manning IR ch. 1) and still backs every
     * filtered-search API: a doc matches iff it contains EVERY must
@@ -1197,12 +1283,7 @@ object Search {
   }
 
   def prefixSearch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    import s.implicits._
-    val prefixes = Seq((0L, "sc"), (1L, "st"), (2L, "co"), (3L, "fas"),
-        (4L, "sor"))
-      .toDF("qid", "prefix")
-      .select(col("qid"), col("prefix"),
-        substring(col("prefix"), 1, 2).as("bucket"))
+    val prefixes = prefixQueries(s)
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

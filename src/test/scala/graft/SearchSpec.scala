@@ -126,6 +126,36 @@ class SearchSpec extends SparkSuite {
       "indexed search must not touch the raw corpus")
   }
 
+  test("persisted prefix dictionary: indexed twin equals on-the-fly " +
+      "prefix search, both scans pruned") {
+    val indexed = Search.prefixSearchIndexed(spark, sf).collect().toSeq
+    val onTheFly = Search.prefixSearch(spark, sf).collect().toSeq
+    assert(indexed == onTheFly && indexed.nonEmpty)
+    // the dictionary scan prunes by the pfx VALUE partitions (a hash
+    // bucket could not serve a prefix query) — pinned on the probe
+    // frame: the checkpoint severs it from the final plan
+    val dictPlan = Search.prefixDictProbe(spark, sf)
+      .queryExecution.executedPlan.toString
+    val dictPf = dictPlan.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("pfx"))
+      .toSeq
+    assert(dictPf.nonEmpty && dictPf.forall(l =>
+        !l.contains("PartitionFilters: []")),
+      s"prefix dictionary scan not pfx-pruned: $dictPf")
+    val plan = Search.prefixSearchIndexed(spark, sf)
+      .queryExecution.executedPlan.toString
+    // ... and the postings probe prunes by term-hash bucket with the
+    // matched terms pushed down (the bm25-indexed discipline)
+    val postPf = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("bucket"))
+      .toSeq
+    assert(postPf.nonEmpty && postPf.forall(l =>
+        !l.contains("PartitionFilters: []")),
+      s"postings scan not bucket-pruned: $postPf")
+    assert(!plan.contains("documents.parquet"),
+      "indexed prefix search must not re-tokenize the corpus")
+  }
+
   test("postings insert: touched-bucket merge equals a full rebuild") {
     val docs = Tables.documents(spark, sf)
     val half1 = docs.where(col("doc_id") % 2 === 0)
