@@ -1176,21 +1176,56 @@ object Search {
   }
 
   /** Persist the PREFIX-partitioned term dictionary — the 10th
-    * at-rest structure: (term, df) parquet PARTITIONED BY the 2-char
-    * prefix itself (not a hash — a prefix query must PRUNE BY VALUE,
-    * which hash buckets cannot), the on-disk form of the tolerant-
-    * retrieval dictionary every wildcard/suggest query probes.
+    * at-rest structure: DOC-GRANULAR (doc_id, term) rows parquet
+    * PARTITIONED BY the term's 2-char prefix itself (not a hash — a
+    * prefix query must PRUNE BY VALUE, which hash buckets cannot),
+    * the on-disk form of the tolerant-retrieval dictionary every
+    * wildcard/suggest query probes. Doc granularity (the spell
+    * dictionary's v2 move) is what makes maintenance idempotent: an
+    * insert replaces a doc's rows by anti-join, so a redelivered
+    * batch is absorbed instead of double-counted — an aggregated
+    * (term, df) layout cannot offer that.
     */
   def prefixDictBuild(s: SparkSession, docs: DataFrame, path: String): Unit =
     docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("pfx", substring(col("term"), 1, 2))
       .write.mode("overwrite").partitionBy("pfx").parquet(path)
 
+  /** Corpus-growth insert — touched-pfx-partition replacement (the
+    * postings/spell discipline): survivors = old rows of touched
+    * partitions minus the batch's doc ids, union the batch, dynamic
+    * partition overwrite of ONLY those directories. Overwrite mode
+    * is scoped on the WRITER (not session conf — a session-global
+    * flip races with concurrent writers). Idempotent under
+    * redelivery by construction.
+    */
+  def prefixDictInsert(s: SparkSession, path: String,
+                       newDocs: DataFrame): Unit = {
+    val batch = newDocs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .withColumn("pfx", substring(col("term"), 1, 2))
+      .localCheckpoint(true)
+    val touched = batch.select("pfx").distinct()
+      .collect().map(_.getString(0))
+    if (touched.isEmpty) return
+    val survivors = s.read.parquet(path)
+      .where(col("pfx").isin(touched.toIndexedSeq: _*))
+      .join(broadcast(batch.select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "term", "pfx")
+    survivors.unionByName(batch.select("doc_id", "term", "pfx"))
+      .localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pfx").parquet(path)
+  }
+
   private[graft] def prefixDictFor(s: SparkSession, dir: String): String = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get("target", "tmp", s"pfxdict-$key")
+    // v2: doc-granular layout (version tag keeps a dir built by the
+    // aggregated (term, df) scheme from being reused stale)
+    val path = java.nio.file.Paths.get("target", "tmp", s"pfxdict2-$key")
       .toAbsolutePath.toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS")))
@@ -1223,6 +1258,7 @@ object Search {
       .join(broadcast(q),
         col("pfx") === col("bucket") && expr("startswith(term, prefix)"))
       .select("qid", "prefix", "term")
+      .distinct()
   }
 
   def prefixSearchIndexed(s: SparkSession, dir: String,

@@ -156,6 +156,33 @@ class SearchSpec extends SparkSuite {
       "indexed prefix search must not re-tokenize the corpus")
   }
 
+  test("prefix-dictionary insert: touched-pfx replacement equals a " +
+      "rebuild and absorbs a redelivered batch") {
+    val docs = Tables.documents(spark, sf)
+    val half1 = docs.where(col("doc_id") % 2 === 0)
+    val half2 = docs.where(col("doc_id") % 2 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "pfxins")
+    val inc = root.resolve("inc").toString
+    val full = root.resolve("full").toString
+    try {
+      Search.prefixDictBuild(spark, half1, inc)
+      Search.prefixDictInsert(spark, inc, half2)
+      Search.prefixDictBuild(spark, docs, full)
+      def rows(p: String) = spark.read.parquet(p)
+        .select("doc_id", "term", "pfx").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val merged = rows(inc)
+      assert(merged == rows(full) && merged.nonEmpty)
+      // redelivery: the same batch applied again changes nothing
+      // (doc-granular anti-join replacement, not count merging)
+      Search.prefixDictInsert(spark, inc, half2)
+      assert(rows(inc) == merged)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
+    }
+  }
+
   test("postings insert: touched-bucket merge equals a full rebuild") {
     val docs = Tables.documents(spark, sf)
     val half1 = docs.where(col("doc_id") % 2 === 0)
