@@ -183,6 +183,43 @@ class SearchSpec extends SparkSuite {
     }
   }
 
+  test("streamed prefix-dictionary maintenance equals a full rebuild") {
+    import graft.streaming.PrefixDictMaintenance
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "pfxstream")
+    val idx = root.resolve("idx").toString
+    val full = root.resolve("full").toString
+    val ckpt = root.resolve("ckpt").toString
+    try {
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      val boot = docs.where(col("doc_id") % 2 === 0)
+      val tail = docs.where(col("doc_id") % 2 =!= 0)
+        .as[(Long, String)].collect()
+      Search.prefixDictBuild(spark, boot, idx)
+      val stream = MemoryStream[(Long, String)]
+      val q = PrefixDictMaintenance.attach(
+        stream.toDF().toDF("doc_id", "text"), idx, ckpt)
+      try {
+        tail.grouped(math.max(tail.length / 3, 1)).foreach { w =>
+          stream.addData(w.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      Search.prefixDictBuild(spark, docs, full)
+      def rows(p: String) = spark.read.parquet(p)
+        .select("doc_id", "term", "pfx").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows(idx) == rows(full),
+        "stream-maintained prefix dictionary drifted from a rebuild")
+      assert(rows(idx).nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(root.toFile).deleteRecursively()
+    }
+  }
+
   test("postings insert: touched-bucket merge equals a full rebuild") {
     val docs = Tables.documents(spark, sf)
     val half1 = docs.where(col("doc_id") % 2 === 0)
