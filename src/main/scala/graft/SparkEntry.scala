@@ -264,6 +264,7 @@ object SparkEntry {
     "events_page_hinkley" -> ((s, d) => Analytics.eventsPageHinkley(s, d)),
     "events_fano" -> (Analytics.eventsFano _),
     "events_forecast_holt" -> (Analytics.eventsForecastHolt _),
+    "events_next_pred" -> (Analytics.eventsNextPred _),
     "events_peak_concurrency" -> ((s, d) =>
       Analytics.eventsPeakConcurrency(s, d)),
     "embed_twonn_dim" -> (Ann.twoNnDim _),
@@ -3893,6 +3894,46 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // first-order Markov next-event baseline: transitions learned on
+    // the first calendar half, graded on pairs wholly inside the
+    // second (lag partitioned by (user, split) — no straddling pair)
+    "events_next_pred" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, event_type,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS d
+        |      FROM events),
+        |bn AS (SELECT (min(d) + max(d)) // 2 AS mid FROM ev),
+        |tg AS (SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN d < bn.mid THEN 'train' ELSE 'eval' END
+        |           AS split
+        |       FROM ev, bn),
+        |p AS (SELECT split, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id, split
+        |          ORDER BY ts, event_id) AS prev
+        |      FROM tg),
+        |pr AS (SELECT split, prev, event_type FROM p
+        |       WHERE prev IS NOT NULL),
+        |tr AS (SELECT prev, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM pr WHERE split = 'train' GROUP BY 1, 2),
+        |md AS (SELECT prev, event_type AS predicted_next, cnt FROM (
+        |         SELECT prev, event_type, cnt,
+        |           row_number() OVER (PARTITION BY prev
+        |             ORDER BY cnt DESC, event_type) AS rn
+        |         FROM tr) WHERE rn = 1),
+        |nt AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS n_train
+        |       FROM tr GROUP BY 1),
+        |ea AS (SELECT pr.prev, CAST(count(*) AS BIGINT) AS n_eval,
+        |         CAST(sum(CASE WHEN pr.event_type = md.predicted_next
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |       FROM pr JOIN md ON pr.prev = md.prev
+        |       WHERE pr.split = 'eval' GROUP BY 1)
+        |SELECT md.prev, nt.n_train, md.predicted_next,
+        |       ea.n_eval, ea.n_correct,
+        |       round(CAST(ea.n_correct AS DOUBLE) / ea.n_eval, 4)
+        |         AS accuracy
+        |FROM md JOIN nt ON md.prev = nt.prev
+        |JOIN ea ON md.prev = ea.prev
+        |ORDER BY md.prev""".stripMargin,
     // truncated Holt: the per-day window fold unrolls as a recursive
     // CTE stepping through the ≤14-element window list; micro-unit
     // integer recursion with truncating // ≡ Spark div ≡ Scala Long./

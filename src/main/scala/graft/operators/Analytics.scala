@@ -2800,6 +2800,55 @@ object Analytics {
       .select("event_type", "d", "n", "ph")
   }
 
+  /** NEXT-EVENT PREDICTION with an honest train/eval split — the
+    * first-order Markov baseline every sequence model is graded
+    * against: transitions learned on the FIRST half of the calendar
+    * (argmax next-type per current type, ties to the lexicographic
+    * smallest), accuracy measured on transitions wholly inside the
+    * SECOND half (pairs never straddle the split: the lag window
+    * partitions by (user, split), so a boundary pair exists in
+    * neither side — the leakage rule decontam enforces for corpora,
+    * applied to time). All counts exact integers off one scan + one
+    * (user, split)-keyed window; the model table is event-type²
+    * rows; accuracy is one division per type.
+    */
+  def eventsNextPred(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts"), col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val bounds = ev.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(col("d") < col("mid"), "train").otherwise("eval"))
+    val w = Window.partitionBy("user_id", "split").orderBy("ts", "event_id")
+    val pairs = tagged
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .where(col("prev").isNotNull)
+      .select("split", "prev", "event_type")
+    val train = pairs.where(col("split") === "train")
+      .groupBy("prev", "event_type").agg(count(lit(1)).as("cnt"))
+    val mw = Window.partitionBy("prev")
+      .orderBy(col("cnt").desc, col("event_type"))
+    val model = train
+      .withColumn("rn", row_number().over(mw)).where(col("rn") === 1)
+      .select(col("prev"),
+        col("event_type").as("predicted_next"), col("cnt"))
+    val nTrain = train.groupBy("prev").agg(sum("cnt").as("n_train"))
+    val evalAcc = pairs.where(col("split") === "eval")
+      .join(model.select("prev", "predicted_next"), "prev")
+      .groupBy("prev")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("event_type") === col("predicted_next"), 1L)
+          .otherwise(0L)).as("n_correct"))
+    model.join(nTrain, "prev").join(evalAcc, "prev")
+      .select(col("prev"), col("n_train"), col("predicted_next"),
+        col("n_eval"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_eval"), 4)
+          .as("accuracy"))
+      .orderBy("prev")
+  }
+
   /** TRUNCATED HOLT (double-exponential) SMOOTHER per event type —
     * level + trend, the one-step-ahead forecaster that beats the
     * naive and EWMA baselines when a series is drifting: α=1/2,
