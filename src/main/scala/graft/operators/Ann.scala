@@ -1095,14 +1095,11 @@ object Ann {
     // same self-overwrite discipline as publishTouchedCells: the
     // replacement reads files the dynamic overwrite deletes
     val replacement = keep.unionByName(recomputed).localCheckpoint(true)
-    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try replacement.write.mode("overwrite")
+    // writer-scoped overwrite mode (the AggTable r10-advice fix):
+    // a session-global flip races with concurrent writers
+    replacement.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(graphPath)
-    finally prevMode match {
-      case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
     // a cell every node moved out of would keep stale rows: dynamic
     // overwrite only replaces partitions present in the written data
     val written = replacement.select("cell").distinct().collect()
@@ -1171,14 +1168,11 @@ object Ann {
       .select(col("qid"), col("rk"), col("nn_id"), col("score"),
         col("cell").cast("long").as("cell"))
     val replacement = keep.unionByName(recomputed).localCheckpoint(true)
-    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try replacement.write.mode("overwrite")
+    // writer-scoped overwrite mode (the AggTable r10-advice fix):
+    // a session-global flip races with concurrent writers
+    replacement.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(graphPath)
-    finally prevMode match {
-      case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
     val written = replacement.select("cell").distinct().collect()
       .map(_.getLong(0)).toSet
     affCells.filterNot(written).foreach { c =>
@@ -1773,14 +1767,11 @@ object Ann {
                           replacement: DataFrame,
                           affPairs: Seq[(Int, Long)],
                           fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try replacement.write.mode("overwrite")
+    // writer-scoped overwrite mode (the AggTable r10-advice fix):
+    // a session-global flip races with concurrent writers
+    replacement.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("layer", "cell").parquet(hnswPath)
-    finally prevMode match {
-      case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
     val written = replacement.select("layer", "cell").distinct().collect()
       .map(r => (r.getInt(0), r.getLong(1))).toSet
     affPairs.distinct.filterNot(written).foreach { case (l, c) =>

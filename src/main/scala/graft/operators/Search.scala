@@ -417,17 +417,11 @@ object Search {
   private def publishTouchedBuckets(s: SparkSession, path: String,
                                     replacementRows: DataFrame): DataFrame = {
     val replacement = replacementRows.localCheckpoint(true)
-    val prevMode =
-      s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try replacement.write.mode("overwrite").partitionBy("bucket")
-      .parquet(path)
-    finally prevMode match {
-      case Some(m) =>
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None =>
-        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // writer-scoped overwrite mode (the AggTable r10-advice fix):
+    // a session-global flip races with concurrent writers
+    replacement.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
     replacement
   }
 
@@ -943,19 +937,14 @@ object Search {
       .join(broadcast(batch.select("doc_id").distinct()),
         Seq("doc_id"), "left_anti")
       .select("doc_id", "t", "dk", "bk")
-    val replacement = survivors
+    // overwrite mode scoped on the WRITER (the AggTable r10-advice
+    // fix): a session-global flip races with concurrent writers
+    survivors
       .unionByName(batch.select("doc_id", "t", "dk", "bk"))
       .localCheckpoint(true)
-    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try replacement.write.mode("overwrite")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bk").parquet(path)
-    finally prevMode match {
-      case Some(m) =>
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None =>
-        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
   }
 
   private def spellIdxPath(s: SparkSession, dir: String): String = {

@@ -30,14 +30,11 @@ object TablePublish {
                      touched: Array[Long],
                      replacementRows: DataFrame): Unit = {
     val replacement = replacementRows.localCheckpoint(true)
-    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      replacement.write.mode("overwrite").partitionBy(part).parquet(path)
-    } finally prevMode match {
-      case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // writer-scoped overwrite mode (the AggTable r10-advice fix):
+    // a session-global flip races with concurrent writers
+    replacement.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(part).parquet(path)
     val written = replacement
       .select(org.apache.spark.sql.functions.col(part).cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet

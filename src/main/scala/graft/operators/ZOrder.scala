@@ -83,18 +83,6 @@ object ZOrder {
       .repartitionByRange(files, col("zk")).sortWithinPartitions("zk")
       .drop("zk")
 
-  /** Run `write` under dynamic partition overwrite (replace only the
-    * partitions the frame carries), restoring the session conf.
-    */
-  private def dynamicOverwrite(s: SparkSession)(write: => Unit): Unit = {
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try write
-    finally prev match {
-      case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
 
   /** Stats rows for one generation's data files, tagged with the
     * generation (so sidecar writes replace per-generation too).
@@ -149,17 +137,19 @@ object ZOrder {
       val st = s.read.parquet(statsPath(path))
       val b = st.agg(min("u_min"), max("u_max"), min("d_min"), max("d_max"))
         .collect().head
-      dynamicOverwrite(s) {
-        zsorted(withDay(batch), math.max(Files / 4, 2), b.getLong(0),
-            b.getLong(1), b.getLong(2), b.getLong(3))
-          .withColumn("gen", lit(gen))
-          .write.mode("overwrite").partitionBy("gen").parquet(path)
-      }
-      dynamicOverwrite(s) {
-        statsForGen(s, path, gen)
-          .coalesce(1).write.mode("overwrite").partitionBy("gen")
-          .parquet(statsPath(path))
-      }
+      // writer-scoped overwrite mode (the AggTable r10-advice fix):
+      // a session-global flip races with concurrent writers
+      zsorted(withDay(batch), math.max(Files / 4, 2), b.getLong(0),
+          b.getLong(1), b.getLong(2), b.getLong(3))
+        .withColumn("gen", lit(gen))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen").parquet(path)
+      statsForGen(s, path, gen)
+        .coalesce(1).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen")
+        .parquet(statsPath(path))
     }
   }
 
