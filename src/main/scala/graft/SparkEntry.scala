@@ -265,6 +265,7 @@ object SparkEntry {
     "events_fano" -> (Analytics.eventsFano _),
     "events_forecast_holt" -> (Analytics.eventsForecastHolt _),
     "events_next_pred" -> (Analytics.eventsNextPred _),
+    "events_health_dashboard" -> (Analytics.eventsHealthDashboard _),
     "events_peak_concurrency" -> ((s, d) =>
       Analytics.eventsPeakConcurrency(s, d)),
     "embed_twonn_dim" -> (Ann.twoNnDim _),
@@ -1234,7 +1235,28 @@ object SparkEntry {
        |ORDER BY qid, rk""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** The health-dashboard capstone composes five member oracles as
+    * subqueries of the SAME strings the members register — the
+    * composition cannot drift from its parts by construction.
+    */
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    def sub(n: String) = s"(${base(n)})"
+    base + ("events_health_dashboard" ->
+      s"""SELECT f.event_type, f.n_days, m.n AS n_events, f.mean_daily,
+         |       f.fano, m.skewness, m.kurtosis, p.max_ph, p.n_alarms,
+         |       k.ks_stat, w.z AS mw_z
+         |FROM ${sub("events_fano")} f
+         |JOIN ${sub("events_moments")} m ON f.event_type = m.event_type
+         |JOIN ${sub("events_page_hinkley")} p
+         |  ON f.event_type = p.event_type
+         |JOIN ${sub("events_ks_test")} k ON f.event_type = k.event_type
+         |JOIN ${sub("events_mann_whitney")} w
+         |  ON f.event_type = w.event_type
+         |ORDER BY f.event_type""".stripMargin)
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     // flat PQ (Pq.pqSearchWith, k=10 rerank=4): LUT-ADC shortlist of
     // 40 per query (per-(sub, codeword) squared partials, summed
     // across subspaces in sub order — the VecL2PqLut fold), exact

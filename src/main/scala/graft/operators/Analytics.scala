@@ -2800,6 +2800,38 @@ object Analytics {
       .select("event_type", "d", "n", "ph")
   }
 
+  /** EVENTS HEALTH DASHBOARD — the third capstone: one wide row per
+    * event type joining the five r11 statistical monitors (Fano
+    * burstiness, skew/kurtosis tail shape, Page–Hinkley drift
+    * alarms, KS whole-shape divergence, Mann–Whitney rank shift) —
+    * the single table an on-call analyst reads before drilling in.
+    * Pure composition: each member is its own oracled plan; the
+    * joins are k-row (event-type-sized), so the dashboard costs the
+    * five scans its members already cost, nothing more. The oracle
+    * composes the SAME five member oracle strings as subqueries —
+    * drift-proof by construction.
+    */
+  def eventsHealthDashboard(s: SparkSession, dir: String): DataFrame = {
+    val f = eventsFano(s, dir)
+      .select(col("event_type"), col("n_days"), col("mean_daily"),
+        col("fano"))
+    val m = eventsMoments(s, dir)
+      .select(col("event_type"), col("n").as("n_events"),
+        col("skewness"), col("kurtosis"))
+    val p = eventsPageHinkley(s, dir)
+      .select(col("event_type"), col("max_ph"), col("n_alarms"))
+    val k = eventsKsTest(s, dir)
+      .select(col("event_type"), col("ks_stat"))
+    val w = eventsMannWhitney(s, dir)
+      .select(col("event_type"), col("z").as("mw_z"))
+    f.join(m, "event_type").join(p, "event_type")
+      .join(k, "event_type").join(w, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("mean_daily"), col("fano"), col("skewness"), col("kurtosis"),
+        col("max_ph"), col("n_alarms"), col("ks_stat"), col("mw_z"))
+      .orderBy("event_type")
+  }
+
   /** NEXT-EVENT PREDICTION with an honest train/eval split — the
     * first-order Markov baseline every sequence model is graded
     * against: transitions learned on the FIRST half of the calendar
