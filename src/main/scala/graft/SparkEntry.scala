@@ -43,6 +43,9 @@ object SparkEntry {
       Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.L1)),
     "vdb_knn_flat_linf" -> ((s, d) =>
       Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.Linf)),
+    "vdb_knn_recency_boost" -> ((s, d) =>
+      Knn.topKRecencyBoosted(emb(s, d), qset(s, d), 10,
+        pmod(col("id"), lit(4L)))),
     "vdb_knn_cosine" -> ((s, d) =>
       Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.Cosine)),
     "vdb_knn_filtered_eq" -> ((s, d) =>
@@ -6066,6 +6069,27 @@ object SparkEntry {
     "vdb_knn_flat_ip" -> knnOracle("ip"),
     "vdb_knn_flat_l1" -> knnOracle("l1"),
     "vdb_knn_flat_linf" -> knnOracle("linf"),
+    // freshness decay: boosted = cos / 2^(id%4) — a power-of-two
+    // multiply only shifts the exponent, exact on both engines
+    "vdb_knn_recency_boost" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+        |          AS c,
+        |        e.vec_id % 4 AS bucket
+        |      FROM embeddings e CROSS JOIN q),
+        |s AS (SELECT qid, nn_id, c,
+        |        c / CAST(1::BIGINT << CAST(bucket AS INTEGER) AS DOUBLE)
+        |          AS dec
+        |      FROM d WHERE c IS NOT NULL),
+        |r AS (SELECT qid, nn_id, c, dec,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY dec DESC, nn_id) AS rk
+        |      FROM s)
+        |SELECT qid, rk, nn_id, round(c, 4) AS score,
+        |       round(dec, 4) AS boosted
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "vdb_knn_cosine" -> knnOracle("cos"),
     "vdb_knn_filtered_eq" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

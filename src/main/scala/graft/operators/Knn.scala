@@ -140,6 +140,49 @@ object Knn {
       .orderBy("qid", "nn_id")
   }
 
+  /** RECENCY-BOOSTED SEARCH — the freshness option production vector
+    * stores expose (rank stale matches below fresh ones without
+    * dropping them): boosted = cosine / 2^age_bucket. The decay
+    * weight is a POWER OF TWO on purpose — multiplying a double by
+    * 2⁻ᵇ only decrements the exponent (exact, no rounding), so the
+    * boosted score is bit-deterministic on both engines where an
+    * exp(−λ·age) would be a libm call with no contract. Same
+    * broadcast + fused-kernel + bounded-heap anatomy as [[topK]];
+    * the raw cosine of each winner is re-derived from the exact
+    * boosted key by the inverse shift — zero extra scans.
+    */
+  def topKRecencyBoosted(data: DataFrame, queries: DataFrame, k: Int,
+                         ageBucket: org.apache.spark.sql.Column): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), col("qvec")))
+    val pairs = data.select(col("id"), col("vec"), ageBucket.as("bucket"))
+      .crossJoin(q)
+      .select(col("qid"), col("id"), col("bucket"),
+        VectorDistance.cosine(col("vec"), col("qvec")).as("c"))
+      .where(col("c").isNotNull)
+      // exact exponent shift; carry the bucket through the heap by
+      // re-deriving it from the id downstream is avoidable — encode
+      // nothing: boosted is the ranking key, raw = boosted · 2^bucket
+      .select(col("qid"), col("id"), col("bucket"),
+        (col("c") / expr("cast(shiftleft(1L, cast(bucket as int)) as double)"))
+          .as("boosted"))
+    val agg = TopKAgg.topK(k)
+    val top = pairs
+      .select(col("qid"), (-col("boosted")).as("key"), col("id"))
+      .groupBy("qid").agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"), (-col("col.key")).as("boosted"))
+    // Q×k winners re-join their bucket to invert the exact shift
+    top.join(data.select(col("id").as("nn_id"), ageBucket.as("bucket")),
+        "nn_id")
+      .select(col("qid"), col("rk"), col("nn_id"),
+        round(col("boosted")
+          * expr("cast(shiftleft(1L, cast(bucket as int)) as double)"), 4)
+          .as("score"),
+        round(col("boosted"), 4).as("boosted"))
+      .orderBy("qid", "rk")
+  }
+
   /** Matryoshka (MRL) prefix-dimension search — the dimension-
     * truncation rung of the quantization ladder (SQ8 shrinks bytes
     * per dim, PQ/BQ shrink to codes; MRL drops dims entirely, the
