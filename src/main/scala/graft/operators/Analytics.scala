@@ -2773,7 +2773,16 @@ object Analytics {
     * spec-pinned bit-equal to.
     */
   def pageHinkleySeries(s: SparkSession, dir: String,
-                        deltaEvents: Long = 2L): DataFrame = {
+                        deltaEvents: Long = 2L): DataFrame =
+    // memoized: the health dashboard consumes it twice (Fano + PH)
+    // in one plan; day-grid-sized, so the checkpoint is ~free
+    graft.ByproductCache.getOrCompute(s.sparkContext.applicationId,
+      s"phseries|$dir|$deltaEvents") {
+      pageHinkleySeriesUncached(s, dir, deltaEvents).localCheckpoint(true)
+    }
+
+  private def pageHinkleySeriesUncached(s: SparkSession, dir: String,
+                                        deltaEvents: Long): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_type"),
       datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
         .cast("long").as("d"))
