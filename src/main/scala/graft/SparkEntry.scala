@@ -269,6 +269,7 @@ object SparkEntry {
     "events_forecast_holt" -> (Analytics.eventsForecastHolt _),
     "events_next_pred" -> (Analytics.eventsNextPred _),
     "events_health_dashboard" -> (Analytics.eventsHealthDashboard _),
+    "events_rolling_active" -> (Analytics.eventsRollingActive _),
     "events_peak_concurrency" -> ((s, d) =>
       Analytics.eventsPeakConcurrency(s, d)),
     "embed_twonn_dim" -> (Ann.twoNnDim _),
@@ -3919,6 +3920,49 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // rolling distinct actives: each (user, day) covers window-ends
+    // [day, min(day+W-1, next-1)] (clipped at the user's next
+    // activity so overlaps never double-count); rolling distinct =
+    // covering-interval count via the ±1 sweep
+    "events_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS d
+        |      FROM events),
+        |iv AS (SELECT user_id, d,
+        |         lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+        |       FROM ud),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+        |cal AS (SELECT unnest(generate_series(b.lo, b.hi)) AS d FROM b),
+        |w7 AS (SELECT t, CAST(sum(delta) AS BIGINT) AS dd FROM (
+        |         SELECT d AS t, 1 AS delta FROM iv
+        |         UNION ALL
+        |         SELECT least(d + 6, coalesce(nxt - 1, d + 6)) + 1, -1
+        |         FROM iv) GROUP BY 1),
+        |w30 AS (SELECT t, CAST(sum(delta) AS BIGINT) AS dd FROM (
+        |          SELECT d AS t, 1 AS delta FROM iv
+        |          UNION ALL
+        |          SELECT least(d + 29, coalesce(nxt - 1, d + 29)) + 1, -1
+        |          FROM iv) GROUP BY 1),
+        |r7 AS (SELECT cal.d, CAST(sum(coalesce(w7.dd, 0))
+        |         OVER (ORDER BY cal.d ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS wau7
+        |       FROM cal LEFT JOIN w7 ON cal.d = w7.t),
+        |r30 AS (SELECT cal.d, CAST(sum(coalesce(w30.dd, 0))
+        |          OVER (ORDER BY cal.d ROWS UNBOUNDED PRECEDING)
+        |          AS BIGINT) AS mau30
+        |        FROM cal LEFT JOIN w30 ON cal.d = w30.t),
+        |da AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+        |       FROM ud GROUP BY 1)
+        |SELECT CAST(DATE '1970-01-01' + CAST(cal.d AS INTEGER)
+        |         AS VARCHAR) AS day,
+        |       coalesce(da.dau, 0) AS dau, r7.wau7, r30.mau30,
+        |       CASE WHEN r30.mau30 > 0
+        |            THEN round(CAST(coalesce(da.dau, 0) AS DOUBLE)
+        |              / r30.mau30, 4) END AS stickiness
+        |FROM cal LEFT JOIN da ON cal.d = da.d
+        |JOIN r7 ON cal.d = r7.d JOIN r30 ON cal.d = r30.d
+        |ORDER BY day""".stripMargin,
     // first-order Markov next-event baseline: transitions learned on
     // the first calendar half, graded on pairs wholly inside the
     // second (lag partitioned by (user, split) — no straddling pair)

@@ -2809,6 +2809,61 @@ object Analytics {
       .select("event_type", "d", "n", "ph")
   }
 
+  /** ROLLING ACTIVE USERS (DAU / trailing-7 WAU / trailing-30 MAU +
+    * DAU/MAU stickiness per day) — the growth dashboard's headline
+    * series. Rolling DISTINCT is the non-subtractable aggregate (a
+    * sliding window cannot retire a user who may appear again), so
+    * the naive form re-scans W days per day. Here each user's
+    * activity day covers window-ends [day, min(day+W−1, next−1)] —
+    * clipped at the user's NEXT activity so overlapping activities
+    * never double-count — and the per-day rolling distinct is the
+    * count of covering intervals: the ±1 boundary sweep again
+    * (events_peak_concurrency), running over the calendar-sized
+    * boundary table. One (user, day) distinct aggregate; per-user
+    * lead window on its own exchange; everything after is
+    * day-grid-sized.
+    */
+  def eventsRollingActive(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .distinct()
+      .localCheckpoint(true)
+    val wU = Window.partitionBy("user_id").orderBy("d")
+    val iv = ud.withColumn("nxt", lead("d", 1).over(wU))
+      .localCheckpoint(true)
+    val cal = ud.agg(min("d").as("lo"), max("d").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      .localCheckpoint(true)
+    val wCum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def rolling(w: Int, name: String): DataFrame = {
+      val endCap = least(col("d") + (w - 1),
+        coalesce(col("nxt") - 1, col("d") + (w - 1)))
+      val deltas = iv.select(col("d").as("t"), lit(1L).as("delta"))
+        .unionByName(iv.select((endCap + 1).as("t"), lit(-1L).as("delta")))
+        .groupBy("t").agg(sum("delta").as("dd"))
+      cal.join(deltas.withColumnRenamed("t", "d"), Seq("d"), "left")
+        .select(col("d"), coalesce(col("dd"), lit(0L)).as("dd"))
+        .withColumn(name, sum("dd").over(wCum))
+        .select("d", name)
+    }
+    val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+    cal.join(dau, Seq("d"), "left")
+      .select(col("d"), coalesce(col("dau"), lit(0L)).as("dau"))
+      .join(rolling(7, "wau7"), "d")
+      .join(rolling(30, "mau30"), "d")
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("d").cast("int"))
+          .cast("string").as("day"),
+        col("dau"), col("wau7"), col("mau30"),
+        when(col("mau30") > 0,
+          round(col("dau").cast("double") / col("mau30"), 4))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   /** EVENTS HEALTH DASHBOARD — the third capstone: one wide row per
     * event type joining the five r11 statistical monitors (Fano
     * burstiness, skew/kurtosis tail shape, Page–Hinkley drift
