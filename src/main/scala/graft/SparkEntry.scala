@@ -212,6 +212,7 @@ object SparkEntry {
     "text_ttr" -> (TextOps.lexicalDiversity _),
     "text_hapax" -> (TextOps.hapaxProfile _),
     "text_rake_keywords" -> ((s, d) => TextOps.rakeKeywords(s, d)),
+    "corpus_ngram_coverage" -> ((s, d) => TextOps.ngramCoverage(s, d)),
     "text_token_entropy" -> (TextOps.tokenEntropy _),
     "corpus_source_diversity" -> (TextOps.sourceDiversity _),
     "events_anova" -> (Analytics.eventsAnova _),
@@ -5726,6 +5727,42 @@ object SparkEntry {
         |       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
         |         AS DOUBLE) / sum(tf), 6) AS hapax_token_share
         |FROM g GROUP BY 1 ORDER BY source""".stripMargin,
+    // n-gram coverage of eval by train (doc_id%10 8/2 split): per n,
+    // distinct + occurrence-weighted coverage via one gram-keyed
+    // left join per n against the train distinct set
+    "corpus_ngram_coverage" -> {
+      def block(n: Int, gramList: String) =
+        s"""g$n AS (SELECT (doc_id % 10 < 8) AS is_train, g
+           |       FROM (SELECT doc_id, ws FROM w WHERE len(ws) >= $n),
+           |            unnest($gramList) AS t(g)),
+           |tr$n AS (SELECT DISTINCT g FROM g$n WHERE is_train),
+           |ev$n AS (SELECT g, CAST(count(*) AS BIGINT) AS occ
+           |        FROM g$n WHERE NOT is_train GROUP BY 1),
+           |s$n AS (SELECT CAST($n AS BIGINT) AS n,
+           |         CAST(count(*) AS BIGINT) AS eval_distinct,
+           |         CAST(sum(CASE WHEN tr$n.g IS NOT NULL THEN 1
+           |           ELSE 0 END) AS BIGINT) AS covered_distinct,
+           |         CAST(sum(ev$n.occ) AS BIGINT) AS eval_occ,
+           |         CAST(sum(CASE WHEN tr$n.g IS NOT NULL THEN ev$n.occ
+           |           ELSE 0 END) AS BIGINT) AS covered_occ
+           |       FROM ev$n LEFT JOIN tr$n ON ev$n.g = tr$n.g)""".stripMargin
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |${block(1, "ws")},
+         |${block(2, "list_transform(range(1, len(ws)), " +
+            "i -> ws[i] || ' ' || ws[i+1])")},
+         |${block(3, "list_transform(range(1, len(ws) - 1), " +
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])")},
+         |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |      UNION ALL SELECT * FROM s3)
+         |SELECT n, eval_distinct, covered_distinct,
+         |       round(CAST(covered_distinct AS DOUBLE) / eval_distinct,
+         |         6) AS distinct_coverage,
+         |       eval_occ, covered_occ,
+         |       round(CAST(covered_occ AS DOUBLE) / eval_occ, 6)
+         |         AS occ_coverage
+         |FROM u ORDER BY n""".stripMargin
+    },
     // RAKE: phrase id = running stopword count; word score =
     // truncating (deg·10⁴)//freq fixed-point so phrase scores and
     // the top-k rank are all-integer; phrase string reassembled in

@@ -1288,6 +1288,53 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** N-GRAM COVERAGE of the eval split by the train split — the
+    * acquisition-side complement of decontamination: decontam asks
+    * "did eval leak INTO train?", coverage asks "how much of eval's
+    * surface does train already carry?" (a high-coverage eval split
+    * measures memorization, not generalization; published eval-suite
+    * audits report exactly this). Per n ∈ {1,2,3}: the fraction of
+    * eval's DISTINCT n-grams present anywhere in train, and the
+    * token-weighted fraction (occurrences covered). Split is the
+    * deterministic doc_id mod 10 (8/2). Each n is one corpus pass;
+    * the join keys on the gram — a corpus-growing key space — and
+    * the train side is a distinct set, never positional.
+    */
+  def ngramCoverage(s: SparkSession, dir: String,
+                    ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select((col("doc_id") % 10 < 8).as("is_train"),
+        split(col("text"), " ").as("ws"))
+      .localCheckpoint(true)
+    val frames = ns.map { n =>
+      val grams = docs.where(size(col("ws")) >= n)
+        .select(col("is_train"), explode(expr(
+          s"transform(sequence(0, size(ws) - $n), " +
+            s"i -> concat_ws(' ', slice(ws, i + 1, $n)))")).as("g"))
+      val tr = grams.where(col("is_train")).select("g").distinct()
+        .withColumn("cov", lit(1L))
+      val ev = grams.where(!col("is_train"))
+        .groupBy("g").agg(count(lit(1)).as("occ"))
+      ev.join(tr, Seq("g"), "left")
+        .agg(count(lit(1)).as("eval_distinct"),
+          sum(when(col("cov").isNotNull, 1L).otherwise(0L))
+            .as("covered_distinct"),
+          sum("occ").as("eval_occ"),
+          sum(when(col("cov").isNotNull, col("occ")).otherwise(0L))
+            .as("covered_occ"))
+        .select(lit(n.toLong).as("n"), col("eval_distinct"),
+          col("covered_distinct"), col("eval_occ"), col("covered_occ"))
+    }
+    frames.reduce(_ unionByName _)
+      .select(col("n"), col("eval_distinct"), col("covered_distinct"),
+        round(col("covered_distinct").cast("double")
+          / col("eval_distinct"), 6).as("distinct_coverage"),
+        col("eval_occ"), col("covered_occ"),
+        round(col("covered_occ").cast("double") / col("eval_occ"), 6)
+          .as("occ_coverage"))
+      .orderBy("n")
+  }
+
   /** RAKE KEYPHRASE EXTRACTION (Rose et al. 2010 — the classic
     * unsupervised keyword harvester): candidate phrases are maximal
     * runs of non-stopword tokens (stopwords are the delimiters),
