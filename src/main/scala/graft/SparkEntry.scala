@@ -271,6 +271,9 @@ object SparkEntry {
     "events_next_pred" -> (Analytics.eventsNextPred _),
     "events_health_dashboard" -> (Analytics.eventsHealthDashboard _),
     "events_rolling_active" -> (Analytics.eventsRollingActive _),
+    "supplier_return_shrinkage" -> ((s, d) =>
+      Analytics.supplierReturnShrinkage(s, d)),
+    "part_seasonal_index" -> (Analytics.partSeasonalIndex _),
     "events_peak_concurrency" -> ((s, d) =>
       Analytics.eventsPeakConcurrency(s, d)),
     "embed_twonn_dim" -> (Ann.twoNnDim _),
@@ -3921,6 +3924,33 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // Beta(20,80) pseudo-count shrinkage: one exact-integer division
+    "supplier_return_shrinkage" ->
+      """WITH g AS (SELECT l_suppkey AS s_suppkey,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+        |               ELSE 0 END) AS BIGINT) AS returned
+        |           FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, n, returned,
+        |       round(CAST(returned AS DOUBLE) / n, 6) AS raw_rate,
+        |       round(CAST(returned + 20 AS DOUBLE) / (n + 100), 6)
+        |         AS shrunk_rate
+        |FROM g ORDER BY shrunk_rate DESC, s_suppkey LIMIT 20""".stripMargin,
+    // 12*q_month/q_annual per brand: exact integer quantities
+    "part_seasonal_index" ->
+      """WITH g AS (SELECT p.p_brand,
+        |        CAST(month(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS m,
+        |        CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+        |          AS qty
+        |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |      GROUP BY 1, 2),
+        |t AS (SELECT p_brand, CAST(sum(qty) AS BIGINT) AS q_total
+        |      FROM g GROUP BY 1)
+        |SELECT g.p_brand, g.m, g.qty,
+        |       round(CAST(g.qty AS DOUBLE) * 12.0
+        |         / CAST(t.q_total AS DOUBLE), 4) AS seasonal_index
+        |FROM g JOIN t ON g.p_brand = t.p_brand
+        |ORDER BY g.p_brand, g.m""".stripMargin,
     // rolling distinct actives: each (user, day) covers window-ends
     // [day, min(day+W-1, next-1)] (clipped at the user's next
     // activity so overlaps never double-count); rolling distinct =

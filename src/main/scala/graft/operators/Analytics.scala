@@ -2809,6 +2809,56 @@ object Analytics {
       .select("event_type", "d", "n", "ph")
   }
 
+  /** EMPIRICAL-BAYES SHRUNK RETURN RATES per supplier — the
+    * small-sample-honest ranking beside supplier_wilson's bound: a
+    * 2-of-3-returned supplier must not outrank a 200-of-600 one, so
+    * each raw rate shrinks toward the prior with a Beta(α=20, β=80)
+    * pseudo-count (the global ~20% return prior as 100 pseudo-obs):
+    * rate* = (x+α)/(n+α+β) — ONE division of exact integers, no
+    * iteration, identical doubles on both engines. The reranking
+    * delta (shrunk vs raw rank) is the audit column. One fact
+    * aggregate, supplier-sized output.
+    */
+  def supplierReturnShrinkage(s: SparkSession, dir: String,
+                              alpha: Long = 20L,
+                              beta: Long = 80L): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("returned"))
+    g.select(col("s_suppkey"), col("n"), col("returned"),
+        round(col("returned").cast("double") / col("n"), 6)
+          .as("raw_rate"),
+        round((col("returned") + lit(alpha)).cast("double")
+          / (col("n") + lit(alpha + beta)), 6).as("shrunk_rate"))
+      .orderBy(col("shrunk_rate").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** MONTHLY DEMAND SEASONAL INDEX per brand — the inventory
+    * planner's calendar profile (index 1.0 = an average month;
+    * Christmas brands spike Q4): per (brand, month-of-year), share
+    * of the brand's annual quantity vs the uniform 1/12 — index =
+    * 12·q_month/q_total, exact integer quantities, one division.
+    * One lineitem⋈part pass, (brand, month) aggregate.
+    */
+  def partSeasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        month(col("l_shipdate").cast("date")).cast("long").as("m"))
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "m")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val tot = Window.partitionBy("p_brand")
+    g.withColumn("q_total", sum("qty").over(tot))
+      .select(col("p_brand"), col("m"), col("qty"),
+        round(col("qty").cast("double") * 12.0
+          / col("q_total").cast("double"), 4).as("seasonal_index"))
+      .orderBy("p_brand", "m")
+  }
+
   /** ROLLING ACTIVE USERS (DAU / trailing-7 WAU / trailing-30 MAU +
     * DAU/MAU stickiness per day) — the growth dashboard's headline
     * series. Rolling DISTINCT is the non-subtractable aggregate (a
