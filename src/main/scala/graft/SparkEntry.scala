@@ -268,6 +268,7 @@ object SparkEntry {
     "events_page_hinkley" -> ((s, d) => Analytics.eventsPageHinkley(s, d)),
     "events_fano" -> (Analytics.eventsFano _),
     "events_forecast_holt" -> (Analytics.eventsForecastHolt _),
+    "events_forecast_eval" -> (Analytics.eventsForecastEval _),
     "events_next_pred" -> (Analytics.eventsNextPred _),
     "events_health_dashboard" -> (Analytics.eventsHealthDashboard _),
     "events_rolling_active" -> (Analytics.eventsRollingActive _),
@@ -1180,6 +1181,35 @@ object SparkEntry {
     * shared by the on-the-fly and persisted-index forms, which are
     * equal by construction (SearchSpec pins it).
     */
+  /** Truncated-Holt recursive chain ending in `f` (event_type, d,
+    * l, b) with `dense` (the zero-filled daily grid) alive — shared
+    * by the forecast surface and the head-to-head backtest so the
+    * recursion cannot drift. Interpolated into outer stripMargin
+    * strings: no continuation line starts with '|'.
+    */
+  private val holtCtes: String = Seq(
+    "ev AS (SELECT event_type, CAST(ts AS DATE) - DATE '1970-01-01' " +
+      "AS d FROM events)",
+    "b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev)",
+    "cal AS (SELECT unnest(range(lo, hi + 1)) AS d FROM b)",
+    "ty AS (SELECT DISTINCT event_type FROM ev)",
+    "daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n " +
+      "FROM ev GROUP BY 1, 2)",
+    "dense AS (SELECT ty.event_type, cal.d, coalesce(daily.n, 0) AS n " +
+      "FROM ty CROSS JOIN cal LEFT JOIN daily " +
+      "ON daily.event_type = ty.event_type AND daily.d = cal.d)",
+    "w AS (SELECT a.event_type, a.d, list(r.n ORDER BY r.d) AS ws " +
+      "FROM dense a JOIN dense r ON a.event_type = r.event_type " +
+      "AND r.d BETWEEN a.d - 13 AND a.d GROUP BY 1, 2)",
+    "rec AS (SELECT event_type, d, ws, 2 AS step, " +
+      "ws[1] * 1000000 AS l, CAST(0 AS BIGINT) AS b FROM w " +
+      "UNION ALL SELECT event_type, d, ws, step + 1, " +
+      "(ws[step] * 1000000 + l + b + 1) // 2, " +
+      "(((ws[step] * 1000000 + l + b + 1) // 2) - l + 3 * b + 2) // 4 " +
+      "FROM rec WHERE step <= len(ws))",
+    "f AS (SELECT event_type, d, l, b FROM rec WHERE step = len(ws) + 1)"
+  ).mkString(",\n")
+
   /** Wildcard/prefix retrieval — shared by the on-the-fly and the
     * persisted-dictionary twins so the two cannot drift.
     */
@@ -4038,42 +4068,46 @@ object SparkEntry {
     // CTE stepping through the ≤14-element window list; micro-unit
     // integer recursion with truncating // ≡ Spark div ≡ Scala Long./
     "events_forecast_holt" ->
-      """WITH RECURSIVE ev AS (SELECT event_type,
-        |              CAST(ts AS DATE) - DATE '1970-01-01' AS d
-        |            FROM events),
-        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
-        |cal AS (SELECT unnest(range(lo, hi + 1)) AS d FROM b),
-        |ty AS (SELECT DISTINCT event_type FROM ev),
-        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
-        |          FROM ev GROUP BY 1, 2),
-        |dense AS (SELECT ty.event_type, cal.d,
-        |            coalesce(daily.n, 0) AS n
-        |          FROM ty CROSS JOIN cal
-        |          LEFT JOIN daily ON daily.event_type = ty.event_type
-        |                         AND daily.d = cal.d),
-        |w AS (SELECT a.event_type, a.d, list(r.n ORDER BY r.d) AS ws
-        |      FROM dense a JOIN dense r ON a.event_type = r.event_type
-        |        AND r.d BETWEEN a.d - 13 AND a.d
-        |      GROUP BY 1, 2),
-        |rec AS (
-        |  SELECT event_type, d, ws, 2 AS step,
-        |         ws[1] * 1000000 AS l, CAST(0 AS BIGINT) AS b
-        |  FROM w
-        |  UNION ALL
-        |  SELECT event_type, d, ws, step + 1,
-        |         (ws[step] * 1000000 + l + b + 1) // 2,
-        |         (((ws[step] * 1000000 + l + b + 1) // 2) - l
-        |          + 3 * b + 2) // 4
-        |  FROM rec WHERE step <= len(ws)),
-        |f AS (SELECT event_type, d, l, b FROM rec
-        |      WHERE step = len(ws) + 1)
-        |SELECT event_type,
-        |       CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS VARCHAR)
-        |         AS day,
-        |       round(CAST(l AS DOUBLE) / 1000000.0, 4) AS level,
-        |       round(CAST(b AS DOUBLE) / 1000000.0, 4) AS trend,
-        |       round(CAST(l + b AS DOUBLE) / 1000000.0, 4) AS forecast1
-        |FROM f ORDER BY event_type, day""".stripMargin,
+      s"""WITH RECURSIVE $holtCtes
+         |SELECT event_type,
+         |       CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS VARCHAR)
+         |         AS day,
+         |       round(CAST(l AS DOUBLE) / 1000000.0, 4) AS level,
+         |       round(CAST(b AS DOUBLE) / 1000000.0, 4) AS trend,
+         |       round(CAST(l + b AS DOUBLE) / 1000000.0, 4) AS forecast1
+         |FROM f ORDER BY event_type, day""".stripMargin,
+    // head-to-head backtest over the SAME Holt chain: one-step-ahead
+    // = previous day's l+b (lag), naive = n seven days back; errors
+    // exact micro-unit integers, winner an integer comparison
+    "events_forecast_eval" ->
+      s"""WITH RECURSIVE $holtCtes,
+         |g AS (SELECT f.event_type, f.d, dense.n, f.l + f.b AS fc
+         |      FROM f JOIN dense ON f.event_type = dense.event_type
+         |                       AND f.d = dense.d),
+         |h AS (SELECT event_type, d, n,
+         |        lag(fc) OVER (PARTITION BY event_type ORDER BY d)
+         |          AS holt_pred,
+         |        lag(n, 7) OVER (PARTITION BY event_type ORDER BY d)
+         |          AS naive_pred
+         |      FROM g),
+         |e AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |        CAST(sum(abs(n * 1000000 - holt_pred)) AS BIGINT)
+         |          AS holt_err,
+         |        CAST(sum(abs(n - naive_pred) * 1000000) AS BIGINT)
+         |          AS naive_err,
+         |        CAST(sum(n * 1000000) AS BIGINT) AS actual
+         |      FROM h
+         |      WHERE holt_pred IS NOT NULL AND naive_pred IS NOT NULL
+         |      GROUP BY 1)
+         |SELECT event_type, n_days,
+         |       round(CAST(naive_err AS DOUBLE) / actual, 6)
+         |         AS wape_naive,
+         |       round(CAST(holt_err AS DOUBLE) / actual, 6)
+         |         AS wape_holt,
+         |       CASE WHEN holt_err < naive_err THEN 'holt'
+         |            WHEN holt_err > naive_err THEN 'naive'
+         |            ELSE 'tie' END AS winner
+         |FROM e WHERE actual > 0 ORDER BY event_type""".stripMargin,
     // boundary sweep over sessionized intervals (+1 start, -1 end+1);
     // the oracle affords the single global running sum the Spark
     // plan decomposes through day bands

@@ -3010,28 +3010,42 @@ object Analytics {
     * banded self-join; the per-day fold runs as a codegen'd
     * higher-order `aggregate` over the ≤14-element window array.
     */
+  /** The per-day Holt state series (event_type, d, n, st{l, b}) —
+    * shared by the forecast surface and the head-to-head backtest,
+    * memoized like the Page–Hinkley series.
+    */
+  private def holtSeries(s: SparkSession, dir: String): DataFrame =
+    graft.ByproductCache.getOrCompute(s.sparkContext.applicationId,
+      s"holtseries|$dir") {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      val daily = ev.groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+      val meta = ev.agg(min("d").as("lo"), max("d").as("hi"),
+        collect_set("event_type").as("tys")).localCheckpoint(true)
+      val cal = meta.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      val grid = meta.select(explode(col("tys")).as("event_type"))
+        .crossJoin(cal)
+      val dense = grid.join(daily, Seq("event_type", "d"), "left")
+        .select(col("event_type"), col("d"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .localCheckpoint(true)
+      val rhs = dense.select(col("event_type"), col("d").as("j"),
+        col("n").as("nj"))
+      dense
+        .join(rhs, Seq("event_type"))
+        .where(col("j").between(col("d") - 13, col("d")))
+        .groupBy("event_type", "d")
+        .agg(first("n").as("n"),
+          expr("transform(sort_array(collect_list(struct(j, nj))), " +
+            "x -> x.nj)").as("ws"))
+        .withColumn("st", expr(HoltFoldSql))
+        .select("event_type", "d", "n", "st")
+        .localCheckpoint(true)
+    }
+
   def eventsForecastHolt(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("event_type"),
-      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
-        .cast("long").as("d"))
-    val daily = ev.groupBy("event_type", "d").agg(count(lit(1)).as("n"))
-    val meta = ev.agg(min("d").as("lo"), max("d").as("hi"),
-      collect_set("event_type").as("tys")).localCheckpoint(true)
-    val cal = meta.select(explode(sequence(col("lo"), col("hi"))).as("d"))
-    val grid = meta.select(explode(col("tys")).as("event_type"))
-      .crossJoin(cal)
-    val dense = grid.join(daily, Seq("event_type", "d"), "left")
-      .select(col("event_type"), col("d"),
-        coalesce(col("n"), lit(0L)).as("n"))
-      .localCheckpoint(true)
-    val rhs = dense.select(col("event_type"), col("d").as("j"), col("n"))
-    dense.select("event_type", "d")
-      .join(rhs, Seq("event_type"))
-      .where(col("j").between(col("d") - 13, col("d")))
-      .groupBy("event_type", "d")
-      .agg(expr("transform(sort_array(collect_list(struct(j, n))), " +
-        "x -> x.n)").as("ws"))
-      .withColumn("st", expr(HoltFoldSql))
+    holtSeries(s, dir)
       .select(col("event_type"),
         date_add(lit("1970-01-01").cast("date"), col("d").cast("int"))
           .cast("string").as("day"),
@@ -3040,6 +3054,43 @@ object Analytics {
         round((col("st.l") + col("st.b")).cast("double") / 1e6, 4)
           .as("forecast1"))
       .orderBy("event_type", "day")
+  }
+
+  /** FORECAST BACKTEST, HOLT vs SEASONAL-NAIVE head-to-head — the
+    * honest model-selection table (never ship a smoother without
+    * beating the naive baseline on the same days): for each day
+    * with both predictions defined, holt's one-step-ahead is the
+    * PREVIOUS day's level+trend (lag over the shared state series)
+    * and naive's is the count 7 days back; errors stay exact
+    * micro-unit integers (|n·10⁶ − (l+b)| and |n − n₋₇|·10⁶), WAPE
+    * is ONE division of exact longs per (type, model), and the
+    * winner column is an integer comparison — no float anywhere in
+    * the decision. Reuses the memoized Holt state series; one lag
+    * window beyond it.
+    */
+  def eventsForecastEval(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val sr = holtSeries(s, dir)
+      .withColumn("holt_pred",
+        lag(col("st.l") + col("st.b"), 1).over(w))
+      .withColumn("naive_pred", lag("n", 7).over(w))
+      .where(col("holt_pred").isNotNull && col("naive_pred").isNotNull)
+    sr.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") * 1000000L - col("holt_pred"))).as("holt_err"),
+        sum(abs(col("n") - col("naive_pred")) * 1000000L)
+          .as("naive_err"),
+        sum(col("n") * 1000000L).as("actual"))
+      .where(col("actual") > 0)
+      .select(col("event_type"), col("n_days"),
+        round(col("naive_err").cast("double") / col("actual"), 6)
+          .as("wape_naive"),
+        round(col("holt_err").cast("double") / col("actual"), 6)
+          .as("wape_holt"),
+        when(col("holt_err") < col("naive_err"), "holt")
+          .when(col("holt_err") > col("naive_err"), "naive")
+          .otherwise("tie").as("winner"))
+      .orderBy("event_type")
   }
 
   /** The Holt fold over a window array `ws` (counts, window order):
