@@ -237,6 +237,7 @@ object SparkEntry {
     "sketch_kmv_distinct" -> (Sketch.kmvQuery _),
     "sketch_kmv_rollup" -> (Sketch.kmvRollupQuery _),
     "sketch_hll_distinct" -> (Sketch.hllQuery _),
+    "sketch_error_report" -> (Sketch.sketchErrorReport _),
     "sketch_hll_rollup" -> (Sketch.hllRollupQuery _),
     "sketch_kmv_setops" -> (Sketch.kmvSetOpsQuery _),
     "sketch_hist_quantile" -> (Sketch.histQuantileQuery _),
@@ -1280,7 +1281,25 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
     def sub(n: String) = s"(${base(n)})"
-    base + ("events_health_dashboard" ->
+    base + ("sketch_error_report" ->
+      s"""WITH ex AS (SELECT event_type,
+         |        CAST(count(DISTINCT user_id) AS BIGINT)
+         |          AS exact_distinct
+         |      FROM events GROUP BY 1)
+         |SELECT ex.event_type, ex.exact_distinct,
+         |       k.est_distinct AS kmv_est,
+         |       round((k.est_distinct - ex.exact_distinct)
+         |         / ex.exact_distinct, 6) AS kmv_rel_err,
+         |       h.est_distinct AS hll_est,
+         |       round((h.est_distinct - ex.exact_distinct)
+         |         / ex.exact_distinct, 6) AS hll_rel_err
+         |FROM ex
+         |JOIN (${base("sketch_kmv_distinct")}) k
+         |  ON ex.event_type = k.event_type
+         |JOIN (${base("sketch_hll_distinct")}) h
+         |  ON ex.event_type = h.event_type
+         |ORDER BY ex.event_type""".stripMargin) +
+    ("events_health_dashboard" ->
       s"""SELECT f.event_type, f.n_days, m.n AS n_events, f.mean_daily,
          |       f.fano, m.skewness, m.kurtosis, p.max_ph, p.n_alarms,
          |       k.ks_stat, w.z AS mw_z

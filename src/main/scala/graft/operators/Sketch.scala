@@ -591,6 +591,36 @@ object Sketch {
   def hllFinish(regs: DataFrame, groupCol: String): DataFrame =
     hllEstimate(regs, groupCol).orderBy(groupCol)
 
+  /** SKETCH CALIBRATION REPORT — measured KMV and HLL estimates
+    * against the EXACT distinct count, per group (the bloom_fpr
+    * discipline applied to the cardinality sketches: an estimator
+    * you have not calibrated on your own data is a rumor): relative
+    * error = (est − exact)/exact, one division of a 4dp-pinned
+    * estimate by an exact long — identical doubles on both engines.
+    * Costs one exact count(distinct) beside the two sketch passes;
+    * at 100 TB this runs on a SAMPLE split while the sketches run
+    * on everything — the report's point is the error bar, which
+    * transfers.
+    */
+  def sketchErrorReport(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_type", "user_id")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_distinct"))
+    val kmv = kmvDistinct(ev, "event_type", "user_id")
+      .select(col("event_type"), col("est_distinct").as("kmv_est"))
+    val hll = hllDistinct(ev, "event_type", "user_id")
+      .select(col("event_type"), col("est_distinct").as("hll_est"))
+    exact.join(kmv, "event_type").join(hll, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        col("kmv_est"),
+        round((col("kmv_est") - col("exact_distinct"))
+          / col("exact_distinct"), 6).as("kmv_rel_err"),
+        col("hll_est"),
+        round((col("hll_est") - col("exact_distinct"))
+          / col("exact_distinct"), 6).as("hll_rel_err"))
+      .orderBy("event_type")
+  }
+
   /** Surface query: estimated distinct users per event type — the
     * same question [[kmvQuery]] answers, through the register
     * sketch, so the two estimators are directly comparable in the
