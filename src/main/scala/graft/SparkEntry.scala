@@ -171,6 +171,7 @@ object SparkEntry {
     "mm_features" -> (Multimodal.featuresQuery _),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
     "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergyQuery(s, d)),
+    "mm_audio_silence" -> ((s, d) => Multimodal.audioSilenceQuery(s, d)),
     "mm_phash" -> (Multimodal.phashQuery _),
     "mm_channel_stats" -> (Multimodal.channelStatsQuery _),
     "mm_resize" -> (Multimodal.resizeQuery _),
@@ -3290,6 +3291,35 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // audio leg: payload as 8-bit PCM centered at 96, 64-sample
     // windows — integer-exact energy until the final sqrt/divisions
+    // gaps-and-islands over silent windows: w − rank is constant
+    // within a maximal run — pure integer run-length, no iteration
+    "mm_audio_silence" ->
+      """WITH sm AS (SELECT doc_id, i - 1 AS pos,
+        |              ord(substr(text, CAST(i AS INTEGER), 1)) - 96 AS x
+        |            FROM documents,
+        |              unnest(range(1, len(text) + 1)) AS t(i)),
+        |wnd AS (SELECT doc_id, pos // 64 AS w,
+        |          CAST(count(*) AS BIGINT) AS wn,
+        |          CAST(sum(x * x) AS BIGINT) AS ss
+        |        FROM sm GROUP BY 1, 2 HAVING count(*) = 64),
+        |runs AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS len
+        |         FROM (SELECT doc_id, w,
+        |                 w - row_number() OVER (PARTITION BY doc_id
+        |                   ORDER BY w) AS grp
+        |               FROM wnd WHERE ss <= 6400)
+        |         GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_silent,
+        |         CAST(count(*) AS BIGINT) AS n_segments,
+        |         CAST(max(len) AS BIGINT) AS longest_run
+        |       FROM runs GROUP BY 1),
+        |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+        |       FROM wnd GROUP BY 1)
+        |SELECT nw.doc_id, nw.n_windows,
+        |       coalesce(pd.n_silent, 0) AS n_silent,
+        |       coalesce(pd.n_segments, 0) AS n_segments,
+        |       coalesce(pd.longest_run, 0) AS longest_run
+        |FROM nw LEFT JOIN pd ON nw.doc_id = pd.doc_id
+        |ORDER BY nw.doc_id""".stripMargin,
     "mm_audio_energy" ->
       """WITH sm AS (SELECT doc_id, i - 1 AS pos,
         |              ord(substr(text, CAST(i AS INTEGER), 1)) - 96 AS x

@@ -501,6 +501,48 @@ object Multimodal {
     * (doc, window) aggregate, one per-doc fold — sample rows never
     * shuffle twice.
     */
+  /** SILENCE SEGMENTATION over the PCM payload — the trim-silence /
+    * voice-activity pass an audio-curation pipeline runs before
+    * featurization: windows whose energy sits under a threshold are
+    * silent, and MAXIMAL RUNS of consecutive silent windows become
+    * segments via the gaps-and-islands trick (window index minus its
+    * rank among the doc's silent windows is constant within a run —
+    * pure integer arithmetic, no iteration). Emits per doc the
+    * silent-window count, segment count, and longest run. Same
+    * fully-columnar sample plumbing as [[audioEnergyQuery]]; the
+    * threshold is a fixture constant (mean square ≤ 100/sample).
+    */
+  def audioSilenceQuery(s: SparkSession, dir: String, win: Int = 64,
+                        thresholdSS: Long = 6400L): DataFrame = {
+    val sm = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (ascii(col("ch")) - lit(96)).cast("long").as("x"))
+    val wnd = sm
+      .select(col("doc_id"), (col("pos") / win).cast("long").as("w"),
+        col("x"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("wn"), sum(col("x") * col("x")).as("ss"))
+      .where(col("wn") === win)
+      .localCheckpoint(true)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("w")
+    val runs = wnd.where(col("ss") <= thresholdSS)
+      .withColumn("grp", col("w") - row_number().over(wOrd))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("len"))
+    val perDoc = runs.groupBy("doc_id")
+      .agg(sum("len").as("n_silent"), count(lit(1)).as("n_segments"),
+        max("len").as("longest_run"))
+    wnd.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_silent"), lit(0L)).as("n_silent"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+      .orderBy("doc_id")
+  }
+
   def audioEnergyQuery(s: SparkSession, dir: String,
                        win: Int = 64): DataFrame = {
     val sm = Tables.documents(s, dir)
