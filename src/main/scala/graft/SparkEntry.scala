@@ -117,6 +117,7 @@ object SparkEntry {
     "graph_adamic_adar" -> ((s, d) => Ann.adamicAdar(s, d)),
     "graph_jaccard_lp" -> ((s, d) => Ann.graphJaccardLp(s, d)),
     "graph_kcore" -> ((s, d) => Ann.graphKCore(s, d)),
+    "graph_bfs_hist" -> ((s, d) => Ann.graphBfsHist(s, d)),
     "graph_modularity" -> ((s, d) => Ann.graphModularity(s, d)),
     "knn_graph_recall" -> ((s, d) => Ann.knnGraphRecall(s, d)),
     "events_bot_score" -> ((s, d) => Sequence.botScore(s, d)),
@@ -1646,6 +1647,32 @@ object SparkEntry {
          |        JOIN ka8 x ON e.a = x.id JOIN ka8 y ON e.b = y.id)
          |SELECT a AS vec_id, CAST(count(*) AS BIGINT) AS core_degree
          |FROM fin GROUP BY 1 ORDER BY vec_id""".stripMargin
+    },
+    // bounded BFS: unrolled frontier⋈edges rounds with a min-dist
+    // collapse per round; sources = graph nodes with id < 20
+    "graph_bfs_hist" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""bn$i AS (SELECT v.src, e.b AS node, $i AS dist
+           |       FROM bv${i - 1} v JOIN sym e ON v.node = e.a
+           |       WHERE v.dist = ${i - 1}),
+           |bv$i AS (SELECT src, node, CAST(min(dist) AS BIGINT) AS dist
+           |       FROM (SELECT src, node, dist FROM bv${i - 1}
+           |             UNION ALL SELECT src, node, dist FROM bn$i)
+           |       GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ivfGraphCtes,
+         |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
+         |mu AS (SELECT g1.qid AS id_a, g1.id AS id_b
+         |       FROM g g1 JOIN g g2 ON g1.qid = g2.id AND g1.id = g2.qid
+         |       WHERE g1.qid < g1.id),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM mu
+         |        UNION ALL SELECT id_b, id_a FROM mu),
+         |bv0 AS (SELECT DISTINCT a AS src, a AS node,
+         |          CAST(0 AS BIGINT) AS dist
+         |        FROM sym WHERE a < 20),
+         |$rounds
+         |SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM bv4 WHERE dist > 0 GROUP BY 1 ORDER BY dist""".stripMargin
     },
     // neighbor-Jaccard link prediction: the AA wedge chain with both
     // endpoints' degrees in the denominator

@@ -638,6 +638,44 @@ object Ann {
     * is cheap at any corpus size while the graph itself is the
     * memoized structure the real queries use.
     */
+  /** BFS DISTANCE HISTOGRAM from sampled sources over the mutual-kNN
+    * graph — the small-world diagnostic beside k-core and
+    * assortativity (hop-count distribution tells you whether graph
+    * search can reach a cluster's far side in the beam budget the
+    * NSW descent spends): bounded breadth-first expansion, `hops`
+    * rounds of frontier⋈edges with a min-dist collapse per round —
+    * the dedup_clusters iterate-join discipline, and because mutual
+    * degree ≤ k the frontier fan-out is k-bounded per node, never a
+    * power-law explosion. Sampled sources keep the visited table
+    * S×reachable-sized. All integers; the oracle unrolls the same
+    * rounds as chained CTEs.
+    */
+  def graphBfsHist(s: SparkSession, dir: String, nSrc: Long = 20L,
+                   hops: Int = 4): DataFrame = {
+    val und = mutualKnnPairs(s, dir).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val sym = und.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(und.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint(true)
+    val src = sym.select(col("a").as("node")).distinct()
+      .where(col("node") < nSrc)
+    var visited = src
+      .select(col("node").as("src"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (i <- 1 to hops) {
+      val frontier = visited.where(col("dist") === (i - 1).toLong)
+        .select(col("src"), col("node").as("fa"))
+      val nbrs = frontier.join(sym, col("fa") === col("a"))
+        .select(col("src"), col("b").as("node"), lit(i.toLong).as("dist"))
+      visited = visited.unionByName(nbrs)
+        .groupBy("src", "node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    visited.where(col("dist") > 0)
+      .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("dist")
+  }
+
   /** TWO-NN INTRINSIC-DIMENSION STATISTIC (Facco et al. 2017) — the
     * embedding-space audit behind index tuning: the distribution of
     * μ = d₂/d₁ (second- over first-neighbor distance) determines the
