@@ -277,6 +277,8 @@ object SparkEntry {
     "events_rolling_active" -> (Analytics.eventsRollingActive _),
     "supplier_return_shrinkage" -> ((s, d) =>
       Analytics.supplierReturnShrinkage(s, d)),
+    "events_share_trend" -> (Analytics.eventsShareTrend _),
+    "events_value_boxplot" -> (Analytics.eventsValueBoxplot _),
     "part_seasonal_index" -> (Analytics.partSeasonalIndex _),
     "events_peak_concurrency" -> ((s, d) =>
       Analytics.eventsPeakConcurrency(s, d)),
@@ -4030,6 +4032,61 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // per-day share HALF-UP micro-quantized, then integer-moment OLS
+    "events_share_trend" ->
+      """WITH daily AS (SELECT event_type,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS d,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2),
+        |tot AS (SELECT d, CAST(sum(n) AS BIGINT) AS tot
+        |        FROM daily GROUP BY 1),
+        |sh AS (SELECT daily.event_type, daily.d,
+        |         (2 * daily.n * 1000000 + tot.tot) // (2 * tot.tot)
+        |           AS sh
+        |       FROM daily JOIN tot ON daily.d = tot.d),
+        |b AS (SELECT min(d) AS d0 FROM sh),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(d - b.d0) AS BIGINT) AS sx,
+        |         CAST(sum(sh) AS BIGINT) AS sy,
+        |         sum(CAST(d - b.d0 AS HUGEINT) * (d - b.d0)) AS sxx,
+        |         sum(CAST(d - b.d0 AS HUGEINT) * sh) AS sxy
+        |       FROM sh, b GROUP BY 1)
+        |SELECT event_type, nd AS n_days,
+        |       round(CAST(CAST(nd AS HUGEINT) * sxy
+        |           - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |         / CAST(CAST(nd AS HUGEINT) * sxx
+        |           - CAST(sx AS HUGEINT) * sx AS DOUBLE), 4)
+        |         AS slope_ppm_per_day
+        |FROM st WHERE nd > 1 ORDER BY event_type""".stripMargin,
+    // quartiles exact interpolation on the 2dp micro grid; Tukey
+    // fences; outlier count one integer-vs-fence comparison per row
+    "events_value_boxplot" ->
+      """WITH ev AS (SELECT event_type,
+        |              CAST(round(value * 100) AS BIGINT) AS micro
+        |            FROM events),
+        |q AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        quantile_cont(micro, 0.25) AS q1,
+        |        quantile_cont(micro, 0.5) AS q2,
+        |        quantile_cont(micro, 0.75) AS q3
+        |      FROM ev GROUP BY 1),
+        |f AS (SELECT event_type, n, q1, q2, q3, q3 - q1 AS iqr,
+        |        q1 - 1.5 * (q3 - q1) AS lo_fence,
+        |        q3 + 1.5 * (q3 - q1) AS hi_fence
+        |      FROM q),
+        |o AS (SELECT ev.event_type, CAST(count(*) AS BIGINT)
+        |          AS n_outliers
+        |      FROM ev JOIN f ON ev.event_type = f.event_type
+        |      WHERE ev.micro < f.lo_fence OR ev.micro > f.hi_fence
+        |      GROUP BY 1)
+        |SELECT f.event_type, f.n,
+        |       round(f.q1 / 100.0, 4) AS q1,
+        |       round(f.q2 / 100.0, 4) AS median,
+        |       round(f.q3 / 100.0, 4) AS q3,
+        |       round(f.iqr / 100.0, 4) AS iqr,
+        |       coalesce(o.n_outliers, 0) AS n_outliers
+        |FROM f LEFT JOIN o ON f.event_type = o.event_type
+        |ORDER BY f.event_type""".stripMargin,
     // Beta(20,80) pseudo-count shrinkage: one exact-integer division
     "supplier_return_shrinkage" ->
       """WITH g AS (SELECT l_suppkey AS s_suppkey,

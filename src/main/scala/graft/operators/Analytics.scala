@@ -2809,6 +2809,81 @@ object Analytics {
       .select("event_type", "d", "n", "ph")
   }
 
+  /** EVENT-TYPE SHARE TREND — is the traffic MIX drifting (clicks
+    * eating views), independent of volume? Per day each type's share
+    * of events micro-quantizes to an exact integer (HALF-UP via
+    * (2·n·10⁶ + tot) div (2·tot)); the per-type OLS slope of share
+    * over the day index then closes over exact integer moments (the
+    * part_trend_slope discipline, DECIMAL(38,0) numerators), one
+    * double division at the end — slope in share-ppm/day. One scan,
+    * day-grid-sized intermediates.
+    */
+  def eventsShareTrend(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val tot = daily.groupBy("d").agg(sum("n").as("tot"))
+    val shares = daily.join(tot, "d")
+      .select(col("event_type"), col("d"),
+        expr("(2 * n * 1000000 + tot) div (2 * tot)").as("sh"))
+    val base = shares.agg(min("d").as("d0"))
+    val st = shares.crossJoin(broadcast(base))
+      .select(col("event_type"), (col("d") - col("d0")).as("x"),
+        col("sh"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum("x").as("sx"), sum("sh").as("sy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("x").cast(dec) * col("sh").cast(dec)).as("sxy"))
+      .where(col("nd") > 1)
+    st.select(col("event_type"), col("nd").as("n_days"),
+        round((col("nd").cast(dec) * col("sxy")
+          - col("sx").cast(dec) * col("sy").cast(dec)).cast("double")
+          / (col("nd").cast(dec) * col("sxx")
+            - col("sx").cast(dec) * col("sx").cast(dec)).cast("double"),
+          4).as("slope_ppm_per_day"))
+      .orderBy("event_type")
+  }
+
+  /** VALUE BOXPLOT per event type — quartiles, IQR, Tukey fences,
+    * and the outlier count the fences imply (the five-number screen
+    * before any anomaly modeling): quantiles are exact interpolation
+    * over the 2dp micro grid (`percentile` ≡ quantile_cont, the
+    * corpusStats precedent), fences a pure double expression off
+    * them, and the outlier count one integer comparison per row
+    * against a broadcast fence. Two passes (quantiles, then count) —
+    * the second prunes to the k-row fence table join.
+    */
+  def eventsValueBoxplot(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("micro"))
+      .localCheckpoint(true)
+    val q = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(micro, 0.25)").as("q1"),
+        expr("percentile(micro, 0.5)").as("q2"),
+        expr("percentile(micro, 0.75)").as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo_fence", col("q1") - lit(1.5) * col("iqr"))
+      .withColumn("hi_fence", col("q3") + lit(1.5) * col("iqr"))
+      .localCheckpoint(true)
+    val outliers = ev.join(broadcast(q.select("event_type", "lo_fence",
+        "hi_fence")), "event_type")
+      .where(col("micro") < col("lo_fence") ||
+        col("micro") > col("hi_fence"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_outliers"))
+    q.join(outliers, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"),
+        round(col("q1") / 100.0, 4).as("q1"),
+        round(col("q2") / 100.0, 4).as("median"),
+        round(col("q3") / 100.0, 4).as("q3"),
+        round(col("iqr") / 100.0, 4).as("iqr"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** EMPIRICAL-BAYES SHRUNK RETURN RATES per supplier — the
     * small-sample-honest ranking beside supplier_wilson's bound: a
     * 2-of-3-returned supplier must not outrank a 200-of-600 one, so
