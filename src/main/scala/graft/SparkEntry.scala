@@ -278,6 +278,8 @@ object SparkEntry {
     "supplier_return_shrinkage" -> ((s, d) =>
       Analytics.supplierReturnShrinkage(s, d)),
     "events_share_trend" -> (Analytics.eventsShareTrend _),
+    "events_reactivation" -> ((s, d) => Analytics.eventsReactivation(s, d)),
+    "dedup_shingle_df_hist" -> (Dedup.shingleDfHist _),
     "events_value_boxplot" -> (Analytics.eventsValueBoxplot _),
     "part_seasonal_index" -> (Analytics.partSeasonalIndex _),
     "events_peak_concurrency" -> ((s, d) =>
@@ -4032,6 +4034,40 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // win-back: gap over the (user, day) distinct set, month rollup
+    "events_reactivation" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |          AS d
+        |      FROM events),
+        |g AS (SELECT user_id, d,
+        |        d - lag(d) OVER (PARTITION BY user_id ORDER BY d)
+        |          AS gap
+        |      FROM ud),
+        |m AS (SELECT user_id, d // 30 AS mon,
+        |        (gap IS NOT NULL AND gap > 60) AS rea
+        |      FROM g)
+        |SELECT mon, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+        |       CAST(count(DISTINCT CASE WHEN rea THEN user_id END)
+        |         AS BIGINT) AS n_reactivated,
+        |       round(CAST(count(DISTINCT CASE WHEN rea THEN user_id END)
+        |           AS DOUBLE)
+        |         / count(DISTINCT user_id), 6) AS reactivation_rate
+        |FROM m GROUP BY 1 ORDER BY mon""".stripMargin,
+    // shingle df histogram: integer CASE cuts; the 2-8 band is the
+    // containment path's blocking-key supply
+    "dedup_shingle_df_hist" ->
+      s"""WITH $shingleCte,
+         |ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+         |df AS (SELECT sh AS shingle,
+         |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM ex GROUP BY 1)
+         |SELECT CASE WHEN df = 1 THEN '1_hapax'
+         |            WHEN df <= 8 THEN '2-8_blocking_band'
+         |            WHEN df <= 64 THEN '9-64_common'
+         |            ELSE '65+_boilerplate' END AS df_bucket,
+         |       CAST(count(*) AS BIGINT) AS n_shingles
+         |FROM df GROUP BY 1 ORDER BY df_bucket""".stripMargin,
     // per-day share HALF-UP micro-quantized, then integer-moment OLS
     "events_share_trend" ->
       """WITH daily AS (SELECT event_type,

@@ -2809,6 +2809,37 @@ object Analytics {
       .select("event_type", "d", "n", "ph")
   }
 
+  /** REACTIVATION (WIN-BACK) SERIES — per month, users who returned
+    * after a dormancy of > 60 days (the growth team's "resurrected"
+    * segment, counted beside actives so the ratio is honest): per
+    * (user, active day) the gap to the PREVIOUS active day via one
+    * user-keyed lag window; a day opens a reactivation iff gap > 60;
+    * monthly rollup counts distinct reactivated users and distinct
+    * actives — all integers, one division. One (user, day) distinct
+    * aggregate + lag on its own exchange.
+    */
+  def eventsReactivation(s: SparkSession, dir: String,
+                         dormantDays: Long = 60L): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    val gaps = ud.withColumn("gap", col("d") - lag("d", 1).over(w))
+      .select(col("user_id"), col("d"),
+        (col("gap").isNotNull && col("gap") > dormantDays).as("rea"))
+      .withColumn("mon", expr("d div 30"))
+    gaps.groupBy("mon")
+      .agg(countDistinct("user_id").as("n_active"),
+        countDistinct(when(col("rea"), col("user_id")))
+          .as("n_reactivated"))
+      .select(col("mon"), col("n_active"), col("n_reactivated"),
+        round(col("n_reactivated").cast("double") / col("n_active"), 6)
+          .as("reactivation_rate"))
+      .orderBy("mon")
+  }
+
   /** EVENT-TYPE SHARE TREND — is the traffic MIX drifting (clicks
     * eating views), independent of volume? Per day each type's share
     * of events micro-quantizes to an exact integer (HALF-UP via

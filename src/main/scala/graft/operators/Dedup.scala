@@ -1208,6 +1208,29 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SHINGLE DF PROFILE — the blocking-health audit behind the
+    * containment path's rare-shingle strategy (blocking keys are
+    * shingles with df ∈ [2, 8]; this row says how many exist and how
+    * the mass distributes, i.e. whether the strategy has keys to
+    * work with as the corpus grows): histogram of shingle document
+    * frequency in power-of-two-ish buckets (1, 2-8, 9-64, 65+ —
+    * integer CASE cuts), with the blocking band called out. One
+    * shingle df aggregate — the same one the containment path pays.
+    */
+  def shingleDfHist(s: SparkSession, dir: String): DataFrame = {
+    val df = withShingles(Tables.documents(s, dir)
+        .select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .groupBy("sh").agg(countDistinct("doc_id").as("df"))
+    df.select(
+        when(col("df") === 1, "1_hapax")
+          .when(col("df") <= 8, "2-8_blocking_band")
+          .when(col("df") <= 64, "9-64_common")
+          .otherwise("65+_boilerplate").as("df_bucket"))
+      .groupBy("df_bucket").agg(count(lit(1)).as("n_shingles"))
+      .orderBy("df_bucket")
+  }
+
   /** DEDUP IMPACT REPORT per source — the before/after accounting a
     * curation run ships with its output (how many docs and tokens
     * did near-dup collapse actually remove, and from which crawl
