@@ -1218,10 +1218,11 @@ object Dedup {
     * shingle df aggregate — the same one the containment path pays.
     */
   def shingleDfHist(s: SparkSession, dir: String): DataFrame = {
-    val df = withShingles(Tables.documents(s, dir)
+    // the codegen'd exploded form — shingleRows already emits the
+    // DISTINCT (doc, shingle) pairs, so df is a plain count
+    val df = shingleRows(Tables.documents(s, dir)
         .select("doc_id", "text"))
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .groupBy("sh").agg(countDistinct("doc_id").as("df"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
     df.select(
         when(col("df") === 1, "1_hapax")
           .when(col("df") <= 8, "2-8_blocking_band")
