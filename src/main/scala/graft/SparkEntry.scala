@@ -291,6 +291,8 @@ object SparkEntry {
     "events_ab_sequential" -> ((s, d) => Analytics.eventsAbSequential(s, d)),
     "events_funnel_ab" -> (Analytics.eventsFunnelAb _),
     "events_ab_cuped" -> ((s, d) => Analytics.eventsAbCuped(s, d)),
+    "events_ab_srm" -> (Analytics.eventsAbSrm _),
+    "events_did" -> (Analytics.eventsDid _),
     "graph_assortativity" -> ((s, d) => Ann.graphAssortativity(s, d)),
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
     "events_cooccurrence" -> ((s, d) => Sequence.cooccurrence(s, d)),
@@ -4033,6 +4035,62 @@ object SparkEntry {
         |                  / (n_b * (n_b - 1))) / n_b), 4) AS z
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
+        |ORDER BY event_type""".stripMargin,
+    // SRM guardrail: two-cell equal-prob chi2 on distinct users/arm
+    "events_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id,
+        |             user_id % 2 AS variant
+        |           FROM events),
+        |g AS (SELECT event_type,
+        |        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_b
+        |      FROM u GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |       round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |         / (n_a + n_b), 4) AS chi2,
+        |       (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+        |         / (n_a + n_b) > 3.841) AS srm
+        |FROM g ORDER BY event_type""".stripMargin,
+    // DiD 2x2: cell means from integer micro sums, midpoint from data
+    "events_did" ->
+      """WITH m AS (SELECT event_type, user_id % 2 AS treat,
+        |             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |               AS d,
+        |             CAST(round(value * 100) AS BIGINT) AS micro
+        |           FROM events),
+        |b AS (SELECT (min(d) + max(d)) // 2 AS mid FROM m),
+        |g AS (SELECT event_type,
+        |        CAST(sum(CASE WHEN treat = 1 AND d < mid
+        |          THEN micro ELSE 0 END) AS BIGINT) AS s_pre_t,
+        |        CAST(sum(CASE WHEN treat = 1 AND d < mid
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_t,
+        |        CAST(sum(CASE WHEN treat = 1 AND d >= mid
+        |          THEN micro ELSE 0 END) AS BIGINT) AS s_post_t,
+        |        CAST(sum(CASE WHEN treat = 1 AND d >= mid
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_post_t,
+        |        CAST(sum(CASE WHEN treat = 0 AND d < mid
+        |          THEN micro ELSE 0 END) AS BIGINT) AS s_pre_c,
+        |        CAST(sum(CASE WHEN treat = 0 AND d < mid
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_c,
+        |        CAST(sum(CASE WHEN treat = 0 AND d >= mid
+        |          THEN micro ELSE 0 END) AS BIGINT) AS s_post_c,
+        |        CAST(sum(CASE WHEN treat = 0 AND d >= mid
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_post_c
+        |      FROM m CROSS JOIN b GROUP BY 1)
+        |SELECT event_type,
+        |       round(s_pre_t * 1.0 / n_pre_t / 100.0, 4) AS pre_t,
+        |       round(s_post_t * 1.0 / n_post_t / 100.0, 4) AS post_t,
+        |       round(s_pre_c * 1.0 / n_pre_c / 100.0, 4) AS pre_c,
+        |       round(s_post_c * 1.0 / n_post_c / 100.0, 4) AS post_c,
+        |       round((s_post_t * 1.0 / n_post_t / 100.0
+        |           - s_pre_t * 1.0 / n_pre_t / 100.0)
+        |         - (s_post_c * 1.0 / n_post_c / 100.0
+        |           - s_pre_c * 1.0 / n_pre_c / 100.0), 4) AS did
+        |FROM g
+        |WHERE n_pre_t > 0 AND n_post_t > 0 AND n_pre_c > 0
+        |  AND n_post_c > 0
         |ORDER BY event_type""".stripMargin,
     // win-back: gap over the (user, day) distinct set, month rollup
     "events_reactivation" ->

@@ -3303,4 +3303,80 @@ object Analytics {
           .as("first_alarm_d"))
       .orderBy("event_type")
   }
+
+  /** SAMPLE-RATIO-MISMATCH guardrail — the first check every
+    * experimentation platform runs BEFORE reading an A/B result
+    * (Fabijan et al., ICSE-SEIP'19: a skewed split invalidates the
+    * test no matter how pretty the z-score). Randomization unit is
+    * the USER, not the event: per event_type, count distinct users
+    * per arm (`user_id % 2`, the events_ab_test assignment) and test
+    * the 50/50 design with the two-cell equal-probability chi-square,
+    * which collapses to (n_a − n_b)²/(n_a + n_b) — an integer
+    * numerator over an integer denominator, one double division,
+    * identical on both engines. `srm` flags chi² > 3.841 (95%, 1 df).
+    * Scale: one scan → (type, user, arm) distinct (map-side partial),
+    * then a types-sized aggregate; no per-user state leaves the
+    * shuffle.
+    */
+  def eventsAbSrm(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        (col("user_id") % 2).as("variant"))
+      .distinct()
+    users.groupBy("event_type")
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double") / (col("n_a") + col("n_b")), 4).as("chi2"),
+        (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double") / (col("n_a") + col("n_b")) > 3.841)
+          .as("srm"))
+      .orderBy("event_type")
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES estimator — the quasi-experimental
+    * design for rollouts that can't be randomized per-request (Card &
+    * Krueger'94): treatment = `user_id % 2`, period split at the data
+    * midpoint day (the eventsAbCuped bound — derived from the data,
+    * never a hard-coded calendar), metric = mean event value. The
+    * estimate is (post_t − pre_t) − (post_c − pre_c) on cell means;
+    * every cell mean closes over exact integer micro-sums (value at
+    * 2dp → ×100 BIGINT), so the four means and the DiD are each ONE
+    * double expression — no per-row float aggregate, no fold-order
+    * hazard. Scale: single scan → 1 broadcast of a 1-row bound → one
+    * types-sized aggregate with four conditional sums (map-side
+    * combine does the 2×2 split before the shuffle).
+    */
+  def eventsDid(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      (col("user_id") % 2).as("treat"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("micro"))
+    val bounds = ev.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    def cell(t: Int, post: Boolean, suf: String) = {
+      val in = col("treat") === t &&
+        (if (post) col("d") >= col("mid") else col("d") < col("mid"))
+      Seq(sum(when(in, col("micro")).otherwise(0L)).as(s"s_$suf"),
+        sum(when(in, 1L).otherwise(0L)).as(s"n_$suf"))
+    }
+    val cells = cell(1, post = false, "pre_t") ++
+      cell(1, post = true, "post_t") ++ cell(0, post = false, "pre_c") ++
+      cell(0, post = true, "post_c")
+    val g = ev.crossJoin(broadcast(bounds)).groupBy("event_type")
+      .agg(cells.head, cells.tail: _*)
+      .where(col("n_pre_t") > 0 && col("n_post_t") > 0 &&
+        col("n_pre_c") > 0 && col("n_post_c") > 0)
+    def mean(suf: String) =
+      col(s"s_$suf").cast("double") / col(s"n_$suf") / 100.0
+    g.select(col("event_type"),
+        round(mean("pre_t"), 4).as("pre_t"),
+        round(mean("post_t"), 4).as("post_t"),
+        round(mean("pre_c"), 4).as("pre_c"),
+        round(mean("post_c"), 4).as("post_c"),
+        round((mean("post_t") - mean("pre_t"))
+          - (mean("post_c") - mean("pre_c")), 4).as("did"))
+      .orderBy("event_type")
+  }
 }
