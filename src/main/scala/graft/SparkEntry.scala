@@ -115,6 +115,7 @@ object SparkEntry {
     "graph_centrality" -> ((s, d) => Ann.graphCentrality(s, d)),
     "graph_triangles" -> ((s, d) => Ann.graphTriangles(s, d)),
     "graph_adamic_adar" -> ((s, d) => Ann.adamicAdar(s, d)),
+    "graph_hits" -> (Ann.graphHits _),
     "graph_jaccard_lp" -> ((s, d) => Ann.graphJaccardLp(s, d)),
     "graph_kcore" -> ((s, d) => Ann.graphKCore(s, d)),
     "graph_bfs_hist" -> ((s, d) => Ann.graphBfsHist(s, d)),
@@ -1628,6 +1629,29 @@ object SparkEntry {
          |       round(sum(CAST(1 AS DOUBLE) / ln(dg.d)), 4) AS aa_score
          |FROM cand JOIN dg ON dg.id = cand.b
          |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // HITS: two integer mutual-recursion rounds, one max-division
+    "graph_hits" ->
+      s"""WITH $ivfGraphCtes,
+         |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
+         |ha1 AS (SELECT id, CAST(count(*) AS BIGINT) AS a1
+         |        FROM g GROUP BY 1),
+         |hh1 AS (SELECT g.qid, CAST(sum(ha1.a1) AS BIGINT) AS h1
+         |        FROM g JOIN ha1 ON g.id = ha1.id GROUP BY 1),
+         |ha2 AS (SELECT g.id, CAST(sum(hh1.h1) AS BIGINT) AS a2
+         |        FROM g JOIN hh1 ON g.qid = hh1.qid GROUP BY 1),
+         |hh2 AS (SELECT g.qid, CAST(sum(ha2.a2) AS BIGINT) AS h2
+         |        FROM g JOIN ha2 ON g.id = ha2.id GROUP BY 1),
+         |hmx AS (SELECT (SELECT max(a2) FROM ha2) AS ma,
+         |               (SELECT max(h2) FROM hh2) AS mh),
+         |nd AS (SELECT vec_id AS id FROM embeddings)
+         |SELECT nd.id AS vec_id,
+         |       round(CAST(coalesce(ha2.a2, 0) AS DOUBLE) / hmx.ma, 6)
+         |         AS authority,
+         |       round(CAST(coalesce(hh2.h2, 0) AS DOUBLE) / hmx.mh, 6)
+         |         AS hub
+         |FROM nd LEFT JOIN ha2 ON nd.id = ha2.id
+         |LEFT JOIN hh2 ON nd.id = hh2.qid
+         |CROSS JOIN hmx ORDER BY vec_id""".stripMargin,
     // 2-core by unrolled peeling (8 rounds): the Spark side's exact
     // convergence stop makes extra mirror rounds the identity
     "graph_kcore" -> {

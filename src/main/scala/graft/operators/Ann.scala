@@ -953,6 +953,49 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** HITS hubs & authorities (Kleinberg '99) over the DIRECTED kNN
+    * graph — the asymmetry PageRank's single score hides: a hub's
+    * out-edges reach many well-cited points (broad coverage), an
+    * authority's in-edges arrive from many hubs (the k-occurrence /
+    * hubness signal from the other side). Two full mutual-recursion
+    * rounds with INTEGER state (h₀ = 1 ⇒ a₁ = in-degree;
+    * h₁ = Σ_out a₁; a₂ = Σ_in h₁; h₂ = Σ_out a₂) — the
+    * graphCentrality discipline: no per-round float normalization to
+    * be fold-order-dependent, one max-division at the end. Magnitudes
+    * are bounded by (k·N)² ≈ 25N², so sums ride DECIMAL(38,0) (the
+    * headroom rule — BIGINT wraps past N ≈ 6·10⁸) and the final
+    * decimal→double conversion is exact below 2⁵³ and round-to-
+    * nearest-even on both engines above it. Scale: the edge list is
+    * N·k rows; each half-round is one k-bounded equi-join + keyed
+    * aggregate with map-side combine absorbing the hub-key skew that
+    * defines the very signal being measured.
+    */
+  def graphHits(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val edges = knnGraph(s, dir).select(col("qid"), col("nn_id").as("id"))
+      .localCheckpoint(true) // consumed by all four half-rounds
+    val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+    val a1 = edges.groupBy("id")
+      .agg(count(lit(1)).cast(dec).as("a1"))
+    // inner joins are lossless here: an out-neighbor has ≥1 in-edge
+    // by construction, so a1 (and transitively a2) covers every key
+    // the next half-round asks for
+    val h1 = edges.join(a1, "id").groupBy("qid").agg(sum("a1").as("h1"))
+    val a2 = edges.join(h1, "qid").groupBy("id").agg(sum("h1").as("a2"))
+    val h2 = edges.join(a2, "id").groupBy("qid").agg(sum("a2").as("h2"))
+    val mx = a2.agg(max("a2").as("ma"))
+      .crossJoin(h2.agg(max("h2").as("mh")))
+    nodes.join(a2, Seq("id"), "left")
+      .join(h2.withColumnRenamed("qid", "id"), Seq("id"), "left")
+      .crossJoin(broadcast(mx))
+      .select(col("id").as("vec_id"),
+        round(coalesce(col("a2"), lit(0L).cast(dec)).cast("double")
+          / col("ma").cast("double"), 6).as("authority"),
+        round(coalesce(col("h2"), lit(0L).cast(dec)).cast("double")
+          / col("mh").cast("double"), 6).as("hub"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------ persisted kNN graph
 
   /** Nodes of a persisted IVF index — the graph's vertex set IS the
