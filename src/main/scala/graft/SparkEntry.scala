@@ -403,6 +403,7 @@ object SparkEntry {
     "bpe_learn_batched" -> ((s, d) => Bpe.bpeLearnBatched(s, d)),
     "bpe_tokenize" -> ((s, d) => Bpe.bpeTokenize(s, d)),
     "quality_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
+    "quality_kappa" -> ((s, d) => TextOps.qualityKappa(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
     "events_salted_enrich" -> ((s, d) => Skew.saltedEnrichQuery(s, d)),
     "key_skew_report" -> (Skew.keySkewQuery _),
@@ -7910,6 +7911,58 @@ object SparkEntry {
         |       (3 * len_fp + 3 * ttr_fp + 2 * stop_fp - 4 * toptok_fp)
         |         >= 28000 AS keep
         |FROM x ORDER BY doc_id""".stripMargin,
+    // Cohen's kappa between the model gate and the heuristic gate,
+    // both gates off the one tf aggregate; pe=1 degenerates to NULL
+    "quality_kappa" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |f AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        CAST(max(tf) AS BIGINT) AS max_tf,
+        |        CAST(sum(CASE WHEN tok IN
+        |            ('the','a','and','of','to','in','is')
+        |          THEN tf ELSE 0 END) AS BIGINT) AS stop_hits
+        |      FROM tf GROUP BY 1),
+        |g AS (SELECT
+        |        (3 * least((n_toks * 10000) // 100, 10000)
+        |          + 3 * ((n_distinct * 10000) // n_toks)
+        |          + 2 * ((stop_hits * 10000) // n_toks)
+        |          - 4 * ((max_tf * 10000) // n_toks)) >= 28000 AS keep_m,
+        |        round((least(n_toks/50.0, 1.0)
+        |          + CASE WHEN stop_hits*1.0/n_toks BETWEEN 0.01 AND 0.6
+        |              THEN 1.0 ELSE 0.0 END
+        |          + (1.0 - least((1.0 - n_distinct*1.0/n_toks)/0.9,
+        |              1.0))) / 3.0, 4) >= 0.5 AS keep_h
+        |      FROM f),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN keep_m THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS keep_model,
+        |        CAST(sum(CASE WHEN keep_h THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS keep_heuristic,
+        |        CAST(sum(CASE WHEN keep_m = keep_h THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_agree
+        |      FROM g)
+        |SELECT n AS n_docs, keep_model, keep_heuristic, n_agree,
+        |       round(CAST(n_agree AS DOUBLE) / n, 4) AS po,
+        |       round((CAST(keep_model AS DOUBLE) * keep_heuristic
+        |           + CAST(n - keep_model AS DOUBLE) * (n - keep_heuristic))
+        |         / (CAST(n AS DOUBLE) * n), 4) AS pe,
+        |       CASE WHEN (CAST(keep_model AS DOUBLE) * keep_heuristic
+        |           + CAST(n - keep_model AS DOUBLE) * (n - keep_heuristic))
+        |         / (CAST(n AS DOUBLE) * n) < 1.0
+        |         THEN round((CAST(n_agree AS DOUBLE) / n
+        |             - (CAST(keep_model AS DOUBLE) * keep_heuristic
+        |               + CAST(n - keep_model AS DOUBLE)
+        |                 * (n - keep_heuristic))
+        |               / (CAST(n AS DOUBLE) * n))
+        |           / (1.0 - (CAST(keep_model AS DOUBLE) * keep_heuristic
+        |               + CAST(n - keep_model AS DOUBLE)
+        |                 * (n - keep_heuristic))
+        |               / (CAST(n AS DOUBLE) * n)), 4)
+        |         ELSE NULL END AS kappa
+        |FROM c""".stripMargin,
     // n-gram novelty: first corpus occurrence (min doc_id) per
     // distinct word-3-gram, per-doc novel fraction
     "text_ngram_novelty" ->

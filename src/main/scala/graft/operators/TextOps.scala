@@ -612,6 +612,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** INTER-GATE AGREEMENT (Cohen's κ) between the two quality gates
+    * the pipeline ships — the model gate ([[qualityClassifier]]'s
+    * integer linear score ≥ 28000) and the heuristic gate
+    * ([[qualityScore]] ≥ 0.5, the pipeline_clean_corpus cut): two
+    * gates that disagree beyond chance flag a miscalibrated
+    * classifier BEFORE it silently reshapes the corpus. Both gates
+    * evaluate off the ONE exploded-token tf aggregate (sum(tf) ≡
+    * whitespace token count, so neither side re-tokenizes), and κ =
+    * (p_o − p_e)/(1 − p_e) closes over four exact integer counts
+    * (n, keeps per gate, agreements) — marginals give p_e as a ratio
+    * of exact products, so both engines emit identical doubles. The
+    * degenerate case (both gates constant ⇒ p_e = 1) yields NULL,
+    * not a 0/0. One corpus scan, one doc-keyed aggregate, one 1-row
+    * rollup.
+    */
+  def qualityKappa(s: SparkSession, dir: String,
+                   modelThreshold: Long = 28000L,
+                   heurThreshold: Double = 0.5): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val f = tf.groupBy("doc_id").agg(
+      sum("tf").as("n_toks"),
+      count(lit(1)).as("n_distinct"),
+      max("tf").as("max_tf"),
+      sum(when(col("tok").isin(stop("en"): _*), col("tf"))
+        .otherwise(0L)).as("stop_hits"))
+    val gates = f.select(
+      ((lit(3L) * least(expr("(n_toks * 10000) div 100"), lit(10000L))
+        + lit(3L) * expr("(n_distinct * 10000) div n_toks")
+        + lit(2L) * expr("(stop_hits * 10000) div n_toks")
+        - lit(4L) * expr("(max_tf * 10000) div n_toks"))
+        >= modelThreshold).as("keep_m"),
+      (qualityScore(col("n_toks"),
+        col("stop_hits").cast("double") / col("n_toks"),
+        lit(1.0) - col("n_distinct").cast("double") / col("n_toks"))
+        >= heurThreshold).as("keep_h"))
+    val c = gates.agg(count(lit(1)).as("n"),
+      sum(when(col("keep_m"), 1L).otherwise(0L)).as("keep_model"),
+      sum(when(col("keep_h"), 1L).otherwise(0L)).as("keep_heuristic"),
+      sum(when(col("keep_m") === col("keep_h"), 1L).otherwise(0L))
+        .as("n_agree"))
+    val po = col("n_agree").cast("double") / col("n")
+    val pe = (col("keep_model").cast("double") * col("keep_heuristic")
+      + (col("n") - col("keep_model")).cast("double")
+        * (col("n") - col("keep_heuristic"))) /
+      (col("n").cast("double") * col("n"))
+    c.select(col("n").as("n_docs"), col("keep_model"),
+      col("keep_heuristic"), col("n_agree"),
+      round(po, 4).as("po"), round(pe, 4).as("pe"),
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 4))
+        .otherwise(lit(null).cast("double")).as("kappa"))
+  }
+
   /** BIGRAM surprisal — the conditional-probability upgrade of
     * [[surprisal]]: bits of each token under P(tok | prev) estimated
     * from the corpus's own bigram counts. A doc of individually
