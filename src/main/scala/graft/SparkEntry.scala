@@ -110,6 +110,7 @@ object SparkEntry {
     "stream_session_window" -> (graft.streaming.BatchTwins.sessionWindowQuery _),
     "stream_interval_join" -> (graft.streaming.BatchTwins.intervalJoinQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
+    "ann_ivf_spill" -> (Ann.ivfSpillQuery _),
     "knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
     "mutual_knn_pairs" -> ((s, d) => Ann.mutualKnnPairs(s, d)),
     "graph_centrality" -> ((s, d) => Ann.graphCentrality(s, d)),
@@ -1405,6 +1406,26 @@ object SparkEntry {
          |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "ann_ivf" -> ivfOracle,
+    // spilled 2-cell assignment, single-cell probe (SOAR trade)
+    "ann_ivf_spill" ->
+      s"""WITH $ivfCtes,
+         |asp AS (SELECT id, v, cell FROM (SELECT e.id, e.v, c.cell,
+         |    row_number() OVER (PARTITION BY e.id
+         |      ORDER BY ${ivfCd("e.v", "c.cv")}, c.cell) AS rn
+         |  FROM e CROSS JOIN c2 c) WHERE rn <= 2),
+         |p1 AS (SELECT qid, cell FROM (SELECT q.qid, c.cell,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${ivfCd("q.qv", "c.cv")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c2 c) WHERE rn = 1),
+         |spsc AS (SELECT p1.qid, a.id,
+         |    list_cosine_similarity(a.v, q.qv) AS s
+         |  FROM asp a JOIN p1 ON a.cell = p1.cell
+         |  JOIN q ON p1.qid = q.qid),
+         |spr AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+         |    ORDER BY s DESC, id) AS rk
+         |  FROM spsc WHERE s IS NOT NULL)
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |FROM spr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // range search through the index: probed cells' members at
     // cosine >= 0.25 — no rank, no heap; subset-of-flat pinned in spec
     "ann_ivf_range" ->

@@ -479,6 +479,42 @@ object Ann {
     ivfSearchWith(e, q, k = 10, nprobe = 2, cents)
   }
 
+  /** SPILLED-ASSIGNMENT IVF (the SOAR/ScaNN replication idea —
+    * Sun et al., NeurIPS'23: store each vector in its TWO nearest
+    * cells so a boundary vector is findable from either side) probed
+    * with a SINGLE cell per query: replication at write time buys
+    * the boundary recall plain IVF needs a second probe (2× the scan
+    * cost at read time) for. The trade is explicit and 100-TB-shaped
+    * — the index is 2× corpus rows (storage, paid once, partitioned
+    * by cell like any IVF layout) against HALF the per-query probe
+    * fan-out (latency, paid every search). Same cached centroids as
+    * `ann_ivf`, so the two layouts are directly comparable; with
+    * nprobe=1 a (qid, id) pair cannot duplicate (an id appears once
+    * per cell), so no dedup stage is needed before the heap.
+    */
+  def ivfSpillQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(e, 200)))
+    val spilled = e.select(col("id"), col("vec"),
+      explode(slice(array_sort(centroidDists(col("vec"), cents)), 1, 2))
+        .as("p"))
+      .select(col("id"), col("vec"), col("p.cell").as("cell"))
+    val probes = q.select(col("qid"), col("qvec"),
+      explode(slice(array_sort(centroidDists(col("qvec"), cents)), 1, 1))
+        .as("p"))
+      .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
+    val scored = spilled.join(probes, "cell")
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    topKPerQuery(scored, 10)
+  }
+
   /** IVF leg for callers that bring their OWN query frame (e.g. the
     * request-routing batch API, [[SearchApi]]): same cached centroids
     * and probe plan as [[ivfQuery]], so a routed request returns
