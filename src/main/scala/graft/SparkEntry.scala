@@ -48,6 +48,14 @@ object SparkEntry {
         pmod(col("id"), lit(4L)))),
     "vdb_knn_cosine" -> ((s, d) =>
       Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.Cosine)),
+    "vdb_knn_multiquery" -> ((s, d) => {
+      val qa = Tables.embeddings(s, d).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("q1"))
+      val qb = Tables.embeddings(s, d)
+        .where(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select((col("vec_id") - 5).as("qid"), col("embedding").as("q2"))
+      Knn.topKMultiQuery(emb(s, d), qa.join(qb, "qid"), 10)
+    }),
     "vdb_knn_filtered_eq" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label") === 5)),
@@ -6509,6 +6517,27 @@ object SparkEntry {
         |       round(dec, 4) AS boosted
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "vdb_knn_cosine" -> knnOracle("cos"),
+    // multi-vector OR query: best-of-two cosine, −2 sentinel on a
+    // null leg so max() semantics cannot drift between engines
+    "vdb_knn_multiquery" ->
+      """WITH qa AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS q1
+        |            FROM embeddings WHERE vec_id < 5),
+        |qb AS (SELECT vec_id - 5 AS qid, embedding::DOUBLE[] AS q2
+        |       FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
+        |qq AS (SELECT qid, q1, q2 FROM qa JOIN qb USING (qid)),
+        |d AS (SELECT qq.qid, e.vec_id AS nn_id,
+        |        greatest(
+        |          coalesce(list_cosine_similarity(e.embedding::DOUBLE[],
+        |            qq.q1), -2.0),
+        |          coalesce(list_cosine_similarity(e.embedding::DOUBLE[],
+        |            qq.q2), -2.0)) AS s
+        |      FROM embeddings e CROSS JOIN qq),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY s DESC, nn_id) AS rk
+        |      FROM d WHERE s > -1.5)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "vdb_knn_filtered_eq" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),

@@ -112,6 +112,57 @@ object Knn {
                    filter: org.apache.spark.sql.Column): DataFrame =
     topK(data.where(filter), queries, k, metric)
 
+  /** MULTI-VECTOR OR QUERY — one request carries SEVERAL intent
+    * vectors and a document matches on its BEST one (the multi-query
+    * semantics Vespa/Milvus expose for query expansion and multi-
+    * aspect intents; the reference's /search JSON field is literally
+    * plural `vectors`). score(q, doc) = max_i cos(doc, qᵢ), fan 2 as
+    * columns so both legs stay inside the scan's codegen stage (a
+    * dynamic fan would posexplode sub-vectors and pre-max — the same
+    * plan with one extra map-side combine; never a HOF lambda, the
+    * repo's interpreted-evaluation pitfall). Corpus norms compute
+    * ONCE per row (the [[topK]] prenorm discipline — identical float
+    * order as the fused kernel, so legs stay bit-equal to
+    * list_cosine_similarity); a NULL leg (zero-norm) coalesces to the
+    * −2 sentinel on BOTH engines so max() semantics cannot drift, and
+    * an all-null pair drops before the heap. Same broadcast + bounded
+    * TopKAgg anatomy as FLAT search: one map-only corpus pass, Q×k
+    * shuffle.
+    *
+    * @param queries (qid, q1, q2)
+    */
+  def topKMultiQuery(data: DataFrame, queries: DataFrame,
+                     k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), col("q1"), col("q2"),
+      sqrt(VectorDistance.dot(col("q1"), col("q1"))).as("_qn1"),
+      sqrt(VectorDistance.dot(col("q2"), col("q2"))).as("_qn2")))
+    val d = data.select(col("id"), col("vec"),
+      sqrt(VectorDistance.dot(col("vec"), col("vec"))).as("_n"))
+    // each leg CLAMPS into cosine's mathematical range [−1, 1]: FP
+    // drift can exceed it (a self-match's d/(√d·√d) lands at 1+2ulp
+    // for some vectors) and the mirror's list_cosine_similarity
+    // clamps, so an unclamped leg would win max() ties in a different
+    // order than the oracle ranks them
+    def leg(qv: String, qn: String) = {
+      val denom = col("_n") * col(qn)
+      val raw = VectorDistance.dot(col("vec"), col(qv)) / denom
+      when(denom === 0.0 || raw.isNull, lit(-2.0))
+        .otherwise(least(lit(1.0), greatest(lit(-1.0), raw)))
+    }
+    val agg = TopKAgg.topK(k)
+    d.crossJoin(q)
+      .select(col("qid"),
+        (-greatest(leg("q1", "_qn1"), leg("q2", "_qn2"))).as("key"),
+        col("id"))
+      .where(col("key") < 1.5) // both-leg-null sentinel, cos ≥ −1
+      .groupBy("qid")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"), round(-col("col.key"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
   /** Radius (range) search — FAISS `range_search` analog: every
     * neighbor within a threshold (L2: distance ≤ t; IP/cosine:
     * similarity ≥ t). Same broadcast + fused-kernel scan as [[topK]],
