@@ -183,6 +183,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSampleQuery(s, d)),
     "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergyQuery(s, d)),
     "mm_audio_silence" -> ((s, d) => Multimodal.audioSilenceQuery(s, d)),
+    "mm_shot_detect" -> ((s, d) => Multimodal.shotDetectQuery(s, d)),
     "mm_phash" -> (Multimodal.phashQuery _),
     "mm_channel_stats" -> (Multimodal.channelStatsQuery _),
     "mm_resize" -> (Multimodal.resizeQuery _),
@@ -3407,6 +3408,32 @@ object SparkEntry {
         |       coalesce(pd.longest_run, 0) AS longest_run
         |FROM nw LEFT JOIN pd ON nw.doc_id = pd.doc_id
         |ORDER BY nw.doc_id""".stripMargin,
+    // shot boundaries: |Δ frame-sum| > 150 cuts, runs between cuts
+    "mm_shot_detect" ->
+      """WITH sm AS (SELECT doc_id, i - 1 AS pos,
+        |              ord(substr(text, CAST(i AS INTEGER), 1)) - 96 AS x
+        |            FROM documents,
+        |              unnest(range(1, len(text) + 1)) AS t(i)),
+        |fr AS (SELECT doc_id, pos // 64 AS f,
+        |         CAST(count(*) AS BIGINT) AS fn,
+        |         CAST(sum(x) AS BIGINT) AS fsum
+        |       FROM sm GROUP BY 1, 2 HAVING count(*) = 64),
+        |ct AS (SELECT doc_id, f,
+        |         CASE WHEN abs(fsum - lag(fsum) OVER (PARTITION BY doc_id
+        |             ORDER BY f)) > 150 THEN 1 ELSE 0 END AS cut
+        |       FROM fr),
+        |sh AS (SELECT doc_id, f,
+        |         sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS shot
+        |       FROM ct),
+        |runs AS (SELECT doc_id, shot, CAST(count(*) AS BIGINT) AS len
+        |         FROM sh GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_frames,
+        |       CAST(count(*) AS BIGINT) AS n_shots,
+        |       CAST(max(len) AS BIGINT) AS longest_shot,
+        |       round(sum(len) * 1.0 / count(*), 4) AS mean_shot_len
+        |FROM runs GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "mm_audio_energy" ->
       """WITH sm AS (SELECT doc_id, i - 1 AS pos,
         |              ord(substr(text, CAST(i AS INTEGER), 1)) - 96 AS x

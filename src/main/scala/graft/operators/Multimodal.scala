@@ -543,6 +543,56 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** SHOT-BOUNDARY DETECTION — the video twin of
+    * [[audioSilenceQuery]]: the payload framed into fixed 64-byte
+    * FRAMES (full frames only, the audio window convention), each
+    * frame reduced to an integer signature (Σ sample values — the
+    * luminance-sum proxy real shot detectors threshold frame
+    * differences of), a CUT declared where |Δ signature| between
+    * consecutive frames exceeds the threshold, and shots formed as
+    * the runs between cuts via a running cut-count (the
+    * gaps-and-islands family — pure integer arithmetic, no
+    * iteration). Emits per doc: frame count, shot count, longest
+    * shot, mean shot length (the one division, 4dp). Fully columnar
+    * — no mapPartitions; the codec seam stays at decode. Scale: one
+    * posexplode keyed by doc_id (the loader's spread key), one
+    * (doc, frame) aggregate, two windows over FRAME-sized rows
+    * (payload/64 — never the sample rows), one per-doc rollup.
+    */
+  def shotDetectQuery(s: SparkSession, dir: String, frame: Int = 64,
+                      threshold: Long = 150L): DataFrame = {
+    val sm = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (ascii(col("ch")) - lit(96)).cast("long").as("x"))
+    val fr = sm
+      .select(col("doc_id"), (col("pos") / frame).cast("long").as("f"),
+        col("x"))
+      .groupBy("doc_id", "f")
+      .agg(count(lit(1)).as("fn"), sum("x").as("fsum"))
+      .where(col("fn") === frame)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("f")
+    val cuts = fr
+      .withColumn("d", abs(col("fsum") - lag("fsum", 1).over(wOrd)))
+      .withColumn("cut",
+        when(col("d").isNotNull && col("d") > threshold, 1L)
+          .otherwise(0L))
+      .withColumn("shot", sum("cut").over(wOrd
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+    val shots = cuts.groupBy("doc_id", "shot")
+      .agg(count(lit(1)).as("len"))
+    shots.groupBy("doc_id")
+      .agg(sum("len").as("n_frames"), count(lit(1)).as("n_shots"),
+        max("len").as("longest_shot"),
+        round(sum("len").cast("double") / count(lit(1)), 4)
+          .as("mean_shot_len"))
+      .orderBy("doc_id")
+  }
+
   def audioEnergyQuery(s: SparkSession, dir: String,
                        win: Int = 64): DataFrame = {
     val sm = Tables.documents(s, dir)
