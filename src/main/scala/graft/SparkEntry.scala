@@ -125,6 +125,7 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) => Ann.graphTriangles(s, d)),
     "graph_adamic_adar" -> ((s, d) => Ann.adamicAdar(s, d)),
     "graph_hits" -> (Ann.graphHits _),
+    "knn_hubness" -> (Ann.knnHubness _),
     "graph_jaccard_lp" -> ((s, d) => Ann.graphJaccardLp(s, d)),
     "graph_kcore" -> ((s, d) => Ann.graphKCore(s, d)),
     "graph_bfs_hist" -> ((s, d) => Ann.graphBfsHist(s, d)),
@@ -1660,6 +1661,17 @@ object SparkEntry {
          |       round(sum(CAST(1 AS DOUBLE) / ln(dg.d)), 4) AS aa_score
          |FROM cand JOIN dg ON dg.id = cand.b
          |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // k-occurrence histogram with the antihub zero bucket anchored
+    "knn_hubness" ->
+      s"""WITH $ivfGraphCtes,
+         |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
+         |ind AS (SELECT id, CAST(count(*) AS BIGINT) AS indeg
+         |        FROM g GROUP BY 1),
+         |nd AS (SELECT vec_id AS id FROM embeddings),
+         |pt AS (SELECT coalesce(ind.indeg, 0) AS indeg
+         |       FROM nd LEFT JOIN ind ON nd.id = ind.id)
+         |SELECT indeg, CAST(count(*) AS BIGINT) AS n_points
+         |FROM pt GROUP BY 1 ORDER BY indeg""".stripMargin,
     // HITS: two integer mutual-recursion rounds, one max-division
     "graph_hits" ->
       s"""WITH $ivfGraphCtes,

@@ -989,6 +989,30 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** HUBNESS (k-occurrence) AUDIT — the distribution of DIRECTED
+    * kNN in-degrees (Radovanović et al., JMLR'10: in high dimensions
+    * a few points become "hubs" appearing in unexpectedly many kNN
+    * lists while antihubs vanish from all of them — a known quality
+    * risk for kNN classification, dedup blocking, and graph-based
+    * ANN entry points). Emits the full in-degree histogram INCLUDING
+    * the antihub zero bucket (nodes never retrieved — only visible by
+    * left-joining the vertex set, the ivfRecallCurve zero-anchor
+    * lesson). Out-degree is k by construction, so the histogram is
+    * pure in-degree signal. Scale: edge list is N·k (memoized
+    * [[knnGraph]]); in-degree is one keyed count with map-side
+    * combine, the histogram a second count over N rows, output
+    * ≤ max-indeg rows.
+    */
+  def knnHubness(s: SparkSession, dir: String): DataFrame = {
+    val indeg = knnGraph(s, dir)
+      .groupBy(col("nn_id").as("id")).agg(count(lit(1)).as("indeg"))
+    Tables.embeddings(s, dir).select(col("vec_id").as("id"))
+      .join(indeg, Seq("id"), "left")
+      .select(coalesce(col("indeg"), lit(0L)).as("indeg"))
+      .groupBy("indeg").agg(count(lit(1)).as("n_points"))
+      .orderBy("indeg")
+  }
+
   /** HITS hubs & authorities (Kleinberg '99) over the DIRECTED kNN
     * graph — the asymmetry PageRank's single score hides: a hub's
     * out-edges reach many well-cited points (broad coverage), an
