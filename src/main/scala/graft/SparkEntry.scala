@@ -421,6 +421,7 @@ object SparkEntry {
     "events_asof_join" -> (AsOf.eventsAsofQuery _),
     "events_session_attr" -> (RangeJoin.sessionAttributionQuery _),
     "text_bm25_topk" -> (Search.bm25Query _),
+    "search_bm25f" -> (Search.bm25fQuery _),
     "text_bm25_filtered" -> (Search.bm25FilteredQuery _),
     "text_bm25_indexed" -> (Search.bm25IndexedQuery _),
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
@@ -2774,6 +2775,60 @@ object SparkEntry {
     "text_bm25_topk" ->
       s"""WITH $bm25Ctes
          |SELECT qid, rk, doc_id, score FROM r WHERE rk <= 10
+         |ORDER BY qid, rk""".stripMargin,
+    // BM25F: title = first 8 tokens (weight 2), body = rest (weight
+    // 1); per-field normalization inside the weighted tf̃, doc-level
+    // idf; field legs pivot to COLUMNS so the weighted sum is one
+    // fixed-order double expression
+    "search_bm25f" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |        CAST(least(len(string_split(text, ' ')), 8) AS DOUBLE)
+         |          AS dl_t,
+         |        CAST(greatest(len(string_split(text, ' ')) - 8, 0)
+         |          AS DOUBLE) AS dl_b
+         |      FROM documents),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |         avg(dl_t) AS avg_t, avg(dl_b) AS avg_b FROM d),
+         |q AS ($bm25QValues),
+         |qt AS (SELECT DISTINCT qid, term FROM
+         |        (SELECT qid, unnest(string_split(qtext, ' ')) AS term
+         |         FROM q)),
+         |terms AS (SELECT DISTINCT term FROM qt),
+         |ex AS (SELECT doc_id, dl_t, dl_b,
+         |         toks[CAST(i AS INTEGER)] AS term, i - 1 AS pos
+         |       FROM d, unnest(range(1, len(toks) + 1)) AS t(i)),
+         |p AS (SELECT doc_id, term, dl_t, dl_b,
+         |        CAST(sum(CASE WHEN pos < 8 THEN 1 ELSE 0 END)
+         |          AS DOUBLE) AS tf_t,
+         |        CAST(sum(CASE WHEN pos >= 8 THEN 1 ELSE 0 END)
+         |          AS DOUBLE) AS tf_b
+         |      FROM ex JOIN terms USING (term) GROUP BY 1, 2, 3, 4),
+         |idf AS (SELECT term,
+         |          ln((st.n_docs - dfreq + CAST(0.5 AS DOUBLE))
+         |             / (dfreq + CAST(0.5 AS DOUBLE))
+         |             + CAST(1.0 AS DOUBLE)) AS idf,
+         |          st.avg_t, st.avg_b
+         |        FROM (SELECT term, CAST(count(*) AS DOUBLE) AS dfreq
+         |              FROM p GROUP BY 1), st),
+         |tc AS (SELECT qt.qid, p.doc_id, idf.idf,
+         |         CAST(2.0 AS DOUBLE) * p.tf_t
+         |           / (CAST(0.25 AS DOUBLE)
+         |              + CAST(0.75 AS DOUBLE) * p.dl_t / idf.avg_t)
+         |         + CAST(1.0 AS DOUBLE) * p.tf_b
+         |           / (CAST(0.25 AS DOUBLE)
+         |              + CAST(0.75 AS DOUBLE) * p.dl_b / idf.avg_b)
+         |           AS tfn
+         |       FROM p JOIN idf USING (term) JOIN qt USING (term)),
+         |c AS (SELECT qid, doc_id,
+         |        idf * tfn / (CAST(1.2 AS DOUBLE) + tfn) AS contrib
+         |      FROM tc),
+         |fsc AS (SELECT qid, doc_id, round(sum(contrib), 4) AS score
+         |        FROM c GROUP BY 1, 2),
+         |fr2 AS (SELECT qid, doc_id, score,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY score DESC, doc_id) AS rk
+         |        FROM fsc)
+         |SELECT qid, rk, doc_id, score FROM fr2 WHERE rk <= 10
          |ORDER BY qid, rk""".stripMargin,
     // filter-query semantics: global idf/avgdl, candidates restricted
     "text_bm25_filtered" ->

@@ -148,6 +148,81 @@ object Search {
       .orderBy("qid", "rk")
   }
 
+  /** BM25F — FIELDED retrieval (Robertson & Zaragoza '09 §7, the
+    * "simple BM25F"): a match in the TITLE outweighs the same match
+    * in the body, with per-field length normalization applied BEFORE
+    * the saturation so a strong title match cannot be drowned by
+    * body-length normalization. Fields derive from the fixture
+    * deterministically (title = first 8 tokens, body = the rest —
+    * the split a real pipeline reads from its document schema);
+    * tf̃(t,d) = Σ_f w_f · tf_f / (1 − b + b·dl_f/avgdl_f) with
+    * w_title = 2, w_body = 1, then score = idf · tf̃/(k1 + tf̃). idf
+    * stays DOCUMENT-granular (df counts docs containing the term in
+    * ANY field — field structure re-weights tf, not the vocabulary).
+    * Determinism: both field legs pivot into COLUMNS of one row per
+    * (doc, term) — the weighted sum is a single fixed-order double
+    * expression, never a float aggregate over field rows; per-field
+    * dl/avgdl are whole-number doubles (exact sums in any order).
+    * Scale: one tokenize+posexplode pass (position decides the field
+    * — no second tokenization), query-term semi-join before the tf
+    * aggregate, checkpointed postings consumed by idf + scoring, Q×k
+    * heap shuffle.
+    */
+  def bm25fTopK(docs: DataFrame, queries: DataFrame, k: Int,
+                titleLen: Int = 8, wTitle: Double = 2.0,
+                wBody: Double = 1.0): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl_t", least(size(col("toks")), lit(titleLen))
+        .cast("double"))
+      .withColumn("dl_b", greatest(size(col("toks")) - titleLen, lit(0))
+        .cast("double"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl_t").as("avg_t"), avg("dl_b").as("avg_b"))
+    val qterms = queries.select(col("qid"),
+      explode(split(col("qtext"), " ")).as("term")).distinct()
+    val terms = qterms.select("term").distinct()
+    val posted = base
+      .select(col("doc_id"), col("dl_t"), col("dl_b"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy("doc_id", "term", "dl_t", "dl_b")
+      .agg(sum(when(col("pos") < titleLen, 1L).otherwise(0L))
+          .cast("double").as("tf_t"),
+        sum(when(col("pos") >= titleLen, 1L).otherwise(0L))
+          .cast("double").as("tf_b"))
+      .localCheckpoint(true) // consumed by idf + contrib
+    val idf = posted.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("dfreq"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5)
+          + 1.0).as("idf"),
+        col("avg_t"), col("avg_b"))
+    val tfn = lit(wTitle) * col("tf_t") /
+      (lit(1.0 - B) + lit(B) * col("dl_t") / col("avg_t")) +
+      lit(wBody) * col("tf_b") /
+        (lit(1.0 - B) + lit(B) * col("dl_b") / col("avg_b"))
+    val contrib = posted.join(broadcast(idf), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("qid"), col("doc_id"),
+        (col("idf") * tfn / (lit(K1) + tfn)).as("c"))
+    val scored = contrib.groupBy("qid", "doc_id")
+      .agg(round(sum("c"), 4).as("score"))
+    val agg = TopKAgg.topK(k)
+    scored
+      .select(col("qid"), (-col("score")).as("key"), col("doc_id").as("id"))
+      .groupBy("qid")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("doc_id"), (-col("col.key")).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Surface query: BM25F top-10 over the fixture title/body split. */
+  def bm25fQuery(s: SparkSession, dir: String): DataFrame =
+    bm25fTopK(Tables.documents(s, dir), fixedQueries(s), 10)
+
   // ------------------------------------------------- persisted postings
 
   /** Postings partition buckets. 64 keeps directories coarse enough
