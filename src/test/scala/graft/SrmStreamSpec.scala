@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Analytics
+import graft.streaming.{SrmEvent, SrmStream}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The live SRM guardrail's streaming/batch equivalence: arm counts
+  * are distinct-user cardinalities (order-free sets), so the final
+  * emission must equal the oracled batch query however events are
+  * micro-batched — and a redelivered user must be a no-op.
+  */
+class SrmStreamSpec extends SparkSuite {
+
+  private def eventRows(): Seq[SrmEvent] = {
+    import spark.implicits._
+    Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"))
+      .as[SrmEvent].collect().toSeq
+  }
+
+  private def batchWant(): Set[(String, Long, Long, Double, Boolean)] =
+    Analytics.eventsAbSrm(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+
+  private def finalEmissions(name: String)
+      : Set[(String, Long, Long, Double, Boolean)] = {
+    val all = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    all.groupBy(_._1).map { case (_, rows) =>
+      rows.maxBy(r => r._2 + r._3) // user counts are monotone
+    }.toSet
+  }
+
+  private def run(waves: Seq[Seq[SrmEvent]], name: String): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SrmEvent]
+    val q = SrmStream.report(spark, stream.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try waves.foreach { w => stream.addData(w); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  test("single-batch stream's emission equals the oracled batch query") {
+    run(Seq(eventRows()), "srm_one")
+    assert(finalEmissions("srm_one") == batchWant())
+    assert(batchWant().nonEmpty)
+  }
+
+  test("micro-batching and full redelivery reach identical statistics") {
+    val rows = eventRows()
+    // waves + the ENTIRE stream redelivered once more: every user is
+    // already in the seen-set, so the guardrail must not move
+    val waves = rows.grouped(math.max(1, rows.length / 5)).toSeq :+ rows
+    assert(waves.length > 3)
+    run(waves, "srm_redeliver")
+    assert(finalEmissions("srm_redeliver") == batchWant())
+    assert(spark.table("srm_redeliver").count() > batchWant().size.toLong)
+  }
+}
