@@ -119,6 +119,7 @@ object SparkEntry {
     "stream_interval_join" -> (graft.streaming.BatchTwins.intervalJoinQuery _),
     "ann_ivf" -> (Ann.ivfQuery _),
     "ann_ivf_spill" -> (Ann.ivfSpillQuery _),
+    "ann_spill_recall" -> (Ann.spillRecallReport _),
     "knn_graph" -> ((s, d) => Ann.knnGraph(s, d)),
     "mutual_knn_pairs" -> ((s, d) => Ann.mutualKnnPairs(s, d)),
     "graph_centrality" -> ((s, d) => Ann.graphCentrality(s, d)),
@@ -1696,6 +1697,78 @@ object SparkEntry {
          |FROM nd LEFT JOIN ha2 ON nd.id = ha2.id
          |LEFT JOIN hh2 ON nd.id = hh2.qid
          |CROSS JOIN hmx ORDER BY vec_id""".stripMargin,
+    // SOAR trade: recall@10 + scan cost for ivf@p1 / ivf@p2 /
+    // spill@p1 over the shared chain; hit counts vs brute top-10
+    "ann_spill_recall" ->
+      s"""WITH $ivfCtes,
+         |p1 AS (SELECT qid, cell FROM (SELECT q.qid, c.cell,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY ${ivfCd("q.qv", "c.cv")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c2 c) WHERE rn = 1),
+         |asp AS (SELECT id, v, cell FROM (SELECT e.id, e.v, c.cell,
+         |    row_number() OVER (PARTITION BY e.id
+         |      ORDER BY ${ivfCd("e.v", "c.cv")}, c.cell) AS rn
+         |  FROM e CROSS JOIN c2 c) WHERE rn <= 2),
+         |nqx AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q),
+         |xr AS (SELECT qid, id FROM (SELECT q.qid, e.id,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.id)
+         |      AS rk
+         |  FROM e CROSS JOIN q) WHERE rk <= 10),
+         |r1 AS (SELECT qid, id FROM (SELECT p1.qid, a.id,
+         |    row_number() OVER (PARTITION BY p1.qid
+         |      ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.id)
+         |      AS rk
+         |  FROM af a JOIN p1 ON a.cell = p1.cell
+         |  JOIN q ON p1.qid = q.qid
+         |  WHERE list_cosine_similarity(a.v, q.qv) IS NOT NULL)
+         |  WHERE rk <= 10),
+         |r2 AS (SELECT qid, id FROM (SELECT pr.qid, a.id,
+         |    row_number() OVER (PARTITION BY pr.qid
+         |      ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.id)
+         |      AS rk
+         |  FROM af a JOIN pr ON a.cell = pr.cell
+         |  JOIN q ON pr.qid = q.qid
+         |  WHERE list_cosine_similarity(a.v, q.qv) IS NOT NULL)
+         |  WHERE rk <= 10),
+         |r3 AS (SELECT qid, id FROM (SELECT p1.qid, a.id,
+         |    row_number() OVER (PARTITION BY p1.qid
+         |      ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.id)
+         |      AS rk
+         |  FROM asp a JOIN p1 ON a.cell = p1.cell
+         |  JOIN q ON p1.qid = q.qid
+         |  WHERE list_cosine_similarity(a.v, q.qv) IS NOT NULL)
+         |  WHERE rk <= 10),
+         |h1 AS (SELECT CAST(count(*) AS BIGINT) AS h
+         |       FROM r1 JOIN xr USING (qid, id)),
+         |h2 AS (SELECT CAST(count(*) AS BIGINT) AS h
+         |       FROM r2 JOIN xr USING (qid, id)),
+         |h3 AS (SELECT CAST(count(*) AS BIGINT) AS h
+         |       FROM r3 JOIN xr USING (qid, id)),
+         |cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS cn
+         |       FROM af GROUP BY 1),
+         |css AS (SELECT cell, CAST(count(*) AS BIGINT) AS cn
+         |        FROM asp GROUP BY 1),
+         |s1 AS (SELECT CAST(sum(cn) AS BIGINT) AS sr
+         |       FROM p1 JOIN cs USING (cell)),
+         |s2 AS (SELECT CAST(sum(cn) AS BIGINT) AS sr
+         |       FROM pr JOIN cs USING (cell)),
+         |s3 AS (SELECT CAST(sum(cn) AS BIGINT) AS sr
+         |       FROM p1 JOIN css USING (cell))
+         |SELECT variant, n_queries, mean_recall, scanned_rows FROM (
+         |  SELECT 'ivf_p1' AS variant, nq AS n_queries,
+         |         round(CAST(h AS DOUBLE) / (10 * nq), 4) AS mean_recall,
+         |         sr AS scanned_rows
+         |  FROM h1, s1, nqx
+         |  UNION ALL
+         |  SELECT 'ivf_p2', nq, round(CAST(h AS DOUBLE) / (10 * nq), 4),
+         |         sr
+         |  FROM h2, s2, nqx
+         |  UNION ALL
+         |  SELECT 'spill_p1', nq, round(CAST(h AS DOUBLE) / (10 * nq), 4),
+         |         sr
+         |  FROM h3, s3, nqx)
+         |ORDER BY variant""".stripMargin,
     // 2-core by unrolled peeling (8 rounds): the Spark side's exact
     // convergence stop makes extra mirror rounds the identity
     "graph_kcore" -> {

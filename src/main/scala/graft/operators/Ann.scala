@@ -499,20 +499,89 @@ object Ann {
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val cents = centCache.computeIfAbsent((dir, 200L),
       _ => collectCentroids(kmeansCentroids(e, 200)))
-    val spilled = e.select(col("id"), col("vec"),
+    spillSearchWith(e, q, 10, cents)
+  }
+
+  /** The spilled layout (each vector in its 2 nearest cells). */
+  private def spillAssign(e: DataFrame,
+                          cents: Array[(Long, Array[Float])]): DataFrame =
+    e.select(col("id"), col("vec"),
       explode(slice(array_sort(centroidDists(col("vec"), cents)), 1, 2))
         .as("p"))
       .select(col("id"), col("vec"), col("p.cell").as("cell"))
+
+  private def spillSearchWith(e: DataFrame, q: DataFrame, k: Int,
+                              cents: Array[(Long, Array[Float])])
+      : DataFrame = {
     val probes = q.select(col("qid"), col("qvec"),
       explode(slice(array_sort(centroidDists(col("qvec"), cents)), 1, 1))
         .as("p"))
       .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
-    val scored = spilled.join(probes, "cell")
+    val scored = spillAssign(e, cents).join(probes, "cell")
       .select(col("qid"),
         (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
         col("id"))
       .where(col("key").isNotNull)
-    topKPerQuery(scored, 10)
+    topKPerQuery(scored, k)
+  }
+
+  /** THE SOAR TRADE QUANTIFIED — recall@10 AND scan cost for three
+    * layouts over the same centroids: plain IVF at nprobe=1, plain
+    * IVF at nprobe=2, and the spilled layout at nprobe=1. The honest
+    * question a capacity planner asks: does 2× storage at 1 probe
+    * buy the recall of 2 probes at 1× storage, and at what per-query
+    * scan cost (Σ probed-cell sizes — the rows the heap must score)?
+    * Recall closes over exact integer hit counts against the
+    * brute-force top-10 (one division); scan cost is an exact
+    * integer sum over probe×cell-size joins. Every leg is anchored
+    * by a literal variant frame (left join + coalesce — the
+    * ivfRecallCurve zero-anchor rule), so a zero-hit leg reports
+    * 0.0, not an absent row. Scale: legs share the memoized
+    * centroids; the exact leg is the one corpus-wide pass.
+    */
+  def spillRecallReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nq = q.count()
+    val cents = centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(e, 200)))
+    val exact = Knn.topK(e, q, 10, Knn.Metric.Cosine)
+      .select(col("qid"), col("nn_id")).localCheckpoint(true)
+    val legs = Seq(
+      ("ivf_p1", ivfSearchWith(e, q, 10, 1, cents)),
+      ("ivf_p2", ivfSearchWith(e, q, 10, 2, cents)),
+      ("spill_p1", spillSearchWith(e, q, 10, cents)))
+    val results = legs.map { case (n, df) =>
+      df.select(lit(n).as("variant"), col("qid"), col("nn_id"))
+    }.reduce(_ unionByName _)
+    val hits = results.join(exact, Seq("qid", "nn_id"), "left_semi")
+      .groupBy("variant").agg(count(lit(1)).as("hits"))
+    val cellSizes = assignTo(e, cents).groupBy("cell")
+      .agg(count(lit(1)).as("cn"))
+    val spillSizes = spillAssign(e, cents).groupBy("cell")
+      .agg(count(lit(1)).as("cn"))
+    def probesOf(np: Int) = q.select(col("qid"),
+      explode(slice(array_sort(centroidDists(col("qvec"), cents)), 1, np))
+        .as("p"))
+      .select(col("qid"), col("p.cell").as("cell"))
+    val scanned = Seq(
+      ("ivf_p1", probesOf(1).join(cellSizes, "cell")),
+      ("ivf_p2", probesOf(2).join(cellSizes, "cell")),
+      ("spill_p1", probesOf(1).join(spillSizes, "cell")))
+      .map { case (n, df) => df.select(lit(n).as("variant"), col("cn")) }
+      .reduce(_ unionByName _)
+      .groupBy("variant").agg(sum("cn").as("scanned_rows"))
+    Seq("ivf_p1", "ivf_p2", "spill_p1").toDF("variant")
+      .join(hits, Seq("variant"), "left")
+      .join(scanned, Seq("variant"), "left")
+      .select(col("variant"), lit(nq).as("n_queries"),
+        round(coalesce(col("hits"), lit(0L)).cast("double")
+          / (lit(10L) * nq), 4).as("mean_recall"),
+        coalesce(col("scanned_rows"), lit(0L)).as("scanned_rows"))
+      .orderBy("variant")
   }
 
   /** IVF leg for callers that bring their OWN query frame (e.g. the
