@@ -131,6 +131,7 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) => Ann.graphKCore(s, d)),
     "graph_bfs_hist" -> ((s, d) => Ann.graphBfsHist(s, d)),
     "graph_modularity" -> ((s, d) => Ann.graphModularity(s, d)),
+    "graph_conductance" -> ((s, d) => Ann.graphConductance(s, d)),
     "knn_graph_recall" -> ((s, d) => Ann.knnGraphRecall(s, d)),
     "events_bot_score" -> ((s, d) => Sequence.botScore(s, d)),
     "embed_knn_clusters" -> ((s, d) => Ann.embedKnnClusters(s, d)),
@@ -1620,6 +1621,40 @@ object SparkEntry {
          |         - (CAST(dc.d_sum AS DOUBLE) / (2 * m.m))
          |           * (CAST(dc.d_sum AS DOUBLE) / (2 * m.m)), 4) AS q_c
          |FROM dc LEFT JOIN mi USING (cluster_id) CROSS JOIN m
+         |ORDER BY cluster_id""".stripMargin,
+    // conductance: crossing edges counted once per SIDE, guarded
+    // min-volume division (whole-graph cluster -> NULL)
+    "graph_conductance" ->
+      s"""WITH RECURSIVE $ivfGraphCtes,
+         |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
+         |pairs AS (SELECT g1.qid AS id1, g1.id AS id2
+         |          FROM g g1 JOIN g g2 ON g1.qid = g2.id AND g1.id = g2.qid
+         |          WHERE g1.qid < g1.id),
+         |$closureCte,
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+         |wc AS (SELECT p.id1, p.id2, c1.cluster_id AS ca,
+         |         c2.cluster_id AS cb
+         |       FROM pairs p JOIN cl c1 ON p.id1 = c1.id
+         |       JOIN cl c2 ON p.id2 = c2.id),
+         |cut AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cut_edges
+         |        FROM (SELECT ca AS cluster_id FROM wc WHERE ca <> cb
+         |              UNION ALL SELECT cb FROM wc WHERE ca <> cb)
+         |        GROUP BY 1),
+         |sym AS (SELECT id1 AS a FROM pairs
+         |        UNION ALL SELECT id2 FROM pairs),
+         |dg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS d
+         |       FROM sym GROUP BY 1),
+         |dc AS (SELECT cl.cluster_id, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(dg.d) AS BIGINT) AS vol
+         |       FROM cl JOIN dg ON cl.id = dg.id GROUP BY 1)
+         |SELECT dc.cluster_id, dc.n_nodes, dc.vol,
+         |       CAST(coalesce(cut.cut_edges, 0) AS BIGINT) AS cut_edges,
+         |       CASE WHEN least(dc.vol, 2 * m.m - dc.vol) > 0
+         |         THEN round(CAST(coalesce(cut.cut_edges, 0) AS DOUBLE)
+         |           / least(dc.vol, 2 * m.m - dc.vol), 4)
+         |         ELSE NULL END AS conductance
+         |FROM dc LEFT JOIN cut USING (cluster_id) CROSS JOIN m
          |ORDER BY cluster_id""".stripMargin,
     // graph quality: measured recall of the IVF-blocked kNN graph
     // vs the exact kNN on the vec_id < 50 sample

@@ -876,6 +876,53 @@ object Ann {
       .orderBy("cluster_id")
   }
 
+  /** CONDUCTANCE per embedding cluster — the boundary-leakage twin
+    * of [[graphModularity]] (Kannan/Vempala/Vetta's cluster-quality
+    * measure; Leskovec's NCP plots made it the standard): φ(C) =
+    * cut(C) / min(vol(C), vol(rest)) — a low-conductance cluster is
+    * well-separated (its members' kNN edges stay inside), a high one
+    * leaks into the rest of the corpus and single-link dedup will
+    * chain through it. Every input is an exact integer off the same
+    * mutual-graph + fixpoint-cluster byproducts modularity reads
+    * (cut edges counted once per SIDE via a two-row explode of each
+    * crossing edge; volumes are degree sums), one guarded division —
+    * a cluster spanning the whole graph has min-vol 0 and reports
+    * NULL, not ∞. Same O(N·k) shapes as modularity.
+    */
+  def graphConductance(s: SparkSession, dir: String,
+                       k: Int = 5): DataFrame = {
+    val clusters = embedKnnClusters(s, dir, k)
+      .select(col("vec_id").as("id"), col("cluster_id"))
+      .localCheckpoint(true)
+    val und = mutualKnnPairs(s, dir, k).select("id_a", "id_b")
+      .localCheckpoint(true)
+    val m = und.agg(count(lit(1)).as("m"))
+    val withC = und
+      .join(clusters.select(col("id").as("id_a"), col("cluster_id").as("ca")),
+        "id_a")
+      .join(clusters.select(col("id").as("id_b"), col("cluster_id").as("cb")),
+        "id_b")
+    val cut = withC.where(col("ca") =!= col("cb"))
+      .select(explode(array(col("ca"), col("cb"))).as("cluster_id"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("cut_edges"))
+    val sym = und.select(col("id_a").as("a"))
+      .unionByName(und.select(col("id_b").as("a")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+    val dc = clusters.join(deg, "id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("vol"))
+    val minVol = least(col("vol"), lit(2L) * col("m") - col("vol"))
+    dc.join(cut, Seq("cluster_id"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("cluster_id"), col("n_nodes"), col("vol"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        when(minVol > 0,
+          round(coalesce(col("cut_edges"), lit(0L)).cast("double")
+            / minVol, 4))
+          .otherwise(lit(null).cast("double")).as("conductance"))
+      .orderBy("cluster_id")
+  }
+
   /** ADAMIC-ADAR LINK PREDICTION over the mutual-kNN graph — scores
     * every distance-2 non-adjacent pair (a, c) by Σ_b 1/ln(deg(b))
     * over their common neighbors b (Adamic & Adar 2003): the classic
