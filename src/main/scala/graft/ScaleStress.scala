@@ -63,12 +63,18 @@ object ScaleStress {
   // events_peak_concurrency (the two-level banded boundary sweep:
   // replicated events multiply per-instant deltas, per-day windows
   // and the driver prefix must stay calendar-sized)
+  // r11 late wave adds graph_hits (four k-bounded half-round joins —
+  // work must track the N·k edge list, with map-side combine
+  // absorbing the hub-key skew the query measures) and ann_ivf_spill
+  // (the spilled layout doubles index rows but probes ONE cell — the
+  // per-query scan must track cell size, not corpus size)
   val queryNames: Seq[String] =
     Seq("knn_graph", "dedup_minhash_pairs", "text_bm25_indexed",
       "events_pattern_match", "ann_hnsw", "dsir_select",
       "search_spell_correct", "graph_adamic_adar", "events_daily_agg",
       "dedup_containment", "events_rolling_p95", "search_spell_indexed",
-      "text_rake_keywords", "events_peak_concurrency")
+      "text_rake_keywords", "events_peak_concurrency",
+      "graph_hits", "ann_ivf_spill")
 
   /** Replica id-space offset: far above any driver-generated id and
     * above the +100000/+200000/+300000 bands the synthetic-workload
