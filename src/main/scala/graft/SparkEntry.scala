@@ -307,6 +307,8 @@ object SparkEntry {
     "events_ab_cuped" -> ((s, d) => Analytics.eventsAbCuped(s, d)),
     "events_ab_srm" -> (Analytics.eventsAbSrm _),
     "events_did" -> (Analytics.eventsDid _),
+    "events_winsorized" -> (Analytics.eventsWinsorized _),
+    "dedup_cos_sweep" -> ((s, d) => Dedup.cosineSweep(s, d)),
     "graph_assortativity" -> ((s, d) => Ann.graphAssortativity(s, d)),
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
     "events_cooccurrence" -> ((s, d) => Sequence.cooccurrence(s, d)),
@@ -4292,6 +4294,38 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // winsorized mean: ceil-rank order-statistic bounds off the value
+    // histogram (integer clip, exact sums)
+    "events_winsorized" ->
+      """WITH m AS (SELECT event_type,
+        |             CAST(round(value * 100) AS BIGINT) AS micro
+        |           FROM events),
+        |h AS (SELECT event_type, micro, CAST(count(*) AS BIGINT) AS c
+        |      FROM m GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |      FROM h GROUP BY 1),
+        |cu AS (SELECT h.event_type, h.micro, t.n,
+        |         sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.micro
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum
+        |       FROM h JOIN t USING (event_type)),
+        |b AS (SELECT event_type,
+        |        min(CASE WHEN cum >= (n * 5 + 99) // 100
+        |          THEN micro END) AS lo,
+        |        min(CASE WHEN cum >= (n * 95 + 99) // 100
+        |          THEN micro END) AS hi
+        |      FROM cu GROUP BY 1),
+        |cl AS (SELECT m.event_type, m.micro, b.lo, b.hi,
+        |         least(greatest(m.micro, b.lo), b.hi) AS clip
+        |       FROM m JOIN b USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(max(lo) AS DOUBLE) / 100.0, 4) AS p05,
+        |       round(CAST(max(hi) AS DOUBLE) / 100.0, 4) AS p95,
+        |       round(CAST(sum(micro) AS DOUBLE) / count(*) / 100.0, 4)
+        |         AS mean_raw,
+        |       round(CAST(sum(clip) AS DOUBLE) / count(*) / 100.0, 4)
+        |         AS mean_winsorized
+        |FROM cl GROUP BY 1 ORDER BY event_type""".stripMargin,
     // SRM guardrail: two-cell equal-prob chi2 on distinct users/arm
     "events_ab_srm" ->
       """WITH u AS (SELECT DISTINCT event_type, user_id,
@@ -5329,6 +5363,42 @@ object SparkEntry {
         |WHERE list_cosine_similarity(x.embedding::DOUBLE[],
         |                             y.embedding::DOUBLE[]) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+    // cosine-threshold sweep: the shipped pairs' ROUNDED cosines
+    // gridded cumulative-from-above, zero-anchored literal grid
+    "dedup_cos_sweep" ->
+      """WITH hpw AS (
+        |  SELECT t, p, d,
+        |    ((CAST('0x' || substr(md5(CAST(t AS VARCHAR) || '|' ||
+        |        CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 8)
+        |        AS BIGINT) & 2147483647) / 2147483647.0 * 2.0 - 1.0) AS w
+        |  FROM range(4) r1(t) CROSS JOIN range(4) r2(p)
+        |       CROSS JOIN range(64) r3(d)),
+        |hp AS (SELECT t, p, list(w ORDER BY d) AS wv FROM hpw GROUP BY t, p),
+        |dots AS (SELECT e.vec_id, hp.t, hp.p,
+        |           list_inner_product(e.embedding::DOUBLE[], hp.wv) AS dp
+        |         FROM embeddings e CROSS JOIN hp),
+        |sg AS (SELECT vec_id, t,
+        |         sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS sig
+        |       FROM dots GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |         FROM sg a JOIN sg b
+        |           ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |pr AS (SELECT round(list_cosine_similarity(x.embedding::DOUBLE[],
+        |                 y.embedding::DOUBLE[]), 4) AS cosine
+        |       FROM cand c JOIN embeddings x ON c.id1 = x.vec_id
+        |       JOIN embeddings y ON c.id2 = y.vec_id
+        |       WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+        |                                    y.embedding::DOUBLE[]) >= 0.35),
+        |grd AS (SELECT CAST(threshold AS DOUBLE) AS threshold
+        |        FROM (VALUES (0.35), (0.5), (0.65), (0.8), (0.95))
+        |          g(threshold)),
+        |cnt AS (SELECT grd.threshold, CAST(count(*) AS BIGINT) AS n_pairs
+        |        FROM pr JOIN grd ON pr.cosine >= grd.threshold
+        |        GROUP BY 1)
+        |SELECT grd.threshold,
+        |       CAST(coalesce(cnt.n_pairs, 0) AS BIGINT) AS n_pairs
+        |FROM grd LEFT JOIN cnt USING (threshold)
+        |ORDER BY threshold""".stripMargin,
     // semantic decontam: cross-split LSH bucket mates -> exact cosine
     // -> per-eval argmax by (cosine DESC, train_id) — the mirror's
     // row_number replays the max_by(struct(c, -train_id)) ordering

@@ -3304,6 +3304,51 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** WINSORIZED MEAN per event type — the robust location estimate a
+    * metrics platform reports beside the raw mean (one bot or one
+    * fat-finger order should not move the KPI): values clipped at the
+    * p5/p95 ORDER STATISTICS before averaging. The scale discipline:
+    * the bounds are CEIL-RANK order statistics off the VALUE
+    * HISTOGRAM (the eventsKsTest rule — cumulative counts over
+    * (type, micro) rows, never a sort of the raw events), and because
+    * an order statistic is an ACTUAL micro integer (unlike an
+    * interpolated percentile, which is a float), the clipped values
+    * stay BIGINTs and their sum is exact in any fold order. One scan
+    * → histogram aggregate → histogram-sized window → broadcast
+    * bounds → one clipped re-aggregate.
+    */
+  def eventsWinsorized(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("micro"))
+    val hist = ev.groupBy("event_type", "micro")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("micro")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy("event_type").agg(sum("c").as("n"))
+    val cum = hist.withColumn("cum", sum("c").over(w))
+      .join(tot, "event_type")
+    val bounds = cum.groupBy("event_type")
+      .agg(min(when(col("cum") >= expr("(n * 5 + 99) div 100"),
+          col("micro"))).as("lo"),
+        min(when(col("cum") >= expr("(n * 95 + 99) div 100"),
+          col("micro"))).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("micro"), col("lo"), col("hi"),
+        least(greatest(col("micro"), col("lo")), col("hi")).as("clip"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("lo").as("lo"), max("hi").as("hi"),
+        sum("micro").as("sraw"), sum("clip").as("sclip"))
+      .select(col("event_type"), col("n"),
+        round(col("lo").cast("double") / 100.0, 4).as("p05"),
+        round(col("hi").cast("double") / 100.0, 4).as("p95"),
+        round(col("sraw").cast("double") / col("n") / 100.0, 4)
+          .as("mean_raw"),
+        round(col("sclip").cast("double") / col("n") / 100.0, 4)
+          .as("mean_winsorized"))
+      .orderBy("event_type")
+  }
+
   /** SAMPLE-RATIO-MISMATCH guardrail — the first check every
     * experimentation platform runs BEFORE reading an A/B result
     * (Fabijan et al., ICSE-SEIP'19: a skewed split invalidates the

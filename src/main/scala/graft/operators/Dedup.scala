@@ -995,6 +995,31 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** COSINE-THRESHOLD SWEEP over the LSH-blocked near-dup pairs —
+    * the tuning curve for the embedding-dedup cut (the cosine twin
+    * of the band-recall S-curve): how many pairs survive at each
+    * candidate threshold, so the curator picks the knee instead of a
+    * folklore 0.9. Counts close over the SAME pair set the
+    * [[embeddingCosinePairs]] operator ships (4dp-rounded cosine —
+    * both engines grid on the identical rounded values), each pair
+    * counted into every threshold it clears (cumulative-from-above),
+    * zero-anchored by the literal grid (a threshold no pair clears
+    * reports 0, not an absent row). Pair-set-sized work — the
+    * LSH blocking already bounded it.
+    */
+  def cosineSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = embeddingCosinePairs(s, dir).select("cosine")
+    val grid = Seq(0.35, 0.5, 0.65, 0.8, 0.95).toDF("threshold")
+    val counts = pairs.crossJoin(broadcast(grid))
+      .where(col("cosine") >= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    grid.join(counts, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("threshold")
+  }
+
   /** PASSAGE-level exact-substring dedup — the modality the published
     * training-data pipelines run beside document-level near-dedup:
     * find the maximal token spans a document shares verbatim with ANY
