@@ -267,6 +267,7 @@ object SparkEntry {
     "corpus_mixture" -> (Sketch.corpusMixture _),
     "corpus_temperature_mix" -> (Sketch.temperatureMix _),
     "train_triplets" -> (Triplets.tripletsQuery _),
+    "train_span_corrupt" -> (TextOps.spanCorrupt _),
     "train_triplets_hard" -> (Triplets.tripletsHardQuery _),
     "decontam_overlap" -> (Decontam.contaminationQuery _),
     "decontam_semantic" -> ((s, d) => Decontam.semantic(s, d)),
@@ -8233,6 +8234,45 @@ object SparkEntry {
         |       (3 * len_fp + 3 * ttr_fp + 2 * stop_fp - 4 * toptok_fp)
         |         >= 28000 AS keep
         |FROM x ORDER BY doc_id""".stripMargin,
+    // T5 span corruption: md5 coin per (doc,pos), 1/20 starts,
+    // len 1..4, overlaps merged to runs = sentinels
+    "train_span_corrupt" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |tk AS (SELECT doc_id, i - 1 AS pos
+        |       FROM t, unnest(range(1, len(ws) + 1)) AS u(i)),
+        |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        |       FROM tk GROUP BY 1),
+        |hs AS (SELECT doc_id, pos,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+        |           || CAST(pos AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |       FROM tk),
+        |st AS (SELECT doc_id, pos, 1 + (h // 20) % 4 AS len
+        |       FROM hs WHERE h % 20 = 0),
+        |cov0 AS (SELECT DISTINCT st.doc_id, u.cp
+        |         FROM st, unnest(range(st.pos, st.pos + st.len))
+        |           AS u(cp)),
+        |cov AS (SELECT c.doc_id, c.cp FROM cov0 c
+        |        JOIN nt ON c.doc_id = nt.doc_id
+        |        WHERE c.cp < nt.n_tokens),
+        |rn AS (SELECT doc_id, cp,
+        |         lag(cp) OVER (PARTITION BY doc_id ORDER BY cp) AS pc
+        |       FROM cov),
+        |runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked,
+        |           CAST(sum(CASE WHEN pc IS NULL OR cp - pc > 1
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+        |         FROM rn GROUP BY 1)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |       CAST(coalesce(runs.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(runs.n_masked, 0) AS BIGINT) AS n_masked,
+        |       round(CAST(coalesce(runs.n_masked, 0) AS DOUBLE)
+        |         / nt.n_tokens, 4) AS corrupt_ratio,
+        |       CAST(nt.n_tokens - coalesce(runs.n_masked, 0)
+        |         + coalesce(runs.n_spans, 0) AS BIGINT) AS input_len,
+        |       CAST(coalesce(runs.n_masked, 0)
+        |         + coalesce(runs.n_spans, 0) AS BIGINT) AS target_len
+        |FROM nt LEFT JOIN runs ON nt.doc_id = runs.doc_id
+        |ORDER BY nt.doc_id""".stripMargin,
     // Cohen's kappa between the model gate and the heuristic gate,
     // both gates off the one tf aggregate; pe=1 degenerates to NULL
     "quality_kappa" ->

@@ -612,6 +612,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T5-STYLE SPAN CORRUPTION PLAN (Raffel et al., JMLR'20 §3.1.4 —
+    * the denoising objective's data prep): deterministic md5-seeded
+    * span starts (rate 1/20 per position) with lengths 1..4 (mean
+    * 2.5 ⇒ ~12% corruption), overlapping/adjacent spans MERGED into
+    * maximal runs — each run is ONE sentinel, so the reported
+    * input/target lengths are exactly what the trainer's packer will
+    * see (input = kept tokens + sentinels; target = masked tokens +
+    * sentinels). Determinism is the whole point: the same doc yields
+    * the same spans on any engine, any partitioning, any retry — the
+    * md5 coin of the sampling family, applied per (doc, pos). Scale:
+    * one posexplode keyed by doc_id; span starts are rate-bounded
+    * (N/20 rows), coverage explodes ≤4 positions per start, run
+    * merging is one lag window over covered rows only.
+    */
+  def spanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val nt = tk.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val hs = tk.withColumn("h", graft.functions.Md5Prefix60(
+      concat(col("doc_id").cast("string"), lit("|"),
+        col("pos").cast("string"))))
+    val st = hs.where(expr("h % 20 = 0"))
+      .select(col("doc_id"), col("pos"),
+        expr("1 + (h div 20) % 4").as("len"))
+    val cov = st.select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + col("len") - 1))
+          .as("cp"))
+      .distinct()
+      .join(nt, "doc_id").where(col("cp") < col("n_tokens"))
+      .select("doc_id", "cp")
+    val w = Window.partitionBy("doc_id").orderBy("cp")
+    val runs = cov.withColumn("pc", lag("cp", 1).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_masked"),
+        sum(when(col("pc").isNull || col("cp") - col("pc") > 1, 1L)
+          .otherwise(0L)).as("n_spans"))
+    nt.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        round(coalesce(col("n_masked"), lit(0L)).cast("double")
+          / col("n_tokens"), 4).as("corrupt_ratio"),
+        (col("n_tokens") - coalesce(col("n_masked"), lit(0L))
+          + coalesce(col("n_spans"), lit(0L))).as("input_len"),
+        (coalesce(col("n_masked"), lit(0L))
+          + coalesce(col("n_spans"), lit(0L))).as("target_len"))
+      .orderBy("doc_id")
+  }
+
   /** INTER-GATE AGREEMENT (Cohen's κ) between the two quality gates
     * the pipeline ships — the model gate ([[qualityClassifier]]'s
     * integer linear score ≥ 28000) and the heuristic gate
