@@ -309,6 +309,7 @@ object SparkEntry {
     "events_ab_srm" -> (Analytics.eventsAbSrm _),
     "events_did" -> (Analytics.eventsDid _),
     "events_winsorized" -> (Analytics.eventsWinsorized _),
+    "events_stl_decompose" -> (Analytics.eventsStlDecompose _),
     "dedup_cos_sweep" -> ((s, d) => Dedup.cosineSweep(s, d)),
     "graph_assortativity" -> ((s, d) => Ann.graphAssortativity(s, d)),
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
@@ -4295,6 +4296,63 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // STL-lite: micro-int trend via div 7 (both engines truncate
+    // toward zero), integer seasonal/resid, decimal squared sums
+    "events_stl_decompose" ->
+      """WITH ev AS (SELECT event_type,
+        |             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |               AS d
+        |           FROM events),
+        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+        |          FROM ev GROUP BY 1, 2),
+        |meta AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+        |tys AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, g.d
+        |         FROM tys t CROSS JOIN
+        |           (SELECT unnest(range(lo, hi + 1)) AS d FROM meta) g),
+        |dense AS (SELECT grid.event_type, grid.d,
+        |            coalesce(daily.n, 0) AS n
+        |          FROM grid LEFT JOIN daily USING (event_type, d)),
+        |ww AS (SELECT event_type, d, n,
+        |         count(*) OVER w AS c7,
+        |         CAST(sum(n) OVER w AS BIGINT) AS s7
+        |       FROM dense
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |inter AS (SELECT event_type, d, n,
+        |            n * 1000000 - ((s7 * 1000000) // 7) AS detr,
+        |            d % 7 AS dow
+        |          FROM ww WHERE c7 = 7),
+        |seas AS (SELECT event_type, dow,
+        |           CAST(sum(detr) // count(*) AS BIGINT) AS sdow
+        |         FROM inter GROUP BY 1, 2),
+        |parts AS (SELECT i.event_type, i.n, i.detr - s.sdow AS resid,
+        |            s.sdow
+        |          FROM inter i JOIN seas s
+        |            ON i.event_type = s.event_type AND i.dow = s.dow),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(n * 1000000) AS BIGINT) AS sx,
+        |         sum(CAST(resid AS HUGEINT) * CAST(resid AS HUGEINT))
+        |           AS sr2,
+        |         CAST(max(sdow) AS BIGINT) AS smax,
+        |         CAST(min(sdow) AS BIGINT) AS smin
+        |       FROM parts GROUP BY 1),
+        |ce AS (SELECT p.event_type,
+        |         sum(CAST(p.n * 1000000 - (st.sx // st.n_days) AS HUGEINT)
+        |           * CAST(p.n * 1000000 - (st.sx // st.n_days)
+        |             AS HUGEINT)) AS sc2
+        |       FROM parts p JOIN st USING (event_type)
+        |       GROUP BY 1)
+        |SELECT st.event_type, st.n_days,
+        |       round(CAST(st.smax - st.smin AS DOUBLE) / 1e6, 4)
+        |         AS seasonal_amplitude,
+        |       CASE WHEN ce.sc2 > 0
+        |         THEN round(CAST(st.sr2 AS DOUBLE) / CAST(ce.sc2 AS DOUBLE),
+        |           4)
+        |         ELSE NULL END AS resid_var_share
+        |FROM st JOIN ce USING (event_type)
+        |WHERE st.n_days > 7
+        |ORDER BY st.event_type""".stripMargin,
     // winsorized mean: ceil-rank order-statistic bounds off the value
     // histogram (integer clip, exact sums)
     "events_winsorized" ->

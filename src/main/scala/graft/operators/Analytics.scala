@@ -1542,6 +1542,72 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** STL-LITE DECOMPOSITION of the daily count series per type —
+    * trend (centered 7-day moving average), day-of-week seasonal
+    * (mean detrended value per dow), residual — reported as the
+    * numbers a forecasting triage reads: seasonal AMPLITUDE (how big
+    * is the weekly rhythm) and the RESIDUAL VARIANCE SHARE (how much
+    * is left after trend+season — the ceiling on any calendar
+    * model's accuracy). Exactness: the trend rides micro units via
+    * IntegralDivide ((Σ₇·10⁶) div 7 — both engines truncate
+    * identically), detrended and seasonal values stay BIGINTs, the
+    * two sums of squares ride DECIMAL(38,0), and only the final
+    * share is a double. Interior days only (full 7-day windows —
+    * edges carry partial MAs on any engine). Same dense zero-filled
+    * grid as the forecast family: the windows run over the
+    * metadata-sized (types × days) grid, never the raw events.
+    */
+  def eventsStlDecompose(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val daily = ev.groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val meta = ev.agg(min("d").as("lo"), max("d").as("hi"),
+      collect_set("event_type").as("tys")).localCheckpoint(true)
+    val grid = meta.select(explode(col("tys")).as("event_type"))
+      .crossJoin(meta.select(explode(sequence(col("lo"), col("hi")))
+        .as("d")))
+    val dense = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w7 = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    val interior = dense
+      .withColumn("c7", count(lit(1)).over(w7))
+      .withColumn("s7", sum("n").over(w7))
+      .where(col("c7") === 7)
+      .select(col("event_type"), col("d"), col("n"),
+        expr("(s7 * 1000000) div 7").as("trend"))
+      .withColumn("detr", col("n") * 1000000L - col("trend"))
+      .withColumn("dow", pmod(col("d"), lit(7L)))
+      .localCheckpoint(true) // seasonal means + residual pass
+    val seasonal = interior.groupBy("event_type", "dow")
+      .agg(expr("sum(detr) div count(1)").as("sdow"))
+    val parts = interior.join(seasonal, Seq("event_type", "dow"))
+      .withColumn("resid", col("detr") - col("sdow"))
+    val stats = parts.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr("n * 1000000")).as("sx"),
+        sum(col("resid").cast(dec) * col("resid").cast(dec)).as("sr2"),
+        max("sdow").as("smax"), min("sdow").as("smin"))
+    val centered = parts.join(
+      stats.select(col("event_type"),
+        expr("sx div n_days").as("xbar")), "event_type")
+      .groupBy("event_type")
+      .agg(sum((col("n") * 1000000L - col("xbar")).cast(dec)
+        * (col("n") * 1000000L - col("xbar")).cast(dec)).as("sc2"))
+    stats.join(centered, "event_type")
+      .where(col("n_days") > 7)
+      .select(col("event_type"), col("n_days"),
+        round((col("smax") - col("smin")).cast("double") / 1e6, 4)
+          .as("seasonal_amplitude"),
+        when(col("sc2") > 0,
+          round(col("sr2").cast("double") / col("sc2").cast("double"), 4))
+          .otherwise(lit(null).cast("double")).as("resid_var_share"))
+      .orderBy("event_type")
+  }
+
   /** LAG-k AUTOCORRELATION of the daily event-count series per type
     * — the seasonality detector that pairs with the seasonal-naive
     * backtest ([[eventsForecastNaive]]): Pearson r between the
