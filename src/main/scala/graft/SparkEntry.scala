@@ -268,6 +268,7 @@ object SparkEntry {
     "corpus_temperature_mix" -> (Sketch.temperatureMix _),
     "train_triplets" -> (Triplets.tripletsQuery _),
     "train_span_corrupt" -> (TextOps.spanCorrupt _),
+    "train_mlm_mask" -> (TextOps.mlmMask _),
     "train_triplets_hard" -> (Triplets.tripletsHardQuery _),
     "decontam_overlap" -> (Decontam.contaminationQuery _),
     "decontam_semantic" -> ((s, d) => Decontam.semantic(s, d)),
@@ -8292,6 +8293,31 @@ object SparkEntry {
         |       (3 * len_fp + 3 * ttr_fp + 2 * stop_fp - 4 * toptok_fp)
         |         >= 28000 AS keep
         |FROM x ORDER BY doc_id""".stripMargin,
+    // BERT MLM 15% / 80-10-10: namespaced md5 coin per (doc,pos)
+    "train_mlm_mask" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |tk AS (SELECT doc_id, i - 1 AS pos
+        |       FROM t, unnest(range(1, len(ws) + 1)) AS u(i)),
+        |hs AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5('m|' || CAST(doc_id AS VARCHAR)
+        |           || '|' || CAST(pos AS VARCHAR)), 1, 15) AS BIGINT)
+        |           AS h
+        |       FROM tk),
+        |fl AS (SELECT doc_id, h % 100 < 15 AS m, (h // 100) % 10 AS r
+        |       FROM hs)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_masked,
+        |       CAST(sum(CASE WHEN m AND r < 8 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_mask_tok,
+        |       CAST(sum(CASE WHEN m AND r = 8 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_random,
+        |       CAST(sum(CASE WHEN m AND r = 9 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_keep,
+        |       round(CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*), 4) AS mask_ratio
+        |FROM fl GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // T5 span corruption: md5 coin per (doc,pos), 1/20 starts,
     // len 1..4, overlaps merged to runs = sentinels
     "train_span_corrupt" ->

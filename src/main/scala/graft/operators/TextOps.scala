@@ -664,6 +664,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BERT-STYLE MLM MASKING PLAN (Devlin et al., NAACL'19 §3.1 — the
+    * 15% / 80-10-10 recipe): per position one md5 coin decides
+    * masked (15%), a second digit of the SAME hash splits masked
+    * positions into [MASK] (80%) / random-token (10%) / kept-but-
+    * predicted (10%). The seed string is namespaced ("m|" prefix) so
+    * the MLM coin is independent of the span-corruption coin on the
+    * same corpus. Deterministic per (doc, pos) — identical masks on
+    * any engine, partitioning, or retry. One posexplode, one doc
+    * aggregate; output is the per-doc accounting a batch assembler
+    * reads (and the corpus mask ratio the recipe promises).
+    */
+  def mlmMask(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val h = graft.functions.Md5Prefix60(concat(lit("m|"),
+      col("doc_id").cast("string"), lit("|"), col("pos").cast("string")))
+    tk.withColumn("h", h)
+      .select(col("doc_id"),
+        (col("h") % 100 < 15).as("m"),
+        expr("(h div 100) % 10").as("r"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("m") && col("r") < 8, 1L).otherwise(0L))
+          .as("n_mask_tok"),
+        sum(when(col("m") && col("r") === 8, 1L).otherwise(0L))
+          .as("n_random"),
+        sum(when(col("m") && col("r") === 9, 1L).otherwise(0L))
+          .as("n_keep"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        col("n_mask_tok"), col("n_random"), col("n_keep"),
+        round(col("n_masked").cast("double") / col("n_tokens"), 4)
+          .as("mask_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** INTER-GATE AGREEMENT (Cohen's κ) between the two quality gates
     * the pipeline ships — the model gate ([[qualityClassifier]]'s
     * integer linear score ≥ 28000) and the heuristic gate
