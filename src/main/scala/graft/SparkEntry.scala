@@ -432,6 +432,7 @@ object SparkEntry {
     "text_bm25_filtered" -> (Search.bm25FilteredQuery _),
     "text_bm25_indexed" -> (Search.bm25IndexedQuery _),
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
+    "hybrid_search_linear" -> ((s, d) => Search.hybridLinearQuery(s, d)),
     "search_mmr_rerank" -> (Search.mmrQuery _),
     "search_ltr_rerank" -> ((s, d) => Search.ltrQuery(s, d)),
     "search_prf_expand" -> ((s, d) => Search.prfQuery(s, d)),
@@ -3118,6 +3119,52 @@ object SparkEntry {
          |                  AS rk FROM g)
          |SELECT qid, rk, doc_id, rrf_score, bm25_rk, cos_rk FROM h
          |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // alpha-weighted linear hybrid: per-query min-max normalized leg
+    // scores (degenerate leg -> 1.0), fused rounded before ranking
+    "hybrid_search_linear" ->
+      s"""WITH $bm25Ctes,
+         |b AS (SELECT qid, doc_id, score AS bs FROM r WHERE rk <= 20),
+         |qe AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < 5),
+         |cd AS (SELECT qe.qid, e.vec_id AS doc_id,
+         |              list_cosine_similarity(e.embedding::DOUBLE[], qe.qv)
+         |                AS s
+         |       FROM embeddings e CROSS JOIN qe),
+         |cr AS (SELECT qid, doc_id, round(s, 4) AS cs,
+         |              row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY s DESC, doc_id) AS rk
+         |       FROM cd),
+         |c20 AS (SELECT qid, doc_id, cs FROM cr WHERE rk <= 20),
+         |bmm AS (SELECT qid, min(bs) AS mn, max(bs) AS mx
+         |        FROM b GROUP BY 1),
+         |bn AS (SELECT b.qid, b.doc_id,
+         |         CASE WHEN bmm.mx = bmm.mn THEN CAST(1.0 AS DOUBLE)
+         |           ELSE (b.bs - bmm.mn) / (bmm.mx - bmm.mn) END AS nb
+         |       FROM b JOIN bmm USING (qid)),
+         |cmm AS (SELECT qid, min(cs) AS mn, max(cs) AS mx
+         |        FROM c20 GROUP BY 1),
+         |cn AS (SELECT c20.qid, c20.doc_id,
+         |         CASE WHEN cmm.mx = cmm.mn THEN CAST(1.0 AS DOUBLE)
+         |           ELSE (c20.cs - cmm.mn) / (cmm.mx - cmm.mn) END AS nc
+         |       FROM c20 JOIN cmm USING (qid)),
+         |fu AS (SELECT coalesce(bn.qid, cn.qid) AS qid,
+         |         coalesce(bn.doc_id, cn.doc_id) AS doc_id,
+         |         bn.nb AS nb, cn.nc AS nc
+         |       FROM bn FULL OUTER JOIN cn
+         |         ON bn.qid = cn.qid AND bn.doc_id = cn.doc_id),
+         |fg AS (SELECT qid, doc_id,
+         |         round(CAST(0.5 AS DOUBLE)
+         |             * coalesce(nc, CAST(0.0 AS DOUBLE))
+         |           + CAST(0.5 AS DOUBLE)
+         |             * coalesce(nb, CAST(0.0 AS DOUBLE)), 6) AS hybrid,
+         |         round(coalesce(nb, CAST(0.0 AS DOUBLE)), 6) AS bm25_norm,
+         |         round(coalesce(nc, CAST(0.0 AS DOUBLE)), 6) AS cos_norm
+         |       FROM fu),
+         |fh AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY hybrid DESC, doc_id) AS rk FROM fg)
+         |SELECT qid, rk, doc_id, hybrid AS hybrid_score, bm25_norm,
+         |       cos_norm
+         |FROM fh WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // LTR fusion: integer-basis-point linear model over leg ranks +
     // quality prior; score is exact BIGINT so the ordering is
     // bit-deterministic (quality_bp = 4dp score ×10⁴, integral to

@@ -691,6 +691,56 @@ object Search {
       .orderBy("qid", "rk")
   }
 
+  /** ALPHA-WEIGHTED LINEAR HYBRID — the score-fusion alternative to
+    * [[hybridRrfQuery]]'s rank fusion (the `alpha` knob Weaviate/
+    * Vespa expose: α weights the vector leg, 1−α the lexical leg):
+    * each leg's top-20 scores MIN-MAX NORMALIZED per query (a
+    * degenerate leg — one distinct score — normalizes to 1.0), then
+    * fused = α·norm_cos + (1−α)·norm_bm25 with an absent leg
+    * contributing 0. Determinism: both legs' scores are already
+    * 4dp-rounded surface values, so the normalization arithmetic is
+    * identical doubles on both engines; fusion rounds to 6dp BEFORE
+    * ranking (the RRF discipline) with doc_id tiebreak. Cost: two
+    * proven bounded legs (≤20 rows/query each) + per-query
+    * leg-min/max over those rows — nothing corpus-sized past the
+    * legs themselves.
+    */
+  def hybridLinearQuery(s: SparkSession, dir: String,
+                        alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25SearchIndexed(s, indexFor(s, dir), fixedQueries(s), 20)
+      .select(col("qid"), col("doc_id"), col("score").as("bs"))
+    val qv = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cos = Knn.topK(corpus, qv, 20, Knn.Metric.Cosine)
+      .select(col("qid"), col("nn_id").as("doc_id"), col("score").as("cs"))
+    def norm(leg: DataFrame, v: String, out: String) = {
+      val mm = leg.groupBy("qid")
+        .agg(min(v).as("mn"), max(v).as("mx"))
+      leg.join(mm, "qid")
+        .select(col("qid"), col("doc_id"),
+          when(col("mx") === col("mn"), lit(1.0))
+            .otherwise((col(v) - col("mn")) / (col("mx") - col("mn")))
+            .as(out))
+    }
+    val fused = norm(bm, "bs", "nb")
+      .join(norm(cos, "cs", "nc"), Seq("qid", "doc_id"), "full_outer")
+      .withColumn("hybrid", round(
+        lit(alpha) * coalesce(col("nc"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("nb"), lit(0.0)), 6))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("hybrid").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("doc_id"),
+        col("hybrid").as("hybrid_score"),
+        round(coalesce(col("nb"), lit(0.0)), 6).as("bm25_norm"),
+        round(coalesce(col("nc"), lit(0.0)), 6).as("cos_norm"))
+      .orderBy("qid", "rk")
+  }
+
   /** LEARNING-TO-RANK fusion — the third rerank layer beside RRF
     * (rank-reciprocal) and MMR (diversity): a LINEAR MODEL over
     * shortlist features, which is what production rankers actually
