@@ -48,6 +48,8 @@ object SparkEntry {
         pmod(col("id"), lit(4L)))),
     "vdb_knn_cosine" -> ((s, d) =>
       Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.Cosine)),
+    "vdb_scroll_page2" -> ((s, d) =>
+      Knn.scrollPage2(emb(s, d), qset(s, d), 10)),
     "vdb_knn_multiquery" -> ((s, d) => {
       val qa = Tables.embeddings(s, d).where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("q1"))
@@ -6896,6 +6898,23 @@ object SparkEntry {
         |       round(dec, 4) AS boosted
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "vdb_knn_cosine" -> knnOracle("cos"),
+    // scroll page 2: keyset continuation ≡ ranks 11..20 of the full
+    // ordering on the 4dp-rounded score the API returned
+    "vdb_scroll_page2" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |        round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |          q.qv), 4) AS s
+        |      FROM embeddings e CROSS JOIN q),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY s DESC, nn_id) AS frk
+        |      FROM d WHERE s IS NOT NULL)
+        |SELECT qid, CAST(frk - 10 AS INTEGER) AS rk, nn_id,
+        |       s AS score
+        |FROM r WHERE frk > 10 AND frk <= 20
+        |ORDER BY qid, rk""".stripMargin,
     // multi-vector OR query: best-of-two cosine, −2 sentinel on a
     // null leg so max() semantics cannot drift between engines
     "vdb_knn_multiquery" ->

@@ -112,6 +112,48 @@ object Knn {
                    filter: org.apache.spark.sql.Column): DataFrame =
     topK(data.where(filter), queries, k, metric)
 
+  /** SCROLL / CURSOR PAGINATION — page 2 of a search via a KEYSET
+    * cursor (the scroll API Qdrant/Weaviate/ES expose; OFFSET-free
+    * so a page costs one bounded heap, not offset+k of buffering):
+    * page 1's last row (score, id) becomes the cursor, and page 2 is
+    * the top-k of candidates STRICTLY AFTER it in the total order
+    * (score < c) ∨ (score = c ∧ id > cid). Both pages key on the
+    * 4dp-ROUNDED score — the value the API returned to the client —
+    * so the continuation contract is exact: page 2 ≡ ranks 11..20 of
+    * the full ordering (the oracle states it as exactly that). Page
+    * ordering ties resolve by id, the same total order the heap
+    * already enforces. Cost: two bounded scans (a real scroll
+    * recomputes or caches the leg; the contract is the plan's
+    * shape), cursor is a Q-row broadcast.
+    */
+  def scrollPage2(data: DataFrame, queries: DataFrame,
+                  k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), col("qvec"),
+      sqrt(VectorDistance.dot(col("qvec"), col("qvec"))).as("_qn")))
+    val d = data.select(col("id"), col("vec"),
+      sqrt(VectorDistance.dot(col("vec"), col("vec"))).as("_n"))
+    val denom = col("_n") * col("_qn")
+    val score = round(when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(VectorDistance.dot(col("vec"), col("qvec")) / denom), 4)
+    val scored = d.crossJoin(q)
+      .select(col("qid"), score.as("s"), col("id"))
+      .where(col("s").isNotNull)
+    val agg = TopKAgg.topK(k)
+    def heapOf(in: DataFrame) = in
+      .select(col("qid"), (-col("s")).as("key"), col("id"))
+      .groupBy("qid").agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"), (-col("col.key")).as("score"))
+    val cursor = heapOf(scored).where(col("rk") === k)
+      .select(col("qid"), col("score").as("cs"), col("nn_id").as("cid"))
+    val after = scored.join(broadcast(cursor), "qid")
+      .where(col("s") < col("cs") ||
+        (col("s") === col("cs") && col("id") > col("cid")))
+      .select("qid", "s", "id")
+    heapOf(after).orderBy("qid", "rk")
+  }
+
   /** MULTI-VECTOR OR QUERY — one request carries SEVERAL intent
     * vectors and a document matches on its BEST one (the multi-query
     * semantics Vespa/Milvus expose for query expansion and multi-
