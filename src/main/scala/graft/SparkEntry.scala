@@ -50,6 +50,24 @@ object SparkEntry {
       Knn.topK(emb(s, d), qset(s, d), 10, Knn.Metric.Cosine)),
     "vdb_scroll_page2" -> ((s, d) =>
       Knn.scrollPage2(emb(s, d), qset(s, d), 10)),
+    "vdb_knn_groupby" -> ((s, d) =>
+      Knn.topKGrouped(emb(s, d), qset(s, d), 3, 2)),
+    "vdb_recommend" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val reqs = Seq((0L, 0L, 1L, 6L), (1L, 2L, 3L, 7L),
+        (2L, 4L, 5L, 8L)).toDF("qid", "pa", "pb", "ng")
+      val withVecs = reqs
+        .join(e.select(col("vec_id").as("pa"), col("v").as("va")), "pa")
+        .join(e.select(col("vec_id").as("pb"), col("v").as("vb")), "pb")
+        .join(e.select(col("vec_id").as("ng"), col("v").as("vn")), "ng")
+        .select(col("qid"),
+          expr("zip_with(zip_with(va, vb, (x, y) -> (x + y) / 2D), " +
+            "vn, (p, n) -> 2D * p - n)").as("qvec"),
+          col("pa").as("ex1"), col("pb").as("ex2"), col("ng").as("ex3"))
+      Knn.recommend(emb(s, d), withVecs, 10)
+    }),
     "vdb_knn_multiquery" -> ((s, d) => {
       val qa = Tables.embeddings(s, d).where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("q1"))
@@ -6898,6 +6916,58 @@ object SparkEntry {
         |       round(dec, 4) AS boosted
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "vdb_knn_cosine" -> knnOracle("cos"),
+    // recommend-by-examples: 2·avg(pos) − avg(neg) built from fetched
+    // vectors, examples excluded, standard FLAT anatomy
+    "vdb_recommend" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |rq AS (SELECT CAST(rid AS BIGINT) AS qid, pa, pb, ng
+        |       FROM (VALUES (0, 0, 1, 6), (1, 2, 3, 7), (2, 4, 5, 8))
+        |         t(rid, pa, pb, ng)),
+        |rv AS (SELECT rq.qid, rq.pa, rq.pb, rq.ng,
+        |         list_transform(range(1, len(a.v) + 1),
+        |           i -> CAST(2.0 AS DOUBLE)
+        |             * ((a.v[i] + b.v[i]) / CAST(2.0 AS DOUBLE))
+        |             - c.v[i]) AS qv
+        |       FROM rq JOIN e a ON rq.pa = a.vec_id
+        |       JOIN e b ON rq.pb = b.vec_id
+        |       JOIN e c ON rq.ng = c.vec_id),
+        |sc AS (SELECT rv.qid, e.vec_id AS nn_id,
+        |         list_cosine_similarity(e.v, rv.qv) AS s
+        |       FROM e CROSS JOIN rv
+        |       WHERE e.vec_id <> rv.pa AND e.vec_id <> rv.pb
+        |         AND e.vec_id <> rv.ng),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY s DESC, nn_id) AS rk
+        |      FROM sc WHERE s IS NOT NULL)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // grouped search: per-(qid,label) top-2 hits, top-3 groups by
+    // their best hit, all on rounded scores
+    "vdb_knn_groupby" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.label, e.vec_id AS nn_id,
+        |        round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |          q.qv), 4) AS s
+        |      FROM embeddings e CROSS JOIN q),
+        |h AS (SELECT qid, label, nn_id, s,
+        |        row_number() OVER (PARTITION BY qid, label
+        |          ORDER BY s DESC, nn_id) AS hit_rk
+        |      FROM d WHERE s IS NOT NULL),
+        |h2 AS (SELECT * FROM h WHERE hit_rk <= 2),
+        |gb AS (SELECT qid, label, s AS gs FROM h2 WHERE hit_rk = 1),
+        |gr AS (SELECT qid, label,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY gs DESC, label) AS grp_rk
+        |       FROM gb)
+        |SELECT h2.qid, gr.grp_rk, h2.label,
+        |       CAST(h2.hit_rk AS INTEGER) AS hit_rk, h2.nn_id,
+        |       h2.s AS score
+        |FROM h2 JOIN gr ON h2.qid = gr.qid AND h2.label = gr.label
+        |WHERE gr.grp_rk <= 3
+        |ORDER BY h2.qid, gr.grp_rk, hit_rk""".stripMargin,
     // scroll page 2: keyset continuation ≡ ranks 11..20 of the full
     // ordering on the 4dp-rounded score the API returned
     "vdb_scroll_page2" ->

@@ -112,6 +112,90 @@ object Knn {
                    filter: org.apache.spark.sql.Column): DataFrame =
     topK(data.where(filter), queries, k, metric)
 
+  /** RECOMMEND BY EXAMPLES — search with positive/negative example
+    * IDS instead of a raw vector (the recommendation API Qdrant
+    * ships; its published `average_vector` strategy): the query
+    * vector is avg(positives) + (avg(positives) − avg(negatives)) =
+    * 2·avg(pos) − avg(neg), built per request from the FETCHED
+    * corpus vectors, and the example ids themselves are excluded
+    * from the results (you already have them). The vector arithmetic
+    * runs as per-element double expressions over the request rows
+    * (request-sized — the interpreted-lambda rule only bars HOFs on
+    * corpus-sized rows), left-to-right identical to the mirror's
+    * list_transform. Search is the standard broadcast + fused-kernel
+    * + bounded-heap FLAT anatomy with the per-request exclusion as
+    * one codegen predicate.
+    *
+    * @param requests (qid, qvec: double[], ex1, ex2, ex3)
+    */
+  def recommend(data: DataFrame, requests: DataFrame,
+                k: Int): DataFrame = {
+    val q = broadcast(requests.select(col("qid"), col("qvec"),
+      sqrt(VectorDistance.dot(col("qvec"), col("qvec"))).as("_qn"),
+      col("ex1"), col("ex2"), col("ex3")))
+    val d = data.select(col("id"), col("vec"),
+      sqrt(VectorDistance.dot(col("vec"), col("vec"))).as("_n"))
+    val denom = col("_n") * col("_qn")
+    val score = when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(VectorDistance.dot(col("vec"), col("qvec")) / denom)
+    val agg = TopKAgg.topK(k)
+    d.crossJoin(q)
+      .where(col("id") =!= col("ex1") && col("id") =!= col("ex2") &&
+        col("id") =!= col("ex3"))
+      .select(col("qid"), (-score).as("key"), col("id"))
+      .where(col("key").isNotNull)
+      .groupBy("qid")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"), round(-col("col.key"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  /** GROUPED SEARCH — top-G groups with the best N hits each (the
+    * `group_by` option Qdrant/Weaviate expose: "best 2 chunks from
+    * each of the 3 most relevant documents", deduplicating a result
+    * list that one hot document would otherwise saturate): hits heap
+    * per (query, group) first — the shuffle is keyed (qid, group)
+    * and map-side partial heaps bound it exactly like the plain
+    * search's — then groups rank by their BEST hit (group tiebreak)
+    * and only the top-G survive. Scores key on the 4dp-rounded value
+    * throughout (the scroll contract), ids break hit ties. Output is
+    * G×N rows per query with both ranks explicit.
+    */
+  def topKGrouped(data: DataFrame, queries: DataFrame, kGroups: Int,
+                  perGroup: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("qid"), col("qvec"),
+      sqrt(VectorDistance.dot(col("qvec"), col("qvec"))).as("_qn")))
+    val d = data.select(col("id"), col("vec"), col("label"),
+      sqrt(VectorDistance.dot(col("vec"), col("vec"))).as("_n"))
+    val denom = col("_n") * col("_qn")
+    val score = round(when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(VectorDistance.dot(col("vec"), col("qvec")) / denom), 4)
+    val agg = TopKAgg.topK(perGroup)
+    val hits = d.crossJoin(q)
+      .select(col("qid"), col("label"), score.as("s"), col("id"))
+      .where(col("s").isNotNull)
+      .select(col("qid"), col("label"), (-col("s")).as("key"), col("id"))
+      .groupBy("qid", "label")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), col("label"), posexplode(col("top.items")))
+      .select(col("qid"), col("label"), (col("pos") + 1).as("hit_rk"),
+        col("col.id").as("nn_id"), (-col("col.key")).as("score"))
+    val gw = Window.partitionBy("qid")
+      .orderBy(col("gs").desc, col("label"))
+    val groups = hits.where(col("hit_rk") === 1)
+      .select(col("qid"), col("label"), col("score").as("gs"))
+      .withColumn("grp_rk", row_number().over(gw))
+      .where(col("grp_rk") <= kGroups)
+      .select("qid", "label", "grp_rk")
+    hits.join(groups, Seq("qid", "label"))
+      .select(col("qid"), col("grp_rk"), col("label"), col("hit_rk"),
+        col("nn_id"), col("score"))
+      .orderBy("qid", "grp_rk", "hit_rk")
+  }
+
   /** SCROLL / CURSOR PAGINATION — page 2 of a search via a KEYSET
     * cursor (the scroll API Qdrant/Weaviate/ES expose; OFFSET-free
     * so a page costs one bounded heap, not offset+k of buffering):
