@@ -331,6 +331,7 @@ object SparkEntry {
     "events_did" -> (Analytics.eventsDid _),
     "events_winsorized" -> (Analytics.eventsWinsorized _),
     "events_stl_decompose" -> (Analytics.eventsStlDecompose _),
+    "events_next_pred2" -> (Analytics.eventsNextPred2 _),
     "dedup_cos_sweep" -> ((s, d) => Dedup.cosineSweep(s, d)),
     "graph_assortativity" -> ((s, d) => Ann.graphAssortativity(s, d)),
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
@@ -4364,6 +4365,67 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // order-1 vs order-2 Markov: same calendar split, accuracy ON
+    // covered contexts + coverage reported separately
+    "events_next_pred2" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, event_type,
+        |             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |               AS d
+        |           FROM events),
+        |b AS (SELECT (min(d) + max(d)) // 2 AS mid FROM ev),
+        |tg AS (SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN d < mid THEN 'train' ELSE 'eval' END AS split
+        |       FROM ev CROSS JOIN b),
+        |lg AS (SELECT split, event_type,
+        |         lag(event_type, 1) OVER w AS p1,
+        |         lag(event_type, 2) OVER w AS p2
+        |       FROM tg
+        |       WINDOW w AS (PARTITION BY user_id, split
+        |         ORDER BY ts, event_id)),
+        |r1 AS (SELECT split, p1, event_type FROM lg
+        |       WHERE p1 IS NOT NULL),
+        |t1 AS (SELECT p1, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM r1 WHERE split = 'train' GROUP BY 1, 2),
+        |m1 AS (SELECT p1, event_type AS pred FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY p1
+        |           ORDER BY cnt DESC, event_type) AS rn FROM t1)
+        |       WHERE rn = 1),
+        |e1 AS (SELECT p1, event_type FROM r1 WHERE split = 'eval'),
+        |s1 AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM m1)
+        |           AS n_contexts,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM e1)
+        |           AS n_eval_total,
+        |         CAST(count(*) AS BIGINT) AS n_covered,
+        |         CAST(sum(CASE WHEN e1.event_type = m1.pred
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |       FROM e1 JOIN m1 USING (p1)),
+        |r2 AS (SELECT split, p2, p1, event_type FROM lg
+        |       WHERE p1 IS NOT NULL AND p2 IS NOT NULL),
+        |t2 AS (SELECT p2, p1, event_type, CAST(count(*) AS BIGINT)
+        |           AS cnt
+        |       FROM r2 WHERE split = 'train' GROUP BY 1, 2, 3),
+        |m2 AS (SELECT p2, p1, event_type AS pred FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY p2, p1
+        |           ORDER BY cnt DESC, event_type) AS rn FROM t2)
+        |       WHERE rn = 1),
+        |e2 AS (SELECT p2, p1, event_type FROM r2 WHERE split = 'eval'),
+        |s2 AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM m2)
+        |           AS n_contexts,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM e2)
+        |           AS n_eval_total,
+        |         CAST(count(*) AS BIGINT) AS n_covered,
+        |         CAST(sum(CASE WHEN e2.event_type = m2.pred
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |       FROM e2 JOIN m2 USING (p2, p1))
+        |SELECT model_order, n_contexts, n_eval_total, n_covered,
+        |       n_correct,
+        |       round(CAST(n_correct AS DOUBLE) / n_covered, 4)
+        |         AS acc_on_covered,
+        |       round(CAST(n_covered AS DOUBLE) / n_eval_total, 4)
+        |         AS coverage
+        |FROM (SELECT CAST(1 AS BIGINT) AS model_order, * FROM s1
+        |      UNION ALL SELECT CAST(2 AS BIGINT), * FROM s2)
+        |ORDER BY model_order""".stripMargin,
     // STL-lite: micro-int trend via div 7 (both engines truncate
     // toward zero), integer seasonal/resid, decimal squared sums
     "events_stl_decompose" ->

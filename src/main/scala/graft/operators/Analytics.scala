@@ -3167,6 +3167,66 @@ object Analytics {
       .orderBy("prev")
   }
 
+  /** MODEL-CAPACITY CURVE for next-event prediction — order-1 vs
+    * order-2 Markov under the SAME honest calendar split as
+    * [[eventsNextPred]]: does one more token of context buy
+    * accuracy, and at what coverage cost (an order-2 context unseen
+    * in training predicts nothing — the sparsity tax every
+    * higher-order model pays)? One row per order: model size
+    * (contexts), total eligible eval transitions, the covered
+    * subset, accuracy ON the covered subset, and coverage — reported
+    * separately because folding them into one number would hide
+    * exactly the trade this query exists to show. All counts exact
+    * integers; two keyed aggregates + two argmax windows over the
+    * model tables (event-type² / event-type³ bounded — metadata-
+    * sized), transitions from the one (user, split) window.
+    */
+  def eventsNextPred2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("ts"), col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val bounds = ev.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    val w = Window.partitionBy("user_id", "split").orderBy("ts", "event_id")
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(col("d") < col("mid"), "train").otherwise("eval"))
+      .withColumn("p1", lag("event_type", 1).over(w))
+      .withColumn("p2", lag("event_type", 2).over(w))
+      .localCheckpoint(true) // consumed by both orders' model + eval
+    def leg(order: Int): DataFrame = {
+      val keys = if (order == 1) Seq("p1") else Seq("p2", "p1")
+      val rows = tagged.where(keys.map(col(_).isNotNull).reduce(_ && _))
+        .select((Seq(col("split"), col("event_type")) ++
+          keys.map(col)): _*)
+      val train = rows.where(col("split") === "train")
+        .groupBy((keys :+ "event_type").map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+      val mw = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("cnt").desc, col("event_type"))
+      val model = train.withColumn("rn", row_number().over(mw))
+        .where(col("rn") === 1)
+        .select((keys.map(col) :+ col("event_type").as("pred")): _*)
+        .localCheckpoint(true) // model size + eval join
+      val ev2 = rows.where(col("split") === "eval")
+      val total = ev2.agg(count(lit(1)).as("n_eval_total"))
+      val covered = ev2.join(model, keys)
+        .agg(count(lit(1)).as("n_covered"),
+          sum(when(col("event_type") === col("pred"), 1L).otherwise(0L))
+            .as("n_correct"))
+      model.agg(count(lit(1)).as("n_contexts"))
+        .crossJoin(total).crossJoin(covered)
+        .select(lit(order).cast("long").as("model_order"),
+          col("n_contexts"), col("n_eval_total"), col("n_covered"),
+          col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_covered"), 4)
+            .as("acc_on_covered"),
+          round(col("n_covered").cast("double") / col("n_eval_total"), 4)
+            .as("coverage"))
+    }
+    leg(1).unionByName(leg(2)).orderBy("model_order")
+  }
+
   /** TRUNCATED HOLT (double-exponential) SMOOTHER per event type —
     * level + trend, the one-step-ahead forecaster that beats the
     * naive and EWMA baselines when a series is drifting: α=1/2,
