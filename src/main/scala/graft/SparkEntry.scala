@@ -454,6 +454,7 @@ object SparkEntry {
     "text_bm25_indexed" -> (Search.bm25IndexedQuery _),
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
     "hybrid_search_linear" -> ((s, d) => Search.hybridLinearQuery(s, d)),
+    "vdb_knn_sparse" -> (Search.sparseDotQuery _),
     "search_mmr_rerank" -> (Search.mmrQuery _),
     "search_ltr_rerank" -> ((s, d) => Search.ltrQuery(s, d)),
     "search_prf_expand" -> ((s, d) => Search.prfQuery(s, d)),
@@ -3140,6 +3141,21 @@ object SparkEntry {
          |                  AS rk FROM g)
          |SELECT qid, rk, doc_id, rrf_score, bm25_rk, cos_rk FROM h
          |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // sparse tf-idf dot: reuses the bm25 chain's p/idf/qt, different
+    // scoring — tf·idf², no normalization/saturation by design
+    "vdb_knn_sparse" ->
+      s"""WITH $bm25Ctes,
+         |sp AS (SELECT qt.qid, p.doc_id,
+         |         p.tf * (idf.idf * idf.idf) AS contrib
+         |       FROM p JOIN idf USING (term) JOIN qt USING (term)),
+         |ssc AS (SELECT qid, doc_id, round(sum(contrib), 4) AS score
+         |        FROM sp GROUP BY 1, 2),
+         |ssr AS (SELECT qid, doc_id, score,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY score DESC, doc_id) AS rk
+         |        FROM ssc)
+         |SELECT qid, rk, doc_id, score FROM ssr WHERE rk <= 10
+         |ORDER BY qid, rk""".stripMargin,
     // alpha-weighted linear hybrid: per-query min-max normalized leg
     // scores (degenerate leg -> 1.0), fused rounded before ranking
     "hybrid_search_linear" ->

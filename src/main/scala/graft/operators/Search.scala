@@ -691,6 +691,58 @@ object Search {
       .orderBy("qid", "rk")
   }
 
+  /** SPARSE-VECTOR SEARCH — tf-idf dot product over the postings
+    * (the sparse-vector modality Qdrant/Pinecone ship beside dense
+    * vectors; SPLADE-style learned-sparse retrieval scores exactly
+    * this way, with model weights in place of tf-idf): doc weight =
+    * tf·idf, query weight = idf (query terms are a SET — the qt
+    * convention every lexical path here shares), so a hit
+    * contributes tf·idf². No length normalization and no saturation
+    * — that absence IS the semantic difference from BM25, and on a
+    * corpus with repetitive docs the two orderings visibly diverge.
+    * idf is the SAME Lucene-floored expression as the BM25 family,
+    * so both lexical paths share one vocabulary statistic. Same
+    * plan anatomy: query-term semi-join before the explode
+    * aggregate, checkpointed postings, rounded score keys, Q×k heap.
+    */
+  def sparseDotQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val queries = fixedQueries(s)
+    val toks = docs.select(col("doc_id"),
+      split(col("text"), " ").as("toks"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"))
+    val qterms = queries.select(col("qid"),
+      explode(split(col("qtext"), " ")).as("term")).distinct()
+    val terms = qterms.select("term").distinct()
+    val postings = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(terms), Seq("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint(true) // idf + scoring
+    val idf = postings.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("dfreq"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5)
+          + 1.0).as("idf"))
+    val contrib = postings.join(broadcast(idf), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("qid"), col("doc_id"),
+        (col("tf") * (col("idf") * col("idf"))).as("c"))
+    val scored = contrib.groupBy("qid", "doc_id")
+      .agg(round(sum("c"), 4).as("score"))
+    val agg = TopKAgg.topK(10)
+    scored
+      .select(col("qid"), (-col("score")).as("key"), col("doc_id").as("id"))
+      .groupBy("qid")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("doc_id"), (-col("col.key")).as("score"))
+      .orderBy("qid", "rk")
+  }
+
   /** ALPHA-WEIGHTED LINEAR HYBRID — the score-fusion alternative to
     * [[hybridRrfQuery]]'s rank fusion (the `alpha` knob Weaviate/
     * Vespa expose: α weights the vector leg, 1−α the lexical leg):
