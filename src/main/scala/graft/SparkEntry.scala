@@ -455,6 +455,7 @@ object SparkEntry {
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
     "hybrid_search_linear" -> ((s, d) => Search.hybridLinearQuery(s, d)),
     "vdb_knn_sparse" -> (Search.sparseDotQuery _),
+    "vdb_knn_sparse_indexed" -> (Search.sparseIndexedQuery _),
     "search_mmr_rerank" -> (Search.mmrQuery _),
     "search_ltr_rerank" -> ((s, d) => Search.ltrQuery(s, d)),
     "search_prf_expand" -> ((s, d) => Search.prfQuery(s, d)),
@@ -1103,6 +1104,25 @@ object SparkEntry {
         s"round(mmr, 4) AS mmr_score FROM s$i").mkString("\nUNION ALL\n")
     s"WITH $base,\n${steps.mkString(",\n")}\n$finals\nORDER BY qid, rk"
   }
+
+  /** Sparse tf·idf² dot over the bm25 chain's p/idf/qt — shared by
+    * the on-the-fly and persisted-index forms (equal by construction,
+    * the text_bm25_indexed precedent). A def: the bm25 CTE builders
+    * below it are defs too, and a val here would initialize first.
+    */
+  private def sparseOracle: String =
+    s"""WITH $bm25Ctes,
+       |sp AS (SELECT qt.qid, p.doc_id,
+       |         p.tf * (idf.idf * idf.idf) AS contrib
+       |       FROM p JOIN idf USING (term) JOIN qt USING (term)),
+       |ssc AS (SELECT qid, doc_id, round(sum(contrib), 4) AS score
+       |        FROM sp GROUP BY 1, 2),
+       |ssr AS (SELECT qid, doc_id, score,
+       |          row_number() OVER (PARTITION BY qid
+       |            ORDER BY score DESC, doc_id) AS rk
+       |        FROM ssc)
+       |SELECT qid, rk, doc_id, score FROM ssr WHERE rk <= 10
+       |ORDER BY qid, rk""".stripMargin
 
   private val ivfOracle: String =
     s"""WITH $ivfCtes,
@@ -3143,19 +3163,10 @@ object SparkEntry {
          |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // sparse tf-idf dot: reuses the bm25 chain's p/idf/qt, different
     // scoring — tf·idf², no normalization/saturation by design
-    "vdb_knn_sparse" ->
-      s"""WITH $bm25Ctes,
-         |sp AS (SELECT qt.qid, p.doc_id,
-         |         p.tf * (idf.idf * idf.idf) AS contrib
-         |       FROM p JOIN idf USING (term) JOIN qt USING (term)),
-         |ssc AS (SELECT qid, doc_id, round(sum(contrib), 4) AS score
-         |        FROM sp GROUP BY 1, 2),
-         |ssr AS (SELECT qid, doc_id, score,
-         |          row_number() OVER (PARTITION BY qid
-         |            ORDER BY score DESC, doc_id) AS rk
-         |        FROM ssc)
-         |SELECT qid, rk, doc_id, score FROM ssr WHERE rk <= 10
-         |ORDER BY qid, rk""".stripMargin,
+    "vdb_knn_sparse" -> sparseOracle,
+    // persisted-postings twin: same integers into the same formula,
+    // equal to the on-the-fly path by construction — shares the oracle
+    "vdb_knn_sparse_indexed" -> sparseOracle,
     // alpha-weighted linear hybrid: per-query min-max normalized leg
     // scores (degenerate leg -> 1.0), fused rounded before ranking
     "hybrid_search_linear" ->

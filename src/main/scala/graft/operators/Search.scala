@@ -533,6 +533,55 @@ object Search {
       idf, qterms, k)
   }
 
+  /** Sparse (tf·idf²) search over the SAME persisted postings index
+    * [[bm25SearchIndexed]] reads — one at-rest structure serving
+    * both lexical scoring models (the sparse-vector modality never
+    * needs its own index: postings + df + N are its sufficient
+    * statistics too). Identical bucket-pruned read path (a query
+    * touches min(T, 64) buckets), identical idf expression, only
+    * the scoring CTE differs — so this twin is provably equal to the
+    * on-the-fly [[sparseDotQuery]] by the same argument the BM25
+    * indexed twin makes, and shares its oracle.
+    */
+  def sparseIndexedQuery(s: SparkSession, dir: String): DataFrame = {
+    val path = indexFor(s, dir)
+    val queries = fixedQueries(s)
+    val qterms = queries.select(col("qid"),
+        explode(split(col("qtext"), " ")).as("term"))
+      .distinct()
+    val termList = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).sorted
+    val bucketList = termList
+      .map(t => math.floorMod(graft.functions.HashUtils
+        .md5Prefix60(t.getBytes("UTF-8")), Buckets).toInt)
+      .distinct.sorted
+    def pruned(p: String): DataFrame = s.read.parquet(p)
+      .where(col("bucket").isin(bucketList.toIndexedSeq: _*) &&
+        col("term").isin(termList.toIndexedSeq: _*))
+    val stats = s.read.parquet(statsPath(path))
+    val idf = pruned(termsPath(path))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5)
+          + 1.0).as("idf"))
+    val contrib = pruned(path).select("term", "doc_id", "tf")
+      .join(broadcast(idf), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("qid"), col("doc_id"),
+        (col("tf") * (col("idf") * col("idf"))).as("c"))
+    val scored = contrib.groupBy("qid", "doc_id")
+      .agg(round(sum("c"), 4).as("score"))
+    val agg = TopKAgg.topK(10)
+    scored
+      .select(col("qid"), (-col("score")).as("key"), col("doc_id").as("id"))
+      .groupBy("qid")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("doc_id"), (-col("col.key")).as("score"))
+      .orderBy("qid", "rk")
+  }
+
   /** Resolve (building on first use) the per-sf-dir index under
     * target/tmp — shared by the indexed surface query and the hybrid
     * query's lexical leg.
