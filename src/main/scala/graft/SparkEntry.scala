@@ -332,6 +332,7 @@ object SparkEntry {
     "events_winsorized" -> (Analytics.eventsWinsorized _),
     "events_stl_decompose" -> (Analytics.eventsStlDecompose _),
     "events_next_pred2" -> (Analytics.eventsNextPred2 _),
+    "orders_revenue_bridge" -> (Analytics.ordersRevenueBridge _),
     "dedup_cos_sweep" -> ((s, d) => Dedup.cosineSweep(s, d)),
     "graph_assortativity" -> ((s, d) => Ann.graphAssortativity(s, d)),
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
@@ -4392,6 +4393,47 @@ object SparkEntry {
         |FROM a JOIN b USING (event_type)
         |WHERE n_a > 1 AND n_b > 1
         |ORDER BY event_type""".stripMargin,
+    // revenue bridge: part-grain vol = r0·Δq/q0 micro-cents via
+    // truncating div, price+mix = exact remainder; brand rollups are
+    // integer sums
+    "orders_revenue_bridge" ->
+      """WITH li AS (SELECT l.l_partkey,
+        |             CAST(l.l_quantity AS BIGINT) AS qty,
+        |             CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |               * 100) AS BIGINT) AS cents,
+        |             date_diff('day', DATE '1970-01-01',
+        |               CAST(o.o_orderdate AS DATE)) AS d
+        |           FROM lineitem l JOIN orders o
+        |             ON l.l_orderkey = o.o_orderkey),
+        |b AS (SELECT (min(d) + max(d)) // 2 AS mid FROM li),
+        |per AS (SELECT l_partkey,
+        |          CAST(sum(CASE WHEN d < mid THEN qty ELSE 0 END)
+        |            AS BIGINT) AS q0,
+        |          CAST(sum(CASE WHEN d >= mid THEN qty ELSE 0 END)
+        |            AS BIGINT) AS q1,
+        |          CAST(sum(CASE WHEN d < mid THEN cents ELSE 0 END)
+        |            AS BIGINT) AS r0,
+        |          CAST(sum(CASE WHEN d >= mid THEN cents ELSE 0 END)
+        |            AS BIGINT) AS r1
+        |        FROM li CROSS JOIN b GROUP BY 1),
+        |eff AS (SELECT l_partkey, r0, r1,
+        |          CASE WHEN q0 > 0
+        |            THEN CAST((CAST(r0 AS HUGEINT) * (q1 - q0)
+        |              * 1000000) // q0 AS BIGINT)
+        |            ELSE 0 END AS vol_micro
+        |        FROM per),
+        |ef2 AS (SELECT l_partkey, r0, r1, vol_micro,
+        |          (r1 - r0) * 1000000 - vol_micro AS pm_micro
+        |        FROM eff)
+        |SELECT p.p_brand,
+        |       round(CAST(sum(e.r1 - e.r0) AS DOUBLE) / 100.0, 2)
+        |         AS delta_rev,
+        |       round(CAST(sum(e.vol_micro) AS DOUBLE) / 1e8, 2)
+        |         AS volume_effect,
+        |       round(CAST(sum(e.pm_micro) AS DOUBLE) / 1e8, 2)
+        |         AS price_mix_effect
+        |FROM ef2 e JOIN part p ON e.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY p.p_brand""".stripMargin,
     // order-1 vs order-2 Markov: same calendar split, accuracy ON
     // covered contexts + coverage reported separately
     "events_next_pred2" ->

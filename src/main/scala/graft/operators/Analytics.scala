@@ -3167,6 +3167,66 @@ object Analytics {
       .orderBy("prev")
   }
 
+  /** REVENUE BRIDGE — period-over-period revenue change decomposed
+    * into VOLUME vs PRICE+MIX effects per brand (the FP&A waterfall
+    * behind every "why did revenue move" review): periods split at
+    * the data's orderdate midpoint (the DiD bound), part-grain
+    * decomposition vol_p = r0·Δq/q0 (old realized price × quantity
+    * change) with price+mix as the EXACT remainder Δr − vol_p, so
+    * the two terms sum to the revenue change to the micro-cent BY
+    * CONSTRUCTION at every grain. Exactness: part-level volume
+    * effects quantize through IntegralDivide micro-cents
+    * ((r0·Δq·10⁶) div q0 — deterministic on both engines, including
+    * negative Δq), so brand rollups are INTEGER sums — never a float
+    * aggregate over parts. Parts present in only one period carry
+    * their whole Δ in price+mix via the zero-volume guard (a new
+    * part has no old price to hold constant — the textbook
+    * convention). One lineitem⋈orders pass, one part aggregate, one
+    * brand rollup.
+    */
+  def ordersRevenueBridge(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) " +
+          "AS BIGINT)").as("cents"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("d")),
+        col("l_orderkey") === col("o_orderkey"))
+    val bounds = li.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    val per = li.crossJoin(broadcast(bounds))
+      .groupBy("l_partkey")
+      .agg(sum(when(col("d") < col("mid"), col("qty")).otherwise(0L))
+          .as("q0"),
+        sum(when(col("d") >= col("mid"), col("qty")).otherwise(0L))
+          .as("q1"),
+        sum(when(col("d") < col("mid"), col("cents")).otherwise(0L))
+          .as("r0"),
+        sum(when(col("d") >= col("mid"), col("cents")).otherwise(0L))
+          .as("r1"))
+      // the r0·Δq·10⁶ product rides DECIMAL(38,0) (the dimVariance
+      // headroom rule — a BIGINT wraps past ~$10⁷ part-period
+      // revenue × 10⁴ quantity swing); div lands back on BIGINT
+      .withColumn("vol_micro",
+        when(col("q0") > 0,
+          expr("(CAST(r0 AS DECIMAL(38,0)) * (q1 - q0) * 1000000) " +
+            "div q0")).otherwise(0L))
+      .withColumn("pm_micro",
+        (col("r1") - col("r0")) * 1000000L - col("vol_micro"))
+    per.join(broadcast(Tables.part(s, dir)
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum(col("r1") - col("r0")).as("dc"),
+        sum("vol_micro").as("vm"), sum("pm_micro").as("pm"))
+      .select(col("p_brand"),
+        round(col("dc").cast("double") / 100.0, 2).as("delta_rev"),
+        round(col("vm").cast("double") / 1e8, 2).as("volume_effect"),
+        round(col("pm").cast("double") / 1e8, 2).as("price_mix_effect"))
+      .orderBy("p_brand")
+  }
+
   /** MODEL-CAPACITY CURVE for next-event prediction — order-1 vs
     * order-2 Markov under the SAME honest calendar split as
     * [[eventsNextPred]]: does one more token of context buy
