@@ -264,6 +264,7 @@ object SparkEntry {
     "text_pii_redact" -> (TextOps.piiQuery _),
     "text_repetition" -> (TextOps.repetition _),
     "corpus_sample_split" -> (Sampling.sampleSplitQuery _),
+    "hash_uniformity_audit" -> (Sampling.hashUniformityAudit _),
     "corpus_reservoir" -> ((s, d) => Sampling.reservoirQuery(s, d)),
     "dsir_select" -> ((s, d) => Sampling.dsirSelect(s, d)),
     "export_shards" -> (Sampling.exportShardsQuery _),
@@ -5930,6 +5931,25 @@ object SparkEntry {
         |       md5(string_agg(CAST(doc_id AS VARCHAR), '|'
         |         ORDER BY start_tok, doc_id)) AS fingerprint
         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+    // hash-coin hygiene: 64-bucket chi2 vs uniform with empty
+    // buckets anchored; x64-scaled integer numerator
+    "hash_uniformity_audit" ->
+      """WITH c AS (SELECT CAST('0x' || substr(md5(CAST(doc_id
+        |             AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS bucket
+        |           FROM documents),
+        |oc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS o
+        |       FROM c GROUP BY 1),
+        |g AS (SELECT u.b AS bucket, coalesce(oc.o, 0) AS o
+        |      FROM (SELECT unnest(range(0, 64)) AS b) u
+        |      LEFT JOIN oc ON u.b = oc.bucket),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM g)
+        |SELECT t.n AS n_docs, CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(min(g.o) AS BIGINT) AS min_bucket,
+        |       CAST(max(g.o) AS BIGINT) AS max_bucket,
+        |       round(CAST(sum(CAST(g.o * 64 - t.n AS HUGEINT)
+        |           * CAST(g.o * 64 - t.n AS HUGEINT)) AS DOUBLE)
+        |         / CAST(t.n * 64 AS DOUBLE), 4) AS chi2
+        |FROM g CROSS JOIN t GROUP BY t.n""".stripMargin,
     "corpus_sample_split" ->
       """WITH b AS (SELECT doc_id, lang, source,
         |                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket

@@ -116,6 +116,43 @@ object Sampling {
     * train/val/test split — the two ops compose into ONE scan +
     * filter + projection.
     */
+  /** HASH-UNIFORMITY AUDIT — the hygiene check behind every md5
+    * decision this library makes (splits, reservoirs, LSH bands,
+    * bucket-partitioned indexes): documents bucketed by
+    * Md5Prefix60 % 64, one chi-square against uniform plus the
+    * min/max bucket shares. A skewed hash would silently bias every
+    * sample and unbalance every bucketed index partition — this is
+    * the query that would catch it. Chi² = Σ(o−e)²/e with e = n/64
+    * closes over exact integer counts (the numerator rides the
+    * ×64-scaled integer form Σ(64·o − n)² / (64·n) so no per-bucket
+    * float division order matters); one scan, one 64-key aggregate.
+    */
+  def hashUniformityAudit(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = graft.Tables.documents(s, dir)
+      .select(pmod(graft.functions.Md5Prefix60(
+        col("doc_id").cast("string")), lit(64L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("o"))
+    // empty buckets count toward the statistic (the zero-anchor
+    // rule): a hash dumping everything in few buckets must score
+    // catastrophic, not absent
+    val b = s.range(64).toDF("bucket")
+      .join(counts, Seq("bucket"), "left")
+      .select(coalesce(col("o"), lit(0L)).as("o"))
+      .localCheckpoint(true) // n + chi-square both read it
+    val n = b.agg(sum("o").as("n"))
+    val dev = (col("o") * 64 - col("n")).cast(dec)
+    b.crossJoin(broadcast(n))
+      .select(col("o"), col("n"), (dev * dev).as("sq"))
+      .groupBy("n")
+      .agg(count(lit(1)).as("n_buckets"), min("o").as("min_bucket"),
+        max("o").as("max_bucket"), sum("sq").as("ssq"))
+      .select(col("n").as("n_docs"), col("n_buckets"),
+        col("min_bucket"), col("max_bucket"),
+        round(col("ssq").cast("double")
+          / (col("n") * 64).cast("double"), 4).as("chi2"))
+  }
+
   def sampleSplitQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "lang", "source")
     val sampled = stratifiedSample(docs, "doc_id", "lang",
