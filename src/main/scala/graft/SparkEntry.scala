@@ -147,6 +147,7 @@ object SparkEntry {
     "graph_adamic_adar" -> ((s, d) => Ann.adamicAdar(s, d)),
     "graph_hits" -> (Ann.graphHits _),
     "knn_hubness" -> (Ann.knnHubness _),
+    "embed_lof" -> (Ann.lofReport _),
     "graph_jaccard_lp" -> ((s, d) => Ann.graphJaccardLp(s, d)),
     "graph_kcore" -> ((s, d) => Ann.graphKCore(s, d)),
     "graph_bfs_hist" -> ((s, d) => Ann.graphBfsHist(s, d)),
@@ -1748,6 +1749,29 @@ object SparkEntry {
          |       round(sum(CAST(1 AS DOUBLE) / ln(dg.d)), 4) AS aa_score
          |FROM cand JOIN dg ON dg.id = cand.b
          |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // LOF: micro-quantized reach distances, integer k-dist max,
+    // ppm-quantized lrd ratios — no order-dependent float aggregate
+    "embed_lof" ->
+      s"""WITH $ivfGraphCtes,
+         |g AS (SELECT qid, id,
+         |        CAST(round((1 - round(s, 4)) * 1000000) AS BIGINT)
+         |          AS dm
+         |      FROM gr WHERE rk <= 5),
+         |kd AS (SELECT qid AS id, CAST(max(dm) AS BIGINT) AS kdist
+         |       FROM g GROUP BY 1),
+         |sr AS (SELECT g.qid,
+         |         CAST(sum(greatest(kd.kdist, g.dm)) AS BIGINT)
+         |           AS sum_reach
+         |       FROM g JOIN kd ON g.id = kd.id GROUP BY 1),
+         |rat AS (SELECT g.qid,
+         |          (sa.sum_reach * 1000000) // sb.sum_reach AS r
+         |        FROM g JOIN sr sa ON g.qid = sa.qid
+         |        JOIN sr sb ON g.id = sb.qid
+         |        WHERE sb.sum_reach > 0)
+         |SELECT qid AS vec_id,
+         |       round(CAST(sum(r) AS DOUBLE)
+         |         / CAST(count(*) * 1000000 AS DOUBLE), 4) AS lof
+         |FROM rat GROUP BY 1 ORDER BY vec_id""".stripMargin,
     // k-occurrence histogram with the antihub zero bucket anchored
     "knn_hubness" ->
       s"""WITH $ivfGraphCtes,

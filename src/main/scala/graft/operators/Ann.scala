@@ -1105,6 +1105,43 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** LOCAL OUTLIER FACTOR (Breunig et al., SIGMOD'00) over the kNN
+    * graph — the DENSITY-RATIO outlier score [[embedOutliers]]'s
+    * per-cell z-test can't express: a point is anomalous not because
+    * it is far from everything but because it is SPARSER than its
+    * own neighborhood (LOF ≈ 1 inlier, ≫ 1 outlier). All three
+    * stages close over integers so no float aggregate depends on
+    * fold order: distances are micro-quantized off the graph's
+    * 4dp-rounded cosines, k-distance is an integer max, reachability
+    * sums are integer, and the neighbor lrd ratios quantize to ppm
+    * via IntegralDivide before the final per-node sum. Plan: the
+    * memoized N·k edge list feeds three k-bounded joins/aggregates —
+    * never a second corpus scan; zero-reach-sum neighbors (exact-
+    * duplicate pileups) are guarded out of the ratio join.
+    */
+  def lofReport(s: SparkSession, dir: String): DataFrame = {
+    val g = knnGraph(s, dir).select(col("qid"), col("nn_id").as("id"),
+        expr("CAST(round((1 - score) * 1000000) AS BIGINT)").as("dm"))
+      .localCheckpoint(true) // kdist, reach, and ratio legs
+    val kd = g.groupBy(col("qid").as("id")).agg(max("dm").as("kdist"))
+    val sr = g.join(kd, "id")
+      .select(col("qid"), greatest(col("kdist"), col("dm")).as("reach"))
+      .groupBy("qid").agg(sum("reach").as("sum_reach"))
+      .localCheckpoint(true) // both sides of the ratio join
+    val rat = g
+      .join(sr.select(col("qid"), col("sum_reach").as("sa")), "qid")
+      .join(sr.select(col("qid").as("id"), col("sum_reach").as("sb")),
+        "id")
+      .where(col("sb") > 0)
+      .select(col("qid"), expr("(sa * 1000000) div sb").as("r"))
+    rat.groupBy("qid")
+      .agg(count(lit(1)).as("kk"), sum("r").as("sr6"))
+      .select(col("qid").as("vec_id"),
+        round(col("sr6").cast("double")
+          / (col("kk") * 1000000L).cast("double"), 4).as("lof"))
+      .orderBy("vec_id")
+  }
+
   /** HUBNESS (k-occurrence) AUDIT — the distribution of DIRECTED
     * kNN in-degrees (Radovanović et al., JMLR'10: in high dimensions
     * a few points become "hubs" appearing in unexpectedly many kNN
