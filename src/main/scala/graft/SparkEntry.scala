@@ -336,6 +336,7 @@ object SparkEntry {
     "events_next_pred2" -> (Analytics.eventsNextPred2 _),
     "orders_revenue_bridge" -> (Analytics.ordersRevenueBridge _),
     "dedup_cos_sweep" -> ((s, d) => Dedup.cosineSweep(s, d)),
+    "dedup_text_vs_embed" -> ((s, d) => Dedup.textVsEmbed(s, d)),
     "graph_assortativity" -> ((s, d) => Ann.graphAssortativity(s, d)),
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
     "events_cooccurrence" -> ((s, d) => Sequence.cooccurrence(s, d)),
@@ -3891,6 +3892,44 @@ object SparkEntry {
          |         FROM bk a JOIN bk b ON a.band = b.band
          |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |$jaccardVerify""".stripMargin,
+    // cross-modal audit: minhash pairs -> embedding cosine, means
+    // over micro-quantized ints, one-row agreement report
+    "dedup_text_vs_embed" ->
+      s"""WITH $bandCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bk a JOIN bk b ON a.band = b.band
+         |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
+         |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+         |            count(*) AS n
+         |          FROM shx x JOIN shx y ON x.s = y.s
+         |            AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |prs AS (SELECT c.id1, c.id2,
+         |          round(n*1.0/(c1.c + c2.c - n), 4) AS jaccard
+         |        FROM cand c JOIN inter i ON c.id1 = i.id1
+         |          AND c.id2 = i.id2
+         |        JOIN card c1 ON c.id1 = c1.doc_id
+         |        JOIN card c2 ON c.id2 = c2.doc_id
+         |        WHERE n*1.0/(c1.c + c2.c - n) >= 0.5),
+         |wcx AS (SELECT prs.jaccard,
+         |          round(list_cosine_similarity(ea.embedding::DOUBLE[],
+         |            eb.embedding::DOUBLE[]), 4) AS cos
+         |        FROM prs JOIN embeddings ea ON prs.id1 = ea.vec_id
+         |        JOIN embeddings eb ON prs.id2 = eb.vec_id
+         |        WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+         |          eb.embedding::DOUBLE[]) IS NOT NULL)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |       round(CAST(sum(CAST(round(jaccard * 10000) AS BIGINT))
+         |           AS DOUBLE) / count(*) / 10000.0, 4) AS mean_jaccard,
+         |       round(CAST(sum(CAST(round(cos * 10000) AS BIGINT))
+         |           AS DOUBLE) / count(*) / 10000.0, 4) AS mean_cos,
+         |       CAST(sum(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_cos80,
+         |       round(CAST(sum(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END)
+         |           AS DOUBLE) / count(*), 4) AS agree80_rate
+         |FROM wcx""".stripMargin,
     // winnowing (MOSS): char-5-gram 60-bit hashes, window-of-4 min
     // selection via the offset explode, pairs on df-in-[2,8]
     // fingerprints — every stage integer-exact

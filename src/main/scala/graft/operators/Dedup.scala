@@ -995,6 +995,46 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** CROSS-MODAL CONSISTENCY AUDIT — do the TEXT near-duplicates
+    * also look near in EMBEDDING space? For every verified minhash
+    * pair, the exact cosine of the two docs' embeddings, rolled into
+    * one row: pair count, mean jaccard, mean cosine, and the share
+    * of text-near-dups with cosine ≥ 0.8. A faithful embedding
+    * column makes that share high; a LOW share is the audit FIRING —
+    * the embedding column does not encode text content (wrong model
+    * version, column drift, embeddings of different text) — which is
+    * exactly what it reports on this fixture's content-independent
+    * synthetic embeddings. Means close over micro-quantized integers
+    * (the fold-order rule); work is pair-set-sized past the proven
+    * minhash blocking.
+    */
+  def textVsEmbed(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairsUnsorted(s, dir)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding"))
+    val wc = pairs
+      .join(e.select(col("vec_id").as("id1"), col("embedding").as("va")),
+        "id1")
+      .join(e.select(col("vec_id").as("id2"), col("embedding").as("vb")),
+        "id2")
+      .select(col("jaccard"),
+        round(graft.functions.VectorDistance.cosine(col("va"), col("vb")),
+          4).as("cos"))
+      .where(col("cos").isNotNull)
+    wc.agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(round(jaccard * 10000) AS BIGINT)")).as("sj"),
+        sum(expr("CAST(round(cos * 10000) AS BIGINT)")).as("sc"),
+        sum(when(col("cos") >= 0.8, 1L).otherwise(0L)).as("n_cos80"))
+      .select(col("n_pairs"),
+        round(col("sj").cast("double") / col("n_pairs") / 10000.0, 4)
+          .as("mean_jaccard"),
+        round(col("sc").cast("double") / col("n_pairs") / 10000.0, 4)
+          .as("mean_cos"),
+        col("n_cos80"),
+        round(col("n_cos80").cast("double") / col("n_pairs"), 4)
+          .as("agree80_rate"))
+  }
+
   /** COSINE-THRESHOLD SWEEP over the LSH-blocked near-dup pairs —
     * the tuning curve for the embedding-dedup cut (the cosine twin
     * of the band-recall S-curve): how many pairs survive at each
