@@ -148,6 +148,7 @@ object SparkEntry {
     "graph_hits" -> (Ann.graphHits _),
     "knn_hubness" -> (Ann.knnHubness _),
     "embed_lof" -> (Ann.lofReport _),
+    "embed_knn_purity" -> (Ann.knnLabelPurity _),
     "graph_jaccard_lp" -> ((s, d) => Ann.graphJaccardLp(s, d)),
     "graph_kcore" -> ((s, d) => Ann.graphKCore(s, d)),
     "graph_bfs_hist" -> ((s, d) => Ann.graphBfsHist(s, d)),
@@ -1750,6 +1751,20 @@ object SparkEntry {
          |       round(sum(CAST(1 AS DOUBLE) / ln(dg.d)), 4) AS aa_score
          |FROM cand JOIN dg ON dg.id = cand.b
          |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // kNN label purity: neighborhood coherence per label
+    "embed_knn_purity" ->
+      s"""WITH $ivfGraphCtes,
+         |g AS (SELECT qid, id FROM gr WHERE rk <= 5),
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |j AS (SELECT la.label AS ql, lb2.label AS nl
+         |      FROM g JOIN lb la ON g.qid = la.vec_id
+         |      JOIN lb lb2 ON g.id = lb2.vec_id)
+         |SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_edges,
+         |       CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_same,
+         |       round(CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END)
+         |           AS DOUBLE) / count(*), 4) AS purity
+         |FROM j GROUP BY 1 ORDER BY label""".stripMargin,
     // LOF: micro-quantized reach distances, integer k-dist max,
     // ppm-quantized lrd ratios — no order-dependent float aggregate
     "embed_lof" ->

@@ -1105,6 +1105,34 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** kNN LABEL PURITY — per label, the fraction of kNN-list
+    * neighbors sharing the query's label: the neighborhood-coherence
+    * number that PREDICTS [[graft.operators.Classify.knnClassify]]'s
+    * accuracy before running it (purity ~1/n_labels means the
+    * embedding carries no label signal and kNN voting is noise) and
+    * complements [[knnSilhouette]]'s geometric view with the
+    * supervised one. Exact integer counts off the memoized N·k edge
+    * list + two label joins, one labels-sized aggregate, one 4dp
+    * division.
+    */
+  def knnLabelPurity(s: SparkSession, dir: String): DataFrame = {
+    val labels = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"))
+    knnGraph(s, dir)
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("ql")),
+        "qid")
+      .join(labels.select(col("vec_id").as("nn_id"),
+        col("label").as("nl")), "nn_id")
+      .groupBy(col("ql").as("label"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("nl") === col("ql"), 1L).otherwise(0L))
+          .as("n_same"))
+      .select(col("label"), col("n_edges"), col("n_same"),
+        round(col("n_same").cast("double") / col("n_edges"), 4)
+          .as("purity"))
+      .orderBy("label")
+  }
+
   /** LOCAL OUTLIER FACTOR (Breunig et al., SIGMOD'00) over the kNN
     * graph — the DENSITY-RATIO outlier score [[embedOutliers]]'s
     * per-cell z-test can't express: a point is anomalous not because
