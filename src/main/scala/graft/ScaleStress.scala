@@ -74,7 +74,10 @@ object ScaleStress {
       "search_spell_correct", "graph_adamic_adar", "events_daily_agg",
       "dedup_containment", "events_rolling_p95", "search_spell_indexed",
       "text_rake_keywords", "events_peak_concurrency",
-      "graph_hits", "ann_ivf_spill")
+      "graph_hits", "ann_ivf_spill",
+      // embed_lof: three k-bounded joins over the memoized edge list
+      // — work must track N·k, never re-scan the corpus
+      "embed_lof")
 
   /** Replica id-space offset: far above any driver-generated id and
     * above the +100000/+200000/+300000 bands the synthetic-workload
