@@ -336,6 +336,7 @@ object SparkEntry {
     "events_stl_decompose" -> (Analytics.eventsStlDecompose _),
     "events_next_pred2" -> (Analytics.eventsNextPred2 _),
     "orders_revenue_bridge" -> (Analytics.ordersRevenueBridge _),
+    "part_abc_migration" -> (Analytics.partAbcMigration _),
     "dedup_cos_sweep" -> ((s, d) => Dedup.cosineSweep(s, d)),
     "dedup_text_vs_embed" -> ((s, d) => Dedup.textVsEmbed(s, d)),
     "graph_assortativity" -> ((s, d) => Ann.graphAssortativity(s, d)),
@@ -4264,6 +4265,44 @@ object SparkEntry {
         |  round(CAST(sum(cents) AS DOUBLE) / CAST(max(total) AS DOUBLE),
         |    4) AS rev_share
         |FROM k GROUP BY 1 ORDER BY abc""".stripMargin,
+    // ABC migration: per-period classes via the same cum/total cuts,
+    // full-outer on partkey, '-' for one-period parts
+    "part_abc_migration" ->
+      """WITH li AS (SELECT l.l_partkey AS partkey,
+        |             CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |               * 100) AS BIGINT) AS cents,
+        |             date_diff('day', DATE '1970-01-01',
+        |               CAST(o.o_orderdate AS DATE)) AS d
+        |           FROM lineitem l JOIN orders o
+        |             ON l.l_orderkey = o.o_orderkey),
+        |b AS (SELECT (min(d) + max(d)) // 2 AS mid FROM li),
+        |r0 AS (SELECT partkey, CAST(sum(cents) AS BIGINT) AS cents
+        |       FROM li CROSS JOIN b WHERE d < mid GROUP BY 1
+        |       HAVING sum(cents) > 0),
+        |t0 AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM r0),
+        |c0 AS (SELECT partkey, CAST(sum(cents) OVER (ORDER BY cents
+        |         DESC, partkey) AS BIGINT) AS cum FROM r0),
+        |k0 AS (SELECT c0.partkey,
+        |         CASE WHEN c0.cum * 5 <= t0.total * 4 THEN 'A'
+        |              WHEN c0.cum * 20 <= t0.total * 19 THEN 'B'
+        |              ELSE 'C' END AS a0
+        |       FROM c0, t0),
+        |r1 AS (SELECT partkey, CAST(sum(cents) AS BIGINT) AS cents
+        |       FROM li CROSS JOIN b WHERE d >= mid GROUP BY 1
+        |       HAVING sum(cents) > 0),
+        |t1 AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM r1),
+        |c1 AS (SELECT partkey, CAST(sum(cents) OVER (ORDER BY cents
+        |         DESC, partkey) AS BIGINT) AS cum FROM r1),
+        |k1 AS (SELECT c1.partkey,
+        |         CASE WHEN c1.cum * 5 <= t1.total * 4 THEN 'A'
+        |              WHEN c1.cum * 20 <= t1.total * 19 THEN 'B'
+        |              ELSE 'C' END AS a1
+        |       FROM c1, t1)
+        |SELECT coalesce(k0.a0, '-') AS class_from,
+        |       coalesce(k1.a1, '-') AS class_to,
+        |       CAST(count(*) AS BIGINT) AS n_parts
+        |FROM k0 FULL OUTER JOIN k1 ON k0.partkey = k1.partkey
+        |GROUP BY 1, 2 ORDER BY class_from, class_to""".stripMargin,
     // open-order backlog: dense day grid, two global cumsums in the
     // mirror (the Spark side decomposes them two-level)
     "orders_backlog" ->

@@ -2253,14 +2253,15 @@ object Analytics {
     * no float share ever classifies a part). Output is the 3-row
     * class summary.
     */
-  def partAbcAnalysis(s: SparkSession, dir: String): DataFrame = {
+  /** ABC class per part from a (partkey, cents) revenue frame — the
+    * two-level banded global rank partAbcAnalysis pioneered, shared
+    * with [[partAbcMigration]] so the classification and its drift
+    * report cannot disagree. Returns ((partkey, cents, abc), total).
+    */
+  private def abcClasses(s: SparkSession,
+                         rev0: DataFrame): (DataFrame, Long) = {
     import s.implicits._
-    val rev = Tables.lineitem(s, dir)
-      .groupBy(col("l_partkey").as("partkey"))
-      .agg(sum(expr(
-        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
-        .as("cents"))
-      .where(col("cents") > 0)
+    val rev = rev0.where(col("cents") > 0)
       // monotone band: higher revenue → lower band id, so band order
       // IS the global revenue-descending order across bands
       .withColumn("bk", -(length(bin(col("cents"))) - 1).cast("long"))
@@ -2277,12 +2278,24 @@ object Analytics {
     }
     val total = acc
     val baseDf = broadcast(bases.toSeq.toDF("bk", "base"))
-    within.join(baseDf, "bk")
+    val classed = within.join(baseDf, "bk")
       .withColumn("cum", col("base") + col("cum_in"))
       .withColumn("abc",
         when(col("cum") * 5 <= lit(total) * 4, "A")
           .when(col("cum") * 20 <= lit(total) * 19, "B")
           .otherwise("C"))
+      .select("partkey", "cents", "abc")
+    (classed, total)
+  }
+
+  def partAbcAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("cents"))
+    val (classed, total) = abcClasses(s, rev)
+    classed
       .groupBy("abc")
       .agg(count(lit(1)).as("n_parts"), sum("cents").as("sc"))
       .select(col("abc"), col("n_parts"),
@@ -2290,6 +2303,46 @@ object Analytics {
         round(col("sc").cast("double") / lit(total.toDouble), 4)
           .as("rev_share"))
       .orderBy("abc")
+  }
+
+  /** ABC CLASS MIGRATION — the classification-drift matrix between
+    * the two order-date halves (the inventory-planning review that
+    * catches a stable-looking ABC report hiding heavy churn
+    * underneath: a part that was A and is now C ties up exactly the
+    * safety stock the report says it deserves): per part, ABC class
+    * in each period via the SHARED [[abcClasses]] machinery (the
+    * report and its drift audit cannot disagree), parts trading in
+    * only one period carry the '-' class on the silent side. Output
+    * is the (from, to) transition matrix with counts — at most 16
+    * rows whatever the catalog size. Two classed frames (each the
+    * proven two-level banded rank), one full-outer join on partkey,
+    * one 16-key aggregate.
+    */
+  def partAbcMigration(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) " +
+          "AS BIGINT)").as("cents"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("d")),
+        col("l_orderkey") === col("o_orderkey"))
+    val bounds = li.agg(expr("(min(d) + max(d)) div 2").as("mid"))
+    val tagged = li.crossJoin(broadcast(bounds)).localCheckpoint(true)
+    def revOf(post: Boolean) = tagged
+      .where(if (post) col("d") >= col("mid") else col("d") < col("mid"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum("cents").as("cents"))
+    val (c0, _) = abcClasses(s, revOf(post = false))
+    val (c1, _) = abcClasses(s, revOf(post = true))
+    c0.select(col("partkey"), col("abc").as("a0"))
+      .join(c1.select(col("partkey"), col("abc").as("a1")),
+        Seq("partkey"), "full_outer")
+      .select(coalesce(col("a0"), lit("-")).as("class_from"),
+        coalesce(col("a1"), lit("-")).as("class_to"))
+      .groupBy("class_from", "class_to")
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("class_from", "class_to")
   }
 
   /** OPEN-ORDER BACKLOG time series — the fulfillment-pipeline
