@@ -337,6 +337,7 @@ object SparkEntry {
     "events_next_pred2" -> (Analytics.eventsNextPred2 _),
     "orders_revenue_bridge" -> (Analytics.ordersRevenueBridge _),
     "part_abc_migration" -> (Analytics.partAbcMigration _),
+    "part_sourcing_risk" -> (Analytics.partSourcingRisk _),
     "dedup_cos_sweep" -> ((s, d) => Dedup.cosineSweep(s, d)),
     "dedup_text_vs_embed" -> ((s, d) => Dedup.textVsEmbed(s, d)),
     "graph_assortativity" -> ((s, d) => Ann.graphAssortativity(s, d)),
@@ -4265,6 +4266,23 @@ object SparkEntry {
         |  round(CAST(sum(cents) AS DOUBLE) / CAST(max(total) AS DOUBLE),
         |    4) AS rev_share
         |FROM k GROUP BY 1 ORDER BY abc""".stripMargin,
+    // sourcing breadth: supplier-count buckets, revenue share per
+    "part_sourcing_risk" ->
+      """WITH per AS (SELECT l_partkey,
+        |        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ns,
+        |        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |          * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per),
+        |bk AS (SELECT CASE WHEN ns < 20 THEN '1_thin'
+        |              WHEN ns < 30 THEN '2_moderate'
+        |              ELSE '3_broad' END AS bucket, cents
+        |       FROM per)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_parts,
+        |       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue,
+        |       round(CAST(sum(cents) AS DOUBLE)
+        |         / CAST(max(t.total) AS DOUBLE), 4) AS rev_share
+        |FROM bk CROSS JOIN t GROUP BY 1 ORDER BY bucket""".stripMargin,
     // ABC migration: per-period classes via the same cum/total cuts,
     // full-outer on partkey, '-' for one-period parts
     "part_abc_migration" ->
