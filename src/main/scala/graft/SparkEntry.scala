@@ -209,6 +209,7 @@ object SparkEntry {
     "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergyQuery(s, d)),
     "mm_audio_silence" -> ((s, d) => Multimodal.audioSilenceQuery(s, d)),
     "mm_shot_detect" -> ((s, d) => Multimodal.shotDetectQuery(s, d)),
+    "mm_byte_entropy" -> (Multimodal.byteEntropyQuery _),
     "mm_phash" -> (Multimodal.phashQuery _),
     "mm_channel_stats" -> (Multimodal.channelStatsQuery _),
     "mm_resize" -> (Multimodal.resizeQuery _),
@@ -3727,6 +3728,24 @@ object SparkEntry {
         |       coalesce(pd.longest_run, 0) AS longest_run
         |FROM nw LEFT JOIN pd ON nw.doc_id = pd.doc_id
         |ORDER BY nw.doc_id""".stripMargin,
+    // byte entropy: floor-log2 bits over the byte histogram
+    "mm_byte_entropy" ->
+      """WITH bf AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1)
+        |             AS ch, count(*) AS c
+        |           FROM documents,
+        |             unnest(range(1, len(text) + 1)) AS t(i)
+        |           GROUP BY 1, 2),
+        |wn AS (SELECT doc_id, ch, c,
+        |         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |       FROM bf),
+        |wb AS (SELECT doc_id, c, n,
+        |         length(bin(n // c)) - 1 AS bits
+        |       FROM wn)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_bytes,
+        |       CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+        |       round(CAST(sum(c * bits) AS DOUBLE) / max(n), 4)
+        |         AS bits_per_byte
+        |FROM wb GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // shot boundaries: |Δ frame-sum| > 150 cuts, runs between cuts
     "mm_shot_detect" ->
       """WITH sm AS (SELECT doc_id, i - 1 AS pos,

@@ -543,6 +543,35 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** BYTE-ENTROPY TRIAGE — floor-log₂ entropy of each payload's
+    * byte histogram: the compressibility proxy a binary-asset
+    * pipeline uses to route content before any codec runs (near-8
+    * bits/byte ⇒ already compressed/encrypted, don't re-encode;
+    * low entropy ⇒ flat/synthetic content, cheap to store). Same
+    * integer discipline as the text entropy ops: per-byte bits =
+    * floor(log₂(n/count)) via `length(bin(n div c)) − 1` — the
+    * libm-free path both engines share — integer weighted sum, one
+    * final 4dp division. One posexplode keyed by doc_id, one
+    * (doc, byte) aggregate, one per-doc rollup.
+    */
+  def byteEntropyQuery(s: SparkSession, dir: String): DataFrame = {
+    val bf = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    bf.withColumn("n", sum("c").over(w))
+      .withColumn("bits", length(bin(expr("n div c"))) - 1)
+      .groupBy("doc_id")
+      .agg(max("n").as("n_bytes"),
+        count(lit(1)).as("n_distinct_bytes"),
+        sum(col("c") * col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("n_bytes"), col("n_distinct_bytes"),
+        round(col("total_bits").cast("double") / col("n_bytes"), 4)
+          .as("bits_per_byte"))
+      .orderBy("doc_id")
+  }
+
   /** SHOT-BOUNDARY DETECTION — the video twin of
     * [[audioSilenceQuery]]: the payload framed into fixed 64-byte
     * FRAMES (full frames only, the audio window convention), each
