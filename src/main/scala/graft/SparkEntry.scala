@@ -339,6 +339,7 @@ object SparkEntry {
     "orders_revenue_bridge" -> (Analytics.ordersRevenueBridge _),
     "part_abc_migration" -> (Analytics.partAbcMigration _),
     "part_sourcing_risk" -> (Analytics.partSourcingRisk _),
+    "events_absence_alert" -> (Analytics.eventsAbsenceAlert _),
     "dedup_cos_sweep" -> ((s, d) => Dedup.cosineSweep(s, d)),
     "dedup_text_vs_embed" -> ((s, d) => Dedup.textVsEmbed(s, d)),
     "graph_assortativity" -> ((s, d) => Ann.graphAssortativity(s, d)),
@@ -4285,6 +4286,44 @@ object SparkEntry {
         |  round(CAST(sum(cents) AS DOUBLE) / CAST(max(total) AS DOUBLE),
         |    4) AS rev_share
         |FROM k GROUP BY 1 ORDER BY abc""".stripMargin,
+    // absence alert: trailing zero-run vs longest internal silence,
+    // gaps-and-islands over the dense grid
+    "events_absence_alert" ->
+      """WITH ev AS (SELECT event_type,
+        |             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |               AS d
+        |           FROM events),
+        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+        |          FROM ev GROUP BY 1, 2),
+        |meta AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+        |tys AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT t.event_type, g.d, m.hi
+        |         FROM tys t CROSS JOIN meta m CROSS JOIN
+        |           (SELECT unnest(range(lo, hi + 1)) AS d FROM meta) g),
+        |dense AS (SELECT grid.event_type, grid.d, grid.hi,
+        |            coalesce(daily.n, 0) AS n
+        |          FROM grid LEFT JOIN daily USING (event_type, d)),
+        |zr AS (SELECT event_type, d, hi,
+        |         d - row_number() OVER (PARTITION BY event_type
+        |           ORDER BY d) AS grp
+        |       FROM dense WHERE n = 0),
+        |runs AS (SELECT event_type, grp, CAST(count(*) AS BIGINT)
+        |           AS len,
+        |           max(d) AS run_end, max(hi) AS hi
+        |         FROM zr GROUP BY 1, 2),
+        |pt AS (SELECT event_type,
+        |         CAST(sum(CASE WHEN run_end = hi THEN len ELSE 0 END)
+        |           AS BIGINT) AS trailing_silent,
+        |         CAST(max(CASE WHEN run_end < hi THEN len ELSE 0 END)
+        |           AS BIGINT) AS max_internal_gap
+        |       FROM runs GROUP BY 1)
+        |SELECT t.event_type,
+        |       coalesce(pt.trailing_silent, 0) AS trailing_silent,
+        |       coalesce(pt.max_internal_gap, 0) AS max_internal_gap,
+        |       (coalesce(pt.trailing_silent, 0) >
+        |         coalesce(pt.max_internal_gap, 0)) AS alert
+        |FROM tys t LEFT JOIN pt USING (event_type)
+        |ORDER BY t.event_type""".stripMargin,
     // sourcing breadth: supplier-count buckets, revenue share per
     "part_sourcing_risk" ->
       """WITH per AS (SELECT l_partkey,

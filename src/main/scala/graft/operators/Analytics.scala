@@ -2305,6 +2305,52 @@ object Analytics {
       .orderBy("abc")
   }
 
+  /** METRIC-ABSENCE ALERT — "this metric went SILENT" detection, the
+    * alerting class the anomaly family (z/MAD/online/changepoint)
+    * misses because silence produces no rows to score: per type over
+    * the dense zero-filled grid, the trailing silent-day run vs the
+    * LONGEST internal silence the metric ever had — alert fires when
+    * the current quiet streak exceeds its own history (a
+    * self-calibrating threshold, no magic constant). Zero-runs via
+    * gaps-and-islands (pure integers); a run is trailing iff it
+    * touches the grid's last day. One events scan; everything
+    * downstream is grid-sized.
+    */
+  def eventsAbsenceAlert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val daily = ev.groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val meta = ev.agg(min("d").as("lo"), max("d").as("hi"),
+      collect_set("event_type").as("tys")).localCheckpoint(true)
+    val grid = meta.select(explode(col("tys")).as("event_type"))
+      .crossJoin(meta.select(explode(sequence(col("lo"), col("hi")))
+        .as("d"), col("hi")))
+    val dense = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"), col("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val runs = dense.where(col("n") === 0)
+      .withColumn("grp", col("d") - row_number().over(w))
+      .groupBy("event_type", "grp")
+      .agg(count(lit(1)).as("len"), max("d").as("run_end"),
+        max("hi").as("hi"))
+    val perType = runs.groupBy("event_type")
+      .agg(sum(when(col("run_end") === col("hi"), col("len"))
+          .otherwise(0L)).as("trailing_silent"),
+        max(when(col("run_end") < col("hi"), col("len"))
+          .otherwise(0L)).as("max_internal_gap"))
+    meta.select(explode(col("tys")).as("event_type"))
+      .join(perType, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("trailing_silent"), lit(0L)).as("trailing_silent"),
+        coalesce(col("max_internal_gap"), lit(0L)).as("max_internal_gap"),
+        (coalesce(col("trailing_silent"), lit(0L)) >
+          coalesce(col("max_internal_gap"), lit(0L))).as("alert"))
+      .orderBy("event_type")
+  }
+
   /** SOURCING-BREADTH EXPOSURE — revenue bucketed by how many
     * suppliers actually ship each part (the supply-resilience screen
     * beside [[supplierHhi]]'s concentration view: HHI says one
