@@ -258,6 +258,7 @@ object SparkEntry {
     "customer_gini" -> ((s, d) => Analytics.customerGini(s, d)),
     "part_price_elasticity" -> ((s, d) => Analytics.priceElasticity(s, d)),
     "part_xyz_class" -> (Analytics.partXyz _),
+    "part_abc_xyz_matrix" -> (Analytics.partAbcXyzMatrix _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
     "priority_returns_chi2" -> (Analytics.priorityReturnsChi2 _),
     "corpus_stats" -> (TextOps.corpusStats _),
@@ -6994,6 +6995,44 @@ object SparkEntry {
         |       CASE WHEN n < 2 THEN 'Z' WHEN cv < 0.5 THEN 'X'
         |            WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz
         |FROM c ORDER BY part""".stripMargin,
+    // ABC×XYZ: the two classifiers' cuts joined on partkey
+    "part_abc_xyz_matrix" ->
+      """WITH rev AS (SELECT l_partkey AS partkey,
+        |        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |          * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM lineitem GROUP BY 1 HAVING cents > 0),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+        |cu AS (SELECT partkey, cents,
+        |         CAST(sum(cents) OVER (ORDER BY cents DESC, partkey)
+        |           AS BIGINT) AS cum
+        |       FROM rev),
+        |k AS (SELECT cu.partkey, cu.cents,
+        |        CASE WHEN cu.cum * 5 <= t.total * 4 THEN 'A'
+        |             WHEN cu.cum * 20 <= t.total * 19 THEN 'B'
+        |             ELSE 'C' END AS abc
+        |      FROM cu, t),
+        |mo AS (SELECT l_partkey AS part,
+        |         CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+        |           AS BIGINT) AS mx,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |       FROM lineitem GROUP BY 1, 2),
+        |g AS (SELECT part, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(q) AS BIGINT) AS sx,
+        |        sum(CAST(q AS HUGEINT) * q) AS qx
+        |      FROM mo GROUP BY 1),
+        |cx AS (SELECT part, n,
+        |        sqrt(CAST(n * qx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |          / CAST(n * (n - 1) AS DOUBLE))
+        |          / (CAST(sx AS DOUBLE) / n) AS cv
+        |      FROM g),
+        |x AS (SELECT part,
+        |        CASE WHEN n < 2 THEN 'Z' WHEN cv < 0.5 THEN 'X'
+        |             WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+        |      FROM cx)
+        |SELECT k.abc, x.xyz, CAST(count(*) AS BIGINT) AS n_parts,
+        |       round(CAST(sum(k.cents) AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM k JOIN x ON k.partkey = x.part
+        |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin,
     // log-log elasticity: zipf-style micro-quantized ln moments,
     // DOUBLE numerators from HUGEINT-exact integers
     "part_price_elasticity" ->

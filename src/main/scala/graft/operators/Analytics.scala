@@ -1839,6 +1839,32 @@ object Analytics {
       .orderBy("part")
   }
 
+  /** ABC × XYZ PLANNING MATRIX — the classic 9-cell inventory policy
+    * grid crossing revenue importance (ABC, [[abcClasses]]) with
+    * demand variability (XYZ, [[partXyz]]): AX is automate-and-
+    * forecast, CZ is stock-to-order-or-drop, and the cell counts +
+    * revenue tell the planner how much of the catalog each policy
+    * governs. Pure composition of the two SHARED classifiers (the
+    * matrix cannot disagree with either report), one partkey join,
+    * one ≤9-key rollup.
+    */
+  def partAbcXyzMatrix(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .as("cents"))
+    val (classed, _) = abcClasses(s, rev)
+    val xyz = partXyz(s, dir)
+      .select(col("part").as("partkey"), col("xyz"))
+    classed.join(xyz, "partkey")
+      .groupBy("abc", "xyz")
+      .agg(count(lit(1)).as("n_parts"), sum("cents").as("sc"))
+      .select(col("abc"), col("xyz"), col("n_parts"),
+        round(col("sc").cast("double") / 100.0, 2).as("revenue"))
+      .orderBy("abc", "xyz")
+  }
+
   /** PRICE ELASTICITY per brand — the econometric classic (log-log
     * OLS: ε = d ln q / d ln p) over order lines, unit price =
     * extendedprice/quantity: ε ≈ −1 means revenue-neutral pricing,
