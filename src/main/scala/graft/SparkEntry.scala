@@ -333,6 +333,7 @@ object SparkEntry {
     "events_funnel_ab" -> (Analytics.eventsFunnelAb _),
     "events_ab_cuped" -> ((s, d) => Analytics.eventsAbCuped(s, d)),
     "events_ab_srm" -> (Analytics.eventsAbSrm _),
+    "events_aa_test" -> (Analytics.eventsAaTest _),
     "events_did" -> (Analytics.eventsDid _),
     "events_winsorized" -> (Analytics.eventsWinsorized _),
     "events_stl_decompose" -> (Analytics.eventsStlDecompose _),
@@ -4779,6 +4780,35 @@ object SparkEntry {
         |       round(CAST(sum(clip) AS DOUBLE) / count(*) / 100.0, 4)
         |         AS mean_winsorized
         |FROM cl GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // A/A null test: arm-A users re-split by an independent md5 coin
+    "events_aa_test" ->
+      """WITH m AS (SELECT event_type,
+        |             CAST('0x' || substr(md5('aa|' ||
+        |               CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+        |               AS variant,
+        |             CAST(round(value * 100) AS BIGINT) AS micro
+        |           FROM events WHERE user_id % 2 = 0),
+        |g AS (SELECT event_type, variant, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(micro) AS BIGINT) AS sx,
+        |        CAST(sum(micro * micro) AS BIGINT) AS qx
+        |      FROM m GROUP BY 1, 2),
+        |a AS (SELECT event_type, n AS n_a, sx AS s_a, qx AS q_a
+        |      FROM g WHERE variant = 0),
+        |b AS (SELECT event_type, n AS n_b, sx AS s_b, qx AS q_b
+        |      FROM g WHERE variant = 1),
+        |zc AS (SELECT a.event_type, n_a, n_b,
+        |         (s_a * 1.0 / n_a - s_b * 1.0 / n_b)
+        |           / sqrt((CAST(CAST(n_a AS HUGEINT) * q_a
+        |                 - CAST(s_a AS HUGEINT) * s_a AS DOUBLE)
+        |               / (n_a * (n_a - 1))) / n_a
+        |             + (CAST(CAST(n_b AS HUGEINT) * q_b
+        |                 - CAST(s_b AS HUGEINT) * s_b AS DOUBLE)
+        |               / (n_b * (n_b - 1))) / n_b) AS z
+        |       FROM a JOIN b USING (event_type)
+        |       WHERE n_a > 1 AND n_b > 1)
+        |SELECT event_type, n_a, n_b, round(z, 4) AS z,
+        |       (abs(z) > 1.96) AS sig
+        |FROM zc ORDER BY event_type""".stripMargin,
     // SRM guardrail: two-cell equal-prob chi2 on distinct users/arm
     "events_ab_srm" ->
       """WITH u AS (SELECT DISTINCT event_type, user_id,

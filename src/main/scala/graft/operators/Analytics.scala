@@ -3693,6 +3693,47 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** A/A NULL TEST — the other standard experimentation guardrail
+    * beside SRM (Kohavi's rule: run the pipeline with NO treatment
+    * and demand a null result): arm-A users re-split by an
+    * INDEPENDENT md5 coin (namespaced "aa|" — independence from the
+    * user_id%2 assignment is the whole point; reusing the same hash
+    * would test nothing) and the full Welch z computed between the
+    * two halves. A significant A/A z means the INSTRUMENT is biased
+    * — logging skew, assignment leakage, broken variance math — and
+    * every real A/B readout from the same pipeline is suspect. Same
+    * exact-integer moment machinery as [[eventsAbTest]]; `sig` flags
+    * |z| > 1.96 (expected false everywhere on healthy data).
+    */
+  def eventsAaTest(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .where(col("user_id") % 2 === 0)
+      .select(col("event_type"),
+        (graft.functions.Md5Prefix60(concat(lit("aa|"),
+          col("user_id").cast("string"))) % 2).as("variant"),
+        expr("cast(round(value * 100) as bigint)").as("micro"))
+      .groupBy("event_type", "variant")
+      .agg(count(lit(1)).as("n"), sum("micro").as("sx"),
+        sum(col("micro") * col("micro")).as("qx"))
+    def side(v: Int, suf: String) = g.where(col("variant") === v)
+      .select(col("event_type"), col("n").as(s"n_$suf"),
+        col("sx").as(s"s_$suf"), col("qx").as(s"q_$suf"))
+    def mean(sc: Column, n: Column) = sc.cast("double") / n
+    def variance(n: Column, sc: Column, q: Column) =
+      (n.cast("decimal(38,0)") * q.cast("decimal(38,0)") -
+        sc.cast("decimal(38,0)") * sc.cast("decimal(38,0)"))
+        .cast("double") / (n * (n - 1)).cast("double")
+    val z = (mean(col("s_a"), col("n_a")) - mean(col("s_b"), col("n_b"))) /
+      sqrt(variance(col("n_a"), col("s_a"), col("q_a")) / col("n_a")
+        + variance(col("n_b"), col("s_b"), col("q_b")) / col("n_b"))
+    side(0, "a").join(side(1, "b"), "event_type")
+      .where(col("n_a") > 1 && col("n_b") > 1)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(z, 4).as("z"),
+        (abs(z) > 1.96).as("sig"))
+      .orderBy("event_type")
+  }
+
   /** SAMPLE-RATIO-MISMATCH guardrail — the first check every
     * experimentation platform runs BEFORE reading an A/B result
     * (Fabijan et al., ICSE-SEIP'19: a skewed split invalidates the
