@@ -170,6 +170,7 @@ object SparkEntry {
     "embed_pca_var" -> (Pca.pcaVariance _),
     "events_forecast_naive" -> ((s, d) => Analytics.eventsForecastNaive(s, d)),
     "events_autocorr7" -> ((s, d) => Analytics.eventsAutocorr(s, d)),
+    "events_series_corr" -> (Analytics.eventsSeriesCorr _),
     "events_benford" -> (Analytics.eventsBenford _),
     "supplier_hhi" -> (Analytics.supplierHhi _),
     "text_readability" -> (TextOps.readability _),
@@ -2343,6 +2344,46 @@ object SparkEntry {
         |WHERE CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
         |  AND CAST(k AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
         |ORDER BY event_type""".stripMargin,
+    // cross-series Pearson: dense-grid pair join, autocorr moments
+    "events_series_corr" ->
+      """WITH ev AS (SELECT event_type,
+        |              date_diff('day', DATE '1970-01-01',
+        |                CAST(ts AS DATE)) AS d
+        |            FROM events),
+        |daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n
+        |          FROM ev GROUP BY 1, 2),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |grid AS (SELECT ty.event_type, g.d
+        |         FROM ty CROSS JOIN
+        |           (SELECT unnest(generate_series(b.lo, b.hi)) AS d
+        |            FROM b) g),
+        |dense AS (SELECT g.event_type, g.d, coalesce(daily.n, 0) AS v
+        |          FROM grid g LEFT JOIN daily
+        |            ON g.event_type = daily.event_type
+        |            AND g.d = daily.d),
+        |prs AS (SELECT a.event_type AS type_a, bb.event_type AS type_b,
+        |          a.v AS x, bb.v AS y
+        |        FROM dense a JOIN dense bb ON a.d = bb.d
+        |          AND a.event_type < bb.event_type),
+        |mo AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS k,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |       FROM prs GROUP BY 1, 2)
+        |SELECT type_a, type_b, k AS n_days,
+        |       round(CAST(CAST(k AS HUGEINT) * sxy
+        |           - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |         / sqrt(CAST(CAST(k AS HUGEINT) * sxx
+        |             - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |           * CAST(CAST(k AS HUGEINT) * syy
+        |             - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 4) AS r
+        |FROM mo
+        |WHERE CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+        |  AND CAST(k AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+        |ORDER BY type_a, type_b""".stripMargin,
     // Benford first-digit audit: exact counts, 6dp literal
     // expectations interpolated from the SAME Scala seq the Spark
     // when-chain uses

@@ -1661,6 +1661,52 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** CROSS-SERIES CORRELATION MATRIX — pairwise Pearson r between
+    * the types' daily count series (the dashboard decoupling
+    * detector: clicks and views normally co-move; the day their r
+    * drops is the day something broke between them — the
+    * cross-series twin of [[eventsAutocorr]]'s self-correlation).
+    * Same dense zero-filled grid, pairs by a < b self-join ON DAY
+    * (grid-sized, never the raw events), the exact same DECIMAL
+    * moment formula — so an autocorr reader audits this one for
+    * free. Output the upper triangle, n(n−1)/2 rows.
+    */
+  def eventsSeriesCorr(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+    val daily = ev.groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val meta = ev.agg(min("d").as("lo"), max("d").as("hi"),
+      collect_set("event_type").as("tys")).localCheckpoint(true)
+    val grid = meta.select(explode(col("tys")).as("event_type"))
+      .crossJoin(meta.select(explode(sequence(col("lo"), col("hi")))
+        .as("d")))
+    val dense = grid.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("v"))
+      .localCheckpoint(true) // both sides of the pair join
+    val pairs = dense.select(col("event_type").as("type_a"),
+        col("d"), col("v").as("x"))
+      .join(dense.select(col("event_type").as("type_b"), col("d"),
+        col("v").as("y")), "d")
+      .where(col("type_a") < col("type_b"))
+    val dec = "decimal(38,0)"
+    def nm(q: Column, a: Column, b: Column) =
+      (col("k").cast(dec) * q.cast(dec) -
+        a.cast(dec) * b.cast(dec)).cast("double")
+    pairs.groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .where(nm(col("sxx"), col("sx"), col("sx")) > 0 &&
+        nm(col("syy"), col("sy"), col("sy")) > 0)
+      .select(col("type_a"), col("type_b"), col("k").as("n_days"),
+        round(nm(col("sxy"), col("sx"), col("sy"))
+          / sqrt(nm(col("sxx"), col("sx"), col("sx"))
+            * nm(col("syy"), col("sy"), col("sy"))), 4).as("r"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** HERFINDAHL-HIRSCHMAN CONCENTRATION INDEX of supplier revenue
     * per nation — the market-concentration metric (DOJ merger
     * guidelines: HHI > 0.25 = highly concentrated) applied to the
