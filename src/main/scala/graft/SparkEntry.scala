@@ -455,6 +455,7 @@ object SparkEntry {
     "bpe_tokenize" -> ((s, d) => Bpe.bpeTokenize(s, d)),
     "quality_classifier" -> ((s, d) => TextOps.qualityClassifier(s, d)),
     "quality_kappa" -> ((s, d) => TextOps.qualityKappa(s, d)),
+    "corpus_dataset_card" -> (Pipeline.datasetCard _),
     "events_sessionize" -> ((s, d) => Analytics.eventsSessionize(s, d)),
     "events_salted_enrich" -> ((s, d) => Skew.saltedEnrichQuery(s, d)),
     "key_skew_report" -> (Skew.keySkewQuery _),
@@ -8947,6 +8948,57 @@ object SparkEntry {
         |         + coalesce(runs.n_spans, 0) AS BIGINT) AS target_len
         |FROM nt LEFT JOIN runs ON nt.doc_id = runs.doc_id
         |ORDER BY nt.doc_id""".stripMargin,
+    // dataset card: 1-row composition of proven aggregates (size,
+    // exact-dup share, near-dup pairs, both gates' keep rates)
+    "corpus_dataset_card" ->
+      s"""WITH $bandCte,
+         |$verifiedPairsCte,
+         |ndp AS (SELECT CAST(count(*) AS BIGINT) AS near_dup_pairs
+         |        FROM pairs),
+         |bs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |           AS n_tokens,
+         |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |         CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+         |       FROM documents),
+         |kqt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents),
+         |kqtf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |         FROM kqt GROUP BY 1, 2),
+         |kqf AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+         |          CAST(count(*) AS BIGINT) AS n_distinct,
+         |          CAST(max(tf) AS BIGINT) AS max_tf,
+         |          CAST(sum(CASE WHEN tok IN
+         |              ('the','a','and','of','to','in','is')
+         |            THEN tf ELSE 0 END) AS BIGINT) AS stop_hits
+         |        FROM kqtf GROUP BY 1),
+         |kqg AS (SELECT
+         |          (3 * least((n_toks * 10000) // 100, 10000)
+         |            + 3 * ((n_distinct * 10000) // n_toks)
+         |            + 2 * ((stop_hits * 10000) // n_toks)
+         |            - 4 * ((max_tf * 10000) // n_toks)) >= 28000
+         |            AS keep_m,
+         |          round((least(n_toks/50.0, 1.0)
+         |            + CASE WHEN stop_hits*1.0/n_toks
+         |                BETWEEN 0.01 AND 0.6
+         |                THEN 1.0 ELSE 0.0 END
+         |            + (1.0 - least((1.0 - n_distinct*1.0/n_toks)/0.9,
+         |                1.0))) / 3.0, 4) >= 0.5 AS keep_h
+         |        FROM kqf),
+         |kr AS (SELECT
+         |         round(CAST(sum(CASE WHEN keep_m THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / count(*), 4) AS keep_rate_model,
+         |         round(CAST(sum(CASE WHEN keep_h THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / count(*), 4) AS keep_rate_heuristic
+         |       FROM kqg)
+         |SELECT bs.n_docs, bs.n_tokens, bs.n_langs, bs.n_sources,
+         |       round(CAST(1.0 AS DOUBLE)
+         |         - CAST(bs.n_distinct AS DOUBLE) / bs.n_docs, 4)
+         |         AS exact_dup_share,
+         |       ndp.near_dup_pairs, kr.keep_rate_model,
+         |       kr.keep_rate_heuristic
+         |FROM bs CROSS JOIN ndp CROSS JOIN kr""".stripMargin,
     // Cohen's kappa between the model gate and the heuristic gate,
     // both gates off the one tf aggregate; pe=1 degenerates to NULL
     "quality_kappa" ->

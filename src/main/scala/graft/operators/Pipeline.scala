@@ -132,4 +132,38 @@ object Pipeline {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
       .orderBy("split")
   }
+
+  /** DATASET CARD — the one-row corpus summary a released dataset
+    * ships (Gebru et al.'s datasheets, as numbers): size (docs,
+    * tokens, languages, sources), EXACT duplicate share (distinct
+    * texts vs docs), verified near-dup pair count (the minhash
+    * chain), and both quality gates' keep rates off the shared tf
+    * aggregate ([[graft.operators.TextOps.qualityKappa]]'s gates —
+    * the card and the agreement audit read the same counts). Third
+    * capstone shape: every number is an existing proven plan's
+    * 1-row aggregate, crossJoined — the card CANNOT disagree with
+    * the reports it summarizes.
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bs = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"),
+      countDistinct("text").as("n_distinct_texts"))
+    val ndp = Dedup.minhashPairsUnsorted(s, dir)
+      .agg(count(lit(1)).as("near_dup_pairs"))
+    val kq = TextOps.qualityKappa(s, dir)
+      .select(round(col("keep_model").cast("double") / col("n_docs"), 4)
+          .as("keep_rate_model"),
+        round(col("keep_heuristic").cast("double") / col("n_docs"), 4)
+          .as("keep_rate_heuristic"))
+    bs.crossJoin(ndp).crossJoin(kq)
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"),
+        round(lit(1.0) - col("n_distinct_texts").cast("double")
+          / col("n_docs"), 4).as("exact_dup_share"),
+        col("near_dup_pairs"), col("keep_rate_model"),
+        col("keep_rate_heuristic"))
+  }
 }
