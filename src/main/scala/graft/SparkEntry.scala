@@ -439,6 +439,8 @@ object SparkEntry {
     "events_daily_agg" -> (AggTable.dailyAggQuery _),
     "events_hopping" -> (Analytics.eventsHopping _),
     "events_anomaly" -> ((s, d) => Analytics.eventsAnomaly(s, d)),
+    "events_anomaly_consensus" ->
+      (Analytics.eventsAnomalyConsensus _),
     "events_anomaly_online" -> ((s, d) => Analytics.eventsAnomalyOnline(s, d)),
     "events_anomaly_mad" -> ((s, d) => Analytics.eventsAnomalyMad(s, d)),
     "events_changepoint" -> (Analytics.eventsChangepoint _),
@@ -1395,7 +1397,22 @@ object SparkEntry {
          |JOIN ${sub("events_ks_test")} k ON f.event_type = k.event_type
          |JOIN ${sub("events_mann_whitney")} w
          |  ON f.event_type = w.event_type
-         |ORDER BY f.event_type""".stripMargin)
+         |ORDER BY f.event_type""".stripMargin) +
+    // anomaly consensus: the three detectors' SHIPPED result sets
+    // full-outer voted — cannot disagree with its members
+    ("events_anomaly_consensus" ->
+      s"""SELECT event_type, day, votes FROM (
+         |  SELECT event_type, day,
+         |    CAST((CASE WHEN z.zscore IS NOT NULL THEN 1 ELSE 0 END)
+         |      + (CASE WHEN m.robust_z IS NOT NULL THEN 1 ELSE 0 END)
+         |      + (CASE WHEN o.zscore IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS votes
+         |  FROM ${sub("events_anomaly")} z
+         |  FULL OUTER JOIN ${sub("events_anomaly_mad")} m
+         |    USING (event_type, day)
+         |  FULL OUTER JOIN ${sub("events_anomaly_online")} o
+         |    USING (event_type, day))
+         |WHERE votes >= 2 ORDER BY event_type, day""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

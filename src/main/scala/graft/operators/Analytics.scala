@@ -2377,6 +2377,33 @@ object Analytics {
       .orderBy("abc")
   }
 
+  /** ANOMALY CONSENSUS — ensemble voting across the three detectors
+    * (global z, robust MAD z, online expanding z): alert only when
+    * ≥ 2 agree — the standard alert-fatigue reducer (each detector
+    * has a failure mode: global z is wrecked by the outliers it
+    * hunts, MAD goes blind when half the days are weird, online is
+    * late early in the series; their INTERSECTION is what a human
+    * would page on). Pure composition of the three shipped plans
+    * (full-outer on (type, day), vote = presence), so the consensus
+    * cannot disagree with its members. Flagged-day-sized work past
+    * the member plans.
+    */
+  def eventsAnomalyConsensus(s: SparkSession, dir: String): DataFrame = {
+    val z = eventsAnomaly(s, dir)
+      .select(col("event_type"), col("day"), lit(1L).as("vz"))
+    val m = eventsAnomalyMad(s, dir)
+      .select(col("event_type"), col("day"), lit(1L).as("vm"))
+    val o = eventsAnomalyOnline(s, dir)
+      .select(col("event_type"), col("day"), lit(1L).as("vo"))
+    z.join(m, Seq("event_type", "day"), "full_outer")
+      .join(o, Seq("event_type", "day"), "full_outer")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("vz"), lit(0L)) + coalesce(col("vm"), lit(0L))
+          + coalesce(col("vo"), lit(0L))).as("votes"))
+      .where(col("votes") >= 2)
+      .orderBy("event_type", "day")
+  }
+
   /** METRIC-ABSENCE ALERT — "this metric went SILENT" detection, the
     * alerting class the anomaly family (z/MAD/online/changepoint)
     * misses because silence produces no rows to score: per type over
