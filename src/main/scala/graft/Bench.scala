@@ -94,8 +94,40 @@ object Bench {
         SparkEntry.queries.filter { case (n, _) => keep(n) }
       case None => SparkEntry.queries
     }
+    // r12 (r11 verdict #5): warm a REPRESENTATIVE SUBSTRATE SAMPLE,
+    // not the whole registry — at 349 queries the full warmup re-ran
+    // everything at sf0.001 (124.7s, the second-largest phase) to buy
+    // JIT for code the queries SHARE anyway. One query per hot
+    // substrate (each VectorDistance kernel, md5/minhash, TopKAgg,
+    // PQ/SQ8/BQ codecs, kmeans+beam descent, window exec, rollup,
+    // sketch aggregators, BPE, WAL replay, multimodal raster,
+    // sampling, graph fixpoints) JIT-compiles the shared paths;
+    // per-query generated classes for the REST compile during pass 1
+    // and the min-of-two-passes picks the warm pass-2 sample, so the
+    // reported numbers stay steady-state.
+    val warmupNames = Seq(
+      // vector kernels + heap + quantizers + descent
+      "vdb_knn_flat_l2", "vdb_knn_cosine", "vdb_knn_flat_linf",
+      "ann_ivf", "ann_hnsw", "vdb_knn_pq", "vdb_knn_sq8", "vdb_knn_bq",
+      "ann_lsh", "vdb_knn_mrl", "vdb_knn_sparse",
+      // md5 hashing families: minhash bands, simhash, winnowing, KMV
+      "dedup_minhash_pairs", "dedup_simhash", "dedup_winnowing",
+      "sketch_kmv_distinct", "sketch_cms_topk", "sketch_hll_distinct",
+      // text substrate: tokenization, n-grams, BPE, BM25, spell
+      "text_quality", "text_surprisal", "text_bm25_topk", "bpe_learn",
+      "search_spell_correct", "hybrid_search_rrf", "text_rake_keywords",
+      // window/rollup/sessionize/pattern exec
+      "q_window_topn", "events_rolling_p95", "events_sessionize",
+      "events_pattern_match", "events_rollup_cube", "events_gap_fill",
+      // join/agg analytics shapes
+      "q1_agg", "q3_join", "q9_profit", "events_funnel", "customer_rfm",
+      // WAL/state/export/sampling/graph/PCA/multimodal
+      "wal_json_replay", "stream_wal_state", "export_shards",
+      "corpus_sample_split", "dsir_select", "knn_graph",
+      "graph_centrality", "embed_pca_project", "mm_features", "mm_phash")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
-    val warmupDone = benchQueries.toSeq.map { case (name, fn) =>
+    val warmupDone = warmupNames.flatMap(n => benchQueries.get(n).map(n -> _))
+      .map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           if (elapsed < budgetNs / 3) runGuardedAt(warmDir, name, fn(spark, warmDir))

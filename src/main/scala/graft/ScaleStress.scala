@@ -149,6 +149,112 @@ object ScaleStress {
     root.toString
   }
 
+  /** SKEW probes (r11 verdict #2): the x-factor replicas scale volume
+    * UNIFORMLY, so the §4 skew story (whale-basket caps, df-capped
+    * blocking, key-hashed spreads) was proven by spec but never
+    * MEASURED under a hot key. These three registry queries each
+    * carry a documented skew guard; the skewed replica plants the hot
+    * key the guard exists for.
+    */
+  val skewQueryNames: Seq[String] =
+    Seq("basket_pairs", "dedup_containment", "events_sessionize")
+
+  /** Materialize the skew pair: a CONTROL dir (the base tables copied
+    * verbatim — same fresh parquet layout, same cold caches as the
+    * skewed twin, so the comparison isolates the KEY DISTRIBUTION)
+    * and a HOT dir where one key holds ~20% of its table:
+    *   - events: one user absorbs every 5th event (hot session key —
+    *     sessionize's per-user window must not serialize on it; the
+    *     user-id hash spread sends one key to ONE partition, so the
+    *     cap under test is per-user work staying window-sized),
+    *   - orders: one customer absorbs every 5th order (whale basket —
+    *     basket_pairs' capPerCust top-C guard bounds its fan-out),
+    *   - documents: every 5th doc gains a shared 10-word boilerplate
+    *     prefix (hot shingles with df ≈ N/5 — containment's df∈[2,8]
+    *     blocking bar must keep them OUT of the candidate keys; a
+    *     df-blind blocker would explode quadratically on them).
+    * Hot-key ids live in the replica Offset band so they collide with
+    * nothing the driver generated.
+    */
+  def materializeSkew(s: SparkSession, sfDir: String,
+                      skewed: Boolean): String = {
+    val tag = if (skewed) "hot" else "ctl"
+    val root = java.nio.file.Paths.get("target", "tmp",
+      s"skew-${java.lang.Integer.toHexString(sfDir.hashCode)}-$tag-v1")
+      .toAbsolutePath
+    val done = root.resolve("_done")
+    if (!java.nio.file.Files.exists(done)) {
+      java.nio.file.Files.createDirectories(root)
+      val hotEvery = lit(5L)
+      val ev = Tables.events(s, sfDir)
+      val evOut =
+        if (!skewed) ev
+        else ev.withColumn("user_id",
+          when(pmod(col("event_id"), hotEvery) === 0, lit(Offset + 7L))
+            .otherwise(col("user_id")))
+      evOut.write.mode("overwrite")
+        .parquet(root.resolve("events.parquet").toString)
+      val docs = Tables.documents(s, sfDir)
+      val hotPhrase =
+        "zqhot alpha beta gamma delta epsilon zeta eta theta iota"
+      val docsOut =
+        if (!skewed) docs
+        else docs.withColumn("text",
+            when(pmod(col("doc_id"), hotEvery) === 0,
+              concat(lit(hotPhrase + " "), col("text")))
+              .otherwise(col("text")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      docsOut.write.mode("overwrite")
+        .parquet(root.resolve("documents.parquet").toString)
+      val ord = Tables.orders(s, sfDir)
+      val ordOut =
+        if (!skewed) ord
+        else ord.withColumn("o_custkey",
+          when(pmod(col("o_orderkey"), hotEvery) === 0, lit(Offset + 9L))
+            .otherwise(col("o_custkey")))
+      ordOut.write.mode("overwrite")
+        .parquet(root.resolve("orders.parquet").toString)
+      Tables.lineitem(s, sfDir).write.mode("overwrite")
+        .parquet(root.resolve("lineitem.parquet").toString)
+      java.nio.file.Files.write(done, Array.emptyByteArray)
+    }
+    root.toString
+  }
+
+  /** Time the skew trio on (control, hot): per query, {uniform,
+    * skewed, ratio}. The pass condition the verdict set: ratio ≲ 2
+    * for the capped/salted operators.
+    */
+  def runSkew(s: SparkSession, sfDir: String,
+              budgetLeft: () => Boolean): Map[String, Map[String, Double]] = {
+    val out = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, Double]]()
+    Seq(false, true).foreach { skewed =>
+      if (budgetLeft()) {
+        val dir =
+          try materializeSkew(s, sfDir, skewed)
+          catch { case _: Throwable => null }
+        if (dir != null) skewQueryNames.foreach { name =>
+          if (budgetLeft()) SparkEntry.queries.get(name).foreach { fn =>
+            val t =
+              try {
+                val t0 = System.nanoTime()
+                Bench.materialize(fn(s, dir))
+                (System.nanoTime() - t0) / 1e9
+              } catch { case _: Throwable => -1.0 }
+            out.getOrElseUpdate(name, scala.collection.mutable.Map())
+              .update(if (skewed) "skewed" else "uniform", t)
+          }
+        }
+      }
+    }
+    out.view.mapValues { m =>
+      val base = m.toMap
+      if (base.get("uniform").exists(_ > 0) && base.get("skewed").exists(_ > 0))
+        base + ("ratio" -> base("skewed") / base("uniform"))
+      else base
+    }.toMap
+  }
+
   /** Run the probe: per (query, factor), ONE timed COLD call on that
     * factor's fresh replica dir — the build+search total, which is
     * the quantity whose slope vs corpus size the 100 TB claims are

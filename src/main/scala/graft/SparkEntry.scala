@@ -84,6 +84,7 @@ object SparkEntry {
         col("label") =!= 5)),
     "vdb_search_requests" -> (SearchApi.searchRequestsQuery _),
     "vdb_search_routed" -> (SearchApi.searchRoutedQuery _),
+    "vdb_search_routed_ef" -> (SearchApi.searchRoutedEfQuery _),
     "vdb_batch_knn" -> ((s, d) =>
       Knn.topK(emb(s, d), batchQset(s, d), 5, Knn.Metric.Cosine)),
     "vdb_query_by_id" -> ((s, d) =>
@@ -914,41 +915,59 @@ object SparkEntry {
       |  WHERE a.id <> pr.qid) WHERE s IS NOT NULL)""".stripMargin
   ).mkString(",\n")
 
-  /** NSW beam-round CTE chain (beam=16, 3 rounds, graphK=8) over
-    * the knn-graph CTE `gr`, for the query set selected by `qqWhere`
-    * on embeddings — shared by the standalone ann_nsw oracle and the
-    * routed batch API's HNSW leg, so the two cannot drift.
+  /** NSW beam-round CTE chain (beam=16, graphK=8) over the knn-graph
+    * CTE `gr`, for the query set selected by `qqWhere` on embeddings
+    * — shared by the standalone ann_nsw oracle and the routed batch
+    * API's HNSW leg, so the two cannot drift.
+    *
+    * @param pfx prefix for every emitted CTE name — lets one oracle
+    *            instantiate the chain per EFFORT CLASS (the
+    *            heterogeneous-ef routed batch: a 1-round chain and a
+    *            3-round chain side by side; per-query trajectories
+    *            are qid-partitioned, so per-class chains ≡ the Spark
+    *            side's single gated loop)
+    * @param rounds beam rounds to unroll (the per-request budget
+    *               ⌈ef/beam⌉, capped)
+    * @param emitBase emit the shared g8/ed edge CTEs (false when a
+    *                 previous instantiation already defined them)
     */
-  private def nswBeamCtes(qqWhere: String): String = {
+  private def nswBeamCtes(qqWhere: String, pfx: String = "",
+                          rounds: Int = 3,
+                          emitBase: Boolean = true): String = {
     val beam = 16
-    val rounds = 3
     val sb = new StringBuilder
-    sb.append(
+    if (emitBase) sb.append(
       s"""g8 AS (SELECT qid, id FROM gr WHERE rk <= 8),
          |ed AS (SELECT qid AS src, id AS dst FROM g8
          |       UNION SELECT id, qid FROM g8),
-         |qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |""".stripMargin)
+    sb.append(
+      s"""${pfx}qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
          |       FROM embeddings WHERE $qqWhere),
-         |prq AS (SELECT qid, cell FROM (SELECT qq.qid, c.cell,
-         |         row_number() OVER (PARTITION BY qq.qid
-         |           ORDER BY ${ivfCd("qq.qv", "c.cv")}, c.cell) AS rn
-         |       FROM qq CROSS JOIN c2 c) WHERE rn <= 2),
-         |bs0 AS (SELECT prq.qid, a.id, list_cosine_similarity(a.v, qq.qv) AS s
-         |       FROM af a JOIN prq ON a.cell = prq.cell
-         |       JOIN qq ON prq.qid = qq.qid),
-         |bf0 AS (SELECT qid, id, s FROM (SELECT *, row_number() OVER (
+         |${pfx}prq AS (SELECT qid, cell FROM (SELECT ${pfx}qq.qid, c.cell,
+         |         row_number() OVER (PARTITION BY ${pfx}qq.qid
+         |           ORDER BY ${ivfCd(s"${pfx}qq.qv", "c.cv")}, c.cell) AS rn
+         |       FROM ${pfx}qq CROSS JOIN c2 c) WHERE rn <= 2),
+         |${pfx}bs0 AS (SELECT ${pfx}prq.qid, a.id,
+         |         list_cosine_similarity(a.v, ${pfx}qq.qv) AS s
+         |       FROM af a JOIN ${pfx}prq ON a.cell = ${pfx}prq.cell
+         |       JOIN ${pfx}qq ON ${pfx}prq.qid = ${pfx}qq.qid),
+         |${pfx}bf0 AS (SELECT qid, id, s FROM (SELECT *, row_number() OVER (
          |         PARTITION BY qid ORDER BY s DESC, id) AS rk
-         |       FROM bs0 WHERE s IS NOT NULL) WHERE rk <= $beam)""".stripMargin)
+         |       FROM ${pfx}bs0 WHERE s IS NOT NULL) WHERE rk <= $beam)""".stripMargin)
     for (r <- 1 to rounds) {
       val p = r - 1
       sb.append(s""",
-        |bc$r AS (SELECT f.qid, ed.dst AS id FROM bf$p f JOIN ed ON f.id = ed.src
-        |       UNION SELECT qid, id FROM bf$p),
-        |bs$r AS (SELECT c.qid, c.id, list_cosine_similarity(e.v, qq.qv) AS s
-        |       FROM bc$r c JOIN e ON c.id = e.id JOIN qq ON c.qid = qq.qid),
-        |bf$r AS (SELECT qid, id, s FROM (SELECT *, row_number() OVER (
+        |${pfx}bc$r AS (SELECT f.qid, ed.dst AS id FROM ${pfx}bf$p f
+        |         JOIN ed ON f.id = ed.src
+        |       UNION SELECT qid, id FROM ${pfx}bf$p),
+        |${pfx}bs$r AS (SELECT c.qid, c.id,
+        |         list_cosine_similarity(e.v, ${pfx}qq.qv) AS s
+        |       FROM ${pfx}bc$r c JOIN e ON c.id = e.id
+        |       JOIN ${pfx}qq ON c.qid = ${pfx}qq.qid),
+        |${pfx}bf$r AS (SELECT qid, id, s FROM (SELECT *, row_number() OVER (
         |         PARTITION BY qid ORDER BY s DESC, id) AS rk
-        |       FROM bs$r WHERE s IS NOT NULL) WHERE rk <= $beam)""".stripMargin)
+        |       FROM ${pfx}bs$r WHERE s IS NOT NULL) WHERE rk <= $beam)""".stripMargin)
     }
     sb.toString
   }
@@ -7362,12 +7381,67 @@ object SparkEntry {
          |FROM (SELECT * FROM fl UNION ALL SELECT * FROM il
          |      UNION ALL SELECT * FROM hl UNION ALL SELECT * FROM hil)
          |ORDER BY qid, rk""".stripMargin,
+    // per-request ef_search (hnswlib_index.h:16, setEf at
+    // hnswlib_index.cc:30): even qids FLAT (rounds_used 0), odd qids
+    // the NSW beam leg with a per-request round budget ⌈ef/16⌉ —
+    // ef=16 (qid≡1 mod 4) runs ONE round (the xbf1 chain), ef=48
+    // (qid≡3) the full three (ybf3). Per-class chains are exact
+    // because per-query trajectories are qid-partitioned — the Spark
+    // side's single gated loop computes the identical prefix.
+    "vdb_search_routed_ef" ->
+      s"""WITH $ivfGraphCtes,
+         |el AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+         |       FROM embeddings),
+         |fq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+         |              CASE WHEN vec_id % 3 = 0 THEN 10 ELSE 5 END AS k,
+         |              CASE WHEN vec_id % 4 = 2 THEN 'IP'
+         |                   ELSE 'L2' END AS metric,
+         |              CASE WHEN vec_id = 4 THEN '='
+         |                   WHEN vec_id = 2 THEN '!=' END AS fop,
+         |              5 AS fval
+         |       FROM embeddings WHERE vec_id < 8 AND vec_id % 2 = 0),
+         |fd AS (SELECT fq.qid, fq.metric, fq.k, el.id AS nn_id,
+         |              CASE WHEN fq.metric = 'L2'
+         |                   THEN list_distance(el.v, fq.qv)
+         |                   ELSE list_inner_product(el.v, fq.qv) END AS s
+         |       FROM el CROSS JOIN fq
+         |       WHERE fq.fop IS NULL OR (fq.fop = '=' AND el.label = fq.fval)
+         |          OR (fq.fop = '!=' AND el.label <> fq.fval)),
+         |fr AS (SELECT qid, nn_id, s, k,
+         |              row_number() OVER (PARTITION BY qid ORDER BY
+         |                CASE WHEN metric = 'L2' THEN s ELSE -s END, nn_id)
+         |                AS rk
+         |       FROM fd),
+         |fl AS (SELECT qid, rk, nn_id, round(s, 4) AS score,
+         |              CAST(0 AS BIGINT) AS rounds_used
+         |       FROM fr WHERE rk <= k),
+         |${nswBeamCtes("vec_id < 8 AND vec_id % 4 = 1", pfx = "x",
+            rounds = 1)},
+         |${nswBeamCtes("vec_id < 8 AND vec_id % 4 = 3", pfx = "y",
+            rounds = 3, emitBase = false)},
+         |xl AS (SELECT qid, rk, id AS nn_id, round(s, 4) AS score,
+         |              CAST(1 AS BIGINT) AS rounds_used
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |               ORDER BY s DESC, id) AS rk FROM xbf1)
+         |       WHERE rk <= CASE WHEN qid % 3 = 0 THEN 10 ELSE 5 END),
+         |yl AS (SELECT qid, rk, id AS nn_id, round(s, 4) AS score,
+         |              CAST(3 AS BIGINT) AS rounds_used
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |               ORDER BY s DESC, id) AS rk FROM ybf3)
+         |       WHERE rk <= CASE WHEN qid % 3 = 0 THEN 10 ELSE 5 END)
+         |SELECT qid, rk, nn_id, score, rounds_used
+         |FROM (SELECT * FROM fl UNION ALL SELECT * FROM xl
+         |      UNION ALL SELECT * FROM yl)
+         |ORDER BY qid, rk""".stripMargin,
     "vdb_knn_flat_l2" -> knnOracle("l2"),
     "vdb_knn_flat_ip" -> knnOracle("ip"),
     "vdb_knn_flat_l1" -> knnOracle("l1"),
     "vdb_knn_flat_linf" -> knnOracle("linf"),
-    // freshness decay: boosted = cos / 2^(id%4) — a power-of-two
-    // multiply only shifts the exponent, exact on both engines
+    // freshness decay: boosted = ((1+cos)/2) / 2^(id%4) — the shift
+    // to [0,1] keeps the decay monotone for negative cosines (a raw
+    // negative divided by 2^b would move TOWARD zero, promoting the
+    // stale match); the power-of-two divide only shifts the exponent,
+    // exact on both engines
     "vdb_knn_recency_boost" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),
@@ -7377,7 +7451,8 @@ object SparkEntry {
         |        e.vec_id % 4 AS bucket
         |      FROM embeddings e CROSS JOIN q),
         |s AS (SELECT qid, nn_id, c,
-        |        c / CAST(1::BIGINT << CAST(bucket AS INTEGER) AS DOUBLE)
+        |        ((c + 1) / 2)
+        |          / CAST(1::BIGINT << CAST(bucket AS INTEGER) AS DOUBLE)
         |          AS dec
         |      FROM d WHERE c IS NOT NULL),
         |r AS (SELECT qid, nn_id, c, dec,

@@ -1651,6 +1651,93 @@ object Ann {
       .orderBy("qid", "rk")
   }
 
+  /** PER-REQUEST SEARCH EFFORT — the reference API's `ef_search`
+    * parameter as REQUEST DATA (hnswlib_index.h:16 `search_vectors
+    * (..., int ef_search = 50)`, applied via `setEf` at
+    * hnswlib_index.cc:30): each request carries its own `ef`, and the
+    * beam loop derives a per-request ROUND BUDGET from it —
+    * rounds_q = min(maxRounds, max(1, ⌈ef / beam⌉)) — since each
+    * round evaluates at most `beam` fresh frontier members, ef/beam
+    * rounds is exactly "expand until ~ef candidates were considered",
+    * hnswlib's ef-queue semantic in fixed-point relational form. A
+    * query whose budget is spent FREEZES: its frontier is carried
+    * untouched through later rounds (the identity step), so a batch
+    * of mixed-effort requests runs as ONE loop at the max budget with
+    * per-query gating joins against the request-sized budget table —
+    * never a separate job per effort class. Monotone by construction:
+    * per-query trajectories are qid-partitioned and deterministic, so
+    * a smaller ef's visited set is a strict PREFIX (round-wise) of a
+    * larger ef's — a smaller ef can never expand more nodes (AnnSpec
+    * pins this).
+    *
+    * @param reqs (qid, qvec, ef) — ef per request
+    * @return (qid, rk, nn_id, score, rounds_used) — rounds_used is
+    *         the budget the request ran, emitted as DATA so the
+    *         oracle mirrors it from the same ⌈ef/beam⌉ expression
+    */
+  private[graft] def nswTraverseEf(s: SparkSession, dir: String,
+                                   reqs: DataFrame, beam: Int,
+                                   maxRounds: Int, graphK: Int)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val g = knnGraph(s, dir, graphK)
+      .select(col("qid").as("src"), col("nn_id").as("dst"))
+    val edges = graft.ByproductCache.getOrCompute(
+      s.sparkContext.applicationId, s"nswedges|$dir|$graphK") {
+      g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+    }
+    val q = reqs.select(col("qid"), col("qvec"))
+    val budgets = reqs.select(col("qid"),
+        least(lit(maxRounds), greatest(lit(1),
+          ceil(col("ef").cast("double") / lit(beam)).cast("int"))).as("rq"))
+      .localCheckpoint(true)
+    def scoreIds(ids: DataFrame): DataFrame =
+      ids.join(e, "id").join(broadcast(q), "qid")
+        .select(col("qid"), col("id"),
+          VectorDistance.cosine(col("vec"), col("qvec")).as("s"))
+        .where(col("s").isNotNull)
+    val byQ = Window.partitionBy("qid").orderBy(col("s").desc, col("id"))
+    def topBeam(scored: DataFrame): DataFrame =
+      scored.withColumn("rk", row_number().over(byQ))
+        .where(col("rk") <= beam).select("qid", "id", "s")
+    val entry = nswEntry(s, dir, q)
+    var frontier = topBeam(scoreIds(entry)).localCheckpoint(true)
+    var visited = frontier.select("qid", "id")
+    for (r <- 1 to maxRounds) {
+      // gate on the request-sized budget table: spent queries take
+      // the identity step, active ones expand one hop
+      val act = frontier.join(
+        broadcast(budgets.where(col("rq") >= r).select("qid")), "qid")
+      val frozen = frontier.join(
+        broadcast(budgets.where(col("rq") < r).select("qid")), "qid")
+      val expand = act.join(edges, col("id") === col("src"))
+        .select(col("qid"), col("dst").as("id"))
+        .union(act.select("qid", "id"))
+        .distinct()
+      visited = visited.union(expand).distinct()
+      frontier = topBeam(scoreIds(expand)).unionByName(frozen)
+        .localCheckpoint(true)
+    }
+    (frontier.join(broadcast(budgets), "qid"), visited)
+  }
+
+  def nswSearchEf(s: SparkSession, dir: String, reqs: DataFrame,
+                  k: Int = 10, beam: Int = 16, maxRounds: Int = 3,
+                  graphK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byQ = Window.partitionBy("qid").orderBy(col("s").desc, col("id"))
+    val (frontier, _) = nswTraverseEf(s, dir, reqs, beam, maxRounds, graphK)
+    frontier.withColumn("rk", row_number().over(byQ))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id").as("nn_id"),
+        round(col("s"), 4).as("score"),
+        col("rq").cast("long").as("rounds_used"))
+      .orderBy("qid", "rk")
+  }
+
   /** FILTERED graph search — the reference's HNSW path takes the
     * scalar-filter bitmap as a SELECTOR (hnswlib_index.cc:28-37,
     * searchKnn with IdSelector): traversal runs on the full graph,

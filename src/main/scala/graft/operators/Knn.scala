@@ -319,14 +319,20 @@ object Knn {
 
   /** RECENCY-BOOSTED SEARCH — the freshness option production vector
     * stores expose (rank stale matches below fresh ones without
-    * dropping them): boosted = cosine / 2^age_bucket. The decay
-    * weight is a POWER OF TWO on purpose — multiplying a double by
-    * 2⁻ᵇ only decrements the exponent (exact, no rounding), so the
-    * boosted score is bit-deterministic on both engines where an
-    * exp(−λ·age) would be a libm call with no contract. Same
-    * broadcast + fused-kernel + bounded-heap anatomy as [[topK]];
-    * the raw cosine of each winner is re-derived from the exact
-    * boosted key by the inverse shift — zero extra scans.
+    * dropping them): boosted = ((1+cosine)/2) / 2^age_bucket. The
+    * cosine is shifted to [0,1] FIRST so the decay is monotone over
+    * the whole similarity range — dividing a raw negative cosine by
+    * 2^b would move it TOWARD zero, ranking a stale negative match
+    * above an equally-negative fresh one (the freshness inversion
+    * this shift exists to prevent). The decay weight is a POWER OF
+    * TWO on purpose — multiplying a double by 2⁻ᵇ only decrements
+    * the exponent (exact, no rounding) and the (1+c)/2 shift rounds
+    * once identically on both engines, so the boosted score is
+    * bit-deterministic where an exp(−λ·age) would be a libm call
+    * with no contract. Same broadcast + fused-kernel + bounded-heap
+    * anatomy as [[topK]]; the raw cosine of each winner is
+    * re-derived from the exact boosted key by the inverse shift —
+    * zero extra scans.
     */
   def topKRecencyBoosted(data: DataFrame, queries: DataFrame, k: Int,
                          ageBucket: org.apache.spark.sql.Column): DataFrame = {
@@ -336,11 +342,13 @@ object Knn {
       .select(col("qid"), col("id"), col("bucket"),
         VectorDistance.cosine(col("vec"), col("qvec")).as("c"))
       .where(col("c").isNotNull)
-      // exact exponent shift; carry the bucket through the heap by
-      // re-deriving it from the id downstream is avoidable — encode
-      // nothing: boosted is the ranking key, raw = boosted · 2^bucket
+      // exact exponent shift on the [0,1]-shifted similarity; carry
+      // nothing through the heap: boosted is the ranking key,
+      // raw = boosted · 2^bucket · 2 − 1 (shift-exact, then one
+      // Sterbenz-exact subtract near 1)
       .select(col("qid"), col("id"), col("bucket"),
-        (col("c") / expr("cast(shiftleft(1L, cast(bucket as int)) as double)"))
+        (((col("c") + lit(1d)) / lit(2d))
+          / expr("cast(shiftleft(1L, cast(bucket as int)) as double)"))
           .as("boosted"))
     val agg = TopKAgg.topK(k)
     val top = pairs
@@ -354,7 +362,8 @@ object Knn {
         "nn_id")
       .select(col("qid"), col("rk"), col("nn_id"),
         round(col("boosted")
-          * expr("cast(shiftleft(1L, cast(bucket as int)) as double)"), 4)
+          * expr("cast(shiftleft(1L, cast(bucket as int)) as double)")
+          * lit(2d) - lit(1d), 4)
           .as("score"),
         round(col("boosted"), 4).as("boosted"))
       .orderBy("qid", "rk")

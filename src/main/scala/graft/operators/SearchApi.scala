@@ -177,6 +177,69 @@ object SearchApi {
     searchRouted(s, dir, data, reqs, maxK = 10)
   }
 
+  /** Routed batch with PER-REQUEST SEARCH EFFORT — the last
+    * reference-API parameter expressible as data (hnswlib_index.h:16
+    * `ef_search`, applied via setEf at hnswlib_index.cc:30): FLAT
+    * requests take the exact leg (effort is not a FLAT concept —
+    * rounds_used 0), HNSW requests carry a per-request `ef` that caps
+    * the beam descent's round budget
+    * ([[graft.operators.Ann.nswSearchEf]]). One plan, heterogeneous
+    * effort: the HNSW sub-batch runs a single gated loop at the
+    * batch's max budget, never a job per effort class.
+    *
+    * @param reqs (qid, qvec, index_type 'FLAT'|'HNSW', k, metric,
+    *             fop, fval, ef) — ef read only on the HNSW leg
+    */
+  def searchRoutedEf(s: SparkSession, dir: String, data: DataFrame,
+                     reqs: DataFrame, maxK: Int): DataFrame = {
+    val types = reqs.select(
+        when(col("index_type") === "FLAT", "FLAT").otherwise("HNSW").as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (types.isEmpty) {
+      import s.implicits._
+      return Seq.empty[(Long, Int, Long, Double, Long)]
+        .toDF("qid", "rk", "nn_id", "score", "rounds_used")
+    }
+    val legs = Seq.newBuilder[DataFrame]
+    if (types("FLAT"))
+      legs += searchRequests(data,
+        reqs.where(col("index_type") === "FLAT"), maxK)
+        .select(col("qid"), col("rk"), col("nn_id"), col("score"),
+          lit(0L).as("rounds_used"))
+    if (types("HNSW")) {
+      val h = reqs.where(col("index_type") =!= "FLAT")
+      legs += Ann.nswSearchEf(s, dir,
+          h.select(col("qid"), col("qvec"), col("ef")), k = maxK)
+        .join(broadcast(h.select(col("qid"), col("k"))), "qid")
+        .where(col("rk") <= col("k"))
+        .select(col("qid"), col("rk"), col("nn_id"), col("score"),
+          col("rounds_used"))
+    }
+    legs.result().reduce(_ unionByName _).orderBy("qid", "rk")
+  }
+
+  /** Heterogeneous-ef routed surface query: even qids FLAT (the
+    * usual metric/filter mix), odd qids HNSW with ef 16 (qid≡1 mod 4
+    * — one beam round) or 48 (qid≡3 mod 4 — the full three).
+    */
+  def searchRoutedEfQuery(s: SparkSession, dir: String): DataFrame = {
+    val data = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label"))
+    val reqs = Tables.embeddings(s, dir).where(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        when(col("vec_id") % 2 === 0, "FLAT").otherwise("HNSW")
+          .as("index_type"),
+        when(col("vec_id") % 3 === 0, 10L).otherwise(5L).as("k"),
+        when(col("vec_id") % 4 === 2, "IP").otherwise("L2").as("metric"),
+        when(col("vec_id") === 4, "=")
+          .when(col("vec_id") === 2, "!=")
+          .otherwise(lit(null).cast("string")).as("fop"),
+        lit(5L).as("fval"),
+        when(col("vec_id") % 4 === 1, 16L).otherwise(48L).as("ef"))
+    searchRoutedEf(s, dir, data, reqs, maxK = 10)
+  }
+
   /** Surface query: a deterministic mixed batch — metric cycles
     * L2/IP/L1 by qid mod 3 (every metric the API routes, r11 adds
     * L1), filter op cycles =/!=/none, k alternates 5/10 — mirroring

@@ -87,10 +87,37 @@ object CdcStream {
       case Some(p) => winners(p.unionByName(bw), key, version)
       case None => bw
     }
+    // skip-if-unchanged (the reference's own persistence TODO,
+    // doc/persistence.md "显式持久化时检查是否需要持久化"), in two
+    // independent layers:
+    //  1. STATE version: skipped only when the batch advances NO
+    //     winner (empty batch, or every row loses LWW to the retained
+    //     state) — then merged is byte-identical to prev. Version
+    //     churn with identical attrs DOES publish: the version
+    //     watermark is recovery metadata, and the next batch's diff
+    //     must report old_version from the true latest write (pinned
+    //     by CdcStreamSpec against the batch snapshotDiff).
+    //  2. DIFF directory: skipped whenever the VALUE-semantics diff
+    //     is empty — an absent feed dir is an empty change set to a
+    //     tailing consumer, so churn ships nothing, as the diff
+    //     contract promises.
+    // Both skips are idempotent under redelivery: same prev + same
+    // batch → the same (non-)advance and the same empty diff.
+    val advanced = prev match {
+      case Some(p) =>
+        !bw.join(p.select(col(key), col(version).as("_pv")), Seq(key), "left")
+          .where(col("_pv").isNull || col(version) > col("_pv"))
+          .isEmpty
+      case None => !bw.isEmpty
+    }
+    if (!advanced) return
+    val published = merged.localCheckpoint(true)
+    val prevState = prev.getOrElse(published.limit(0))
+    val diff = diffStates(prevState, published, key, version, op, attrs)
+      .localCheckpoint(true)
     val attempt = versions.filter(_._1 == batchId)
       .map(_._2).maxOption.getOrElse(-1L) + 1L
     val staging = Paths.get(stateRoot, s".staging-$batchId-$attempt")
-    val published = merged.localCheckpoint(true)
     published.write.mode("overwrite").parquet(staging.toString)
     Files.createDirectories(Paths.get(stateRoot))
     Files.move(staging, Paths.get(stateRoot, s"v=${batchId}_$attempt"),
@@ -98,10 +125,9 @@ object CdcStream {
     // emit this batch's change set; overwrite = a retry replaces its
     // own previous attempt's diff (computed from the same prev, so
     // content-identical — redelivery cannot double-ship a change)
-    val prevState = prev.getOrElse(published.limit(0))
-    diffStates(prevState, published, key, version, op, attrs)
-      .write.mode("overwrite")
-      .parquet(Paths.get(root, "diff", s"batch=$batchId").toString)
+    if (!diff.isEmpty)
+      diff.write.mode("overwrite")
+        .parquet(Paths.get(root, "diff", s"batch=$batchId").toString)
     val keep = StateSink.versionDirs(stateRoot).map(_._1)
       .distinct.sorted.takeRight(2).toSet
     StateSink.versionDirs(stateRoot).filterNot(v => keep(v._1))

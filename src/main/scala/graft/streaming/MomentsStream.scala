@@ -59,12 +59,17 @@ object MomentsStream {
     }
   }
 
-  /** Running moments dashboard over a stream of micro-unit values. */
+  /** Running moments dashboard over a stream of micro-unit values.
+    * Update mode, NOT Append: each micro-batch re-emits a REVISED row
+    * per key (the running-dashboard contract SrmStream uses), so an
+    * append-mode consumer would accumulate stale revisions — the
+    * sink must upsert on key, which is what Update declares.
+    */
   def track(s: SparkSession,
             values: Dataset[MicroValue]): Dataset[MomentsPoint] = {
     import s.implicits._
     values.groupByKey(_.event_type)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
   }
 }

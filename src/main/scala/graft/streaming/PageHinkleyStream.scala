@@ -36,9 +36,14 @@ object PageHinkleyStream {
     val out = rows.toSeq.sortBy(_.day).map { dRow =>
       val t = st.t + 1
       val cum = Math.addExact(st.cum, dRow.n)
-      // positive operands: Long / is truncation = floor = Spark div
-      val mq = (2L * cum * 1000000L + t) / (2L * t)
-      val dev = dRow.n * 1000000L - mq - DeltaMicro
+      // positive operands: Long / is truncation = floor = Spark div.
+      // multiplyExact throughout — the batch twin documents
+      // DECIMAL(38,0) as the headroom move; this twin must THROW at
+      // the same ceiling (cum ≈ 4.6e12), never wrap silently
+      val mq = Math.addExact(
+        Math.multiplyExact(Math.multiplyExact(2L, cum), 1000000L), t) /
+        (2L * t)
+      val dev = Math.multiplyExact(dRow.n, 1000000L) - mq - DeltaMicro
       val u = Math.addExact(st.u, dev)
       val minU = math.min(if (st.t == 0L) u else st.minU, u)
       st = PhState(t, cum, u, minU)

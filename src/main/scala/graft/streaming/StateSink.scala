@@ -84,6 +84,15 @@ object StateSink {
     */
   def update(s: SparkSession, root: String)(batch: DataFrame,
                                             batchId: Long): Unit = {
+    // skip-if-unchanged (the reference's own persistence TODO,
+    // doc/persistence.md): an empty micro-batch contributes no
+    // partial state, so the merged snapshot would be BYTE-IDENTICAL
+    // to the previous version — publishing it only churns version
+    // dirs and retention. Skipping is idempotent under redelivery
+    // (the retry sees the same empty batch and skips again) and
+    // cannot starve readers: versions exist exactly for the batches
+    // that changed the state.
+    if (batch.isEmpty) return
     val partial = WalReplay.partialState(batch)
     val versions = versionDirs(root)
     // merge only versions STRICTLY below this batchId: a re-delivered

@@ -513,6 +513,45 @@ class AnnSpec extends SparkSuite {
       "convergence round must be cap-independent")
   }
 
+  test("per-request ef: smaller ef never expands more nodes; budget " +
+    "run equals the fixed-round run at the same budget") {
+    def reqs(ef: Long) = Tables.embeddings(spark, sf)
+      .where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        lit(ef).as("ef"))
+    def visitedPerQ(ef: Long): Map[Long, Long] = {
+      val (_, visited) = Ann.nswTraverseEf(spark, sf, reqs(ef),
+        beam = 16, maxRounds = 3, graphK = 8)
+      visited.groupBy("qid").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // the reference's setEf contract: effort is monotone — per query,
+    // ef=16 (1 round) visits a PREFIX of ef=48's (3 rounds) walk
+    val lo = visitedPerQ(16L)
+    val hi = visitedPerQ(48L)
+    assert(lo.keySet == hi.keySet)
+    lo.foreach { case (qid, n) =>
+      assert(n <= hi(qid),
+        s"qid=$qid: ef=16 visited $n > ef=48's ${hi(qid)}")
+    }
+    assert(lo.values.sum < hi.values.sum,
+      "larger ef budget did not expand anything extra")
+    // a homogeneous ef=48 batch ≡ the plain 3-round nswSearch (the
+    // gate must be a pure budget, never a semantic change)
+    val viaEf = Ann.nswSearchEf(spark, sf, reqs(48L), k = 10)
+      .select("qid", "rk", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaFixed = Ann.nswSearch(spark, sf,
+        reqs(48L).select("qid", "qvec"), k = 10)
+      .select("qid", "rk", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaEf == viaFixed, "ef-gated run diverged from fixed-round run")
+    // and rounds_used is emitted as data: ⌈ef/beam⌉ capped at 3
+    val rounds = Ann.nswSearchEf(spark, sf, reqs(16L), k = 10)
+      .select("rounds_used").distinct().collect().map(_.getLong(0)).toSet
+    assert(rounds == Set(1L))
+  }
+
   test("nsw entry set is the coarse IVF descent: exactly the probed " +
     "cells' members, per-query work bounded by cell size not corpus") {
     val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)

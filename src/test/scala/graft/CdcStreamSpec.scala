@@ -44,7 +44,10 @@ class CdcStreamSpec extends SparkSuite {
     } finally q.stop()
 
     def emitted(batchId: Long): Set[String] =
-      spark.read.parquet(s"$root/diff/batch=$batchId")
+      // an empty-diff batch publishes NO directory (skip-if-unchanged)
+      // — absent feed dir ≡ empty change set to a tailing consumer
+      if (!new java.io.File(s"$root/diff/batch=$batchId").isDirectory) Set.empty
+      else spark.read.parquet(s"$root/diff/batch=$batchId")
         .select(diffCols.map(col): _*)
         .collect().map(_.toString).toSet
     def reference(v: Long): Set[String] =
@@ -66,6 +69,13 @@ class CdcStreamSpec extends SparkSuite {
         "re-assertion wave shipped spurious changes")
       else assert(emitted(v - 1).nonEmpty, s"wave $v shipped no changes")
     }
+
+    // skip-if-unchanged (the reference's persistence.md TODO): the
+    // churn wave advanced versions (so its state snapshot publishes —
+    // the watermark is recovery metadata) but shipped NO diff
+    // directory: an absent feed dir is an empty change set
+    assert(!new java.io.File(s"$root/diff/batch=2").exists,
+      "empty-diff wave still published a diff directory")
 
     // redelivery of the last wave (same batchId, foreachBatch's
     // failure contract): diff content identical, not doubled
@@ -89,5 +99,49 @@ class CdcStreamSpec extends SparkSuite {
     val lww = Upsert.deleteQuery(spark, sf)
       .collect().map(_.toString).toSet
     assert(visible == lww, "state visible slice != LWW query")
+  }
+
+  test("skip-if-unchanged: churn retry skips again, next diff unaffected") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "cdcskip")
+      .toString
+    def put(rows: Seq[CdcRow], id: Long): Unit =
+      CdcStream.update(spark, root, "id", "version", "op", Seq("label"))(
+        rows.toDF(), id)
+    def stateIds: Set[String] = {
+      val d = new java.io.File(s"$root/state")
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().map(_.getName).filter(_.startsWith("v=")).toSet
+    }
+    put(Seq(CdcRow(1L, Some(10L), 1L, "upsert"),
+      CdcRow(2L, Some(20L), 1L, "upsert")), 0L)
+    val afterAdd = stateIds
+    // a NO-ADVANCE batch (redelivered rows, no higher version): the
+    // merged state would be byte-identical — publish nothing at all
+    put(Seq(CdcRow(1L, Some(10L), 1L, "upsert")), 1L)
+    assert(stateIds == afterAdd, "no-advance batch published a version")
+    assert(!new java.io.File(s"$root/diff/batch=1").exists)
+    // pure version CHURN (same label, higher version): the version
+    // watermark moved → state publishes, but the value diff is empty
+    // → no feed dir; the retry reproduces both decisions
+    val churn = Seq(CdcRow(1L, Some(10L), 2L, "upsert"))
+    put(churn, 1L)
+    val afterChurn = stateIds
+    assert(afterChurn.exists(_.startsWith("v=1_")),
+      "churn batch must publish its version watermark")
+    assert(!new java.io.File(s"$root/diff/batch=1").exists,
+      "churn batch shipped a diff directory")
+    put(churn, 1L)
+    assert(!new java.io.File(s"$root/diff/batch=1").exists)
+    // a later real change diffs against the churn-updated state: the
+    // old_version it reports is the TRUE latest write (2, not 1)
+    put(Seq(CdcRow(1L, Some(11L), 3L, "upsert")), 2L)
+    val d2 = spark.read.parquet(s"$root/diff/batch=2")
+      .select("id", "change", "old_label", "new_label", "old_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(d2.toSeq == Seq((1L, "changed", 10L, 11L, 2L)))
   }
 }

@@ -69,6 +69,31 @@ class KnnSpec extends SparkSuite {
     assert(got.exists(t => t._1 == t._2))
   }
 
+  test("recency boost demotes stale matches on the NEGATIVE cosine half too") {
+    import spark.implicits._
+    // r11 advice: dividing a raw negative cosine by 2^bucket moved it
+    // TOWARD zero, so a stale anti-correlated match outranked a fresh
+    // one with the same raw score. Plant exactly that: one query, two
+    // corpus vectors with the same NEGATIVE cosine (−1/√2), one fresh
+    // (bucket 0) and one stale (bucket 2). Under the old formula the
+    // stale one won (−0.707/4 = −0.18 > −0.707); the fresh one must
+    // rank first.
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("qid", "qvec")
+    val corpus = Seq(
+      (10L, Array(-1.0f, 1.0f, 0.0f)),  // bucket 10 % 4 = 2 (stale)
+      (12L, Array(-1.0f, 1.0f, 0.0f))   // bucket 12 % 4 = 0 (fresh)
+    ).toDF("id", "vec")
+    val out = Knn.topKRecencyBoosted(corpus, q, 2, pmod(col("id"), lit(4L)))
+      .orderBy("rk").collect()
+    assert(out(0).getLong(2) == 12L,
+      s"fresh negative match must outrank stale equal: ${out.mkString(";")}")
+    // raw score round-trips through the boosted key: both cosine −1/√2
+    assert(out.forall(r => math.abs(r.getDouble(3) + 0.7071) < 1e-3))
+    // and the decay stays monotone: fresh boosted > stale boosted
+    assert(out(0).getDouble(4) > out(1).getDouble(4))
+  }
+
   test("excluding self drops only the self match") {
     val withSelf = Knn.topK(emb, qs, 3, Knn.Metric.Cosine)
     val noSelf = Knn.topKExcludingSelf(emb, qs, 3, Knn.Metric.Cosine)

@@ -33,9 +33,12 @@ class MomentsStreamSpec extends SparkSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[MicroValue]
+    // update mode — the operator declares Update (each batch REVISES
+    // the key's row); the memory sink records every revision and the
+    // max-n fold below picks the latest, mirroring an upserting sink
     val q = MomentsStream.track(spark, stream.toDS())
       .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+      .outputMode("update").start()
     try {
       waves.foreach { w => stream.addData(w); q.processAllAvailable() }
       spark.table(name).collect()

@@ -51,6 +51,34 @@ class SrmStreamSpec extends SparkSuite {
     assert(batchWant().nonEmpty)
   }
 
+  test("state stays KMV-bounded past K users and the estimate still screens") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // r11 advice: the exact seen-set grew with user cardinality. Feed
+    // 3·K distinct users through the raw update function: state must
+    // hold at most K hashes per arm, and the KMV estimate must land
+    // within 5% of the true per-arm count — still a usable SRM screen.
+    val n = SrmStream.K * 3
+    val state = TestGroupState.create[graft.streaming.SrmState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, org.apache.spark.api.java.Optional.empty(), hasTimedOut = false)
+    val rows = (0L until n.toLong).iterator.map(u => SrmEvent("view", u))
+    val out = SrmStream.update("view", rows, state).toSeq
+    val st = state.get
+    assert(st.minsA.length <= SrmStream.K && st.minsB.length <= SrmStream.K)
+    assert(out.length == 1)
+    val p = out.head
+    val truth = n / 2.0
+    assert(math.abs(p.n_a - truth) / truth < 0.05, s"n_a=${p.n_a} vs $truth")
+    assert(math.abs(p.n_b - truth) / truth < 0.05, s"n_b=${p.n_b} vs $truth")
+    // balanced arms: the guardrail must NOT fire on an estimate wobble
+    // this small (chi2 threshold 3.841 tolerates |nA-nB| ~ 2·√n here)
+    // — and a redelivered wave is a no-op on the k-min sets
+    val redelivered = SrmStream.update("view",
+      (0L until n.toLong).iterator.map(u => SrmEvent("view", u)), state).toSeq
+    assert(redelivered.head == p)
+  }
+
   test("micro-batching and full redelivery reach identical statistics") {
     val rows = eventRows()
     // waves + the ENTIRE stream redelivered once more: every user is

@@ -64,6 +64,23 @@ class StateSinkSpec extends SparkSuite {
       val refCounts = all.groupBy(_.user_id).view
         .mapValues(_.length.toLong).toMap
       assert(retried == refCounts, "retried batch was double-counted")
+
+      // skip-if-unchanged (the reference's persistence.md TODO): an
+      // EMPTY micro-batch publishes no version — the version count
+      // equals the non-empty batches, and the readable state is
+      // untouched
+      def versionNames: Set[String] =
+        new java.io.File(root).listFiles()
+          .map(_.getName).filter(_.startsWith("v=")).toSet
+      val beforeEmpty = versionNames
+      StateSink.update(spark, root)(
+        Seq.empty[WalEvent].toDF("event_id", "user_id", "ts", "value"), 2L)
+      assert(versionNames == beforeEmpty,
+        "empty batch still published a state version")
+      val afterEmpty = StateSink.readState(spark, root).get
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(afterEmpty == refCounts)
     } finally {
       q.stop()
       import scala.reflect.io.Directory
