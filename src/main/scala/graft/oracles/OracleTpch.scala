@@ -1,0 +1,1050 @@
+package graft
+
+/** Tpch-family oracle SQL — split verbatim from SparkEntry
+  * (r12, r11 verdict #7). The registry stays in SparkEntry;
+  * these maps are its DuckDB mirrors, byte-identical to the
+  * pre-split strings.
+  */
+private[graft] object OracleTpch {
+  import OracleCtes._
+
+  val sql: Map[String, String] = Map(
+    // supplier-revenue HHI per nation: Σc² and T² through HUGEINT
+    // (the Spark side's DECIMAL(38,0)), one double division
+    "supplier_hhi" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |           * 100) AS BIGINT)) AS BIGINT) AS c
+        |       FROM lineitem GROUP BY 1),
+        |bysup AS (SELECT n.n_name, rev.c
+        |          FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |          JOIN nation n ON s.s_nationkey = n.n_nationkey)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |       CAST(sum(c) AS BIGINT) AS total_cents,
+        |       round(CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+        |         / CAST(CAST(sum(c) AS HUGEINT) * sum(c) AS DOUBLE), 6)
+        |         AS hhi
+        |FROM bysup GROUP BY 1 ORDER BY n_name""".stripMargin,
+    // Flesch reading ease: RE2-class regex counts, double literals
+    // cohort LTV triangle: exact-cents cells, cumulative window over
+    // each cohort's months-span frame
+    "customer_cohort_ltv" ->
+      """WITH fe AS (SELECT user_id,
+        |        CAST(min(date_diff('day', DATE '1970-01-01',
+        |          CAST(ts AS DATE)) // 7) AS BIGINT) AS cohort
+        |      FROM events GROUP BY 1),
+        |sp AS (SELECT e.user_id,
+        |        CAST(date_diff('day', DATE '1970-01-01',
+        |          CAST(e.ts AS DATE)) // 7 AS BIGINT) AS m,
+        |        CAST(round(e.value * 100) AS BIGINT) AS cents
+        |       FROM events e WHERE e.event_type = 'purchase'),
+        |cell AS (SELECT fe.cohort, sp.m - fe.cohort AS k,
+        |        CAST(sum(sp.cents) AS BIGINT) AS sc,
+        |        CAST(count(*) AS BIGINT) AS n_purchases
+        |       FROM sp JOIN fe ON sp.user_id = fe.user_id
+        |       GROUP BY 1, 2),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        |       FROM fe GROUP BY 1),
+        |cm AS (SELECT cell.cohort, cell.k, sz.n_users,
+        |        cell.n_purchases, cell.sc,
+        |        CAST(sum(cell.sc) OVER (PARTITION BY cell.cohort
+        |          ORDER BY cell.k) AS BIGINT) AS cum
+        |       FROM cell JOIN sz USING (cohort))
+        |SELECT cohort, k, n_users, n_purchases,
+        |  round(CAST(sc AS DOUBLE) / n_users / 100.0, 4) AS avg_spend,
+        |  round(CAST(cum AS DOUBLE) / n_users / 100.0, 4) AS cum_ltv
+        |FROM cm ORDER BY cohort, k""".stripMargin,
+    // ABC classification: exact-cents revenue, one global window in
+    // the mirror (the Spark side decomposes two-level), integer cuts
+    // ABC classification: exact-cents revenue, one global window in
+    // the mirror (the Spark side decomposes two-level), integer cuts
+    "part_abc_analysis" ->
+      """WITH rev AS (SELECT l_partkey AS partkey,
+        |        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |          * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM lineitem GROUP BY 1 HAVING cents > 0),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+        |c AS (SELECT partkey, cents,
+        |        CAST(sum(cents) OVER (ORDER BY cents DESC, partkey)
+        |          AS BIGINT) AS cum
+        |      FROM rev),
+        |k AS (SELECT c.cents,
+        |        CASE WHEN c.cum * 5 <= t.total * 4 THEN 'A'
+        |             WHEN c.cum * 20 <= t.total * 19 THEN 'B'
+        |             ELSE 'C' END AS abc,
+        |        t.total
+        |       FROM c, t)
+        |SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue,
+        |  round(CAST(sum(cents) AS DOUBLE) / CAST(max(total) AS DOUBLE),
+        |    4) AS rev_share
+        |FROM k GROUP BY 1 ORDER BY abc""".stripMargin,
+    // absence alert: trailing zero-run vs longest internal silence,
+    // gaps-and-islands over the dense grid
+    // sourcing breadth: supplier-count buckets, revenue share per
+    "part_sourcing_risk" ->
+      """WITH per AS (SELECT l_partkey,
+        |        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ns,
+        |        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |          * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per),
+        |bk AS (SELECT CASE WHEN ns < 20 THEN '1_thin'
+        |              WHEN ns < 30 THEN '2_moderate'
+        |              ELSE '3_broad' END AS bucket, cents
+        |       FROM per)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_parts,
+        |       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue,
+        |       round(CAST(sum(cents) AS DOUBLE)
+        |         / CAST(max(t.total) AS DOUBLE), 4) AS rev_share
+        |FROM bk CROSS JOIN t GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // ABC migration: per-period classes via the same cum/total cuts,
+    // full-outer on partkey, '-' for one-period parts
+    // ABC migration: per-period classes via the same cum/total cuts,
+    // full-outer on partkey, '-' for one-period parts
+    "part_abc_migration" ->
+      """WITH li AS (SELECT l.l_partkey AS partkey,
+        |             CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |               * 100) AS BIGINT) AS cents,
+        |             date_diff('day', DATE '1970-01-01',
+        |               CAST(o.o_orderdate AS DATE)) AS d
+        |           FROM lineitem l JOIN orders o
+        |             ON l.l_orderkey = o.o_orderkey),
+        |b AS (SELECT (min(d) + max(d)) // 2 AS mid FROM li),
+        |r0 AS (SELECT partkey, CAST(sum(cents) AS BIGINT) AS cents
+        |       FROM li CROSS JOIN b WHERE d < mid GROUP BY 1
+        |       HAVING sum(cents) > 0),
+        |t0 AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM r0),
+        |c0 AS (SELECT partkey, CAST(sum(cents) OVER (ORDER BY cents
+        |         DESC, partkey) AS BIGINT) AS cum FROM r0),
+        |k0 AS (SELECT c0.partkey,
+        |         CASE WHEN c0.cum * 5 <= t0.total * 4 THEN 'A'
+        |              WHEN c0.cum * 20 <= t0.total * 19 THEN 'B'
+        |              ELSE 'C' END AS a0
+        |       FROM c0, t0),
+        |r1 AS (SELECT partkey, CAST(sum(cents) AS BIGINT) AS cents
+        |       FROM li CROSS JOIN b WHERE d >= mid GROUP BY 1
+        |       HAVING sum(cents) > 0),
+        |t1 AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM r1),
+        |c1 AS (SELECT partkey, CAST(sum(cents) OVER (ORDER BY cents
+        |         DESC, partkey) AS BIGINT) AS cum FROM r1),
+        |k1 AS (SELECT c1.partkey,
+        |         CASE WHEN c1.cum * 5 <= t1.total * 4 THEN 'A'
+        |              WHEN c1.cum * 20 <= t1.total * 19 THEN 'B'
+        |              ELSE 'C' END AS a1
+        |       FROM c1, t1)
+        |SELECT coalesce(k0.a0, '-') AS class_from,
+        |       coalesce(k1.a1, '-') AS class_to,
+        |       CAST(count(*) AS BIGINT) AS n_parts
+        |FROM k0 FULL OUTER JOIN k1 ON k0.partkey = k1.partkey
+        |GROUP BY 1, 2 ORDER BY class_from, class_to""".stripMargin,
+    // open-order backlog: dense day grid, two global cumsums in the
+    // mirror (the Spark side decomposes them two-level)
+    // open-order backlog: dense day grid, two global cumsums in the
+    // mirror (the Spark side decomposes them two-level)
+    "orders_backlog" ->
+      """WITH p AS (SELECT date_diff('day', DATE '1970-01-01',
+        |          CAST(o_orderdate AS DATE)) AS d,
+        |        CAST(count(*) AS BIGINT) AS np
+        |      FROM orders GROUP BY 1),
+        |sh AS (SELECT date_diff('day', DATE '1970-01-01', sd) AS d,
+        |        CAST(count(*) AS BIGINT) AS ns
+        |       FROM (SELECT l_orderkey,
+        |               max(CAST(l_shipdate AS DATE)) AS sd
+        |             FROM lineitem GROUP BY 1) GROUP BY 1),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM
+        |      (SELECT d FROM p UNION ALL SELECT d FROM sh)),
+        |g AS (SELECT unnest(range(b.lo, b.hi + 1)) AS d FROM b),
+        |dd AS (SELECT g.d, coalesce(p.np, 0) AS np,
+        |        coalesce(sh.ns, 0) AS ns
+        |       FROM g LEFT JOIN p ON g.d = p.d
+        |       LEFT JOIN sh ON g.d = sh.d)
+        |SELECT d AS day, np AS n_placed, ns AS n_shipped,
+        |  CAST(sum(np) OVER (ORDER BY d)
+        |    - sum(ns) OVER (ORDER BY d) AS BIGINT) AS backlog
+        |FROM dd ORDER BY day""".stripMargin,
+    // sample-size calculator from exact cents moments; z constants
+    // as DOUBLE on both engines, ceil of bit-identical doubles
+    // revenue bridge: part-grain vol = r0·Δq/q0 micro-cents via
+    // truncating div, price+mix = exact remainder; brand rollups are
+    // integer sums
+    "orders_revenue_bridge" ->
+      """WITH li AS (SELECT l.l_partkey,
+        |             CAST(l.l_quantity AS BIGINT) AS qty,
+        |             CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |               * 100) AS BIGINT) AS cents,
+        |             date_diff('day', DATE '1970-01-01',
+        |               CAST(o.o_orderdate AS DATE)) AS d
+        |           FROM lineitem l JOIN orders o
+        |             ON l.l_orderkey = o.o_orderkey),
+        |b AS (SELECT (min(d) + max(d)) // 2 AS mid FROM li),
+        |per AS (SELECT l_partkey,
+        |          CAST(sum(CASE WHEN d < mid THEN qty ELSE 0 END)
+        |            AS BIGINT) AS q0,
+        |          CAST(sum(CASE WHEN d >= mid THEN qty ELSE 0 END)
+        |            AS BIGINT) AS q1,
+        |          CAST(sum(CASE WHEN d < mid THEN cents ELSE 0 END)
+        |            AS BIGINT) AS r0,
+        |          CAST(sum(CASE WHEN d >= mid THEN cents ELSE 0 END)
+        |            AS BIGINT) AS r1
+        |        FROM li CROSS JOIN b GROUP BY 1),
+        |eff AS (SELECT l_partkey, r0, r1,
+        |          CASE WHEN q0 > 0
+        |            THEN CAST((CAST(r0 AS HUGEINT) * (q1 - q0)
+        |              * 1000000) // q0 AS BIGINT)
+        |            ELSE 0 END AS vol_micro
+        |        FROM per),
+        |ef2 AS (SELECT l_partkey, r0, r1, vol_micro,
+        |          (r1 - r0) * 1000000 - vol_micro AS pm_micro
+        |        FROM eff)
+        |SELECT p.p_brand,
+        |       round(CAST(sum(e.r1 - e.r0) AS DOUBLE) / 100.0, 2)
+        |         AS delta_rev,
+        |       round(CAST(sum(e.vol_micro) AS DOUBLE) / 1e8, 2)
+        |         AS volume_effect,
+        |       round(CAST(sum(e.pm_micro) AS DOUBLE) / 1e8, 2)
+        |         AS price_mix_effect
+        |FROM ef2 e JOIN part p ON e.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY p.p_brand""".stripMargin,
+    // order-1 vs order-2 Markov: same calendar split, accuracy ON
+    // covered contexts + coverage reported separately
+    // Beta(20,80) pseudo-count shrinkage: one exact-integer division
+    "supplier_return_shrinkage" ->
+      """WITH g AS (SELECT l_suppkey AS s_suppkey,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1
+        |               ELSE 0 END) AS BIGINT) AS returned
+        |           FROM lineitem GROUP BY 1)
+        |SELECT s_suppkey, n, returned,
+        |       round(CAST(returned AS DOUBLE) / n, 6) AS raw_rate,
+        |       round(CAST(returned + 20 AS DOUBLE) / (n + 100), 6)
+        |         AS shrunk_rate
+        |FROM g ORDER BY shrunk_rate DESC, s_suppkey LIMIT 20""".stripMargin,
+    // 12*q_month/q_annual per brand: exact integer quantities
+    // 12*q_month/q_annual per brand: exact integer quantities
+    "part_seasonal_index" ->
+      """WITH g AS (SELECT p.p_brand,
+        |        CAST(month(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS m,
+        |        CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+        |          AS qty
+        |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |      GROUP BY 1, 2),
+        |t AS (SELECT p_brand, CAST(sum(qty) AS BIGINT) AS q_total
+        |      FROM g GROUP BY 1)
+        |SELECT g.p_brand, g.m, g.qty,
+        |       round(CAST(g.qty AS DOUBLE) * 12.0
+        |         / CAST(t.q_total AS DOUBLE), 4) AS seasonal_index
+        |FROM g JOIN t ON g.p_brand = t.p_brand
+        |ORDER BY g.p_brand, g.m""".stripMargin,
+    // rolling distinct actives: each (user, day) covers window-ends
+    // [day, min(day+W-1, next-1)] (clipped at the user's next
+    // activity so overlaps never double-count); rolling distinct =
+    // covering-interval count via the ±1 sweep
+    // discrete KM hazard: span div 90 via floor division on both
+    // engines (a double / + CAST would truncate vs round-half-even);
+    // survival products deliberately not emitted (float fold order)
+    "customer_churn_hazard" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+        |        date_diff('day', DATE '1970-01-01',
+        |          CAST(o_orderdate AS DATE)) AS d
+        |      FROM orders),
+        |h AS (SELECT max(d) AS hz FROM o),
+        |per AS (SELECT (max(d) - min(d)) // 90 AS iv,
+        |          CASE WHEN h.hz - max(d) > 90 THEN 1 ELSE 0 END
+        |            AS churned
+        |        FROM o, h GROUP BY cust, h.hz),
+        |b AS (SELECT iv, CAST(count(*) AS BIGINT) AS leaving,
+        |        CAST(sum(churned) AS BIGINT) AS d_churn
+        |      FROM per GROUP BY 1),
+        |r AS (SELECT iv, leaving, d_churn,
+        |        CAST(sum(leaving) OVER (ORDER BY iv DESC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |      FROM b)
+        |SELECT iv, n_risk, d_churn,
+        |       round(CAST(d_churn AS DOUBLE) / CAST(n_risk AS DOUBLE), 6)
+        |         AS hazard
+        |FROM r ORDER BY iv""".stripMargin,
+    // CUPED: θ from pooled exact moments; every reported statistic
+    // closes over integer moments (Y_adj is affine in x, y — no
+    // per-user float aggregate anywhere)
+    // 2-D Pareto frontier: the NOT EXISTS dominance definition — the
+    // Spark side's banded order-statistics formulation must agree
+    // with the quadratic ground truth exactly
+    "part_pareto" ->
+      """SELECT p.p_partkey, p.p_retailprice,
+        |       CAST(p.p_size AS BIGINT) AS p_size
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |         OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
+    // triplets: positives = the verified near-dup pairs (both
+    // orientations); negative = arg-min md5(anchor|cand) over the
+    // anchor's md5-batch mates, minus itself and its direct pairs —
+    // every choice a pure function of ids, like the Spark side
+    // interarrival gaps per segment: lag over per-customer date
+    // order, exact interpolated percentiles
+    "orders_interarrival" ->
+      """WITH o AS (SELECT o_custkey AS cust, o_orderkey,
+        |        date_diff('day', DATE '1970-01-01',
+        |          CAST(o_orderdate AS DATE)) AS d
+        |      FROM orders),
+        |g AS (SELECT cust,
+        |        d - lag(d) OVER (PARTITION BY cust
+        |                         ORDER BY d, o_orderkey) AS gap
+        |      FROM o),
+        |j AS (SELECT c.c_mktsegment, g.gap
+        |      FROM g JOIN customer c ON g.cust = c.c_custkey
+        |      WHERE g.gap IS NOT NULL)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       round(avg(gap), 4) AS mean_days,
+        |       round(quantile_cont(gap, 0.5), 4) AS p50_days,
+        |       round(quantile_cont(gap, 0.95), 4) AS p95_days
+        |FROM j GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    // chi-square independence: per-cell terms micro-quantized to
+    // BIGINT before the cross-cell sum (events_anova discipline)
+    // chi-square independence: per-cell terms micro-quantized to
+    // BIGINT before the cross-cell sum (events_anova discipline)
+    "priority_returns_chi2" ->
+      """WITH cells AS (SELECT o.o_orderpriority, l.l_returnflag,
+        |         CAST(count(*) AS BIGINT) AS o
+        |       FROM lineitem l
+        |       JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |       GROUP BY 1, 2),
+        |rt AS (SELECT o_orderpriority, CAST(sum(o) AS BIGINT) AS rt
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |tm AS (SELECT cells.o,
+        |         CAST(rt.rt AS DOUBLE) * ct.ct / tt.n AS e,
+        |         cells.o_orderpriority, cells.l_returnflag
+        |       FROM cells JOIN rt USING (o_orderpriority)
+        |       JOIN ct USING (l_returnflag) CROSS JOIN tt),
+        |q AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |        CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nr,
+        |        CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nc,
+        |        CAST(sum(CAST(round((o - e) * (o - e) / e * 1000000)
+        |          AS BIGINT)) AS BIGINT) AS st
+        |      FROM tm)
+        |SELECT n_cells, (nr - 1) * (nc - 1) AS dof,
+        |       round(CAST(st AS DOUBLE) / 1000000.0, 4) AS chi2
+        |FROM q""".stripMargin,
+    // XYZ classification: exact integer monthly-demand moments,
+    // HUGEINT variance numerator, class cuts on the UNROUNDED CV
+    // XYZ classification: exact integer monthly-demand moments,
+    // HUGEINT variance numerator, class cuts on the UNROUNDED CV
+    "part_xyz_class" ->
+      """WITH mo AS (SELECT l_partkey AS part,
+        |         CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+        |           AS BIGINT) AS mx,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |       FROM lineitem GROUP BY 1, 2),
+        |g AS (SELECT part, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(q) AS BIGINT) AS sx,
+        |        sum(CAST(q AS HUGEINT) * q) AS qx
+        |      FROM mo GROUP BY 1),
+        |c AS (SELECT part, n, sx,
+        |        sqrt(CAST(n * qx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |          / CAST(n * (n - 1) AS DOUBLE))
+        |          / (CAST(sx AS DOUBLE) / n) AS cv
+        |      FROM g)
+        |SELECT part, n AS n_months,
+        |       round(CAST(sx AS DOUBLE) / n, 4) AS mean_qty,
+        |       CASE WHEN n < 2 THEN NULL ELSE round(cv, 4) END AS cv,
+        |       CASE WHEN n < 2 THEN 'Z' WHEN cv < 0.5 THEN 'X'
+        |            WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+        |FROM c ORDER BY part""".stripMargin,
+    // ABC×XYZ: the two classifiers' cuts joined on partkey
+    // ABC×XYZ: the two classifiers' cuts joined on partkey
+    "part_abc_xyz_matrix" ->
+      """WITH rev AS (SELECT l_partkey AS partkey,
+        |        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |          * 100) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM lineitem GROUP BY 1 HAVING cents > 0),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+        |cu AS (SELECT partkey, cents,
+        |         CAST(sum(cents) OVER (ORDER BY cents DESC, partkey)
+        |           AS BIGINT) AS cum
+        |       FROM rev),
+        |k AS (SELECT cu.partkey, cu.cents,
+        |        CASE WHEN cu.cum * 5 <= t.total * 4 THEN 'A'
+        |             WHEN cu.cum * 20 <= t.total * 19 THEN 'B'
+        |             ELSE 'C' END AS abc
+        |      FROM cu, t),
+        |mo AS (SELECT l_partkey AS part,
+        |         CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+        |           AS BIGINT) AS mx,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |       FROM lineitem GROUP BY 1, 2),
+        |g AS (SELECT part, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(q) AS BIGINT) AS sx,
+        |        sum(CAST(q AS HUGEINT) * q) AS qx
+        |      FROM mo GROUP BY 1),
+        |cx AS (SELECT part, n,
+        |        sqrt(CAST(n * qx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |          / CAST(n * (n - 1) AS DOUBLE))
+        |          / (CAST(sx AS DOUBLE) / n) AS cv
+        |      FROM g),
+        |x AS (SELECT part,
+        |        CASE WHEN n < 2 THEN 'Z' WHEN cv < 0.5 THEN 'X'
+        |             WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+        |      FROM cx)
+        |SELECT k.abc, x.xyz, CAST(count(*) AS BIGINT) AS n_parts,
+        |       round(CAST(sum(k.cents) AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM k JOIN x ON k.partkey = x.part
+        |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin,
+    // log-log elasticity: zipf-style micro-quantized ln moments,
+    // DOUBLE numerators from HUGEINT-exact integers
+    // log-log elasticity: zipf-style micro-quantized ln moments,
+    // DOUBLE numerators from HUGEINT-exact integers
+    "part_price_elasticity" ->
+      """WITH li AS (SELECT l_partkey,
+        |         CAST(round(ln(l_extendedprice / l_quantity) * 1000000)
+        |           AS BIGINT) AS x,
+        |         CAST(round(ln(l_quantity) * 1000000) AS BIGINT) AS y
+        |       FROM lineitem),
+        |g AS (SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM li JOIN part p ON li.l_partkey = p.p_partkey
+        |      GROUP BY 1)
+        |SELECT p_brand, n AS n_obs,
+        |       round(CAST(CAST(n AS HUGEINT) * sxy
+        |           - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |         / CAST(CAST(n AS HUGEINT) * sxx
+        |           - CAST(sx AS HUGEINT) * sx AS DOUBLE), 4) AS elasticity
+        |FROM g WHERE n >= 30
+        |  AND CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0
+        |ORDER BY p_brand""".stripMargin,
+    // Gini of customer spend: the two-level banded rank decomposition
+    // is exact, so the mirror collapses to the textbook one-window
+    // form; rank-weighted products through HUGEINT
+    // Gini of customer spend: the two-level banded rank decomposition
+    // is exact, so the mirror collapses to the textbook one-window
+    // form; rank-weighted products through HUGEINT
+    "customer_gini" ->
+      """WITH sp AS (SELECT o_custkey AS cust,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS c
+        |       FROM orders GROUP BY 1),
+        |r AS (SELECT c, cust,
+        |        CAST(row_number() OVER (ORDER BY c, cust) AS BIGINT) AS i
+        |      FROM sp),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(c) AS BIGINT) AS tot,
+        |        sum(CAST(i AS HUGEINT) * c) AS sixx
+        |      FROM r)
+        |SELECT n AS n_customers, tot AS total_cents,
+        |       round(CAST(2 * sixx - (n + 1) * CAST(tot AS HUGEINT)
+        |           AS DOUBLE)
+        |         / CAST(CAST(n AS HUGEINT) * tot AS DOUBLE), 6) AS gini
+        |FROM a""".stripMargin,
+    // one-way ANOVA F: per-type s²/n micro-quantized to BIGINT
+    // before the cross-type sum (order-free), 1-row scalar fold
+    "q4_semi" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    // the Bloom prefilter has no false negatives and the join removes
+    // its false positives, so the oracle is the PLAIN join — result
+    // equality proves the prefilter is a pure pruning step
+    // deterministic textbook bloom (bit_j = md5_60(j|key) mod m),
+    // measured FPR on disjoint probes vs (1-(1-1/m)^kn)^k
+    // the Bloom prefilter has no false negatives and the join removes
+    // its false positives, so the oracle is the PLAIN join — result
+    // equality proves the prefilter is a pure pruning step
+    // deterministic textbook bloom (bit_j = md5_60(j|key) mod m),
+    // measured FPR on disjoint probes vs (1-(1-1/m)^kn)^k
+    "bloom_fpr_report" ->
+      """WITH mem AS (SELECT c_custkey AS key FROM customer),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mem),
+        |js AS (SELECT unnest(range(0, 6)) AS j),
+        |ks AS (SELECT unnest(range(1, 7)) AS k),
+        |bits AS (SELECT DISTINCT js.j,
+        |           CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || '|'
+        |             || CAST(mem.key AS VARCHAR)), 1, 15) AS BIGINT)
+        |             % 16384 AS bit
+        |         FROM mem CROSS JOIN js),
+        |bk AS (SELECT DISTINCT ks.k, bits.bit
+        |       FROM ks JOIN bits ON bits.j < ks.k),
+        |sb AS (SELECT k, CAST(count(*) AS BIGINT) AS n_bits_set
+        |       FROM bk GROUP BY 1),
+        |pr0 AS (SELECT key + 10000000 AS key FROM mem),
+        |pb AS (SELECT ks.k, p.key, js.j,
+        |         CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || '|'
+        |           || CAST(p.key AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % 16384 AS bit
+        |       FROM pr0 p CROSS JOIN js JOIN ks ON js.j < ks.k),
+        |hit AS (SELECT pb.k, pb.key FROM pb
+        |        JOIN bk ON bk.k = pb.k AND bk.bit = pb.bit
+        |        GROUP BY pb.k, pb.key HAVING count(*) = pb.k),
+        |fp AS (SELECT k, CAST(count(*) AS BIGINT) AS fp_hits
+        |       FROM hit GROUP BY 1)
+        |SELECT ks.k AS k, nb.n AS n_keys,
+        |       CAST(coalesce(sb.n_bits_set, 0) AS BIGINT) AS n_bits_set,
+        |       CAST(coalesce(fp.fp_hits, 0) AS BIGINT) AS fp_hits,
+        |       round(CAST(coalesce(fp.fp_hits, 0) AS DOUBLE) / nb.n, 4)
+        |         AS measured_fpr,
+        |       round(power(1 - power(CAST(1 AS DOUBLE)
+        |           - CAST(1 AS DOUBLE) / 16384, ks.k * nb.n), ks.k), 4)
+        |         AS theory_fpr
+        |FROM ks LEFT JOIN sb ON ks.k = sb.k
+        |LEFT JOIN fp ON ks.k = fp.k CROSS JOIN nb
+        |ORDER BY k""".stripMargin,
+    "bloom_prefilter_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """WITH mkt AS (SELECT c_custkey FROM customer
+        |             JOIN nation ON c_nationkey = n_nationkey
+        |             JOIN region ON n_regionkey = r_regionkey
+        |             WHERE r_name = 'ASIA')
+        |SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       round(sum(CASE WHEN n_name = 'NATION_3'
+        |                      THEN l_extendedprice * (1 - l_discount)
+        |                      ELSE 0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 4)
+        |         AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_custkey IN (SELECT c_custkey FROM mkt)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gap fill: dense type×calendar grid built FROM the data bounds
+    // (unnest(range(lo, hi+1)) — an expression, so column args are
+    // fine where generate_series's table function rejects laterals;
+    // a fixed literal window would silently truncate if the driver
+    // regenerated events outside it), zero-filled counts, 7-day
+    // trailing mean
+    // over the FILLED series (≤7-int sum/count — exact both engines)
+    // per-user feature table on the dense calendar: all-integer
+    // lag/rolling/recency features
+    "q13_order_dist" ->
+      """WITH pc AS (SELECT c_custkey,
+        |              CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |            FROM customer
+        |            LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |            GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q15 shape: revenue view + argmax row(s); revenue rounded to 2dp
+    // BEFORE the max/equality on both sides so argmax ties are decided
+    // on printed cents, not last-ulp sum noise
+    // Q15 shape: revenue view + argmax row(s); revenue rounded to 2dp
+    // BEFORE the max/equality on both sides so argmax ties are decided
+    // on printed cents, not last-ulp sum noise
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |               round(sum(l_extendedprice * (1 - l_discount)), 2)
+        |                 AS total_revenue
+        |             FROM lineitem
+        |             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |               AND l_shipdate < TIMESTAMP '1996-04-01'
+        |             GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    // Q17 shape: correlated scalar subquery (DuckDB decorrelates it
+    // the same way the Spark side does by hand)
+    // Q17 shape: correlated scalar subquery (DuckDB decorrelates it
+    // the same way the Spark side does by hand)
+    "q17_small_qty" ->
+      """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#3' AND p.p_size <= 25
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    // weekly cohort retention: Monday-truncated weeks on both engines,
+    // weeks_since is exact integer day arithmetic
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |             FROM lineitem GROUP BY 1
+        |             HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       round(total_qty, 2) AS total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    // Q16 shape: lineitem as the part↔supplier relation, acctbal<0 as
+    // the complaint filter; distinct-count + NOT IN anti-join
+    // Q9 shape: profit = net revenue minus a 20%-discounted retail
+    // unit cost (driver schema has no partsupp)
+    // Q16 shape: lineitem as the part↔supplier relation, acctbal<0 as
+    // the complaint filter; distinct-count + NOT IN anti-join
+    // Q9 shape: profit = net revenue minus a 20%-discounted retail
+    // unit cost (driver schema has no partsupp)
+    "q9_profit" ->
+      """SELECT n.n_name AS nation,
+        |       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)
+        |                 - 0.8 * p.p_retailprice * l.l_quantity), 2)
+        |         AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE p.p_name LIKE '%widget%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    // Q11 shape: per-part value vs 1.5× the global mean (scalar
+    // threshold from the same aggregate, not a second scan)
+    // Q11 shape: per-part value vs 1.5× the global mean (scalar
+    // threshold from the same aggregate, not a second scan)
+    "q11_important_parts" ->
+      """WITH pv AS (SELECT l_partkey AS p_partkey,
+        |                   sum(l_extendedprice) AS value
+        |            FROM lineitem GROUP BY 1),
+        |t AS (SELECT avg(value) AS mv FROM pv)
+        |SELECT p_partkey, round(value, 2) AS value
+        |FROM pv, t WHERE value > mv * 1.5
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    // Q12 shape: late shipments (> 60 days after order) split into
+    // critical vs other priorities per line status
+    // Q12 shape: late shipments (> 60 days after order) split into
+    // critical vs other priorities per line status
+    "q12_late_priority" ->
+      """SELECT l.l_linestatus,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // market-basket pairs over customer baskets: frequent items
+    // first (apriori prune), in-basket equi-join pair expansion,
+    // lift/confidence from exact integer counts
+    // item-item CF: basket-cosine n_both/sqrt(na*nb) from exact
+    // counts, top-3 per part ranked on the 4dp-rounded score
+    // market-basket pairs over customer baskets: frequent items
+    // first (apriori prune), in-basket equi-join pair expansion,
+    // lift/confidence from exact integer counts
+    // item-item CF: basket-cosine n_both/sqrt(na*nb) from exact
+    // counts, top-3 per part ranked on the 4dp-rounded score
+    "part_item_cf" ->
+      """WITH baskets AS (SELECT DISTINCT o.o_custkey AS cust,
+        |                   l.l_partkey AS part
+        |                 FROM lineitem l
+        |                 JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |sup AS (SELECT part, CAST(count(*) AS BIGINT) AS n
+        |        FROM baskets GROUP BY 1),
+        |freq AS (SELECT part, n FROM sup WHERE n >= 20),
+        |fb0 AS (SELECT b.cust, b.part,
+        |          row_number() OVER (PARTITION BY b.cust
+        |                             ORDER BY f.n DESC, b.part) AS crk
+        |        FROM baskets b JOIN freq f USING (part)),
+        |fb AS (SELECT cust, part FROM fb0 WHERE crk <= 64),
+        |pr AS (SELECT a.part AS part_a, b.part AS part_b,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |       FROM fb a JOIN fb b ON a.cust = b.cust AND a.part < b.part
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sym AS (SELECT part_a AS part, part_b AS nbr, n_both FROM pr
+        |        UNION ALL SELECT part_b, part_a, n_both FROM pr),
+        |sc AS (SELECT sym.part, sym.nbr, sym.n_both,
+        |         round(CAST(sym.n_both AS DOUBLE)
+        |           / sqrt(CAST(sa.n AS DOUBLE) * sb.n), 4) AS score
+        |       FROM sym JOIN sup sa ON sym.part = sa.part
+        |       JOIN sup sb ON sym.nbr = sb.part),
+        |rk AS (SELECT part, nbr, n_both, score,
+        |         row_number() OVER (PARTITION BY part
+        |                            ORDER BY score DESC, nbr) AS rk
+        |       FROM sc)
+        |SELECT part, rk, nbr, n_both, score FROM rk WHERE rk <= 3
+        |ORDER BY part, rk""".stripMargin,
+    // per-part OLS slope from five exact integer moments, top-20
+    // movers ranked on the unrounded slope with part tiebreak
+    // per-part OLS slope from five exact integer moments, top-20
+    // movers ranked on the unrounded slope with part tiebreak
+    "part_trend_slope" ->
+      """WITH li AS (SELECT l_partkey AS part,
+        |              CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1
+        |                AS BIGINT) AS mx,
+        |              CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |                AS BIGINT) AS cents
+        |            FROM lineitem),
+        |mo AS (SELECT part, mx, CAST(sum(cents) AS BIGINT) AS y
+        |       FROM li GROUP BY 1, 2),
+        |ag AS (SELECT part, CAST(count(*) AS BIGINT) AS nm,
+        |         CAST(sum(mx) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(mx * y) AS BIGINT) AS sxy,
+        |         CAST(sum(mx * mx) AS BIGINT) AS sxx
+        |       FROM mo GROUP BY 1 HAVING count(*) >= 6),
+        |sc AS (SELECT part, nm, sy,
+        |         CAST(nm * sxy - sx * sy AS DOUBLE)
+        |           / CAST(nm * sxx - sx * sx AS DOUBLE) AS sl
+        |       FROM ag),
+        |top AS (SELECT * FROM sc ORDER BY sl DESC, part LIMIT 20)
+        |SELECT part, nm AS n_months,
+        |       round(CAST(sy AS DOUBLE) / nm / 100, 4) AS mean_rev,
+        |       round(sl / 100, 4) AS slope
+        |FROM top ORDER BY slope DESC, part""".stripMargin,
+    "basket_pairs" ->
+      """WITH baskets AS (SELECT DISTINCT o.o_custkey AS cust,
+        |                   l.l_partkey AS part
+        |                 FROM lineitem l
+        |                 JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |nb AS (SELECT CAST(count(DISTINCT cust) AS BIGINT) AS nb
+        |       FROM baskets),
+        |sup AS (SELECT part, CAST(count(*) AS BIGINT) AS n
+        |        FROM baskets GROUP BY 1),
+        |freq AS (SELECT part, n FROM sup WHERE n >= 20),
+        |fb0 AS (SELECT b.cust, b.part,
+        |          row_number() OVER (PARTITION BY b.cust
+        |                             ORDER BY f.n DESC, b.part) AS crk
+        |        FROM baskets b JOIN freq f USING (part)),
+        |fb AS (SELECT cust, part FROM fb0 WHERE crk <= 64),
+        |pr AS (SELECT a.part AS part_a, b.part AS part_b,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |       FROM fb a JOIN fb b ON a.cust = b.cust AND a.part < b.part
+        |       GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT pr.part_a, pr.part_b, pr.n_both,
+        |       round(pr.n_both * 1.0 * nb.nb / (sa.n * 1.0 * sb.n), 4)
+        |         AS lift,
+        |       round(pr.n_both * 1.0 / sa.n, 4) AS conf_ab
+        |FROM pr JOIN sup sa ON pr.part_a = sa.part
+        |JOIN sup sb ON pr.part_b = sb.part CROSS JOIN nb
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // Wilson lower bound on per-supplier on-time rate (q12 lateness
+    // convention); z=1.96 forced through DOUBLE (a bare 1.96 literal
+    // is DECIMAL in DuckDB — decimal arithmetic would diverge from
+    // the double expression tree)
+    // Wilson lower bound on per-supplier on-time rate (q12 lateness
+    // convention); z=1.96 forced through DOUBLE (a bare 1.96 literal
+    // is DECIMAL in DuckDB — decimal arithmetic would diverge from
+    // the double expression tree)
+    "supplier_wilson" ->
+      """WITH g AS (SELECT l.l_suppkey AS s_suppkey,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN l.l_shipdate <=
+        |                 o.o_orderdate + INTERVAL 60 DAY
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS ontime
+        |           FROM lineitem l
+        |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |           GROUP BY 1),
+        |w AS (SELECT s_suppkey, n, ontime, ontime * 1.0 / n AS p
+        |      FROM g)
+        |SELECT w.s_suppkey, s.s_name, w.n, w.ontime,
+        |       round(w.p, 4) AS ontime_rate,
+        |       round((w.p
+        |           + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |             / (w.n * 2)
+        |           - CAST(1.96 AS DOUBLE) * sqrt(w.p * (1.0 - w.p) / w.n
+        |             + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |               / (w.n * w.n * 4)))
+        |         / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |             / w.n), 6) AS wilson_lb
+        |FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey
+        |ORDER BY wilson_lb DESC, w.s_suppkey LIMIT 20""".stripMargin,
+    // Zipf OLS from micro-unit-quantized logs summed as exact longs
+    // SymSpell deletion blocking + exact levenshtein verify
+    "part_fuzzy_terms" ->
+      """WITH w AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+        |           FROM (SELECT unnest(string_split(p_name, ' ')) AS t
+        |                 FROM part) GROUP BY t),
+        |k AS (SELECT t, n, unnest(list_distinct(list_append(
+        |        list_transform(range(1, length(t) + 1),
+        |          i -> substr(t, 1, i - 1) || substr(t, i + 1)),
+        |        t))) AS k
+        |      FROM w),
+        |p AS (SELECT DISTINCT x.t AS term_a, y.t AS term_b,
+        |             x.n AS n_a, y.n AS n_b
+        |      FROM k x JOIN k y ON x.k = y.k AND x.t < y.t)
+        |SELECT term_a, term_b, n_a, n_b FROM p
+        |WHERE levenshtein(term_a, term_b) = 1
+        |ORDER BY term_a, term_b""".stripMargin,
+    // hour-of-week heatmap: ISO dow both engines (Spark weekday+1)
+    // lead-time distribution from exact integer day moments
+    "supplier_lead_time" ->
+      """WITH d AS (SELECT l.l_suppkey AS s_suppkey,
+        |        date_diff('day', CAST(o.o_orderdate AS DATE),
+        |          CAST(l.l_shipdate AS DATE)) AS days
+        |      FROM lineitem l
+        |      JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |g AS (SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |        sum(days) AS sd, sum(days * days) AS sq,
+        |        CAST(max(days) AS BIGINT) AS max_days
+        |      FROM d GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT s_suppkey, n,
+        |       round(sd * 1.0 / n, 2) AS mean_days,
+        |       round(sqrt((sq * 1.0 * n - sd * 1.0 * sd)
+        |         / (n * 1.0 * (n - 1))), 2) AS sd_days,
+        |       max_days
+        |FROM g ORDER BY s_suppkey""".stripMargin,
+    // RFM: per-dimension exact global quartile by (value, custkey);
+    // the banded two-level rank on the Spark side reproduces exactly
+    // this total order (band is monotone in the value). Money sums
+    // as integer cents — fold-order-proof (see Analytics.customerRfm)
+    // RFM: per-dimension exact global quartile by (value, custkey);
+    // the banded two-level rank on the Spark side reproduces exactly
+    // this total order (band is monotone in the value). Money sums
+    // as integer cents — fold-order-proof (see Analytics.customerRfm)
+    "customer_rfm" ->
+      """WITH per AS (SELECT o_custkey AS custkey,
+        |        max(CAST(o_orderdate AS DATE)) AS last_order,
+        |        count(*) AS frequency,
+        |        sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |      FROM orders GROUP BY 1),
+        |mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+        |r AS (SELECT custkey,
+        |        date_diff('day', last_order, mxd) AS recency_days,
+        |        frequency,
+        |        round(cents / 100.0, 2) AS monetary
+        |      FROM per, mx),
+        |k AS (SELECT *,
+        |        row_number() OVER (ORDER BY recency_days, custkey) AS rr,
+        |        row_number() OVER (ORDER BY frequency, custkey) AS fr,
+        |        row_number() OVER (ORDER BY monetary, custkey) AS mr,
+        |        count(*) OVER () AS n
+        |      FROM r)
+        |SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+        |       CAST(frequency AS BIGINT) AS frequency, monetary,
+        |       CAST((rr - 1) * 4 // n + 1 AS BIGINT) AS r_q,
+        |       CAST((fr - 1) * 4 // n + 1 AS BIGINT) AS f_q,
+        |       CAST((mr - 1) * 4 // n + 1 AS BIGINT) AS m_q,
+        |       CAST(((rr - 1) * 4 // n + 1) * 100
+        |         + ((fr - 1) * 4 // n + 1) * 10
+        |         + ((mr - 1) * 4 // n + 1) AS BIGINT) AS rfm_cell
+        |FROM k ORDER BY custkey""".stripMargin,
+    // boilerplate: trigram doc-frequency tail at a 1%-of-corpus bar,
+    // per-doc occurrence rollup (left join keeps sub-trigram docs)
+    // Q2 shape: per-part min 2dp mean unit price among EUROPE
+    // suppliers, argmin join-back returns every achieving supplier
+    "q2_min_cost" ->
+      """WITH es AS (SELECT s.s_suppkey, s.s_name, n.n_name
+        |            FROM supplier s
+        |            JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |            JOIN region r ON n.n_regionkey = r.r_regionkey
+        |            WHERE r.r_name = 'EUROPE'),
+        |sp AS (SELECT p_partkey, p_name FROM part
+        |       WHERE p_type = 'SMALL' AND p_size < 15),
+        |c AS (SELECT sp.p_partkey, sp.p_name, es.s_suppkey, es.s_name,
+        |             es.n_name,
+        |             round(avg(l.l_extendedprice / l.l_quantity), 2) AS cost
+        |      FROM lineitem l
+        |      JOIN sp ON l.l_partkey = sp.p_partkey
+        |      JOIN es ON l.l_suppkey = es.s_suppkey
+        |      GROUP BY 1, 2, 3, 4, 5),
+        |m AS (SELECT p_partkey AS mk, min(cost) AS min_cost
+        |      FROM c GROUP BY 1)
+        |SELECT c.p_partkey, c.p_name, c.s_name, c.n_name, c.cost
+        |FROM c JOIN m ON c.p_partkey = m.mk AND c.cost = m.min_cost
+        |ORDER BY c.p_partkey, c.s_name""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p.p_type,
+        |       CAST(p.p_size - (p.p_size % 10) AS BIGINT) AS size_band,
+        |       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_type <> 'PROMO' AND p.p_size <= 30
+        |  AND l.l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_type, size_band""".stripMargin,
+    // Q20 shape: part filter → per-(part,supp) agg → per-part mean
+    // threshold → distinct qualifying suppliers → dim join
+    // Q20 shape: part filter → per-(part,supp) agg → per-part mean
+    // threshold → distinct qualifying suppliers → dim join
+    "q20_excess_supply" ->
+      """WITH sh AS (SELECT l_partkey, l_suppkey,
+        |              sum(l_quantity) AS qty
+        |            FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |              AND l_shipdate < TIMESTAMP '1997-01-01'
+        |              AND l_partkey IN
+        |                  (SELECT p_partkey FROM part
+        |                   WHERE p_type = 'SMALL')
+        |            GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, sum(qty) / count(*) AS avg_qty
+        |       FROM sh GROUP BY 1),
+        |q AS (SELECT DISTINCT sh.l_suppkey
+        |      FROM sh JOIN pp ON sh.l_partkey = pp.l_partkey
+        |      WHERE sh.qty > pp.avg_qty * 2.0)
+        |SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_suppkey IN (SELECT l_suppkey FROM q)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    // DAU/WAU stickiness: Monday-truncated weeks (the retention
+    // discipline), exact BIGINT counts, divisions only at the end
+    "q14_promo" ->
+      """SELECT round(
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
+        |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       round(any_value(c_acctbal), 2) AS c_acctbal
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q19_disc_rev" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 30)
+        |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
+    // incremental near-dedup: batch (planted +200000 near-dups) bands
+    // joined against corpus bands — candidates are CROSS pairs only
+    // bucketing must never change results: the oracle is the PLAIN
+    // join — hash equality proves layout-invariance (the plan
+    // property itself is pinned in LayoutSpec)
+    "bucketed_join_agg" ->
+      """SELECT o_orderpriority,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // z-order skip-scan: file selection is conservative (min/max box
+    // intersection) and the exact predicate re-applies, so the result
+    // is the plain filter — layout invariance is the contract
+    // (ZOrderSpec pins the actual pruning)
+    "q21_sole_blame" ->
+      """WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |            FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    "q22_global_sales" ->
+      """WITH a AS (SELECT round(avg(c_acctbal), 4) AS avg_bal
+        |           FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer, a
+        |WHERE c_acctbal > a.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = customer.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    // oracle is the PLAIN join — hash equality proves the salted
+    // plan is salt-invariant
+    // skew report: exact top-10 key loads; shares are single
+    // BIGINT/BIGINT divisions (bit-deterministic doubles)
+    // oracle is the PLAIN join — hash equality proves the salted
+    // plan is salt-invariant
+    // skew report: exact top-10 key loads; shares are single
+    // BIGINT/BIGINT divisions (bit-deterministic doubles)
+    "key_skew_report" ->
+      """WITH c AS (SELECT CAST(user_id AS BIGINT) AS key,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS n_keys FROM c),
+        |r AS (SELECT key, n,
+        |             row_number() OVER (ORDER BY n DESC, key) AS rank
+        |      FROM c)
+        |SELECT rank, key, n, n_keys,
+        |       round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 4) AS share,
+        |       round(CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE)
+        |             / CAST(total AS DOUBLE), 4) AS cum_share
+        |FROM r CROSS JOIN t WHERE rank <= 10 ORDER BY rank""".stripMargin,
+  )
+}

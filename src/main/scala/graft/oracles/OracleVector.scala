@@ -1,0 +1,562 @@
+package graft
+
+/** Vector-family oracle SQL — split verbatim from SparkEntry
+  * (r12, r11 verdict #7). The registry stays in SparkEntry;
+  * these maps are its DuckDB mirrors, byte-identical to the
+  * pre-split strings.
+  */
+private[graft] object OracleVector {
+  import OracleCtes._
+
+  val sql: Map[String, String] = Map(
+    // flat PQ (Pq.pqSearchWith, k=10 rerank=4): LUT-ADC shortlist of
+    // 40 per query (per-(sub, codeword) squared partials, summed
+    // across subspaces in sub order — the VecL2PqLut fold), exact
+    // float L2 rerank
+    "vdb_knn_pq" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         |$pqCtes,
+         |plut AS (SELECT q.qid, cb.sub, cb.cid,
+         |           list_inner_product(
+         |             list_transform(range(1, 9), j -> q.qv[cb.sub*8 + j] - cb.cw[j]),
+         |             list_transform(range(1, 9), j -> q.qv[cb.sub*8 + j] - cb.cw[j]))
+         |             AS lv
+         |         FROM pcb2 cb CROSS JOIN q),
+         |ad AS (SELECT p.qid, a.id,
+         |              sqrt(list_sum(list(p.lv ORDER BY p.sub))) AS ad
+         |       FROM paf a JOIN plut p ON a.sub = p.sub AND a.cid = p.cid
+         |       GROUP BY p.qid, a.id),
+         |sl AS (SELECT qid, id FROM (SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY ad, id) AS r
+         |       FROM ad) WHERE r <= 40),
+         |rr AS (SELECT sl.qid, sl.id, list_distance(e.v, q.qv) AS s
+         |       FROM sl JOIN e ON sl.id = e.id JOIN q ON sl.qid = q.qid),
+         |rk AS (SELECT qid, id, s,
+         |              row_number() OVER (PARTITION BY qid ORDER BY s, id) AS rk
+         |       FROM rr WHERE s IS NOT NULL)
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // IVFPQ (Pq.ivfPqSearch, k=10 nprobe=2 rerank=4, by_residual=false):
+    // the IVF probe set over cells, an ADC-COSINE shortlist of 40 per
+    // query within probed cells (VecCosinePqAdc's dot/norm fold), then
+    // the exact cosine rerank.
+    // MRL prefix-dim search: cosine over the first 16 dims shortlists
+    // 40, exact full-dim cosine reranks to 10 (DuckDB list slice
+    // v[1:16] = Spark slice(vec, 1, 16))
+    "vdb_knn_mrl" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |ps AS (SELECT q.qid, e.id,
+        |              list_cosine_similarity(e.v[1:16], q.qv[1:16]) AS s
+        |       FROM e CROSS JOIN q),
+        |sr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+        |         ORDER BY s DESC, id) AS rk
+        |       FROM ps WHERE s IS NOT NULL),
+        |sl AS (SELECT qid, id FROM sr WHERE rk <= 40),
+        |re AS (SELECT sl.qid, sl.id,
+        |              list_cosine_similarity(e.v, q.qv) AS s
+        |       FROM sl JOIN e ON sl.id = e.id JOIN q ON sl.qid = q.qid),
+        |r AS (SELECT qid, id, s, row_number() OVER (PARTITION BY qid
+        |        ORDER BY s DESC, id) AS rk
+        |      FROM re WHERE s IS NOT NULL)
+        |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // IVF+MRL: prefix-cosine shortlist of 40 over probed cells, exact
+    // full-dim rerank (the vdb_knn_mrl mirror under the IVF probe set)
+    // radius search (Knn.radius, cosine >= 0.25): plain filter over
+    // the scored pairs, no top-k
+    "vdb_range_search" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q)
+        |SELECT qid, nn_id, round(s, 4) AS score
+        |FROM d WHERE s IS NOT NULL AND s >= 0.25
+        |ORDER BY qid, nn_id""".stripMargin,
+    // IVF+SQ8 (Ann.ivfSq8Search, k=10 nprobe=2 rerank=4): the same
+    // probe set, a code-space COSINE shortlist of 40 per query over
+    // probed cells (codes decoded x = mn + c·(mx-mn)/255, the
+    // VecCosineQ8 arithmetic), then the exact float rerank. The
+    // encode grid mirrors vdb_knn_sq8's (round clamp 0..255).
+    // vdb_knn_sq8 is oracled despite being "approximate": the
+    // quantization grid, the shortlist rule (top-40 by code-space L2,
+    // ties by id), and the exact rerank are all deterministic pure
+    // functions DuckDB replicates bit-for-bit — integer-literal
+    // arithmetic only (DuckDB decimal literals would silently switch
+    // the math to DECIMAL), same operation order, same sequential
+    // list_sum fold as the codegen loop's accumulator.
+    "vdb_knn_sq8" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |dims AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        |         FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+        |mm AS (SELECT list(mn ORDER BY i) AS mns,
+        |              list(mx ORDER BY i) AS mxs FROM dims),
+        |codes AS (SELECT id, list_transform(range(1, 65), i ->
+        |            CASE WHEN mm.mxs[i] - mm.mns[i] <= 0 THEN 0
+        |                 ELSE least(255, greatest(0,
+        |                   round((v[i] - mm.mns[i])
+        |                     / (mm.mxs[i] - mm.mns[i]) * 255))) END) AS c
+        |          FROM e, mm),
+        |qcodes AS (SELECT qid, list_transform(range(1, 65), i ->
+        |            CASE WHEN mm.mxs[i] - mm.mns[i] <= 0 THEN 0
+        |                 ELSE least(255, greatest(0,
+        |                   round((qv[i] - mm.mns[i])
+        |                     / (mm.mxs[i] - mm.mns[i]) * 255))) END) AS qc
+        |           FROM q, mm),
+        |q8 AS (SELECT qc.qid, c.id,
+        |         sqrt(list_sum(list_transform(
+        |           list_transform(range(1, 65), i ->
+        |             (qc.qc[i] - c.c[i])
+        |               * ((mm.mxs[i] - mm.mns[i]) / 255)),
+        |           d -> d * d))) AS qd
+        |       FROM codes c, qcodes qc, mm),
+        |sl AS (SELECT qid, id FROM (
+        |         SELECT qid, id,
+        |                row_number() OVER (PARTITION BY qid
+        |                                   ORDER BY qd, id) AS r
+        |         FROM q8) WHERE r <= 40),
+        |rr AS (SELECT sl.qid, sl.id AS nn_id,
+        |              list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |       FROM sl JOIN embeddings e ON sl.id = e.vec_id
+        |               JOIN q ON sl.qid = q.qid),
+        |rk AS (SELECT qid, nn_id, s,
+        |              row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY s, nn_id) AS rk
+        |       FROM rr)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // vdb_knn_bq mirrors the same shortlist-then-rerank recipe with
+    // integer code space: the pack is a sum of 1::BIGINT << j terms
+    // over 32-bit words (bit 63 would overflow signed 64-bit — the
+    // Spark side packs 32 bits/word for exactly this mirror), the
+    // 6dp-rounded per-dim means match the Spark training, and the
+    // Hamming shortlist compares exact integers, so the only float
+    // arithmetic the hash sees is the exact cosine rerank.
+    // vdb_knn_bq mirrors the same shortlist-then-rerank recipe with
+    // integer code space: the pack is a sum of 1::BIGINT << j terms
+    // over 32-bit words (bit 63 would overflow signed 64-bit — the
+    // Spark side packs 32 bits/word for exactly this mirror), the
+    // 6dp-rounded per-dim means match the Spark training, and the
+    // Hamming shortlist compares exact integers, so the only float
+    // arithmetic the hash sees is the exact cosine rerank.
+    "vdb_knn_bq" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |dims AS (SELECT i, round(avg(v[i]), 6) AS mu
+        |         FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+        |mus AS (SELECT list(mu ORDER BY i) AS m FROM dims),
+        |codes AS (SELECT id, list_transform(range(0, 2), w ->
+        |            CAST(list_sum(list_transform(range(1, 33), j ->
+        |              CASE WHEN v[CAST(w * 32 + j AS INT)]
+        |                        > mus.m[CAST(w * 32 + j AS INT)]
+        |                   THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT)
+        |                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS c
+        |          FROM e, mus),
+        |qcodes AS (SELECT qid, list_transform(range(0, 2), w ->
+        |            CAST(list_sum(list_transform(range(1, 33), j ->
+        |              CASE WHEN qv[CAST(w * 32 + j AS INT)]
+        |                        > mus.m[CAST(w * 32 + j AS INT)]
+        |                   THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT)
+        |                   ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS qc
+        |           FROM q, mus),
+        |h AS (SELECT qc.qid, c.id,
+        |        CAST(bit_count(xor(c.c[1], qc.qc[1])) AS BIGINT)
+        |      + CAST(bit_count(xor(c.c[2], qc.qc[2])) AS BIGINT) AS hd
+        |      FROM codes c, qcodes qc),
+        |sl AS (SELECT qid, id FROM (
+        |         SELECT qid, id,
+        |                row_number() OVER (PARTITION BY qid
+        |                                   ORDER BY hd, id) AS r
+        |         FROM h) WHERE r <= 40),
+        |rr AS (SELECT sl.qid, sl.id AS nn_id,
+        |              list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        |       FROM sl JOIN embeddings e ON sl.id = e.vec_id
+        |               JOIN q ON sl.qid = q.qid),
+        |rk AS (SELECT qid, nn_id, s,
+        |              row_number() OVER (PARTITION BY qid
+        |                                 ORDER BY s DESC, nn_id) AS rk
+        |       FROM rr)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "vdb_knn_filtered_2field" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q
+        |      WHERE e.label BETWEEN 2 AND 6 AND e.vec_id % 2 = 0),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // the decode is a REAL ImageIO PNG round-trip; the oracle
+    // rebuilds the expected raster (flat fill, dims and color
+    // derived from doc_id + byte length — Multimodal.fixtureDims)
+    // and predicts its md5, so a checksum match proves the pixels
+    // actually went through the codec and came back exact
+    // request-batch dispatch: metric and filter are per-request DATA
+    // (the reference's /search payload); ordering key is the
+    // request's own metric, filter evaluated as a predicate
+    "vdb_search_requests" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+        |             CASE WHEN vec_id % 2 = 0 THEN 10 ELSE 5 END AS k,
+        |             CASE WHEN vec_id % 3 = 0 THEN 'L2'
+        |                  WHEN vec_id % 3 = 1 THEN 'IP'
+        |                  ELSE 'L1' END AS metric,
+        |             CASE WHEN vec_id % 3 = 0 THEN '='
+        |                  WHEN vec_id % 3 = 1 THEN '!=' END AS fop,
+        |             5 AS fval
+        |      FROM embeddings WHERE vec_id < 6),
+        |d AS (SELECT q.qid, q.metric, q.k, e.id AS nn_id,
+        |             CASE WHEN q.metric = 'L2' THEN list_distance(e.v, q.qv)
+        |                  WHEN q.metric = 'L1' THEN
+        |                    list_sum(list_transform(range(1, len(q.qv) + 1),
+        |                      i -> abs(e.v[i] - q.qv[i])))
+        |                  ELSE list_inner_product(e.v, q.qv) END AS s
+        |      FROM e CROSS JOIN q
+        |      WHERE q.fop IS NULL OR (q.fop = '=' AND e.label = q.fval)
+        |         OR (q.fop = '!=' AND e.label <> q.fval)),
+        |r AS (SELECT qid, nn_id, s, k,
+        |             row_number() OVER (PARTITION BY qid ORDER BY
+        |               CASE WHEN metric IN ('L2', 'L1') THEN s
+        |                    ELSE -s END, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= k ORDER BY qid, rk""".stripMargin,
+    // per-request index routing (SearchApi.searchRouted): even qids
+    // take the exact FLAT leg (per-request metric/k/filter), qid≡1
+    // (mod 4) the IVF probe leg, qid≡3 (mod 4) the HNSW-analog NSW
+    // beam leg. ALL legs share the graph chain's training CTEs
+    // (ivfGraphCtes computes assignments + probes for every vector;
+    // per-qid ranking makes its probe set a superset of the ivf
+    // chain's, so restricting pr by qid parity is exact)
+    // per-request index routing (SearchApi.searchRouted): even qids
+    // take the exact FLAT leg (per-request metric/k/filter), qid≡1
+    // (mod 4) the IVF probe leg, qid≡3 (mod 4) the HNSW-analog NSW
+    // beam leg. ALL legs share the graph chain's training CTEs
+    // (ivfGraphCtes computes assignments + probes for every vector;
+    // per-qid ranking makes its probe set a superset of the ivf
+    // chain's, so restricting pr by qid parity is exact)
+    "vdb_search_routed" ->
+      s"""WITH $ivfGraphCtes,
+         |el AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+         |       FROM embeddings),
+         |fq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+         |              CASE WHEN vec_id % 3 = 0 THEN 10 ELSE 5 END AS k,
+         |              CASE WHEN vec_id % 4 = 2 THEN 'IP'
+         |                   ELSE 'L2' END AS metric,
+         |              CASE WHEN vec_id = 4 THEN '='
+         |                   WHEN vec_id = 2 THEN '!=' END AS fop,
+         |              5 AS fval
+         |       FROM embeddings WHERE vec_id < 8 AND vec_id % 2 = 0),
+         |fd AS (SELECT fq.qid, fq.metric, fq.k, el.id AS nn_id,
+         |              CASE WHEN fq.metric = 'L2'
+         |                   THEN list_distance(el.v, fq.qv)
+         |                   ELSE list_inner_product(el.v, fq.qv) END AS s
+         |       FROM el CROSS JOIN fq
+         |       WHERE fq.fop IS NULL OR (fq.fop = '=' AND el.label = fq.fval)
+         |          OR (fq.fop = '!=' AND el.label <> fq.fval)),
+         |fr AS (SELECT qid, nn_id, s, k,
+         |              row_number() OVER (PARTITION BY qid ORDER BY
+         |                CASE WHEN metric = 'L2' THEN s ELSE -s END, nn_id)
+         |                AS rk
+         |       FROM fd),
+         |fl AS (SELECT qid, rk, nn_id, round(s, 4) AS score
+         |       FROM fr WHERE rk <= k),
+         |isc AS (SELECT pr.qid, a.id, list_cosine_similarity(a.v, q.qv) AS s
+         |        FROM af a JOIN pr ON a.cell = pr.cell
+         |             JOIN q ON pr.qid = q.qid
+         |        WHERE pr.qid < 8 AND pr.qid % 4 = 1),
+         |ir AS (SELECT qid, id, s,
+         |              row_number() OVER (PARTITION BY qid
+         |                ORDER BY s DESC, id) AS rk
+         |       FROM isc WHERE s IS NOT NULL),
+         |il AS (SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |       FROM ir
+         |       WHERE rk <= CASE WHEN qid % 3 = 0 THEN 10 ELSE 5 END),
+         |${nswBeamCtes("vec_id = 3")},
+         |hl AS (SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |               ORDER BY s DESC, id) AS rk FROM bf3)
+         |       WHERE rk <= CASE WHEN qid % 3 = 0 THEN 10 ELSE 5 END),
+         |${hnswBeamCtes("vec_id = 7", emitBase = false, qq = "hq")},
+         |hil AS (SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |               ORDER BY s DESC, id) AS rk FROM hbf3)
+         |       WHERE rk <= CASE WHEN qid % 3 = 0 THEN 10 ELSE 5 END)
+         |SELECT qid, rk, nn_id, score
+         |FROM (SELECT * FROM fl UNION ALL SELECT * FROM il
+         |      UNION ALL SELECT * FROM hl UNION ALL SELECT * FROM hil)
+         |ORDER BY qid, rk""".stripMargin,
+    // per-request ef_search (hnswlib_index.h:16, setEf at
+    // hnswlib_index.cc:30): even qids FLAT (rounds_used 0), odd qids
+    // the NSW beam leg with a per-request round budget ⌈ef/16⌉ —
+    // ef=16 (qid≡1 mod 4) runs ONE round (the xbf1 chain), ef=48
+    // (qid≡3) the full three (ybf3). Per-class chains are exact
+    // because per-query trajectories are qid-partitioned — the Spark
+    // side's single gated loop computes the identical prefix.
+    // per-request ef_search (hnswlib_index.h:16, setEf at
+    // hnswlib_index.cc:30): even qids FLAT (rounds_used 0), odd qids
+    // the NSW beam leg with a per-request round budget ⌈ef/16⌉ —
+    // ef=16 (qid≡1 mod 4) runs ONE round (the xbf1 chain), ef=48
+    // (qid≡3) the full three (ybf3). Per-class chains are exact
+    // because per-query trajectories are qid-partitioned — the Spark
+    // side's single gated loop computes the identical prefix.
+    "vdb_search_routed_ef" ->
+      s"""WITH $ivfGraphCtes,
+         |el AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label
+         |       FROM embeddings),
+         |fq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+         |              CASE WHEN vec_id % 3 = 0 THEN 10 ELSE 5 END AS k,
+         |              CASE WHEN vec_id % 4 = 2 THEN 'IP'
+         |                   ELSE 'L2' END AS metric,
+         |              CASE WHEN vec_id = 4 THEN '='
+         |                   WHEN vec_id = 2 THEN '!=' END AS fop,
+         |              5 AS fval
+         |       FROM embeddings WHERE vec_id < 8 AND vec_id % 2 = 0),
+         |fd AS (SELECT fq.qid, fq.metric, fq.k, el.id AS nn_id,
+         |              CASE WHEN fq.metric = 'L2'
+         |                   THEN list_distance(el.v, fq.qv)
+         |                   ELSE list_inner_product(el.v, fq.qv) END AS s
+         |       FROM el CROSS JOIN fq
+         |       WHERE fq.fop IS NULL OR (fq.fop = '=' AND el.label = fq.fval)
+         |          OR (fq.fop = '!=' AND el.label <> fq.fval)),
+         |fr AS (SELECT qid, nn_id, s, k,
+         |              row_number() OVER (PARTITION BY qid ORDER BY
+         |                CASE WHEN metric = 'L2' THEN s ELSE -s END, nn_id)
+         |                AS rk
+         |       FROM fd),
+         |fl AS (SELECT qid, rk, nn_id, round(s, 4) AS score,
+         |              CAST(0 AS BIGINT) AS rounds_used
+         |       FROM fr WHERE rk <= k),
+         |${nswBeamCtes("vec_id < 8 AND vec_id % 4 = 1", pfx = "x",
+            rounds = 1)},
+         |${nswBeamCtes("vec_id < 8 AND vec_id % 4 = 3", pfx = "y",
+            rounds = 3, emitBase = false)},
+         |xl AS (SELECT qid, rk, id AS nn_id, round(s, 4) AS score,
+         |              CAST(1 AS BIGINT) AS rounds_used
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |               ORDER BY s DESC, id) AS rk FROM xbf1)
+         |       WHERE rk <= CASE WHEN qid % 3 = 0 THEN 10 ELSE 5 END),
+         |yl AS (SELECT qid, rk, id AS nn_id, round(s, 4) AS score,
+         |              CAST(3 AS BIGINT) AS rounds_used
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+         |               ORDER BY s DESC, id) AS rk FROM ybf3)
+         |       WHERE rk <= CASE WHEN qid % 3 = 0 THEN 10 ELSE 5 END)
+         |SELECT qid, rk, nn_id, score, rounds_used
+         |FROM (SELECT * FROM fl UNION ALL SELECT * FROM xl
+         |      UNION ALL SELECT * FROM yl)
+         |ORDER BY qid, rk""".stripMargin,
+    "vdb_knn_flat_l2" -> knnOracle("l2"),
+    "vdb_knn_flat_ip" -> knnOracle("ip"),
+    "vdb_knn_flat_l1" -> knnOracle("l1"),
+    "vdb_knn_flat_linf" -> knnOracle("linf"),
+    // freshness decay: boosted = ((1+cos)/2) / 2^(id%4) — the shift
+    // to [0,1] keeps the decay monotone for negative cosines (a raw
+    // negative divided by 2^b would move TOWARD zero, promoting the
+    // stale match); the power-of-two divide only shifts the exponent,
+    // exact on both engines
+    // freshness decay: boosted = ((1+cos)/2) / 2^(id%4) — the shift
+    // to [0,1] keeps the decay monotone for negative cosines (a raw
+    // negative divided by 2^b would move TOWARD zero, promoting the
+    // stale match); the power-of-two divide only shifts the exponent,
+    // exact on both engines
+    "vdb_knn_recency_boost" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+        |          AS c,
+        |        e.vec_id % 4 AS bucket
+        |      FROM embeddings e CROSS JOIN q),
+        |s AS (SELECT qid, nn_id, c,
+        |        ((c + 1) / 2)
+        |          / CAST(1::BIGINT << CAST(bucket AS INTEGER) AS DOUBLE)
+        |          AS dec
+        |      FROM d WHERE c IS NOT NULL),
+        |r AS (SELECT qid, nn_id, c, dec,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY dec DESC, nn_id) AS rk
+        |      FROM s)
+        |SELECT qid, rk, nn_id, round(c, 4) AS score,
+        |       round(dec, 4) AS boosted
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "vdb_knn_cosine" -> knnOracle("cos"),
+    // recommend-by-examples: 2·avg(pos) − avg(neg) built from fetched
+    // vectors, examples excluded, standard FLAT anatomy
+    // recommend-by-examples: 2·avg(pos) − avg(neg) built from fetched
+    // vectors, examples excluded, standard FLAT anatomy
+    "vdb_recommend" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |rq AS (SELECT CAST(rid AS BIGINT) AS qid, pa, pb, ng
+        |       FROM (VALUES (0, 0, 1, 6), (1, 2, 3, 7), (2, 4, 5, 8))
+        |         t(rid, pa, pb, ng)),
+        |rv AS (SELECT rq.qid, rq.pa, rq.pb, rq.ng,
+        |         list_transform(range(1, len(a.v) + 1),
+        |           i -> CAST(2.0 AS DOUBLE)
+        |             * ((a.v[i] + b.v[i]) / CAST(2.0 AS DOUBLE))
+        |             - c.v[i]) AS qv
+        |       FROM rq JOIN e a ON rq.pa = a.vec_id
+        |       JOIN e b ON rq.pb = b.vec_id
+        |       JOIN e c ON rq.ng = c.vec_id),
+        |sc AS (SELECT rv.qid, e.vec_id AS nn_id,
+        |         list_cosine_similarity(e.v, rv.qv) AS s
+        |       FROM e CROSS JOIN rv
+        |       WHERE e.vec_id <> rv.pa AND e.vec_id <> rv.pb
+        |         AND e.vec_id <> rv.ng),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY s DESC, nn_id) AS rk
+        |      FROM sc WHERE s IS NOT NULL)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // grouped search: per-(qid,label) top-2 hits, top-3 groups by
+    // their best hit, all on rounded scores
+    // grouped search: per-(qid,label) top-2 hits, top-3 groups by
+    // their best hit, all on rounded scores
+    "vdb_knn_groupby" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.label, e.vec_id AS nn_id,
+        |        round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |          q.qv), 4) AS s
+        |      FROM embeddings e CROSS JOIN q),
+        |h AS (SELECT qid, label, nn_id, s,
+        |        row_number() OVER (PARTITION BY qid, label
+        |          ORDER BY s DESC, nn_id) AS hit_rk
+        |      FROM d WHERE s IS NOT NULL),
+        |h2 AS (SELECT * FROM h WHERE hit_rk <= 2),
+        |gb AS (SELECT qid, label, s AS gs FROM h2 WHERE hit_rk = 1),
+        |gr AS (SELECT qid, label,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY gs DESC, label) AS grp_rk
+        |       FROM gb)
+        |SELECT h2.qid, gr.grp_rk, h2.label,
+        |       CAST(h2.hit_rk AS INTEGER) AS hit_rk, h2.nn_id,
+        |       h2.s AS score
+        |FROM h2 JOIN gr ON h2.qid = gr.qid AND h2.label = gr.label
+        |WHERE gr.grp_rk <= 3
+        |ORDER BY h2.qid, gr.grp_rk, hit_rk""".stripMargin,
+    // scroll page 2: keyset continuation ≡ ranks 11..20 of the full
+    // ordering on the 4dp-rounded score the API returned
+    // scroll page 2: keyset continuation ≡ ranks 11..20 of the full
+    // ordering on the 4dp-rounded score the API returned
+    "vdb_scroll_page2" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |        round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |          q.qv), 4) AS s
+        |      FROM embeddings e CROSS JOIN q),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY s DESC, nn_id) AS frk
+        |      FROM d WHERE s IS NOT NULL)
+        |SELECT qid, CAST(frk - 10 AS INTEGER) AS rk, nn_id,
+        |       s AS score
+        |FROM r WHERE frk > 10 AND frk <= 20
+        |ORDER BY qid, rk""".stripMargin,
+    // multi-vector OR query: best-of-two cosine, −2 sentinel on a
+    // null leg so max() semantics cannot drift between engines
+    // multi-vector OR query: best-of-two cosine, −2 sentinel on a
+    // null leg so max() semantics cannot drift between engines
+    "vdb_knn_multiquery" ->
+      """WITH qa AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS q1
+        |            FROM embeddings WHERE vec_id < 5),
+        |qb AS (SELECT vec_id - 5 AS qid, embedding::DOUBLE[] AS q2
+        |       FROM embeddings WHERE vec_id >= 5 AND vec_id < 10),
+        |qq AS (SELECT qid, q1, q2 FROM qa JOIN qb USING (qid)),
+        |d AS (SELECT qq.qid, e.vec_id AS nn_id,
+        |        greatest(
+        |          coalesce(list_cosine_similarity(e.embedding::DOUBLE[],
+        |            qq.q1), -2.0),
+        |          coalesce(list_cosine_similarity(e.embedding::DOUBLE[],
+        |            qq.q2), -2.0)) AS s
+        |      FROM embeddings e CROSS JOIN qq),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY s DESC, nn_id) AS rk
+        |      FROM d WHERE s > -1.5)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "vdb_knn_filtered_eq" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q WHERE e.label = 5),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id) AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "vdb_knn_filtered_ne" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q WHERE e.label <> 5),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id) AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "vdb_batch_knn" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 25 = 0),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s DESC, nn_id) AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "vdb_query_by_id" ->
+      """SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       round(sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                     embedding::DOUBLE[])), 4) AS norm
+        |FROM embeddings WHERE vec_id IN (3, 17, 42) ORDER BY vec_id""".stripMargin,
+    "vdb_knn_filtered_in" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q WHERE e.label IN (2, 4, 6)),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "vdb_knn_filtered_range" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q
+        |      WHERE e.label BETWEEN 3 AND 6),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+  )
+}
