@@ -66,14 +66,25 @@ private[graft] object OracleAnn {
          |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "ann_ivf" -> ivfOracle,
-    // spilled 2-cell assignment, single-cell probe (SOAR trade)
-    // spilled 2-cell assignment, single-cell probe (SOAR trade)
+    // margin-gated spilled assignment, single-cell probe (the SOAR
+    // trade, r12): first cell always; the second-cell replica only
+    // when the boundary margin cd2 - cd1 < 0.4 (negated-cosine units,
+    // the same cd both engines already order by)
     "ann_ivf_spill" ->
       s"""WITH $ivfCtes,
-         |asp AS (SELECT id, v, cell FROM (SELECT e.id, e.v, c.cell,
+         |aspr AS (SELECT id, v, cell, cd, rn FROM (SELECT e.id, e.v, c.cell,
+         |    ${ivfCd("e.v", "c.cv")} AS cd,
          |    row_number() OVER (PARTITION BY e.id
          |      ORDER BY ${ivfCd("e.v", "c.cv")}, c.cell) AS rn
          |  FROM e CROSS JOIN c2 c) WHERE rn <= 2),
+         |mg AS (SELECT a.id, b.cd - a.cd AS margin
+         |       FROM aspr a JOIN aspr b ON a.id = b.id
+         |        AND a.rn = 1 AND b.rn = 2),
+         |asp AS (SELECT id, v, cell FROM aspr WHERE rn = 1
+         |        UNION ALL
+         |        SELECT r.id, r.v, r.cell FROM aspr r
+         |        JOIN mg ON r.id = mg.id AND r.rn = 2
+         |        WHERE mg.margin < 0.4),
          |p1 AS (SELECT qid, cell FROM (SELECT q.qid, c.cell,
          |    row_number() OVER (PARTITION BY q.qid
          |      ORDER BY ${ivfCd("q.qv", "c.cv")}, c.cell) AS rn
@@ -174,18 +185,29 @@ private[graft] object OracleAnn {
          |      FROM fsc WHERE s IS NOT NULL)
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     // corpus-wide kNN graph over the shared IVF chain, self excluded
-    // SOAR trade: recall@10 + scan cost for ivf@p1 / ivf@p2 /
-    // spill@p1 over the shared chain; hit counts vs brute top-10
+    // SOAR trade: recall@10 + scan cost for ivf@p1 / ivf@p2 / full
+    // spill@p1 / margin-gated spill@p1 (cd2-cd1 < 0.4, r12) over the
+    // shared chain; hit counts vs brute top-10
     "ann_spill_recall" ->
       s"""WITH $ivfCtes,
          |p1 AS (SELECT qid, cell FROM (SELECT q.qid, c.cell,
          |    row_number() OVER (PARTITION BY q.qid
          |      ORDER BY ${ivfCd("q.qv", "c.cv")}, c.cell) AS rn
          |  FROM q CROSS JOIN c2 c) WHERE rn = 1),
-         |asp AS (SELECT id, v, cell FROM (SELECT e.id, e.v, c.cell,
+         |aspr AS (SELECT id, v, cell, cd, rn FROM (SELECT e.id, e.v, c.cell,
+         |    ${ivfCd("e.v", "c.cv")} AS cd,
          |    row_number() OVER (PARTITION BY e.id
          |      ORDER BY ${ivfCd("e.v", "c.cv")}, c.cell) AS rn
          |  FROM e CROSS JOIN c2 c) WHERE rn <= 2),
+         |asp AS (SELECT id, v, cell FROM aspr WHERE rn <= 2),
+         |mg AS (SELECT a.id, b.cd - a.cd AS margin
+         |       FROM aspr a JOIN aspr b ON a.id = b.id
+         |        AND a.rn = 1 AND b.rn = 2),
+         |asm AS (SELECT id, v, cell FROM aspr WHERE rn = 1
+         |        UNION ALL
+         |        SELECT r.id, r.v, r.cell FROM aspr r
+         |        JOIN mg ON r.id = mg.id AND r.rn = 2
+         |        WHERE mg.margin < 0.4),
          |nqx AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q),
          |xr AS (SELECT qid, id FROM (SELECT q.qid, e.id,
          |    row_number() OVER (PARTITION BY q.qid
@@ -222,16 +244,30 @@ private[graft] object OracleAnn {
          |       FROM r2 JOIN xr USING (qid, id)),
          |h3 AS (SELECT CAST(count(*) AS BIGINT) AS h
          |       FROM r3 JOIN xr USING (qid, id)),
+         |r4 AS (SELECT qid, id FROM (SELECT p1.qid, a.id,
+         |    row_number() OVER (PARTITION BY p1.qid
+         |      ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.id)
+         |      AS rk
+         |  FROM asm a JOIN p1 ON a.cell = p1.cell
+         |  JOIN q ON p1.qid = q.qid
+         |  WHERE list_cosine_similarity(a.v, q.qv) IS NOT NULL)
+         |  WHERE rk <= 10),
+         |h4 AS (SELECT CAST(count(*) AS BIGINT) AS h
+         |       FROM r4 JOIN xr USING (qid, id)),
          |cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS cn
          |       FROM af GROUP BY 1),
          |css AS (SELECT cell, CAST(count(*) AS BIGINT) AS cn
          |        FROM asp GROUP BY 1),
+         |csm AS (SELECT cell, CAST(count(*) AS BIGINT) AS cn
+         |        FROM asm GROUP BY 1),
          |s1 AS (SELECT CAST(sum(cn) AS BIGINT) AS sr
          |       FROM p1 JOIN cs USING (cell)),
          |s2 AS (SELECT CAST(sum(cn) AS BIGINT) AS sr
          |       FROM pr JOIN cs USING (cell)),
          |s3 AS (SELECT CAST(sum(cn) AS BIGINT) AS sr
-         |       FROM p1 JOIN css USING (cell))
+         |       FROM p1 JOIN css USING (cell)),
+         |s4 AS (SELECT CAST(sum(cn) AS BIGINT) AS sr
+         |       FROM p1 JOIN csm USING (cell))
          |SELECT variant, n_queries, mean_recall, scanned_rows FROM (
          |  SELECT 'ivf_p1' AS variant, nq AS n_queries,
          |         round(CAST(h AS DOUBLE) / (10 * nq), 4) AS mean_recall,
@@ -244,7 +280,11 @@ private[graft] object OracleAnn {
          |  UNION ALL
          |  SELECT 'spill_p1', nq, round(CAST(h AS DOUBLE) / (10 * nq), 4),
          |         sr
-         |  FROM h3, s3, nqx)
+         |  FROM h3, s3, nqx
+         |  UNION ALL
+         |  SELECT 'spill_m1', nq, round(CAST(h AS DOUBLE) / (10 * nq), 4),
+         |         sr
+         |  FROM h4, s4, nqx)
          |ORDER BY variant""".stripMargin,
     // 2-core by unrolled peeling (8 rounds): the Spark side's exact
     // convergence stop makes extra mirror rounds the identity
