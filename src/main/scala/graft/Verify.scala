@@ -58,8 +58,45 @@ object Verify {
     def materialize(sql: String): String =
       sql.replaceAll("(?m)(^|\\bWITH (?:RECURSIVE )?)([a-z0-9_]+) AS \\(",
         "$1$2 AS MATERIALIZED (")
+    // DuckDB's list_cosine_similarity(zero-norm, ·) returns −1.0 where
+    // the Spark kernel's contract is NULL (degenerate vectors DROP
+    // from cosine rankings — KnnSpec pins it; surfaced by the r12
+    // fuzz's planted zero vector, which DuckDB ranked LAST at −1.0
+    // instead of excluding). Rewrite every call into a null-safe CASE
+    // at this single emission point so all ~90 cosine sites share the
+    // kernel's semantics. Paren-aware: arguments nest calls and span
+    // lines.
+    def nullSafeCosine(sql: String): String = {
+      val name = "list_cosine_similarity("
+      val sb = new StringBuilder
+      var i = 0
+      while (i < sql.length) {
+        val at = sql.indexOf(name, i)
+        if (at < 0) { sb.append(sql.substring(i)); i = sql.length }
+        else {
+          sb.append(sql.substring(i, at))
+          var depth = 1
+          var j = at + name.length
+          var comma = -1
+          while (depth > 0) {
+            val c = sql.charAt(j)
+            if (c == '(') depth += 1
+            else if (c == ')') depth -= 1
+            else if (c == ',' && depth == 1 && comma < 0) comma = j
+            j += 1
+          }
+          val a = nullSafeCosine(sql.substring(at + name.length, comma).trim)
+          val b = nullSafeCosine(sql.substring(comma + 1, j - 1).trim)
+          sb.append(s"(CASE WHEN list_inner_product($a, $a) " +
+            s"* list_inner_product($b, $b) = 0 THEN NULL " +
+            s"ELSE list_cosine_similarity($a, $b) END)")
+          i = j
+        }
+      }
+      sb.toString
+    }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(materialize(v))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(materialize(nullSafeCosine(v)))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

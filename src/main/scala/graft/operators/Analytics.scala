@@ -647,8 +647,13 @@ object Analytics {
       .withColumn("s1", sum("n").over(byType))
       .withColumn("s2", sum(nDec * nDec).over(byType))
       .withColumn("nd", count(lit(1)).over(byType))
-      .withColumn("zscore", round((col("n") - mean)
-        / sqrt(col("s2").cast("double") / col("nd") - mean * mean), 4))
+      // a zero-variance series (one day, or constant daily counts)
+      // has no z-score — guard BEFORE the division (r12 fuzz: the
+      // planted constant-count type hit ANSI DIVIDE_BY_ZERO)
+      .withColumn("vr",
+        col("s2").cast("double") / col("nd") - mean * mean)
+      .where(col("vr") > 0)
+      .withColumn("zscore", round((col("n") - mean) / sqrt(col("vr")), 4))
       .where(abs(col("zscore")) >= z)
       .select(col("event_type"), col("day"), col("n"), col("zscore"))
       .orderBy("event_type", "day")
@@ -1296,13 +1301,19 @@ object Analytics {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
+      // per-row CENTS quantization before the sum: a raw double sum
+      // is fold-order-dependent, and Spark's partial-aggregation
+      // order shifts with partitioning (r12 fuzz: two appended
+      // lineitem rows flipped a .485 rounding boundary); the integer
+      // sum is exact in any order and the oracle mirrors the same
+      // per-row round
       .select(col("n_name").as("nation"),
         year(col("o_orderdate")).cast("long").as("o_year"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount")) -
-          lit(0.8) * col("p_retailprice") * col("l_quantity"))
-          .as("amount"))
+        expr("CAST(round((l_extendedprice * (1 - l_discount) " +
+          "- 0.8 * p_retailprice * l_quantity) * 100) AS BIGINT)")
+          .as("cents"))
       .groupBy("nation", "o_year")
-      .agg(round(sum("amount"), 2).as("sum_profit"))
+      .agg(round(sum("cents").cast("double") / 100.0, 2).as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 
@@ -1763,11 +1774,16 @@ object Analytics {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("m").as("sx"),
         sum(expr("m * m")).as("q"))
+    // rq = round-half-up of (Σm)²·1000/n as PURE INTEGER arithmetic,
+    // (2K + n) div (2n) floored: the double path quantized a value
+    // past 2^53, where round() reads different bits per engine (r12
+    // fuzz seed 3). The scale-6 decimal quotient cannot round across
+    // an integer boundary (fractional parts are multiples of 1/(2n),
+    // ≥ 5e-5), so floor() is exact; DECIMAL(38,0) holds the result
+    // (a BIGINT rq wrapped at the value-domain edge).
     val prepared = g.select(col("n"), col("sx"), col("q"),
-      ((col("sx").cast(dec) * col("sx").cast(dec)).cast("double")
-        / col("n")).as("r"))
-      .select(col("n"), col("sx"), col("q"),
-        expr("CAST(round(r * 1000) AS BIGINT)").as("rq"))
+      expr("CAST(floor((CAST(sx AS DECIMAL(38,0)) * sx * 2000 + n) " +
+        "/ (2 * n)) AS DECIMAL(38,0))").as("rq"))
     prepared
       .agg(count(lit(1)).as("k"), sum("n").as("nn"),
         sum("sx").as("ss"), sum("q").as("qq"),
@@ -1925,11 +1941,16 @@ object Analytics {
     */
   def priceElasticity(s: SparkSession, dir: String,
                       minN: Long = 30L): DataFrame = {
+    // non-positive qty/price rows carry NULL moments (a log-log model
+    // has no reading for them) — the guard also keeps any plan order
+    // from pushing ln(0)/NaN into the ANSI cast (r12 fuzz)
     val li = Tables.lineitem(s, dir)
       .select(col("l_partkey"),
-        expr("CAST(round(ln(l_extendedprice / l_quantity) * 1000000) " +
-          "AS BIGINT)").as("x"),
-        expr("CAST(round(ln(l_quantity) * 1000000) AS BIGINT)").as("y"))
+        expr("CASE WHEN l_quantity > 0 AND l_extendedprice > 0 THEN " +
+          "CAST(round(ln(l_extendedprice / l_quantity) * 1000000) " +
+          "AS BIGINT) END").as("x"),
+        expr("CASE WHEN l_quantity > 0 THEN " +
+          "CAST(round(ln(l_quantity) * 1000000) AS BIGINT) END").as("y"))
     val dec = "decimal(38,0)"
     def nm(q: Column, a: Column, b: Column) =
       (col("n").cast(dec) * q.cast(dec) -
@@ -2597,8 +2618,12 @@ object Analytics {
       .select(col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("m"))
       .groupBy("event_type")
+      // the SQUARE must already live in DECIMAL(38,0): a BIGINT m·m
+      // wraps (ANSI: throws) at |value| ≥ ~9.6e7 — the same headroom
+      // rule the numerator below follows (surfaced by the r12 fuzz's
+      // planted 1e9 value)
       .agg(count(lit(1)).as("n"), sum("m").as("sx"),
-        sum(expr("m * m")).as("qx"))
+        sum(expr("CAST(m AS DECIMAL(38,0)) * m")).as("qx"))
       .where(col("n") > 1)
     val mean = col("sx").cast("double") / col("n") / lit(100.0)
     // DECIMAL(38,0) numerator — same overflow-headroom discipline as
@@ -2684,7 +2709,10 @@ object Analytics {
     * streaming twin's feed.
     */
   def rollingEventFrame(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(col("event_type"),
+    // NULL values carry no bin (r12 fuzz: the micro-unit stats family
+    // excludes them explicitly on both engines)
+    Tables.events(s, dir).where(col("value").isNotNull)
+      .select(col("event_type"),
       datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
         .cast("long").as("d"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
@@ -2900,7 +2928,7 @@ object Analytics {
     */
   def eventsMannWhitney(s: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val g = Tables.events(s, dir)
+    val g = Tables.events(s, dir).where(col("value").isNotNull)
       .select(col("event_type"), (col("user_id") % 2).as("variant"),
         expr("CAST(round(value * 100) AS BIGINT)").as("micro"))
       .groupBy("event_type", "micro")
@@ -2944,7 +2972,7 @@ object Analytics {
     */
   def eventsKsTest(s: SparkSession, dir: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val g = Tables.events(s, dir)
+    val g = Tables.events(s, dir).where(col("value").isNotNull)
       .select(col("event_type"), (col("user_id") % 2).as("variant"),
         expr("CAST(round(value * 100) AS BIGINT)").as("micro"))
       .groupBy("event_type", "micro")
@@ -3572,9 +3600,14 @@ object Analytics {
       .select(col("event_type"),
         date_add(lit("1970-01-01").cast("date"), col("d").cast("int"))
           .cast("string").as("day"),
-        round(col("st.l").cast("double") / 1e6, 4).as("level"),
-        round(col("st.b").cast("double") / 1e6, 4).as("trend"),
-        round((col("st.l") + col("st.b")).cast("double") / 1e6, 4)
+        // 6dp: the micro-unit quotient has EXACTLY six decimals, so
+        // rounding at 6dp never lands on a .5 boundary — rounding at
+        // 4dp did (r12 fuzz: l = 6343550 micro → 6.34355, which
+        // Spark's shortest-repr BigDecimal rounds UP and DuckDB's
+        // binary-value round rounds DOWN)
+        round(col("st.l").cast("double") / 1e6, 6).as("level"),
+        round(col("st.b").cast("double") / 1e6, 6).as("trend"),
+        round((col("st.l") + col("st.b")).cast("double") / 1e6, 6)
           .as("forecast1"))
       .orderBy("event_type", "day")
   }
@@ -3736,8 +3769,9 @@ object Analytics {
     */
   def eventsWinsorized(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, dir).select(col("event_type"),
-      expr("CAST(round(value * 100) AS BIGINT)").as("micro"))
+    val ev = Tables.events(s, dir).where(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("micro"))
     val hist = ev.groupBy("event_type", "micro")
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("event_type").orderBy("micro")

@@ -3383,7 +3383,11 @@ object Ann {
       .agg(count(lit(1)).as("n"), sum("micro").as("sm"),
         sum(col("micro") * col("micro")).as("q"))
     base.join(stats, "cell")
-      .where(col("n") > 1 &&
+      // a degenerate (zero-norm) vector has no cosine and therefore
+      // no outlier score: its NULL micro must not ride a NULLS-FIRST
+      // ascending sort into the report (r12 fuzz); both engines rank
+      // only real-cosine rows
+      .where(col("micro").isNotNull && col("n") > 1 &&
         col("n") * col("q") - col("sm") * col("sm") > 0)
       .withColumn("z",
         (col("micro") * col("n") - col("sm")).cast("double")

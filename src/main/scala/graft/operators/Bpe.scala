@@ -57,12 +57,14 @@ object Bpe {
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .where(length(col("word")) > 0)
-      // "(?!^)" splits between every pair of characters; unlike
-      // java.lang.String#split, Spark's split keeps TRAILING empties
-      // (limit -1), so the end-of-string split point yields one ""
-      // symbol per word — drop it
+      // split by the empty pattern = one symbol per CODEPOINT.
+      // The previous "(?!^)" lookahead split between UTF-16 code
+      // UNITS, halving astral chars into unpaired surrogates (r12
+      // fuzz: an emoji word seeded 2 symbols per emoji where the
+      // oracle's codepoint split saw 1); the "" guard below stays for
+      // any engine vintage that emits boundary empties
       .select(col("word"), col("cnt"),
-        posexplode(split(col("word"), "(?!^)")))
+        posexplode(split(col("word"), "")))
       .withColumnRenamed("col", "s")
       .where(col("s") =!= "")
       .localCheckpoint(true)

@@ -29,10 +29,27 @@ object Multimodal {
 
   /** Binary payload column: utf-8 bytes of the text stand in for an
     * opaque media blob (byte-level feature/sample plumbing,
-    * checkable against the oracle).
+    * checkable against the oracle). A NULL text is an EMPTY payload —
+    * a media pipeline receives a zero-byte blob, not a crash (r12
+    * fuzz: the planted NULL doc NPE'd the encoder).
     */
   def withPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    docs.select(col("doc_id"),
+      coalesce(col("text"), lit("")).cast("binary").as("payload"))
+
+  /** The CHAR-mirror domain: the audio/video/entropy stand-ins read
+    * the text column as PCM bytes, and their DuckDB oracles mirror
+    * them CHAR-wise — equivalent exactly when every char is one byte.
+    * Restrict those operators to single-byte (ASCII) non-empty docs
+    * on BOTH sides: a real pipeline feeds opaque binary payloads, the
+    * text stand-in just needs a domain where byte and char semantics
+    * coincide (r12 fuzz: planted multi-byte docs made the two
+    * readings diverge). NULL and empty docs drop with the same
+    * null-safe predicate.
+    */
+  private def asciiDocs(docs: DataFrame): DataFrame =
+    docs.where(expr("octet_length(text) = length(text)") &&
+      length(col("text")) > 0)
 
   /** Deterministic fixture dims/fill, shared by encoder and oracle:
     * width 8..20 and height 8..14 from the text's byte length, one
@@ -50,7 +67,7 @@ object Multimodal {
     */
   def withImagePayload(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    docs.select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         // ImageIO defaults to a DISK-backed stream cache — one temp
@@ -148,7 +165,7 @@ object Multimodal {
     * `array_distinct`, which is a native function, not a lambda.
     */
   def featuresQuery(s: SparkSession, dir: String): DataFrame =
-    withPayload(Tables.documents(s, dir))
+    withPayload(asciiDocs(Tables.documents(s, dir)))
       .select(col("doc_id"),
         length(col("payload")).cast("long").as("n_bytes"),
         expr("size(array_distinct(split(decode(payload, 'UTF-8'), '')))")
@@ -479,7 +496,7 @@ object Multimodal {
     */
   def frameSampleQuery(s: SparkSession, dir: String,
                        stride: Int = 16): DataFrame =
-    withPayload(Tables.documents(s, dir))
+    withPayload(asciiDocs(Tables.documents(s, dir)))
       .select(col("doc_id"),
         graft.functions.ByteSample(col("payload"), stride).as("sample"))
       .select(col("doc_id"),
@@ -514,7 +531,7 @@ object Multimodal {
     */
   def audioSilenceQuery(s: SparkSession, dir: String, win: Int = 64,
                         thresholdSS: Long = 6400L): DataFrame = {
-    val sm = Tables.documents(s, dir)
+    val sm = asciiDocs(Tables.documents(s, dir))
       .select(col("doc_id"),
         posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -555,7 +572,7 @@ object Multimodal {
     * (doc, byte) aggregate, one per-doc rollup.
     */
   def byteEntropyQuery(s: SparkSession, dir: String): DataFrame = {
-    val bf = Tables.documents(s, dir)
+    val bf = asciiDocs(Tables.documents(s, dir))
       .select(col("doc_id"),
         explode(split(col("text"), "")).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
@@ -590,7 +607,7 @@ object Multimodal {
     */
   def shotDetectQuery(s: SparkSession, dir: String, frame: Int = 64,
                       threshold: Long = 150L): DataFrame = {
-    val sm = Tables.documents(s, dir)
+    val sm = asciiDocs(Tables.documents(s, dir))
       .select(col("doc_id"),
         posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -624,7 +641,7 @@ object Multimodal {
 
   def audioEnergyQuery(s: SparkSession, dir: String,
                        win: Int = 64): DataFrame = {
-    val sm = Tables.documents(s, dir)
+    val sm = asciiDocs(Tables.documents(s, dir))
       .select(col("doc_id"),
         posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -655,8 +672,11 @@ object Multimodal {
         round(coalesce(col("sum_ss"), lit(0L)).cast("double")
           / (coalesce(col("n_windows"), lit(1L)) * win), 4)
           .as("mean_energy"),
-        round(col("crossings").cast("double")
-          / (col("n_samples") - 1), 4).as("zcr"))
+        // single-sample doc: 0 crossings over 0 gaps is no signal,
+        // not a 0/0 — NULL on both engines (r12 fuzz)
+        when(col("n_samples") > 1,
+          round(col("crossings").cast("double")
+            / (col("n_samples") - 1), 4)).as("zcr"))
       .orderBy("doc_id")
   }
 }

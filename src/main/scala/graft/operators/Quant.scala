@@ -77,15 +77,19 @@ object Quant {
   /** Left-to-right cosine fold over two double-array SQL columns —
     * textually the same dot/(√·√) the DuckDB mirror's
     * list_cosine_similarity evaluates, so per-row values are
-    * bit-identical across engines.
+    * bit-identical across engines. NULL when either side is
+    * zero-norm (a degenerate vector has no cosine — the r12 fuzz's
+    * planted zero vector hit ANSI DIVIDE_BY_ZERO here); the report
+    * filters those rows on both engines.
     */
-  private def cosExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, " +
+  private def cosExpr(a: String, b: String): String = {
+    def ss(v: String) =
+      s"aggregate(zip_with($v, $v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    s"CASE WHEN ${ss(a)} * ${ss(b)} = 0D THEN CAST(NULL AS DOUBLE) ELSE " +
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, " +
       s"(acc, x) -> acc + x) / " +
-      s"(sqrt(aggregate(zip_with($a, $a, (x, y) -> x * y), 0D, " +
-      s"(acc, x) -> acc + x)) * " +
-      s"sqrt(aggregate(zip_with($b, $b, (x, y) -> x * y), 0D, " +
-      s"(acc, x) -> acc + x)))"
+      s"(sqrt(${ss(a)}) * sqrt(${ss(b)})) END"
+  }
 
   /** QUANTIZATION-LADDER FIDELITY REPORT — one row per codec (bq /
     * pq / sq8): corpus-average cosine between each vector and its
@@ -122,6 +126,7 @@ object Quant {
     val sq8 = e.select(
       expr(s"CAST(round((${cosExpr("vd", sqRecon)}) * 10000) AS BIGINT)")
         .as("micro"))
+      .where(col("micro").isNotNull)
       .agg(count(lit(1)).as("n_vecs"), sum("micro").as("ms"))
       .select(lit("sq8").as("method"), col("n_vecs"), col("ms"))
 
@@ -132,6 +137,7 @@ object Quant {
     val bq = e.select(
       expr(s"CAST(round((${cosExpr("vd", bqRecon)}) * 10000) AS BIGINT)")
         .as("micro"))
+      .where(col("micro").isNotNull)
       .agg(count(lit(1)).as("n_vecs"), sum("micro").as("ms"))
       .select(lit("bq").as("method"), col("n_vecs"), col("ms"))
 
@@ -154,6 +160,7 @@ object Quant {
     val pq = prec.select(
       expr(s"CAST(round((${cosExpr("vd", "rv")}) * 10000) AS BIGINT)")
         .as("micro"))
+      .where(col("micro").isNotNull)
       .agg(count(lit(1)).as("n_vecs"), sum("micro").as("ms"))
       .select(lit("pq").as("method"), col("n_vecs"), col("ms"))
 

@@ -68,8 +68,12 @@ object Search {
 
   private def bm25Impl(docs: DataFrame, queries: DataFrame, k: Int,
                        keep: Option[Column]): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      split(col("text"), " ").as("toks"))
+    // a NULL-text doc does not exist for the lexical index: it can
+    // carry no posting, so counting it in n_docs/avgdl would make the
+    // on-the-fly stats drift from the postings-derived sidecar (r12
+    // fuzz). One rule everywhere: text IS NOT NULL is the corpus.
+    val toks = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
 
     // one row: corpus size + mean doc length (integer sums → exact).
@@ -171,7 +175,8 @@ object Search {
   def bm25fTopK(docs: DataFrame, queries: DataFrame, k: Int,
                 titleLen: Int = 8, wTitle: Double = 2.0,
                 wBody: Double = 1.0): DataFrame = {
-    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val base = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl_t", least(size(col("toks")), lit(titleLen))
         .cast("double"))
       .withColumn("dl_b", greatest(size(col("toks")) - titleLen, lit(0))
@@ -757,8 +762,9 @@ object Search {
   def sparseDotQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val queries = fixedQueries(s)
-    val toks = docs.select(col("doc_id"),
-      split(col("text"), " ").as("toks"))
+    // NULL-text docs are not corpus members (the bm25Impl rule)
+    val toks = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"))
     val qterms = queries.select(col("qid"),
       explode(split(col("qtext"), " ")).as("term")).distinct()

@@ -250,7 +250,11 @@ object Sketch {
     */
   def histBinCounts(df: DataFrame, groupCol: String, valueCol: String,
                     binWidth: Int = 64): DataFrame =
-    df.select(col(groupCol),
+    // a NULL value has no bin: a NULL-bin row would sort NULLS-FIRST
+    // into Spark's cumulative rank and NULLS-LAST into DuckDB's,
+    // shifting every percentile (r12 fuzz)
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol),
         floor(col(valueCol).cast("double") / binWidth).cast("long")
           .as("bin"))
       .groupBy(col(groupCol), col("bin"))

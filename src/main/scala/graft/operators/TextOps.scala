@@ -153,8 +153,11 @@ object TextOps {
       .withColumn("bpe_tokens",
         size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
           .cast("long"))
+      // a doc with ZERO bpe tokens (whitespace-only) has no
+      // compression ratio — NULL, never a 0-division (r12 fuzz)
       .withColumn("chars_per_token",
-        round(length(col("text")).cast("double") / col("bpe_tokens"), 4))
+        when(col("bpe_tokens") > 0,
+          round(length(col("text")).cast("double") / col("bpe_tokens"), 4)))
       .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_token")
       .orderBy("doc_id")
 
@@ -346,7 +349,8 @@ object TextOps {
   private def chunks0(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
     require(size > overlap && overlap >= 0, "need 0 <= overlap < size")
     val stride = size - overlap
-    docs
+    // NULL-text docs are not corpus members (the Search.bm25Impl rule)
+    docs.where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n_toks", org.apache.spark.sql.functions.size(col("toks")))
       .select(col("doc_id"), col("toks"), col("n_toks"),
@@ -853,7 +857,10 @@ object TextOps {
       .where(col("g").isNotNull && length(col("g")) === 3)
       .select(col("doc_id"), col("lang"), col("g"))
     val isTrain = Sampling.hashBucket(col("doc_id")) < lit("cccd")
-    val langProf = grams.where(isTrain)
+    // a NULL lang label is no language: it must not form a profile
+    // (r12 fuzz: the NULL profile's argmin struct sorted NULLS-FIRST
+    // in Spark and NULLS-LAST in DuckDB, flipping the prediction)
+    val langProf = grams.where(isTrain && col("lang").isNotNull)
       .groupBy("lang", "g").agg(count(lit(1)).as("n"))
       .withColumn("lr", row_number().over(
         Window.partitionBy("lang").orderBy(col("n").desc, col("g"))))
@@ -1195,8 +1202,12 @@ object TextOps {
       .groupBy("t").agg(count(lit(1)).as("n")).localCheckpoint(true)
     val uniTot = uni.agg(sum("n").as("tt"))
     // totals over ALL bigrams (p(ab) is a corpus probability — the
-    // support filter prunes candidates, it must not shrink the space)
-    val bg0 = toks.select(explode(expr(
+    // support filter prunes candidates, it must not shrink the space).
+    // size >= 2 guard: sequence(0, -1) on a 1-token doc DESCENDS and
+    // indexes toks[-1] (r12 fuzz) — a doc with no bigram contributes
+    // no bigram rows
+    val bg0 = toks.where(size(col("toks")) >= 2)
+      .select(explode(expr(
         "transform(sequence(0, size(toks) - 2), " +
           "i -> struct(toks[i] as t1, toks[i + 1] as t2))")).as("p"))
       .select(col("p.t1").as("t1"), col("p.t2").as("t2"))

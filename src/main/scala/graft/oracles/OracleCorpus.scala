@@ -434,7 +434,7 @@ private[graft] object OracleCorpus {
         |        FROM sk),
         |hb AS (SELECT lang, CAST(floor(n_tok / 16.0) AS BIGINT) AS bin,
         |              CAST(count(*) AS BIGINT) AS cnt
-        |       FROM d GROUP BY 1, 2),
+        |       FROM d WHERE n_tok IS NOT NULL GROUP BY 1, 2),
         |hc AS (SELECT lang, bin, cnt,
         |              CAST(sum(cnt) OVER (PARTITION BY lang
         |                                  ORDER BY bin) AS BIGINT) AS cum,
@@ -472,7 +472,8 @@ private[graft] object OracleCorpus {
       """WITH b AS (SELECT lang,
         |             CAST(floor(n_chars / 64.0) AS BIGINT) AS bin,
         |             CAST(count(*) AS BIGINT) AS cnt
-        |           FROM documents GROUP BY 1, 2),
+        |           FROM documents WHERE n_chars IS NOT NULL
+        |           GROUP BY 1, 2),
         |c AS (SELECT lang, bin, cnt,
         |             CAST(sum(cnt) OVER (PARTITION BY lang
         |                                 ORDER BY bin) AS BIGINT) AS cum,

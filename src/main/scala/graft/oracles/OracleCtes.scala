@@ -46,7 +46,8 @@ private[graft] object OracleCtes {
     * raw one).
     */
   def shingleCteFrom(src: String, sfx: String = ""): String =
-    s"""w$sfx AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $src),
+    s"""w$sfx AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |      FROM $src WHERE text IS NOT NULL),
        |sh$sfx AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
        |         THEN list_transform(range(1, len(ws)-1),
        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
@@ -323,7 +324,7 @@ private[graft] object OracleCtes {
                         pre: String): String =
     s"""${pre}d AS (SELECT doc_id, string_split(text, ' ') AS toks,
       |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
-      |      FROM documents),
+      |      FROM documents WHERE text IS NOT NULL),
       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
       |       FROM d),
       |q AS ($qSql),

@@ -455,9 +455,12 @@ private[graft] object OracleDedup {
         |  UNION ALL
         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
         |st AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        |mxl AS (SELECT CAST(coalesce(max(len(toks)), 0) AS BIGINT)
+        |          AS m FROM st),
         |g AS (SELECT doc_id, pos,
         |        toks[pos+1] || ' ' || toks[pos+2] || ' ' || toks[pos+3] AS s
-        |      FROM st CROSS JOIN (SELECT unnest(range(128)) AS pos)
+        |      FROM st CROSS JOIN
+        |        (SELECT unnest(range(m)) AS pos FROM mxl)
         |      WHERE pos <= len(toks) - 3),
         |d AS (SELECT s FROM g GROUP BY s HAVING min(doc_id) <> max(doc_id)),
         |p AS (SELECT doc_id, pos,
@@ -635,16 +638,20 @@ private[graft] object OracleDedup {
          |  UNION ALL
          |  SELECT doc_id + 200000, text || ' zzyzx'
          |  FROM documents WHERE doc_id % 9 = 0),
+         |bids AS (SELECT doc_id + 200000 AS doc_id
+         |         FROM documents WHERE doc_id % 9 = 0),
          |${bandCteFrom("docs")},
          |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |         FROM bk a JOIN bk b ON a.band = b.band
          |           AND a.band_key = b.band_key
-         |         WHERE a.doc_id >= 200000 AND b.doc_id < 200000),
+         |         WHERE a.doc_id IN (SELECT doc_id FROM bids)
+         |           AND b.doc_id NOT IN (SELECT doc_id FROM bids)),
          |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
          |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
          |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n
          |          FROM shx x JOIN shx y ON x.s = y.s
-         |          WHERE x.doc_id >= 200000 AND y.doc_id < 200000
+         |          WHERE x.doc_id IN (SELECT doc_id FROM bids)
+         |            AND y.doc_id NOT IN (SELECT doc_id FROM bids)
          |          GROUP BY 1, 2)
          |SELECT c.id1 AS id1, c.id2 AS id2,
          |       round(n*1.0/(c1.c + c2.c - n), 4) AS jaccard

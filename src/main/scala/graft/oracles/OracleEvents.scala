@@ -207,7 +207,9 @@ private[graft] object OracleEvents {
     // schema-on-read: props JSON parsed inside the scan projection
     "events_json_props" ->
       """SELECT event_type,
-        |       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |       CAST(CAST(json_extract_string(
+        |           CASE WHEN json_valid(props) THEN props END, '$.k')
+        |           AS BIGINT)
         |         // 25 AS BIGINT) AS k_band,
         |       CAST(count(*) AS BIGINT) AS n,
         |       round(sum(value), 4) AS sum_value
@@ -404,13 +406,14 @@ private[graft] object OracleEvents {
     "events_power_analysis" ->
       """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |        CAST(sum(m) AS BIGINT) AS sx,
-        |        CAST(sum(m * m) AS BIGINT) AS qx
+        |        sum(CAST(m AS HUGEINT) * m) AS qx
         |      FROM (SELECT event_type,
         |              CAST(round(value * 100) AS BIGINT) AS m
         |            FROM events) GROUP BY 1),
         |d AS (SELECT event_type, n,
         |        CAST(sx AS DOUBLE) / n / CAST(100.0 AS DOUBLE) AS mean,
-        |        CAST(n * qx - sx * sx AS DOUBLE)
+        |        CAST(CAST(n AS HUGEINT) * qx
+        |            - CAST(sx AS HUGEINT) * sx AS DOUBLE)
         |          / CAST(n * (n - 1) AS DOUBLE)
         |          / CAST(10000.0 AS DOUBLE) AS vr
         |      FROM g WHERE n > 1)
@@ -436,7 +439,7 @@ private[graft] object OracleEvents {
         |        date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
         |          AS d,
         |        CAST(round(value * 100) AS BIGINT) AS cents
-        |      FROM events),
+        |      FROM events WHERE value IS NOT NULL),
         |bx AS (SELECT max(d) AS hi FROM ev),
         |db AS (SELECT event_type, d, cents // 800 AS bin,
         |        CAST(count(*) AS BIGINT) AS cnt
@@ -732,7 +735,7 @@ private[graft] object OracleEvents {
     "events_winsorized" ->
       """WITH m AS (SELECT event_type,
         |             CAST(round(value * 100) AS BIGINT) AS micro
-        |           FROM events),
+        |           FROM events WHERE value IS NOT NULL),
         |h AS (SELECT event_type, micro, CAST(count(*) AS BIGINT) AS c
         |      FROM m GROUP BY 1, 2),
         |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
@@ -1025,9 +1028,9 @@ private[graft] object OracleEvents {
          |SELECT event_type,
          |       CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS VARCHAR)
          |         AS day,
-         |       round(CAST(l AS DOUBLE) / 1000000.0, 4) AS level,
-         |       round(CAST(b AS DOUBLE) / 1000000.0, 4) AS trend,
-         |       round(CAST(l + b AS DOUBLE) / 1000000.0, 4) AS forecast1
+         |       round(CAST(l AS DOUBLE) / 1000000.0, 6) AS level,
+         |       round(CAST(b AS DOUBLE) / 1000000.0, 6) AS trend,
+         |       round(CAST(l + b AS DOUBLE) / 1000000.0, 6) AS forecast1
          |FROM f ORDER BY event_type, day""".stripMargin,
     // head-to-head backtest over the SAME Holt chain: one-step-ahead
     // = previous day's l+b (lag), naive = n seven days back; errors
@@ -1190,7 +1193,7 @@ private[graft] object OracleEvents {
     "events_mann_whitney" ->
       """WITH m AS (SELECT event_type, user_id % 2 AS variant,
         |             CAST(round(value * 100) AS BIGINT) AS micro
-        |           FROM events),
+        |           FROM events WHERE value IS NOT NULL),
         |g AS (SELECT event_type, micro, CAST(count(*) AS BIGINT) AS ct,
         |        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
         |          AS BIGINT) AS ca
@@ -1227,7 +1230,7 @@ private[graft] object OracleEvents {
     "events_ks_test" ->
       """WITH m AS (SELECT event_type, user_id % 2 AS variant,
         |             CAST(round(value * 100) AS BIGINT) AS micro
-        |           FROM events),
+        |           FROM events WHERE value IS NOT NULL),
         |g AS (SELECT event_type, micro,
         |        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
         |          AS BIGINT) AS ca,
@@ -1364,14 +1367,13 @@ private[graft] object OracleEvents {
         |                   CAST(round(value * 100) AS BIGINT) AS m
         |                 FROM events) GROUP BY 1),
         |p AS (SELECT n, sx, q,
-        |        CAST(round(CAST(CAST(sx AS HUGEINT) * sx AS DOUBLE)
-        |          / n * 1000) AS BIGINT) AS rq
+        |        (CAST(sx AS HUGEINT) * sx * 2000 + n) // (2 * n) AS rq
         |      FROM g),
         |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
         |        CAST(sum(n) AS BIGINT) AS nn,
         |        CAST(sum(sx) AS BIGINT) AS ss,
         |        CAST(sum(q) AS BIGINT) AS qq,
-        |        CAST(sum(rq) AS BIGINT) AS srq
+        |        sum(rq) AS srq
         |      FROM p)
         |SELECT k AS n_groups, nn AS n_obs,
         |       round(((CAST(srq AS DOUBLE) / 1000.0
@@ -1623,7 +1625,9 @@ private[graft] object OracleEvents {
         |         round((n - s1 * 1.0 / nd)
         |           / sqrt(s2 * 1.0 / nd
         |                  - (s1 * 1.0 / nd) * (s1 * 1.0 / nd)), 4) AS zscore
-        |       FROM st)
+        |       FROM st
+        |       WHERE s2 * 1.0 / nd
+        |             - (s1 * 1.0 / nd) * (s1 * 1.0 / nd) > 0)
         |SELECT event_type, day, n, zscore FROM zs
         |WHERE abs(zscore) >= 2.0 ORDER BY event_type, day""".stripMargin,
     "events_anomaly_online" ->

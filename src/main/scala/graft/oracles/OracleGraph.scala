@@ -783,7 +783,7 @@ private[graft] object OracleGraph {
         |r AS (SELECT qid, nn_id, s,
         |             row_number() OVER (PARTITION BY qid ORDER BY s DESC, nn_id)
         |               AS rk
-        |      FROM d)
+        |      FROM d WHERE s IS NOT NULL)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // one-row embedding norm audit in integer micro-units
@@ -910,24 +910,32 @@ private[graft] object OracleGraph {
          |        FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
          |mus AS (SELECT list(mu ORDER BY i) AS m FROM mud),
          |$pqCtes,
-         |sqm AS (SELECT CAST(round(list_cosine_similarity(e.v,
+         |sqm AS (SELECT CAST(round(list_cosine_similarity(v, rv)
+         |          * 10000) AS BIGINT) AS micro
+         |        FROM (SELECT e.v,
          |          list_transform(range(1, 65), i -> mm.mns[i] +
          |            (CASE WHEN mm.mxs[i] - mm.mns[i] <= 0 THEN 0.0
          |             ELSE least(255.0, greatest(0.0,
          |               round((e.v[i] - mm.mns[i])
          |                 / (mm.mxs[i] - mm.mns[i]) * 255.0))) END)
-         |            * (mm.mxs[i] - mm.mns[i]) / 255.0))
+         |            * (mm.mxs[i] - mm.mns[i]) / 255.0) AS rv
+         |          FROM e, mm)
+         |        WHERE list_inner_product(v, v)
+         |          * list_inner_product(rv, rv) > 0),
+         |bqm AS (SELECT CAST(round(list_cosine_similarity(v, rv)
          |          * 10000) AS BIGINT) AS micro
-         |        FROM e, mm),
-         |bqm AS (SELECT CAST(round(list_cosine_similarity(e.v,
+         |        FROM (SELECT e.v,
          |          list_transform(range(1, 65), i ->
          |            CASE WHEN e.v[i] > mus.m[i]
-         |                 THEN 1.0 ELSE -1.0 END)) * 10000) AS BIGINT)
-         |          AS micro
-         |        FROM e, mus),
+         |                 THEN 1.0 ELSE -1.0 END) AS rv
+         |          FROM e, mus)
+         |        WHERE list_inner_product(v, v)
+         |          * list_inner_product(rv, rv) > 0),
          |pqm AS (SELECT CAST(round(list_cosine_similarity(e.v, prec.rv)
          |          * 10000) AS BIGINT) AS micro
-         |        FROM e JOIN prec ON e.id = prec.id),
+         |        FROM e JOIN prec ON e.id = prec.id
+         |        WHERE list_inner_product(e.v, e.v)
+         |          * list_inner_product(prec.rv, prec.rv) > 0),
          |u AS (SELECT 'bq' AS method, CAST(count(*) AS BIGINT) AS n_vecs,
          |             sum(micro) AS ms FROM bqm
          |      UNION ALL SELECT 'pq', CAST(count(*) AS BIGINT),

@@ -16,18 +16,18 @@ private[graft] object OracleMultimodal {
     // actually went through the codec and came back exact
     "mm_decode" ->
       """SELECT doc_id,
-        |  CAST((8 + octet_length(encode(text)) % 13)
-        |     * (8 + octet_length(encode(text)) % 7) * 3 AS BIGINT)
+        |  CAST((8 + octet_length(encode(coalesce(text, ''))) % 13)
+        |     * (8 + octet_length(encode(coalesce(text, ''))) % 7) * 3 AS BIGINT)
         |    AS n_bytes,
-        |  CAST(8 + octet_length(encode(text)) % 13 AS BIGINT) AS width,
-        |  CAST(8 + octet_length(encode(text)) % 7 AS BIGINT) AS height,
+        |  CAST(8 + octet_length(encode(coalesce(text, ''))) % 13 AS BIGINT) AS width,
+        |  CAST(8 + octet_length(encode(coalesce(text, ''))) % 7 AS BIGINT) AS height,
         |  CAST(3 AS BIGINT) AS channels,
         |  md5(repeat(chr(CAST(32 + doc_id % 64 AS INTEGER))
-        |             || chr(CAST(32 + octet_length(encode(text)) % 64
+        |             || chr(CAST(32 + octet_length(encode(coalesce(text, ''))) % 64
         |                    AS INTEGER))
         |             || chr(65),
-        |             (8 + octet_length(encode(text)) % 13)
-        |           * (8 + octet_length(encode(text)) % 7))) AS checksum
+        |             (8 + octet_length(encode(coalesce(text, ''))) % 13)
+        |           * (8 + octet_length(encode(coalesce(text, ''))) % 7))) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
     // channel stats: the oracle REBUILDS the RGB gradient from the
     // pattern formula over a generate_series grid — a sum match per
@@ -62,13 +62,15 @@ private[graft] object OracleMultimodal {
     // are the contract, the char SQL is just DuckDB's closest mirror.
     "mm_features" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
         |  CAST(len(list_distinct(string_split(text, ''))) AS BIGINT)
         |    AS n_distinct_chars,
         |  round(list_aggregate(list_transform(string_split(text, ''),
         |          c -> ascii(c)), 'sum') * 1.0 / length(text), 4)
         |    AS mean_byte
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents
+        |WHERE octet_length(encode(text)) = length(text) AND len(text) > 0
+        |ORDER BY doc_id""".stripMargin,
     // audio leg: payload as 8-bit PCM centered at 96, 64-sample
     // windows — integer-exact energy until the final sqrt/divisions
     // gaps-and-islands over silent windows: w − rank is constant
@@ -79,9 +81,11 @@ private[graft] object OracleMultimodal {
     // within a maximal run — pure integer run-length, no iteration
     "mm_audio_silence" ->
       """WITH sm AS (SELECT doc_id, i - 1 AS pos,
-        |              ord(substr(text, CAST(i AS INTEGER), 1)) - 96 AS x
+        |              CAST(ord(substr(text, CAST(i AS INTEGER), 1)) - 96 AS BIGINT) AS x
         |            FROM documents,
-        |              unnest(range(1, len(text) + 1)) AS t(i)),
+        |              unnest(range(1, len(text) + 1)) AS t(i)
+        |            WHERE octet_length(encode(text)) = length(text)
+        |              AND len(text) > 0),
         |wnd AS (SELECT doc_id, pos // 64 AS w,
         |          CAST(count(*) AS BIGINT) AS wn,
         |          CAST(sum(x * x) AS BIGINT) AS ss
@@ -111,6 +115,8 @@ private[graft] object OracleMultimodal {
         |             AS ch, count(*) AS c
         |           FROM documents,
         |             unnest(range(1, len(text) + 1)) AS t(i)
+        |           WHERE octet_length(encode(text)) = length(text)
+        |             AND len(text) > 0
         |           GROUP BY 1, 2),
         |wn AS (SELECT doc_id, ch, c,
         |         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
@@ -127,9 +133,11 @@ private[graft] object OracleMultimodal {
     // shot boundaries: |Δ frame-sum| > 150 cuts, runs between cuts
     "mm_shot_detect" ->
       """WITH sm AS (SELECT doc_id, i - 1 AS pos,
-        |              ord(substr(text, CAST(i AS INTEGER), 1)) - 96 AS x
+        |              CAST(ord(substr(text, CAST(i AS INTEGER), 1)) - 96 AS BIGINT) AS x
         |            FROM documents,
-        |              unnest(range(1, len(text) + 1)) AS t(i)),
+        |              unnest(range(1, len(text) + 1)) AS t(i)
+        |            WHERE octet_length(encode(text)) = length(text)
+        |              AND len(text) > 0),
         |fr AS (SELECT doc_id, pos // 64 AS f,
         |         CAST(count(*) AS BIGINT) AS fn,
         |         CAST(sum(x) AS BIGINT) AS fsum
@@ -152,9 +160,11 @@ private[graft] object OracleMultimodal {
         |FROM runs GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "mm_audio_energy" ->
       """WITH sm AS (SELECT doc_id, i - 1 AS pos,
-        |              ord(substr(text, CAST(i AS INTEGER), 1)) - 96 AS x
+        |              CAST(ord(substr(text, CAST(i AS INTEGER), 1)) - 96 AS BIGINT) AS x
         |            FROM documents,
-        |              unnest(range(1, len(text) + 1)) AS t(i)),
+        |              unnest(range(1, len(text) + 1)) AS t(i)
+        |            WHERE octet_length(encode(text)) = length(text)
+        |              AND len(text) > 0),
         |zc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
         |         CAST(sum(CASE WHEN px IS NOT NULL AND x * px < 0
         |                       THEN 1 ELSE 0 END) AS BIGINT) AS crossings
@@ -176,15 +186,18 @@ private[graft] object OracleMultimodal {
         |         AS peak_rms,
         |       round(CAST(coalesce(pd.sum_ss, 0) AS DOUBLE)
         |         / (coalesce(pd.n_windows, 1) * 64), 4) AS mean_energy,
-        |       round(CAST(zc.crossings AS DOUBLE)
-        |         / (zc.n_samples - 1), 4) AS zcr
+        |       CASE WHEN zc.n_samples > 1 THEN
+        |         round(CAST(zc.crossings AS DOUBLE)
+        |           / (zc.n_samples - 1), 4) END AS zcr
         |FROM zc LEFT JOIN pd ON zc.doc_id = pd.doc_id
         |ORDER BY zc.doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id,
         |  list_transform(range(0, (length(text)-1)//16 + 1),
         |    i -> substr(text, CAST(i*16+1 AS INT), 1)) AS frames
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) = length(text)
+        |    AND len(text) > 0)
         |SELECT doc_id, CAST(len(frames) AS BIGINT) AS n_frames,
         |       md5(array_to_string(frames, '')) AS sample_md5
         |FROM f ORDER BY doc_id""".stripMargin,

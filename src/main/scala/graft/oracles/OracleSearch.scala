@@ -94,7 +94,7 @@ private[graft] object OracleSearch {
          |          AS dl_t,
          |        CAST(greatest(len(string_split(text, ' ')) - 8, 0)
          |          AS DOUBLE) AS dl_b
-         |      FROM documents),
+         |      FROM documents WHERE text IS NOT NULL),
          |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
          |         avg(dl_t) AS avg_t, avg(dl_b) AS avg_b FROM d),
          |q AS ($bm25QValues),
@@ -577,7 +577,7 @@ private[graft] object OracleSearch {
         |r AS (SELECT qid, nn_id, s,
         |             row_number() OVER (PARTITION BY qid ORDER BY s DESC, nn_id)
         |               AS rk
-        |      FROM d)
+        |      FROM d WHERE s IS NOT NULL)
         |SELECT r.qid, r.rk, r.nn_id, round(r.s, 4) AS score,
         |       doc.lang AS lang, doc.source AS source
         |FROM r JOIN documents doc ON r.nn_id = doc.doc_id

@@ -103,8 +103,11 @@ private[graft] object OracleText {
         |uni AS (SELECT u.t, CAST(count(*) AS BIGINT) AS n
         |        FROM (SELECT unnest(toks) AS t FROM t) u GROUP BY 1),
         |ut AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM uni),
+        |mxl AS (SELECT CAST(coalesce(max(len(toks)), 0) AS BIGINT)
+        |          AS m FROM t),
         |bg0 AS (SELECT toks[i.i + 1] AS t1, toks[i.i + 2] AS t2
-        |        FROM t CROSS JOIN (SELECT unnest(range(256)) AS i) i
+        |        FROM t CROSS JOIN
+        |          (SELECT unnest(range(m)) AS i FROM mxl) i
         |        WHERE i.i <= len(toks) - 2),
         |bgc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_ab
         |        FROM bg0 GROUP BY 1, 2),
@@ -163,9 +166,11 @@ private[graft] object OracleText {
         |  FROM t)
         |SELECT doc_id, round(en_score, 4) AS en_score,
         |       round(de_score, 4) AS de_score, round(fr_score, 4) AS fr_score,
-        |       list_sort([{'ns': -en_score, 'l': 'en'},
-        |                  {'ns': -de_score, 'l': 'de'},
-        |                  {'ns': -fr_score, 'l': 'fr'}])[1].l AS predicted
+        |       CASE WHEN en_score IS NULL THEN NULL ELSE
+        |         list_sort([{'ns': -en_score, 'l': 'en'},
+        |                    {'ns': -de_score, 'l': 'de'},
+        |                    {'ns': -fr_score, 'l': 'fr'}])[1].l
+        |       END AS predicted
         |FROM sc ORDER BY doc_id""".stripMargin,
     // language-ID confusion matrix: the langid mirror's argmax
     // grouped against the ground-truth lang column
@@ -253,9 +258,11 @@ private[graft] object OracleText {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
         |    AS BIGINT) AS bpe_tokens,
-        |  round(length(text)*1.0
-        |    / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4)
-        |    AS chars_per_token
+        |  CASE WHEN len(regexp_extract_all(text,
+        |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) > 0 THEN
+        |    round(length(text)*1.0
+        |      / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 4)
+        |  END AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
     // quantile_cont ≡ Spark's exact `percentile` (both linear
     // interpolation at index p·(n−1))
@@ -267,7 +274,7 @@ private[graft] object OracleText {
     "text_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |                  len(string_split(text, ' ')) AS n
-        |           FROM documents),
+        |           FROM documents WHERE text IS NOT NULL),
         |x AS (SELECT doc_id, toks, n,
         |             unnest(range(0, greatest(n, 1), 24)) AS st
         |      FROM t)
@@ -286,7 +293,7 @@ private[graft] object OracleText {
     "chunk_pack" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
         |                  len(string_split(text, ' ')) AS n
-        |           FROM documents),
+        |           FROM documents WHERE text IS NOT NULL),
         |x AS (SELECT doc_id, n, unnest(range(0, greatest(n, 1), 24)) AS st
         |      FROM t),
         |c AS (SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
@@ -716,7 +723,7 @@ private[graft] object OracleText {
         |        ORDER BY n DESC, g) AS lr
         |    FROM (SELECT lang, g, CAST(count(*) AS BIGINT) AS n
         |          FROM g WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-        |            < 'cccd'
+        |            < 'cccd' AND lang IS NOT NULL
         |          GROUP BY 1, 2)) WHERE lr <= 20),
         |dp AS (SELECT doc_id, g, dr FROM (
         |    SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id

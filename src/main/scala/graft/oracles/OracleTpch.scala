@@ -402,9 +402,11 @@ private[graft] object OracleTpch {
     // DOUBLE numerators from HUGEINT-exact integers
     "part_price_elasticity" ->
       """WITH li AS (SELECT l_partkey,
-        |         CAST(round(ln(l_extendedprice / l_quantity) * 1000000)
-        |           AS BIGINT) AS x,
-        |         CAST(round(ln(l_quantity) * 1000000) AS BIGINT) AS y
+        |         CASE WHEN l_quantity > 0 AND l_extendedprice > 0 THEN
+        |           CAST(round(ln(l_extendedprice / l_quantity) * 1000000)
+        |             AS BIGINT) END AS x,
+        |         CASE WHEN l_quantity > 0 THEN
+        |           CAST(round(ln(l_quantity) * 1000000) AS BIGINT) END AS y
         |       FROM lineitem),
         |g AS (SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
         |        CAST(sum(x) AS BIGINT) AS sx,
@@ -660,8 +662,10 @@ private[graft] object OracleTpch {
     "q9_profit" ->
       """SELECT n.n_name AS nation,
         |       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-        |       round(sum(l.l_extendedprice * (1 - l.l_discount)
-        |                 - 0.8 * p.p_retailprice * l.l_quantity), 2)
+        |       round(CAST(sum(CAST(round((l.l_extendedprice
+        |                 * (1 - l.l_discount)
+        |                 - 0.8 * p.p_retailprice * l.l_quantity) * 100)
+        |               AS BIGINT)) AS DOUBLE) / 100.0, 2)
         |         AS sum_profit
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey

@@ -524,7 +524,7 @@ private[graft] object OracleVector {
         |      FROM embeddings e CROSS JOIN q),
         |r AS (SELECT qid, nn_id, s,
         |             row_number() OVER (PARTITION BY qid ORDER BY s DESC, nn_id) AS rk
-        |      FROM d)
+        |      FROM d WHERE s IS NOT NULL)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "vdb_query_by_id" ->

@@ -41,8 +41,12 @@ object HoltStream {
     (l, b)
   }
 
-  private def dp4(v: Double): Double =
-    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  /** 6dp, matching the batch surface (r12): the micro-unit quotient
+    * has exactly six decimals, so 6dp rounding never lands on a .5
+    * boundary — 4dp did, and Spark/DuckDB round .XXXX5 differently.
+    */
+  private def dp6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   def update(eventType: String, rows: Iterator[DailyCount],
              state: GroupState[HoltState]): Iterator[HoltPoint] = {
@@ -51,8 +55,8 @@ object HoltStream {
       val window = (recent :+ d.n).takeRight(WindowDays)
       val (l, b) = fold(window)
       recent = (recent :+ d.n).takeRight(WindowDays - 1)
-      HoltPoint(eventType, d.day, dp4(l.toDouble / 1e6),
-        dp4(b.toDouble / 1e6), dp4((l + b).toDouble / 1e6))
+      HoltPoint(eventType, d.day, dp6(l.toDouble / 1e6),
+        dp6(b.toDouble / 1e6), dp6((l + b).toDouble / 1e6))
     }
     state.update(HoltState(recent))
     out.iterator
