@@ -74,7 +74,10 @@ object Quant {
     sq8Search(e, q, k = 10)
   }
 
-  /** Left-to-right cosine fold over two double-array SQL columns —
+  /** Left-to-right cosine fold over two double-array columns, STAGED
+    * (each fold evaluated once — the zero-norm CASE guard would
+    * otherwise repeat the big aggregate lambdas, which whole-stage
+    * codegen does not CSE; measured 3.6s vs 1.6s on the bench):
     * textually the same dot/(√·√) the DuckDB mirror's
     * list_cosine_similarity evaluates, so per-row values are
     * bit-identical across engines. NULL when either side is
@@ -82,13 +85,16 @@ object Quant {
     * planted zero vector hit ANSI DIVIDE_BY_ZERO here); the report
     * filters those rows on both engines.
     */
-  private def cosExpr(a: String, b: String): String = {
+  private def cosMicro(src: DataFrame, a: String, bExpr: String): DataFrame = {
     def ss(v: String) =
       s"aggregate(zip_with($v, $v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    s"CASE WHEN ${ss(a)} * ${ss(b)} = 0D THEN CAST(NULL AS DOUBLE) ELSE " +
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, " +
-      s"(acc, x) -> acc + x) / " +
-      s"(sqrt(${ss(a)}) * sqrt(${ss(b)})) END"
+    src.select(col(a).as("va"), expr(bExpr).as("vb"))
+      .select(expr(s"${ss("va")}").as("na"), expr(s"${ss("vb")}").as("nb"),
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, " +
+          "(acc, x) -> acc + x)").as("dot"))
+      .select(expr("CASE WHEN na * nb = 0D THEN CAST(NULL AS BIGINT) " +
+        "ELSE CAST(round(dot / (sqrt(na) * sqrt(nb)) * 10000) AS BIGINT) " +
+        "END").as("micro"))
   }
 
   /** QUANTIZATION-LADDER FIDELITY REPORT — one row per codec (bq /
@@ -123,9 +129,7 @@ object Quant {
         s"round((element_at(vd, i) - element_at($mnsA, i)) / " +
         s"(element_at($mxsA, i) - element_at($mnsA, i)) * 255.0))) END) " +
         s"* (element_at($mxsA, i) - element_at($mnsA, i)) / 255.0)"
-    val sq8 = e.select(
-      expr(s"CAST(round((${cosExpr("vd", sqRecon)}) * 10000) AS BIGINT)")
-        .as("micro"))
+    val sq8 = cosMicro(e, "vd", sqRecon)
       .where(col("micro").isNotNull)
       .agg(count(lit(1)).as("n_vecs"), sum("micro").as("ms"))
       .select(lit("sq8").as("method"), col("n_vecs"), col("ms"))
@@ -134,9 +138,7 @@ object Quant {
     val bqRecon =
       s"transform(sequence(1, 64), i -> CASE WHEN element_at(vd, i) > " +
         s"element_at($musA, i) THEN 1.0 ELSE -1.0 END)"
-    val bq = e.select(
-      expr(s"CAST(round((${cosExpr("vd", bqRecon)}) * 10000) AS BIGINT)")
-        .as("micro"))
+    val bq = cosMicro(e, "vd", bqRecon)
       .where(col("micro").isNotNull)
       .agg(count(lit(1)).as("n_vecs"), sum("micro").as("ms"))
       .select(lit("bq").as("method"), col("n_vecs"), col("ms"))
@@ -157,9 +159,7 @@ object Quant {
       .agg(first("vd").as("vd"),
         flatten(expr("transform(array_sort(collect_list(" +
           "struct(sub, cw))), x -> x.cw)")).as("rv"))
-    val pq = prec.select(
-      expr(s"CAST(round((${cosExpr("vd", "rv")}) * 10000) AS BIGINT)")
-        .as("micro"))
+    val pq = cosMicro(prec, "vd", "rv")
       .where(col("micro").isNotNull)
       .agg(count(lit(1)).as("n_vecs"), sum("micro").as("ms"))
       .select(lit("pq").as("method"), col("n_vecs"), col("ms"))
