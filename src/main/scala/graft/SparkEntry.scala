@@ -85,6 +85,7 @@ object SparkEntry {
     "vdb_search_requests" -> (SearchApi.searchRequestsQuery _),
     "vdb_search_routed" -> (SearchApi.searchRoutedQuery _),
     "vdb_search_routed_ef" -> (SearchApi.searchRoutedEfQuery _),
+    "vdb_count_requests" -> (SearchApi.countRequestsQuery _),
     "vdb_batch_knn" -> ((s, d) =>
       Knn.topK(emb(s, d), batchQset(s, d), 5, Knn.Metric.Cosine)),
     "vdb_query_by_id" -> ((s, d) =>
@@ -213,6 +214,7 @@ object SparkEntry {
     "mm_shot_detect" -> ((s, d) => Multimodal.shotDetectQuery(s, d)),
     "mm_byte_entropy" -> (Multimodal.byteEntropyQuery _),
     "mm_phash" -> (Multimodal.phashQuery _),
+    "mm_format_sniff" -> (Multimodal.formatSniffQuery _),
     "mm_channel_stats" -> (Multimodal.channelStatsQuery _),
     "mm_resize" -> (Multimodal.resizeQuery _),
     "dedup_phash_hamming" -> ((s, d) => Multimodal.phashHammingQuery(s, d)),

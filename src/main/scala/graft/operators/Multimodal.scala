@@ -560,6 +560,35 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** FORMAT SNIFFING by MAGIC BYTES — the first triage every binary
+    * ingest pipeline runs (route by container before any codec):
+    * classify each payload by its leading bytes (PNG \x89PNG\r\n,
+    * JPEG \xFF\xD8\xFF, GIF87a/89a, %PDF, RIFF, else raw). The
+    * fixture interleaves REAL PNG encodes (even doc ids, the
+    * [[withImagePayload]] codec round trip) with raw utf-8 text
+    * payloads (odd ids), so the oracle predicts the answer from id
+    * parity alone — a match proves the sniffer read genuine magic
+    * bytes off a genuine codec output, not a label column. Pure
+    * columnar: one hex-prefix projection, no mapPartitions (the
+    * codec seam stays at encode).
+    */
+  def formatSniffQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val png = withImagePayload(s, docs.where(col("doc_id") % 2 === 0))
+    val raw = withPayload(docs.where(col("doc_id") % 2 =!= 0))
+    png.unionByName(raw)
+      .select(col("doc_id"),
+        upper(hex(substring(col("payload"), 1, 4))).as("magic"))
+      .select(col("doc_id"),
+        when(col("magic").startsWith("89504E47"), "png")
+          .when(col("magic").startsWith("FFD8FF"), "jpeg")
+          .when(col("magic").startsWith("47494638"), "gif")
+          .when(col("magic").startsWith("25504446"), "pdf")
+          .when(col("magic").startsWith("52494646"), "riff")
+          .otherwise("raw").as("format"))
+      .orderBy("doc_id")
+  }
+
   /** BYTE-ENTROPY TRIAGE — floor-log₂ entropy of each payload's
     * byte histogram: the compressibility proxy a binary-asset
     * pipeline uses to route content before any codec runs (near-8

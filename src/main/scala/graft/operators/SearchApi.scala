@@ -177,6 +177,51 @@ object SearchApi {
     searchRouted(s, dir, data, reqs, maxK = 10)
   }
 
+  /** COUNT REQUEST BATCH — the vector-store `/count` API (how many
+    * points match this filter?) every production store exposes beside
+    * search: the reference's filter payload ({fieldName, fieldValue,
+    * op}) applied as a COUNT, per request, heterogeneous filters in
+    * ONE corpus pass. Same anatomy as [[searchRequests]] minus the
+    * vector math: requests broadcast, the filter evaluates as a
+    * codegen join predicate, and the aggregate is a qid-keyed count
+    * with map-side partial aggregation — the shuffle carries
+    * O(requests × partitions) rows whatever the corpus size. An
+    * unfiltered request (fop NULL) counts the corpus; a request
+    * matching nothing still emits its row (left join against the
+    * request frame — a count API never omits an answer).
+    *
+    * @param reqs (qid, fop '='|'!='|NULL, fval)
+    * @return (qid, n_points)
+    */
+  def countRequests(data: DataFrame, reqs: DataFrame): DataFrame = {
+    val pass = col("fop").isNull ||
+      (col("fop") === "=" && col("label") === col("fval")) ||
+      (col("fop") === "!=" && col("label") =!= col("fval"))
+    val counted = data.select(col("label"))
+      .crossJoin(broadcast(reqs))
+      .where(pass)
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_points"))
+    reqs.select("qid").join(counted, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_points"), lit(0L)).as("n_points"))
+      .orderBy("qid")
+  }
+
+  /** Count surface query: the filter-op cycle the search batch uses,
+    * plus one guaranteed-empty request (fval outside the label
+    * domain) pinning the zero-anchor row.
+    */
+  def countRequestsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("label"))
+    val reqs = Seq(
+      (0L, Option("="), 5L), (1L, Option("!="), 5L),
+      (2L, Option.empty[String], 0L), (3L, Option("="), 9999L))
+      .toDF("qid", "fop", "fval")
+    countRequests(data, reqs)
+  }
+
   /** Routed batch with PER-REQUEST SEARCH EFFORT — the last
     * reference-API parameter expressible as data (hnswlib_index.h:16
     * `ef_search`, applied via setEf at hnswlib_index.cc:30): FLAT

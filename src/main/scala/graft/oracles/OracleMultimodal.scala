@@ -271,6 +271,15 @@ private[graft] object OracleMultimodal {
         |  CAST(sum(v) AS BIGINT) AS px_sum,
         |  CAST(sum(v * (y * 8 + x + 1)) AS BIGINT) AS px_wsum
         |FROM px GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // format sniffing: even ids carry REAL PNG encodes, odd ids raw
+    // utf-8 — the oracle predicts from parity alone, so a match
+    // proves the sniffer read genuine magic bytes off a genuine
+    // codec output
+    "mm_format_sniff" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'raw' END
+        |         AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_phash" ->
       """WITH px AS (SELECT d.doc_id, a.x, b.y,
         |    CAST(((d.doc_id % 50) * 7 + a.x * 13 + b.y * 31) % 256

@@ -516,6 +516,22 @@ private[graft] object OracleVector {
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // /count API: heterogeneous filter batch, one pass, zero-anchored
+    // (an unmatched request still answers 0)
+    "vdb_count_requests" ->
+      """WITH r AS (SELECT CAST(qid AS BIGINT) AS qid, fop,
+        |             CAST(fval AS BIGINT) AS fval
+        |           FROM (VALUES (0, '=', 5), (1, '!=', 5),
+        |             (2, NULL, 0), (3, '=', 9999)) t(qid, fop, fval)),
+        |c AS (SELECT r.qid, CAST(count(*) AS BIGINT) AS n
+        |      FROM embeddings e JOIN r
+        |        ON r.fop IS NULL
+        |        OR (r.fop = '=' AND e.label = r.fval)
+        |        OR (r.fop = '!=' AND e.label <> r.fval)
+        |      GROUP BY 1)
+        |SELECT r.qid, CAST(coalesce(c.n, 0) AS BIGINT) AS n_points
+        |FROM r LEFT JOIN c ON r.qid = c.qid
+        |ORDER BY r.qid""".stripMargin,
     "vdb_batch_knn" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id % 25 = 0),
