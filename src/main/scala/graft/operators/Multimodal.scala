@@ -572,11 +572,9 @@ object Multimodal {
     * columnar: one hex-prefix projection, no mapPartitions (the
     * codec seam stays at encode).
     */
-  def formatSniffQuery(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val png = withImagePayload(s, docs.where(col("doc_id") % 2 === 0))
-    val raw = withPayload(docs.where(col("doc_id") % 2 =!= 0))
-    png.unionByName(raw)
+  /** The classifier itself, over any (doc_id, payload) frame. */
+  def sniffFormat(payloads: DataFrame): DataFrame =
+    payloads
       .select(col("doc_id"),
         upper(hex(substring(col("payload"), 1, 4))).as("magic"))
       .select(col("doc_id"),
@@ -586,7 +584,12 @@ object Multimodal {
           .when(col("magic").startsWith("25504446"), "pdf")
           .when(col("magic").startsWith("52494646"), "riff")
           .otherwise("raw").as("format"))
-      .orderBy("doc_id")
+
+  def formatSniffQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val png = withImagePayload(s, docs.where(col("doc_id") % 2 === 0))
+    val raw = withPayload(docs.where(col("doc_id") % 2 =!= 0))
+    sniffFormat(png.unionByName(raw)).orderBy("doc_id")
   }
 
   /** BYTE-ENTROPY TRIAGE — floor-log₂ entropy of each payload's

@@ -71,6 +71,31 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("format sniffer classifies by real magic bytes, not labels") {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    val crafted = Seq(
+      (1L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A)),
+      (2L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)),
+      (3L, "GIF89a....".getBytes(UTF_8)),
+      (4L, "%PDF-1.7".getBytes(UTF_8)),
+      (5L, "RIFF....WAVE".getBytes(UTF_8)),
+      (6L, "plain words".getBytes(UTF_8)),
+      (7L, Array.emptyByteArray)
+    ).toDF("doc_id", "payload")
+    val got = graft.operators.Multimodal.sniffFormat(crafted)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "gif",
+      4L -> "pdf", 5L -> "riff", 6L -> "raw", 7L -> "raw"))
+    // and the surface query's even docs really decode as PNG (the
+    // codec output carries the magic — the oracle's parity prediction
+    // rests on this)
+    val surface = graft.operators.Multimodal.formatSniffQuery(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(surface.forall { case (id, f) =>
+      if (id % 2 == 0) f == "png" else f == "raw" })
+  }
+
   test("phash dup groups cover every doc sharing a seed") {
     val dups = Multimodal.phashDupQuery(spark, sf).collect()
     // sf docs: doc_id mod 50 collides whenever the corpus has >50 docs

@@ -158,4 +158,26 @@ class SearchApiSpec extends SparkSuite {
       new Directory(tmp.toFile).deleteRecursively()
     }
   }
+
+  test("count batch: per-request filters agree with direct counts; " +
+    "unmatched requests zero-anchor; one partial-aggregated pass") {
+    import spark.implicits._
+    val data = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("label"))
+    val reqs = Seq(
+      (0L, Option("="), 5L), (1L, Option("!="), 5L),
+      (2L, Option.empty[String], 0L), (3L, Option("="), 9999L))
+      .toDF("qid", "fop", "fval")
+    val got = SearchApi.countRequests(data, reqs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = data.count()
+    val eq5 = data.where(col("label") === 5).count()
+    assert(got == Map(0L -> eq5, 1L -> (n - eq5), 2L -> n, 3L -> 0L))
+    // the qid-keyed count partial-aggregates before the exchange: the
+    // shuffle carries request-sized partials, never corpus rows
+    val plan = SearchApi.countRequests(data, reqs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial"),
+      s"no map-side partial aggregation in:\n$plan")
+  }
 }
