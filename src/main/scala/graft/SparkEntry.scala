@@ -197,6 +197,7 @@ object SparkEntry {
     "vdb_range_search" -> ((s, d) =>
       Knn.radius(emb(s, d), qset(s, d), Knn.Metric.Cosine, 0.25)),
     "ann_ivf_range" -> (Ann.ivfRangeQuery _),
+    "ann_ivf_nprobe" -> (Ann.ivfNprobeQuery _),
     "ann_ivf_sq8" -> (Ann.ivfSq8Query _),
     "ann_ivf_bq" -> (Ann.ivfBqQuery _),
     "ann_lsh" -> (Ann.lshQuery _),

@@ -681,6 +681,60 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** Per-request PROBE EFFORT on the IVF index — nprobe as REQUEST
+    * DATA, the IVF twin of [[nswSearchEf]]'s ef budget (FAISS exposes
+    * nprobe per search call for exactly this: latency-sensitive
+    * requests probe one cell, recall-sensitive ones probe more). The
+    * per-request width is a COLUMN driving the probe-slice length
+    * (`slice(cells, 1, np)` — a codegen projection, no plan change
+    * per effort class), so a heterogeneous batch runs as ONE plan
+    * whose scan fan-out per request is its own np × cell size.
+    * `nprobe_used` is emitted as data (the rounds_used discipline) so
+    * the oracle mirrors the same clamp expression. Monotone by
+    * construction: a request's np=1 candidate set is the first cell
+    * of its np=3 set (AnnSpec pins subset-ness and the
+    * homogeneous-batch ≡ fixed-nprobe equivalence).
+    *
+    * @param reqs (qid, qvec, nprobe) — clamped to [1, maxNprobe]
+    */
+  def ivfSearchNprobe(s: SparkSession, dir: String, reqs: DataFrame,
+                      k: Int, maxNprobe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(e, 200)))
+    val assigned = assignTo(e, cents)
+    val probes = reqs.select(col("qid"), col("qvec"),
+        least(greatest(col("nprobe").cast("int"), lit(1)),
+          lit(maxNprobe)).as("np"))
+      .select(col("qid"), col("qvec"), col("np"),
+        explode(slice(array_sort(centroidDists(col("qvec"), cents)),
+          lit(1), col("np"))).as("p"))
+      .select(col("qid"), col("qvec"), col("np"), col("p.cell").as("cell"))
+    val scored = assigned.join(probes, "cell")
+      .select(col("qid"), col("np"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    val agg = TopKAgg.topK(k)
+    scored.groupBy("qid", "np")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), col("np"), posexplode(col("top.items")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"),
+        round(-col("col.key"), 4).as("score"),
+        col("np").cast("long").as("nprobe_used"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Heterogeneous-nprobe surface: even qids probe 1 cell, odd 3. */
+  def ivfNprobeQuery(s: SparkSession, dir: String): DataFrame = {
+    val reqs = Tables.embeddings(s, dir).where(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        when(col("vec_id") % 2 === 0, 1L).otherwise(3L).as("nprobe"))
+    ivfSearchNprobe(s, dir, reqs, k = 10)
+  }
+
   /** MUTUAL-kNN pairs — edges present in BOTH directions of the kNN
     * graph (a ∈ kNN(b) ∧ b ∈ kNN(a)), the high-precision duplicate /
     * same-cluster signal asymmetric kNN lists are noisy on. One

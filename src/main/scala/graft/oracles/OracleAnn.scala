@@ -109,6 +109,29 @@ private[graft] object OracleAnn {
          |SELECT qid, id AS nn_id, round(s, 4) AS score
          |FROM sc WHERE s IS NOT NULL AND s >= 0.25
          |ORDER BY qid, nn_id""".stripMargin,
+    // per-request nprobe (FAISS's per-call effort knob as data): the
+    // probe width is a per-qid row_number bound off the same clamp
+    // expression the Spark side emits as nprobe_used
+    "ann_ivf_nprobe" ->
+      s"""WITH $ivfCtes,
+         |qq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+         |         CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 3 END AS np
+         |       FROM embeddings WHERE vec_id < 6),
+         |prn AS (SELECT qid, np, cell FROM (SELECT qq.qid, qq.np, c.cell,
+         |    row_number() OVER (PARTITION BY qq.qid
+         |      ORDER BY ${ivfCd("qq.qv", "c.cv")}, c.cell) AS rn
+         |  FROM qq CROSS JOIN c2 c) WHERE rn <= np),
+         |sc AS (SELECT prn.qid, prn.np, a.id,
+         |         list_cosine_similarity(a.v, qq.qv) AS s
+         |       FROM af a JOIN prn ON a.cell = prn.cell
+         |       JOIN qq ON prn.qid = qq.qid),
+         |r AS (SELECT qid, np, id, s,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY s DESC, id) AS rk
+         |       FROM sc WHERE s IS NOT NULL)
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score,
+         |       CAST(np AS BIGINT) AS nprobe_used
+         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "ann_nsw" -> nswOracle,
     // filtered graph search: rank the filter-passing VISITED set
     // (bf0 ∪ bc1..3 — every id any beam round scored)

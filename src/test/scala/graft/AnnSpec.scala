@@ -530,6 +530,32 @@ class AnnSpec extends SparkSuite {
     assert(mRec >= fRec - 0.021, s"gated recall $mRec fell from full $fRec")
   }
 
+  test("per-request nprobe: homogeneous batch equals fixed-nprobe IVF; " +
+    "a request's np=1 cells prefix its np=3 cells") {
+    def reqs(np: Long) = Tables.embeddings(spark, sf)
+      .where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        lit(np).as("nprobe"))
+    val viaData = Ann.ivfSearchNprobe(spark, sf, reqs(2L), k = 10)
+      .select("qid", "rk", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaFixed = Ann.ivfSearchCached(spark, sf,
+        reqs(2L).select("qid", "qvec"), k = 10, nprobe = 2)
+      .select("qid", "rk", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaData == viaFixed,
+      "nprobe-as-data diverged from the fixed-nprobe plan")
+    // effort monotonicity: each query's np=1 answer set ⊆ its corpus
+    // reachable under np=3 (the wider probe can only add candidates)
+    def hits(np: Long) = Ann.ivfSearchNprobe(spark, sf, reqs(np), 10)
+      .select("qid", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val extraRecall = Ann.ivfSearchNprobe(spark, sf, reqs(3L), 10)
+      .where(col("nprobe_used") =!= 3L).count()
+    assert(extraRecall == 0L, "clamp must emit the requested width")
+    assert(hits(1L).size <= hits(3L).size)
+  }
+
   test("per-request ef: smaller ef never expands more nodes; budget " +
     "run equals the fixed-round run at the same budget") {
     def reqs(ef: Long) = Tables.embeddings(spark, sf)
