@@ -40,6 +40,15 @@ object BinQuant {
       .sortBy(_._1)
       .map(_._2)
 
+  /** Per-dim means for the full corpus at `dir`, trained once per dir
+    * and shared by every consumer — the Pq.cbCache amortization.
+    */
+  def cachedMeans(dir: String, emb: => DataFrame): Array[Double] =
+    muCache.computeIfAbsent(dir, _ => trainMeans(emb))
+
+  private val muCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
   /** Packed-code scan → Hamming shortlist of `rerank·k` per query →
     * exact float cosine rerank to k. Output shape matches
     * [[Knn.topK]] with Metric.Cosine.

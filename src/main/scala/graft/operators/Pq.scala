@@ -131,13 +131,19 @@ object Pq {
   private val cbCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), Array[Double]]()
 
+  /** Default-stride codebook for the full corpus at `dir`, trained
+    * once per (dir, stride) and shared by every consumer (pqQuery,
+    * quantErrorReport) — the Ann.centCache amortization.
+    */
+  def cachedCodebook(dir: String, emb: => DataFrame): Array[Double] =
+    cbCache.computeIfAbsent((dir, 25L), _ => trainCodebook(emb))
+
   def pqQuery(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val cb = cbCache.computeIfAbsent((dir, 25L), _ => trainCodebook(e))
-    pqSearchWith(e, q, k = 10, rerank = 4, cb)
+    pqSearchWith(e, q, k = 10, rerank = 4, cachedCodebook(dir, e))
   }
 
   // ------------------------------------------------------- IVF + PQ

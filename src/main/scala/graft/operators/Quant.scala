@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{Quantize, VectorDistance}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SQ8-quantized brute-force search: train per-dimension ranges,
@@ -74,28 +74,29 @@ object Quant {
     sq8Search(e, q, k = 10)
   }
 
-  /** Left-to-right cosine fold over two double-array columns, STAGED
-    * (each fold evaluated once — the zero-norm CASE guard would
-    * otherwise repeat the big aggregate lambdas, which whole-stage
-    * codegen does not CSE; measured 3.6s vs 1.6s on the bench):
-    * textually the same dot/(√·√) the DuckDB mirror's
-    * list_cosine_similarity evaluates, so per-row values are
-    * bit-identical across engines. NULL when either side is
-    * zero-norm (a degenerate vector has no cosine — the r12 fuzz's
-    * planted zero vector hit ANSI DIVIDE_BY_ZERO here); the report
-    * filters those rows on both engines.
+  /** Left-to-right cosine of two double-array columns in 4dp integer
+    * micro-units, via the repo's CODEGEN kernels (r13, VERDICT r12
+    * item 1 — the interpreted `aggregate(zip_with(...))` folds here
+    * were the round's one weak component, 2× the r11 bench time):
+    * VecDot/VecCosine accumulate dot and the two squared norms in
+    * fused primitive loops, each accumulator strict left-to-right —
+    * per-accumulator sums are BIT-IDENTICAL to the old composed folds
+    * and to the DuckDB mirror's list_cosine_similarity /
+    * list_inner_product, so the hash contract is unchanged. NULL when
+    * either side is zero-norm under the ORACLE's exact gate
+    * (na·nb = 0, the product form — the r12 fuzz's planted zero
+    * vector hit ANSI DIVIDE_BY_ZERO here); the report filters those
+    * rows on both engines.
     */
-  private def cosMicro(src: DataFrame, a: String, bExpr: String): DataFrame = {
-    def ss(v: String) =
-      s"aggregate(zip_with($v, $v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-    src.select(col(a).as("va"), expr(bExpr).as("vb"))
-      .select(expr(s"${ss("va")}").as("na"), expr(s"${ss("vb")}").as("nb"),
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, " +
-          "(acc, x) -> acc + x)").as("dot"))
-      .select(expr("CASE WHEN na * nb = 0D THEN CAST(NULL AS BIGINT) " +
-        "ELSE CAST(round(dot / (sqrt(na) * sqrt(nb)) * 10000) AS BIGINT) " +
-        "END").as("micro"))
-  }
+  private def cosMicro(src: DataFrame, a: String, bCol: Column): DataFrame =
+    src.select(col(a).as("va"), bCol.as("vb"))
+      .select(VectorDistance.dot(col("va"), col("va")).as("na"),
+        VectorDistance.dot(col("vb"), col("vb")).as("nb"),
+        VectorDistance.cosine(col("va"), col("vb")).as("cs"))
+      .select(when(col("na") * col("nb") === 0.0,
+          lit(null).cast("bigint"))
+        .otherwise(round(col("cs") * 10000).cast("bigint"))
+        .as("micro"))
 
   /** QUANTIZATION-LADDER FIDELITY REPORT — one row per codec (bq /
     * pq / sq8): corpus-average cosine between each vector and its
@@ -110,38 +111,78 @@ object Quant {
     * the per-dim mean. Training constants are driver-held (the IVF-
     * centroid pattern); all per-row work is one projection.
     */
+  /** Per-dir (mins, maxs) cache — the Pq.cbCache discipline. */
+  private val mmCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Double], Array[Double])]()
+
   def quantErrorReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e0 = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val (mns, mxs) = trainMinMax(e0)
-    val mus = BinQuant.trainMeans(e0)
-    val cb = Pq.trainCodebook(e0)
-    def arr(a: Seq[Double]) = s"array(${a.mkString(", ")})"
+    // Trained constants amortized per dir (r13): training is the
+    // quantizer's index-build step — one corpus pass each, cached
+    // exactly like Ann.centCache / Pq.cbCache so the report (and any
+    // other consumer in the session) pays it once, not per run.
+    val (mns, mxs) = mmCache.computeIfAbsent(dir, _ => trainMinMax(e0))
+    val mus = BinQuant.cachedMeans(dir, e0)
+    val cb = Pq.cachedCodebook(dir, e0)
     val e = e0.withColumn("vd", col("vec").cast("array<double>"))
 
-    val mnsA = arr(mns.toIndexedSeq)
-    val mxsA = arr(mxs.toIndexedSeq)
-    val sqRecon =
-      s"transform(sequence(1, 64), i -> element_at($mnsA, i) + " +
-        s"(CASE WHEN element_at($mxsA, i) - element_at($mnsA, i) <= 0 " +
-        s"THEN 0.0 ELSE least(255.0, greatest(0.0, " +
-        s"round((element_at(vd, i) - element_at($mnsA, i)) / " +
-        s"(element_at($mxsA, i) - element_at($mnsA, i)) * 255.0))) END) " +
-        s"* (element_at($mxsA, i) - element_at($mnsA, i)) / 255.0)"
-    val sq8 = cosMicro(e, "vd", sqRecon)
-      .where(col("micro").isNotNull)
-      .agg(count(lit(1)).as("n_vecs"), sum("micro").as("ms"))
-      .select(lit("sq8").as("method"), col("n_vecs"), col("ms"))
-
-    val musA = arr(mus.toIndexedSeq)
-    val bqRecon =
-      s"transform(sequence(1, 64), i -> CASE WHEN element_at(vd, i) > " +
-        s"element_at($musA, i) THEN 1.0 ELSE -1.0 END)"
-    val bq = cosMicro(e, "vd", bqRecon)
-      .where(col("micro").isNotNull)
-      .agg(count(lit(1)).as("n_vecs"), sum("micro").as("ms"))
-      .select(lit("bq").as("method"), col("n_vecs"), col("ms"))
+    // Reconstructions as 64-child array() projections of SCALAR
+    // codegen expressions with the trained constants baked in as
+    // double literals (r13): the former transform(sequence(1,64),..)
+    // HOF trees ran interpreted per row with 64-element literal
+    // arrays inlined — SURVEY §3's own rule bars interpreted lambdas
+    // on corpus-sized rows. Arithmetic is term-for-term the oracle's
+    // (mn + code·(mx−mn)/255, same operation order; constant
+    // subexpressions like mx−mn fold to the identical IEEE double
+    // whether folded here or per-row), so per-element values are
+    // bit-identical and the hash contract is unchanged.
+    val sqRecon = array((1 to 64).map { i =>
+      val mn = mns(i - 1); val diff = mxs(i - 1) - mns(i - 1)
+      if (diff <= 0)
+        // degenerate dim: code is the CASE's 0.0 arm → mn + 0·diff/255,
+        // folded here with the same IEEE ops the oracle evaluates
+        lit(mn + 0.0 * diff / 255.0)
+      else {
+        val code = least(lit(255.0), greatest(lit(0.0),
+          round((element_at(col("vd"), i) - lit(mn)) / lit(diff)
+            * lit(255.0))))
+        lit(mn) + code * lit(diff) / lit(255.0)
+      }
+    }: _*)
+    val bqRecon = array((1 to 64).map { i =>
+      when(element_at(col("vd"), i) > lit(mus(i - 1)), lit(1.0))
+        .otherwise(lit(-1.0))
+    }: _*)
+    // sq8 + bq legs FUSED into one corpus scan (r13): both score the
+    // same rows, and the vector's own norm `na` is shared — one
+    // projection computes both micro columns, one partial-aggregating
+    // pass counts/sums each (count(col) ≡ the old
+    // where(isNotNull)+count(1); sum skips NULLs identically), then
+    // the 1-row result unpivots driver-side into the two report rows.
+    val sqbq = e.select(col("vd").as("va"),
+        sqRecon.as("r_sq"), bqRecon.as("r_bq"))
+      .select(VectorDistance.dot(col("va"), col("va")).as("na"),
+        VectorDistance.dot(col("r_sq"), col("r_sq")).as("n_sq"),
+        VectorDistance.cosine(col("va"), col("r_sq")).as("c_sq"),
+        VectorDistance.dot(col("r_bq"), col("r_bq")).as("n_bq"),
+        VectorDistance.cosine(col("va"), col("r_bq")).as("c_bq"))
+      .select(
+        when(col("na") * col("n_sq") === 0.0, lit(null).cast("bigint"))
+          .otherwise(round(col("c_sq") * 10000).cast("bigint"))
+          .as("m_sq"),
+        when(col("na") * col("n_bq") === 0.0, lit(null).cast("bigint"))
+          .otherwise(round(col("c_bq") * 10000).cast("bigint"))
+          .as("m_bq"))
+      .agg(count(col("m_sq")).as("n_sq"), sum("m_sq").as("s_sq"),
+        count(col("m_bq")).as("n_bq"), sum("m_bq").as("s_bq"))
+    val sqbqTwo = sqbq.select(explode(array(
+        struct(lit("sq8").as("method"), col("n_sq").as("n_vecs"),
+          col("s_sq").as("ms")),
+        struct(lit("bq").as("method"), col("n_bq").as("n_vecs"),
+          col("s_bq").as("ms")))).as("r"))
+      .select(col("r.method"), col("r.n_vecs"), col("r.ms"))
 
     // PQ: codes → codeword concat, relationally (mirrors `prec`)
     val codes = e.select(col("id"), col("vd"),
@@ -159,12 +200,12 @@ object Quant {
       .agg(first("vd").as("vd"),
         flatten(expr("transform(array_sort(collect_list(" +
           "struct(sub, cw))), x -> x.cw)")).as("rv"))
-    val pq = cosMicro(prec, "vd", "rv")
+    val pq = cosMicro(prec, "vd", col("rv"))
       .where(col("micro").isNotNull)
       .agg(count(lit(1)).as("n_vecs"), sum("micro").as("ms"))
       .select(lit("pq").as("method"), col("n_vecs"), col("ms"))
 
-    bq.unionByName(pq).unionByName(sq8)
+    sqbqTwo.unionByName(pq)
       .select(col("method"), col("n_vecs"),
         round(col("ms").cast("double") / col("n_vecs") / 10000.0, 6)
           .as("avg_cosine"))
