@@ -66,32 +66,58 @@ object Verify {
     // at this single emission point so all ~90 cosine sites share the
     // kernel's semantics. Paren-aware: arguments nest calls and span
     // lines.
+    // Hardened r13 (ADVICE r12): the scanner walks the SQL once
+    // tracking '…' literals and -- comments, so a call-name mention
+    // inside either is copied verbatim instead of rewritten; the
+    // paren walk is bounds-checked and FAILS LOUDLY on an unbalanced
+    // fragment (a silent mis-rewrite would surface as an opaque
+    // DuckDB error — or worse, a wrong oracle — at compare time).
     def nullSafeCosine(sql: String): String = {
       val name = "list_cosine_similarity("
       val sb = new StringBuilder
       var i = 0
       while (i < sql.length) {
-        val at = sql.indexOf(name, i)
-        if (at < 0) { sb.append(sql.substring(i)); i = sql.length }
-        else {
-          sb.append(sql.substring(i, at))
+        val c = sql.charAt(i)
+        if (c == '\'') { // copy the quoted literal whole ('' escapes)
+          val end = {
+            var j = i + 1
+            while (j < sql.length && sql.charAt(j) != '\'') j += 1
+            j
+          }
+          sb.append(sql.substring(i, math.min(end + 1, sql.length)))
+          i = end + 1
+        } else if (c == '-' && i + 1 < sql.length &&
+            sql.charAt(i + 1) == '-') { // copy the -- comment whole
+          val nl = sql.indexOf('\n', i)
+          val end = if (nl < 0) sql.length else nl + 1
+          sb.append(sql.substring(i, end)); i = end
+        } else if (sql.startsWith(name, i)) {
           var depth = 1
-          var j = at + name.length
+          var j = i + name.length
           var comma = -1
           while (depth > 0) {
-            val c = sql.charAt(j)
-            if (c == '(') depth += 1
-            else if (c == ')') depth -= 1
-            else if (c == ',' && depth == 1 && comma < 0) comma = j
+            require(j < sql.length,
+              s"nullSafeCosine: unbalanced parens after offset $i in " +
+                s"oracle SQL: …${sql.substring(i, math.min(i + 80, sql.length))}")
+            val ch = sql.charAt(j)
+            if (ch == '\'') { // literal inside the argument list
+              j += 1
+              while (j < sql.length && sql.charAt(j) != '\'') j += 1
+            }
+            else if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            else if (ch == ',' && depth == 1 && comma < 0) comma = j
             j += 1
           }
-          val a = nullSafeCosine(sql.substring(at + name.length, comma).trim)
+          require(comma > 0,
+            s"nullSafeCosine: no top-level comma in call at offset $i")
+          val a = nullSafeCosine(sql.substring(i + name.length, comma).trim)
           val b = nullSafeCosine(sql.substring(comma + 1, j - 1).trim)
           sb.append(s"(CASE WHEN list_inner_product($a, $a) " +
             s"* list_inner_product($b, $b) = 0 THEN NULL " +
             s"ELSE list_cosine_similarity($a, $b) END)")
           i = j
-        }
+        } else { sb.append(c); i += 1 }
       }
       sb.toString
     }

@@ -522,9 +522,13 @@ object Ann {
   private[operators] val SpillTau = 0.4
 
   /** The spilled layout: first cell always; second cell only for
-    * vectors within `tau` of the boundary (degenerate vectors, whose
-    * coalesced cd is 2.0, never replicate — their margin can't clear
-    * any real bar).
+    * vectors within `tau` of the boundary. Degenerate (zero-norm)
+    * vectors, whose centroid dists ALL coalesce to 2.0, carry margin
+    * cd₂−cd₁ = 0 and therefore always replicate into the
+    * second-lowest cell — the oracle's margin CTE mirrors this, and
+    * the replicas inflate spill scan counts by the degenerate share
+    * (zero on the driver data; a corpus with many zero vectors should
+    * drop them at ingest, the embed_norm_audit gate).
     */
   private def spillAssign(e: DataFrame, cents: Array[(Long, Array[Float])],
                           tau: Double): DataFrame = {

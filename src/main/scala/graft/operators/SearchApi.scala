@@ -117,13 +117,23 @@ object SearchApi {
     // requests is never constructed — an all-FLAT batch must not pay
     // the kNN-graph materialization the NSW leg triggers (nor carry
     // its scans in the plan), and an all-approximate batch contains
-    // no exact-leg corpus pass (SearchApiSpec pins both).
-    val types = reqs.select(
-        when(col("index_type") === "FLAT", "FLAT")
+    // no exact-leg corpus pass (SearchApiSpec pins both). The same
+    // job carries max(k) so the k ≤ maxK loud-failure contract runs
+    // over the WHOLE batch (r13, ADVICE r12: searchRequests only
+    // validated its FLAT sub-batch, so an approximate request with
+    // k > maxK was silently truncated by the k=maxK legs).
+    val tk = reqs.agg(
+        collect_set(when(col("index_type") === "FLAT", "FLAT")
           .when(col("index_type") === "HNSW", "HNSW")
           .when(col("index_type") === "HNSW_HIER", "HIER")
-          .otherwise("IVF").as("t"))
-      .distinct().collect().map(_.getString(0)).toSet
+          .otherwise("IVF")).as("ts"),
+        max(col("k").cast("long")).as("kmax"))
+      .collect().head
+    val types = tk.getSeq[String](0).toSet
+    if (!tk.isNullAt(1))
+      require(maxK >= tk.getLong(1),
+        s"maxK=$maxK is smaller than the batch's largest request " +
+          s"k=${tk.getLong(1)}")
     if (types.isEmpty) {
       import s.implicits._
       return Seq.empty[(Long, Int, Long, Double)]
@@ -237,9 +247,20 @@ object SearchApi {
     */
   def searchRoutedEf(s: SparkSession, dir: String, data: DataFrame,
                      reqs: DataFrame, maxK: Int): DataFrame = {
-    val types = reqs.select(
-        when(col("index_type") === "FLAT", "FLAT").otherwise("HNSW").as("t"))
-      .distinct().collect().map(_.getString(0)).toSet
+    // Present legs + whole-batch max(k) in one request-sized job: the
+    // k ≤ maxK loud-failure contract covers the HNSW sub-batch too
+    // (r13, ADVICE r12 — nswSearchEf(k=maxK) + the rk ≤ k filter
+    // would otherwise silently truncate an HNSW request's k > maxK).
+    val tk = reqs.agg(
+        collect_set(when(col("index_type") === "FLAT", "FLAT")
+          .otherwise("HNSW")).as("ts"),
+        max(col("k").cast("long")).as("kmax"))
+      .collect().head
+    val types = tk.getSeq[String](0).toSet
+    if (!tk.isNullAt(1))
+      require(maxK >= tk.getLong(1),
+        s"maxK=$maxK is smaller than the batch's largest request " +
+          s"k=${tk.getLong(1)}")
     if (types.isEmpty) {
       import s.implicits._
       return Seq.empty[(Long, Int, Long, Double, Long)]

@@ -103,11 +103,37 @@ object CdcStream {
     //     contract promises.
     // Both skips are idempotent under redelivery: same prev + same
     // batch → the same (non-)advance and the same empty diff.
+    // Version uniqueness per key is a HARD INPUT CONTRACT (r13,
+    // ADVICE r12): the strict `>` gate means a batch row carrying the
+    // SAME version as the retained winner but a DIFFERENT payload
+    // would silently never publish or diff. Rather than trust the
+    // contract blindly, the gate's own join detects that case and
+    // FAILS LOUDLY — the writer has a broken version clock, and
+    // dropping one of two conflicting writes unreported is silent
+    // data loss. Same-version BYTE-IDENTICAL re-assertions remain a
+    // legal no-op (redelivery, at-least-once sources). One
+    // request-batch-sized agg job decides both flags.
     val advanced = prev match {
       case Some(p) =>
-        !bw.join(p.select(col(key), col(version).as("_pv")), Seq(key), "left")
-          .where(col("_pv").isNull || col(version) > col("_pv"))
-          .isEmpty
+        val cmpCols = (attrs :+ op).distinct
+        val pv = p.select(col(key) +: col(version).as("_pv") +:
+          cmpCols.map(c => col(c).as(s"_p_$c")): _*)
+        val conflict = cmpCols.map(c => !(col(c) <=> col(s"_p_$c")))
+          .reduce(_ || _)
+        val flags = bw.join(pv, Seq(key), "left")
+          .agg(
+            max(when(col("_pv").isNull || col(version) > col("_pv"), 1)
+              .otherwise(0)).as("adv"),
+            max(when(col(version) === col("_pv") && conflict, 1)
+              .otherwise(0)).as("dup"))
+          .collect().head
+        require(flags.isNullAt(1) || flags.getInt(1) == 0,
+          s"CdcStream: batch $batchId carries a row with the same " +
+            s"$version as the retained state winner but a different " +
+            "payload — versions must be unique per key (broken " +
+            "writer clock); refusing to silently drop a conflicting " +
+            "write")
+        !flags.isNullAt(0) && flags.getInt(0) == 1
       case None => !bw.isEmpty
     }
     if (!advanced) return

@@ -144,4 +144,42 @@ class CdcStreamSpec extends SparkSuite {
         r.getLong(4)))
     assert(d2.toSeq == Seq((1L, "changed", 10L, 11L, 2L)))
   }
+
+  test("equal-version conflicting write fails loudly; byte-identical " +
+    "re-assertion stays a legal no-op") {
+    // r13 (ADVICE r12): the strict version-advance gate used to
+    // silently drop a row carrying the retained winner's version with
+    // DIFFERENT attrs — version uniqueness per key is now a detected
+    // hard input contract, not a trusted one.
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "cdcdup")
+      .toString
+    def put(rows: Seq[CdcRow], id: Long): Unit =
+      CdcStream.update(spark, root, "id", "version", "op", Seq("label"))(
+        rows.toDF(), id)
+    put(Seq(CdcRow(1L, Some(10L), 1L, "upsert")), 0L)
+    // same (id, version), identical payload — at-least-once
+    // redelivery, must stay a silent no-op
+    put(Seq(CdcRow(1L, Some(10L), 1L, "upsert")), 1L)
+    assert(!new java.io.File(s"$root/diff/batch=1").exists)
+    // same (id, version), DIFFERENT label — broken writer clock,
+    // must refuse rather than drop one of two conflicting writes
+    val eAttr = intercept[IllegalArgumentException] {
+      put(Seq(CdcRow(1L, Some(99L), 1L, "upsert")), 2L)
+    }
+    assert(eAttr.getMessage.contains("unique"))
+    // op flips count as payload conflicts too (upsert vs delete at
+    // one version is the same broken clock)
+    val eOp = intercept[IllegalArgumentException] {
+      put(Seq(CdcRow(1L, Some(10L), 1L, "delete")), 2L)
+    }
+    assert(eOp.getMessage.contains("unique"))
+    // the state survived the refusals: a real advance still works
+    put(Seq(CdcRow(1L, Some(11L), 2L, "upsert")), 3L)
+    val d = spark.read.parquet(s"$root/diff/batch=3")
+      .select("id", "change", "new_label").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(d.toSeq == Seq((1L, "changed", 11L)))
+  }
 }

@@ -159,6 +159,34 @@ class SearchApiSpec extends SparkSuite {
     }
   }
 
+  test("k > maxK fails loudly on EVERY routed leg, not just FLAT") {
+    // r13 (ADVICE r12): the loud-failure contract formerly ran only
+    // inside searchRequests on the FLAT sub-batch — an approximate
+    // request with k > maxK was silently truncated by the k=maxK
+    // legs. Now the whole-batch max(k) is validated before splitting.
+    def reqs(t: String) = qs.select(col("qid"), col("qvec"),
+      lit(t).as("index_type"), lit(20L).as("k"), lit("L2").as("metric"),
+      lit(null).cast("string").as("fop"), lit(5L).as("fval"),
+      lit(48L).as("ef"))
+    val eHnsw = intercept[IllegalArgumentException] {
+      SearchApi.searchRouted(spark, sf, data, reqs("HNSW"), maxK = 10)
+    }
+    assert(eHnsw.getMessage.contains("maxK=10"))
+    val eIvf = intercept[IllegalArgumentException] {
+      SearchApi.searchRouted(spark, sf, data, reqs("IVF"), maxK = 10)
+    }
+    assert(eIvf.getMessage.contains("k=20"))
+    val eEf = intercept[IllegalArgumentException] {
+      SearchApi.searchRoutedEf(spark, sf, data, reqs("HNSW"), maxK = 10)
+    }
+    assert(eEf.getMessage.contains("maxK=10"))
+    // legal batches still flow on both surfaces
+    assert(SearchApi.searchRouted(spark, sf, data,
+      reqs("FLAT").withColumn("k", lit(10L)), maxK = 10).count() > 0)
+    assert(SearchApi.searchRoutedEf(spark, sf, data,
+      reqs("HNSW").withColumn("k", lit(10L)), maxK = 10).count() > 0)
+  }
+
   test("count batch: per-request filters agree with direct counts; " +
     "unmatched requests zero-anchor; one partial-aggregated pass") {
     import spark.implicits._
