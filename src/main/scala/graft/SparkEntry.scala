@@ -82,6 +82,7 @@ object SparkEntry {
     "vdb_knn_filtered_ne" -> ((s, d) =>
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label") =!= 5)),
+    "vdb_knn_filtered_json" -> (Knn.knnFilteredJsonQuery _),
     "vdb_search_requests" -> (SearchApi.searchRequestsQuery _),
     "vdb_search_routed" -> (SearchApi.searchRoutedQuery _),
     "vdb_search_routed_ef" -> (SearchApi.searchRoutedEfQuery _),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorDistance
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Exact (FLAT) k-NN search — Spark-native form of the reference's
@@ -111,6 +111,35 @@ object Knn {
                    metric: Metric.Value,
                    filter: org.apache.spark.sql.Column): DataFrame =
     topK(data.where(filter), queries, k, metric)
+
+  /** JSON-FIELD FILTERED SEARCH (r13, the last filter modality on the
+    * reference's Milvus roadmap — doc/filter.md: predicates over a
+    * semi-structured payload, not just typed scalar columns): kNN
+    * where the filter reads a property out of a JSON payload string
+    * with `get_json_object` (codegen — schema-on-read costs one
+    * per-row parse, no ETL step) and the extracted value feeds an
+    * ordinary typed predicate. The filter sits BELOW the query cross
+    * join exactly like the scalar family (topKFiltered's pre-scan
+    * contract), so non-matching payload rows never reach the distance
+    * kernel — KnnSpec pins the plan shape. At 100 TB the payload
+    * parse is the scan's cost, not the heap's: a hot JSON path should
+    * be materialized to a typed column at ingest (the
+    * events_json_etl pattern), after which this collapses to 5c.
+    * Payload source: each vector's id keys into the events table's
+    * `props` JSON column (the driver data's one semi-structured
+    * field).
+    */
+  def knnFilteredJsonQuery(s: SparkSession, dir: String): DataFrame = {
+    val payload = graft.Tables.events(s, dir)
+      .select(col("event_id").as("id"), col("props"))
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .join(payload, Seq("id"))
+    val q = graft.Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    topKFiltered(e, q, 10, Metric.L2,
+      get_json_object(col("props"), "$.k").cast("long") < 50)
+  }
 
   /** RECOMMEND BY EXAMPLES — search with positive/negative example
     * IDS instead of a raw vector (the recommendation API Qdrant

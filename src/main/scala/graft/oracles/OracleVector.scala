@@ -561,6 +561,27 @@ private[graft] object OracleVector {
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // JSON-payload filtered search: the predicate reads $.k out of
+    // the events `props` JSON string keyed by the vector id
+    // (json_extract_string ≡ Spark's get_json_object, both return the
+    // property as text; the BIGINT cast is the shared typed compare)
+    "vdb_knn_filtered_json" ->
+      """WITH p AS (SELECT event_id AS id,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |               AS k
+        |           FROM events),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e JOIN p ON e.vec_id = p.id CROSS JOIN q
+        |      WHERE p.k < 50),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "vdb_knn_filtered_range" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),

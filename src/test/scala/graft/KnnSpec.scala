@@ -39,6 +39,33 @@ class KnnSpec extends SparkSuite {
       s"label filter not pushed:\n$plan")
   }
 
+  test("JSON-payload filter evaluates below the query join, before " +
+    "the distance kernel") {
+    // r13 (VERDICT r12 #3): the get_json_object predicate must sit on
+    // the corpus side of the cross join — non-matching payload rows
+    // never reach vec_l2. The executed plan prints parents first, so
+    // the kernel projection (above the join) must appear BEFORE the
+    // JSON filter (below it) in the dump.
+    val df = Knn.knnFilteredJsonQuery(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val kernelAt = plan.indexOf("vec_l2")
+    val jsonAt = plan.indexOf("get_json_object")
+    assert(kernelAt >= 0 && jsonAt >= 0,
+      s"missing kernel or JSON filter in plan:\n$plan")
+    assert(kernelAt < jsonAt,
+      s"JSON predicate not below the distance kernel:\n$plan")
+    // and the filter actually bites: every returned neighbor's
+    // payload satisfies $.k < 50
+    val kOf = Tables.events(spark, sf)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => kOf(r.getLong(2)) < 50),
+      "a neighbor with payload k >= 50 leaked through the JSON filter")
+  }
+
   test("zero-norm vector in the corpus drops from cosine top-k, no crash") {
     import spark.implicits._
     // round-2 bug: NULL cosine keys reached TopKAgg whose ScoredId.key
