@@ -207,6 +207,7 @@ object SparkEntry {
     "vdb_knn_bq" -> (BinQuant.bqQuery _),
     "vdb_knn_pq" -> (Pq.pqQuery _),
     "ann_ivf_pq" -> (Pq.ivfPqQuery _),
+    "ann_ivf_opq" -> (Pq.ivfOpqQuery _),
     "ann_ivf_pq_res" -> (Pq.ivfPqResQuery _),
     "mm_decode" -> (Multimodal.decodeQuery _),
     "mm_features" -> (Multimodal.featuresQuery _),

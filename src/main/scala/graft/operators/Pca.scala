@@ -41,8 +41,11 @@ object Pca {
   private val momentCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Long], Array[Array[Long]], Long)]()
 
-  /** (S_j sums, M_jk Gram matrix, n) from one exact-integer pass. */
-  private def moments(s: SparkSession, dir: String)
+  /** (S_j sums, M_jk Gram matrix, n) from one exact-integer pass.
+    * Shared with Pq.opqPerm (r13) — the OPQ dimension assignment
+    * derives its correlation table from the same cached statistics.
+    */
+  private[operators] def moments(s: SparkSession, dir: String)
       : (Array[Long], Array[Array[Long]], Long) =
     momentCache.computeIfAbsent(dir, _ => momentsUncached(s, dir))
 

@@ -32,10 +32,35 @@ private[graft] object OracleAnn {
          |       FROM rr WHERE s IS NOT NULL)
          |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
-    // residual IVFPQ (Pq.ivfPqResSearch, by_residual=true — the FAISS
-    // default): PQ trained on float-round-tripped cell residuals,
-    // per-(query, probed cell) query residual into the flat-fold L2
-    // ADC, exact float L2 rerank
+    // OPQ-rotated IVFPQ (Pq.ivfOpqSearch): the greedy correlation-
+    // grouping permutation (opqCtes → opl.pl), corpus and query
+    // rotated by the same column shuffle, the verbatim PQ chain on
+    // the rotated corpus (pqCtesSrc("erot")), ADC cosine in rotated
+    // space, exact rerank on ORIGINAL vectors
+    "ann_ivf_opq" ->
+      s"""WITH $ivfCtes,
+         |$opqCtes,
+         |erot AS (SELECT e.id, list_transform(opl.pl, p -> e.v[p + 1]) AS v
+         |         FROM e CROSS JOIN opl),
+         |${pqCtesSrc("erot")},
+         |qrot AS (SELECT q.qid, list_transform(opl.pl, p -> q.qv[p + 1]) AS qv
+         |         FROM q CROSS JOIN opl),
+         |pd AS (SELECT pr.qid, a.id,
+         |         list_inner_product(qr.qv, r.rv)
+         |           / (sqrt(list_inner_product(qr.qv, qr.qv))
+         |              * sqrt(list_inner_product(r.rv, r.rv))) AS pcos
+         |       FROM af a JOIN pr ON a.cell = pr.cell
+         |            JOIN qrot qr ON pr.qid = qr.qid JOIN prec r ON a.id = r.id),
+         |sl AS (SELECT qid, id FROM (SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, id) AS rn
+         |       FROM pd WHERE pcos IS NOT NULL) WHERE rn <= 40),
+         |rr AS (SELECT sl.qid, sl.id, list_cosine_similarity(e.v, q.qv) AS s
+         |       FROM sl JOIN e ON sl.id = e.id JOIN q ON sl.qid = q.qid),
+         |rk AS (SELECT qid, id, s,
+         |              row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rk
+         |       FROM rr WHERE s IS NOT NULL)
+         |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
+         |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // residual IVFPQ (Pq.ivfPqResSearch, by_residual=true — the FAISS
     // default): PQ trained on float-round-tripped cell residuals,
     // per-(query, probed cell) query residual into the flat-fold L2

@@ -752,6 +752,44 @@ private[graft] object OracleCtes {
 
   def pqCtes: String = pqCtesSrc("e")
 
+  /** OPQ dimension assignment (Pq.opqPerm): |corr| quantized to 1e-6
+    * integer units off the exact micro moments (the Pca mirror's
+    * em/ex/sv/mm shapes), then 8 UNROLLED greedy rounds — seed = the
+    * remaining dim with the largest integer |corr| sum to the rest
+    * (ties → smallest j), plus its 7 most-correlated remaining
+    * partners (ties → smallest k) — yielding the slot-ordered
+    * permutation list `opl.pl`. All comparisons are BIGINT-exact, so
+    * the greedy replays bit-identically across engines; floor(x·1e6
+    * + 0.5) is IEEE floor on the same double both sides.
+    */
+  val opqCtes: String = {
+    val moments = Seq(
+      "oem AS (SELECT id, list_transform(v, x -> CAST(round(x * 10000) AS BIGINT)) AS m FROM e)",
+      "oex AS (SELECT id, j.j AS j, m[j.j + 1] AS v FROM oem CROSS JOIN (SELECT unnest(range(64)) AS j) j)",
+      "onn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM oem)",
+      "osv AS (SELECT j, CAST(sum(v) AS BIGINT) AS s FROM oex GROUP BY 1)",
+      "omm AS (SELECT a.j AS j, b.j AS k, CAST(sum(a.v * b.v) AS BIGINT) AS m FROM oex a JOIN oex b ON a.id = b.id GROUP BY 1, 2)",
+      "onv AS (SELECT mm.j AS j, nn.n * mm.m - sv.s * sv.s AS nv FROM omm mm JOIN osv sv ON mm.j = sv.j CROSS JOIN onn nn WHERE mm.j = mm.k)",
+      "oca AS (SELECT mm.j, mm.k, CAST(floor(abs(CAST(nn.n * mm.m - sa.s * sb.s AS DOUBLE) / sqrt(CAST(na.nv AS DOUBLE) * CAST(nb.nv AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS a FROM omm mm JOIN osv sa ON mm.j = sa.j JOIN osv sb ON mm.k = sb.j JOIN onv na ON mm.j = na.j JOIN onv nb ON mm.k = nb.j CROSS JOIN onn nn WHERE mm.j <> mm.k)",
+      "orem0 AS (SELECT unnest(range(64)) AS j)")
+    val steps = (0 until 8).flatMap { g =>
+      val rem = s"orem$g"
+      Seq(
+        s"osc$g AS (SELECT c.j, CAST(sum(c.a) AS BIGINT) AS sc FROM oca c JOIN $rem r1 ON c.j = r1.j JOIN $rem r2 ON c.k = r2.j GROUP BY c.j)",
+        s"osd$g AS (SELECT j FROM osc$g ORDER BY sc DESC, j LIMIT 1)",
+        s"ogb$g AS (SELECT c.k AS j, row_number() OVER (ORDER BY c.a DESC, c.k) AS rk FROM oca c JOIN osd$g sd ON c.j = sd.j JOIN $rem r ON c.k = r.j)",
+        s"og$g AS (SELECT j, ${g * 8} AS slot FROM osd$g UNION ALL SELECT j, ${g * 8} + rk AS slot FROM ogb$g WHERE rk <= 7)") ++
+        (if (g < 7)
+          Seq(s"orem${g + 1} AS (SELECT r.j FROM $rem r WHERE r.j NOT IN (SELECT j FROM og$g))")
+        else Nil)
+    }
+    val perm = Seq(
+      "opl AS (SELECT list(j ORDER BY slot) AS pl FROM (" +
+        (0 until 8).map(g => s"SELECT j, slot FROM og$g")
+          .mkString(" UNION ALL ") + "))")
+    (moments ++ steps ++ perm).mkString(",\n")
+  }
+
   /** Sign-LSH search mirror; `multiprobe` adds the Hamming-1 probe
     * expansion on the query side (xor one bit per probe).
     */

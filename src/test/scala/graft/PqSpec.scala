@@ -298,4 +298,46 @@ class PqSpec extends SparkSuite {
       new Directory(root.toFile).deleteRecursively()
     }
   }
+
+  test("opq: greedy correlation grouping is a permutation and its " +
+    "reconstruction MSE beats plain pq on the test corpus") {
+    val perm = Pq.opqPerm(spark, sf)
+    assert(perm.sorted.toSeq == (0 until 64), "not a permutation")
+    // corpus-mean ||x - recon(x)||² under a codebook trained on the
+    // (possibly rotated) corpus; a permutation preserves L2 exactly,
+    // so the two MSEs compare in a common metric
+    def mse(rot: Option[Array[Int]]): Double = {
+      val src = rot match {
+        case Some(p) => emb.select(col("id"),
+          array(p.toIndexedSeq.map(i =>
+            element_at(col("vec"), i + 1)): _*).as("vec"))
+        case None => emb
+      }
+      val cb = Pq.trainCodebook(src)
+      val rows = src.select(col("vec"),
+          PqCodec.encode(col("vec"), cb, Pq.M, Pq.DSUB, Pq.KSUB).as("code"))
+        .collect()
+      val errs = rows.map { r =>
+        val v = r.getSeq[Float](0)
+        val code = r.getSeq[Int](1)
+        var e = 0.0
+        for (sub <- 0 until Pq.M; j <- 0 until Pq.DSUB) {
+          val d = v(sub * Pq.DSUB + j).toDouble -
+            cb((sub * Pq.KSUB + code(sub)) * Pq.DSUB + j)
+          e += d * d
+        }
+        e
+      }
+      errs.sum / errs.length
+    }
+    val plain = mse(None)
+    val opq = mse(Some(perm))
+    assert(opq <= plain,
+      s"OPQ recon MSE $opq worse than plain PQ $plain")
+    // and it is a REAL gain on this corpus, not a tie
+    assert(opq < plain * 0.999, s"OPQ gain vanished: $opq vs $plain")
+    // the search surface returns sane ranked results, deterministic
+    val out = Pq.ivfOpqQuery(spark, sf).collect().toSeq
+    assert(out.nonEmpty && out == Pq.ivfOpqQuery(spark, sf).collect().toSeq)
+  }
 }
