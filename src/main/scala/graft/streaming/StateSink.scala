@@ -117,4 +117,113 @@ object StateSink {
     versionDirs(root).filterNot(v => keep(v._1))
       .foreach { case (_, _, dir) => deleteTree(dir) }
   }
+
+  // ----------------------------------------- periodic trigger policy
+
+  /** Committed pending partials: (batchId, attempt, stampMs, dir),
+    * oldest first. Stamp = the injected clock at write time, stored
+    * inside the directory so age is deterministic under a test clock.
+    */
+  private def pendingDirs(root: String): Seq[(Long, Long, Long, String)] = {
+    val p = Paths.get(root, "pending")
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val stream = Files.list(p)
+      try {
+        val it = stream.iterator()
+        val out = scala.collection.mutable
+          .ArrayBuffer.empty[(Long, Long, Long, String)]
+        while (it.hasNext) {
+          val d = it.next()
+          val n = d.getFileName.toString
+          if (n.startsWith("b=") && Files.exists(d.resolve("_SUCCESS"))) {
+            n.stripPrefix("b=").split("_", 2) match {
+              case Array(b, a) =>
+                val ms = Files.readString(d.resolve("_ms")).trim.toLong
+                out += ((b.toLong, a.toLong, ms, d.toString))
+              case _ => ()
+            }
+          }
+        }
+        out.toSeq.sortBy(v => (v._1, v._2))
+      } finally stream.close()
+    }
+  }
+
+  /** PERIODIC AUTO-SNAPSHOT (r13, the reference's persistence.md TODO
+    * #1 — 定时快照, the one unticked reference-doc box): instead of
+    * rewriting the full snapshot every micro-batch, each batch stages
+    * its per-key PARTIAL state under `pending/` (the WAL-tail analog:
+    * batch-sized, disjoint slices) and the snapshot publishes only
+    * when the trigger fires —
+    *   - at least every `everyN` batches: ≥ everyN distinct pending
+    *     batches force a publish (bounds crash-recovery fold length,
+    *     the reference's motivation for snapshotting at all), or
+    *   - at most `maxAgeMs` of staleness: the OLDEST pending partial
+    *     waiting ≥ maxAgeMs forces a publish even when the batch
+    *     count hasn't accrued — an idle-then-trickle stream cannot
+    *     hold changes hostage (the age gate runs on EMPTY batches
+    *     too, which is why the skip-if-unchanged check sits after the
+    *     pending write, not before the trigger).
+    * Composes with r12's skip-if-unchanged: an empty batch stages
+    * nothing, and with nothing pending, nothing publishes. The
+    * publish folds the previous snapshot ⊎ every pending partial
+    * (disjoint slices — the mergeStates precondition) through the
+    * same stage-then-atomic-rename protocol, then GCs pending ≤ the
+    * published batchId. Redelivery idempotence is unchanged: a
+    * re-delivered mid-window batch republishes its pending dir as a
+    * higher attempt (max attempt wins at fold; content identical), a
+    * re-delivered TRIGGER batch stages a partial that is already ≤
+    * the published version and is ignored and GC'd — no second
+    * version, no double count.
+    *
+    * At 100 TB this is the difference between a per-batch full-state
+    * write (state-sized I/O every few seconds) and state-sized I/O
+    * once per N batches with batch-sized appends in between.
+    */
+  def updatePeriodic(s: SparkSession, root: String, everyN: Int,
+                     maxAgeMs: Long,
+                     now: () => Long = () => System.currentTimeMillis())(
+                     batch: DataFrame, batchId: Long): Unit = {
+    val published = versionDirs(root).lastOption.map(_._1)
+    def livePending = pendingDirs(root)
+      .filter(p => published.forall(p._1 > _) && p._1 <= batchId)
+    if (!batch.isEmpty && published.forall(batchId > _)) {
+      val partial = WalReplay.partialState(batch)
+      val attempt = pendingDirs(root).filter(_._1 == batchId)
+        .map(_._2).maxOption.getOrElse(-1L) + 1L
+      val staging = Paths.get(root, "pending", s".staging-$batchId-$attempt")
+      partial.write.mode("overwrite").parquet(staging.toString)
+      Files.writeString(staging.resolve("_ms"), now().toString)
+      Files.move(staging, Paths.get(root, "pending", s"b=${batchId}_$attempt"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val pend = livePending
+    val pendIds = pend.map(_._1).distinct
+    val oldest = pend.map(_._3).minOption
+    val fire = pendIds.size >= everyN ||
+      oldest.exists(ms => now() - ms >= maxAgeMs)
+    if (!fire) return
+    // fold: previous snapshot ⊎ the max-attempt partial of each
+    // pending batch (disjoint slices of the log)
+    val parts = pendIds.map { id =>
+      val d = pend.filter(_._1 == id).maxBy(_._2)._4
+      s.read.parquet(d)
+    }
+    val prevState = versionDirs(root).lastOption
+      .map { case (_, _, dir) => s.read.parquet(dir) }
+    val merged = WalReplay.mergeStates(prevState.toSeq ++ parts: _*)
+    val pubId = pendIds.max
+    val attempt = versionDirs(root).filter(_._1 == pubId)
+      .map(_._2).maxOption.getOrElse(-1L) + 1L
+    val staging = Paths.get(root, s".staging-$pubId-$attempt")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    Files.move(staging, Paths.get(root, s"v=${pubId}_$attempt"),
+      StandardCopyOption.ATOMIC_MOVE)
+    pendingDirs(root).filter(_._1 <= pubId)
+      .foreach { case (_, _, _, dir) => deleteTree(dir) }
+    val keep = versionDirs(root).map(_._1).distinct.sorted.takeRight(2).toSet
+    versionDirs(root).filterNot(v => keep(v._1))
+      .foreach { case (_, _, dir) => deleteTree(dir) }
+  }
 }
