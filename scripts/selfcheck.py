@@ -166,5 +166,47 @@ if recs:
     except Exception as e:
         print(f"NOTE record-parity: cannot read {rec_path}: {e}")
 
+# ---- scale-slope artifact discipline (r13, r12 verdict #4): the
+# standalone SCALE_rN.json is the SOLE slope record — the in-bench
+# probe was retired because it measured budget contention (24.5s vs
+# 4.3s for the same cold leg). Assert the latest BENCH carries no
+# competing "scale" section and the latest SCALE matrix is complete
+# (every probe has all three factor legs). ---------------------------
+benches = sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json")))
+scales = sorted(glob.glob(os.path.join(repo_root, "SCALE_r*.json")))
+if benches and scales:
+    bpath, spath = benches[-1], scales[-1]
+    brow = int(re.search(r"_r(\d+)", bpath).group(1))
+    srow = int(re.search(r"_r(\d+)", spath).group(1))
+    if srow >= brow:  # both artifacts from the current round
+        try:
+            b = json.load(open(bpath))
+            # driver record wraps the bench JSON line under "parsed"
+            if isinstance(b.get("parsed"), dict):
+                b = b["parsed"]
+            sj = json.load(open(spath))
+            sfail = 0
+            # the in-bench section legitimately exists in pre-r13
+            # artifacts; the retirement binds from r13 on
+            if brow >= 13 and "scale" in b:
+                print(f"FAIL scale-artifact: {os.path.basename(bpath)} "
+                      "still carries an in-bench scale section "
+                      "(retired r13; SCALE_rN.json is the sole record)")
+                sfail += 1
+            probes = sj.get("probes", {})
+            partial = sorted(n for n, legs in probes.items()
+                             if set(legs) != {"x1", "x4", "x16"})
+            if partial:
+                print(f"FAIL scale-artifact: {os.path.basename(spath)} "
+                      f"probes with partial factor matrix: {partial[:8]}")
+                sfail += 1
+            if not sfail:
+                print(f"OK   scale-artifact: {os.path.basename(spath)} is "
+                      f"the sole slope record ({len(probes)} probes, "
+                      "full x1/x4/x16 matrix); no in-bench copy")
+            fail += sfail
+        except Exception as e:
+            print(f"NOTE scale-artifact: cannot read artifacts: {e}")
+
 print("RESULT:", "PASS" if fail == 0 else f"{fail} FAILURES")
 sys.exit(1 if fail else 0)

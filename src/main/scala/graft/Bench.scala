@@ -217,14 +217,16 @@ object Bench {
     }
     val tP2 = elapsed - tWarm - tPrebuild - tP1
 
-    // Phase 5 — scaling probe (ScaleStress): the three blocking-key
-    // headliners at 1×/4×/16× the bench corpus. Only runs when the
-    // timed passes left ≥60s of budget, and checks again before each
-    // step — the suite measurement above always takes precedence.
-    val scaleRes =
-      if (elapsed < budgetNs - 60000000000L)
-        ScaleStress.run(spark, sfDir, () => elapsed < budgetNs - 15000000000L)
-      else Map.empty[String, Map[String, Double]]
+    // Phase 5 (RETIRED r13, r12 verdict #4): the in-bench ScaleStress
+    // probe ran inside the suite's leftover budget on a warm VM, so
+    // its slopes measured budget contention, not the operator —
+    // BENCH_r12's in-bench dedup_minhash_pairs x16 said 24.5s while
+    // the dedicated cold run said 4.3s for the same leg. Two
+    // artifacts telling different slope stories would eventually hide
+    // a real superlinearity; the standalone `graft.Scale` main (own
+    // budget, fresh JVM, cold replica dirs → SCALE_r{N}.json) is now
+    // the SOLE slope record, and the freed budget goes to the timed
+    // passes (r12 verdict #6 headroom).
 
     // min over the passes that succeeded; -1.0 only if all failed
     // (max picks the lone success when the other sample is the -1.0
@@ -236,12 +238,9 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val phases = f"""{"warmup":${tWarm / 1e9}%.1f,"prebuild":${tPrebuild / 1e9}%.1f,""" +
       f""""pass1":${tP1 / 1e9}%.1f,"pass2":${tP2 / 1e9}%.1f,"pass2_n":${p2.size}}"""
-    val scaleJson =
-      if (scaleRes.nonEmpty) s""","scale":${ScaleStress.renderJson(scaleRes)}"""
-      else ""
     def render(qEntries: Seq[String], omitted: Int): String = {
       val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${qEntries.mkString("{", ",", "}")},"nq":${results.size}$om,"phases":$phases$scaleJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${qEntries.mkString("{", ",", "}")},"nq":${results.size}$om,"phases":$phases,"sf":"$sfDir"}"""
     }
     // Full-precision artifact with EVERY query — truncation-proof.
     val full = render(results.toSeq.map { case (k, v) => f"""\"$k\":$v%.4f""" }, 0)
