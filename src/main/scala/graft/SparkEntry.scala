@@ -83,6 +83,8 @@ object SparkEntry {
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label") =!= 5)),
     "vdb_knn_filtered_json" -> (Knn.knnFilteredJsonQuery _),
+    "vdb_discover" -> (Knn.discoverQuery _),
+    "vdb_distance_matrix" -> ((s, d) => Knn.distanceMatrixQuery(s, d)),
     "vdb_search_requests" -> (SearchApi.searchRequestsQuery _),
     "vdb_search_routed" -> (SearchApi.searchRoutedQuery _),
     "vdb_search_routed_ef" -> (SearchApi.searchRoutedEfQuery _),

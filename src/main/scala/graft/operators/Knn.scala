@@ -181,6 +181,143 @@ object Knn {
       .orderBy("qid", "rk")
   }
 
+  /** DISCOVERY SEARCH (r13 — Qdrant's discovery API, the last
+    * exploration surface beside `recommend`): a TARGET vector steers
+    * the ranking while CONTEXT PAIRS (positive, negative) fence the
+    * region — a point is ranked first by how many context pairs it
+    * WINS (closer to the pair's positive than its negative), then by
+    * similarity to the target; the published semantics for "find
+    * things like T, but on the p-side of each p/n boundary". Examples
+    * arrive as IDS and are fetched from the corpus (the `recommend`
+    * discipline), and all example points are excluded from results.
+    * Plan anatomy: the request frame (with its five fetched vectors
+    * and their prenorms) broadcasts; ONE corpus pass computes the
+    * five cosines per (row, request) inside the scan's codegen stage
+    * (fan-2 pairs as COLUMNS, never a HOF — the multiquery rule);
+    * the bounded heap keys on wins·4 + round(cos(target), 4), which
+    * orders identically to (wins DESC, cos4 DESC) because the win
+    * gap 4 exceeds the cosine range 2 and adding a per-row constant
+    * is monotone — the oracle mirrors the lexicographic form. The
+    * target cosine keys on its 4dp-ROUNDED value (the scroll/groupby
+    * convention) so the composite key splits back into (wins, score)
+    * EXACTLY: the recovered grid value sits ≥ 5e-5 from any rounding
+    * boundary while the add-then-subtract error is ≤ ulp(9) ≈ 2e-15
+    * (a raw cosine in the key would lose low bits crossing the
+    * .XXXX5 boundary — the r12 fuzz's rounding class). NULL cosines
+    * ride the −2 sentinel in the win comparisons (the multiquery
+    * convention) and a NULL target cosine drops the row on both
+    * engines.
+    *
+    * @param requests (qid, tvec, p1vec, n1vec, p2vec, n2vec,
+    *                 ex: array of example ids to exclude)
+    * @return (qid, rk, nn_id, context_wins, score) — score is
+    *         cos(target) 4dp
+    */
+  def discover(data: DataFrame, requests: DataFrame, k: Int): DataFrame = {
+    def qn(c: String) = sqrt(VectorDistance.dot(col(c), col(c)))
+    val q = broadcast(requests.select(col("qid"), col("ex"),
+      col("tvec"), qn("tvec").as("_tn"),
+      col("p1vec"), qn("p1vec").as("_p1n"),
+      col("n1vec"), qn("n1vec").as("_n1n"),
+      col("p2vec"), qn("p2vec").as("_p2n"),
+      col("n2vec"), qn("n2vec").as("_n2n")))
+    val d = data.select(col("id"), col("vec"),
+      sqrt(VectorDistance.dot(col("vec"), col("vec"))).as("_n"))
+    def cosTo(v: String, n: String) = {
+      val denom = col("_n") * col(n)
+      when(denom === 0.0, lit(null).cast("double"))
+        .otherwise(VectorDistance.dot(col("vec"), col(v)) / denom)
+    }
+    def win(p: String, pn: String, nn0: String, nnn: String) =
+      when(coalesce(cosTo(p, pn), lit(-2.0))
+        > coalesce(cosTo(nn0, nnn), lit(-2.0)), 1L).otherwise(0L)
+    val agg = TopKAgg.topK(k)
+    d.crossJoin(q)
+      .where(!array_contains(col("ex"), col("id")))
+      .select(col("qid"), col("id"),
+        (win("p1vec", "_p1n", "n1vec", "_n1n")
+          + win("p2vec", "_p2n", "n2vec", "_n2n")).as("wins"),
+        cosTo("tvec", "_tn").as("s"))
+      .where(col("s").isNotNull)
+      .select(col("qid"),
+        (-(col("wins").cast("double") * 4.0 + round(col("s"), 4)))
+          .as("key"),
+        col("id"))
+      .groupBy("qid")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      // the heap carries (key, id); (wins, score) split back off the
+      // key exactly — see the grid argument in the scaladoc
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("col.id").as("nn_id"),
+        floor((-col("col.key") + 2.0) / 4.0).cast("bigint")
+          .as("context_wins"),
+        round(-col("col.key")
+          - floor((-col("col.key") + 2.0) / 4.0) * 4.0, 4).as("score"))
+      .orderBy("qid", "rk")
+  }
+
+  /** Discovery surface query: three requests steering toward target
+    * ids 0/1/2, each fenced by two context pairs drawn from fixed
+    * corpus ids (the `recommend` fixture discipline).
+    */
+  def discoverQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = graft.Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val reqs = Seq(
+      (0L, 0L, 3L, 6L, 4L, 7L), (1L, 1L, 5L, 8L, 6L, 9L),
+      (2L, 2L, 7L, 10L, 8L, 11L))
+      .toDF("qid", "tg", "p1", "n1", "p2", "n2")
+    val withVecs = reqs
+      .join(e.select(col("vec_id").as("tg"), col("v").as("tvec")), "tg")
+      .join(e.select(col("vec_id").as("p1"), col("v").as("p1vec")), "p1")
+      .join(e.select(col("vec_id").as("n1"), col("v").as("n1vec")), "n1")
+      .join(e.select(col("vec_id").as("p2"), col("v").as("p2vec")), "p2")
+      .join(e.select(col("vec_id").as("n2"), col("v").as("n2vec")), "n2")
+      .select(col("qid"), col("tvec"), col("p1vec"), col("n1vec"),
+        col("p2vec"), col("n2vec"),
+        array(col("tg"), col("p1"), col("n1"), col("p2"), col("n2"))
+          .as("ex"))
+    val data = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    discover(data, withVecs, 10)
+  }
+
+  /** DISTANCE MATRIX (r13 — Qdrant's matrix API: pairwise distances
+    * over a SAMPLE of the collection, the raw material for offline
+    * clustering / dedup seeding / visualization): a deterministic
+    * stride sample (the kmeans-init discipline — pure function of
+    * ids, no RNG), pairwise cosine among the sample only, and each
+    * sample point reports its `limit` nearest sample neighbors. The
+    * API contract is what makes this 100 TB-safe: the sample is
+    * API-limit-sized (Qdrant defaults to 10 points), so the
+    * sample×sample grid is metadata-sized however big the corpus,
+    * and the only corpus touch is the stride filter pushed into the
+    * scan.
+    */
+  def distanceMatrixQuery(s: SparkSession, dir: String,
+                          stride: Long = 100, limit: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val samp = graft.Tables.embeddings(s, dir)
+      .where(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val pairs = samp.select(col("id").as("id_a"), col("v").as("va"))
+      .crossJoin(broadcast(samp.select(col("id").as("id_b"),
+        col("v").as("vb"))))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorDistance.cosine(col("va"), col("vb")).as("s"))
+      .where(col("s").isNotNull)
+    val w = Window.partitionBy("id_a").orderBy(col("s").desc, col("id_b"))
+    pairs.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= limit)
+      .select(col("id_a"), col("rk"), col("id_b"), round(col("s"), 4).as("score"))
+      .orderBy("id_a", "rk")
+  }
+
   /** GROUPED SEARCH — top-G groups with the best N hits each (the
     * `group_by` option Qdrant/Weaviate expose: "best 2 chunks from
     * each of the 3 most relevant documents", deduplicating a result

@@ -561,6 +561,58 @@ private[graft] object OracleVector {
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // discovery search: context-pair wins (coalesce(-2) sentinel on
+    // degenerate cosines, the multiquery convention), lexicographic
+    // (wins DESC, 4dp score DESC, id) ranking, example ids excluded
+    "vdb_discover" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |rq AS (SELECT CAST(rid AS BIGINT) AS qid, tg, p1, n1, p2, n2
+        |       FROM (VALUES (0, 0, 3, 6, 4, 7), (1, 1, 5, 8, 6, 9),
+        |         (2, 2, 7, 10, 8, 11)) t(rid, tg, p1, n1, p2, n2)),
+        |rv AS (SELECT rq.qid, rq.tg, rq.p1, rq.n1, rq.p2, rq.n2,
+        |         t.v AS tv, a.v AS p1v, b.v AS n1v, c.v AS p2v,
+        |         d2.v AS n2v
+        |       FROM rq JOIN e t ON rq.tg = t.vec_id
+        |            JOIN e a ON rq.p1 = a.vec_id
+        |            JOIN e b ON rq.n1 = b.vec_id
+        |            JOIN e c ON rq.p2 = c.vec_id
+        |            JOIN e d2 ON rq.n2 = d2.vec_id),
+        |sc AS (SELECT rv.qid, e.vec_id AS nn_id,
+        |         (CASE WHEN coalesce(list_cosine_similarity(e.v, rv.p1v),
+        |                 -2.0)
+        |               > coalesce(list_cosine_similarity(e.v, rv.n1v),
+        |                 -2.0)
+        |               THEN 1 ELSE 0 END
+        |          + CASE WHEN coalesce(list_cosine_similarity(e.v, rv.p2v),
+        |                 -2.0)
+        |               > coalesce(list_cosine_similarity(e.v, rv.n2v),
+        |                 -2.0)
+        |               THEN 1 ELSE 0 END) AS wins,
+        |         list_cosine_similarity(e.v, rv.tv) AS s
+        |       FROM e CROSS JOIN rv
+        |       WHERE e.vec_id NOT IN (rv.tg, rv.p1, rv.n1, rv.p2, rv.n2)),
+        |r AS (SELECT qid, nn_id, wins, s,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY wins DESC, round(s, 4) DESC, nn_id) AS rk
+        |      FROM sc WHERE s IS NOT NULL)
+        |SELECT qid, rk, nn_id, CAST(wins AS BIGINT) AS context_wins,
+        |       round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // distance matrix: stride sample, pairwise cosine within the
+    // sample, top-limit neighbors per sample point
+    "vdb_distance_matrix" ->
+      """WITH sp AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |            FROM embeddings WHERE vec_id % 100 = 0),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |        list_cosine_similarity(a.v, b.v) AS s
+        |      FROM sp a CROSS JOIN sp b WHERE a.id <> b.id),
+        |r AS (SELECT id_a, id_b, s,
+        |        row_number() OVER (PARTITION BY id_a
+        |          ORDER BY s DESC, id_b) AS rk
+        |      FROM p WHERE s IS NOT NULL)
+        |SELECT id_a, rk, id_b, round(s, 4) AS score
+        |FROM r WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin,
     // JSON-payload filtered search: the predicate reads $.k out of
     // the events `props` JSON string keyed by the vector id
     // (json_extract_string ≡ Spark's get_json_object, both return the

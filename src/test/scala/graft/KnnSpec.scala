@@ -66,6 +66,47 @@ class KnnSpec extends SparkSuite {
       "a neighbor with payload k >= 50 leaked through the JSON filter")
   }
 
+  test("discovery search: context wins dominate target similarity, " +
+    "examples excluded") {
+    import spark.implicits._
+    // axis-aligned fixture: target along +x; candidate 20 is NEARER
+    // the target but loses both context pairs (sits on the negative
+    // side); candidate 21 is FARTHER but wins both — discovery must
+    // rank 21 first (wins dominate), plain kNN would rank 20 first
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),   // target example
+      (11L, Array(0f, 1f, 0f, 0f)),   // pair-1 positive
+      (12L, Array(0f, -1f, 0f, 0f)),  // pair-1 negative
+      (13L, Array(0f, 0f, 1f, 0f)),   // pair-2 positive
+      (14L, Array(0f, 0f, -1f, 0f)),  // pair-2 negative
+      (20L, Array(1f, -0.1f, -0.1f, 0f)),  // near target, loses both
+      (21L, Array(0.5f, 0.6f, 0.6f, 0f))   // farther, wins both
+    ).toDF("id", "vec")
+    val e = corpus.select(col("id"), col("vec").cast("array<double>").as("v"))
+    val req = Seq((0L, 10L, 11L, 12L, 13L, 14L))
+      .toDF("qid", "tg", "p1", "n1", "p2", "n2")
+    val withVecs = req
+      .join(e.select(col("id").as("tg"), col("v").as("tvec")), "tg")
+      .join(e.select(col("id").as("p1"), col("v").as("p1vec")), "p1")
+      .join(e.select(col("id").as("n1"), col("v").as("n1vec")), "n1")
+      .join(e.select(col("id").as("p2"), col("v").as("p2vec")), "p2")
+      .join(e.select(col("id").as("n2"), col("v").as("n2vec")), "n2")
+      .select(col("qid"), col("tvec"), col("p1vec"), col("n1vec"),
+        col("p2vec"), col("n2vec"),
+        array(col("tg"), col("p1"), col("n1"), col("p2"), col("n2"))
+          .as("ex"))
+    val out = Knn.discover(
+      corpus.select(col("id"), col("vec").cast("array<double>").as("vec")),
+      withVecs, 10).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // examples never appear
+    assert(out.forall { case (_, id, _) => id == 20L || id == 21L })
+    // the double-winner ranks first despite the lower target cosine
+    assert(out.toSeq.sortBy(_._1).map(t => (t._2, t._3)).toList ==
+      List((21L, 2L), (20L, 0L)),
+      s"discovery ranking wrong: ${out.mkString(";")}")
+  }
+
   test("zero-norm vector in the corpus drops from cosine top-k, no crash") {
     import spark.implicits._
     // round-2 bug: NULL cosine keys reached TopKAgg whose ScoredId.key
