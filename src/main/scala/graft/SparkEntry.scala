@@ -85,6 +85,8 @@ object SparkEntry {
     "vdb_knn_filtered_json" -> (Knn.knnFilteredJsonQuery _),
     "vdb_discover" -> (Knn.discoverQuery _),
     "vdb_distance_matrix" -> ((s, d) => Knn.distanceMatrixQuery(s, d)),
+    "vdb_scroll_orderby" -> ((s, d) => ScalarOps.scrollOrderBy(s, d)),
+    "opq_recall_report" -> (Pq.opqRecallReport _),
     "vdb_search_requests" -> (SearchApi.searchRequestsQuery _),
     "vdb_search_routed" -> (SearchApi.searchRoutedQuery _),
     "vdb_search_routed_ef" -> (SearchApi.searchRoutedEfQuery _),

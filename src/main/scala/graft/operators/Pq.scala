@@ -514,6 +514,37 @@ object Pq {
     Ann.topKPerQuery(rescored, k)
   }
 
+  /** OPQ-vs-PQ ON THE SEARCH AXIS (r13 — completes the recall-report
+    * family: every index family ships the evaluation that justifies
+    * it): recall@10 of the full IVFPQ and IVF-OPQ pipelines (ADC
+    * shortlist 40 → exact rerank 10, the shipped search paths
+    * verbatim) against the brute-force cosine top-10, one row per
+    * method. The MSE pin (PqSpec) grades reconstruction fidelity;
+    * this grades what the user actually feels — whether the
+    * decorrelated subspaces translate into shortlists that keep the
+    * true neighbors. hits/(n_queries·10) with the count over the
+    * Q×k-sized rank join; the corpus is touched only by the three
+    * searches.
+    */
+  def opqRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nq = q.count()
+    val exact = Knn.topK(e, q, 10, Knn.Metric.Cosine)
+      .select(col("qid"), col("nn_id"))
+    def leg(m: String, df: DataFrame) = df
+      .select(col("qid"), col("nn_id"))
+      .join(exact, Seq("qid", "nn_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(m).as("method"), col("hits"),
+        round(col("hits") / (lit(nq) * 10.0), 4).as("recall"))
+    leg("pq", ivfPqQuery(s, dir))
+      .unionByName(leg("opq", ivfOpqQuery(s, dir)))
+      .orderBy("method")
+  }
+
   def ivfOpqQuery(s: SparkSession, dir: String): DataFrame = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
     val path = java.nio.file.Paths.get("target", "tmp", s"ivfopq-$key")

@@ -17,6 +17,38 @@ object ScalarOps {
     * scale this prunes row groups / partitions instead of touching a
     * secondary index.
     */
+  /** ORDER-BY SCROLL (r13 — Qdrant's scroll with `order_by` on a
+    * payload field: browse the collection by an attribute, not by
+    * similarity): page 2 of points ordered by (label DESC, id) via a
+    * KEYSET cursor — page 1's last (label, id) becomes a pushed-down
+    * range predicate, so a page costs one bounded TakeOrdered pass
+    * and never OFFSET-buffers the rows it skips (the scroll_page2
+    * contract, on the payload axis). The page-local rank window runs
+    * over pageSize rows by construction — bounded however big the
+    * corpus. NULLS LAST explicit on both engines (the fuzz's
+    * NULL-ordering divergence class). At 100 TB the order field is
+    * the layout's sort/Z-order key, so the keyset predicate prunes
+    * row groups exactly like the point lookup below.
+    */
+  def scrollOrderBy(s: org.apache.spark.sql.SparkSession, dir: String,
+                    pageSize: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("label").cast("long").as("label"))
+    val page1 = e.orderBy(col("label").desc_nulls_last, col("id"))
+      .limit(pageSize).collect()
+    // keyset cursor = page 1's last row in page order
+    val last = page1.sortBy(r => (-r.getLong(1), r.getLong(0))).last
+    val (cl, ci) = (last.getLong(1), last.getLong(0))
+    val page2 = e.where(col("label") < cl ||
+        (col("label") === cl && col("id") > ci))
+      .orderBy(col("label").desc_nulls_last, col("id")).limit(pageSize)
+    val w = Window.orderBy(col("label").desc_nulls_last, col("id"))
+    page2.withColumn("rk", row_number().over(w) + pageSize)
+      .select(col("rk"), col("id"), col("label"))
+      .orderBy("rk")
+  }
+
   def pointLookup(df: DataFrame, idCol: String, ids: Seq[Long]): DataFrame =
     df.where(col(idCol).isin(ids: _*))
 

@@ -61,6 +61,61 @@ private[graft] object OracleAnn {
          |       FROM rr WHERE s IS NOT NULL)
          |SELECT qid, rk, id AS nn_id, round(s, 4) AS score
          |FROM rk WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // OPQ-vs-PQ search-axis report: both full pipelines (shared IVF
+    // probes; plain PQ chain unprefixed, rotated chain under the 'o'
+    // prefix) against the brute cosine top-10, one row per method
+    "opq_recall_report" ->
+      s"""WITH $ivfCtes,
+         |${pqCtesSrc("e")},
+         |$opqCtes,
+         |erot AS (SELECT e.id, list_transform(opl.pl, p -> e.v[p + 1]) AS v
+         |         FROM e CROSS JOIN opl),
+         |${pqCtesSrc("erot", "o")},
+         |qrot AS (SELECT q.qid, list_transform(opl.pl, p -> q.qv[p + 1]) AS qv
+         |         FROM q CROSS JOIN opl),
+         |pdp AS (SELECT pr.qid, a.id,
+         |         list_inner_product(q.qv, r.rv)
+         |           / (sqrt(list_inner_product(q.qv, q.qv))
+         |              * sqrt(list_inner_product(r.rv, r.rv))) AS pcos
+         |       FROM af a JOIN pr ON a.cell = pr.cell
+         |            JOIN q ON pr.qid = q.qid JOIN prec r ON a.id = r.id),
+         |slp AS (SELECT qid, id FROM (SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, id) AS rn
+         |       FROM pdp WHERE pcos IS NOT NULL) WHERE rn <= 40),
+         |rrp AS (SELECT slp.qid, slp.id, list_cosine_similarity(e.v, q.qv) AS s
+         |       FROM slp JOIN e ON slp.id = e.id JOIN q ON slp.qid = q.qid),
+         |ivp AS (SELECT qid, id FROM (SELECT qid, id,
+         |          row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rk
+         |        FROM rrp WHERE s IS NOT NULL) WHERE rk <= 10),
+         |pdo AS (SELECT pr.qid, a.id,
+         |         list_inner_product(qr.qv, r.rv)
+         |           / (sqrt(list_inner_product(qr.qv, qr.qv))
+         |              * sqrt(list_inner_product(r.rv, r.rv))) AS pcos
+         |       FROM af a JOIN pr ON a.cell = pr.cell
+         |            JOIN qrot qr ON pr.qid = qr.qid
+         |            JOIN oprec r ON a.id = r.id),
+         |slo AS (SELECT qid, id FROM (SELECT qid, id,
+         |         row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, id) AS rn
+         |       FROM pdo WHERE pcos IS NOT NULL) WHERE rn <= 40),
+         |rro AS (SELECT slo.qid, slo.id, list_cosine_similarity(e.v, q.qv) AS s
+         |       FROM slo JOIN e ON slo.id = e.id JOIN q ON slo.qid = q.qid),
+         |ivo AS (SELECT qid, id FROM (SELECT qid, id,
+         |          row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rk
+         |        FROM rro WHERE s IS NOT NULL) WHERE rk <= 10),
+         |obd AS (SELECT q.qid, e2.id, list_cosine_similarity(e2.v, q.qv) AS s
+         |        FROM e e2 CROSS JOIN q),
+         |obf AS (SELECT qid, id FROM (SELECT qid, id,
+         |          row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS rk
+         |        FROM obd WHERE s IS NOT NULL) WHERE rk <= 10),
+         |onq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+         |hp AS (SELECT CAST(count(*) AS BIGINT) AS hits
+         |       FROM ivp JOIN obf ON ivp.qid = obf.qid AND ivp.id = obf.id),
+         |ho AS (SELECT CAST(count(*) AS BIGINT) AS hits
+         |       FROM ivo JOIN obf ON ivo.qid = obf.qid AND ivo.id = obf.id),
+         |mrep AS (SELECT 'pq' AS method, hits FROM hp
+         |         UNION ALL SELECT 'opq', hits FROM ho)
+         |SELECT method, hits, round(hits / (onq.n * 10.0), 4) AS recall
+         |FROM mrep CROSS JOIN onq ORDER BY method""".stripMargin,
     // residual IVFPQ (Pq.ivfPqResSearch, by_residual=true — the FAISS
     // default): PQ trained on float-round-tripped cell residuals,
     // per-(query, probed cell) query residual into the flat-fold L2

@@ -701,32 +701,32 @@ private[graft] object OracleCtes {
   /** `src` is the training/encoding vector table — `e` for the raw
     * family, `er` (cell residuals) for by_residual=true.
     */
-  def pqBaseSrc(src: String): Seq[String] = Seq(
-    "psub AS (SELECT unnest(range(8)) AS sub)",
-    "psamp AS (SELECT v, cid FROM (SELECT v, row_number() OVER (ORDER BY id) - 1 AS cid " +
+  def pqBaseSrc(src: String, x: String = ""): Seq[String] = Seq(
+    s"${x}psub AS (SELECT unnest(range(8)) AS sub)",
+    s"${x}psamp AS (SELECT v, cid FROM (SELECT v, row_number() OVER (ORDER BY id) - 1 AS cid " +
       s"FROM $src WHERE id % 25 = 0) WHERE cid <= 15)",
-    "pcb0 AS (SELECT sub, cid, list_transform(range(1, 9), j -> v[sub*8 + j]) AS cw " +
-      "FROM psamp CROSS JOIN psub)",
-    "pev AS (SELECT id, sub, list_transform(range(1, 9), j -> v[sub*8 + j]) AS sv " +
-      s"FROM $src CROSS JOIN psub)")
+    s"${x}pcb0 AS (SELECT sub, cid, list_transform(range(1, 9), j -> v[sub*8 + j]) AS cw " +
+      s"FROM ${x}psamp CROSS JOIN ${x}psub)",
+    s"${x}pev AS (SELECT id, sub, list_transform(range(1, 9), j -> v[sub*8 + j]) AS sv " +
+      s"FROM $src CROSS JOIN ${x}psub)")
 
   /** One encode round (PqUtils.encode): nearest codeword per
     * (id, sub) by squared L2 with (dist, cid) tiebreak.
     */
-  def pqAssignCte(a: String, cb: String): String =
+  def pqAssignCte(a: String, cb: String, x: String = ""): String =
     s"$a AS (SELECT id, sub, cid FROM (SELECT pev.id, pev.sub, cb.cid, " +
       s"row_number() OVER (PARTITION BY pev.id, pev.sub ORDER BY " +
       s"${pqSqDist("pev.sv", "cb.cw", 9)}, cb.cid) AS rn " +
-      s"FROM pev JOIN $cb cb ON pev.sub = cb.sub) WHERE rn = 1)"
+      s"FROM ${if (x.isEmpty) "pev" else s"${x}pev pev"} JOIN $cb cb ON pev.sub = cb.sub) WHERE rn = 1)"
 
   /** One Lloyd mean round (Pq.trainCodebook): per-(sub, cid, j) mean
     * rounded to 6dp and cast through FLOAT.
     */
-  def pqMeanCte(mName: String, a: String): String =
+  def pqMeanCte(mName: String, a: String, x: String = ""): String =
     s"$mName AS (SELECT sub, cid, list(mm ORDER BY j) AS cw FROM (" +
       s"SELECT a.sub, a.cid, jj.j, " +
       s"CAST(CAST(round(avg(pev.sv[jj.j]), 6) AS FLOAT) AS DOUBLE) AS mm " +
-      s"FROM $a a JOIN pev ON a.id = pev.id AND a.sub = pev.sub " +
+      s"FROM $a a JOIN ${if (x.isEmpty) "pev" else s"${x}pev pev"} ON a.id = pev.id AND a.sub = pev.sub " +
       s"CROSS JOIN (SELECT unnest(range(1, 9)) AS j) jj " +
       s"GROUP BY a.sub, a.cid, jj.j) GROUP BY sub, cid)"
 
@@ -739,14 +739,14 @@ private[graft] object OracleCtes {
     * codebook `pcb2`, final codes `paf`, flattened per-id
     * reconstruction `prec`. Expects an `e(id, v)` CTE in scope.
     */
-  def pqCtesSrc(src: String): String = (pqBaseSrc(src) ++ Seq(
-    pqAssignCte("pa1", "pcb0"), pqMeanCte("pm1", "pa1"),
-    pqStepCte("pcb1", "pm1", "pcb0"),
-    pqAssignCte("pa2", "pcb1"), pqMeanCte("pm2", "pa2"),
-    pqStepCte("pcb2", "pm2", "pcb1"),
-    pqAssignCte("paf", "pcb2"),
-    "prec AS (SELECT paf.id, flatten(list(c.cw ORDER BY paf.sub)) AS rv " +
-      "FROM paf JOIN pcb2 c ON paf.sub = c.sub AND paf.cid = c.cid " +
+  def pqCtesSrc(src: String, x: String = ""): String = (pqBaseSrc(src, x) ++ Seq(
+    pqAssignCte(s"${x}pa1", s"${x}pcb0", x), pqMeanCte(s"${x}pm1", s"${x}pa1", x),
+    pqStepCte(s"${x}pcb1", s"${x}pm1", s"${x}pcb0"),
+    pqAssignCte(s"${x}pa2", s"${x}pcb1", x), pqMeanCte(s"${x}pm2", s"${x}pa2", x),
+    pqStepCte(s"${x}pcb2", s"${x}pm2", s"${x}pcb1"),
+    pqAssignCte(s"${x}paf", s"${x}pcb2", x),
+    s"${x}prec AS (SELECT paf.id, flatten(list(c.cw ORDER BY paf.sub)) AS rv " +
+      s"FROM ${if (x.isEmpty) "paf" else s"${x}paf paf"} JOIN ${x}pcb2 c ON paf.sub = c.sub AND paf.cid = c.cid " +
       "GROUP BY paf.id)"
   )).mkString(",\n")
 

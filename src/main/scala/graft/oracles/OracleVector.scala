@@ -561,6 +561,15 @@ private[graft] object OracleVector {
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // order-by scroll: keyset page 2 over (label DESC NULLS LAST, id)
+    // == global ranks pageSize+1..2*pageSize of the total order
+    "vdb_scroll_orderby" ->
+      """WITH r AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+        |             row_number() OVER (ORDER BY label DESC NULLS LAST,
+        |               vec_id) AS frk
+        |           FROM embeddings)
+        |SELECT CAST(frk AS INTEGER) AS rk, id, label
+        |FROM r WHERE frk > 10 AND frk <= 20 ORDER BY rk""".stripMargin,
     // discovery search: context-pair wins (coalesce(-2) sentinel on
     // degenerate cosines, the multiquery convention), lexicographic
     // (wins DESC, 4dp score DESC, id) ranking, example ids excluded
