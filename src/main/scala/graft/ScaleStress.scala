@@ -77,7 +77,12 @@ object ScaleStress {
       "graph_hits", "ann_ivf_spill",
       // embed_lof: three k-bounded joins over the memoized edge list
       // — work must track N·k, never re-scan the corpus
-      "embed_lof")
+      "embed_lof",
+      // r13: the OPQ rung — the cold leg is moments pass (corpus-
+      // linear) + constant 64×64 driver greedy + rotated codebook
+      // train + index build; fan-out must track the corpus, with the
+      // greedy's cost invisible at every factor
+      "ann_ivf_opq")
 
   /** Replica id-space offset: far above any driver-generated id and
     * above the +100000/+200000/+300000 bands the synthetic-workload
