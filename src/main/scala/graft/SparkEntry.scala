@@ -86,6 +86,17 @@ object SparkEntry {
     "vdb_discover" -> (Knn.discoverQuery _),
     "vdb_distance_matrix" -> ((s, d) => Knn.distanceMatrixQuery(s, d)),
     "vdb_scroll_orderby" -> ((s, d) => ScalarOps.scrollOrderBy(s, d)),
+    "vdb_set_payload" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val patch = Tables.documents(s, d).where(col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 18 === 0, lit("xx"))
+            .otherwise(lit(null).cast("string")).as("lang"),
+          lit("patched").as("source"))
+      Upsert.setPayload(base, patch, "doc_id").orderBy("doc_id")
+    }),
+    "vdb_knn_tenant" -> (Ann.tenantQuery _),
     "opq_recall_report" -> (Pq.opqRecallReport _),
     "vdb_search_requests" -> (SearchApi.searchRequestsQuery _),
     "vdb_search_routed" -> (SearchApi.searchRoutedQuery _),

@@ -2949,6 +2949,72 @@ object Ann {
     path
   }
 
+  // ----------------------------------------------------- multitenancy
+
+  /** MULTITENANT LAYOUT + SEARCH (r13 — the multitenancy page every
+    * production vector store ships: Qdrant's payload-partitioned
+    * collections, "one collection, tenant-keyed partitions" over
+    * "a collection per tenant"): the corpus persists PARTITIONED BY
+    * TENANT, and a search batch scopes each request to its own
+    * tenant — the batch's present tenants (a request-sized job)
+    * become literal partition filters, so a tenant's search reads
+    * ONLY that tenant's directories however many tenants share the
+    * collection (the isolation AND the cost model: tenant cost ∝
+    * tenant size, not collection size). Scoping rides the same
+    * tenant-equality join predicate that scoped the scan, so a row
+    * can never leak across tenants even if pruning were disabled —
+    * AnnSpec pins both the pruning and the leak-freedom.
+    */
+  def tenantBuildIndex(s: SparkSession, emb: DataFrame,
+                       path: String): Unit =
+    emb.write.mode("overwrite").partitionBy("tenant").parquet(path)
+
+  /** @param queries (qid, qvec, tenant) — each request searches its
+    *                own tenant only; cosine ranking, k per request
+    */
+  def tenantSearch(s: SparkSession, path: String, queries: DataFrame,
+                   k: Int): DataFrame = {
+    val tenants = queries.select("tenant").distinct()
+      .collect().map(_.getLong(0))
+    val data = s.read.parquet(path)
+      .where(col("tenant").isin(tenants.toIndexedSeq: _*))
+    val q = broadcast(queries.select(col("qid"), col("qvec"),
+      col("tenant"),
+      sqrt(VectorDistance.dot(col("qvec"), col("qvec"))).as("_qn")))
+    val d = data.select(col("id"), col("vec"), col("tenant"),
+      sqrt(VectorDistance.dot(col("vec"), col("vec"))).as("_n"))
+    val denom = col("_n") * col("_qn")
+    val score = when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(VectorDistance.dot(col("vec"), col("qvec")) / denom)
+    val scored = d.join(q, "tenant")
+      .select(col("qid"), (-score).as("key"), col("id"))
+      .where(col("key").isNotNull)
+    topKPerQuery(scored, k)
+  }
+
+  private def tenantPath(s: SparkSession, dir: String): String =
+    java.nio.file.Paths.get("target", "tmp",
+      s"tenantidx-${java.lang.Integer.toHexString(dir.hashCode)}")
+      .toAbsolutePath.toString
+
+  /** Surface query: tenant = label mod 4; six requests, each scoped
+    * to its id-mod-4 tenant.
+    */
+  def tenantQuery(s: SparkSession, dir: String): DataFrame = {
+    val path = tenantPath(s, dir)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_SUCCESS"))) {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          (col("label").cast("long") % 4).as("tenant"))
+      tenantBuildIndex(s, e, path)
+    }
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        (col("vec_id") % 4).as("tenant"))
+    tenantSearch(s, path, q, k = 10)
+  }
+
   def ivfIndexedQuery(s: SparkSession, dir: String): DataFrame = {
     val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

@@ -31,6 +31,32 @@ object Upsert {
       .select(col(key) +: payloadCols.map(c => col(s"_p.$c").as(c)): _*)
   }
 
+  /** SET-PAYLOAD (r13 — Qdrant's POST /points/payload, the PATCH
+    * surface the reference's whole-document upsert lacks): a patch
+    * row sets ONLY the fields it carries — a NULL patch field means
+    * "leave unchanged" (coalesce merge), ids missing from the patch
+    * pass through untouched, and a patch for an absent id is a no-op
+    * (points must exist; the API's own contract). The plan is one
+    * key join of the BROADCAST patch frame against the base — the
+    * base is never shuffled, so at 100 TB a payload patch costs one
+    * map-side pass however wide the stored payload is (column
+    * pruning keeps untouched columns out of the decision entirely;
+    * contrast with the full remove-old-then-insert upsert, which
+    * rewrites the row).
+    */
+  def setPayload(base: DataFrame, patch: DataFrame,
+                 key: String): DataFrame = {
+    val pcols = patch.columns.filterNot(_ == key)
+    val pr = org.apache.spark.sql.functions.broadcast(
+      patch.select(col(key) +: pcols.map(c => col(c).as(s"_p_$c"))
+        .toIndexedSeq: _*))
+    base.join(pr, Seq(key), "left")
+      .select(col(key) +: base.columns.filterNot(_ == key).map { c =>
+        if (pcols.contains(c)) coalesce(col(s"_p_$c"), col(c)).as(c)
+        else col(c)
+      }.toIndexedSeq: _*)
+  }
+
   /** Plain insert — the reference's `/insert` endpoint
     * (http_server.cc:19, insertHandler at :150) appends WITHOUT the
     * remove-old step, so a re-inserted id yields two live rows. In

@@ -133,6 +133,17 @@ private[graft] object OracleStore {
         |SELECT id, CAST(count(*) AS BIGINT) AS n_rows,
         |       min(label) AS min_label, max(label) AS max_label
         |FROM log GROUP BY id ORDER BY id""".stripMargin,
+    // set-payload PATCH: a NULL patch field leaves the base value
+    // (coalesce merge), unpatched ids pass through
+    "vdb_set_payload" ->
+      """WITH p AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 18 = 0 THEN 'xx' END AS lang_p,
+        |             'patched' AS source_p
+        |           FROM documents WHERE doc_id % 9 = 0)
+        |SELECT d.doc_id, coalesce(p.lang_p, d.lang) AS lang,
+        |       coalesce(p.source_p, d.source) AS source, d.n_chars
+        |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "vdb_upsert" ->
       """WITH log AS (
         |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,

@@ -561,6 +561,24 @@ private[graft] object OracleVector {
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // multitenant search: tenant = label mod 4; per-request scoping
+    // via the tenant-equality join, cosine ranking within the tenant
+    "vdb_knn_tenant" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |             CAST(label AS BIGINT) % 4 AS tenant
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+        |        CAST(vec_id AS BIGINT) % 4 AS tenant
+        |      FROM embeddings WHERE vec_id < 6),
+        |d AS (SELECT q.qid, e.id AS nn_id,
+        |        list_cosine_similarity(e.v, q.qv) AS s
+        |      FROM e JOIN q ON e.tenant = q.tenant),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY s DESC, nn_id) AS rk
+        |      FROM d WHERE s IS NOT NULL)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // order-by scroll: keyset page 2 over (label DESC NULLS LAST, id)
     // == global ranks pageSize+1..2*pageSize of the total order
     "vdb_scroll_orderby" ->

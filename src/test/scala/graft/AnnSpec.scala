@@ -60,6 +60,32 @@ class AnnSpec extends SparkSuite {
       s"no partition pruning on the index scan: $pf")
   }
 
+  test("multitenant search: tenant partitions prune, results never " +
+    "leak across tenants") {
+    // r13: every hit must belong to the request's own tenant even
+    // though all tenants share one collection
+    val tenantOf = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), (col("label").cast("long") % 4).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Ann.tenantQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, nn) =>
+      assert(tenantOf(nn) == qid % 4,
+        s"request $qid (tenant ${qid % 4}) got a hit from tenant " +
+          s"${tenantOf(nn)}")
+    }
+    // and the isolation is physical: the scan carries a non-empty
+    // tenant partition filter, so other tenants' directories are
+    // never read
+    val plan = Ann.tenantQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("tenant") && !pf.contains("PartitionFilters: []"),
+      s"no tenant partition pruning: $pf")
+  }
+
   test("index upsert rewrites only touched cells yet equals a rebuild") {
     import spark.implicits._
     val root = java.nio.file.Files
