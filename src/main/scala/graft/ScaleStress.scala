@@ -82,7 +82,12 @@ object ScaleStress {
       // linear) + constant 64×64 driver greedy + rotated codebook
       // train + index build; fan-out must track the corpus, with the
       // greedy's cost invisible at every factor
-      "ann_ivf_opq")
+      "ann_ivf_opq",
+      // r13: SemDeDup — the newest pair-generating operator; cells
+      // scale in COUNT (stride-200 seeding) while cell SIZE stays
+      // ~200, so in-cell pair work must track ~100·n. A superlinear
+      // leg here means the cluster blocking stopped bounding cells.
+      "dedup_semdedup")
 
   /** Replica id-space offset: far above any driver-generated id and
     * above the +100000/+200000/+300000 bands the synthetic-workload

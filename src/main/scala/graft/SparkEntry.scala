@@ -83,6 +83,7 @@ object SparkEntry {
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label") =!= 5)),
     "vdb_knn_filtered_json" -> (Knn.knnFilteredJsonQuery _),
+    "vdb_knn_geo" -> (Knn.knnGeoQuery _),
     "vdb_discover" -> (Knn.discoverQuery _),
     "vdb_distance_matrix" -> ((s, d) => Knn.distanceMatrixQuery(s, d)),
     "vdb_scroll_orderby" -> ((s, d) => ScalarOps.scrollOrderBy(s, d)),
@@ -97,6 +98,20 @@ object SparkEntry {
       Upsert.setPayload(base, patch, "doc_id").orderBy("doc_id")
     }),
     "vdb_knn_tenant" -> (Ann.tenantQuery _),
+    "vdb_delete_payload" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val del = Tables.documents(s, d).where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"))
+      val clr = Tables.documents(s, d).where(col("doc_id") % 13 === 0)
+        .select(col("doc_id"))
+      Upsert.deletePayload(
+        Upsert.deletePayload(base, del, "doc_id", Seq("source")),
+        clr, "doc_id", Seq("lang", "source", "n_chars")).orderBy("doc_id")
+    }),
+    "vdb_facet_counts" -> ((s, d) =>
+      ScalarOps.facetCounts(Tables.documents(s, d),
+        col("n_chars") >= 300, Seq("lang", "source"), 5)),
     "opq_recall_report" -> (Pq.opqRecallReport _),
     "vdb_search_requests" -> (SearchApi.searchRequestsQuery _),
     "vdb_search_routed" -> (SearchApi.searchRoutedQuery _),
@@ -212,6 +227,12 @@ object SparkEntry {
     "ann_adaptive_filter" -> (Ann.adaptiveFilterQuery _),
     "vdb_range_search" -> ((s, d) =>
       Knn.radius(emb(s, d), qset(s, d), Knn.Metric.Cosine, 0.25)),
+    "vdb_range_annulus" -> ((s, d) =>
+      Knn.radiusBand(emb(s, d), qset(s, d), Knn.Metric.Cosine, 0.25, 0.6)),
+    "vdb_sample_random" -> ((s, d) =>
+      Sampling.randomSample(
+        Tables.embeddings(s, d).where(col("label") >= 5)
+          .select(col("vec_id").as("id")), "id", 25, "smp1")),
     "ann_ivf_range" -> (Ann.ivfRangeQuery _),
     "ann_ivf_nprobe" -> (Ann.ivfNprobeQuery _),
     "ann_ivf_sq8" -> (Ann.ivfSq8Query _),
@@ -258,6 +279,7 @@ object SparkEntry {
     "dedup_winnowing" -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "dedup_winnow_incremental" -> ((s, d) => Dedup.winnowIncrementalQuery(s, d)),
     "dedup_embedding_cos" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
+    "dedup_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
     "sim_brute_topk" -> ((s, d) =>
       Knn.topKExcludingSelf(emb(s, d), simQset(s, d), 10, Knn.Metric.Cosine)),
     "text_langid" -> (TextOps.langId _),

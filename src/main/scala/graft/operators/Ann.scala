@@ -469,6 +469,20 @@ object Ann {
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), Array[(Long, Array[Float])]]()
 
+  /** The per-(dir, stride=200) trained centroid set, shared across
+    * every operator that clusters this corpus (IVF search, spill
+    * layout, SemDeDup) — one training run per dir, identical cells
+    * everywhere, so cluster-blocked operators are directly
+    * comparable with the index paths.
+    */
+  private[operators] def cachedCentroids(
+      s: SparkSession, dir: String): Array[(Long, Array[Float])] = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    centCache.computeIfAbsent((dir, 200L),
+      _ => collectCentroids(kmeansCentroids(e, 200)))
+  }
+
   def ivfQuery(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -995,6 +995,44 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** SEMDEDUP — cluster-then-prune semantic deduplication (Abbas et
+    * al. 2023, the method behind LAION/web-scale embedding dedup):
+    * k-means the corpus, compare pairs ONLY within a cluster, and
+    * drop every point that has a lower-id neighbor above the cosine
+    * bar (keep-first — the min id of each duplicate chain survives,
+    * the dedup_clusters min-label convention). The clustering is the
+    * blocking: cross-cluster pairs are never materialized, so with
+    * the corpus-proportional cell count (stride-200 seeding keeps
+    * mean cell size ~200 at every SF) the pair work is ~100·n —
+    * LINEAR in the corpus where all-pairs is quadratic; that bound
+    * is the whole reason the paper scales to billions. Centroids are
+    * the SAME cached (dir, 200) set the IVF index trains
+    * ([[Ann.cachedCentroids]]), so SemDeDup's cells are the index's
+    * cells — at 100 TB the cluster-blocked self-join is a
+    * co-partitioned join on the cell key the layout already has.
+    * Per dropped doc: its best keeper (highest cosine, tie → lowest
+    * id), which may itself be dropped further down its chain —
+    * faithful to the paper's per-pair pruning, pinned in DedupSpec.
+    */
+  def semDedup(s: SparkSession, dir: String,
+               tau: Double = 0.35): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val a = Ann.assignTo(e, Ann.cachedCentroids(s, dir))
+      .select(col("id"), col("vec"), col("cell"))
+    val b = a.select(col("id").as("id2"), col("vec").as("v2"),
+      col("cell"))
+    a.join(b, Seq("cell")).where(col("id") < col("id2"))
+      .select(col("cell"), col("id"), col("id2"),
+        VectorDistance.cosine(col("vec"), col("v2")).as("s"))
+      .where(col("s") >= tau)
+      .groupBy(col("id2").as("doc_id"), col("cell"))
+      .agg(max(struct(col("s").as("s"), (-col("id")).as("nid"))).as("m"))
+      .select(col("doc_id"), col("cell"), (-col("m.nid")).as("keeper"),
+        round(col("m.s"), 4).as("cosine"))
+      .orderBy("doc_id")
+  }
+
   /** CROSS-MODAL CONSISTENCY AUDIT — do the TEXT near-duplicates
     * also look near in EMBEDDING space? For every verified minhash
     * pair, the exact cosine of the two docs' embeddings, rolled into

@@ -141,6 +141,67 @@ object Knn {
       get_json_object(col("props"), "$.k").cast("long") < 50)
   }
 
+  /** GEO-FILTERED SEARCH (r13 — Qdrant's geo_radius payload filter,
+    * the one filter modality where the predicate is PER-REQUEST, not
+    * per-collection: every request carries its own center and
+    * radius, so the filter can't pre-prune the scan the way the
+    * scalar family does — it rides the query join condition instead,
+    * evaluated BEFORE the distance kernel: two subtract-squares
+    * against 2 doubles prune a pair before the 64-dim dot product
+    * runs). Distance is planar-degree ((Δlat)²+(Δlon)² ≤ r²) rather
+    * than haversine — trig-free, so the boundary predicate replays
+    * bit-identically on both engines; swapping in haversine changes
+    * only the predicate expression, not the plan. At 100 TB the
+    * radius's enclosing bbox is what prunes: a geohash/Z-order
+    * layout over (lat, lon) — the repo's events_zorder_skip
+    * machinery — turns each request's bbox into partition filters,
+    * and this per-pair check remains as the exact refinement.
+    *
+    * @param data    (id, vec, lat, lon)
+    * @param queries (qid, qvec, qlat, qlon, radius) — broadcast
+    * @return (qid, rk, nn_id, score) — cosine ranking among
+    *         in-radius points
+    */
+  def topKGeoRadius(data: DataFrame, queries: DataFrame,
+                    k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), col("qvec"),
+      col("qlat"), col("qlon"), col("radius"),
+      sqrt(VectorDistance.dot(col("qvec"), col("qvec"))).as("_qn")))
+    val d = data.select(col("id"), col("vec"), col("lat"), col("lon"),
+      sqrt(VectorDistance.dot(col("vec"), col("vec"))).as("_n"))
+    val dlat = col("lat") - col("qlat")
+    val dlon = col("lon") - col("qlon")
+    val inRadius =
+      dlat * dlat + dlon * dlon <= col("radius") * col("radius")
+    val denom = col("_n") * col("_qn")
+    val score = when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(VectorDistance.dot(col("vec"), col("qvec")) / denom)
+    val scored = d.join(q, inRadius)
+      .select(col("qid"), (-score).as("key"), col("id"))
+      .where(col("key").isNotNull)
+    Ann.topKPerQuery(scored, k)
+  }
+
+  /** Surface query: lat/lon synthesized from the id by exact integer
+    * modular arithmetic (both engines compute the identical int64
+    * products/remainders, then one correctly-rounded divide), five
+    * requests centered at their own point with growing radii.
+    */
+  def knnGeoQuery(s: SparkSession, dir: String): DataFrame = {
+    def latOf(id: org.apache.spark.sql.Column) =
+      (id * 7919L % 18000L) / 100.0 - 90.0
+    def lonOf(id: org.apache.spark.sql.Column) =
+      (id * 104729L % 36000L) / 100.0 - 180.0
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        latOf(col("vec_id")).as("lat"), lonOf(col("vec_id")).as("lon"))
+    val q = graft.Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        latOf(col("vec_id")).as("qlat"), lonOf(col("vec_id")).as("qlon"),
+        (lit(25.0) + col("vec_id") * 5.0).as("radius"))
+    topKGeoRadius(e, q, 10)
+  }
+
   /** RECOMMEND BY EXAMPLES — search with positive/negative example
     * IDS instead of a raw vector (the recommendation API Qdrant
     * ships; its published `average_vector` strategy): the query
@@ -474,6 +535,37 @@ object Knn {
     val keep =
       if (metric == Metric.L2) col("s") <= threshold
       else col("s") >= threshold
+    val pairs = data.select(col("id"), col("vec"))
+      .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
+    (if (excludeSelf) pairs.where(col("id") =!= col("qid")) else pairs)
+      .select(col("qid"), col("id").as("nn_id"), score.as("s"))
+      .where(col("s").isNotNull && keep)
+      .select(col("qid"), col("nn_id"), round(col("s"), 4).as("score"))
+      .orderBy("qid", "nn_id")
+  }
+
+  /** ANNULUS (two-bound range) SEARCH (r13 — Milvus' range search
+    * with BOTH knobs: `radius` sets the outer/less-similar bar and
+    * `range_filter` the inner/more-similar cutoff, which exists
+    * precisely to EXCLUDE near-identical hits — "related but not a
+    * copy", the band a dedup-aware retrieval fetches context from):
+    * similarity metrics keep lo < s ≤ hi; L2 keeps lo ≤ d < hi
+    * (Milvus' own orientation: range_filter ≤ d < radius). Same
+    * map-only plan as [[radius]] — the second compare rides the same
+    * codegen stage for free, output stays data-dependent with no
+    * heap and no per-query state.
+    */
+  def radiusBand(data: DataFrame, queries: DataFrame,
+                 metric: Metric.Value, lo: Double, hi: Double,
+                 excludeSelf: Boolean = false): DataFrame = {
+    val score = metric match {
+      case Metric.L2 => VectorDistance.l2(col("vec"), col("qvec"))
+      case Metric.IP => VectorDistance.dot(col("vec"), col("qvec"))
+      case Metric.Cosine => VectorDistance.cosine(col("vec"), col("qvec"))
+    }
+    val keep =
+      if (metric == Metric.L2) col("s") >= lo && col("s") < hi
+      else col("s") > lo && col("s") <= hi
     val pairs = data.select(col("id"), col("vec"))
       .crossJoin(broadcast(queries.select(col("qid"), col("qvec"))))
     (if (excludeSelf) pairs.where(col("id") =!= col("qid")) else pairs)

@@ -195,6 +195,32 @@ object Sampling {
       .orderBy("lang", "rk")
   }
 
+  /** RANDOM-SAMPLING API (r13 — Qdrant's query API `"sample":
+    * "random"`: a uniform draw from the FILTERED collection, for
+    * exploration and drift checks — no similarity ranking involved):
+    * the deterministic bottom-k-hash form of [[reservoirQuery]], but
+    * collection-level (one global heap, no strata) and SEEDED — the
+    * seed participates in the hash input, so distinct calls draw
+    * distinct yet individually replayable samples (a true RNG sample
+    * would change under retry/repartition; this one is a pure
+    * function of (seed, id)). The filter composes BEFORE the heap
+    * and pushes to the scan; map-side partial heaps mean ≤ n
+    * (key, id) pairs leave each partition however big the corpus.
+    */
+  def randomSample(df: DataFrame, idCol: String, n: Int,
+                   seed: String): DataFrame = {
+    val h50 = graft.functions.Md5Prefix60(
+      concat(lit(seed + "|"), col(idCol).cast("string"))) %
+      lit(1125899906842624L) // 2^50
+    val agg = TopKAgg.topK(n)
+    df.select(h50.cast("double").as("key"), col(idCol).as("id"))
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(posexplode(col("top.items")).as(Seq("pos", "c")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        col("c.id").as("id"), col("c.key").cast("long").as("h50"))
+      .orderBy("rk")
+  }
+
   /** EXPORT SHARDING — the last step of a training-data pipeline:
     * assign every document a shard id so each output shard carries
     * ~`budget` tokens, in a deterministic md5-dealt order (training

@@ -82,4 +82,36 @@ object ScalarOps {
                   removedIdCol: String): DataFrame =
     df.join(removed.select(col(removedIdCol).as("__rm_id")),
       col(idCol) === col("__rm_id"), "left_anti")
+
+  /** FACET COUNTS (r13 — the collection-level facet API: Qdrant's
+    * POST /collections/{c}/facet, Milvus' query with count
+    * aggregation): for each facet key, the distinct payload values
+    * among points matching the filter, with their exact counts — top
+    * `limit` values per key by (count desc, value asc). This is NOT
+    * [[Search.searchFacets]]: that one facets a Q×k RESULT set; this
+    * aggregates the filtered COLLECTION, the "what's in here" browse
+    * panel drawn before any query runs. Plan: filter (pushed to the
+    * scan) → one union of per-key projections → partial-aggregating
+    * groupBy — at 100 TB each map task pre-combines to its distinct
+    * facet values, so the exchange carries value-cardinality rows,
+    * not corpus rows, and the rank window runs over that same tiny
+    * aggregate. NULL payload values are absent from facets (both
+    * engines: a point without the key contributes nothing).
+    */
+  def facetCounts(base: DataFrame, filter: Column,
+                  facetKeys: Seq[String], limit: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = base.where(filter)
+    val u = facetKeys.map(k =>
+        f.select(lit(k).as("facet"), col(k).cast("string").as("value")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy("facet")
+      .orderBy(col("n").desc, col("value"))
+    u.where(col("value").isNotNull)
+      .groupBy("facet", "value").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= limit)
+      .select(col("facet"), col("rk"), col("value"), col("n"))
+      .orderBy("facet", "rk")
+  }
 }

@@ -57,6 +57,33 @@ object Upsert {
       }.toIndexedSeq: _*)
   }
 
+  /** DELETE-PAYLOAD (r13 — the removal half of the payload PATCH
+    * surface: Qdrant's POST /points/payload/delete drops the LISTED
+    * keys from the addressed points; /points/payload/clear is the
+    * same operation with every payload key listed): for ids in the
+    * address set, the named payload fields become NULL; every other
+    * field and every unaddressed id passes through byte-unchanged.
+    * Same 100 TB shape as [[setPayload]]: the address set broadcasts
+    * as a semi-join flag, the decision is a per-row conditional in
+    * the same projection — the base never shuffles, untouched
+    * columns prune away unread. Distinct from setPayload's coalesce
+    * merge by direction: PATCH cannot write a NULL (NULL means
+    * "keep"), so key removal needs this dedicated verb — exactly why
+    * the Qdrant API ships both endpoints.
+    */
+  def deletePayload(base: DataFrame, ids: DataFrame, key: String,
+                    dropKeys: Seq[String]): DataFrame = {
+    val flag = org.apache.spark.sql.functions.broadcast(
+      ids.select(col(key)).distinct().withColumn("_del", lit(true)))
+    base.join(flag, Seq(key), "left")
+      .select(col(key) +: base.columns.filterNot(_ == key).map { c =>
+        if (dropKeys.contains(c))
+          when(col("_del"),
+            lit(null).cast(base.schema(c).dataType)).otherwise(col(c)).as(c)
+        else col(c)
+      }.toIndexedSeq: _*)
+  }
+
   /** Plain insert — the reference's `/insert` endpoint
     * (http_server.cc:19, insertHandler at :150) appends WITHOUT the
     * remove-old step, so a re-inserted id yields two live rows. In

@@ -9,6 +9,30 @@ private[graft] object OracleDedup {
   import OracleCtes._
 
   val sql: Map[String, String] = Map(
+    // SemDeDup: the ann_ivf training chain (same stride-200 seeds,
+    // same two Lloyd rounds, same 6dp/FLOAT mean round-trip) gives
+    // the final assignment af; pairs ONLY within a cell, drop id2
+    // when a lower-id neighbor clears the bar, keeper = (s DESC,
+    // id ASC) first among qualifying partners
+    "dedup_semdedup" ->
+      ("WITH " + Seq(
+        "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 200 = 0)",
+        ivfAssignCte("a1", "c0"),
+        ivfMeanCte("c1", "a1"),
+        ivfAssignCte("a2", "c1"),
+        ivfMeanCte("c2", "a2"),
+        ivfAssignCte("af", "c2")).mkString(",\n") + """,
+        |p AS (SELECT a.cell, a.id, b.id AS id2,
+        |        list_cosine_similarity(a.v, b.v) AS s
+        |      FROM af a JOIN af b
+        |        ON a.cell = b.cell AND a.id < b.id),
+        |r AS (SELECT id2 AS doc_id, cell, id AS keeper, s,
+        |        row_number() OVER (PARTITION BY id2
+        |          ORDER BY s DESC, id) AS rk
+        |      FROM p WHERE s >= 0.35)
+        |SELECT doc_id, cell, keeper, round(s, 4) AS cosine
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin),
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

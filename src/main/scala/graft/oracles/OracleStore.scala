@@ -144,6 +144,32 @@ private[graft] object OracleStore {
         |       coalesce(p.source_p, d.source) AS source, d.n_chars
         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // delete-payload: clear (%13) NULLs every payload key, delete
+    // (%7) NULLs only the listed 'source'; all other rows/fields
+    // pass through — NULL here is REMOVAL, not PATCH-keep
+    "vdb_delete_payload" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+        |       CASE WHEN doc_id % 13 = 0 OR doc_id % 7 = 0 THEN NULL
+        |            ELSE source END AS source,
+        |       CASE WHEN doc_id % 13 = 0 THEN NULL
+        |            ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // collection-level facet counts under a filter: top-5 values per
+    // facet key by (count desc, value asc); NULL values absent
+    "vdb_facet_counts" ->
+      """WITH f AS (SELECT lang, source FROM documents
+        |           WHERE n_chars >= 300),
+        |u AS (SELECT 'lang' AS facet, lang AS value FROM f
+        |      UNION ALL SELECT 'source', source FROM f),
+        |c AS (SELECT facet, value, count(*) AS n FROM u
+        |      WHERE value IS NOT NULL GROUP BY facet, value),
+        |r AS (SELECT facet, value, n,
+        |        row_number() OVER (PARTITION BY facet
+        |          ORDER BY n DESC, value) AS rk
+        |      FROM c)
+        |SELECT facet, rk, value, n FROM r
+        |WHERE rk <= 5 ORDER BY facet, rk""".stripMargin,
     "vdb_upsert" ->
       """WITH log AS (
         |  SELECT vec_id AS id, CAST(label AS BIGINT) AS label,

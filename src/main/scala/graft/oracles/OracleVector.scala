@@ -77,6 +77,28 @@ private[graft] object OracleVector {
         |SELECT qid, nn_id, round(s, 4) AS score
         |FROM d WHERE s IS NOT NULL AND s >= 0.25
         |ORDER BY qid, nn_id""".stripMargin,
+    // annulus range search: Milvus' radius + range_filter pair —
+    // cosine in (0.25, 0.6], the related-but-not-a-copy band
+    "vdb_range_annulus" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q)
+        |SELECT qid, nn_id, round(s, 4) AS score
+        |FROM d WHERE s IS NOT NULL AND s > 0.25 AND s <= 0.6
+        |ORDER BY qid, nn_id""".stripMargin,
+    // random-sampling API: seeded bottom-25 of md5('smp1|'||id) mod
+    // 2^50 over the filtered collection — deterministic "random"
+    "vdb_sample_random" ->
+      """WITH h AS (SELECT vec_id AS id,
+        |    CAST('0x' || substr(md5('smp1|' || CAST(vec_id AS VARCHAR)),
+        |      1, 15) AS BIGINT) % 1125899906842624 AS h50
+        |  FROM embeddings WHERE label >= 5),
+        |r AS (SELECT id, h50,
+        |        row_number() OVER (ORDER BY h50, id) AS rk
+        |      FROM h)
+        |SELECT rk, id, h50 FROM r WHERE rk <= 25 ORDER BY rk""".stripMargin,
     // IVF+SQ8 (Ann.ivfSq8Search, k=10 nprobe=2 rerank=4): the same
     // probe set, a code-space COSINE shortlist of 40 per query over
     // probed cells (codes decoded x = mn + c·(mx-mn)/255, the
@@ -559,6 +581,32 @@ private[graft] object OracleVector {
         |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
         |               AS rk
         |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // geo-radius filtered search: lat/lon from exact integer modular
+    // arithmetic; per-request planar-degree radius as the join
+    // predicate (trig-free — the boundary compare replays
+    // bit-identically), cosine ranking among in-radius points
+    "vdb_knn_geo" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |             vec_id * 7919 % 18000 / 100.0 - 90.0 AS lat,
+        |             vec_id * 104729 % 36000 / 100.0 - 180.0 AS lon
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+        |        vec_id * 7919 % 18000 / 100.0 - 90.0 AS qlat,
+        |        vec_id * 104729 % 36000 / 100.0 - 180.0 AS qlon,
+        |        25.0 + vec_id * 5.0 AS radius
+        |      FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.id AS nn_id,
+        |        list_cosine_similarity(e.v, q.qv) AS s
+        |      FROM e JOIN q
+        |        ON (e.lat - q.qlat) * (e.lat - q.qlat)
+        |         + (e.lon - q.qlon) * (e.lon - q.qlon)
+        |        <= q.radius * q.radius),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY s DESC, nn_id) AS rk
+        |      FROM d WHERE s IS NOT NULL)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // multitenant search: tenant = label mod 4; per-request scoping

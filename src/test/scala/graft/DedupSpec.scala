@@ -204,6 +204,28 @@ class DedupSpec extends SparkSuite {
       s"emptied buckets survived: ${dirs.map(_.getName).toSeq}")
   }
 
+  test("semdedup: keep-first within k-means cells; a cell's min id " +
+      "never drops and every reported cell matches the assignment") {
+    import graft.operators.Ann
+    val out = Dedup.semDedup(spark, sf).collect()
+    assert(out.nonEmpty)
+    // (doc_id, cell, keeper, cosine): keeper strictly below, bar met
+    assert(out.forall(r => r.getLong(2) < r.getLong(0)))
+    assert(out.forall(r => r.getDouble(3) >= 0.35))
+    // same public training chain the operator caches → same cells
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val a = Ann.ivfAssign(e, Ann.kmeansCentroids(e, 200))
+      .select("id", "cell")
+    val cellOf = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall(r => cellOf(r.getLong(0)) == r.getLong(1)))
+    // keep-first: the minimum id of a cell has no lower-id partner,
+    // so it can never appear as a dropped doc
+    val minIds = a.groupBy("cell").agg(min("id").as("m"))
+      .collect().map(_.getLong(1)).toSet
+    assert(minIds.intersect(out.map(_.getLong(0)).toSet).isEmpty)
+  }
+
   test("canonical: one keeper per cluster, keeper is the best member") {
     val out = Dedup.canonicalMap(spark, sf).collect()
     assert(out.length > 0)
