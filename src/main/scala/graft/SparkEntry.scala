@@ -84,6 +84,7 @@ object SparkEntry {
         col("label") =!= 5)),
     "vdb_knn_filtered_json" -> (Knn.knnFilteredJsonQuery _),
     "vdb_knn_geo" -> (Knn.knnGeoQuery _),
+    "vdb_knn_named" -> (Knn.knnNamedQuery _),
     "vdb_discover" -> (Knn.discoverQuery _),
     "vdb_distance_matrix" -> ((s, d) => Knn.distanceMatrixQuery(s, d)),
     "vdb_scroll_orderby" -> ((s, d) => ScalarOps.scrollOrderBy(s, d)),
@@ -159,6 +160,13 @@ object SparkEntry {
         Tables.embeddings(s, d)
           .select(col("label").cast("long").as("label"), col("vec_id")),
         "label", "vec_id")),
+    "vdb_filter_index_json" -> ((s, d) =>
+      ScalarOps.filterIndexBuild(
+        Tables.events(s, d)
+          .select(get_json_object(col("props"), "$.k").cast("long")
+            .as("k"), col("event_id"))
+          .where(col("k").isNotNull),
+        "k", "event_id")),
     "vdb_snapshot_replay" -> ((s, d) =>
       WalReplay.replayComposed(Tables.events(s, d), 500L)),
     "wal_json_replay" -> (graft.sources.WalSource.replayQuery _),

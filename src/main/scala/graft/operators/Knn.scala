@@ -544,6 +544,52 @@ object Knn {
       .orderBy("qid", "nn_id")
   }
 
+  /** NAMED-VECTORS SEARCH (r13 — Qdrant's named vectors: a point
+    * stores SEVERAL vectors under names ("title", "body", an image
+    * embedding…) and each search request says which one it targets
+    * via `using`): the vector choice is REQUEST DATA, not a plan
+    * branch — one broadcast of (qid, qvec, using), one scan, and a
+    * per-pair conditional column picks the named corpus vector
+    * inside the same codegen stage (the routed-batch discipline:
+    * heterogeneous requests never fork the plan). At 100 TB the
+    * named vectors are sibling columns of one table — column
+    * pruning reads only the names the batch actually uses, which is
+    * the storage win over one-collection-per-vector-name.
+    *
+    * @param data    (id, vec_title, vec_body)
+    * @param queries (qid, qvec, using) — `using` ∈ title|body
+    */
+  def topKNamedVectors(data: DataFrame, queries: DataFrame,
+                       k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), col("qvec"),
+      col("using")))
+    val target = when(col("using") === "title", col("vec_title"))
+      .otherwise(col("vec_body"))
+    val scored = data.crossJoin(q)
+      .select(col("qid"),
+        (-VectorDistance.cosine(target, col("qvec"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    Ann.topKPerQuery(scored, k)
+  }
+
+  /** Surface query: title = the stored embedding, body = its exact
+    * reversal (deterministic, FP-free synthesis — reversal changes
+    * the ranking, so targeting the wrong name is visible); six
+    * requests alternating the target name.
+    */
+  def knnNamedQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").as("vec_title"),
+        reverse(col("embedding")).as("vec_body"))
+    val q = graft.Tables.embeddings(s, dir).where(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        when(col("vec_id") % 2 === 0, lit("title"))
+          .otherwise(lit("body")).as("using"))
+    topKNamedVectors(e, q, 10)
+  }
+
   /** ANNULUS (two-bound range) SEARCH (r13 — Milvus' range search
     * with BOTH knobs: `radius` sets the outer/less-similar bar and
     * `range_filter` the inner/more-similar cutoff, which exists

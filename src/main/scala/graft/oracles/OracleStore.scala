@@ -352,6 +352,20 @@ private[graft] object OracleStore {
       """SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS card,
         |       min(vec_id) AS min_id, max(vec_id) AS max_id
         |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin,
+    // JSON-payload filter index (the reference filter.md roadmap's
+    // "json index" line): per extracted $.k value, cardinality + id
+    // range; malformed/missing payloads are NOT indexed (json_valid
+    // guard — Spark's schema-on-read NULL mirror)
+    "vdb_filter_index_json" ->
+      """WITH p AS (SELECT event_id,
+        |             CAST(CASE WHEN json_valid(props) THEN
+        |               json_extract_string(props, '$.k') END AS BIGINT)
+        |               AS k
+        |           FROM events)
+        |SELECT k, CAST(count(*) AS BIGINT) AS card,
+        |       min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM p WHERE k IS NOT NULL
+        |GROUP BY 1 ORDER BY k""".stripMargin,
     "vdb_snapshot_replay" ->
       """WITH agg AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

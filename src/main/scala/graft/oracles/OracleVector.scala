@@ -583,6 +583,27 @@ private[graft] object OracleVector {
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // named-vectors search: title = stored embedding, body = its
+    // exact reversal; the request's `using` picks the target per
+    // pair, one plan for the mixed batch
+    "vdb_knn_named" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vt,
+        |             list_reverse(embedding::DOUBLE[]) AS vb
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+        |        CASE WHEN vec_id % 2 = 0 THEN 'title' ELSE 'body' END AS u
+        |      FROM embeddings WHERE vec_id < 6),
+        |d AS (SELECT q.qid, e.id AS nn_id,
+        |        list_cosine_similarity(
+        |          CASE WHEN q.u = 'title' THEN e.vt ELSE e.vb END,
+        |          q.qv) AS s
+        |      FROM e CROSS JOIN q),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY s DESC, nn_id) AS rk
+        |      FROM d WHERE s IS NOT NULL)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // geo-radius filtered search: lat/lon from exact integer modular
     // arithmetic; per-request planar-degree radius as the join
     // predicate (trig-free — the boundary compare replays
