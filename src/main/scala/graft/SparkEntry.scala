@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -86,6 +86,26 @@ object SparkEntry {
     "vdb_knn_geo" -> (Knn.knnGeoQuery _),
     "vdb_knn_named" -> (Knn.knnNamedQuery _),
     "vdb_discover" -> (Knn.discoverQuery _),
+    "vdb_context_search" -> (Knn.contextSearchQuery _),
+    "vdb_batch_update" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      def doc = Tables.documents(s, d)
+      def op(mod: Int, v: Long, o: String, lang: Column,
+             source: Column, nc: Column) =
+        doc.where(col("doc_id") % mod === 0)
+          .select(col("doc_id"), lit(v).as("version"), lit(o).as("op"),
+            lang.as("lang"), source.as("source"), nc.as("n_chars"))
+      val nullS = lit(null).cast("string")
+      val nullL = lit(null).cast("long")
+      val ops = op(6, 1L, "upsert", lit("aa"), lit("up1"),
+          col("n_chars") + 1000L)
+        .unionByName(op(9, 2L, "patch", nullS, lit("patched2"), nullL))
+        .unionByName(op(15, 3L, "delete", nullS, nullS, nullL))
+        .unionByName(op(21, 4L, "upsert", lit("bb"), lit("up4"),
+          col("n_chars") + 4000L))
+      Upsert.batchUpdate(base, ops, "doc_id").orderBy("doc_id")
+    }),
     "vdb_distance_matrix" -> ((s, d) => Knn.distanceMatrixQuery(s, d)),
     "vdb_scroll_orderby" -> ((s, d) => ScalarOps.scrollOrderBy(s, d)),
     "vdb_set_payload" -> ((s, d) => {

@@ -346,6 +346,74 @@ object Knn {
     discover(data, withVecs, 10)
   }
 
+  /** CONTEXT SEARCH (r13 — the second half of Qdrant's discovery
+    * API: context pairs WITHOUT a target. Each (positive, negative)
+    * pair defines a half-space preference; a point's score is
+    * Σ min(0, cos(p) − cos(n)) over the pairs — 0 when it sits on
+    * the positive side of EVERY pair ("inside the context"), and
+    * increasingly negative the further it violates pairs. Unlike
+    * [[discover]] there is no target to rank within the zero-loss
+    * set, so ties at 0 are the EXPECTED output shape and the id
+    * tiebreak is part of the API contract.) Same plan anatomy as
+    * discover: one broadcast of the pair vectors, corpus norms once
+    * per row, fixed-order two-term sum (bit-deterministic), bounded
+    * heap on (−score, id). Degenerate (zero-norm) corpus vectors
+    * drop before the heap — the cosine-ranking contract.
+    *
+    * @param requests (qid, p1vec, n1vec, p2vec, n2vec, ex)
+    * @return (qid, rk, nn_id, score) — score = the pair loss, 4dp
+    */
+  def contextSearch(data: DataFrame, requests: DataFrame,
+                    k: Int): DataFrame = {
+    def qn(c: String) = sqrt(VectorDistance.dot(col(c), col(c)))
+    val q = broadcast(requests.select(col("qid"), col("ex"),
+      col("p1vec"), qn("p1vec").as("_p1n"),
+      col("n1vec"), qn("n1vec").as("_n1n"),
+      col("p2vec"), qn("p2vec").as("_p2n"),
+      col("n2vec"), qn("n2vec").as("_n2n")))
+    val d = data.select(col("id"), col("vec"),
+      sqrt(VectorDistance.dot(col("vec"), col("vec"))).as("_n"))
+    def cosTo(v: String, n: String) = {
+      val denom = col("_n") * col(n)
+      when(denom === 0.0, lit(null).cast("double"))
+        .otherwise(VectorDistance.dot(col("vec"), col(v)) / denom)
+    }
+    val loss =
+      least(lit(0.0), cosTo("p1vec", "_p1n") - cosTo("n1vec", "_n1n")) +
+      least(lit(0.0), cosTo("p2vec", "_p2n") - cosTo("n2vec", "_n2n"))
+    val scored = d.crossJoin(q)
+      .where(!array_contains(col("ex"), col("id")))
+      // a degenerate corpus vector NULLs every cosine — gate on one
+      .where(cosTo("p1vec", "_p1n").isNotNull)
+      .select(col("qid"), (-loss).as("key"), col("id"))
+    Ann.topKPerQuery(scored, k)
+  }
+
+  /** Context-search surface query: the discover fixture's three
+    * requests, pairs only (no target).
+    */
+  def contextSearchQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = graft.Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val reqs = Seq(
+      (0L, 3L, 6L, 4L, 7L), (1L, 5L, 8L, 6L, 9L),
+      (2L, 7L, 10L, 8L, 11L))
+      .toDF("qid", "p1", "n1", "p2", "n2")
+    val withVecs = reqs
+      .join(e.select(col("vec_id").as("p1"), col("v").as("p1vec")), "p1")
+      .join(e.select(col("vec_id").as("n1"), col("v").as("n1vec")), "n1")
+      .join(e.select(col("vec_id").as("p2"), col("v").as("p2vec")), "p2")
+      .join(e.select(col("vec_id").as("n2"), col("v").as("n2vec")), "n2")
+      .select(col("qid"), col("p1vec"), col("n1vec"), col("p2vec"),
+        col("n2vec"),
+        array(col("p1"), col("n1"), col("p2"), col("n2")).as("ex"))
+    val data = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    contextSearch(data, withVecs, 10)
+  }
+
   /** DISTANCE MATRIX (r13 — Qdrant's matrix API: pairwise distances
     * over a SAMPLE of the collection, the raw material for offline
     * clustering / dedup seeding / visualization): a deterministic

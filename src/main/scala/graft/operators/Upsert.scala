@@ -84,6 +84,68 @@ object Upsert {
       }.toIndexedSeq: _*)
   }
 
+  /** ORDERED MIXED-OPERATION BATCH (r13 — Qdrant's /points/batch:
+    * one request carries upserts, payload patches, and deletes, and
+    * the server applies them IN ORDER. The order is what makes it an
+    * API and not three calls: patch-then-upsert ≠ upsert-then-patch,
+    * and an upsert after a delete resurrects the point). Relational
+    * fold, no per-op loop:
+    *   - content rows = base (version 0) ∪ upserts (whole-row
+    *     replace) → per-key LWW winner `cv` (the [[lastWriterWins]]
+    *     max_by shape — map-side partial);
+    *   - a key is LIVE iff its last content version outruns its last
+    *     delete (`cv > dv`; delete-then-upsert therefore lives,
+    *     upsert-then-delete does not);
+    *   - a PATCH contributes only if it post-dates both (`v >
+    *     max(cv, dv)`) — an earlier patch was wiped by the whole-row
+    *     replace or the delete. Per field, the LAST non-null patch
+    *     wins (max over (version-if-set, value) structs — one
+    *     aggregate, no window), and NULL patch fields keep the
+    *     [[setPayload]] PATCH-keep meaning.
+    * Every stage is a key-grouped aggregate or broadcast-join on the
+    * id — at 100 TB this is one changelog replay pass, the shape a
+    * columnar store wants, never a row-at-a-time loop.
+    *
+    * @param ops (key, version, op ∈ upsert|patch|delete, payload…);
+    *            versions unique per key (the WAL contract)
+    */
+  def batchUpdate(base: DataFrame, ops: DataFrame,
+                  key: String): DataFrame = {
+    val payloadCols = base.columns.filterNot(_ == key)
+    val content = base.withColumn("_v", lit(0L)).unionByName(
+      ops.where(col("op") === "upsert")
+        .select((col(key) +: payloadCols.map(col))
+          :+ col("version").as("_v"): _*))
+    val payload = struct(payloadCols.map(col).toIndexedSeq: _*)
+    val lastContent = content.groupBy(col(key))
+      .agg(max_by(payload, col("_v")).as("_p"), max(col("_v")).as("cv"))
+    val lastDel = ops.where(col("op") === "delete").groupBy(col(key))
+      .agg(max(col("version")).as("dv"))
+    val live = lastContent.join(lastDel, Seq(key), "left")
+      .where(col("dv").isNull || col("cv") > col("dv"))
+    val patchAgg = ops.where(col("op") === "patch")
+      .join(live.select(col(key), col("cv"),
+        coalesce(col("dv"), lit(-1L)).as("_dv")), Seq(key))
+      .where(col("version") > greatest(col("cv"), col("_dv")))
+      .groupBy(col(key))
+      .agg(
+        max(struct(
+          when(col(payloadCols.head).isNotNull, col("version"))
+            .otherwise(lit(-1L)).as("pv"),
+          col(payloadCols.head).as("x"))).as(s"_m_${payloadCols.head}"),
+        payloadCols.tail.map { c =>
+          max(struct(
+            when(col(c).isNotNull, col("version")).otherwise(lit(-1L))
+              .as("pv"),
+            col(c).as("x"))).as(s"_m_$c")
+        }.toIndexedSeq: _*)
+    live.join(patchAgg, Seq(key), "left")
+      .select(col(key) +: payloadCols.map { c =>
+        when(col(s"_m_$c.pv") >= 0, col(s"_m_$c.x"))
+          .otherwise(col(s"_p.$c")).as(c)
+      }.toIndexedSeq: _*)
+  }
+
   /** Plain insert — the reference's `/insert` endpoint
     * (http_server.cc:19, insertHandler at :150) appends WITHOUT the
     * remove-old step, so a re-inserted id yields two live rows. In

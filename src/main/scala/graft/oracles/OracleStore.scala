@@ -133,6 +133,27 @@ private[graft] object OracleStore {
         |SELECT id, CAST(count(*) AS BIGINT) AS n_rows,
         |       min(label) AS min_label, max(label) AS max_label
         |FROM log GROUP BY id ORDER BY id""".stripMargin,
+    // ordered mixed batch: upsert v1 (%6), patch v2 (%9), delete v3
+    // (%15), upsert v4 (%21). Closed-form mirror of the general
+    // fold: the last content version must outrun the last delete;
+    // a patch survives only if it post-dates both. Independent
+    // derivation — the Spark side runs the generic changelog fold.
+    "vdb_batch_update" ->
+      """WITH f AS (SELECT doc_id, lang, source, n_chars,
+        |    (doc_id % 6 = 0) AS u1, (doc_id % 9 = 0) AS p2,
+        |    (doc_id % 15 = 0) AS d3, (doc_id % 21 = 0) AS u4
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN u4 THEN 'bb' WHEN u1 THEN 'aa'
+        |       ELSE lang END AS lang,
+        |  CASE WHEN u4 THEN 'up4'
+        |       WHEN p2 AND NOT d3 THEN 'patched2'
+        |       WHEN u1 THEN 'up1' ELSE source END AS source,
+        |  CASE WHEN u4 THEN n_chars + 4000
+        |       WHEN u1 THEN n_chars + 1000
+        |       ELSE n_chars END AS n_chars
+        |FROM f WHERE NOT (d3 AND NOT u4)
+        |ORDER BY doc_id""".stripMargin,
     // set-payload PATCH: a NULL patch field leaves the base value
     // (coalesce merge), unpatched ids pass through
     "vdb_set_payload" ->

@@ -583,6 +583,31 @@ private[graft] object OracleVector {
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // context search: pair loss Σ min(0, cos(p)−cos(n)), no target —
+    // zero-loss ties are the API shape, id tiebreak is the contract
+    "vdb_context_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |r0 AS (SELECT * FROM (VALUES (0,3,6,4,7),(1,5,8,6,9),
+        |         (2,7,10,8,11)) t(qid, p1, n1, p2, n2)),
+        |d AS (SELECT r.qid, e.vec_id AS nn_id,
+        |        least(0.0, list_cosine_similarity(e.v, a.v)
+        |                 - list_cosine_similarity(e.v, b.v))
+        |      + least(0.0, list_cosine_similarity(e.v, c.v)
+        |                 - list_cosine_similarity(e.v, dd.v)) AS sc,
+        |        list_cosine_similarity(e.v, a.v) AS s1
+        |      FROM r0 r JOIN e a ON a.vec_id = r.p1
+        |           JOIN e b ON b.vec_id = r.n1
+        |           JOIN e c ON c.vec_id = r.p2
+        |           JOIN e dd ON dd.vec_id = r.n2
+        |           CROSS JOIN e
+        |      WHERE e.vec_id NOT IN (r.p1, r.n1, r.p2, r.n2)),
+        |rr AS (SELECT qid, nn_id, sc,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY sc DESC, nn_id) AS rk
+        |       FROM d WHERE s1 IS NOT NULL)
+        |SELECT qid, rk, nn_id, round(sc, 4) AS score
+        |FROM rr WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // named-vectors search: title = stored embedding, body = its
     // exact reversal; the request's `using` picks the target per
     // pair, one plan for the mixed batch

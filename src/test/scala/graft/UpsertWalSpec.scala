@@ -17,6 +17,39 @@ class UpsertWalSpec extends SparkSuite {
     assert(got == Seq((1L, "b", 3L), (2L, "x", 1L), (3L, "p", 2L)))
   }
 
+  test("batch update: order decides — resurrection, wipe, patch-keep") {
+    // base: ids 1..6, payload (tag, n)
+    val base = Seq((1L, "b", 10L), (2L, "b", 20L), (3L, "b", 30L),
+      (4L, "b", 40L), (5L, "b", 50L), (6L, "b", 60L))
+      .toDF("id", "tag", "n")
+    val ops = Seq(
+      // id 1: delete v1 then upsert v2 → resurrected with v2 payload
+      (1L, 1L, "delete", None: Option[String], None: Option[Long]),
+      (1L, 2L, "upsert", Some("res"), Some(11L)),
+      // id 2: upsert v1 then delete v2 → gone
+      (2L, 1L, "upsert", Some("up"), Some(21L)),
+      (2L, 2L, "delete", None, None),
+      // id 3: patch v1 then upsert v2 → patch wiped by the replace
+      (3L, 1L, "patch", Some("pat"), None),
+      (3L, 2L, "upsert", Some("up"), Some(31L)),
+      // id 4: upsert v1 then patch v2 → patch lands on the upsert
+      (4L, 1L, "upsert", Some("up"), Some(41L)),
+      (4L, 2L, "patch", Some("pat"), None),
+      // id 5: two patches — per FIELD the last non-null wins
+      (5L, 1L, "patch", Some("pat1"), Some(51L)),
+      (5L, 2L, "patch", Some("pat2"), None))
+      .toDF("id", "version", "op", "tag", "n")
+    val got = Upsert.batchUpdate(base, ops, "id").orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, "res", 11L),  // delete-then-upsert lives
+      (3L, "up", 31L),   // earlier patch wiped
+      (4L, "pat", 41L),  // later patch keeps the unpatched field
+      (5L, "pat2", 51L), // field-wise last non-null patch
+      (6L, "b", 60L)))   // untouched passthrough
+  }
+
   test("snapshot + tail replay equals full replay at any split point") {
     val ev = Tables.events(spark, sf)
     val full = WalReplay.replayComposed(ev, Long.MaxValue).collect().toSeq
