@@ -52,6 +52,32 @@ object SparkEntry {
       Knn.scrollPage2(emb(s, d), qset(s, d), 10)),
     "vdb_knn_groupby" -> ((s, d) =>
       Knn.topKGrouped(emb(s, d), qset(s, d), 3, 2)),
+    // group_by + with_lookup (Qdrant): each surviving GROUP's key
+    // joins a lookup collection's payload onto its rows — the
+    // lookup is G×Q-sized, so it broadcasts whatever the corpus
+    "vdb_knn_groupby_lookup" -> ((s, d) => {
+      val lk = Tables.documents(s, d).select(
+        col("doc_id").as("label"), col("lang").as("lk_lang"),
+        col("source").as("lk_source"))
+      Knn.topKGrouped(emb(s, d), qset(s, d), 3, 2)
+        .withColumn("label", col("label").cast("long"))
+        .join(broadcast(lk), Seq("label"), "left")
+        .select(col("qid"), col("grp_rk"), col("label"),
+          col("lk_lang"), col("lk_source"), col("hit_rk"),
+          col("nn_id"), col("score"))
+        .orderBy("qid", "grp_rk", "hit_rk")
+    }),
+    // collection describe (Qdrant GET /collections/{c}): exact
+    // counts + vector/payload shape in one partial-agg pass
+    "vdb_collection_info" -> ((s, d) =>
+      Tables.embeddings(s, d).agg(
+        count(lit(1)).as("points_count"),
+        min(size(col("embedding"))).cast("long").as("dim_min"),
+        max(size(col("embedding"))).cast("long").as("dim_max"),
+        count(col("label")).as("label_nonnull"),
+        countDistinct(col("label")).as("label_distinct"),
+        min(col("label")).cast("long").as("label_min"),
+        max(col("label")).cast("long").as("label_max"))),
     "vdb_recommend" -> ((s, d) => {
       import s.implicits._
       val e = Tables.embeddings(s, d).select(col("vec_id"),

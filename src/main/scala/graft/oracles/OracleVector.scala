@@ -474,6 +474,43 @@ private[graft] object OracleVector {
         |FROM h2 JOIN gr ON h2.qid = gr.qid AND h2.label = gr.label
         |WHERE gr.grp_rk <= 3
         |ORDER BY h2.qid, gr.grp_rk, hit_rk""".stripMargin,
+    // group_by + with_lookup: the groupby chain, each surviving
+    // group joined to its lookup-collection payload (doc_id = label)
+    "vdb_knn_groupby_lookup" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.label, e.vec_id AS nn_id,
+        |        round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |          q.qv), 4) AS s
+        |      FROM embeddings e CROSS JOIN q),
+        |h AS (SELECT qid, label, nn_id, s,
+        |        row_number() OVER (PARTITION BY qid, label
+        |          ORDER BY s DESC, nn_id) AS hit_rk
+        |      FROM d WHERE s IS NOT NULL),
+        |h2 AS (SELECT * FROM h WHERE hit_rk <= 2),
+        |gb AS (SELECT qid, label, s AS gs FROM h2 WHERE hit_rk = 1),
+        |gr AS (SELECT qid, label,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY gs DESC, label) AS grp_rk
+        |       FROM gb)
+        |SELECT h2.qid, gr.grp_rk, CAST(h2.label AS BIGINT) AS label,
+        |       lk.lang AS lk_lang, lk.source AS lk_source,
+        |       CAST(h2.hit_rk AS INTEGER) AS hit_rk, h2.nn_id,
+        |       h2.s AS score
+        |FROM h2 JOIN gr ON h2.qid = gr.qid AND h2.label = gr.label
+        |LEFT JOIN documents lk ON lk.doc_id = h2.label
+        |WHERE gr.grp_rk <= 3
+        |ORDER BY h2.qid, gr.grp_rk, hit_rk""".stripMargin,
+    // collection describe: exact counts + vector/payload shape
+    "vdb_collection_info" ->
+      """SELECT CAST(count(*) AS BIGINT) AS points_count,
+        |       CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+        |       CAST(max(len(embedding)) AS BIGINT) AS dim_max,
+        |       CAST(count(label) AS BIGINT) AS label_nonnull,
+        |       CAST(count(DISTINCT label) AS BIGINT) AS label_distinct,
+        |       CAST(min(label) AS BIGINT) AS label_min,
+        |       CAST(max(label) AS BIGINT) AS label_max
+        |FROM embeddings""".stripMargin,
     // scroll page 2: keyset continuation ≡ ranks 11..20 of the full
     // ordering on the 4dp-rounded score the API returned
     // scroll page 2: keyset continuation ≡ ranks 11..20 of the full
