@@ -334,6 +334,8 @@ object SparkEntry {
     "dedup_winnow_incremental" -> ((s, d) => Dedup.winnowIncrementalQuery(s, d)),
     "dedup_embedding_cos" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
     "dedup_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
+    "dedup_semdedup_incremental" ->
+      ((s, d) => Dedup.semDedupIncremental(s, d)),
     "sim_brute_topk" -> ((s, d) =>
       Knn.topKExcludingSelf(emb(s, d), simQset(s, d), 10, Knn.Metric.Cosine)),
     "text_langid" -> (TextOps.langId _),

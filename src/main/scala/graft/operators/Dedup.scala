@@ -1033,6 +1033,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL SEMDEDUP (r13 — the arrival path of [[semDedup]],
+    * the same per-arrival discipline as the minhash
+    * [[incrementalPairsIndexed]]): a batch of NEW embeddings is
+    * assigned to cells under the FROZEN trained centroids (no
+    * retrain on arrival — the production quantizer contract), and a
+    * new doc drops when any same-cell CORPUS member clears the
+    * cosine bar (arrival order beats id: the corpus came first) or
+    * any EARLIER-in-batch doc does (lower id first within the
+    * batch). Per-arrival work is O(batch × cell-size + in-batch
+    * collisions) — the corpus is touched only through the cell
+    * partition the arrival lands in, never re-paired against
+    * itself. Partners are ALL same-cell corpus members (the index
+    * stores everything; curation is downstream), keeper = (cos
+    * desc, id asc) first among qualifying partners.
+    */
+  def semDedupIncremental(s: SparkSession, dir: String,
+                          tau: Double = 0.35): DataFrame = {
+    val cents = Ann.cachedCentroids(s, dir)
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val aC = Ann.assignTo(corpus, cents)
+      .select(col("id").as("pid"), col("vec").as("pvec"), col("cell"))
+    // planted arrivals: every 11th corpus vector re-enters under a
+    // fresh id — exact copies, so each MUST drop onto its original
+    val batch = Tables.embeddings(s, dir)
+      .where(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + 100000L).as("id"),
+        col("embedding").as("vec"))
+    val aB = Ann.assignTo(batch, cents)
+      .select(col("id"), col("vec"), col("cell"))
+    val vsCorpus = aB.join(aC, Seq("cell"))
+    val vsEarlier = aB.join(
+      aB.select(col("id").as("pid"), col("vec").as("pvec"),
+        col("cell")), Seq("cell"))
+      .where(col("pid") < col("id"))
+    vsCorpus.unionByName(vsEarlier)
+      .select(col("cell"), col("id"), col("pid"),
+        VectorDistance.cosine(col("vec"), col("pvec")).as("s"))
+      .where(col("s") >= tau)
+      .groupBy(col("id").as("doc_id"), col("cell"))
+      .agg(max(struct(col("s").as("s"), (-col("pid")).as("nid"))).as("m"))
+      .select(col("doc_id"), col("cell"), (-col("m.nid")).as("keeper"),
+        round(col("m.s"), 4).as("cosine"))
+      .orderBy("doc_id")
+  }
+
   /** CROSS-MODAL CONSISTENCY AUDIT — do the TEXT near-duplicates
     * also look near in EMBEDDING space? For every verified minhash
     * pair, the exact cosine of the two docs' embeddings, rolled into

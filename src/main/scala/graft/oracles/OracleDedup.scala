@@ -33,6 +33,36 @@ private[graft] object OracleDedup {
         |      FROM p WHERE s >= 0.35)
         |SELECT doc_id, cell, keeper, round(s, 4) AS cosine
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin),
+    // incremental SemDeDup: batch (%11, +100000) assigned under the
+    // FROZEN c2 centroids; drop vs ALL same-cell corpus members and
+    // vs earlier-in-batch; keeper = (s DESC, id ASC) first
+    "dedup_semdedup_incremental" ->
+      ("WITH " + Seq(
+        "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 200 = 0)",
+        ivfAssignCte("a1", "c0"),
+        ivfMeanCte("c1", "a1"),
+        ivfAssignCte("a2", "c1"),
+        ivfMeanCte("c2", "a2"),
+        ivfAssignCte("af", "c2"),
+        "bb AS (SELECT vec_id + 100000 AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 11 = 0)",
+        s"ab AS (SELECT id, v, cell FROM (SELECT b.id, b.v, c.cell, " +
+          s"row_number() OVER (PARTITION BY b.id ORDER BY ${ivfCd("b.v", "c.cv")}, c.cell) AS rn " +
+          s"FROM bb b CROSS JOIN c2 c) WHERE rn = 1)").mkString(",\n") + """,
+        |pc AS (SELECT ab.id, ab.cell, a.id AS partner,
+        |         list_cosine_similarity(ab.v, a.v) AS s
+        |       FROM ab JOIN af a ON ab.cell = a.cell),
+        |pb AS (SELECT b2.id, b2.cell, b1.id AS partner,
+        |         list_cosine_similarity(b2.v, b1.v) AS s
+        |       FROM ab b2 JOIN ab b1
+        |         ON b2.cell = b1.cell AND b1.id < b2.id),
+        |p AS (SELECT * FROM pc UNION ALL SELECT * FROM pb),
+        |r AS (SELECT id AS doc_id, cell, partner AS keeper, s,
+        |        row_number() OVER (PARTITION BY id
+        |          ORDER BY s DESC, partner) AS rk
+        |      FROM p WHERE s >= 0.35)
+        |SELECT doc_id, cell, keeper, round(s, 4) AS cosine
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin),
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -226,6 +226,19 @@ class DedupSpec extends SparkSuite {
     assert(minIds.intersect(out.map(_.getLong(0)).toSet).isEmpty)
   }
 
+  test("incremental semdedup: every planted exact copy drops, onto a " +
+      "cos≈1 partner, under the frozen centroids") {
+    val out = Dedup.semDedupIncremental(spark, sf).collect()
+    val planted = Tables.embeddings(spark, sf)
+      .where(col("vec_id") % 11 === 0).count()
+    // an exact copy shares its original's cell (same vector → same
+    // argmin) and scores ~1.0 against it — so every arrival drops
+    assert(out.length == planted)
+    assert(out.forall(_.getDouble(3) >= 0.9999))
+    // keeper precedes the dropped arrival (corpus id or earlier batch)
+    assert(out.forall(r => r.getLong(2) < r.getLong(0)))
+  }
+
   test("canonical: one keeper per cluster, keeper is the best member") {
     val out = Dedup.canonicalMap(spark, sf).collect()
     assert(out.length > 0)
