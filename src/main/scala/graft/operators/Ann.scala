@@ -2675,6 +2675,20 @@ object Ann {
     ivfBqSearch(s, path, q, k = 10, nprobe = 2)
   }
 
+  /** Assign arrival rows (id, vec) under an index's STORED centroids
+    * — the frozen-quantizer arrival path shared by upsert
+    * ([[ivfIndexUpsert]] does this internally) and the streaming
+    * SemDeDup maintenance: an arrival must land in the cells the
+    * index already has, never silently re-train them.
+    */
+  def assignUnderStored(s: SparkSession, indexPath: String,
+                        rows: DataFrame): DataFrame = {
+    val cents = collectCentroids(
+      s.read.parquet(centroidsPath(indexPath))
+        .select(col("cell"), col("cvec")))
+    assignTo(rows, cents)
+  }
+
   /** LWW-upsert into a persisted IVF index WITHOUT a full rebuild —
     * the reference's `upsert` (remove-old + insert-new,
     * vector_database.cc:53) against the table-shaped index: only
