@@ -113,6 +113,7 @@ object SparkEntry {
     "vdb_knn_named" -> (Knn.knnNamedQuery _),
     "vdb_discover" -> (Knn.discoverQuery _),
     "vdb_context_search" -> (Knn.contextSearchQuery _),
+    "vdb_recommend_best" -> (Knn.recommendBestQuery _),
     "vdb_batch_update" -> ((s, d) => {
       val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))

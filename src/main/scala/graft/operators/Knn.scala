@@ -242,6 +242,71 @@ object Knn {
       .orderBy("qid", "rk")
   }
 
+  /** RECOMMEND, BEST_SCORE STRATEGY (r13 — Qdrant's second
+    * recommendation strategy beside the average-vector one
+    * [[recommend]] implements): no synthetic query vector — each
+    * candidate scores against the EXAMPLES directly: sp = best
+    * similarity to any positive, sn = best to any negative, and the
+    * published merge is `if sp > sn then sp else −sn²` (winners rank
+    * by their best positive; losers get the sign-flipped SQUARE of
+    * their best negative, which keeps order among losers while
+    * deliberately NOT totally ordering losers below weak winners —
+    * the strategy's own documented shape, good at multi-modal
+    * positive sets where averaging destroys the modes). Plan: the
+    * example vectors broadcast with the request, the three cosines
+    * run per pair in one codegen stage, the merge is two compares —
+    * same one-pass anatomy as [[recommend]], no second corpus touch.
+    *
+    * @param requests (qid, pva, pvb, nv: double[] examples,
+    *                 ex1, ex2, ex3: the example ids to exclude)
+    */
+  def recommendBestScore(data: DataFrame, requests: DataFrame,
+                         k: Int): DataFrame = {
+    def qn(c: String) = sqrt(VectorDistance.dot(col(c), col(c)))
+    val q = broadcast(requests.select(col("qid"),
+      col("pva"), qn("pva").as("_pan"),
+      col("pvb"), qn("pvb").as("_pbn"),
+      col("nv"), qn("nv").as("_nn2"),
+      col("ex1"), col("ex2"), col("ex3")))
+    val d = data.select(col("id"), col("vec"),
+      sqrt(VectorDistance.dot(col("vec"), col("vec"))).as("_n"))
+    def cosTo(v: String, n: String) = {
+      val denom = col("_n") * col(n)
+      when(denom === 0.0, lit(null).cast("double"))
+        .otherwise(VectorDistance.dot(col("vec"), col(v)) / denom)
+    }
+    val sp = greatest(cosTo("pva", "_pan"), cosTo("pvb", "_pbn"))
+    val sn = cosTo("nv", "_nn2")
+    val score = when(sp > sn, sp).otherwise(-(sn * sn))
+    val scored = d.crossJoin(q)
+      .where(col("id") =!= col("ex1") && col("id") =!= col("ex2") &&
+        col("id") =!= col("ex3"))
+      .select(col("qid"), (-score).as("key"), col("id"))
+      .where(col("key").isNotNull)
+    Ann.topKPerQuery(scored, k)
+  }
+
+  /** best_score surface query: the recommend fixture's example sets,
+    * scored by the best-example merge instead of the average vector.
+    */
+  def recommendBestQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = graft.Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val reqs = Seq((0L, 0L, 1L, 6L), (1L, 2L, 3L, 7L),
+      (2L, 4L, 5L, 8L)).toDF("qid", "pa", "pb", "ng")
+    val withVecs = reqs
+      .join(e.select(col("vec_id").as("pa"), col("v").as("pva")), "pa")
+      .join(e.select(col("vec_id").as("pb"), col("v").as("pvb")), "pb")
+      .join(e.select(col("vec_id").as("ng"), col("v").as("nv")), "ng")
+      .select(col("qid"), col("pva"), col("pvb"), col("nv"),
+        col("pa").as("ex1"), col("pb").as("ex2"), col("ng").as("ex3"))
+    val data = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+    recommendBestScore(data, withVecs, 10)
+  }
+
   /** DISCOVERY SEARCH (r13 — Qdrant's discovery API, the last
     * exploration surface beside `recommend`): a TARGET vector steers
     * the ranking while CONTEXT PAIRS (positive, negative) fence the

@@ -620,6 +620,33 @@ private[graft] object OracleVector {
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // recommend, best_score strategy: sp = best positive cosine,
+    // sn = the negative's; merge = sp if sp > sn else −sn²
+    "vdb_recommend_best" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |rq AS (SELECT CAST(rid AS BIGINT) AS qid, pa, pb, ng
+        |       FROM (VALUES (0, 0, 1, 6), (1, 2, 3, 7), (2, 4, 5, 8))
+        |         t(rid, pa, pb, ng)),
+        |sc AS (SELECT rq.qid, e.vec_id AS nn_id,
+        |         greatest(list_cosine_similarity(e.v, a.v),
+        |                  list_cosine_similarity(e.v, b.v)) AS sp,
+        |         list_cosine_similarity(e.v, c.v) AS sn
+        |       FROM rq JOIN e a ON rq.pa = a.vec_id
+        |            JOIN e b ON rq.pb = b.vec_id
+        |            JOIN e c ON rq.ng = c.vec_id
+        |            CROSS JOIN e
+        |       WHERE e.vec_id <> rq.pa AND e.vec_id <> rq.pb
+        |         AND e.vec_id <> rq.ng),
+        |m AS (SELECT qid, nn_id,
+        |        CASE WHEN sp > sn THEN sp ELSE -(sn * sn) END AS s
+        |      FROM sc WHERE sp IS NOT NULL),
+        |r AS (SELECT qid, nn_id, s,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY s DESC, nn_id) AS rk
+        |      FROM m)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // context search: pair loss Σ min(0, cos(p)−cos(n)), no target —
     // zero-loss ties are the API shape, id tiebreak is the contract
     "vdb_context_search" ->
