@@ -1271,11 +1271,19 @@ object Ann {
         "id")
       .where(col("sb") > 0)
       .select(col("qid"), expr("(sa * 1000000) div sb").as("r"))
+    // Final 4dp rounding in EXACT integer arithmetic (r13, fuzz seed
+    // 505): lof = sr6/(kk·10⁶) can land on a decimal .XXXX5 boundary
+    // (seed 505 planted 5060250/5000000 = 1.012050 exactly), where
+    // Spark's round (shortest-decimal HALF_UP → 1.0121) and DuckDB's
+    // (binary-double half-away → 1.0120) disagree. floor((2N·10⁴ +
+    // D) / 2D) is the mathematically exact half-up of N/D at 4dp —
+    // all-integer, bit-identical on both engines, and the true
+    // decimal answer rather than either engine's double artifact.
     rat.groupBy("qid")
       .agg(count(lit(1)).as("kk"), sum("r").as("sr6"))
       .select(col("qid").as("vec_id"),
-        round(col("sr6").cast("double")
-          / (col("kk") * 1000000L).cast("double"), 4).as("lof"))
+        (expr("(sr6 * 20000 + kk * 1000000) div (kk * 2000000)")
+          .cast("double") / 10000.0).as("lof"))
       .orderBy("vec_id")
   }
 

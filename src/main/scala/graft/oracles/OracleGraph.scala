@@ -250,8 +250,9 @@ private[graft] object OracleGraph {
          |        JOIN sr sb ON g.id = sb.qid
          |        WHERE sb.sum_reach > 0)
          |SELECT qid AS vec_id,
-         |       round(CAST(sum(r) AS DOUBLE)
-         |         / CAST(count(*) * 1000000 AS DOUBLE), 4) AS lof
+         |       CAST((CAST(sum(r) AS BIGINT) * 20000
+         |           + count(*) * 1000000)
+         |         // (count(*) * 2000000) AS DOUBLE) / 10000.0 AS lof
          |FROM rat GROUP BY 1 ORDER BY vec_id""".stripMargin,
     // k-occurrence histogram with the antihub zero bucket anchored
     // k-occurrence histogram with the antihub zero bucket anchored
