@@ -3251,14 +3251,27 @@ object Ann {
       count(lit(1)).as("nc"))
     cells.crossJoin(broadcast(tot))
       .select(col("ta"), col("tb"), col("nc"),
-        expr("CAST(round(((ca + 1) * 1.0 / (ta + nc) " +
-          "- (cb + 1) * 1.0 / (tb + nc)) " +
-          "* ln(((ca + 1) * 1.0 / (ta + nc)) " +
-          "/ ((cb + 1) * 1.0 / (tb + nc))) * 1000000) AS BIGINT)")
+        // PURE-DOUBLE term (r13, fuzz seed 707): `* 1.0 /` made this
+        // DECIMAL arithmetic in Spark — a coarser value than the
+        // oracle's double division (DuckDB promotes the quotient to
+        // DOUBLE), and the ~1e-2 gap flipped the micro-round when a
+        // term landed near .5 (y 2652.4934 vs 2652.5014). Explicit
+        // DOUBLE casts reproduce the oracle's IEEE ops bit-for-bit,
+        // ln included (verified on the planted cells).
+        expr("CAST(round((CAST(ca + 1 AS DOUBLE) / CAST(ta + nc AS DOUBLE) " +
+          "- CAST(cb + 1 AS DOUBLE) / CAST(tb + nc AS DOUBLE)) " +
+          "* ln((CAST(ca + 1 AS DOUBLE) / CAST(ta + nc AS DOUBLE)) " +
+          "/ (CAST(cb + 1 AS DOUBLE) / CAST(tb + nc AS DOUBLE))) " +
+          "* CAST(1000000 AS DOUBLE)) AS BIGINT)")
           .as("tm"))
       .agg(max("ta").as("n_a"), max("tb").as("n_b"),
         max("nc").as("n_cells"),
-        round(sum("tm").cast("double") / 1000000.0, 4).as("psi"))
+        // exact integer half-up at 4dp (r13, fuzz seed 707: the
+        // micro-sum hit S = 3950 → 0.003950 exactly, where the two
+        // engines' double-path roundings split 0.0039 / 0.0040; PSI
+        // terms are ≥ 0 so the floor form IS half-up)
+        expr("CAST((sum(tm) * 20000 + 1000000) div 2000000 AS DOUBLE)" +
+          " / 10000.0").as("psi"))
   }
 
   /** RECALL-vs-NPROBE CURVE — the tuning table every ANN deployment

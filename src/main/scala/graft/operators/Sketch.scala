@@ -661,15 +661,22 @@ object Sketch {
       sum("cb").as("tb"), count(lit(1)).as("nb"))
     bins.join(tot, "lang")
       .select(col("lang"), col("ta"), col("tb"), col("nb"),
-        expr("CAST(round(((ca + 1) * 1.0 / (ta + nb) " +
-          "- (cb + 1) * 1.0 / (tb + nb)) " +
-          "* ln(((ca + 1) * 1.0 / (ta + nb)) " +
-          "/ ((cb + 1) * 1.0 / (tb + nb))) * 1000000) AS BIGINT)")
+        // PURE-DOUBLE term — the embedDriftPsi seed-707 fix: `* 1.0 /`
+        // was DECIMAL in Spark vs the oracle's DOUBLE division, and
+        // the gap can flip the micro-round near a .5 term
+        expr("CAST(round((CAST(ca + 1 AS DOUBLE) / CAST(ta + nb AS DOUBLE) " +
+          "- CAST(cb + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE)) " +
+          "* ln((CAST(ca + 1 AS DOUBLE) / CAST(ta + nb AS DOUBLE)) " +
+          "/ (CAST(cb + 1 AS DOUBLE) / CAST(tb + nb AS DOUBLE))) " +
+          "* CAST(1000000 AS DOUBLE)) AS BIGINT)")
           .as("tm"))
       .groupBy("lang")
       .agg(max("ta").as("n_a"), max("tb").as("n_b"),
         max("nb").as("n_bins"),
-        round(sum("tm").cast("double") / 1000000.0, 4).as("psi"))
+        // exact integer half-up at 4dp — the embedDriftPsi twin's
+        // seed-707 boundary fix; PSI terms ≥ 0, floor form = half-up
+        expr("CAST((sum(tm) * 20000 + 1000000) div 2000000 AS DOUBLE)" +
+          " / 10000.0").as("psi"))
       .orderBy("lang")
   }
 

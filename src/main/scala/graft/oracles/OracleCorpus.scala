@@ -407,7 +407,8 @@ private[graft] object OracleCorpus {
         |          AS tm
         |       FROM bins JOIN tot ON bins.lang = tot.lang)
         |SELECT lang, max(ta) AS n_a, max(tb) AS n_b, max(nb) AS n_bins,
-        |  round(CAST(sum(tm) AS DOUBLE) / 1000000.0, 4) AS psi
+        |  CAST((CAST(sum(tm) AS BIGINT) * 20000 + 1000000)
+        |    // 2000000 AS DOUBLE) / 10000.0 AS psi
         |FROM tm GROUP BY 1 ORDER BY lang""".stripMargin,
     "corpus_health" ->
       """WITH d AS (SELECT lang, text,

@@ -693,7 +693,8 @@ private[graft] object OracleGraph {
          |           AS tm
          |        FROM cl CROSS JOIN tot)
          |SELECT max(ta) AS n_a, max(tb) AS n_b, max(nc) AS n_cells,
-         |       round(CAST(sum(tm) AS DOUBLE) / 1000000.0, 4) AS psi
+         |       CAST((CAST(sum(tm) AS BIGINT) * 20000 + 1000000)
+         |         // 2000000 AS DOUBLE) / 10000.0 AS psi
          |FROM tm""".stripMargin,
     // random-projection kNN: fixed ±1 matrix from md5("j|i") (the
     // sign-LSH weight discipline), top-50 by projected L2, exact
