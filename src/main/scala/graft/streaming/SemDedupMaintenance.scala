@@ -36,9 +36,19 @@ object SemDedupMaintenance {
           (batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val s = batch.sparkSession
-    // one row per id within the batch (the WAL LWW discipline)
-    val aB = Ann.assignUnderStored(s, indexPath,
-        batch.dropDuplicates("id").select("id", "vec"))
+    // One row per id within the batch. With a `version` column this
+    // is true LWW (max_by, mirroring ivfIndexUpsert's discipline);
+    // without one, duplicate ids inside a single micro-batch have no
+    // defined order — dropDuplicates picks an arbitrary row, so a
+    // versionless source must not emit two payloads for one id in
+    // one batch (redelivery could pick the other and break the
+    // byte-identical drop-dir rewrite).
+    val oneRow =
+      if (batch.columns.contains("version"))
+        batch.groupBy("id")
+          .agg(max_by(col("vec"), col("version")).as("vec"))
+      else batch.dropDuplicates("id").select("id", "vec")
+    val aB = Ann.assignUnderStored(s, indexPath, oneRow)
       .select(col("id"), col("vec"), col("cell"))
       .localCheckpoint(true)
     val cells = aB.select("cell").distinct().collect().map(_.getLong(0))
@@ -46,7 +56,14 @@ object SemDedupMaintenance {
       .where(col("cell").isin(cells.toIndexedSeq: _*))
       .select(col("id").as("pid"), col("vec").as("pvec"),
         col("cell").cast("long").as("cell"))
+    // pid =!= id: on foreachBatch redelivery the first delivery's
+    // survivors are ALREADY in the index (step 4 upserted them), so
+    // without the guard a redelivered survivor pairs with its own
+    // row at cosine ~1.0 and is falsely rewritten as a drop with
+    // keeper == doc_id — breaking both the byte-identical rewrite
+    // and the keeper-precedes-doc invariant.
     val vsCorpus = aB.join(idx, Seq("cell"))
+      .where(col("pid") =!= col("id"))
     val vsEarlier = aB.join(
       aB.select(col("id").as("pid"), col("vec").as("pvec"),
         col("cell")), Seq("cell"))
