@@ -53,12 +53,19 @@ object SparkEntry {
     "vdb_knn_groupby" -> ((s, d) =>
       Knn.topKGrouped(emb(s, d), qset(s, d), 3, 2)),
     // group_by + with_lookup (Qdrant): each surviving GROUP's key
-    // joins a lookup collection's payload onto its rows — the
-    // lookup is G×Q-sized, so it broadcasts whatever the corpus
+    // joins a lookup collection's payload onto its rows. The lookup
+    // COLLECTION is corpus-sized (documents), so it is semi-join
+    // pruned to the label domain — a tiny column-pruned scan —
+    // BEFORE the broadcast: what ships is label-domain-sized, never
+    // the collection (r13 advice; the prior form broadcast all of
+    // documents and the comment lied about it).
     "vdb_knn_groupby_lookup" -> ((s, d) => {
+      val dom = emb(s, d).select(col("label").cast("long").as("label"))
+        .distinct()
       val lk = Tables.documents(s, d).select(
         col("doc_id").as("label"), col("lang").as("lk_lang"),
         col("source").as("lk_source"))
+        .join(dom, Seq("label"), "left_semi")
       Knn.topKGrouped(emb(s, d), qset(s, d), 3, 2)
         .withColumn("label", col("label").cast("long"))
         .join(broadcast(lk), Seq("label"), "left")
@@ -109,7 +116,10 @@ object SparkEntry {
       Knn.topKFiltered(emb(s, d), qset(s, d), 10, Knn.Metric.L2,
         col("label") =!= 5)),
     "vdb_knn_filtered_json" -> (Knn.knnFilteredJsonQuery _),
+    "vdb_knn_filtered_array" -> (Knn.knnFilteredArrayQuery _),
     "vdb_knn_geo" -> (Knn.knnGeoQuery _),
+    "vdb_knn_geo_bbox" -> (Knn.knnGeoBBoxQuery _),
+    "vdb_knn_geo_poly" -> (Knn.knnGeoPolyQuery _),
     "vdb_knn_named" -> (Knn.knnNamedQuery _),
     "vdb_discover" -> (Knn.discoverQuery _),
     "vdb_context_search" -> (Knn.contextSearchQuery _),
@@ -214,6 +224,16 @@ object SparkEntry {
             .as("k"), col("event_id"))
           .where(col("k").isNotNull),
         "k", "event_id")),
+    // array-value inverted index (9j's shape over an exploded
+    // array-typed payload): one posting row per (tag value) with
+    // cardinality + id range — the build artifact that serves
+    // vdb_knn_filtered_array's MatchAny as a postings semi-join
+    "vdb_filter_index_array" -> ((s, d) =>
+      ScalarOps.filterIndexBuild(
+        Tables.embeddings(s, d)
+          .select(explode(array(col("vec_id") % 7L, col("vec_id") % 11L,
+            col("vec_id") % 13L)).as("tag"), col("vec_id")),
+        "tag", "vec_id")),
     "vdb_snapshot_replay" -> ((s, d) =>
       WalReplay.replayComposed(Tables.events(s, d), 500L)),
     "wal_json_replay" -> (graft.sources.WalSource.replayQuery _),
@@ -335,6 +355,7 @@ object SparkEntry {
     "dedup_winnow_incremental" -> ((s, d) => Dedup.winnowIncrementalQuery(s, d)),
     "dedup_embedding_cos" -> ((s, d) => Dedup.embeddingCosinePairs(s, d)),
     "dedup_semdedup" -> ((s, d) => Dedup.semDedup(s, d)),
+    "dedup_semdedup_closure" -> ((s, d) => Dedup.semDedupClosure(s, d)),
     "dedup_semdedup_incremental" ->
       ((s, d) => Dedup.semDedupIncremental(s, d)),
     "sim_brute_topk" -> ((s, d) =>

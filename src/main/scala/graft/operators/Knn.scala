@@ -202,6 +202,142 @@ object Knn {
     topKGeoRadius(e, q, 10)
   }
 
+  /** GEO BOUNDING-BOX FILTERED SEARCH (r14 — the second of Qdrant's
+    * geo trio, geo_bounding_box, after r13's radius): per-request
+    * rectangle [latMin,latMax]×[lonMin,lonMax] as the join
+    * condition — four comparisons against request doubles prune a
+    * pair before the distance kernel, same anatomy as
+    * [[topKGeoRadius]] but with the radius's multiply replaced by
+    * range compares. Unlike the radius this IS partition-prunable
+    * directly: at 100 TB a lat/lon Z-order layout (the repo's
+    * events_zorder_skip machinery) turns each request's rectangle
+    * into file-skipping min/max bounds with no refinement step —
+    * the bbox is the pruning shape radius search must first enclose.
+    *
+    * @param data    (id, vec, lat, lon)
+    * @param queries (qid, qvec, lat_min, lat_max, lon_min, lon_max)
+    */
+  def topKGeoBBox(data: DataFrame, queries: DataFrame,
+                  k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("qid"), col("qvec"),
+      col("lat_min"), col("lat_max"), col("lon_min"), col("lon_max"),
+      sqrt(VectorDistance.dot(col("qvec"), col("qvec"))).as("_qn")))
+    val d = data.select(col("id"), col("vec"), col("lat"), col("lon"),
+      sqrt(VectorDistance.dot(col("vec"), col("vec"))).as("_n"))
+    val inBox = col("lat") >= col("lat_min") &&
+      col("lat") <= col("lat_max") &&
+      col("lon") >= col("lon_min") && col("lon") <= col("lon_max")
+    val denom = col("_n") * col("_qn")
+    val score = when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(VectorDistance.dot(col("vec"), col("qvec")) / denom)
+    val scored = d.join(q, inBox)
+      .select(col("qid"), (-score).as("key"), col("id"))
+      .where(col("key").isNotNull)
+    Ann.topKPerQuery(scored, k)
+  }
+
+  /** Surface query: same exact modular lat/lon synthesis as
+    * [[knnGeoQuery]]; each request's rectangle is its own point ±
+    * a growing integer half-width (integer-valued doubles added to
+    * the shared /100.0 grid — bit-identical bounds on both engines).
+    */
+  def knnGeoBBoxQuery(s: SparkSession, dir: String): DataFrame = {
+    def latOf(id: org.apache.spark.sql.Column) =
+      (id * 7919L % 18000L) / 100.0 - 90.0
+    def lonOf(id: org.apache.spark.sql.Column) =
+      (id * 104729L % 36000L) / 100.0 - 180.0
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        latOf(col("vec_id")).as("lat"), lonOf(col("vec_id")).as("lon"))
+    val halfLat = lit(10.0) + col("vec_id") * 4.0
+    val halfLon = lit(20.0) + col("vec_id") * 8.0
+    val q = graft.Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        (latOf(col("vec_id")) - halfLat).as("lat_min"),
+        (latOf(col("vec_id")) + halfLat).as("lat_max"),
+        (lonOf(col("vec_id")) - halfLon).as("lon_min"),
+        (lonOf(col("vec_id")) + halfLon).as("lon_max"))
+    topKGeoBBox(e, q, 10)
+  }
+
+  /** GEO POLYGON FILTERED SEARCH (r14 — completing Qdrant's geo trio:
+    * geo_polygon): membership by the even-odd ray cast, unrolled
+    * over the polygon's literal vertex list into one codegen boolean
+    * (edge count is request-sized, so the unroll is a constant-width
+    * expression, never a per-row loop). Each edge contributes a
+    * crossing test — ((y1>py) ≠ (y2>py)) ∧ px < (x2−x1)·(py−y1)/
+    * (y2−y1)+x1 — and inside = odd crossing count; the vertices are
+    * exact integers, so the one divide per edge is the same
+    * correctly-rounded IEEE op on both engines and the boundary
+    * replays bit-identically. The polygon here is deliberately
+    * NON-convex (a notched triangle): even-odd and winding disagree
+    * on no point of it, but a convex-only implementation (bbox of
+    * half-planes) would misclassify the notch. At 100 TB the
+    * polygon's enclosing bbox prunes partitions (see
+    * [[topKGeoBBox]]); this exact test is the per-row refinement.
+    */
+  def insidePolygon(px: org.apache.spark.sql.Column,
+                    py: org.apache.spark.sql.Column,
+                    verts: Seq[(Double, Double)])
+      : org.apache.spark.sql.Column = {
+    val edges = verts.zip(verts.tail :+ verts.head)
+    val crossings = edges.map { case ((x1, y1), (x2, y2)) =>
+      val straddles = (lit(y1) > py) =!= (lit(y2) > py)
+      val xCut = lit(x2 - x1) * (py - lit(y1)) / lit(y2 - y1) + lit(x1)
+      when(straddles && px < xCut, 1L).otherwise(0L)
+    }
+    crossings.reduce(_ + _) % 2 === 1
+  }
+
+  /** Surface query: x=lon, y=lat; one shared notched-triangle
+    * polygon ((-120,-60) (0,60) (120,-60) (0,0), integer vertices)
+    * filters the corpus BELOW the query join ([[topKFiltered]]'s
+    * pre-scan contract — the polygon is collection-scoped here, so
+    * the membership bit is computable at scan time), cosine ranking
+    * among the survivors.
+    */
+  def knnGeoPolyQuery(s: SparkSession, dir: String): DataFrame = {
+    def latOf(id: org.apache.spark.sql.Column) =
+      (id * 7919L % 18000L) / 100.0 - 90.0
+    def lonOf(id: org.apache.spark.sql.Column) =
+      (id * 104729L % 36000L) / 100.0 - 180.0
+    val verts = Seq((-120.0, -60.0), (0.0, 60.0), (120.0, -60.0),
+      (0.0, 0.0))
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        latOf(col("vec_id")).as("lat"), lonOf(col("vec_id")).as("lon"))
+    val q = graft.Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    topKFiltered(e, q, 10, Metric.Cosine,
+      insidePolygon(col("lon"), col("lat"), verts))
+  }
+
+  /** ARRAY-PAYLOAD FILTERED SEARCH (r14 — the reference roadmap's
+    * last unticked line, doc/filter.md's array-index sentence
+    * (Milvus' array composite index; Qdrant's MatchAny over a list
+    * field): kNN gated on MEMBERSHIP in an array-typed payload
+    * column. `array_contains(tags, v)` evaluates BELOW the query
+    * cross join (the [[topKFiltered]] pre-scan contract), so
+    * non-member rows never reach the distance kernel — KnnSpec pins
+    * that plan shape. Tags are synthesized deterministically from
+    * the id by exact modular arithmetic (id%7, id%11, id%13 — the
+    * same int64 ops on both engines; DuckDB mirrors via
+    * list_contains). At 100 TB the membership predicate is served
+    * by the exploded inverted index (vdb_filter_index_array), which
+    * turns MatchAny into a postings semi-join; this scan predicate
+    * remains the exact per-row check.
+    */
+  def knnFilteredArrayQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        array(col("vec_id") % 7L, col("vec_id") % 11L,
+          col("vec_id") % 13L).as("tags"))
+    val q = graft.Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    topKFiltered(e, q, 10, Metric.L2,
+      array_contains(col("tags"), lit(3L)))
+  }
+
   /** RECOMMEND BY EXAMPLES — search with positive/negative example
     * IDS instead of a raw vector (the recommendation API Qdrant
     * ships; its published `average_vector` strategy): the query

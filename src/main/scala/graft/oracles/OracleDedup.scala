@@ -33,6 +33,43 @@ private[graft] object OracleDedup {
         |      FROM p WHERE s >= 0.35)
         |SELECT doc_id, cell, keeper, round(s, 4) AS cosine
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin),
+    // keeper-chain closure: the same drop table, then a recursive
+    // walk (keeper ids strictly decrease, so the recursion is
+    // acyclic) — final depth per dropped doc = chain length to its
+    // surviving ancestor; depth 0 row carries the survivor count
+    "dedup_semdedup_closure" ->
+      ("WITH RECURSIVE " + Seq(
+        "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 200 = 0)",
+        ivfAssignCte("a1", "c0"),
+        ivfMeanCte("c1", "a1"),
+        ivfAssignCte("a2", "c1"),
+        ivfMeanCte("c2", "a2"),
+        ivfAssignCte("af", "c2")).mkString(",\n") + """,
+        |p AS (SELECT a.cell, a.id, b.id AS id2,
+        |        list_cosine_similarity(a.v, b.v) AS s
+        |      FROM af a JOIN af b
+        |        ON a.cell = b.cell AND a.id < b.id),
+        |r AS (SELECT id2 AS doc_id, id AS keeper,
+        |        row_number() OVER (PARTITION BY id2
+        |          ORDER BY s DESC, id) AS rk
+        |      FROM p WHERE s >= 0.35),
+        |d AS (SELECT doc_id, keeper FROM r WHERE rk = 1),
+        |chain AS (
+        |  SELECT doc_id, keeper, 1 AS depth FROM d
+        |  UNION ALL
+        |  SELECT c.doc_id, d2.keeper, c.depth + 1
+        |  FROM chain c JOIN d d2 ON c.keeper = d2.doc_id),
+        |fin AS (SELECT doc_id, max(depth) AS depth
+        |        FROM chain GROUP BY doc_id),
+        |hist AS (SELECT CAST(depth AS BIGINT) AS depth,
+        |           CAST(count(*) AS BIGINT) AS n_docs
+        |         FROM fin GROUP BY 1),
+        |surv AS (SELECT CAST(0 AS BIGINT) AS depth,
+        |           (SELECT count(*) FROM embeddings)
+        |             - (SELECT count(*) FROM d) AS n_docs)
+        |SELECT depth, n_docs FROM (SELECT * FROM surv
+        |  UNION ALL SELECT * FROM hist) ORDER BY depth""".stripMargin),
     // incremental SemDeDup: batch (%11, +100000) assigned under the
     // FROZEN c2 centroids; drop vs ALL same-cell corpus members and
     // vs earlier-in-batch; keeper = (s DESC, id ASC) first

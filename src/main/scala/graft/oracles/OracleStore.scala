@@ -387,6 +387,17 @@ private[graft] object OracleStore {
         |       min(event_id) AS min_id, max(event_id) AS max_id
         |FROM p WHERE k IS NOT NULL
         |GROUP BY 1 ORDER BY k""".stripMargin,
+    // array-value inverted index: one posting row per tag value over
+    // the exploded synthetic tags (unnest ≡ Spark's explode); card
+    // counts postings (a doc whose mods collide contributes one per
+    // slot, same on both engines)
+    "vdb_filter_index_array" ->
+      """WITH p AS (SELECT unnest([vec_id % 7, vec_id % 11,
+        |             vec_id % 13]) AS tag, vec_id
+        |           FROM embeddings)
+        |SELECT tag, CAST(count(*) AS BIGINT) AS card,
+        |       min(vec_id) AS min_id, max(vec_id) AS max_id
+        |FROM p GROUP BY 1 ORDER BY tag""".stripMargin,
     "vdb_snapshot_replay" ->
       """WITH agg AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

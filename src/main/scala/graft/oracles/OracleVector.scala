@@ -719,6 +719,68 @@ private[graft] object OracleVector {
         |      FROM d WHERE s IS NOT NULL)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // per-request bounding box: point ± integer half-width on the
+    // shared /100.0 coordinate grid — four range compares, cosine
+    // ranking among the in-box survivors
+    "vdb_knn_geo_bbox" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |             vec_id * 7919 % 18000 / 100.0 - 90.0 AS lat,
+        |             vec_id * 104729 % 36000 / 100.0 - 180.0 AS lon
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+        |        vec_id * 7919 % 18000 / 100.0 - 90.0
+        |          - (10.0 + vec_id * 4.0) AS lat_min,
+        |        vec_id * 7919 % 18000 / 100.0 - 90.0
+        |          + (10.0 + vec_id * 4.0) AS lat_max,
+        |        vec_id * 104729 % 36000 / 100.0 - 180.0
+        |          - (20.0 + vec_id * 8.0) AS lon_min,
+        |        vec_id * 104729 % 36000 / 100.0 - 180.0
+        |          + (20.0 + vec_id * 8.0) AS lon_max
+        |      FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.id AS nn_id,
+        |        list_cosine_similarity(e.v, q.qv) AS s
+        |      FROM e JOIN q
+        |        ON e.lat >= q.lat_min AND e.lat <= q.lat_max
+        |       AND e.lon >= q.lon_min AND e.lon <= q.lon_max),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY s DESC, nn_id) AS rk
+        |      FROM d WHERE s IS NOT NULL)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // polygon filter: even-odd ray cast unrolled over the notched
+    // triangle (-120,-60) (0,60) (120,-60) (0,0) with x=lon, y=lat;
+    // integer vertices keep the per-edge divide bit-identical
+    "vdb_knn_geo_poly" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |             vec_id * 7919 % 18000 / 100.0 - 90.0 AS lat,
+        |             vec_id * 104729 % 36000 / 100.0 - 180.0 AS lon
+        |           FROM embeddings),
+        |m AS (SELECT id, v,
+        |        (CASE WHEN ((-60.0 > lat) <> (60.0 > lat)) AND
+        |           lon < 120.0 * (lat - (-60.0)) / 120.0 + (-120.0)
+        |           THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ((60.0 > lat) <> (-60.0 > lat)) AND
+        |           lon < 120.0 * (lat - 60.0) / (-120.0) + 0.0
+        |           THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ((-60.0 > lat) <> (0.0 > lat)) AND
+        |           lon < (-120.0) * (lat - (-60.0)) / 60.0 + 120.0
+        |           THEN 1 ELSE 0 END)
+        |      + (CASE WHEN ((0.0 > lat) <> (-60.0 > lat)) AND
+        |           lon < (-120.0) * (lat - 0.0) / (-60.0) + 0.0
+        |           THEN 1 ELSE 0 END) AS crossings
+        |      FROM e),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, m.id AS nn_id,
+        |        list_cosine_similarity(m.v, q.qv) AS s
+        |      FROM m CROSS JOIN q WHERE m.crossings % 2 = 1),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY s DESC, nn_id) AS rk
+        |      FROM d WHERE s IS NOT NULL)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // multitenant search: tenant = label mod 4; per-request scoping
     // via the tenant-equality join, cosine ranking within the tenant
     "vdb_knn_tenant" ->
@@ -814,6 +876,23 @@ private[graft] object OracleVector {
         |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
         |      FROM embeddings e JOIN p ON e.vec_id = p.id CROSS JOIN q
         |      WHERE p.k < 50),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // array-payload membership filter: tags = [id%7, id%11, id%13]
+    // (exact int64 on both engines), list_contains ≡ Spark's
+    // array_contains, then the standard L2 top-10
+    "vdb_knn_filtered_array" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q
+        |      WHERE list_contains(
+        |        [e.vec_id % 7, e.vec_id % 11, e.vec_id % 13], 3)),
         |r AS (SELECT qid, nn_id, s,
         |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
         |               AS rk

@@ -66,6 +66,55 @@ class KnnSpec extends SparkSuite {
       "a neighbor with payload k >= 50 leaked through the JSON filter")
   }
 
+  test("array-payload membership filter evaluates below the query " +
+    "join, before the distance kernel") {
+    // r14 (VERDICT r13 #2): array_contains must sit on the corpus
+    // side of the cross join — non-member rows never reach vec_l2.
+    // Executed plans print parents first, so the kernel (above the
+    // join) must appear BEFORE the membership predicate (below it).
+    val df = Knn.knnFilteredArrayQuery(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val kernelAt = plan.indexOf("vec_l2")
+    val arrAt = plan.indexOf("array_contains")
+    assert(kernelAt >= 0 && arrAt >= 0,
+      s"missing kernel or membership filter in plan:\n$plan")
+    assert(kernelAt < arrAt,
+      s"membership predicate not below the distance kernel:\n$plan")
+    // and it bites: every neighbor's synthesized tag set contains 3
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val id = r.getLong(2)
+      id % 7 == 3 || id % 11 == 3 || id % 13 == 3
+    }, "a non-member neighbor leaked through the array filter")
+  }
+
+  test("geo bbox honors per-request bounds; polygon even-odd " +
+    "classifies the notch as outside") {
+    val bbox = Knn.knnGeoBBoxQuery(spark, sf).collect()
+    assert(bbox.nonEmpty)
+    def latOf(id: Long) = id * 7919L % 18000L / 100.0 - 90.0
+    def lonOf(id: Long) = id * 104729L % 36000L / 100.0 - 180.0
+    bbox.foreach { r =>
+      val (qid, id) = (r.getLong(0), r.getLong(2))
+      assert(math.abs(latOf(id) - latOf(qid)) <= 10.0 + qid * 4.0 &&
+        math.abs(lonOf(id) - lonOf(qid)) <= 20.0 + qid * 8.0,
+        s"neighbor $id outside request $qid's box")
+    }
+    // polygon: the notch (0,0)-(±120,-60) cut from the triangle —
+    // a point inside the triangle but inside the notch must be OUT
+    // (even-odd, 2 crossings), one above the notch IN (1 crossing)
+    import spark.implicits._
+    val verts = Seq((-120.0, -60.0), (0.0, 60.0), (120.0, -60.0),
+      (0.0, 0.0))
+    val pts = Seq((0.0, -30.0, "notch"), (0.0, 30.0, "body"),
+      (-170.0, 0.0, "far")).toDF("lon", "lat", "tag")
+    val in = pts.withColumn("in",
+        Knn.insidePolygon(col("lon"), col("lat"), verts))
+      .collect().map(r => r.getString(2) -> r.getBoolean(3)).toMap
+    assert(!in("notch") && in("body") && !in("far"))
+  }
+
   test("discovery search: context wins dominate target similarity, " +
     "examples excluded") {
     import spark.implicits._
