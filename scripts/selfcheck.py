@@ -208,5 +208,34 @@ if benches and scales:
         except Exception as e:
             print(f"NOTE scale-artifact: cannot read artifacts: {e}")
 
+# ---- standing performance target (r14, r13 verdict #8): BASELINE
+# .json's "within 2x of BASELINE" gate names no number, so every
+# round re-litigated what the bench is compared against. SURVEY §6
+# freezes the reference: 0.660 s/query at sf0.1 — the r13 builder-
+# protocol full min-of-two suite mean (247.5s / 375 queries), the
+# best fully-sampled round mean on record. Assert the latest BENCH
+# artifact's suite mean stays within 2x of it. -----------------------
+FROZEN_SPQ = 0.660
+if benches:
+    bpath = benches[-1]
+    try:
+        b = json.load(open(bpath))
+        if isinstance(b.get("parsed"), dict):
+            b = b["parsed"]
+        val, nq = b.get("value"), b.get("nq")
+        if val and nq:
+            spq = val / nq
+            if spq > 2 * FROZEN_SPQ:
+                print(f"FAIL bench-target: {os.path.basename(bpath)} mean "
+                      f"{spq:.3f} s/q exceeds 2x the frozen r13 reference "
+                      f"({FROZEN_SPQ} s/q; SURVEY §6)")
+                fail += 1
+            else:
+                print(f"OK   bench-target: {os.path.basename(bpath)} mean "
+                      f"{spq:.3f} s/q is {spq / FROZEN_SPQ:.2f}x the frozen "
+                      f"r13 reference ({FROZEN_SPQ} s/q, gate 2x)")
+    except Exception as e:
+        print(f"NOTE bench-target: cannot read {bpath}: {e}")
+
 print("RESULT:", "PASS" if fail == 0 else f"{fail} FAILURES")
 sys.exit(1 if fail else 0)

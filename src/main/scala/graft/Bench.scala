@@ -125,29 +125,57 @@ object Bench {
       "wal_json_replay", "stream_wal_state", "export_shards",
       "corpus_sample_split", "dsir_select", "knn_graph",
       "graph_centrality", "embed_pca_project", "mm_features", "mm_phash")
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    // 32-wide (r14, was 16): the sf0.001 jobs are scheduling- and
+    // codegen-latency bound, and the committed IndexCache artifacts
+    // make the per-query work smaller still — wider submission is
+    // the cheap lever against a slow driver host. The per-task gate
+    // tightened budget/3 → budget/6: warmup is a fixed phase and
+    // must never eat the second timed pass (r13: fixed phases 258s
+    // on the driver host starved pass 2 to 146/375).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
     val warmupDone = warmupNames.flatMap(n => benchQueries.get(n).map(n -> _))
       .map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
-          if (elapsed < budgetNs / 3) runGuardedAt(warmDir, name, fn(spark, warmDir))
+          if (elapsed < budgetNs / 6) runGuardedAt(warmDir, name, fn(spark, warmDir))
       })
     }
     warmupDone.foreach(f => try f.get() catch { case _: Throwable => })
     pool.shutdown()
+    // An r14 experiment ADDED a full-registry sf0.01 warm pass here
+    // on the theory that per-query generated classes compiling
+    // during pass 1 inflated the single-pass numbers of queries the
+    // budget cut from pass 2. Measured back-to-back on identical
+    // code: pass 1 487.4s with the warm vs 495.9s without (the JIT
+    // premise was FALSE — the substrate warmup already amortizes
+    // compilation), suite mean 1.015 vs 1.018 s/q, while the warm's
+    // ~180s cost starved pass 2 from 260/380 queries to 102/380.
+    // Rejected; the budget belongs to the timed passes (§4b).
     val tWarm = elapsed
 
     // Phase 2 — untimed prebuild at the TARGET SF for queries backed
-    // by a persisted physical index (built once per sf dir under
-    // target/tmp, cached by _SUCCESS). Without this, whichever timed
-    // pass runs first is charged the one-time index build (observed
-    // round 3: ann_ivf_indexed 16.4s on a fresh target/ vs 0.9s with
-    // the index in place) — the bench entry is the SEARCH cost; the
-    // build is a separate one-time operation. This also warms the OS
-    // page cache for the target-SF parquet, which every query shares.
-    // ann_ivf / vdb_knn_pq carry no on-disk index but memoize their
-    // deterministic training per sf dir — populating the cache here
-    // keeps the timed passes to search cost, same reasoning
+    // by a persisted physical index (built once per sf dir under the
+    // IndexCache root, cached by _SUCCESS). Without this, whichever
+    // timed pass runs first is charged the one-time index build
+    // (observed round 3: ann_ivf_indexed 16.4s on a fresh target/ vs
+    // 0.9s with the index in place) — the bench entry is the SEARCH
+    // cost; the build is a separate one-time operation.
+    // r14 (VERDICT r13 #1): SKIPPED WHOLESALE when the IndexCache was
+    // already fingerprint-fresh for the target dir — the repo COMMITS
+    // the testdata-SF artifact trees, so a fresh driver checkout
+    // starts warm and the 155.7s the r13 driver spent here goes to
+    // pass 2 instead. What prebuild also used to buy (in-memory memo
+    // training for ann_ivf/vdb_knn_pq, OS page cache) is pass 1's
+    // job under the min-of-two discipline: pass 1 absorbs the
+    // one-time cost, pass 2 supplies the steady-state sample. A
+    // NEW persisted structure whose artifact is not yet committed
+    // follows the same path (its build lands in its own pass-1
+    // sample only — 16s worst observed — never in a neighbor's).
+    // The phase still runs in full when the fingerprint mismatches:
+    // regenerated testdata or a FORMAT bump wipes the cache, and
+    // then the builds must stay out of the timed passes.
+    val cacheWasFresh = IndexCache.wasFresh(sfDir)
+    if (!cacheWasFresh)
     Seq("ann_ivf_indexed", "ann_ivf_sq8", "ann_ivf_pq", "ann_ivf_bq",
         "ann_ivf", "vdb_knn_pq", "bucketed_join_agg",
         "dedup_incremental", "train_triplets", "train_triplets_hard",
@@ -174,7 +202,14 @@ object Bench {
         "dedup_winnow_incremental",
         // r11: the pfx-partitioned prefix dictionary (10th persisted
         // structure) — timed entry is the pruned two-probe serve
-        "search_prefix_indexed")
+        "search_prefix_indexed",
+        // r14 completeness audit: every dir-keyed IndexCache artifact
+        // now has a prebuild entry (these five were missing — their
+        // builds used to land in pass 1 silently): the tenant-
+        // partitioned index, the OPQ-permuted PQ index, and the
+        // three WAL fixtures
+        "vdb_knn_tenant", "ann_ivf_opq", "wal_json_replay",
+        "wal_binary_replay", "wal_dsv2_replay")
       .foreach { n =>
       benchQueries.get(n).foreach { fn =>
         if (elapsed < budgetNs / 2) runGuardedAt(sfDir, n, fn(spark, sfDir))
@@ -237,7 +272,8 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val phases = f"""{"warmup":${tWarm / 1e9}%.1f,"prebuild":${tPrebuild / 1e9}%.1f,""" +
-      f""""pass1":${tP1 / 1e9}%.1f,"pass2":${tP2 / 1e9}%.1f,"pass2_n":${p2.size}}"""
+      f""""pass1":${tP1 / 1e9}%.1f,"pass2":${tP2 / 1e9}%.1f,"pass2_n":${p2.size},""" +
+      s""""cache_fresh":$cacheWasFresh}"""
     def render(qEntries: Seq[String], omitted: Int): String = {
       val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${qEntries.mkString("{", ",", "}")},"nq":${results.size}$om,"phases":$phases,"sf":"$sfDir"}"""

@@ -126,9 +126,7 @@ object AggTable {
     * sf dir behind a done marker.
     */
   def dailyAggQuery(s: SparkSession, dir: String): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val root = java.nio.file.Paths.get("target", "tmp", s"aggtable-$key")
-      .toAbsolutePath
+    val root = graft.IndexCache.dirFor(dir, "aggtable")
     val path = root.resolve("daily").toString
     val done = root.resolve("_done")
     if (!java.nio.file.Files.exists(done)) {

@@ -349,9 +349,7 @@ object Ann {
   }
 
   def ivfMrlQuery(s: SparkSession, dir: String): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get("target", "tmp", s"ivfmrl-$key")
-      .toAbsolutePath.toString
+    val path = graft.IndexCache.dirFor(dir, "ivfmrl").toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS"))) {
       val e = Tables.embeddings(s, dir)
@@ -2352,14 +2350,13 @@ object Ann {
   }
 
   /** Persisted-hierarchy twin of [[hnswQuery]]: index + hierarchy
-    * built once per sf dir under target/tmp, then searched
+    * built once per sf dir under the IndexCache root, then searched
     * partition-pruned — shares [[hnswQuery]]'s oracle because both
     * paths train the same centroids and apply the same edge rule.
     */
   private[graft] def hnswIndexedPath(s: SparkSession, dir: String): String = {
     val idx = indexedPath(s, dir)
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val hp = java.nio.file.Paths.get("target", "tmp", s"hnsw-$key")
+    val hp = graft.IndexCache.dirFor(dir, "hnsw")
       .toAbsolutePath.toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(hp, "_SUCCESS")))
@@ -2584,9 +2581,7 @@ object Ann {
   }
 
   def ivfSq8Query(s: SparkSession, dir: String): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get("target", "tmp", s"ivfsq8-$key")
-      .toAbsolutePath.toString
+    val path = graft.IndexCache.dirFor(dir, "ivfsq8").toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS"))) {
       val e = Tables.embeddings(s, dir)
@@ -2669,9 +2664,7 @@ object Ann {
   }
 
   def ivfBqQuery(s: SparkSession, dir: String): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get("target", "tmp", s"ivfbq-$key")
-      .toAbsolutePath.toString
+    val path = graft.IndexCache.dirFor(dir, "ivfbq").toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS"))) {
       val e = Tables.embeddings(s, dir)
@@ -2966,12 +2959,10 @@ object Ann {
 
   /** Persisted-index twin of [[ivfQuery]] (same stride/k/nprobe, so
     * AnnSpec can assert result equality); index built once per sf dir
-    * under target/tmp.
+    * under the IndexCache root.
     */
   private def indexedPath(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get("target", "tmp", s"ivfidx-$key")
-      .toAbsolutePath.toString
+    val path = graft.IndexCache.dirFor(dir, "ivfidx").toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS"))) {
       // label rides into the index (assignTo passes it through) so
@@ -3029,9 +3020,7 @@ object Ann {
   }
 
   private def tenantPath(s: SparkSession, dir: String): String =
-    java.nio.file.Paths.get("target", "tmp",
-      s"tenantidx-${java.lang.Integer.toHexString(dir.hashCode)}")
-      .toAbsolutePath.toString
+    graft.IndexCache.dirFor(dir, "tenantidx").toString
 
   /** Surface query: tenant = label mod 4; six requests, each scoped
     * to its id-mod-4 tenant.

@@ -424,9 +424,7 @@ object Dedup {
     * marker; the timed/oracled entry is the batch lookup.
     */
   def winnowIncrementalQuery(s: SparkSession, dir: String): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val root = java.nio.file.Paths.get("target", "tmp", s"winidx-$key")
-      .toAbsolutePath
+    val root = graft.IndexCache.dirFor(dir, "winidx")
     val path = root.resolve("fps").toString
     val done = root.resolve("_done")
     if (!java.nio.file.Files.exists(done)) {
@@ -580,13 +578,11 @@ object Dedup {
   }
 
   /** Surface query: the indexed path over a build-once signature
-    * table under target/tmp (the bench prebuilds it untimed, like
+    * table under the IndexCache root (the bench prebuilds it untimed, like
     * the persisted ANN indexes).
     */
   def incrementalQuery(s: SparkSession, dir: String): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get("target", "tmp", s"sigidx-$key")
-      .toAbsolutePath.toString
+    val path = graft.IndexCache.dirFor(dir, "sigidx").toString
     val corpus = Tables.documents(s, dir).select("doc_id", "text")
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS"))) {

@@ -832,8 +832,15 @@ object Knn {
                        k: Int): DataFrame = {
     val q = broadcast(queries.select(col("qid"), col("qvec"),
       col("using")))
+    // UNKNOWN name → NULL target → the row never scores: a request
+    // `using` a vector name the collection doesn't store returns
+    // zero rows (Qdrant 400s the request; relationally the empty
+    // result is the honest equivalent). The prior `otherwise
+    // (vec_body)` silently served the wrong vector for a typo'd
+    // name — caught by the r14 request-shape fuzz.
     val target = when(col("using") === "title", col("vec_title"))
-      .otherwise(col("vec_body"))
+      .when(col("using") === "body", col("vec_body"))
+      .otherwise(lit(null))
     val scored = data.crossJoin(q)
       .select(col("qid"),
         (-VectorDistance.cosine(target, col("qvec"))).as("key"),

@@ -546,9 +546,7 @@ object Pq {
   }
 
   def ivfOpqQuery(s: SparkSession, dir: String): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get("target", "tmp", s"ivfopq-$key")
-      .toAbsolutePath.toString
+    val path = graft.IndexCache.dirFor(dir, "ivfopq").toString
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     if (!java.nio.file.Files.exists(
@@ -560,9 +558,7 @@ object Pq {
   }
 
   def ivfPqResQuery(s: SparkSession, dir: String): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get("target", "tmp", s"ivfpqres-$key")
-      .toAbsolutePath.toString
+    val path = graft.IndexCache.dirFor(dir, "ivfpqres").toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS"))) {
       val e = Tables.embeddings(s, dir)
@@ -575,9 +571,7 @@ object Pq {
   }
 
   def ivfPqQuery(s: SparkSession, dir: String): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get("target", "tmp", s"ivfpq-$key")
-      .toAbsolutePath.toString
+    val path = graft.IndexCache.dirFor(dir, "ivfpq").toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS"))) {
       val e = Tables.embeddings(s, dir)

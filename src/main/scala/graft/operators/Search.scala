@@ -588,14 +588,12 @@ object Search {
   }
 
   /** Resolve (building on first use) the per-sf-dir index under
-    * target/tmp — shared by the indexed surface query and the hybrid
+    * the IndexCache root — shared by the indexed surface query and the hybrid
     * query's lexical leg.
     */
   private[graft] def indexFor(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
     // v2: stats schema gained sum_dl (insert-merge exactness)
-    val path = java.nio.file.Paths.get("target", "tmp", s"bm25idx2-$key")
-      .toAbsolutePath.toString
+    val path = graft.IndexCache.dirFor(dir, "bm25idx2").toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(statsPath(path), "_SUCCESS")))
       bm25BuildIndex(s, Tables.documents(s, dir), path)
@@ -604,7 +602,7 @@ object Search {
 
   /** Persisted-index twin of [[bm25Query]] (same queries/k so the
     * spec asserts equality and both share the oracle); index built
-    * once per sf dir under target/tmp.
+    * once per sf dir under the IndexCache root.
     */
   def bm25IndexedQuery(s: SparkSession, dir: String): DataFrame =
     bm25SearchIndexed(s, indexFor(s, dir), fixedQueries(s), 10)
@@ -1180,11 +1178,9 @@ object Search {
   }
 
   private def spellIdxPath(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
     // v2: doc-granular layout (the version tag keeps a dir built by
     // the aggregated-df scheme from being reused stale)
-    val path = java.nio.file.Paths.get("target", "tmp", s"spellidx2-$key")
-      .toAbsolutePath.toString
+    val path = graft.IndexCache.dirFor(dir, "spellidx2").toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS")))
       spellIndexBuild(s, dir, path)
@@ -1443,11 +1439,9 @@ object Search {
   }
 
   private[graft] def prefixDictFor(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
     // v2: doc-granular layout (version tag keeps a dir built by the
     // aggregated (term, df) scheme from being reused stale)
-    val path = java.nio.file.Paths.get("target", "tmp", s"pfxdict2-$key")
-      .toAbsolutePath.toString
+    val path = graft.IndexCache.dirFor(dir, "pfxdict2").toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(path, "_SUCCESS")))
       prefixDictBuild(s, Tables.documents(s, dir), path)

@@ -158,9 +158,7 @@ object ZOrder {
     * (stats _SUCCESS, written last, is the publish marker).
     */
   def ensureZordered(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = java.nio.file.Paths.get("target", "tmp", s"zorderg-$key")
-      .toAbsolutePath.toString
+    val path = graft.IndexCache.dirFor(dir, "zorderg").toString
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(statsPath(path), "_SUCCESS"))) {
       buildZorder(s, Tables.events(s, dir), path)

@@ -124,9 +124,7 @@ object WalBinary {
     * stream — this is FIXTURE WRITING, not the read path under test.
     */
   private[sources] def materializedWal(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val path = Paths.get("target", "tmp", s"walbin-$key", "wal_log_1")
-      .toAbsolutePath
+    val path = graft.IndexCache.dirFor(dir, "walbin").resolve("wal_log_1")
     if (!Files.exists(path)) {
       Files.createDirectories(path.getParent)
       val lines = WalSource.syntheticWal(s, dir).collect()
@@ -206,8 +204,7 @@ object WalBinary {
     */
   private[sources] def materializedWalDeletes(s: SparkSession,
                                               dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val root = Paths.get("target", "tmp", s"walbindel-$key").toAbsolutePath
+    val root = graft.IndexCache.dirFor(dir, "walbindel")
     val done = root.resolve("_done")
     if (!Files.exists(done)) {
       Files.createDirectories(root)
@@ -291,9 +288,7 @@ object WalBinary {
     */
   def compactReplayQuery(s: SparkSession, dir: String): DataFrame = {
     val glob = materializedWalDeletes(s, dir)
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val outRoot = Paths.get("target", "tmp", s"walcompact-$key")
-      .toAbsolutePath
+    val outRoot = graft.IndexCache.dirFor(dir, "walcompact")
     val done = outRoot.resolve("_done")
     if (!Files.exists(done)) {
       compactSegments(s, glob, outRoot.toString)

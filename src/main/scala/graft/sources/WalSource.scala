@@ -169,9 +169,7 @@ object WalSource {
     * (leading underscore), so readers only ever see whole segments.
     */
   private def materializedTextWal(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val root = java.nio.file.Paths.get("target", "tmp", s"waltxt-$key")
-      .toAbsolutePath
+    val root = graft.IndexCache.dirFor(dir, "waltxt")
     val done = root.resolve("_done")
     if (!java.nio.file.Files.exists(done)) {
       java.nio.file.Files.createDirectories(root)
