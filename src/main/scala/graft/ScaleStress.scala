@@ -87,7 +87,13 @@ object ScaleStress {
       // scale in COUNT (stride-200 seeding) while cell SIZE stays
       // ~200, so in-cell pair work must track ~100·n. A superlinear
       // leg here means the cluster blocking stopped bounding cells.
-      "dedup_semdedup")
+      "dedup_semdedup",
+      // r14: the keeper-chain closure — pointer doubling joins the
+      // drop table to itself log(depth) times; work must track the
+      // DROP table (grows with the corpus) times a depth-bounded
+      // round count, never corpus² — a superlinear leg means chains
+      // got deep enough that the doubling stopped converging early
+      "dedup_semdedup_closure")
 
   /** Replica id-space offset: far above any driver-generated id and
     * above the +100000/+200000/+300000 bands the synthetic-workload

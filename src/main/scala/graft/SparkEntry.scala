@@ -117,6 +117,19 @@ object SparkEntry {
         col("label") =!= 5)),
     "vdb_knn_filtered_json" -> (Knn.knnFilteredJsonQuery _),
     "vdb_knn_filtered_array" -> (Knn.knnFilteredArrayQuery _),
+    // MatchExcept over the same array payload (Qdrant's negated
+    // match: keep points whose tag list avoids EVERY given value) —
+    // same pre-scan placement; at scale the postings index serves
+    // the negation as an anti-join
+    "vdb_knn_filtered_array_except" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          array(col("vec_id") % 7L, col("vec_id") % 11L,
+            col("vec_id") % 13L).as("tags"))
+      Knn.topKFiltered(e, qset(s, d), 10, Knn.Metric.L2,
+        !array_contains(col("tags"), lit(3L)) &&
+          !array_contains(col("tags"), lit(5L)))
+    }),
     "vdb_knn_geo" -> (Knn.knnGeoQuery _),
     "vdb_knn_geo_bbox" -> (Knn.knnGeoBBoxQuery _),
     "vdb_knn_geo_poly" -> (Knn.knnGeoPolyQuery _),
