@@ -2635,9 +2635,23 @@ object Analytics {
       (col("n") * (col("n") - 1)).cast("double") / lit(10000.0)
     val delta = mean * lit(0.05)
     val zs = lit(1.96) + lit(0.8416)
-    g.select(col("event_type"), col("n").as("n_obs"),
+    // REPORTED variance rounds in EXACT integer arithmetic (r14,
+    // fuzz seed 1414): vr's true value N/D (N = n·qx − sx², D =
+    // n(n−1)·10⁴, both exact) can land on a .XXXX5 shortest-decimal
+    // boundary where Spark's HALF_UP and DuckDB's binary round
+    // split (the seed-505 class). floor((2N·10⁴ + D)/(2D)) is the
+    // exact half-up (N ≥ 0); all DECIMAL(38,0) — headroom to 10³⁸
+    // vs the ~4·10³⁰ worst term. The UNROUNDED vr still feeds
+    // n_per_arm, as before.
+    val num = col("n").cast(dec) * col("qx").cast(dec) -
+      col("sx").cast(dec) * col("sx").cast(dec)
+    val den = col("n").cast(dec) * (col("n") - 1).cast(dec) *
+      lit(10000).cast(dec)
+    g.withColumn("vnum", num).withColumn("vden", den)
+      .select(col("event_type"), col("n").as("n_obs"),
         round(mean, 4).as("mean_value"),
-        round(vr, 4).as("variance"),
+        (expr("(vnum * 20000 + vden) div (vden * 2)").cast("double")
+          / 10000.0).as("variance"),
         round(delta, 4).as("mde"),
         ceil(lit(2.0) * vr * zs * zs / (delta * delta)).cast("long")
           .as("n_per_arm"))

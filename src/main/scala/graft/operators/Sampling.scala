@@ -376,7 +376,16 @@ object Sampling {
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"), sum("sb").as("lw"))
       .orderBy(col("lw").desc, col("doc_id")).limit(topK)
+      // Final 4dp in EXACT integer arithmetic (r14, fuzz seeds
+      // 1313/1414): lw is integer micro-nats, so lw/10⁶ can land on
+      // a decimal .XXXX5 boundary where Spark's shortest-decimal
+      // HALF_UP and DuckDB's binary-double round split (the r13
+      // seed-505 class). Half-AWAY-FROM-ZERO of lw/100 as pure
+      // integer ops (sign split keeps both engines' integer
+      // division semantics identical), then one exact /10⁴.
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        round(col("lw").cast("double") / 1000000.0, 4).as("log_weight"))
+        (expr("CASE WHEN lw >= 0 THEN (lw + 50) div 100 " +
+          "ELSE -((-lw + 50) div 100) END").cast("double") / 10000.0)
+          .as("log_weight"))
   }
 }

@@ -221,7 +221,8 @@ private[graft] object OracleCorpus {
         |       FROM tb JOIN sc ON tb.b = sc.b WHERE tb.lang <> 'en'
         |       GROUP BY 1, 2)
         |SELECT doc_id, lang, n_tokens,
-        |  round(lw / 1000000.0, 4) AS log_weight
+        |  (CASE WHEN lw >= 0 THEN (lw + 50) // 100
+        |        ELSE -((-lw + 50) // 100) END) / 10000.0 AS log_weight
         |FROM dw ORDER BY lw DESC, doc_id LIMIT 50""".stripMargin,
     // Poisson PPS sample (Sampling.weightedSample): p = min(1,
     // 150·w/W) with W an exact integer sum; u = md5-60-bit/2^60 —

@@ -415,10 +415,13 @@ private[graft] object OracleEvents {
         |        CAST(CAST(n AS HUGEINT) * qx
         |            - CAST(sx AS HUGEINT) * sx AS DOUBLE)
         |          / CAST(n * (n - 1) AS DOUBLE)
-        |          / CAST(10000.0 AS DOUBLE) AS vr
+        |          / CAST(10000.0 AS DOUBLE) AS vr,
+        |        CAST(n AS HUGEINT) * qx - CAST(sx AS HUGEINT) * sx
+        |          AS vnum,
+        |        CAST(n AS HUGEINT) * (n - 1) * 10000 AS vden
         |      FROM g WHERE n > 1)
         |SELECT event_type, n AS n_obs, round(mean, 4) AS mean_value,
-        |  round(vr, 4) AS variance,
+        |  ((vnum * 20000 + vden) // (vden * 2)) / 10000.0 AS variance,
         |  round(mean * CAST(0.05 AS DOUBLE), 4) AS mde,
         |  CAST(ceil(CAST(2.0 AS DOUBLE) * vr
         |    * (CAST(1.96 AS DOUBLE) + CAST(0.8416 AS DOUBLE))
