@@ -134,6 +134,7 @@ object SparkEntry {
     "vdb_knn_geo_bbox" -> (Knn.knnGeoBBoxQuery _),
     "vdb_knn_geo_poly" -> (Knn.knnGeoPolyQuery _),
     "vdb_knn_named" -> (Knn.knnNamedQuery _),
+    "vdb_hybrid_prefetch" -> (Knn.hybridPrefetchQuery _),
     "vdb_discover" -> (Knn.discoverQuery _),
     "vdb_context_search" -> (Knn.contextSearchQuery _),
     "vdb_recommend_best" -> (Knn.recommendBestQuery _),
@@ -349,6 +350,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Dedup.corpusWithExactDups(s, d))),
     "dedup_minhash_sig" -> (Dedup.minhashSignatures _),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "dedup_edit_distance" -> ((s, d) => Dedup.editDistancePairs(s, d)),
     "dedup_incremental" -> (Dedup.incrementalQuery _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),

@@ -182,6 +182,38 @@ object Dedup {
     verifyOnCandidates(docs, cand, minJaccard)
   }
 
+  /** EDIT-DISTANCE RE-SCORING of the verified pair set (r14 — the
+    * character-level second opinion a production dedup keeps beside
+    * the shingle jaccard: two docs can share every 3-gram shingle
+    * yet differ by scattered single-character edits, and vice
+    * versa): for each VERIFIED minhash pair, the exact Levenshtein
+    * distance of the two texts and its length-normalized similarity
+    * 1 − lev/max(len). The O(len²) DP runs ONLY on verified pairs —
+    * the LSH blocking (never all-pairs) is what makes character-
+    * level verify affordable at 100 TB; the similarity's 4dp
+    * rounding is the exact integer half-up floor((2N·10⁴ + D)/2D)
+    * with N = maxlen − lev, D = maxlen (the §4c class-5 discipline —
+    * a ratio of exact integers never rounds through a double).
+    */
+  def editDistancePairs(s: SparkSession, dir: String,
+                        minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashPairsUnsorted(s, dir, minJaccard)
+      .select("id1", "id2", "jaccard")
+    val t = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    pairs
+      .join(t.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+      .join(t.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+      .select(col("id1"), col("id2"), col("jaccard"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("lev"),
+        greatest(length(col("t1")), length(col("t2"))).cast("long")
+          .as("ml"))
+      .where(col("ml") > 0)
+      .select(col("id1"), col("id2"), col("jaccard"), col("lev"),
+        (expr("((ml - lev) * 20000 + ml) div (ml * 2)").cast("double")
+          / 10000.0).as("edit_sim"))
+      .orderBy("id1", "id2")
+  }
+
   /** Exact-jaccard verification that tokenizes the corpus ONCE. The
     * naive composition references the exploded shingle table three
     * times (banding + both self-join sides of [[verifyJaccard]]), and

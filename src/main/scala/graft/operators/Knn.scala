@@ -338,6 +338,37 @@ object Knn {
       array_contains(col("tags"), lit(3L)))
   }
 
+  /** PREFETCH → RESCORE (r14 — Qdrant's Query API two-stage shape:
+    * a `prefetch` clause retrieves a WIDE candidate set by one
+    * vector, the outer query RESCORES those candidates by another —
+    * the universal serving pattern behind matryoshka/two-tower
+    * retrieval and cheap-metric-then-exact reranking): stage 1 is
+    * the standard broadcast + fused-kernel + bounded-heap top-50 on
+    * the title vector; stage 2 joins ONLY the Q×50 shortlist back to
+    * the corpus for the body-vector cosine and keeps the top 10.
+    * At 100 TB the stage-2 join is shortlist-sized (kilobytes
+    * shuffle) — the wide retrieval never re-scans, which is the
+    * entire point of the API shape.
+    */
+  def hybridPrefetchQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"),
+        col("embedding").as("vec_title"),
+        reverse(col("embedding")).as("vec_body"))
+    val q = graft.Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val pre = topK(e.select(col("id"), col("vec_title").as("vec")),
+      q, 50, Metric.Cosine)
+    val rescored = pre.select("qid", "nn_id")
+      .join(e.select(col("id").as("nn_id"), col("vec_body")), "nn_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"),
+        (-VectorDistance.cosine(col("vec_body"), col("qvec"))).as("key"),
+        col("nn_id").as("id"))
+      .where(col("key").isNotNull)
+    Ann.topKPerQuery(rescored, 10)
+  }
+
   /** RECOMMEND BY EXAMPLES — search with positive/negative example
     * IDS instead of a raw vector (the recommendation API Qdrant
     * ships; its published `average_vector` strategy): the query

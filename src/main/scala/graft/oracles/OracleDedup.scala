@@ -119,8 +119,34 @@ private[graft] object OracleDedup {
          |         FROM bk a JOIN bk b ON a.band = b.band
          |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |$jaccardVerify""".stripMargin,
-    // cross-modal audit: minhash pairs -> embedding cosine, means
-    // over micro-quantized ints, one-row agreement report
+    // edit-distance re-score of the verified pair set: Levenshtein
+    // over the pair texts, similarity as the exact integer half-up
+    // of (maxlen - lev)/maxlen at 4dp
+    "dedup_edit_distance" ->
+      s"""WITH $bandCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bk a JOIN bk b ON a.band = b.band
+         |           AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |card AS (SELECT doc_id, count(*) AS c FROM shx GROUP BY 1),
+         |inter AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n
+         |          FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |prs AS (SELECT c.id1, c.id2,
+         |          round(n*1.0/(c1.c + c2.c - n), 4) AS jaccard
+         |        FROM cand c JOIN inter i ON c.id1 = i.id1 AND c.id2 = i.id2
+         |        JOIN card c1 ON c.id1 = c1.doc_id
+         |        JOIN card c2 ON c.id2 = c2.doc_id
+         |        WHERE n*1.0/(c1.c + c2.c - n) >= 0.5),
+         |ed AS (SELECT p.id1, p.id2, p.jaccard,
+         |         CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+         |         CAST(greatest(length(ta.text), length(tb.text))
+         |           AS BIGINT) AS ml
+         |       FROM prs p JOIN documents ta ON p.id1 = ta.doc_id
+         |       JOIN documents tb ON p.id2 = tb.doc_id)
+         |SELECT id1, id2, jaccard, lev,
+         |  (((ml - lev) * 20000 + ml) // (ml * 2)) / 10000.0 AS edit_sim
+         |FROM ed WHERE ml > 0 ORDER BY id1, id2""".stripMargin,
     // cross-modal audit: minhash pairs -> embedding cosine, means
     // over micro-quantized ints, one-row agreement report
     "dedup_text_vs_embed" ->

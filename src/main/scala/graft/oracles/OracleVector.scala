@@ -719,6 +719,31 @@ private[graft] object OracleVector {
         |      FROM d WHERE s IS NOT NULL)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // prefetch -> rescore: top-50 by title cosine, those candidates
+    // re-ranked by body (reversed) cosine, top 10
+    "vdb_hybrid_prefetch" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vt,
+        |             list_reverse(embedding::DOUBLE[]) AS vb
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |p AS (SELECT q.qid, e.id,
+        |        list_cosine_similarity(e.vt, q.qv) AS s
+        |      FROM e CROSS JOIN q),
+        |pr AS (SELECT qid, id,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY s DESC, id) AS rk
+        |       FROM p WHERE s IS NOT NULL),
+        |c AS (SELECT qid, id FROM pr WHERE rk <= 50),
+        |r2 AS (SELECT c.qid, c.id AS nn_id,
+        |         list_cosine_similarity(e.vb, q.qv) AS s
+        |       FROM c JOIN e ON c.id = e.id JOIN q ON c.qid = q.qid),
+        |r AS (SELECT qid, nn_id, s,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY s DESC, nn_id) AS rk
+        |      FROM r2 WHERE s IS NOT NULL)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // per-request bounding box: point ± integer half-width on the
     // shared /100.0 coordinate grid — four range compares, cosine
     // ranking among the in-box survivors
