@@ -382,4 +382,29 @@ class DedupSpec extends SparkSuite {
       .select(operators.TextOps.normalize(col("t"))).head.getString(0)
     assert(got == "cafe menu!", s"width-fold/casefold broke: '$got'")
   }
+
+  test("edit-distance re-score: exact-dup pairs score 1.0, similarity " +
+    "bounded, DP confined to the verified pair set") {
+    val out = operators.Dedup.editDistancePairs(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (id1, id2) = (r.getLong(0), r.getLong(1))
+      val (lev, sim) = (r.getLong(3), r.getDouble(4))
+      assert(sim >= 0.0 && sim <= 1.0, s"sim out of range for ($id1,$id2)")
+      val ml = math.max(docs(id1).length, docs(id2).length)
+      assert(lev <= ml, s"lev above maxlen for ($id1,$id2)")
+      if (docs(id1) == docs(id2))
+        assert(lev == 0L && sim == 1.0,
+          s"identical texts must score lev=0/sim=1 for ($id1,$id2)")
+    }
+    // the pair set is EXACTLY the verified minhash pairs with a
+    // nonempty longer side — the DP never widens the candidate set
+    val verified = operators.Dedup.minhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .subsetOf(verified))
+  }
 }

@@ -115,6 +115,42 @@ class KnnSpec extends SparkSuite {
     assert(!in("notch") && in("body") && !in("far"))
   }
 
+  test("prefetch->rescore: results stay inside the stage-1 shortlist " +
+    "and rank by the rescore vector") {
+    val df = Knn.hybridPrefetchQuery(spark, sf)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // independent reference: window-rank top-50 by title cosine,
+    // then body-cosine ordering within it
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vt"),
+        reverse(col("embedding")).as("vb"))
+    val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val s1 = e.crossJoin(q).select(col("qid"), col("id"),
+        graft.functions.VectorDistance.cosine(col("vt"), col("qv")).as("s"))
+      .where(col("s").isNotNull)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("s").desc, col("id"))))
+      .where(col("rk") <= 50)
+    val shortlist = s1.select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall(r => shortlist((r.getLong(0), r.getLong(2)))),
+      "a rescored hit escaped the stage-1 shortlist")
+    val ref = s1.join(e.select(col("id"), col("vb")), "id")
+      .join(q, "qid")
+      .select(col("qid"), col("id"),
+        graft.functions.VectorDistance.cosine(col("vb"), col("qv")).as("s2"))
+      .where(col("s2").isNotNull)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("s2").desc, col("id"))))
+      .where(col("rk") <= 10)
+      .select("qid", "rk", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      == ref, "rescore ranking diverged from the window reference")
+  }
+
   test("discovery search: context wins dominate target similarity, " +
     "examples excluded") {
     import spark.implicits._
