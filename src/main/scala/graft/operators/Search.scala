@@ -743,6 +743,62 @@ object Search {
       .orderBy("qid", "rk")
   }
 
+  /** DBSF HYBRID FUSION (r14 — Qdrant's second fusion method beside
+    * RRF: `fusion: dbsf`, distribution-based score fusion): each
+    * leg's scores are normalized by their OWN distribution — n_i =
+    * (s_i − (μ−3σ)) / 6σ — then summed, so a leg with a wide score
+    * spread doesn't drown one with a narrow spread the way raw-sum
+    * would, and unlike RRF the MARGIN between hits survives (RRF
+    * keeps only ranks). FP discipline (§4c): leg scores are already
+    * 4dp-rounded, so they micro-quantize EXACTLY to integers at 10⁴;
+    * μ and σ then derive from exact integer moments (n, Σm, Σm² —
+    * the events_power_analysis rule) with one sqrt and fixed-order
+    * double ops that replay bit-identically on both engines. σ = 0
+    * (a leg whose candidates all tie) defines n_i = 0.5 — the
+    * distribution carries no information, every member sits at its
+    * center. A doc absent from a leg contributes 0 (the RRF
+    * convention). Per-leg moments are Q×2 rows; fusion and the
+    * window top-10 run over ≤40 rows per query — nothing here is
+    * corpus-scale.
+    */
+  def hybridDbsfQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bm = bm25SearchIndexed(s, indexFor(s, dir), fixedQueries(s), 20)
+      .select(col("qid"), col("doc_id"),
+        expr("CAST(round(score * 10000) AS BIGINT)").as("m"),
+        lit("bm").as("leg"))
+    val qv = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cos = Knn.topK(corpus, qv, 20, Knn.Metric.Cosine)
+      .select(col("qid"), col("nn_id").as("doc_id"),
+        expr("CAST(round(score * 10000) AS BIGINT)").as("m"),
+        lit("cos").as("leg"))
+    val legs = bm.unionByName(cos)
+    val moments = legs.groupBy("qid", "leg")
+      .agg(count(lit(1)).as("n"), sum("m").as("sx"),
+        sum(expr("m * m")).as("qx"))
+    val mu = col("sx").cast("double") / col("n").cast("double")
+    // population σ·n = sqrt(n·Σm² − (Σm)²) — exact integer under the
+    // sqrt, then one correctly-rounded sqrt and divide per engine
+    val sig = sqrt((col("n") * col("qx") - col("sx") * col("sx"))
+      .cast("double")) / col("n").cast("double")
+    val normed = legs.join(moments, Seq("qid", "leg"))
+      .select(col("qid"), col("doc_id"),
+        when(sig === 0.0, lit(0.5))
+          .otherwise((col("m").cast("double") - mu + lit(3.0) * sig)
+            / (lit(6.0) * sig)).as("nrm"))
+    val fused = normed.groupBy("qid", "doc_id")
+      .agg(sum("nrm").as("f"))
+    val w = Window.partitionBy("qid").orderBy(col("f").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("doc_id"),
+        round(col("f"), 4).as("dbsf_score"))
+      .orderBy("qid", "rk")
+  }
+
   /** SPARSE-VECTOR SEARCH — tf-idf dot product over the postings
     * (the sparse-vector modality Qdrant/Pinecone ship beside dense
     * vectors; SPLADE-style learned-sparse retrieval scores exactly

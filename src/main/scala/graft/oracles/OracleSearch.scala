@@ -343,6 +343,52 @@ private[graft] object OracleSearch {
          |                  AS rk FROM g)
          |SELECT qid, rk, doc_id, rrf_score, bm25_rk, cos_rk FROM h
          |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // DBSF fusion: per-leg integer moments over the 4dp-quantized
+    // scores, (s − μ + 3σ)/6σ with one sqrt per (qid, leg), σ=0 →
+    // 0.5; absent leg contributes 0; window top-10 on the fused sum
+    "hybrid_search_dbsf" ->
+      s"""WITH $bm25Ctes,
+         |b AS (SELECT qid, doc_id,
+         |        CAST(round(score * 10000) AS BIGINT) AS m, 'bm' AS leg
+         |      FROM r WHERE rk <= 20),
+         |qe AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < 5),
+         |cd AS (SELECT qe.qid, e.vec_id AS doc_id,
+         |              list_cosine_similarity(e.embedding::DOUBLE[], qe.qv)
+         |                AS s
+         |       FROM embeddings e CROSS JOIN qe),
+         |cr AS (SELECT qid, doc_id, s,
+         |              row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY s DESC, doc_id) AS rk
+         |       FROM cd WHERE s IS NOT NULL),
+         |c20 AS (SELECT qid, doc_id,
+         |          CAST(round(round(s, 4) * 10000) AS BIGINT) AS m,
+         |          'cos' AS leg
+         |        FROM cr WHERE rk <= 20),
+         |legs AS (SELECT * FROM b UNION ALL SELECT * FROM c20),
+         |mo AS (SELECT qid, leg, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(m) AS BIGINT) AS sx,
+         |         CAST(sum(m * m) AS BIGINT) AS qx
+         |       FROM legs GROUP BY 1, 2),
+         |nr AS (SELECT l.qid, l.doc_id,
+         |         CASE WHEN mo.n * mo.qx - mo.sx * mo.sx = 0
+         |           THEN CAST(0.5 AS DOUBLE)
+         |           ELSE (CAST(l.m AS DOUBLE)
+         |                   - CAST(mo.sx AS DOUBLE) / CAST(mo.n AS DOUBLE)
+         |                 + CAST(3.0 AS DOUBLE)
+         |                   * (sqrt(CAST(mo.n * mo.qx - mo.sx * mo.sx
+         |                        AS DOUBLE)) / CAST(mo.n AS DOUBLE)))
+         |                / (CAST(6.0 AS DOUBLE)
+         |                   * (sqrt(CAST(mo.n * mo.qx - mo.sx * mo.sx
+         |                        AS DOUBLE)) / CAST(mo.n AS DOUBLE)))
+         |         END AS nrm
+         |       FROM legs l JOIN mo ON l.qid = mo.qid AND l.leg = mo.leg),
+         |f AS (SELECT qid, doc_id, sum(nrm) AS f FROM nr GROUP BY 1, 2),
+         |h AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |                                   ORDER BY f DESC, doc_id) AS rk
+         |      FROM f)
+         |SELECT qid, rk, doc_id, round(f, 4) AS dbsf_score FROM h
+         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // sparse tf-idf dot: reuses the bm25 chain's p/idf/qt, different
     // scoring — tf·idf², no normalization/saturation by design
     // sparse tf-idf dot: reuses the bm25 chain's p/idf/qt, different
