@@ -605,6 +605,7 @@ object SparkEntry {
     "text_bm25_indexed" -> (Search.bm25IndexedQuery _),
     "hybrid_search_rrf" -> (Search.hybridRrfQuery _),
     "hybrid_search_dbsf" -> (Search.hybridDbsfQuery _),
+    "hybrid_search_weighted" -> (Search.hybridWeightedQuery _),
     "hybrid_search_linear" -> ((s, d) => Search.hybridLinearQuery(s, d)),
     "vdb_knn_sparse" -> (Search.sparseDotQuery _),
     "vdb_knn_sparse_indexed" -> (Search.sparseIndexedQuery _),

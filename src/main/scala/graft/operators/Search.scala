@@ -761,8 +761,13 @@ object Search {
     * window top-10 run over ≤40 rows per query — nothing here is
     * corpus-scale.
     */
-  def hybridDbsfQuery(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared hybrid-leg construction: top-20 lexical (persisted bm25
+    * index) and top-20 dense (cosine) candidates per query, scores
+    * micro-quantized to exact integers at 10⁴ (both legs' scores are
+    * already 4dp-rounded, so the quantization is lossless) — the
+    * integer basis every fusion method's statistics derive from.
+    */
+  private def hybridLegs(s: SparkSession, dir: String): DataFrame = {
     val bm = bm25SearchIndexed(s, indexFor(s, dir), fixedQueries(s), 20)
       .select(col("qid"), col("doc_id"),
         expr("CAST(round(score * 10000) AS BIGINT)").as("m"),
@@ -775,7 +780,12 @@ object Search {
       .select(col("qid"), col("nn_id").as("doc_id"),
         expr("CAST(round(score * 10000) AS BIGINT)").as("m"),
         lit("cos").as("leg"))
-    val legs = bm.unionByName(cos)
+    bm.unionByName(cos)
+  }
+
+  def hybridDbsfQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val legs = hybridLegs(s, dir)
     val moments = legs.groupBy("qid", "leg")
       .agg(count(lit(1)).as("n"), sum("m").as("sx"),
         sum(expr("m * m")).as("qx"))
@@ -796,6 +806,39 @@ object Search {
       .where(col("rk") <= 10)
       .select(col("qid"), col("rk"), col("doc_id"),
         round(col("f"), 4).as("dbsf_score"))
+      .orderBy("qid", "rk")
+  }
+
+  /** WEIGHTED-RANKER HYBRID FUSION (r14 — Milvus' WeightedRanker,
+    * the default alternative to RRF in its hybrid search API): each
+    * leg MIN-MAX normalizes over its own candidates — n_i =
+    * (s_i − min)/(max − min) — then fuses as a WEIGHTED sum
+    * (0.3·lexical + 0.7·dense here, the caller-tunable knob RRF and
+    * DBSF lack: the application declares which modality it trusts).
+    * Min/max over the quantized integer scores are EXACT, so the
+    * normalization is one integer subtraction pair and a single
+    * divide per row — bit-identical cross-engine with no moment
+    * machinery at all. A single-valued leg (max = min) carries no
+    * ordering information: every member sits at 0.5, the DBSF
+    * convention. Absent leg contributes 0.
+    */
+  def hybridWeightedQuery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val legs = hybridLegs(s, dir)
+    val ext = legs.groupBy("qid", "leg")
+      .agg(min("m").as("mn"), max("m").as("mx"))
+    val w = when(col("leg") === "bm", lit(0.3)).otherwise(lit(0.7))
+    val normed = legs.join(ext, Seq("qid", "leg"))
+      .select(col("qid"), col("doc_id"),
+        (w * when(col("mx") === col("mn"), lit(0.5))
+          .otherwise((col("m") - col("mn")).cast("double")
+            / (col("mx") - col("mn")).cast("double"))).as("wn"))
+    val fused = normed.groupBy("qid", "doc_id").agg(sum("wn").as("f"))
+    val win = Window.partitionBy("qid").orderBy(col("f").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(win))
+      .where(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("doc_id"),
+        round(col("f"), 4).as("weighted_score"))
       .orderBy("qid", "rk")
   }
 

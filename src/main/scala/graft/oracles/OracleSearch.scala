@@ -389,6 +389,43 @@ private[graft] object OracleSearch {
          |      FROM f)
          |SELECT qid, rk, doc_id, round(f, 4) AS dbsf_score FROM h
          |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // WeightedRanker: per-leg exact-integer min-max, weighted sum
+    // 0.3 lexical + 0.7 dense; single-valued leg → 0.5
+    "hybrid_search_weighted" ->
+      s"""WITH $bm25Ctes,
+         |b AS (SELECT qid, doc_id,
+         |        CAST(round(score * 10000) AS BIGINT) AS m, 'bm' AS leg
+         |      FROM r WHERE rk <= 20),
+         |qe AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |       FROM embeddings WHERE vec_id < 5),
+         |cd AS (SELECT qe.qid, e.vec_id AS doc_id,
+         |              list_cosine_similarity(e.embedding::DOUBLE[], qe.qv)
+         |                AS s
+         |       FROM embeddings e CROSS JOIN qe),
+         |cr AS (SELECT qid, doc_id, s,
+         |              row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY s DESC, doc_id) AS rk
+         |       FROM cd WHERE s IS NOT NULL),
+         |c20 AS (SELECT qid, doc_id,
+         |          CAST(round(round(s, 4) * 10000) AS BIGINT) AS m,
+         |          'cos' AS leg
+         |        FROM cr WHERE rk <= 20),
+         |legs AS (SELECT * FROM b UNION ALL SELECT * FROM c20),
+         |ext AS (SELECT qid, leg, min(m) AS mn, max(m) AS mx
+         |        FROM legs GROUP BY 1, 2),
+         |nr AS (SELECT l.qid, l.doc_id,
+         |         (CASE WHEN l.leg = 'bm' THEN CAST(0.3 AS DOUBLE)
+         |               ELSE CAST(0.7 AS DOUBLE) END)
+         |         * (CASE WHEN e.mx = e.mn THEN CAST(0.5 AS DOUBLE)
+         |            ELSE CAST(l.m - e.mn AS DOUBLE)
+         |                 / CAST(e.mx - e.mn AS DOUBLE) END) AS wn
+         |       FROM legs l JOIN ext e ON l.qid = e.qid AND l.leg = e.leg),
+         |f AS (SELECT qid, doc_id, sum(wn) AS f FROM nr GROUP BY 1, 2),
+         |h AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |                                   ORDER BY f DESC, doc_id) AS rk
+         |      FROM f)
+         |SELECT qid, rk, doc_id, round(f, 4) AS weighted_score FROM h
+         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // sparse tf-idf dot: reuses the bm25 chain's p/idf/qt, different
     // scoring — tf·idf², no normalization/saturation by design
     // sparse tf-idf dot: reuses the bm25 chain's p/idf/qt, different
