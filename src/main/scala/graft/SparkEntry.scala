@@ -117,6 +117,23 @@ object SparkEntry {
         col("label") =!= 5)),
     "vdb_knn_filtered_json" -> (Knn.knnFilteredJsonQuery _),
     "vdb_knn_filtered_array" -> (Knn.knnFilteredArrayQuery _),
+    // MatchText (Qdrant's full-text payload index filter): kNN gated
+    // on whole-token membership in a TEXT payload — the vector's id
+    // keys into documents, the predicate is token membership in the
+    // split text (list_contains(string_split(...)) mirrors exactly;
+    // NULL text never matches on either engine). Same pre-scan
+    // placement as the scalar family; at 100 TB the token postings
+    // index (the bm25 machinery already persisted) serves this as an
+    // id semi-join instead of a per-row split.
+    "vdb_knn_filtered_text" -> ((s, d) => {
+      val payload = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), col("text"))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .join(payload, Seq("id"))
+      Knn.topKFiltered(e, qset(s, d), 10, Knn.Metric.L2,
+        array_contains(split(col("text"), " "), "data"))
+    }),
     // MatchExcept over the same array payload (Qdrant's negated
     // match: keep points whose tag list avoids EVERY given value) —
     // same pre-scan placement; at scale the postings index serves

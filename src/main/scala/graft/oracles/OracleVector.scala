@@ -907,6 +907,22 @@ private[graft] object OracleVector {
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // MatchText: whole-token membership in the text payload keyed by
+    // the vector id; NULL text never matches on either engine
+    "vdb_knn_filtered_text" ->
+      """WITH p AS (SELECT doc_id AS id, text FROM documents),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e JOIN p ON e.vec_id = p.id CROSS JOIN q
+        |      WHERE list_contains(string_split(p.text, ' '), 'data')),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // array-payload membership filter: tags = [id%7, id%11, id%13]
     // (exact int64 on both engines), list_contains ≡ Spark's
     // array_contains, then the standard L2 top-10
