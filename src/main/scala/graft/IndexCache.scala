@@ -94,9 +94,7 @@ object IndexCache {
         else ""
       if (recorded != fp) {
         if (Files.isDirectory(root)) {
-          val it = Files.list(root).iterator()
-          while (it.hasNext) {
-            val p = it.next()
+          listDir(root).foreach { p =>
             val n = p.getFileName.toString
             // exactly this key: `name-<key>` or `name-<key>_tag`
             if (n.endsWith(s"-$k") || n.contains(s"-${k}_"))
@@ -121,41 +119,30 @@ object IndexCache {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(s"format=$FORMAT;".getBytes("UTF-8"))
     if (Files.isDirectory(d)) {
-      val files = Files.list(d).iterator()
-      val entries = scala.collection.mutable.ArrayBuffer[Path]()
-      while (files.hasNext) {
-        val p = files.next()
-        if (p.getFileName.toString.endsWith(".parquet")) entries += p
-      }
-      entries.sortBy(_.getFileName.toString).foreach { p =>
+      val entries = listDir(d)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+      entries.foreach { p =>
         // a table may be a single file or a parquet DIRECTORY of
         // part files — hash the parts in name order either way
         val parts =
-          if (Files.isDirectory(p)) {
-            val it = Files.list(p).iterator()
-            val b = scala.collection.mutable.ArrayBuffer[Path]()
-            while (it.hasNext) {
-              val q = it.next()
+          if (Files.isDirectory(p))
+            listDir(p).filter { q =>
               val n = q.getFileName.toString
-              if (!n.startsWith(".") && !n.startsWith("_")) b += q
-            }
-            b.sortBy(_.getFileName.toString).toSeq
-          } else Seq(p)
+              !n.startsWith(".") && !n.startsWith("_")
+            }.sortBy(_.getFileName.toString)
+          else Seq(p)
         parts.foreach { q =>
           val len = Files.size(q)
           md.update(s"${p.getFileName}/${q.getFileName}:$len;"
             .getBytes("UTF-8"))
           val ch = java.nio.channels.FileChannel.open(q)
           try {
-            val w = 65536
-            val head = java.nio.ByteBuffer.allocate(math.min(w, len.toInt))
-            ch.read(head, 0)
-            md.update(head.array(), 0, head.position())
-            if (len > w) {
-              val tail = java.nio.ByteBuffer.allocate(w)
-              ch.read(tail, len - w)
-              md.update(tail.array(), 0, tail.position())
-            }
+            val w = 65536L
+            // clamp BEFORE narrowing: len.toInt on a >=2 GiB file
+            // wraps negative and allocate() throws
+            md.update(readFully(ch, 0L, math.min(w, len).toInt))
+            if (len > w) md.update(readFully(ch, len - w, w.toInt))
           } finally ch.close()
         }
       }
@@ -163,11 +150,40 @@ object IndexCache {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val it = Files.list(p).iterator()
-      while (it.hasNext) deleteRecursively(it.next())
+  /** Read exactly `want` bytes at `pos` (or to EOF): a single
+    * FileChannel.read may return short, which would make the digest
+    * depend on kernel read chunking — a spurious hash change wipes
+    * valid (committed) artifacts and re-triggers builds inside timed
+    * bench passes.
+    */
+  private def readFully(ch: java.nio.channels.FileChannel,
+                        pos: Long, want: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(want)
+    var off = pos
+    var n = 0
+    while (buf.hasRemaining && n >= 0) {
+      n = ch.read(buf, off)
+      if (n > 0) off += n
     }
+    if (buf.position() == want) buf.array()
+    else java.util.Arrays.copyOf(buf.array(), buf.position())
+  }
+
+  /** Files.list with the stream CLOSED (each unclosed stream leaks a
+    * directory fd; a full test+bench run touches many dir keys).
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try {
+      val it = st.iterator()
+      val b = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) b += it.next()
+      b.toSeq
+    } finally st.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -824,21 +824,51 @@ object Search {
     */
   def hybridWeightedQuery(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // FP discipline (§4c seed-505 class, r14 advice): min-max ratios
+    // with power-of-two denominators times the 3/10 / 7/10 weights
+    // land on .XXXX5 shortest-decimal boundaries (0.7/16 = 0.04375)
+    // where Spark's shortest-decimal HALF_UP and DuckDB's binary
+    // round split. So the WHOLE fusion is an exact rational: each
+    // leg contribution is num/den with num,den BIGINT —
+    //   D > 0:  w·(m−mn)/D  →  (w10·(m−mn), 10·D)
+    //   D = 0:  w·0.5       →  (w10, 20)
+    // (w10 = 3 lexical, 7 dense). Per qid the two legs' denominators
+    // are constants, so the fused score has the per-qid common
+    // denominator den_q = den_bm·den_cos; each row scales its num by
+    // the OTHER leg's den. Ranking uses the exact integer numerator
+    // (den_q is constant within a qid); the 4dp emission is the
+    // family's exact integer half-up (2N·10⁴ + D) div 2D. Worst
+    // magnitudes: den_q ≤ 10⁷·2·10⁵ = 2·10¹², numerator ≤ ~2·10¹²,
+    // 2N·10⁴ ≤ 4·10¹⁶ — inside BIGINT.
     val legs = hybridLegs(s, dir)
     val ext = legs.groupBy("qid", "leg")
       .agg(min("m").as("mn"), max("m").as("mx"))
-    val w = when(col("leg") === "bm", lit(0.3)).otherwise(lit(0.7))
-    val normed = legs.join(ext, Seq("qid", "leg"))
+    val dens = ext.groupBy("qid").agg(
+      sum(when(col("leg") === "bm",
+        when(col("mx") === col("mn"), lit(20L))
+          .otherwise(lit(10L) * (col("mx") - col("mn"))))).as("den_bm"),
+      sum(when(col("leg") === "cos",
+        when(col("mx") === col("mn"), lit(20L))
+          .otherwise(lit(10L) * (col("mx") - col("mn"))))).as("den_cos"))
+      .select(col("qid"), coalesce(col("den_bm"), lit(1L)).as("den_bm"),
+        coalesce(col("den_cos"), lit(1L)).as("den_cos"))
+    val w10 = when(col("leg") === "bm", lit(3L)).otherwise(lit(7L))
+    val scaled = legs.join(ext, Seq("qid", "leg")).join(dens, Seq("qid"))
       .select(col("qid"), col("doc_id"),
-        (w * when(col("mx") === col("mn"), lit(0.5))
-          .otherwise((col("m") - col("mn")).cast("double")
-            / (col("mx") - col("mn")).cast("double"))).as("wn"))
-    val fused = normed.groupBy("qid", "doc_id").agg(sum("wn").as("f"))
-    val win = Window.partitionBy("qid").orderBy(col("f").desc, col("doc_id"))
+        (when(col("mx") === col("mn"), w10)
+          .otherwise(w10 * (col("m") - col("mn"))) *
+          when(col("leg") === "bm", col("den_cos"))
+            .otherwise(col("den_bm"))).as("num"),
+        (col("den_bm") * col("den_cos")).as("den_q"))
+    val fused = scaled.groupBy("qid", "doc_id")
+      .agg(sum("num").as("fnum"), first("den_q").as("den_q"))
+    val win = Window.partitionBy("qid")
+      .orderBy(col("fnum").desc, col("doc_id"))
     fused.withColumn("rk", row_number().over(win))
       .where(col("rk") <= 10)
       .select(col("qid"), col("rk"), col("doc_id"),
-        round(col("f"), 4).as("weighted_score"))
+        (expr("(fnum * 20000 + den_q) div (den_q * 2)").cast("double")
+          / 10000.0).as("weighted_score"))
       .orderBy("qid", "rk")
   }
 

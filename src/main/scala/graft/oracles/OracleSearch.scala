@@ -413,19 +413,33 @@ private[graft] object OracleSearch {
          |legs AS (SELECT * FROM b UNION ALL SELECT * FROM c20),
          |ext AS (SELECT qid, leg, min(m) AS mn, max(m) AS mx
          |        FROM legs GROUP BY 1, 2),
+         |dens AS (SELECT qid,
+         |           coalesce(sum(CASE WHEN leg = 'bm' THEN
+         |             CASE WHEN mx = mn THEN 20
+         |                  ELSE 10 * (mx - mn) END END), 1) AS den_bm,
+         |           coalesce(sum(CASE WHEN leg = 'cos' THEN
+         |             CASE WHEN mx = mn THEN 20
+         |                  ELSE 10 * (mx - mn) END END), 1) AS den_cos
+         |         FROM ext GROUP BY 1),
          |nr AS (SELECT l.qid, l.doc_id,
-         |         (CASE WHEN l.leg = 'bm' THEN CAST(0.3 AS DOUBLE)
-         |               ELSE CAST(0.7 AS DOUBLE) END)
-         |         * (CASE WHEN e.mx = e.mn THEN CAST(0.5 AS DOUBLE)
-         |            ELSE CAST(l.m - e.mn AS DOUBLE)
-         |                 / CAST(e.mx - e.mn AS DOUBLE) END) AS wn
-         |       FROM legs l JOIN ext e ON l.qid = e.qid AND l.leg = e.leg),
-         |f AS (SELECT qid, doc_id, sum(wn) AS f FROM nr GROUP BY 1, 2),
+         |         CAST((CASE WHEN e.mx = e.mn
+         |                 THEN CASE WHEN l.leg = 'bm' THEN 3 ELSE 7 END
+         |                 ELSE (CASE WHEN l.leg = 'bm' THEN 3 ELSE 7 END)
+         |                      * (l.m - e.mn) END)
+         |              * (CASE WHEN l.leg = 'bm' THEN d.den_cos
+         |                      ELSE d.den_bm END) AS BIGINT) AS num,
+         |         CAST(d.den_bm * d.den_cos AS BIGINT) AS den_q
+         |       FROM legs l JOIN ext e ON l.qid = e.qid AND l.leg = e.leg
+         |                   JOIN dens d ON l.qid = d.qid),
+         |f AS (SELECT qid, doc_id, sum(num) AS fnum, min(den_q) AS den_q
+         |      FROM nr GROUP BY 1, 2),
          |h AS (SELECT *, row_number() OVER (PARTITION BY qid
-         |                                   ORDER BY f DESC, doc_id) AS rk
-         |      FROM f)
-         |SELECT qid, rk, doc_id, round(f, 4) AS weighted_score FROM h
-         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+         |                                   ORDER BY fnum DESC, doc_id)
+         |                  AS rk FROM f)
+         |SELECT qid, rk, doc_id,
+         |       CAST((fnum * 20000 + den_q) // (den_q * 2) AS DOUBLE)
+         |         / 10000.0 AS weighted_score
+         |FROM h WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // sparse tf-idf dot: reuses the bm25 chain's p/idf/qt, different
     // scoring — tf·idf², no normalization/saturation by design
     // sparse tf-idf dot: reuses the bm25 chain's p/idf/qt, different
