@@ -194,8 +194,10 @@ if benches and scales:
                       "(retired r13; SCALE_rN.json is the sole record)")
                 sfail += 1
             probes = sj.get("probes", {})
+            # x1/x4/x16 is the required matrix; the r15 x64 legs for
+            # the pair families are additive evidence, never required
             partial = sorted(n for n, legs in probes.items()
-                             if set(legs) != {"x1", "x4", "x16"})
+                             if not {"x1", "x4", "x16"} <= set(legs))
             if partial:
                 print(f"FAIL scale-artifact: {os.path.basename(spath)} "
                       f"probes with partial factor matrix: {partial[:8]}")
@@ -225,14 +227,24 @@ if benches:
         val, nq = b.get("value"), b.get("nq")
         if val and nq:
             spq = val / nq
-            if spq > 2 * FROZEN_SPQ:
+            # r15 (VERDICT r14 #2): when the artifact carries drift
+            # anchors, the gate reads the anchor-NORMALIZED mean —
+            # three frozen pre-r12 queries timed first and last
+            # estimate the host's speed vs the frozen quiet-host
+            # reference, so shared-VM drift (±25-30% per §4b″) stops
+            # eroding the gate. The raw mean is still printed.
+            anch = b.get("anchors") or {}
+            gated = anch.get("mean_norm", spq)
+            label = (f"norm {gated:.3f} (raw {spq:.3f}, drift "
+                     f"{anch.get('drift')}x)" if anch else f"{spq:.3f}")
+            if gated > 2 * FROZEN_SPQ:
                 print(f"FAIL bench-target: {os.path.basename(bpath)} mean "
-                      f"{spq:.3f} s/q exceeds 2x the frozen r13 reference "
+                      f"{label} s/q exceeds 2x the frozen r13 reference "
                       f"({FROZEN_SPQ} s/q; SURVEY §6)")
                 fail += 1
             else:
                 print(f"OK   bench-target: {os.path.basename(bpath)} mean "
-                      f"{spq:.3f} s/q is {spq / FROZEN_SPQ:.2f}x the frozen "
+                      f"{label} s/q is {gated / FROZEN_SPQ:.2f}x the frozen "
                       f"r13 reference ({FROZEN_SPQ} s/q, gate 2x)")
     except Exception as e:
         print(f"NOTE bench-target: cannot read {bpath}: {e}")

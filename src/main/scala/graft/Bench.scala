@@ -161,10 +161,12 @@ object Bench {
     // 0.9s with the index in place) — the bench entry is the SEARCH
     // cost; the build is a separate one-time operation.
     // r14 (VERDICT r13 #1): SKIPPED WHOLESALE when the IndexCache was
-    // already fingerprint-fresh for the target dir — the repo COMMITS
-    // the testdata-SF artifact trees, so a fresh driver checkout
-    // starts warm and the 155.7s the r13 driver spent here goes to
-    // pass 2 instead. What prebuild also used to buy (in-memory memo
+    // already fingerprint-fresh for the target dir. r15: the cache
+    // trees are no longer git-tracked (r14 verdict #6 — 428 MB of
+    // rebuilt binaries per round); the WORKING-TREE cache persists
+    // across rounds on this host, a fresh checkout pays this phase
+    // once, honestly, outside the timed passes.
+    // What prebuild also used to buy (in-memory memo
     // training for ann_ivf/vdb_knn_pq, OS page cache) is pass 1's
     // job under the min-of-two discipline: pass 1 absorbs the
     // one-time cost, pass 2 supplies the steady-state sample. A
@@ -174,6 +176,44 @@ object Bench {
     // The phase still runs in full when the fingerprint mismatches:
     // regenerated testdata or a FORMAT bump wipes the cache, and
     // then the builds must stay out of the timed passes.
+    // DRIFT ANCHORS (r15, VERDICT r14 #2): three frozen queries whose
+    // code predates r12 and is off-limits to optimization, timed
+    // (min of 2 reps) right before pass 1 and right after pass 2.
+    // They estimate the HOST's speed during this run — the r13/r14
+    // rounds measured the same code at 0.97 vs 1.28-1.43 s/q purely
+    // from shared-VM drift (§4b″: ±25-30% on back-to-back same-code
+    // runs), so the suite mean is reported both raw and
+    // anchor-normalized, and the §6 gate reads the normalized one.
+    // ANCHOR_REF is the frozen anchor-sum reference, and it MUST be
+    // calibrated under the FULL-SUITE protocol: a subset run's JVM
+    // is minutes younger at its post measurement, so the first
+    // calibration (3-query runs) read 3.30 where full-suite runs
+    // read 1.75-3.02 — that mis-reports a quiet host as 0.53x
+    // "drift" and would inflate the normalized mean ~2x. Frozen at
+    // the min over the two full-suite r15 calibration runs on
+    // 2026-08-16 (pre/post 3.73/3.02 and 2.53/1.75, final r15
+    // substrate). Re-freezing requires the same two-run §4b
+    // evidence the §6 0.660 target itself requires.
+    val anchorNames = Seq("q1_agg", "vdb_knn_flat_l2",
+      "dedup_minhash_pairs")
+    val AnchorRef = 1.75
+    def anchorSum(): Double = {
+      val ts = anchorNames.map { n =>
+        benchQueries.get(n) match {
+          case Some(fn) =>
+            val reps = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              if (runGuardedAt(sfDir, n, fn(spark, sfDir)))
+                (System.nanoTime() - t0) / 1e9
+              else Double.NaN
+            }
+            reps.min
+          case None => Double.NaN
+        }
+      }
+      if (ts.exists(_.isNaN)) Double.NaN else ts.sum
+    }
+
     val cacheWasFresh = IndexCache.wasFresh(sfDir)
     if (!cacheWasFresh)
     Seq("ann_ivf_indexed", "ann_ivf_sq8", "ann_ivf_pq", "ann_ivf_bq",
@@ -230,6 +270,7 @@ object Bench {
       if (runGuardedAt(sfDir, name, fn(spark, sfDir))) (System.nanoTime() - t0) / 1e9
       else -1.0
     }
+    val anchorsPre = anchorSum()
     val p1 = benchQueries.map { case (name, fn) => name -> timeOne(name, fn) }
     val tP1 = elapsed - tWarm - tPrebuild
 
@@ -251,6 +292,7 @@ object Bench {
         p2(name) = timeOne(name, benchQueries(name))
     }
     val tP2 = elapsed - tWarm - tPrebuild - tP1
+    val anchorsPost = anchorSum()
 
     // Phase 5 (RETIRED r13, r12 verdict #4): the in-bench ScaleStress
     // probe ran inside the suite's leftover budget on a warm VM, so
@@ -271,12 +313,25 @@ object Bench {
       k -> (if (v >= 0 && w >= 0) math.min(v, w) else math.max(v, w))
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // drift = best observed anchor state over the run / the frozen
+    // quiet-host reference: >1 means this run's numbers carry host
+    // slowness the code does not control; mean_norm divides it out.
+    // min(pre, post) matches the min-of-two sampling the per-query
+    // numbers themselves use.
+    val anchorMin = math.min(anchorsPre, anchorsPost) // NaN-propagating
+    val drift = anchorMin / AnchorRef
+    val meanRaw = if (results.nonEmpty) total / results.size else 0.0
+    val anchors =
+      if (drift.isNaN) ""
+      else f""","anchors":{"pre":$anchorsPre%.2f,"post":$anchorsPost%.2f,""" +
+        f""""ref":$AnchorRef%.2f,"drift":$drift%.3f,""" +
+        f""""mean_raw":$meanRaw%.4f,"mean_norm":${meanRaw / drift}%.4f}"""
     val phases = f"""{"warmup":${tWarm / 1e9}%.1f,"prebuild":${tPrebuild / 1e9}%.1f,""" +
       f""""pass1":${tP1 / 1e9}%.1f,"pass2":${tP2 / 1e9}%.1f,"pass2_n":${p2.size},""" +
       s""""cache_fresh":$cacheWasFresh}"""
     def render(qEntries: Seq[String], omitted: Int): String = {
       val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${qEntries.mkString("{", ",", "}")},"nq":${results.size}$om,"phases":$phases,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${qEntries.mkString("{", ",", "}")},"nq":${results.size}$om,"phases":$phases$anchors,"sf":"$sfDir"}"""
     }
     // Full-precision artifact with EVERY query — truncation-proof.
     val full = render(results.toSeq.map { case (k, v) => f"""\"$k\":$v%.4f""" }, 0)

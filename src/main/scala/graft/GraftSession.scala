@@ -20,6 +20,20 @@ object GraftSession {
       // session-wide (Tables.events converts to timestamp explicitly).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce small shuffles by SIZE, not core count (r15, VERDICT
+      // r14 #1 — the per-query substrate floor): with the default
+      // parallelismFirst=true every tiny exchange still fans into
+      // ~cores reducers, so a kilobyte aggregate pays ~32 task
+      // launches per stage; measured on the steady-state floor sweep,
+      // size-first coalescing cut the mid-band queries 15-30% at
+      // sf0.1 and is a no-op for stages whose data actually fills
+      // partitions (the x16/x64 scale replicas keep full width — at
+      // 100 TB every stage does). AQE off / parallelism-first were
+      // both measured strictly worse.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "16m")
       // static conf: the default 100-entry codegen class cache evicts
       // across a 36-query suite, discarding JIT-warm generated classes
       // and forcing recompile + re-interpretation (10-40x first-run

@@ -40,6 +40,19 @@ import org.apache.spark.sql.functions._
 object ScaleStress {
 
   val factors: Seq[Int] = Seq(1, 4, 16)
+
+  /** r15 (VERDICT r14 #3): one more DECADE of evidence for the pair
+    * families whose 100 TB claim rested on 16× extrapolation — the
+    * three worst/riskiest x16 slopes get an x64 leg (sf0.1 × 64 =
+    * 320k docs, a full decade past the bench SF). Only these three:
+    * the x64 replica dir itself is ~13× the sf0.1 corpus, and the
+    * full 20-probe matrix at x64 would blow the Scale budget for no
+    * additional claim.
+    */
+  val x64Factor = 64
+  val x64QueryNames: Seq[String] =
+    Seq("dedup_containment", "dedup_minhash_pairs",
+      "dedup_semdedup_closure")
   // r10 adds dsir_select (fixed-B bucket model — the aggregate must
   // stay B-sized while the scan grows) and search_spell_correct
   // (replica suffixes grow the vocabulary ×factor, probing the
@@ -302,6 +315,25 @@ object ScaleStress {
         }
       }
     }
+    // x64 decade leg for the pair families only (same cold-dir,
+    // one-timed-call discipline)
+    if (budgetLeft()) {
+      val dir =
+        try materialize(s, sfDir, x64Factor)
+        catch { case _: Throwable => null }
+      if (dir != null) x64QueryNames.foreach { name =>
+        if (budgetLeft()) SparkEntry.queries.get(name).foreach { fn =>
+          val t =
+            try {
+              val t0 = System.nanoTime()
+              Bench.materialize(fn(s, dir))
+              (System.nanoTime() - t0) / 1e9
+            } catch { case _: Throwable => -1.0 }
+          out.getOrElseUpdate(name, scala.collection.mutable.Map())
+            .update(s"x$x64Factor", t)
+        }
+      }
+    }
     out.view.mapValues(_.toMap).toMap
   }
 
@@ -310,7 +342,7 @@ object ScaleStress {
     */
   def renderJson(res: Map[String, Map[String, Double]]): String =
     res.toSeq.sortBy(_._1).map { case (name, m) =>
-      val inner = factors.map(f => s"x$f").filter(m.contains)
+      val inner = (factors :+ x64Factor).map(f => s"x$f").filter(m.contains)
         .map(k => f""""$k":${m(k)}%.3f""").mkString(",")
       s""""$name":{$inner}"""
     }.mkString("{", ",", "}")

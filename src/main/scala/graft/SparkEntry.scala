@@ -101,6 +101,31 @@ object SparkEntry {
           col("pa").as("ex1"), col("pb").as("ex2"), col("ng").as("ex3"))
       Knn.recommend(emb(s, d), withVecs, 10)
     }),
+    // recommend with lookup_from (Qdrant: the example ids resolve
+    // their vectors in a SIBLING collection, not the searched one —
+    // here the "title" collection of reversed vectors, the named-
+    // vector convention this registry already uses). Same
+    // average-vector arithmetic and exclusion anatomy as
+    // vdb_recommend; the only change is one broadcast-sized join
+    // against the sibling for the Q×3 example rows — the searched
+    // corpus is never the lookup side, so at 100 TB the lookup stays
+    // request-sized.
+    "vdb_recommend_lookup" -> ((s, d) => {
+      import s.implicits._
+      val sib = Tables.embeddings(s, d).select(col("vec_id"),
+        reverse(col("embedding").cast("array<double>")).as("v"))
+      val reqs = Seq((0L, 0L, 1L, 6L), (1L, 2L, 3L, 7L),
+        (2L, 4L, 5L, 8L)).toDF("qid", "pa", "pb", "ng")
+      val withVecs = reqs
+        .join(sib.select(col("vec_id").as("pa"), col("v").as("va")), "pa")
+        .join(sib.select(col("vec_id").as("pb"), col("v").as("vb")), "pb")
+        .join(sib.select(col("vec_id").as("ng"), col("v").as("vn")), "ng")
+        .select(col("qid"),
+          expr("zip_with(zip_with(va, vb, (x, y) -> (x + y) / 2D), " +
+            "vn, (p, n) -> 2D * p - n)").as("qvec"),
+          col("pa").as("ex1"), col("pb").as("ex2"), col("ng").as("ex3"))
+      Knn.recommend(emb(s, d), withVecs, 10)
+    }),
     "vdb_knn_multiquery" -> ((s, d) => {
       val qa = Tables.embeddings(s, d).where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("q1"))
@@ -117,6 +142,10 @@ object SparkEntry {
         col("label") =!= 5)),
     "vdb_knn_filtered_json" -> (Knn.knnFilteredJsonQuery _),
     "vdb_knn_filtered_array" -> (Knn.knnFilteredArrayQuery _),
+    "vdb_knn_filtered_isnull" -> (Knn.knnFilteredIsNullQuery _),
+    "vdb_knn_filtered_datetime" -> (Knn.knnFilteredDatetimeQuery _),
+    "vdb_knn_filtered_count" -> (Knn.knnFilteredCountQuery _),
+    "vdb_knn_filtered_phrase" -> (Knn.knnFilteredPhraseQuery _),
     // MatchText (Qdrant's full-text payload index filter): kNN gated
     // on whole-token membership in a TEXT payload — the vector's id
     // keys into documents, the predicate is token membership in the
@@ -581,6 +610,7 @@ object SparkEntry {
     "text_boilerplate" -> ((s, d) => TextOps.boilerplate(s, d)),
     "events_heatmap" -> ((s, d) => Analytics.eventsHeatmap(s, d)),
     "embed_quant_error" -> ((s, d) => Quant.quantErrorReport(s, d)),
+    "quant_advisor" -> ((s, d) => Quant.quantAdvisor(s, d)),
     "corpus_zipf_fit" -> ((s, d) => TextOps.zipfFit(s, d)),
     "part_fuzzy_terms" -> ((s, d) => Analytics.fuzzyTerms(s, d)),
     "q2_min_cost" -> (Analytics.q2MinCostSupplier _),
@@ -679,6 +709,61 @@ object SparkEntry {
          |JOIN ${sub("events_mann_whitney")} w
          |  ON f.event_type = w.event_type
          |ORDER BY f.event_type""".stripMargin) +
+    // quant advisor: each rung's SHIPPED top-10 result set joined
+    // against the exact top-10 under the rung's own serving metric
+    // (cosine rungs vs the exact-cosine query, L2 rungs vs exact L2),
+    // fidelity from the shipped embed_quant_error rows, rank on the
+    // exact integer hits — composed entirely from member oracles so
+    // it cannot disagree with them
+    ("quant_advisor" ->
+      s"""WITH exc AS (SELECT qid, nn_id FROM ${sub("vdb_knn_cosine")}),
+         |exl AS (SELECT qid, nn_id FROM ${sub("vdb_knn_flat_l2")}),
+         |qn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+         |       WHERE vec_id < 5),
+         |qau AS (
+         |  SELECT 'bq' AS method, 'cosine' AS metric,
+         |         CAST(8 AS BIGINT) AS code_bytes,
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |          FROM ${sub("vdb_knn_bq")} t
+         |          JOIN exc ON t.qid = exc.qid AND t.nn_id = exc.nn_id)
+         |           AS hits
+         |  UNION ALL
+         |  SELECT 'sq8', 'l2', CAST(64 AS BIGINT),
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |          FROM ${sub("vdb_knn_sq8")} t
+         |          JOIN exl ON t.qid = exl.qid AND t.nn_id = exl.nn_id)
+         |  UNION ALL
+         |  SELECT 'pq', 'l2', CAST(8 AS BIGINT),
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |          FROM ${sub("vdb_knn_pq")} t
+         |          JOIN exl ON t.qid = exl.qid AND t.nn_id = exl.nn_id)
+         |  UNION ALL
+         |  SELECT 'pq_res', 'l2', CAST(8 AS BIGINT),
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |          FROM ${sub("ann_ivf_pq_res")} t
+         |          JOIN exl ON t.qid = exl.qid AND t.nn_id = exl.nn_id)
+         |  UNION ALL
+         |  SELECT 'opq', 'cosine', CAST(8 AS BIGINT),
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |          FROM ${sub("ann_ivf_opq")} t
+         |          JOIN exc ON t.qid = exc.qid AND t.nn_id = exc.nn_id)
+         |  UNION ALL
+         |  SELECT 'mrl', 'cosine', CAST(64 AS BIGINT),
+         |         (SELECT CAST(count(*) AS BIGINT)
+         |          FROM ${sub("vdb_knn_mrl")} t
+         |          JOIN exc ON t.qid = exc.qid AND t.nn_id = exc.nn_id)),
+         |qaqe AS (SELECT method, avg_cosine
+         |       FROM ${sub("embed_quant_error")}),
+         |qar AS (SELECT qau.method, qau.metric, qau.code_bytes, qau.hits,
+         |             qaqe.avg_cosine,
+         |             row_number() OVER (ORDER BY qau.hits DESC,
+         |               qau.code_bytes ASC, qau.method ASC) AS rank
+         |      FROM qau LEFT JOIN qaqe ON qau.method = qaqe.method)
+         |SELECT CAST(qar.rank AS BIGINT) AS rank, qar.method, qar.metric,
+         |       qar.code_bytes, qar.hits,
+         |       round(qar.hits / (qn.n * 10.0), 4) AS recall,
+         |       qar.avg_cosine, qar.rank = 1 AS recommended
+         |FROM qar CROSS JOIN qn ORDER BY rank""".stripMargin) +
     // anomaly consensus: the three detectors' SHIPPED result sets
     // full-outer voted — cannot disagree with its members
     ("events_anomaly_consensus" ->

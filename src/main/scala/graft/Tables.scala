@@ -30,8 +30,32 @@ object Tables {
     * distribution requirement from this exchange instead of adding a
     * second one — the same reason production tables are bucketed by
     * their join key.
+    *
+    * Width is NOT pinned (r15): `repartition(col)` without an
+    * explicit count hashes into `spark.sql.shuffle.partitions` (= the
+    * session's cores — the same width the old explicit form used) but
+    * stays AQE-COALESCIBLE, so a kilobyte-sized table collapses to
+    * the few size-appropriate partitions a production layout would
+    * give it while a replica-scaled one keeps the full width. The
+    * explicit count was the suite-wide floor: every consumer of every
+    * base table paid 32 near-empty tasks per stage at the bench SF
+    * (BENCH_r14: 324 cheapest queries = 68% of the suite runtime).
     */
   private def spread(s: SparkSession, df: DataFrame, key: String): DataFrame =
+    df.repartition(col(key))
+
+  /** Width-PINNED spread for the documents table only: its byte size
+    * wildly understates its work — every consumer tokenizes or
+    * shingles it (posexplode fan-outs of 50-300× feeding md5), and
+    * AQE coalesces by the EXCHANGE's bytes, so the size-first policy
+    * above funnelled the whole trigram/winnowing/banding fan-out of
+    * a few-MB corpus into one task (langid_ngram 1.4s → 7.5s at
+    * sf0.1, measured). Production layouts size text splits by
+    * post-tokenization cost for exactly this reason. The other base
+    * tables keep the coalescible form: their consumers' work tracks
+    * their bytes.
+    */
+  private def spreadWide(s: SparkSession, df: DataFrame, key: String): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism, col(key))
 
   def lineitem(s: SparkSession, d: String): DataFrame =
@@ -62,7 +86,7 @@ object Tables {
     spread(s, norm, "user_id")
   }
   def documents(s: SparkSession, d: String): DataFrame =
-    spread(s, table(s, d, "documents"), "doc_id")
+    spreadWide(s, table(s, d, "documents"), "doc_id")
   def embeddings(s: SparkSession, d: String): DataFrame =
     spread(s, table(s, d, "embeddings"), "vec_id")
 }

@@ -338,6 +338,110 @@ object Knn {
       array_contains(col("tags"), lit(3L)))
   }
 
+  /** IS-NULL / IS-EMPTY FILTERED SEARCH (r15 — Qdrant's `is_null`
+    * and `is_empty` payload conditions, the presence-testing half of
+    * its filter grammar: `is_null` matches a field that is absent or
+    * JSON null, `is_empty` a field that is null OR an empty array).
+    * Payload: the events `props` JSON field masked NULL for one id
+    * residue class (a deterministic absent-field population — the
+    * driver data's props carries `k` on every row, so presence must
+    * be synthesized, same discipline as the modular tag arrays) and
+    * a tag list whose LENGTH varies by id. The predicate — field IS
+    * NULL OR tags = [] — sits below the query join like the whole
+    * scalar filter family (topKFiltered pre-scan contract; KnnSpec
+    * pins it). At 100 TB presence is a pushable IsNull scan filter:
+    * parquet null-count stats skip whole row groups where every row
+    * carries the field.
+    */
+  def knnFilteredIsNullQuery(s: SparkSession, dir: String): DataFrame = {
+    val payload = graft.Tables.events(s, dir)
+      .select(col("event_id").as("id"),
+        when(col("event_id") % 3L === 0L, lit(null).cast("string"))
+          .otherwise(get_json_object(col("props"), "$.k")).as("pk"))
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        slice(array(col("vec_id") % 7L, col("vec_id") % 11L,
+          col("vec_id") % 13L), lit(1),
+          (col("vec_id") % 4L).cast("int")).as("tags"))
+      .join(payload, Seq("id"))
+    val q = graft.Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    topKFiltered(e, q, 10, Metric.L2,
+      col("pk").isNull || size(col("tags")) === 0)
+  }
+
+  /** DATETIME-RANGE FILTERED SEARCH (r15 — Qdrant's `range` condition
+    * on a datetime payload field: `{"key": "ts", "range": {"gte": …,
+    * "lt": …}}`). The payload timestamp joins in from the events
+    * table by id (the JSON-filter pattern); the half-open window is
+    * two ordinary timestamp comparisons below the query join, so
+    * out-of-window rows never reach the distance kernel. Both
+    * engines compare the same parquet micros against the same UTC
+    * literals — no timezone arithmetic (session tz pinned UTC). At
+    * 100 TB a time-windowed filter is the partition-pruning case:
+    * date-partitioned or Z-ordered layout (events_zorder_skip) turns
+    * the window into file skips, and this per-row compare remains
+    * the exact refinement.
+    */
+  def knnFilteredDatetimeQuery(s: SparkSession, dir: String): DataFrame = {
+    val payload = graft.Tables.events(s, dir)
+      .select(col("event_id").as("id"), col("ts"))
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .join(payload, Seq("id"))
+    val q = graft.Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    topKFiltered(e, q, 10, Metric.L2,
+      col("ts") >= lit("2024-01-01 01:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"))
+  }
+
+  /** VALUES-COUNT FILTERED SEARCH (r15 — Qdrant's `values_count`
+    * condition: gate on the NUMBER of values an array payload field
+    * holds, e.g. "at least two tags"). The tag list's length varies
+    * by id (slice of the modular tag array), and the predicate is
+    * one `size(tags) >= 2` below the query join. At 100 TB the
+    * cardinality is a typed column materialized at ingest (the
+    * n_chars pattern), making this a pushable integer range scan.
+    */
+  def knnFilteredCountQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        slice(array(col("vec_id") % 7L, col("vec_id") % 11L,
+          col("vec_id") % 13L), lit(1),
+          (col("vec_id") % 4L).cast("int")).as("tags"))
+    val q = graft.Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    topKFiltered(e, q, 10, Metric.L2, size(col("tags")) >= 2)
+  }
+
+  /** MATCH-PHRASE FILTERED SEARCH (r15 — Qdrant's `match: {"phrase":
+    * …}` condition on a full-text-indexed payload field, composed as
+    * a kNN PRE-FILTER rather than the standalone ranked operator
+    * `text_phrase_search` already provides): a candidate's text
+    * payload must contain the phrase's tokens CONSECUTIVELY. On the
+    * single-space-tokenized corpus, exact adjacency over whole
+    * tokens is equivalent to substring containment of the
+    * space-delimited phrase in the space-padded text — one codegen
+    * `contains`, no explode, evaluated below the query join. NULL
+    * text never matches (three-valued contains on both engines). At
+    * 100 TB the phrase filter is served by the positional postings
+    * index (the text_phrase_search machinery) as a candidate
+    * semi-join; this per-row check is the exact verification.
+    */
+  def knnFilteredPhraseQuery(s: SparkSession, dir: String): DataFrame = {
+    val payload = graft.Tables.documents(s, dir)
+      .select(col("doc_id").as("id"), col("text"))
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .join(payload, Seq("id"))
+    val q = graft.Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    topKFiltered(e, q, 10, Metric.L2,
+      concat(lit(" "), col("text"), lit(" "))
+        .contains(" table value "))
+  }
+
   /** PREFETCH → RESCORE (r14 — Qdrant's Query API two-stage shape:
     * a `prefetch` clause retrieves a WIDE candidate set by one
     * vector, the outer query RESCORES those candidates by another —

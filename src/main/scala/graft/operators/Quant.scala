@@ -211,4 +211,68 @@ object Quant {
           .as("avg_cosine"))
       .orderBy("method")
   }
+
+  /** QUANT ADVISOR (r15, VERDICT r14 #4 — the operator the r14
+    * OPQ-reversal finding calls for: the in-engine evaluation showed
+    * OPQ's recall lift at sf0.01 REVERSES at sf0.1, i.e. the right
+    * ladder rung is a PER-CORPUS decision, so ship the decision as a
+    * table): one ranked row per rung of the quantization ladder —
+    * bq / sq8 / pq (flat) / pq_res / opq / mrl — joining
+    *   - recall@10 of the rung's own cached serving chain against
+    *     the EXACT top-10 under the rung's serving metric (cosine
+    *     rungs vs exact cosine, L2 rungs vs exact L2 — recall is
+    *     metric-relative; mixing ground truths would charge the L2
+    *     rungs for the metric, not the codes),
+    *   - reconstruction fidelity ([[quantErrorReport]]'s corpus
+    *     avg cosine, where that report defines it — bq/sq8/pq),
+    *   - scan cost: code bytes read per candidate (the probe-cost
+    *     axis; all rungs here rerank a 40-candidate shortlist with
+    *     exact floats, so shortlist bytes are the differentiator).
+    * Rank = hits DESC (exact integer — no rounded-recall tie
+    * ambiguity), then cheaper codes, then name; recommended = rank 1.
+    * Every leg reuses the rung's existing (IndexCache/memo-cached)
+    * chain — the advisor adds two exact ground-truth searches and
+    * Q×k-sized joins, never a new corpus structure.
+    */
+  def quantAdvisor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nq = q.count()
+    val exactCos = graft.operators.Knn.topK(e, q, 10,
+      graft.operators.Knn.Metric.Cosine).select("qid", "nn_id")
+    val exactL2 = graft.operators.Knn.topK(e, q, 10,
+      graft.operators.Knn.Metric.L2).select("qid", "nn_id")
+    def leg(m: String, metric: String, bytes: Long, df: DataFrame,
+            gt: DataFrame): DataFrame =
+      df.select(col("qid"), col("nn_id")).join(gt, Seq("qid", "nn_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(m).as("method"), lit(metric).as("metric"),
+          lit(bytes).as("code_bytes"), col("hits"),
+          round(col("hits") / (lit(nq) * 10.0), 4).as("recall"))
+    val mrl = graft.operators.Knn.mrlSearch(e, q, 10)
+      .select(col("qid"), col("nn_id"))
+    val legs = leg("bq", "cosine", 8L, BinQuant.bqQuery(s, dir), exactCos)
+      .unionByName(leg("sq8", "l2", 64L, sq8Query(s, dir), exactL2))
+      .unionByName(leg("pq", "l2", 8L, Pq.pqQuery(s, dir), exactL2))
+      .unionByName(leg("pq_res", "l2", 8L, Pq.ivfPqResQuery(s, dir),
+        exactL2))
+      .unionByName(leg("opq", "cosine", 8L, Pq.ivfOpqQuery(s, dir),
+        exactCos))
+      .unionByName(leg("mrl", "cosine", 64L,
+        mrl.select(col("qid"), col("nn_id")), exactCos))
+    val fidelity = quantErrorReport(s, dir)
+      .select(col("method"), col("avg_cosine"))
+    val w = Window.orderBy(col("hits").desc, col("code_bytes").asc,
+      col("method").asc)
+    legs.join(fidelity, Seq("method"), "left")
+      .withColumn("rank", row_number().over(w))
+      .withColumn("recommended", col("rank") === 1)
+      .select(col("rank"), col("method"), col("metric"),
+        col("code_bytes"), col("hits"), col("recall"),
+        col("avg_cosine"), col("recommended"))
+      .orderBy("rank")
+  }
 }

@@ -783,9 +783,16 @@ object Search {
     bm.unionByName(cos)
   }
 
-  def hybridDbsfQuery(s: SparkSession, dir: String): DataFrame = {
+  def hybridDbsfQuery(s: SparkSession, dir: String): DataFrame =
+    dbsfFuse(hybridLegs(s, dir))
+
+  /** The DBSF fusion over a prepared legs frame (qid, doc_id, m:
+    * BIGINT micro-score, leg) — factored out so the degenerate-leg
+    * contract (sigma = 0 -> every member at 0.5) is testable on
+    * synthetic legs (RequestShapeFuzzSpec).
+    */
+  def dbsfFuse(legs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val legs = hybridLegs(s, dir)
     val moments = legs.groupBy("qid", "leg")
       .agg(count(lit(1)).as("n"), sum("m").as("sx"),
         sum(expr("m * m")).as("qx"))
@@ -822,7 +829,14 @@ object Search {
     * ordering information: every member sits at 0.5, the DBSF
     * convention. Absent leg contributes 0.
     */
-  def hybridWeightedQuery(s: SparkSession, dir: String): DataFrame = {
+  def hybridWeightedQuery(s: SparkSession, dir: String): DataFrame =
+    weightedFuse(hybridLegs(s, dir))
+
+  /** The WeightedRanker fusion over a prepared legs frame — factored
+    * out like [[dbsfFuse]] so weight/degenerate-leg contracts are
+    * testable on synthetic legs.
+    */
+  def weightedFuse(legs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // FP discipline (§4c seed-505 class, r14 advice): min-max ratios
     // with power-of-two denominators times the 3/10 / 7/10 weights
@@ -840,7 +854,6 @@ object Search {
     // family's exact integer half-up (2N·10⁴ + D) div 2D. Worst
     // magnitudes: den_q ≤ 10⁷·2·10⁵ = 2·10¹², numerator ≤ ~2·10¹²,
     // 2N·10⁴ ≤ 4·10¹⁶ — inside BIGINT.
-    val legs = hybridLegs(s, dir)
     val ext = legs.groupBy("qid", "leg")
       .agg(min("m").as("mn"), max("m").as("mx"))
     val dens = ext.groupBy("qid").agg(

@@ -447,6 +447,35 @@ private[graft] object OracleVector {
         |      FROM sc WHERE s IS NOT NULL)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // lookup_from variant: example vectors resolve in the SIBLING
+    // (reversed-vector) collection; search still runs on the main one
+    "vdb_recommend_lookup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |sib AS (SELECT vec_id, list_reverse(embedding::DOUBLE[]) AS v
+        |        FROM embeddings),
+        |rq AS (SELECT CAST(rid AS BIGINT) AS qid, pa, pb, ng
+        |       FROM (VALUES (0, 0, 1, 6), (1, 2, 3, 7), (2, 4, 5, 8))
+        |         t(rid, pa, pb, ng)),
+        |rv AS (SELECT rq.qid, rq.pa, rq.pb, rq.ng,
+        |         list_transform(range(1, len(a.v) + 1),
+        |           i -> CAST(2.0 AS DOUBLE)
+        |             * ((a.v[i] + b.v[i]) / CAST(2.0 AS DOUBLE))
+        |             - c.v[i]) AS qv
+        |       FROM rq JOIN sib a ON rq.pa = a.vec_id
+        |       JOIN sib b ON rq.pb = b.vec_id
+        |       JOIN sib c ON rq.ng = c.vec_id),
+        |sc AS (SELECT rv.qid, e.vec_id AS nn_id,
+        |         list_cosine_similarity(e.v, rv.qv) AS s
+        |       FROM e CROSS JOIN rv
+        |       WHERE e.vec_id <> rv.pa AND e.vec_id <> rv.pb
+        |         AND e.vec_id <> rv.ng),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY s DESC, nn_id) AS rk
+        |      FROM sc WHERE s IS NOT NULL)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     // grouped search: per-(qid,label) top-2 hits, top-3 groups by
     // their best hit, all on rounded scores
     // grouped search: per-(qid,label) top-2 hits, top-3 groups by
@@ -964,6 +993,79 @@ private[graft] object OracleVector {
         |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
         |      FROM embeddings e CROSS JOIN q
         |      WHERE e.label BETWEEN 3 AND 6),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // is_null / is_empty presence conditions: props.k masked NULL on
+    // the id%3 class, tag list sliced to length id%4 — match = field
+    // NULL or empty list
+    "vdb_knn_filtered_isnull" ->
+      """WITH p AS (SELECT event_id AS id,
+        |             CASE WHEN event_id % 3 = 0 THEN NULL
+        |                  WHEN json_valid(props) THEN
+        |                    json_extract_string(props, '$.k') END AS pk
+        |           FROM events),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e JOIN p ON e.vec_id = p.id CROSS JOIN q
+        |      WHERE p.pk IS NULL OR
+        |        len([e.vec_id % 7, e.vec_id % 11,
+        |             e.vec_id % 13][1:CAST(e.vec_id % 4 AS INT)]) = 0),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // datetime range condition: payload ts from events by id,
+    // half-open UTC window, same parquet micros on both engines
+    "vdb_knn_filtered_datetime" ->
+      """WITH p AS (SELECT event_id AS id, ts FROM events),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e JOIN p ON e.vec_id = p.id CROSS JOIN q
+        |      WHERE p.ts >= TIMESTAMP '2024-01-01 01:00:00'
+        |        AND p.ts < TIMESTAMP '2024-01-02 00:00:00'),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // values_count condition: the sliced tag list must hold >= 2
+    // values
+    "vdb_knn_filtered_count" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e CROSS JOIN q
+        |      WHERE len([e.vec_id % 7, e.vec_id % 11,
+        |             e.vec_id % 13][1:CAST(e.vec_id % 4 AS INT)]) >= 2),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // match-phrase pre-filter: exact token adjacency == substring
+    // containment of the space-delimited phrase in space-padded text
+    // on the single-space corpus; NULL text never matches
+    "vdb_knn_filtered_phrase" ->
+      """WITH p AS (SELECT doc_id AS id, text FROM documents),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e JOIN p ON e.vec_id = p.id CROSS JOIN q
+        |      WHERE contains(' ' || p.text || ' ', ' table value ')),
         |r AS (SELECT qid, nn_id, s,
         |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
         |               AS rk

@@ -89,6 +89,41 @@ class KnnSpec extends SparkSuite {
     }, "a non-member neighbor leaked through the array filter")
   }
 
+  test("is_null/is_empty presence filter evaluates below the query " +
+    "join and bites") {
+    // r15 (VERDICT r14 #5): the presence predicate (pk IS NULL OR
+    // size(tags) = 0) must sit on the corpus side of the cross join.
+    val df = Knn.knnFilteredIsNullQuery(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val kernelAt = plan.indexOf("vec_l2")
+    val predAt = plan.indexOf("isnull")
+    assert(kernelAt >= 0 && predAt >= 0,
+      s"missing kernel or presence filter in plan:\n$plan")
+    assert(kernelAt < predAt,
+      s"presence predicate not below the distance kernel:\n$plan")
+    // bites: every neighbor is in the masked-NULL id class or has an
+    // empty sliced tag list
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val id = r.getLong(2)
+      id % 3 == 0 || id % 4 == 0
+    }, "a present-field neighbor leaked through the is_null filter")
+  }
+
+  test("match-phrase filter: every neighbor's payload text contains " +
+    "the phrase as consecutive tokens") {
+    val rows = Knn.knnFilteredPhraseQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val txt = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows.forall { r =>
+      txt(r.getLong(2)).exists(t =>
+        (" " + t + " ").contains(" table value "))
+    }, "a non-matching doc leaked through the phrase filter")
+  }
+
   test("geo bbox honors per-request bounds; polygon even-odd " +
     "classifies the notch as outside") {
     val bbox = Knn.knnGeoBBoxQuery(spark, sf).collect()

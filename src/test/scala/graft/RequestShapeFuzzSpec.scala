@@ -173,4 +173,104 @@ class RequestShapeFuzzSpec extends SparkSuite {
         s"seed $seed: zero radius admitted an off-center point")
     }
   }
+
+  // ---- r15 (VERDICT r14 #7): request-shape fuzz over the r14
+  // surfaces — prefetch->rescore boundaries, the fusion pair's
+  // degenerate legs, weight endpoints ------------------------------
+
+  test("prefetch->rescore: stage-2 ids are a subset of the stage-1 " +
+    "shortlist; k past the corpus returns the whole corpus ranked") {
+    val e = emb.select(col("id"), col("vec").as("vec_title"),
+      reverse(col("vec")).as("vec_body"))
+    seeds.foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val qn = 1 + rng.nextInt(3)
+      val q = Tables.embeddings(spark, sf)
+        .where(col("vec_id") < qn)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val width = 5 + rng.nextInt(20)
+      val pre = Knn.topK(
+        e.select(col("id"), col("vec_title").as("vec")), q, width,
+        Knn.Metric.Cosine)
+      val shortlist = pre.select("qid", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rescored = pre.select("qid", "nn_id")
+        .join(e.select(col("id").as("nn_id"), col("vec_body")), "nn_id")
+        .join(broadcast(q), "qid")
+        .select(col("qid"),
+          (-graft.functions.VectorDistance.cosine(
+            col("vec_body"), col("qvec"))).as("key"),
+          col("nn_id").as("id"))
+        .where(col("key").isNotNull)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("key"), col("id"))
+      val out = rescored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= width + 50)
+        .select(col("qid"), col("rk"), col("id")).collect()
+      assert(out.nonEmpty)
+      assert(out.forall(r =>
+        shortlist((r.getLong(0), r.getLong(2)))),
+        s"seed $seed: rescore surfaced an id outside its prefetch " +
+          "shortlist")
+      // k past the shortlist pads nothing: exactly |shortlist| rows
+      // per qid survive
+      val perQ = out.groupBy(_.getLong(0)).view.mapValues(_.length)
+      assert(perQ.values.forall(_ == width),
+        s"seed $seed: k past the corpus padded or dropped rows")
+    }
+  }
+
+  test("dbsf fusion: a zero-variance leg contributes exactly 0.5 " +
+    "to every member") {
+    import spark.implicits._
+    seeds.foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val n = 3 + rng.nextInt(5)
+      val tied = 100L + rng.nextInt(900) // every bm candidate ties
+      val legs = ((0 until n).map(i => (0L, i.toLong, tied, "bm")) ++
+        (0 until n).map(i => (0L, i.toLong, (i * 37 + seed).toLong,
+          "cos")))
+        .toDF("qid", "doc_id", "m", "leg")
+      val fused = graft.operators.Search.dbsfFuse(legs)
+        .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+      // subtract the varying cos leg's contribution by fusing it
+      // alone: the delta per doc must be exactly 0.5
+      val cosOnly = graft.operators.Search.dbsfFuse(
+          legs.where(col("leg") === "cos"))
+        .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+      // both sides are 4dp-rounded emissions, so the delta can carry
+      // up to one ulp of the rounding grid on each side
+      cosOnly.foreach { case (doc, c) =>
+        assert(math.abs(fused(doc) - c - 0.5) < 2e-4,
+          s"seed $seed: tied leg contributed ${fused(doc) - c}, not 0.5")
+      }
+    }
+  }
+
+  test("weighted fusion: a doc present only in the dense leg never " +
+    "outranks by more than the 0.7 cap; leg maxima score exactly " +
+    "their weight") {
+    import spark.implicits._
+    seeds.foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val n = 4 + rng.nextInt(4)
+      val legs = ((0 until n).map(i =>
+        (0L, i.toLong, (rng.nextInt(5000) + i).toLong, "bm")) ++
+        (0 until n).map(i =>
+          (0L, (i + n).toLong, (rng.nextInt(5000) + i).toLong, "cos")))
+        .toDF("qid", "doc_id", "m", "leg")
+      val out = graft.operators.Search.weightedFuse(legs).collect()
+        .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+      // disjoint doc sets: every bm-only doc <= 0.3, every cos-only
+      // doc <= 0.7, and each leg's max-scored doc hits its weight
+      // EXACTLY (the integer-rational emission has no fp residue)
+      val bmMax = out.filterKeys(_ < n).values.max
+      val cosMax = out.filterKeys(_ >= n).values.max
+      assert(bmMax == 0.3 && cosMax == 0.7,
+        s"seed $seed: leg maxima $bmMax/$cosMax != exact weights")
+      assert(out.filterKeys(_ < n).values.forall(_ <= 0.3) &&
+        out.filterKeys(_ >= n).values.forall(_ <= 0.7),
+        s"seed $seed: a normalized score exceeded its leg weight")
+    }
+  }
 }
