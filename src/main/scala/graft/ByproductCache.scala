@@ -33,6 +33,18 @@ object ByproductCache {
   private[graft] def cached(appId: String, key: String): Boolean =
     cache.containsKey((appId, key))
 
+  /** Drop every memoized frame. The Scale main calls this between
+    * replica factors (r15): the memoized localCheckpointed frames of
+    * a FINISHED factor's dirs otherwise stay referenced for the rest
+    * of the run, so their executor blocks are never ContextCleaner-
+    * collected — SCALE_r15's first attempt accumulated x1..x16
+    * checkpoint blocks for ~45 min and the x64/skew legs then died
+    * on the starved JVM (fresh-JVM reruns of the same legs pass).
+    * Within a bench/verify run nothing calls this: those runs serve
+    * many queries from one dir and the reuse is the point.
+    */
+  def clear(): Unit = cache.clear()
+
   def getOrCompute(appId: String, key: String)(f: => DataFrame): DataFrame = {
     val it = cache.keySet.iterator
     while (it.hasNext) if (it.next()._1 != appId) it.remove()

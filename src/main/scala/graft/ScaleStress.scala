@@ -50,9 +50,12 @@ object ScaleStress {
     * additional claim.
     */
   val x64Factor = 64
+  // cheap legs first: containment's x64 leg is the budget risk (the
+  // first r15 attempt spent 834s on it and starved the other two),
+  // so it runs last and the budget guard can cut ONLY it
   val x64QueryNames: Seq[String] =
-    Seq("dedup_containment", "dedup_minhash_pairs",
-      "dedup_semdedup_closure")
+    Seq("dedup_minhash_pairs", "dedup_semdedup_closure",
+      "dedup_containment")
   // r10 adds dsir_select (fixed-B bucket model — the aggregate must
   // stay B-sized while the scan grows) and search_spell_correct
   // (replica suffixes grow the vocabulary ×factor, probing the
@@ -114,12 +117,14 @@ object ScaleStress {
     */
   private val Offset = 10000000L
 
-  // v3: suffix-marker synthesis scheme + replicated events — the
-  // version tag keeps a dir materialized by an older scheme from
-  // being reused stale
+  // v4 (r15): bumped so the weak-scaled cold run re-materializes —
+  // the v3 dirs' OS cache and dir-keyed persisted structures from
+  // the first r15 attempt would otherwise serve WARM legs. The tag
+  // keeps a dir materialized by an older scheme from being reused
+  // stale.
   private def replicaRoot(sfDir: String, factor: Int): java.nio.file.Path =
     java.nio.file.Paths.get("target", "tmp",
-      s"scale-${java.lang.Integer.toHexString(sfDir.hashCode)}-x$factor-v3")
+      s"scale-${java.lang.Integer.toHexString(sfDir.hashCode)}-x$factor-v4")
       .toAbsolutePath
 
   /** Materialize (once, `_done`-markered) the factor-× replica dir
@@ -293,6 +298,24 @@ object ScaleStress {
     * a partial matrix instead of overrunning; -1.0 marks a failed
     * run, absent keys an un-run one.
     */
+  /** WEAK-SCALING shuffle width (r15): each factor's probes run with
+    * shuffle.partitions = 32·factor, restored after. The slope claim
+    * is about WORK growth — a production deployment provisions
+    * reducers to the data (§4: partitions sized so partitions fit in
+    * executor memory), so holding 32 partitions while the corpus
+    * grows 64× measures hash-agg spill thrash, not the operator:
+    * the first x64 containment leg read 834s at width 32 (per-
+    * partition shingle state ~50× the x1 leg's) vs ~³⁄₁₀ of that at
+    * width 512. Cores stay fixed at 32 — extra partitions run as
+    * waves, so wall-clock still reflects total work.
+    */
+  private def withWidth[T](s: SparkSession, factor: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, (32 * factor).toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   def run(s: SparkSession, sfDir: String,
           budgetLeft: () => Boolean): Map[String, Map[String, Double]] = {
     val out = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, Double]]()
@@ -301,7 +324,7 @@ object ScaleStress {
         val dir =
           try materialize(s, sfDir, f)
           catch { case _: Throwable => null }
-        if (dir != null) queryNames.foreach { name =>
+        if (dir != null) withWidth(s, f) { queryNames.foreach { name =>
           if (budgetLeft()) SparkEntry.queries.get(name).foreach { fn =>
             val t =
               try {
@@ -312,7 +335,10 @@ object ScaleStress {
             out.getOrElseUpdate(name, scala.collection.mutable.Map())
               .update(s"x$f", t)
           }
-        }
+        } }
+        // release the finished factor's memoized checkpoint blocks
+        // before the next (bigger) one — see ByproductCache.clear
+        ByproductCache.clear(); s.catalog.clearCache()
       }
     }
     // x64 decade leg for the pair families only (same cold-dir,
@@ -321,7 +347,7 @@ object ScaleStress {
       val dir =
         try materialize(s, sfDir, x64Factor)
         catch { case _: Throwable => null }
-      if (dir != null) x64QueryNames.foreach { name =>
+      if (dir != null) withWidth(s, x64Factor) { x64QueryNames.foreach { name =>
         if (budgetLeft()) SparkEntry.queries.get(name).foreach { fn =>
           val t =
             try {
@@ -331,8 +357,11 @@ object ScaleStress {
             } catch { case _: Throwable => -1.0 }
           out.getOrElseUpdate(name, scala.collection.mutable.Map())
             .update(s"x$x64Factor", t)
+          // each x64 leg's byproducts are GBs of checkpoint blocks;
+          // drop them before the next leg
+          ByproductCache.clear(); s.catalog.clearCache()
         }
-      }
+      } }
     }
     out.view.mapValues(_.toMap).toMap
   }
