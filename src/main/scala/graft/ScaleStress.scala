@@ -52,10 +52,16 @@ object ScaleStress {
   val x64Factor = 64
   // cheap legs first: containment's x64 leg is the budget risk (the
   // first r15 attempt spent 834s on it and starved the other two),
-  // so it runs last and the budget guard can cut ONLY it
+  // so it runs last and the budget guard can cut ONLY it.
+  // dedup_semdedup runs immediately BEFORE the closure and the memo
+  // is NOT cleared between them (see run()): SCALE_r15's closure x64
+  // leg measured semdedup-build + closure fused (287.9s) because the
+  // per-leg clear had dropped the byproduct its x16 twin reused —
+  // with the builder leg in front, the closure leg measures the
+  // closure alone, comparable to its x16 number.
   val x64QueryNames: Seq[String] =
-    Seq("dedup_minhash_pairs", "dedup_semdedup_closure",
-      "dedup_containment")
+    Seq("dedup_minhash_pairs", "dedup_semdedup",
+      "dedup_semdedup_closure", "dedup_containment")
   // r10 adds dsir_select (fixed-B bucket model — the aggregate must
   // stay B-sized while the scan grows) and search_spell_correct
   // (replica suffixes grow the vocabulary ×factor, probing the
@@ -358,8 +364,13 @@ object ScaleStress {
           out.getOrElseUpdate(name, scala.collection.mutable.Map())
             .update(s"x$x64Factor", t)
           // each x64 leg's byproducts are GBs of checkpoint blocks;
-          // drop them before the next leg
-          ByproductCache.clear(); s.catalog.clearCache()
+          // drop them before the next leg — EXCEPT after the
+          // semdedup builder leg, whose memoized pair set is exactly
+          // what the next (closure) leg must consume for its number
+          // to measure the closure alone (x16-comparable)
+          if (name != "dedup_semdedup") {
+            ByproductCache.clear(); s.catalog.clearCache()
+          }
         }
       } }
     }
