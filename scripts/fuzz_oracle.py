@@ -30,7 +30,12 @@ BAND = 900000
 # persisted structure the library builds under target/tmp (indexes,
 # codebooks, signature tables), so new generator output under an old
 # path would serve STALE artifacts built from the previous variant.
-VARIANT_VERSION = 2
+# v3 (r16, VERDICT r15 #2): targeted plants for the r15 surfaces —
+# phrase-boundary docs (multi-space gap, whole-text phrase, prefix
+# near-miss) with matching embedding ids so they flow through the
+# kNN phrase filters, and datetime-window-edge events (first micro
+# inside, exclusive end, last micro inside) likewise id-paired.
+VARIANT_VERSION = 3
 
 # unicode stress strings: NFC/NFD pairs, CJK, RTL, emoji, combining
 # marks, zero-width joiners, whitespace-only
@@ -78,6 +83,17 @@ def perturb(seed: int, outdir: str) -> None:
                          lang="en", source="web", n_chars=2000))
         rows.append(dict(doc_id=BAND + 52, text=base, lang="en",
                          source="mirror", n_chars=len(base or "")))
+        # r16: phrase-filter boundary surface (ids pair with planted
+        # embeddings below so the kNN phrase filters see them):
+        # phrase mid-text, DOUBLE-space gap (tokens not adjacent —
+        # must NOT match), the phrase as the entire text (padding
+        # edges), and a prefix near-miss sharing a token
+        for off, txt in [(53, "alpha table value beta"),
+                         (54, "alpha table  value beta"),
+                         (55, "table value"),
+                         (56, "tablex value table rows")]:
+            rows.append(dict(doc_id=BAND + off, text=txt, lang="en",
+                             source="web", n_chars=len(txt)))
         return rows
 
     def embs(t):
@@ -100,6 +116,16 @@ def perturb(seed: int, outdir: str) -> None:
                  embedding=[rng.uniform(1e2, 1e3) for _ in range(dim)],
                  label=1),
         ]
+        # r16: ids pairing with the phrase-boundary docs (+53..56)
+        # and the datetime-edge events (+30..32), so the r15 filter
+        # fixtures' joins carry the planted boundary rows into the
+        # distance kernel; ordinary unit-scale vectors so they can
+        # genuinely enter top-10s
+        for off in [30, 31, 32, 53, 54, 55, 56]:
+            rows.append(dict(
+                vec_id=BAND + off,
+                embedding=[rng.uniform(-1.0, 1.0) for _ in range(dim)],
+                label=rng.randrange(10)))
         return rows
 
     def events(t):
@@ -130,6 +156,20 @@ def perturb(seed: int, outdir: str) -> None:
         # NULL value and NULL props
         rows.append(dict(event_id=BAND + 20, ts=ts0, user_id=BAND + 3,
                          event_type=et, value=None, props=None))
+        # r16: datetime-filter WINDOW-EDGE instants (the r15
+        # vdb_knn_filtered_datetime window is
+        # ['2024-01-01 01:00:00', '2024-01-02 00:00:00')): the first
+        # micro inside, the exclusive end (must NOT match), and the
+        # last whole micro inside — event ids pair with planted
+        # embeddings so the rows reach the filter
+        import datetime as _dt
+        for off, inst in [
+                (30, _dt.datetime(2024, 1, 1, 1, 0, 0, 0)),
+                (31, _dt.datetime(2024, 1, 2, 0, 0, 0, 0)),
+                (32, _dt.datetime(2024, 1, 1, 23, 59, 59, 999999))]:
+            rows.append(dict(event_id=BAND + off, ts=inst,
+                             user_id=BAND + 4, event_type=et,
+                             value=1.0, props='{"k": "edge"}'))
         return rows
 
     def orders(t):

@@ -233,10 +233,40 @@ if benches:
             # estimate the host's speed vs the frozen quiet-host
             # reference, so shared-VM drift (±25-30% per §4b″) stops
             # eroding the gate. The raw mean is still printed.
+            #
+            # r16 (VERDICT r15 #3 + advice): the anchor mechanism is
+            # itself GATED so it cannot drift into self-grading:
+            #   - anchors must be present (a bench without them falls
+            #     back to the raw mean AND fails this check, so a
+            #     silently-dropped anchor phase can't relax the gate),
+            #   - ANCHOR_REF must equal the §4b⁗ frozen 1.75 — any
+            #     re-freeze requires the documented two-run full-suite
+            #     evidence and a SURVEY diff, not a code edit,
+            #   - drift must land in [0.7, 2.5] (beyond the envelope
+            #     ever measured; outside it the host estimate itself
+            #     is suspect, so the gate refuses to normalize),
+            #   - mean_norm is RECOMPUTED here from the raw mean and
+            #     drift rather than trusted from the artifact.
             anch = b.get("anchors") or {}
-            gated = anch.get("mean_norm", spq)
+            ANCHOR_REF_FROZEN = 1.75
+            drift = anch.get("drift")
+            if not anch:
+                print(f"FAIL bench-anchors: {os.path.basename(bpath)} "
+                      "carries no drift anchors (anchor phase lost?)")
+                fail += 1
+            elif abs(anch.get("ref", 0) - ANCHOR_REF_FROZEN) > 1e-9:
+                print(f"FAIL bench-anchors: ANCHOR_REF {anch.get('ref')} != "
+                      f"frozen {ANCHOR_REF_FROZEN} (re-freeze needs two-run "
+                      "full-suite evidence, SURVEY §4b⁗)")
+                fail += 1
+            elif not (0.7 <= drift <= 2.5):
+                print(f"FAIL bench-anchors: drift {drift}x outside [0.7, 2.5] "
+                      "— host estimate suspect, refusing to normalize")
+                fail += 1
+            gated = spq / drift if (anch and drift and 0.7 <= drift <= 2.5) \
+                else spq
             label = (f"norm {gated:.3f} (raw {spq:.3f}, drift "
-                     f"{anch.get('drift')}x)" if anch else f"{spq:.3f}")
+                     f"{anch.get('drift')}x)" if anch else f"raw {spq:.3f}")
             if gated > 2 * FROZEN_SPQ:
                 print(f"FAIL bench-target: {os.path.basename(bpath)} mean "
                       f"{label} s/q exceeds 2x the frozen r13 reference "

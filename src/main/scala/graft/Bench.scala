@@ -39,15 +39,18 @@ object Bench {
     // stretch, degrade gracefully (shorter warmup, partial second
     // pass) instead of risking the caller's timeout. The clock starts
     // here — sbt compile time is the caller's, not ours.
-    // 900 (was 780, 480, 420): r10's 480 left pass 2 only 19/256
-    // queries; at 780 a local r11 run (282 queries, contended VM:
-    // warmup 173s + prebuild 107s + pass1 269s) still cut pass 2 at
-    // 224/282 and skipped the 16x ScaleStress probe. Two full passes
-    // + scale at ~285 queries need ~820s on a quiet host; every raise
-    // so far ran clean under the caller, and the guard still degrades
-    // gracefully (partial pass 2, skipped probe) if the host is
+    // 1080 (was 900, 780, 480, 420): r10's 480 left pass 2 only
+    // 19/256 queries; 780 cut an r11 pass 2 at 224/282. The r15
+    // driver run cut pass 2 at 316/392 having spent 870 of the 900s
+    // (warmup 26 + pass1 462 + pass2 382 at host drift 1.459) — the
+    // remaining 76 queries were the cheapest (~25s), so the budget
+    // missed FULL min-of-two by a hair exactly when the host was
+    // slow. Full two passes at 392 queries cost ~980s at drift ~1.5
+    // and ~760s on a quiet host; 1080 covers the former with margin.
+    // Every raise so far ran clean under the caller, and the guard
+    // still degrades gracefully (partial pass 2) if the host is
     // pathological.
-    val budgetNs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900")
+    val budgetNs = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1080")
       .toLong * 1000000000L
     val start = System.nanoTime()
     def elapsed: Long = System.nanoTime() - start
@@ -270,9 +273,18 @@ object Bench {
       if (runGuardedAt(sfDir, name, fn(spark, sfDir))) (System.nanoTime() - t0) / 1e9
       else -1.0
     }
+    // anchor walls are timed as their OWN phase (r16 advice): the 2
+    // reps × 3 queries ran inside what was reported as pass 1/2, so
+    // the phase accounting overstated the passes by the anchor cost.
+    // (The reps also hand those 3 member queries extra JIT/page-cache
+    // warmth — accepted: they are frozen pre-r12 code whose min-of-two
+    // would sit at steady state anyway, and moving them out of the
+    // registry would change the suite the 0.660 target was frozen on.)
+    val tAnchors0 = elapsed
     val anchorsPre = anchorSum()
+    val tAnchorsPre = elapsed - tAnchors0
     val p1 = benchQueries.map { case (name, fn) => name -> timeOne(name, fn) }
-    val tP1 = elapsed - tWarm - tPrebuild
+    val tP1 = elapsed - tWarm - tPrebuild - tAnchorsPre
 
     // Second pass, SLOWEST-FIRST and budget-aware per query: if the
     // budget only covers a partial second pass, spend it on the
@@ -291,8 +303,10 @@ object Bench {
       if (elapsed < cutoffNs)
         p2(name) = timeOne(name, benchQueries(name))
     }
-    val tP2 = elapsed - tWarm - tPrebuild - tP1
+    val tP2 = elapsed - tWarm - tPrebuild - tAnchorsPre - tP1
+    val tAnchors1 = elapsed
     val anchorsPost = anchorSum()
+    val tAnchors = (tAnchorsPre + (elapsed - tAnchors1)) / 1e9
 
     // Phase 5 (RETIRED r13, r12 verdict #4): the in-bench ScaleStress
     // probe ran inside the suite's leftover budget on a warm VM, so
@@ -328,7 +342,7 @@ object Bench {
         f""""mean_raw":$meanRaw%.4f,"mean_norm":${meanRaw / drift}%.4f}"""
     val phases = f"""{"warmup":${tWarm / 1e9}%.1f,"prebuild":${tPrebuild / 1e9}%.1f,""" +
       f""""pass1":${tP1 / 1e9}%.1f,"pass2":${tP2 / 1e9}%.1f,"pass2_n":${p2.size},""" +
-      s""""cache_fresh":$cacheWasFresh}"""
+      f""""anchors_sec":$tAnchors%.1f,"cache_fresh":$cacheWasFresh}"""
     def render(qEntries: Seq[String], omitted: Int): String = {
       val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":${qEntries.mkString("{", ",", "}")},"nq":${results.size}$om,"phases":$phases$anchors,"sf":"$sfDir"}"""

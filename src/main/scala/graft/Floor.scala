@@ -22,10 +22,13 @@ object Floor {
       b = b.config("spark.sql.adaptive.enabled", v))
     sys.env.get("SPARK_GRAFT_SHUFFLE").foreach(v =>
       b = b.config("spark.sql.shuffle.partitions", v))
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";;").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      b = b.config(k, v)
-    })
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(";;").filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => b = b.config(k, v)
+          case _ => sys.error(s"bad SPARK_GRAFT_CONF entry: '$kv' (want key=value)")
+        }
+      })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = sys.env.getOrElse("SPARK_GRAFT_FLOOR_REPS", "4").toInt

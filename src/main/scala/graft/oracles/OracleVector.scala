@@ -1072,5 +1072,23 @@ private[graft] object OracleVector {
         |      FROM d)
         |SELECT qid, rk, nn_id, round(s, 4) AS score
         |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    // postings-served phrase filter: the candidate-stage +
+    // refinement rewrite is result-identical to the per-row contains
+    // predicate by construction (the refinement IS that predicate,
+    // run on candidates), so the oracle is the same statement
+    "vdb_knn_filtered_phrase_idx" ->
+      """WITH p AS (SELECT doc_id AS id, text FROM documents),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT q.qid, e.vec_id AS nn_id,
+        |             list_distance(e.embedding::DOUBLE[], q.qv) AS s
+        |      FROM embeddings e JOIN p ON e.vec_id = p.id CROSS JOIN q
+        |      WHERE contains(' ' || p.text || ' ', ' table value ')),
+        |r AS (SELECT qid, nn_id, s,
+        |             row_number() OVER (PARTITION BY qid ORDER BY s ASC, nn_id)
+        |               AS rk
+        |      FROM d)
+        |SELECT qid, rk, nn_id, round(s, 4) AS score
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
   )
 }

@@ -93,14 +93,37 @@ class KnnSpec extends SparkSuite {
     "join and bites") {
     // r15 (VERDICT r14 #5): the presence predicate (pk IS NULL OR
     // size(tags) = 0) must sit on the corpus side of the cross join.
+    // r16 (advice): pinned STRUCTURALLY — an IsNull predicate (as a
+    // FilterExec condition or a pre-join semi-lookup's join
+    // condition) must live inside a join child's subtree, with the
+    // distance kernel outside that subtree — instead of comparing
+    // indexOf positions of 'vec_l2' and 'isnull' in the plan dump,
+    // which any unrelated isnull occurrence (null-safe cast,
+    // shuffle-key check) or plan-format change could flip spuriously.
+    // (isnotnull guards are IsNotNull nodes, a different class, so
+    // they cannot satisfy the check.)
+    import org.apache.spark.sql.catalyst.expressions.IsNull
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val df = Knn.knnFilteredIsNullQuery(spark, sf)
-    val plan = df.queryExecution.executedPlan.toString
-    val kernelAt = plan.indexOf("vec_l2")
-    val predAt = plan.indexOf("isnull")
-    assert(kernelAt >= 0 && predAt >= 0,
-      s"missing kernel or presence filter in plan:\n$plan")
-    assert(kernelAt < predAt,
-      s"presence predicate not below the distance kernel:\n$plan")
+    val executed = df.queryExecution.executedPlan
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: walk(a.executedPlan)
+      case q: QueryStageExec        => q +: walk(q.plan)
+      case _                        => p +: p.children.flatMap(walk)
+    }
+    def hasIsNull(p: SparkPlan): Boolean = walk(p).exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[IsNull])))
+    def hasKernel(p: SparkPlan): Boolean = walk(p).exists(
+      _.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.VecL2])))
+    assert(hasKernel(executed), s"missing distance kernel in plan:\n$executed")
+    val joins = walk(executed).filter(_.children.size >= 2)
+    assert(joins.nonEmpty, s"no join in plan:\n$executed")
+    assert(joins.exists(_.children.exists(c =>
+        hasIsNull(c) && !hasKernel(c))),
+      "presence predicate is not evaluated pre-join on the corpus " +
+        s"side (or the kernel leaked below the join):\n$executed")
     // bites: every neighbor is in the masked-NULL id class or has an
     // empty sliced tag list
     val rows = df.collect()
@@ -109,6 +132,71 @@ class KnnSpec extends SparkSuite {
       val id = r.getLong(2)
       id % 3 == 0 || id % 4 == 0
     }, "a present-field neighbor leaked through the is_null filter")
+  }
+
+  test("postings-served phrase filter equals the per-row form, and " +
+    "its candidate stage is term-pruned positional evaluation") {
+    // r16 (VERDICT r15 #5): the index-vs-scan rewrite must be
+    // result-invisible and plan-visible.
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val served = Knn.knnFilteredPhraseIdxQuery(spark, sf)
+    val naive = Knn.knnFilteredPhraseQuery(spark, sf)
+    assert(served.columns.toSeq == naive.columns.toSeq)
+    val a = served.collect().map(_.toSeq).toSeq
+    val b = naive.collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b,
+      s"postings-served phrase results diverge from the per-row form")
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case ad: AdaptiveSparkPlanExec => ad +: walk(ad.executedPlan)
+      case qs: QueryStageExec        => qs +: walk(qs.plan)
+      case _                         => p +: p.children.flatMap(walk)
+    }
+    val nodes = walk(served.queryExecution.executedPlan)
+    assert(nodes.exists(_.isInstanceOf[GenerateExec]),
+      "no positional token Generate — candidate stage is not postings-shaped")
+    assert(nodes.exists(_.expressions.exists(_.exists {
+        case _: In | _: InSet => true
+        case _ => false
+      })),
+      "phrase-term isin pruning missing — the postings shuffle would " +
+        "carry the whole token stream")
+  }
+
+  test("recommend lookup_from: a request whose example id is absent " +
+    "from the sibling collection drops; present requests are intact") {
+    // r16 (VERDICT r15 #2): the absent-example path cannot be
+    // reached by the append-only fuzz (the registry fixture's ids
+    // are hardcoded-present), so it is pinned here directly. The
+    // contract is the inner lookup join's: an unresolvable example
+    // drops the REQUEST (never a partial average), identically to
+    // the oracle's inner-join CTE.
+    import spark.implicits._
+    val sib = Tables.embeddings(spark, sf).select(col("vec_id"),
+      reverse(col("embedding").cast("array<double>")).as("v"))
+    def run(reqs: org.apache.spark.sql.DataFrame) = {
+      val withVecs = reqs
+        .join(sib.select(col("vec_id").as("pa"), col("v").as("va")), "pa")
+        .join(sib.select(col("vec_id").as("pb"), col("v").as("vb")), "pb")
+        .join(sib.select(col("vec_id").as("ng"), col("v").as("vn")), "ng")
+        .select(col("qid"),
+          expr("zip_with(zip_with(va, vb, (x, y) -> (x + y) / 2D), " +
+            "vn, (p, n) -> 2D * p - n)").as("qvec"),
+          col("pa").as("ex1"), col("pb").as("ex2"), col("ng").as("ex3"))
+      Knn.recommend(emb.select(col("id"), col("vec")), withVecs, 5)
+    }
+    val present = Seq((0L, 0L, 1L, 6L), (1L, 2L, 3L, 7L))
+    val absent = (2L, 4L, 999999L, 8L) // pb resolves nowhere
+    val out = run((present :+ absent).toDF("qid", "pa", "pb", "ng"))
+      .collect()
+    assert(!out.exists(_.getLong(0) == 2L),
+      "a request with an unresolvable example id produced results")
+    val base = run(present.toDF("qid", "pa", "pb", "ng")).collect()
+    assert(out.map(_.toSeq).toSet == base.map(_.toSeq).toSet,
+      "dropping the absent-example request perturbed the others")
+    assert(out.count(_.getLong(0) == 0L) == 5 &&
+      out.count(_.getLong(0) == 1L) == 5)
   }
 
   test("match-phrase filter: every neighbor's payload text contains " +
