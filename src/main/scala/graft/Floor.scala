@@ -56,7 +56,7 @@ object Floor {
     }
     // runtime-settable config sweep in ONE JVM (same JIT state for
     // every block — cross-block deltas are the config, not HotSpot)
-    val sweeps: Seq[(String, Map[String, String])] = Seq(
+    val allSweeps: Seq[(String, Map[String, String])] = Seq(
       "new" -> Map(),
       "old" -> Map(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true",
@@ -65,6 +65,15 @@ object Floor {
       "old2" -> Map(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true",
         "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1m"))
+    // subset of sweep blocks by tag (e.g. SWEEPS=new for a single
+    // pass — the x64 probes cost minutes per rep, where the full
+    // 4-block A/B is for the cheap steady-state floor questions)
+    val sweeps = sys.env.get("SPARK_GRAFT_FLOOR_SWEEPS") match {
+      case Some(tags) =>
+        val keep = tags.split(",").map(_.trim).toSet
+        allSweeps.filter { case (t, _) => keep(t) }
+      case None => allSweeps
+    }
     val defaults = sweeps.flatMap(_._2.keys).distinct
       .map(k => k -> spark.conf.get(k)).toMap
     sweeps.foreach { case (tag, conf) =>

@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   * blowup), and markers INSERTED BETWEEN words degrade trigrams
   * to shared unigram/bigram shingles, inflating within-replica
   * similarity ~30× (observed before this scheme). Embedding
-  * replicas shift every coordinate by `r·0.001`, preserving
-  * cluster geometry while keeping vectors distinct.
+  * replicas cyclically ROTATE coordinates by `r` (an exact isometry:
+  * intra-replica geometry matches the base corpus bit-for-bit
+  * content-wise, cross-replica directions decorrelate — see the v6
+  * note in `materialize`).
   *
   * Factor 1 also materializes a fresh copy dir: ByproductCache,
   * persisted indexes, and the OS page cache are all keyed by dir,
@@ -123,14 +125,15 @@ object ScaleStress {
     */
   private val Offset = 10000000L
 
-  // v5 (r16): bumped for the same reason every round must — the v4
-  // dirs' dir-keyed persisted structures (bm25 postings, IVF cells,
-  // spell dictionaries) were built by the r15 legs, so reusing the
-  // paths would serve WARM "cold" legs. The replica CONTENT is
-  // deterministic, only the path (and thus the cache keys) changes.
+  // v6 (r16): bumped twice over — the standing per-round reason (the
+  // prior dirs' dir-keyed persisted structures — bm25 postings, IVF
+  // cells, spell dictionaries — were built by earlier legs, so
+  // reusing the paths would serve WARM "cold" legs), and because v6
+  // CHANGES the embedding replica content itself (rotation scheme
+  // below) — the v5 dirs hold shift-scheme vectors.
   private def replicaRoot(sfDir: String, factor: Int): java.nio.file.Path =
     java.nio.file.Paths.get("target", "tmp",
-      s"scale-${java.lang.Integer.toHexString(sfDir.hashCode)}-x$factor-v5")
+      s"scale-${java.lang.Integer.toHexString(sfDir.hashCode)}-x$factor-v6")
       .toAbsolutePath
 
   /** Materialize (once, `_done`-markered) the factor-× replica dir
@@ -161,13 +164,32 @@ object ScaleStress {
         .withColumn("n_chars", length(col("text")).cast("long"))
       docs.write.mode("overwrite")
         .parquet(root.resolve("documents.parquet").toString)
+      // v6 (r16): per-replica coordinate ROTATION replaces the
+      // +0.001·rep shift. The shift kept replicas of the same base
+      // vector nearly IDENTICAL (cos ≈ 0.9999), so every IVF cell
+      // mixed all replicas (CellDiag x64: 63.7 replica bands per
+      // cell) and each base vector's replicas formed a
+      // factor-sized near-dup CLIQUE — surviving SemDeDup pair
+      // volume grew ∝ factor² (x64: 2000·C(64,2) ≈ 4.0M same-base
+      // pairs vs 240k at x16 = 16.8× on 4× data, exactly the
+      // measured semdedup/closure slope). That regime is a planted
+      // quadratic workload, not the weak-scaling claim under test.
+      // A cyclic rotation by rep (mod dim) is an exact ISOMETRY —
+      // intra-replica geometry, norms and distances equal the base
+      // corpus's bit-for-bit content-wise — while cross-replica
+      // directions decorrelate, the embedding analog of the text
+      // scheme's replica-disjoint shingles. rep 0 keeps the base
+      // vectors, so planted query fixtures (vec_id < 5) are
+      // untouched.
       val emb = Tables.embeddings(s, sfDir)
         .crossJoin(broadcast(reps))
         .select(
           (col("vec_id") + col("rep") * Offset).as("vec_id"),
-          transform(col("embedding"),
-            x => (x + col("rep").cast("float") * lit(0.001f)).cast("float"))
-            .as("embedding"),
+          expr("""concat(
+                 |  slice(embedding, cast(rep % size(embedding) as int) + 1,
+                 |        size(embedding) - cast(rep % size(embedding) as int)),
+                 |  slice(embedding, 1, cast(rep % size(embedding) as int)))"""
+            .stripMargin.replace("\n", " ")).as("embedding"),
           col("label"))
       emb.write.mode("overwrite")
         .parquet(root.resolve("embeddings.parquet").toString)
