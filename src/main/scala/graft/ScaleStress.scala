@@ -125,15 +125,18 @@ object ScaleStress {
     */
   private val Offset = 10000000L
 
-  // v6 (r16): bumped twice over — the standing per-round reason (the
-  // prior dirs' dir-keyed persisted structures — bm25 postings, IVF
-  // cells, spell dictionaries — were built by earlier legs, so
-  // reusing the paths would serve WARM "cold" legs), and because v6
-  // CHANGES the embedding replica content itself (rotation scheme
-  // below) — the v5 dirs hold shift-scheme vectors.
+  // v7 (r16): v6 introduced the rotation replicas (scheme note
+  // below); v7 is the standing WITHIN-round bump — the v6 dirs'
+  // dir-keyed persisted structures (bm25 postings, IVF cells, spell
+  // dictionaries) were built by the first v6 matrix run, and the
+  // release-hygiene re-run on the same paths measurably served WARM
+  // "cold" legs (ann_ivf_opq x16 2.4s vs 108.8 cold — the warm
+  // number is the steady-state serve cost, the cold one is the
+  // build). Any run intended as a cold record needs paths no prior
+  // leg has touched.
   private def replicaRoot(sfDir: String, factor: Int): java.nio.file.Path =
     java.nio.file.Paths.get("target", "tmp",
-      s"scale-${java.lang.Integer.toHexString(sfDir.hashCode)}-x$factor-v6")
+      s"scale-${java.lang.Integer.toHexString(sfDir.hashCode)}-x$factor-v7")
       .toAbsolutePath
 
   /** Materialize (once, `_done`-markered) the factor-× replica dir
@@ -344,6 +347,30 @@ object ScaleStress {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Per-leg state release (r16): `ByproductCache.clear()` only
+    * drops the MAP — the checkpointed frames' RDD blocks stay in
+    * the BlockManager until a driver GC enqueues them for the async
+    * ContextCleaner, which on a 100-GB heap may simply never happen
+    * mid-run. Measured with the ProbeOne bracket (x16 → x64 → x16,
+    * one JVM): the second x16 containment leg read 188.5s against
+    * the first's 82.0s — 2.3× from nothing but the x64 leg's
+    * leftover blocks — so late-matrix legs were inheriting the
+    * whole run's undead state and the cross-round x64 scatter
+    * (292/491/725s on identical bytes) was partly THIS, not host
+    * drift. Explicit blocking unpersist of every persistent RDD is
+    * safe exactly at the points that also clear the memo map (no
+    * live consumer can reference a truncated-lineage checkpoint
+    * once the map is gone) — and MUST NOT run between the
+    * semdedup→closure pair, whose shared memo is the point.
+    */
+  private[graft] def releaseLegState(s: SparkSession): Unit = {
+    ByproductCache.clear()
+    s.catalog.clearCache()
+    s.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
   def run(s: SparkSession, sfDir: String,
           budgetLeft: () => Boolean): Map[String, Map[String, Double]] = {
     val out = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, Double]]()
@@ -365,8 +392,8 @@ object ScaleStress {
           }
         } }
         // release the finished factor's memoized checkpoint blocks
-        // before the next (bigger) one — see ByproductCache.clear
-        ByproductCache.clear(); s.catalog.clearCache()
+        // before the next (bigger) one — see releaseLegState
+        releaseLegState(s)
       }
     }
     // x64 decade leg for the pair families only (same cold-dir,
@@ -401,9 +428,7 @@ object ScaleStress {
           // semdedup builder leg, whose memoized pair set is exactly
           // what the next (closure) leg must consume for its number
           // to measure the closure alone (x16-comparable)
-          if (name != "dedup_semdedup") {
-            ByproductCache.clear(); s.catalog.clearCache()
-          }
+          if (name != "dedup_semdedup") releaseLegState(s)
         }
       } }
     }

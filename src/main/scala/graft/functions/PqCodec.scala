@@ -69,6 +69,35 @@ object PqUtils {
   def encodeD(a: ArrayData, cb: Array[Double], m: Int, dsub: Int,
               ksub: Int): ArrayData =
     new GenericArrayData(encode(i => a.getDouble(i), cb, m, dsub, ksub))
+
+  /** Permutation entrypoints (VecPermute): null on any out-of-range
+    * index, exact element reordering otherwise.
+    */
+  def permuteF(a: ArrayData, perm: Array[Int]): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](perm.length)
+    var i = 0
+    while (i < perm.length) {
+      val p = perm(i)
+      if (p < 0 || p >= n) return null
+      out(i) = if (a.isNullAt(p)) null else a.getFloat(p)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def permuteD(a: ArrayData, perm: Array[Int]): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](perm.length)
+    var i = 0
+    while (i < perm.length) {
+      val p = perm(i)
+      if (p < 0 || p >= n) return null
+      out(i) = if (a.isNullAt(p)) null else a.getDouble(p)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** PQ-encode a float/double vector into an array<int> of m codes.
@@ -385,11 +414,73 @@ case class VecCosinePqAdc(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Array permutation as a constant-code-size kernel:
+  * `out[i] = in[perm[i]]`, the OPQ rotation applied to a vector
+  * column. The composed form — `array(element_at(v, p₁), …,
+  * element_at(v, p₆₄))` — unrolls one bounds-checked branch per
+  * dimension, and stacked in one projection with the (constant-size
+  * but non-trivial) CentroidTopM kernel the generated method crossed
+  * Janino's limit and the WHOLE stage fell back to interpreted
+  * evaluation — silently, at INFO log level: measured on the x16
+  * scale replica, assignment+rotation ran 34.6s where assignment
+  * alone is 0.94s and rotation+encode alone is 0.56s (OpqDiag). Same
+  * code-size bug class as the §4 centroid-kernel cliff, one hop
+  * downstream. Here the permutation rides as a reference int[] and
+  * the generated code is one loop — constant size for any dim.
+  *
+  * NULL when any permuted index falls outside the input (the
+  * dim-mismatch contract of the float kernels); on valid inputs the
+  * output is an exact element reordering, so every downstream
+  * distance is bit-identical to the composed form.
+  */
+case class VecPermute(child: Expression, perm: Seq[Int])
+    extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "vec_permute"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got ${t.sql}")
+  }
+
+  @transient private lazy val permArr: Array[Int] = perm.toArray
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (isFloat) PqUtils.permuteF(a, permArr)
+    else PqUtils.permuteD(a, permArr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("perm", permArr, "int[]")
+    val fn = if (isFloat) "permuteF" else "permuteD"
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.PqUtils.$fn($a, $pRef);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object PqCodec {
   def encode(c: Column, cb: Array[Double], m: Int, dsub: Int,
              ksub: Int): Column =
     GraftColumnBridge.column(
       VecPqEncode(GraftColumnBridge.expression(c), cb, m, dsub, ksub))
+
+  def permute(c: Column, perm: Seq[Int]): Column =
+    GraftColumnBridge.column(VecPermute(GraftColumnBridge.expression(c), perm))
 
   def l2Adc(code: Column, q: Column, cb: Array[Double], m: Int, dsub: Int,
             ksub: Int): Column =

@@ -237,9 +237,30 @@ object Ann {
     // planner-stats sidecar rides the build (the build is already a
     // full-corpus job; ANALYZE piggybacks for free)
     writePlanStats(s, emb, path)
-    assignTo(emb, cents)
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeCellPartitioned(assignTo(emb, cents), path)
   }
+
+  /** The one bulk cell-partitioned index write. `partitionBy("cell")`
+    * alone makes every WRITE TASK open one file per cell it holds —
+    * with the round-robin kernelSpread feeding it, that is
+    * width × cells files (x16 replica: 32 × 160 = 5,120), and since
+    * stride-200 seeding grows the cell count with the corpus the
+    * commit overhead grows ∝ corpus × width — the superlinear piece
+    * of the OPQ cold build (OpqDiag: build 7.8s at x4 → 56.6s at
+    * x16, 7.2× on 4× data, with the codebook/moments phases linear).
+    * Hashing ON THE CELL first sends each cell to exactly one task:
+    * file count = cell count (corpus-proportional, the linear claim)
+    * and the at-rest layout becomes one file per cell — which is
+    * also what the partition-pruned probes want to read at 100 TB
+    * (one cell = one file, not one cell = width shards). Cell size
+    * is bounded ~200 by the seeding, so the per-task write is flat
+    * and the added exchange carries what the write was already
+    * spilling through the committer.
+    */
+  private[operators] def writeCellPartitioned(df: DataFrame,
+                                              path: String): Unit =
+    df.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   // -------------------------------------------- planner statistics
 
@@ -334,9 +355,8 @@ object Ann {
     val cents = collectCentroids(kmeansCentroids(emb, stride))
     cents.toSeq.toDF("cell", "cvec")
       .write.mode("overwrite").parquet(centroidsPath(path))
-    assignTo(emb, cents)
-      .withColumn("pre", slice(col("vec"), 1, prefixDims))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeCellPartitioned(assignTo(emb, cents)
+      .withColumn("pre", slice(col("vec"), 1, prefixDims)), path)
   }
 
   /** Probe-pruned prefix search: scan 1 reads (id, pre) for probed
@@ -1425,9 +1445,8 @@ object Ann {
   def knnGraphBuild(s: SparkSession, indexPath: String, graphPath: String,
                     k: Int = 5, nprobe: Int = 2): Unit = {
     val nodes = graphNodes(s, indexPath)
-    graphEdgesFor(s, indexPath, nodes, k, nprobe)
-      .join(nodes.select(col("id").as("qid"), col("cell")), "qid")
-      .write.mode("overwrite").partitionBy("cell").parquet(graphPath)
+    writeCellPartitioned(graphEdgesFor(s, indexPath, nodes, k, nprobe)
+      .join(nodes.select(col("id").as("qid"), col("cell")), "qid"), graphPath)
   }
 
   def knnGraphRead(s: SparkSession, graphPath: String): DataFrame =
@@ -2547,10 +2566,9 @@ object Ann {
       .write.mode("overwrite").parquet(quantPath(path))
     cents.toSeq.toDF("cell", "cvec")
       .write.mode("overwrite").parquet(centroidsPath(path))
-    assignTo(emb, cents)
+    writeCellPartitioned(assignTo(emb, cents)
       .withColumn("code",
-        graft.functions.Quantize.encode(col("vec"), mins, maxs))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+        graft.functions.Quantize.encode(col("vec"), mins, maxs)), path)
   }
 
   /** Probe-pruned quantized search: partition-filtered scan of
@@ -2637,10 +2655,9 @@ object Ann {
       .write.mode("overwrite").parquet(bqMeansPath(path))
     cents.toSeq.toDF("cell", "cvec")
       .write.mode("overwrite").parquet(centroidsPath(path))
-    assignTo(emb, cents)
+    writeCellPartitioned(assignTo(emb, cents)
       .withColumn("code",
-        graft.functions.BinaryQuant.pack(col("vec"), mus))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+        graft.functions.BinaryQuant.pack(col("vec"), mus)), path)
   }
 
   /** Probe-pruned binary search: partition-filtered (id, code) scan

@@ -170,9 +170,9 @@ object Pq {
       .write.mode("overwrite").parquet(pqPath(path))
     cents.toSeq.toDF("cell", "cvec")
       .write.mode("overwrite").parquet(Ann.centroidsPath(path))
-    Ann.assignTo(emb, cents)
-      .withColumn("code", PqCodec.encode(col("vec"), cb, M, DSUB, KSUB))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    Ann.writeCellPartitioned(Ann.assignTo(emb, cents)
+      .withColumn("code", PqCodec.encode(col("vec"), cb, M, DSUB, KSUB)),
+      path)
   }
 
   /** Probe-pruned PQ search: partition-filtered scan of (id, code)
@@ -317,10 +317,10 @@ object Pq {
       .write.mode("overwrite").parquet(pqPath(path))
     cents.toSeq.toDF("cell", "cvec")
       .write.mode("overwrite").parquet(Ann.centroidsPath(path))
-    assigned.join(resid.select(col("id"), col("vec").as("res")), "id")
-      .withColumn("code", PqCodec.encode(col("res"), cb, M, DSUB, KSUB))
-      .select(col("id"), col("vec"), col("code"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    Ann.writeCellPartitioned(
+      assigned.join(resid.select(col("id"), col("vec").as("res")), "id")
+        .withColumn("code", PqCodec.encode(col("res"), cb, M, DSUB, KSUB))
+        .select(col("id"), col("vec"), col("code"), col("cell")), path)
   }
 
   /** Probe-pruned residual-PQ search: per (query, probed cell) the
@@ -434,11 +434,19 @@ object Pq {
     new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
 
   /** Permutation as a scan projection: slot i reads original dim
-    * perm(i) — free at any scale, exactly distance-preserving.
+    * perm(i) — free at any scale, exactly distance-preserving. The
+    * r16 form is the constant-code-size [[graft.functions
+    * .VecPermute]] kernel: the previous `array(element_at…)` unroll
+    * (one bounds-checked branch per dim) pushed the combined
+    * assignment+rotation projection past Janino's method limit and
+    * the whole stage fell back to interpreted evaluation — the OPQ
+    * cold build read 34.6s at the x16 replica for a stage that runs
+    * ~1s compiled (OpqDiag decomposition; same bug class as the §4
+    * centroid-kernel cliff).
     */
   private def rotate(c: org.apache.spark.sql.Column,
                      perm: Array[Int]): org.apache.spark.sql.Column =
-    array(perm.toIndexedSeq.map(p => element_at(c, p + 1)): _*)
+    graft.functions.PqCodec.permute(c, perm.toIndexedSeq)
 
   private def opqPermPath(indexPath: String): String = indexPath + "_opqperm"
 
@@ -464,10 +472,9 @@ object Pq {
       .write.mode("overwrite").parquet(opqPermPath(path))
     cents.toSeq.toDF("cell", "cvec")
       .write.mode("overwrite").parquet(Ann.centroidsPath(path))
-    Ann.assignTo(emb, cents)
+    Ann.writeCellPartitioned(Ann.assignTo(emb, cents)
       .withColumn("code",
-        PqCodec.encode(rotate(col("vec"), perm), cb, M, DSUB, KSUB))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+        PqCodec.encode(rotate(col("vec"), perm), cb, M, DSUB, KSUB)), path)
   }
 
   /** ivfPqSearch's plan with the query rotated into code space for

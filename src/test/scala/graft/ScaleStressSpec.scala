@@ -63,6 +63,51 @@ class ScaleStressSpec extends SparkSuite {
     assert(rep0Pairs == basePairs)
   }
 
+  /** The v6 embedding analog of the minhash property above: the
+    * per-replica ROTATION must not plant cross-replica near-dup
+    * cliques (the v5 +0.001·rep shift did — every replica of a base
+    * vector sat at cos ≈ 0.9999, so ALL ~2000·C(F,2) same-base
+    * pairs survived SemDeDup's τ and the x64 legs measured a
+    * quadratic synthesis artifact). Exact cross-replica
+    * disjointness is impossible for embeddings (an isotropic corpus
+    * genuinely contains τ-neighbors across any partition of it), so
+    * the pin is the CLIQUE discriminator: same-base cross-replica
+    * pairs must survive at a rare-tail rate, never wholesale.
+    */
+  test("rotation replicas: no same-base near-dup cliques; isometry holds") {
+    // rep 0 is byte-identical to the base corpus
+    val baseEmb = Tables.embeddings(spark, sf)
+    val emb = Tables.embeddings(spark, x4)
+    assert(emb.where(col("vec_id") < 10000000L)
+      .orderBy("vec_id").collect().toSeq ==
+      baseEmb.orderBy("vec_id").collect().toSeq)
+    // isometry: every replica's norm multiset equals the base's
+    // (rotation permutes coordinates, so per-vector norms are exact)
+    val norms = emb.select(
+      floor(col("vec_id") / 10000000L).as("rep"),
+      round(aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x * x), 6).as("n2"))
+      .groupBy("rep", "n2").count()
+      .groupBy("n2").agg(countDistinct(col("count")).as("spread"),
+        count(lit(1)).as("reps"))
+      .where(col("reps") =!= 4 || col("spread") =!= 1)
+    assert(norms.count() == 0, "per-replica norm multisets differ")
+    // clique discriminator: of the 2000·C(4,2) same-base
+    // cross-replica pairs, only a rare tail may survive SemDeDup
+    // (the shift scheme had ~all of them surviving)
+    val pairs = graft.operators.Dedup.semDedup(spark, x4)
+      .select(pmod(col("doc_id"), lit(10000000L)).as("b1"),
+        pmod(col("keeper"), lit(10000000L)).as("b2"),
+        floor(col("doc_id") / 10000000L).as("r1"),
+        floor(col("keeper") / 10000000L).as("r2"))
+    val sameBaseCross = pairs
+      .where(col("b1") === col("b2") && col("r1") =!= col("r2")).count()
+    val population = baseEmb.count() * 6 // C(4,2) per base vector
+    assert(sameBaseCross < population / 10,
+      s"$sameBaseCross same-base cross-replica survivors of $population " +
+        "possible — the replica scheme is planting near-dup cliques")
+  }
+
   test("knn graph scales node-linearly on the replica corpus") {
     val n = Tables.embeddings(spark, x4).count()
     val g = Ann.knnGraph(spark, x4)
