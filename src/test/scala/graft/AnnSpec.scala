@@ -455,9 +455,10 @@ class AnnSpec extends SparkSuite {
     // qualifies) the same narrow predicate routes to the IVF branch
     val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val path = java.nio.file.Paths.get("target", "tmp",
-      s"ivfidx-${java.lang.Integer.toHexString(sf.hashCode)}")
-      .toAbsolutePath.toString
+    // the index moved from target/tmp to the IndexCache root in r14;
+    // resolve through the same API the operator uses, so the test
+    // cannot drift from the real location again
+    val path = graft.IndexCache.dirFor(sf, "ivfidx").toString
     val (st, res) = Ann.adaptiveFilteredSearch(spark, path, q, 10,
       col("label") === 5 && col("id") % 4 === 0, selFactor = 1000000L)
     assert(st == "ivf_filtered" && res.count() >= 0)
@@ -468,9 +469,7 @@ class AnnSpec extends SparkSuite {
     import spark.implicits._
     val q = Tables.embeddings(spark, sf).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val path = java.nio.file.Paths.get("target", "tmp",
-      s"ivfidx-${java.lang.Integer.toHexString(sf.hashCode)}")
-      .toAbsolutePath.toString
+    val path = graft.IndexCache.dirFor(sf, "ivfidx").toString
     Ann.adaptiveFilterQuery(spark, sf)  // ensure index + sidecar exist
     val metaPath = path + "_planstats_meta"
     val saved = spark.read.parquet(metaPath).collect()(0)
