@@ -81,15 +81,16 @@ object Pipeline {
     * column is the audit of exactly that gap).
     *
     * Plan notes: the clustering stage is shared through the memoized
-    * checkpointed fixpoint (Dedup.clusterCache); the cleaned+split
-    * frame is re-derived per consumer — quality ([[withQualityScore]])
-    * and the split decision are genuinely scan-side projections
-    * (recompute-over-persist, SURVEY §4), so each re-derivation is a
-    * scan + map + one anti-join against the small victims frame —
-    * while the shingle joins are the same content-blocked equi-joins
-    * the standalone decontam query runs, and the train/eval shingle
-    * scans cover DISJOINT doc sets (each doc is tokenized exactly
-    * once across the pair of them).
+    * checkpointed fixpoint (Dedup.clusterCache); the split decision is
+    * evaluated ONCE into a narrow checkpointed assignment
+    * (doc_id, split, n_toks — r16: the four consumers used to
+    * re-derive quality + anti-join each, and the quality expression
+    * costs one array pass per stop word per doc), with the shingle
+    * consumers re-attaching text via doc_id semi-joins; the shingle
+    * joins are the same content-blocked equi-joins the standalone
+    * decontam query runs, and the train/eval shingle scans cover
+    * DISJOINT doc sets (each doc is tokenized exactly once across the
+    * pair of them).
     */
   def trainEvalSplit(s: SparkSession, dir: String,
                      minQuality: Double = 0.5,
@@ -104,16 +105,31 @@ object Pipeline {
       .join(victims, Seq("doc_id"), "left_anti")
       .select("doc_id", "text")
     val withSplit = Sampling.split(cleaned, "doc_id", 0.8, 0.1)
+    // NARROW SPLIT-ASSIGNMENT CHECKPOINT (r16): withSplit was
+    // referenced FOUR times (train shingles, eval shingles, the
+    // contamination rollup, the final per-split aggregate), and every
+    // reference re-evaluated the whole upstream lineage — the quality
+    // expression (one array pass per stop word per doc) plus the
+    // near-dup-victim anti-join. The checkpoint carries only
+    // (doc_id, split, n_toks) — never text — so it stays
+    // cluster-table-narrow at any corpus size; the two shingle
+    // consumers re-attach text by a doc_id semi-join against the
+    // source table (doc_id is unique in documents), which is one
+    // id-keyed join instead of a full quality re-evaluation.
+    val splitMeta = withSplit.select(col("doc_id"), col("split"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .localCheckpoint(true)
+    val docsIdText = Tables.documents(s, dir).select("doc_id", "text")
     val trainS = Dedup.shingleRows(
-        withSplit.where(col("split") === "train")
-          .select("doc_id", "text"))
+        docsIdText.join(splitMeta.where(col("split") === "train")
+          .select("doc_id"), Seq("doc_id"), "left_semi"))
       .select(col("doc_id").as("train_id"), col("s"))
     // eval-shingle cardinality via a window on the small side — one
     // evaluation of the eval lineage instead of two (see
     // Decontam.contamination for the rationale)
     val evalS = Dedup.shingleRows(
-        withSplit.where(col("split") =!= "train")
-          .select("doc_id", "text"))
+        docsIdText.join(splitMeta.where(col("split") =!= "train")
+          .select("doc_id"), Seq("doc_id"), "left_semi"))
       .select(col("doc_id").as("eval_id"), col("s"))
       .withColumn("ec", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("eval_id")))
@@ -122,11 +138,10 @@ object Pipeline {
       .agg(count(lit(1)).as("n"), max("ec").as("ec"))
       .where(col("n") / col("ec") >= minOverlap)
       .select(col("eval_id").as("doc_id")).distinct()
-    val contamBySplit = withSplit.join(contaminated, "doc_id")
+    val contamBySplit = splitMeta.join(contaminated, "doc_id")
       .groupBy("split").agg(count(lit(1)).as("n_contaminated"))
-    withSplit.groupBy("split")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    splitMeta.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
       .join(contamBySplit, Seq("split"), "left_outer")
       .select(col("split"), col("n_docs"), col("n_tokens"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))

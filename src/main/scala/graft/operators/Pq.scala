@@ -536,16 +536,24 @@ object Pq {
     val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val nq = q.count()
+    // SINGLE-REFERENCE GROUND TRUTH (r16, the quantAdvisor pattern):
+    // union the tagged leg predictions and join the brute-force gt
+    // ONCE, so the corpus-wide kNN subtree is evaluated once instead
+    // of per leg; the static spec frame keeps a zero-hit leg's row.
+    import s.implicits._
     val exact = Knn.topK(e, q, 10, Knn.Metric.Cosine)
       .select(col("qid"), col("nn_id"))
-    def leg(m: String, df: DataFrame) = df
-      .select(col("qid"), col("nn_id"))
-      .join(exact, Seq("qid", "nn_id"))
-      .agg(count(lit(1)).as("hits"))
-      .select(lit(m).as("method"), col("hits"),
-        round(col("hits") / (lit(nq) * 10.0), 4).as("recall"))
-    leg("pq", ivfPqQuery(s, dir))
-      .unionByName(leg("opq", ivfOpqQuery(s, dir)))
+    val preds = ivfPqQuery(s, dir)
+      .select(lit("pq").as("method"), col("qid"), col("nn_id"))
+      .unionByName(ivfOpqQuery(s, dir)
+        .select(lit("opq").as("method"), col("qid"), col("nn_id")))
+    val hitCounts = preds.join(exact, Seq("qid", "nn_id"))
+      .groupBy("method").agg(count(lit(1)).as("h"))
+    Seq("pq", "opq").toDF("method")
+      .join(hitCounts, Seq("method"), "left")
+      .select(col("method"), coalesce(col("h"), lit(0L)).as("hits"),
+        round(coalesce(col("h"), lit(0L)) / (lit(nq) * 10.0), 4)
+          .as("recall"))
       .orderBy("method")
   }
 

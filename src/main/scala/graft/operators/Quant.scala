@@ -241,28 +241,45 @@ object Quant {
     val q = Tables.embeddings(s, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val nq = q.count()
+    // SINGLE-REFERENCE GROUND TRUTH (r16): the previous form joined
+    // exactCos/exactL2 per leg (cos: bq/opq/mrl, l2: sq8/pq/pq_res),
+    // so each brute-force kNN subtree was re-evaluated three times —
+    // the advisor plan carried 72 scans / 178 exchanges. Unioning the
+    // tagged leg PREDICTIONS first and joining the two-metric ground
+    // truth ONCE keeps each gt pass single-evaluation without an
+    // eager checkpoint (measured: checkpointing here serializes work
+    // the one-job plan runs as parallel stages, and costs wall-clock
+    // at bench scale). A static 6-row spec frame left-joins the hit
+    // counts so a zero-hit leg still emits its row, exactly like the
+    // old per-leg global agg.
+    import s.implicits._
     val exactCos = graft.operators.Knn.topK(e, q, 10,
       graft.operators.Knn.Metric.Cosine).select("qid", "nn_id")
     val exactL2 = graft.operators.Knn.topK(e, q, 10,
       graft.operators.Knn.Metric.L2).select("qid", "nn_id")
-    def leg(m: String, metric: String, bytes: Long, df: DataFrame,
-            gt: DataFrame): DataFrame =
-      df.select(col("qid"), col("nn_id")).join(gt, Seq("qid", "nn_id"))
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(m).as("method"), lit(metric).as("metric"),
-          lit(bytes).as("code_bytes"), col("hits"),
-          round(col("hits") / (lit(nq) * 10.0), 4).as("recall"))
+    val gtAll = exactCos.withColumn("gm", lit("cosine"))
+      .unionByName(exactL2.withColumn("gm", lit("l2")))
+    def tag(m: String, metric: String, df: DataFrame): DataFrame =
+      df.select(lit(m).as("method"), lit(metric).as("gm"),
+        col("qid"), col("nn_id"))
     val mrl = graft.operators.Knn.mrlSearch(e, q, 10)
       .select(col("qid"), col("nn_id"))
-    val legs = leg("bq", "cosine", 8L, BinQuant.bqQuery(s, dir), exactCos)
-      .unionByName(leg("sq8", "l2", 64L, sq8Query(s, dir), exactL2))
-      .unionByName(leg("pq", "l2", 8L, Pq.pqQuery(s, dir), exactL2))
-      .unionByName(leg("pq_res", "l2", 8L, Pq.ivfPqResQuery(s, dir),
-        exactL2))
-      .unionByName(leg("opq", "cosine", 8L, Pq.ivfOpqQuery(s, dir),
-        exactCos))
-      .unionByName(leg("mrl", "cosine", 64L,
-        mrl.select(col("qid"), col("nn_id")), exactCos))
+    val preds = tag("bq", "cosine", BinQuant.bqQuery(s, dir))
+      .unionByName(tag("sq8", "l2", sq8Query(s, dir)))
+      .unionByName(tag("pq", "l2", Pq.pqQuery(s, dir)))
+      .unionByName(tag("pq_res", "l2", Pq.ivfPqResQuery(s, dir)))
+      .unionByName(tag("opq", "cosine", Pq.ivfOpqQuery(s, dir)))
+      .unionByName(tag("mrl", "cosine", mrl))
+    val hitCounts = preds.join(gtAll, Seq("gm", "qid", "nn_id"))
+      .groupBy("method").agg(count(lit(1)).as("h"))
+    val specs = Seq(("bq", "cosine", 8L), ("sq8", "l2", 64L),
+      ("pq", "l2", 8L), ("pq_res", "l2", 8L), ("opq", "cosine", 8L),
+      ("mrl", "cosine", 64L)).toDF("method", "metric", "code_bytes")
+    val legs = specs.join(hitCounts, Seq("method"), "left")
+      .select(col("method"), col("metric"), col("code_bytes"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        round(coalesce(col("h"), lit(0L)) / (lit(nq) * 10.0), 4)
+          .as("recall"))
     val fidelity = quantErrorReport(s, dir)
       .select(col("method"), col("avg_cosine"))
     val w = Window.orderBy(col("hits").desc, col("code_bytes").asc,

@@ -780,7 +780,14 @@ object Search {
       .select(col("qid"), col("nn_id").as("doc_id"),
         expr("CAST(round(score * 10000) AS BIGINT)").as("m"),
         lit("cos").as("leg"))
-    bm.unionByName(cos)
+    // CHECKPOINTED (r16): both fusion consumers reference the legs
+    // frame more than once (dbsf: moments + normed; weighted: ext →
+    // dens → scaled), and every reference re-evaluated the corpus-
+    // scale kNN + index-probe subtrees — the weighted plan carried 30
+    // scans / 84 exchanges for a ≤ Q×40-row frame. The legs are
+    // request-sized, so the checkpoint is bounded and each leg's
+    // corpus pass runs exactly once per evaluation.
+    bm.unionByName(cos).localCheckpoint(true)
   }
 
   def hybridDbsfQuery(s: SparkSession, dir: String): DataFrame =
@@ -801,7 +808,9 @@ object Search {
     // sqrt, then one correctly-rounded sqrt and divide per engine
     val sig = sqrt((col("n") * col("qx") - col("sx") * col("sx"))
       .cast("double")) / col("n").cast("double")
-    val normed = legs.join(moments, Seq("qid", "leg"))
+    // moments is Q×2 rows; the checkpointed legs frame carries no
+    // stats, so hint the broadcast explicitly (SMJ otherwise)
+    val normed = legs.join(broadcast(moments), Seq("qid", "leg"))
       .select(col("qid"), col("doc_id"),
         when(sig === 0.0, lit(0.5))
           .otherwise((col("m").cast("double") - mu + lit(3.0) * sig)
@@ -866,7 +875,10 @@ object Search {
       .select(col("qid"), coalesce(col("den_bm"), lit(1L)).as("den_bm"),
         coalesce(col("den_cos"), lit(1L)).as("den_cos"))
     val w10 = when(col("leg") === "bm", lit(3L)).otherwise(lit(7L))
-    val scaled = legs.join(ext, Seq("qid", "leg")).join(dens, Seq("qid"))
+    // ext/dens are Q×2 / Q rows; broadcast explicitly for the same
+    // no-stats reason as dbsfFuse
+    val scaled = legs.join(broadcast(ext), Seq("qid", "leg"))
+      .join(broadcast(dens), Seq("qid"))
       .select(col("qid"), col("doc_id"),
         (when(col("mx") === col("mn"), w10)
           .otherwise(w10 * (col("m") - col("mn"))) *
@@ -1199,7 +1211,13 @@ object Search {
       .groupBy("qid", "term").agg(count(lit(1)).as("tf"))
     val qt = q0.select(col("qid"),
       explode(split(col("qtext"), " ")).as("term")).distinct()
+    // CHECKPOINTED (r16): cand is referenced twice (the dfreq
+    // broadcast term set and the expansion join), and each reference
+    // re-evaluated the ENTIRE first bm25 pass feeding it — the prf
+    // plan carried 90 exchanges for what is a Q×(feedback-vocab)-row
+    // frame. Feedback docs are fbK·Q, so cand is request-sized.
     val cand = fb.join(qt, Seq("qid", "term"), "left_anti")
+      .localCheckpoint(true)
     val nd = docs.agg(count(lit(1)).cast("double").as("nd"))
     val dfreq = docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("term"))
@@ -1213,11 +1231,17 @@ object Search {
       .where(col("xrk") <= expandN)
     val ext = exp.groupBy("qid")
       .agg(concat_ws(" ", array_sort(collect_list(col("term")))).as("ext"))
+    // CHECKPOINTED (r16): q2 is Q rows, but its lineage holds pass 1
+    // plus the dfreq corpus scan, and bm25Impl references its queries
+    // frame twice (the postings term broadcast and the score join) —
+    // uncheckpointed, the second pass re-ran the whole expansion per
+    // reference.
     val q2 = q0.join(ext, Seq("qid"), "left")
       .select(col("qid"),
         when(col("ext").isNotNull,
           concat_ws(" ", col("qtext"), col("ext")))
           .otherwise(col("qtext")).as("qtext"))
+      .localCheckpoint(true)
     bm25TopK(docs, q2, 10)
   }
 
