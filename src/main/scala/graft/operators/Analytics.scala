@@ -1875,14 +1875,22 @@ object Analytics {
     * (nothing to forecast from). One lineitem scan, (part, month) →
     * part aggregates.
     */
-  def partXyz(s: SparkSession, dir: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val monthly = Tables.lineitem(s, dir)
+  def partXyz(s: SparkSession, dir: String): DataFrame =
+    xyzFromMonthly(Tables.lineitem(s, dir)
       .select(col("l_partkey").as("part"),
         (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
           .cast("long").as("mx"),
         expr("CAST(l_quantity AS BIGINT)").as("qty"))
-      .groupBy("part", "mx").agg(sum("qty").as("q"))
+      .groupBy("part", "mx").agg(sum("qty").as("q")))
+
+  /** The XYZ classification from a prepared (part, mx, q) monthly-
+    * demand frame — split out (r16) so [[partAbcXyzMatrix]] can feed
+    * it from its shared single-scan aggregate while the standalone
+    * query keeps its one-scan plan; the moments and cuts are the one
+    * definition either way.
+    */
+  private def xyzFromMonthly(monthly: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val g = monthly.groupBy("part")
       .agg(count(lit(1)).as("n"), sum("q").as("sx"),
         sum(col("q").cast(dec) * col("q").cast(dec)).as("qx"))
@@ -1911,13 +1919,26 @@ object Analytics {
     * one ≤9-key rollup.
     */
   def partAbcXyzMatrix(s: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(s, dir)
-      .groupBy(col("l_partkey").as("partkey"))
+    // ONE lineitem pass (r16): the ABC revenue and the XYZ monthly
+    // demand used to each scan+aggregate lineitem; a shared
+    // (part, month) aggregate serves both — revenue re-aggregates the
+    // exact month cents (integer addition is associative, so the
+    // per-part total is bit-identical), the XYZ moments read the
+    // month quantities directly. The checkpoint is catalog×months
+    // rows, never lineitem-sized.
+    val base = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("part"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("mx"))
       .agg(sum(expr(
         "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
-        .as("cents"))
+        .as("cents"),
+        sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+      .localCheckpoint(true)
+    val rev = base.groupBy(col("part").as("partkey"))
+      .agg(sum("cents").as("cents"))
     val (classed, _) = abcClasses(s, rev)
-    val xyz = partXyz(s, dir)
+    val xyz = xyzFromMonthly(base.select("part", "mx", "q"))
       .select(col("part").as("partkey"), col("xyz"))
     classed.join(xyz, "partkey")
       .groupBy("abc", "xyz")

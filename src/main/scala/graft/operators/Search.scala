@@ -1419,10 +1419,15 @@ object Search {
     val fixed = qpos.join(resolved, Seq("qid", "pos"), "left")
       .select(col("qid"), col("pos"),
         coalesce(col("corr"), col("term")).as("corr"))
+    // CHECKPOINTED (r16): bm25Impl references its queries frame twice
+    // (term broadcast + score join); corrected is Q rows but its
+    // lineage holds the probe/resolve chain — a dozen small stages
+    // re-run per reference without the cut
     val corrected = fixed.groupBy("qid")
       .agg(concat_ws(" ",
         expr("transform(array_sort(collect_list(struct(pos, corr))), " +
           "x -> x.corr)")).as("qtext"))
+      .localCheckpoint(true)
     bm25TopK(docs, corrected, k)
   }
 
@@ -1471,11 +1476,15 @@ object Search {
     val fixed = misses.join(best, Seq("qid", "pos", "term"), "left")
       .select(col("qid"), col("pos"),
         coalesce(col("corr"), col("term")).as("corr"))
+    // CHECKPOINTED (r16): same cut as spellCorrectIndexed — the
+    // correction chain (vocab joins + levenshtein) must run once, not
+    // once per bm25Impl reference of its queries frame
     val corrected = exact.unionByName(fixed)
       .groupBy("qid")
       .agg(concat_ws(" ",
         expr("transform(array_sort(collect_list(struct(pos, corr))), " +
           "x -> x.corr)")).as("qtext"))
+      .localCheckpoint(true)
     bm25TopK(docs, corrected, k)
   }
 
@@ -1490,9 +1499,12 @@ object Search {
     */
   def searchFacets(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // CHECKPOINTED (r16): the two facet projections each re-evaluated
+    // the whole bm25 ranking; f is Q×k rows
     val f = bm25TopK(docs, fixedQueries(s), k)
       .join(docs.select(col("doc_id"), col("lang"), col("source")),
         "doc_id")
+      .localCheckpoint(true)
     val u = f.select(col("qid"), lit("lang").as("facet"),
         col("lang").as("value"))
       .unionByName(f.select(col("qid"), lit("source").as("facet"),

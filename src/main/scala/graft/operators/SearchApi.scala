@@ -184,6 +184,11 @@ object SearchApi {
           .when(col("vec_id") === 2, "!=")
           .otherwise(lit(null).cast("string")).as("fop"),
         lit(5L).as("fval"))
+      // CHECKPOINTED (r16): the 8-row request batch is referenced by
+      // the type-routing collect, every leg's sub-batch filter and
+      // every perK join — lazy, each reference re-scanned embeddings
+      // (7 scans in the final plan alone)
+      .localCheckpoint(true)
     searchRouted(s, dir, data, reqs, maxK = 10)
   }
 
@@ -303,6 +308,8 @@ object SearchApi {
           .otherwise(lit(null).cast("string")).as("fop"),
         lit(5L).as("fval"),
         when(col("vec_id") % 4 === 1, 16L).otherwise(48L).as("ef"))
+      // CHECKPOINTED (r16): same rationale as searchRoutedQuery
+      .localCheckpoint(true)
     searchRoutedEf(s, dir, data, reqs, maxK = 10)
   }
 

@@ -1466,16 +1466,21 @@ object TextOps {
         .select(col("is_train"), explode(expr(
           s"transform(sequence(0, size(ws) - $n), " +
             s"i -> concat_ws(' ', slice(ws, i + 1, $n)))")).as("g"))
-      val tr = grams.where(col("is_train")).select("g").distinct()
-        .withColumn("cov", lit(1L))
-      val ev = grams.where(!col("is_train"))
-        .groupBy("g").agg(count(lit(1)).as("occ"))
-      ev.join(tr, Seq("g"), "left")
+      // ONE gram-keyed aggregate for both sides (r16): the previous
+      // train-distinct/eval-occ branch pair evaluated the gram
+      // explode twice per n and met in a join; a single partial-
+      // aggregating groupBy carries train presence and eval
+      // occurrences in the same pass — identical counts, half the
+      // explode work, one exchange instead of three
+      grams.groupBy("g").agg(
+          sum(when(col("is_train"), 1L).otherwise(0L)).as("tc"),
+          sum(when(!col("is_train"), 1L).otherwise(0L)).as("occ"))
+        .where(col("occ") > 0)
         .agg(count(lit(1)).as("eval_distinct"),
-          sum(when(col("cov").isNotNull, 1L).otherwise(0L))
+          sum(when(col("tc") > 0, 1L).otherwise(0L))
             .as("covered_distinct"),
           sum("occ").as("eval_occ"),
-          sum(when(col("cov").isNotNull, col("occ")).otherwise(0L))
+          sum(when(col("tc") > 0, col("occ")).otherwise(0L))
             .as("covered_occ"))
         .select(lit(n.toLong).as("n"), col("eval_distinct"),
           col("covered_distinct"), col("eval_occ"), col("covered_occ"))

@@ -119,4 +119,31 @@ class QuantSpec extends SparkSuite {
     // deterministic
     assert(Ann.ivfMrlQuery(spark, sf).collect().toSeq == rows.toSeq)
   }
+
+  test("quant advisor emits every method row with a single-reference " +
+    "ground truth (r16 restructure)") {
+    val rows = Quant.quantAdvisor(spark, sf).collect()
+    // the spec-frame left join must keep a row per compared method
+    // even if a method scores ZERO hits (the old per-leg global agg
+    // guaranteed this; the groupBy form alone would drop such rows)
+    assert(rows.map(_.getAs[String]("method")).toSet ==
+      Set("bq", "sq8", "pq", "pq_res", "opq", "mrl"))
+    assert(rows.forall(_.getAs[Long]("hits") >= 0))
+    assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 6))
+    // the single gt evaluation must not multiply the brute-force
+    // subtree: the multiplied (pre-r16) plan carried ~3x the TopKAgg
+    // mentions (each gt re-evaluation is a corpus-side heap agg);
+    // bound well under that while tolerating per-leg heaps
+    val plan = Quant.quantAdvisor(spark, sf)
+      .queryExecution.executedPlan.toString.toLowerCase
+    val knnAggs = "topkagg".r.findAllIn(plan).size
+    assert(knnAggs <= 60,
+      s"ground-truth/leg kNN subtrees multiplied: $knnAggs TopKAgg mentions")
+  }
+
+  test("opq recall report keeps both method rows (r16 restructure)") {
+    val rows = graft.operators.Pq.opqRecallReport(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("method")).toSeq == Seq("opq", "pq"))
+    assert(rows.forall(_.getAs[Long]("hits") >= 0))
+  }
 }
