@@ -285,7 +285,9 @@ object SparkEntry {
     "vdb_filter_index_json" -> ((s, d) =>
       ScalarOps.filterIndexBuild(
         Tables.events(s, d)
-          .select(get_json_object(col("props"), "$.k").cast("long")
+          // try_cast (r16 fuzz): an unparsable payload value yields no
+          // posting instead of failing the index build under ANSI
+          .select(get_json_object(col("props"), "$.k").try_cast("long")
             .as("k"), col("event_id"))
           .where(col("k").isNotNull),
         "k", "event_id")),

@@ -933,7 +933,10 @@ object Analytics {
   def eventsJsonProps(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        // try_cast (r16 fuzz): a non-numeric payload value must read
+        // as NULL, not throw the whole job under ANSI — the WAL-parse
+        // convention; the oracle mirrors with TRY_CAST
+        get_json_object(col("props"), "$.k").try_cast("long").as("k"),
         col("value"))
       .select(col("event_type"), expr("k div 25").as("k_band"),
         col("value"))

@@ -138,7 +138,10 @@ object Knn {
     val q = graft.Tables.embeddings(s, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     topKFiltered(e, q, 10, Metric.L2,
-      get_json_object(col("props"), "$.k").cast("long") < 50)
+      // try_cast (r16 fuzz): unparsable payload never matches (NULL <
+      // 50 is NULL → filtered) instead of throwing under ANSI — the
+      // Qdrant payload-filter semantic; oracle mirrors with TRY_CAST
+      get_json_object(col("props"), "$.k").try_cast("long") < 50)
   }
 
   /** GEO-FILTERED SEARCH (r13 — Qdrant's geo_radius payload filter,

@@ -207,7 +207,7 @@ private[graft] object OracleEvents {
     // schema-on-read: props JSON parsed inside the scan projection
     "events_json_props" ->
       """SELECT event_type,
-        |       CAST(CAST(json_extract_string(
+        |       CAST(TRY_CAST(json_extract_string(
         |           CASE WHEN json_valid(props) THEN props END, '$.k')
         |           AS BIGINT)
         |         // 25 AS BIGINT) AS k_band,

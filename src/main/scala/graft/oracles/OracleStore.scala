@@ -379,7 +379,7 @@ private[graft] object OracleStore {
     // guard — Spark's schema-on-read NULL mirror)
     "vdb_filter_index_json" ->
       """WITH p AS (SELECT event_id,
-        |             CAST(CASE WHEN json_valid(props) THEN
+        |             TRY_CAST(CASE WHEN json_valid(props) THEN
         |               json_extract_string(props, '$.k') END AS BIGINT)
         |               AS k
         |           FROM events)

@@ -920,7 +920,7 @@ private[graft] object OracleVector {
     // property as text; the BIGINT cast is the shared typed compare)
     "vdb_knn_filtered_json" ->
       """WITH p AS (SELECT event_id AS id,
-        |             CAST(CASE WHEN json_valid(props) THEN
+        |             TRY_CAST(CASE WHEN json_valid(props) THEN
         |               json_extract_string(props, '$.k') END AS BIGINT)
         |               AS k
         |           FROM events),
