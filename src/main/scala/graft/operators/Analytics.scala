@@ -2542,6 +2542,7 @@ object Analytics {
     * one 16-key aggregate.
     */
   def partAbcMigration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"),
         expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) " +
@@ -2552,15 +2553,51 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
     val bounds = li.agg(expr("(min(d) + max(d)) div 2").as("mid"))
     val tagged = li.crossJoin(broadcast(bounds)).localCheckpoint(true)
-    def revOf(post: Boolean) = tagged
-      .where(if (post) col("d") >= col("mid") else col("d") < col("mid"))
-      .groupBy(col("l_partkey").as("partkey"))
+    // ONE banded classification pass for BOTH halves (r16; was two
+    // full abcClasses chains — two aggregates over tagged, two
+    // checkpoints, two band-total collects, two windows). Keying
+    // every [[abcClasses]] step by the half ('post') reproduces each
+    // half's classes bit-for-bit: band ids are per-row, the window
+    // partitioned by (post, bk) ranks exactly the rows the per-half
+    // window ranked in the same order, and the per-(post, bk) bases /
+    // per-post totals are the same partial sums the per-half driver
+    // loop accumulated (AnalyticsSpec pins equality with the two-pass
+    // composition). The final (from, to) pivot folds the old
+    // full-outer join into one partkey aggregate — a part silent in a
+    // half has no classed row there, so its max(when) leg is NULL and
+    // coalesces to '-', exactly the old join's semantics.
+    val rev = tagged
+      .groupBy((col("d") >= col("mid")).as("post"),
+        col("l_partkey").as("partkey"))
       .agg(sum("cents").as("cents"))
-    val (c0, _) = abcClasses(s, revOf(post = false))
-    val (c1, _) = abcClasses(s, revOf(post = true))
-    c0.select(col("partkey"), col("abc").as("a0"))
-      .join(c1.select(col("partkey"), col("abc").as("a1")),
-        Seq("partkey"), "full_outer")
+      .where(col("cents") > 0)
+      .withColumn("bk", -(length(bin(col("cents"))) - 1).cast("long"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("post", "bk")
+      .orderBy(col("cents").desc, col("partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = rev.withColumn("cum_in", sum("cents").over(w))
+    val bandTotals = rev.groupBy("post", "bk").agg(sum("cents").as("t"))
+      .orderBy("post", "bk").collect()
+    val bases = bandTotals.groupBy(_.getBoolean(0)).toSeq.flatMap {
+      case (post, rows) =>
+        var acc = 0L
+        val withBase = rows.sortBy(_.getLong(1)).map { r =>
+          val b = (post, r.getLong(1), acc); acc += r.getLong(2); b
+        }
+        val total = acc
+        withBase.map { case (p, bk, base) => (p, bk, base, total) }
+    }
+    val baseDf = broadcast(bases.toDF("post", "bk", "base", "total"))
+    val classed = within.join(baseDf, Seq("post", "bk"))
+      .withColumn("cum", col("base") + col("cum_in"))
+      .withColumn("abc",
+        when(col("cum") * 5 <= col("total") * 4, "A")
+          .when(col("cum") * 20 <= col("total") * 19, "B")
+          .otherwise("C"))
+    classed.groupBy("partkey")
+      .agg(max(when(!col("post"), col("abc"))).as("a0"),
+        max(when(col("post"), col("abc"))).as("a1"))
       .select(coalesce(col("a0"), lit("-")).as("class_from"),
         coalesce(col("a1"), lit("-")).as("class_to"))
       .groupBy("class_from", "class_to")

@@ -725,6 +725,25 @@ object Ann {
       knnGraphUncached(s, dir, k, nprobe).localCheckpoint(true)
     }
 
+  /** Warm the kNN-graph memos two concurrent graph legs share (the
+    * routed batch builds its NSW and HIER legs from a thread pool —
+    * graft.Par — and ByproductCache tolerates a racing double-build,
+    * which for the corpus-scale graph would mean paying the build
+    * twice; touching the memos once before forking makes the race a
+    * cache hit).
+    */
+  private[graft] def warmGraphMemos(s: SparkSession, dir: String,
+                                    graphK: Int): Unit = {
+    val g = knnGraph(s, dir, graphK)
+      .select(col("qid").as("src"), col("nn_id").as("dst"))
+    graft.ByproductCache.getOrCompute(
+      s.sparkContext.applicationId, s"nswedges|$dir|$graphK") {
+      g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+    }
+    ()
+  }
+
   private def knnGraphUncached(s: SparkSession, dir: String, k: Int,
                                nprobe: Int): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -1747,11 +1766,20 @@ object Ann {
       visited = visited.union(expand).distinct()
       val next = topBeam(scoreIds(expand), beam).localCheckpoint(true)
       r += 1
+      // ONE action, not three (r16): multiset equality via the empty
+      // symmetric difference — algebraically identical to the old
+      // count()==count() && exceptAll.isEmpty (equal counts plus
+      // one-sided inclusion ⟺ equal multisets ⟺ both exceptAlls
+      // empty), but it costs a single tiny job on the two
+      // checkpointed ≤Q×beam-row frames where the old form ran up to
+      // three driver actions per round across the whole nsw/hnsw
+      // family.
       if (r < rounds)
-        converged = next.select("qid", "id").count() ==
-          frontier.select("qid", "id").count() &&
-          next.select("qid", "id")
-            .exceptAll(frontier.select("qid", "id")).isEmpty
+        converged = next.select("qid", "id")
+          .exceptAll(frontier.select("qid", "id"))
+          .union(frontier.select("qid", "id")
+            .exceptAll(next.select("qid", "id")))
+          .isEmpty
       frontier = next
     }
     if (stats != null) stats.roundsRun = r
@@ -2003,8 +2031,16 @@ object Ann {
       val byQ = Window.partitionBy("qid").orderBy(col("s").desc, col("id"))
       val g = scored.withColumn("rk", row_number().over(byQ))
         .where(col("rk") <= k).select(col("qid").as("src"), col("id").as("dst"))
-      g.union(g.select(col("dst").as("src"), col("src").as("dst")))
+      val sym = g.union(g.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().localCheckpoint(true)
+      // an empty layer memoizes as a LocalRelation: the traversal's
+      // per-query emptiness probe then resolves on the driver with no
+      // job at all (the sparsest top layers are empty at every small
+      // SF, and the probe used to cost a task per layer per query)
+      if (sym.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          sym.schema)
+      else sym
     }
 
   /** Coarse-to-fine descent + base beam: enter at THE single highest
@@ -2024,7 +2060,8 @@ object Ann {
                                 edges0: DataFrame,
                                 beamU: Int, beam: Int,
                                 rounds: Int,
-                                stats: DescentStats = null)
+                                stats: DescentStats = null,
+                                entMemoKey: Option[String] = None)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("qid"), col("qvec"))
@@ -2037,8 +2074,25 @@ object Ann {
     def topBeam(scored: DataFrame, n: Int): DataFrame =
       scored.withColumn("rk", row_number().over(byQ))
         .where(col("rk") <= n).select("qid", "id", "s")
-    val ent = e.select(col("id"), hnswLevel(col("id")).as("lvl"))
+    // The enterpoint (max level, then min id — hnswlib's
+    // enterpoint_node_) is a deterministic function of the node-id
+    // SET, but finding it is a full pass over `e`; every descent used
+    // to pay that pass inside its round-0 checkpoint. Callers whose
+    // node set is immutable for the session (the in-memory variant:
+    // Tables.embeddings of a fixed dir) pass a memo key so the pass
+    // runs once per dir — index metadata, exactly what hnswlib keeps
+    // in its index header. The persisted-index variant does NOT
+    // memoize: maintenance (hnswUpsert/Delete) mutates its node set
+    // mid-session and a stale enterpoint could change results.
+    def entOf: DataFrame = e.select(col("id"), hnswLevel(col("id")).as("lvl"))
       .orderBy(col("lvl").desc, col("id").asc).limit(1).select("id")
+    val ent = entMemoKey match {
+      case Some(k) => graft.ByproductCache.getOrCompute(
+        e.sparkSession.sparkContext.applicationId, k) {
+        entOf.localCheckpoint(true)
+      }
+      case None => entOf
+    }
     var frontier = topBeam(
       scoreIds(q.select("qid").crossJoin(broadcast(ent))), beamU)
       .localCheckpoint(true)
@@ -2079,7 +2133,8 @@ object Ann {
         .distinct().localCheckpoint(true)
     }
     hnswTraverseEdges(e, queries, l => hnswLayerEdges(s, dir, l, graphK),
-      edges0, beamU, beam, rounds)
+      edges0, beamU, beam, rounds,
+      entMemoKey = Some(s"hnswent|mem|$dir"))
   }
 
   def hnswSearch(s: SparkSession, dir: String, queries: DataFrame,

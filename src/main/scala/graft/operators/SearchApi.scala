@@ -139,28 +139,40 @@ object SearchApi {
       return Seq.empty[(Long, Int, Long, Double)]
         .toDF("qid", "rk", "nn_id", "score")
     }
-    val legs = Seq.newBuilder[DataFrame]
+    // CONCURRENT LEG CONSTRUCTION (r16, guide §2.6): the graph legs'
+    // beam descents run eager per-round jobs during CONSTRUCTION, so
+    // building the legs one after another serialized ~15 tiny jobs on
+    // an idle 32-core scheduler. The legs are independent plans over
+    // disjoint sub-batches — build them from a thread pool and union
+    // in the original order (result-identical; only the eager build's
+    // wall-clock changes). The one expensive memo two legs share (the
+    // kNN graph) is warmed before the fork so the ByproductCache race
+    // can never double-build it.
+    if (types("HNSW") && types("HIER"))
+      graft.operators.Ann.warmGraphMemos(s, dir, graphK = 8)
+    val legThunks = Seq.newBuilder[() => DataFrame]
     if (types("FLAT"))
-      legs += searchRequests(data,
+      legThunks += (() => searchRequests(data,
         reqs.where(col("index_type") === "FLAT"), maxK)
-        .select(col("qid"), col("rk"), col("nn_id"), col("score"))
+        .select(col("qid"), col("rk"), col("nn_id"), col("score")))
     if (types("HNSW")) {
       val hnswReqs = reqs.where(col("index_type") === "HNSW")
-      legs += perK(graft.operators.Ann.nswSearch(s, dir,
-        hnswReqs.select(col("qid"), col("qvec")), k = maxK), hnswReqs)
+      legThunks += (() => perK(graft.operators.Ann.nswSearch(s, dir,
+        hnswReqs.select(col("qid"), col("qvec")), k = maxK), hnswReqs))
     }
     if (types("HIER")) {
       val hierReqs = reqs.where(col("index_type") === "HNSW_HIER")
-      legs += perK(graft.operators.Ann.hnswSearch(s, dir,
-        hierReqs.select(col("qid"), col("qvec")), k = maxK), hierReqs)
+      legThunks += (() => perK(graft.operators.Ann.hnswSearch(s, dir,
+        hierReqs.select(col("qid"), col("qvec")), k = maxK), hierReqs))
     }
     if (types("IVF")) {
       val ivfReqs = reqs.where(col("index_type") =!= "FLAT" &&
         col("index_type") =!= "HNSW" && col("index_type") =!= "HNSW_HIER")
-      legs += perK(graft.operators.Ann.ivfSearchCached(s, dir,
-        ivfReqs.select(col("qid"), col("qvec")), maxK), ivfReqs)
+      legThunks += (() => perK(graft.operators.Ann.ivfSearchCached(s, dir,
+        ivfReqs.select(col("qid"), col("qvec")), maxK), ivfReqs))
     }
-    legs.result().reduce(_ unionByName _).orderBy("qid", "rk")
+    graft.Par.seq(legThunks.result())
+      .reduce(_ unionByName _).orderBy("qid", "rk")
   }
 
   /** Routed surface query: even qids go FLAT (metric L2/IP, one `=`
