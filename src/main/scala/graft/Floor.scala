@@ -64,7 +64,30 @@ object Floor {
       "new2" -> Map(),
       "old2" -> Map(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true",
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1m"))
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1m"),
+      // r16 join/scan floor candidates (guide §3.1 / §6): allow
+      // shuffled-hash where its size conditions fit, let AQE rewrite
+      // small sort-merge joins, and widen scan splits
+      "base" -> Map(),
+      "psmj" -> Map(
+        "spark.sql.join.preferSortMergeJoin" -> "false",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "64m"),
+      "mpb512" -> Map(
+        "spark.sql.files.maxPartitionBytes" -> "512m"),
+      "both" -> Map(
+        "spark.sql.join.preferSortMergeJoin" -> "false",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "64m",
+        "spark.sql.files.maxPartitionBytes" -> "512m"),
+      "base2" -> Map(),
+      "psmj2" -> Map(
+        "spark.sql.join.preferSortMergeJoin" -> "false",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "64m"),
+      "mpb5122" -> Map(
+        "spark.sql.files.maxPartitionBytes" -> "512m"),
+      "both2" -> Map(
+        "spark.sql.join.preferSortMergeJoin" -> "false",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "64m",
+        "spark.sql.files.maxPartitionBytes" -> "512m"))
     // subset of sweep blocks by tag (e.g. SWEEPS=new for a single
     // pass — the x64 probes cost minutes per rep, where the full
     // 4-block A/B is for the cheap steady-state floor questions)

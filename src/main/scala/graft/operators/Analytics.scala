@@ -3519,6 +3519,13 @@ object Analytics {
     * brand rollup.
     */
   def ordersRevenueBridge(s: SparkSession, dir: String): DataFrame = {
+    // EXAMINED, LEFT DOUBLE-REFERENCED (r16): the date-midpoint agg
+    // and the per-part rollup both reference the lineitem⋈orders
+    // join. A partAbcMigration-style checkpoint of the joined frame
+    // was measured WORSE here (1.44 → 1.68 s, same subset protocol):
+    // this query has no window/classify chain downstream, so the
+    // checkpoint's materialization cost exceeds the one join it
+    // saves.
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"),
         col("l_quantity").cast("long").as("qty"),

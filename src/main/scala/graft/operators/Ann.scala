@@ -3427,16 +3427,45 @@ object Ann {
     val exact = Knn.topK(e, q, k, Knn.Metric.Cosine)
       .select(col("qid"), col("nn_id"))
       .localCheckpoint(true)
-    val rows = nprobes.map { np =>
-      val hits = ivfSearchWith(e, q, k, np, cents)
-        .select(col("qid"), col("nn_id"))
-        .join(exact, Seq("qid", "nn_id"), "left_semi")
-        .agg(count(lit(1)).as("h"))
-      val cost = ranked.where(col("rnk") <= np)
-        .agg(sum("csz").as("nc"))
-      hits.crossJoin(cost).select(lit(np.toLong).as("nprobe"),
-        col("h"), col("nc"))
-    }.reduce(_ unionByName _)
+    // ONE probe pass serves every width (r16; was one ivfSearchWith
+    // corpus-probe pass PER width — 4 probe scans, 76 exchanges).
+    // Probe sets are NESTED (centroidTopM is a deterministic full
+    // sort, so width w's cells are exactly the rank-≤w prefix of the
+    // max-width ranking): score each candidate once at max width
+    // carrying its cell rank, charge the row to every width ≥ its
+    // rank (a lambda filter over the literal width list), and run the
+    // same TopK heap per (width, qid). Per-width candidate multisets,
+    // scores, and heap tie-breaks are identical to the per-width
+    // ivfSearchWith legs by construction; the oracle pins the rest.
+    val probesMax = q.select(col("qid"), col("qvec"),
+        posexplode(centroidTopM(col("qvec"), cents, nprobes.max)))
+      .select(col("qid"), col("qvec"), (col("pos") + 1).as("rnk"),
+        col("col.cell").as("cell"))
+    val scoredAll = assignTo(e, cents).join(probesMax, "cell")
+      .select(col("qid"), col("rnk"),
+        (-VectorDistance.cosine(col("vec"), col("qvec"))).as("key"),
+        col("id"))
+      .where(col("key").isNotNull)
+    val widthList = nprobes.mkString(",")
+    val agg = TopKAgg.topK(k)
+    val perWidth = scoredAll
+      .select(col("qid"), col("key"), col("id"),
+        explode(expr(
+          s"filter(array($widthList), w -> w >= rnk)")).as("np"))
+      .groupBy("np", "qid")
+      .agg(agg(col("key"), col("id")).as("top"))
+      .select(col("np").cast("long").as("nprobe"), col("qid"),
+        explode(expr("transform(top.items, x -> x.id)")).as("nn_id"))
+    val hitsAll = perWidth
+      .join(exact, Seq("qid", "nn_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("h"))
+    val costAll = ranked
+      .select(col("csz"),
+        explode(expr(
+          s"filter(array($widthList), w -> w >= rnk)")).as("np"))
+      .groupBy(col("np").cast("long").as("nprobe"))
+      .agg(sum("csz").as("nc"))
+    val rows = hitsAll.join(costAll, Seq("nprobe"), "full_outer")
     nprobes.map(_.toLong).toDF("nprobe").join(rows, Seq("nprobe"), "left")
       .select(col("nprobe"),
         coalesce(col("h"), lit(0L)).as("n_hits"),

@@ -182,6 +182,27 @@ object Dedup {
     verifyOnCandidates(docs, cand, minJaccard)
   }
 
+  /** The VERIFIED PAIR SET as a shared session byproduct (r16 — the
+    * memo [[graft.ByproductCache]]'s contract names; Triplets carried
+    * a private copy since r12, the cluster fixpoint consumes the same
+    * set, and five report operators re-MINED it per call). Memoized
+    * per (applicationId, dir, minJaccard): pair mining is
+    * deterministic and its output collision-sized, so the checkpoint
+    * is bounded and every downstream consumer (source overlap,
+    * text-vs-embed agreement, edit-distance re-scoring, the jaccard
+    * histogram, the dataset card, the cluster fixpoint, triplets)
+    * pays the band-join + verify once per session. The
+    * `dedup_minhash_pairs` surface query deliberately stays on the
+    * UNCACHED [[minhashPairs]] path: it is one of the bench's three
+    * frozen drift anchors and must re-mine on every rep.
+    */
+  private[graft] def minhashPairsCached(s: SparkSession, dir: String,
+                                        minJaccard: Double): DataFrame =
+    graft.ByproductCache.getOrCompute(s.sparkContext.applicationId,
+      s"minhashpairs|$dir|$minJaccard") {
+      minhashPairsUnsorted(s, dir, minJaccard).localCheckpoint(true)
+    }
+
   /** EDIT-DISTANCE RE-SCORING of the verified pair set (r14 — the
     * character-level second opinion a production dedup keeps beside
     * the shingle jaccard: two docs can share every 3-gram shingle
@@ -197,7 +218,7 @@ object Dedup {
     */
   def editDistancePairs(s: SparkSession, dir: String,
                         minJaccard: Double = 0.5): DataFrame = {
-    val pairs = minhashPairsUnsorted(s, dir, minJaccard)
+    val pairs = minhashPairsCached(s, dir, minJaccard)
       .select("id1", "id2", "jaccard")
     val t = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     pairs
@@ -935,7 +956,7 @@ object Dedup {
     graft.ByproductCache.getOrCompute(s.sparkContext.applicationId,
       s"clusters|$dir|$minJaccard") {
       connectedComponents(
-        minhashPairsUnsorted(s, dir, minJaccard).select("id1", "id2"))
+        minhashPairsCached(s, dir, minJaccard).select("id1", "id2"))
     }
 
   /** CROSS-SOURCE near-dup overlap — which source pairs duplicate
@@ -949,7 +970,7 @@ object Dedup {
   def sourceOverlap(s: SparkSession, dir: String,
                     minJaccard: Double = 0.5): DataFrame = {
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    minhashPairsUnsorted(s, dir, minJaccard).select("id1", "id2")
+    minhashPairsCached(s, dir, minJaccard).select("id1", "id2")
       .join(src.select(col("doc_id").as("id1"), col("source").as("src1")),
         "id1")
       .join(src.select(col("doc_id").as("id2"), col("source").as("src2")),
@@ -1177,7 +1198,7 @@ object Dedup {
     * minhash blocking.
     */
   def textVsEmbed(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairsUnsorted(s, dir)
+    val pairs = minhashPairsCached(s, dir, 0.5)
     val e = Tables.embeddings(s, dir).select(col("vec_id"),
       col("embedding"))
     val wc = pairs
@@ -1398,7 +1419,7 @@ object Dedup {
     */
   def jaccardHistogram(s: SparkSession, dir: String,
                        minJaccard: Double = 0.5): DataFrame =
-    minhashPairsUnsorted(s, dir, minJaccard)
+    minhashPairsCached(s, dir, minJaccard)
       .select(least(floor(col("jaccard") * 10).cast("long"), lit(9L))
         .as("b"), col("jaccard"))
       .groupBy("b")

@@ -166,7 +166,7 @@ object Pipeline {
       countDistinct("lang").as("n_langs"),
       countDistinct("source").as("n_sources"),
       countDistinct("text").as("n_distinct_texts"))
-    val ndp = Dedup.minhashPairsUnsorted(s, dir)
+    val ndp = Dedup.minhashPairsCached(s, dir, 0.5)
       .agg(count(lit(1)).as("near_dup_pairs"))
     val kq = TextOps.qualityKappa(s, dir)
       .select(round(col("keep_model").cast("double") / col("n_docs"), 4)

@@ -967,25 +967,39 @@ object Search {
   def hybridLinearQuery(s: SparkSession, dir: String,
                         alpha: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bm = bm25SearchIndexed(s, indexFor(s, dir), fixedQueries(s), 20)
-      .select(col("qid"), col("doc_id"), col("score").as("bs"))
+    val bm0 = bm25SearchIndexed(s, indexFor(s, dir), fixedQueries(s), 20)
+      .select(col("qid"), col("doc_id"), col("score").as("v"),
+        lit("bm").as("leg"))
     val qv = Tables.embeddings(s, dir).where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val corpus = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cos = Knn.topK(corpus, qv, 20, Knn.Metric.Cosine)
-      .select(col("qid"), col("nn_id").as("doc_id"), col("score").as("cs"))
-    def norm(leg: DataFrame, v: String, out: String) = {
-      val mm = leg.groupBy("qid")
-        .agg(min(v).as("mn"), max(v).as("mx"))
-      leg.join(mm, "qid")
-        .select(col("qid"), col("doc_id"),
-          when(col("mx") === col("mn"), lit(1.0))
-            .otherwise((col(v) - col("mn")) / (col("mx") - col("mn")))
-            .as(out))
-    }
-    val fused = norm(bm, "bs", "nb")
-      .join(norm(cos, "cs", "nc"), Seq("qid", "doc_id"), "full_outer")
+    val cos0 = Knn.topK(corpus, qv, 20, Knn.Metric.Cosine)
+      .select(col("qid"), col("nn_id").as("doc_id"), col("score").as("v"),
+        lit("cos").as("leg"))
+    // SINGLE-REFERENCE NORMALIZATION (r16): norm() used to reference
+    // each leg twice (per-query min/max + the join back), so each
+    // corpus-scale leg subtree evaluated twice — the plan carried 20
+    // scans / 48 exchanges for a ≤ Q×40-row frame. An eager legs
+    // checkpoint was measured SLOWER (1.89 → 2.13 s: the duplicate
+    // subtrees ran as parallel stages of one job, and the checkpoint
+    // serialized them — the quant_advisor lesson). Instead the
+    // min/max ride a (qid, leg) window over ONE union of the legs
+    // (≤20 rows per partition) and the old full_outer join becomes a
+    // (qid, doc_id) pivot — every leg subtree appears exactly once in
+    // one job, nothing eager. Same arithmetic on the same 4dp surface
+    // scores, so values are bit-identical; a doc present in one leg
+    // only pivots to a NULL other-leg column, exactly the old outer
+    // join's shape.
+    val wLeg = Window.partitionBy("qid", "leg")
+    val normed = bm0.unionByName(cos0)
+      .select(col("qid"), col("doc_id"), col("leg"),
+        when(max("v").over(wLeg) === min("v").over(wLeg), lit(1.0))
+          .otherwise((col("v") - min("v").over(wLeg))
+            / (max("v").over(wLeg) - min("v").over(wLeg))).as("nrm"))
+    val fused = normed.groupBy("qid", "doc_id")
+      .agg(max(when(col("leg") === "bm", col("nrm"))).as("nb"),
+        max(when(col("leg") === "cos", col("nrm"))).as("nc"))
       .withColumn("hybrid", round(
         lit(alpha) * coalesce(col("nc"), lit(0.0)) +
           lit(1.0 - alpha) * coalesce(col("nb"), lit(0.0)), 6))

@@ -43,11 +43,10 @@ object Triplets {
     */
   private def verifiedPairs(s: SparkSession, dir: String,
                             minJaccard: Double): DataFrame =
-    graft.ByproductCache.getOrCompute(s.sparkContext.applicationId,
-      s"triplet_pairs|$dir|$minJaccard") {
-      Dedup.minhashPairsUnsorted(s, dir, minJaccard)
-        .select("id1", "id2").localCheckpoint(true)
-    }
+    // r16: reads the SHARED verified-pair memo (Dedup
+    // .minhashPairsCached) instead of carrying a private copy keyed
+    // triplet_pairs — one materialization serves every consumer
+    Dedup.minhashPairsCached(s, dir, minJaccard).select("id1", "id2")
 
   private def nearMissPool(s: SparkSession, dir: String): DataFrame =
     graft.ByproductCache.getOrCompute(s.sparkContext.applicationId,

@@ -123,10 +123,20 @@ object Upsert {
       .agg(max(col("version")).as("dv"))
     val live = lastContent.join(lastDel, Seq(key), "left")
       .where(col("dv").isNull || col("cv") > col("dv"))
+    // SINGLE-REFERENCE live (r16): the patch aggregate used to join
+    // `live` for its cv/dv cutoff and the final select joined `live`
+    // again — DataFrames do not share subtrees, so the whole content
+    // aggregate (base ∪ upserts, corpus-scale) evaluated twice (the
+    // vdb_batch_update plan scanned documents 9×). The cutoff gate
+    // moves to the final projection instead: aggregate ALL patches
+    // per key (one pass over the patch ops, no join), and a field
+    // applies only when its winner's version outruns greatest(cv, dv)
+    // — equivalent because the max-(pv, x) struct picks the LARGEST
+    // patch version per field, so if that one is ≤ the cutoff every
+    // patch for the field is, and if it is > the cutoff it is exactly
+    // the winner the pre-filtered aggregate chose (UpsertWalSpec +
+    // RequestShapeFuzzSpec pin the semantics).
     val patchAgg = ops.where(col("op") === "patch")
-      .join(live.select(col(key), col("cv"),
-        coalesce(col("dv"), lit(-1L)).as("_dv")), Seq(key))
-      .where(col("version") > greatest(col("cv"), col("_dv")))
       .groupBy(col(key))
       .agg(
         max(struct(
@@ -139,9 +149,10 @@ object Upsert {
               .as("pv"),
             col(c).as("x"))).as(s"_m_$c")
         }.toIndexedSeq: _*)
+    val cutoff = greatest(col("cv"), coalesce(col("dv"), lit(-1L)))
     live.join(patchAgg, Seq(key), "left")
       .select(col(key) +: payloadCols.map { c =>
-        when(col(s"_m_$c.pv") >= 0, col(s"_m_$c.x"))
+        when(col(s"_m_$c.pv") > cutoff, col(s"_m_$c.x"))
           .otherwise(col(s"_p.$c")).as(c)
       }.toIndexedSeq: _*)
   }
